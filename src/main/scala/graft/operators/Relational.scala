@@ -1,0 +1,374 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** A-block: the relational core of the engine — the ingest → clean →
+  * aggregate path of a trip-data ETL pipeline re-expressed as declarative
+  * Spark plans so Catalyst handles pushdown, pruning and join planning.
+  *
+  * Determinism rules (SURVEY.md §6): every double aggregate is rounded
+  * identically here and in the DuckDB oracle; top-k ties are broken by a
+  * unique key.
+  */
+object Relational {
+
+  private def money(c: Column): Column = round(c, 2)
+  private def ratio(c: Column): Column = round(c, 4)
+  private def ts(s: String): Column    = lit(s).cast("timestamp")
+
+  /** q01: pricing-summary aggregation with filter pushed to the scan. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        ratio(avg(col("l_quantity"))).as("avg_qty"),
+        ratio(avg(col("l_extendedprice"))).as("avg_price"),
+        ratio(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q02: selective filter + narrow projection — column pruning must reach
+    * the parquet scan (ReadSchema shows 4 columns, PushedFilters the range).
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") <  ts("1997-02-01") &&
+              col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+
+  /** q03: customer ⋈ orders ⋈ lineitem revenue top-k (TPC-H Q3 shape).
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey — at 100 TB both facts would be bucketed on that key.
+    */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q04: fact ⋈ broadcast dim, revenue per brand. */
+  def q04BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q05: 6-table star join (TPC-H Q5 shape): local-supplier revenue per
+    * nation. All dims broadcast; the only shuffle is orders⋈lineitem.
+    */
+  def q05MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
+  /** q06: single-pass selective aggregate (TPC-H Q6 shape) — the whole
+    * query is scan + filter + partial/final agg, no shuffle of raw rows.
+    */
+  def q06SelectiveAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") <  ts("1998-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** q07: global top-k with unique-key tie-break. */
+  def q07SortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+
+  /** q08: distinct cardinalities per group. */
+  def q08Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** q09: windowed rank — top-3 revenue suppliers within each nation. */
+  def q09WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("revenue").desc, col("s_suppkey").asc)
+    rev.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+  }
+
+  /** q10: left-semi join (EXISTS). */
+  def q10SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** q11: left-anti join (NOT EXISTS) — customers with no urgent order. */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** q12: set ops — union / intersect / except of two key sets, tagged. */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      .select(col("l_partkey").as("key")).distinct()
+    val b = Tables.part(s, dir).filter(col("p_size") > 40)
+      .select(col("p_partkey").as("key")).distinct()
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+  }
+
+  /** q13: rollup over status → priority hierarchy. */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), money(sum(col("o_totalprice"))).as("total"))
+
+  /** q14: cube over returnflag × linestatus. */
+  def q14Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), money(sum(col("l_quantity"))).as("sum_qty"))
+
+  /** q15: CASE-based conditional aggregates (pivot-by-hand on status). */
+  def q15ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        money(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0))).as("total_f"),
+        money(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0))).as("total_o"),
+        money(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0))).as("total_p"),
+        count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"))
+
+  /** q16: post-aggregation filter (HAVING). */
+  def q16Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(money(sum(col("l_quantity"))).as("total_qty"), count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 15000)
+
+  /** q17: per-group average subquery (TPC-H Q17 shape, small-qty orders). */
+  def q17AvgSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    l.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(money(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+           count(lit(1)).as("n_small"))
+  }
+
+  /** q18: IN-subquery over high-balance customers. */
+  def q18InSubquery(s: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** q19: moment statistics per group (bounded-magnitude column so the
+    * single-pass variance matches the oracle bit-for-bit after rounding).
+    */
+  def q19Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        ratio(avg(col("l_quantity"))).as("avg_qty"),
+        ratio(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        ratio(var_samp(col("l_quantity"))).as("var_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_join_agg"        -> (q03JoinAgg _),
+    "q04_broadcast_join"  -> (q04BroadcastJoin _),
+    "q05_multi_join"      -> (q05MultiJoin _),
+    "q06_selective_agg"   -> (q06SelectiveAgg _),
+    "q07_sort_limit"      -> (q07SortLimit _),
+    "q08_distinct"        -> (q08Distinct _),
+    "q09_window_rank"     -> (q09WindowRank _),
+    "q10_semi_join"       -> (q10SemiJoin _),
+    "q11_anti_join"       -> (q11AntiJoin _),
+    "q12_set_ops"         -> (q12SetOps _),
+    "q13_rollup"          -> (q13Rollup _),
+    "q14_cube"            -> (q14Cube _),
+    "q15_conditional_agg" -> (q15ConditionalAgg _),
+    "q16_having"          -> (q16Having _),
+    "q17_avg_subquery"    -> (q17AvgSubquery _),
+    "q18_in_subquery"     -> (q18InSubquery _),
+    "q19_stats"           -> (q19Stats _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-02-01'
+           AND l_quantity < 5""",
+    "q03_join_agg" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate  > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q04_broadcast_join" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q05_multi_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY r_name, n_name""",
+    "q06_selective_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q07_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""",
+    "q08_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS distinct_parts,
+         count(DISTINCT l_suppkey) AS distinct_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q09_window_rank" ->
+      """SELECT * FROM (
+           SELECT s_nationkey, s_suppkey, revenue,
+                  rank() OVER (PARTITION BY s_nationkey
+                               ORDER BY revenue DESC, s_suppkey ASC) AS rnk
+           FROM (SELECT s_nationkey, s_suppkey,
+                        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 GROUP BY s_nationkey, s_suppkey))
+         WHERE rnk <= 3""",
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "q12_set_ops" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_quantity > 45),
+              b AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size > 40)
+         SELECT key, 'union' AS op FROM (SELECT key FROM a UNION SELECT key FROM b)
+         UNION ALL
+         SELECT key, 'intersect' AS op FROM (SELECT key FROM a INTERSECT SELECT key FROM b)
+         UNION ALL
+         SELECT key, 'except' AS op FROM (SELECT key FROM a EXCEPT SELECT key FROM b)""",
+    "q13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q14_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q15_conditional_agg" ->
+      """SELECT c_nationkey,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p,
+         count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+    "q16_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_items
+         FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 15000""",
+    "q17_avg_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+         FROM lineitem JOIN (SELECT l_partkey AS ap_partkey,
+                                    0.5 * avg(l_quantity) AS half_avg_qty
+                             FROM lineitem GROUP BY l_partkey) t
+         ON l_partkey = ap_partkey
+         WHERE l_quantity < half_avg_qty""",
+    "q18_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""",
+    "q19_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_quantity), 4) AS var_qty
+         FROM lineitem GROUP BY l_returnflag""")
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+Where <verifyOutDir> was produced by `sbt "runMain graft.Verify <sfDir> <out>"`.
+
+Dev tool only — NOT part of the shipped Scala library.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"columns differ: spark={sorted(got.columns)} oracle={sorted(exp.columns)}"
+    g, e = norm(got), norm(exp)
+    if len(g) != len(e):
+        return f"row counts differ: spark={len(g)} oracle={len(e)}"
+    for c in g.columns:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+            ok = np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True)
+        else:
+            ok = (pd.Series(gv).astype(str) == pd.Series(ev).astype(str)).all()
+        if not ok:
+            bad = None
+            for i in range(len(gv)):
+                if str(gv[i]) != str(ev[i]):
+                    bad = i
+                    break
+            return f"column {c} differs (e.g. row {bad}: spark={gv[bad]!r} oracle={ev[bad]!r})"
+    return ""
+
+
+def main() -> None:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')"
+        )
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle SQL error: {exc}")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
+        msg = compare(name, got, exp)
+        if msg:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+    print(f"{len(oracle) - n_fail}/{len(oracle)} oracle queries match")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
