@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** B-block: trip/event analytics — the sessionize → bucket → derive path of
+  * a trip-data pipeline. All operators shuffle at most once on `user_id`
+  * (or not at all) and then work within partitions via window functions,
+  * so per-user state is bounded by events-per-user at any corpus size.
+  *
+  * Timestamp note: `events.ts` is nanosecond parquet; both Spark and the
+  * DuckDB oracle truncate to microseconds on read, so µs-domain arithmetic
+  * (`unix_micros`) is oracle-exact.
+  */
+object Events {
+
+  /** q20: gap-based sessionization (30-minute inactivity gap).
+    * lag → flag → running-sum over one user_id shuffle; the canonical
+    * distributed sessionizer (no per-user collect, no iterative driver loop).
+    */
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        round(sum(col("value")), 2).as("sess_value"))
+  }
+
+  /** q21: tumbling hourly window aggregation per event type. */
+  def q21TimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** q22: signup → purchase conversion funnel per user. */
+  def q22Funnel(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("first_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "signup", lit(1))).as("n_signup"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+        count(when(col("event_type") === "purchase" &&
+                   col("ts") > col("first_signup"), lit(1))).as("n_converted"))
+  }
+
+  /** q23: JSON property extraction from the `props` payload column. */
+  def q23JsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** q24: as-of join — attribute each purchase to the latest strictly-prior
+    * click/view of the same user. Implemented as one user_id shuffle + a
+    * `last(_, ignoreNulls)` window over strictly-preceding rows: the
+    * merge-scan equivalent of a sorted as-of join, linear per partition.
+    */
+  def q24AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("view_id",
+        when(col("event_type").isin("click", "view"), col("event_id")))
+      .withColumn("attr_event_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("attr_event_id"))
+  }
+
+  /** q25: monthly order revenue stats. */
+  def q25MonthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        round(avg(col("o_totalprice")), 4).as("avg_order"))
+
+  /** q26: inter-event gap statistics per user (lag over one shuffle).
+    * Gaps are integer microseconds, so avg is bit-exact vs the oracle.
+    */
+  def q26EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1000000.0, 4).as("avg_gap_s"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  /** q27: first/last event per user via min_by/max_by on the unique,
+    * time-ordered event_id (tie-free deterministic arg-min/arg-max).
+    */
+  def q27FirstLast(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_sessionize"       -> (q20Sessionize _),
+    "q21_time_bucket"      -> (q21TimeBucket _),
+    "q22_funnel"           -> (q22Funnel _),
+    "q23_json_props"       -> (q23JsonProps _),
+    "q24_asof_attribution" -> (q24AsofAttribution _),
+    "q25_monthly_revenue"  -> (q25MonthlyRevenue _),
+    "q26_event_gaps"       -> (q26EventGaps _),
+    "q27_first_last"       -> (q27FirstLast _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+           FROM e)
+         SELECT user_id, sess_no, count(*) AS n_events,
+                min(ts) AS sess_start, max(ts) AS sess_end,
+                round(sum(value), 2) AS sess_value
+         FROM s GROUP BY user_id, sess_no""",
+    "q21_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q22_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts,
+                  min(CASE WHEN event_type = 'signup' THEN ts END)
+                    OVER (PARTITION BY user_id) AS first_signup
+           FROM events)
+         SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'purchase'
+                                   AND ts > first_signup) AS n_converted
+         FROM e GROUP BY user_id""",
+    "q23_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+                round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                      CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
+    "q24_asof_attribution" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+                v.event_id AS attr_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT * FROM events WHERE event_type IN ('click', 'view')) v
+         ON p.user_id = v.user_id AND v.ts < p.ts""",
+    "q25_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue,
+                round(avg(o_totalprice), 4) AS avg_order
+         FROM orders GROUP BY 1""",
+    "q26_event_gaps" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+                round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
+                max(gap_us) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+    "q27_first_last" ->
+      """SELECT user_id,
+                min_by(event_type, event_id) AS first_type,
+                max_by(event_type, event_id) AS last_type,
+                min(event_id) AS first_event_id,
+                max(event_id) AS last_event_id,
+                count(*) AS n_events
+         FROM events GROUP BY user_id""")
+}
