@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** C-block: deduplication over the `documents` / `embeddings` tables.
+  *
+  * Scale design: candidate generation is always bucketed (LSH bands /
+  * hamming bands / label blocking) — the shuffle is O(n·bands) and pair
+  * expansion is bounded per bucket, never a global O(n²) cross join.
+  *
+  * Oracle parity trick: MinHash permutations are md5 hex *strings*
+  * (lexicographic min ≡ numeric min on fixed-width hex), which both Spark
+  * and DuckDB compute identically — no engine-specific hash needed.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val NumBands  = 8 // 2 rows per band
+
+  /** word-3-gram shingle set per document (deduplicated). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+        .as("sh"))
+      .distinct()
+
+  /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes. */
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
+    val minCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+    val mh = shingles(s, dir).groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band_id"),
+             concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+  }
+
+  /** distinct candidate near-dup pairs (doc_a < doc_b) + shared-band count. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandSignatures(s, dir)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** q28: exact dedup by canonical key (first 3 words) — hash-groupBy, keep
+    * min doc_id. The canonical-key form of exact dedup used to fold
+    * boilerplate-prefixed copies.
+    */
+  def q28DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** q29: MinHash + LSH banding near-dup candidate pairs. */
+  def q29DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir)
+
+  /** q30: 64-bit SimHash per document + 16-bit hamming band keys.
+    * xxhash64-based (no oracle — engine-native hash), rows-only checked;
+    * properties are asserted in DedupSpec.
+    */
+  def q30DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitContrib = tok
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)")))
+      .toDF("doc_id", "pos", "contrib")
+    bitContrib.groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("contrib")).as("bitsum"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bitsum") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("simhash & 65535").as("band0"),
+        expr("(simhash >> 16) & 65535").as("band1"),
+        expr("(simhash >> 32) & 65535").as("band2"),
+        expr("(simhash >> 48) & 65535").as("band3"))
+  }
+
+  /** q31: exact n-gram Jaccard, evaluated only on LSH candidate pairs. */
+  def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+              (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
+  }
+
+  /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
+    * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
+    */
+  def q32DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  // ---- oracle SQL ----
+
+  private val shingleCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) i FROM t),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix)"""
+
+  private val minhashCtes: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || sh)) m$i").mkString(", ")
+    val bands = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, m${2 * b} || m${2 * b + 1} AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    s"""$shingleCte,
+        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bands)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
+                count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q29_dedup_minhash" ->
+      s"""WITH $minhashCtes
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+          FROM bands a JOIN bands b USING (band_id, sig)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2""",
+    "q31_ngram_jaccard" ->
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2)
+          SELECT i.doc_a, i.doc_b,
+                 round(CAST(i.n_inter AS DOUBLE) / (ca.c + cb.c - i.n_inter), 4) AS jaccard
+          FROM inter i
+          JOIN sizes ca ON ca.doc_id = i.doc_a
+          JOIN sizes cb ON cb.doc_id = i.doc_b""",
+    "q32_dedup_embedding" ->
+      """WITH c AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim
+         FROM c WHERE cos_sim >= 0.35""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_dedup_exact"     -> (q28DedupExact _),
+    "q29_dedup_minhash"   -> (q29DedupMinhash _),
+    "q30_dedup_simhash"   -> (q30DedupSimhash _),
+    "q31_ngram_jaccard"   -> (q31NgramJaccard _),
+    "q32_dedup_embedding" -> (q32DedupEmbedding _))
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+
+/** D-block: similarity search over the `embeddings` table.
+  *
+  * q33 is the exact baseline: broadcast the (small) query set and linear-scan
+  * the corpus — no shuffle of the corpus at all, so it scales to any corpus
+  * size at O(|corpus|·|queries|·dim) work. q34 is the approximate scale
+  * path: random-hyperplane LSH buckets cut the scanned fraction to
+  * ~1/2^planes per query.
+  */
+object Similarity {
+
+  private val Dim            = 64
+  private val NumTables      = 4 // independent LSH tables (OR-amplification)
+  private val PlanesPerTable = 4 // 16 buckets per table
+  private val TopK           = 5
+
+  /** Deterministic ±1 hyperplanes seeded by MurmurHash3 of "plane:dim". */
+  private[operators] val planes: Seq[Seq[Double]] =
+    (0 until NumTables * PlanesPerTable).map { p =>
+      (0 until Dim).map { d =>
+        if (scala.util.hashing.MurmurHash3.stringHash(s"$p:$d", 42) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  /** q33: brute-force cosine top-k per query vector (exact baseline). */
+  def q33KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(queriesDf(s, dir)))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** Bucket id of one LSH table: sign bits against that table's planes. */
+  private def bucketCol(table: Int, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PlanesPerTable).map { p =>
+      when(VectorOps.dot(v, typedlit(planes(table * PlanesPerTable + p))) > 0, 1 << p)
+        .otherwise(0)
+    }.reduce(_ + _)
+
+  /** (table, bucket) pairs for all tables, exploded — OR-amplified LSH. */
+  private def withTableBuckets(df: DataFrame, v: String): DataFrame =
+    df.select(col("*"), explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("t"), bucketCol(t, col(v)).as("b"))): _*)).as("tb"))
+      .select(df.columns.map(col) :+ col("tb.t").as("t") :+ col("tb.b").as("b"): _*)
+
+  /** q34: multi-table random-hyperplane LSH approximate top-k. Candidates
+    * are the union over tables of same-bucket vectors (deduplicated before
+    * the cosine evaluation); rows-only — recall vs the exact q33 baseline
+    * is asserted in DedupSimilaritySpec.
+    */
+  def q34KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withTableBuckets(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "ne")
+    val qs = withTableBuckets(queriesDf(s, dir), "qe")
+    val cand = corpus.join(broadcast(qs), Seq("t", "b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** q35: per-label centroid + distance-to-centroid stats (cluster quality). */
+  def q35CentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cen = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("cv"))).as("pl"))
+      .select(col("label"), expr("transform(array_sort(pl), s -> s.cv)").as("centroid"))
+    e.join(broadcast(cen), Seq("label"))
+      .withColumn("cs", VectorOps.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("cs")), 4).as("avg_cos"),
+        round(min(col("cs")), 4).as("min_cos"),
+        round(max(col("cs")), 4).as("max_cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_knn_brute"    -> (q33KnnBrute _),
+    "q34_knn_lsh"      -> (q34KnnLsh _),
+    "q35_centroid_sim" -> (q35CentroidSim _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_knn_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cs
+               FROM q CROSS JOIN embeddings e
+               WHERE e.vec_id <> q.vec_id),
+         r AS (SELECT query_id, neighbor_id, cs,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk
+               FROM c)
+         SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
+         FROM r WHERE rnk <= 5""",
+    "q35_centroid_sim" ->
+      """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                            unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings),
+         cp AS (SELECT label, pos, avg(v) AS cv FROM pe GROUP BY label, pos),
+         cen AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cp GROUP BY label),
+         c AS (SELECT e.label,
+                      list_inner_product(e.embedding::DOUBLE[], cen.centroid) /
+                      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                       sqrt(list_inner_product(cen.centroid, cen.centroid))) AS cs
+               FROM embeddings e JOIN cen ON e.label = cen.label)
+         SELECT label, count(*) AS n_vecs,
+                round(avg(cs), 4) AS avg_cos,
+                round(min(cs), 4) AS min_cos,
+                round(max(cs), 4) AS max_cos
+         FROM c GROUP BY label""")
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** E-block: text analysis over `documents` — the scoring/fingerprinting
+  * stage of an LLM-training-data pipeline. All per-document (no shuffle at
+  * all until a final aggregate), so it streams at any corpus size.
+  */
+object TextAnalysis {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "mit"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "une", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "不"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** SQL fragment counting tokens of `w` that are in the given stop list —
+    * identical text in Spark expr() and the DuckDB oracle (both support
+    * filter/list_filter with a lambda; Spark names it `filter`).
+    */
+  private def sparkStopCount(lang: String): String =
+    s"size(filter(w, x -> x IN ${inList(stop(lang))}))"
+  private def duckStopCount(lang: String): String =
+    s"len(list_filter(w, x -> x IN ${inList(stop(lang))}))"
+
+  /** q36: stopword-profile language ID with fixed tie-break order. */
+  def q36LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("s_en", expr(sparkStopCount("en")))
+      .withColumn("s_de", expr(sparkStopCount("de")))
+      .withColumn("s_es", expr(sparkStopCount("es")))
+      .withColumn("s_fr", expr(sparkStopCount("fr")))
+      .withColumn("s_zh", expr(sparkStopCount("zh")))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_zh"), "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+      .select(col("doc_id"), col("pred_lang"), col("lang").as("claimed_lang"),
+        (col("pred_lang") === col("lang")).as("agree"))
+
+  /** q37: quality scoring from length / stopword / digit ratios. */
+  def q37QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_stop", expr(sparkStopCount("en")))
+      .withColumn("n_digits",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        col("n_digits"),
+        round(lit(0.5) * least(col("n_words").cast("double") / 50.0, lit(1.0)) +
+              lit(0.5) * (col("n_stop").cast("double") / col("n_words")), 4).as("quality"))
+
+  /** q38: whitespace + BPE-ish regex token counts. */
+  def q38TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("n_sub_tokens"))
+
+  /** q39: polynomial rolling-hash fingerprint (mod 1e9+7), char-by-char —
+    * a deterministic content fingerprint with incremental-update structure.
+    */
+  def q39Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+                (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)""")
+          .as("fingerprint"))
+
+  /** q40: per-language/source corpus stats. */
+  def q40LangStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_lang_id"       -> (q36LangId _),
+    "q37_quality_score" -> (q37QualityScore _),
+    "q38_token_count"   -> (q38TokenCount _),
+    "q39_fingerprint"   -> (q39Fingerprint _),
+    "q40_lang_stats"    -> (q40LangStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q36_lang_id" -> {
+      val (en, de, es, fr, zh) =
+        (duckStopCount("en"), duckStopCount("de"), duckStopCount("es"),
+         duckStopCount("fr"), duckStopCount("zh"))
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+          sc AS (SELECT doc_id, lang, $en s_en, $de s_de, $es s_es, $fr s_fr, $zh s_zh FROM t)
+          SELECT doc_id,
+                 CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                      WHEN s_fr >= s_zh THEN 'fr'
+                      ELSE 'zh' END AS pred_lang,
+                 lang AS claimed_lang,
+                 (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                       WHEN s_fr >= s_zh THEN 'fr'
+                       ELSE 'zh' END = lang) AS agree
+          FROM sc"""
+    },
+    "q37_quality_score" -> {
+      val en = duckStopCount("en")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+          f AS (SELECT doc_id, len(w) AS n_words, $en AS n_stop,
+                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+                FROM t)
+          SELECT doc_id, n_words,
+                 round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+                 n_digits,
+                 round(0.5 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0) +
+                       0.5 * (CAST(n_stop AS DOUBLE) / n_words), 4) AS quality
+          FROM f"""
+    },
+    "q38_token_count" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_sub_tokens
+         FROM documents""",
+    "q39_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(text)),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         FROM documents""",
+    "q40_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                sum(n_chars) AS total_chars,
+                round(avg(n_chars), 4) AS avg_chars,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source""")
+}
