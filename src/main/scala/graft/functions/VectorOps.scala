@@ -23,6 +23,15 @@ object VectorOps {
   /** ‖a‖₂ */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖) */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cos(a, b) via the composed higher-order functions (reference form). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** cos(a, b) via the native codegen'd [[CosineSimilarity]] expression —
+    * one fused loop, no intermediate arrays; bit-identical to cosineHof.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorOps
+import graft.operators.Multimodal
+
+/** I-block: native CosineSimilarity expression + SQL registration. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native cosine is bit-identical to the composed HOF form") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val paired = e.as("a").crossJoin(e.as("b")).limit(2000)
+      .select(
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        VectorOps.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(paired.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_cosine is SQL-callable via GraftExtensions") {
+    val prev = spark // materialize shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate() // new session on the shared SparkContext
+    try {
+      val row = s2.sql(
+        "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        "       graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o").head()
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(row.getDouble(1)) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("graft_cosine registers on an existing session") {
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("q42 feature extraction agrees with q41 metadata on byte length") {
+    val meta = Multimodal.q41BinaryMeta(spark, sf).select(col("doc_id"), col("byte_len"))
+    val feat = Multimodal.q42FeatureExtract(spark, sf)
+      .select(col("doc_id"), col("n_bytes"))
+    val joined = meta.join(feat, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("byte_len") =!= col("n_bytes")).count() == 0)
+  }
+}

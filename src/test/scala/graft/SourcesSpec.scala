@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H-block: source/sink round-trips and partitioned layout behavior. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val li = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("csv round-trip preserves data with explicit schema") {
+    val dir = tmp("csv")
+    li.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(li.schema).csv(dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0)
+  }
+
+  test("json round-trip preserves data") {
+    val dir = tmp("json")
+    li.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(li.schema).json(dir)
+    assert(back.exceptAll(li).count() == 0)
+  }
+
+  test("orc round-trip preserves data") {
+    val dir = tmp("orc")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(li).count() == 0)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    // partition pruning: the scan must carry a PartitionFilters entry on
+    // the partition column (inputFiles does not reflect pruning)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"), plan)
+    assert(pruned.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** G-block: streaming transforms driven through MemoryStream, checked
+  * against their batch twins on the same sf0.001 events.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def loadEvents(): Seq[Event] = {
+    val s = spark
+    import s.implicits._
+    Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("s01 streaming hourly counts match the batch aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.hourlyCounts(ms.toDS())
+      .writeStream.format("memory").queryName("s01").outputMode("complete").start()
+    try {
+      ms.addData(loadEvents())
+      q.processAllAvailable()
+      val streamed = s.table("s01")
+        .select(col("window.start").as("h"), col("event_type"), col("n"))
+      val batch = Tables.events(s, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
+  test("s02 stateful sessionization matches batch q20 session structure") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("s02").outputMode("append").start()
+    try {
+      ms.addData(loadEvents())
+      q.processAllAvailable()
+      val emitted = s.table("s02").count()
+      val batchSessions = SparkEntry.queries("q20_sessionize")(s, sf).count()
+      val nUsers = Tables.events(s, sf).select("user_id").distinct().count()
+      // append mode: exactly one open (unemitted) session per user remains
+      assert(emitted == batchSessions - nUsers,
+        s"emitted=$emitted batch=$batchSessions users=$nUsers")
+    } finally q.stop()
+  }
+
+  test("s03 streaming dedup removes duplicate event_ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.dedupStream(ms.toDS())
+      .writeStream.format("memory").queryName("s03").outputMode("append").start()
+    try {
+      val ev = loadEvents()
+      ms.addData(ev ++ ev.take(100)) // re-deliver first 100 as duplicates
+      q.processAllAvailable()
+      assert(s.table("s03").count() == ev.size)
+      assert(s.table("s03").select("event_id").distinct().count() == ev.size)
+    } finally q.stop()
+  }
+}
