@@ -29,11 +29,22 @@ object Dedup {
         .as("sh"))
       .distinct()
 
-  /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes. */
+  /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes.
+    *
+    * The 16 md5s are computed once per *distinct* shingle (a small
+    * dictionary — shingle vocabulary grows far slower than the corpus) and
+    * broadcast-joined back to occurrences, instead of 16 md5s per
+    * occurrence. At 100 TB the dictionary outgrows a broadcast and this
+    * becomes a shuffle join on `sh` — same plan shape, one hint removed.
+    */
   private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
-    val minCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
-    val mh = shingles(s, dir).groupBy(col("doc_id"))
+    val sh = shingles(s, dir)
+    val hashCols = (0 until NumHashes).map(i =>
+      md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i"))
+    val dict = sh.select(col("sh")).distinct()
+      .select(col("sh") +: hashCols: _*)
+    val minCols = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i"))
+    val mh = sh.join(broadcast(dict), "sh").groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
@@ -74,18 +85,18 @@ object Dedup {
     * properties are asserted in DedupSpec.
     */
   def q30DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // 64 per-bit counters as plain agg columns: one explode (tokens only,
+    // not tokens×bits) and one map-side-combining shuffle on doc_id.
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val bitContrib = tok
-      .select(col("doc_id"), posexplode(
-        expr("transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)")))
-      .toDF("doc_id", "pos", "contrib")
-    bitContrib.groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("contrib")).as("bitsum"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bitsum") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val assembled = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
       .select(col("doc_id"), col("simhash"),
         expr("simhash & 65535").as("band0"),
         expr("(simhash >> 16) & 65535").as("band1"),

@@ -76,10 +76,12 @@ object TextAnalysis {
     * a deterministic content fingerprint with incremental-update structure.
     */
   def q39Fingerprint(s: SparkSession, dir: String): DataFrame =
+    // split-once then fold: O(n) per doc (substring(text, i, 1) inside the
+    // fold would re-scan the string per char → O(n²))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-                (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)""")
+        expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
+                (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""")
           .as("fingerprint"))
 
   /** q40: per-language/source corpus stats. */
