@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The end-to-end ETL shape of the reference pipeline, Spark-first:
+  * ingest raw delimited files → normalize/clean → exact-dedupe → derive
+  * trip metrics → publish partitioned parquet.
+  *
+  * Every stage is a pure DataFrame→DataFrame function so the whole run is
+  * one lazy plan: Catalyst fuses the clean/derive projections into the
+  * scan, and the only wide operations are the dedupe (shuffle on the key)
+  * and the final partitioned write. At 100 TB each stage scales by
+  * partition count alone — no driver-side state.
+  */
+object Pipeline {
+
+  /** Raw-events CSV schema (the ingest contract; extra/bad fields land in
+    * `_corrupt`).
+    */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** Stage 1 — ingest: schema-enforced CSV read, corrupt rows quarantined
+    * into `_corrupt` instead of failing the job (PERMISSIVE).
+    */
+  def ingestCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(rawEventSchema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
+  /** Stage 2 — clean: drop corrupt rows, normalize strings, null-guard
+    * required fields, clamp out-of-domain values.
+    */
+  def clean(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt").isNull)
+      .drop("_corrupt")
+      .filter(col("event_id").isNotNull && col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("event_type", lower(trim(col("event_type"))))
+      .filter(col("event_type").isin("click", "view", "signup", "purchase", "error"))
+      .withColumn("value", when(col("value") < 0, lit(0.0)).otherwise(col("value")))
+
+  /** Stage 3 — dedupe: exactly-once by event_id, keeping the first-seen
+    * row deterministically (min struct, one shuffle).
+    */
+  def dedupe(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("ts"), col("user_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** Stage 4 — derive: publication fields (date partition, hour bucket,
+    * value band) — narrow projections, fused into the scan by Catalyst.
+    */
+  def derive(df: DataFrame): DataFrame =
+    df.withColumn("event_date", to_date(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+      .withColumn("value_band",
+        when(col("value") < 10, "low")
+          .when(col("value") < 100, "mid")
+          .otherwise("high"))
+
+  /** Stage 5 — publish: parquet partitioned by event_date (the layout the
+    * downstream analytical queries prune on).
+    */
+  def publish(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(outDir)
+
+  /** Full run: raw CSV dir → published partitioned parquet; returns the
+    * published DataFrame for inspection.
+    */
+  def run(spark: SparkSession, rawCsvDir: String, outDir: String): DataFrame = {
+    publish(derive(dedupe(clean(ingestCsv(spark, rawCsvDir)))), outDir)
+    spark.read.parquet(outDir)
+  }
+}
