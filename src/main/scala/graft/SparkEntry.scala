@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Relational, RelationalExt, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -19,13 +19,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
+    Relational.queries ++ RelationalExt.queries ++ Events.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
+    Relational.oracles ++ RelationalExt.oracles ++ Events.oracles ++
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A'-block: extended relational operators — range join, pivot, exact
+  * percentiles, cardinality sketch.
+  */
+object RelationalExt {
+
+  /** q43: range (band) join — price-band histogram. The bands side is tiny
+    * and broadcast, so the range predicate evaluates as a broadcast
+    * nested-loop scan: no shuffle of the fact table at any scale.
+    */
+  def q43RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0L, 120000L, 10000L).toDF("lo")
+    Tables.lineitem(s, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") < col("lo") + 10000)
+      .groupBy(col("lo"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("band_total"))
+  }
+
+  /** q44: pivot — order counts per nation × status via the DataFrame pivot
+    * operator with an explicit value list (map-side pivot, one shuffle).
+    */
+  def q44Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+
+  /** q45: exact interpolated percentiles per group. */
+  def q45Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+
+  /** q46: HLL++ cardinality sketch vs exact — rows-only (sketch internals
+    * are engine-specific); RelationalExtSpec bounds the relative error.
+    */
+  def q46ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_range_join"      -> (q43RangeJoin _),
+    "q44_pivot"           -> (q44Pivot _),
+    "q45_percentiles"     -> (q45Percentiles _),
+    "q46_approx_distinct" -> (q46ApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q43_range_join" ->
+      """SELECT lo, count(*) AS n_items,
+                round(sum(l_extendedprice), 2) AS band_total
+         FROM (SELECT unnest(range(0, 120000, 10000)) AS lo) b
+         JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < lo + 10000
+         GROUP BY lo""",
+    "q44_pivot" ->
+      """SELECT c_nationkey,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
+                round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag""")
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities: explicit salting for hot keys, the manual
+  * complement to AQE's runtime skew-join splitting (which only triggers on
+  * sort-merge joins above its thresholds). At 100 TB a handful of hot
+  * users/keys can hold a stage hostage; salting bounds any single task's
+  * share of a hot key to 1/`saltFactor`.
+  */
+object Skew {
+
+  /** Skewed aggregation: two-phase — salt the key, partially aggregate per
+    * (key, salt), then merge per key. Both shuffles are skew-free.
+    */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     saltFactor: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
+
+  /** Salted broadcast-free join of a skewed fact to a dim: the fact gets a
+    * random salt in [0, saltFactor); the dim is exploded saltFactor ways so
+    * every (key, salt) bucket finds its row. Use when the dim is too big to
+    * broadcast and the fact's key distribution is heavy-tailed.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}
