@@ -23,8 +23,14 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(q) =>
+          println(s"===== $n =====")
+          q(spark, sfDir).explain("formatted")
+        case None =>
+          System.err.println(
+            s"unknown query '$n'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      }
     }
     spark.stop()
   }

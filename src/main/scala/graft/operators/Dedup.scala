@@ -24,6 +24,9 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // guard: sequence(1, n-2) flips to a DESCENDING sequence when n<3,
+      // producing invalid indices; short docs have no 3-gram shingles
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
         .as("sh"))

@@ -77,8 +77,11 @@ object Events {
     * merge-scan equivalent of a sorted as-of join, linear per partition.
     */
   def q24AsofAttribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // RANGE frame on the µs timestamp: strictly-earlier rows only, matching
+    // the oracle's `v.ts < p.ts` (a ROWS -1 frame would include a same-µs
+    // click that ASOF excludes)
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(Window.unboundedPreceding, -1)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .withColumn("view_id",
@@ -172,7 +175,7 @@ object Events {
       """SELECT event_type, count(*) AS n_events,
                 round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
          FROM (SELECT event_type,
-                      CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type""",
     "q24_asof_attribution" ->

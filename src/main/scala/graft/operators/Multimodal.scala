@@ -26,7 +26,9 @@ object Multimodal {
         col("doc_id"),
         length(col("payload")).as("byte_len"),
         sha2(col("payload"), 256).as("content_sha"),
-        lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
+        // first 4 *characters* then UTF-8 bytes (not first 4 payload
+        // bytes): keeps parity with the oracle on multibyte text
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("head_hex"))
 
   // ---- q42: batched per-partition feature extraction ----
 

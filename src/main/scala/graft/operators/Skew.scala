@@ -13,10 +13,15 @@ object Skew {
 
   /** Skewed aggregation: two-phase — salt the key, partially aggregate per
     * (key, salt), then merge per key. Both shuffles are skew-free.
+    *
+    * The salt is a deterministic function of the row content — a
+    * nondeterministic salt (rand/monotonically_increasing_id) re-salts rows
+    * differently when a task is retried after shuffle-fetch failure, which
+    * double-counts or drops rows (the SPARK-23207 class of bug).
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
@@ -29,8 +34,9 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int = 16): DataFrame = {
+    // deterministic per-row salt (see saltedCountSum note on retry safety)
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(fact.columns.map(col): _*), lit(saltFactor)))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")

@@ -18,7 +18,7 @@ object EventStream {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  case class SessionState(sessNo: Long, lastUs: Long)
+  case class SessionState(sessNo: Long, lastUs: Long, count: Long)
   case class SessionOut(user_id: Long, sess_no: Long, n_events: Long)
 
   private val GapUs = 1800L * 1000000L // 30-minute inactivity gap (µs)
@@ -49,23 +49,23 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          // state carries the open session's running count so sessions
+          // spanning micro-batches report the full n_events on close
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var curCount = 0L
           for (e <- sorted) {
             val us = micros(e.ts)
             if (st.lastUs == Long.MinValue) {
-              st = SessionState(1L, us); curCount = 1L
+              st = SessionState(1L, us, 1L)
             } else if (us - st.lastUs > GapUs) {
-              closed += SessionOut(uid, st.sessNo, curCount)
-              st = SessionState(st.sessNo + 1, us); curCount = 1L
+              closed += SessionOut(uid, st.sessNo, st.count)
+              st = SessionState(st.sessNo + 1, us, 1L)
             } else {
-              st = st.copy(lastUs = us); curCount += 1L
+              st = SessionState(st.sessNo, us, st.count + 1L)
             }
           }
-          // NOTE: the open session's running count is folded into the next
-          // batch via state; for the bounded test harness the open session
-          // per user is intentionally unemitted (mirrors append semantics).
+          // the still-open session per user stays in state, unemitted
+          // (append semantics); it closes when a later batch opens a gap
           state.update(st)
           closed.iterator
       }
@@ -75,5 +75,8 @@ object EventStream {
     * long duplicate keys are remembered — state is GC'd past the watermark.
     */
   def dedupStream(events: Dataset[Event]): Dataset[Event] =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    // WithinWatermark variant: dedup state for an event_id is dropped once
+    // the watermark passes it — plain dropDuplicates on a non-time key
+    // would retain every id forever and OOM on an unbounded stream
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 }

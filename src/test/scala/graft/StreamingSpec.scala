@@ -59,6 +59,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s02 sessions spanning micro-batches carry their full event count") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ev(id: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(1700000000000L + minute * 60000L), 1L, "click", 1.0)
+    val ms = MemoryStream[Event]
+    val q = EventStream.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("s02b").outputMode("append").start()
+    try {
+      // batch 1: three events 1 min apart — one open session, nothing emitted
+      ms.addData(Seq(ev(1, 0), ev(2, 1), ev(3, 2)))
+      q.processAllAvailable()
+      assert(s.table("s02b").count() == 0)
+      // batch 2: two more within the gap, then one 40 min later closing it
+      ms.addData(Seq(ev(4, 3), ev(5, 4), ev(6, 45)))
+      q.processAllAvailable()
+      val rows = s.table("s02b").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_events") == 5L,
+        s"closed session lost cross-batch events: ${rows.head}")
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._

@@ -43,11 +43,9 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
         else:
             ok = (pd.Series(gv).astype(str) == pd.Series(ev).astype(str)).all()
         if not ok:
-            bad = None
-            for i in range(len(gv)):
-                if str(gv[i]) != str(ev[i]):
-                    bad = i
-                    break
+            bad = next((i for i in range(len(gv)) if str(gv[i]) != str(ev[i])), None)
+            if bad is None:
+                return f"column {c} differs beyond tolerance (values str-equal; dtype mismatch? {gv.dtype} vs {ev.dtype})"
             return f"column {c} differs (e.g. row {bad}: spark={gv[bad]!r} oracle={ev[bad]!r})"
     return ""
 
