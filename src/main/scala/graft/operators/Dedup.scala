@@ -20,9 +20,13 @@ object Dedup {
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
-  /** word-3-gram shingle set per document (deduplicated). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** word-3-gram shingle occurrences per document. `dedup=true` gives set
+    * semantics (needed for Jaccard); the minhash path skips it — min over
+    * a multiset equals min over its set, so the distinct shuffle is pure
+    * overhead there.
+    */
+  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
+    val occ = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // guard: sequence(1, n-2) flips to a DESCENDING sequence when n<3,
       // producing invalid indices; short docs have no 3-gram shingles
@@ -30,7 +34,8 @@ object Dedup {
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
         .as("sh"))
-      .distinct()
+    if (dedup) occ.distinct() else occ
+  }
 
   /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes.
     *
@@ -41,7 +46,7 @@ object Dedup {
     * becomes a shuffle join on `sh` — same plan shape, one hint removed.
     */
   private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shingles(s, dir, dedup = false)
     val hashCols = (0 until NumHashes).map(i =>
       md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i"))
     val dict = sh.select(col("sh")).distinct()
@@ -56,16 +61,26 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
   }
 
-  /** distinct candidate near-dup pairs (doc_a < doc_b) + shared-band count. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandSignatures(s, dir)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** distinct candidate near-dup pairs (doc_a < doc_b) + shared-band count.
+    *
+    * One groupBy into (band, sig) buckets, then in-partition pair expansion
+    * with higher-order functions — a self-join on the signatures would
+    * re-execute the entire minhash pipeline for each side (Spark does not
+    * share the common subtree). Per-bucket expansion is bounded by bucket
+    * size, which LSH keeps small; the pipeline runs exactly once.
+    */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandSignatures(s, dir)
+      .groupBy(col("band_id"), col("sig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
 
   /** q28: exact dedup by canonical key (first 3 words) — hash-groupBy, keep
     * min doc_id. The canonical-key form of exact dedup used to fold
