@@ -129,8 +129,26 @@ object Events {
         max(col("event_id")).as("last_event_id"),
         count(lit(1)).as("n_events"))
 
+  /** q47: the same attribution as q24, but executed by the custom
+    * whole-operator as-of join ([[graft.plans.AsOfJoinExec]]): one
+    * exchange+sort per side then an O(1)-state merge scan — checked
+    * against DuckDB's native ASOF JOIN like q24.
+    */
+  def q47AsofCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    org.apache.spark.sql.graft.AsOf
+      .join(purchases, views, "user_id", "v_user_id", "ts", "v_ts")
+      .select(col("event_id"), col("user_id"), col("v_event_id").as("attr_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_sessionize"       -> (q20Sessionize _),
+    "q47_asof_custom"      -> (q47AsofCustom _),
     "q21_time_bucket"      -> (q21TimeBucket _),
     "q22_funnel"           -> (q22Funnel _),
     "q23_json_props"       -> (q23JsonProps _),
@@ -179,6 +197,13 @@ object Events {
                FROM events)
          GROUP BY event_type""",
     "q24_asof_attribution" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+                v.event_id AS attr_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT * FROM events WHERE event_type IN ('click', 'view')) v
+         ON p.user_id = v.user_id AND v.ts < p.ts""",
+    "q47_asof_custom" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
                 v.event_id AS attr_event_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

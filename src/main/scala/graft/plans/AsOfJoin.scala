@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join: for every left row, attach the latest right
+  * row of the same key with `rightTime < leftTime` (strict), or nulls.
+  *
+  * The physical operator declares `ClusteredDistribution` on the keys and
+  * a (key, time) sort order for both children, so EnsureRequirements
+  * plants exactly one hash exchange + sort per side; the join itself is a
+  * linear merge scan per partition with O(1) state (the last candidate
+  * right row). This is the plan shape a dedicated engine gives the
+  * operator — no window buffering of the union, no per-key materialization.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val numRightFields = right.output.length
+    val resultSchema = output
+
+    // bind the projection against NULLABLE right attributes — the original
+    // (non-nullable) ones would codegen null-check-free field reads and
+    // turn the null-extension row into zeros
+    val inputSchema = left.output ++ right.output.map(_.withNullability(true))
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(resultSchema, inputSchema)
+      val joined = new JoinedRow
+      val rightNulls = new GenericInternalRow(numRightFields)
+      val rBuf = rIter.buffered
+      // last right row whose key we were scanning + its evaluated key;
+      // O(1) state — rows must be copied out of the iterator's reused buffer
+      var candidate: InternalRow = null
+      var candidateKey: Any = null
+
+      lIter.map { l =>
+        val k = lk.eval(l)
+        val t = lt.eval(l)
+        // consume right rows that are strictly before (k, t)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val r = rBuf.head
+          val rkv = rk.eval(r)
+          val kc = keyOrd.compare(rkv, k)
+          if (kc < 0) {
+            rBuf.next() // right key behind left key: skip (its matches are gone)
+          } else if (kc == 0 && timeOrd.compare(rt.eval(r), t) < 0) {
+            candidate = rBuf.next().copy()
+            // re-evaluate off the copy: rkv may reference the iterator's
+            // reused row buffer for non-primitive key types
+            candidateKey = rk.eval(candidate)
+          } else {
+            advancing = false
+          }
+        }
+        val matched = candidate != null && keyOrd.compare(candidateKey, k) == 0
+        proj(joined(l, if (matched) candidate else rightNulls))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
