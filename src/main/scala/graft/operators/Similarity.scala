@@ -86,16 +86,20 @@ object Similarity {
         round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 
-  /** q35: per-label centroid + distance-to-centroid stats (cluster quality). */
-  def q35CentroidSim(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val cen = e
+  /** per-label centroids — the coarse quantizer shared by q35/q48. */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("v").cast("double")).as("cv"))
       .groupBy(col("label"))
       .agg(collect_list(struct(col("pos"), col("cv"))).as("pl"))
       .select(col("label"), expr("transform(array_sort(pl), s -> s.cv)").as("centroid"))
+
+  /** q35: per-label centroid + distance-to-centroid stats (cluster quality). */
+  def q35CentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cen = centroids(s, dir)
     e.join(broadcast(cen), Seq("label"))
       .withColumn("cs", VectorOps.cosine(col("embedding"), col("centroid")))
       .groupBy(col("label"))
@@ -106,10 +110,46 @@ object Similarity {
         round(max(col("cs")), 4).as("max_cos"))
   }
 
+  /** q48: IVF approximate top-k. The per-label centroids act as the coarse
+    * quantizer: every corpus vector is (re-)assigned to its nearest
+    * centroid cell; queries probe their `nprobe` closest cells and scan
+    * only those inverted lists. At 100 TB the cells become the partition
+    * keys of the stored corpus, so a query touches nprobe/k of the data.
+    * Rows-only — recall vs the exact q33 baseline asserted in spec.
+    */
+  def q48KnnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val cen = centroids(s, dir)
+      .select(col("label").as("cell"), col("centroid"))
+    def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+      df.crossJoin(broadcast(cen))
+        .withColumn("ccos", VectorOps.cosine(col(vecCol), col("centroid")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+        .drop("centroid", "ccos", "crnk")
+    }
+    val corpus = assign(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+      "ne", "neighbor_id", keep = 1)
+    val qs = assign(queriesDf(s, dir), "qe", "query_id", keep = nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    corpus.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
-    "q35_centroid_sim" -> (q35CentroidSim _))
+    "q35_centroid_sim" -> (q35CentroidSim _),
+    "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q33_knn_brute" ->

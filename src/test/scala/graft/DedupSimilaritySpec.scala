@@ -39,6 +39,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.filter(col("neighbor_id") === col("query_id")).count() == 0)
   }
 
+  test("q48 IVF recall vs q33 exact baseline is nonzero") {
+    val exact = Similarity.q33KnnBrute(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.q48KnnIvf(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      ivf.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    assert(recalls.nonEmpty && recalls.sum / recalls.size > 0.0,
+      s"zero IVF recall: $recalls")
+  }
+
   test("q34 LSH recall vs q33 exact baseline is nonzero") {
     val exact = Similarity.q33KnnBrute(spark, sf)
       .select(col("query_id"), col("neighbor_id")).collect()
