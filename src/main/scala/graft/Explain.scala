@@ -22,16 +22,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var unknown = false
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"===== $n =====")
           q(spark, sfDir).explain("formatted")
         case None =>
+          unknown = true
           System.err.println(
             s"unknown query '$n'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       }
     }
     spark.stop()
+    if (unknown) sys.exit(1)
   }
 }

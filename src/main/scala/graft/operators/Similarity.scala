@@ -121,13 +121,24 @@ object Similarity {
     val cen = centroids(s, dir)
       .select(col("label").as("cell"), col("centroid"))
     def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
-      df.crossJoin(broadcast(cen))
+      val scored = df.crossJoin(broadcast(cen))
         .withColumn("ccos", VectorOps.cosine(col(vecCol), col("centroid")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-        .drop("centroid", "ccos", "crnk")
+      if (keep == 1) {
+        // argmax via map-side-combining max_by: shuffles one row per vector
+        // instead of windowing the |vectors|×|cells| expansion
+        scored.groupBy(col(idCol))
+          .agg(
+            max_by(col("cell"),
+              struct(round(col("ccos"), 6), -col("cell"))).as("cell"),
+            first(col(vecCol)).as(vecCol))
+      } else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+        scored
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= keep)
+          .drop("centroid", "ccos", "crnk")
+      }
     }
     val corpus = assign(
       Tables.embeddings(s, dir)

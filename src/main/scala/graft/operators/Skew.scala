@@ -18,6 +18,11 @@ object Skew {
     * nondeterministic salt (rand/monotonically_increasing_id) re-salts rows
     * differently when a task is retried after shuffle-fetch failure, which
     * double-counts or drops rows (the SPARK-23207 class of bug).
+    *
+    * Tradeoff: fully *identical* rows hash to the same salt, so a hot key
+    * made of byte-identical duplicates keeps its skew — pre-aggregate the
+    * duplicates (groupBy all columns + count) before salting in that case.
+    * `hash` also rejects MapType columns; project them away first.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 16): DataFrame =

@@ -55,6 +55,11 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // rows keep the left child's clustering (zipPartitions is per-partition);
+  // advertising it saves downstream key-clustered ops a redundant exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
@@ -82,25 +87,35 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val k = lk.eval(l)
         val t = lt.eval(l)
-        // consume right rows that are strictly before (k, t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val rkv = rk.eval(r)
-          val kc = keyOrd.compare(rkv, k)
-          if (kc < 0) {
-            rBuf.next() // right key behind left key: skip (its matches are gone)
-          } else if (kc == 0 && timeOrd.compare(rt.eval(r), t) < 0) {
-            candidate = rBuf.next().copy()
-            // re-evaluate off the copy: rkv may reference the iterator's
-            // reused row buffer for non-primitive key types
-            candidateKey = rk.eval(candidate)
-          } else {
-            advancing = false
+        if (k == null || t == null) {
+          // SQL semantics: null key/time never matches (sorted NULLS FIRST,
+          // so these are the partition's leading left rows)
+          proj(joined(l, rightNulls))
+        } else {
+          // consume right rows that are strictly before (k, t)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val rkv = rk.eval(r)
+            if (rkv == null || rt.eval(r) == null) {
+              rBuf.next() // null key/time on the right can never match
+            } else {
+              val kc = keyOrd.compare(rkv, k)
+              if (kc < 0) {
+                rBuf.next() // right key behind left key: its matches are gone
+              } else if (kc == 0 && timeOrd.compare(rt.eval(r), t) < 0) {
+                candidate = rBuf.next().copy()
+                // re-evaluate off the copy: rkv may reference the iterator's
+                // reused row buffer for non-primitive key types
+                candidateKey = rk.eval(candidate)
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matched = candidate != null && keyOrd.compare(candidateKey, k) == 0
+          proj(joined(l, if (matched) candidate else rightNulls))
         }
-        val matched = candidate != null && keyOrd.compare(candidateKey, k) == 0
-        proj(joined(l, if (matched) candidate else rightNulls))
       }
     }
   }

@@ -37,13 +37,26 @@ object AsOf {
       else org.apache.spark.sql.catalyst.plans.logical.Project(
         rPlan0.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$n' not found in ${p.output.map(_.name).mkString(", ")}"))
-    val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) = {
+      val hits = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column '$n' not found in ${p.output.map(_.name).mkString(", ")}")
+        case _ => throw new IllegalArgumentException(
+          s"column '$n' is ambiguous (${hits.size} matches)")
+      }
+    }
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"time types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt)
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], node)
   }
 }

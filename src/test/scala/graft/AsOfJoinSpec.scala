@@ -30,6 +30,29 @@ class AsOfJoinSpec extends AnyFunSuite {
            expected.exceptAll(got).count() == 0)
   }
 
+  test("as-of join treats null keys/times as non-matching (no NPE)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq[(java.lang.Long, java.lang.Long)]((1L, 100L), (null, 50L))
+      .toDF("k", "t")
+    val r = Seq[(java.lang.Long, java.lang.Long)]((1L, 90L), (1L, null), (null, 10L))
+      .toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "rk", "t", "rt").collect()
+      .map(x => (Option(x.get(0)), Option(x.get(3)))).toSet
+    assert(out == Set((Some(1L), Some(90L)), (None, None)), out.toString)
+  }
+
+  test("as-of join rejects mismatched time types at call time") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, "oops")).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("time types differ"))
+  }
+
   test("as-of join emits nulls for left rows with no prior right row") {
     val s = spark
     import s.implicits._

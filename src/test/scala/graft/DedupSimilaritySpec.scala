@@ -39,31 +39,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.filter(col("neighbor_id") === col("query_id")).count() == 0)
   }
 
-  test("q48 IVF recall vs q33 exact baseline is nonzero") {
-    val exact = Similarity.q33KnnBrute(spark, sf)
-      .select(col("query_id"), col("neighbor_id")).collect()
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id"), col("neighbor_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val ivf = Similarity.q48KnnIvf(spark, sf)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def meanRecallVsExact(approx: org.apache.spark.sql.DataFrame): Double = {
+    val exact = neighborSets(Similarity.q33KnnBrute(spark, sf))
+    val ap = neighborSets(approx)
     val recalls = exact.map { case (q, ex) =>
-      ivf.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+      ap.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
     }
-    assert(recalls.nonEmpty && recalls.sum / recalls.size > 0.0,
-      s"zero IVF recall: $recalls")
+    recalls.sum / recalls.size
+  }
+
+  test("q48 IVF recall vs q33 exact baseline is nonzero") {
+    assert(meanRecallVsExact(Similarity.q48KnnIvf(spark, sf)) > 0.0)
   }
 
   test("q34 LSH recall vs q33 exact baseline is nonzero") {
-    val exact = Similarity.q33KnnBrute(spark, sf)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val approx = Similarity.q34KnnLsh(spark, sf)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recalls = exact.map { case (q, ex) =>
-      approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
-    }
-    assert(recalls.nonEmpty)
-    assert(recalls.sum / recalls.size > 0.0, s"zero LSH recall: $recalls")
+    assert(meanRecallVsExact(Similarity.q34KnnLsh(spark, sf)) > 0.0)
   }
 }
