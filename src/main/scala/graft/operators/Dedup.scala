@@ -98,6 +98,34 @@ object Dedup {
   def q29DedupMinhash(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir)
 
+  /** q49: the production-path variant of q29 — xxhash64 minhashes instead
+    * of md5 hex strings (8-byte longs vs 32-char strings through the whole
+    * shuffle/agg pipeline). Same banding structure; no SQL oracle because
+    * the hash is engine-native (rows-only + quality spec: its candidate
+    * pairs have positive true Jaccard, like q29's).
+    */
+  def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, dedup = false)
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band_id"),
+        hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+      .groupBy(col("band_id"), col("sig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** q30: 64-bit SimHash per document + 16-bit hamming band keys.
     * xxhash64-based (no oracle — engine-native hash), rows-only checked;
     * properties are asserted in DedupSpec.
@@ -212,6 +240,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
+    "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
     "q32_dedup_embedding" -> (q32DedupEmbedding _))

@@ -31,6 +31,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(jac.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("q49 fast minhash finds candidates of similar quality to q29") {
+    val fast = Dedup.q49DedupMinhashFast(spark, sf)
+    val slow = Dedup.q29DedupMinhash(spark, sf)
+    val nFast = fast.count()
+    val nSlow = slow.count()
+    // different hash families find different (but comparably many) pairs
+    assert(nFast > 0)
+    assert(nFast < nSlow * 10 + 50, s"fast=$nFast slow=$nSlow")
+  }
+
   test("q34 LSH neighbors are a subset of valid vectors with sane sims") {
     val lsh = Similarity.q34KnnLsh(spark, sf).cache()
     assert(lsh.count() > 0)
