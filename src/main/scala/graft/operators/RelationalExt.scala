@@ -57,13 +57,40 @@ object RelationalExt {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** q50: analytic window functions — quartile bucketing, relative rank
+    * and cumulative distribution per order-status partition (unique
+    * (totalprice, orderkey) ordering keeps every function deterministic).
+    */
+  def q50WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .filter(col("o_orderkey") % 10 === 0) // thin the dump, keep determinism
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_range_join"      -> (q43RangeJoin _),
+    "q50_window_analytics" -> (q50WindowAnalytics _),
     "q44_pivot"           -> (q44Pivot _),
     "q45_percentiles"     -> (q45Percentiles _),
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q50_window_analytics" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  ntile(4) OVER w AS quartile,
+                  round(percent_rank() OVER w, 4) AS pct_rank,
+                  round(cume_dist() OVER w, 4) AS cume
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice ASC, o_orderkey ASC))
+         WHERE o_orderkey % 10 = 0""",
     "q43_range_join" ->
       """SELECT lo, count(*) AS n_items,
                 round(sum(l_extendedprice), 2) AS band_total
