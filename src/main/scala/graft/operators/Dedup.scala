@@ -25,8 +25,8 @@ object Dedup {
     * a multiset equals min over its set, so the distinct shuffle is pure
     * overhead there.
     */
-  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
-    val occ = Tables.documents(s, dir)
+  private def shinglesOf(docs: DataFrame, dedup: Boolean): DataFrame = {
+    val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // guard: sequence(1, n-2) flips to a DESCENDING sequence when n<3,
       // producing invalid indices; short docs have no 3-gram shingles
@@ -36,6 +36,9 @@ object Dedup {
         .as("sh"))
     if (dedup) occ.distinct() else occ
   }
+
+  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame =
+    shinglesOf(Tables.documents(s, dir), dedup)
 
   /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes.
     *
@@ -105,9 +108,14 @@ object Dedup {
     * pairs have positive true Jaccard, like q29's).
     */
   def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame = {
+    // The variable-length shingle string is hashed ONCE per occurrence;
+    // the 16 permutations then re-hash that fixed-width long with distinct
+    // seeds (cheap, and wraps internally — a Carter-Wegman h1 + i*h2 would
+    // trip ANSI-mode overflow checks on the multiply).
     val sh = shingles(s, dir, dedup = false)
+      .withColumn("h0", xxhash64(col("sh")))
     val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+      min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
     val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
@@ -150,12 +158,26 @@ object Dedup {
         expr("(simhash >> 48) & 65535").as("band3"))
   }
 
-  /** q31: exact n-gram Jaccard, evaluated only on LSH candidate pairs. */
+  /** q31: exact n-gram Jaccard, evaluated only on LSH candidate pairs.
+    *
+    * Scale shape: ONE full-corpus shingle scan (inside the LSH candidate
+    * pipeline, persisted at its tiny output), then every exact-Jaccard
+    * input is pruned to candidate docs BEFORE re-shingling — the
+    * split/explode/distinct for the sa/sb/sizes legs runs over only the
+    * candidate subset (a left-semi broadcast prune on `documents`), and
+    * that pruned shingle table is persisted so its three uses cost one
+    * computation. The round-1 plan re-ran the full shingle subtree 4×
+    * (Spark shares no common subtrees across join inputs) — 22 s at sf0.1
+    * and 4 corpus scans at 100 TB.
+    */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).persist()
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candDocs = Tables.documents(s, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sh = shinglesOf(candDocs, dedup = true).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val inter = cand
+    val inter = broadcast(cand)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -180,6 +202,39 @@ object Dedup {
       .withColumn("cos_sim", VectorOps.cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= 0.35)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** q54: the 100 TB-shaped embedding near-dup — pairs blocked by LEARNED
+    * IVF cells (the q48 k-means quantizer) instead of q32's within-label
+    * all-pairs. Each vector lands in its top-2 cells (multi-probe, so
+    * boundary-straddling near-dups are still co-bucketed), pair expansion
+    * happens within cells only, and duplicate pairs from shared probes
+    * collapse. Candidate work is Σ n_cell² over balanced learned cells —
+    * O(n²·probes²/k) with a cell count that scales with the corpus,
+    * instead of O(n²/|labels|) over fixed labels. NOTE on the testdata:
+    * the synthetic embeddings are UNclustered (same-label mean cosine
+    * ≈ 0), so pair co-location costs ~half of all-pairs here by
+    * information-theoretic necessity; on a real near-dup corpus the same
+    * operator's work collapses with cluster tightness. Rows-only (the
+    * learned quantizer is not SQL-expressible); DedupSimilaritySpec bounds
+    * the candidate-pair count and asserts recovery of q32's pairs.
+    */
+  def q54DedupEmbeddingCells(s: SparkSession, dir: String,
+                             k: Int = 32, probes: Int = 4): DataFrame = {
+    val centers = Similarity.kmeansCentroids(s, dir, k = k, iters = 3)
+    val assigned = Tables.embeddings(s, dir)
+      .withColumn("probes",
+        slice(reverse(array_sort(Similarity.scoredCells(col("embedding"), centers))), 1, probes))
+      .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   // ---- oracle SQL ----
@@ -243,5 +298,6 @@ object Dedup {
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
-    "q32_dedup_embedding" -> (q32DedupEmbedding _))
+    "q32_dedup_embedding" -> (q32DedupEmbedding _),
+    "q54_dedup_embedding_cells" -> ((s, dir) => q54DedupEmbeddingCells(s, dir)))
 }

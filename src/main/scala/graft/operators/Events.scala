@@ -165,9 +165,9 @@ object Events {
            FROM events),
          s AS (
            SELECT user_id, ts, value,
-                  sum(CASE WHEN prev_ts IS NULL
+                  CAST(sum(CASE WHEN prev_ts IS NULL
                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
            FROM e)
          SELECT user_id, sess_no, count(*) AS n_events,
                 min(ts) AS sess_start, max(ts) AS sess_end,

@@ -49,13 +49,23 @@ object RelationalExt {
 
   /** q46: HLL++ cardinality sketch vs exact — rows-only (sketch internals
     * are engine-specific); RelationalExtSpec bounds the relative error.
+    *
+    * Shape note: HLL is duplicate-insensitive, so both sides run over the
+    * pre-distinct (flag, partkey) pairs — one scan, one distinct shuffle,
+    * and only |groups| HLL buffers. Mixing countDistinct with
+    * approx_count_distinct in ONE agg triggers Catalyst's distinct-rewrite
+    * Expand, which allocates the rsd=0.02 sketch buffer (~2.7k words) per
+    * (flag, partkey) partial group: gigabytes of agg state at sf0.1 (the
+    * round-1 9.8 s anomaly), unbounded at 100 TB.
     */
   def q46ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
 
   /** q50: analytic window functions — quartile bucketing, relative rank
     * and cumulative distribution per order-status partition (unique

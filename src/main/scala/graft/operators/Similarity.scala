@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -22,7 +22,7 @@ object Similarity {
   private val TopK           = 5
 
   /** Deterministic ±1 hyperplanes seeded by MurmurHash3 of "plane:dim". */
-  private[operators] val planes: Seq[Seq[Double]] =
+  private[graft] val planes: Seq[Seq[Double]] =
     (0 until NumTables * PlanesPerTable).map { p =>
       (0 until Dim).map { d =>
         if (scala.util.hashing.MurmurHash3.stringHash(s"$p:$d", 42) % 2 == 0) 1.0 else -1.0
@@ -110,41 +110,85 @@ object Similarity {
         round(max(col("cs")), 4).as("max_cos"))
   }
 
-  /** q48: IVF approximate top-k. The per-label centroids act as the coarse
-    * quantizer: every corpus vector is (re-)assigned to its nearest
-    * centroid cell; queries probe their `nprobe` closest cells and scan
-    * only those inverted lists. At 100 TB the cells become the partition
-    * keys of the stored corpus, so a query touches nprobe/k of the data.
+  /** Per-row scored cells against a driver-held centroid array:
+    * array of struct(cs = round(cosine, 6), negcell = -i), so struct
+    * ordering gives max-cosine with ties broken toward the smaller cell id.
+    */
+  private[graft] def scoredCells(v: Column, centers: Array[Array[Double]]): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
+      struct(round(VectorOps.cosine(v, typedlit(c.toSeq)), 6).as("cs"),
+             lit(-i).as("negcell"))
+    }: _*)
+
+  /** argmax cell — a pure projection (the corpus is never shuffled). */
+  private[graft] def nearestCell(v: Column, centers: Array[Array[Double]]): Column =
+    -array_max(scoredCells(v, centers)).getField("negcell")
+
+  /** Spherical k-means coarse quantizer learned by Lloyd iterations.
+    *
+    * The centroid set is a small model (k×dim doubles) and lives on the
+    * driver between iterations — the same design as Spark MLlib's KMeans,
+    * which collects cluster centers each step. Each iteration is one
+    * distributed job: a shuffle-free argmax projection to assign cells,
+    * then a (cell, pos) partial-agg sum to re-average. Deterministic:
+    * init picks the k vectors minimizing xxhash64(vec_id) (a seeded uniform
+    * sample independent of data order), and per-dim means are rounded to
+    * 6 decimals so float summation order can't perturb the model.
+    * At 100 TB, training runs on a hash-sampled subset (`trainMod`).
+    */
+  private[graft] def kmeansCentroids(
+      s: SparkSession, dir: String, k: Int, iters: Int,
+      trainMod: Long = 1L): Array[Array[Double]] = {
+    val all = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val train = if (trainMod > 1L)
+      all.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0) else all
+    var centers: Array[Array[Double]] = train
+      .withColumn("r", xxhash64(col("vec_id")))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val stats = train
+        .withColumn("cell", nearestCell(col("embedding"), centers))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.clone())
+      stats.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        rows.foreach { r =>
+          val pos = r.getAs[Int]("pos")
+          val mean = r.getAs[Double]("sv") / r.getAs[Long]("n")
+          next(cell)(pos) = math.rint(mean * 1e6) / 1e6
+        }
+      }
+      centers = next // cells with no assigned vectors keep their old center
+    }
+    centers
+  }
+
+  /** q48: IVF approximate top-k with a LEARNED k-means coarse quantizer.
+    *
+    * The quantizer (k=16 cells by default) is trained once per call and
+    * held on the driver; corpus cell assignment is then a pure projection
+    * — the corpus is never shuffled, which at 100 TB means cells become
+    * write-time partition keys and a query touches ~nprobe/k of the data.
+    * Queries probe their `nprobe` closest cells (explode of a projection).
     * Rows-only — recall vs the exact q33 baseline asserted in spec.
     */
-  def q48KnnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
-    val cen = centroids(s, dir)
-      .select(col("label").as("cell"), col("centroid"))
-    def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cen))
-        .withColumn("ccos", VectorOps.cosine(col(vecCol), col("centroid")))
-      if (keep == 1) {
-        // argmax via map-side-combining max_by: shuffles one row per vector
-        // instead of windowing the |vectors|×|cells| expansion
-        scored.groupBy(col(idCol))
-          .agg(
-            max_by(col("cell"),
-              struct(round(col("ccos"), 6), -col("cell"))).as("cell"),
-            first(col(vecCol)).as(vecCol))
-      } else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
-        scored
-          .withColumn("crnk", row_number().over(w))
-          .filter(col("crnk") <= keep)
-          .drop("centroid", "ccos", "crnk")
-      }
-    }
-    val corpus = assign(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-      "ne", "neighbor_id", keep = 1)
-    val qs = assign(queriesDf(s, dir), "qe", "query_id", keep = nprobe)
+  def q48KnnIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 8,
+                iters: Int = 3): DataFrame = {
+    val centers = kmeansCentroids(s, dir, k, iters)
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell", nearestCell(col("ne"), centers))
+    val qs = queriesDf(s, dir)
+      .withColumn("probes",
+        slice(reverse(array_sort(scoredCells(col("qe"), centers))), 1, nprobe))
+      .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
+      .drop("probes")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
     corpus.join(broadcast(qs), Seq("cell"))

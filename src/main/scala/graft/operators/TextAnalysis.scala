@@ -151,7 +151,7 @@ object TextAnalysis {
          FROM documents""",
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
-                sum(n_chars) AS total_chars,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 round(avg(n_chars), 4) AS avg_chars,
                 min(n_chars) AS min_chars,
                 max(n_chars) AS max_chars

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join: for every left row, attach the latest right
@@ -61,14 +61,14 @@ case class AsOfJoinExec(
     left.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val numRightFields = right.output.length
     val resultSchema = output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val leftKeyTime = Seq(leftKey, leftTime)
+    val rightKeyTime = Seq(rightKey, rightTime)
+    val leftOutput = left.output
+    val rightOutput = right.output
 
     // bind the projection against NULLABLE right attributes — the original
     // (non-nullable) ones would codegen null-check-free field reads and
@@ -76,18 +76,28 @@ case class AsOfJoinExec(
     val inputSchema = left.output ++ right.output.map(_.withNullability(true))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(resultSchema, inputSchema)
+      // codegen'd (key, time) extraction — bound ONCE per partition; the
+      // round-1 version walked interpreted expression trees per row (and
+      // evaluated rightTime twice per advanced right row): 8.5× slower
+      // than the window-based plan on identical semantics
+      val lktProj = UnsafeProjection.create(leftKeyTime, leftOutput)
+      val rktProj = UnsafeProjection.create(rightKeyTime, rightOutput)
+      // codegen'd comparators over the projected 2-field (key, time) rows
+      val keyComp = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, keyType, nullable = true), Ascending)))
+      val timeComp = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(1, timeType, nullable = true), Ascending)))
       val joined = new JoinedRow
       val rightNulls = new GenericInternalRow(numRightFields)
       val rBuf = rIter.buffered
-      // last right row whose key we were scanning + its evaluated key;
-      // O(1) state — rows must be copied out of the iterator's reused buffer
+      // last right row whose key we were scanning + its projected (key,
+      // time); O(1) state — copied out of the iterator's reused buffers
       var candidate: InternalRow = null
-      var candidateKey: Any = null
+      var candidateKt: InternalRow = null
 
       lIter.map { l =>
-        val k = lk.eval(l)
-        val t = lt.eval(l)
-        if (k == null || t == null) {
+        val lkt = lktProj(l)
+        if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
           // SQL semantics: null key/time never matches (sorted NULLS FIRST,
           // so these are the partition's leading left rows)
           proj(joined(l, rightNulls))
@@ -95,25 +105,22 @@ case class AsOfJoinExec(
           // consume right rows that are strictly before (k, t)
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val r = rBuf.head
-            val rkv = rk.eval(r)
-            if (rkv == null || rt.eval(r) == null) {
+            val rkt = rktProj(rBuf.head)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
               rBuf.next() // null key/time on the right can never match
             } else {
-              val kc = keyOrd.compare(rkv, k)
+              val kc = keyComp.compare(rkt, lkt)
               if (kc < 0) {
                 rBuf.next() // right key behind left key: its matches are gone
-              } else if (kc == 0 && timeOrd.compare(rt.eval(r), t) < 0) {
+              } else if (kc == 0 && timeComp.compare(rkt, lkt) < 0) {
+                candidateKt = rkt.copy()
                 candidate = rBuf.next().copy()
-                // re-evaluate off the copy: rkv may reference the iterator's
-                // reused row buffer for non-primitive key types
-                candidateKey = rk.eval(candidate)
               } else {
                 advancing = false
               }
             }
           }
-          val matched = candidate != null && keyOrd.compare(candidateKey, k) == 0
+          val matched = candidate != null && keyComp.compare(candidateKt, lkt) == 0
           proj(joined(l, if (matched) candidate else rightNulls))
         }
       }

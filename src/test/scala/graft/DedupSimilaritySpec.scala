@@ -53,8 +53,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     df.select(col("query_id"), col("neighbor_id")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
-  private def meanRecallVsExact(approx: org.apache.spark.sql.DataFrame): Double = {
-    val exact = neighborSets(Similarity.q33KnnBrute(spark, sf))
+  private def meanRecallVsExact(approx: org.apache.spark.sql.DataFrame,
+                                dir: String = sf): Double = {
+    val exact = neighborSets(Similarity.q33KnnBrute(spark, dir))
     val ap = neighborSets(approx)
     val recalls = exact.map { case (q, ex) =>
       ap.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
@@ -62,11 +63,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     recalls.sum / recalls.size
   }
 
-  test("q48 IVF recall vs q33 exact baseline is nonzero") {
-    assert(meanRecallVsExact(Similarity.q48KnnIvf(spark, sf)) > 0.0)
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q48 IVF with learned k-means centroids reaches recall@5 >= 0.8 at sf0.01") {
+    val recall = meanRecallVsExact(Similarity.q48KnnIvf(spark, sf01), sf01)
+    assert(recall >= 0.8, s"IVF recall@5 = $recall < 0.8")
+  }
+
+  test("q48 IVF recall improves monotonically with nprobe (sweep)") {
+    val rs = Seq(1, 2, 4, 8).map(np =>
+      np -> meanRecallVsExact(Similarity.q48KnnIvf(spark, sf01, nprobe = np), sf01))
+    // full-probe (nprobe = k would be exact modulo quantizer ties) must
+    // dominate narrow probes; allow equal since recall saturates
+    assert(rs.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-9 },
+      s"recall not monotone in nprobe: $rs")
+    // the synthetic embeddings are unclustered (near-random), so recall is
+    // bounded by scan fraction; 0.8 at nprobe=8/k=32 is the honest ceiling
+    // here (measured 0.84) — real clustered corpora saturate much higher
+    assert(rs.last._2 >= 0.8, s"nprobe=8 recall ${rs.last._2} < 0.8")
   }
 
   test("q34 LSH recall vs q33 exact baseline is nonzero") {
     assert(meanRecallVsExact(Similarity.q34KnnLsh(spark, sf)) > 0.0)
+  }
+
+  test("q54 cell-blocked embedding dedup recovers q32's pairs with a bounded candidate set") {
+    val pairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelBlocked = pairs(Dedup.q32DedupEmbedding(spark, sf01))
+    val cellBlocked = pairs(Dedup.q54DedupEmbeddingCells(spark, sf01))
+    assert(labelBlocked.nonEmpty)
+    val recovered = (labelBlocked & cellBlocked).size.toDouble / labelBlocked.size
+    assert(recovered >= 0.8, s"cell blocking recovered only $recovered of label-blocked pairs")
+
+    // scale guarantee: candidate pair work is bounded by cell sizes, far
+    // below the all-pairs n(n-1)/2
+    val n = spark.read.parquet(s"$sf01/embeddings.parquet").count()
+    val centers = Similarity.kmeansCentroids(spark, sf01, k = 16, iters = 3)
+    val cellSizes = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .withColumn("probes",
+        slice(reverse(array_sort(Similarity.scoredCells(col("embedding"), centers))), 1, 2))
+      .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val candidateWork = cellSizes.map(c => c * (c - 1) / 2).sum
+    assert(candidateWork < n * (n - 1) / 2 / 2,
+      s"cell blocking does not bound candidate work: $candidateWork vs all-pairs ${n * (n - 1) / 2}")
   }
 }

@@ -21,12 +21,18 @@ TABLES = [
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize to the driver's hash domain: sort columns by name,
+    render every cell as its exact string form (so int 149174 vs float
+    149174.0 DIFFER — DuckDB HUGEINT sums surface as float64 and must be
+    CAST in the oracle SQL, not papered over here), then sort rows.
+    The only dtype normalization kept is timestamps → µs, which round-1
+    driver results prove both engines already agree on.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.datetime64):
+        if np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]")
+        df[c] = df[c].map(lambda v: str(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -38,14 +44,9 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
         return f"row counts differ: spark={len(g)} oracle={len(e)}"
     for c in g.columns:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
-        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
-            ok = np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True)
-        else:
-            ok = (pd.Series(gv).astype(str) == pd.Series(ev).astype(str)).all()
-        if not ok:
-            bad = next((i for i in range(len(gv)) if str(gv[i]) != str(ev[i])), None)
-            if bad is None:
-                return f"column {c} differs beyond tolerance (values str-equal; dtype mismatch? {gv.dtype} vs {ev.dtype})"
+        neq = gv != ev
+        if neq.any():
+            bad = int(np.argmax(neq))
             return f"column {c} differs (e.g. row {bad}: spark={gv[bad]!r} oracle={ev[bad]!r})"
     return ""
 
