@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,6 +38,35 @@ object Pipeline {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+
+  /** Canonical event fields every vendor feed must map into. */
+  val canonicalFields: Seq[(String, DataType)] = Seq(
+    "event_id"   -> LongType,
+    "ts"         -> TimestampType,
+    "user_id"    -> LongType,
+    "event_type" -> StringType,
+    "value"      -> DoubleType,
+    "props"      -> StringType)
+
+  /** One vendor's mapping into the canonical schema: canonical column name
+    * → expression over that vendor's raw columns. Unmapped canonical
+    * columns become typed nulls, so a vendor missing a field still unions.
+    */
+  final case class VendorMapping(vendor: String, columns: Map[String, Column])
+
+  /** Stage 1b — multi-source normalization: heterogeneous vendor feeds
+    * (different column names, orders, and types) are projected into the
+    * canonical schema and unioned, with a lineage column recording the
+    * source vendor. Each projection is narrow (fused into its scan) and
+    * the union is plan-level only — no shuffle, any number of vendors.
+    */
+  def normalize(vendors: Seq[(DataFrame, VendorMapping)]): DataFrame =
+    vendors.map { case (df, m) =>
+      val cols = canonicalFields.map { case (name, dt) =>
+        m.columns.getOrElse(name, lit(null)).cast(dt).as(name)
+      } :+ lit(m.vendor).as("ingest_vendor")
+      df.select(cols: _*)
+    }.reduce(_.unionByName(_))
 
   /** Stage 2 — clean: drop corrupt rows, normalize strings, null-guard
     * required fields, clamp out-of-domain values.
@@ -77,6 +106,39 @@ object Pipeline {
     */
   def publish(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(outDir)
+
+  /** Stage 5b — incremental publish: dynamic partition overwrite replaces
+    * ONLY the event_date partitions present in `df`, leaving every other
+    * published partition untouched. Re-running the same day is idempotent,
+    * which is the periodic-refresh contract: each run recomputes its date
+    * range and swaps those partitions in place, never a full rewrite of
+    * history. (At 100 TB a full overwrite per refresh is a non-starter.)
+    */
+  def publishIncremental(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(outDir)
+
+  /** QA accounting for the clean stage — one conditional-sum pass over the
+    * raw input, publishable next to the data: how many rows arrived, and
+    * how many each clean rule dropped or rewrote. `clean` itself stays a
+    * pure filter; callers who need the audit run this on the same raw
+    * frame (one extra scan, no shuffle beyond the single-row agg).
+    */
+  def cleanAudit(df: DataFrame): DataFrame = {
+    val ok = col("_corrupt").isNull
+    val nullReq = col("event_id").isNull || col("ts").isNull || col("user_id").isNull
+    val badType = !lower(trim(col("event_type")))
+      .isin("click", "view", "signup", "purchase", "error")
+    df.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(!ok, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(ok && nullReq, 1L).otherwise(0L)).as("n_null_required"),
+      sum(when(ok && !nullReq && badType, 1L).otherwise(0L)).as("n_bad_event_type"),
+      sum(when(ok && !nullReq && !badType && col("value") < 0, 1L).otherwise(0L))
+        .as("n_value_clamped"),
+      sum(when(ok && !nullReq && !badType, 1L).otherwise(0L)).as("n_published"))
+  }
 
   /** Full run: raw CSV dir → published partitioned parquet; returns the
     * published DataFrame for inspection.
