@@ -128,8 +128,12 @@ object Pipeline {
   def cleanAudit(df: DataFrame): DataFrame = {
     val ok = col("_corrupt").isNull
     val nullReq = col("event_id").isNull || col("ts").isNull || col("user_id").isNull
-    val badType = !lower(trim(col("event_type")))
-      .isin("click", "view", "signup", "purchase", "error")
+    // null-safe: a NULL event_type makes isin() SQL-NULL, which clean()'s
+    // filter drops — coalesce to true so those rows land in n_bad_event_type
+    // and the counters reconcile exactly to n_raw
+    val badType = coalesce(
+      !lower(trim(col("event_type"))).isin("click", "view", "signup", "purchase", "error"),
+      lit(true))
     df.agg(
       count(lit(1)).as("n_raw"),
       sum(when(!ok, 1L).otherwise(0L)).as("n_corrupt"),

@@ -42,4 +42,104 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"), plan)
     assert(pruned.count() >= 1)
   }
+
+  test("normalize unions heterogeneous vendor feeds into the canonical schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // vendor A: canonical-ish names but string-typed ids/timestamps
+    val va = Seq(
+      ("1", "2024-01-01 10:00:00", "7", "CLICK", "2.5", "{}"),
+      ("2", "2024-01-01 11:00:00", "8", "view", "1.0", "{}"))
+      .toDF("evt", "evt_time", "uid", "kind", "amount", "extra")
+    val ma = Pipeline.VendorMapping("vendor_a", Map(
+      "event_id"   -> col("evt"),
+      "ts"         -> col("evt_time"),
+      "user_id"    -> col("uid"),
+      "event_type" -> lower(col("kind")),
+      "value"      -> col("amount"),
+      "props"      -> col("extra")))
+    // vendor B: different names again, and NO value/props columns at all
+    val vb = Seq((10L, java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), 9L, "purchase"))
+      .toDF("id", "when_ts", "account", "action")
+    val mb = Pipeline.VendorMapping("vendor_b", Map(
+      "event_id"   -> col("id"),
+      "ts"         -> col("when_ts"),
+      "user_id"    -> col("account"),
+      "event_type" -> col("action")))
+
+    val out = Pipeline.normalize(Seq(va -> ma, vb -> mb))
+    // exact canonical schema + lineage, in declaration order
+    assert(out.columns.toSeq ==
+      Pipeline.canonicalFields.map(_._1) :+ "ingest_vendor")
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("event_id") == LongType && types("ts") == TimestampType &&
+      types("user_id") == LongType && types("value") == DoubleType)
+    assert(out.count() == 3)
+    // vendor A strings were cast to the canonical types
+    val a1 = out.filter(col("event_id") === 1L).head()
+    assert(a1.getAs[Long]("user_id") == 7L && a1.getAs[Double]("value") == 2.5 &&
+      a1.getAs[String]("event_type") == "click" &&
+      a1.getAs[String]("ingest_vendor") == "vendor_a")
+    // vendor B's unmapped canonical columns are typed nulls, not missing
+    val b = out.filter(col("ingest_vendor") === "vendor_b").head()
+    assert(b.isNullAt(b.fieldIndex("value")) && b.isNullAt(b.fieldIndex("props")))
+    assert(b.getAs[Long]("event_id") == 10L)
+  }
+
+  test("publishIncremental rewrites only the partitions present in the new frame") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-incr").toString
+    def mkDay(day: String, ids: Seq[Long], v: Double) =
+      ids.toDF("event_id")
+        .withColumn("value", lit(v))
+        .withColumn("event_date", to_date(lit(day)))
+    // initial publish: day A (3 rows) + day B (2 rows)
+    Pipeline.publishIncremental(
+      mkDay("2024-03-01", Seq(1L, 2L, 3L), 1.0)
+        .unionByName(mkDay("2024-03-02", Seq(4L, 5L), 1.0)), outDir)
+    val filesA0 = new java.io.File(s"$outDir/event_date=2024-03-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+
+    // incremental refresh: ONLY day B, with different content (1 row, v=9)
+    Pipeline.publishIncremental(mkDay("2024-03-02", Seq(6L), 9.0), outDir)
+
+    val back = spark.read.parquet(outDir)
+    // day A untouched: same rows, same files on disk
+    assert(back.filter(col("event_date") === "2024-03-01").count() == 3)
+    val filesA1 = new java.io.File(s"$outDir/event_date=2024-03-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(filesA1 == filesA0, "day A partition files were rewritten")
+    // day B replaced (not appended): exactly the new row
+    val dayB = back.filter(col("event_date") === "2024-03-02").collect()
+    assert(dayB.length == 1 && dayB.head.getAs[Long]("event_id") == 6L &&
+      dayB.head.getAs[Double]("value") == 9.0)
+  }
+
+  test("cleanAudit counters reconcile exactly with clean()'s row delta") {
+    val rawDir = Files.createTempDirectory("graft-audit").toString
+    val rows = Seq(
+      """1,2024-01-01T00:00:00.000Z,1,click,1.0,"{}"""",      // clean
+      """2,2024-01-01T00:00:00.000Z,2,VIEW,-3.0,"{}"""",      // clamped
+      """3,2024-01-01T00:00:00.000Z,3,wat,1.0,"{}"""",        // bad type
+      """4,2024-01-01T00:00:00.000Z,4,,1.0,"{}"""",           // NULL type → bad type
+      """5,2024-01-01T00:00:00.000Z,,click,1.0,"{}"""",       // null required
+      """oops,2024-01-01T00:00:00.000Z,6,click,1.0,"{}"""")   // corrupt
+    Files.write(java.nio.file.Paths.get(s"$rawDir/audit.csv"),
+      ("event_id,ts,user_id,event_type,value,props\n" + rows.mkString("\n")).getBytes)
+
+    val raw = Pipeline.ingestCsv(spark, rawDir)
+    val a = Pipeline.cleanAudit(raw).head()
+    assert(a.getAs[Long]("n_raw") == 6)
+    assert(a.getAs[Long]("n_corrupt") == 1)
+    assert(a.getAs[Long]("n_null_required") == 1)
+    assert(a.getAs[Long]("n_bad_event_type") == 2) // 'wat' AND the NULL event_type
+    assert(a.getAs[Long]("n_value_clamped") == 1)
+    assert(a.getAs[Long]("n_published") == 2)
+    // the audit's published count IS clean's output count, and the drop
+    // categories partition the raw input exactly
+    assert(a.getAs[Long]("n_published") == Pipeline.clean(raw).count())
+    assert(a.getAs[Long]("n_corrupt") + a.getAs[Long]("n_null_required") +
+      a.getAs[Long]("n_bad_event_type") + a.getAs[Long]("n_published") ==
+      a.getAs[Long]("n_raw"))
+  }
 }
