@@ -190,6 +190,60 @@ object Dedup {
               (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation, entirely join-based (no driver-side union-find:
+    * the only driver state is the loop counter + convergence flag).
+    *
+    * Each iteration: every node takes the min label among itself and its
+    * neighbors — one join + one groupBy over the LABEL frame, which is
+    * candidate-graph-sized (pairs), orders of magnitude smaller than the
+    * corpus. Converges in O(component diameter) iterations; near-dup
+    * clusters are dense (diameter 2–3 in practice), and `maxIters` bounds
+    * the worst case. Every iteration `localCheckpoint`s the label frame:
+    * cuts the exploding iterative lineage AND materializes it so the
+    * convergence count reuses the work; blocks are context-cleaned when the
+    * RDD is GC'd, so nothing leaks into library callers.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** q56: near-dup cluster collapse — the step q29/q49 stop short of:
+    * candidate pairs → connected components → keep-min-id survivor per
+    * cluster. Output is one row per clustered doc with its cluster root and
+    * whether it survives dedup (`doc_id == cluster_id`). Docs in no pair
+    * are implicitly survivors and not listed. Oracled in DuckDB via a
+    * recursive transitive-closure CTE over the same q29 pair graph.
+    */
+  def q56DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+        candidatePairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
     */
@@ -206,7 +260,7 @@ object Dedup {
 
   /** q54: the 100 TB-shaped embedding near-dup — pairs blocked by LEARNED
     * IVF cells (the q48 k-means quantizer) instead of q32's within-label
-    * all-pairs. Each vector lands in its top-2 cells (multi-probe, so
+    * all-pairs. Each vector lands in its top-`probes` cells (default 4; multi-probe, so
     * boundary-straddling near-dups are still co-bucketed), pair expansion
     * happens within cells only, and duplicate pairs from shared probes
     * collapse. Candidate work is Σ n_cell² over balanced learned cells —
@@ -281,6 +335,21 @@ object Dedup {
           FROM inter i
           JOIN sizes ca ON ca.doc_id = i.doc_a
           JOIN sizes cb ON cb.doc_id = i.doc_b""",
+    "q56_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT src AS doc_id,
+                 least(src, min(dst)) AS cluster_id,
+                 (src = least(src, min(dst))) AS is_survivor
+          FROM reach GROUP BY src""",
     "q32_dedup_embedding" ->
       """WITH c AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -298,6 +367,7 @@ object Dedup {
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
+    "q56_dedup_clusters"  -> (q56DedupClusters _),
     "q32_dedup_embedding" -> (q32DedupEmbedding _),
     "q54_dedup_embedding_cells" -> ((s, dir) => q54DedupEmbeddingCells(s, dir)))
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Persisted IVF vector index — the 100 TB serving shape of q48.
+  *
+  * `build` trains the spherical k-means coarse quantizer ONCE, writes the
+  * corpus as parquet PARTITIONED BY its cell assignment, and persists the
+  * centroid model next to it. `probe` then reads only the `nprobe` cell
+  * partitions closest to each query: the scan carries a
+  * `cell IN (...)` partition filter, so a probe touches ~nprobe/k of the
+  * stored bytes — the index IS the directory layout, no load-time shuffle,
+  * no per-query training. IvfIndexSpec asserts the PartitionFilters on the
+  * probe scan's physical plan and result-equality with the in-memory q48.
+  */
+object IvfIndex {
+
+  private val TopK = 5
+
+  /** Train the quantizer and write the index:
+    * `indexDir/corpus` — embeddings partitioned by `cell`;
+    * `indexDir/centers` — (cell, centroid) parquet, the fitted model.
+    */
+  def build(s: SparkSession, dir: String, indexDir: String,
+            k: Int = 16, iters: Int = 3, trainMod: Long = 1L): Unit = {
+    val centers = Similarity.kmeansCentroids(s, dir, k, iters, trainMod)
+    graft.Tables.embeddings(s, dir)
+      .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+    import s.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centers")
+  }
+
+  /** The model is k×dim doubles — driver-held by design (same as a fitted
+    * KMeansModel); this collect is the whole model, not data.
+    */
+  private def loadCenters(s: SparkSession, indexDir: String): Array[Array[Double]] =
+    s.read.parquet(s"$indexDir/centers")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** ANN top-k for `queries` (`query_id`, `qe: array<float|double>`) served
+    * from the persisted layout. Probe cells are computed driver-side from
+    * the loaded model, so the corpus scan's `cell IN (...)` predicate is a
+    * literal list → static partition pruning at plan time.
+    */
+  def probe(s: SparkSession, indexDir: String, queries: DataFrame,
+            nprobe: Int = 8, topK: Int = TopK): DataFrame = {
+    val centers = loadCenters(s, indexDir)
+    val qs = queries
+      .withColumn("probes",
+        slice(reverse(array_sort(Similarity.scoredCells(col("qe"), centers))), 1, nprobe))
+      .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
+      .drop("probes")
+    // the union of all queries' probe cells, driver-computed from the model
+    // (bounded by k) — NOT from the corpus
+    val probedCells: Seq[Int] = qs.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val corpus = s.read.parquet(s"$indexDir/corpus")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    corpus.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+}

@@ -135,10 +135,26 @@ object Similarity {
     * sample independent of data order), and per-dim means are rounded to
     * 6 decimals so float summation order can't perturb the model.
     * At 100 TB, training runs on a hash-sampled subset (`trainMod`).
+    *
+    * The fitted model is MEMOIZED per (dir, k, iters, trainMod): a coarse
+    * quantizer is train-once/serve-many (exactly like a fitted MLlib
+    * KMeansModel held by the caller) — retraining on every query call was
+    * both wrong at 100 TB and the dominant cost + driver-GC noise source in
+    * q48/q54 benchmarks. [[IvfIndex.build]] additionally persists the model
+    * + cell-partitioned corpus to storage for cross-session reuse.
     */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Array[Array[Double]]]()
+
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int,
-      trainMod: Long = 1L): Array[Array[Double]] = {
+      trainMod: Long = 1L): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((dir, k, iters, trainMod),
+      _ => trainKmeans(s, dir, k, iters, trainMod))
+
+  private def trainKmeans(
+      s: SparkSession, dir: String, k: Int, iters: Int,
+      trainMod: Long): Array[Array[Double]] = {
     val all = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val train = if (trainMod > 1L)
       all.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0) else all

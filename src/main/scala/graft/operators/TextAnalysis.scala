@@ -74,15 +74,16 @@ object TextAnalysis {
 
   /** q39: polynomial rolling-hash fingerprint (mod 1e9+7), char-by-char —
     * a deterministic content fingerprint with incremental-update structure.
+    * Native codegen [[graft.functions.RollingHash]]: the earlier
+    * `aggregate(split(text,''), ...)` HOF fold ran an interpreted lambda and
+    * allocated a single-char UTF8String per character (the bench-variance
+    * hot spot flagged in round 2); the expression is one fused Java loop per
+    * document, bit-identical (spec'd in ExtensionsSpec).
     */
   def q39Fingerprint(s: SparkSession, dir: String): DataFrame =
-    // split-once then fold: O(n) per doc (substring(text, i, 1) inside the
-    // fold would re-scan the string per char → O(n²))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
-                (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""")
-          .as("fingerprint"))
+        graft.functions.RollingHash(col("text")).as("fingerprint"))
 
   /** q40: per-language/source corpus stats. */
   def q40LangStats(s: SparkSession, dir: String): DataFrame =

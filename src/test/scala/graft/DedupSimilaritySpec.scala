@@ -41,6 +41,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nFast < nSlow * 10 + 50, s"fast=$nFast slow=$nSlow")
   }
 
+  test("connected components collapse transitive chains to one survivor") {
+    import spark.implicits._
+    // A~B~C with no direct A~C edge, plus a separate 2-cluster and an
+    // 8-node path (forces multiple propagation iterations: min label must
+    // travel the full diameter)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 26L), (26L, 27L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      24L -> 20L, 25L -> 20L, 26L -> 20L, 27L -> 20L))
+  }
+
+  test("q56 cluster roots are consistent with q29's pair graph") {
+    val clusters = Dedup.q56DedupClusters(spark, "/root/testdata/sf0.01").cache()
+    val pairs = Dedup.q29DedupMinhash(spark, "/root/testdata/sf0.01")
+      .select(col("doc_a"), col("doc_b"))
+    // every doc in a pair is clustered, exactly one survivor per cluster,
+    // and the root is the cluster's min doc_id
+    val nodes = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(clusters.count() == nodes)
+    val perCluster = clusters.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_survivor"), 1).otherwise(0)).as("n_surv"),
+           min(col("doc_id")).as("min_id"))
+    assert(perCluster.filter(col("n_surv") =!= 1).count() == 0)
+    assert(perCluster.filter(col("min_id") =!= col("cluster_id")).count() == 0)
+    // both endpoints of every edge landed in the same cluster
+    val l = clusters.select(col("doc_id"), col("cluster_id"))
+    val crossEdges = pairs
+      .join(l.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(l.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(crossEdges == 0)
+  }
+
   test("q34 LSH neighbors are a subset of valid vectors with sane sims") {
     val lsh = Similarity.q34KnnLsh(spark, sf).cache()
     assert(lsh.count() > 0)
@@ -98,12 +140,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recovered >= 0.8, s"cell blocking recovered only $recovered of label-blocked pairs")
 
     // scale guarantee: candidate pair work is bounded by cell sizes, far
-    // below the all-pairs n(n-1)/2
+    // below the all-pairs n(n-1)/2 — computed with the SAME k/probes the
+    // q54 call above actually ran (its defaults: k=32, probes=4)
     val n = spark.read.parquet(s"$sf01/embeddings.parquet").count()
-    val centers = Similarity.kmeansCentroids(spark, sf01, k = 16, iters = 3)
+    val centers = Similarity.kmeansCentroids(spark, sf01, k = 32, iters = 3)
     val cellSizes = spark.read.parquet(s"$sf01/embeddings.parquet")
       .withColumn("probes",
-        slice(reverse(array_sort(Similarity.scoredCells(col("embedding"), centers))), 1, 2))
+        slice(reverse(array_sort(Similarity.scoredCells(col("embedding"), centers))), 1, 4))
       .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
       .groupBy("cell").count().collect().map(_.getLong(1))
     val candidateWork = cellSizes.map(c => c * (c - 1) / 2).sum

@@ -48,6 +48,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("native rolling hash is bit-identical to the HOF fold, incl. multibyte text") {
+    val d = Tables.documents(spark, sf)
+      .select(
+        graft.functions.RollingHash(col("text")).as("native"),
+        expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
+                (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("hof"),
+        col("lang"))
+    assert(d.count() > 0)
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+    // corpus includes zh docs → multibyte code points are exercised
+    assert(d.filter(col("lang") === "zh").count() > 0)
+    // edge cases: empty string hashes to 0; null stays null
+    graft.plans.GraftExtensions.register(spark)
+    val edge = spark.sql(
+      "SELECT graft_rolling_hash('') AS e, graft_rolling_hash(CAST(NULL AS STRING)) AS n, " +
+      "       graft_rolling_hash('ab') AS ab").head()
+    assert(edge.getLong(0) == 0L)
+    assert(edge.isNullAt(1))
+    assert(edge.getLong(2) == (97L * 31 + 98) % 1000000007L)
+  }
+
   test("q42 feature extraction agrees with q41 metadata on byte length") {
     val meta = Multimodal.q41BinaryMeta(spark, sf).select(col("doc_id"), col("byte_len"))
     val feat = Multimodal.q42FeatureExtract(spark, sf)
