@@ -45,15 +45,20 @@ object Bench {
         spark.catalog.clearCache()
         t
       }
-      name -> times.minOption
+      (name, times.minOption, iterations - times.size)
     }
-    val ok = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }
+    val ok = results.collect { case (k, Some(v), _) => k -> v }
+    val failed = results.collect { case (k, None, _) => k }
+    // a query that fails in SOME iterations still reports min of the
+    // surviving runs — surface the flakiness instead of hiding it
+    val flaky = results.collect { case (k, Some(_), n) if n > 0 => k -> n }
     val qs = ok.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flak = flaky.map { case (k, n) => "\"" + k + s"""":$n""" }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,25 +37,46 @@ object Dedup {
     if (dedup) occ.distinct() else occ
   }
 
-  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame =
-    shinglesOf(Tables.documents(s, dir), dedup)
+  /** Upper bound on the distinct-shingle dictionary size for `docs`,
+    * WITHOUT scanning text: shingle occurrences ≈ word count ≤
+    * sum(n_chars)/5 (words average >5 chars incl. separator), and distinct
+    * shingles ≤ occurrences. One pushed single-column scan, negligible next
+    * to the dedup job itself.
+    */
+  private def estDictRows(docs: DataFrame): Long =
+    docs.agg(sum(col("n_chars"))).head().getLong(0) / 5
+
+  /** Whether the shingle dictionary may be broadcast-joined: true only
+    * below `graft.dedup.dictBroadcastMaxRows` (default 2M rows ≈ ~1 GB of
+    * hex strings). Above it — the 100 TB regime — the dict join runs as a
+    * shuffle join: same plan shape, one hint removed, no driver OOM. The
+    * fallback is CODE, exercised in DedupSimilaritySpec by forcing the
+    * threshold to 0 and asserting the plan flips with identical results.
+    */
+  private def dictBroadcastable(s: SparkSession, docs: DataFrame): Boolean = {
+    val maxRows = s.conf.getOption("graft.dedup.dictBroadcastMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    estDictRows(docs) <= maxRows
+  }
 
   /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes.
     *
     * The 16 md5s are computed once per *distinct* shingle (a small
     * dictionary — shingle vocabulary grows far slower than the corpus) and
-    * broadcast-joined back to occurrences, instead of 16 md5s per
-    * occurrence. At 100 TB the dictionary outgrows a broadcast and this
-    * becomes a shuffle join on `sh` — same plan shape, one hint removed.
+    * joined back to occurrences, instead of 16 md5s per occurrence. The
+    * dict side is broadcast only while it fits ([[dictBroadcastable]]);
+    * beyond that the same plan runs the join as a shuffle.
     */
   private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, dedup = false)
+    val docs = Tables.documents(s, dir)
+    val sh = shinglesOf(docs, dedup = false)
     val hashCols = (0 until NumHashes).map(i =>
       md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i"))
-    val dict = sh.select(col("sh")).distinct()
+    val dict0 = sh.select(col("sh")).distinct()
       .select(col("sh") +: hashCols: _*)
+    val dict = if (dictBroadcastable(s, docs)) broadcast(dict0) else dict0
     val minCols = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i"))
-    val mh = sh.join(broadcast(dict), "sh").groupBy(col("doc_id"))
+    val mh = sh.join(dict, "sh").groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
@@ -107,12 +128,16 @@ object Dedup {
     * the hash is engine-native (rows-only + quality spec: its candidate
     * pairs have positive true Jaccard, like q29's).
     */
-  def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame = {
-    // The variable-length shingle string is hashed ONCE per occurrence;
-    // the 16 permutations then re-hash that fixed-width long with distinct
-    // seeds (cheap, and wraps internally — a Carter-Wegman h1 + i*h2 would
-    // trip ANSI-mode overflow checks on the multiply).
-    val sh = shingles(s, dir, dedup = false)
+  /** (doc_id, band_id, sig) xxhash64 band signatures for ANY documents
+    * frame (`doc_id`, `text`) — the engine-native production path shared by
+    * q49 and the incremental-dedup API. The variable-length shingle string
+    * is hashed ONCE per occurrence; the 16 permutations then re-hash that
+    * fixed-width long with distinct seeds (cheap, and wraps internally — a
+    * Carter-Wegman h1 + i*h2 would trip ANSI-mode overflow checks on the
+    * multiply).
+    */
+  private[graft] def fastBandSignaturesOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs, dedup = false)
       .withColumn("h0", xxhash64(col("sh")))
     val minCols = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
@@ -122,6 +147,10 @@ object Dedup {
         hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+  }
+
+  def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame =
+    fastBandSignaturesOf(Tables.documents(s, dir))
       .groupBy(col("band_id"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -132,6 +161,30 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** Persist the xxhash64 band-signature table for a published corpus —
+    * the state an incremental refresh dedupes against. At 100 TB this
+    * table is ~n·bands rows of three fixed-width ints/longs; bucketing it
+    * by (band_id, sig) at write time makes the incremental anti-join
+    * exchange-free on the published side.
+    */
+  def writeSignatureTable(docs: DataFrame, path: String): Unit =
+    fastBandSignaturesOf(docs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Incremental dedup: drop from `newDocs` every document that is a
+    * near-dup of the ALREADY-PUBLISHED corpus, by anti-joining the new
+    * batch's band signatures against the persisted signature table — the
+    * periodic-refresh reality of a continuously-ingested corpus. Only the
+    * (small) new batch is shingled/hashed; the published corpus is touched
+    * solely through its signature table. Within-batch duplicates are left
+    * to the regular q49→q56 path.
+    */
+  def dedupeIncremental(newDocs: DataFrame, publishedSigs: DataFrame): DataFrame = {
+    val dupIds = fastBandSignaturesOf(newDocs)
+      .join(publishedSigs, Seq("band_id", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    newDocs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** q30: 64-bit SimHash per document + 16-bit hamming band keys.
@@ -171,11 +224,16 @@ object Dedup {
     * and 4 corpus scans at 100 TB.
     */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).persist()
+    // localCheckpoint (not persist): materializes the tiny candidate/shingle
+    // frames so their three consumers cost one computation, AND the blocks
+    // are context-cleaned when the RDDs are GC'd — no cache leak into
+    // library callers (persist() needed an unpersist nobody could call on a
+    // returned lazy frame)
+    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candDocs = Tables.documents(s, dir)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val sh = shinglesOf(candDocs, dedup = true).persist()
+    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = broadcast(cand)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

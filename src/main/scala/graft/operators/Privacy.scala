@@ -56,9 +56,46 @@ object Privacy {
         sum(col("n")).as("n_events"),
         round(sum(col("v")), 2).as("total_value"))
 
+  /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
+    * syntax both Java regex and RE2 interpret identically (no lookaround,
+    * ASCII \d classes, explicit alternation).
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[graft] val SsnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Free-text PII scrub: emails → <EMAIL>, phone numbers → <PHONE>,
+    * SSN-shaped ids → <ID>, applied in that order (email first so the
+    * digit patterns never fire inside an address). A pure projection —
+    * three codegen'd regexp passes per document, no shuffle at any scale.
+    */
+  private[graft] def redactText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        SsnRe, "<ID>"),
+      PhoneRe, "<PHONE>")
+
+  /** q57: PII detection + redaction over `documents.text` — the corpus
+    * scrubbing stage of an LLM-training-data pipeline: per-document counts
+    * of each PII class plus the redacted text itself. The synthetic corpus
+    * is PII-free (counts 0, text unchanged — the oracle still gates the
+    * full redacted output byte-for-byte); PrivacySpec injects synthetic
+    * emails/phones/SSNs and asserts the actual rewrites.
+    */
+  def q57PiiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        regexp_count(col("text"), lit(SsnRe)).as("n_ids"),
+        redactText(col("text")).as("redacted_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_anonymize"      -> (q51Anonymize _),
-    "q52_kanon_suppress" -> (q52KanonSuppress _))
+    "q52_kanon_suppress" -> (q52KanonSuppress _),
+    "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "q51_anonymize" ->
@@ -77,5 +114,16 @@ object Privacy {
                  CASE WHEN n >= $SuppressK THEN strftime(day, '%Y-%m-%d') END AS day_pub,
                  CAST(sum(n) AS BIGINT) AS n_events,
                  round(sum(v), 2) AS total_value
-          FROM g GROUP BY 1, 2""")
+          FROM g GROUP BY 1, 2""",
+    "q57_pii_redact" ->
+      s"""SELECT doc_id,
+                 len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+                 len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+                 len(regexp_extract_all(text, '$SsnRe')) AS n_ids,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                     '$SsnRe', '<ID>', 'g'),
+                   '$PhoneRe', '<PHONE>', 'g') AS redacted_text
+          FROM documents""")
 }

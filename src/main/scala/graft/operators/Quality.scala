@@ -52,7 +52,11 @@ object Quality {
                   CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price
            FROM lineitem),
          orph AS (
+           -- NOT EXISTS (not NOT IN): matches left_anti's null semantics —
+           -- a NULL l_orderkey counts as an orphan, and a NULL o_orderkey
+           -- can't empty the result the way NOT IN would
            SELECT count(*) AS n_orphan_lineitems
-           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
          SELECT * FROM base CROSS JOIN orph""")
 }

@@ -148,15 +148,28 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
-  /** q12: set ops — union / intersect / except of two key sets, tagged. */
+  /** q12: set ops — union / intersect / except of two key sets, tagged.
+    * One full-outer join of the two distinct key sets, with each key
+    * exploding into the ops whose set it belongs to — the literal
+    * union/intersect/except composition executed each input subtree three
+    * times (Spark shares no common subtrees across union branches).
+    */
   def q12SetOps(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
       .select(col("l_partkey").as("key")).distinct()
     val b = Tables.part(s, dir).filter(col("p_size") > 40)
       .select(col("p_partkey").as("key")).distinct()
-    a.union(b).distinct().withColumn("op", lit("union"))
-      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
-      .unionByName(a.except(b).withColumn("op", lit("except")))
+    val none = array().cast("array<string>")
+    a.select(col("key"), lit(true).as("in_a"))
+      .join(b.select(col("key"), lit(true).as("in_b")), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("in_a"), lit(false)).as("in_a"),
+        coalesce(col("in_b"), lit(false)).as("in_b"))
+      .select(col("key"), explode(concat(
+        array(lit("union")),
+        when(col("in_a") && col("in_b"), array(lit("intersect"))).otherwise(none),
+        when(col("in_a") && !col("in_b"), array(lit("except"))).otherwise(none)))
+        .as("op"))
   }
 
   /** q13: rollup over status → priority hierarchy. */

@@ -41,6 +41,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nFast < nSlow * 10 + 50, s"fast=$nFast slow=$nSlow")
   }
 
+  test("shingle-dict broadcast is conditional: forced-shuffle plan gives identical pairs") {
+    val bcast = Dedup.q29DedupMinhash(spark, sf01).collect().toSet
+    assert(bcast.nonEmpty)
+    // threshold 0 removes the graft broadcast hint (the 100 TB fallback);
+    // autoBroadcastJoinThreshold=-1 emulates stats calling the dict huge so
+    // the planner can't re-add the broadcast on its own. Output must be
+    // byte-identical through the shuffle-join plan.
+    spark.conf.set("graft.dedup.dictBroadcastMaxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Dedup.q29DedupMinhash(spark, sf01)
+      // static (pre-AQE) physical plan: the dict side must not be broadcast
+      val statics = shuffled.queryExecution.sparkPlan.toString
+      assert(!statics.contains("BroadcastHashJoin"), statics)
+      assert(shuffled.collect().toSet == bcast)
+    } finally {
+      spark.conf.unset("graft.dedup.dictBroadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("incremental dedup drops near-dups of the published corpus only") {
+    import spark.implicits._
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    val published = spark.read.parquet(s"$sf01/documents.parquet")
+    Dedup.writeSignatureTable(published, sigDir)
+    val sigs = spark.read.parquet(sigDir)
+
+    // new batch: 5 re-ingested published docs under new ids (exact text →
+    // all bands collide) + 3 genuinely novel docs
+    val reingested = published.limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val novel = Seq(
+      (2000001L, "entirely novel zebra quantum discourse alpha beta gamma delta epsilon"),
+      (2000002L, "unrelated fresh content omicron sigma tau upsilon phi chi psi omega"),
+      (2000003L, "another brand new document lambda kappa iota theta eta zeta nu xi"))
+      .toDF("doc_id", "text")
+    val batch = reingested.unionByName(novel)
+
+    val survivors = Dedup.dedupeIncremental(batch, sigs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2000001L, 2000002L, 2000003L))
+  }
+
   test("connected components collapse transitive chains to one survivor") {
     import spark.implicits._
     // A~B~C with no direct A~C edge, plus a separate 2-cluster and an

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Privacy
+
+/** PII redaction behavior on synthetic PII (the corpus itself is PII-free,
+  * so q57's oracle exercises the no-op path; the rewrites are proven here).
+  */
+class PrivacySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q57 redacts emails, phones and SSN-shaped ids from free text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe+spam@example.com or jane@sub.example.org today"),
+      (2L, "call 555-123-4567 or +44 020.555.1234 x9"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "mixed: a@b.io, 987-654-3210, 999-88-7777"),
+      (5L, "clean text with numbers 12345 and dots a.b"))
+      .toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(Privacy.EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(Privacy.PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(Privacy.SsnRe)).as("n_ids"),
+      Privacy.redactText(col("text")).as("redacted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+
+    assert(out(1L) == ((2, 0, 0, "contact <EMAIL> or <EMAIL> today")))
+    assert(out(2L)._2 == 2)
+    assert(out(2L)._4 == "call <PHONE> or +44 <PHONE> x9")
+    assert(out(3L) == ((0, 0, 1, "ssn <ID> on file")))
+    assert(out(4L) == ((1, 1, 1, "mixed: <EMAIL>, <PHONE>, <ID>")))
+    assert(out(5L) == ((0, 0, 0, "clean text with numbers 12345 and dots a.b")))
+  }
+
+  test("q57 over the corpus: PII-free input passes through unchanged") {
+    val out = operators.Privacy.q57PiiRedact(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(col("n_emails") + col("n_phones") + col("n_ids") =!= 0).count() == 0)
+    val changed = out.join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("redacted_text") =!= col("text")).count()
+    assert(changed == 0)
+  }
+}
