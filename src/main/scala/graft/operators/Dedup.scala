@@ -85,19 +85,31 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
   }
 
-  /** distinct candidate near-dup pairs (doc_a < doc_b) + shared-band count.
+  /** (band_id, sig) signatures → distinct candidate pairs (doc_a < doc_b)
+    * + shared-band count. Shared by the md5 (q29) and xxhash64 (q49) paths.
     *
     * One groupBy into (band, sig) buckets, then in-partition pair expansion
     * with higher-order functions — a self-join on the signatures would
     * re-execute the entire minhash pipeline for each side (Spark does not
-    * share the common subtree). Per-bucket expansion is bounded by bucket
-    * size, which LSH keeps small; the pipeline runs exactly once.
+    * share the common subtree). The pipeline runs exactly once.
+    *
+    * Hot-bucket guard: a bucket larger than `graft.dedup.maxBucketSize`
+    * (default 4096) is dropped, not expanded — a band bucket that collects
+    * thousands of documents no longer discriminates (its pairs are
+    * overwhelmingly false positives) and its n² expansion is exactly the
+    * adversarial-skew blowup. The collect_list itself stays linear in
+    * bucket size (an 80 MB list for a 10M-doc bucket — survivable); it's
+    * the quadratic pair explosion the cap prevents. The default sits far
+    * above anything a real LSH bucket reaches, so oracle output is
+    * unchanged; the cap path is spec-forced in DedupSimilaritySpec.
     */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    bandSignatures(s, dir)
+  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame = {
+    val maxBucket = s.conf.getOption("graft.dedup.maxBucketSize")
+      .map(_.toInt).getOrElse(4096)
+    sigs
       .groupBy(col("band_id"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
@@ -105,6 +117,10 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    expandPairs(s, bandSignatures(s, dir))
 
   /** q28: exact dedup by canonical key (first 3 words) — hash-groupBy, keep
     * min doc_id. The canonical-key form of exact dedup used to fold
@@ -150,17 +166,7 @@ object Dedup {
   }
 
   def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame =
-    fastBandSignaturesOf(Tables.documents(s, dir))
-      .groupBy(col("band_id"), col("sig"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    expandPairs(s, fastBandSignaturesOf(Tables.documents(s, dir)))
 
   /** Persist the xxhash64 band-signature table for a published corpus —
     * the state an incremental refresh dedupes against. At 100 TB this

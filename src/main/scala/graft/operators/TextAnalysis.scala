@@ -85,6 +85,56 @@ object TextAnalysis {
       .select(col("doc_id"),
         graft.functions.RollingHash(col("text")).as("fingerprint"))
 
+  /** q58: benchmark decontamination — flag corpus documents that share
+    * word-5-gram shingles with a held-out "benchmark" set (the standard
+    * n-gram-overlap test-set-contamination check run before LLM training).
+    * The benchmark here is the deterministic doc_id % 97 == 0 subset
+    * standing in for an external eval set.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the corpus
+    * and is broadcast; the corpus side is one shingle explode + broadcast
+    * semi-probe + per-doc count — no corpus shuffle until the final
+    * doc_id re-aggregation (map-side combining). Benchmark docs themselves
+    * are excluded from the output (they trivially match).
+    */
+  def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w)-4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+  }
+
+  /** q59: corpus vocabulary statistics — per-word document frequency, total
+    * occurrences and smoothed IDF (the inputs to TF-IDF quality scoring and
+    * stopword discovery over a training corpus). One explode + one
+    * map-side-combining shuffle on the word; the corpus-size scalar rides
+    * along as a cross-joined single-row aggregate, not a driver value.
+    * Limited to words in ≥ 5 docs (the publishable vocab; also keeps the
+    * result set corpus-sized, not typo-sized).
+    */
+  def q59DocFrequency(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+           count(lit(1)).as("n_occurrences"))
+      .filter(col("doc_freq") >= 5)
+      .crossJoin(n)
+      .select(col("word"), col("doc_freq"), col("n_occurrences"),
+        round(log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)), 4).as("idf"))
+  }
+
   /** q40: per-language/source corpus stats. */
   def q40LangStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -101,7 +151,9 @@ object TextAnalysis {
     "q37_quality_score" -> (q37QualityScore _),
     "q38_token_count"   -> (q38TokenCount _),
     "q39_fingerprint"   -> (q39Fingerprint _),
-    "q40_lang_stats"    -> (q40LangStats _))
+    "q40_lang_stats"    -> (q40LangStats _),
+    "q58_decontaminate" -> (q58Decontaminate _),
+    "q59_doc_frequency" -> (q59DocFrequency _))
 
   val oracles: Map[String, String] = Map(
     "q36_lang_id" -> {
@@ -150,6 +202,27 @@ object TextAnalysis {
                                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          FROM documents""",
+    "q58_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          g AS (SELECT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                FROM ix),
+          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+          SELECT doc_id, count(DISTINCT g.g) AS n_contaminated_grams
+          FROM g JOIN bench USING (g)
+          WHERE doc_id % 97 <> 0
+          GROUP BY doc_id""",
+    "q59_doc_frequency" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+          w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          f AS (SELECT word, count(DISTINCT doc_id) AS doc_freq,
+                       count(*) AS n_occurrences
+                FROM w GROUP BY word)
+          SELECT word, doc_freq, n_occurrences,
+                 round(ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 4) AS idf
+          FROM f CROSS JOIN n WHERE doc_freq >= 5""",
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,

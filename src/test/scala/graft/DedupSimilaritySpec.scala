@@ -85,6 +85,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(survivors == Set(2000001L, 2000002L, 2000003L))
   }
 
+  test("hot-bucket cap drops mega-buckets from pair expansion") {
+    val default = Dedup.q49DedupMinhashFast(spark, sf01)
+    val nDefault = default.count()
+    assert(nDefault > 0)
+    // cap of 2: only 2-doc buckets may expand → a (possibly empty) subset
+    spark.conf.set("graft.dedup.maxBucketSize", "2")
+    try {
+      val capped = Dedup.q49DedupMinhashFast(spark, sf01)
+      assert(capped.count() <= nDefault)
+      val extra = capped.select(col("doc_a"), col("doc_b"))
+        .exceptAll(default.select(col("doc_a"), col("doc_b"))).count()
+      assert(extra == 0, "capped expansion produced pairs the uncapped run lacks")
+    } finally spark.conf.unset("graft.dedup.maxBucketSize")
+  }
+
   test("connected components collapse transitive chains to one survivor") {
     import spark.implicits._
     // A~B~C with no direct A~C edge, plus a separate 2-cluster and an
