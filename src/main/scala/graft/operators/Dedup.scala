@@ -269,9 +269,12 @@ object Dedup {
     * RDD is GC'd, so nothing leaks into library callers.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    // checkpoint BEFORE the self-union: union(pairs, pairs) would execute
+    // the (expensive) pair-producing subtree twice in one action
+    val p = pairs.localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
