@@ -129,6 +129,45 @@ object Events {
         max(col("event_id")).as("last_event_id"),
         count(lit(1)).as("n_events"))
 
+  /** q60: per-trip (session) derived metrics — the publishable "trips"
+    * table of the reference's sessionize → derive → publish path: duration,
+    * event count, entry event type, start-hour bucket, weekend flag and
+    * value band per session. Same single user_id shuffle as q20; all
+    * derivations are projections over the session aggregate. Duration is
+    * INTEGER milliseconds (µs div 1000): µs/1e6 + round(4) lands exactly on
+    * the x.xxxx5 half-boundary whenever µs % 100 == 50, where Spark
+    * (decimal-string HALF_UP) and DuckDB (raw-double) disagree by 1 ulp —
+    * integer division sidesteps the boundary entirely.
+    */
+  def q60TripMetrics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        round(sum(col("value")), 2).as("sess_value"),
+        min_by(col("event_type"), col("event_id")).as("entry_type"))
+      .select(
+        col("user_id"), col("sess_no"), col("n_events"),
+        expr("(unix_micros(sess_end) - unix_micros(sess_start)) DIV 1000")
+          .as("duration_ms"),
+        hour(col("sess_start")).cast("long").as("start_hour"),
+        date_format(col("sess_start"), "E").isin("Sat", "Sun").as("is_weekend"),
+        when(col("sess_value") < 10, "low")
+          .when(col("sess_value") < 100, "mid")
+          .otherwise("high").as("value_band"),
+        col("sess_value"), col("entry_type"))
+  }
+
   /** q47: the same attribution as q24, but executed by the custom
     * whole-operator as-of join ([[graft.plans.AsOfJoinExec]]): one
     * exchange+sort per side then an O(1)-state merge scan — checked
@@ -155,7 +194,8 @@ object Events {
     "q24_asof_attribution" -> (q24AsofAttribution _),
     "q25_monthly_revenue"  -> (q25MonthlyRevenue _),
     "q26_event_gaps"       -> (q26EventGaps _),
-    "q27_first_last"       -> (q27FirstLast _))
+    "q27_first_last"       -> (q27FirstLast _),
+    "q60_trip_metrics"     -> (q60TripMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q20_sessionize" ->
@@ -226,6 +266,32 @@ object Events {
                 round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
                 max(gap_us) AS max_gap_us
          FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+    "q60_trip_metrics" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value, event_id, event_type,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+           FROM e),
+         t AS (
+           SELECT user_id, sess_no, count(*) AS n_events,
+                  min(ts) AS sess_start, max(ts) AS sess_end,
+                  round(sum(value), 2) AS sess_value,
+                  min_by(event_type, event_id) AS entry_type
+           FROM s GROUP BY user_id, sess_no)
+         SELECT user_id, sess_no, n_events,
+                (epoch_us(sess_end) - epoch_us(sess_start)) // 1000 AS duration_ms,
+                CAST(hour(sess_start) AS BIGINT) AS start_hour,
+                strftime(sess_start, '%a') IN ('Sat', 'Sun') AS is_weekend,
+                CASE WHEN sess_value < 10 THEN 'low'
+                     WHEN sess_value < 100 THEN 'mid'
+                     ELSE 'high' END AS value_band,
+                sess_value, entry_type
+         FROM t""",
     "q27_first_last" ->
       """SELECT user_id,
                 min_by(event_type, event_id) AS first_type,
