@@ -236,12 +236,18 @@ object Dedup {
     // library callers (persist() needed an unpersist nobody could call on a
     // returned lazy frame)
     val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // the checkpoint makes count() free — gate the candidate broadcasts on
+    // it so a duplicate-saturated corpus (pairs ~ corpus size) falls back
+    // to shuffle joins instead of a driver OOM
+    val candSmall = cand.count() <=
+      s.conf.getOption("graft.dedup.candBroadcastMaxRows").map(_.toLong).getOrElse(1000000L)
+    def maybeBroadcast(df: DataFrame) = if (candSmall) broadcast(df) else df
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candDocs = Tables.documents(s, dir)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
     val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = broadcast(cand)
+    val inter = maybeBroadcast(cand)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))

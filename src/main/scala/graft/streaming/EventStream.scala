@@ -79,4 +79,25 @@ object EventStream {
     // the watermark passes it — plain dropDuplicates on a non-time key
     // would retain every id forever and OOM on an unbounded stream
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
+  /** s04: streaming incremental near-dup filter — the streaming form of
+    * [[graft.operators.Dedup.dedupeIncremental]] via `foreachBatch`, the
+    * canonical way to reuse batch logic per micro-batch: each arriving
+    * batch of documents is band-signed (the q49 xxhash64 minhash pipeline)
+    * and anti-joined against the persisted signature table of the
+    * published corpus; only survivors reach `onBatch` (in production, the
+    * publish sink). The signature pipeline is a multi-stage aggregation —
+    * exactly the shape foreachBatch exists for, since a pure streaming
+    * plan can't chain stateful aggregations in append mode. Per-batch
+    * state is just that batch's signatures; nothing accumulates between
+    * batches (the published table grows only via the batch publish step).
+    */
+  def dedupDocStream(
+      docs: DataFrame, publishedSigs: DataFrame)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(graft.operators.Dedup.dedupeIncremental(batch, publishedSigs))
+      }
 }

@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
 
+/** Incoming document for the s04 stream (top-level: local case classes
+  * capture the suite instance and break encoder serialization).
+  */
+case class SDoc(doc_id: Long, text: String)
+
 /** G-block: streaming transforms driven through MemoryStream, checked
   * against their batch twins on the same sf0.001 events.
   */
@@ -80,6 +85,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.length == 1)
       assert(rows.head.getAs[Long]("n_events") == 5L,
         s"closed session lost cross-batch events: ${rows.head}")
+    } finally q.stop()
+  }
+
+  test("s04 streaming incremental near-dup filter drops only published near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // published corpus + its persisted signature table
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-s04-sigs").toString
+    val published = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    operators.Dedup.writeSignatureTable(published, sigDir)
+    val sigs = s.read.parquet(sigDir)
+
+    val reingested = published.limit(4)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (i, t) => SDoc(i, t) }
+    val novel = Seq(
+      SDoc(6000001L, "wholly new streaming document alpha beta gamma delta epsilon zeta"),
+      SDoc(6000002L, "fresh arrival with unseen content eta theta iota kappa lambda mu"))
+
+    val survivors = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val ms = MemoryStream[SDoc]
+    val q = EventStream.dedupDocStream(ms.toDS().toDF(), sigs) { surv =>
+      surv.select(col("doc_id")).collect().foreach(r => survivors.add(r.getLong(0)))
+    }.start()
+    try {
+      ms.addData(reingested.toSeq ++ novel)
+      q.processAllAvailable()
+      assert(survivors == java.util.Set.of(6000001L, 6000002L),
+        s"survivors=$survivors")
+      // a second batch of only-novel docs passes through untouched
+      ms.addData(Seq(SDoc(6000003L, "later batch document nu xi omicron pi rho sigma tau")))
+      q.processAllAvailable()
+      assert(survivors.contains(6000003L))
     } finally q.stop()
   }
 
