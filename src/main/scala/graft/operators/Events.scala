@@ -168,6 +168,38 @@ object Events {
         col("sess_value"), col("entry_type"))
   }
 
+  /** q62: time-series resample + forward fill — each user's event values
+    * regularized onto an hourly grid spanning their first→last event, with
+    * gaps carrying the last observed value forward (the telemetry/trip
+    * gap-filling primitive). Grid generation is `sequence()` per user (one
+    * row → their hour range, exploded), observations reduce to one value
+    * per (user, hour) via max_by on the (µs, event_id) tuple, and the fill
+    * is `last(_, ignoreNulls)` over the hour order — everything after the
+    * per-user agg stays in one user_id partition, so the whole operator is
+    * two shuffles (agg + window) regardless of corpus size.
+    */
+  def q62ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+           date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val obs = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max_by(col("value"),
+        struct(unix_micros(col("ts")), col("event_id"))).as("obs_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("value_ffill", last(col("obs_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("obs_value").isNotNull.as("is_observed"),
+        col("value_ffill"))
+  }
+
   /** q47: the same attribution as q24, but executed by the custom
     * whole-operator as-of join ([[graft.plans.AsOfJoinExec]]): one
     * exchange+sort per side then an O(1)-state merge scan — checked
@@ -195,7 +227,8 @@ object Events {
     "q25_monthly_revenue"  -> (q25MonthlyRevenue _),
     "q26_event_gaps"       -> (q26EventGaps _),
     "q27_first_last"       -> (q27FirstLast _),
-    "q60_trip_metrics"     -> (q60TripMetrics _))
+    "q60_trip_metrics"     -> (q60TripMetrics _),
+    "q62_resample_ffill"   -> (q62ResampleFfill _))
 
   val oracles: Map[String, String] = Map(
     "q20_sessionize" ->
@@ -292,6 +325,30 @@ object Events {
                      ELSE 'high' END AS value_band,
                 sess_value, entry_type
          FROM t""",
+    "q62_resample_ffill" ->
+      """WITH b AS (
+           SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM events GROUP BY user_id),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM b),
+         obs AS (
+           SELECT user_id, hour, value AS obs_value FROM (
+             SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         j AS (
+           SELECT g.user_id, g.hour, o.obs_value,
+                  last_value(o.obs_value IGNORE NULLS)
+                    OVER (PARTITION BY g.user_id ORDER BY g.hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+           FROM grid g LEFT JOIN obs o USING (user_id, hour))
+         SELECT user_id, strftime(hour, '%Y-%m-%d %H:00') AS hour,
+                obs_value IS NOT NULL AS is_observed,
+                value_ffill
+         FROM j""",
     "q27_first_last" ->
       """SELECT user_id,
                 min_by(event_type, event_id) AS first_type,
