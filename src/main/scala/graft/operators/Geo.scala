@@ -47,8 +47,45 @@ object Geo {
         round(avg(col("value")), 4).as("avg_value"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** q63: origin→destination matrix — each session's first event supplies
+    * the origin zone, its last the destination zone; the rollup counts
+    * trips per OD pair with the integer Manhattan cell distance (integer
+    * outputs keep the oracle hash free of transcendental-libm ULP risk —
+    * haversine over cell centroids is a client-side projection away).
+    * Shape: zone projection (narrow) → one user_id shuffle for the session
+    * window → per-session arg-min/arg-max agg → one OD-key shuffle.
+    */
+  def q63OdMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val key = struct(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
+      .withColumn("zone_y", zone(col("lat"), Lat0, Cell))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        min_by(col("zone_x"), key).as("origin_x"),
+        min_by(col("zone_y"), key).as("origin_y"),
+        max_by(col("zone_x"), key).as("dest_x"),
+        max_by(col("zone_y"), key).as("dest_y"))
+      .groupBy(col("origin_x"), col("origin_y"), col("dest_x"), col("dest_y"))
+      .agg(count(lit(1)).as("n_trips"))
+      .withColumn("cell_dist",
+        abs(col("dest_x") - col("origin_x")) + abs(col("dest_y") - col("origin_y")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_geo_zones" -> (q53GeoZones _))
+    "q53_geo_zones" -> (q53GeoZones _),
+    "q63_od_matrix" -> (q63OdMatrix _))
 
   val oracles: Map[String, String] = Map(
     "q53_geo_zones" ->
@@ -62,5 +99,35 @@ object Geo {
                  count(*) AS n_trips,
                  round(avg(value), 4) AS avg_value,
                  round(sum(value), 2) AS total_value
-          FROM pts GROUP BY 1, 2""")
+          FROM pts GROUP BY 1, 2""",
+    "q63_od_matrix" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events),
+          e AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM z),
+          s AS (
+            SELECT user_id, ts, event_id, zone_x, zone_y,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+            FROM e),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM s),
+          trips AS (
+            SELECT o.user_id, o.sess_no,
+                   o.zone_x AS origin_x, o.zone_y AS origin_y,
+                   d.zone_x AS dest_x, d.zone_y AS dest_y
+            FROM (SELECT * FROM r WHERE rn_a = 1) o
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no))
+          SELECT origin_x, origin_y, dest_x, dest_y,
+                 count(*) AS n_trips,
+                 abs(dest_x - origin_x) + abs(dest_y - origin_y) AS cell_dist
+          FROM trips GROUP BY 1, 2, 3, 4""")
 }
