@@ -135,6 +135,73 @@ object TextAnalysis {
         round(log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)), 4).as("idf"))
   }
 
+  /** q64: corpus text normalization — the cleaning transform before
+    * tokenize/train: lowercase, strip non-alphanumerics, drop empty tokens
+    * and English stopwords, re-join. Pure projection (HOF filter over the
+    * split — no shuffle at any scale); emits before/after token counts so
+    * the cleaning loss is auditable.
+    */
+  def q64CleanText(s: SparkSession, dir: String): DataFrame = {
+    val en = inList(stop("en"))
+    Tables.documents(s, dir)
+      .withColumn("raw_tokens", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("tokens", expr(
+        s"""filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '),
+            x -> x <> '' AND x NOT IN $en)"""))
+      .select(
+        col("doc_id"),
+        array_join(col("tokens"), " ").as("clean_text"),
+        size(col("raw_tokens")).as("n_tokens_before"),
+        size(col("tokens")).as("n_tokens_after"))
+  }
+
+  /** q65: Gopher/C4-style corpus quality filter — accept/reject per
+    * document with the first failing rule named: word-count bounds, mean
+    * word length, digit share, stopword share, and top-trigram repetition
+    * share. All ratios are INTEGER basis points (x*10000 DIV y): rounded
+    * double ratios land on .xxxx5 half-boundaries where Spark
+    * (shortest-decimal HALF_UP) and DuckDB (raw-double) disagree by an
+    * ulp; integer division is exact in both engines by construction.
+    * Repetition needs one (doc, trigram) aggregation; everything else is a
+    * projection.
+    */
+  def q65CorpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val en = inList(stop("en"))
+    val docs = Tables.documents(s, dir)
+    val tri = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("max(c) * 10000 DIV sum(c)").as("tri_share_bp"))
+    docs
+      .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("chars_ns", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_digits",
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(w, x -> x IN $en))").cast("long"))
+      .join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        // greatest(_, 1): an empty doc must land in too_few_words, not in
+        // an ANSI division-by-zero error
+        expr("chars_ns * 100 DIV greatest(n_words, 1)").as("word_len_x100"),
+        expr("n_digits * 10000 DIV greatest(length(text), 1)").as("digit_bp"),
+        expr("n_stop * 10000 DIV greatest(n_words, 1)").as("stop_bp"),
+        coalesce(col("tri_share_bp"), lit(0L)).as("tri_share_bp"))
+      .withColumn("reject_reason",
+        when(col("n_words") < 10, "too_few_words")
+          .when(col("n_words") > 5000, "too_many_words")
+          .when(col("word_len_x100") < 200 || col("word_len_x100") > 1200, "word_length")
+          .when(col("digit_bp") > 2000, "too_many_digits")
+          .when(col("stop_bp") < 300, "low_stopword_share")
+          .when(col("tri_share_bp") > 1800, "repetitive"))
+      .withColumn("accept", col("reject_reason").isNull)
+  }
+
   /** q40: per-language/source corpus stats. */
   def q40LangStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -153,7 +220,9 @@ object TextAnalysis {
     "q39_fingerprint"   -> (q39Fingerprint _),
     "q40_lang_stats"    -> (q40LangStats _),
     "q58_decontaminate" -> (q58Decontaminate _),
-    "q59_doc_frequency" -> (q59DocFrequency _))
+    "q59_doc_frequency" -> (q59DocFrequency _),
+    "q64_clean_text"    -> (q64CleanText _),
+    "q65_corpus_filter" -> (q65CorpusFilter _))
 
   val oracles: Map[String, String] = Map(
     "q36_lang_id" -> {
@@ -223,6 +292,59 @@ object TextAnalysis {
           SELECT word, doc_freq, n_occurrences,
                  round(ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 4) AS idf
           FROM f CROSS JOIN n WHERE doc_freq >= 5""",
+    "q64_clean_text" -> {
+      val en = inList(stop("en"))
+      s"""SELECT doc_id,
+                 array_to_string(
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+                               x -> x <> '' AND x NOT IN $en), ' ') AS clean_text,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens_before,
+                 len(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+                                 x -> x <> '' AND x NOT IN $en)) AS n_tokens_after
+          FROM documents"""
+    },
+    "q65_corpus_filter" -> {
+      val en = inList(stop("en"))
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') wfull FROM documents),
+          ix AS (SELECT doc_id, wfull w, unnest(generate_series(1, len(wfull)-2)) i
+                 FROM t WHERE len(wfull) >= 3),
+          shc AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh, count(*) AS c
+                  FROM ix GROUP BY 1, 2),
+          tri AS (SELECT doc_id, max(c) * 10000 // CAST(sum(c) AS BIGINT) AS tri_share_bp
+                  FROM shc GROUP BY doc_id),
+          base AS (
+            SELECT d.doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN $en)) AS BIGINT) AS n_stop,
+                   length(text) AS tlen,
+                   COALESCE(tri.tri_share_bp, 0) AS tri_share_bp
+            FROM documents d LEFT JOIN tri ON d.doc_id = tri.doc_id),
+          m AS (
+            SELECT doc_id, n_words,
+                   chars_ns * 100 // greatest(n_words, 1) AS word_len_x100,
+                   n_digits * 10000 // greatest(tlen, 1) AS digit_bp,
+                   n_stop * 10000 // greatest(n_words, 1) AS stop_bp,
+                   tri_share_bp
+            FROM base)
+          SELECT doc_id, n_words, word_len_x100, digit_bp, stop_bp, tri_share_bp,
+                 CASE WHEN n_words < 10 THEN 'too_few_words'
+                      WHEN n_words > 5000 THEN 'too_many_words'
+                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
+                      WHEN digit_bp > 2000 THEN 'too_many_digits'
+                      WHEN stop_bp < 300 THEN 'low_stopword_share'
+                      WHEN tri_share_bp > 1800 THEN 'repetitive'
+                      END AS reject_reason,
+                 (CASE WHEN n_words < 10 THEN 'too_few_words'
+                      WHEN n_words > 5000 THEN 'too_many_words'
+                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
+                      WHEN digit_bp > 2000 THEN 'too_many_digits'
+                      WHEN stop_bp < 300 THEN 'low_stopword_share'
+                      WHEN tri_share_bp > 1800 THEN 'repetitive'
+                      END) IS NULL AS accept
+          FROM m"""
+    },
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
