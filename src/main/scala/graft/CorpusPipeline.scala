@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The end-to-end LLM-training-corpus pipeline, composed from the shipped
+  * operators: quality filter → exact dedup → near-dup cluster collapse →
+  * benchmark decontamination → normalization → partitioned publish, with a
+  * per-stage document-count audit the way [[Pipeline.cleanAudit]] audits
+  * the event path.
+  *
+  * Each stage is DataFrame→DataFrame; the expensive stages (near-dup
+  * banding, trigram stats) run on the ALREADY-FILTERED corpus, so work
+  * shrinks monotonically down the pipeline. At 100 TB the only wide
+  * operations are the dedup shuffles and the final write — identical to
+  * running q65/q28/q49+q56/q58 standalone, minus their re-scans.
+  */
+object CorpusPipeline {
+
+  /** Stage 1 — quality filter: keep q65-accepted documents. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(TextAnalysis.q65CorpusFilter(s, dir)
+        .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+  /** Stage 2 — exact dedup: one survivor per identical text (min doc_id). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 3 — near-dup collapse: xxhash64 band pairs → connected
+    * components → drop every non-survivor (keep-min-id per cluster).
+    */
+  def nearDupCollapse(docs: DataFrame): DataFrame = {
+    val losers = Dedup.connectedComponents(
+        Dedup.fastCandidatePairs(docs).select(col("doc_a"), col("doc_b")))
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4 — decontamination: drop documents sharing any word-5-gram
+    * with the held-out benchmark subset (doc_id % 97 == 0 stands in; the
+    * benchmark docs themselves are also excluded from the corpus).
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w)-4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0)).select(col("g")).distinct()
+    val contaminated = grams(corpus)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 5 — normalize: the q64 cleaning transform, keeping lineage. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      array_join(expr(
+        """filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '),
+           x -> x <> '' AND x NOT IN ('the', 'a', 'of', 'to', 'and', 'is'))"""), " ")
+        .as("clean_text"))
+
+  final case class Audit(stage: String, n_docs: Long)
+
+  /** Full run: documents → published clean corpus (parquet partitioned by
+    * lang) + the per-stage audit. Each stage output is localCheckpointed so
+    * the audit counts and the next stage share one computation instead of
+    * re-running the upstream pipeline per count.
+    */
+  def run(s: SparkSession, dir: String, outDir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val raw = Tables.documents(s, dir)
+    val filtered = qualityFilter(s, dir).localCheckpoint()
+    val exact = exactDedup(filtered).localCheckpoint()
+    val nearDup = nearDupCollapse(exact).localCheckpoint()
+    val decon = decontaminate(nearDup).localCheckpoint()
+    val published = normalize(decon)
+    published.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
+    val audit = Seq(
+      Audit("raw", raw.count()),
+      Audit("quality_filtered", filtered.count()),
+      Audit("exact_deduped", exact.count()),
+      Audit("near_dup_collapsed", nearDup.count()),
+      Audit("decontaminated", decon.count()),
+      Audit("published", s.read.parquet(outDir).count())).toDF()
+    (s.read.parquet(outDir), audit)
+  }
+}

@@ -165,8 +165,14 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
   }
 
+  /** xxhash64 candidate pairs for ANY documents frame — q49's pipeline,
+    * reusable by [[graft.CorpusPipeline]].
+    */
+  private[graft] def fastCandidatePairs(docs: DataFrame): DataFrame =
+    expandPairs(docs.sparkSession, fastBandSignaturesOf(docs))
+
   def q49DedupMinhashFast(s: SparkSession, dir: String): DataFrame =
-    expandPairs(s, fastBandSignaturesOf(Tables.documents(s, dir)))
+    fastCandidatePairs(Tables.documents(s, dir))
 
   /** Persist the xxhash64 band-signature table for a published corpus —
     * the state an incremental refresh dedupes against. At 100 TB this
