@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
