@@ -37,8 +37,36 @@ object Quality {
     base.crossJoin(orphans)
   }
 
+  /** q66: per-column data profile over lineitem — row count, nulls, exact
+    * distinct count, numeric min/max per profiled column (dates as epoch
+    * days so every metric is numeric and union-schema-uniform).
+    *
+    * Shape: one aggregate per column, UNION ALLed. Deliberately NOT a
+    * single pass with N countDistincts — that plans an Expand (×N row
+    * blowup, the q46 lesson); per-column passes each prune their scan to
+    * ONE column (`ReadSchema` a single field), run in parallel, and keep
+    * every aggregate map-side partial. At 100 TB, N narrow columnar scans
+    * beat one N-times-expanded shuffle.
+    */
+  def q66Profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def prof(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      li.select(v.as("v")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+        .select(lit(name).as("column"), col("*"))
+    prof("l_quantity", col("l_quantity"))
+      .unionByName(prof("l_discount", col("l_discount")))
+      .unionByName(prof("l_extendedprice", col("l_extendedprice")))
+      .unionByName(prof("l_shipdate_days", datediff(col("l_shipdate"), lit("1970-01-01"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_qa_report" -> (q55QaReport _))
+    "q55_qa_report" -> (q55QaReport _),
+    "q66_profile"   -> (q66Profile _))
 
   val oracles: Map[String, String] = Map(
     "q55_qa_report" ->
@@ -58,5 +86,30 @@ object Quality {
            SELECT count(*) AS n_orphan_lineitems
            FROM lineitem l
            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-         SELECT * FROM base CROSS JOIN orph""")
+         SELECT * FROM base CROSS JOIN orph""",
+    "q66_profile" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                count(DISTINCT l_quantity) AS n_distinct,
+                CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*),
+                CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT l_discount),
+                CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*),
+                CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT l_extendedprice),
+                CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate_days', count(*),
+                CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT l_shipdate),
+                CAST(min(date_diff('day', DATE '1970-01-01', l_shipdate)) AS DOUBLE),
+                CAST(max(date_diff('day', DATE '1970-01-01', l_shipdate)) AS DOUBLE)
+         FROM lineitem""")
 }
