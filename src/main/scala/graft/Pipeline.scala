@@ -119,6 +119,29 @@ object Pipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date").parquet(outDir)
 
+  /** Maintenance — compaction: rewrite a date-partitioned dataset so each
+    * partition holds ~`filesPerPartition` files instead of one tiny file
+    * per original shuffle task. High-parallelism incremental publishes
+    * fragment partitions (32 tasks × N days = 32 small files per day); at
+    * 100 TB the resulting file-count explosion dominates scan planning and
+    * NameNode/listing pressure, so periodic compaction is part of the
+    * publish contract. One shuffle (repartition by partition key) into a
+    * sibling temp dir, then a filesystem-level swap (Spark refuses to
+    * overwrite a path it is reading, and rightly so) — the standard
+    * compact-and-swap maintenance pattern, Hadoop-FS-API so it works on
+    * any supported filesystem.
+    */
+  def compact(spark: SparkSession, dir: String, filesPerPartition: Int = 1): Unit = {
+    val tmp = dir.stripSuffix("/") + ".compacting"
+    spark.read.parquet(dir)
+      .repartition(filesPerPartition, col("event_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
   /** QA accounting for the clean stage — one conditional-sum pass over the
     * raw input, publishable next to the data: how many rows arrived, and
     * how many each clean rule dropped or rewrote. `clean` itself stays a

@@ -115,6 +115,47 @@ class PipelineSpec extends AnyFunSuite {
       dayB.head.getAs[Double]("value") == 9.0)
   }
 
+  test("compact collapses fragmented partitions without changing the data") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-compact").toString
+    // fragment: 8 separate appends of the same two days → ≥8 files per day
+    val day = to_date(lit("2024-05-01"))
+    (1 to 8).foreach { i =>
+      Seq((i.toLong, 1.0)).toDF("event_id", "value")
+        .withColumn("event_date", day)
+        .unionByName(Seq((100L + i, 2.0)).toDF("event_id", "value")
+          .withColumn("event_date", to_date(lit("2024-05-02"))))
+        .repartition(4)
+        .write.mode("append").partitionBy("event_date").parquet(outDir)
+    }
+    def files(day: String) = new java.io.File(s"$outDir/event_date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
+    assert(files("2024-05-01") >= 8)
+
+    Pipeline.compact(spark, outDir, filesPerPartition = 1)
+
+    assert(files("2024-05-01") == 1 && files("2024-05-02") == 1,
+      s"files after compact: ${files("2024-05-01")}/${files("2024-05-02")}")
+    val after = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
+    assert(after == before)
+  }
+
+  test("schema evolution: later batches with new columns merge on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, 10.0)).toDF("event_id", "value").write.mode("append").parquet(dir)
+    // a later vendor adds a column — old files simply lack it
+    Seq((2L, 20.0, "web")).toDF("event_id", "value", "channel")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("event_id", "value", "channel"))
+    val r1 = merged.filter(col("event_id") === 1L).head()
+    assert(r1.isNullAt(r1.fieldIndex("channel"))) // typed null for old rows
+    assert(merged.filter(col("event_id") === 2L).head()
+      .getAs[String]("channel") == "web")
+  }
+
   test("cleanAudit counters reconcile exactly with clean()'s row delta") {
     val rawDir = Files.createTempDirectory("graft-audit").toString
     val rows = Seq(
