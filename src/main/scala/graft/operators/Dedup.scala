@@ -199,6 +199,23 @@ object Dedup {
     newDocs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** The refresh loop closed: dedupe a new batch against the published
+    * state, then append the survivors to the corpus AND their band
+    * signatures to the signature table — so the next batch dedupes against
+    * everything published so far, including this batch. The survivor frame
+    * is localCheckpointed first: it cuts the lineage that reads `sigDir`
+    * before we append to that same path (appending to a path a lazy plan
+    * still reads is a correctness hazard), and makes the two writes share
+    * one computation.
+    */
+  def publishBatch(newDocs: DataFrame, corpusDir: String, sigDir: String): Unit = {
+    val s = newDocs.sparkSession
+    val survivors = dedupeIncremental(newDocs, s.read.parquet(sigDir)).localCheckpoint()
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
+    fastBandSignaturesOf(survivors)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+  }
+
   /** q30: 64-bit SimHash per document + 16-bit hamming band keys.
     * xxhash64-based (no oracle — engine-native hash), rows-only checked;
     * properties are asserted in DedupSpec.

@@ -100,6 +100,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.maxBucketSize")
   }
 
+  test("publishBatch closes the incremental loop: later batches dedupe against earlier ones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    val (corpusDir, sigDir) = (s"$base/corpus", s"$base/sigs")
+    // initial published state
+    val initial = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    initial.write.parquet(corpusDir)
+    Dedup.writeSignatureTable(initial, sigDir)
+
+    // batch B: one novel doc
+    val novelB = Seq((7000001L,
+      "first refresh batch doc with its own distinct vocabulary one two three"))
+      .toDF("doc_id", "text")
+    Dedup.publishBatch(novelB, corpusDir, sigDir)
+    assert(spark.read.parquet(corpusDir).filter(col("doc_id") === 7000001L).count() == 1)
+
+    // batch C: a near-dup of B's doc (same text, new id) + one novel doc —
+    // the B dup must be dropped even though B was published AFTER the
+    // initial signature table was built
+    val batchC = Seq(
+      (7000002L, "first refresh batch doc with its own distinct vocabulary one two three"),
+      (7000003L, "second refresh batch doc entirely different words four five six seven"))
+      .toDF("doc_id", "text")
+    Dedup.publishBatch(batchC, corpusDir, sigDir)
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.filter(col("doc_id") === 7000002L).count() == 0, "dup of batch B leaked")
+    assert(corpus.filter(col("doc_id") === 7000003L).count() == 1)
+  }
+
   test("connected components collapse transitive chains to one survivor") {
     import spark.implicits._
     // A~B~C with no direct A~C edge, plus a separate 2-cluster and an
