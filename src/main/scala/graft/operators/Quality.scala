@@ -64,9 +64,32 @@ object Quality {
       .unionByName(prof("l_shipdate_days", datediff(col("l_shipdate"), lit("1970-01-01"))))
   }
 
+  /** q67: sketch-based profile — q66's scale path: HLL++ approximate
+    * distinct counts and t-digest-style approximate quantiles for ALL
+    * profiled columns in ONE pass (sketches merge map-side; no Expand, no
+    * per-column rescans — the shape to prefer once exact distincts stop
+    * being DuckDB-checkable anyway). Rows-only (sketches are
+    * engine-specific); QualitySketchSpec bounds the HLL error vs q66's
+    * exact distincts at 5% and the median's relative error at 2%.
+    */
+  def q67SketchProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice")
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
+          percentile_approx(col(c), lit(0.5), lit(10000)).cast("double").as(s"${c}_p50"),
+          percentile_approx(col(c), lit(0.95), lit(10000)).cast("double").as(s"${c}_p95"))
+    }
+    val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stack) AS (column, approx_distinct, p50, p95)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_qa_report" -> (q55QaReport _),
-    "q66_profile"   -> (q66Profile _))
+    "q66_profile"   -> (q66Profile _),
+    "q67_sketch_profile" -> (q67SketchProfile _))
 
   val oracles: Map[String, String] = Map(
     "q55_qa_report" ->

@@ -30,6 +30,36 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~100k rows vs 50 singleton keys, forced through
+    // a sort-merge join with the skew thresholds lowered so the local-scale
+    // skew actually trips the AQE rule
+    val left = spark.range(100000).select(lit(0L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(1, 51).select(col("id").as("k"), col("id").as("v")))
+    val right = (0L to 50L).toDF("k").withColumn("w", col("k") * 2)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, Seq("k"))
+      // materialize THIS QueryExecution (count() would plan its own), so
+      // the adaptive plan below is the executed final plan
+      assert(joined.collect().length == 100000 + 50)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
