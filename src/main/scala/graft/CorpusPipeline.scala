@@ -47,29 +47,33 @@ object CorpusPipeline {
   /** Stage 4 — decontamination: drop documents sharing any word-5-gram
     * with the held-out benchmark subset (doc_id % 97 == 0 stands in; the
     * benchmark docs themselves are also excluded from the corpus).
+    *
+    * CRITICAL: the benchmark gram set is derived from `rawDocs` — the
+    * UNfiltered corpus — not from `docs`. Deriving it from the filtered
+    * frame would un-gram any benchmark doc the earlier stages removed
+    * (e.g. exact-deduped away in favor of a lower-id verbatim copy), and
+    * that copy — literally benchmark text — would then pass
+    * decontamination into the published corpus.
     */
-  def decontaminate(docs: DataFrame): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w)-4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+  def decontaminate(docs: DataFrame, rawDocs: DataFrame): DataFrame = {
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    val bench = grams(docs.filter(col("doc_id") % 97 === 0)).select(col("g")).distinct()
-    val contaminated = grams(corpus)
+    val bench = TextAnalysis.fiveGrams(rawDocs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val contaminated = TextAnalysis.fiveGrams(corpus)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 5 — normalize: the q64 cleaning transform, keeping lineage. */
+  /** Stage 5 — normalize: the q64 cleaning transform (same stoplist via
+    * [[TextAnalysis.enStopInList]] — no drifting copy), keeping lineage.
+    */
   def normalize(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"), col("lang"), col("source"),
       array_join(expr(
-        """filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '),
-           x -> x <> '' AND x NOT IN ('the', 'a', 'of', 'to', 'and', 'is'))"""), " ")
+        s"""filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '),
+           x -> x <> '' AND x NOT IN ${TextAnalysis.enStopInList})"""), " ")
         .as("clean_text"))
 
   final case class Audit(stage: String, n_docs: Long)
@@ -85,7 +89,7 @@ object CorpusPipeline {
     val filtered = qualityFilter(s, dir).localCheckpoint()
     val exact = exactDedup(filtered).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()
-    val decon = decontaminate(nearDup).localCheckpoint()
+    val decon = decontaminate(nearDup, raw).localCheckpoint()
     val published = normalize(decon)
     published.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
     val audit = Seq(

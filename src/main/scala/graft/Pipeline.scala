@@ -125,21 +125,34 @@ object Pipeline {
     * fragment partitions (32 tasks × N days = 32 small files per day); at
     * 100 TB the resulting file-count explosion dominates scan planning and
     * NameNode/listing pressure, so periodic compaction is part of the
-    * publish contract. One shuffle (repartition by partition key) into a
-    * sibling temp dir, then a filesystem-level swap (Spark refuses to
-    * overwrite a path it is reading, and rightly so) — the standard
-    * compact-and-swap maintenance pattern, Hadoop-FS-API so it works on
+    * publish contract.
+    *
+    * Shape: one shuffle on (event_date, salt) — the salt spreads each
+    * date's rows over AT MOST `filesPerPartition` writer tasks, so every
+    * date directory compacts to ≤ that many files while distinct dates
+    * still compact in parallel (a bare `repartition(n, col)` would instead
+    * set the TOTAL task count and funnel everything through n tasks).
+    * The rewrite lands in a sibling temp dir, then swaps via
+    * rename(dir→dir.old) / rename(tmp→dir) / delete(dir.old): the live
+    * path is never in a deleted state, a crash mid-swap leaves a
+    * recoverable `.old`, and both renames are checked. Hadoop-FS-API, so
     * any supported filesystem.
     */
   def compact(spark: SparkSession, dir: String, filesPerPartition: Int = 1): Unit = {
-    val tmp = dir.stripSuffix("/") + ".compacting"
+    val base = dir.stripSuffix("/")
+    val tmp = base + ".compacting"
     spark.read.parquet(dir)
-      .repartition(filesPerPartition, col("event_date"))
+      .repartition(col("event_date"),
+        pmod(xxhash64(col("event_id")), lit(filesPerPartition)))
       .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = base + ".old"
+    fs.delete(p(old), true)
+    require(fs.rename(p(base), p(old)), s"compact: rename $base -> $old failed")
+    require(fs.rename(p(tmp), p(base)), s"compact: rename $tmp -> $base failed")
+    fs.delete(p(old), true)
   }
 
   /** QA accounting for the clean stage — one conditional-sum pass over the

@@ -9,14 +9,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Whole-stage-codegen'd single pass over both arrays (dot + both norms in
   * one loop, no intermediate array allocation) — the hot-path form of
-  * [[VectorOps.cosine]]. Accumulation order matches the zip_with/aggregate
-  * fold (and DuckDB's list_inner_product), so results are bit-identical to
-  * the composed version. Array elements are assumed non-null.
+  * [[VectorOps.cosine]]. Semantics match the zip_with/aggregate fold
+  * EXACTLY, including the degenerate inputs: unequal lengths or a null
+  * element yield SQL NULL (zip_with pads with null → the fold goes null),
+  * so [[graft.plans.CosineFusion]]'s global rewrite is semantics-
+  * preserving, not just fast on well-formed vectors. Accumulation order
+  * matches the fold (and DuckDB's list_inner_product), so results are
+  * bit-identical to the composed version.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -39,11 +45,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (fa, fb) = (isFloat(left), isFloat(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -59,14 +67,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.$accA($i);
-         |  double y = (double) $b.$accB($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double x = (double) $a.$accA($i);
+         |    double y = (double) $b.$accB($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

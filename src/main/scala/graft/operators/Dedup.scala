@@ -43,8 +43,12 @@ object Dedup {
     * shingles ≤ occurrences. One pushed single-column scan, negligible next
     * to the dedup job itself.
     */
-  private def estDictRows(docs: DataFrame): Long =
-    docs.agg(sum(col("n_chars"))).head().getLong(0) / 5
+  private def estDictRows(docs: DataFrame): Long = {
+    // sum() over zero rows is SQL NULL — an empty corpus must estimate 0,
+    // not NPE during plan construction
+    val s = docs.agg(sum(col("n_chars"))).head().getAs[java.lang.Long](0)
+    if (s == null) 0L else s / 5
+  }
 
   /** Whether the shingle dictionary may be broadcast-joined: true only
     * below `graft.dedup.dictBroadcastMaxRows` (default 2M rows ≈ ~1 GB of
@@ -176,9 +180,12 @@ object Dedup {
 
   /** Persist the xxhash64 band-signature table for a published corpus —
     * the state an incremental refresh dedupes against. At 100 TB this
-    * table is ~n·bands rows of three fixed-width ints/longs; bucketing it
-    * by (band_id, sig) at write time makes the incremental anti-join
-    * exchange-free on the published side.
+    * table is ~n·bands rows of three fixed-width ints/longs. As written it
+    * is plain parquet, so each incremental batch's semi-join shuffles the
+    * published side; to make that exchange-free, register it as a table
+    * `bucketBy((band_id, sig)).saveAsTable` (the path-based parquet writer
+    * cannot bucket) — the bucketed-join plan shape is proven in
+    * SkewBucketSpec.
     */
   def writeSignatureTable(docs: DataFrame, path: String): Unit =
     fastBandSignaturesOf(docs)
@@ -324,6 +331,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // exiting via the iteration cap with unfinished propagation would
+    // silently emit multiple survivors for one real cluster — fail loudly
+    // instead; near-dup graphs with diameter > maxIters need a larger cap
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations " +
+          "(component diameter exceeds the cap); raise maxIters")
     labels
   }
 

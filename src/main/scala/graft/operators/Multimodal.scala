@@ -131,10 +131,14 @@ object Multimodal {
         magic <- token() if magic == "P5"
         w <- intToken()
         h <- intToken()
+        // long arithmetic: w and h are individually bounded but w*h can
+        // wrap Int (e.g. 65536×65536 → 0), turning a crafted header into a
+        // crash or a bogus empty image instead of a quarantine
+        npx = w.toLong * h.toLong if npx <= (1L << 26)
         maxv <- intToken() if maxv == 255
         _ = { i += 1 } // the single whitespace byte terminating the header
-        px <- if (bytes.length - i >= w * h)
-                Some(java.util.Arrays.copyOfRange(bytes, i, i + w * h))
+        px <- if (bytes.length.toLong - i >= npx)
+                Some(java.util.Arrays.copyOfRange(bytes, i, i + npx.toInt))
               else None
       } yield Image(w, h, px)
     }

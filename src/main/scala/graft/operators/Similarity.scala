@@ -146,6 +146,15 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Array[Array[Double]]]()
 
+  /** Drop memoized quantizers — REQUIRED after the data under a previously
+    * quantized directory changes (the memo keys on the path, not the
+    * contents; a stale model silently mis-assigns cells otherwise). Also
+    * the unbounded-growth escape hatch for long-lived sessions touching
+    * many corpora. Persisted indexes ([[IvfIndex.build]]) are unaffected —
+    * their model lives with the index files.
+    */
+  def invalidateQuantizerCache(): Unit = centroidCache.clear()
+
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int,
       trainMod: Long = 1L): Array[Array[Double]] =

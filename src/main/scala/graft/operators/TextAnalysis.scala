@@ -97,17 +97,22 @@ object TextAnalysis {
     * doc_id re-aggregation (map-side combining). Benchmark docs themselves
     * are excluded from the output (they trivially match).
     */
+  /** word-5-gram occurrences — shared by q58 and [[graft.CorpusPipeline]]. */
+  private[graft] def fiveGrams(df: org.apache.spark.sql.DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 5)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(w)-4),
+         i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+
+  /** the English stoplist as a SQL IN-list — shared with CorpusPipeline. */
+  private[graft] def enStopInList: String = inList(stop("en"))
+
   def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w)-4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
     val docs = Tables.documents(s, dir)
-    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+    val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
-    grams(docs.filter(col("doc_id") % 97 =!= 0))
+    fiveGrams(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(bench), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))

@@ -45,4 +45,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("lang=")))
     assert(published.filter(col("clean_text").rlike("[^a-z0-9 ]")).count() == 0)
   }
+
+  test("decontaminate catches verbatim benchmark text even when the benchmark doc was deduped away") {
+    import spark.implicits._
+    // doc 97 is a benchmark doc; doc 5 is its verbatim copy with a LOWER
+    // id, so exact dedup keeps 5 and drops 97. The bench gram set must
+    // come from the RAW frame or doc 5 (benchmark text!) leaks through.
+    val benchText = "secret benchmark question about the meaning of life and everything else"
+    val raw = Seq(
+      (5L, benchText),
+      (97L, benchText),
+      (6L, "completely unrelated corpus document with its own distinct phrasing here"))
+      .toDF("doc_id", "text")
+    val afterDedup = CorpusPipeline.exactDedup(raw)
+    assert(afterDedup.filter(col("doc_id") === 97L).count() == 0) // 97 deduped away
+    val out = CorpusPipeline.decontaminate(afterDedup, raw)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!out.contains(5L), "verbatim benchmark text leaked into the corpus")
+    assert(out.contains(6L))
+  }
 }

@@ -85,6 +85,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(survivors == Set(2000001L, 2000002L, 2000003L))
   }
 
+  test("minhash pipeline survives an empty documents table") {
+    import spark.implicits._
+    // the broadcast-size estimate does sum(n_chars) — SQL NULL on zero
+    // rows — which must estimate 0, not NPE
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    spark.emptyDataset[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(Dedup.q29DedupMinhash(spark, dir).count() == 0)
+    assert(Dedup.q49DedupMinhashFast(spark, dir).count() == 0)
+  }
+
   test("hot-bucket cap drops mega-buckets from pair expansion") {
     val default = Dedup.q49DedupMinhashFast(spark, sf01)
     val nDefault = default.count()

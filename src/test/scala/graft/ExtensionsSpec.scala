@@ -48,6 +48,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("native cosine matches HOF NULL semantics on ragged and null-element arrays") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) AS ragged,
+                graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS withnull,
+                graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nullarr""").head()
+    assert(r.isNullAt(0), "unequal lengths must be NULL like the zip_with fold")
+    assert(r.isNullAt(1), "null element must be NULL like the zip_with fold")
+    assert(r.isNullAt(2))
+    // HOF reference agrees
+    val hofDf = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D),
+                          (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS dot""")
+    assert(hofDf.head().isNullAt(0))
+  }
+
   test("native rolling hash is bit-identical to the HOF fold, incl. multibyte text") {
     val d = Tables.documents(spark, sf)
       .select(

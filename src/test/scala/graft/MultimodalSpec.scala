@@ -26,6 +26,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PgmCodec.decode("P6\n8 8\n255\n".getBytes ++ new Array[Byte](64)).isEmpty) // wrong magic
     assert(PgmCodec.decode("P5\n0 8\n255\n".getBytes).isEmpty) // zero dim
     assert(PgmCodec.decode(Array.emptyByteArray).isEmpty)
+    // crafted dims whose product wraps Int must quarantine, not crash:
+    // 65536*65536 wraps to exactly 0, 50000*50000 wraps negative
+    assert(PgmCodec.decode("P5\n65536 65536\n255\n".getBytes ++ new Array[Byte](64)).isEmpty)
+    assert(PgmCodec.decode("P5\n50000 50000\n255\n".getBytes ++ new Array[Byte](64)).isEmpty)
   }
 
   test("block-average resize and aHash behave on known images") {

@@ -139,6 +139,27 @@ class PipelineSpec extends AnyFunSuite {
       s"files after compact: ${files("2024-05-01")}/${files("2024-05-02")}")
     val after = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
     assert(after == before)
+    // no leftover swap dirs
+    assert(!new java.io.File(s"$outDir.compacting").exists())
+    assert(!new java.io.File(s"$outDir.old").exists())
+  }
+
+  test("compact bounds files per partition by the requested fan-out") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-compact2").toString
+    (1 to 6).foreach { i =>
+      (i * 100 to i * 100 + 20).map(_.toLong).toDF("event_id")
+        .withColumn("value", lit(1.0))
+        .withColumn("event_date", to_date(lit("2024-06-01")))
+        .repartition(4)
+        .write.mode("append").partitionBy("event_date").parquet(outDir)
+    }
+    val before = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
+    Pipeline.compact(spark, outDir, filesPerPartition = 2)
+    val n = new java.io.File(s"$outDir/event_date=2024-06-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n >= 1 && n <= 2, s"expected <=2 files, got $n")
+    assert(spark.read.parquet(outDir).orderBy("event_id").collect().toSeq == before)
   }
 
   test("schema evolution: later batches with new columns merge on read") {
