@@ -207,6 +207,32 @@ object TextAnalysis {
       .withColumn("accept", col("reject_reason").isNull)
   }
 
+  /** q68: language rebalancing — down-sample over-represented languages to
+    * a per-language cap (the corpus-mixing step of LLM data prep: nothing
+    * above ~30% share). The sampling coin is DETERMINISTIC AND
+    * ENGINE-PORTABLE: the first two hex chars of md5(doc_id) form a
+    * uniform [0,256) draw that Spark and DuckDB compute identically, so
+    * unlike rand()/TABLESAMPLE the exact kept-set is reproducible and
+    * fully SQL-oracled. Keep probability per language =
+    * min(1, cap·N / n_lang); the draw is per-document, so the result is
+    * binomial around the cap, which is how production samplers behave.
+    * Two passes: a tiny per-language count aggregate (broadcast back), and
+    * the filter projection — no corpus shuffle.
+    */
+  def q68LangRebalance(s: SparkSession, dir: String, capShare: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+      // keep_bp: basis points of the 256-sided coin to keep (integer, so
+      // the Spark and DuckDB thresholds agree exactly)
+      .withColumn("keep_lt",
+        least(lit(256L), expr(s"CAST(ceil(256.0 * $capShare * n_total / n_lang) AS BIGINT)")))
+    docs.join(broadcast(counts), Seq("lang"))
+      .withColumn("coin", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .filter(col("coin") < col("keep_lt"))
+      .select(col("doc_id"), col("lang"), col("coin"), col("keep_lt"))
+  }
+
   /** q40: per-language/source corpus stats. */
   def q40LangStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -227,7 +253,8 @@ object TextAnalysis {
     "q58_decontaminate" -> (q58Decontaminate _),
     "q59_doc_frequency" -> (q59DocFrequency _),
     "q64_clean_text"    -> (q64CleanText _),
-    "q65_corpus_filter" -> (q65CorpusFilter _))
+    "q65_corpus_filter" -> (q65CorpusFilter _),
+    "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q36_lang_id" -> {
@@ -350,6 +377,21 @@ object TextAnalysis {
                       END) IS NULL AS accept
           FROM m"""
     },
+    "q68_lang_rebalance" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+          lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+          caps AS (SELECT lang,
+                          least(256, CAST(ceil(256.0 * 0.3 * n_total / n_lang) AS BIGINT)) AS keep_lt
+                   FROM lc CROSS JOIN n),
+          coins AS (
+            SELECT doc_id, lang,
+                   CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                     AS BIGINT) AS coin
+            FROM documents)
+          SELECT c.doc_id, c.lang, c.coin, caps.keep_lt
+          FROM coins c JOIN caps ON c.lang = caps.lang
+          WHERE c.coin < caps.keep_lt""",
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,

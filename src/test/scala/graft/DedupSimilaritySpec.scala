@@ -85,6 +85,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(survivors == Set(2000001L, 2000002L, 2000003L))
   }
 
+  test("q68 rebalancing caps only over-represented languages, deterministically") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val before = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.q68LangRebalance(spark, sf01).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+    val cap = 0.3 * total
+    for ((lang, n) <- before) {
+      if (n <= cap) assert(kept(lang) == n, s"$lang under cap but lost docs")
+      else {
+        // binomial around the cap: within ±30% is far beyond 3 sigma here
+        assert(kept(lang) < n, s"$lang over cap but not sampled")
+        assert(math.abs(kept(lang) - cap) <= 0.3 * cap,
+          s"$lang kept ${kept(lang)} vs cap $cap")
+      }
+    }
+    // deterministic: identical kept-set across runs
+    val a = TextAnalysis.q68LangRebalance(spark, sf01).select("doc_id")
+    val b = TextAnalysis.q68LangRebalance(spark, sf01).select("doc_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("minhash pipeline survives an empty documents table") {
     import spark.implicits._
     // the broadcast-size estimate does sum(n_chars) — SQL NULL on zero
