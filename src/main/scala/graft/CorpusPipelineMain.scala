@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the LLM-corpus pipeline: documents table at an SF
+  * dir → published lang-partitioned clean corpus, printing the per-stage
+  * audit as one JSON line.
+  *
+  * Usage: runMain graft.CorpusPipelineMain <sfDir> <outDir>
+  */
+object CorpusPipelineMain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (_, audit) = CorpusPipeline.run(spark, sfDir, outDir)
+    val stages = audit.collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+    println(s"""{"stages":{$stages},"out":"$outDir"}""")
+    spark.stop()
+  }
+}
