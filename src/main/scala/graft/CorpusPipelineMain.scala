@@ -12,19 +12,11 @@ object CorpusPipelineMain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     val (_, audit) = CorpusPipeline.run(spark, sfDir, outDir)
     val stages = audit.collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
-    println(s"""{"stages":{$stages},"out":"$outDir"}""")
+    println(s"""{"stages":{$stages},"out":"${GraftSession.jsonEscape(outDir)}"}""")
     spark.stop()
   }
 }

@@ -12,19 +12,12 @@ object PipelineMain {
   def main(args: Array[String]): Unit = {
     val Array(rawDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     val published = Pipeline.run(spark, rawDir, outDir)
     val nRows = published.count()
     val nIds = published.select(col("event_id")).distinct().count()
     val nParts = published.select(col("event_date")).distinct().count()
-    println(s"""{"published_rows":$nRows,"distinct_ids":$nIds,"date_partitions":$nParts,"out":"$outDir"}""")
+    println(s"""{"published_rows":$nRows,"distinct_ids":$nIds,"date_partitions":$nParts,"out":"${GraftSession.jsonEscape(outDir)}"}""")
     spark.stop()
   }
 }

@@ -220,14 +220,23 @@ object TextAnalysis {
     * the filter projection — no corpus shuffle.
     */
   def q68LangRebalance(s: SparkSession, dir: String, capShare: Double = 0.3): DataFrame = {
+    val capBp = math.round(capShare * 10000) // integer basis points
     val docs = Tables.documents(s, dir)
+    // n_total as a window sum over the tiny per-lang frame — NOT a second
+    // full corpus scan; keep_lt via integer ceil-division (Spark parses
+    // 256.0*0.3 as DECIMAL, DuckDB as DOUBLE — float/decimal ceil at an
+    // integer boundary is a cross-engine off-by-one waiting to happen)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
-      // keep_bp: basis points of the 256-sided coin to keep (integer, so
-      // the Spark and DuckDB thresholds agree exactly)
+      .withColumn("n_total",
+        sum(col("n_lang")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
       .withColumn("keep_lt",
-        least(lit(256L), expr(s"CAST(ceil(256.0 * $capShare * n_total / n_lang) AS BIGINT)")))
-    docs.join(broadcast(counts), Seq("lang"))
+        least(lit(256L),
+          expr(s"(256 * $capBp * n_total + 10000 * n_lang - 1) DIV (10000 * n_lang)")))
+    // null-safe lang equality: a null-lang document must be SAMPLED like
+    // any other group, not silently dropped by a null-unsafe join
+    docs.join(broadcast(counts), docs("lang") <=> counts("lang"))
+      .drop(counts("lang"))
       .withColumn("coin", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"))
       .filter(col("coin") < col("keep_lt"))
       .select(col("doc_id"), col("lang"), col("coin"), col("keep_lt"))
@@ -378,11 +387,11 @@ object TextAnalysis {
           FROM m"""
     },
     "q68_lang_rebalance" ->
-      """WITH n AS (SELECT count(*) AS n_total FROM documents),
-          lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      """WITH lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
           caps AS (SELECT lang,
-                          least(256, CAST(ceil(256.0 * 0.3 * n_total / n_lang) AS BIGINT)) AS keep_lt
-                   FROM lc CROSS JOIN n),
+                          CAST(least(256, (256 * 3000 * sum(n_lang) OVER () + 10000 * n_lang - 1)
+                                          // (10000 * n_lang)) AS BIGINT) AS keep_lt
+                   FROM lc),
           coins AS (
             SELECT doc_id, lang,
                    CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
@@ -390,7 +399,7 @@ object TextAnalysis {
                      AS BIGINT) AS coin
             FROM documents)
           SELECT c.doc_id, c.lang, c.coin, caps.keep_lt
-          FROM coins c JOIN caps ON c.lang = caps.lang
+          FROM coins c JOIN caps ON c.lang IS NOT DISTINCT FROM caps.lang
           WHERE c.coin < caps.keep_lt""",
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

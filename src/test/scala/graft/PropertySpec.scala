@@ -17,10 +17,16 @@ import graft.operators.Multimodal.PgmCodec
 class PropertySpec extends AnyFunSuite {
   import TestSpark._
 
-  private def forAllSamples[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
-    (0 until n).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+  private def forAllSamples[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    // count executed cases: a generator that starts returning None (e.g. a
+    // future suchThat) must fail the property, not green-light vacuously
+    val executed = (0 until n).count { i =>
+      val s = g.apply(Gen.Parameters.default, Seed(i.toLong))
+      s.foreach(f)
+      s.isDefined
     }
+    assert(executed >= n * 8 / 10, s"only $executed/$n generator samples executed")
+  }
 
   test("PGM encode/decode round-trips arbitrary dims and pixel bytes") {
     val genImg = for {
@@ -51,11 +57,18 @@ class PropertySpec extends AnyFunSuite {
 
   test("rolling hash matches an independent BigInt reference on random unicode text") {
     // one Spark job for the whole sample: per-case jobs would be O(N) jobs
+    // alphabet spans ASCII, BMP multibyte AND astral (surrogate-pair) code
+    // points — an implementation iterating UTF-16 chars instead of code
+    // points would only be caught by the astral cases
+    val astral = Gen.listOf(Gen.choose(0x10000, 0x1FFFF))
+      .map(_.flatMap(cp => Character.toChars(cp).toSeq).mkString)
     val strings = Gen.listOfN(300, Gen.oneOf(
       Gen.asciiPrintableStr,
+      astral,
       Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('的', '是', 'ß', 'é', ' '))).map(_.mkString)))
       .apply(Gen.Parameters.default, Seed(7L)).getOrElse(Nil).distinct
     assert(strings.size > 100)
+    assert(strings.exists(_.exists(Character.isHighSurrogate)), "no astral case generated")
     def reference(s: String): Long = {
       var h = BigInt(0)
       var i = 0
