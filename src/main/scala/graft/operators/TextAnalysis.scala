@@ -222,10 +222,13 @@ object TextAnalysis {
   def q68LangRebalance(s: SparkSession, dir: String, capShare: Double = 0.3): DataFrame = {
     val capBp = math.round(capShare * 10000) // integer basis points
     val docs = Tables.documents(s, dir)
-    // n_total as a window sum over the tiny per-lang frame — NOT a second
-    // full corpus scan; keep_lt via integer ceil-division (Spark parses
-    // 256.0*0.3 as DECIMAL, DuckDB as DOUBLE — float/decimal ceil at an
-    // integer boundary is a cross-engine off-by-one waiting to happen)
+    // n_total as a global-window sum over the per-lang frame — NOT a
+    // second full corpus scan. The "No Partition Defined for Window"
+    // warning this emits is expected and harmless: the frame is bounded
+    // by the number of LANGUAGES, not corpus rows. keep_lt via integer
+    // ceil-division (Spark parses 256.0*0.3 as DECIMAL, DuckDB as DOUBLE
+    // — float/decimal ceil at an integer boundary is a cross-engine
+    // off-by-one waiting to happen)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       .withColumn("n_total",
         sum(col("n_lang")).over(org.apache.spark.sql.expressions.Window
