@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the SURVEY §8 plan-audit invariants, pinned
+  * as assertions so a lost broadcast hint / extra shuffle fails the suite
+  * instead of only surfacing as a bench regression. Counts are taken on
+  * the static (pre-AQE) physical plan, which is deterministic at this SF.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // executedPlan (AQE-wrapped initial plan): sparkPlan predates
+  // EnsureRequirements, so exchanges don't exist there yet; codegen stages
+  // print as `*(n)` markers here
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(p: String, token: String): Int =
+    // "Exchange" must not also match "BroadcastExchange" — a broadcast is
+    // not a shuffle of the data
+    (if (token == "Exchange") "(?<!Broadcast)Exchange" else token)
+      .r.findAllIn(p).length
+
+  test("q01 pricing summary aggregates through exactly one exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(count(p, "Exchange") == 1, p)
+  }
+
+  test("q06 selective aggregate is single-exchange with pushed filters") {
+    val p = plan("q06_selective_agg")
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("q05 star join broadcasts every dimension; lineitem is never sort-merged") {
+    val p = plan("q05_multi_join")
+    assert(count(p, "BroadcastHashJoin") >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q20 sessionization shuffles exactly once (user_id)") {
+    val p = plan("q20_sessionize")
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q33 brute-force kNN broadcasts queries and shuffles only for the top-k window") {
+    val p = plan("q33_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "Exchange") == 1, p)
+    // per-partition top-k pruning before that exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("pure-projection operators plan with zero exchanges") {
+    for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q:\n$p")
+    }
+  }
+
+  test("q39 fingerprint runs the native expression inside whole-stage codegen") {
+    val p = plan("q39_fingerprint")
+    assert(p.toLowerCase.contains("rollinghash"), p)
+    assert(p.contains("*("), p) // whole-stage-codegen stage marker
+  }
+}
