@@ -60,7 +60,7 @@ object Similarity {
   private def withTableBuckets(df: DataFrame, v: String): DataFrame =
     df.select(col("*"), explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("t"), bucketCol(t, col(v)).as("b"))): _*)).as("tb"))
-      .select(df.columns.map(col) :+ col("tb.t").as("t") :+ col("tb.b").as("b"): _*)
+      .select((df.columns.map(col).toIndexedSeq :+ col("tb.t").as("t") :+ col("tb.b").as("b")): _*)
 
   /** q34: multi-table random-hyperplane LSH approximate top-k. Candidates
     * are the union over tables of same-bucket vectors (deduplicated before
@@ -115,7 +115,7 @@ object Similarity {
     * ordering gives max-cosine with ties broken toward the smaller cell id.
     */
   private[graft] def scoredCells(v: Column, centers: Array[Array[Double]]): Column =
-    array(centers.zipWithIndex.map { case (c, i) =>
+    array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(round(VectorOps.cosine(v, typedlit(c.toSeq)), 6).as("cs"),
              lit(-i).as("negcell"))
     }: _*)

@@ -26,7 +26,7 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
+    df.withColumn("_salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
@@ -41,7 +41,7 @@ object Skew {
                  saltFactor: Int = 16): DataFrame = {
     // deterministic per-row salt (see saltedCountSum note on retry safety)
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
