@@ -253,8 +253,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rs.last._2 >= 0.8, s"nprobe=8 recall ${rs.last._2} < 0.8")
   }
 
-  test("q34 LSH recall vs q33 exact baseline is nonzero") {
-    assert(meanRecallVsExact(Similarity.q34KnnLsh(spark, sf)) > 0.0)
+  test("q34 LSH recall vs q33 exact baseline meets its deterministic floor") {
+    // hyperplanes are seeded and the data is fixed, so recall is a
+    // constant of the build — pin it instead of accepting any nonzero.
+    // (Near-orthogonal synthetic vectors are LSH's worst case; q48 IVF is
+    // the high-recall path at 0.84.)
+    val r1 = meanRecallVsExact(Similarity.q34KnnLsh(spark, sf))
+    val r2 = meanRecallVsExact(Similarity.q34KnnLsh(spark, sf01), sf01)
+    assert(r1 >= 0.25, s"sf0.001 recall $r1") // measured 0.28
+    assert(r2 >= 0.25, s"sf0.01 recall $r2")  // measured 0.32
+    info(s"q34 recall@5: sf0.001=$r1 sf0.01=$r2")
   }
 
   test("q54 cell-blocked embedding dedup recovers q32's pairs with a bounded candidate set") {
