@@ -247,6 +247,33 @@ object Dedup {
         expr("(simhash >> 48) & 65535").as("band3"))
   }
 
+  /** q69: SimHash near-dup PAIRS — the step q30 stopped short of: the four
+    * 16-bit hamming bands become (band_id, sig) buckets, pair expansion
+    * runs through the same capped [[expandPairs]] as the minhash paths,
+    * and candidates are confirmed by true hamming distance
+    * (`bit_count(ha XOR hb)`).
+    *
+    * For `maxHamming` ≤ 3 the result is EXACT, not approximate: 3
+    * differing bits can touch at most 3 of the 4 bands, so every such pair
+    * shares a band (pigeonhole) — DedupSimilaritySpec asserts equality
+    * with brute-force all-pairs hamming at sf0.001. Rows-only (xxhash64
+    * simhashes have no SQL mirror).
+    */
+  def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = q30DedupSimhash(s, dir).localCheckpoint() // tiny: one row/doc
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band_id"), col(s"band$b").as("sig")))
+    val sigs = sh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+    expandPairs(s, sigs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** q31: exact n-gram Jaccard, evaluated only on LSH candidate pairs.
     *
     * Scale shape: ONE full-corpus shingle scan (inside the LSH candidate
@@ -476,6 +503,7 @@ object Dedup {
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
+    "q69_dedup_simhash_pairs" -> ((s, dir) => q69DedupSimhashPairs(s, dir)),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),
     "q32_dedup_embedding" -> (q32DedupEmbedding _),

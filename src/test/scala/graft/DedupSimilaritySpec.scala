@@ -25,6 +25,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("q69 simhash pairs are EXACTLY the brute-force hamming<=3 pairs (pigeonhole)") {
+    // 3 differing bits touch at most 3 of the 4 bands, so banding loses
+    // nothing at maxHamming=3 — assert exact equality with all-pairs
+    val sims = Dedup.q30DedupSimhash(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, ha) <- sims; (idb, hb) <- sims if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Dedup.q69DedupSimhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"banded=${got.size} brute=${expected.size}")
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)
