@@ -12,12 +12,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * [[VectorOps.cosine]]. Semantics match the zip_with/aggregate fold
   * EXACTLY, including the degenerate inputs: unequal lengths or a null
   * element yield SQL NULL (zip_with pads with null → the fold goes null),
-  * so [[graft.plans.CosineFusion]]'s global rewrite is semantics-
-  * preserving, not just fast on well-formed vectors. Accumulation order
+  * and a zero-norm or empty input behaves like the composed form's
+  * `Divide` by a zero divisor — an ArithmeticException under ANSI mode
+  * (the Spark 4 default), SQL NULL under non-ANSI — never the raw
+  * kernel's NaN. `failOnError` is resolved from `SQLConf` at analysis
+  * time exactly as `Divide.evalMode` is, so
+  * [[graft.plans.CosineFusion]]'s global rewrite is semantics-preserving
+  * in both modes, not just fast on well-formed vectors. Accumulation order
   * matches the fold (and DuckDB's list_inner_product), so results are
   * bit-identical to the composed version.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -57,7 +63,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // divisor 0 (empty or zero-norm input): mirror Divide — ANSI throws,
+    // non-ANSI yields SQL NULL. (sqrt(na)*sqrt(nb) == 0 iff na or nb is 0:
+    // sqrt maps the smallest denormal to ~2.2e-162, whose square rounds
+    // back to a nonzero denormal, so the product never underflows to 0.)
+    if (na == 0.0 || nb == 0.0) {
+      if (failOnError) throw CosineSimilarity.divideByZeroError() else null
+    } else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -79,7 +91,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${if (failOnError) "throw graft.functions.CosineSimilarity.divideByZeroError();"
+                 else s"${ev.isNull} = true;"}
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin
@@ -89,4 +106,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** The ANSI-mode zero-divisor error. `QueryExecutionErrors
+    * .divideByZeroError` is `private[sql]`, so this mirrors its message;
+    * a `SparkArithmeticException` IS-A `ArithmeticException`, so callers
+    * catching Divide's error class-hierarchy behave identically.
+    */
+  def divideByZeroError(): ArithmeticException =
+    new ArithmeticException(
+      "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
+        "divisor being 0 and return NULL instead. If necessary set " +
+        "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error. " +
+        "SQLSTATE: 22012")
 }

@@ -106,10 +106,17 @@ object Dedup {
     * the quadratic pair explosion the cap prevents. The default sits far
     * above anything a real LSH bucket reaches, so oracle output is
     * unchanged; the cap path is spec-forced in DedupSimilaritySpec.
+    *
+    * `capOverride = Some(n)` replaces the configured cap (use
+    * `Some(Int.MaxValue)` to disable it): paths whose output is claimed
+    * EXACT — q69's pigeonhole guarantee — must not silently lose pairs to
+    * a dropped hot bucket, so they opt out of the guard explicitly and
+    * own the quadratic risk (documented at the call site).
     */
-  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame = {
-    val maxBucket = s.conf.getOption("graft.dedup.maxBucketSize")
-      .map(_.toInt).getOrElse(4096)
+  private def expandPairs(s: SparkSession, sigs: DataFrame,
+                          capOverride: Option[Int] = None): DataFrame = {
+    val maxBucket = capOverride.getOrElse(
+      s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt).getOrElse(4096))
     sigs
       .groupBy(col("band_id"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -207,17 +214,37 @@ object Dedup {
   }
 
   /** The refresh loop closed: dedupe a new batch against the published
-    * state, then append the survivors to the corpus AND their band
+    * state, collapse near-dups WITHIN the batch (candidate pairs →
+    * connected components → keep-min-id — without this, two near-identical
+    * docs arriving in one batch would both be appended to the corpus and
+    * the signature table permanently, a leak the batch path would have
+    * caught), then append the survivors to the corpus AND their band
     * signatures to the signature table — so the next batch dedupes against
-    * everything published so far, including this batch. The survivor frame
-    * is localCheckpointed first: it cuts the lineage that reads `sigDir`
-    * before we append to that same path (appending to a path a lazy plan
-    * still reads is a correctness hazard), and makes the two writes share
-    * one computation.
+    * everything published so far, including this batch.
+    *
+    * Bootstrap: a missing/empty `sigDir` means nothing is published yet —
+    * the first batch skips the anti-join instead of failing on the read.
+    *
+    * The survivor frame is localCheckpointed: it cuts the lineage that
+    * reads `sigDir` before we append to that same path (appending to a
+    * path a lazy plan still reads is a correctness hazard), and makes the
+    * two writes share one computation.
     */
   def publishBatch(newDocs: DataFrame, corpusDir: String, sigDir: String): Unit = {
     val s = newDocs.sparkSession
-    val survivors = dedupeIncremental(newDocs, s.read.parquet(sigDir)).localCheckpoint()
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = sigPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vsPublished =
+      if (fs.exists(sigPath)) dedupeIncremental(newDocs, s.read.parquet(sigDir))
+      else newDocs
+    // within-batch collapse on what's left: checkpoint first so the pair
+    // pipeline and the anti-join consume one computation of the frame
+    val fresh = vsPublished.localCheckpoint()
+    val losers = connectedComponents(
+        fastCandidatePairs(fresh).select(col("doc_a"), col("doc_b")))
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
+    val survivors = fresh.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
     survivors.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
     fastBandSignaturesOf(survivors)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
@@ -256,7 +283,14 @@ object Dedup {
     * For `maxHamming` ≤ 3 the result is EXACT, not approximate: 3
     * differing bits can touch at most 3 of the 4 bands, so every such pair
     * shares a band (pigeonhole) — DedupSimilaritySpec asserts equality
-    * with brute-force all-pairs hamming at sf0.001. Rows-only (xxhash64
+    * with brute-force all-pairs hamming at sf0.001. Because the guarantee
+    * is exactness, this path runs [[expandPairs]] UNCAPPED (the hot-bucket
+    * guard would silently drop true hamming ≤ 3 pairs from an over-cap
+    * band bucket): a band bucket here is a set of documents sharing 16
+    * simhash bits, so an adversarially huge bucket means that many
+    * near-identical docs and the n² expansion is the honest price of the
+    * exact answer — callers that prefer the bounded-work approximation
+    * can pre-collapse exact dupes (q28) first. Rows-only (xxhash64
     * simhashes have no SQL mirror).
     */
   def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
@@ -266,7 +300,7 @@ object Dedup {
     val sigs = sh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
-    expandPairs(s, sigs)
+    expandPairs(s, sigs, capOverride = Some(Int.MaxValue))
       .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))

@@ -20,14 +20,51 @@ import graft.functions.CosineSimilarity
   */
 object CosineFusion extends Rule[LogicalPlan] {
 
-  /** Matches the HOF dot-product shape and returns its two array inputs. */
+  /** Matches the HOF dot-product shape and returns its two array inputs.
+    *
+    * The match is strict, not structural-ish: the merge lambda must be
+    * exactly `(acc, v) -> acc + v` over its own two declared variables
+    * (an `acc + abs(v)` or `acc + v + 1` fold is NOT a dot product), and
+    * the finish lambda must be the identity (`acc -> acc` — the form
+    * `functions.aggregate` emits when no finish is given). Anything looser
+    * would rewrite folds that merely *contain* an Add into plain cosine
+    * and silently change results.
+    */
   private def dotOf(e: Expression): Option[(Expression, Expression)] = e match {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(mul: Multiply, _, _)),
-        zero, LambdaFunction(_: Add, _, _), _)
-      if isZeroLiteral(zero) && isLambdaProduct(mul) => Some((a, b))
+        zero,
+        LambdaFunction(add: Add, mergeArgs, _),
+        LambdaFunction(finBody, finArgs, _))
+      if isZeroLiteral(zero) && isLambdaProduct(mul) &&
+         isPlainSum(add, mergeArgs) && isIdentity(finBody, finArgs) => Some((a, b))
     case _ => None
   }
+
+  /** The merge must be an Add whose operands are exactly the two declared
+    * lambda variables (in either order — IEEE double addition commutes).
+    */
+  private def isPlainSum(add: Add, args: Seq[NamedExpression]): Boolean = args match {
+    case Seq(x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+      def is(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+        case n: NamedLambdaVariable => n.exprId == v.exprId
+        case _ => false
+      }
+      (is(add.left, x) && is(add.right, y)) || (is(add.left, y) && is(add.right, x))
+    case _ => false
+  }
+
+  /** The finish lambda must be the identity: its body is its own single
+    * declared variable.
+    */
+  private def isIdentity(body: Expression, args: Seq[NamedExpression]): Boolean =
+    args match {
+      case Seq(v: NamedLambdaVariable) => body match {
+        case n: NamedLambdaVariable => n.exprId == v.exprId
+        case _ => false
+      }
+      case _ => false
+    }
 
   private def isZeroLiteral(e: Expression): Boolean = e match {
     case Literal(0.0, DoubleType) => true

@@ -47,6 +47,27 @@ class CosineFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("folds that merely contain an Add do not fuse (strict merge + finish match)") {
+    withExtSession { s2 =>
+      val df = s2.read.parquet(s"$sf/embeddings.parquet").limit(20)
+      def prods = zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double"))
+      // merge is acc + abs(v): an Add, but not THE plain-sum fold — the
+      // dot/(sqrt*sqrt) wrapper must not mis-fuse it into cosine
+      def absDot = aggregate(prods, lit(0.0), (acc, v) => acc + abs(v))
+      val absMerge = df.select((absDot / (sqrt(absDot) * sqrt(absDot))).as("m"))
+      val p1 = absMerge.queryExecution.optimizedPlan.toString
+      assert(!p1.contains("cosinesimilarity"), p1)
+      assert(absMerge.count() == 20)
+      // finish scales the accumulator: identity-finish requirement must block
+      def scaledDot = aggregate(prods, lit(0.0), (acc, v) => acc + v, acc => acc * lit(2.0))
+      val scaledFin = df.select((scaledDot / (sqrt(scaledDot) * sqrt(scaledDot))).as("m"))
+      val p2 = scaledFin.queryExecution.optimizedPlan.toString
+      assert(!p2.contains("cosinesimilarity"), p2)
+      assert(scaledFin.count() == 20)
+    }
+  }
+
   test("non-cosine HOF shapes are left untouched") {
     withExtSession { s2 =>
       val df = s2.read.parquet(s"$sf/embeddings.parquet").limit(20)

@@ -41,6 +41,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expected, s"banded=${got.size} brute=${expected.size}")
   }
 
+  test("q69 exactness survives a forced tiny hot-bucket cap (cap bypassed on the exact path)") {
+    // the hot-bucket guard must NOT apply to q69: a dropped band bucket
+    // would silently lose true hamming<=3 pairs and void the pigeonhole
+    // guarantee. Force the cap to 2 and assert output is unchanged.
+    val unforced = Dedup.q69DedupSimhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.dedup.maxBucketSize", "2")
+    try {
+      val forced = Dedup.q69DedupSimhashPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(forced == unforced, "q69 output changed under a forced cap — exactness voided")
+    } finally spark.conf.unset("graft.dedup.maxBucketSize")
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)
@@ -183,6 +197,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val corpus = spark.read.parquet(corpusDir)
     assert(corpus.filter(col("doc_id") === 7000002L).count() == 0, "dup of batch B leaked")
     assert(corpus.filter(col("doc_id") === 7000003L).count() == 1)
+  }
+
+  test("publishBatch collapses near-dups WITHIN a batch and bootstraps a missing sigDir") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-pub-boot").toString
+    val (corpusDir, sigDir) = (s"$base/corpus", s"$base/sigs")
+    // sigDir does not exist: the very first publish must work (bootstrap),
+    // and the two near-identical docs inside the batch must collapse to
+    // the min-id survivor instead of both being published
+    val batch = Seq(
+      (1L, "within batch duplicate text alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "within batch duplicate text alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "a genuinely different document iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    Dedup.publishBatch(batch, corpusDir, sigDir)
+    val published = spark.read.parquet(corpusDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(published == Set(1L, 3L), s"expected within-batch collapse to {1,3}, got $published")
+    // the loser's signatures must not be in the table either: a later
+    // re-send of the same text under a new id still dedupes against id 1
+    val resend = Seq((9L, "within batch duplicate text alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Dedup.publishBatch(resend, corpusDir, sigDir)
+    val after = spark.read.parquet(corpusDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L), s"re-sent dup leaked: $after")
   }
 
   test("connected components collapse transitive chains to one survivor") {

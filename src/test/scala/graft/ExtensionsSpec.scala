@@ -64,6 +64,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hofDf.head().isNullAt(0))
   }
 
+  test("native cosine mirrors Divide on zero-norm/empty arrays: ANSI throws, non-ANSI NULL") {
+    graft.plans.GraftExtensions.register(spark)
+    def firstRow(sql: String) = spark.sql(sql).head()
+    def rootIsDivByZero(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[ArithmeticException] ||
+        (t.getMessage != null && t.getMessage.contains("DIVIDE_BY_ZERO")) ||
+        rootIsDivByZero(t.getCause))
+    val hofZeroNorm =
+      """aggregate(zip_with(array(0.0D, 0.0D), array(1.0D, 2.0D), (x, y) -> x * y),
+                   0.0D, (a, v) -> a + v) /
+         (sqrt(aggregate(zip_with(array(0.0D, 0.0D), array(0.0D, 0.0D), (x, y) -> x * y),
+                         0.0D, (a, v) -> a + v)) *
+          sqrt(aggregate(zip_with(array(1.0D, 2.0D), array(1.0D, 2.0D), (x, y) -> x * y),
+                         0.0D, (a, v) -> a + v)))"""
+    // ANSI (the Spark 4 default in every graft session): the composed form
+    // throws DIVIDE_BY_ZERO, so the fused kernel must throw too — not NaN
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true", "precondition: ANSI default")
+    assert(rootIsDivByZero(intercept[Exception] {
+      firstRow(s"SELECT $hofZeroNorm AS c") }), "HOF reference must throw under ANSI")
+    assert(rootIsDivByZero(intercept[Exception] {
+      firstRow("SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c") }),
+      "native kernel must throw under ANSI like Divide")
+    assert(rootIsDivByZero(intercept[Exception] {
+      firstRow("SELECT graft_cosine(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS c") }),
+      "empty arrays are a zero divisor too")
+    // non-ANSI: Divide yields SQL NULL — so must the kernel (never NaN)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val r = firstRow(
+        s"""SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS zleft,
+                   graft_cosine(array(1.0D, 2.0D), array(0.0D, 0.0D)) AS zright,
+                   graft_cosine(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS empty,
+                   $hofZeroNorm AS hof""")
+      assert(r.isNullAt(0), "zero-norm left must be NULL, not NaN")
+      assert(r.isNullAt(1), "zero-norm right must be NULL, not NaN")
+      assert(r.isNullAt(2), "empty arrays must be NULL, not NaN")
+      assert(r.isNullAt(3), "HOF reference must itself be NULL non-ANSI")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("native rolling hash is bit-identical to the HOF fold, incl. multibyte text") {
     val d = Tables.documents(spark, sf)
       .select(
