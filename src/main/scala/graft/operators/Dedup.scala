@@ -351,6 +351,27 @@ object Dedup {
               (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
   }
 
+  /** q70: edit-distance confirmation of the LSH candidate pairs — the
+    * character-level verifier a fuzzy-dedup pipeline runs after banding
+    * (shingle Jaccard catches word-level similarity, Levenshtein catches
+    * character-level edits like OCR noise). `levenshtein` is O(|a|·|b|)
+    * per pair, which is exactly why it only ever runs on the
+    * LSH-candidate set, never all pairs; the normalized distance is
+    * integer basis points of the longer text (the engine-portable ratio
+    * form — see q65's rounding note).
+    */
+  def q70EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("edit_distance", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("edit_distance"),
+        expr("edit_distance * 10000 DIV greatest(greatest(length(ta), length(tb)), 1)")
+          .as("norm_bp"))
+  }
+
   /** Connected components over an undirected pair graph via iterative
     * min-label propagation, entirely join-based (no driver-side union-find:
     * the only driver state is the loop counter + convergence flag).
@@ -506,6 +527,18 @@ object Dedup {
           FROM inter i
           JOIN sizes ca ON ca.doc_id = i.doc_a
           JOIN sizes cb ON cb.doc_id = i.doc_b""",
+    "q70_edit_distance" ->
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id)
+          SELECT c.doc_a, c.doc_b,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) * 10000
+                   // greatest(greatest(length(da.text), length(db.text)), 1) AS norm_bp
+          FROM cand c
+          JOIN documents da ON da.doc_id = c.doc_a
+          JOIN documents db ON db.doc_id = c.doc_b""",
     "q56_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -539,6 +572,7 @@ object Dedup {
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q69_dedup_simhash_pairs" -> ((s, dir) => q69DedupSimhashPairs(s, dir)),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
+    "q70_edit_distance"   -> (q70EditDistance _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),
     "q32_dedup_embedding" -> (q32DedupEmbedding _),
     "q54_dedup_embedding_cells" -> ((s, dir) => q54DedupEmbeddingCells(s, dir)))

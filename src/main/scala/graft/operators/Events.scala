@@ -200,6 +200,31 @@ object Events {
         col("value_ffill"))
   }
 
+  /** q71: rolling-window analytics per user — 7-event moving average and
+    * running total of `value`, the smoothing/cumulative primitives of a
+    * telemetry dashboard. One user_id shuffle, then both frames compute
+    * in-partition over the same sort (a single Window exec).
+    *
+    * Everything runs in INTEGER CENTS: `value` is 2-decimal by
+    * construction, and a windowed double sum is NOT oracle-safe — DuckDB
+    * evaluates sliding frames with a segment tree, so its summation order
+    * differs from Spark's running accumulation, and last-ulp drift would
+    * flip round()'s half-boundary. Integer sums are order-free; the moving
+    * average is exact basis-cents (sum*100 DIV n).
+    */
+  def q71MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cum_cents", sum(col("cents")).over(wcum))
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .select(col("user_id"), col("event_id"), col("cents"), col("cum_cents"),
+        expr("sum7 * 100 DIV n7").as("mavg7_cents_x100"))
+  }
+
   /** q47: the same attribution as q24, but executed by the custom
     * whole-operator as-of join ([[graft.plans.AsOfJoinExec]]): one
     * exchange+sort per side then an O(1)-state merge scan — checked
@@ -228,7 +253,8 @@ object Events {
     "q26_event_gaps"       -> (q26EventGaps _),
     "q27_first_last"       -> (q27FirstLast _),
     "q60_trip_metrics"     -> (q60TripMetrics _),
-    "q62_resample_ffill"   -> (q62ResampleFfill _))
+    "q62_resample_ffill"   -> (q62ResampleFfill _),
+    "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
     "q20_sessionize" ->
@@ -349,6 +375,23 @@ object Events {
                 obs_value IS NOT NULL AS is_observed,
                 value_ffill
          FROM j""",
+    "q71_moving_avg" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, cents,
+                  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+                  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7,
+                  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+           FROM e)
+         SELECT user_id, event_id, cents, cum_cents,
+                sum7 * 100 // n7 AS mavg7_cents_x100
+         FROM w""",
     "q27_first_last" ->
       """SELECT user_id,
                 min_by(event_type, event_id) AS first_type,

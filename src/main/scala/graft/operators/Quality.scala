@@ -86,10 +86,62 @@ object Quality {
         s"stack(${cols.size}, $stack) AS (column, approx_distinct, p50, p95)"))
   }
 
+  /** q72: fixed-width value histogram over events — the distribution
+    * summary a profiling pass publishes next to min/max. Buckets are
+    * 50-unit (5000-cent) ranges over the integer-cents domain (`value` is
+    * 2-decimal by construction; floor-division on integers is
+    * engine-exact, where `floor(value/50)` on doubles can straddle a
+    * binary boundary). One map-side-combining aggregate to |buckets| rows;
+    * the share denominator is a global-window sum over that tiny frame,
+    * not a second corpus scan.
+    */
+  def q72ValueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(expr("cents DIV 5000").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .withColumn("n_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("bucket"), (col("bucket") * 5000L).as("bucket_lo_cents"),
+        col("n"), col("min_cents"), col("max_cents"),
+        expr("n * 10000 DIV n_total").as("share_bp"))
+
+  /** q73: IQR outlier detection per event type — the Tukey-fence variant
+    * of a data-quality sweep (flag values below p25−1.5·IQR or above
+    * p75+1.5·IQR). Quartiles run over integer cents, so the interpolation
+    * fractions are exact quarters and every bound is an exact double both
+    * engines compute identically — the `<` comparisons cannot ulp-flip.
+    * Two passes over events (quartile agg → tiny broadcast → counting
+    * agg); at 100 TB the first pass could switch to the q67 sketch
+    * quantiles, trading oracle-exactness for one pass.
+    */
+  def q73Outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select(col("event_type"), col("cents"))
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.25)").as("p25"),
+           expr("percentile(cents, 0.75)").as("p75"))
+      .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+      .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        round(min(col("p25")), 4).as("p25_cents"),
+        round(min(col("p75")), 4).as("p75_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_qa_report" -> (q55QaReport _),
     "q66_profile"   -> (q66Profile _),
-    "q67_sketch_profile" -> (q67SketchProfile _))
+    "q67_sketch_profile" -> (q67SketchProfile _),
+    "q72_value_histogram" -> (q72ValueHistogram _),
+    "q73_outliers"  -> (q73Outliers _))
 
   val oracles: Map[String, String] = Map(
     "q55_qa_report" ->
@@ -110,6 +162,31 @@ object Quality {
            FROM lineitem l
            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
          SELECT * FROM base CROSS JOIN orph""",
+    "q72_value_histogram" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         b AS (SELECT cents // 5000 AS bucket, count(*) AS n,
+                      min(cents) AS min_cents, max(cents) AS max_cents
+               FROM e GROUP BY 1)
+         SELECT bucket, bucket * 5000 AS bucket_lo_cents, n, min_cents, max_cents,
+                n * 10000 // CAST(sum(n) OVER () AS BIGINT) AS share_bp
+         FROM b""",
+    "q73_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         p AS (SELECT event_type,
+                      quantile_cont(cents, 0.25) AS p25,
+                      quantile_cont(cents, 0.75) AS p75
+               FROM e GROUP BY event_type),
+         f AS (SELECT event_type, p25, p75,
+                      p25 - (p75 - p25) * 1.5 AS lo,
+                      p75 + (p75 - p25) * 1.5 AS hi
+               FROM p)
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                round(min(p25), 4) AS p25_cents,
+                round(min(p75), 4) AS p75_cents
+         FROM e JOIN f USING (event_type)
+         GROUP BY e.event_type""",
     "q66_profile" ->
       """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -225,13 +225,37 @@ object Similarity {
         round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 
+  /** q76: per-vector hygiene stats — L2 norm, extreme components and
+    * dimensionality, the validation pass an embedding store runs on ingest
+    * (catching zero/denormal vectors before they hit cosine kernels, and
+    * dimension drift before it breaks an index). Pure projection — no
+    * shuffle at any scale; the norm uses the same left-to-right HOF fold
+    * as every other vector op ([[VectorOps.dot]] ≡ DuckDB's
+    * list_inner_product accumulation order).
+    */
+  def q76VectorStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(sqrt(VectorOps.dot(col("embedding"), col("embedding"))), 4).as("l2_norm"),
+        round(expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 4).as("max_comp"),
+        round(expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 4).as("min_comp"),
+        size(col("embedding")).cast("long").as("n_dims"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
-    "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)))
+    "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
+    "q76_vector_stats" -> (q76VectorStats _))
 
   val oracles: Map[String, String] = Map(
+    "q76_vector_stats" ->
+      """SELECT vec_id, label,
+                round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
+                round(list_max(embedding::DOUBLE[]), 4) AS max_comp,
+                round(list_min(embedding::DOUBLE[]), 4) AS min_comp,
+                CAST(len(embedding) AS BIGINT) AS n_dims
+         FROM embeddings""",
     "q33_knn_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
          c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -245,6 +245,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("coin"), col("keep_lt"))
   }
 
+  /** q74: deterministic train/val/test assignment — the split step of
+    * dataset publication. Reuses q68's engine-portable md5 coin (first two
+    * hex chars of md5(doc_id) = a uniform [0,256) draw both engines
+    * compute identically): coin < 204 → train (~80%), < 230 → val (~10%),
+    * else test — so the exact membership of every split is reproducible
+    * from doc_id alone (re-running on a grown corpus never reshuffles old
+    * docs between splits, unlike rand()). Pure projection, no shuffle.
+    */
+  def q74TrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("coin",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("coin"),
+        when(col("coin") < 204, "train")
+          .when(col("coin") < 230, "val")
+          .otherwise("test").as("split"))
+
+  /** q75: bigram collocation statistics — adjacent-word-pair counts and
+    * document frequency over the corpus (the phrase-mining / tokenizer-
+    * merge-candidate input). Same shape as q59: one explode + one
+    * map-side-combining shuffle on the bigram, result bounded to the
+    * published vocabulary (doc_freq ≥ 5).
+    */
+  def q75BigramStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= 5)
+
   /** q40: per-language/source corpus stats. */
   def q40LangStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -266,7 +300,9 @@ object TextAnalysis {
     "q59_doc_frequency" -> (q59DocFrequency _),
     "q64_clean_text"    -> (q64CleanText _),
     "q65_corpus_filter" -> (q65CorpusFilter _),
-    "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)))
+    "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)),
+    "q74_train_split"   -> (q74TrainSplit _),
+    "q75_bigram_stats"  -> (q75BigramStats _))
 
   val oracles: Map[String, String] = Map(
     "q36_lang_id" -> {
@@ -404,6 +440,26 @@ object TextAnalysis {
           SELECT c.doc_id, c.lang, c.coin, caps.keep_lt
           FROM coins c JOIN caps ON c.lang IS NOT DISTINCT FROM caps.lang
           WHERE c.coin < caps.keep_lt""",
+    "q74_train_split" ->
+      """WITH coins AS (
+           SELECT doc_id, lang,
+                  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                    AS BIGINT) AS coin
+           FROM documents)
+         SELECT doc_id, lang, coin,
+                CASE WHEN coin < 204 THEN 'train'
+                     WHEN coin < 230 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM coins""",
+    "q75_bigram_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) i
+                 FROM t WHERE len(w) >= 2),
+          bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM ix)
+          SELECT bigram, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS doc_freq
+          FROM bg GROUP BY bigram HAVING count(DISTINCT doc_id) >= 5""",
     "q40_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -92,6 +92,19 @@ object EventStream {
     * state is just that batch's signatures; nothing accumulates between
     * batches (the published table grows only via the batch publish step).
     */
+  /** s05: stream-static enrichment join — each micro-batch of events is
+    * joined against a static dimension frame (the published user → segment
+    * mapping of an enrich-on-ingest pipeline). The join is STATELESS: the
+    * static side is re-planned per micro-batch (so a dim refresh on disk is
+    * picked up) and broadcast while it's dim-sized, and no streaming state
+    * accumulates — the shape to prefer over a stream-stream join whenever
+    * one side is slowly-changing reference data. Left join: an event whose
+    * user is missing from the dim must flow through with a null segment,
+    * not be dropped on the ingest path.
+    */
+  def enrich(events: Dataset[Event], userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   def dedupDocStream(
       docs: DataFrame, publishedSigs: DataFrame)(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

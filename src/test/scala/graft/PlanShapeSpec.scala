@@ -55,10 +55,26 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pure-projection operators plan with zero exchanges") {
-    for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint")) {
+    for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint",
+                  "q74_train_split", "q76_vector_stats")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q:\n$p")
     }
+  }
+
+  test("q71 moving averages compute both frames over ONE user_id exchange") {
+    val p = plan("q71_moving_avg")
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // both frames reuse one sort: exactly one Sort below the windows
+    assert(count(p, "Sort \\[") == 1, p)
+  }
+
+  test("q73 outlier fences come back as a broadcast, not a corpus shuffle") {
+    val p = plan("q73_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only data shuffles are the two event_type aggregations
+    assert(count(p, "Exchange") <= 2, p)
   }
 
   test("q39 fingerprint runs the native expression inside whole-stage codegen") {

@@ -122,6 +122,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s05 stream-static enrichment joins every micro-batch against the static dim") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // user 3 is deliberately absent from the dim: left-join semantics must
+    // pass its events through with a null segment, not drop them
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    def ev(id: Long, uid: Long) =
+      Event(id, new java.sql.Timestamp(1700000000000L + id * 1000L), uid, "click", 1.0)
+    val ms = MemoryStream[Event]
+    val q = EventStream.enrich(ms.toDS(), dim)
+      .writeStream.format("memory").queryName("s05").outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 1), ev(2, 2), ev(3, 3)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, 1))) // a second micro-batch joins too
+      q.processAllAvailable()
+      val rows = s.table("s05").select(col("event_id"), col("segment"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"),
+        3L -> None, 4L -> Some("gold")))
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
