@@ -92,6 +92,31 @@ object EventStream {
     * state is just that batch's signatures; nothing accumulates between
     * batches (the published table grows only via the batch publish step).
     */
+  /** s06: watermarked stream-stream join — purchases matched to the same
+    * user's clicks within the preceding hour, with BOTH sides streaming
+    * (the online form of the q24 attribution, restricted to a bounded
+    * lookback as streaming requires). The time-bound join condition plus
+    * per-side watermarks let Spark garbage-collect buffered rows: a click
+    * older than (purchase watermark − 1 h) can never match again, so
+    * state is bounded by one hour of traffic per side regardless of how
+    * long the streams run — the difference between a stream-stream join
+    * that survives a year of uptime and one that OOMs.
+    */
+  def attributeStream(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = views
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour"))
+      .select(col("p_event_id"), col("user_id"), col("v_event_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** s05: stream-static enrichment join — each micro-batch of events is
     * joined against a static dimension frame (the published user → segment
     * mapping of an enrich-on-ingest pipeline). The join is STATELESS: the

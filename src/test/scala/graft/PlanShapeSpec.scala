@@ -77,6 +77,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 2, p)
   }
 
+  test("runtime bloom filter is injected on the fact side of a selective shuffle join") {
+    // the 100 TB shape: when a dim side carries a selective predicate and
+    // the join must shuffle (no broadcast), Spark can build a bloom filter
+    // from the dim keys and push it into the fact scan — rows that cannot
+    // join die before the exchange. Thresholds are tuned down because the
+    // test data is tiny; the assertion is that the rewrite FIRES, which is
+    // what a lost conf or a join-shape change would silently break.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val f = Tables.orders(spark, sf).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val joined = Tables.lineitem(spark, sf)
+        .join(f, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      // the injected probe on the fact side + the builder agg on the dim side
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q39 fingerprint runs the native expression inside whole-stage codegen") {
     val p = plan("q39_fingerprint")
     assert(p.toLowerCase.contains("rollinghash"), p)

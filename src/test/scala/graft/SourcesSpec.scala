@@ -37,6 +37,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(li).count() == 0)
   }
 
+  test("binaryFile source ingests raw payload files for the multimodal path") {
+    // the ingest format for image/audio corpora: whole files as rows of
+    // (path, modificationTime, length, content) — the front door of the
+    // F-block, whose operators all consume opaque binary columns
+    val dir = tmp("binfile")
+    val payloads = Map("a.pgm" -> Array[Byte](0x50, 0x35, 0x0A, 0x01, 0x02),
+                       "b.pgm" -> Array[Byte](0x50, 0x35, 0x0A, 0x7F),
+                       "skip.txt" -> Array[Byte](0x00))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes) }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pgm") // format-level filtering at the source
+      .load(dir)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val back = df.select(col("path"), col("length"), col("content")).collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2)))
+    assert(back.map(_._1).toSet == Set("a.pgm", "b.pgm"), "glob filter must skip .txt")
+    for ((name, len, content) <- back) {
+      assert(content.sameElements(payloads(name)), s"$name content mismatch")
+      assert(len == payloads(name).length.toLong)
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)

@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s06 stream-stream join matches purchases to in-window clicks only") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, uid: Long, tpe: String, minute: Long) =
+      Event(id, new java.sql.Timestamp(t0 + minute * 60000L), uid, tpe, 1.0)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.attributeStream(purchases.toDS().toDF(), clicks.toDS().toDF())
+      .writeStream.format("memory").queryName("s06").outputMode("append").start()
+    try {
+      // user 1: click 10 min before purchase (in window), click 90 min
+      // before (outside the 1 h lookback), and a click AFTER the purchase
+      // (must never match). user 2: purchase with no prior click.
+      clicks.addData(Seq(ev(101, 1, "click", 0), ev(102, 1, "click", 80), ev(103, 1, "click", 95)))
+      purchases.addData(Seq(ev(201, 1, "purchase", 90), ev(202, 2, "purchase", 90)))
+      q.processAllAvailable()
+      val got = s.table("s06")
+        .select(col("p_event_id"), col("v_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((201L, 102L)),
+        s"expected only the in-window prior click to match, got $got")
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
