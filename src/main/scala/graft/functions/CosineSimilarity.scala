@@ -109,15 +109,40 @@ case class CosineSimilarity(left: Expression, right: Expression,
 }
 
 object CosineSimilarity {
-  /** The ANSI-mode zero-divisor error. `QueryExecutionErrors
-    * .divideByZeroError` is `private[sql]`, so this mirrors its message;
-    * a `SparkArithmeticException` IS-A `ArithmeticException`, so callers
-    * catching Divide's error class-hierarchy behave identically.
+  // SparkArithmeticException is `private[spark]` in its Scala signature
+  // (public only in bytecode), so scalac refuses even to NAME it —
+  // construct it reflectively, exactly the access javac would have
+  // (error-path only, cost irrelevant). 4-arg ctor:
+  // (errorClass, messageParameters, queryContexts, summary)
+  private lazy val sparkArithmeticCtor =
+    Class.forName("org.apache.spark.SparkArithmeticException")
+      .getConstructors.find(_.getParameterCount == 4).get
+
+  /** The ANSI-mode zero-divisor error: a real `SparkArithmeticException`
+    * with the same DIVIDE_BY_ZERO error class Divide raises (the message
+    * renders from Spark's own error-conditions registry, so the text
+    * can't drift), minus the per-expression query context
+    * `QueryExecutionErrors.divideByZeroError` would attach — that helper
+    * is `private[sql]`. `SparkThrowable`-based handlers (including
+    * PySpark's error translation) match the fused and the composed
+    * plan's error identically. If a future Spark reshapes the ctor, the
+    * fallback keeps the CLASS of the failure (ArithmeticException) and
+    * its message shape rather than masking it with a reflection error.
     */
   def divideByZeroError(): ArithmeticException =
-    new ArithmeticException(
-      "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
-        "divisor being 0 and return NULL instead. If necessary set " +
-        "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error. " +
-        "SQLSTATE: 22012")
+    try {
+      sparkArithmeticCtor.newInstance(
+        "DIVIDE_BY_ZERO",
+        Map("config" -> "\"spark.sql.ansi.enabled\""),
+        java.lang.reflect.Array.newInstance(
+          Class.forName("org.apache.spark.QueryContext"), 0),
+        "").asInstanceOf[ArithmeticException]
+    } catch {
+      case _: ReflectiveOperationException | _: IllegalArgumentException =>
+        new ArithmeticException(
+          "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
+            "divisor being 0 and return NULL instead. If necessary set " +
+            "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error. " +
+            "SQLSTATE: 22012")
+    }
 }

@@ -326,16 +326,7 @@ object Dedup {
     // are context-cleaned when the RDDs are GC'd — no cache leak into
     // library callers (persist() needed an unpersist nobody could call on a
     // returned lazy frame)
-    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
-    // the checkpoint makes count() free — gate the candidate broadcasts on
-    // it so a duplicate-saturated corpus (pairs ~ corpus size) falls back
-    // to shuffle joins instead of a driver OOM
-    val candSmall = cand.count() <=
-      s.conf.getOption("graft.dedup.candBroadcastMaxRows").map(_.toLong).getOrElse(1000000L)
-    def maybeBroadcast(df: DataFrame) = if (candSmall) broadcast(df) else df
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val candDocs = Tables.documents(s, dir)
-      .join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
+    val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
     val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = maybeBroadcast(cand)
@@ -351,24 +342,58 @@ object Dedup {
               (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
   }
 
+  /** LSH candidate pairs + the candidate-PRUNED document texts they
+    * reference — the scale shape shared by q31 and q70: candidate ids
+    * semi-join-prune the corpus before any expensive per-pair work, so
+    * the text column is never shuffled corpus-wide, and every
+    * candidate-sized broadcast is gated on
+    * `graft.dedup.candBroadcastMaxRows` (the pair checkpoint makes the
+    * gate's count free; above the gate a dup-saturated corpus falls back
+    * to shuffle joins of candidate-sized frames, not a driver OOM).
+    * Returns (pairs, maybeBroadcast, prunedDocs).
+    */
+  private def candidateTexts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame => DataFrame, DataFrame) = {
+    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val candSmall = cand.count() <=
+      s.conf.getOption("graft.dedup.candBroadcastMaxRows").map(_.toLong).getOrElse(1000000L)
+    val maybeBroadcast = (df: DataFrame) => if (candSmall) broadcast(df) else df
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candDocs = Tables.documents(s, dir)
+      .join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
+    (cand, maybeBroadcast, candDocs)
+  }
+
   /** q70: edit-distance confirmation of the LSH candidate pairs — the
     * character-level verifier a fuzzy-dedup pipeline runs after banding
     * (shingle Jaccard catches word-level similarity, Levenshtein catches
     * character-level edits like OCR noise). `levenshtein` is O(|a|·|b|)
     * per pair, which is exactly why it only ever runs on the
-    * LSH-candidate set, never all pairs; the normalized distance is
-    * integer basis points of the longer text (the engine-portable ratio
-    * form — see q65's rounding note).
+    * LSH-candidate set ([[candidateTexts]]), never all pairs; the
+    * normalized distance is integer basis points of the longer text (the
+    * engine-portable ratio form — see q65's rounding note).
+    *
+    * The distance runs over the ASCII FOLD of each text (every non-ASCII
+    * code point collapses to '?', identically in Java and RE2 regex):
+    * Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
+    * so the cross-engine form must be single-byte text — the fold makes
+    * char ≡ byte while preserving the edit structure of ASCII content.
+    * (Multibyte-heavy pairs compare their folds; a corpus needing true
+    * CJK edit distances would drop the fold and lose the SQL oracle.)
     */
   def q70EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val (cand, maybeBroadcast, candDocs0) = candidateTexts(s, dir)
+    val candDocs = candDocs0.select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("ftext"))
+      .localCheckpoint() // candidate-sized: one row per doc in any pair
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .withColumn("edit_distance", levenshtein(col("ta"), col("tb")).cast("long"))
+      .join(maybeBroadcast(candDocs.select(col("doc_id").as("doc_a"), col("ftext").as("fa"))),
+        Seq("doc_a"))
+      .join(maybeBroadcast(candDocs.select(col("doc_id").as("doc_b"), col("ftext").as("fb"))),
+        Seq("doc_b"))
+      .withColumn("edit_distance", levenshtein(col("fa"), col("fb")).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("edit_distance"),
-        expr("edit_distance * 10000 DIV greatest(greatest(length(ta), length(tb)), 1)")
+        expr("edit_distance * 10000 DIV greatest(greatest(length(fa), length(fb)), 1)")
           .as("norm_bp"))
   }
 
@@ -531,14 +556,19 @@ object Dedup {
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b USING (band_id, sig)
-                   WHERE a.doc_id < b.doc_id)
-          SELECT c.doc_a, c.doc_b,
-                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
-                 CAST(levenshtein(da.text, db.text) AS BIGINT) * 10000
-                   // greatest(greatest(length(da.text), length(db.text)), 1) AS norm_bp
-          FROM cand c
-          JOIN documents da ON da.doc_id = c.doc_a
-          JOIN documents db ON db.doc_id = c.doc_b""",
+                   WHERE a.doc_id < b.doc_id),
+          f AS (SELECT doc_id,
+                       regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS ftext
+                FROM documents),
+          j AS (SELECT c.doc_a, c.doc_b, da.ftext AS fa, db.ftext AS fb
+                FROM cand c
+                JOIN f da ON da.doc_id = c.doc_a
+                JOIN f db ON db.doc_id = c.doc_b)
+          SELECT doc_a, doc_b,
+                 CAST(levenshtein(fa, fb) AS BIGINT) AS edit_distance,
+                 CAST(levenshtein(fa, fb) AS BIGINT) * 10000
+                   // greatest(greatest(length(fa), length(fb)), 1) AS norm_bp
+          FROM j""",
     "q56_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -237,8 +237,11 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         round(sqrt(VectorOps.dot(col("embedding"), col("embedding"))), 4).as("l2_norm"),
-        round(expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 4).as("max_comp"),
-        round(expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 4).as("min_comp"),
+        // max/min over the raw floats, ONE scalar cast after: float→double
+        // is monotone and exact, so this equals the cast-the-array form
+        // without materializing a converted copy per row
+        round(array_max(col("embedding")).cast("double"), 4).as("max_comp"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_comp"),
         size(col("embedding")).cast("long").as("n_dims"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

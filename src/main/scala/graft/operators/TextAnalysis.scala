@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -240,10 +240,23 @@ object TextAnalysis {
     // any other group, not silently dropped by a null-unsafe join
     docs.join(broadcast(counts), docs("lang") <=> counts("lang"))
       .drop(counts("lang"))
-      .withColumn("coin", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .withColumn("coin", md5Coin)
       .filter(col("coin") < col("keep_lt"))
       .select(col("doc_id"), col("lang"), col("coin"), col("keep_lt"))
   }
+
+  /** The engine-portable uniform [0,256) draw from doc_id (first two hex
+    * chars of md5), shared by q68 sampling and q74 splitting — one
+    * derivation so the two stay coherent by construction ([[duckCoin]] is
+    * its DuckDB mirror; change both together or the oracles fail).
+    */
+  private def md5Coin: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+
+  private val duckCoin: String =
+    """CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         AS BIGINT)"""
 
   /** q74: deterministic train/val/test assignment — the split step of
     * dataset publication. Reuses q68's engine-portable md5 coin (first two
@@ -255,8 +268,7 @@ object TextAnalysis {
     */
   def q74TrainSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("coin",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .withColumn("coin", md5Coin)
       .select(col("doc_id"), col("lang"), col("coin"),
         when(col("coin") < 204, "train")
           .when(col("coin") < 230, "val")
@@ -426,26 +438,20 @@ object TextAnalysis {
           FROM m"""
     },
     "q68_lang_rebalance" ->
-      """WITH lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      s"""WITH lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
           caps AS (SELECT lang,
                           CAST(least(256, (256 * 3000 * sum(n_lang) OVER () + 10000 * n_lang - 1)
                                           // (10000 * n_lang)) AS BIGINT) AS keep_lt
                    FROM lc),
           coins AS (
-            SELECT doc_id, lang,
-                   CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-                     AS BIGINT) AS coin
+            SELECT doc_id, lang, $duckCoin AS coin
             FROM documents)
           SELECT c.doc_id, c.lang, c.coin, caps.keep_lt
           FROM coins c JOIN caps ON c.lang IS NOT DISTINCT FROM caps.lang
           WHERE c.coin < caps.keep_lt""",
     "q74_train_split" ->
-      """WITH coins AS (
-           SELECT doc_id, lang,
-                  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-                    AS BIGINT) AS coin
+      s"""WITH coins AS (
+           SELECT doc_id, lang, $duckCoin AS coin
            FROM documents)
          SELECT doc_id, lang, coin,
                 CASE WHEN coin < 204 THEN 'train'

@@ -89,13 +89,19 @@ object CosineFusion extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
+    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), evalMode) =>
       (dotOf(dot), dotOf(na), dotOf(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
             if a1.semanticEquals(a) && a2.semanticEquals(a) &&
                b1.semanticEquals(b) && b2.semanticEquals(b) &&
                supported(a) && supported(b) =>
-          CosineSimilarity(a, b)
+          // zero-divisor behavior comes from the MATCHED Divide's own
+          // evalMode (frozen at its analysis), NOT from the session conf at
+          // optimization time: a try_divide (TRY) or LEGACY cosine must
+          // yield NULL on zero norms, only an ANSI Divide throws — reading
+          // the conf here would both break try_divide and mis-fuse plans
+          // whose ansi setting changed between construction and execution
+          CosineSimilarity(a, b, failOnError = evalMode == EvalMode.ANSI)
         case _ => d
       }
   }

@@ -92,6 +92,15 @@ object EventStream {
     * state is just that batch's signatures; nothing accumulates between
     * batches (the published table grows only via the batch publish step).
     */
+  def dedupDocStream(
+      docs: DataFrame, publishedSigs: DataFrame)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(graft.operators.Dedup.dedupeIncremental(batch, publishedSigs))
+      }
+
   /** s06: watermarked stream-stream join — purchases matched to the same
     * user's clicks within the preceding hour, with BOTH sides streaming
     * (the online form of the q24 attribution, restricted to a bounded
@@ -129,13 +138,4 @@ object EventStream {
     */
   def enrich(events: Dataset[Event], userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
-
-  def dedupDocStream(
-      docs: DataFrame, publishedSigs: DataFrame)(
-      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(graft.operators.Dedup.dedupeIncremental(batch, publishedSigs))
-      }
 }

@@ -68,6 +68,30 @@ class CosineFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("try_divide cosine fuses but keeps NULL-on-zero semantics (Divide's evalMode honored)") {
+    withExtSession { s2 =>
+      // try_divide parses to a TRY-mode Divide: the fusion must take
+      // zero-divisor behavior from the MATCHED node, not the session's
+      // ANSI conf — under ANSI (default) this must fuse AND return NULL,
+      // not throw. Inputs are COLUMNS (a zero vector per row): literals
+      // would constant-fold away before the plan can be inspected.
+      val df = s2.read.parquet(s"$sf/embeddings.parquet").limit(5)
+        .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS e",
+          "transform(embedding, x -> CAST(0.0 AS DOUBLE)) AS z")
+        .selectExpr(
+          """try_divide(
+               aggregate(zip_with(z, e, (x, y) -> x * y), 0.0D, (a, v) -> a + v),
+               sqrt(aggregate(zip_with(z, z, (x, y) -> x * y), 0.0D, (a, v) -> a + v)) *
+               sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0.0D, (a, v) -> a + v))) AS c""")
+      assert(s2.conf.get("spark.sql.ansi.enabled") == "true", "precondition: ANSI default")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosinesimilarity"), optimized)
+      val rows = df.collect()
+      assert(rows.length == 5 && rows.forall(_.isNullAt(0)),
+        "TRY-mode fused cosine must be NULL on zero norm, not throw")
+    }
+  }
+
   test("non-cosine HOF shapes are left untouched") {
     withExtSession { s2 =>
       val df = s2.read.parquet(s"$sf/embeddings.parquet").limit(20)

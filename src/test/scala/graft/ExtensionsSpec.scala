@@ -81,6 +81,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // ANSI (the Spark 4 default in every graft session): the composed form
     // throws DIVIDE_BY_ZERO, so the fused kernel must throw too — not NaN
     assert(spark.conf.get("spark.sql.ansi.enabled") == "true", "precondition: ANSI default")
+    // the reflective construction must yield Spark's real error type (the
+    // SparkThrowable handlers that catch Divide's error must catch ours)
+    val err = graft.functions.CosineSimilarity.divideByZeroError()
+    assert(err.getClass.getName == "org.apache.spark.SparkArithmeticException",
+      s"reflection fell back to ${err.getClass.getName}")
+    assert(err.getMessage.contains("DIVIDE_BY_ZERO"), err.getMessage)
     assert(rootIsDivByZero(intercept[Exception] {
       firstRow(s"SELECT $hofZeroNorm AS c") }), "HOF reference must throw under ANSI")
     assert(rootIsDivByZero(intercept[Exception] {
