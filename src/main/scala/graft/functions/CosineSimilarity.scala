@@ -138,7 +138,9 @@ object CosineSimilarity {
           Class.forName("org.apache.spark.QueryContext"), 0),
         "").asInstanceOf[ArithmeticException]
     } catch {
-      case _: ReflectiveOperationException | _: IllegalArgumentException =>
+      // NoSuchElementException: the lazy ctor lookup's .get, first deref
+      case _: ReflectiveOperationException | _: IllegalArgumentException
+           | _: NoSuchElementException =>
         new ArithmeticException(
           "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
             "divisor being 0 and return NULL instead. If necessary set " +

@@ -75,10 +75,14 @@ object Quality {
   def q67SketchProfile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val cols = Seq("l_quantity", "l_discount", "l_extendedprice")
+    // accuracy 2000 (rank error ≤ 0.05%): precision 10000 made the sketch
+    // pass SLOWER than the exact q66 it exists to out-scale — the sketch
+    // cost is linear in the accuracy parameter, and the spec's 2% median
+    // bound only needs ~50. Keep a healthy margin, not a 10000× one.
     val aggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
-          percentile_approx(col(c), lit(0.5), lit(10000)).cast("double").as(s"${c}_p50"),
-          percentile_approx(col(c), lit(0.95), lit(10000)).cast("double").as(s"${c}_p95"))
+          percentile_approx(col(c), lit(0.5), lit(2000)).cast("double").as(s"${c}_p50"),
+          percentile_approx(col(c), lit(0.95), lit(2000)).cast("double").as(s"${c}_p95"))
     }
     val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
