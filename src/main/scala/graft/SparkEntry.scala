@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Geo, Multimodal, Privacy, Quality, Relational, RelationalExt, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Events, Geo, Multimodal, Privacy, Quality, Relational, RelationalExt, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ Events.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Privacy.queries ++ Geo.queries ++ Quality.queries
+      Multimodal.queries ++ Privacy.queries ++ Geo.queries ++ Quality.queries ++
+      Analytics.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++ Events.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Privacy.oracles ++ Geo.oracles ++ Quality.oracles
+      Multimodal.oracles ++ Privacy.oracles ++ Geo.oracles ++ Quality.oracles ++
+      Analytics.oracles
 }

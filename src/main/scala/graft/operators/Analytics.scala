@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** B'-block: longitudinal / customer analytics — cohort retention, RFM
+  * segmentation, SCD2 dimension building and behavioural transition
+  * matrices. These are the reporting-layer operators a trip or training
+  * pipeline publishes after the per-event stages (q20-q27) run.
+  *
+  * Oracle-parity rules (SURVEY §6) applied throughout: every time value is
+  * integer microseconds/days/weeks (`unix_micros` + integer division — no
+  * rounded double seconds), every ratio is integer basis points, and every
+  * window order carries a unique tiebreak column so rank-family functions
+  * are deterministic in both engines.
+  */
+object Analytics {
+
+  private val UsPerDay = 86400L * 1000000L
+
+  /** q79: weekly cohort retention — users grouped by first-active week,
+    * distinct-user counts per (cohort, week offset) and retention share in
+    * basis points of the cohort size.
+    *
+    * Shape at scale: the (user, week) distinct and the per-user min are one
+    * user_id exchange each (co-partitioned, so AQE coalesces them); the
+    * final rollup shuffles only cohort-sized keys. The offset-0 cohort size
+    * is recovered with a window over the cohort partition — no second scan
+    * of events and no driver value.
+    */
+  def q79Retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $UsPerDay div 7").as("week"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, week) is distinct ⇒ count = distinct users
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+      .withColumn("retention_bp", expr("n_users * 10000 div cohort_size"))
+  }
+
+  /** q80: RFM segmentation — recency / frequency / monetary quartiles per
+    * market segment. Monetary is integer cents (per-row round then integer
+    * sum — order-independent); recency is integer days against the corpus
+    * max order day (carried as a cross-joined 1-row aggregate, not a driver
+    * value). ntile(4) runs per-mktsegment with a custkey tiebreak, so the
+    * windows stay partitioned (no global sort) and both engines assign
+    * identical quartiles.
+    */
+  def q80Rfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ (unix_micros rejects it) — integer
+        // epoch days via date truncation, mirrored by DuckDB date_diff.
+        max(expr("datediff(cast(o_orderdate as date), date'1970-01-01')")).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("monetary_cents"))
+    val maxDay = perCust.agg(max(col("last_day")).as("corpus_max_day"))
+    def q(metric: String, asc: Boolean) = ntile(4).over(
+      Window.partitionBy(col("c_mktsegment"))
+        .orderBy(if (asc) col(metric).asc else col(metric).desc, col("o_custkey").asc))
+    perCust
+      .crossJoin(maxDay)
+      .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("c_mktsegment"), col("recency_days"),
+        col("n_orders"), col("monetary_cents"))
+      .withColumn("r_q", q("recency_days", asc = false)) // oldest=1 … freshest=4
+      .withColumn("f_q", q("n_orders", asc = true))
+      .withColumn("m_q", q("monetary_cents", asc = true))
+      .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
+  /** q81: SCD2 dimension build — collapse each user's event stream into
+    * type-2 validity intervals: one row per state change (event_type run),
+    * with [valid_from, valid_to) in integer ms and an is_current flag.
+    * This is the "latest state + full history" table an ETL pipeline
+    * publishes from a mutation log.
+    *
+    * Shape: both windows partition by user_id, so the whole operator is ONE
+    * exchange; the change-row filter runs between them on the same
+    * partitioning (Catalyst reuses the exchange).
+    */
+  def q81Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from_ms", expr("unix_micros(ts) div 1000"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", when(col("valid_to_ms").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+  }
+
+  /** q82: behavioural transition matrix — first-order Markov counts over
+    * consecutive event types per user, with the per-source row share in
+    * integer basis points. One user_id exchange for the lag window, one
+    * (prev, next)-key rollup; the per-prev total is a window over the tiny
+    * result, not a rescan.
+    */
+  def q82Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("share_bp", expr(
+        "n_transitions * 10000 div sum(n_transitions) over (partition by prev_type)"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_retention"   -> (q79Retention _),
+    "q80_rfm"         -> (q80Rfm _),
+    "q81_scd2"        -> (q81Scd2 _),
+    "q82_transitions" -> (q82Transitions _))
+
+  val oracles: Map[String, String] = Map(
+    "q79_retention" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id),
+         cells AS (
+           SELECT cohort_week, week - cohort_week AS week_offset,
+                  count(*) AS n_users
+           FROM active JOIN cohort USING (user_id)
+           GROUP BY 1, 2)
+         SELECT cohort_week, week_offset, n_users,
+                max(CASE WHEN week_offset = 0 THEN n_users END)
+                  OVER (PARTITION BY cohort_week) AS cohort_size,
+                n_users * 10000 // max(CASE WHEN week_offset = 0 THEN n_users END)
+                  OVER (PARTITION BY cohort_week) AS retention_bp
+         FROM cells""",
+    "q80_rfm" ->
+      """WITH per_cust AS (
+           SELECT o_custkey,
+                  max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+         scored AS (
+           SELECT o_custkey, c_mktsegment,
+                  (SELECT max(last_day) FROM per_cust) - last_day AS recency_days,
+                  n_orders, monetary_cents
+           FROM per_cust JOIN customer ON o_custkey = c_custkey)
+         SELECT o_custkey, c_mktsegment, recency_days, n_orders, monetary_cents,
+                ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY recency_days DESC, o_custkey ASC) AS r_q,
+                ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY n_orders ASC, o_custkey ASC) AS f_q,
+                ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY monetary_cents ASC, o_custkey ASC) AS m_q,
+                ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY recency_days DESC, o_custkey ASC) * 100
+                + ntile(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY n_orders ASC, o_custkey ASC) * 10
+                + ntile(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY monetary_cents ASC, o_custkey ASC) AS rfm
+         FROM scored""",
+    "q81_scd2" ->
+      """WITH typed AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER w AS prev_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         changes AS (
+           SELECT user_id, event_type, ts, event_id,
+                  epoch_us(ts) // 1000 AS valid_from_ms
+           FROM typed
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type,
+                CAST(row_number() OVER w AS INTEGER) AS version,
+                valid_from_ms,
+                lead(valid_from_ms) OVER w AS valid_to_ms,
+                CASE WHEN lead(valid_from_ms) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q82_transitions" ->
+      """WITH pairs AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type,
+                  event_type AS next_type
+           FROM events),
+         counted AS (
+           SELECT prev_type, next_type, count(*) AS n_transitions
+           FROM pairs WHERE prev_type IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT prev_type, next_type, n_transitions,
+                CAST(n_transitions * 10000 // sum(n_transitions)
+                  OVER (PARTITION BY prev_type) AS BIGINT) AS share_bp
+         FROM counted""")
+}
