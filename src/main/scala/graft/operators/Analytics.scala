@@ -87,9 +87,15 @@ object Analytics {
     * exchange; the change-row filter runs between them on the same
     * partitioning (Catalyst reuses the exchange).
     */
-  def q81Scd2(s: SparkSession, dir: String): DataFrame = {
+  def q81Scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Build(Tables.events(s, dir))
+
+  /** Full-history SCD2 build over any (user_id, event_type, ts, event_id)
+    * mutation log — the batch bootstrap path; [[scd2Merge]] is the
+    * incremental continuation. */
+  def scd2Build(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_from_ms", expr("unix_micros(ts) div 1000"))
@@ -98,6 +104,103 @@ object Analytics {
       .withColumn("is_current", when(col("valid_to_ms").isNull, 1L).otherwise(0L))
       .select(col("user_id"), col("event_type"), col("version"),
         col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+  }
+
+  /** Incremental SCD2 upsert: apply an append-only CDC batch (every batch
+    * event strictly later than all events already folded into `existing`)
+    * without rebuilding history. Closed rows pass through untouched; each
+    * touched user's open row is closed at their first new change; new
+    * change rows continue the version sequence from the user's open
+    * version. By construction `scd2Merge(scd2Build(old), new) ==
+    * scd2Build(old ∪ new)` — q77 is oracled against exactly that rebuild.
+    *
+    * Shape at scale: the batch (small) is windowed per user_id, then
+    * joined to `existing` on user_id — the open-state side is one row per
+    * touched user, so AQE broadcasts it when the batch is small; the
+    * existing dimension is never re-windowed, only hash-joined against the
+    * per-user first-change row. Late (out-of-order) data is out of scope,
+    * as for any SCD2 append pipeline.
+    */
+  def scd2Merge(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val open = existing.filter(col("is_current") === 1)
+      .select(col("user_id"), col("event_type").as("open_type"),
+        col("version").as("open_version"))
+    // change rows within the batch: lag inside the batch, with the carried
+    // open state standing in for the last pre-batch event's type
+    val changes = batch
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .join(open, Seq("user_id"), "left")
+      .filter(coalesce(col("prev_type"), col("open_type")).isNull ||
+        coalesce(col("prev_type"), col("open_type")) =!= col("event_type"))
+      .withColumn("valid_from_ms", expr("unix_micros(ts) div 1000"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("version", coalesce(col("open_version"), lit(0)) + row_number().over(w))
+      .withColumn("is_current", when(col("valid_to_ms").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+    // close each touched user's open row at their first new change
+    val firstChange = changes.groupBy(col("user_id"))
+      .agg(min(col("valid_from_ms")).as("first_change_ms"))
+    existing.join(firstChange, Seq("user_id"), "left")
+      .withColumn("closes", col("is_current") === 1 && col("first_change_ms").isNotNull)
+      .withColumn("valid_to_ms",
+        when(col("closes"), col("first_change_ms")).otherwise(col("valid_to_ms")))
+      .withColumn("is_current", when(col("closes"), 0L).otherwise(col("is_current")))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .unionByName(changes)
+  }
+
+  /** q77: the CDC round-trip — build the dimension from events up to the
+    * cut, merge the post-cut batch incrementally, and return the merged
+    * table. The oracle is the FULL rebuild's SQL (q81's), i.e. the query
+    * asserts merge-equals-rebuild in the driver's own hash compare.
+    */
+  def q77Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    scd2Merge(scd2Build(ev.filter(col("ts") <= cut)), ev.filter(col("ts") > cut))
+  }
+
+  /** q78: multi-granularity revenue report via GROUPING SETS — the
+    * (flag, status) detail, per-flag subtotal and grand total in ONE scan
+    * and one shuffle (Spark plans an Expand over the three sets), where
+    * three separate groupBys would scan lineitem three times. gid is
+    * derived from grouping() bits identically in both engines.
+    */
+  def q78GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"))
+
+  /** q83: pretraining sequence packing (concat-and-chop) — documents are
+    * deterministically shuffled by md5, sharded into 256 md5-prefix
+    * buckets, and each bucket is packed independently into fixed
+    * token-budget bins by a running token count. Per-bucket packing is the
+    * standard scale-out: each shard's window is independent (no global
+    * ordering), so at 100 TB the 256-way (configurable) partition keeps
+    * every window partition executor-sized while staying byte-for-byte
+    * deterministic across runs and engines.
+    */
+  def q83PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("offset_in_bucket", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("offset_in_bucket"),
+        expr(s"offset_in_bucket div $budget").as("bin_id"),
+        (col("offset_in_bucket") % budget).as("offset_in_bin"))
   }
 
   /** q82: behavioural transition matrix — first-order Markov counts over
@@ -118,12 +221,61 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q79_retention"   -> (q79Retention _),
-    "q80_rfm"         -> (q80Rfm _),
-    "q81_scd2"        -> (q81Scd2 _),
-    "q82_transitions" -> (q82Transitions _))
+    "q77_scd2_merge"    -> (q77Scd2Merge _),
+    "q78_grouping_sets" -> (q78GroupingSets _),
+    "q79_retention"     -> (q79Retention _),
+    "q80_rfm"           -> (q80Rfm _),
+    "q81_scd2"          -> (q81Scd2 _),
+    "q82_transitions"   -> (q82Transitions _),
+    "q83_pack_sequences" -> (q83PackSequences _))
+
+  /** q81's full-rebuild SQL — also q77's oracle: the incremental merge must
+    * hash-identically reproduce the batch rebuild. */
+  private val scd2RebuildSql =
+    """WITH typed AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER w AS prev_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       changes AS (
+         SELECT user_id, event_type, ts, event_id,
+                epoch_us(ts) // 1000 AS valid_from_ms
+         FROM typed
+         WHERE prev_type IS NULL OR prev_type <> event_type)
+       SELECT user_id, event_type,
+              CAST(row_number() OVER w AS INTEGER) AS version,
+              valid_from_ms,
+              lead(valid_from_ms) OVER w AS valid_to_ms,
+              CASE WHEN lead(valid_from_ms) OVER w IS NULL
+                   THEN 1 ELSE 0 END AS is_current
+       FROM changes
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q77_scd2_merge" -> scd2RebuildSql,
+    "q78_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+                count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "q83_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT doc_id, substring(h, 1, 2) AS bucket, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY substring(h, 1, 2) ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS offset_in_bucket
+           FROM toks)
+         SELECT doc_id, bucket, n_tokens, offset_in_bucket,
+                offset_in_bucket // 2048 AS bin_id,
+                offset_in_bucket % 2048 AS offset_in_bin
+         FROM packed""",
     "q79_retention" ->
       """WITH active AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week
@@ -167,25 +319,7 @@ object Analytics {
                 + ntile(4) OVER (PARTITION BY c_mktsegment
                                  ORDER BY monetary_cents ASC, o_custkey ASC) AS rfm
          FROM scored""",
-    "q81_scd2" ->
-      """WITH typed AS (
-           SELECT user_id, event_type, ts, event_id,
-                  lag(event_type) OVER w AS prev_type
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         changes AS (
-           SELECT user_id, event_type, ts, event_id,
-                  epoch_us(ts) // 1000 AS valid_from_ms
-           FROM typed
-           WHERE prev_type IS NULL OR prev_type <> event_type)
-         SELECT user_id, event_type,
-                CAST(row_number() OVER w AS INTEGER) AS version,
-                valid_from_ms,
-                lead(valid_from_ms) OVER w AS valid_to_ms,
-                CASE WHEN lead(valid_from_ms) OVER w IS NULL
-                     THEN 1 ELSE 0 END AS is_current
-         FROM changes
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q81_scd2" -> scd2RebuildSql,
     "q82_transitions" ->
       """WITH pairs AS (
            SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -54,6 +54,71 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q77 incremental SCD2 merge equals the full rebuild, row for row") {
+    val full = Analytics.q81Scd2(spark, sf)
+    val merged = Analytics.q77Scd2Merge(spark, sf)
+    assert(merged.count() == full.count())
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("q77 merge handles brand-new users and untouched users") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def ev(rows: Seq[(Long, String, Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u, ty) =>
+          Row(id, java.sql.Timestamp.valueOf(t), u, ty) }), schema)
+    // user 1: history then silence; user 2: history + state change in batch;
+    // user 3: batch-only (new); user 4: batch events that never change state
+    val old = ev(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-02 00:00:00", 2L, "view"),
+      (3L, "2024-01-03 00:00:00", 2L, "cart")))
+    val batch = ev(Seq(
+      (4L, "2024-02-01 00:00:00", 2L, "purchase"),
+      (5L, "2024-02-02 00:00:00", 3L, "view"),
+      (6L, "2024-02-03 00:00:00", 2L, "purchase"),
+      (7L, "2024-02-04 00:00:00", 1L, "view")))
+    val merged = Analytics.scd2Merge(Analytics.scd2Build(old), batch)
+    val rebuilt = Analytics.scd2Build(old.unionByName(batch))
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
+    // user 1's open row survived untouched, user 2 gained version 3
+    val byUser = merged.collect().groupBy(_.getAs[Long]("user_id"))
+    assert(byUser(1L).length == 1 && byUser(1L).head.getAs[Long]("is_current") == 1L)
+    assert(byUser(2L).map(_.getAs[Int]("version")).sorted.toSeq == Seq(1, 2, 3))
+    assert(byUser(3L).length == 1)
+  }
+
+  test("q78 grouping-set subtotals reconcile across granularities") {
+    val rows = Analytics.q78GroupingSets(spark, sf).collect()
+    val detail = rows.filter(_.getAs[Int]("gid") == 0)
+    val byFlag = rows.filter(_.getAs[Int]("gid") == 1)
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1 && detail.nonEmpty && byFlag.nonEmpty)
+    assert(detail.map(_.getAs[Long]("revenue_cents")).sum ==
+      grand.head.getAs[Long]("revenue_cents"))
+    assert(byFlag.map(_.getAs[Long]("n_items")).sum ==
+      grand.head.getAs[Long]("n_items"))
+  }
+
+  test("q83 packing is gap-free within each bucket and bins respect the budget") {
+    val rows = Analytics.q83PackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("bucket")).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("offset_in_bucket"))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("offset_in_bucket") == expect, "offsets must be gap-free")
+        assert(r.getAs[Long]("bin_id") == expect / 2048 &&
+          r.getAs[Long]("offset_in_bin") == expect % 2048)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("q82 transition counts reconcile with the event log and shares are floor-exact") {
     val df = Analytics.q82Transitions(spark, sf).cache()
     val total = df.agg(sum("n_transitions")).head().getLong(0)
