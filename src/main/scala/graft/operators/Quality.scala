@@ -140,14 +140,33 @@ object Quality {
         round(min(col("p75")), 4).as("p75_cents"))
   }
 
+  /** q84: dominant values via the native SpaceSaving aggregate
+    * ([[graft.functions.FrequentItems]]): one k=64-counter sketch per task,
+    * sketch-union merges — the shuffle carries 64 counters per partition no
+    * matter the input size. event_type's cardinality is far below k, so no
+    * eviction can occur and the sketch is provably exact: the oracle is the
+    * plain GROUP BY it replaces at scale.
+    */
+  def q84HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(graft.functions.FrequentItems.frequentItems(col("event_type"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"),
+        col("e.est_error").as("est_error"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_qa_report" -> (q55QaReport _),
     "q66_profile"   -> (q66Profile _),
     "q67_sketch_profile" -> (q67SketchProfile _),
     "q72_value_histogram" -> (q72ValueHistogram _),
-    "q73_outliers"  -> (q73Outliers _))
+    "q73_outliers"  -> (q73Outliers _),
+    "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q84_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS est_count,
+                CAST(0 AS BIGINT) AS est_error
+         FROM events GROUP BY event_type""",
     "q55_qa_report" ->
       """WITH base AS (
            SELECT count(*) AS n_rows,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, RollingHash}
+import graft.functions.{CosineSimilarity, FrequentItems, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_frequent_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
+      (exprs: Seq[Expression]) => FrequentItems(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -37,6 +42,11 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash",
       exprs => RollingHash(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_frequent_items",
+      exprs => FrequentItems(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
   }
 }
