@@ -106,6 +106,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 SCD2 build runs both windows over ONE user_id exchange and one sort") {
+    val p = plan("q81_scd2")
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(count(p, "Sort \\[") == 1, p)
+  }
+
+  test("q82 transition matrix shuffles event-scale data exactly once (user_id)") {
+    val p = plan("q82_transitions")
+    // one event-scale exchange (user_id window) + two exchanges over the
+    // tiny rollup (≤ |event_type|² rows): (prev,next) agg and prev window
+    assert(count(p, "Exchange") == 3, p)
+    assert(count(p, "hashpartitioning\\(user_id") == 1, p)
+  }
+
+  test("q78 grouping sets expand in one scan and aggregate through one exchange") {
+    val p = plan("q78_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(count(p, "Exchange") == 1, p)
+    assert(count(p, "Scan parquet") == 1, p)
+  }
+
+  test("q83 packing windows are bucket-partitioned — never a global single-partition window") {
+    val p = plan("q83_pack_sequences")
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q84 heavy-hitters plans as partial+final sketch aggregation, not a groupBy") {
+    val p = plan("q84_heavy_hitters")
+    // two ObjectHashAggregate stages (partial, final) around one exchange
+    assert(count(p, "Aggregate") >= 2, p)
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("frequentitems") || p.toLowerCase.contains("frequentitems"), p)
+  }
+
   test("q39 fingerprint runs the native expression inside whole-stage codegen") {
     val p = plan("q39_fingerprint")
     assert(p.toLowerCase.contains("rollinghash"), p)
