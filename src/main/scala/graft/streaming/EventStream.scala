@@ -71,6 +71,42 @@ object EventStream {
       }
   }
 
+  case class Scd2State(lastType: String, fromMs: Long, version: Int)
+  case class Scd2Row(user_id: Long, event_type: String, version: Int,
+                     valid_from_ms: Long, valid_to_ms: Long)
+
+  /** s07: streaming SCD2 — the online form of
+    * [[graft.operators.Analytics.scd2Build]]: per-user state carries only
+    * the OPEN interval (type, start, version); a state-changing event
+    * closes it and emits the finished type-2 row (append semantics — the
+    * open interval is unemittable until it closes, exactly like s02's open
+    * session). Emitted rows match the batch build's `is_current = 0` rows
+    * whatever the micro-batch boundaries, so the streaming dimension feed
+    * and the nightly rebuild agree by construction. State per user is
+    * O(1); no watermark needed since one interval per key is retained.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val ms = micros(e.ts) / 1000L
+            if (st == null) st = Scd2State(e.event_type, ms, 1)
+            else if (st.lastType != e.event_type) {
+              closed += Scd2Row(uid, st.lastType, st.version, st.fromMs, ms)
+              st = Scd2State(e.event_type, ms, st.version + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
   /** s03: streaming exact dedup by event_id with a watermark bound on how
     * long duplicate keys are remembered — state is GC'd past the watermark.
     */

@@ -172,6 +172,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s07 streaming SCD2 closed intervals match the batch build across micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("s07").outputMode("append").start()
+    try {
+      // deliver the real event log split in two by timestamp — intervals
+      // spanning the boundary must close with the right version/from
+      val ev = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+      val (first, second) = ev.splitAt(ev.size / 2)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      val streamed = s.table("s07")
+      val batchClosed = graft.operators.Analytics
+        .scd2Build(Tables.events(s, sf))
+        .filter(col("is_current") === 0)
+        .select(col("user_id"), col("event_type"), col("version"),
+          col("valid_from_ms"), col("valid_to_ms"))
+      assert(streamed.count() == batchClosed.count())
+      assert(streamed.exceptAll(batchClosed).count() == 0,
+        "streamed closed intervals differ from the batch rebuild")
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
