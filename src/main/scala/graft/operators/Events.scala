@@ -242,7 +242,55 @@ object Events {
       .select(col("event_id"), col("user_id"), col("v_event_id").as("attr_event_id"))
   }
 
+  /** q85: linear multi-touch attribution — each purchase's 10000 bp of
+    * credit split across the same user's clicks in the preceding hour by
+    * largest remainder: every click gets 10000 div n and the r = 10000 mod
+    * n most-recent clicks get one extra bp, so credit sums to exactly
+    * 10000 per purchase with no floating point anywhere. The band join is
+    * an equi-join on user_id with a one-hour range filter (the standard
+    * scale shape: hash-partition by user, never a cross product), and both
+    * windows partition by purchase id.
+    */
+  def q85AttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id"), col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("p_event_id"))
+    val wr = w.orderBy(col("c_ts").desc, col("c_event_id"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .withColumn("n_clicks", count(lit(1)).over(w))
+      .withColumn("click_rank", row_number().over(wr))
+      .withColumn("credit_bp",
+        expr("10000 div n_clicks") +
+          when(col("click_rank") <= expr("10000 % n_clicks"), 1L).otherwise(0L))
+      .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+        col("click_rank"), col("n_clicks"), col("credit_bp"))
+  }
+
+  /** q86: month-over-month revenue growth in basis points. Sign-split
+    * integer division because DuckDB's `//` floors while Spark's `div`
+    * truncates — they only agree on non-negative numerators, so negative
+    * growth is computed as -(abs div) on both sides. The monthly rollup is
+    * a dozen rows, so the unpartitioned lag window is a non-issue.
+    */
+  def q86RevenueGrowth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("revenue_cents"))
+      .withColumn("prev_cents",
+        lag(col("revenue_cents"), 1).over(Window.orderBy(col("month"))))
+      .withColumn("growth_bp", when(col("prev_cents").isNull, lit(null))
+        .when(col("revenue_cents") >= col("prev_cents"),
+          expr("(revenue_cents - prev_cents) * 10000 div prev_cents"))
+        .otherwise(-expr("(prev_cents - revenue_cents) * 10000 div prev_cents")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_attribution_linear" -> (q85AttributionLinear _),
+    "q86_revenue_growth"   -> (q86RevenueGrowth _),
     "q20_sessionize"       -> (q20Sessionize _),
     "q47_asof_custom"      -> (q47AsofCustom _),
     "q21_time_bucket"      -> (q21TimeBucket _),
@@ -257,6 +305,43 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q85_attribution_linear" ->
+      """WITH p AS (
+           SELECT event_id AS p_event_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS c_event_id, user_id, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p_event_id, c_event_id, user_id,
+                  count(*) OVER (PARTITION BY p_event_id) AS n_clicks,
+                  row_number() OVER (PARTITION BY p_event_id
+                                     ORDER BY c_ts DESC, c_event_id) AS click_rank
+           FROM p JOIN c USING (user_id)
+           WHERE c_ts <= p_ts AND c_ts > p_ts - INTERVAL 1 HOUR)
+         SELECT p_event_id, c_event_id, user_id,
+                CAST(click_rank AS INTEGER) AS click_rank, n_clicks,
+                CAST(10000 // n_clicks
+                     + CASE WHEN click_rank <= 10000 % n_clicks THEN 1 ELSE 0 END
+                  AS BIGINT) AS credit_bp
+         FROM j""",
+    "q86_revenue_growth" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_cents
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT month, revenue_cents,
+                  lag(revenue_cents) OVER (ORDER BY month) AS prev_cents
+           FROM m)
+         SELECT month, revenue_cents, prev_cents,
+                CASE WHEN prev_cents IS NULL THEN NULL
+                     WHEN revenue_cents >= prev_cents
+                       THEN CAST((revenue_cents - prev_cents) * 10000 // prev_cents AS BIGINT)
+                     ELSE CAST(-((prev_cents - revenue_cents) * 10000 // prev_cents) AS BIGINT)
+                END AS growth_bp
+         FROM g""",
     "q20_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, value, event_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Analytics
+import graft.operators.{Analytics, Events}
 
 class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
@@ -116,6 +116,31 @@ class AnalyticsSpec extends AnyFunSuite {
           r.getAs[Long]("offset_in_bin") == expect % 2048)
         expect += r.getAs[Long]("n_tokens")
       }
+    }
+  }
+
+  test("q85 linear attribution credit sums to exactly 10000 bp per purchase") {
+    val df = Events.q85AttributionLinear(spark, sf).cache()
+    assert(df.count() > 0)
+    val perPurchase = df.groupBy("p_event_id")
+      .agg(sum("credit_bp").as("total"), count(lit(1)).as("n"),
+        max("n_clicks").as("n_clicks"))
+    assert(perPurchase.filter(col("total") =!= 10000).count() == 0,
+      "largest-remainder split must conserve credit exactly")
+    assert(perPurchase.filter(col("n") =!= col("n_clicks")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q86 growth sign matches the revenue delta and the first month has no growth") {
+    val rows = Events.q86RevenueGrowth(spark, sf).collect()
+      .sortBy(_.getAs[String]("month"))
+    assert(rows.length > 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("growth_bp")))
+    rows.tail.foreach { r =>
+      val cur = r.getAs[Long]("revenue_cents")
+      val prev = r.getAs[Long]("prev_cents")
+      val g = r.getAs[Long]("growth_bp")
+      assert(math.signum((cur - prev).toDouble) == math.signum(g.toDouble) || g == 0L)
     }
   }
 
