@@ -114,7 +114,11 @@ case class FrequentItems(
     out.writeInt(b.k)
     out.writeInt(b.counters.size)
     b.counters.foreach { case (i, (c, e)) =>
-      out.writeUTF(i); out.writeLong(c); out.writeLong(e)
+      // length-prefixed raw UTF-8, not writeUTF: items over 64 KB (long
+      // document texts) would blow writeUTF's 16-bit length field
+      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length); out.write(ib)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -124,7 +128,10 @@ case class FrequentItems(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val sketch = new SpaceSavingSketch(in.readInt())
     (1 to in.readInt()).foreach { _ =>
-      val i = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val ib = new Array[Byte](in.readInt())
+      in.readFully(ib)
+      val i = new String(ib, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       sketch.counters.update(i, (c, e))
     }
     sketch

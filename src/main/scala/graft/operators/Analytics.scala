@@ -139,6 +139,10 @@ object Analytics {
       .withColumn("is_current", when(col("valid_to_ms").isNull, 1L).otherwise(0L))
       .select(col("user_id"), col("event_type"), col("version"),
         col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      // referenced twice below (firstChange + the union): Catalyst has no
+      // common-subplan elimination, so without a persist the batch window
+      // and open-state join would execute twice per action
+      .persist()
     // close each touched user's open row at their first new change
     val firstChange = changes.groupBy(col("user_id"))
       .agg(min(col("valid_from_ms")).as("first_change_ms"))

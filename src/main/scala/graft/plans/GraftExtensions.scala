@@ -23,8 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_frequent_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
-      (exprs: Seq[Expression]) => FrequentItems(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+      GraftExtensions.buildFrequentItems))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -45,8 +44,25 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_frequent_items",
-      exprs => FrequentItems(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      buildFrequentItems,
       "built-in")
+  }
+
+  /** Validated SQL builder: checked arity and a foldable integer k, and
+    * returns the BARE AggregateFunction — the analyzer attaches the
+    * AggregateExpression wrapper itself, which is what lets `FILTER
+    * (WHERE ...)` clauses work and gives DISTINCT the proper error.
+    */
+  private[plans] def buildFrequentItems(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_frequent_items(col, k) takes exactly 2 arguments, got ${exprs.length}")
+    val kExpr = exprs(1)
+    require(kExpr.foldable, "graft_frequent_items: k must be a literal integer")
+    val k = kExpr.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_frequent_items: k must be an integer literal, got '$other'")
+    }
+    FrequentItems(exprs.head, k)
   }
 }

@@ -71,12 +71,14 @@ class AnalyticsSpec extends AnyFunSuite {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map { case (id, t, u, ty) =>
           Row(id, java.sql.Timestamp.valueOf(t), u, ty) }), schema)
-    // user 1: history then silence; user 2: history + state change in batch;
-    // user 3: batch-only (new); user 4: batch events that never change state
+    // user 1: history + a batch event of the SAME type (no state change);
+    // user 2: history + state change in batch; user 3: batch-only (new);
+    // user 4: history only, absent from the batch (truly untouched)
     val old = ev(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "view"),
       (2L, "2024-01-02 00:00:00", 2L, "view"),
-      (3L, "2024-01-03 00:00:00", 2L, "cart")))
+      (3L, "2024-01-03 00:00:00", 2L, "cart"),
+      (8L, "2024-01-04 00:00:00", 4L, "signup")))
     val batch = ev(Seq(
       (4L, "2024-02-01 00:00:00", 2L, "purchase"),
       (5L, "2024-02-02 00:00:00", 3L, "view"),
@@ -85,11 +87,15 @@ class AnalyticsSpec extends AnyFunSuite {
     val merged = Analytics.scd2Merge(Analytics.scd2Build(old), batch)
     val rebuilt = Analytics.scd2Build(old.unionByName(batch))
     assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
-    // user 1's open row survived untouched, user 2 gained version 3
     val byUser = merged.collect().groupBy(_.getAs[Long]("user_id"))
+    // same-type batch rows don't close user 1's open row
     assert(byUser(1L).length == 1 && byUser(1L).head.getAs[Long]("is_current") == 1L)
+    // user 2 gained version 3 (one change; the repeated purchase is a no-op)
     assert(byUser(2L).map(_.getAs[Int]("version")).sorted.toSeq == Seq(1, 2, 3))
     assert(byUser(3L).length == 1)
+    // the batch-absent user passes through byte-identical (firstChange null)
+    assert(byUser(4L).length == 1 && byUser(4L).head.getAs[Long]("is_current") == 1L
+      && byUser(4L).head.getAs[String]("event_type") == "signup")
   }
 
   test("q78 grouping-set subtotals reconcile across granularities") {

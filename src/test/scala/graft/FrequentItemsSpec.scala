@@ -57,11 +57,29 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(rows.length == math.min(8L, exact))
   }
 
-  test("sketch serialization round-trips") {
+  test("sketch serialization round-trips, including items beyond writeUTF's 64KB limit") {
     val fi = FrequentItems(org.apache.spark.sql.graft.ColumnBridge.expression(col("x")), 4)
     val s = new graft.functions.SpaceSavingSketch(4)
-    Seq("a", "a", "b", "c", "d", "e", "a").foreach(s.add)
+    val huge = "é" * 70000 // 140KB in UTF-8 — would blow writeUTF
+    (Seq("a", "a", "b", "c", huge, "e", "a") ++ Seq(huge)).foreach(s.add)
     val back = fi.deserialize(fi.serialize(s))
     assert(back.k == s.k && back.counters == s.counters)
+  }
+
+  test("graft_frequent_items rejects bad arguments with a named error and supports FILTER") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_hh2")
+    val missing = intercept[Exception](
+      spark.sql("SELECT graft_frequent_items(event_type) FROM ev_hh2").collect())
+    assert(missing.getMessage.contains("graft_frequent_items"), missing.getMessage)
+    val nonLiteral = intercept[Exception](
+      spark.sql("SELECT graft_frequent_items(event_type, user_id) FROM ev_hh2").collect())
+    assert(nonLiteral.getMessage.contains("graft_frequent_items"), nonLiteral.getMessage)
+    // bare-AggregateFunction registration lets the analyzer attach FILTER
+    val f = spark.sql(
+      """SELECT hh.item, hh.est_count FROM (
+           SELECT explode(graft_frequent_items(event_type, 8)
+                          FILTER (WHERE value > 0)) AS hh FROM ev_hh2)""").collect()
+    assert(f.nonEmpty)
   }
 }

@@ -139,7 +139,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // two ObjectHashAggregate stages (partial, final) around one exchange
     assert(count(p, "Aggregate") >= 2, p)
     assert(count(p, "Exchange") == 1, p)
-    assert(p.contains("frequentitems") || p.toLowerCase.contains("frequentitems"), p)
+    assert(p.toLowerCase.contains("frequentitems"), p)
   }
 
   test("q39 fingerprint runs the native expression inside whole-stage codegen") {
