@@ -288,7 +288,32 @@ object Events {
           expr("(revenue_cents - prev_cents) * 10000 div prev_cents"))
         .otherwise(-expr("(prev_cents - revenue_cents) * 10000 div prev_cents")))
 
+  /** q90: journey-path mining — each user's first 5 event types (by ts,
+    * with the unique event_id as tiebreak) concatenated into a path string,
+    * then the corpus-wide frequency of every distinct journey. The "what do
+    * users do first" report of a product-analytics pipeline.
+    *
+    * Shape: one user_id exchange for the ranking window; the per-user path
+    * is built by sorting the ≤5 collected (rank, type) structs INSIDE the
+    * aggregate (`array_sort` of a bounded array — `collect_list` alone has
+    * no ordering guarantee), so no second window pass; the final path
+    * rollup shuffles one short string per user.
+    */
+  def q90Paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(rn, event_type))),
+                                x -> x.event_type), '>')""").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_paths"            -> (q90Paths _),
     "q85_attribution_linear" -> (q85AttributionLinear _),
     "q86_revenue_growth"   -> (q86RevenueGrowth _),
     "q20_sessionize"       -> (q20Sessionize _),
@@ -305,6 +330,16 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q90_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p GROUP BY path""",
     "q85_attribution_linear" ->
       """WITH p AS (
            SELECT event_id AS p_event_id, user_id, ts AS p_ts

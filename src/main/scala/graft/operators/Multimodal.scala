@@ -225,10 +225,173 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- q92: REAL audio decode over a codec-free format (RIFF/PCM WAV) ----
+
+  /** Minimal RIFF/WAVE PCM codec — like [[PgmCodec]] for audio: 16-bit
+    * mono PCM WAV is a pure byte-layout format (no entropy coding), so
+    * encode, chunk-walking header parse and sample access below are all
+    * genuine implementations. With this, image (PGM) and audio (WAV) both
+    * have REAL decode paths; only entropy-coded formats (JPEG/MP3/video)
+    * remain represented by [[FakeDecoder]].
+    */
+  private[graft] object WavCodec {
+    private def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def u32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Canonical 44-byte-header mono 16-bit PCM WAV. */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new ByteArrayOutputStreamLike(44 + dataSize)
+      out ++= "RIFF".getBytes("US-ASCII"); out ++= u32(36 + dataSize)
+      out ++= "WAVE".getBytes("US-ASCII")
+      out ++= "fmt ".getBytes("US-ASCII"); out ++= u32(16)
+      out ++= u16(1) /* PCM */ ; out ++= u16(1) /* mono */
+      out ++= u32(sampleRate); out ++= u32(sampleRate * 2)
+      out ++= u16(2) /* block align */ ; out ++= u16(16) /* bits */
+      out ++= "data".getBytes("US-ASCII"); out ++= u32(dataSize)
+      samples.foreach { s => out ++= u16(s & 0xffff) }
+      out.result()
+    }
+
+    /** Tiny growable byte buffer (avoids java.io stream ceremony). */
+    private[Multimodal] final class ByteArrayOutputStreamLike(hint: Int) {
+      private val buf = new java.io.ByteArrayOutputStream(hint)
+      def ++=(bs: Array[Byte]): Unit = buf.write(bs)
+      def result(): Array[Byte] = buf.toByteArray
+    }
+
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    /** Chunk-walking parse: RIFF/WAVE container, then fmt and data chunks
+      * in any order with unknown chunks skipped (real WAV files carry LIST/
+      * INFO chunks). None for anything malformed or truncated — corrupt
+      * media quarantines, never kills the job. Only PCM mono 16-bit is
+      * accepted (the format this pipeline publishes).
+      */
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      def rU16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def rU32(i: Int): Long =
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      def tag(i: Int): String =
+        if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmtOk = false
+      var sampleRate = 0
+      var data: Option[Array[Short]] = None
+      while (i + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+        val id = tag(i)
+        val size = rU32(i + 4)
+        if (size < 0 || size > Int.MaxValue || i + 8 + size > bytes.length)
+          return None // truncated or lying chunk header
+        val body = i + 8
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val (fmt, ch, bits) = (rU16(body), rU16(body + 2), rU16(body + 14))
+            if (fmt != 1 || ch != 1 || bits != 16) return None
+            val rate = rU32(body + 4)
+            if (rate <= 0 || rate > 1000000) return None
+            sampleRate = rate.toInt; fmtOk = true
+          case "data" =>
+            val n = (size / 2).toInt
+            val out = new Array[Short](n)
+            var j = 0
+            while (j < n) { out(j) = rU16(body + 2 * j).toShort; j += 1 }
+            data = Some(out)
+          case _ => // skip unknown chunk (LIST, INFO, fact, ...)
+        }
+        i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (fmtOk) data.map(Audio(sampleRate, _)) else None
+    }
+
+    /** Zero crossings: sign flips between consecutive samples (0 counts as
+      * non-negative) — integer-exact. */
+    def zeroCrossings(samples: Array[Short]): Int = {
+      var n = 0; var i = 1
+      while (i < samples.length) {
+        if ((samples(i) < 0) != (samples(i - 1) < 0)) n += 1
+        i += 1
+      }
+      n
+    }
+  }
+
+  /** Decoded-audio features; decode_ok=false rows quarantine with nulls. */
+  case class AudioFeatures(
+      doc_id: Long, decode_ok: Boolean, sample_rate: Option[Int],
+      n_samples: Option[Int], duration_ms: Option[Long], peak: Option[Int],
+      rms_milli: Option[Long], zero_crossings: Option[Int])
+
+  /** q92: real audio pipeline over synthesized PCM WAV payloads — the
+    * document's UTF-8 bytes become a deterministic 16-bit mono waveform
+    * (800 + doc_id % 800 samples at 8 kHz), RIFF-encoded, then REALLY
+    * chunk-parsed back: duration, peak, RMS (millis, from an exact integer
+    * Σs²) and zero-crossing count. Every 89th payload is truncated
+    * mid-data to exercise the quarantine, and every 113th gets a LIST
+    * chunk injected before `data` to prove the chunk walker skips foreign
+    * chunks like real-world WAV tooling emits. Same mapPartitions shape as
+    * q42/q61. Rows-only + MultimodalSpec codec properties.
+    */
+  def q92AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.map { p =>
+          val n = 800 + (p.doc_id % 800).toInt
+          val samples = new Array[Short](n)
+          var i = 0
+          while (p.payload.nonEmpty && i < n) {
+            samples(i) = (((p.payload(i % p.payload.length) & 0xff) - 128) * 256).toShort
+            i += 1
+          }
+          val wav = WavCodec.encode(8000, samples)
+          val payload =
+            if (p.doc_id % 89 == 0) java.util.Arrays.copyOf(wav, wav.length / 2)
+            else if (p.doc_id % 113 == 0) {
+              // splice a LIST chunk between fmt and data (offset 36)
+              val list = "LIST".getBytes("US-ASCII") ++
+                Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+              val out = new Array[Byte](wav.length + list.length)
+              System.arraycopy(wav, 0, out, 0, 36)
+              System.arraycopy(list, 0, out, 36, list.length)
+              System.arraycopy(wav, 36, out, 36 + list.length, wav.length - 36)
+              // patch the RIFF size field for the extra bytes
+              val newSize = (wav.length - 8) + list.length
+              out(4) = (newSize & 0xff).toByte; out(5) = ((newSize >> 8) & 0xff).toByte
+              out(6) = ((newSize >> 16) & 0xff).toByte; out(7) = ((newSize >> 24) & 0xff).toByte
+              out
+            } else wav
+          WavCodec.decode(payload) match {
+            case Some(a) =>
+              var sumSq = 0L
+              a.samples.foreach(s0 => sumSq += s0.toLong * s0.toLong)
+              val rms = if (a.samples.isEmpty) 0L
+                else math.round(math.sqrt(sumSq.toDouble / a.samples.length) * 1000)
+              AudioFeatures(p.doc_id, decode_ok = true, Some(a.sampleRate),
+                Some(a.samples.length),
+                Some(a.samples.length * 1000L / a.sampleRate),
+                Some(a.samples.foldLeft(0)((m, s0) => math.max(m, math.abs(s0.toInt)))),
+                Some(rms), Some(WavCodec.zeroCrossings(a.samples)))
+            case None =>
+              AudioFeatures(p.doc_id, decode_ok = false, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_binary_meta"     -> (q41BinaryMeta _),
     "q42_feature_extract" -> (q42FeatureExtract _),
-    "q61_image_features"  -> (q61ImageFeatures _))
+    "q61_image_features"  -> (q61ImageFeatures _),
+    "q92_audio_features"  -> (q92AudioFeatures _))
 
   /** q42 is rows-only (the decode stub has no SQL mirror); q41's metadata
     * is fully SQL-expressible.

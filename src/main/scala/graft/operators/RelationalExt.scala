@@ -83,7 +83,30 @@ object RelationalExt {
       .filter(col("o_orderkey") % 10 === 0) // thin the dump, keep determinism
   }
 
+  /** q88: unpivot (melt) — q44's inverse: the wide per-nation revenue
+    * report (one column per return flag) melted back to long
+    * (nation, flag, revenue_cents) rows via `Dataset.unpivot`. Wide cells
+    * are coalesced to 0 before melting so the unpivot's null-dropping
+    * cannot make the output depend on which (nation, flag) cells happen to
+    * be empty at a given SF. The supplier→nation dims are broadcast;
+    * lineitem aggregates map-side then shuffles |nations| rows.
+    */
+  def q88Unpivot(s: SparkSession, dir: String): DataFrame = {
+    def flagSum(f: String) = coalesce(
+      sum(when(col("l_returnflag") === f,
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
+      lit(0L)).as(f)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(flagSum("A"), flagSum("N"), flagSum("R"))
+      .unpivot(Array(col("n_name")), Array(col("A"), col("N"), col("R")),
+        "flag", "revenue_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_unpivot"         -> (q88Unpivot _),
     "q43_range_join"      -> (q43RangeJoin _),
     "q50_window_analytics" -> (q50WindowAnalytics _),
     "q44_pivot"           -> (q44Pivot _),
@@ -91,6 +114,24 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q88_unpivot" ->
+      """WITH wide AS (
+           SELECT n_name,
+                  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'A'), 0) AS BIGINT) AS a_cents,
+                  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'N'), 0) AS BIGINT) AS n_cents,
+                  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'R'), 0) AS BIGINT) AS r_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, 'A' AS flag, a_cents AS revenue_cents FROM wide
+         UNION ALL
+         SELECT n_name, 'N' AS flag, n_cents AS revenue_cents FROM wide
+         UNION ALL
+         SELECT n_name, 'R' AS flag, r_cents AS revenue_cents FROM wide""",
     "q50_window_analytics" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** R-block: statistical analysis — correlation, independence testing and
+  * distribution-drift detection. These are the "is the data changing /
+  * related" operators a publication pipeline runs before releasing a new
+  * snapshot (and a training pipeline runs to catch dataset drift between
+  * crawls).
+  *
+  * Cross-engine determinism strategy (the hard part of statistics oracles):
+  * every aggregate SUM runs over exact integers (cents / counts) widened to
+  * decimal — summation order cannot change the result — and doubles appear
+  * only in FINAL per-row scalar formulas computed from those exact sums.
+  * IEEE 754 ops are deterministic given identical operands and operation
+  * order, so writing the same formula on both engines yields bit-identical
+  * doubles; `corr()`/`covar_pop()` built-ins are deliberately NOT used
+  * (their internal double accumulation is summation-order-dependent and
+  * would ulp-diverge between engines — and between two runs at different
+  * partition counts).
+  */
+object Stats {
+
+  /** q87: Pearson correlation + OLS slope of extendedprice (cents) against
+    * quantity per return flag — "does price scale with quantity, and how
+    * tightly" as a per-group statistic.
+    *
+    * Exactness: the five sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are
+    * decimal sums of bounded integer products — exact at any scale and any
+    * partitioning (Spark widens decimal sums to precision+10; DuckDB sums
+    * bigint into int128). The correlation itself is then one double formula
+    * over a single row of exact decimals. One scan, one shuffle of 6
+    * counters per flag; this is also the 100 TB shape (the sufficient
+    * statistics are classic map-side-combining aggregates).
+    */
+  def q87Correlation(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(l_quantity AS DECIMAL(10,0))").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS DECIMAL(12,0))").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n_items"),
+        // exact integers: covN = n·Σxy − Σx·Σy, varxN = n·Σx² − (Σx)²,
+        // varyN = n·Σy² − (Σy)² — then ONE double expression each engine
+        // evaluates identically
+        expr("""round(CAST(n_items * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n_items * sxx - sx * sx AS DOUBLE) *
+                           CAST(n_items * syy - sy * sy AS DOUBLE)), 6)""")
+          .as("pearson_r"),
+        expr("""round(CAST(n_items * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_items * sxx - sx * sx AS DOUBLE), 6)""")
+          .as("slope_cents_per_unit"))
+
+  /** q89: chi-square independence test — is `event_type` independent of the
+    * value band? Emits the full contingency diagnostics (observed, expected,
+    * per-cell χ² contribution in millionths) plus the table-wide χ² total,
+    * one row per cell.
+    *
+    * Shape: one scan → one |types|×|bands| cell aggregate; row/column/grand
+    * totals are windows over that tiny frame (never a rescan). Expected
+    * counts and χ² terms are per-row scalar doubles from exact integers
+    * (deterministic, see block doc); the χ² TOTAL is a sum of integerized
+    * millionth-terms, so even the total is summation-order-proof.
+    */
+  def q89ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wRow = Window.partitionBy(col("event_type"))
+    val wCol = Window.partitionBy(col("band"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("row_n", sum(col("n_obs")).over(wRow))
+      .withColumn("col_n", sum(col("n_obs")).over(wCol))
+      .withColumn("total_n", sum(col("n_obs")).over(wAll))
+      .withColumn("expected",
+        expr("CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE)"))
+      .withColumn("term_micro", expr(
+        """CAST(round((CAST(n_obs AS DOUBLE) - expected) *
+                      (CAST(n_obs AS DOUBLE) - expected) / expected * 1000000)
+             AS BIGINT)"""))
+      .select(col("event_type"), col("band"), col("n_obs"),
+        expr("round(expected, 4)").as("expected_r"), col("term_micro"),
+        sum(col("term_micro")).over(wAll).as("chi2_micro_total"))
+  }
+
+  /** q91: Kolmogorov–Smirnov drift statistic per event type — the maximum
+    * gap between the weekday and weekend empirical CDFs of `value`, in
+    * basis points. The pipeline's "did this segment's distribution move"
+    * alarm, here split on a calendar attribute; in production the two
+    * populations would be this-crawl vs last-crawl.
+    *
+    * Fully integer-exact: with per-population totals t1, t2 and cumulative
+    * counts c1, c2 at each observed value,
+    * |F1−F2| = |c1·t2 − c2·t1| / (t1·t2), so the sup-statistic is
+    * max(|c1·t2 − c2·t1|·10⁴ div (t1·t2)) — no doubles anywhere. (Products
+    * stay in int64 up to ~10⁷ rows per (type, population); beyond that the
+    * same expression runs in decimal.) The weekday flag is integer epoch-day
+    * arithmetic ((d+4) mod 7 with 0=Sunday), not engine-specific dayofweek.
+    *
+    * Shape: one scan → (type, cents) cell aggregate (map-side combining) →
+    * one window partition per type for the running CDFs → per-type max.
+    */
+  def q91KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val byValue = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow7"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(
+        sum(when(expr("dow7 IN (0, 6)"), 0L).otherwise(1L)).as("n_wd"),
+        sum(when(expr("dow7 IN (0, 6)"), 1L).otherwise(0L)).as("n_we"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    byValue
+      .withColumn("c1", sum(col("n_wd")).over(wCum))
+      .withColumn("c2", sum(col("n_we")).over(wCum))
+      .withColumn("t1", sum(col("n_wd")).over(wAll))
+      .withColumn("t2", sum(col("n_we")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("t1")).as("n_weekday"),
+        max(col("t2")).as("n_weekend"),
+        max(expr("""CASE WHEN t1 = 0 OR t2 = 0 THEN NULL
+                    ELSE abs(c1 * t2 - c2 * t1) * 10000 div (t1 * t2) END"""))
+          .as("ks_bp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_correlation" -> (q87Correlation _),
+    "q89_chisq"       -> (q89ChiSquare _),
+    "q91_ks_drift"    -> (q91KsDrift _))
+
+  val oracles: Map[String, String] = Map(
+    "q87_correlation" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         agg AS (
+           SELECT l_returnflag, count(*) AS n_items,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM s GROUP BY l_returnflag)
+         SELECT l_returnflag, n_items,
+                round(CAST(n_items * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n_items * sxx - sx * sx AS DOUBLE) *
+                           CAST(n_items * syy - sy * sy AS DOUBLE)), 6)
+                  AS pearson_r,
+                round(CAST(n_items * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_items * sxx - sx * sx AS DOUBLE), 6)
+                  AS slope_cents_per_unit
+         FROM agg""",
+    "q89_chisq" ->
+      """WITH cells AS (
+           SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) // 10000 AS band,
+                  count(*) AS n_obs
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, band, n_obs,
+                  CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+                  CAST(sum(n_obs) OVER (PARTITION BY band) AS BIGINT) AS col_n,
+                  CAST(sum(n_obs) OVER () AS BIGINT) AS total_n
+           FROM cells),
+         terms AS (
+           SELECT event_type, band, n_obs,
+                  CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS expected
+           FROM t),
+         m AS (
+           SELECT event_type, band, n_obs, round(expected, 4) AS expected_r,
+                  CAST(round((CAST(n_obs AS DOUBLE) - expected) *
+                             (CAST(n_obs AS DOUBLE) - expected) / expected * 1000000)
+                    AS BIGINT) AS term_micro
+           FROM terms)
+         SELECT event_type, band, n_obs, expected_r, term_micro,
+                CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro_total
+         FROM m""",
+    "q91_ks_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow7
+           FROM events),
+         g AS (
+           SELECT event_type, cents,
+                  CAST(sum(CASE WHEN dow7 IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT) AS n_wd,
+                  CAST(sum(CASE WHEN dow7 IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_we
+           FROM e GROUP BY 1, 2),
+         c AS (
+           SELECT event_type,
+                  CAST(sum(n_wd) OVER w AS BIGINT) AS c1,
+                  CAST(sum(n_we) OVER w AS BIGINT) AS c2,
+                  CAST(sum(n_wd) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+                  CAST(sum(n_we) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+           FROM g
+           WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type,
+                max(t1) AS n_weekday, max(t2) AS n_weekend,
+                max(CASE WHEN t1 = 0 OR t2 = 0 THEN NULL
+                    ELSE abs(c1 * t2 - c2 * t1) * 10000 // (t1 * t2) END) AS ks_bp
+         FROM c GROUP BY event_type""")
+}

@@ -162,6 +162,49 @@ object EventStream {
       .select(col("p_event_id"), col("user_id"), col("v_event_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Encoder-friendly projection of a [[graft.functions.SpaceSavingSketch]]:
+    * parallel arrays survive the state store's row encoding where a
+    * mutable.HashMap would not. */
+  case class HHState(k: Int, items: Array[String], counts: Array[Long],
+                     errors: Array[Long])
+  case class HHOut(event_type: String, item: String, est_count: Long,
+                   est_error: Long)
+
+  /** s08: streaming heavy hitters — the online form of q84: one bounded
+    * SpaceSaving sketch per stream key (here: heavy-hitter USERS per event
+    * type), updated per micro-batch and re-emitted in Update mode, so the
+    * sink always holds the current top-k estimate. State per key is O(k)
+    * counters FOREVER — the entire point of the sketch: a year of stream
+    * uptime costs the same state as the first minute, where a naive
+    * groupBy-count stream would accrete one row per distinct user. The
+    * sketch guarantees survive incremental updating because batch-merge and
+    * sequential add share the same eviction rule (any item with true
+    * frequency > n/k so far is present; est ≥ true ≥ est − err).
+    */
+  def heavyHittersStream(events: Dataset[Event], k: Int): Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[HHState]) =>
+          val sketch = state.getOption match {
+            case Some(st) =>
+              val sk = new graft.functions.SpaceSavingSketch(st.k)
+              st.items.indices.foreach { i =>
+                sk.counters.update(st.items(i), (st.counts(i), st.errors(i)))
+              }
+              sk
+            case None => new graft.functions.SpaceSavingSketch(k)
+          }
+          it.foreach(e => sketch.add(e.user_id.toString))
+          val sorted = sketch.sorted
+          state.update(HHState(sketch.k,
+            sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+            sorted.map(_._3).toArray))
+          sorted.iterator.map { case (item, c, err) => HHOut(tpe, item, c, err) }
+      }
+  }
+
   /** s05: stream-static enrichment join — each micro-batch of events is
     * joined against a static dimension frame (the published user → segment
     * mapping of an enrich-on-ingest pipeline). The join is STATELESS: the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
-import graft.operators.Multimodal.PgmCodec
+import graft.operators.Multimodal.{PgmCodec, WavCodec}
 
 /** Real-image-path properties: the PGM codec is a genuine decoder, so the
   * round trip, resize, perceptual hash and corruption handling are all
@@ -65,5 +65,75 @@ class MultimodalSpec extends AnyFunSuite {
     // deterministic across runs
     val again = Multimodal.q61ImageFeatures(spark, sf)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
+  test("WAV codec round-trips samples exactly and skips foreign chunks") {
+    val samples = Array.tabulate[Short](1000)(i => ((i * 131) % 30000 - 15000).toShort)
+    val wav = WavCodec.encode(8000, samples)
+    val back = WavCodec.decode(wav)
+    assert(back.isDefined)
+    assert(back.get.sampleRate == 8000)
+    assert(back.get.samples.toSeq == samples.toSeq)
+    // foreign chunk between fmt and data (the q92 LIST splice) is skipped
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = new Array[Byte](wav.length + list.length)
+    System.arraycopy(wav, 0, spliced, 0, 36)
+    System.arraycopy(list, 0, spliced, 36, list.length)
+    System.arraycopy(wav, 36, spliced, 36 + list.length, wav.length - 36)
+    val s2 = WavCodec.decode(spliced)
+    assert(s2.isDefined && s2.get.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode rejects corrupt payloads instead of throwing") {
+    val good = WavCodec.encode(8000, Array.tabulate[Short](100)(_.toShort))
+    assert(WavCodec.decode(java.util.Arrays.copyOf(good, good.length / 2)).isEmpty) // truncated data
+    assert(WavCodec.decode(java.util.Arrays.copyOf(good, 20)).isEmpty) // header only
+    assert(WavCodec.decode("RIFX".getBytes ++ good.drop(4)).isEmpty) // wrong magic
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    // stereo / non-PCM / 8-bit all rejected (pipeline publishes mono PCM16)
+    val stereo = good.clone(); stereo(22) = 2 // channels field
+    assert(WavCodec.decode(stereo).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // format = IEEE float
+    assert(WavCodec.decode(nonPcm).isEmpty)
+    // a chunk whose declared size overruns the payload must not read past
+    val lying = good.clone()
+    lying(40) = -1; lying(41) = -1; lying(42) = -1; lying(43) = 127 // data size huge
+    assert(WavCodec.decode(lying).isEmpty)
+  }
+
+  test("WAV features are exact on a known square wave") {
+    // +1000 for 4 samples, -1000 for 4 samples, repeated: peak 1000,
+    // RMS exactly 1000, one crossing per half-period boundary
+    val n = 800
+    val sq = Array.tabulate[Short](n)(i => if ((i / 4) % 2 == 0) 1000 else -1000)
+    val a = WavCodec.decode(WavCodec.encode(8000, sq)).get
+    assert(WavCodec.zeroCrossings(a.samples) == n / 4 - 1)
+    var sumSq = 0L
+    a.samples.foreach(s0 => sumSq += s0.toLong * s0.toLong)
+    assert(math.round(math.sqrt(sumSq.toDouble / n) * 1000) == 1000000L)
+    assert(a.samples.length * 1000L / a.sampleRate == 100L) // 800 / 8kHz = 100 ms
+  }
+
+  test("q92 decodes synthesized audio, quarantines truncated payloads, skips LIST docs") {
+    val out = Multimodal.q92AudioFeatures(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs)
+    // exactly the deliberately-truncated payloads fail decode
+    assert(out.filter(!col("decode_ok")).count() ==
+      out.filter(col("doc_id") % 89 === 0).count())
+    assert(out.filter(!col("decode_ok")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).forall(_ % 89 == 0))
+    // decoded geometry matches the synth: n = 800 + doc_id % 800 at 8 kHz,
+    // and the LIST-spliced docs (doc_id % 113 == 0) decode fine
+    val bad = out.filter(col("decode_ok") &&
+      (col("n_samples") =!= lit(800) + col("doc_id") % 800 ||
+       col("sample_rate") =!= 8000 ||
+       col("duration_ms") =!= expr("n_samples * 1000 div 8000") ||
+       col("rms_milli").isNull || col("zero_crossings").isNull)).count()
+    assert(bad == 0)
+    assert(out.filter(col("doc_id") % 113 === 0 && col("doc_id") % 89 =!= 0)
+      .filter(!col("decode_ok")).count() == 0)
+    out.unpersist()
   }
 }

@@ -198,6 +198,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s08 streaming heavy hitters are exact below capacity and bounded above it") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // distinct users per event type at sf0.001 is far below k=1024: no
+    // eviction can occur, so the final emission must be EXACT per-user
+    // counts — even with the events split across two micro-batches
+    val events = loadEvents()
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val ms = MemoryStream[Event]
+    val q = EventStream.heavyHittersStream(ms.toDS(), 1024)
+      .writeStream.format("memory").queryName("s08").outputMode("update").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // the memory sink appends every trigger's emission; the latest
+      // estimate per (type, user) is the max (counts never decrease)
+      val fin = s.table("s08").groupBy(col("event_type"), col("item"))
+        .agg(max(col("est_count")).as("est"), max(col("est_error")).as("err"))
+      val exact = Tables.events(s, sf)
+        .groupBy(col("event_type"), col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("n"))
+      val joined = fin.join(exact, Seq("event_type", "item"), "full").cache()
+      assert(joined.filter(col("est").isNull || col("n").isNull).count() == 0,
+        "sketch below capacity must hold exactly the true item set")
+      assert(joined.filter(col("est") =!= col("n") || col("err") =!= 0).count() == 0,
+        "below capacity every count is exact with zero error")
+      joined.unpersist()
+    } finally q.stop()
+
+    // force eviction with k=2: SpaceSaving invariants must still hold —
+    // est ≥ true and the dominant item is always present
+    val ms2 = MemoryStream[Event]
+    val q2 = EventStream.heavyHittersStream(ms2.toDS(), 2)
+      .writeStream.format("memory").queryName("s08b").outputMode("update").start()
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // user 1 dominates (12 of 20 events); users 2..9 are noise
+      val evs = (1 to 12).map(i => Event(i.toLong, ts0, 1L, "x", 1.0)) ++
+        (13 to 20).map(i => Event(i.toLong, ts0, (i % 8 + 2).toLong, "x", 1.0))
+      ms2.addData(evs.take(10)); q2.processAllAvailable()
+      ms2.addData(evs.drop(10)); q2.processAllAvailable()
+      val last = s.table("s08b").groupBy(col("item"))
+        .agg(max(col("est_count")).as("est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last.contains("1"), "dominant item (freq > n/k) must be present")
+      assert(last("1") >= 12L, "SpaceSaving estimate must never undercount")
+    } finally q2.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
