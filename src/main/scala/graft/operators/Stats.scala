@@ -138,12 +138,74 @@ object Stats {
           .as("ks_bp"))
   }
 
+  /** q95: trailing-window volume anomaly — per (event_type, day) event
+    * counts z-scored against the preceding 7 calendar days (RANGE frame on
+    * the integer day, so data gaps don't stretch the lookback the way a
+    * ROWS frame would). The "did traffic spike/collapse" monitor of an
+    * ingest pipeline.
+    *
+    * Determinism: the trailing Σx and Σx² are integer window sums;
+    * z = (x·cnt − s) / sqrt(cnt·s2 − s²) is one scalar double from exact
+    * integers (population σ; algebraically identical to (x−μ)/σ but with
+    * no intermediate rounding). Windows with <3 prior days or zero
+    * variance yield null — an alarm needs a baseline.
+    *
+    * Shape: one scan → (type, day) rollup → one |types|-partition window
+    * over day-level rows (thousands of rows per type even at 100 TB —
+    * day-granular frames never blow up with the corpus).
+    */
+  def q95VolumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("cnt", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("z", expr(
+        """CASE WHEN cnt < 3 OR cnt * s2 - s * s <= 0 THEN NULL
+           ELSE round(CAST(n * cnt - s AS DOUBLE) /
+                      sqrt(CAST(cnt * s2 - s * s AS DOUBLE)), 4) END"""))
+      .select(col("event_type"), col("day"), col("n"),
+        col("cnt").as("n_baseline_days"), col("z"),
+        expr("CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END")
+          .as("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_correlation" -> (q87Correlation _),
     "q89_chisq"       -> (q89ChiSquare _),
-    "q91_ks_drift"    -> (q91KsDrift _))
+    "q91_ks_drift"    -> (q91KsDrift _),
+    "q95_volume_anomaly" -> (q95VolumeAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q95_volume_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, n,
+                  CAST(count(n) OVER w AS BIGINT) AS cnt,
+                  CAST(sum(n) OVER w AS BIGINT) AS s,
+                  CAST(sum(n * n) OVER w AS BIGINT) AS s2
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         zs AS (
+           SELECT event_type, day, n, cnt,
+                  CASE WHEN cnt < 3 OR cnt * s2 - s * s <= 0 THEN NULL
+                  ELSE round(CAST(n * cnt - s AS DOUBLE) /
+                             sqrt(CAST(cnt * s2 - s * s AS DOUBLE)), 4) END AS z
+           FROM win)
+         SELECT event_type, day, n, cnt AS n_baseline_days, z,
+                CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END
+                  AS is_anomaly
+         FROM zs""",
     "q87_correlation" ->
       """WITH s AS (
            SELECT l_returnflag,

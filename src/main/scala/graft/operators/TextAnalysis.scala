@@ -302,7 +302,63 @@ object TextAnalysis {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** q93: TF-IDF top terms — each document's 3 most characteristic words
+    * (highest tf·idf among the ≥5-doc vocabulary, q59's df filter), the
+    * keyword-extraction step of an indexing/labeling pipeline.
+    *
+    * Determinism: idf and the score are per-row scalar doubles from exact
+    * integer (tf, df, n_docs) — identical in both engines — and ranking
+    * orders by the ROUNDED score with the word as tiebreak, so the window
+    * rank can never flip on a sub-rounding difference.
+    *
+    * Shape: (doc, word) tf agg → word df agg → shuffle join on word →
+    * per-doc window. The rank-3 filter compiles to WindowGroupLimit
+    * (per-partition partial top-k before the exchange), and the df side
+    * aggregates to vocab size before the join — no all-pairs anything.
+    */
+  def q93TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= 5)
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    tf.join(df, "word").crossJoin(n)
+      .withColumn("score", round(
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** q94: deterministic exact-n stratified sample — 20 documents per
+    * language, chosen as the smallest md5(doc_id) per stratum: a uniform
+    * without-replacement sample that is reproducible across runs, engines
+    * and corpus *growth order* (the md5 coin is a pure function of the
+    * id, like q68/q74). The eval-set carve-out of a corpus pipeline.
+    *
+    * Shape: one shuffle on lang; the rank ≤ 20 filter compiles to
+    * WindowGroupLimit, so each map task forwards at most 20 rows per
+    * stratum — a skewed mega-language costs its partition nothing.
+    */
+  def q94StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_tfidf_topterms" -> (q93TfidfTopTerms _),
+    "q94_stratified_sample" -> (q94StratifiedSample _),
     "q36_lang_id"       -> (q36LangId _),
     "q37_quality_score" -> (q37QualityScore _),
     "q38_token_count"   -> (q38TokenCount _),
@@ -317,6 +373,31 @@ object TextAnalysis {
     "q75_bigram_stats"  -> (q75BigramStats _))
 
   val oracles: Map[String, String] = Map(
+    "q93_tfidf_topterms" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+          w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+          df AS (SELECT word, count(DISTINCT doc_id) AS doc_freq
+                 FROM w GROUP BY word HAVING count(DISTINCT doc_id) >= 5),
+          sc AS (SELECT doc_id, tf.word, tf,
+                        round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 6)
+                          AS score
+                 FROM tf JOIN df USING (word) CROSS JOIN n),
+          r AS (SELECT doc_id, word, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, word) AS rn
+                FROM sc)
+          SELECT doc_id, word, tf, score, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 3""",
+    "q94_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+          r AS (SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY h, doc_id) AS rn
+                FROM h)
+          SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+          FROM r WHERE rn <= 20""",
     "q36_lang_id" -> {
       val (en, de, es, fr, zh) =
         (duckStopCount("en"), duckStopCount("de"), duckStopCount("es"),

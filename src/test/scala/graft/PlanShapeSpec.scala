@@ -147,4 +147,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("rollinghash"), p)
     assert(p.contains("*("), p) // whole-stage-codegen stage marker
   }
+
+  test("q87 correlation aggregates six exact counters through one exchange") {
+    val p = plan("q87_correlation")
+    assert(count(p, "Exchange") == 1, p)
+    // no window, no join: sufficient statistics are a plain two-phase agg
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q91 KS drift shuffles the cell rollup once, then windows per event type") {
+    val p = plan("q91_ks_drift")
+    // (type,cents) agg + type-partition window + final type agg: the day
+    // the CDF window picks up a global sort this jumps and fails
+    assert(!p.contains("SinglePartition"), p)
+    assert(count(p, "Exchange") <= 3, p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
+  test("q94 stratified sample pushes the rank limit below the exchange") {
+    val p = plan("q94_stratified_sample")
+    assert(count(p, "Exchange") == 1, p)
+    // WindowGroupLimit: map tasks forward at most 20 rows per stratum
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q93 TF-IDF rank-3 filter compiles to a WindowGroupLimit") {
+    val p = plan("q93_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q88 unpivot expands after the aggregation, with dims broadcast") {
+    val p = plan("q88_unpivot")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(count(p, "Exchange") == 1, p)
+    // Expand over |nations| aggregated rows, not over the fact table: it
+    // must sit ABOVE the aggregate in the plan tree (printed earlier)
+    val expandAt = p.indexOf("Expand")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(expandAt >= 0 && aggAt >= 0 && expandAt < aggAt, p)
+  }
+
+  test("q95 anomaly baseline is a range-frame window, one event-scale shuffle") {
+    val p = plan("q95_volume_anomaly")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+    // RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING survives into the plan
+    assert(p.contains("RangeFrame, -7, -1"), p)
+    // both window nodes (Σ/count and Σx²) reuse ONE single-key event_type
+    // exchange (the other hashpartitioning is the (type, day) rollup's)
+    assert(count(p, "hashpartitioning\\(event_type#\\d+, \\d+\\)") == 1, p)
+  }
 }

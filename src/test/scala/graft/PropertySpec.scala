@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.operators.Dedup
-import graft.operators.Multimodal.PgmCodec
+import graft.operators.Multimodal.{PgmCodec, WavCodec}
 
 /** Property-based hardening of the hand-rolled kernels: the PGM codec and
   * resize (pure JVM — true generator sweeps), the rolling hash against an
@@ -37,6 +37,31 @@ class PropertySpec extends AnyFunSuite {
     forAllSamples(genImg) { case (w, h, px) =>
       val img = PgmCodec.decode(PgmCodec.encode(w, h, px))
       assert(img.exists(i => i.width == w && i.height == h && i.pixels.toSeq == px.toSeq))
+    }
+  }
+
+  test("WAV encode/decode round-trips arbitrary rates and samples") {
+    val genWav = for {
+      rate <- Gen.choose(1, 192000)
+      n <- Gen.choose(0, 2000)
+      samples <- Gen.containerOfN[Array, Short](n,
+        Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, samples)
+    forAllSamples(genWav) { case (rate, samples) =>
+      val a = WavCodec.decode(WavCodec.encode(rate, samples))
+      assert(a.exists(x => x.sampleRate == rate && x.samples.toSeq == samples.toSeq))
+    }
+  }
+
+  test("WAV decode never throws on arbitrary byte garbage (incl. RIFF-prefixed)") {
+    val genBytes = Gen.oneOf(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      // garbage AFTER a valid RIFF/WAVE preamble exercises the chunk walker
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail => "RIFFxxxxWAVE".getBytes("US-ASCII") ++ tail))
+    forAllSamples(genBytes) { bytes =>
+      WavCodec.decode(bytes) // may be Some or None; must not throw
+      assert(true)
     }
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Events, RelationalExt, Stats}
+import graft.operators.{Events, RelationalExt, Stats, TextAnalysis}
 
 class StatsSpec extends AnyFunSuite {
   import TestSpark._
@@ -87,6 +87,73 @@ class StatsSpec extends AnyFunSuite {
       .collect().take(5).map(_.getString(0)).mkString(">")
     val paths = Events.q90Paths(spark, sf) // path of that user must exist
     assert(paths.filter(col("path") === want).count() >= 1)
+  }
+
+  test("q93 top terms: <=3 ranked rows per doc, scores non-increasing, vocab df>=5") {
+    val rows = TextAnalysis.q93TfidfTopTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // every emitted word really appears in >=5 docs
+    val vocab = rows.map(_.getAs[String]("word")).distinct.toSet
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(countDistinct("doc_id").as("df"))
+      .filter(col("word").isin(vocab.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab.forall(w => df(w) >= 5L))
+  }
+
+  test("q94 sample takes exactly min(20, stratum size) per language, deterministically") {
+    val got = TextAnalysis.q94StratifiedSample(spark, sf).cache()
+    val perLang = got.groupBy("lang").agg(count(lit(1)).as("k"),
+      max("sample_rank").as("maxr")).collect()
+    val strata = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { r =>
+      val want = math.min(20L, strata(r.getString(0)))
+      assert(r.getAs[Long]("k") == want && r.getAs[Int]("maxr").toLong == want)
+    }
+    // pure function of doc_id: a second run yields the identical sample
+    val again = TextAnalysis.q94StratifiedSample(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0)
+    got.unpersist()
+  }
+
+  test("q95 z-scores match a brute-force trailing-window recompute") {
+    val rows = Stats.q95VolumeAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    var checkedNonNull = 0
+    rows.foreach { r =>
+      val (tpe, day, x) = (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("n"))
+      val window = byType(tpe).filter(d => d._2 >= day - 7 && d._2 <= day - 1)
+      val (cnt, s1, s2) =
+        (window.length.toLong, window.map(_._3).sum,
+          window.map(d => d._3 * d._3).sum)
+      assert(r.getAs[Long]("n_baseline_days") == cnt)
+      val z = Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double])
+      if (cnt < 3 || cnt * s2 - s1 * s1 <= 0) assert(z.isEmpty)
+      else {
+        val want = BigDecimal((x * cnt - s1).toDouble /
+          math.sqrt((cnt * s2 - s1 * s1).toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(z.contains(want), s"$tpe day=$day: ${z} vs $want")
+        assert(r.getAs[Int]("is_anomaly") == (if (math.abs(want) > 2.0) 1 else 0))
+        checkedNonNull += 1
+      }
+    }
+    assert(checkedNonNull > 0, "need at least one scored row to prove the formula")
   }
 
   test("q88 unpivot: 3 rows per nation, totals reconcile with the joined fact table") {
