@@ -154,7 +154,34 @@ object Quality {
       .select(col("e.item").as("item"), col("e.est_count").as("est_count"),
         col("e.est_error").as("est_error"))
 
+  /** q96: mergeable distinct-count rollup — one DataSketches HLL sketch of
+    * the day's users per (event_type, day), then WEEKLY unique-user
+    * estimates computed by UNIONING the daily sketches, never rescanning
+    * events. This is the incremental-profile pattern at 100 TB: daily
+    * sketches are tiny (~KB), persist next to the data, and any date-range
+    * distinct count (week, month, arbitrary span) is a sketch union over
+    * them — where exact countDistinct would re-shuffle the raw corpus per
+    * question asked. Rows-only (sketch binaries are engine-specific);
+    * QualitySketchSpec bounds the estimates against exact distincts and
+    * proves union-vs-rescan equivalence.
+    */
+  def q96HllRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_unique_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_hll_rollup" -> (q96HllRollup _),
     "q55_qa_report" -> (q55QaReport _),
     "q66_profile"   -> (q66Profile _),
     "q67_sketch_profile" -> (q67SketchProfile _),

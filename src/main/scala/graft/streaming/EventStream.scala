@@ -205,6 +205,57 @@ object EventStream {
       }
   }
 
+  /** Per-key drift state: trailing day→count map, pruned to the 8 calendar
+    * days the z-score window can ever reference. */
+  case class DriftState(days: Map[Long, Long])
+  case class DriftOut(event_type: String, day: Long, n: Long,
+                      n_baseline_days: Long, z: Option[Double])
+
+  /** s09: streaming volume-anomaly monitor — the online form of
+    * [[graft.operators.Stats.q95VolumeAnomaly]]: per event type the state
+    * holds only the trailing 8 days of counts (bounded forever, like s08's
+    * sketch), and every micro-batch re-emits the z-score of each day it
+    * touched, computed AFTER folding the whole batch into state — so a
+    * day's final emission uses its complete 7-day baseline exactly as the
+    * batch RANGE frame does. Update mode: the sink's latest row per
+    * (type, day) converges to the batch q95 value once that day's data has
+    * fully arrived (re-ordering tolerated up to the 8-day state horizon).
+    */
+  def driftStream(events: Dataset[Event]): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[DriftState]) =>
+          var days = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long])
+          val touched = scala.collection.mutable.Set.empty[Long]
+          for (e <- it) {
+            val d = micros(e.ts) / 86400000000L
+            days = days.updated(d, days.getOrElse(d, 0L) + 1L)
+            touched += d
+          }
+          // persist only the trailing 8 days (bounded state), but EMIT from
+          // the pre-prune map: a single batch may span more than 8 days, and
+          // its older days find their baselines inside the batch itself
+          val horizon = days.keys.max - 8
+          state.update(DriftState(days.filter { case (d, _) => d >= horizon }))
+          touched.toSeq.sorted.iterator.map { d =>
+            val base = days.collect {
+              case (bd, c) if bd >= d - 7 && bd <= d - 1 => c
+            }.toSeq
+            val (cnt, s1, s2) =
+              (base.length.toLong, base.sum, base.map(c => c * c).sum)
+            val x = days(d)
+            val z =
+              if (cnt < 3 || cnt * s2 - s1 * s1 <= 0) None
+              else Some(BigDecimal((x * cnt - s1).toDouble /
+                math.sqrt((cnt * s2 - s1 * s1).toDouble))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            DriftOut(tpe, d, x, cnt, z)
+          }
+      }
+  }
+
   /** s05: stream-static enrichment join — each micro-batch of events is
     * joined against a static dimension frame (the published user → segment
     * mapping of an enrich-on-ingest pipeline). The join is STATELESS: the

@@ -27,6 +27,43 @@ class QualitySketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 weekly HLL union estimates track exact distincts within 5%") {
+    val got = Quality.q96HllRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val exact = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"), col("user_id"))
+      .groupBy("event_type", "week")
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == exact.keySet, "every (type, week) cell present")
+    got.foreach { case (k, (est, _, nEvents)) =>
+      val (ex, n) = exact(k)
+      assert(nEvents == n, s"$k: event counts must be exact")
+      val relErr = math.abs(est - ex).toDouble / math.max(ex, 1L)
+      // lgK=12 → rsd ≈ 1.6%; 5% is > 3σ
+      assert(relErr <= 0.05, s"$k: est=$est exact=$ex err=$relErr")
+    }
+    // the union path must agree with sketching the week directly — the
+    // mergeability property that lets persisted daily sketches answer
+    // arbitrary ranges without rescanning
+    val direct = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"), col("user_id"))
+      .groupBy("event_type", "week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (k, (est, _, _)) =>
+      val d = direct(k)
+      assert(math.abs(est - d).toDouble / math.max(d, 1L) <= 0.05,
+        s"$k: union=$est direct=$d")
+    }
+  }
+
   test("sketch profile is one pass: a single aggregate, no Expand") {
     val plan = Quality.q67SketchProfile(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)

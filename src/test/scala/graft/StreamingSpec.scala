@@ -248,6 +248,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s09 streaming drift monitor converges to the batch q95 z-scores") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // split at a day boundary, in event-time order: every day fully
+    // arrives in one batch, so its final emission must equal batch q95
+    val events = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val days = events.map(_.ts.getTime / 86400000L).distinct.sorted
+    val cutDay = days(days.length / 2)
+    val (b1, b2) = events.partition(_.ts.getTime / 86400000L < cutDay)
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStream.driftStream(ms.toDS())
+      .writeStream.format("memory").queryName("s09").outputMode("update").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // latest emission per (type, day): batch_id-free memory sink — take
+      // the row with the max n (counts only grow as a day accumulates)
+      val fin = s.table("s09")
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(struct(col("n"), col("n_baseline_days"), col("z"))).as("r"))
+        .select(col("event_type"), col("day"), col("r.n").as("n"),
+          col("r.n_baseline_days").as("n_baseline_days"), col("r.z").as("z"))
+      val batch = graft.operators.Stats.q95VolumeAnomaly(s, sf)
+        .select(col("event_type"), col("day"), col("n"),
+          col("n_baseline_days"), col("z"))
+      assert(fin.count() == batch.count(), "every (type, day) cell emitted")
+      assert(fin.exceptAll(batch).count() == 0 && batch.exceptAll(fin).count() == 0,
+        "streaming emissions must converge to the batch z-scores")
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
