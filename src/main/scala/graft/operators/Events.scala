@@ -312,7 +312,61 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** q97: peak concurrency per day — the "how many trips are on the road
+    * at once" metric: sessions (q20 semantics) become ±1 boundary points,
+    * and the global running sum decomposes into a per-DAY prefix sum plus
+    * a cross-day carry (the tiny per-day totals cumulated and broadcast
+    * back). That decomposition is the scale story: no single-partition
+    * window ever sees event-scale data — day partitions bound every window
+    * frame, exactly like q83's shard packing. Instant ties order
+    * (delta DESC, user, session): simultaneous starts count before ends,
+    * identically in both engines.
+    *
+    * The boundary-point frame is localCheckpointed: the carry rollup and
+    * the prefix window both consume it, and without the checkpoint
+    * Catalyst would re-run the whole sessionization per branch (no
+    * common-subplan elimination) — one materialization of |2·sessions|
+    * narrow rows buys a single sessionize pass.
+    */
+  def q97Concurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pts = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("sess_no"), explode(array(
+        struct(col("start_us").as("us"), lit(1L).as("delta")),
+        struct(col("end_us").as("us"), lit(-1L).as("delta")))).as("p"))
+      .select(col("user_id"), col("sess_no"),
+        col("p.us").as("us"), col("p.delta").as("delta"))
+      .withColumn("day", expr("us div 86400000000"))
+      .localCheckpoint()
+    val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
+      .withColumn("carry", coalesce(
+        sum(col("day_delta")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("delta").desc, col("user_id"), col("sess_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("local_cum", sum(col("delta")).over(wDay))
+      .join(broadcast(carry), "day")
+      .withColumn("conc", col("carry") + col("local_cum"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_concurrency"      -> (q97Concurrency _),
     "q90_paths"            -> (q90Paths _),
     "q85_attribution_linear" -> (q85AttributionLinear _),
     "q86_revenue_growth"   -> (q86RevenueGrowth _),
@@ -330,6 +384,38 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q97_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (
+           SELECT user_id, us, event_id,
+                  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    AS prev_us
+           FROM e),
+         s AS (
+           SELECT user_id, us,
+                  CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+                    AS sess_no
+           FROM l),
+         t AS (
+           SELECT user_id, sess_no, min(us) AS start_us, max(us) AS end_us
+           FROM s GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, sess_no, start_us AS us, CAST(1 AS BIGINT) AS delta FROM t
+           UNION ALL
+           SELECT user_id, sess_no, end_us, CAST(-1 AS BIGINT) FROM t),
+         r AS (
+           SELECT us // 86400000000 AS day, delta,
+                  CAST(sum(delta) OVER (ORDER BY us, delta DESC, user_id, sess_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS conc
+           FROM p)
+         SELECT day, max(conc) AS max_concurrent,
+                CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+                CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+         FROM r GROUP BY day""",
     "q90_paths" ->
       """WITH r AS (
            SELECT user_id, event_type,

@@ -180,7 +180,40 @@ object Quality {
         count(lit(1)).as("n_days"),
         sum(col("n_events")).as("n_events"))
 
+  /** q98: snapshot diff — the refresh-QA report between two versions of a
+    * published table: which rows were added, removed or changed. Snapshots
+    * are simulated deterministically from orders (every 83rd key absent
+    * from the old snapshot → added; every 89th absent from the new →
+    * removed; every surviving 97th repriced → changed); unchanged rows are
+    * filtered out so the report is delta-sized.
+    *
+    * Shape: one full-outer shuffle join on the key — the canonical diff.
+    * At 100 TB both snapshots would be bucketed by key at write time,
+    * making this join exchange-free (the §H bucketing spec's shape);
+    * the two scans are irreducible (they ARE the two snapshots).
+    */
+  def q98SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def snap = Tables.orders(s, dir).select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val a = snap.filter(col("o_orderkey") % 83 =!= 0)
+      .select(col("o_orderkey").as("key"), col("cents").as("old_cents"))
+    val b = snap.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 97 === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("new_cents"))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_cents").isNull, "added")
+          .when(col("new_cents").isNull, "removed")
+          .when(col("old_cents") =!= col("new_cents"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("key").as("o_orderkey"), col("status"),
+        col("old_cents"), col("new_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q96_hll_rollup" -> (q96HllRollup _),
     "q55_qa_report" -> (q55QaReport _),
     "q66_profile"   -> (q66Profile _),
@@ -190,6 +223,27 @@ object Quality {
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q98_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         a AS (
+           SELECT o_orderkey AS key, cents AS old_cents
+           FROM o WHERE o_orderkey % 83 <> 0),
+         b AS (
+           SELECT o_orderkey AS key,
+                  CASE WHEN o_orderkey % 97 = 0 THEN cents + 100
+                       ELSE cents END AS new_cents
+           FROM o WHERE o_orderkey % 89 <> 0),
+         d AS (
+           SELECT coalesce(a.key, b.key) AS o_orderkey, old_cents, new_cents,
+                  CASE WHEN old_cents IS NULL THEN 'added'
+                       WHEN new_cents IS NULL THEN 'removed'
+                       WHEN old_cents <> new_cents THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.key = b.key)
+         SELECT o_orderkey, status, old_cents, new_cents
+         FROM d WHERE status <> 'unchanged'""",
     "q84_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS est_count,
                 CAST(0 AS BIGINT) AS est_error

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Events}
+import graft.operators.{Analytics, Events, Quality}
 
 class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
@@ -160,6 +160,53 @@ class AnalyticsSpec extends AnyFunSuite {
     val perPrev = df.groupBy("prev_type").agg(
       sum("share_bp").as("bp"), count(lit(1)).as("n"))
     assert(perPrev.filter(col("bp") > 10000 || col("bp") <= lit(10000) - col("n")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q97 per-day decomposed concurrency equals a brute-force global running sum") {
+    val got = Events.q97Concurrency(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_starts"),
+          r.getAs[Long]("n_ends"))).toMap
+    assert(got.nonEmpty)
+    // boundary totals: every session starts once and ends once
+    val nSessions = SparkEntry.queries("q20_sessionize")(spark, sf).count()
+    assert(got.values.map(_._2).sum == nSessions && got.values.map(_._3).sum == nSessions)
+    // brute force: global running sum over all boundary points in the
+    // operator's tie order, then per-day max — must match exactly
+    val sess = SparkEntry.queries("q20_sessionize")(spark, sf)
+      .select(col("user_id"), col("sess_no"),
+        unix_micros(col("sess_start")).as("a"), unix_micros(col("sess_end")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pts = sess.flatMap { case (u, sn, a, b) => Seq((a, 1L, u, sn), (b, -1L, u, sn)) }
+      .sortBy { case (us, d, u, sn) => (us, -d, u, sn) }
+    var run = 0L
+    val perDay = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (us, d, _, _) =>
+      run += d
+      val day = us / 86400000000L
+      perDay(day) = math.max(perDay.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got.keySet == perDay.keySet)
+    got.foreach { case (day, (mx, _, _)) => assert(mx == perDay(day), s"day $day") }
+  }
+
+  test("q98 snapshot diff labels exactly the synthesized added/removed/changed keys") {
+    val df = Quality.q98SnapshotDiff(spark, sf).cache()
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val added = keys.count(k => k % 83 == 0 && k % 89 != 0)
+    val removed = keys.count(k => k % 89 == 0 && k % 83 != 0)
+    val changed = keys.count(k => k % 97 == 0 && k % 83 != 0 && k % 89 != 0)
+    val byStatus = df.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("added", 0L) == added.toLong)
+    assert(byStatus.getOrElse("removed", 0L) == removed.toLong)
+    assert(byStatus.getOrElse("changed", 0L) == changed.toLong)
+    assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed")))
+    // changed rows carry both prices, exactly 100 cents apart
+    assert(df.filter(col("status") === "changed" &&
+      (col("new_cents") =!= col("old_cents") + 100L)).count() == 0)
     df.unpersist()
   }
 }
