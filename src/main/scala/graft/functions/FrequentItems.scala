@@ -68,6 +68,25 @@ final class SpaceSavingSketch(val k: Int) extends Serializable {
       .sortBy { case (i, c, _) => (-c, i) }
 }
 
+object SpaceSavingSketch {
+  /** Rebuild a sketch from externalized counters (e.g. streaming state
+    * rehydration): the inverse of reading [[SpaceSavingSketch.sorted]].
+    * Lives here, next to add/merge, so the size ≤ k invariant and any
+    * future representation change stay inside the sketch.
+    */
+  def restore(k: Int, items: Array[String], counts: Array[Long],
+              errors: Array[Long]): SpaceSavingSketch = {
+    require(items.length == counts.length && items.length == errors.length,
+      "parallel counter arrays must align")
+    require(items.length <= k, s"${items.length} counters exceed capacity $k")
+    val sk = new SpaceSavingSketch(k)
+    items.indices.foreach { i =>
+      sk.counters.update(items(i), (counts(i), errors(i)))
+    }
+    sk
+  }
+}
+
 object FrequentItems {
   /** DataFrame-API entry: `agg(FrequentItems.frequentItems(col("x"), 64))`. */
   def frequentItems(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {

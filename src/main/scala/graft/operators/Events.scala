@@ -320,7 +320,11 @@ object Events {
     * window ever sees event-scale data — day partitions bound every window
     * frame, exactly like q83's shard packing. Instant ties order
     * (delta DESC, user, session): simultaneous starts count before ends,
-    * identically in both engines.
+    * identically in both engines. A day's peak is seeded with its
+    * day-start carry (sessions already open at midnight count even if the
+    * day's only points are ends), and days with no boundary points inside
+    * multi-day sessions emit their constant in-flight count from the tiny
+    * carry frame.
     *
     * The boundary-point frame is localCheckpointed: the carry rollup and
     * the prefix window both consume it, and without the checkpoint
@@ -347,22 +351,43 @@ object Events {
         col("p.us").as("us"), col("p.delta").as("delta"))
       .withColumn("day", expr("us div 86400000000"))
       .localCheckpoint()
+    // per-day boundary totals → day-start carry (cumulative before the
+    // day), day-end carry (after it) and the next boundary day — a
+    // |days|-sized frame, so the global-order window is a non-issue
+    val wDays = Window.orderBy(col("day"))
     val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
       .withColumn("carry", coalesce(
-        sum(col("day_delta")).over(Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("day"), col("carry"))
+        sum(col("day_delta")).over(wDays.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("carry_after",
+        sum(col("day_delta")).over(wDays.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_day", lead(col("day"), 1).over(wDays))
     val wDay = Window.partitionBy(col("day"))
       .orderBy(col("us"), col("delta").desc, col("user_id"), col("sess_no"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts
+    // a day's peak must consider the sessions already open at midnight
+    // (greatest with the day-start carry): a day whose only points are
+    // session ends would otherwise under-report by one
+    val pointDays = pts
       .withColumn("local_cum", sum(col("delta")).over(wDay))
-      .join(broadcast(carry), "day")
+      .join(broadcast(carry.select(col("day"), col("carry"))), "day")
       .withColumn("conc", col("carry") + col("local_cum"))
       .groupBy(col("day"))
-      .agg(max(col("conc")).as("max_concurrent"),
+      .agg(max(col("conc")).as("mx"),
         sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
         sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
+      .join(broadcast(carry.select(col("day"), col("carry"))), "day")
+      .select(col("day"), greatest(col("mx"), col("carry")).as("max_concurrent"),
+        col("n_starts"), col("n_ends"))
+    // days with no boundary points but sessions in flight end-to-end
+    // (inside multi-day sessions): constant concurrency = the carry
+    val gapDays = carry
+      .filter(col("next_day").isNotNull && col("next_day") > col("day") + 1 &&
+        col("carry_after") > 0)
+      .select(explode(sequence(col("day") + 1, col("next_day") - 1)).as("day"),
+        col("carry_after").as("max_concurrent"),
+        lit(0L).as("n_starts"), lit(0L).as("n_ends"))
+    pointDays.unionByName(gapDays)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,11 +436,31 @@ object Events {
                   CAST(sum(delta) OVER (ORDER BY us, delta DESC, user_id, sess_no
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                     AS conc
-           FROM p)
-         SELECT day, max(conc) AS max_concurrent,
-                CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
-                CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
-         FROM r GROUP BY day""",
+           FROM p),
+         pd AS (
+           SELECT day, max(conc) AS mx,
+                  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+                  CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+           FROM r GROUP BY day),
+         tot AS (SELECT day, CAST(sum(delta) AS BIGINT) AS dd FROM r GROUP BY day),
+         car AS (
+           SELECT day,
+                  CAST(coalesce(sum(dd) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS carry,
+                  CAST(sum(dd) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS carry_after,
+                  lead(day) OVER (ORDER BY day) AS next_day
+           FROM tot)
+         SELECT pd.day, greatest(mx, carry) AS max_concurrent, n_starts, n_ends
+         FROM pd JOIN car USING (day)
+         UNION ALL
+         SELECT unnest(generate_series(day + 1, next_day - 1)) AS day,
+                carry_after AS max_concurrent,
+                CAST(0 AS BIGINT) AS n_starts, CAST(0 AS BIGINT) AS n_ends
+         FROM car
+         WHERE next_day IS NOT NULL AND next_day > day + 1 AND carry_after > 0""",
     "q90_paths" ->
       """WITH r AS (
            SELECT user_id, event_type,

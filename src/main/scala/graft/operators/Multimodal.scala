@@ -240,26 +240,22 @@ object Multimodal {
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
-    /** Canonical 44-byte-header mono 16-bit PCM WAV. */
+    /** Canonical 44-byte-header mono 16-bit PCM WAV — the total size is
+      * known up front, so this writes straight into a fixed array. */
     def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val dataSize = samples.length * 2
-      val out = new ByteArrayOutputStreamLike(44 + dataSize)
-      out ++= "RIFF".getBytes("US-ASCII"); out ++= u32(36 + dataSize)
-      out ++= "WAVE".getBytes("US-ASCII")
-      out ++= "fmt ".getBytes("US-ASCII"); out ++= u32(16)
-      out ++= u16(1) /* PCM */ ; out ++= u16(1) /* mono */
-      out ++= u32(sampleRate); out ++= u32(sampleRate * 2)
-      out ++= u16(2) /* block align */ ; out ++= u16(16) /* bits */
-      out ++= "data".getBytes("US-ASCII"); out ++= u32(dataSize)
-      samples.foreach { s => out ++= u16(s & 0xffff) }
-      out.result()
-    }
-
-    /** Tiny growable byte buffer (avoids java.io stream ceremony). */
-    private[Multimodal] final class ByteArrayOutputStreamLike(hint: Int) {
-      private val buf = new java.io.ByteArrayOutputStream(hint)
-      def ++=(bs: Array[Byte]): Unit = buf.write(bs)
-      def result(): Array[Byte] = buf.toByteArray
+      val out = new Array[Byte](44 + dataSize)
+      var i = 0
+      def put(bs: Array[Byte]): Unit = { bs.foreach { b => out(i) = b; i += 1 } }
+      put("RIFF".getBytes("US-ASCII")); put(u32(36 + dataSize))
+      put("WAVE".getBytes("US-ASCII"))
+      put("fmt ".getBytes("US-ASCII")); put(u32(16))
+      put(u16(1) /* PCM */); put(u16(1) /* mono */)
+      put(u32(sampleRate)); put(u32(sampleRate * 2))
+      put(u16(2) /* block align */); put(u16(16) /* bits */)
+      put("data".getBytes("US-ASCII")); put(u32(dataSize))
+      samples.foreach { s => put(u16(s & 0xffff)) }
+      out
     }
 
     final case class Audio(sampleRate: Int, samples: Array[Short])

@@ -74,6 +74,9 @@ object Stats {
   def q89ChiSquare(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("event_type"),
+        // DIV truncates where DuckDB's // floors — identical only because
+        // value ≥ 0 by data contract (q55 audits the domain); a signed
+        // metric would need q86's sign-split division here
         expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("band"))
       .groupBy(col("event_type"), col("band"))
       .agg(count(lit(1)).as("n_obs"))

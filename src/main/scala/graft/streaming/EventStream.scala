@@ -189,11 +189,8 @@ object EventStream {
         (tpe: String, it: Iterator[Event], state: GroupState[HHState]) =>
           val sketch = state.getOption match {
             case Some(st) =>
-              val sk = new graft.functions.SpaceSavingSketch(st.k)
-              st.items.indices.foreach { i =>
-                sk.counters.update(st.items(i), (st.counts(i), st.errors(i)))
-              }
-              sk
+              graft.functions.SpaceSavingSketch.restore(
+                st.k, st.items, st.counts, st.errors)
             case None => new graft.functions.SpaceSavingSketch(k)
           }
           it.foreach(e => sketch.add(e.user_id.toString))
@@ -205,21 +202,26 @@ object EventStream {
       }
   }
 
-  /** Per-key drift state: trailing day→count map, pruned to the 8 calendar
-    * days the z-score window can ever reference. */
+  /** Per-key drift state: trailing day→count map, pruned to 15 calendar
+    * days — the 8-day late-data horizon plus the 7 baseline days a
+    * re-emitted day's z-score references. */
   case class DriftState(days: Map[Long, Long])
   case class DriftOut(event_type: String, day: Long, n: Long,
                       n_baseline_days: Long, z: Option[Double])
 
   /** s09: streaming volume-anomaly monitor — the online form of
     * [[graft.operators.Stats.q95VolumeAnomaly]]: per event type the state
-    * holds only the trailing 8 days of counts (bounded forever, like s08's
-    * sketch), and every micro-batch re-emits the z-score of each day it
-    * touched, computed AFTER folding the whole batch into state — so a
+    * holds only the trailing 15 days of counts (bounded forever, like
+    * s08's sketch), and every micro-batch re-emits the z-score of each day
+    * it touched, computed AFTER folding the whole batch into state — so a
     * day's final emission uses its complete 7-day baseline exactly as the
     * batch RANGE frame does. Update mode: the sink's latest row per
     * (type, day) converges to the batch q95 value once that day's data has
-    * fully arrived (re-ordering tolerated up to the 8-day state horizon).
+    * fully arrived. 15 days retained, not 8: a late event for day d
+    * re-emits d from state, and a CORRECT re-emission needs d's own count
+    * plus baselines back to d−7 — retaining 15 covers any late day within
+    * 8 days of the stream head; later stragglers than that would restart
+    * their day's count, the documented horizon of this monitor.
     */
   def driftStream(events: Dataset[Event]): Dataset[DriftOut] = {
     import events.sparkSession.implicits._
@@ -234,10 +236,11 @@ object EventStream {
             days = days.updated(d, days.getOrElse(d, 0L) + 1L)
             touched += d
           }
-          // persist only the trailing 8 days (bounded state), but EMIT from
-          // the pre-prune map: a single batch may span more than 8 days, and
-          // its older days find their baselines inside the batch itself
-          val horizon = days.keys.max - 8
+          // persist the trailing 15 days (bounded state; 8-day late-data
+          // horizon + 7 baseline days), but EMIT from the pre-prune map: a
+          // single batch may span more than that, and its older days find
+          // their baselines inside the batch itself
+          val horizon = days.keys.max - 15
           state.update(DriftState(days.filter { case (d, _) => d >= horizon }))
           touched.toSeq.sorted.iterator.map { d =>
             val base = days.collect {

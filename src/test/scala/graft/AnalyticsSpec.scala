@@ -173,7 +173,9 @@ class AnalyticsSpec extends AnyFunSuite {
     val nSessions = SparkEntry.queries("q20_sessionize")(spark, sf).count()
     assert(got.values.map(_._2).sum == nSessions && got.values.map(_._3).sum == nSessions)
     // brute force: global running sum over all boundary points in the
-    // operator's tie order, then per-day max — must match exactly
+    // operator's tie order; each day's max is seeded with the running
+    // value at its start (sessions already open at midnight), and point-
+    // free days inside open sessions carry the constant in-flight count
     val sess = SparkEntry.queries("q20_sessionize")(spark, sf)
       .select(col("user_id"), col("sess_no"),
         unix_micros(col("sess_start")).as("a"), unix_micros(col("sess_end")).as("b"))
@@ -181,11 +183,19 @@ class AnalyticsSpec extends AnyFunSuite {
     val pts = sess.flatMap { case (u, sn, a, b) => Seq((a, 1L, u, sn), (b, -1L, u, sn)) }
       .sortBy { case (us, d, u, sn) => (us, -d, u, sn) }
     var run = 0L
+    var prevDay = Long.MinValue
     val perDay = scala.collection.mutable.Map.empty[Long, Long]
     pts.foreach { case (us, d, _, _) =>
-      run += d
       val day = us / 86400000000L
-      perDay(day) = math.max(perDay.getOrElse(day, Long.MinValue), run)
+      if (day != prevDay) {
+        // gap days between boundary days, while sessions are in flight
+        if (prevDay != Long.MinValue && run > 0)
+          ((prevDay + 1) until day).foreach(g => perDay(g) = run)
+        perDay(day) = run // day-start seed: what's open at midnight
+        prevDay = day
+      }
+      run += d
+      perDay(day) = math.max(perDay(day), run)
     }
     assert(got.keySet == perDay.keySet)
     got.foreach { case (day, (mx, _, _)) => assert(mx == perDay(day), s"day $day") }

@@ -280,6 +280,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s09 late data within the 8-day horizon re-emits its day with the full baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // synthetic: day d carries d+3 events (variance > 0 in every baseline);
+    // one day-9 event arrives late in its own micro-batch
+    def ev(id: Long, day: Long) =
+      Event(id, new java.sql.Timestamp(day * 86400000L + 1000L), 1L, "x", 1.0)
+    var id = 0L
+    val all = (0L to 11L).flatMap { d =>
+      (1 to (d + 3).toInt).map { _ => id += 1; ev(id, d) }
+    }
+    val late = all.filter(_.ts.getTime / 86400000L == 9L).head
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStream.driftStream(ms.toDS())
+      .writeStream.format("memory").queryName("s09late").outputMode("update").start()
+    try {
+      ms.addData(all.filterNot(_.event_id == late.event_id)); q.processAllAvailable()
+      ms.addData(Seq(late)); q.processAllAvailable()
+      val day9 = s.table("s09late").filter(col("day") === 9L)
+        .select(col("n"), col("n_baseline_days"), col("z")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      // first emission under-counted (11 of 12), the late re-emission is complete
+      assert(day9.exists(_._1 == 11L) && day9.exists(_._1 == 12L))
+      val base = (2L to 8L).map(_ + 3L) // counts of days 2..8
+      val (cnt, s1, s2) = (base.length.toLong, base.sum, base.map(c => c * c).sum)
+      val want = BigDecimal((12L * cnt - s1).toDouble /
+        math.sqrt((cnt * s2 - s1 * s1).toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val fin = day9.find(_._1 == 12L).get
+      assert(fin._2 == cnt && fin._3.contains(want),
+        s"late re-emission must use the complete 7-day baseline: $fin vs ($cnt, $want)")
+    } finally q.stop()
+  }
+
   test("s03 streaming dedup removes duplicate event_ids") {
     val s = spark
     import s.implicits._
