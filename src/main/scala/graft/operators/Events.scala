@@ -390,7 +390,43 @@ object Events {
     pointDays.unionByName(gapDays)
   }
 
+  /** q100: time-constrained ordered funnel — signup → click → purchase
+    * where each step must land within 72 h of the previous one (q22 is the
+    * unbounded per-user variant; this is the product-funnel report with
+    * step deadlines). Per user: t1 = first signup, t2 = first qualifying
+    * click after t1, t3 = first qualifying purchase after t2 — three
+    * sequential window minima over ONE user_id exchange (each Window node
+    * reuses the partitioning, like q95's stacked frames) — then one global
+    * rollup with conversions in integer basis points.
+    */
+  def q100FunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val stepUs = 72L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("us") > col("t1") && col("us") <= col("t1") + stepUs, col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2") && col("us") <= col("t2") + stepUs, col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_72h"),
+        count(col("t3")).as("n_purchase_72h"))
+      .select(col("n_signup"), col("n_click_72h"), col("n_purchase_72h"),
+        expr("""CASE WHEN n_signup = 0 THEN NULL
+                ELSE n_click_72h * 10000 div n_signup END""").as("s2_bp"),
+        expr("""CASE WHEN n_signup = 0 THEN NULL
+                ELSE n_purchase_72h * 10000 div n_signup END""").as("s3_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_funnel_windowed" -> (q100FunnelWindowed _),
     "q97_concurrency"      -> (q97Concurrency _),
     "q90_paths"            -> (q90Paths _),
     "q85_attribution_linear" -> (q85AttributionLinear _),
@@ -409,6 +445,31 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q100_funnel_windowed" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         u1 AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN us END) AS t1
+           FROM e GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id, t1,
+                  min(CASE WHEN event_type = 'click' AND us > t1
+                             AND us <= t1 + 259200000000 THEN us END) AS t2
+           FROM e JOIN u1 USING (user_id) GROUP BY e.user_id, t1),
+         u3 AS (
+           SELECT e.user_id, t1, t2,
+                  min(CASE WHEN event_type = 'purchase' AND us > t2
+                             AND us <= t2 + 259200000000 THEN us END) AS t3
+           FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, t1, t2)
+         SELECT count(t1) AS n_signup,
+                count(t2) AS n_click_72h,
+                count(t3) AS n_purchase_72h,
+                CASE WHEN count(t1) = 0 THEN NULL
+                     ELSE CAST(count(t2) * 10000 // count(t1) AS BIGINT) END AS s2_bp,
+                CASE WHEN count(t1) = 0 THEN NULL
+                     ELSE CAST(count(t3) * 10000 // count(t1) AS BIGINT) END AS s3_bp
+         FROM u3""",
     "q97_concurrency" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -179,13 +179,83 @@ object Stats {
           .as("is_anomaly"))
   }
 
+  /** q99: covariance/correlation matrix — every pairwise population
+    * covariance and Pearson r over four lineitem measures (quantity,
+    * price cents, discount %, tax %) from ONE pass: the 15 sufficient
+    * statistics (n, four Σx, ten Σx·y) aggregate exactly in decimal, and
+    * each of the six emitted pairs is a scalar double formula over that
+    * single row (q87's strategy generalized to the matrix the §9 plan
+    * deferred). One scan, one shuffle of 15 counters total, then a
+    * stack() over one row — the 100 TB cost is the scan.
+    */
+  def q99CovMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      "quantity" -> "CAST(l_quantity AS DECIMAL(12,0))",
+      "price_cents" -> "CAST(round(l_extendedprice * 100) AS DECIMAL(12,0))",
+      "discount_pct" -> "CAST(round(l_discount * 100) AS DECIMAL(12,0))",
+      "tax_pct" -> "CAST(round(l_tax * 100) AS DECIMAL(12,0))")
+    val names = cols.map(_._1)
+    val base = Tables.lineitem(s, dir)
+      .select(cols.map { case (n, e) => expr(e).as(n) }: _*)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => sum(col(n)).as(s"s_$n")) ++
+        (for { i <- names.indices; j <- i until names.length } yield
+          sum(col(names(i)) * col(names(j))).as(s"p_${names(i)}_${names(j)}"))
+    val pairs = for { i <- names.indices; j <- (i + 1) until names.length } yield {
+      val (a, b) = (names(i), names(j))
+      (a, b,
+        s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)""",
+        s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+                  sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE) *
+                       CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)""")
+    }
+    val stackArgs = pairs.map { case (a, b, cov, corr) =>
+      s"'$a', '$b', $cov, $corr"
+    }.mkString(", ")
+    base.agg(sums.head, sums.tail: _*)
+      .select(expr(
+        s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, cov, pearson_r)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_cov_matrix"  -> (q99CovMatrix _),
     "q87_correlation" -> (q87Correlation _),
     "q89_chisq"       -> (q89ChiSquare _),
     "q91_ks_drift"    -> (q91KsDrift _),
     "q95_volume_anomaly" -> (q95VolumeAnomaly _))
 
+  /** q99's oracle, generated from the same column list as the Spark plan so
+    * the 15 sufficient statistics and six pair formulas cannot drift. */
+  private val covOracleSql: String = {
+    val names = Seq("quantity", "price_cents", "discount_pct", "tax_pct")
+    val defs = Seq(
+      "CAST(l_quantity AS BIGINT) AS quantity",
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents",
+      "CAST(round(l_discount * 100) AS BIGINT) AS discount_pct",
+      "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct")
+    val sums = Seq("count(*) AS n") ++
+      names.map(n => s"sum($n) AS s_$n") ++
+      (for { i <- names.indices; j <- i until names.length } yield
+        s"sum(${names(i)} * ${names(j)}) AS p_${names(i)}_${names(j)}")
+    val rows = for { i <- names.indices; j <- (i + 1) until names.length } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov,
+             round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+                   sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE) *
+                        CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6) AS pearson_r
+         FROM a"""
+    }
+    s"""WITH s AS (SELECT ${defs.mkString(", ")} FROM lineitem),
+        a AS (SELECT ${sums.mkString(", ")} FROM s)
+        ${rows.mkString("\n UNION ALL \n")}"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q99_cov_matrix" -> covOracleSql,
     "q95_volume_anomaly" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

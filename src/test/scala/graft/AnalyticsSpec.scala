@@ -201,6 +201,30 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { case (day, (mx, _, _)) => assert(mx == perDay(day), s"day $day") }
   }
 
+  test("q100 windowed funnel counts match a per-user brute-force walk") {
+    val row = Events.q100FunnelWindowed(spark, sf).head()
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val step = 72L * 3600L * 1000000L
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val t1 = evs.filter(_._2 == "signup").map(_._3).minOption
+      val t2 = t1.flatMap(a => evs.filter(e =>
+        e._2 == "click" && e._3 > a && e._3 <= a + step).map(_._3).minOption)
+      val t3 = t2.flatMap(b => evs.filter(e =>
+        e._2 == "purchase" && e._3 > b && e._3 <= b + step).map(_._3).minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert(row.getAs[Long]("n_signup") == n1)
+    assert(row.getAs[Long]("n_click_72h") == n2)
+    assert(row.getAs[Long]("n_purchase_72h") == n3)
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+    assert(row.getAs[Long]("s2_bp") == n2 * 10000L / n1)
+  }
+
   test("q98 snapshot diff labels exactly the synthesized added/removed/changed keys") {
     val df = Quality.q98SnapshotDiff(spark, sf).cache()
     val keys = Tables.orders(spark, sf).select(col("o_orderkey"))

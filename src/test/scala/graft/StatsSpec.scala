@@ -26,6 +26,28 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 covariance matrix agrees with Spark's covar_pop/corr built-ins to 1e-6") {
+    val rows = Stats.q99CovMatrix(spark, sf).collect()
+    assert(rows.length == 6, "4 columns -> 6 unordered pairs")
+    val cents = Map(
+      "quantity" -> "CAST(l_quantity AS DOUBLE)",
+      "price_cents" -> "round(l_extendedprice * 100)",
+      "discount_pct" -> "round(l_discount * 100)",
+      "tax_pct" -> "round(l_tax * 100)")
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val ref = li.agg(
+        covar_pop(expr(cents(a)), expr(cents(b))).as("c"),
+        corr(expr(cents(a)), expr(cents(b))).as("r")).head()
+      assert(math.abs(r.getAs[Double]("cov") - ref.getDouble(0)) < 1e-4 *
+        math.max(1.0, math.abs(ref.getDouble(0))), s"$a/$b cov")
+      assert(math.abs(r.getAs[Double]("pearson_r") - ref.getDouble(1)) < 1e-6,
+        s"$a/$b corr: ${r.getAs[Double]("pearson_r")} vs ${ref.getDouble(1)}")
+      assert(r.getAs[Double]("pearson_r").abs <= 1.0)
+    }
+  }
+
   test("q89 contingency identities: totals reconcile and chi2 total is the term sum") {
     val rows = Stats.q89ChiSquare(spark, sf).collect()
     assert(rows.nonEmpty)
