@@ -383,11 +383,107 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- q101: video-style frame sampling over a multi-frame container ----
+
+  /** Features of a sampled frame sequence; decode_ok=false quarantines. */
+  case class FrameFeatures(
+      doc_id: Long, decode_ok: Boolean, n_frames: Option[Int],
+      n_sampled: Option[Int], first_ahash: Option[Long],
+      mean_frame_diff_milli: Option[Long], n_scene_changes: Option[Int])
+
+  /** Parse a container of back-to-back P5 frames: repeatedly decode one
+    * PGM at the cursor and advance past it. Any malformed frame fails the
+    * whole payload (quarantine, not partial results). */
+  private[graft] def parseFrames(bytes: Array[Byte]): Option[Vector[PgmCodec.Image]] = {
+    var i = 0
+    val out = Vector.newBuilder[PgmCodec.Image]
+    var n = 0
+    while (i < bytes.length) {
+      PgmCodec.decode(java.util.Arrays.copyOfRange(bytes, i, bytes.length)) match {
+        case Some(img) =>
+          out += img
+          n += 1
+          // frame length: header "P5\n<w> <h>\n255\n" + pixels, as encoded
+          i += PgmCodec.encode(img.width, img.height, img.pixels).length
+        case None => return None
+      }
+    }
+    if (n > 0) Some(out.result()) else None
+  }
+
+  /** q101: frame sampling — the video half of the multimodal brief: each
+    * payload is a REAL multi-frame container (3–12 concatenated binary-PGM
+    * frames synthesized from the document bytes, with a hard scene cut at
+    * the midpoint: second-half frames shift brightness by exactly 128 mod
+    * 256, so the cross-cut per-pixel delta is exactly 128 and within-scene
+    * deltas are 0), parsed frame-by-frame with the genuine PGM codec. The
+    * extractor samples every 2nd frame (the decode-cost lever of any video
+    * pipeline: sampled frames are the only ones whose pixels are touched
+    * downstream), emits the first sampled frame's aHash, the mean
+    * inter-sampled-frame pixel delta (millis) and a scene-change count
+    * (delta > 32) — exactly 1 by construction, which the spec asserts.
+    * Every 101st payload is truncated mid-frame → whole-payload
+    * quarantine. Same mapPartitions shape as q42/q61/q92; rows-only +
+    * MultimodalSpec container/sampling specs.
+    */
+  def q101FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampleEvery = 2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.map { p =>
+          val nFrames = 3 + (p.doc_id % 10).toInt
+          val side = 8 + (p.doc_id % 9).toInt
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Byte](side * side)
+            var i = 0
+            while (i < px.length) {
+              val base = if (p.payload.isEmpty) 0 else p.payload(i % p.payload.length) & 0xff
+              // scene cut: |((b+128) mod 256) − b| = 128 for every byte
+              val shift = if (f >= nFrames / 2) 128 else 0
+              px(i) = (((base + shift) % 256) & 0xff).toByte
+              i += 1
+            }
+            PgmCodec.encode(side, side, px)
+          }
+          val container = frames.flatten.toArray
+          val payload =
+            if (p.doc_id % 101 == 0) java.util.Arrays.copyOf(container, container.length - side)
+            else container
+          parseFrames(payload) match {
+            case Some(fs) =>
+              val sampled = fs.zipWithIndex.collect {
+                case (f, i) if i % sampleEvery == 0 => f
+              }
+              val diffs = sampled.sliding(2).collect { case Seq(a, b) =>
+                val len = math.min(a.pixels.length, b.pixels.length)
+                var sum = 0L
+                var i = 0
+                while (i < len) {
+                  sum += math.abs((a.pixels(i) & 0xff) - (b.pixels(i) & 0xff)); i += 1
+                }
+                sum * 1000 / len
+              }.toSeq
+              FrameFeatures(p.doc_id, decode_ok = true, Some(fs.length),
+                Some(sampled.length), Some(PgmCodec.aHash(sampled.head)),
+                Some(if (diffs.isEmpty) 0L else diffs.sum / diffs.length),
+                Some(diffs.count(_ > 32000)))
+            case None =>
+              FrameFeatures(p.doc_id, decode_ok = false, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_binary_meta"     -> (q41BinaryMeta _),
     "q42_feature_extract" -> (q42FeatureExtract _),
     "q61_image_features"  -> (q61ImageFeatures _),
-    "q92_audio_features"  -> (q92AudioFeatures _))
+    "q92_audio_features"  -> (q92AudioFeatures _),
+    "q101_frame_sample"   -> (q101FrameSample _))
 
   /** q42 is rows-only (the decode stub has no SQL mirror); q41's metadata
     * is fully SQL-expressible.

@@ -115,6 +115,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.samples.length * 1000L / a.sampleRate == 100L) // 800 / 8kHz = 100 ms
   }
 
+  test("multi-frame container parses frame-by-frame and rejects truncation") {
+    val f1 = Array.tabulate(6 * 4)(i => (i * 11 % 256).toByte)
+    val f2 = Array.tabulate(6 * 4)(i => (255 - i % 256).toByte)
+    val f3 = Array.fill(6 * 4)(7.toByte)
+    val container =
+      PgmCodec.encode(6, 4, f1) ++ PgmCodec.encode(6, 4, f2) ++ PgmCodec.encode(6, 4, f3)
+    val frames = Multimodal.parseFrames(container)
+    assert(frames.isDefined && frames.get.length == 3)
+    assert(frames.get(0).pixels.toSeq == f1.toSeq)
+    assert(frames.get(1).pixels.toSeq == f2.toSeq)
+    assert(frames.get(2).pixels.toSeq == f3.toSeq)
+    // truncating the LAST frame's pixels poisons the whole container
+    assert(Multimodal.parseFrames(
+      java.util.Arrays.copyOf(container, container.length - 3)).isEmpty)
+    assert(Multimodal.parseFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q101 samples frames, finds exactly one scene cut, quarantines truncated clips") {
+    val out = Multimodal.q101FrameSample(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs)
+    assert(out.filter(!col("decode_ok")).count() ==
+      out.filter(col("doc_id") % 101 === 0).count())
+    assert(out.filter(!col("decode_ok")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).forall(_ % 101 == 0))
+    // geometry: n_frames = 3 + doc_id % 10, every 2nd frame sampled
+    val bad = out.filter(col("decode_ok") &&
+      (col("n_frames") =!= lit(3) + col("doc_id") % 10 ||
+       col("n_sampled") =!= expr("(n_frames + 1) div 2") ||
+       col("first_ahash").isNull)).count()
+    assert(bad == 0)
+    // the synthesized cut is the ONLY scene change: within-scene sampled
+    // deltas are 0, the one cross-cut delta is exactly 128000 milli
+    assert(out.filter(col("decode_ok") && col("n_scene_changes") =!= 1).count() == 0)
+    assert(out.filter(col("decode_ok") &&
+      col("mean_frame_diff_milli") =!= expr("128000 div (n_sampled - 1)")).count() == 0)
+    out.unpersist()
+  }
+
   test("q92 decodes synthesized audio, quarantines truncated payloads, skips LIST docs") {
     val out = Multimodal.q92AudioFeatures(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf).count()
