@@ -114,10 +114,20 @@ object Multimodal {
       * bad magic, absurd dims) — corrupt media must quarantine, not kill
       * the job.
       */
-    def decode(bytes: Array[Byte]): Option[Image] = {
+    def decode(bytes: Array[Byte]): Option[Image] = decodeFrom(bytes, 0).map(_._1)
+
+    /** [[decode]] starting at `offset`, also returning the position one
+      * past the frame's last pixel byte. Containers of back-to-back frames
+      * (q101) MUST advance by this returned cursor, not by re-encoding the
+      * frame: the parser's whitespace grammar is more lenient than the
+      * canonical encoder output, so a legal-but-non-canonical header would
+      * otherwise desynchronize the walk. No tail copies either — parsing
+      * is O(container size) total.
+      */
+    def decodeFrom(bytes: Array[Byte], offset: Int): Option[(Image, Int)] = {
       // header = magic, width, height, maxval as whitespace-separated
       // ASCII tokens; pixels follow the single whitespace after maxval
-      var i = 0
+      var i = offset
       def skipWs(): Unit = while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
       def token(): Option[String] = {
         skipWs()
@@ -140,7 +150,7 @@ object Multimodal {
         px <- if (bytes.length.toLong - i >= npx)
                 Some(java.util.Arrays.copyOfRange(bytes, i, i + npx.toInt))
               else None
-      } yield Image(w, h, px)
+      } yield (Image(w, h, px), i + npx.toInt)
     }
 
     /** Block-average resize to side×side (integer-exact accumulation). */
@@ -392,19 +402,20 @@ object Multimodal {
       mean_frame_diff_milli: Option[Long], n_scene_changes: Option[Int])
 
   /** Parse a container of back-to-back P5 frames: repeatedly decode one
-    * PGM at the cursor and advance past it. Any malformed frame fails the
-    * whole payload (quarantine, not partial results). */
+    * PGM at the cursor and advance to the position the PARSER consumed
+    * (not a re-encoded canonical length — see [[PgmCodec.decodeFrom]]).
+    * Any malformed frame fails the whole payload (quarantine, not partial
+    * results). */
   private[graft] def parseFrames(bytes: Array[Byte]): Option[Vector[PgmCodec.Image]] = {
     var i = 0
     val out = Vector.newBuilder[PgmCodec.Image]
     var n = 0
     while (i < bytes.length) {
-      PgmCodec.decode(java.util.Arrays.copyOfRange(bytes, i, bytes.length)) match {
-        case Some(img) =>
+      PgmCodec.decodeFrom(bytes, i) match {
+        case Some((img, end)) =>
           out += img
           n += 1
-          // frame length: header "P5\n<w> <h>\n255\n" + pixels, as encoded
-          i += PgmCodec.encode(img.width, img.height, img.pixels).length
+          i = end
         case None => return None
       }
     }

@@ -188,35 +188,41 @@ object Stats {
     * deferred). One scan, one shuffle of 15 counters total, then a
     * stack() over one row — the 100 TB cost is the scan.
     */
+  /** q99's shared skeleton: the column names, the unordered pairs, and the
+    * cov/corr formulas over the sufficient-statistic row are defined ONCE
+    * and consumed by both the Spark plan and the generated oracle SQL —
+    * the two sides can only drift in the engine-specific integer casts. */
+  private val covNames = Seq("quantity", "price_cents", "discount_pct", "tax_pct")
+  private val covPairs =
+    for { i <- covNames.indices; j <- (i + 1) until covNames.length }
+      yield (covNames(i), covNames(j))
+  private def covFormula(a: String, b: String): String =
+    s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)"""
+  private def corrFormula(a: String, b: String): String =
+    s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+              sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE) *
+                   CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)"""
+
   def q99CovMatrix(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq(
-      "quantity" -> "CAST(l_quantity AS DECIMAL(12,0))",
-      "price_cents" -> "CAST(round(l_extendedprice * 100) AS DECIMAL(12,0))",
-      "discount_pct" -> "CAST(round(l_discount * 100) AS DECIMAL(12,0))",
-      "tax_pct" -> "CAST(round(l_tax * 100) AS DECIMAL(12,0))")
-    val names = cols.map(_._1)
+    val defs = Seq(
+      "CAST(l_quantity AS DECIMAL(12,0))",
+      "CAST(round(l_extendedprice * 100) AS DECIMAL(12,0))",
+      "CAST(round(l_discount * 100) AS DECIMAL(12,0))",
+      "CAST(round(l_tax * 100) AS DECIMAL(12,0))")
     val base = Tables.lineitem(s, dir)
-      .select(cols.map { case (n, e) => expr(e).as(n) }: _*)
+      .select(covNames.zip(defs).map { case (n, e) => expr(e).as(n) }: _*)
     val sums =
       Seq(count(lit(1)).as("n")) ++
-        names.map(n => sum(col(n)).as(s"s_$n")) ++
-        (for { i <- names.indices; j <- i until names.length } yield
-          sum(col(names(i)) * col(names(j))).as(s"p_${names(i)}_${names(j)}"))
-    val pairs = for { i <- names.indices; j <- (i + 1) until names.length } yield {
-      val (a, b) = (names(i), names(j))
-      (a, b,
-        s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
-                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)""",
-        s"""round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
-                  sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE) *
-                       CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)""")
-    }
-    val stackArgs = pairs.map { case (a, b, cov, corr) =>
-      s"'$a', '$b', $cov, $corr"
+        covNames.map(n => sum(col(n)).as(s"s_$n")) ++
+        (for { i <- covNames.indices; j <- i until covNames.length } yield
+          sum(col(covNames(i)) * col(covNames(j))).as(s"p_${covNames(i)}_${covNames(j)}"))
+    val stackArgs = covPairs.map { case (a, b) =>
+      s"'$a', '$b', ${covFormula(a, b)}, ${corrFormula(a, b)}"
     }.mkString(", ")
     base.agg(sums.head, sums.tail: _*)
       .select(expr(
-        s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, cov, pearson_r)"))
+        s"stack(${covPairs.length}, $stackArgs) AS (col_a, col_b, cov, pearson_r)"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,27 +232,23 @@ object Stats {
     "q91_ks_drift"    -> (q91KsDrift _),
     "q95_volume_anomaly" -> (q95VolumeAnomaly _))
 
-  /** q99's oracle, generated from the same column list as the Spark plan so
-    * the 15 sufficient statistics and six pair formulas cannot drift. */
+  /** q99's oracle, assembled from the SAME [[covNames]]/[[covPairs]]/
+    * formula builders as the Spark plan — only the BIGINT casts (DuckDB
+    * sums bigint into int128 where Spark widens decimal) are oracle-local. */
   private val covOracleSql: String = {
-    val names = Seq("quantity", "price_cents", "discount_pct", "tax_pct")
     val defs = Seq(
       "CAST(l_quantity AS BIGINT) AS quantity",
       "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents",
       "CAST(round(l_discount * 100) AS BIGINT) AS discount_pct",
       "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct")
     val sums = Seq("count(*) AS n") ++
-      names.map(n => s"sum($n) AS s_$n") ++
-      (for { i <- names.indices; j <- i until names.length } yield
-        s"sum(${names(i)} * ${names(j)}) AS p_${names(i)}_${names(j)}")
-    val rows = for { i <- names.indices; j <- (i + 1) until names.length } yield {
-      val (a, b) = (names(i), names(j))
+      covNames.map(n => s"sum($n) AS s_$n") ++
+      (for { i <- covNames.indices; j <- i until covNames.length } yield
+        s"sum(${covNames(i)} * ${covNames(j)}) AS p_${covNames(i)}_${covNames(j)}")
+    val rows = covPairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
-             round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
-                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov,
-             round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
-                   sqrt(CAST(n * p_${a}_$a - s_$a * s_$a AS DOUBLE) *
-                        CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6) AS pearson_r
+             ${covFormula(a, b)} AS cov,
+             ${corrFormula(a, b)} AS pearson_r
          FROM a"""
     }
     s"""WITH s AS (SELECT ${defs.mkString(", ")} FROM lineitem),

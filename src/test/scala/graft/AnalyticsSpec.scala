@@ -223,6 +223,7 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_purchase_72h") == n3)
     assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
     assert(row.getAs[Long]("s2_bp") == n2 * 10000L / n1)
+    assert(row.getAs[Long]("s3_bp") == n3 * 10000L / n1)
   }
 
   test("q98 snapshot diff labels exactly the synthesized added/removed/changed keys") {

@@ -130,6 +130,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseFrames(
       java.util.Arrays.copyOf(container, container.length - 3)).isEmpty)
     assert(Multimodal.parseFrames(Array.emptyByteArray).isEmpty)
+    // a legal-but-non-canonical header (extra whitespace) must not
+    // desynchronize the walk: the cursor advances by what the PARSER
+    // consumed, not by a re-encoded canonical length
+    val nonCanonical = "P5\n  6  4\r\n255\n".getBytes("US-ASCII") ++ f1 ++
+      PgmCodec.encode(6, 4, f2)
+    val nc = Multimodal.parseFrames(nonCanonical)
+    assert(nc.isDefined && nc.get.length == 2)
+    assert(nc.get(0).pixels.toSeq == f1.toSeq && nc.get(1).pixels.toSeq == f2.toSeq)
   }
 
   test("q101 samples frames, finds exactly one scene cut, quarantines truncated clips") {

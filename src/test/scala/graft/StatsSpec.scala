@@ -34,16 +34,21 @@ class StatsSpec extends AnyFunSuite {
       "price_cents" -> "round(l_extendedprice * 100)",
       "discount_pct" -> "round(l_discount * 100)",
       "tax_pct" -> "round(l_tax * 100)")
-    val li = Tables.lineitem(spark, sf)
+    // one reference pass: all six covar_pop/corr pairs in a single agg
+    val pairList = rows.map(r => (r.getString(0), r.getString(1)))
+    val refAggs = pairList.flatMap { case (a, b) =>
+      Seq(covar_pop(expr(cents(a)), expr(cents(b))).as(s"c_${a}_$b"),
+        corr(expr(cents(a)), expr(cents(b))).as(s"r_${a}_$b"))
+    }
+    val ref = Tables.lineitem(spark, sf).agg(refAggs.head, refAggs.tail: _*).head()
     rows.foreach { r =>
       val (a, b) = (r.getString(0), r.getString(1))
-      val ref = li.agg(
-        covar_pop(expr(cents(a)), expr(cents(b))).as("c"),
-        corr(expr(cents(a)), expr(cents(b))).as("r")).head()
-      assert(math.abs(r.getAs[Double]("cov") - ref.getDouble(0)) < 1e-4 *
-        math.max(1.0, math.abs(ref.getDouble(0))), s"$a/$b cov")
-      assert(math.abs(r.getAs[Double]("pearson_r") - ref.getDouble(1)) < 1e-6,
-        s"$a/$b corr: ${r.getAs[Double]("pearson_r")} vs ${ref.getDouble(1)}")
+      val (refCov, refCorr) =
+        (ref.getAs[Double](s"c_${a}_$b"), ref.getAs[Double](s"r_${a}_$b"))
+      assert(math.abs(r.getAs[Double]("cov") - refCov) < 1e-4 *
+        math.max(1.0, math.abs(refCov)), s"$a/$b cov")
+      assert(math.abs(r.getAs[Double]("pearson_r") - refCorr) < 1e-6,
+        s"$a/$b corr: ${r.getAs[Double]("pearson_r")} vs $refCorr")
       assert(r.getAs[Double]("pearson_r").abs <= 1.0)
     }
   }
