@@ -187,6 +187,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(expandAt >= 0 && aggAt >= 0 && expandAt < aggAt, p)
   }
 
+  test("q100 windowed funnel stacks its three step-minima over ONE user_id exchange") {
+    val p = plan("q100_funnel_windowed")
+    assert(count(p, "hashpartitioning\\(user_id") == 1, p)
+    assert(count(p, "Exchange") <= 2, p) // user window + final 1-row rollup
+  }
+
+  test("q97 concurrency prefix windows are day-partitioned, carry comes back broadcast") {
+    val p = plan("q97_concurrency")
+    // the event-scale prefix sum must never collapse to a global sort;
+    // only the |days|-sized carry rollup may use the unpartitioned window
+    assert(p.contains("hashpartitioning(day"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q95 anomaly baseline is a range-frame window, one event-scale shuffle") {
     val p = plan("q95_volume_anomaly")
     assert(!p.contains("SinglePartition"), p)
