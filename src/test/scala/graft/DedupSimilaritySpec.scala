@@ -8,6 +8,22 @@ import graft.operators.{Dedup, Similarity}
 class DedupSimilaritySpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q102 fast edit-distance scores exactly q49's candidate pairs, distances exact") {
+    val fast = Dedup.q102EditDistanceFast(spark, sf).cache()
+    val q49Pairs = Dedup.q49DedupMinhashFast(spark, sf).select("doc_a", "doc_b")
+    assert(fast.select("doc_a", "doc_b").exceptAll(q49Pairs).count() == 0)
+    assert(q49Pairs.exceptAll(fast.select("doc_a", "doc_b")).count() == 0)
+    // distances recomputed directly from the folded texts must agree
+    val folded = Tables.documents(spark, sf).select(col("doc_id"),
+      regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("f"))
+    val recomputed = fast
+      .join(folded.select(col("doc_id").as("doc_a"), col("f").as("fa")), Seq("doc_a"))
+      .join(folded.select(col("doc_id").as("doc_b"), col("f").as("fb")), Seq("doc_b"))
+      .filter(levenshtein(col("fa"), col("fb")).cast("long") =!= col("edit_distance"))
+    assert(recomputed.count() == 0)
+    fast.unpersist()
+  }
+
   test("q30 simhash: one row per doc, bands decompose the hash") {
     val df = Dedup.q30DedupSimhash(spark, sf).cache()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
