@@ -212,6 +212,44 @@ object Quality {
         col("old_cents"), col("new_cents"))
   }
 
+  /** Mergeable per-(event_type, day) rollup state — the maintained
+    * materialized view of a publication pipeline: additive counters plus a
+    * binary HLL user sketch, so the table can be REFRESHED by merging new
+    * fragments ([[mergeRollups]]) instead of rescanning history. Everything
+    * in the row is a commutative monoid (sums, min/max, sketch union);
+    * RollupMaintenanceSpec proves merge ≡ rebuild exactly, including for
+    * fragments that split a day across refreshes.
+    */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"))
+
+  /** Merge rollup fragments (possibly sharing days): counters add, bounds
+    * fold, sketches union — associative and commutative, so any refresh
+    * cadence converges to the same table as a full rebuild. At 100 TB the
+    * published rollup is day-partitioned and a refresh touches only the
+    * partitions its fragment covers (Pipeline.publishIncremental's shape).
+    */
+  def mergeRollups(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"),
+        hll_union_agg(col("user_sketch"), lit(false)).as("user_sketch"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q96_hll_rollup" -> (q96HllRollup _),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quality
+
+/** Mergeable-rollup maintenance: merging fragment rollups must reproduce
+  * the full rebuild EXACTLY — counters, bounds, and the HLL distinct
+  * estimates — whatever the fragment boundaries.
+  */
+class RollupMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def readable(r: DataFrame): DataFrame =
+    r.select(col("event_type"), col("day"), col("n_events"), col("sum_cents"),
+      col("min_cents"), col("max_cents"),
+      hll_sketch_estimate(col("user_sketch")).as("est_users"))
+
+  test("merge of fragment rollups equals the full rebuild, sketches included") {
+    val ev = Tables.events(spark, sf)
+    val full = readable(Quality.dailyRollup(ev))
+    // split mid-day by event_id parity: both fragments carry rows for the
+    // SAME (type, day) cells, so the merge must genuinely combine state —
+    // a day-boundary split would never exercise that
+    val merged = readable(Quality.mergeRollups(
+      Quality.dailyRollup(ev.filter(col("event_id") % 2 === 0)),
+      Quality.dailyRollup(ev.filter(col("event_id") % 2 =!= 0))))
+    assert(full.count() > 0 && full.count() == merged.count())
+    assert(full.exceptAll(merged).count() == 0 && merged.exceptAll(full).count() == 0,
+      "merge must be indistinguishable from a rebuild")
+  }
+
+  test("merge is associative across a three-way split") {
+    val ev = Tables.events(spark, sf)
+    val frags = (0 until 3).map(i => Quality.dailyRollup(ev.filter(col("event_id") % 3 === i)))
+    val leftAssoc = readable(Quality.mergeRollups(Quality.mergeRollups(frags(0), frags(1)), frags(2)))
+    val rightAssoc = readable(Quality.mergeRollups(frags(0), Quality.mergeRollups(frags(1), frags(2))))
+    assert(leftAssoc.exceptAll(rightAssoc).count() == 0 &&
+      rightAssoc.exceptAll(leftAssoc).count() == 0)
+  }
+}
