@@ -259,6 +259,33 @@ object EventStream {
       }
   }
 
+  /** s10: streaming rollup maintenance — the online form of
+    * [[graft.operators.Quality.dailyRollup]]/`mergeRollups`: each
+    * micro-batch becomes a rollup fragment and is MERGED into the
+    * published table (read via `store`, rewritten via `publish`) —
+    * counters add, bounds fold, HLL sketches union, so the maintained
+    * table equals a full rebuild after any batch cadence
+    * (RollupMaintenanceSpec's monoid guarantee, now driven from a
+    * stream). foreachBatch for the same reason as s04: the merge is a
+    * multi-stage aggregation over persisted state, which a pure streaming
+    * plan can't express in append mode. No in-flight streaming state at
+    * all — the published table IS the state, exactly like a production
+    * incremental materialized view.
+    */
+  def rollupStream(
+      events: Dataset[Event],
+      store: () => Option[org.apache.spark.sql.DataFrame])(
+      publish: org.apache.spark.sql.DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Event] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Event], _: Long) =>
+        val frag = graft.operators.Quality.dailyRollup(batch.toDF())
+        publish(store() match {
+          case Some(current) => graft.operators.Quality.mergeRollups(current, frag)
+          case None => frag
+        })
+      }
+
   /** s05: stream-static enrichment join — each micro-batch of events is
     * joined against a static dimension frame (the published user → segment
     * mapping of an enrich-on-ingest pipeline). The join is STATELESS: the

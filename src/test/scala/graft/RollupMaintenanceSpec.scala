@@ -31,6 +31,41 @@ class RollupMaintenanceSpec extends AnyFunSuite {
       "merge must be indistinguishable from a rebuild")
   }
 
+  test("s10 streaming maintenance converges to the batch rebuild through a parquet store") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.Event
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-").toString
+    val path = s"$dir/rollup"
+    // the published table is the only state: read it back per batch
+    def store(): Option[DataFrame] =
+      if (new java.io.File(path).exists) Some(s.read.parquet(path)) else None
+    def publish(df: DataFrame): Unit = {
+      // rewrite via a temp path: Spark cannot overwrite a path it reads
+      df.write.mode("overwrite").parquet(s"$dir/next")
+      s.read.parquet(s"$dir/next").write.mode("overwrite").parquet(path)
+    }
+    val events = Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val (b1, b2) = events.partition(_.event_id % 2 == 0) // split mid-day
+    val ms = MemoryStream[Event]
+    val q = EventStream.rollupStream(ms.toDS(), store _)(publish).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = readable(s.read.parquet(path))
+    val rebuild = readable(Quality.dailyRollup(Tables.events(s, sf)))
+    assert(maintained.count() == rebuild.count() && rebuild.count() > 0)
+    assert(maintained.exceptAll(rebuild).count() == 0 &&
+      rebuild.exceptAll(maintained).count() == 0,
+      "streamed maintenance must equal the batch rebuild")
+  }
+
   test("merge is associative across a three-way split") {
     val ev = Tables.events(spark, sf)
     val frags = (0 until 3).map(i => Quality.dailyRollup(ev.filter(col("event_id") % 3 === i)))
