@@ -356,7 +356,50 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("sample_rank"))
   }
 
+  /** q103: weighted sampling, probability ∝ document length — the
+    * "sample tokens, not documents" draw of corpus curation, as
+    * INTEGER-EXACT systematic PPS sampling: order docs by the md5 shuffle,
+    * lay their char-weights end to end, and select every doc whose weight
+    * interval contains a multiple of stride = W div 400. At most
+    * `W div stride` (≈400) docs are selected — a doc wider than one
+    * stride absorbs several multiples but is emitted once — every doc
+    * with w ≥ stride is ALWAYS selected, smaller docs proportionally:
+    * the classic systematic PPS estimator, with zero transcendentals
+    * (pow/ln keys à la Efraimidis–Spirakis are libm-dependent and can
+    * ulp-flip between engines; division on exact integers cannot).
+    *
+    * Scale shape: q97's decomposition again — the cumulative weight is a
+    * per-md5-prefix-bucket prefix sum plus a broadcast cross-bucket
+    * carry (bucket is a PREFIX of the sort key, so bucket-then-key order
+    * IS the global order); the per-bucket totals come from a second,
+    * two-column scan rather than checkpointing a corpus-sized frame.
+    */
+  def q103WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("wt"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = base.groupBy(col("bucket")).agg(sum(col("wt")).as("bw"))
+      .withColumn("carry", coalesce(
+        sum(col("bw")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("wtotal", sum(col("bw")).over(Window.partitionBy()))
+      .select(col("bucket"), col("carry"), col("wtotal"))
+    base
+      .withColumn("local_before", coalesce(sum(col("wt")).over(wLocal), lit(0L)))
+      .join(broadcast(totals), "bucket")
+      .withColumn("cum_before", col("carry") + col("local_before"))
+      .withColumn("stride", greatest(lit(1L), expr("wtotal div 400")))
+      .filter(expr("(cum_before + wt) div stride > cum_before div stride"))
+      .select(col("doc_id"), col("wt"),
+        expr("cum_before div stride + 1").as("pick_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_weighted_sample" -> (q103WeightedSample _),
     "q93_tfidf_topterms" -> (q93TfidfTopTerms _),
     "q94_stratified_sample" -> (q94StratifiedSample _),
     "q36_lang_id"       -> (q36LangId _),
@@ -373,6 +416,23 @@ object TextAnalysis {
     "q75_bigram_stats"  -> (q75BigramStats _))
 
   val oracles: Map[String, String] = Map(
+    "q103_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, greatest(n_chars, 1) AS wt,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, wt,
+                  CAST(coalesce(sum(wt) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS cum_before,
+                  CAST(sum(wt) OVER () AS BIGINT) AS wtotal
+           FROM d)
+         SELECT doc_id, wt,
+                cum_before // greatest(1, wtotal // 400) + 1 AS pick_no
+         FROM c
+         WHERE (cum_before + wt) // greatest(1, wtotal // 400)
+               > cum_before // greatest(1, wtotal // 400)""",
     "q93_tfidf_topterms" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
           w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -137,6 +137,36 @@ class StatsSpec extends AnyFunSuite {
     assert(vocab.forall(w => df(w) >= 5L))
   }
 
+  test("q103 systematic PPS sample: exact count, mega-docs always in, deterministic") {
+    val got = TextAnalysis.q103WeightedSample(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("wt"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val wTotal = docs.map(_._2).sum
+    val stride = math.max(1L, wTotal / 400L)
+    // brute force the exact selected set: lay weights end to end in the
+    // md5 order, select every doc whose interval contains a stride multiple
+    var cum = 0L
+    val expected = scala.collection.mutable.Set.empty[Long]
+    docs.sortBy { case (id, _, h) => (h, id) }.foreach { case (id, w, _) =>
+      if ((cum + w) / stride > cum / stride) expected += id
+      cum += w
+    }
+    val selected = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selected == expected, "decomposed selection must equal the global walk")
+    // pick numbers strictly increase across selected docs: all distinct
+    assert(got.select("pick_no").distinct().count() == got.count())
+    // any doc at least a stride wide MUST be selected (its interval
+    // necessarily contains a multiple) — the PPS guarantee
+    docs.foreach { case (id, w, _) =>
+      if (w >= stride) assert(selected.contains(id), s"doc $id (w=$w) must be sampled")
+    }
+    val again = TextAnalysis.q103WeightedSample(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0)
+    got.unpersist()
+  }
+
   test("q94 sample takes exactly min(20, stratum size) per language, deterministically") {
     val got = TextAnalysis.q94StratifiedSample(spark, sf).cache()
     val perLang = got.groupBy("lang").agg(count(lit(1)).as("k"),
