@@ -225,7 +225,91 @@ object Stats {
         s"stack(${covPairs.length}, $stackArgs) AS (col_a, col_b, cov, pearson_r)"))
   }
 
+  /** The two-proportion z formula — one string, used verbatim by the Spark
+    * plan and the oracle so the scalar double math cannot drift. The
+    * degenerate pools (no conversions at all, or everyone converted) have
+    * an undefined z (pooled variance 0) and yield NULL — under Spark 4's
+    * default ANSI mode the unguarded division would THROW, not return
+    * infinity. */
+  private val abZFormula =
+    """CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE
+         round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+              sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+       END"""
+
+  /** q104: A/B experiment readout — users split deterministically by the
+    * md5 coin of user_id (the engine-portable q68/q74 draw), per-variant
+    * conversion on a non-saturating metric (the user's FIRST event is a
+    * purchase — "any purchase ever" converts essentially every active
+    * user, making p̂=1 and the z undefined), and the pooled two-proportion
+    * z statistic: one scalar double over four exact integers (per the
+    * block's determinism strategy), rates in integer basis points.
+    *
+    * Shape: one user_id exchange for the first-event window, then a
+    * 1-row conditional aggregate.
+    */
+  def q104AbTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("converted"))
+      .withColumn("coin",
+        conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .agg(
+        sum(when(col("coin") < 128, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("coin") < 128, col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(col("coin") >= 128, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("coin") >= 128, col("converted")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("c_a * 10000 div n_a").as("conv_a_bp"),
+        expr("c_b * 10000 div n_b").as("conv_b_bp"),
+        expr(abZFormula).as("z"))
+  }
+
+  /** q105: revenue concentration (Gini coefficient) over per-customer
+    * revenue — the inequality lens of a customer-analytics layer.
+    * G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over revenue ranked ascending.
+    *
+    * The global rank is the scale trick again (q97/q103's decomposition,
+    * here keyed on the VALUE): rank within a fixed-width revenue band +
+    * the broadcast count of all lower bands — the band is a monotone
+    * function of the sort key, so band-then-key order IS the global
+    * order and no single-partition window ever sees the customer table.
+    * Σ(rank·x) aggregates in decimal (exact at any scale); the Gini is
+    * one final scalar double.
+    */
+  def q105Gini(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("band", expr("cents DIV 1000000"))
+    val wBand = Window.partitionBy(col("band")).orderBy(col("cents"), col("o_custkey"))
+    val counts = pc.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("n_before", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("n_before"))
+    pc
+      .withColumn("r_in_band", row_number().over(wBand))
+      .join(broadcast(counts), "band")
+      .withColumn("rnk", col("n_before") + col("r_in_band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("t"),
+        sum(expr("CAST(rnk AS DECIMAL(20,0)) * cents")).as("s"))
+      .select(col("n").as("n_customers"), col("t").as("total_cents"),
+        expr("""round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)""").as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_ab_test"    -> (q104AbTest _),
+    "q105_gini"       -> (q105Gini _),
     "q99_cov_matrix"  -> (q99CovMatrix _),
     "q87_correlation" -> (q87Correlation _),
     "q89_chisq"       -> (q89ChiSquare _),
@@ -257,6 +341,50 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q104_ab_test" ->
+      s"""WITH f AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         u AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
+                  CAST((strpos('0123456789abcdef',
+                          substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                          substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+                    AS BIGINT) AS coin
+           FROM f WHERE rn = 1),
+         a AS (
+           SELECT CAST(sum(CASE WHEN coin < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN coin < 128 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+                  CAST(sum(CASE WHEN coin >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN coin >= 128 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+           FROM u)
+         SELECT n_a, c_a, n_b, c_b,
+                CAST(c_a * 10000 // n_a AS BIGINT) AS conv_a_bp,
+                CAST(c_b * 10000 // n_b AS BIGINT) AS conv_b_bp,
+                $abZFormula AS z
+         FROM a""",
+    "q105_gini" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY o_custkey),
+         r AS (
+           SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+           FROM pc),
+         a AS (
+           SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS t,
+                  sum(rnk * cents) AS s
+           FROM r)
+         SELECT n AS n_customers, t AS total_cents,
+                round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+         FROM a""",
     "q99_cov_matrix" -> covOracleSql,
     "q95_volume_anomaly" ->
       """WITH daily AS (

@@ -53,6 +53,44 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 A/B split partitions all users and z matches a direct recompute") {
+    val row = Stats.q104AbTest(spark, sf).head()
+    val (na, ca, nb, cb) = (row.getAs[Long]("n_a"), row.getAs[Long]("c_a"),
+      row.getAs[Long]("n_b"), row.getAs[Long]("c_b"))
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(na + nb == nUsers, "variants must partition the user base")
+    assert(ca <= na && cb <= nb && na > 0 && nb > 0)
+    // the metric must not saturate, or z is undefined by construction
+    assert(ca + cb > 0 && ca + cb < na + nb, "first-event metric must discriminate")
+    val p = (ca + cb).toDouble / (na + nb)
+    val want = BigDecimal(
+      (ca.toDouble / na - cb.toDouble / nb) /
+        math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("z") == want)
+    assert(row.getAs[Long]("conv_a_bp") == ca * 10000 / na)
+    assert(row.getAs[Long]("conv_b_bp") == cb * 10000 / nb)
+  }
+
+  test("q105 Gini matches a brute-force sorted computation and sits in [0,1)") {
+    val row = Stats.q105Gini(spark, sf).head()
+    val cents = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (c, k) }.map(_._2)
+    val n = cents.length.toLong
+    val t = cents.sum
+    val s = cents.zipWithIndex.map { case (c, i) => BigInt(i + 1) * c }.sum
+    assert(row.getAs[Long]("n_customers") == n)
+    assert(row.getAs[Long]("total_cents") == t)
+    val want = BigDecimal(2.0 * s.toDouble / (n.toDouble * t.toDouble)
+      - (n.toDouble + 1.0) / n.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("gini") == want, s"${row.getAs[Double]("gini")} vs $want")
+    assert(want >= 0.0 && want < 1.0)
+  }
+
   test("q89 contingency identities: totals reconcile and chi2 total is the term sum") {
     val rows = Stats.q89ChiSquare(spark, sf).collect()
     assert(rows.nonEmpty)
