@@ -232,7 +232,8 @@ object Stats {
     * default ANSI mode the unguarded division would THROW, not return
     * infinity. */
   private val abZFormula =
-    """CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE
+    """CASE WHEN n_a = 0 OR n_b = 0
+              OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE
          round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
               sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
@@ -258,16 +259,17 @@ object Stats {
       .filter(col("rn") === 1)
       .select(col("user_id"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("converted"))
-      .withColumn("coin",
-        conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10).cast("long"))
+      .withColumn("coin", TextAnalysis.md5Coin(col("user_id")))
       .agg(
         sum(when(col("coin") < 128, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("coin") < 128, col("converted")).otherwise(0L)).as("c_a"),
         sum(when(col("coin") >= 128, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("coin") >= 128, col("converted")).otherwise(0L)).as("c_b"))
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        expr("c_a * 10000 div n_a").as("conv_a_bp"),
-        expr("c_b * 10000 div n_b").as("conv_b_bp"),
+        // nullif: an empty variant (possible on a tiny or filtered user
+        // population) yields NULL rates, not an ANSI DIVIDE_BY_ZERO throw
+        expr("c_a * 10000 div nullif(n_a, 0)").as("conv_a_bp"),
+        expr("c_b * 10000 div nullif(n_b, 0)").as("conv_b_bp"),
         expr(abZFormula).as("z"))
   }
 
@@ -350,11 +352,7 @@ object Stats {
          u AS (
            SELECT user_id,
                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
-                  CAST((strpos('0123456789abcdef',
-                          substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef',
-                          substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)
-                    AS BIGINT) AS coin
+                  ${TextAnalysis.duckCoin("user_id")} AS coin
            FROM f WHERE rn = 1),
          a AS (
            SELECT CAST(sum(CASE WHEN coin < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -363,8 +361,8 @@ object Stats {
                   CAST(sum(CASE WHEN coin >= 128 THEN converted ELSE 0 END) AS BIGINT) AS c_b
            FROM u)
          SELECT n_a, c_a, n_b, c_b,
-                CAST(c_a * 10000 // n_a AS BIGINT) AS conv_a_bp,
-                CAST(c_b * 10000 // n_b AS BIGINT) AS conv_b_bp,
+                CAST(c_a * 10000 // nullif(n_a, 0) AS BIGINT) AS conv_a_bp,
+                CAST(c_b * 10000 // nullif(n_b, 0) AS BIGINT) AS conv_b_bp,
                 $abZFormula AS z
          FROM a""",
     "q105_gini" ->

@@ -240,22 +240,23 @@ object TextAnalysis {
     // any other group, not silently dropped by a null-unsafe join
     docs.join(broadcast(counts), docs("lang") <=> counts("lang"))
       .drop(counts("lang"))
-      .withColumn("coin", md5Coin)
+      .withColumn("coin", md5Coin(col("doc_id")))
       .filter(col("coin") < col("keep_lt"))
       .select(col("doc_id"), col("lang"), col("coin"), col("keep_lt"))
   }
 
-  /** The engine-portable uniform [0,256) draw from doc_id (first two hex
-    * chars of md5), shared by q68 sampling and q74 splitting — one
-    * derivation so the two stay coherent by construction ([[duckCoin]] is
-    * its DuckDB mirror; change both together or the oracles fail).
+  /** The engine-portable uniform [0,256) draw from any id column (first
+    * two hex chars of md5), shared by q68 sampling, q74 splitting and
+    * q104's experiment assignment — ONE derivation so every consumer
+    * stays coherent by construction ([[duckCoin]] is its DuckDB mirror;
+    * change both together or the oracles fail).
     */
-  private def md5Coin: Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+  private[graft] def md5Coin(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
 
-  private val duckCoin: String =
-    """CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+  private[graft] def duckCoin(colExpr: String): String =
+    s"""CAST((strpos('0123456789abcdef', substring(md5(CAST($colExpr AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(CAST($colExpr AS VARCHAR)), 2, 1)) - 1)
          AS BIGINT)"""
 
   /** q74: deterministic train/val/test assignment — the split step of
@@ -268,7 +269,7 @@ object TextAnalysis {
     */
   def q74TrainSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("coin", md5Coin)
+      .withColumn("coin", md5Coin(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("coin"),
         when(col("coin") < 204, "train")
           .when(col("coin") < 230, "val")
@@ -585,14 +586,14 @@ object TextAnalysis {
                                           // (10000 * n_lang)) AS BIGINT) AS keep_lt
                    FROM lc),
           coins AS (
-            SELECT doc_id, lang, $duckCoin AS coin
+            SELECT doc_id, lang, ${duckCoin("doc_id")} AS coin
             FROM documents)
           SELECT c.doc_id, c.lang, c.coin, caps.keep_lt
           FROM coins c JOIN caps ON c.lang IS NOT DISTINCT FROM caps.lang
           WHERE c.coin < caps.keep_lt""",
     "q74_train_split" ->
       s"""WITH coins AS (
-           SELECT doc_id, lang, $duckCoin AS coin
+           SELECT doc_id, lang, ${duckCoin("doc_id")} AS coin
            FROM documents)
          SELECT doc_id, lang, coin,
                 CASE WHEN coin < 204 THEN 'train'

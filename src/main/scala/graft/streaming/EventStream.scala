@@ -259,31 +259,51 @@ object EventStream {
       }
   }
 
+  /** One micro-batch's rollup application: merge the fragment into ONLY
+    * the (event_type, day) cells it touches — the untouched history is
+    * never re-aggregated or rewritten (the caller publishes the returned
+    * delta with dynamic partition overwrite, Pipeline.publishIncremental's
+    * shape). Returns None when `batchId` was already applied: foreachBatch
+    * is at-least-once, and replaying an additive-counter merge would
+    * double-count — min/max/HLL are idempotent, sums are not.
+    */
+  private[graft] def rollupBatch(
+      current: Option[(org.apache.spark.sql.DataFrame, Long)],
+      frag: org.apache.spark.sql.DataFrame,
+      batchId: Long): Option[org.apache.spark.sql.DataFrame] = current match {
+    case Some((_, lastApplied)) if batchId <= lastApplied => None
+    case Some((table, _)) =>
+      val touched = frag.select(col("event_type"), col("day")).distinct()
+      val affected = table.join(touched, Seq("event_type", "day"), "left_semi")
+      Some(graft.operators.Quality.mergeRollups(affected, frag))
+    case None => Some(frag)
+  }
+
   /** s10: streaming rollup maintenance — the online form of
     * [[graft.operators.Quality.dailyRollup]]/`mergeRollups`: each
     * micro-batch becomes a rollup fragment and is MERGED into the
-    * published table (read via `store`, rewritten via `publish`) —
-    * counters add, bounds fold, HLL sketches union, so the maintained
-    * table equals a full rebuild after any batch cadence
+    * published table — counters add, bounds fold, HLL sketches union, so
+    * the maintained table equals a full rebuild after any batch cadence
     * (RollupMaintenanceSpec's monoid guarantee, now driven from a
     * stream). foreachBatch for the same reason as s04: the merge is a
     * multi-stage aggregation over persisted state, which a pure streaming
     * plan can't express in append mode. No in-flight streaming state at
-    * all — the published table IS the state, exactly like a production
-    * incremental materialized view.
+    * all — the published table (plus its last-applied batch id, for
+    * at-least-once replay protection) IS the state, exactly like a
+    * production incremental materialized view. `store` returns the
+    * current table and last-applied batch id; `publishDelta` receives
+    * ONLY the touched cells plus the batch id — per-batch cost is
+    * O(fragment), not O(table age).
     */
   def rollupStream(
       events: Dataset[Event],
-      store: () => Option[org.apache.spark.sql.DataFrame])(
-      publish: org.apache.spark.sql.DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Event] =
+      store: () => Option[(org.apache.spark.sql.DataFrame, Long)])(
+      publishDelta: (org.apache.spark.sql.DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Event] =
     events.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Event], _: Long) =>
-        val frag = graft.operators.Quality.dailyRollup(batch.toDF())
-        publish(store() match {
-          case Some(current) => graft.operators.Quality.mergeRollups(current, frag)
-          case None => frag
-        })
+      .foreachBatch { (batch: Dataset[Event], batchId: Long) =>
+        rollupBatch(store(), graft.operators.Quality.dailyRollup(batch.toDF()), batchId)
+          .foreach(delta => publishDelta(delta, batchId))
       }
 
   /** s05: stream-static enrichment join — each micro-batch of events is

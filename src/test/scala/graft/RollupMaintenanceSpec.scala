@@ -40,20 +40,26 @@ class RollupMaintenanceSpec extends AnyFunSuite {
     import graft.streaming.EventStream.Event
     val dir = java.nio.file.Files.createTempDirectory("graft-rollup-").toString
     val path = s"$dir/rollup"
-    // the published table is the only state: read it back per batch
-    def store(): Option[DataFrame] =
-      if (new java.io.File(path).exists) Some(s.read.parquet(path)) else None
-    def publish(df: DataFrame): Unit = {
-      // rewrite via a temp path: Spark cannot overwrite a path it reads
-      df.write.mode("overwrite").parquet(s"$dir/next")
-      s.read.parquet(s"$dir/next").write.mode("overwrite").parquet(path)
+    val marker = java.nio.file.Paths.get(s"$dir/last_batch")
+    // the published cell-partitioned table + last-applied batch id ARE the
+    // state; deltas land via dynamic partition overwrite, so untouched
+    // (event_type, day) cells are never rewritten
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def store(): Option[(DataFrame, Long)] =
+      if (java.nio.file.Files.exists(marker))
+        Some((s.read.parquet(path),
+          java.nio.file.Files.readString(marker).trim.toLong))
+      else None
+    def publishDelta(delta: DataFrame, batchId: Long): Unit = {
+      delta.write.mode("overwrite").partitionBy("event_type", "day").parquet(path)
+      java.nio.file.Files.writeString(marker, batchId.toString)
     }
     val events = Tables.events(s, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect().toSeq
     val (b1, b2) = events.partition(_.event_id % 2 == 0) // split mid-day
     val ms = MemoryStream[Event]
-    val q = EventStream.rollupStream(ms.toDS(), store _)(publish).start()
+    val q = EventStream.rollupStream(ms.toDS(), store _)(publishDelta).start()
     try {
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
@@ -64,6 +70,14 @@ class RollupMaintenanceSpec extends AnyFunSuite {
     assert(maintained.exceptAll(rebuild).count() == 0 &&
       rebuild.exceptAll(maintained).count() == 0,
       "streamed maintenance must equal the batch rebuild")
+    // at-least-once replay: re-applying an already-applied batch id is a
+    // no-op — the additive counters would otherwise double-count
+    val replayFrag = Quality.dailyRollup(
+      Tables.events(s, sf).filter(col("event_id") % 2 =!= 0))
+    assert(EventStream.rollupBatch(store(), replayFrag, batchId = 1L).isEmpty,
+      "replayed batch must be skipped")
+    assert(EventStream.rollupBatch(store(), replayFrag, batchId = 2L).isDefined,
+      "a genuinely new batch must apply")
   }
 
   test("merge is associative across a three-way split") {
