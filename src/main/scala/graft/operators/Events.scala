@@ -425,7 +425,45 @@ object Events {
                 ELSE n_purchase_72h * 10000 div n_signup END""").as("s3_bp"))
   }
 
+  /** q107: session engagement report — per start day: session count,
+    * bounce share (single-event sessions, in integer basis points) and
+    * dwell-time stats (mean via integer division; median via percentile
+    * over integer milliseconds — interpolation at 0.5 lands on exact
+    * halves, the q73 determinism pattern). The daily engagement health
+    * dashboard of a trip/product pipeline.
+    *
+    * Shape: sessionization's one user_id exchange, session rollup on the
+    * same partitioning, then a |days|-key aggregate.
+    */
+  def q107Engagement(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .groupBy(expr("start_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(expr("(end_us - start_us) div 1000")).as("total_dwell_ms"),
+        expr("round(percentile((end_us - start_us) div 1000, 0.5), 4)")
+          .as("p50_dwell_ms"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 10000 div n_sessions").as("bounce_bp"),
+        expr("total_dwell_ms div n_sessions").as("avg_dwell_ms"),
+        col("p50_dwell_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_engagement"      -> (q107Engagement _),
     "q100_funnel_windowed" -> (q100FunnelWindowed _),
     "q97_concurrency"      -> (q97Concurrency _),
     "q90_paths"            -> (q90Paths _),
@@ -445,6 +483,38 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q107_engagement" ->
+      """WITH l AS (
+           SELECT user_id, ts, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         se AS (
+           SELECT user_id, ts,
+                  CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR epoch_us(ts) - prev_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    AS sess_no
+           FROM l),
+         t AS (
+           SELECT user_id, sess_no, count(*) AS n_events,
+                  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+           FROM se GROUP BY 1, 2),
+         d AS (
+           SELECT start_us // 86400000000 AS day,
+                  count(*) AS n_sessions,
+                  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_bounces,
+                  CAST(sum((end_us - start_us) // 1000) AS BIGINT) AS total_dwell_ms,
+                  round(quantile_cont((end_us - start_us) // 1000, 0.5), 4)
+                    AS p50_dwell_ms
+           FROM t GROUP BY 1)
+         SELECT day, n_sessions, n_bounces,
+                CAST(n_bounces * 10000 // n_sessions AS BIGINT) AS bounce_bp,
+                CAST(total_dwell_ms // n_sessions AS BIGINT) AS avg_dwell_ms,
+                p50_dwell_ms
+         FROM d""",
     "q100_funnel_windowed" ->
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

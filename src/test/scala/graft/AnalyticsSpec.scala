@@ -183,6 +183,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 engagement reconciles with the q20 session table") {
+    val rows = Events.q107Engagement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sess = SparkEntry.queries("q20_sessionize")(spark, sf)
+      .select(col("n_events"), unix_micros(col("sess_start")).as("a"),
+        unix_micros(col("sess_end")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == sess.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_bounces")).sum ==
+      sess.count(_._1 == 1L).toLong)
+    // bounces dwell zero; day grouping keys come from session starts
+    val days = sess.map(_._2 / 86400000000L).distinct.sorted
+    assert(rows.map(_.getAs[Long]("day")).sorted.sameElements(days))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bounce_bp") <= 10000)
+      assert(r.getAs[Long]("avg_dwell_ms") >= 0)
+    }
+  }
+
   test("q97 per-day decomposed concurrency equals a brute-force global running sum") {
     val got = Events.q97Concurrency(spark, sf).collect()
       .map(r => r.getAs[Long]("day") ->
