@@ -238,15 +238,7 @@ object Analytics {
     * broadcasts.
     */
   def q106BasketLift(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val items = Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_no", sum(col("is_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val items = Events.withSessionNo(Tables.events(s, dir))
       .select(col("user_id"), col("sess_no"), col("event_type"))
       .distinct()
       .localCheckpoint() // three consumers below; sessionize once
@@ -264,7 +256,7 @@ object Analytics {
       .join(broadcast(itemCounts.select(col("event_type").as("item_b"),
         col("n_item").as("n_b"))), "item_b")
       .crossJoin(broadcast(nBaskets))
-      .select(col("item_a"), col("item_b"), col("n_pair"),
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"), col("n_b"),
         expr("n_pair * 10000 div n_baskets").as("support_bp"),
         expr("n_pair * 10000 div n_a").as("conf_a_to_b_bp"),
         expr("n_pair * 10000 div n_b").as("conf_b_to_a_bp"),
@@ -331,6 +323,7 @@ object Analytics {
                         AND a.event_type < b.event_type
            GROUP BY 1, 2)
          SELECT item_a, item_b, n_pair,
+                ia.n_item AS n_a, ib.n_item AS n_b,
                 CAST(n_pair * 10000 // n_baskets AS BIGINT) AS support_bp,
                 CAST(n_pair * 10000 // ia.n_item AS BIGINT) AS conf_a_to_b_bp,
                 CAST(n_pair * 10000 // ib.n_item AS BIGINT) AS conf_b_to_a_bp,

@@ -20,9 +20,15 @@ object Events {
     * lag → flag → running-sum over one user_id shuffle; the canonical
     * distributed sessionizer (no per-user collect, no iterative driver loop).
     */
-  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+  /** THE 30-minute-gap sessionizer: appends a 1-based per-user `sess_no`
+    * to any frame carrying (user_id, ts, event_id) — the single
+    * definition of session semantics. Every session-consuming operator
+    * (q20/q60/q63/q97/q106/q107) builds on this, so the gap constant and
+    * the tie-break ordering live in exactly one place.
+    */
+  private[operators] def withSessionNo(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
@@ -30,6 +36,11 @@ object Events {
           .otherwise(0L))
       .withColumn("sess_no", sum(col("is_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "is_new")
+  }
+
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    withSessionNo(Tables.events(s, dir))
       .groupBy(col("user_id"), col("sess_no"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -140,15 +151,7 @@ object Events {
     * integer division sidesteps the boundary entirely.
     */
   def q60TripMetrics(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_no", sum(col("is_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionNo(Tables.events(s, dir))
       .groupBy(col("user_id"), col("sess_no"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -333,17 +336,10 @@ object Events {
     * narrow rows buys a single sessionize pass.
     */
   def q97Concurrency(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val pts = Tables.events(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_no", sum(col("is_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pts = withSessionNo(Tables.events(s, dir))
       .groupBy(col("user_id"), col("sess_no"))
-      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
       .select(col("user_id"), col("sess_no"), explode(array(
         struct(col("start_us").as("us"), lit(1L).as("delta")),
         struct(col("end_us").as("us"), lit(-1L).as("delta")))).as("p"))
@@ -436,15 +432,7 @@ object Events {
     * same partitioning, then a |days|-key aggregate.
     */
   def q107Engagement(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_no", sum(col("is_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionNo(Tables.events(s, dir))
       .groupBy(col("user_id"), col("sess_no"))
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(col("ts"))).as("start_us"),

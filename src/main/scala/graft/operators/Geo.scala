@@ -56,21 +56,13 @@ object Geo {
     * window → per-session arg-min/arg-max agg → one OD-key shuffle.
     */
   def q63OdMatrix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val key = struct(unix_micros(col("ts")), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("lat", synthLat)
-      .withColumn("lon", synthLon)
-      .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
-      .withColumn("zone_y", zone(col("lat"), Lat0, Cell))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_no", sum(col("is_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    Events.withSessionNo(
+      Tables.events(s, dir)
+        .withColumn("lat", synthLat)
+        .withColumn("lon", synthLon)
+        .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
+        .withColumn("zone_y", zone(col("lat"), Lat0, Cell)))
       .groupBy(col("user_id"), col("sess_no"))
       .agg(
         min_by(col("zone_x"), key).as("origin_x"),

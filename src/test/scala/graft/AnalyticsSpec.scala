@@ -179,7 +179,15 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getAs[Long]("conf_a_to_b_bp") <= 10000)
       assert(r.getAs[Long]("conf_b_to_a_bp") >= sbp &&
         r.getAs[Long]("conf_b_to_a_bp") <= 10000)
-      assert(r.getAs[Double]("lift") > 0.0)
+      // lift recomputed from the row's own exact counts
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na >= np && nb >= np, "item counts bound the pair count")
+      // integer products FIRST, then one cast each — the operator's order
+      val wantLift = BigDecimal((np * nBaskets).toDouble / (na * nb).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("lift") == wantLift)
+      assert(r.getAs[Long]("conf_a_to_b_bp") == np * 10000 / na)
+      assert(r.getAs[Long]("conf_b_to_a_bp") == np * 10000 / nb)
     }
   }
 

@@ -202,22 +202,26 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q103/q105 prefix-carry decompositions never plan a single-partition data window") {
-    for (q <- Seq("q103_weighted_sample", "q105_gini")) {
+    // the corpus/customer-scale prefix WINDOW itself must be partitioned
+    // on the bucket/band (a Window node's partition spec is its second
+    // bracket group) — matching hashpartitioning alone would also match
+    // the groupBy aggregates and miss a collapsed window
+    for ((q, part) <- Seq("q103_weighted_sample" -> "bucket",
+                          "q105_gini" -> "band")) {
       val p = plan(q)
-      // the corpus/customer-scale prefix window must stay bucket/band-
-      // partitioned; the carry comes back as a broadcast join
-      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), s"$q:\n$p")
-      val winAt = p.indexOf("Window")
-      assert(winAt >= 0, s"$q:\n$p")
+      assert(s"Window \\[[^\\]]*\\], \\[$part#\\d+[L]?\\]".r.findFirstIn(p).isDefined,
+        s"$q: data window must partition on $part:\n$p")
+      // the carry comes back as a broadcast join, never a shuffle
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q:\n$p")
     }
-    // q103's big window partitions on the md5 bucket, q105's on the band
-    assert(plan("q103_weighted_sample").contains("hashpartitioning(bucket"), "q103")
-    assert(plan("q105_gini").contains("hashpartitioning(band"), "q105")
   }
 
   test("q104 A/B readout is one user_id exchange then a one-row aggregate") {
     val p = plan("q104_ab_test")
     assert(count(p, "hashpartitioning\\(user_id") == 1, p)
+    // the only data exchanges: the user window + the final 1-row rollup
+    assert(count(p, "Exchange") <= 2, p)
   }
 
   test("q95 anomaly baseline is a range-frame window, one event-scale shuffle") {
