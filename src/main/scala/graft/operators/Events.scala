@@ -450,7 +450,27 @@ object Events {
         col("p50_dwell_ms"))
   }
 
+  /** q108: sessionization via Spark's BUILT-IN `session_window` operator —
+    * the engine-native form of q20 (which chains a lag window by hand).
+    * Semantics differ at exactly the gap boundary: session_window's
+    * half-open [start, last+gap) window starts a NEW session when the
+    * inter-event difference is ≥ gap, where q20's `> gap` keeps it — the
+    * oracle mirrors `≥` so the driver pins the BUILT-IN's semantics, and
+    * the emitted sess_end is `last event + gap` (the window bound), not
+    * the last event itself. One user_id+window exchange, and unlike the
+    * lag-chain the same expression runs unchanged under readStream with
+    * a watermark — that is the operator's production value.
+    */
+  def q108SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("value_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_session_window"  -> (q108SessionWindow _),
     "q107_engagement"      -> (q107Engagement _),
     "q100_funnel_windowed" -> (q100FunnelWindowed _),
     "q97_concurrency"      -> (q97Concurrency _),
@@ -471,6 +491,28 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q108_session_window" ->
+      """WITH l AS (
+           SELECT user_id, ts, value, event_id,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           -- >= (not >): session_window's half-open [start, last+gap)
+           -- window starts a NEW session at exactly the gap boundary
+           SELECT user_id, ts, value,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts >= INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    AS sess_no
+           FROM l)
+         SELECT user_id, min(ts) AS sess_start,
+                max(ts) + INTERVAL 30 MINUTE AS sess_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM s GROUP BY user_id, sess_no""",
     "q107_engagement" ->
       """WITH l AS (
            SELECT user_id, ts, event_id,

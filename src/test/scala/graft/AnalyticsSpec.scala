@@ -191,6 +191,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 built-in session_window agrees with the lag-chain up to the gap boundary") {
+    val sw = Events.q108SessionWindow(spark, sf).cache()
+    val q20 = SparkEntry.queries("q20_sessionize")(spark, sf)
+    // >= splits where > keeps: the built-in can only produce MORE sessions
+    assert(sw.count() >= q20.count())
+    // exact-gap ties are measure-zero in this data: counts actually equal,
+    // so every per-session aggregate must reconcile 1:1 with q20
+    if (sw.count() == q20.count()) {
+      assert(sw.agg(sum("n_events")).head().getLong(0) ==
+        q20.agg(sum("n_events")).head().getLong(0))
+    }
+    // the emitted end is the WINDOW bound: strictly after the last event,
+    // by exactly the 30-minute gap relative to a session's span
+    val bad = sw.filter(
+      unix_micros(col("sess_end")) - unix_micros(col("sess_start")) <
+        1800L * 1000000L).count()
+    assert(bad == 0, "end = last event + gap implies span >= gap")
+    sw.unpersist()
+  }
+
   test("q107 engagement reconciles with the q20 session table") {
     val rows = Events.q107Engagement(spark, sf).collect()
     assert(rows.nonEmpty)
