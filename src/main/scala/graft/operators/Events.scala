@@ -301,6 +301,11 @@ object Events {
     * aggregate (`array_sort` of a bounded array — `collect_list` alone has
     * no ordering guarantee), so no second window pass; the final path
     * rollup shuffles one short string per user.
+    *
+    * Data contract: `event_type` must not contain the '>' separator (the
+    * q55 audit's enumerated-domain check enforces exactly this kind of
+    * vocabulary bound); free-form type vocabularies would need a
+    * struct-array path key or an escaping join instead.
     */
   def q90Paths(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -211,17 +211,18 @@ object EventStream {
 
   /** s09: streaming volume-anomaly monitor — the online form of
     * [[graft.operators.Stats.q95VolumeAnomaly]]: per event type the state
-    * holds only the trailing 15 days of counts (bounded forever, like
-    * s08's sketch), and every micro-batch re-emits the z-score of each day
-    * it touched, computed AFTER folding the whole batch into state — so a
-    * day's final emission uses its complete 7-day baseline exactly as the
+    * holds only the 16 days within 15 of the stream head (bounded forever,
+    * like s08's sketch), and every micro-batch re-emits the z-score of each
+    * day it touched, computed AFTER folding the whole batch into state — so
+    * a day's final emission uses its complete 7-day baseline exactly as the
     * batch RANGE frame does. Update mode: the sink's latest row per
     * (type, day) converges to the batch q95 value once that day's data has
-    * fully arrived. 15 days retained, not 8: a late event for day d
+    * fully arrived. 16 days retained, not 8: a late event for day d
     * re-emits d from state, and a CORRECT re-emission needs d's own count
-    * plus baselines back to d−7 — retaining 15 covers any late day within
-    * 8 days of the stream head; later stragglers than that would restart
-    * their day's count, the documented horizon of this monitor.
+    * plus baselines back to d−7 — retaining head−15..head (16 day slots)
+    * covers any late day within 8 days of the stream head; later stragglers
+    * than that would restart their day's count, the documented horizon of
+    * this monitor.
     */
   def driftStream(events: Dataset[Event]): Dataset[DriftOut] = {
     import events.sparkSession.implicits._
@@ -236,8 +237,9 @@ object EventStream {
             days = days.updated(d, days.getOrElse(d, 0L) + 1L)
             touched += d
           }
-          // persist the trailing 15 days (bounded state; 8-day late-data
-          // horizon + 7 baseline days), but EMIT from the pre-prune map: a
+          // persist days within 15 of the head — 16 day slots (8-day
+          // late-data horizon + 7 baseline days + the head day itself) —
+          // but EMIT from the pre-prune map: a
           // single batch may span more than that, and its older days find
           // their baselines inside the batch itself
           val horizon = days.keys.max - 15
@@ -294,6 +296,14 @@ object EventStream {
     * current table and last-applied batch id; `publishDelta` receives
     * ONLY the touched cells plus the batch id — per-batch cost is
     * O(fragment), not O(table age).
+    *
+    * SINK CONTRACT: `publishDelta` must commit the delta and the batch id
+    * ATOMICALLY (write the batch id into the table's commit metadata, or
+    * data + marker in one rename). If they commit separately, a crash
+    * between the two leaves the data applied but the id unrecorded, and
+    * the at-least-once replay re-merges the fragment — double-counting
+    * every additive counter. The replay guard is only as strong as the
+    * sink's atomicity.
     */
   def rollupStream(
       events: Dataset[Event],
