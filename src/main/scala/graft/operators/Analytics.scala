@@ -264,8 +264,108 @@ object Analytics {
                       CAST(n_a * n_b AS DOUBLE), 4)""").as("lift"))
   }
 
+  /** q109: SCD1 latest-record upsert — the "current state" table a CDC
+    * stream maintains: every user's last change wins, and a user whose
+    * last operation is a delete (`error` here stands in for the tombstone
+    * op) is absent from the result. This is the compaction/merge operator
+    * of any mutable-table publish (dedupe-by-recency), the type-1
+    * complement of [[scd2Build]]'s full-history type-2 dimension.
+    *
+    * Shape: one user_id exchange for the recency window, then a filter —
+    * identical to Spark's own `dropDuplicates`-by-max-ts idiom but
+    * deterministic under ties (event_id tiebreak). At 100 TB the window
+    * rides the same partitioning every other per-user operator uses.
+    */
+  def q109UpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("last_value_cents"),
+        expr("unix_micros(ts) div 1000").as("last_ts_ms"))
+  }
+
+  /** q110: point-in-time (interval) join — each purchase looked up against
+    * the SCD2 state dimension valid AT its timestamp: the
+    * "which dimension version was current when this fact happened"
+    * join every warehouse with slowly-changing dimensions runs. The
+    * dimension is [[scd2Build]] over the non-purchase activity log, so the
+    * result reads "what was the user doing when they bought".
+    *
+    * Shape: both sides hash-partition on user_id (the dimension already is
+    * — scd2Build's window leaves it that way), so the join is ONE exchange
+    * per side with the `[valid_from, valid_to)` bounds as a residual
+    * condition — each probe matches at most one interval by construction
+    * (adjacent half-open intervals). Never a range/BNL join: the equi-key
+    * carries all the data movement. Left join keeps purchases that precede
+    * any state (null state columns).
+    */
+  def q110PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(
+      Tables.events(s, dir).filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user_id"),
+        col("event_type").as("state_type"),
+        col("version").as("state_version"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .join(dim,
+        col("user_id") === col("d_user_id") &&
+          col("valid_from_ms") <= col("ts_ms") &&
+          (col("valid_to_ms").isNull || col("ts_ms") < col("valid_to_ms")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("state_type"), col("state_version"))
+  }
+
+  /** q113: sequential pattern support ("A happens before B") — for every
+    * ordered event-type pair, how many users' FIRST occurrence of A
+    * precedes their first occurrence of B. q82 counts adjacent transitions
+    * and q90 whole prefix paths; this is the skip-gram middle ground
+    * (PrefixSpan's length-2 core) that drives "what leads to what"
+    * product-funnel reports.
+    *
+    * Shape: first occurrences via min(struct(us, event_id)) — a map-side-
+    * combining aggregate, NOT a window (no sort, partial aggregation
+    * upstream of the one user_id exchange). The per-user self-join then
+    * expands at most |vocab|² rows per user (vocab = event-type universe,
+    * ≤5 here), so candidate work is bounded per user no matter the corpus
+    * size. The user-count denominator folds in as a broadcast scalar off
+    * the checkpointed firsts frame — no second events scan.
+    */
+  def q113SeqPairs(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(expr("unix_micros(ts)").as("us"),
+        col("event_id").as("eid"))).as("k"))
+      .select(col("user_id"), col("event_type"),
+        col("k.us").as("us"), col("k.eid").as("eid"))
+      .localCheckpoint() // referenced twice (pairs + denominator): no CSE
+    val total = firsts.agg(
+      countDistinct(col("user_id")).as("n_total"))
+    val a = firsts.select(col("user_id"), col("event_type").as("type_a"),
+      col("us").as("us_a"), col("eid").as("eid_a"))
+    val b = firsts.select(col("user_id"), col("event_type").as("type_b"),
+      col("us").as("us_b"), col("eid").as("eid_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("us_a") < col("us_b") ||
+        (col("us_a") === col("us_b") && col("eid_a") < col("eid_b")))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        expr("n_users * 10000 div n_total").as("support_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_basket_lift"  -> (q106BasketLift _),
+    "q109_upsert_latest" -> (q109UpsertLatest _),
+    "q110_point_in_time" -> (q110PointInTime _),
+    "q113_seq_pairs"    -> (q113SeqPairs _),
     "q77_scd2_merge"    -> (q77Scd2Merge _),
     "q78_grouping_sets" -> (q78GroupingSets _),
     "q79_retention"     -> (q79Retention _),
@@ -297,6 +397,59 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q109_upsert_latest" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  epoch_us(ts) // 1000 AS ts_ms,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_type AS last_type,
+                cents AS last_value_cents, ts_ms AS last_ts_ms
+         FROM r WHERE rn = 1 AND event_type <> 'error'""",
+    "q110_point_in_time" ->
+      """WITH typed AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER w AS prev_type
+           FROM events WHERE event_type <> 'purchase'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         changes AS (
+           SELECT user_id, event_type, ts, event_id,
+                  epoch_us(ts) // 1000 AS valid_from_ms
+           FROM typed WHERE prev_type IS NULL OR prev_type <> event_type),
+         dim AS (
+           SELECT user_id, event_type AS state_type,
+                  CAST(row_number() OVER w AS INTEGER) AS state_version,
+                  valid_from_ms, lead(valid_from_ms) OVER w AS valid_to_ms
+           FROM changes
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_ms, d.state_type, d.state_version
+         FROM p LEFT JOIN dim d
+           ON p.user_id = d.user_id
+          AND d.valid_from_ms <= p.ts_ms
+          AND (d.valid_to_ms IS NULL OR p.ts_ms < d.valid_to_ms)""",
+    "q113_seq_pairs" ->
+      """WITH r AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         firsts AS (
+           SELECT user_id, event_type, us, event_id FROM r WHERE rn = 1),
+         tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*) AS n_users
+           FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+             AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_users,
+                CAST(n_users * 10000 // n_total AS BIGINT) AS support_bp
+         FROM p CROSS JOIN tot""",
     "q106_basket_lift" ->
       """WITH l AS (
            SELECT user_id, event_type, ts, event_id,

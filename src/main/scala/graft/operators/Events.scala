@@ -474,7 +474,30 @@ object Events {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"), col("value_cents"))
 
+  /** q112: demand seasonality heatmap — event volume, distinct users and
+    * value by (weekday × hour-of-day): the "when is the city busy" profile
+    * every trip-data publication ships. Weekday and hour are pure integer
+    * arithmetic on the epoch ((d+4) mod 7, 0=Sunday — the q91 portable
+    * form; epoch-hour mod 24), never engine dayofweek()/hour() built-ins
+    * whose week conventions differ. avg stays integer (cents div count;
+    * values are ≥0 per the q55-audited domain, where div/floor-div
+    * semantics agree). Shape: one scan → one 168-key exchange; the
+    * distinct-user count is the only non-map-side-combining aggregate (at
+    * 100 TB it would flip to the q96 HLL sketch).
+    */
+  def q112Seasonality(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("dow7", expr("((unix_micros(ts) div 86400000000) + 4) % 7"))
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("dow7"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("avg_cents", expr("total_cents DIV n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_seasonality"     -> (q112Seasonality _),
     "q108_session_window"  -> (q108SessionWindow _),
     "q107_engagement"      -> (q107Engagement _),
     "q100_funnel_windowed" -> (q100FunnelWindowed _),
@@ -496,6 +519,16 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q112_seasonality" ->
+      """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow7,
+                (epoch_us(ts) // 3600000000) % 24 AS hod,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  // count(*) AS avg_cents
+         FROM events GROUP BY 1, 2""",
     "q108_session_window" ->
       """WITH l AS (
            SELECT user_id, ts, value, event_id,

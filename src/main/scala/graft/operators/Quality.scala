@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -250,7 +251,44 @@ object Quality {
         max(col("max_cents")).as("max_cents"),
         hll_union_agg(col("user_sketch"), lit(false)).as("user_sketch"))
 
+  /** q111: equi-depth (decile) histogram over order totals — q72's
+    * fixed-width complement and the profiler's second histogram flavor:
+    * every bucket holds the same row count, so bucket BOUNDS are the
+    * statistic (these are exactly the equi-height histogram stats a CBO
+    * collects). The global rank this needs is the q105/q97 decomposition
+    * again — rank inside a fixed-width cents band plus the broadcast count
+    * of lower bands — so no single-partition window ever sees the orders
+    * table, and the decile id is pure integer arithmetic
+    * ((rnk−1)·10 div n) both engines evaluate identically.
+    */
+  def q111EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.orders(s, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderkey"))
+      .withColumn("band", expr("cents DIV 1000000"))
+    val counts = pc.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("n_before", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total",
+        sum(col("bn")).over(Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("band"), col("n_before"), col("n_total"))
+    val wBand = Window.partitionBy(col("band"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    pc.withColumn("r_in_band", row_number().over(wBand))
+      .join(broadcast(counts), "band")
+      .withColumn("rnk", col("n_before") + col("r_in_band"))
+      .groupBy(expr("(rnk - 1) * 10 DIV n_total").as("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("avg_cents", expr("total_cents DIV n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_equidepth_hist" -> (q111EquidepthHist _),
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q96_hll_rollup" -> (q96HllRollup _),
     "q55_qa_report" -> (q55QaReport _),
@@ -261,6 +299,22 @@ object Quality {
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q111_equidepth_hist" ->
+      """WITH pc AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderkey
+           FROM orders),
+         r AS (
+           SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_orderkey) AS rnk,
+                  count(*) OVER () AS n_total
+           FROM pc)
+         SELECT (rnk - 1) * 10 // n_total AS decile,
+                count(*) AS n_orders,
+                min(cents) AS lo_cents, max(cents) AS hi_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+         FROM r GROUP BY 1""",
     "q98_snapshot_diff" ->
       """WITH o AS (
            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

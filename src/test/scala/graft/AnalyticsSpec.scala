@@ -311,4 +311,91 @@ class AnalyticsSpec extends AnyFunSuite {
       (col("new_cents") =!= col("old_cents") + 100L)).count() == 0)
     df.unpersist()
   }
+
+  test("q109 keeps exactly each user's latest event and drops tombstoned users") {
+    val df = Analytics.q109UpsertLatest(spark, sf).cache()
+    // one row per surviving user
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // brute force: latest (ts, event_id) per user via a plain max-struct agg
+    val latest = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("t"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("t")).toMap
+    val got = df.select("user_id", "last_type").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("last_type")).toMap
+    val expected = latest.filter(_._2 != "error")
+    assert(got == expected.map { case (u, _) => u -> latest(u) },
+      "survivors must be exactly the non-tombstoned users with their latest type")
+    df.unpersist()
+  }
+
+  test("q110 point-in-time lookup: one row per purchase, state equals the as-of type") {
+    val df = Analytics.q110PointInTime(spark, sf).cache()
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == nPurch,
+      "interval join must match at most one version per probe")
+    // brute force at the same ms granularity: state = type of the last
+    // non-purchase event with ts_ms <= purchase ts_ms
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    df.collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val pMs = r.getAs[Long]("ts_ms")
+      val prior = byUser(u)
+        .filter(e => e.getAs[String]("event_type") != "purchase" &&
+          e.getAs[Long]("ms") <= pMs)
+      val want =
+        if (prior.isEmpty) null
+        else prior.maxBy(e => (e.getAs[Long]("ms"), e.getAs[Long]("event_id")))
+          .getAs[String]("event_type")
+      assert(r.getAs[String]("state_type") == want,
+        s"user $u purchase@$pMs: expected state $want")
+    }
+    df.unpersist()
+  }
+
+  test("q113 sequence pairs match a window-based brute force and exclude self-pairs") {
+    val df = Analytics.q113SeqPairs(spark, sf).cache()
+    assert(df.filter(col("type_a") === col("type_b")).count() == 0)
+    // brute force with the oracle's row_number shape, in Spark
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val firsts = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id").as("eid"))
+    val nTotal = Tables.events(spark, sf).select("user_id").distinct().count()
+    val a = firsts.select(col("user_id"), col("event_type").as("type_a"),
+      col("us").as("us_a"), col("eid").as("eid_a"))
+    val b = firsts.select(col("user_id"), col("event_type").as("type_b"),
+      col("us").as("us_b"), col("eid").as("eid_b"))
+    val brute = a.join(b, Seq("user_id"))
+      .filter(col("us_a") < col("us_b") ||
+        (col("us_a") === col("us_b") && col("eid_a") < col("eid_b")))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+      .withColumn("support_bp", col("n_users") * 10000L / lit(nTotal))
+      .withColumn("support_bp", expr("CAST(support_bp AS BIGINT)"))
+    assert(df.exceptAll(brute).isEmpty && brute.exceptAll(df).isEmpty,
+      "q113 must equal the brute-force first-occurrence pair counts")
+    df.unpersist()
+  }
+
+  test("q112 seasonality cells partition the event count with consistent integer averages") {
+    val df = Events.q112Seasonality(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    assert(df.agg(sum("n_events")).head().getLong(0) == total)
+    assert(df.filter(col("dow7") < 0 || col("dow7") > 6 ||
+      col("hod") < 0 || col("hod") > 23).count() == 0)
+    assert(df.filter(col("avg_cents") * col("n_events") > col("total_cents") ||
+      (col("avg_cents") + 1) * col("n_events") <= col("total_cents")).count() == 0,
+      "avg_cents must be the floor of total/n")
+    df.unpersist()
+  }
 }

@@ -70,4 +70,29 @@ class QualitySketchSpec extends AnyFunSuite {
     // exactly one shuffle: the partial->final aggregate exchange
     assert("Exchange".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("q111 equi-depth deciles: sizes within 1, bounds monotone, counts reconcile") {
+    val rows = Quality.q111EquidepthHist(spark, dir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L until 10L),
+      "exactly deciles 0..9")
+    val total = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    val sizes = rows.map(_.getAs[Long]("n_orders"))
+    assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.mkString(",")}")
+    // bucket value ranges never overlap (ties may touch the boundary)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"),
+        "decile bounds must be non-decreasing")
+    case _ => ()
+    }
+  }
+
+  test("q111 plans the rank via band decomposition — no single-partition data window") {
+    val plan = Quality.q111EquidepthHist(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition exchanges may feed the tiny band-counts
+    // frame; the orders-scale window must partition by band
+    assert(plan.contains("hashpartitioning(band"), plan)
+  }
 }
