@@ -496,7 +496,44 @@ object Events {
         sum(col("cents")).as("total_cents"))
       .withColumn("avg_cents", expr("total_cents DIV n_events"))
 
+  /** q117: conversion-latency distribution — time from each user's first
+    * signup to their first subsequent purchase, summarized as exact
+    * quartiles: the "how long does a rider take to book after installing"
+    * metric, and the latency companion of q22/q100's count funnels.
+    *
+    * Exactness: latencies are integer microseconds; `percentile()`'s
+    * linear interpolation at quarter fractions over integers is an exact
+    * double (the q73 rule), so the quartiles cannot ulp-diverge from
+    * DuckDB's quantile_cont. Shape: two small per-user aggs (map-side
+    * combining) joined on user_id, then one global single-row aggregate —
+    * the only all-to-one movement is per-user scalars, and at 100 TB the
+    * quartiles would ride q67's sketch instead.
+    */
+  def q117ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("s_us"))
+    val latencies = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("p_us"))
+      .join(signups, "user_id")
+      .filter(col("p_us") > col("s_us"))
+      // s_us is functionally dependent on user_id — grouping by both keeps
+      // the expression deterministic without a first()/any_value() crutch
+      .groupBy(col("user_id"), col("s_us"))
+      .agg((min(col("p_us")) - col("s_us")).as("lat_us"))
+    latencies.agg(
+      count(lit(1)).as("n_converted"),
+      min(col("lat_us")).as("min_us"),
+      expr("round(percentile(lat_us, 0.25), 4)").as("p25_us"),
+      expr("round(percentile(lat_us, 0.50), 4)").as("p50_us"),
+      expr("round(percentile(lat_us, 0.75), 4)").as("p75_us"),
+      max(col("lat_us")).as("max_us"),
+      expr("sum(lat_us) DIV count(1)").as("avg_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_conversion_latency" -> (q117ConversionLatency _),
     "q112_seasonality"     -> (q112Seasonality _),
     "q108_session_window"  -> (q108SessionWindow _),
     "q107_engagement"      -> (q107Engagement _),
@@ -519,6 +556,21 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q117_conversion_latency" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         l AS (SELECT e.user_id, min(epoch_us(e.ts)) - s.s_us AS lat_us
+               FROM events e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+               GROUP BY e.user_id, s.s_us)
+         SELECT count(*) AS n_converted,
+                min(lat_us) AS min_us,
+                round(quantile_cont(lat_us, 0.25), 4) AS p25_us,
+                round(quantile_cont(lat_us, 0.50), 4) AS p50_us,
+                round(quantile_cont(lat_us, 0.75), 4) AS p75_us,
+                max(lat_us) AS max_us,
+                CAST(sum(lat_us) AS BIGINT) // count(*) AS avg_us
+         FROM l""",
     "q112_seasonality" ->
       """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow7,
                 (epoch_us(ts) // 3600000000) % 24 AS hod,

@@ -75,11 +75,72 @@ object Geo {
         abs(col("dest_x") - col("origin_x")) + abs(col("dest_y") - col("origin_y")))
   }
 
+  /** q116: nearest-station assignment — every event snapped to the closest
+    * of a small station grid (argmin over squared integer micro-degree
+    * distance), then rolled up per station: the "assign trips to the
+    * nearest depot/taxi-stand" operator of a trip pipeline, and the
+    * 1-NN/Voronoi building block of any spatial rollup.
+    *
+    * The station dim (25 rows) broadcasts; the argmin is a per-event
+    * min(struct(d2, station_id)) — a map-side-combining aggregate over the
+    * broadcast-nested-loop expansion, so the only real exchange is the
+    * event_id one, and at 100 TB the expansion stays a projection-sized
+    * 25× multiplier ahead of partial aggregation. All distances are exact
+    * integers (micro-degrees, squared) — the argmin cannot ulp-flip — and
+    * the station_id tiebreak makes equidistant points deterministic.
+    */
+  def q116NearestZone(s: SparkSession, dir: String): DataFrame = {
+    val stations = s.range(25).select(
+      col("id").as("station_id"),
+      expr("39850000 + (id % 5) * 50000").as("s_ulat"),
+      expr("-75250000 + (id DIV 5) * 50000").as("s_ulon"))
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        expr("CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT)")
+          .as("ulat"),
+        expr("CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT)")
+          .as("ulon"))
+      .crossJoin(broadcast(stations))
+      .withColumn("d2",
+        (col("ulat") - col("s_ulat")) * (col("ulat") - col("s_ulat")) +
+          (col("ulon") - col("s_ulon")) * (col("ulon") - col("s_ulon")))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("d2"), col("station_id"))).as("m"))
+      .groupBy(col("m.station_id").as("station_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("m.d2")).as("min_d2"), max(col("m.d2")).as("max_d2"),
+        sum(col("m.d2")).as("sum_d2"))
+      .select(col("station_id"), col("n_events"), col("min_d2"),
+        col("max_d2"), expr("sum_d2 DIV n_events").as("avg_d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_geo_zones" -> (q53GeoZones _),
+    "q116_nearest_zone" -> (q116NearestZone _),
     "q63_od_matrix" -> (q63OdMatrix _))
 
   val oracles: Map[String, String] = Map(
+    "q116_nearest_zone" ->
+      """WITH st AS (SELECT CAST(id AS BIGINT) AS station_id,
+                  39850000 + (id % 5) * 50000 AS s_ulat,
+                  -75250000 + (id // 5) * 50000 AS s_ulon
+           FROM range(25) t(id)),
+         ev AS (SELECT event_id,
+                  CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT) AS ulat,
+                  CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT) AS ulon
+           FROM events),
+         d AS (SELECT ev.event_id, st.station_id,
+                  (ev.ulat - st.s_ulat)*(ev.ulat - st.s_ulat)
+                  + (ev.ulon - st.s_ulon)*(ev.ulon - st.s_ulon) AS d2,
+                  row_number() OVER (PARTITION BY ev.event_id
+                    ORDER BY (ev.ulat - st.s_ulat)*(ev.ulat - st.s_ulat)
+                           + (ev.ulon - st.s_ulon)*(ev.ulon - st.s_ulon),
+                             st.station_id) AS rn
+           FROM ev CROSS JOIN st)
+         SELECT station_id, count(*) AS n_events,
+                min(d2) AS min_d2, max(d2) AS max_d2,
+                CAST(sum(d2) AS BIGINT) // count(*) AS avg_d2
+         FROM d WHERE rn = 1 GROUP BY station_id""",
     "q53_geo_zones" ->
       s"""WITH pts AS (
             SELECT 39.9 + (user_id % 37) * 0.01 + value * 1e-4 AS lat,

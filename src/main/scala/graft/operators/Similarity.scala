@@ -244,14 +244,61 @@ object Similarity {
         round(array_min(col("embedding")).cast("double"), 4).as("min_comp"),
         size(col("embedding")).cast("long").as("n_dims"))
 
+  /** q114: per-DIMENSION statistics over the embedding corpus — q76's
+    * transpose: mean/std/min/max for each of the 64 components, i.e. the
+    * feature-scaling model a training pipeline fits before normalizing
+    * vectors (and the drift fingerprint it compares across crawls).
+    *
+    * Exactness: components integerize to micro-units, the sufficient
+    * statistics (Σu, Σu²) aggregate in DECIMAL (Σu² overflows int64 at
+    * ~5k vectors and beyond — decimal is the 100 TB-safe width, the q87
+    * rule), and mean/std are final per-row double formulas. The mean is a
+    * double DIVISION, not integer div: Σu is signed and floor-vs-truncate
+    * semantics would diverge between engines (the q86 lesson). Shape: one
+    * explode → one 64-key map-side-combining exchange.
+    */
+  def q114DimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("u").cast("decimal(20,0)")).as("s1"),
+        sum(expr("CAST(u * u AS DECIMAL(20,0))")).as("s2"),
+        min(col("u")).as("min_micro"), max(col("u")).as("max_micro"))
+      .select(col("dim"), col("n_vecs"),
+        expr("round(CAST(s1 AS DOUBLE) / n_vecs, 4)").as("mean_micro"),
+        col("min_micro"), col("max_micro"),
+        expr("""round(sqrt(CAST(CAST(n_vecs AS DECIMAL(20,0)) * s2 - s1 * s1
+                               AS DOUBLE)) / CAST(n_vecs AS DOUBLE), 4)""")
+          .as("std_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
+    "q114_dim_stats"   -> (q114DimStats _),
     "q76_vector_stats" -> (q76VectorStats _))
 
   val oracles: Map[String, String] = Map(
+    "q114_dim_stats" ->
+      """WITH u AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS u
+           FROM embeddings),
+         a AS (
+           SELECT dim, count(*) AS n_vecs, sum(u) AS s1, sum(u * u) AS s2,
+                  min(u) AS min_micro, max(u) AS max_micro
+           FROM u GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+                round(CAST(s1 AS DOUBLE) / n_vecs, 4) AS mean_micro,
+                min_micro, max_micro,
+                round(sqrt(CAST(n_vecs * s2 - s1 * s1 AS DOUBLE))
+                      / CAST(n_vecs AS DOUBLE), 4) AS std_micro
+         FROM a""",
     "q76_vector_stats" ->
       """SELECT vec_id, label,
                 round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,

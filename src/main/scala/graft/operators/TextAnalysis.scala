@@ -399,7 +399,44 @@ object TextAnalysis {
         expr("cum_before div stride + 1").as("pick_no"))
   }
 
+  /** q115: cross-source corpus overlap — exact word-5-gram Jaccard and
+    * containment between every source pair: the "how much does crawl B
+    * duplicate crawl A" report that drives dataset-mixing weights (and the
+    * corpus-level complement of q58's per-document contamination check).
+    *
+    * Shape: ONE shingle explode → distinct (source, gram) — checkpointed,
+    * it feeds the per-source counts and both sides of the pair join — then
+    * an equi-join on the gram. Per-gram work is bounded by the SOURCE
+    * count (≤ |sources|² pairs per gram), never document-squared, so the
+    * candidate expansion stays flat as the corpus grows; the per-source
+    * totals come back as a broadcast. At 100 TB the exact form's drop-in
+    * replacement is a per-source minhash signature union (q29's sketch),
+    * trading exactness for O(sources·k) state.
+    */
+  def q115CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(w)-4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .distinct()
+      .localCheckpoint() // three consumers below; Catalyst has no CSE
+    val pc = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(pc.toDF("source_a", "n_a")), "source_a")
+      .join(broadcast(pc.toDF("source_b", "n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("n_common * 10000 div (n_a + n_b - n_common)").as("jaccard_bp"),
+        expr("n_common * 10000 div least(n_a, n_b)").as("containment_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_corpus_overlap" -> (q115CorpusOverlap _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q93_tfidf_topterms" -> (q93TfidfTopTerms _),
     "q94_stratified_sample" -> (q94StratifiedSample _),
@@ -417,6 +454,25 @@ object TextAnalysis {
     "q75_bigram_stats"  -> (q75BigramStats _))
 
   val oracles: Map[String, String] = Map(
+    "q115_corpus_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') w FROM documents),
+         ix AS (SELECT source, w, unnest(generate_series(1, len(w)-4)) i
+                FROM t WHERE len(w) >= 5),
+         g AS (SELECT DISTINCT source,
+                      w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS g
+               FROM ix),
+         pc AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         pair AS (SELECT a.source sa, b.source sb, count(*) n_common
+                  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+         SELECT sa AS source_a, sb AS source_b, n_common,
+                pa.n AS n_a, pb.n AS n_b,
+                CAST(n_common * 10000 // (pa.n + pb.n - n_common) AS BIGINT)
+                  AS jaccard_bp,
+                CAST(n_common * 10000 // least(pa.n, pb.n) AS BIGINT)
+                  AS containment_bp
+         FROM pair JOIN pc pa ON sa = pa.source
+                   JOIN pc pb ON sb = pb.source""",
     "q103_weighted_sample" ->
       """WITH d AS (
            SELECT doc_id, greatest(n_chars, 1) AS wt,

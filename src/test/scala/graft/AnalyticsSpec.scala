@@ -398,4 +398,34 @@ class AnalyticsSpec extends AnyFunSuite {
       "avg_cents must be the floor of total/n")
     df.unpersist()
   }
+
+  test("q116 nearest-station: every event assigned exactly once, stats consistent") {
+    val rows = graft.operators.Geo.q116NearestZone(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total,
+      "assignment must partition the event set")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("station_id")
+      assert(id >= 0 && id < 25)
+      val (lo, av, hi) = (r.getAs[Long]("min_d2"), r.getAs[Long]("avg_d2"),
+        r.getAs[Long]("max_d2"))
+      assert(lo <= av && av <= hi && lo >= 0)
+    }
+  }
+
+  test("q117 conversion latency: ordered quartiles inside [min, max], count bounded by signups") {
+    val r = Events.q117ConversionLatency(spark, sf).head()
+    val n = r.getAs[Long]("n_converted")
+    val nSignup = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(n > 0 && n <= nSignup)
+    val (mn, mx) = (r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))
+    val (p25, p50, p75) = (r.getAs[Double]("p25_us"), r.getAs[Double]("p50_us"),
+      r.getAs[Double]("p75_us"))
+    assert(mn > 0, "latency is strictly positive by the p_us > s_us filter")
+    assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx)
+    val avg = r.getAs[Long]("avg_us")
+    assert(avg >= mn && avg <= mx)
+  }
 }

@@ -361,4 +361,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(candidateWork < n * (n - 1) / 2 / 2,
       s"cell blocking does not bound candidate work: $candidateWork vs all-pairs ${n * (n - 1) / 2}")
   }
+
+  test("q114 per-dimension stats: full 64-dim coverage, consistent bounds, brute-force dim 0") {
+    val rows = Similarity.q114DimStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (0L until 64L))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == nVecs)
+      val (lo, hi) = (r.getAs[Long]("min_micro"), r.getAs[Long]("max_micro"))
+      val mean = r.getAs[Double]("mean_micro")
+      assert(lo <= mean && mean <= hi)
+      assert(r.getAs[Double]("std_micro") >= 0.0)
+    }
+    // dim 0 against a driver-side brute force over the raw vectors
+    val us = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(r => math.round(r.getSeq[Float](0).head.toDouble * 1000000))
+    val d0 = rows.find(_.getAs[Long]("dim") == 0L).get
+    assert(d0.getAs[Long]("min_micro") == us.min && d0.getAs[Long]("max_micro") == us.max)
+    val mean = us.sum.toDouble / us.length
+    assert(math.abs(d0.getAs[Double]("mean_micro") - mean) < 0.51,
+      s"mean ${d0.getAs[Double]("mean_micro")} vs brute $mean")
+  }
+
+  test("q115 corpus overlap: ordered pairs, containment >= jaccard, common bounded by both sides") {
+    val rows = graft.operators.TextAnalysis.q115CorpusOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val (c, na, nb) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(c >= 1 && c <= math.min(na, nb))
+      val (j, ct) = (r.getAs[Long]("jaccard_bp"), r.getAs[Long]("containment_bp"))
+      assert(j >= 0 && j <= 10000 && ct >= j,
+        "containment must dominate jaccard (same numerator, smaller denominator)")
+    }
+  }
 }
