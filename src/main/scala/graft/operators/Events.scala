@@ -467,7 +467,14 @@ object Events {
     * a watermark — that is the operator's production value.
     */
   def q108SessionWindow(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    sessionWindowAgg(Tables.events(s, dir))
+
+  /** The q108 aggregation, factored over any (user_id, ts, value) frame so
+    * the IDENTICAL expression drives both the batch query and the s11
+    * stream (EventStream.sessionWindowStream) — the portability claim made
+    * executable. */
+  private[graft] def sessionWindowAgg(df: DataFrame): DataFrame =
+    df
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
@@ -495,6 +502,52 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("cents")).as("total_cents"))
       .withColumn("avg_cents", expr("total_cents DIV n_events"))
+
+  /** Exact-dyadic EWMA weights for tap j (λ = 1/2): 2^-(j+1), written as
+    * exact decimal literals so the SAME formula text runs on both engines.
+    * cents · 2^-k is an exact double (dyadic scaling of a small integer),
+    * and the fixed left-to-right textual sum of ≤8 exact terms is
+    * bit-identical everywhere — this is what makes an order-dependent
+    * smoother oracle-safe at all. */
+  // CAST AS DOUBLE everywhere: a bare 0.5 literal parses as DECIMAL in
+  // Spark SQL, silently turning the whole chain (and its rendering) into
+  // decimal arithmetic — the casts pin both engines to IEEE doubles
+  private def ewmaWeight(j: Int): String = java.math.BigDecimal.valueOf(1L, 0)
+    .divide(java.math.BigDecimal.valueOf(1L << (j + 1))).toPlainString
+  private def ewmaTerm(j: Int): String =
+    s"CASE WHEN l$j IS NOT NULL THEN l$j * CAST(${ewmaWeight(j)} AS DOUBLE)" +
+      " ELSE CAST(0 AS DOUBLE) END"
+  private def ewmaDenTerm(j: Int): String =
+    s"CASE WHEN l$j IS NOT NULL THEN CAST(${ewmaWeight(j)} AS DOUBLE)" +
+      " ELSE CAST(0 AS DOUBLE) END"
+  private[graft] val ewmaExpr: String = {
+    val num = (0 until 8).map(ewmaTerm).mkString(" + ")
+    val den = (0 until 8).map(ewmaDenTerm).mkString(" + ")
+    s"round(($num) / ($den), 4)"
+  }
+
+  /** q120: exponentially-weighted moving average of each user's event
+    * value — the time-series smoother (trend line) of a telemetry
+    * pipeline, λ = 1/2 truncated at 8 taps (residual weight 2⁻⁸ ≈ 0.4% —
+    * the truncation is the price of determinism and is renormalized away
+    * by the running denominator 1−2⁻ᵏ over the available history).
+    *
+    * A recursive EWMA is summation-order-dependent and un-oracle-able;
+    * the dyadic truncated form makes every term an EXACT double (see
+    * [[ewmaExpr]]), so both engines compute bit-identical smoothed
+    * values. Shape: 8 lags over ONE user_id exchange and one sort — the
+    * same window every other per-user operator rides.
+    */
+  def q120Ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    (0 until 8).foldLeft(
+      Tables.events(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("cents"), j).over(w))
+    }
+      .select(col("event_id"), col("user_id"), col("cents"),
+        expr(ewmaExpr).as("ewma_cents"))
+  }
 
   /** q117: conversion-latency distribution — time from each user's first
     * signup to their first subsequent purchase, summarized as exact
@@ -533,6 +586,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_ewma" -> (q120Ewma _),
     "q117_conversion_latency" -> (q117ConversionLatency _),
     "q112_seasonality"     -> (q112Seasonality _),
     "q108_session_window"  -> (q108SessionWindow _),
@@ -556,6 +610,18 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q120_ewma" -> {
+      val lags = (0 until 8).map(j =>
+        s"lag(cents, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$j")
+        .mkString(", ")
+      s"""WITH b AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+          l AS (SELECT event_id, user_id, cents, $lags FROM b)
+          SELECT event_id, user_id, cents, $ewmaExpr AS ewma_cents
+          FROM l"""
+    },
     "q117_conversion_latency" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s_us
                     FROM events WHERE event_type = 'signup' GROUP BY user_id),

@@ -104,22 +104,73 @@ object Geo {
       .withColumn("d2",
         (col("ulat") - col("s_ulat")) * (col("ulat") - col("s_ulat")) +
           (col("ulon") - col("s_ulon")) * (col("ulon") - col("s_ulon")))
+      // argmin PACKED into one long: min(struct(d2, id)) is not
+      // hash-aggregable and planned a SortAggregate — a full sort of the
+      // 25x expansion. d2*32+id is lexicographic (d2, id) because id < 32,
+      // and the pack cannot overflow while d2 < 2^57 (a city box in
+      // squared micro-degrees is ~2^40)
+      .withColumn("packed", col("d2") * 32L + col("station_id"))
       .groupBy(col("event_id"))
-      .agg(min(struct(col("d2"), col("station_id"))).as("m"))
-      .groupBy(col("m.station_id").as("station_id"))
+      .agg(min(col("packed")).as("p"))
+      .select(expr("p % 32").as("station_id"), expr("p DIV 32").as("d2"))
+      .groupBy(col("station_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("m.d2")).as("min_d2"), max(col("m.d2")).as("max_d2"),
-        sum(col("m.d2")).as("sum_d2"))
+        min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"),
+        sum(col("d2")).as("sum_d2"))
       .select(col("station_id"), col("n_events"), col("min_d2"),
         col("max_d2"), expr("sum_d2 DIV n_events").as("avg_d2"))
   }
 
+  /** Bit-interleaved (Morton / z-order) key over two non-negative cell
+    * coordinates, built from `bits` div/mod terms — NO bit operators, so
+    * the SAME formula text (modulo the div token) runs in Spark and
+    * DuckDB. Shared between the q119 plan and its oracle so the two can
+    * never drift (the q99 builder rule).
+    */
+  private[graft] def zTerms(x: String, y: String, bits: Int,
+      divOp: String): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(($x $divOp $p) % 2) * ${1L << (2 * i + 1)}" +
+        s" + (($y $divOp $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** q119: space-filling-curve layout key — each event's (zone_x, zone_y)
+    * interleaved into one Morton key. THIS is the write-time clustering
+    * story for 2-D predicates at 100 TB: `repartitionByRange(zkey)` +
+    * sort-within-partitions gives every parquet file a tight min/max on
+    * BOTH zone columns simultaneously (a 1-D sort is tight in one and
+    * useless in the other), so a rectangle predicate prunes files in both
+    * dimensions. The key itself is a pure projection (zero shuffle); the
+    * spec pins the locality property (consecutive zkey cells are near in
+    * Manhattan distance vs. a row-order baseline) and the RangePartitioning
+    * plan of the layout write.
+    */
+  def q119ZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
+      .withColumn("zone_y", zone(col("lat"), Lat0, Cell))
+      .select(col("event_id"), col("zone_x"), col("zone_y"),
+        expr(zTerms("zone_x", "zone_y", 8, "DIV")).as("zkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_geo_zones" -> (q53GeoZones _),
     "q116_nearest_zone" -> (q116NearestZone _),
+    "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _))
 
   val oracles: Map[String, String] = Map(
+    "q119_zorder" ->
+      s"""WITH z AS (
+            SELECT event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events)
+          SELECT event_id, zone_x, zone_y,
+                 ${zTerms("zone_x", "zone_y", 8, "//")} AS zkey
+          FROM z""",
     "q116_nearest_zone" ->
       """WITH st AS (SELECT CAST(id AS BIGINT) AS station_id,
                   39850000 + (id % 5) * 50000 AS s_ulat,

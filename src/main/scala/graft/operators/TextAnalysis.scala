@@ -399,6 +399,87 @@ object TextAnalysis {
         expr("cum_before div stride + 1").as("pick_no"))
   }
 
+  /** BPE merge learning over a (word, cnt) vocabulary — the
+    * tokenizer-training core of an LLM data pipeline. The classic
+    * algorithm: repeatedly find the most frequent adjacent symbol pair
+    * (weighted by word count) and fuse it, left-to-right non-overlapping
+    * within each word.
+    *
+    * Scale shape — the reason this is corpus-safe: the CORPUS is touched
+    * exactly once (the word-count aggregation the caller does); every
+    * merge iteration runs on the word-count VOCABULARY only, which is
+    * bounded by the language (not the corpus) and shrinks further under
+    * the caller's frequency floor. Per iteration: one pair explode + one
+    * map-side-combining pair agg + a single-row collect (the learned
+    * merge is a driver-held model parameter, exactly like the k-means
+    * centroids — nMerges collects of ONE row each, never data rows), then
+    * a pure-projection array fold applies the merge. The vocab is
+    * re-checkpointed per iteration so plan depth stays O(1), not
+    * O(nMerges).
+    */
+  def bpeMerges(words: DataFrame, nMerges: Int): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    var vocab = words
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .filter(size(col("syms")) > 0)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val top = vocab
+        // single-symbol words carry no pairs — and MUST be filtered before
+        // the explode: Spark's sequence(1, 0) counts DOWN, so an unguarded
+        // transform would index syms[1] out of bounds under ANSI
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             j -> struct(syms[j-1] AS l, syms[j] AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("support"))
+        // deterministic winner: support desc, then lexicographic pair
+        .orderBy(col("support").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
+        merges += ((i, l, r, top(0).getAs[Long]("support")))
+        // greedy left-to-right fold: the merged symbol enters acc whole,
+        // so an overlapping second application (aaa with pair (a,a))
+        // cannot fire — standard BPE application order
+        val fold = aggregate(
+          slice(col("syms"), lit(2), size(col("syms"))),
+          array(col("syms").getItem(0)),
+          (acc, x) =>
+            when(element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x))))
+        vocab = vocab
+          .withColumn("syms",
+            when(size(col("syms")) <= 1, col("syms")).otherwise(fold))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "support")
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged_sym"),
+        col("support"))
+  }
+
+  /** q118: the first 8 BPE merges learned from the documents corpus
+    * (weighted by word frequency). Rows-only: the merge loop is
+    * inherently iterative (each winner depends on the previous fusion) —
+    * correctness is pinned by the spec's independent driver-side
+    * reference implementation instead of SQL.
+    */
+  def q118BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      nMerges = 8)
+
   /** q115: cross-source corpus overlap — exact word-5-gram Jaccard and
     * containment between every source pair: the "how much does crawl B
     * duplicate crawl A" report that drives dataset-mixing weights (and the
@@ -436,6 +517,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bpe_merges" -> (q118BpeMerges _),
     "q115_corpus_overlap" -> (q115CorpusOverlap _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q93_tfidf_topterms" -> (q93TfidfTopTerms _),

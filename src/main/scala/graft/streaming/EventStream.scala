@@ -162,6 +162,45 @@ object EventStream {
       .select(col("p_event_id"), col("user_id"), col("v_event_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** s11: sessionization via the BUILT-IN session_window operator under a
+    * watermark — [[graft.operators.Events.sessionWindowAgg]] (q108's exact
+    * aggregation) applied to a stream unchanged. Append mode: a session row
+    * emits once the watermark passes its close (last event + gap), i.e.
+    * once no late event can extend it; sessions still inside the watermark
+    * horizon stay buffered in state. This is the engine-managed-state
+    * counterpart of s02's hand-rolled flatMapGroupsWithState sessionizer.
+    */
+  def sessionWindowStream(events: Dataset[Event]): DataFrame =
+    graft.operators.Events.sessionWindowAgg(
+      events.toDF().withWatermark("ts", "1 hour"))
+
+  /** s12: watermarked LEFT OUTER stream-stream join — s06's attribution
+    * with null-completion: a purchase with NO qualifying prior click still
+    * emits (null click columns) once the click-side watermark passes its
+    * join window, so the sink converges to the batch left join. The outer
+    * semantics are exactly why both watermarks AND the time-bound join
+    * condition are mandatory here: the engine can only declare "no match
+    * will ever arrive" when the click watermark clears p_ts (the upper
+    * bound of a matching v_ts), and that same bound is what lets it drop
+    * buffered state instead of holding both streams forever.
+    */
+  def attributeStreamOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = views
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour"),
+      "leftOuter")
+      .select(col("p_event_id"), col("user_id"), col("v_event_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Encoder-friendly projection of a [[graft.functions.SpaceSavingSketch]]:
     * parallel arrays survive the state store's row encoding where a
     * mutable.HashMap would not. */

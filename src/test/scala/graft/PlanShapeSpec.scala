@@ -234,4 +234,46 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchange (the other hashpartitioning is the (type, day) rollup's)
     assert(count(p, "hashpartitioning\\(event_type#\\d+, \\d+\\)") == 1, p)
   }
+
+  test("q110 interval join is an equi hash join on user_id, never BNL/cartesian") {
+    val p = plan("q110_point_in_time")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the [from, to) bounds ride as a residual condition on the user_id join
+    assert(p.contains("Join") && p.contains("valid_from_ms"), p)
+  }
+
+  test("q113 first-occurrence pairs: min(struct) is a hash aggregate, no window sort") {
+    val p = plan("q113_seq_pairs")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), "min(struct(us,eid)) must stay hash-aggregable\n" + p)
+  }
+
+  test("q116 nearest-station argmin stays hash-aggregated over the broadcast expansion") {
+    val p = plan("q116_nearest_zone")
+    assert(!p.contains("SortAggregate"),
+      "packed-long argmin must not degrade to a sort aggregate\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 25-row dim expansion
+    assert(count(p, "Exchange") <= 2, p) // event_id argmin + station rollup
+  }
+
+  test("q119 z-order key is a zero-exchange pure projection") {
+    val p = plan("q119_zorder")
+    assert(count(p, "Exchange") == 0, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q120 EWMA: all 8 lags share one user_id exchange and one sort") {
+    val p = plan("q120_ewma")
+    assert(count(p, "Exchange") == 1, p)
+    assert(count(p, "Sort ") <= 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q112 seasonality: distinct-user count is the only extra exchange (<=3 total)") {
+    val p = plan("q112_seasonality")
+    // count(distinct) plans partial/expand exchanges; the cell space is 168
+    // keys so every exchange moves rollup-sized data, never event-scale
+    assert(count(p, "Exchange") <= 3, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }

@@ -137,4 +137,95 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("q118 BPE merges equal an independent driver-side greedy reference") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Array[(Vector[String], Long)] =
+      wc.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (i <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; k <- 0 until syms.length - 1)
+        counts((syms(k), syms(k + 1))) =
+          counts.getOrElse((syms(k), syms(k + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), sup) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expect += ((i, l, r, l + r, sup))
+        vocab = vocab.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer(syms.head)
+          for (x <- syms.tail) {
+            if (out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+            else out += x
+          }
+          (out.toVector, c)
+        }
+      }
+    }
+    val got = graft.operators.TextAnalysis.q118BpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged_sym"),
+        r.getAs[Long]("support")))
+      .sortBy(_._1)
+    assert(got.toSeq == expect.toSeq,
+      s"merge sequence diverged:\n got    ${got.toSeq}\n expect ${expect.toSeq}")
+  }
+
+  test("q119 z-order key: exact interleave and aligned 16-blocks are 4x4 tiles") {
+    val rows = graft.operators.Geo.q119ZorderKey(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, y, z) = (r.getAs[Long]("zone_x"), r.getAs[Long]("zone_y"),
+        r.getAs[Long]("zkey"))
+      val ref = (0 until 8).map(i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))).sum
+      assert(z == ref, s"($x,$y): zkey $z != reference $ref")
+    }
+    // THE z-order locality guarantee: any aligned run of 16 consecutive
+    // key values is a 4x4 spatial tile — both dimensions bounded at once,
+    // which is exactly why range-partitioning on zkey makes parquet
+    // min/max tight on zone_x AND zone_y simultaneously
+    rows.groupBy(_.getAs[Long]("zkey") / 16).foreach { case (_, cells) =>
+      val xs = cells.map(_.getAs[Long]("zone_x"))
+      val ys = cells.map(_.getAs[Long]("zone_y"))
+      assert(xs.max - xs.min <= 3 && ys.max - ys.min <= 3)
+    }
+  }
+
+  test("q119 layout write plans a RangePartitioning on the z-key") {
+    val df = graft.operators.Geo.q119ZorderKey(spark, sf)
+      .repartitionByRange(4, col("zkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zkey"), plan)
+  }
+
+  test("q120 EWMA equals a driver-side truncated-dyadic reference") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("cents")))
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+    }
+    val expect = scala.collection.mutable.Map.empty[Long, Double]
+    for ((_, es) <- byUser; t <- es.indices) {
+      var (num, den) = (0.0, 0.0)
+      for (j <- 0 until 8 if t - j >= 0) {
+        val w = math.pow(0.5, j + 1)
+        num += es(t - j)._4 * w
+        den += w
+      }
+      expect(es(t)._3) = num / den
+    }
+    graft.operators.Events.q120Ewma(spark, sf).collect().foreach { r =>
+      val want = expect(r.getAs[Long]("event_id"))
+      assert(math.abs(r.getAs[Double]("ewma_cents") - want) < 1e-3,
+        s"event ${r.getAs[Long]("event_id")}: ${r.getAs[Double]("ewma_cents")} vs $want")
+    }
+  }
 }

@@ -330,4 +330,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.table("s03").select("event_id").distinct().count() == ev.size)
     } finally q.stop()
   }
+
+  test("s11 streaming session_window emits exactly the batch q108 rows once the watermark closes them") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, uid: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(t0 + minute * 60000L), uid, "click", 2.5)
+    val batch1 = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5))
+    val ms = MemoryStream[Event]
+    val q = EventStream.sessionWindowStream(ms.toDS())
+      .writeStream.format("memory").queryName("s11").outputMode("append").start()
+    try {
+      ms.addData(batch1)
+      q.processAllAvailable()
+      // both sessions close at minute 40/35; watermark is still at
+      // minute 10 - 1h → nothing may emit yet
+      assert(s.table("s11").count() == 0,
+        "append mode must hold sessions until the watermark passes them")
+      // minute 300 pushes the watermark to 240 min — past both closes
+      ms.addData(Seq(ev(4, 1, 300)))
+      q.processAllAvailable()
+      val got = s.table("s11")
+        .select("user_id", "sess_start", "sess_end", "n_events", "value_cents")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).toSet
+      // the batch q108 aggregation over the SAME closed events — identical
+      // expression, so the stream must reproduce it row for row
+      val expect = graft.operators.Events.sessionWindowAgg(batch1.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).toSet
+      assert(got == expect, s"stream $got vs batch $expect")
+      // the minute-300 session is still open (inside the watermark horizon)
+      assert(!got.exists(_._2 == t0 + 300 * 60000L))
+    } finally q.stop()
+  }
+
+  test("s12 outer stream-stream join null-completes unmatched purchases only after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, uid: Long, tpe: String, minute: Long) =
+      Event(id, new java.sql.Timestamp(t0 + minute * 60000L), uid, tpe, 1.0)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.attributeStreamOuter(
+      purchases.toDS().toDF(), clicks.toDS().toDF())
+      .writeStream.format("memory").queryName("s12").outputMode("append").start()
+    try {
+      clicks.addData(Seq(ev(101, 1, "click", 80)))
+      purchases.addData(Seq(ev(201, 1, "purchase", 90), ev(202, 2, "purchase", 90)))
+      q.processAllAvailable()
+      val inner = s.table("s12").select("p_event_id", "v_event_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(inner == Map(201L -> Some(101L)),
+        s"only the matched purchase may emit before the watermark: $inner")
+      // advance BOTH watermarks far past p_ts = minute 90: outer-join
+      // state eviction keys on the GLOBAL watermark (min across streams),
+      // so a click-only advance would keep purchase 202 buffered forever
+      clicks.addData(Seq(ev(102, 9, "click", 600)))
+      purchases.addData(Seq(ev(203, 9, "purchase", 600)))
+      q.processAllAvailable()
+      clicks.addData(Seq(ev(103, 9, "click", 601))) // next batch applies it
+      q.processAllAvailable()
+      val rows = s.table("s12").select("p_event_id", "v_event_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(rows == Map(201L -> Some(101L), 202L -> None),
+        s"unmatched purchase must null-complete after the watermark: $rows")
+    } finally q.stop()
+  }
 }
