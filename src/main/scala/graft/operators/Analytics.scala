@@ -322,6 +322,31 @@ object Analytics {
         col("state_type"), col("state_version"))
   }
 
+  /** q123: calendar-hierarchy revenue rollup with contribution — revenue
+    * at month, quarter, year and grand-total granularity in ONE scan
+    * (`rollup` plans a single Expand, the q78 shape, here over the time
+    * hierarchy every trip-data publication ships), plus each month's
+    * share of its year in basis points via a window over the tiny rollup
+    * frame — never a second scan. Calendar parts come from year/quarter/
+    * month extraction, integer-identical across engines on DATE columns.
+    */
+  def q123CalendarRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .withColumn("qtr", quarter(col("o_orderdate")).cast("long"))
+      .withColumn("mon", month(col("o_orderdate")).cast("long"))
+      .rollup(col("y"), col("qtr"), col("mon"))
+      .agg(
+        (grouping(col("y")) * 4 + grouping(col("qtr")) * 2 +
+          grouping(col("mon"))).cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .withColumn("share_of_year_bp",
+        when(col("gid") === 0,
+          expr("""revenue_cents * 10000 div
+                  sum(CASE WHEN gid = 0 THEN revenue_cents END)
+                    OVER (PARTITION BY y)""")))
+
   /** q113: sequential pattern support ("A happens before B") — for every
     * ordered event-type pair, how many users' FIRST occurrence of A
     * precedes their first occurrence of B. q82 counts adjacent transitions
@@ -366,6 +391,7 @@ object Analytics {
     "q109_upsert_latest" -> (q109UpsertLatest _),
     "q110_point_in_time" -> (q110PointInTime _),
     "q113_seq_pairs"    -> (q113SeqPairs _),
+    "q123_calendar_rollup" -> (q123CalendarRollup _),
     "q77_scd2_merge"    -> (q77Scd2Merge _),
     "q78_grouping_sets" -> (q78GroupingSets _),
     "q79_retention"     -> (q79Retention _),
@@ -397,6 +423,28 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q123_calendar_rollup" ->
+      """WITH r AS (
+           SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+                  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+                  CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+                  CAST(GROUPING(date_part('year', o_orderdate)) * 4
+                     + GROUPING(date_part('quarter', o_orderdate)) * 2
+                     + GROUPING(date_part('month', o_orderdate)) AS INTEGER) AS gid,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_cents
+           FROM orders
+           GROUP BY ROLLUP (date_part('year', o_orderdate),
+                            date_part('quarter', o_orderdate),
+                            date_part('month', o_orderdate)))
+         SELECT y, qtr, mon, gid, n_orders, revenue_cents,
+                CASE WHEN gid = 0 THEN
+                  CAST(revenue_cents * 10000 //
+                       sum(CASE WHEN gid = 0 THEN revenue_cents END)
+                         OVER (PARTITION BY y) AS BIGINT)
+                END AS share_of_year_bp
+         FROM r""",
     "q109_upsert_latest" ->
       """WITH r AS (
            SELECT user_id, event_type,

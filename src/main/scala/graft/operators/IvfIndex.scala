@@ -39,6 +39,22 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centers")
   }
 
+  /** Incremental refresh: assign a new embedding batch with the EXISTING
+    * model and append it into the cell-partitioned layout — serving
+    * continues with no retrain and no rewrite of resident data (partition
+    * append: only the touched cell directories gain files, the q54/s04
+    * "touch only what changed" rule applied to the vector side). The
+    * documented trade: the quantizer drifts as appended data shifts the
+    * distribution — when recall decays, `build` re-trains and rewrites.
+    */
+  def appendBatch(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val centers = loadCenters(s, indexDir)
+    batch
+      .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+  }
+
   /** The model is k×dim doubles — driver-held by design (same as a fitted
     * KMeansModel); this collect is the whole model, not data.
     */

@@ -287,7 +287,67 @@ object Quality {
       .withColumn("avg_cents", expr("total_cents DIV n_orders"))
   }
 
+  /** Schema-drift report between two table versions — the metadata
+    * companion of [[q98SnapshotDiff]]'s row diff: columns added, removed,
+    * type-changed or nullability-changed between an old and a new
+    * snapshot. Pure metadata (no job runs — the result is built from the
+    * schemas), so it costs nothing at any data scale; a publish pipeline
+    * runs it as the contract gate before the row-level diff.
+    */
+  def schemaDiff(old: DataFrame, nw: DataFrame): DataFrame = {
+    val s = old.sparkSession
+    import s.implicits._
+    val a = old.schema.fields.map(f => f.name -> f).toMap
+    val b = nw.schema.fields.map(f => f.name -> f).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map { c =>
+        (c, "added", null: String, b(c).dataType.simpleString)
+      } ++
+        (a.keySet -- b.keySet).toSeq.sorted.map { c =>
+          (c, "removed", a(c).dataType.simpleString, null: String)
+        } ++
+        (a.keySet & b.keySet).toSeq.sorted.flatMap { c =>
+          if (a(c).dataType != b(c).dataType)
+            Some((c, "type_changed",
+              a(c).dataType.simpleString, b(c).dataType.simpleString))
+          else if (a(c).nullable != b(c).nullable)
+            Some((c, "nullability_changed",
+              s"nullable=${a(c).nullable}", s"nullable=${b(c).nullable}"))
+          else None
+        }
+    rows.toDF("column", "status", "old_type", "new_type")
+  }
+
+  /** q125: feed-completeness audit — which (event_type, day) cells are
+    * MISSING hours against the hourly calendar grid spanning the feed's
+    * observed lifetime: the "did the sensor go dark" gap report a
+    * continuously-published dataset runs before each refresh (q55 checks
+    * values, q95 volumes — this checks presence).
+    *
+    * Shape: present hours = one distinct projection; the expected grid is
+    * |types| × |hours| — generated from a broadcast 1-row bounds agg and
+    * NEVER event-scale (hours grow with wall-clock time, not data volume);
+    * the anti-join probes the distinct present set. Gap-free cells emit
+    * nothing, so the report is gap-sized.
+    */
+  def q125Completeness(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .distinct()
+      .localCheckpoint() // feeds bounds, the type list and the anti probe
+    val bounds = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h_lo, h_hi)")).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left_anti")
+      .groupBy(col("event_type"), expr("h DIV 24").as("day"))
+      .agg(count(lit(1)).as("n_missing_hours"),
+        min(expr("h % 24")).as("first_missing_hour"),
+        max(expr("h % 24")).as("last_missing_hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_completeness" -> (q125Completeness _),
     "q111_equidepth_hist" -> (q111EquidepthHist _),
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q96_hll_rollup" -> (q96HllRollup _),
@@ -299,6 +359,24 @@ object Quality {
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q125_completeness" ->
+      """WITH hourly AS (
+           SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS h
+           FROM events),
+         b AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM hourly),
+         t AS (SELECT DISTINCT event_type FROM hourly),
+         grid AS (
+           SELECT event_type, unnest(generate_series(h_lo, h_hi)) AS h
+           FROM t CROSS JOIN b),
+         miss AS (
+           SELECT g.event_type, g.h FROM grid g
+           WHERE NOT EXISTS (SELECT 1 FROM hourly x
+                             WHERE x.event_type = g.event_type AND x.h = g.h))
+         SELECT event_type, h // 24 AS day,
+                count(*) AS n_missing_hours,
+                min(h % 24) AS first_missing_hour,
+                max(h % 24) AS last_missing_hour
+         FROM miss GROUP BY 1, 2""",
     "q111_equidepth_hist" ->
       """WITH pc AS (
            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -274,7 +274,33 @@ object Similarity {
                                AS DOUBLE)) / CAST(n_vecs AS DOUBLE), 4)""")
           .as("std_micro"))
 
+  /** q122: per-dimension ROBUST scaling statistics — median/quartiles/IQR
+    * for each embedding component: q114's outlier-immune complement (the
+    * RobustScaler model; also the per-dimension drift detector that a few
+    * corrupt vectors can't fool the way they bias a mean).
+    *
+    * Quartiles interpolate over integer micro-units at quarter fractions —
+    * exact doubles (the q73 rule), so DuckDB's quantile_cont agrees
+    * bit-for-bit. Shape: one explode → one 64-group percentile aggregate;
+    * `percentile` buffers its group's values, which is fine for 64 groups
+    * of corpus-sized lists locally — at 100 TB this flips to the q67
+    * sketch quantiles, trading exactness for bounded state.
+    */
+  def q122RobustScaler(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("round(percentile(u, 0.25), 4)").as("p25_micro"),
+        expr("round(percentile(u, 0.50), 4)").as("median_micro"),
+        expr("round(percentile(u, 0.75), 4)").as("p75_micro"))
+      .withColumn("iqr_micro",
+        expr("round(p75_micro - p25_micro, 4)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_robust_scaler" -> (q122RobustScaler _),
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
@@ -283,6 +309,21 @@ object Similarity {
     "q76_vector_stats" -> (q76VectorStats _))
 
   val oracles: Map[String, String] = Map(
+    "q122_robust_scaler" ->
+      """WITH u AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS u
+           FROM embeddings),
+         a AS (
+           SELECT dim, count(*) AS n_vecs,
+                  round(quantile_cont(u, 0.25), 4) AS p25_micro,
+                  round(quantile_cont(u, 0.50), 4) AS median_micro,
+                  round(quantile_cont(u, 0.75), 4) AS p75_micro
+           FROM u GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, n_vecs, p25_micro, median_micro,
+                p75_micro, round(p75_micro - p25_micro, 4) AS iqr_micro
+         FROM a""",
     "q114_dim_stats" ->
       """WITH u AS (
            SELECT generate_subscripts(embedding, 1) - 1 AS dim,

@@ -480,6 +480,54 @@ object TextAnalysis {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
       nMerges = 8)
 
+  /** q121: BPE corpus ENCODE — the serving half of q118: the learned
+    * merges applied to every document, reported as per-document token
+    * counts and chars-per-token compression. This is the tokenize step a
+    * training pipeline runs to budget sequence lengths (q83's packer
+    * consumes exactly these counts).
+    *
+    * Scale shape — the q29 dictionary trick: merges apply to the DISTINCT
+    * word vocabulary (8 chained folds over a vocab-bounded frame, one
+    * per merge — never to each occurrence), and the per-word token counts
+    * join back to occurrences by word. The merge list itself is the
+    * driver-held model from [[bpeMerges]] (8 rows). The vocab join is
+    * hinted broadcast here; past `graft.dedup.dictBroadcastMaxRows`-style
+    * bounds a caller would drop the hint and let it shuffle — same
+    * guard rail as the shingle dict.
+    */
+  def q121BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val merges = bpeMerges(
+      words.groupBy(col("word")).agg(count(lit(1)).as("cnt")), nMerges = 8)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val dict = merges.foldLeft(
+      words.select(col("word")).distinct()
+        .withColumn("syms", split(col("word"), ""))) { case (df, (l, r)) =>
+      df.withColumn("syms",
+        when(size(col("syms")) <= 1, col("syms")).otherwise(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms"))),
+            array(col("syms").getItem(0)),
+            (acc, x) =>
+              when(element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x))))))
+    }
+      .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_chr"))
+    words.join(broadcast(dict), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_word_chars"))
+      .withColumn("tokens_per_10k_chars",
+        expr("n_tokens * 10000 DIV n_word_chars"))
+  }
+
   /** q115: cross-source corpus overlap — exact word-5-gram Jaccard and
     * containment between every source pair: the "how much does crawl B
     * duplicate crawl A" report that drives dataset-mixing weights (and the
@@ -517,6 +565,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_bpe_encode" -> (q121BpeEncode _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q115_corpus_overlap" -> (q115CorpusOverlap _),
     "q103_weighted_sample" -> (q103WeightedSample _),

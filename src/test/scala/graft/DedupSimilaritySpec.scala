@@ -383,6 +383,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"mean ${d0.getAs[Double]("mean_micro")} vs brute $mean")
   }
 
+  test("q122 robust scaler: ordered quartiles, iqr identity, brute-force dim 0") {
+    val rows = Similarity.q122RobustScaler(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (0L until 64L))
+    rows.foreach { r =>
+      val (p25, med, p75) = (r.getAs[Double]("p25_micro"),
+        r.getAs[Double]("median_micro"), r.getAs[Double]("p75_micro"))
+      assert(p25 <= med && med <= p75)
+      assert(math.abs(r.getAs[Double]("iqr_micro") - (p75 - p25)) < 1e-9)
+    }
+    // dim 0 against a driver-side exact interpolation
+    val us = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(r => math.round(r.getSeq[Float](0).head.toDouble * 1000000)).sorted
+    def q(f: Double): Double = {
+      val pos = f * (us.length - 1)
+      val (i, frac) = (pos.toInt, pos - pos.toInt)
+      if (i + 1 < us.length) us(i) + frac * (us(i + 1) - us(i)) else us(i).toDouble
+    }
+    val d0 = rows.find(_.getAs[Long]("dim") == 0L).get
+    assert(math.abs(d0.getAs[Double]("median_micro") - q(0.5)) < 1e-4)
+    assert(math.abs(d0.getAs[Double]("p25_micro") - q(0.25)) < 1e-4)
+  }
+
   test("q115 corpus overlap: ordered pairs, containment >= jaccard, common bounded by both sides") {
     val rows = graft.operators.TextAnalysis.q115CorpusOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

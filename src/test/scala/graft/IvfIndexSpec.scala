@@ -56,4 +56,36 @@ class IvfIndexSpec extends AnyFunSuite {
     val b = Similarity.kmeansCentroids(spark, sf, k = 16, iters = 3)
     assert(a eq b, "memoized centroids should be the same instance")
   }
+
+  test("appendBatch serves new vectors without retraining and touches only their cells") {
+    val d = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.build(spark, sf, d, k = 16, iters = 3)
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$d/corpus")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(f => f.getName -> f.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = filesPerCell()
+    // the batch: clones of two resident vectors under fresh ids — their own
+    // nearest neighbors by construction, so a probe MUST surface them
+    val batch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(3L, 7L))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    IvfIndex.appendBatch(spark, d, batch)
+    val after = filesPerCell()
+    val touched = after.filter { case (c, n) => before.getOrElse(c, 0) != n }
+    assert(touched.nonEmpty && touched.size <= 2,
+      s"append must only add files to the batch's own cells: $touched")
+    assert((before.keySet -- after.keySet).isEmpty, "no resident cell may vanish")
+    val res = IvfIndex.probe(spark, d,
+      Tables.embeddings(spark, sf).filter(col("vec_id").isin(3L, 7L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(res == Map(3L -> 1000003L, 7L -> 1000007L),
+      s"appended clones must be the top-1 neighbors of their originals: $res")
+  }
 }

@@ -138,40 +138,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("q118 BPE merges equal an independent driver-side greedy reference") {
-    val wc = Tables.documents(spark, sf)
+  /** Independent greedy BPE reference (learn + apply), driver-side. */
+  private object RefBpe {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer(syms.head)
+      for (x <- syms.tail) {
+        if (out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+        else out += x
+      }
+      out.toVector
+    }
+    /** (rank, left, right, merged, support) for the first n merges. */
+    def learn(wc: Seq[(String, Long)], n: Int): Seq[(Int, String, String, String, Long)] = {
+      var vocab = wc.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (i <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; k <- 0 until syms.length - 1)
+          counts((syms(k), syms(k + 1))) =
+            counts.getOrElse((syms(k), syms(k + 1)), 0L) + c
+        if (counts.nonEmpty) {
+          val ((l, r), sup) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((i, l, r, l + r, sup))
+          vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        }
+      }
+      out.toSeq
+    }
+    def tokenize(word: String, merges: Seq[(String, String)]): Vector[String] =
+      merges.foldLeft(word.map(_.toString).toVector) {
+        case (syms, (l, r)) => if (syms.length <= 1) syms else applyMerge(syms, l, r)
+      }
+  }
+
+  private def wordCounts(): Seq[(String, Long)] =
+    Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    var vocab: Array[(Vector[String], Long)] =
-      wc.map { case (w, c) => (w.map(_.toString).toVector, c) }
-    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (i <- 1 to 8) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- vocab; k <- 0 until syms.length - 1)
-        counts((syms(k), syms(k + 1))) =
-          counts.getOrElse((syms(k), syms(k + 1)), 0L) + c
-      if (counts.nonEmpty) {
-        val ((l, r), sup) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-        expect += ((i, l, r, l + r, sup))
-        vocab = vocab.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer(syms.head)
-          for (x <- syms.tail) {
-            if (out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
-            else out += x
-          }
-          (out.toVector, c)
-        }
-      }
-    }
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  test("q118 BPE merges equal an independent driver-side greedy reference") {
+    val expect = RefBpe.learn(wordCounts(), 8)
     val got = graft.operators.TextAnalysis.q118BpeMerges(spark, sf).collect()
       .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
         r.getAs[String]("right_sym"), r.getAs[String]("merged_sym"),
         r.getAs[Long]("support")))
       .sortBy(_._1)
-    assert(got.toSeq == expect.toSeq,
-      s"merge sequence diverged:\n got    ${got.toSeq}\n expect ${expect.toSeq}")
+    assert(got.toSeq == expect,
+      s"merge sequence diverged:\n got    ${got.toSeq}\n expect $expect")
+  }
+
+  test("q121 BPE encode: per-doc token counts equal the reference tokenizer, ratios consistent") {
+    val merges = RefBpe.learn(wordCounts(), 8).map(m => (m._2, m._3))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val expect = docs.map { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      (id, (words.length.toLong,
+        words.map(w => RefBpe.tokenize(w, merges).length.toLong).sum,
+        words.map(_.length.toLong).sum))
+    }
+    val got = graft.operators.TextAnalysis.q121BpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_word_chars")))).toMap
+    assert(got == expect, "per-doc (n_words, n_tokens, n_word_chars) must equal the reference")
+    // merging can only shrink: tokens never exceed chars, never fewer than words
+    got.values.foreach { case (nw, nt, nc) => assert(nw <= nt && nt <= nc) }
   }
 
   test("q119 z-order key: exact interleave and aligned 16-blocks are 4x4 tiles") {

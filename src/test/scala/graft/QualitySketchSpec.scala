@@ -95,4 +95,71 @@ class QualitySketchSpec extends AnyFunSuite {
     // frame; the orders-scale window must partition by band
     assert(plan.contains("hashpartitioning(band"), plan)
   }
+
+  test("q125 completeness gaps equal a driver-side grid difference") {
+    import TestSpark.sf
+    val present = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val hours = present.map(_._2)
+    val (lo, hi) = (hours.min, hours.max)
+    val expect = present.map(_._1).flatMap { t =>
+      (lo to hi).filterNot(h => present((t, h))).map(h => (t, h))
+    }.groupBy { case (t, h) => (t, h / 24) }.map { case ((t, d), cells) =>
+      val hs = cells.map(_._2 % 24)
+      (t, d) -> ((cells.size.toLong, hs.min, hs.max))
+    }
+    val got = Quality.q125Completeness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("n_missing_hours"), r.getAs[Long]("first_missing_hour"),
+          r.getAs[Long]("last_missing_hour")))).toMap
+    assert(got == expect)
+  }
+
+  test("schemaDiff reports added/removed/type/nullability drift and nothing else") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val old = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("gone", StringType),
+        StructField("widened", IntegerType),
+        StructField("relaxed", StringType, nullable = false),
+        StructField("same", DoubleType))))
+    val nw = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("fresh", StringType),
+        StructField("widened", LongType),
+        StructField("relaxed", StringType, nullable = true),
+        StructField("same", DoubleType))))
+    val got = Quality.schemaDiff(old, nw)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("fresh", "added"), ("gone", "removed"),
+      ("widened", "type_changed"), ("relaxed", "nullability_changed")))
+    // identical schemas diff to empty
+    assert(Quality.schemaDiff(old, old).isEmpty)
+  }
+
+  test("q123 calendar rollup reconciles across granularities with floor-exact shares") {
+    val rows = graft.operators.Analytics.q123CalendarRollup(spark, TestSpark.sf)
+      .collect()
+    def cents(gid: Int) = rows.filter(_.getAs[Int]("gid") == gid)
+      .map(_.getAs[Long]("revenue_cents")).sum
+    assert(cents(0) == cents(1) && cents(1) == cents(3) && cents(3) == cents(7),
+      "detail, quarter, year and grand-total levels must carry identical revenue")
+    // each year's month shares floor-sum to within 12 bp of 10000
+    rows.filter(r => r.getAs[Int]("gid") == 0)
+      .groupBy(_.getAs[Long]("y")).foreach { case (_, months) =>
+        val s = months.map(_.getAs[Long]("share_of_year_bp")).sum
+        assert(s <= 10000 && s > 10000 - 12, s"year shares sum to $s")
+      }
+    // non-detail rows carry no share
+    assert(rows.filter(r => r.getAs[Int]("gid") != 0)
+      .forall(r => r.isNullAt(r.fieldIndex("share_of_year_bp"))))
+  }
 }

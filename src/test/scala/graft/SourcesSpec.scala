@@ -70,4 +70,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"), plan)
     assert(pruned.count() == li.filter(col("l_returnflag") === "R").count())
   }
+
+  test("text source round-trips lines for the raw-corpus ingest path") {
+    val dir = tmp("text")
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    docs.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == docs.count())
+    // line-per-row semantics: the multiset of lines survives
+    assert(back.select(col("value")).exceptAll(docs).isEmpty &&
+      docs.exceptAll(back.select(col("value"))).isEmpty)
+  }
+
+  test("dynamic partition pruning: a filtered dim join prunes the fact scan at runtime") {
+    val dir = tmp("dpp")
+    // fact partitioned by day; dim maps day -> label with a selective filter
+    val fact = Tables.events(spark, sf)
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+    fact.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val s = spark
+    import s.implicits._
+    val days = fact.select("day").distinct().collect().map(_.getLong(0)).sorted
+    // the dim must be a FILE source: a LocalRelation's filter constant-folds
+    // away and DPP's selectivity check sees no predicate; day is written as
+    // INT to match the re-inferred partition-column type (a cast on the
+    // partition key would also defeat the pruning rule)
+    val dimDir = tmp("dpp-dim")
+    days.map(d => (d.toInt, if (d == days.head) "keep" else "drop"))
+      .toSeq.toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"), "day")
+    val plan = joined.queryExecution.executedPlan.toString
+    // the fact side must carry a dynamicpruning subquery on the partition
+    // column — Spark's runtime answer to "only read the dim's days"
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(joined.count() ==
+      fact.filter(col("day") === days.head).count())
+  }
 }
