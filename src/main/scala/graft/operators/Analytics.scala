@@ -354,21 +354,34 @@ object Analytics {
     * (PrefixSpan's length-2 core) that drives "what leads to what"
     * product-funnel reports.
     *
-    * Shape: first occurrences via min(struct(us, event_id)) — a map-side-
-    * combining aggregate, NOT a window (no sort, partial aggregation
-    * upstream of the one user_id exchange). The per-user self-join then
+    * Shape: first occurrences via a min over the (us, event_id) pair
+    * PACKED into one DECIMAL(38,0) — us·10¹⁸ + eid, lexicographic because
+    * eid < 10¹⁸, and a 16-byte fixed-width buffer so the min stays a
+    * HASH aggregate (min over a struct — and min_by — both degrade to
+    * SortAggregate in this Spark build: a full sort of the events frame;
+    * the q116 packing lesson, decimal-width because µs·10¹⁸ outgrows a
+    * long). Map-side combining, NOT a window. The per-user self-join then
     * expands at most |vocab|² rows per user (vocab = event-type universe,
     * ≤5 here), so candidate work is bounded per user no matter the corpus
     * size. The user-count denominator folds in as a broadcast scalar off
     * the checkpointed firsts frame — no second events scan.
     */
-  def q113SeqPairs(s: SparkSession, dir: String): DataFrame = {
-    val firsts = Tables.events(s, dir)
+  private val PackBase = "1000000000000000000" // 10^18 > any event_id
+  /** the pre-checkpoint firsts plan — separated so PlanShapeSpec can pin
+    * the hash-aggregate shape (a checkpoint truncates lineage, which
+    * would make any plan assertion on the public query vacuous). */
+  private[graft] def q113Firsts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(col("user_id"), col("event_type"))
-      .agg(min(struct(expr("unix_micros(ts)").as("us"),
-        col("event_id").as("eid"))).as("k"))
+      .agg(min(expr(
+        s"CAST(unix_micros(ts) AS DECIMAL(38,0)) * $PackBase + event_id"))
+        .as("k"))
       .select(col("user_id"), col("event_type"),
-        col("k.us").as("us"), col("k.eid").as("eid"))
+        expr(s"CAST(k DIV $PackBase AS BIGINT)").as("us"),
+        expr(s"CAST(k % $PackBase AS BIGINT)").as("eid"))
+
+  def q113SeqPairs(s: SparkSession, dir: String): DataFrame = {
+    val firsts = q113Firsts(s, dir)
       .localCheckpoint() // referenced twice (pairs + denominator): no CSE
     val total = firsts.agg(
       countDistinct(col("user_id")).as("n_total"))

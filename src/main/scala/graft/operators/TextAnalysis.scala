@@ -417,6 +417,23 @@ object TextAnalysis {
     * re-checkpointed per iteration so plan depth stays O(1), not
     * O(nMerges).
     */
+  /** One greedy left-to-right application of merge (l, r) to a `syms`
+    * array column — THE merge semantics, shared by the learner
+    * ([[bpeMerges]]) and the encoder ([[q121BpeEncode]]) so the two can
+    * never drift (the q99/zTerms shared-builder rule). The merged symbol
+    * enters the accumulator whole, so an overlapping second application
+    * (aaa with pair (a,a)) cannot fire — standard BPE application order.
+    */
+  private def bpeMergeFold(l: String, r: String): Column =
+    when(size(col("syms")) <= 1, col("syms")).otherwise(
+      aggregate(
+        slice(col("syms"), lit(2), size(col("syms"))),
+        array(col("syms").getItem(0)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+
   def bpeMerges(words: DataFrame, nMerges: Int): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
@@ -444,19 +461,8 @@ object TextAnalysis {
       else {
         val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
         merges += ((i, l, r, top(0).getAs[Long]("support")))
-        // greedy left-to-right fold: the merged symbol enters acc whole,
-        // so an overlapping second application (aaa with pair (a,a))
-        // cannot fire — standard BPE application order
-        val fold = aggregate(
-          slice(col("syms"), lit(2), size(col("syms"))),
-          array(col("syms").getItem(0)),
-          (acc, x) =>
-            when(element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x))))
         vocab = vocab
-          .withColumn("syms",
-            when(size(col("syms")) <= 1, col("syms")).otherwise(fold))
+          .withColumn("syms", bpeMergeFold(l, r))
           .localCheckpoint()
       }
     }
@@ -507,15 +513,7 @@ object TextAnalysis {
     val dict = merges.foldLeft(
       words.select(col("word")).distinct()
         .withColumn("syms", split(col("word"), ""))) { case (df, (l, r)) =>
-      df.withColumn("syms",
-        when(size(col("syms")) <= 1, col("syms")).otherwise(
-          aggregate(
-            slice(col("syms"), lit(2), size(col("syms"))),
-            array(col("syms").getItem(0)),
-            (acc, x) =>
-              when(element_at(acc, -1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x))))))
+      df.withColumn("syms", bpeMergeFold(l, r))
     }
       .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
         length(col("word")).cast("long").as("n_chr"))
@@ -542,14 +540,19 @@ object TextAnalysis {
     * replacement is a per-source minhash signature union (q29's sketch),
     * trading exactness for O(sources·k) state.
     */
-  def q115CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir)
+  /** distinct (source, word-5-gram) pairs — the corpus-overlap universe
+    * shared by the exact q115 and the sketched q124. */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("source"), explode(expr(
         """transform(sequence(1, size(w)-4),
            i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
       .distinct()
+
+  def q115CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = sourceShingles(s, dir)
       .localCheckpoint() // three consumers below; Catalyst has no CSE
     val pc = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     g.as("a").join(g.as("b"),
@@ -564,7 +567,37 @@ object TextAnalysis {
         expr("n_common * 10000 div least(n_a, n_b)").as("containment_bp"))
   }
 
+  /** q124: the 100 TB form of q115 — per-source MINHASH signatures
+    * (k=128 seeded xxhash64 minima, computed as 128 parallel min
+    * aggregates in ONE map-side-combining pass — no k× explode) and
+    * pairwise Jaccard ESTIMATES from signature agreement. Per-source
+    * state is k longs regardless of corpus size, the pair stage works on
+    * a |sources|-row frame, and the corpus is read once — this replaces
+    * q115's exact shingle self-join when the gram universe outgrows a
+    * shuffle. Spec bounds the estimate against q115's exact Jaccard
+    * (k=128 ⇒ σ ≈ √(J(1−J)/128); the bound is 8σ-loose).
+    */
+  def q124OverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    val sigs = sourceShingles(s, dir)
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      // both self-join sides consume this corpus-scan subplan; Catalyst
+      // has no CSE and AQE's ReusedExchange is not a guarantee — pin the
+      // single corpus read the q115 way
+      .localCheckpoint()
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr("""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+                          0, (acc, v) -> acc + v)""").as("n_matches"))
+      .withColumn("est_jaccard_bp", expr(s"n_matches * 10000 div $k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_overlap_sketch" -> (q124OverlapSketch _),
     "q121_bpe_encode" -> (q121BpeEncode _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q115_corpus_overlap" -> (q115CorpusOverlap _),

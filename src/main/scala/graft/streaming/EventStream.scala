@@ -147,7 +147,16 @@ object EventStream {
     * long the streams run — the difference between a stream-stream join
     * that survives a year of uptime and one that OOMs.
     */
-  def attributeStream(purchases: DataFrame, views: DataFrame): DataFrame = {
+  def attributeStream(purchases: DataFrame, views: DataFrame): DataFrame =
+    attributionJoin(purchases, views, "inner")
+
+  /** The ONE attribution join definition behind s06 (inner) and s12
+    * (leftOuter) — projections, watermarks and the time-bound condition
+    * must stay identical or inner and outer attribution silently diverge
+    * (the sessionWindowAgg sharing rule applied to the join pair).
+    */
+  private def attributionJoin(purchases: DataFrame, views: DataFrame,
+      joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -158,7 +167,8 @@ object EventStream {
     p.join(v,
       col("user_id") === col("v_user_id") &&
         col("v_ts") < col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("interval 1 hour"))
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour"),
+      joinType)
       .select(col("p_event_id"), col("user_id"), col("v_event_id"), col("p_ts"), col("v_ts"))
   }
 
@@ -184,22 +194,8 @@ object EventStream {
     * bound of a matching v_ts), and that same bound is what lets it drop
     * buffered state instead of holding both streams forever.
     */
-  def attributeStreamOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
-    val p = purchases
-      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val v = views
-      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    p.join(v,
-      col("user_id") === col("v_user_id") &&
-        col("v_ts") < col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("interval 1 hour"),
-      "leftOuter")
-      .select(col("p_event_id"), col("user_id"), col("v_event_id"),
-        col("p_ts"), col("v_ts"))
-  }
+  def attributeStreamOuter(purchases: DataFrame, views: DataFrame): DataFrame =
+    attributionJoin(purchases, views, "leftOuter")
 
   /** Encoder-friendly projection of a [[graft.functions.SpaceSavingSketch]]:
     * parallel arrays survive the state store's row encoding where a

@@ -405,6 +405,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(d0.getAs[Double]("p25_micro") - q(0.25)) < 1e-4)
   }
 
+  test("q124 minhash overlap sketch tracks q115's exact jaccard within the k=128 error bound") {
+    val exact = graft.operators.TextAnalysis.q115CorpusOverlap(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("jaccard_bp")).toMap
+    val est = graft.operators.TextAnalysis.q124OverlapSketch(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("est_jaccard_bp")).toMap
+    // the sketch emits ALL source pairs; the exact form only intersecting ones
+    assert(exact.keySet.subsetOf(est.keySet))
+    val errs = est.map { case (pair, e) =>
+      math.abs(e - exact.getOrElse(pair, 0L))
+    }
+    // per-pair: 8 sigma at J<=0.1, k=128 -> ~2100 bp; observed J here is
+    // ~0-600 bp so 1500 is already generous
+    assert(errs.max <= 1500, s"worst sketch error ${errs.max} bp")
+    assert(errs.sum / errs.size <= 400, s"mean sketch error ${errs.sum / errs.size} bp")
+  }
+
   test("q115 corpus overlap: ordered pairs, containment >= jaccard, common bounded by both sides") {
     val rows = graft.operators.TextAnalysis.q115CorpusOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -242,10 +242,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("valid_from_ms"), p)
   }
 
-  test("q113 first-occurrence pairs: min(struct) is a hash aggregate, no window sort") {
-    val p = plan("q113_seq_pairs")
+  test("q113 first occurrences hash-aggregate via the decimal pack — no window, no sort agg") {
+    // assert on the PRE-checkpoint subplan: the public query's eager
+    // localCheckpoint truncates lineage, which would make this vacuous
+    val p = graft.operators.Analytics.q113Firsts(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
-    assert(!p.contains("SortAggregate"), "min(struct(us,eid)) must stay hash-aggregable\n" + p)
+    assert(!p.contains("SortAggregate"),
+      "packed-decimal first-occurrence min must stay hash-aggregable\n" + p)
+    assert(count(p, "Exchange") == 1, p)
   }
 
   test("q116 nearest-station argmin stays hash-aggregated over the broadcast expansion") {
