@@ -119,6 +119,24 @@ object Pipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date").parquet(outDir)
 
+  /** Publish-time MANIFEST: one row per published partition with its row
+    * count and the min/max of the given stat columns — the external
+    * pruning index a consumer (or a non-Spark reader) uses to skip
+    * partitions without touching data, and the per-refresh reconciliation
+    * record ("day X: N rows, value in [lo, hi]") an audit trail keeps.
+    * One scan of the published data, one partition-key-sized result; at
+    * 100 TB this is the same aggregate every partial-agg rollup rides.
+    */
+  def manifest(spark: SparkSession, publishedDir: String,
+      statCols: Seq[String]): DataFrame = {
+    val stats = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    spark.read.parquet(publishedDir)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+  }
+
   /** Maintenance — compaction: rewrite a date-partitioned dataset so each
     * partition holds ~`filesPerPartition` files instead of one tiny file
     * per original shuffle task. High-parallelism incremental publishes

@@ -346,7 +346,39 @@ object Quality {
         max(expr("h % 24")).as("last_missing_hour"))
   }
 
+  /** q126: robust (median/MAD) outlier detection per event type — q73's
+    * Tukey fences break down past 25% contamination; the median absolute
+    * deviation survives to 50%, so this is the sweep a pipeline runs when
+    * the data itself is suspect. Flag: |x − med| > 3·1.4826·MAD (1.4826
+    * scales MAD to σ under normality — same literal text both engines).
+    *
+    * Exactness: the median over integer cents and the MAD over |x − med|
+    * (values in exact halves) interpolate at exact binary fractions —
+    * deterministic doubles (the q73 rule), and the 3·1.4826·MAD product
+    * is one double expression with identical operands on both engines.
+    * Shape: two percentile passes + a broadcast join back (q73's shape,
+    * one deeper); at 100 TB both passes ride the q67 sketch.
+    */
+  def q126RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("median_cents"))
+      .agg(expr("percentile(abs(cents - median_cents), 0.5)").as("mad_cents"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(expr("abs(cents - median_cents) > 3 * 1.4826 * mad_cents"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        round(col("median_cents"), 4).as("median_cents"),
+        round(col("mad_cents"), 4).as("mad_cents"), col("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_robust_outliers" -> (q126RobustOutliers _),
     "q125_completeness" -> (q125Completeness _),
     "q111_equidepth_hist" -> (q111EquidepthHist _),
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
@@ -359,6 +391,26 @@ object Quality {
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q126_robust_outliers" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         med AS (
+           SELECT event_type, quantile_cont(cents, 0.5) AS median_cents
+           FROM ev GROUP BY event_type),
+         mad AS (
+           SELECT ev.event_type, median_cents,
+                  quantile_cont(abs(cents - median_cents), 0.5) AS mad_cents
+           FROM ev JOIN med USING (event_type)
+           GROUP BY ev.event_type, median_cents)
+         SELECT ev.event_type, count(*) AS n_events,
+                round(median_cents, 4) AS median_cents,
+                round(mad_cents, 4) AS mad_cents,
+                CAST(sum(CASE WHEN abs(cents - median_cents)
+                               > 3 * 1.4826 * mad_cents
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM ev JOIN mad USING (event_type)
+         GROUP BY ev.event_type, median_cents, mad_cents""",
     "q125_completeness" ->
       """WITH hourly AS (
            SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS h

@@ -115,6 +115,33 @@ class PipelineSpec extends AnyFunSuite {
       dayB.head.getAs[Double]("value") == 9.0)
   }
 
+  test("manifest reconciles per-partition counts and stat bounds with the published data") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-manifest").toString
+    def mkDay(day: String, ids: Seq[Long], v: Double) =
+      ids.toDF("event_id")
+        .withColumn("value", lit(v))
+        .withColumn("event_date", to_date(lit(day)))
+    Pipeline.publishIncremental(
+      mkDay("2024-03-01", Seq(1L, 2L, 3L), 1.5)
+        .unionByName(mkDay("2024-03-02", Seq(9L, 4L), 7.0)), outDir)
+    val m = Pipeline.manifest(spark, outDir, Seq("event_id", "value"))
+      .collect().map(r => r.getAs[java.sql.Date]("event_date").toString -> r).toMap
+    assert(m.keySet == Set("2024-03-01", "2024-03-02"))
+    val a = m("2024-03-01")
+    assert(a.getAs[Long]("n_rows") == 3 && a.getAs[Long]("event_id_min") == 1L &&
+      a.getAs[Long]("event_id_max") == 3L && a.getAs[Double]("value_min") == 1.5)
+    val b = m("2024-03-02")
+    assert(b.getAs[Long]("n_rows") == 2 && b.getAs[Long]("event_id_min") == 4L &&
+      b.getAs[Long]("event_id_max") == 9L && b.getAs[Double]("value_max") == 7.0)
+    // the manifest answers pruning questions without touching data: the
+    // partitions whose [min,max] admit event_id=2 are exactly day A
+    val admitting = m.filter { case (_, r) =>
+      r.getAs[Long]("event_id_min") <= 2L && 2L <= r.getAs[Long]("event_id_max")
+    }.keySet
+    assert(admitting == Set("2024-03-01"))
+  }
+
   test("compact collapses fragmented partitions without changing the data") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-compact").toString

@@ -117,6 +117,33 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q126 robust outliers match a driver-side median/MAD computation") {
+    import TestSpark.sf
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("c"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(xs: Array[Long], f: Double): Double = {
+      val pos = f * (xs.length - 1)
+      val (i, fr) = (pos.toInt, pos - pos.toInt)
+      if (i + 1 < xs.length) xs(i) + fr * (xs(i + 1) - xs(i)) else xs(i).toDouble
+    }
+    val rows = Quality.q126RobustOutliers(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      val med = interp(xs, 0.5)
+      val mad = interp(xs.map(x => math.abs(x - med))
+        .map(d => math.round(d * 2)).sorted.map(_.toLong), 0.5) / 2.0
+      assert(math.abs(r.getAs[Double]("median_cents") - med) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mad_cents") - mad) < 1e-6,
+        s"${r.getString(0)}: mad ${r.getAs[Double]("mad_cents")} vs $mad")
+      val outliers = xs.count(x => math.abs(x - med) > 3 * 1.4826 * mad)
+      assert(r.getAs[Long]("n_outliers") == outliers)
+      assert(r.getAs[Long]("n_events") == xs.length)
+    }
+  }
+
   test("schemaDiff reports added/removed/type/nullability drift and nothing else") {
     val s = spark
     import s.implicits._
