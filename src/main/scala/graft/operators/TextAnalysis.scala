@@ -579,12 +579,13 @@ object TextAnalysis {
     */
   def q124OverlapSketch(s: SparkSession, dir: String): DataFrame = {
     val k = 128
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
     val sigs = sourceShingles(s, dir)
       .groupBy(col("source"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("source"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      // ONE native aggregate with a long[k] buffer (graft_minhash) in
+      // place of k separate min(xxhash64(lit(i), g)) states — bit-equal
+      // by construction (same interpreted xxhash64 fold; MinHashSpec
+      // asserts it) with one buffer to update/shuffle instead of 128
+      .agg(graft.functions.MinHash.minhash(col("g"), k).as("sig"))
       // both self-join sides consume this corpus-scan subplan; Catalyst
       // has no CSE and AQE's ReusedExchange is not a guarantee — pin the
       // single corpus read the q115 way

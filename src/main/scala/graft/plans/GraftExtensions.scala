@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, FrequentItems, RollingHash}
+import graft.functions.{CosineSimilarity, FrequentItems, MinHashAgg, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_frequent_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
       GraftExtensions.buildFrequentItems))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      GraftExtensions.buildMinHash))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -46,6 +50,10 @@ object GraftExtensions {
       "graft_frequent_items",
       buildFrequentItems,
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      buildMinHash,
+      "built-in")
   }
 
   /** Validated SQL builder: checked arity and a foldable integer k, and
@@ -64,5 +72,20 @@ object GraftExtensions {
         s"graft_frequent_items: k must be an integer literal, got '$other'")
     }
     FrequentItems(exprs.head, k)
+  }
+
+  /** Same validated-builder contract as [[buildFrequentItems]], for the
+    * minhash signature aggregate. */
+  private[plans] def buildMinHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_minhash(col, k) takes exactly 2 arguments, got ${exprs.length}")
+    val kExpr = exprs(1)
+    require(kExpr.foldable, "graft_minhash: k must be a literal integer")
+    val k = kExpr.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash: k must be an integer literal, got '$other'")
+    }
+    MinHashAgg(exprs.head, k)
   }
 }
