@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 object MinHash {
   /** DataFrame-API entry: `agg(MinHash.minhash(col("g"), 128))`. */
@@ -60,10 +59,12 @@ case class MinHashAgg(
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      // dispatch on the child's type, exactly like the composed
+      // xxhash64(lit(i), col) does — strings hash their bytes, longs the
+      // value, so either input shape stays bit-compatible
       var i = 0
       while (i < k) {
-        val h = XxHash64Function.hash(s, StringType, seeds(i))
+        val h = XxHash64Function.hash(v, child.dataType, seeds(i))
         if (h < b(i)) b(i) = h
         i += 1
       }

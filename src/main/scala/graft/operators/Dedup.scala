@@ -166,12 +166,15 @@ object Dedup {
   private[graft] def fastBandSignaturesOf(docs: DataFrame): DataFrame = {
     val sh = shinglesOf(docs, dedup = false)
       .withColumn("h0", xxhash64(col("sh")))
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // the native long[k]-buffer signature aggregate (bit-equal to the
+    // k-separate min(xxhash64(lit(i), h0)) composition it replaced —
+    // MinHashSpec pins that for long inputs too)
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHash.minhash(col("h0"), NumHashes).as("mh"))
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
-        hash(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
+        hash(element_at(col("mh"), 2 * b + 1),
+          element_at(col("mh"), 2 * b + 2)).as("sig")))
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
   }

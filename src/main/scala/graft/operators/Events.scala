@@ -503,6 +503,61 @@ object Events {
         sum(col("cents")).as("total_cents"))
       .withColumn("avg_cents", expr("total_cents DIV n_events"))
 
+  /** q127: nearest-event temporal join — each purchase matched to the
+    * temporally CLOSEST click of the same user in EITHER direction
+    * (within ±1 h): the bidirectional generalization of the as-of join
+    * (q24 looks only backward). "Which interaction belongs to this
+    * transaction" when causality can run both ways (a click right after
+    * a purchase is usually its confirmation page).
+    *
+    * Shape: ONE user_id exchange and one sort carry all four window
+    * projections (prev/next click id+µs over ROWS frames); the
+    * nearest/tie decision is a per-row projection. Ties (equidistant
+    * clicks) resolve to the EARLIER click — a stated rule, not
+    * engine luck. Purchases with no click within the window drop.
+    */
+  def q127NearestClick(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prevF = w.rowsBetween(Window.unboundedPreceding, -1)
+    val nextF = w.rowsBetween(1, Window.unboundedFollowing)
+    val clickUs = when(col("event_type") === "click", col("us"))
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("pus", last(clickUs, ignoreNulls = true).over(prevF))
+      .withColumn("pid", last(clickId, ignoreNulls = true).over(prevF))
+      .withColumn("nus", first(clickUs, ignoreNulls = true).over(nextF))
+      .withColumn("nid", first(clickId, ignoreNulls = true).over(nextF))
+      .filter(col("event_type") === "purchase")
+      .withColumn("dprev", col("us") - col("pus"))
+      .withColumn("dnext", col("nus") - col("us"))
+      // nearest, ties to the earlier (prev) click; missing side loses
+      .withColumn("usePrev",
+        col("pus").isNotNull && (col("nus").isNull || col("dprev") <= col("dnext")))
+      .select(col("event_id"), col("user_id"),
+        when(col("usePrev"), col("pid")).otherwise(col("nid")).as("click_event_id"),
+        when(col("usePrev"), -col("dprev")).otherwise(col("dnext")).as("dt_us"))
+      .filter(col("click_event_id").isNotNull && abs(col("dt_us")) <= 3600000000L)
+  }
+
+  /** q128: daily utilization — per (user, day): sessions started, active
+    * time (Σ session durations, q20 gap semantics, a session owned by its
+    * START day) and utilization in bp of the 24 h day: the
+    * "how busy was each vehicle" publication metric of a fleet pipeline.
+    * Shape: the single q20 user_id exchange → per-session agg → per
+    * (user, day) rollup; every stage map-side combines.
+    */
+  def q128Utilization(s: SparkSession, dir: String): DataFrame =
+    withSessionNo(Tables.events(s, dir))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(expr("unix_micros(ts)")).as("s_us"),
+        max(expr("unix_micros(ts)")).as("e_us"))
+      .groupBy(col("user_id"), expr("s_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("e_us") - col("s_us")).as("active_us"))
+      .withColumn("util_bp", expr("active_us * 10000 div 86400000000"))
+
   /** Exact-dyadic EWMA weights for tap j (λ = 1/2): 2^-(j+1), written as
     * exact decimal literals so the SAME formula text runs on both engines.
     * cents · 2^-k is an exact double (dyadic scaling of a small integer),
@@ -586,6 +641,8 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_nearest_click" -> (q127NearestClick _),
+    "q128_utilization" -> (q128Utilization _),
     "q120_ewma" -> (q120Ewma _),
     "q117_conversion_latency" -> (q117ConversionLatency _),
     "q112_seasonality"     -> (q112Seasonality _),
@@ -610,6 +667,55 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q127_nearest_click" -> {
+      val prevF = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val nextF = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          w AS (
+            SELECT *,
+              last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) $prevF AS pus,
+              last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) $prevF AS pid,
+              first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) $nextF AS nus,
+              first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) $nextF AS nid
+            FROM e),
+          p AS (
+            SELECT event_id, user_id,
+              CASE WHEN pus IS NOT NULL AND (nus IS NULL OR us - pus <= nus - us)
+                   THEN pid ELSE nid END AS click_event_id,
+              CASE WHEN pus IS NOT NULL AND (nus IS NULL OR us - pus <= nus - us)
+                   THEN -(us - pus) ELSE nus - us END AS dt_us
+            FROM w WHERE event_type = 'purchase')
+          SELECT event_id, user_id, click_event_id, dt_us
+          FROM p
+          WHERE click_event_id IS NOT NULL AND abs(dt_us) <= 3600000000"""
+    },
+    "q128_utilization" ->
+      """WITH l AS (
+           SELECT user_id, ts, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         se AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CAST(sum(CASE WHEN prev_us IS NULL
+                                  OR epoch_us(ts) - prev_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    AS sess_no
+           FROM l),
+         sess AS (
+           SELECT user_id, sess_no, min(us) AS s_us, max(us) AS e_us
+           FROM se GROUP BY 1, 2)
+         SELECT user_id, s_us // 86400000000 AS day,
+                count(*) AS n_sessions,
+                CAST(sum(e_us - s_us) AS BIGINT) AS active_us,
+                CAST(CAST(sum(e_us - s_us) AS BIGINT) * 10000
+                     // 86400000000 AS BIGINT) AS util_bp
+         FROM sess GROUP BY 1, 2""",
     "q120_ewma" -> {
       val lags = (0 until 8).map(j =>
         s"lag(cents, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$j")

@@ -413,6 +413,67 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 nearest-click equals a driver-side bidirectional nearest search with the tie rule") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((u, es) <- byUser) {
+      val sorted = es.sortBy(e => (e.getAs[Long]("us"), e.getAs[Long]("event_id")))
+      for ((p, idx) <- sorted.zipWithIndex
+           if p.getAs[String]("event_type") == "purchase") {
+        val pUs = p.getAs[Long]("us")
+        val prev = sorted.take(idx).reverse
+          .find(_.getAs[String]("event_type") == "click")
+        val next = sorted.drop(idx + 1)
+          .find(_.getAs[String]("event_type") == "click")
+        val cand = (prev, next) match {
+          case (Some(a), Some(b)) =>
+            if (pUs - a.getAs[Long]("us") <= b.getAs[Long]("us") - pUs) Some(a -> true)
+            else Some(b -> false)
+          case (Some(a), None) => Some(a -> true)
+          case (None, Some(b)) => Some(b -> false)
+          case _ => None
+        }
+        cand.foreach { case (c, isPrev) =>
+          val dt = if (isPrev) -(pUs - c.getAs[Long]("us"))
+            else c.getAs[Long]("us") - pUs
+          if (math.abs(dt) <= 3600000000L)
+            expect(p.getAs[Long]("event_id")) = (c.getAs[Long]("event_id"), dt)
+        }
+      }
+    }
+    val got = Events.q127NearestClick(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("click_event_id"), r.getAs[Long]("dt_us")))).toMap
+    assert(got == expect.toMap)
+  }
+
+  test("q128 utilization reconciles with q20 sessions grouped by start day") {
+    val sessions = Events.q20Sessionize(spark, sf)
+      .select(col("user_id"), expr("unix_micros(sess_start)").as("s_us"),
+        expr("unix_micros(sess_end)").as("e_us"))
+      .collect()
+    val expect = sessions
+      .map { r =>
+        val sUs = r.getAs[Long]("s_us")
+        ((r.getAs[Long]("user_id"), sUs / 86400000000L),
+          r.getAs[Long]("e_us") - sUs)
+      }
+      .groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2).sum)).toMap
+    val got = Events.q128Utilization(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("active_us")))).toMap
+    assert(got == expect)
+    Events.q128Utilization(spark, sf).collect().foreach { r =>
+      val bp = r.getAs[Long]("util_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(bp == r.getAs[Long]("active_us") * 10000 / 86400000000L)
+    }
+  }
+
   test("q117 conversion latency: ordered quartiles inside [min, max], count bounded by signups") {
     val r = Events.q117ConversionLatency(spark, sf).head()
     val n = r.getAs[Long]("n_converted")

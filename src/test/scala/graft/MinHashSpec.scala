@@ -30,6 +30,19 @@ class MinHashSpec extends AnyFunSuite {
       "the native aggregate must reproduce the composed form exactly")
   }
 
+  test("native minhash over LONG inputs matches the composed form (the q49 shape)") {
+    val hashed = shingles.withColumn("h0", xxhash64(col("g"))).drop("g")
+    val native = hashed.groupBy("source")
+      .agg(MinHash.minhash(col("h0"), K).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+    val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+    val composed = hashed.groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to K).map(r.getLong).toVector).toMap
+    assert(native == composed)
+  }
+
   test("signature is partitioning-invariant (merge is an elementwise-min monoid)") {
     val one = shingles.coalesce(1).groupBy("source")
       .agg(MinHash.minhash(col("g"), K).as("sig"))
