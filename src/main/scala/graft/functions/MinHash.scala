@@ -58,16 +58,19 @@ case class MinHashAgg(
 
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      // dispatch on the child's type, exactly like the composed
-      // xxhash64(lit(i), col) does — strings hash their bytes, longs the
-      // value, so either input shape stays bit-compatible
-      var i = 0
-      while (i < k) {
-        val h = XxHash64Function.hash(v, child.dataType, seeds(i))
-        if (h < b(i)) b(i) = h
-        i += 1
-      }
+    // dispatch on the child's type, exactly like the composed
+    // xxhash64(lit(i), col) does — strings hash their bytes, longs the
+    // value. A NULL child is NOT skipped: Spark's hash expressions fold a
+    // null by leaving the accumulator unchanged, i.e. the row contributes
+    // seeds(i) itself — skipping nulls here would silently break the
+    // bit-equality contract on nullable columns (and leave the MaxValue
+    // sentinel in all-null groups)
+    var i = 0
+    while (i < k) {
+      val h = if (v == null) seeds(i)
+        else XxHash64Function.hash(v, child.dataType, seeds(i))
+      if (h < b(i)) b(i) = h
+      i += 1
     }
     b
   }

@@ -568,9 +568,10 @@ object TextAnalysis {
   }
 
   /** q124: the 100 TB form of q115 — per-source MINHASH signatures
-    * (k=128 seeded xxhash64 minima, computed as 128 parallel min
-    * aggregates in ONE map-side-combining pass — no k× explode) and
-    * pairwise Jaccard ESTIMATES from signature agreement. Per-source
+    * (k=128 seeded xxhash64 minima via the native [[graft.functions.MinHashAgg]]:
+    * ONE long[k] buffer per source, one map-side-combining pass — no k×
+    * explode and no k separate agg states) and pairwise Jaccard ESTIMATES
+    * from signature agreement. Per-source
     * state is k longs regardless of corpus size, the pair stage works on
     * a |sources|-row frame, and the corpus is read once — this replaces
     * q115's exact shingle self-join when the gram universe outgrows a

@@ -56,36 +56,29 @@ object GraftExtensions {
       "built-in")
   }
 
-  /** Validated SQL builder: checked arity and a foldable integer k, and
-    * returns the BARE AggregateFunction — the analyzer attaches the
+  /** Validated (col, k) SQL-builder contract, shared by every
+    * k-parameterized aggregate: checked arity and a foldable integer k,
+    * and returns the BARE AggregateFunction — the analyzer attaches the
     * AggregateExpression wrapper itself, which is what lets `FILTER
     * (WHERE ...)` clauses work and gives DISTINCT the proper error.
     */
-  private[plans] def buildFrequentItems(exprs: Seq[Expression]): Expression = {
+  private def validatedColK(name: String, ctor: (Expression, Int) => Expression)(
+      exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
-      s"graft_frequent_items(col, k) takes exactly 2 arguments, got ${exprs.length}")
+      s"$name(col, k) takes exactly 2 arguments, got ${exprs.length}")
     val kExpr = exprs(1)
-    require(kExpr.foldable, "graft_frequent_items: k must be a literal integer")
+    require(kExpr.foldable, s"$name: k must be a literal integer")
     val k = kExpr.eval() match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_frequent_items: k must be an integer literal, got '$other'")
+        s"$name: k must be an integer literal, got '$other'")
     }
-    FrequentItems(exprs.head, k)
+    ctor(exprs.head, k)
   }
 
-  /** Same validated-builder contract as [[buildFrequentItems]], for the
-    * minhash signature aggregate. */
-  private[plans] def buildMinHash(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2,
-      s"graft_minhash(col, k) takes exactly 2 arguments, got ${exprs.length}")
-    val kExpr = exprs(1)
-    require(kExpr.foldable, "graft_minhash: k must be a literal integer")
-    val k = kExpr.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash: k must be an integer literal, got '$other'")
-    }
-    MinHashAgg(exprs.head, k)
-  }
+  private[plans] val buildFrequentItems: Seq[Expression] => Expression =
+    validatedColK("graft_frequent_items", FrequentItems(_, _))
+
+  private[plans] val buildMinHash: Seq[Expression] => Expression =
+    validatedColK("graft_minhash", MinHashAgg(_, _))
 }

@@ -463,13 +463,16 @@ class AnalyticsSpec extends AnyFunSuite {
       }
       .groupBy(_._1).view
       .mapValues(ds => (ds.length.toLong, ds.map(_._2).sum)).toMap
-    val got = Events.q128Utilization(spark, sf).collect()
+    val rows = Events.q128Utilization(spark, sf).collect()
+    val got = rows
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
         ((r.getAs[Long]("n_sessions"), r.getAs[Long]("active_us")))).toMap
     assert(got == expect)
-    Events.q128Utilization(spark, sf).collect().foreach { r =>
+    rows.foreach { r =>
       val bp = r.getAs[Long]("util_bp")
-      assert(bp >= 0 && bp <= 10000)
+      // NOT bounded by 10000: a session is owned by its START day, so a
+      // midnight-spanning session can push a day past 24 h of active time
+      assert(bp >= 0)
       assert(bp == r.getAs[Long]("active_us") * 10000 / 86400000000L)
     }
   }

@@ -43,6 +43,26 @@ class MinHashSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("NULL inputs contribute the seed itself, exactly like the composed form") {
+    val s = spark
+    import s.implicits._
+    // group 'a' mixes nulls in; group 'b' is ALL null — both must match
+    // the composed form (nulls fold to the unchanged seed accumulator)
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")),
+      ("b", None), ("b", None)).toDF("grp", "v")
+    val native = df.groupBy("grp")
+      .agg(MinHash.minhash(col("v"), K).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+    val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("v"))).as(s"h$i"))
+    val composed = df.groupBy("grp")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to K).map(r.getLong).toVector).toMap
+    assert(native == composed)
+    assert(!native("b").contains(Long.MaxValue),
+      "the all-null group must not leak the MaxValue sentinel")
+  }
+
   test("signature is partitioning-invariant (merge is an elementwise-min monoid)") {
     val one = shingles.coalesce(1).groupBy("source")
       .agg(MinHash.minhash(col("g"), K).as("sig"))
