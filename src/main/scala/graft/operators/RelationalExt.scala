@@ -105,7 +105,46 @@ object RelationalExt {
         "flag", "revenue_cents")
   }
 
+  /** q129: skyline (Pareto frontier) query — the orders not dominated on
+    * (price, recency): walking orders from most expensive down, keep each
+    * order strictly more recent than everything already passed (the
+    * staircase rule; price ties break by orderkey so both engines walk
+    * the same order). "Best trade-off" queries — cheapest-for-newest,
+    * biggest-for-freshest — are a classic operator class relational
+    * engines lack natively.
+    *
+    * The running max this needs over the GLOBAL price order is the
+    * q97/q105/q103 decomposition a third time — on MAX instead of SUM
+    * (any commutative monoid works): max-so-far = max(in-band prefix max,
+    * broadcast max of all higher price bands) — so no single-partition
+    * window ever sees the orders table, at any scale.
+    */
+  def q129Skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("long").as("day"))
+      .withColumn("band", expr("cents DIV 1000000"))
+    // per-band max day + the running max over all HIGHER bands (tiny frame)
+    val higher = o.groupBy(col("band")).agg(max(col("day")).as("bmax"))
+      .withColumn("higher_max",
+        max(col("bmax")).over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("band"), col("higher_max"))
+    val wBand = Window.partitionBy(col("band"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    o.withColumn("in_band_max", max(col("day")).over(wBand))
+      .join(broadcast(higher), "band")
+      .withColumn("seen_max", greatest(col("in_band_max"), col("higher_max")))
+      .filter(col("seen_max").isNull || col("day") > col("seen_max"))
+      .select(col("o_orderkey"), col("cents"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_skyline"        -> (q129Skyline _),
     "q88_unpivot"         -> (q88Unpivot _),
     "q43_range_join"      -> (q43RangeJoin _),
     "q50_window_analytics" -> (q50WindowAnalytics _),
@@ -114,6 +153,20 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q129_skyline" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders),
+         w AS (
+           SELECT *, max(day) OVER (ORDER BY cents DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS seen_max
+           FROM o)
+         SELECT o_orderkey, cents, day
+         FROM w WHERE seen_max IS NULL OR day > seen_max""",
     "q88_unpivot" ->
       """WITH wide AS (
            SELECT n_name,

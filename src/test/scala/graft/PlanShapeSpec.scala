@@ -261,6 +261,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 2, p) // event_id argmin + station rollup
   }
 
+  test("q129 skyline's running max partitions by band — no single-partition data window") {
+    val p = plan("q129_skyline")
+    // the orders-scale window must ride the band partitioning; the only
+    // unpartitioned window runs over the tiny per-band rollup
+    assert(p.contains("hashpartitioning(band"), p)
+  }
+
   test("q119 z-order key is a zero-exchange pure projection") {
     val p = plan("q119_zorder")
     assert(count(p, "Exchange") == 0, p)

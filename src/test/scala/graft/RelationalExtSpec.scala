@@ -23,4 +23,27 @@ class RelationalExtSpec extends AnyFunSuite {
       .agg(sum(col("n_items"))).head().getLong(0)
     assert(banded == Tables.lineitem(spark, sf).count())
   }
+
+  test("q129 skyline is a strict staircase and matches a brute-force frontier walk") {
+    val rows = RelationalExt.q129Skyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("cents"),
+        r.getAs[Long]("day")))
+    // in (cents desc, orderkey) order the days must strictly increase —
+    // that IS the staircase frontier
+    val walk = rows.sortBy { case (k, c, _) => (-c, k) }.map(_._3)
+    assert(walk.zip(walk.tail).forall { case (a, b) => a < b })
+    // brute force over the full table with the same dominance rule
+    val all = Tables.orders(spark, sf).select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (k, c, _) => (-c, k) }
+    var best = Long.MinValue
+    val expect = all.flatMap { case t @ (_, _, d) =>
+      if (d > best) { best = d; Some(t) } else None
+    }
+    assert(rows.sortBy { case (k, c, _) => (-c, k) }.toSeq == expect.toSeq)
+  }
 }
