@@ -347,6 +347,41 @@ object Analytics {
                   sum(CASE WHEN gid = 0 THEN revenue_cents END)
                     OVER (PARTITION BY y)""")))
 
+  /** q130: revenue-change decomposition (volume vs price effect) — per
+    * market segment between 1996 and 1997: ΔRev split into the part
+    * explained by order-count change at old prices ((n₂−n₁)·avg₁) and
+    * the part explained by average-order-value change at new volume
+    * (n₂·(avg₂−avg₁)) — the Laspeyres/Paasche "why did revenue move"
+    * report. The two effects sum to ΔRev exactly in the reals; computed
+    * as doubles they are single formulas over exact integer sums (the
+    * q87 rule — deterministic on both engines), and ΔRev itself is
+    * emitted as an exact integer. Shape: broadcast customer-dim join,
+    * one segment-key exchange, conditional aggregation (the q15 pivot
+    * idiom) — no second scan for the year split.
+    */
+  def q130MixDecomposition(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("y", year(col("o_orderdate")))
+      .filter(col("y").isin(1996, 1997))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("y") === 1996, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 1996, col("cents")).otherwise(0L)).as("rev1"),
+        sum(when(col("y") === 1997, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("y") === 1997, col("cents")).otherwise(0L)).as("rev2"))
+      .select(col("c_mktsegment"), col("n1"), col("rev1"), col("n2"), col("rev2"),
+        (col("rev2") - col("rev1")).as("delta_cents"),
+        expr("round(CAST((n2 - n1) * rev1 AS DOUBLE) / nullif(n1, 0), 2)")
+          .as("volume_effect_cents"),
+        expr("""round(CAST(n2 AS DOUBLE) *
+                      (CAST(rev2 AS DOUBLE) / nullif(n2, 0)
+                       - CAST(rev1 AS DOUBLE) / nullif(n1, 0)), 2)""")
+          .as("price_effect_cents"))
+
   /** q113: sequential pattern support ("A happens before B") — for every
     * ordered event-type pair, how many users' FIRST occurrence of A
     * precedes their first occurrence of B. q82 counts adjacent transitions
@@ -405,6 +440,7 @@ object Analytics {
     "q110_point_in_time" -> (q110PointInTime _),
     "q113_seq_pairs"    -> (q113SeqPairs _),
     "q123_calendar_rollup" -> (q123CalendarRollup _),
+    "q130_mix_decomposition" -> (q130MixDecomposition _),
     "q77_scd2_merge"    -> (q77Scd2Merge _),
     "q78_grouping_sets" -> (q78GroupingSets _),
     "q79_retention"     -> (q79Retention _),
@@ -436,6 +472,29 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q130_mix_decomposition" ->
+      """WITH o AS (
+           SELECT c_mktsegment,
+                  CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE CAST(date_part('year', o_orderdate) AS INTEGER) IN (1996, 1997)),
+         a AS (
+           SELECT c_mktsegment,
+                  CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS BIGINT) AS rev1,
+                  CAST(sum(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT) AS rev2
+           FROM o GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n1, rev1, n2, rev2,
+                rev2 - rev1 AS delta_cents,
+                round(CAST((n2 - n1) * rev1 AS DOUBLE) / nullif(n1, 0), 2)
+                  AS volume_effect_cents,
+                round(CAST(n2 AS DOUBLE) *
+                      (CAST(rev2 AS DOUBLE) / nullif(n2, 0)
+                       - CAST(rev1 AS DOUBLE) / nullif(n1, 0)), 2)
+                  AS price_effect_cents
+         FROM a""",
     "q123_calendar_rollup" ->
       """WITH r AS (
            SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,

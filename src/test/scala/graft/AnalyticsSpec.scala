@@ -413,6 +413,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 decomposition: effects reconcile to the exact delta within rounding") {
+    val rows = Analytics.q130MixDecomposition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      val delta = r.getAs[Long]("delta_cents")
+      assert(delta == r.getAs[Long]("rev2") - r.getAs[Long]("rev1"))
+      if (n1 > 0 && n2 > 0) {
+        val v = r.getAs[Double]("volume_effect_cents")
+        val p = r.getAs[Double]("price_effect_cents")
+        // vol + price = delta exactly in the reals; doubles rounded 2dp
+        // may drift by a cent each
+        assert(math.abs(v + p - delta) < 0.05,
+          s"${r.getString(0)}: $v + $p != $delta")
+      }
+    }
+  }
+
   test("q127 nearest-click equals a driver-side bidirectional nearest search with the tie rule") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
