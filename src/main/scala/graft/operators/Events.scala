@@ -334,14 +334,25 @@ object Events {
     * multi-day sessions emit their constant in-flight count from the tiny
     * carry frame.
     *
-    * The boundary-point frame is localCheckpointed: the carry rollup and
-    * the prefix window both consume it, and without the checkpoint
-    * Catalyst would re-run the whole sessionization per branch (no
-    * common-subplan elimination) — one materialization of |2·sessions|
-    * narrow rows buys a single sessionize pass.
+    * Because the day-start carry is CONSTANT within a day, the per-day
+    * peak is `carry + max(local prefix sum)` — so the event-scale frame is
+    * consumed exactly once (window → per-day aggregate) and the carry is
+    * applied on the |days|-sized rollup, never joined back to points. The
+    * earlier revision localCheckpointed the boundary points to share them
+    * between a carry branch and a points branch; that materialization (and
+    * its storage-memory residue, which `clearCache` does not free) was the
+    * prime suspect in the r5 driver-bench regression and is gone — the
+    * only node consumed twice (point days + gap days) is the |days| rollup
+    * whose upstream exchanges Spark's ReuseExchange dedups.
     */
   def q97Concurrency(s: SparkSession, dir: String): DataFrame = {
-    val pts = withSessionNo(Tables.events(s, dir))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("delta").desc, col("user_id"), col("sess_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // |days|-sized frame: per-day local peak/total plus the cross-day
+    // carries (cumulative before/after the day) and the next boundary day
+    val wDays = Window.orderBy(col("day"))
+    val days = withSessionNo(Tables.events(s, dir))
       .groupBy(col("user_id"), col("sess_no"))
       .agg(min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
@@ -351,38 +362,27 @@ object Events {
       .select(col("user_id"), col("sess_no"),
         col("p.us").as("us"), col("p.delta").as("delta"))
       .withColumn("day", expr("us div 86400000000"))
-      .localCheckpoint()
-    // per-day boundary totals → day-start carry (cumulative before the
-    // day), day-end carry (after it) and the next boundary day — a
-    // |days|-sized frame, so the global-order window is a non-issue
-    val wDays = Window.orderBy(col("day"))
-    val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
+      .withColumn("local_cum", sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("local_cum")).as("mx_local"),
+        sum(col("delta")).as("day_delta"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
       .withColumn("carry", coalesce(
         sum(col("day_delta")).over(wDays.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("carry_after",
         sum(col("day_delta")).over(wDays.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("next_day", lead(col("day"), 1).over(wDays))
-    val wDay = Window.partitionBy(col("day"))
-      .orderBy(col("us"), col("delta").desc, col("user_id"), col("sess_no"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // a day's peak must consider the sessions already open at midnight
     // (greatest with the day-start carry): a day whose only points are
     // session ends would otherwise under-report by one
-    val pointDays = pts
-      .withColumn("local_cum", sum(col("delta")).over(wDay))
-      .join(broadcast(carry.select(col("day"), col("carry"))), "day")
-      .withColumn("conc", col("carry") + col("local_cum"))
-      .groupBy(col("day"))
-      .agg(max(col("conc")).as("mx"),
-        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
-        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
-      .join(broadcast(carry.select(col("day"), col("carry"))), "day")
-      .select(col("day"), greatest(col("mx"), col("carry")).as("max_concurrent"),
-        col("n_starts"), col("n_ends"))
+    val pointDays = days.select(col("day"),
+      greatest(col("carry") + col("mx_local"), col("carry")).as("max_concurrent"),
+      col("n_starts"), col("n_ends"))
     // days with no boundary points but sessions in flight end-to-end
     // (inside multi-day sessions): constant concurrency = the carry
-    val gapDays = carry
+    val gapDays = days
       .filter(col("next_day").isNotNull && col("next_day") > col("day") + 1 &&
         col("carry_after") > 0)
       .select(explode(sequence(col("day") + 1, col("next_day") - 1)).as("day"),

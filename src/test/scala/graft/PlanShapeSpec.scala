@@ -193,12 +193,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 2, p) // user window + final 1-row rollup
   }
 
-  test("q97 concurrency prefix windows are day-partitioned, carry comes back broadcast") {
+  test("q97 concurrency: day-partitioned data window, carry applied post-aggregate") {
     val p = plan("q97_concurrency")
     // the event-scale prefix sum must never collapse to a global sort;
     // only the |days|-sized carry rollup may use the unpartitioned window
     assert(p.contains("hashpartitioning(day"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // single-consumer shape: the carry is arithmetic on the per-day
+    // rollup, so no join (broadcast or otherwise) and no checkpointed
+    // RDD scan may appear — the r5 localCheckpoint seam must stay gone
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("ExistingRDD"), p)
   }
 
   test("q103/q105 prefix-carry decompositions never plan a single-partition data window") {
