@@ -375,7 +375,12 @@ object Analytics {
         sum(when(col("y") === 1997, col("cents")).otherwise(0L)).as("rev2"))
       .select(col("c_mktsegment"), col("n1"), col("rev1"), col("n2"), col("rev2"),
         (col("rev2") - col("rev1")).as("delta_cents"),
-        expr("round(CAST((n2 - n1) * rev1 AS DOUBLE) / nullif(n1, 0), 2)")
+        // each operand is cast to double BEFORE the multiply: a
+        // segment-year revenue (~1e13 cents at 100 TB) times an order
+        // delta (~1e6) overflows BIGINT, which non-ANSI Spark wraps
+        // silently while DuckDB errors — the double×double product is
+        // IEEE-identical on both engines and cannot overflow
+        expr("round(CAST(n2 - n1 AS DOUBLE) * CAST(rev1 AS DOUBLE) / nullif(n1, 0), 2)")
           .as("volume_effect_cents"),
         expr("""round(CAST(n2 AS DOUBLE) *
                       (CAST(rev2 AS DOUBLE) / nullif(n2, 0)
@@ -488,7 +493,7 @@ object Analytics {
            FROM o GROUP BY c_mktsegment)
          SELECT c_mktsegment, n1, rev1, n2, rev2,
                 rev2 - rev1 AS delta_cents,
-                round(CAST((n2 - n1) * rev1 AS DOUBLE) / nullif(n1, 0), 2)
+                round(CAST(n2 - n1 AS DOUBLE) * CAST(rev1 AS DOUBLE) / nullif(n1, 0), 2)
                   AS volume_effect_cents,
                 round(CAST(n2 AS DOUBLE) *
                       (CAST(rev2 AS DOUBLE) / nullif(n2, 0)

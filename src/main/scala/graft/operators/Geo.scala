@@ -155,13 +155,140 @@ object Geo {
       .select(col("event_id"), col("zone_x"), col("zone_y"),
         expr(zTerms("zone_x", "zone_y", 8, "DIV")).as("zkey"))
 
+  /** Irregular polygon zone table for [[q131PipZones]] — six simple
+    * polygons (4–7 vertices, two concave) in integer micro-degrees over
+    * the same synthetic city box as q116, with pairwise-disjoint bounding
+    * boxes. One shared literal feeds BOTH the Spark edge frame and the
+    * oracle's VALUES list (the q99/zTerms builder rule), so the two
+    * engines can never see different geometry.
+    */
+  private[graft] val pipPolygons: Seq[(Int, Seq[(Long, Long)])] = Seq(
+    // The synthetic point cloud is (user_id mod)-driven: each user's
+    // points share s = ulon+ulat (their lattice cell's anti-diagonal) and
+    // spread along d = ulat−ulon with `value`. The zones are therefore
+    // 45°-rotated polygons cut from consecutive slabs of s — every zone
+    // catches points at EVERY SF (the smallest SF's 15 users span s ∈
+    // [−35.30M, −35.02M]), and disjoint s-intervals make the zones
+    // provably disjoint (s is linear, so a separating line exists; the
+    // spec still proves pairwise disjointness geometrically).
+    0 -> Seq((-75202000L, 39894000L), (-75190000L, 39900000L),
+      (-75185000L, 39913000L), (-75218000L, 39946000L),
+      (-75231000L, 39941000L), (-75237000L, 39929000L)),
+    1 -> Seq((-75180000L, 39912000L), (-75154000L, 39942000L),
+      (-75190000L, 39978000L), (-75208000L, 39968000L),
+      (-75216000L, 39948000L)),
+    2 -> Seq((-75151000L, 39943000L), (-75131000L, 39959000L),
+      (-75171000L, 39999000L), (-75187000L, 39979000L)),
+    3 -> Seq((-75131000L, 39963000L), (-75119667L, 39970333L),
+      (-75104000L, 39992000L), (-75137000L, 40025000L),
+      (-75142334L, 40011666L), (-75161667L, 40012333L),
+      (-75168000L, 40000000L)),
+    4 -> Seq((-75099000L, 39991000L), (-75083000L, 40011000L),
+      (-75119000L, 40047000L), (-75132000L, 40042000L),
+      (-75138000L, 40030000L)),
+    5 -> Seq((-75082000L, 40014000L), (-75066000L, 40026000L),
+      (-75051000L, 40039000L), (-75090000L, 40078000L),
+      (-75103000L, 40063000L), (-75120000L, 40052000L)))
+
+  /** Ring → directed edge list (zone_id, x1, y1, x2, y2), closing each
+    * polygon back to its first vertex.
+    */
+  private[graft] def pipEdges: Seq[(Int, Long, Long, Long, Long)] =
+    pipPolygons.flatMap { case (z, ring) =>
+      ring.zip(ring.tail :+ ring.head).map { case ((x1, y1), (x2, y2)) =>
+        (z, x1, y1, x2, y2)
+      }
+    }
+
+  /** Even-odd ray-cast edge-crossing predicate over integer micro-degree
+    * columns — the SAME formula text runs in Spark and DuckDB. The test
+    * casts a ray from (px, py) toward +x and counts strict crossings with
+    * the half-open vertex rule `(y1 > py) <> (y2 > py)` (each vertex
+    * belongs to exactly one of its two edges, so a ray through a vertex
+    * never double-counts). The x-intersection compare is cross-multiplied
+    * — `(x2-x1)(py-y1) - (px-x1)(y2-y1)` sign-matched against the edge's
+    * y direction — so no division, no doubles: every term is exact BIGINT
+    * (city-box deltas are < 10^6 µdeg, so products stay < 2^41).
+    *
+    * Boundary tie rule (pinned by GeoSpec): with this formulation a point
+    * exactly ON the boundary lands inside for left/bottom edges and
+    * outside for right/top edges (PNPOLY's classic half-open convention),
+    * so abutting zones sharing an edge would assign each boundary point
+    * to exactly one zone.
+    */
+  private[graft] def rayCrossSql(px: String, py: String): String =
+    s"""((y1 > $py) <> (y2 > $py)) AND
+        (CASE WHEN y2 > y1
+              THEN (x2 - x1) * ($py - y1) - ($px - x1) * (y2 - y1) > 0
+              ELSE (x2 - x1) * ($py - y1) - ($px - x1) * (y2 - y1) < 0 END)"""
+
+  /** q131: point-in-polygon zone assignment — trips assigned to IRREGULAR
+    * polygon zones (the real municipal taxi-zone semantics; q53's grid and
+    * q116's Voronoi snap are the regular approximations) and rolled up per
+    * zone. Even-odd ray cast: count ray/edge crossings per (event, zone),
+    * odd = contained.
+    *
+    * Shape: the edge table (34 rows) broadcasts; the expansion is a
+    * |edges|× projection multiplier immediately cut by the crossing filter
+    * and partially aggregated on (event_id, zone_id) before its one real
+    * exchange — the q116 pattern with a predicate instead of an argmin. At
+    * 100 TB a real zone table (a few hundred zones × dozens of vertices)
+    * still broadcasts at ~100 KB; only if zones × edges outgrew the
+    * executor heap would this need the bbox-bucketed join fallback (assign
+    * candidate zones by grid cell first, ray-cast within the cell).
+    */
+  def q131PipZones(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = broadcast(
+      pipEdges.toDF("zone_id", "x1", "y1", "x2", "y2"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        expr("CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT)")
+          .as("ulat"),
+        expr("CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT)")
+          .as("ulon"))
+      .crossJoin(edges)
+      .filter(expr(rayCrossSql("ulon", "ulat")))
+      .groupBy(col("event_id"), col("zone_id"))
+      // min, not first: value is constant per event, and min renders the
+      // same on the oracle side (first() has no deterministic SQL twin)
+      .agg(count(lit(1)).as("n_cross"), min(col("value")).as("value"))
+      .filter(col("n_cross") % 2 === 1)
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_trips"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_geo_zones" -> (q53GeoZones _),
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
-    "q63_od_matrix" -> (q63OdMatrix _))
+    "q63_od_matrix" -> (q63OdMatrix _),
+    "q131_pip_zones" -> (q131PipZones _))
 
   val oracles: Map[String, String] = Map(
+    "q131_pip_zones" ->
+      s"""WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES
+            ${pipEdges.map { case (z, x1, y1, x2, y2) =>
+              s"($z, $x1, $y1, $x2, $y2)" }.mkString(",\n            ")}),
+          pts AS (
+            SELECT event_id, value,
+                   CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT) AS ulat,
+                   CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT) AS ulon
+            FROM events),
+          crossings AS (
+            SELECT p.event_id, e.zone_id,
+                   count(*) AS n_cross, min(p.value) AS value
+            FROM pts p CROSS JOIN edges e
+            WHERE ${rayCrossSql("ulon", "ulat")}
+            GROUP BY p.event_id, e.zone_id)
+          SELECT CAST(zone_id AS INTEGER) AS zone_id,
+                 count(*) AS n_trips,
+                 round(avg(value), 4) AS avg_value,
+                 round(sum(value), 2) AS total_value
+          FROM crossings WHERE n_cross % 2 = 1
+          GROUP BY zone_id""",
     "q119_zorder" ->
       s"""WITH z AS (
             SELECT event_id,

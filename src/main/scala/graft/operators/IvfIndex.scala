@@ -46,9 +46,30 @@ object IvfIndex {
     * "touch only what changed" rule applied to the vector side). The
     * documented trade: the quantizer drifts as appended data shifts the
     * distribution — when recall decays, `build` re-trains and rewrites.
+    *
+    * DELIVERY CONTRACT (at-least-once, like rollupStream's sink note):
+    * the parquet append commits all-or-nothing per CALL, but a caller that
+    * retries after an unreported success double-inserts the batch — there
+    * is no batch id in the layout to make the append idempotent. Callers
+    * with retry semantics must either dedupe by `vec_id` downstream
+    * (q28's exact-dedup shape over the probe result) or wrap appends in a
+    * batch-id marker the way `Dedup.publishBatch` versions its
+    * generations. The batch is validated against the stored model first:
+    * a wrong-dimension embedding would otherwise poison every future
+    * probe's cosine with a silent zero-padded score.
     */
   def appendBatch(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val centers = loadCenters(s, indexDir)
+    require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
+      s"appendBatch: batch must carry (vec_id, embedding), got ${batch.columns.mkString(", ")}")
+    val dim = centers.head.length
+    // one pass over the (incremental-sized) batch; catches a model/batch
+    // dimensionality mismatch before any file lands in the index
+    val badDims = batch.select(size(col("embedding")).as("d"))
+      .filter(col("d") =!= dim).limit(1).collect()
+    require(badDims.isEmpty,
+      s"appendBatch: embedding dim ${badDims.headOption.map(_.get(0)).getOrElse("?")} " +
+        s"does not match the stored model's dim $dim — retrain via build() instead")
     batch
       .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
       .write.mode(SaveMode.Append).partitionBy("cell")

@@ -307,13 +307,17 @@ object Quality {
           (c, "removed", a(c).dataType.simpleString, null: String)
         } ++
         (a.keySet & b.keySet).toSeq.sorted.flatMap { c =>
-          if (a(c).dataType != b(c).dataType)
-            Some((c, "type_changed",
+          // independent checks, not an else-chain: a column whose type AND
+          // nullability both drifted must surface both rows, or the
+          // contract gate silently drops the nullability change
+          (if (a(c).dataType != b(c).dataType)
+            Seq((c, "type_changed",
               a(c).dataType.simpleString, b(c).dataType.simpleString))
-          else if (a(c).nullable != b(c).nullable)
-            Some((c, "nullability_changed",
+          else Nil) ++
+          (if (a(c).nullable != b(c).nullable)
+            Seq((c, "nullability_changed",
               s"nullable=${a(c).nullable}", s"nullable=${b(c).nullable}"))
-          else None
+          else Nil)
         }
     rows.toDF("column", "status", "old_type", "new_type")
   }

@@ -416,6 +416,17 @@ object TextAnalysis {
     * a pure-projection array fold applies the merge. The vocab is
     * re-checkpointed per iteration so plan depth stays O(1), not
     * O(nMerges).
+    *
+    * Symbol contract (like q90's separator rule): base symbols are BMP
+    * characters. `split(word, '')` segments by Java-regex boundaries
+    * (codepoint-aware: astral characters stay whole) while the spec's
+    * reference tokenizer maps UTF-16 units (`word.map(_.toString)`:
+    * astral characters split into surrogate halves) — the two agree
+    * exactly on BMP text and diverge on emoji/CJK-extension input, so
+    * BMP-only vocabularies are the stated precondition. Callers
+    * tokenizing non-BMP corpora should pre-normalize to a byte-level
+    * alphabet (GPT-2 style) before the vocabulary count; the learner
+    * itself is alphabet-agnostic.
     */
   /** One greedy left-to-right application of merge (l, r) to a `syms`
     * array column — THE merge semantics, shared by the learner

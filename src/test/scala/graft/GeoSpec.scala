@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Geo
+
+/** q131 point-in-polygon: geometry validity, brute-force equivalence,
+  * the boundary/vertex tie rule, and the broadcast plan shape.
+  */
+class GeoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The spec's own PNPOLY: same integer cross-multiplied ray cast as
+    * rayCrossSql, written as a plain Scala loop so the Spark plan is
+    * checked against an independent evaluator, not against itself.
+    */
+  private def contains(ring: Seq[(Long, Long)], px: Long, py: Long): Boolean = {
+    var crossings = 0
+    ring.zip(ring.tail :+ ring.head).foreach { case ((x1, y1), (x2, y2)) =>
+      if ((y1 > py) != (y2 > py)) {
+        val t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        if (if (y2 > y1) t > 0 else t < 0) crossings += 1
+      }
+    }
+    crossings % 2 == 1
+  }
+
+  test("q131 zone polygons are simple (no self-intersections) and pairwise disjoint") {
+    // orientation-based proper-intersection test; products fit comfortably
+    // in Long for city-box µdeg coordinates (< 2^41)
+    def orient(ax: Long, ay: Long, bx: Long, by: Long, cx: Long, cy: Long): Long =
+      java.lang.Long.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+    def properCross(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean = {
+      val (p1x, p1y, p2x, p2y) = a
+      val (q1x, q1y, q2x, q2y) = b
+      orient(p1x, p1y, p2x, p2y, q1x, q1y) * orient(p1x, p1y, p2x, p2y, q2x, q2y) < 0 &&
+        orient(q1x, q1y, q2x, q2y, p1x, p1y) * orient(q1x, q1y, q2x, q2y, p2x, p2y) < 0
+    }
+    def edgesOf(ring: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      ring.zip(ring.tail :+ ring.head)
+        .map { case ((x1, y1), (x2, y2)) => (x1, y1, x2, y2) }
+    for ((z, ring) <- Geo.pipPolygons) {
+      assert(ring.size >= 4, s"zone $z: too few vertices")
+      val edges = edgesOf(ring)
+      for (i <- edges.indices; j <- edges.indices if j > i + 1)
+        if (!(i == 0 && j == edges.size - 1)) // closing edge is adjacent to edge 0
+          assert(!properCross(edges(i), edges(j)),
+            s"zone $z: edges $i and $j intersect — polygon is not simple")
+    }
+    // pairwise disjoint: two simple polygons intersect only if some edges
+    // properly cross, or one contains a vertex of the other — assert
+    // neither, so no point can ever land in two zones
+    for (Seq((za, ra), (zb, rb)) <- Geo.pipPolygons.combinations(2)) {
+      for (ea <- edgesOf(ra); eb <- edgesOf(rb))
+        assert(!properCross(ea, eb), s"zones $za/$zb: boundaries cross")
+      for ((vx, vy) <- ra)
+        assert(!contains(rb, vx, vy), s"zone $za vertex inside zone $zb")
+      for ((vx, vy) <- rb)
+        assert(!contains(ra, vx, vy), s"zone $zb vertex inside zone $za")
+    }
+  }
+
+  test("q131 equals a driver-side brute-force ray cast per zone") {
+    val got = Geo.q131PipZones(spark, sf).collect()
+      .map(r => r.getAs[Int]("zone_id") ->
+        (r.getAs[Long]("n_trips"), r.getAs[Double]("total_value"))).toMap
+    // same synthetic projection as the plan, evaluated in plain Scala
+    // (JVM doubles — bit-identical to Spark's codegen arithmetic)
+    val pts = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map { r =>
+        val (u, v) = (r.getLong(0), r.getDouble(1))
+        (math.round((39.9 + (u % 37) * 0.01 + v * 1e-4) * 1000000),
+          math.round((-75.2 + (u % 53) * 0.01 - v * 1e-4) * 1000000), v)
+      }
+    val want = Geo.pipPolygons.map { case (z, ring) =>
+      val in = pts.filter { case (ulat, ulon, _) => contains(ring, ulon, ulat) }
+      z -> (in.length.toLong,
+        BigDecimal(in.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2._1 > 0).toMap
+    assert(got.keySet == want.keySet,
+      s"zones with hits: got ${got.keySet.toSeq.sorted}, want ${want.keySet.toSeq.sorted}")
+    for ((z, (n, tot)) <- want) {
+      assert(got(z)._1 == n, s"zone $z: ${got(z)._1} != $n trips")
+      // summation order differs (partition tree vs collection fold): allow
+      // a post-round cent of drift, same bound as the q130 spec
+      assert(math.abs(got(z)._2 - tot) < 0.05, s"zone $z: ${got(z)._2} != $tot")
+    }
+    // every zone of the table should actually catch trips at this SF —
+    // otherwise the geometry silently misses the point lattice
+    assert(want.size == Geo.pipPolygons.size, s"empty zones: ${
+      Geo.pipPolygons.map(_._1).toSet -- want.keySet}")
+  }
+
+  test("q131 boundary tie rule: left/bottom edges and vertices in, right/top out") {
+    // the documented PNPOLY half-open convention on an axis-aligned square
+    val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val cases = Seq(
+      ((5L, 5L), true), // interior
+      ((15L, 5L), false), // exterior
+      ((0L, 5L), true), // left edge → in
+      ((10L, 5L), false), // right edge → out
+      ((5L, 0L), true), // bottom edge → in
+      ((5L, 10L), false), // top edge → out
+      ((0L, 0L), true), // bottom-left vertex → in
+      ((10L, 10L), false)) // top-right vertex → out
+    for (((px, py), want) <- cases)
+      assert(contains(square, px, py) == want, s"($px,$py) expected in=$want")
+    // and the SQL formula agrees with the Scala evaluator on every case:
+    // run rayCrossSql through Spark over the square's edge table
+    val s = spark
+    import s.implicits._
+    val edges = square.zip(square.tail :+ square.head)
+      .map { case ((x1, y1), (x2, y2)) => (x1, y1, x2, y2) }
+      .toDF("x1", "y1", "x2", "y2")
+    val probes = cases.map(_._1).toDF("px", "py")
+    val viaSql = probes.crossJoin(edges)
+      .filter(expr(Geo.rayCrossSql("px", "py")))
+      .groupBy(col("px"), col("py")).agg(count(lit(1)).as("n"))
+      .filter(col("n") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == cases.filter(_._2).map(_._1).toSet)
+  }
+
+  test("q131 plan: edges broadcast, parity agg is a partial-agg'd hash aggregate") {
+    val p = Geo.q131PipZones(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // the (event_id, zone_id) parity agg partial-aggregates before its
+    // exchange: exactly one event-scale shuffle plus the zone rollup's
+    assert("Exchange hashpartitioning\\(event_id".r.findAllIn(p).size == 1, p)
+  }
+}

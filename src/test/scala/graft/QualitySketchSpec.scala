@@ -155,6 +155,7 @@ class QualitySketchSpec extends AnyFunSuite {
         StructField("gone", StringType),
         StructField("widened", IntegerType),
         StructField("relaxed", StringType, nullable = false),
+        StructField("both", IntegerType, nullable = false),
         StructField("same", DoubleType))))
     val nw = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -163,11 +164,14 @@ class QualitySketchSpec extends AnyFunSuite {
         StructField("fresh", StringType),
         StructField("widened", LongType),
         StructField("relaxed", StringType, nullable = true),
+        StructField("both", LongType, nullable = true),
         StructField("same", DoubleType))))
     val got = Quality.schemaDiff(old, nw)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a column with BOTH drifts reports both rows, not just the type one
     assert(got == Set(("fresh", "added"), ("gone", "removed"),
-      ("widened", "type_changed"), ("relaxed", "nullability_changed")))
+      ("widened", "type_changed"), ("relaxed", "nullability_changed"),
+      ("both", "type_changed"), ("both", "nullability_changed")))
     // identical schemas diff to empty
     assert(Quality.schemaDiff(old, old).isEmpty)
   }
