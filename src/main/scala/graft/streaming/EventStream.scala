@@ -338,7 +338,10 @@ object EventStream {
     * between the two leaves the data applied but the id unrecorded, and
     * the at-least-once replay re-merges the fragment — double-counting
     * every additive counter. The replay guard is only as strong as the
-    * sink's atomicity.
+    * sink's atomicity. [[RollupSink]] implements the contract: the batch
+    * id is the generation directory's NAME, so one staged-dir rename
+    * commits rows and id together (RollupMaintenanceSpec kills the
+    * publish between stage and commit and shows no double-count).
     */
   def rollupStream(
       events: Dataset[Event],

@@ -80,6 +80,66 @@ class RollupMaintenanceSpec extends AnyFunSuite {
       "a genuinely new batch must apply")
   }
 
+  test("s10 through RollupSink: atomic generations converge to the rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStream, RollupSink}
+    import graft.streaming.EventStream.Event
+    val path = java.nio.file.Files.createTempDirectory("graft-rollupsink-").toString + "/rollup"
+    val events = Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val (b1, b2) = events.partition(_.event_id % 2 == 0) // split mid-day
+    val ms = MemoryStream[Event]
+    val q = EventStream.rollupStream(ms.toDS(), () => RollupSink.load(s, path))(
+      RollupSink.publish(s, path)).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val Some((maintained, lastId)) = RollupSink.load(s, path)
+    assert(lastId == 1L, s"two micro-batches -> last applied id 1, got $lastId")
+    val rebuild = readable(Quality.dailyRollup(Tables.events(s, sf)))
+    val got = readable(maintained)
+    assert(got.count() == rebuild.count() && rebuild.count() > 0)
+    assert(got.exceptAll(rebuild).count() == 0 && rebuild.exceptAll(got).count() == 0,
+      "sink-maintained table must equal the batch rebuild")
+  }
+
+  test("RollupSink: crash between stage and commit cannot double-count") {
+    val s = spark
+    import graft.streaming.{EventStream, RollupSink}
+    val path = java.nio.file.Files.createTempDirectory("graft-rollupcrash-").toString + "/rollup"
+    val ev = Tables.events(s, sf)
+    val frag0 = Quality.dailyRollup(ev.filter(col("event_id") % 2 === 0))
+    val frag1 = Quality.dailyRollup(ev.filter(col("event_id") % 2 =!= 0))
+    RollupSink.publish(s, path)(frag0, 0L)
+    val before = readable(RollupSink.load(s, path).get._1).collect().toSet
+    // batch 1 computes its merged delta and STAGES it, then the process
+    // dies before the rename: nothing of batch 1 may be visible
+    val delta1 = EventStream.rollupBatch(RollupSink.load(s, path), frag1, 1L).get
+    RollupSink.stage(delta1, path, 1L)
+    val Some((afterCrash, lastApplied)) = RollupSink.load(s, path)
+    assert(lastApplied == 0L, "staged-but-uncommitted batch must not advance the id")
+    assert(readable(afterCrash).collect().toSet == before,
+      "staged-but-uncommitted rows must be invisible")
+    // the replay then applies batch 1 exactly once (rollupBatch recomputes
+    // from the store, whose id still says 0) and the result is the rebuild
+    val replayed = EventStream.rollupBatch(RollupSink.load(s, path), frag1, 1L)
+    assert(replayed.isDefined, "replay of the lost batch must apply")
+    RollupSink.publish(s, path)(replayed.get, 1L)
+    // a second retry of the SAME commit (success report lost after the
+    // rename) is discarded by the sink, and rollupBatch skips it anyway
+    RollupSink.publish(s, path)(replayed.get, 1L)
+    assert(EventStream.rollupBatch(RollupSink.load(s, path), frag1, 1L).isEmpty)
+    val got = readable(RollupSink.load(s, path).get._1)
+    val rebuild = readable(Quality.dailyRollup(ev))
+    assert(got.exceptAll(rebuild).count() == 0 && rebuild.exceptAll(got).count() == 0,
+      "after crash + replay + duplicate retry the table equals the rebuild")
+  }
+
   test("merge is associative across a three-way split") {
     val ev = Tables.events(spark, sf)
     val frags = (0 until 3).map(i => Quality.dailyRollup(ev.filter(col("event_id") % 3 === i)))
