@@ -262,10 +262,15 @@ object Quality {
     * ((rnk−1)·10 div n) both engines evaluate identically.
     */
   def q111EquidepthHist(s: SparkSession, dir: String): DataFrame = {
-    val pc = Tables.orders(s, dir).select(
-      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-      col("o_orderkey"))
-      .withColumn("band", expr("cents DIV 1000000"))
+    // equi-depth bands from a quantile sketch (Bands) — fitting for an
+    // equi-depth HISTOGRAM: the banding pre-balances exactly the way the
+    // deciles cut, whatever the distribution; decile ids depend only on
+    // global rank, so boundaries can't move the oracle hash
+    val pc = Bands.withEquiDepthBand(
+      Tables.orders(s, dir).select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey")),
+      "cents")
     val counts = pc.groupBy(col("band")).agg(count(lit(1)).as("bn"))
       .withColumn("n_before", coalesce(
         sum(col("bn")).over(Window.orderBy(col("band"))

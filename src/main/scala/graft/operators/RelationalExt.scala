@@ -121,12 +121,15 @@ object RelationalExt {
     */
   def q129Skyline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(s, dir).select(
-      col("o_orderkey"),
-      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-      expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
-        .cast("long").as("day"))
-      .withColumn("band", expr("cents DIV 1000000"))
+    // equi-depth bands (Bands): the staircase walk stays balanced even if
+    // prices concentrate; the frontier itself is band-independent
+    val o = Bands.withEquiDepthBand(
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+          .cast("long").as("day")),
+      "cents")
     // per-band max day + the running max over all HIGHER bands (tiny frame)
     val higher = o.groupBy(col("band")).agg(max(col("day")).as("bmax"))
       .withColumn("higher_max",

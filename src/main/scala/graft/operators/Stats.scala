@@ -278,18 +278,26 @@ object Stats {
     * G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over revenue ranked ascending.
     *
     * The global rank is the scale trick again (q97/q103's decomposition,
-    * here keyed on the VALUE): rank within a fixed-width revenue band +
-    * the broadcast count of all lower bands — the band is a monotone
-    * function of the sort key, so band-then-key order IS the global
-    * order and no single-partition window ever sees the customer table.
+    * here keyed on the VALUE): rank within an equi-depth revenue band
+    * ([[Bands]] — sketch-quantile boundaries, balanced on any
+    * distribution) + the broadcast count of all lower bands — the band is
+    * a monotone function of the sort key, so band-then-key order IS the
+    * global order and no single-partition window ever sees the customer
+    * table.
     * Σ(rank·x) aggregates in decimal (exact at any scale); the Gini is
     * one final scalar double.
     */
   def q105Gini(s: SparkSession, dir: String): DataFrame = {
-    val pc = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-      .withColumn("band", expr("cents DIV 1000000"))
+    // equi-depth bands from a quantile sketch (Bands): balanced window
+    // partitions on any revenue distribution, where the former fixed
+    // $10k widths would collapse a concentrated distribution into one
+    // partition; ranks are boundary-independent, so the oracle hash
+    // cannot move
+    val pc = Bands.withEquiDepthBand(
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents")),
+      "cents")
     val wBand = Window.partitionBy(col("band")).orderBy(col("cents"), col("o_custkey"))
     val counts = pc.groupBy(col("band")).agg(count(lit(1)).as("bn"))
       .withColumn("n_before", coalesce(

@@ -267,4 +267,33 @@ class StatsSpec extends AnyFunSuite {
     assert(unpivotTotal == factTotal)
     df.unpersist()
   }
+
+  test("equi-depth banding balances a distribution concentrated in one $10k slice") {
+    val s = spark
+    import s.implicits._
+    // 10k rows, ALL inside cents band 0 of the former fixed-width scheme
+    // (cents DIV 1000000 == 0): the old banding would put 100% of rows in
+    // one window partition; the sketch boundaries must split them
+    val n = 10000
+    val df = s.range(n).select((col("id") * 97 % 999983).as("cents"))
+    val nBands = 32
+    val banded = graft.operators.Bands.withEquiDepthBand(df, "cents", nBands)
+    assert(banded.select("band").distinct().count() >= nBands / 2,
+      "concentrated data must still spread over many bands")
+    val sizes = banded.groupBy("band").count().collect().map(_.getLong(1))
+    assert(sizes.max <= 2L * n / nBands,
+      s"largest band ${sizes.max} exceeds 2n/K = ${2L * n / nBands}")
+    // monotone in the key: bands ordered by id are ordered by value range,
+    // so band-then-key order is global order (the decomposition invariant)
+    val ranges = banded.groupBy("band")
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    for (Array((_, _, hi), (_, lo, _)) <- ranges.sliding(2).map(_.toArray))
+      assert(hi <= lo, "band value ranges must not interleave")
+    // ties never straddle a boundary: every distinct key maps to one band
+    val multiBand = banded.groupBy("cents")
+      .agg(countDistinct("band").as("nb")).filter(col("nb") > 1).count()
+    assert(multiBand == 0)
+  }
 }
