@@ -215,11 +215,18 @@ object Quality {
 
   /** Mergeable per-(event_type, day) rollup state — the maintained
     * materialized view of a publication pipeline: additive counters plus a
-    * binary HLL user sketch, so the table can be REFRESHED by merging new
-    * fragments ([[mergeRollups]]) instead of rescanning history. Everything
-    * in the row is a commutative monoid (sums, min/max, sketch union);
-    * RollupMaintenanceSpec proves merge ≡ rebuild exactly, including for
-    * fragments that split a day across refreshes.
+    * binary HLL user sketch AND a binary KLL value-quantile sketch, so the
+    * table can be REFRESHED by merging new fragments ([[mergeRollups]])
+    * instead of rescanning history, and BOTH distinct-count and percentile
+    * questions over any date range answer from the persisted ~KB sketches
+    * (`kll_sketch_get_quantile_bigint(kll_merge_agg_bigint(cents_sketch),
+    * 0.5)` over the range's rows) — no event rescan. Everything in the row
+    * is a commutative monoid (sums, min/max, sketch union);
+    * RollupMaintenanceSpec proves merge ≡ rebuild exactly for the exact
+    * columns and HLL (whose register-max union is lossless), and within
+    * KLL's normalized rank error for the quantile column (KLL merge is
+    * mergeable-with-bounded-error, not bit-lossless — k=200 keeps the
+    * rank error ≤ ~1.65%).
     */
   def dailyRollup(events: DataFrame): DataFrame =
     events
@@ -233,7 +240,8 @@ object Quality {
         sum(col("cents")).as("sum_cents"),
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"),
-        hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"))
+        hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"),
+        expr("kll_sketch_agg_bigint(cents, 200)").as("cents_sketch"))
 
   /** Merge rollup fragments (possibly sharing days): counters add, bounds
     * fold, sketches union — associative and commutative, so any refresh
@@ -249,7 +257,8 @@ object Quality {
         sum(col("sum_cents")).as("sum_cents"),
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"),
-        hll_union_agg(col("user_sketch"), lit(false)).as("user_sketch"))
+        hll_union_agg(col("user_sketch"), lit(false)).as("user_sketch"),
+        expr("kll_merge_agg_bigint(cents_sketch)").as("cents_sketch"))
 
   /** q111: equi-depth (decile) histogram over order totals — q72's
     * fixed-width complement and the profiler's second histogram flavor:

@@ -31,6 +31,47 @@ class RollupMaintenanceSpec extends AnyFunSuite {
       "merge must be indistinguishable from a rebuild")
   }
 
+  test("merged KLL quantile state answers range medians within the rank-error bound") {
+    val ev = Tables.events(spark, sf)
+    // medians from the MERGED sketch (mid-day split: both fragments feed
+    // the same cells) and from the direct rebuild's sketch
+    val meds = Quality.mergeRollups(
+      Quality.dailyRollup(ev.filter(col("event_id") % 2 === 0)),
+      Quality.dailyRollup(ev.filter(col("event_id") % 2 =!= 0)))
+      .select(col("event_type"), col("day"),
+        expr("kll_sketch_get_quantile_bigint(cents_sketch, 0.5)").as("sk_p50"))
+      .join(Quality.dailyRollup(ev)
+        .select(col("event_type"), col("day"),
+          expr("kll_sketch_get_quantile_bigint(cents_sketch, 0.5)").as("rb_p50")),
+        Seq("event_type", "day"))
+    // KLL returns an ORDER STATISTIC (inclusive-rank quantile, no
+    // interpolation), so the right bound is on the returned value's EXACT
+    // normalized rank in its cell: within ±(10% + 1/n discreteness) of
+    // 0.5 — KLL k=200 guarantees ~1.65%, and tiny sf0.001 cells (n≈4–12)
+    // are exact in the sketch but quantized by 1/n. A broken merge
+    // (double-counted fragment, dropped rows) blows far outside this.
+    val cells = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val ranks = cells.join(meds, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("cents") <= col("sk_p50"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double")).as("sk_rank"),
+        (sum(when(col("cents") <= col("rb_p50"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double")).as("rb_rank"))
+      .collect()
+    assert(ranks.nonEmpty)
+    ranks.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      for (c <- Seq("sk_rank", "rb_rank")) {
+        val rk = r.getAs[Double](c)
+        assert(rk >= 0.5 - 0.1 && rk - 1.0 / n <= 0.5 + 0.1,
+          s"${r.get(0)}/${r.get(1)}: $c=$rk (n=$n) outside the median rank window")
+      }
+    }
+  }
+
   test("s10 streaming maintenance converges to the batch rebuild through a parquet store") {
     val s = spark
     import s.implicits._
