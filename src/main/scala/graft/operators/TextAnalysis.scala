@@ -207,6 +207,39 @@ object TextAnalysis {
       .withColumn("accept", col("reject_reason").isNull)
   }
 
+  /** q132: duplicate-coverage repetition signals — the Gopher repetition
+    * family q65's top-trigram share does NOT capture: a document that
+    * repeats many DIFFERENT phrases scores low on top-gram share but high
+    * here. Per doc: `dupword_bp` (1 − distinct/total words) and `dup5_bp`
+    * (share of 5-gram occurrences that are repeats of an earlier 5-gram),
+    * both integer basis points (engine-exact).
+    *
+    * Shape: the word metrics are a pure projection (`array_distinct` —
+    * zero shuffle); only the 5-gram metric needs the (doc, gram)
+    * aggregation, partially combined before its exchange, then a per-doc
+    * rollup and a doc-key join. Docs under 5 words carry dup5_bp = 0 via
+    * the left join's coalesce, identically in both engines.
+    */
+  def q132DupCoverage(s: SparkSession, dir: String): DataFrame = {
+    val g5 = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("(sum(c) - count(*)) * 10000 DIV sum(c)").as("dup5_bp"))
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        expr("(n_words - n_distinct) * 10000 DIV greatest(n_words, 1)").as("dupword_bp"),
+        coalesce(col("dup5_bp"), lit(0L)).as("dup5_bp"))
+  }
+
   /** q68: language rebalancing — down-sample over-represented languages to
     * a per-language cap (the corpus-mixing step of LLM data prep: nothing
     * above ~30% share). The sampling coin is DETERMINISTIC AND
@@ -628,9 +661,30 @@ object TextAnalysis {
     "q65_corpus_filter" -> (q65CorpusFilter _),
     "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)),
     "q74_train_split"   -> (q74TrainSplit _),
-    "q75_bigram_stats"  -> (q75BigramStats _))
+    "q75_bigram_stats"  -> (q75BigramStats _),
+    "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q132_dup_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i
+                FROM t WHERE len(w) >= 5),
+         gc AS (SELECT doc_id,
+                       w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS g,
+                       count(*) AS c
+                FROM ix GROUP BY 1, 2),
+         g5 AS (SELECT doc_id,
+                       (CAST(sum(c) AS BIGINT) - count(*)) * 10000
+                         // CAST(sum(c) AS BIGINT) AS dup5_bp
+                FROM gc GROUP BY doc_id),
+         base AS (SELECT doc_id,
+                         CAST(len(w) AS BIGINT) AS n_words,
+                         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+                  FROM t)
+         SELECT base.doc_id, n_words,
+                (n_words - n_distinct) * 10000 // greatest(n_words, 1) AS dupword_bp,
+                COALESCE(g5.dup5_bp, 0) AS dup5_bp
+         FROM base LEFT JOIN g5 ON base.doc_id = g5.doc_id""",
     "q115_corpus_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') w FROM documents),
          ix AS (SELECT source, w, unnest(generate_series(1, len(w)-4)) i

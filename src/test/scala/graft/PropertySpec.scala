@@ -262,4 +262,26 @@ class PropertySpec extends AnyFunSuite {
         s"event ${r.getAs[Long]("event_id")}: ${r.getAs[Double]("ewma_cents")} vs $want")
     }
   }
+
+  test("q132 duplicate-coverage equals a driver-side brute force on every doc") {
+    val got = graft.operators.TextAnalysis.q132DupCoverage(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("dupword_bp"), r.getAs[Long]("dup5_bp")))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      // split limit -1: Spark's split keeps trailing empty tokens
+      val w = r.getString(1).split(" ", -1)
+      val n = w.length.toLong
+      val dupw = (n - w.distinct.length) * 10000 / math.max(n, 1)
+      val g5 = w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toVector
+      val dup5 = if (g5.nonEmpty) (g5.size - g5.distinct.size).toLong * 10000 / g5.size else 0L
+      assert(got(id) == ((n, dupw, dup5)), s"doc $id: got ${got(id)}, want ($n, $dupw, $dup5)")
+    }
+    // the two signals are genuinely different axes: some doc must repeat
+    // words without repeating any 5-gram (else the metric is redundant)
+    assert(got.values.exists { case (_, dw, d5) => dw > 0 && d5 == 0 })
+  }
 }
