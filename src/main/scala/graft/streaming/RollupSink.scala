@@ -63,6 +63,39 @@ object RollupSink {
   def publish(s: SparkSession, tableDir: String)(delta: DataFrame, batchId: Long): Unit =
     commit(s, tableDir, stage(delta, tableDir, batchId), batchId)
 
+  /** Bound the delta chain: delete every generation whose cells ALL
+    * reappear in some newer generation — a reader reconstructing the
+    * table (max gen per cell) can never need a shadowed generation, so
+    * the delete does not change `load`'s result, and the max generation
+    * (which carries the last-applied batch id in its name) is never
+    * shadowed by definition. The shadow computation reads only the
+    * cell-key columns (column-pruned, cell-count-bounded); run gc from
+    * the maintenance process, not concurrently with a reader that has
+    * already planned a scan over the old file list — the same caveat as
+    * any file-level compaction. Returns the deleted batch ids.
+    */
+  def gc(s: SparkSession, tableDir: String): Seq[Long] = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val gens = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+    if (gens.size < 2) return Nil
+    val w = Window.partitionBy(CellKeys.map(col): _*)
+    // a generation survives iff it carries the newest copy of some cell
+    val live = s.read.parquet(tableDir)
+      .select((col("gen") +: CellKeys.map(col)): _*)
+      .withColumn("mx", max(col("gen")).over(w))
+      .filter(col("gen") === col("mx"))
+      // cast: partition-column inference may type small ids as INT
+      .select(col("gen").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val shadowed = gens.filterNot(g => g == gens.max || live.contains(g)).sorted
+    shadowed.foreach(g => fs.delete(new Path(s"$tableDir/gen=$g"), true))
+    shadowed
+  }
+
   /** The `store` to hand to [[EventStream.rollupStream]]: current table +
     * last-applied batch id, or None before the first commit. The
     * generation listing is a driver-side directory list bounded by batch

@@ -181,6 +181,37 @@ class RollupMaintenanceSpec extends AnyFunSuite {
       "after crash + replay + duplicate retry the table equals the rebuild")
   }
 
+  test("RollupSink.gc removes exactly the shadowed generations, load unchanged") {
+    val s = spark
+    import graft.streaming.{EventStream, RollupSink}
+    val path = java.nio.file.Files.createTempDirectory("graft-rollupgc-").toString + "/rollup"
+    val ev = Tables.events(s, sf)
+    // batch 0: everything; batch 1: a fragment touching EVERY cell again
+    // (rollupBatch emits fully-merged replacement rows for touched cells,
+    // so gen=0 becomes fully shadowed); batch 2: a single-day fragment
+    RollupSink.publish(s, path)(Quality.dailyRollup(ev), 0L)
+    val frag1 = Quality.dailyRollup(ev) // touches all cells
+    RollupSink.publish(s, path)(
+      EventStream.rollupBatch(RollupSink.load(s, path), frag1, 1L).get, 1L)
+    val day0 = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(min("d")).collect()(0).getLong(0)
+    val frag2 = Quality.dailyRollup(
+      ev.filter(expr(s"unix_micros(ts) div 86400000000 = $day0")))
+    RollupSink.publish(s, path)(
+      EventStream.rollupBatch(RollupSink.load(s, path), frag2, 2L).get, 2L)
+    val before = readable(RollupSink.load(s, path).get._1).collect().toSet
+    val deleted = RollupSink.gc(s, path)
+    // gen=0 is fully shadowed by gen=1; gen=1 still carries the newest
+    // copy of every non-day0 cell; gen=2 is the max
+    assert(deleted == Seq(0L), s"deleted $deleted")
+    val Some((after, lastId)) = RollupSink.load(s, path)
+    assert(lastId == 2L)
+    assert(readable(after).collect().toSet == before,
+      "gc must not change the reconstructed table")
+    // idempotent: nothing left to collect
+    assert(RollupSink.gc(s, path).isEmpty)
+  }
+
   test("merge is associative across a three-way split") {
     val ev = Tables.events(spark, sf)
     val frags = (0 until 3).map(i => Quality.dailyRollup(ev.filter(col("event_id") % 3 === i)))
