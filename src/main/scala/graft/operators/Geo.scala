@@ -260,14 +260,79 @@ object Geo {
         round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Hex cell size in degrees (center-to-edge scale parameter). */
+  private val HexSize = 0.03
+
+  /** The pointy-top axial hex assignment as a SHARED chain of named
+    * intermediate formulas (the zTerms/q99 builder rule, applied to a
+    * multi-step computation): fractional axial coords, then cube rounding
+    * with `floor(v + 0.5)` as the rounding primitive — both engines
+    * define it identically, unlike round()'s half-even/half-up split.
+    * Every step is the same IEEE double expression TEXT in Spark and
+    * DuckDB (constants written as literals — sqrt(3)/3 etc. pre-folded),
+    * so the assignment cannot ulp-diverge between plan and oracle: same
+    * ops, same order, same doubles.
+    */
+  private[graft] def hexSteps(lat: String, lon: String): Seq[(String, String)] = Seq(
+    "qf" -> s"(0.5773502691896258 * ($lon) - 0.3333333333333333 * ($lat)) / $HexSize",
+    "rf" -> s"(0.6666666666666666 * ($lat)) / $HexSize",
+    "sf" -> "-qf - rf",
+    "rq" -> "CAST(floor(qf + 0.5) AS BIGINT)",
+    "rr" -> "CAST(floor(rf + 0.5) AS BIGINT)",
+    "rs" -> "CAST(floor(sf + 0.5) AS BIGINT)",
+    "dq" -> "abs(rq - qf)",
+    "dr" -> "abs(rr - rf)",
+    "ds" -> "abs(rs - sf)",
+    // cube-round repair: push the axis with the largest rounding error
+    // back onto the q+r+s=0 plane; only the q and r axes reach the output
+    "hex_q" -> "CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END",
+    "hex_r" -> "CASE WHEN NOT(dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END")
+
+  /** q133: hexagonal zone binning + rollup — the H3-style spatial index
+    * every trip stack uses between q53's square grid and q131's exact
+    * polygons: hexes have uniform center distance to all 6 neighbors, so
+    * density rollups don't suffer the square grid's diagonal-neighbor
+    * bias. Pure projection (zero shuffle for the assignment) + one
+    * (hex_q, hex_r) rollup exchange — q53's plan shape on a hexagonal
+    * lattice. The spec proves each point's assigned hex center is the
+    * nearest of all its neighbor centers (the defining Voronoi property
+    * of cube rounding).
+    */
+  def q133HexBins(s: SparkSession, dir: String): DataFrame =
+    hexSteps("lat", "lon").foldLeft(
+      Tables.events(s, dir)
+        .withColumn("lat", synthLat)
+        .withColumn("lon", synthLon)) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      .groupBy(col("hex_q"), col("hex_r"))
+      .agg(count(lit(1)).as("n_trips"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_geo_zones" -> (q53GeoZones _),
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
-    "q131_pip_zones" -> (q131PipZones _))
+    "q131_pip_zones" -> (q131PipZones _),
+    "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q133_hex_bins" -> {
+      val steps = hexSteps("lat", "lon")
+      val ctes = steps.zipWithIndex.map { case ((n, f), i) =>
+        s"s$i AS (SELECT *, $f AS $n FROM ${if (i == 0) "pts" else s"s${i - 1}"})"
+      }.mkString(",\n          ")
+      s"""WITH pts AS (
+            SELECT 39.9 + (user_id % 37) * 0.01 + value * 1e-4 AS lat,
+                   -75.2 + (user_id % 53) * 0.01 - value * 1e-4 AS lon,
+                   value
+            FROM events),
+          $ctes
+          SELECT hex_q, hex_r, count(*) AS n_trips,
+                 round(avg(value), 4) AS avg_value,
+                 round(sum(value), 2) AS total_value
+          FROM s${steps.size - 1} GROUP BY 1, 2"""
+    },
     "q131_pip_zones" ->
       s"""WITH edges(zone_id, x1, y1, x2, y2) AS (VALUES
             ${pipEdges.map { case (z, x1, y1, x2, y2) =>

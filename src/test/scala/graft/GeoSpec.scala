@@ -122,6 +122,42 @@ class GeoSpec extends AnyFunSuite {
     assert(viaSql == cases.filter(_._2).map(_._1).toSet)
   }
 
+  test("q133 hex assignment is the nearest hex center (Voronoi property), one exchange") {
+    val s = spark
+    // recompute the per-point assignment with the SAME shared formula
+    // chain the query uses, then verify geometrically: the assigned
+    // cell's center must be at least as close as all six neighbors'
+    val size = 0.03
+    val pts = graft.operators.Geo.hexSteps("lat", "lon").foldLeft(
+      Tables.events(spark, sf)
+        .withColumn("lat", expr("39.9 + (user_id % 37) * 0.01 + value * 1e-4"))
+        .withColumn("lon", expr("-75.2 + (user_id % 53) * 0.01 - value * 1e-4"))) {
+        case (df, (n, f)) => df.withColumn(n, expr(f))
+      }
+      .select("lat", "lon", "hex_q", "hex_r").collect()
+    assert(pts.nonEmpty)
+    def center(q: Long, r: Long): (Double, Double) =
+      (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
+    def d2(x: Double, y: Double, c: (Double, Double)): Double =
+      (x - c._1) * (x - c._1) + (y - c._2) * (y - c._2)
+    val neighbors = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L), (1L, -1L), (-1L, 1L))
+    pts.foreach { row =>
+      val (lat, lon) = (row.getDouble(0), row.getDouble(1))
+      val (q, r) = (row.getLong(2), row.getLong(3))
+      val own = d2(lon, lat, center(q, r))
+      neighbors.foreach { case (dq, dr) =>
+        val other = d2(lon, lat, center(q + dq, r + dr))
+        // strictly interior points are closer; exact boundary ties (measure
+        // zero, but synthetic data could hit one) may equal
+        assert(own <= other + 1e-12,
+          s"($lat,$lon) -> ($q,$r) but neighbor (${q + dq},${r + dr}) is closer")
+      }
+    }
+    // assignment is a pure projection: the only exchange is the rollup's
+    val p = graft.operators.Geo.q133HexBins(s, sf).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("q131 plan: edges broadcast, parity agg is a partial-agg'd hash aggregate") {
     val p = Geo.q131PipZones(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
