@@ -153,7 +153,7 @@ object Similarity {
     * many corpora. Persisted indexes ([[IvfIndex.build]]) are unaffected —
     * their model lives with the index files.
     */
-  def invalidateQuantizerCache(): Unit = centroidCache.clear()
+  def invalidateQuantizerCache(): Unit = { centroidCache.clear(); pqCache.clear() }
 
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int,
@@ -299,8 +299,177 @@ object Similarity {
       .withColumn("iqr_micro",
         expr("round(p75_micro - p25_micro, 4)"))
 
+  // ---- Product quantization (q134): the vector-COMPRESSION half of the
+  // 100 TB ANN story. IVF (q48) prunes which vectors a query SCANS;
+  // PQ shrinks what each scanned vector COSTS: the 64×float32 embedding
+  // becomes m=8 codebook indices (≤1 byte each) — a 32× smaller serving
+  // table whose approximate scores need no float vectors at all.
+
+  private val PqM         = 8  // subspaces (64 dims → 8 per subspace)
+  private val PqK         = 32 // codewords per subspace codebook
+  private val PqShortlist = 128 // ADC candidates kept per query for re-rank
+
+  /** L2-normalized double copy of a float vector (zero vectors pass
+    * through unscaled rather than dividing by zero). Normalizing before
+    * encoding makes the ADC inner product approximate COSINE directly.
+    */
+  private def normalized(v: Column): Column = {
+    val l2 = sqrt(VectorOps.dot(v, v))
+    when(l2 > 0, transform(v, x => x.cast("double") / l2))
+      .otherwise(transform(v, x => x.cast("double")))
+  }
+
+  /** The m subvectors of a normalized embedding, materialized ONCE as an
+    * attribute so the 256 per-codeword distance expressions reference a
+    * named column instead of re-deriving the normalization per codeword
+    * (CollapseProject would happily inline a cheap alias m·k times).
+    */
+  private def withSubvectors(df: DataFrame, vec: String, m: Int): DataFrame = {
+    val subDim = Dim / m
+    df.withColumn("xn", normalized(col(vec)))
+      .withColumn("subs", array((0 until m).map(j =>
+        slice(col("xn"), j * subDim + 1, subDim)): _*))
+  }
+
+  /** Nearest codeword of one subspace book for a subvector: argmin‖x−c‖²
+    * = argmax(2x·c − c²) — x² is constant per row and never computed.
+    * Ties break toward the smaller code id (struct-max on negcode).
+    */
+  private def pqCodeCol(sub: Column, book: Array[Array[Double]]): Column = {
+    val scored = array(book.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((VectorOps.dot(sub, typedlit(c.toSeq)) * 2.0 - lit(c2)).as("s"),
+        lit(-i).as("negcode"))
+    }: _*)
+    (-array_max(scored).getField("negcode")).cast("int")
+  }
+
+  /** Per-(dir, m, k, iters, trainMod) memoized PQ codebooks — like the
+    * IVF quantizer, a train-once/serve-many driver-held model
+    * (m×k×(Dim/m) doubles ≈ 16 KB). [[invalidateQuantizerCache]] clears
+    * this cache too.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+
+  private[graft] def pqCodebooks(
+      s: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
+      iters: Int = 3, trainMod: Long = 1L): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent((dir, m, k, iters, trainMod),
+      _ => trainPq(s, dir, m, k, iters, trainMod))
+
+  /** Lloyd training of all m subspace codebooks in ONE distributed job per
+    * iteration: assign codes (projection), explode components, partial-agg
+    * per (subspace, code, position) — the collect is m·k·(Dim/m) sufficient
+    * statistics, model-sized like the k-means quantizer's. Deterministic:
+    * seeds are the k vectors minimizing xxhash64(vec_id) (each seed's j-th
+    * subvector initializes book j's codeword), means round to 6 decimals so
+    * float summation order can't perturb the model, and empty cells keep
+    * their previous codeword. At 100 TB training runs on the `trainMod`
+    * hash-sample; encoding the corpus stays a full pure projection.
+    */
+  private def trainPq(
+      s: SparkSession, dir: String, m: Int, k: Int, iters: Int,
+      trainMod: Long): Array[Array[Array[Double]]] = {
+    val subDim = Dim / m
+    val all = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val train = withSubvectors(
+      if (trainMod > 1L)
+        all.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+      else all, "embedding", m)
+    val seeds = train
+      .withColumn("r", xxhash64(col("vec_id")))
+      .orderBy(col("r"), col("vec_id")).limit(k)
+      .select(col("xn")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"PQ needs ≥$k training vectors, got ${seeds.length}")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
+    for (_ <- 0 until iters) {
+      val codes = array((0 until m).map(j =>
+        pqCodeCol(col("subs")(j), books(j))): _*)
+      val stats = train
+        .withColumn("codes", codes)
+        .select(col("codes"), posexplode(col("xn")).as(Seq("pos", "v")))
+        .select(expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+          expr(s"CAST(pos % $subDim AS INT)").as("p"),
+          expr(s"codes[CAST(pos div $subDim AS INT)]").as("code"), col("v"))
+        .groupBy(col("sub"), col("code"), col("p"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        val (sub, code, p) = (r.getAs[Int]("sub"), r.getAs[Int]("code"), r.getAs[Int]("p"))
+        val mean = r.getAs[Double]("sv") / r.getAs[Long]("n")
+        next(sub)(code)(p) = math.rint(mean * 1e6) / 1e6
+      }
+      books = next
+    }
+    books
+  }
+
+  /** The compressed serving table: (vec_id, codes array<int> of length m)
+    * — a pure projection of the corpus (never shuffled; at 100 TB this is
+    * the PERSISTED index, 32× smaller than the float table it replaces).
+    */
+  private[graft] def pqCodesDf(
+      s: SparkSession, dir: String, books: Array[Array[Array[Double]]]): DataFrame =
+    withSubvectors(Tables.embeddings(s, dir), "embedding", books.length)
+      .select(col("vec_id").as("neighbor_id"),
+        array(books.indices.map(j =>
+          pqCodeCol(col("subs")(j), books(j))): _*).as("codes"))
+
+  /** q134: PQ + asymmetric-distance (ADC) approximate top-k with exact
+    * re-rank — the production ANN serving shape beside q48's IVF:
+    *
+    *  1. each query precomputes its m×k table of subvector·codeword inner
+    *     products (query side stays EXACT — only the corpus is quantized,
+    *     hence "asymmetric");
+    *  2. the compressed codes table is scanned once, each row's
+    *     approximate cosine being m table lookups summed — no float
+    *     vector, no per-row dot product;
+    *  3. the per-query ADC shortlist (top `shortlist` via WindowGroupLimit)
+    *     is re-ranked EXACTLY by fetching just those full vectors (a
+    *     broadcast-hash point-lookup join against the float table).
+    *
+    * Recall is then the shortlist's hit rate, not the quantizer's — the
+    * standard two-stage trade (scan 32×-smaller data, touch float vectors
+    * for only ~shortlist rows per query). Rows-only: recall@5 vs the exact
+    * q33 baseline + code-domain/plan specs in DedupSimilaritySpec.
+    */
+  def q134KnnPq(s: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
+                iters: Int = 3, shortlist: Int = PqShortlist): DataFrame = {
+    val books = pqCodebooks(s, dir, m, k, iters)
+    val qs = withSubvectors(queriesDf(s, dir), "qe", m)
+      .select(col("query_id"), array((0 until m).map(j =>
+        array(books(j).toIndexedSeq.map(c =>
+          VectorOps.dot(col("subs")(j), typedlit(c.toSeq))): _*)): _*).as("qt"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = pqCodesDf(s, dir, books)
+      .crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qt"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    full.join(broadcast(short.join(queriesDf(s, dir), "query_id")), Seq("neighbor_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_robust_scaler" -> (q122RobustScaler _),
+    "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
