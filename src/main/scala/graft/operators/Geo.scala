@@ -308,8 +308,73 @@ object Geo {
         round(avg(col("value")), 4).as("avg_value"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** mm per micro-degree at the synthetic city's ~40°N latitude: 1 µdeg
+    * of latitude ≈ 111 mm, of longitude ≈ 85 mm (cos 40° scaled). INTEGER
+    * constants shared verbatim with the oracle, so displacement stays
+    * exact BIGINT mm² end to end — no transcendental (cos/haversine)
+    * whose libm rounding could differ between engines; the small-area
+    * equirectangular error is irrelevant at city scale.
+    */
+  private val MmPerUlat = 111L
+  private val MmPerUlon = 85L
+
+  /** q135: trip displacement + speed plausibility — the spatial half of
+    * q60's per-trip metrics and the physical-sanity QA gate every trip
+    * feed needs (odometer-vs-clock checks): per session, the straight-line
+    * origin→destination displacement, mean speed, and two impossibility
+    * flags — `is_speeding` (mean speed above 120 km/h, the "GPS jumped a
+    * city" signal) and `is_teleport` (distinct coordinates at identical
+    * timestamps).
+    *
+    * Exactness: coordinates are integer micro-degrees, deltas scale by
+    * integer mm-per-µdeg constants, so d2_mm2 is exact BIGINT (bounded by
+    * the city box: |Δ| ≤ ~1.1e6 µdeg → d2 ≤ ~2e16, far inside int64);
+    * dist_mm = floor(sqrt(d2)) is deterministic in both engines (IEEE
+    * sqrt of an exact integer is correctly rounded, floor collapses the
+    * shared value identically), and every speed comparison/division is
+    * then pure integer arithmetic — 120 km/h enters as the exact cross-
+    * multiplication 3·dist_mm > 100000·duration_s (100000/3 mm/s), never
+    * as a rounded double threshold. Shape: q20's ONE user_id exchange →
+    * per-session aggregate (min_by/max_by on the (µs, event_id) key picks
+    * the endpoint coordinates in the same pass as the time bounds).
+    */
+  def q135TripSpeed(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(unix_micros(col("ts")), col("event_id"))
+    Events.withSessionNo(
+      Tables.events(s, dir)
+        .withColumn("ulat",
+          expr("CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT)"))
+        .withColumn("ulon",
+          expr("CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT)")))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("t0_us"),
+        max(unix_micros(col("ts"))).as("t1_us"),
+        min_by(col("ulat"), key).as("f_ulat"),
+        min_by(col("ulon"), key).as("f_ulon"),
+        max_by(col("ulat"), key).as("l_ulat"),
+        max_by(col("ulon"), key).as("l_ulon"))
+      .withColumn("duration_s", expr("(t1_us - t0_us) DIV 1000000"))
+      .withColumn("dx_mm", (col("l_ulon") - col("f_ulon")) * MmPerUlon)
+      .withColumn("dy_mm", (col("l_ulat") - col("f_ulat")) * MmPerUlat)
+      .withColumn("d2_mm2",
+        col("dx_mm") * col("dx_mm") + col("dy_mm") * col("dy_mm"))
+      .withColumn("dist_mm",
+        expr("CAST(floor(sqrt(CAST(d2_mm2 AS DOUBLE))) AS BIGINT)"))
+      .select(col("user_id"), col("sess_no"), col("n_events"),
+        col("duration_s"),
+        expr("dist_mm DIV 1000").as("dist_m"),
+        expr("CASE WHEN duration_s > 0 THEN dist_mm DIV duration_s END")
+          .as("speed_mmps"),
+        expr("CAST(duration_s > 0 AND dist_mm * 3 > duration_s * 100000 AS INT)")
+          .as("is_speeding"),
+        expr("CAST(duration_s = 0 AND d2_mm2 > 0 AS INT)").as("is_teleport"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_geo_zones" -> (q53GeoZones _),
+    "q135_trip_speed" -> (q135TripSpeed _),
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
@@ -317,6 +382,48 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q135_trip_speed" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT) AS ulat,
+                   CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT) AS ulon
+            FROM events),
+          e AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM z),
+          s AS (
+            SELECT user_id, ts, event_id, ulat, ulon,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+            FROM e),
+          g AS (
+            SELECT user_id, sess_no, count(*) AS n_events,
+                   epoch_us(min(ts)) AS t0_us, epoch_us(max(ts)) AS t1_us
+            FROM s GROUP BY 1, 2),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM s),
+          trips AS (
+            SELECT g.user_id, g.sess_no, g.n_events,
+                   (g.t1_us - g.t0_us) // 1000000 AS duration_s,
+                   (d.ulon - o.ulon) * $MmPerUlon AS dx_mm,
+                   (d.ulat - o.ulat) * $MmPerUlat AS dy_mm
+            FROM g
+            JOIN (SELECT * FROM r WHERE rn_a = 1) o USING (user_id, sess_no)
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no)),
+          m AS (
+            SELECT *, dx_mm * dx_mm + dy_mm * dy_mm AS d2_mm2,
+                   CAST(floor(sqrt(CAST(dx_mm * dx_mm + dy_mm * dy_mm AS DOUBLE))) AS BIGINT) AS dist_mm
+            FROM trips)
+          SELECT user_id, sess_no, n_events, duration_s,
+                 dist_mm // 1000 AS dist_m,
+                 CASE WHEN duration_s > 0 THEN dist_mm // duration_s END AS speed_mmps,
+                 CAST(duration_s > 0 AND dist_mm * 3 > duration_s * 100000 AS INT) AS is_speeding,
+                 CAST(duration_s = 0 AND d2_mm2 > 0 AS INT) AS is_teleport
+          FROM m""",
     "q133_hex_bins" -> {
       val steps = hexSteps("lat", "lon")
       val ctes = steps.zipWithIndex.map { case ((n, f), i) =>

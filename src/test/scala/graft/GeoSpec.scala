@@ -158,6 +158,45 @@ class GeoSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("q135 trip speed equals a driver-side brute-force recomputation, one event exchange") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT)").as("ulat"),
+        expr("CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT)").as("ulon"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = rows.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      // gap sessionize, then one tuple per session from its endpoint coords
+      val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.last.last._2 > 1800L * 1000000L) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      sessions.zipWithIndex.map { case (es, i) =>
+        val (f, l) = (es.head, es.last)
+        val dur = (l._2 - f._2) / 1000000L
+        val dx = (l._5 - f._5) * 85L
+        val dy = (l._4 - f._4) * 111L
+        val d2 = dx * dx + dy * dy
+        val distMm = math.floor(math.sqrt(d2.toDouble)).toLong
+        (uid, i + 1L, es.size.toLong, dur, distMm / 1000L,
+          if (dur > 0) Some(distMm / dur) else None,
+          if (dur > 0 && distMm * 3 > dur * 100000L) 1 else 0,
+          if (dur == 0 && d2 > 0) 1 else 0)
+      }
+    }.toSet
+    val got = Geo.q135TripSpeed(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getInt(6), r.getInt(7))).toSet
+    assert(got.nonEmpty && got == expected)
+    // both flags must actually fire somewhere or the QA gate is untested
+    assert(got.exists(_._7 == 1), "no speeding trip in the synthetic data")
+    // the session aggregate rides the sessionize window's partitioning:
+    // exactly one event-scale exchange
+    val p = Geo.q135TripSpeed(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("q131 plan: edges broadcast, parity agg is a partial-agg'd hash aggregate") {
     val p = Geo.q131PipZones(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
