@@ -439,7 +439,39 @@ object Analytics {
         expr("n_users * 10000 div n_total").as("support_bp"))
   }
 
+  /** q137: DAU / trailing-7-day WAU / stickiness per day — the
+    * daily-vs-weekly active-user engagement report (stickiness =
+    * DAU/WAU, how much of the weekly audience shows up on a given day).
+    *
+    * Exact distincts, decomposed so nothing ever holds a 7-day window of
+    * raw events: one (user, day) DISTINCT off the scan (the only
+    * event-scale exchange), then a bounded 7× offset explode of that
+    * already-deduplicated frame re-deduplicated per target day. At 100 TB
+    * the (user, day) frame is ~|users|×|days| — the persisted activity
+    * table every growth stack maintains — and the 7× explode stays
+    * proportional to IT, not to events. Stickiness is integer basis
+    * points (dau·10000 div wau — wau ≥ dau > 0 by construction, and only
+    * days with events report, identically in both engines via the inner
+    * join on the DAU day set).
+    */
+  def q137Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 10000 DIV wau").as("stickiness_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_stickiness"   -> (q137Stickiness _),
     "q106_basket_lift"  -> (q106BasketLift _),
     "q109_upsert_latest" -> (q109UpsertLatest _),
     "q110_point_in_time" -> (q110PointInTime _),
@@ -477,6 +509,21 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    // WAU(d) counts users active on any of days d-6..d, i.e. a user's
+    // activity day `day` contributes to target days day..day+6 — the same
+    // 7× offset explode of the deduplicated (user, day) frame as Spark.
+    "q137_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         wau AS (
+           SELECT day, count(*) AS wau FROM (
+             SELECT DISTINCT ud.day + t.i AS day, ud.user_id
+             FROM ud CROSS JOIN generate_series(0, 6) t(i))
+           GROUP BY day)
+         SELECT dau.day AS day, dau, wau, dau * 10000 // wau AS stickiness_bp
+         FROM dau JOIN wau ON dau.day = wau.day""",
     "q130_mix_decomposition" ->
       """WITH o AS (
            SELECT c_mktsegment,

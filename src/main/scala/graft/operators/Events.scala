@@ -57,6 +57,25 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** q136: SLIDING-window aggregation via the built-in `window()` operator
+    * — q21's tumbling buckets generalized to overlapping frames (hourly
+    * windows sliding every 15 min, the "demand in the last hour, refreshed
+    * each quarter" feed a dispatch dashboard reads). Each event lands in
+    * exactly windowDuration/slideDuration = 4 windows — Spark plans this
+    * as an Expand (a fixed 4× multiplier, partial-agg'd before the one
+    * window-key exchange), NOT a self-join. The same expression runs
+    * unchanged under readStream + watermark. Window starts surface as
+    * integer epoch-µs; the oracle derives the identical 4 grid starts per
+    * event from epoch-µs integer division, and the half-open [start,
+    * start+1h) membership is exact by construction.
+    */
+  def q136SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(expr("unix_micros(w.start)").as("w_start_us"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** q22: signup → purchase conversion funnel per user. */
   def q22Funnel(s: SparkSession, dir: String): DataFrame = {
     val wu = Window.partitionBy(col("user_id"))
@@ -641,6 +660,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_sliding_window" -> (q136SlidingWindow _),
     "q127_nearest_click" -> (q127NearestClick _),
     "q128_utilization" -> (q128Utilization _),
     "q120_ewma" -> (q120Ewma _),
@@ -667,6 +687,20 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    // each event's 4 containing windows are the grid starts
+    // (us div 15min − i)·15min for i in 0..3 — membership in the
+    // half-open hour [start, start+1h) holds for exactly those i, so no
+    // range filter is needed: (us mod 15min) + i·15min < 1h for all i ≤ 3
+    "q136_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (
+           SELECT ((us // 900000000) - t.i) * 900000000 AS w_start_us,
+                  event_type, value
+           FROM e CROSS JOIN generate_series(0, 3) t(i))
+         SELECT w_start_us, event_type, count(*) AS n,
+                round(sum(value), 2) AS total_value
+         FROM w GROUP BY 1, 2""",
     "q127_nearest_click" -> {
       val prevF = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"

@@ -510,4 +510,49 @@ class AnalyticsSpec extends AnyFunSuite {
     val avg = r.getAs[Long]("avg_us")
     assert(avg >= mn && avg <= mx)
   }
+
+  test("q136 sliding windows: every event in exactly 4 windows on the 15-min grid, via Expand not a join") {
+    // plan shape first (before caching rewrites the lookup): the 4×
+    // window membership must come from a single Expand feeding one
+    // aggregate exchange — never a self-join or range join
+    val p = Events.q136SlidingWindow(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), "sliding window() must plan as Expand")
+    assert(!p.toLowerCase.contains("join"), "sliding window must not join")
+    val df = Events.q136SlidingWindow(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(df.agg(sum("n")).head().getLong(0) == 4L * ev.count(),
+      "each event must land in exactly windowDuration/slide = 4 windows")
+    assert(df.filter(expr("w_start_us % 900000000 != 0")).count() == 0,
+      "window starts must sit on the 15-minute grid")
+    // per event_type the sliding total is exactly 4× the plain count
+    val bad = df.groupBy("event_type").agg(sum("n").as("n4"))
+      .join(ev.groupBy("event_type").count(), "event_type")
+      .filter(col("n4") =!= col("count") * 4)
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("q137 stickiness: wau equals a brute-force trailing-7-day distinct and bounds hold") {
+    val df = Analytics.q137Stickiness(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("dau") <= 0 || col("dau") > col("wau")).count() == 0,
+      "0 < dau <= wau must hold on every reported day")
+    assert(df.filter(col("stickiness_bp") <= 0 || col("stickiness_bp") > 10000)
+      .count() == 0)
+    // reported days are exactly the days with >= 1 event
+    val ud = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct().cache()
+    val activeDays = ud.select("day").distinct()
+    assert(df.select("day").exceptAll(activeDays).isEmpty &&
+      activeDays.exceptAll(df.select("day")).isEmpty)
+    // brute force the trailing window per reported day (test-scale range join)
+    val brute = activeDays
+      .join(ud.withColumnRenamed("day", "aday"),
+        col("aday").between(col("day") - 6, col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("wau_b"))
+    assert(df.join(brute, "day").filter(col("wau") =!= col("wau_b")).count() == 0,
+      "wau must equal the brute-force 7-day trailing distinct count")
+    ud.unpersist(); df.unpersist()
+  }
 }
