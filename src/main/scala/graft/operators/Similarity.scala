@@ -312,8 +312,17 @@ object Similarity {
   /** L2-normalized double copy of a float vector (zero vectors pass
     * through unscaled rather than dividing by zero). Normalizing before
     * encoding makes the ADC inner product approximate COSINE directly.
+    * Native [[graft.functions.L2Normalize]] — the composed
+    * when/transform form re-folds the dot per ELEMENT when interpreted
+    * (spec-pinned bit-equal in NormalizeEncodeSpec).
     */
   private def normalized(v: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.L2Normalize(ColumnBridge.expression(v)))
+  }
+
+  /** The composed reference form of [[normalized]] (spec comparison only). */
+  private[graft] def normalizedRef(v: Column): Column = {
     val l2 = sqrt(VectorOps.dot(v, v))
     when(l2 > 0, transform(v, x => x.cast("double") / l2))
       .otherwise(transform(v, x => x.cast("double")))
@@ -333,15 +342,26 @@ object Similarity {
 
   /** Nearest codeword of one subspace book for a subvector: argmin‖x−c‖²
     * = argmax(2x·c − c²) — x² is constant per row and never computed.
-    * Ties break toward the smaller code id (struct-max on negcode).
+    * Ties break toward the smaller code id (strict `>` keeps the first).
+    *
+    * This is the composed REFERENCE form (the spec proves the native
+    * [[graft.functions.PqEncode]] bit-equal to it). It is not the hot
+    * path: higher-order functions evaluate interpreted, so the m·k scores
+    * cost ~m·k·subDim `Expression.eval` calls per row — fine for a spec,
+    * seconds per pass even at 2000 rows, hopeless at corpus scale.
     */
-  private def pqCodeCol(sub: Column, book: Array[Array[Double]]): Column = {
-    val scored = array(book.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((VectorOps.dot(sub, typedlit(c.toSeq)) * 2.0 - lit(c2)).as("s"),
-        lit(-i).as("negcode"))
-    }: _*)
-    (-array_max(scored).getField("negcode")).cast("int")
+  private[graft] def pqCodeCol(sub: Column, book: Array[Array[Double]]): Column = {
+    val bl = typedlit(book.map(_.toSeq).toSeq)         // k × subDim
+    val c2 = typedlit(book.map(_.map(x => x * x).sum).toSeq) // Scala-folded, as before
+    aggregate(sequence(lit(0), lit(book.length - 1)),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("c")),
+      (acc, i) => {
+        val score = aggregate(zip_with(sub, element_at(bl, i + 1),
+            (x, w) => x * w), lit(0.0), (a, x) => a + x) * 2.0 -
+          element_at(c2, i + 1)
+        when(score > acc.getField("s"),
+          struct(score.as("s"), i.cast("int").as("c"))).otherwise(acc)
+      }).getField("c")
   }
 
   /** Per-(dir, m, k, iters, trainMod) memoized PQ codebooks — like the
@@ -386,10 +406,8 @@ object Similarity {
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, k)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
     for (_ <- 0 until iters) {
-      val codes = array((0 until m).map(j =>
-        pqCodeCol(col("subs")(j), books(j))): _*)
       val stats = train
-        .withColumn("codes", codes)
+        .withColumn("codes", pqEncodeCol(col("xn"), books))
         .select(col("codes"), posexplode(col("xn")).as(Seq("pos", "v")))
         .select(expr(s"CAST(pos div $subDim AS INT)").as("sub"),
           expr(s"CAST(pos % $subDim AS INT)").as("p"),
@@ -412,12 +430,20 @@ object Similarity {
     * — a pure projection of the corpus (never shuffled; at 100 TB this is
     * the PERSISTED index, 32× smaller than the float table it replaces).
     */
+  /** All m codes in one native codegen pass ([[graft.functions.PqEncode]]);
+    * spec-pinned bit-equal to the composed per-subspace [[pqCodeCol]] form.
+    */
+  private[graft] def pqEncodeCol(xn: Column, books: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.PqEncode(ColumnBridge.expression(xn), books))
+  }
+
   private[graft] def pqCodesDf(
       s: SparkSession, dir: String, books: Array[Array[Array[Double]]]): DataFrame =
     withSubvectors(Tables.embeddings(s, dir), "embedding", books.length)
       .select(col("vec_id").as("neighbor_id"),
-        array(books.indices.map(j =>
-          pqCodeCol(col("subs")(j), books(j))): _*).as("codes"))
+        pqEncodeCol(col("xn"), books).as("codes"))
 
   /** q134: PQ + asymmetric-distance (ADC) approximate top-k with exact
     * re-rank — the production ANN serving shape beside q48's IVF:
@@ -440,10 +466,15 @@ object Similarity {
   def q134KnnPq(s: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
                 iters: Int = 3, shortlist: Int = PqShortlist): DataFrame = {
     val books = pqCodebooks(s, dir, m, k, iters)
+    // qt[j][c] = subvector_j · codeword_c: the same fold-over-typedlit
+    // shape as pqCodeCol (one small HOF tree, not m·k unrolled dots)
+    val booksL = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val qs = withSubvectors(queriesDf(s, dir), "qe", m)
-      .select(col("query_id"), array((0 until m).map(j =>
-        array(books(j).toIndexedSeq.map(c =>
-          VectorOps.dot(col("subs")(j), typedlit(c.toSeq))): _*)): _*).as("qt"))
+      .select(col("query_id"),
+        zip_with(col("subs"), booksL, (sub, bookJ) =>
+          transform(bookJ, cw =>
+            aggregate(zip_with(sub, cw, (x, w) => x * w),
+              lit(0.0), (a, x) => a + x))).as("qt"))
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val short = pqCodesDf(s, dir, books)
