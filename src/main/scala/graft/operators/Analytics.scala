@@ -470,7 +470,44 @@ object Analytics {
         expr("dau * 10000 DIV wau").as("stickiness_bp"))
   }
 
+  /** q139: revenue-concentration (Pareto) report per market segment — how
+    * few customers carry half the segment's revenue. Per segment: customer
+    * count, total integer-cents revenue, the size of the SMALLEST prefix
+    * of customers (by revenue desc, custkey tiebreak) reaching ≥ half the
+    * total, and that prefix as bp of the customer base.
+    *
+    * Shape: one (segment, custkey) aggregate off the scan (map-side
+    * combined), then windows over the CUSTOMER ROLLUP frame only — the
+    * same accepted per-segment window q80's ntile uses; nothing event- or
+    * order-scale is ever sorted. "Half" is (total+1) DIV 2 so the
+    * threshold is integer-exact on both engines; a customer is in the
+    * minimal prefix iff the cumsum BEFORE it is < half (cents are
+    * strictly positive, so prefix minimality is well-defined).
+    */
+  def q139Pareto(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val wseg = Window.partitionBy(col("c_mktsegment"))
+    val word = wseg.orderBy(col("cents").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cust
+      .withColumn("cum", sum(col("cents")).over(word))
+      .withColumn("total", sum(col("cents")).over(wseg))
+      .withColumn("n_cust", count(lit(1)).over(wseg))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n_cust")).as("n_customers"),
+        max(col("total")).as("revenue_cents"),
+        sum(when(col("cum") - col("cents") < expr("(total + 1) DIV 2"), 1L)
+          .otherwise(0L)).as("n_half"))
+      .withColumn("half_share_bp", expr("n_half * 10000 DIV n_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_pareto"       -> (q139Pareto _),
     "q137_stickiness"   -> (q137Stickiness _),
     "q106_basket_lift"  -> (q106BasketLift _),
     "q109_upsert_latest" -> (q109UpsertLatest _),
@@ -509,6 +546,34 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q139_pareto" ->
+      """WITH cust AS (
+           SELECT c_mktsegment, c_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT c_mktsegment, cents,
+                  sum(cents) OVER (PARTITION BY c_mktsegment
+                    ORDER BY cents DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(cents) OVER (PARTITION BY c_mktsegment) AS total,
+                  count(*) OVER (PARTITION BY c_mktsegment) AS n_cust
+           FROM cust),
+         g AS (
+           SELECT c_mktsegment,
+                  max(n_cust) AS n_customers,
+                  max(total) AS revenue_cents,
+                  sum(CASE WHEN cum - cents < (total + 1) // 2
+                      THEN 1 ELSE 0 END) AS n_half
+           FROM w GROUP BY 1)
+         SELECT c_mktsegment,
+                CAST(n_customers AS BIGINT) AS n_customers,
+                CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                CAST(n_half AS BIGINT) AS n_half,
+                CAST(n_half * 10000 // n_customers AS BIGINT) AS half_share_bp
+         FROM g""",
     // WAU(d) counts users active on any of days d-6..d, i.e. a user's
     // activity day `day` contributes to target days day..day+6 — the same
     // 7× offset explode of the deduplicated (user, day) frame as Spark.

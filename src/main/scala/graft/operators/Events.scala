@@ -659,7 +659,83 @@ object Events {
       expr("sum(lat_us) DIV count(1)").as("avg_us"))
   }
 
+  /** q138: interval-union coverage per user — each event treated as a
+    * trip occupying [ts, ts + cents·10⁴ µs); per user, the number of
+    * trips, their raw summed span, and the length of the interval UNION
+    * (so overlap_us = raw − covered is double-booked time). The classic
+    * sweep decomposed onto a per-user frame: one user_id exchange, a
+    * running `max(end)` over preceding rows (ROWS frame — bounded,
+    * incremental), and each interval contributes
+    * max(0, end − max(start, prev_max)) — no self-join, no explode.
+    * At 100 TB the partition key widens to (user, day) exactly like q97;
+    * durations are integer µs from integer cents, so both engines sum
+    * identical BIGINTs.
+    */
+  def q138IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("s_us"),
+      (expr("unix_micros(ts)") +
+        expr("CAST(round(value * 100) AS BIGINT) * 10000")).as("e_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_max", max(col("e_us")).over(w))
+      .withColumn("add_us",
+        when(col("prev_max").isNull || col("prev_max") < col("s_us"),
+          col("e_us") - col("s_us"))
+        .when(col("prev_max") >= col("e_us"), lit(0L))
+        .otherwise(col("e_us") - col("prev_max")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_iv"),
+        sum(col("e_us") - col("s_us")).as("raw_us"),
+        sum(col("add_us")).as("covered_us"))
+      .withColumn("overlap_us", col("raw_us") - col("covered_us"))
+  }
+
+  /** q140: time-DECAY multi-touch attribution — q85's linear split with
+    * recency weighting: a click e 15-minute buckets before its purchase
+    * weighs 2⁻ᵉ (integer weights 8,4,2,1 over the 1-hour window), and each
+    * purchase's 10000 bp are split proportionally by largest remainder
+    * (integer-exact; credit conserves to exactly 10000 per purchase, the
+    * q85 contract). Same shape as q85 — user_id equi-join + 1 h range
+    * filter, purchase-partitioned windows over ≤window/bucket-bounded
+    * frames — so it scales identically; the weights are dyadic integers
+    * and every division is integer div, so both engines agree bit-for-bit.
+    */
+  def q140DecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("c_us"))
+    val w = Window.partitionBy(col("p_event_id"))
+    val wr = w.orderBy(col("c_us").desc, col("c_event_id"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") &&
+        col("c_us") > col("p_us") - lit(3600L * 1000000L))
+      // bucket e ∈ {0,1,2,3} → weight 8 >> e (8,4,2,1)
+      .withColumn("wt", expr(
+        "CAST(shiftright(8, CAST((p_us - c_us) DIV 900000000 AS INT)) AS BIGINT)"))
+      .withColumn("w_total", sum(col("wt")).over(w))
+      .withColumn("base_bp", expr("wt * 10000 DIV w_total"))
+      .withColumn("rem", expr("wt * 10000 % w_total"))
+      // leftover bp go to the largest remainders (recency, then id, ties)
+      .withColumn("rem_rank", row_number().over(
+        w.orderBy(col("rem").desc, col("c_us").desc, col("c_event_id"))))
+      .withColumn("leftover", lit(10000L) - sum(col("base_bp")).over(w))
+      .withColumn("credit_bp", col("base_bp") +
+        when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("click_rank", row_number().over(wr))
+      .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+        col("click_rank"), col("wt"), col("credit_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_interval_union" -> (q138IntervalUnion _),
+    "q140_decay_attribution" -> (q140DecayAttribution _),
     "q136_sliding_window" -> (q136SlidingWindow _),
     "q127_nearest_click" -> (q127NearestClick _),
     "q128_utilization" -> (q128Utilization _),
@@ -687,6 +763,57 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q138_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                  epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e_us
+           FROM events),
+         w AS (
+           SELECT user_id, s_us, e_us,
+                  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+           FROM iv),
+         g AS (
+           SELECT user_id, count(*) AS n_iv,
+                  CAST(sum(e_us - s_us) AS BIGINT) AS raw_us,
+                  CAST(sum(CASE
+                    WHEN prev_max IS NULL OR prev_max < s_us THEN e_us - s_us
+                    WHEN prev_max >= e_us THEN 0
+                    ELSE e_us - prev_max END) AS BIGINT) AS covered_us
+           FROM w GROUP BY user_id)
+         SELECT user_id, n_iv, raw_us, covered_us,
+                raw_us - covered_us AS overlap_us
+         FROM g""",
+    "q140_decay_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS c_event_id, user_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p_event_id, c_event_id, p.user_id AS user_id, p_us, c_us,
+                  CAST(8 >> CAST((p_us - c_us) // 900000000 AS INT) AS BIGINT) AS wt
+           FROM p JOIN c ON p.user_id = c.user_id
+           WHERE c_us <= p_us AND c_us > p_us - 3600000000),
+         w AS (
+           SELECT *, sum(wt) OVER (PARTITION BY p_event_id) AS w_total FROM j),
+         b AS (
+           SELECT *, wt * 10000 // w_total AS base_bp,
+                  wt * 10000 % w_total AS rem,
+                  row_number() OVER (PARTITION BY p_event_id
+                    ORDER BY c_us DESC, c_event_id) AS click_rank
+           FROM w),
+         f AS (
+           SELECT *, row_number() OVER (PARTITION BY p_event_id
+                    ORDER BY rem DESC, c_us DESC, c_event_id) AS rem_rank,
+                  10000 - sum(base_bp) OVER (PARTITION BY p_event_id) AS leftover
+           FROM b)
+         SELECT p_event_id, c_event_id, user_id, click_rank, wt,
+                CAST(base_bp + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS credit_bp
+         FROM f""",
     // each event's 4 containing windows are the grid starts
     // (us div 15min − i)·15min for i in 0..3 — membership in the
     // half-open hour [start, start+1h) holds for exactly those i, so no

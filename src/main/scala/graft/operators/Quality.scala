@@ -395,7 +395,76 @@ object Quality {
         round(col("mad_cents"), 4).as("mad_cents"), col("n_outliers"))
   }
 
+  /** The star schema's FK edges: (edge name, child table, child key,
+    * parent table, parent key, parent-is-broadcastable). Shared verbatim
+    * by q141's plan and its generated oracle SQL so the two can't drift.
+    */
+  private val fkEdges: Seq[(String, String, String, String, String, Boolean)] = Seq(
+    ("lineitem.l_orderkey->orders",   "lineitem", "l_orderkey", "orders",   "o_orderkey", false),
+    ("lineitem.l_partkey->part",      "lineitem", "l_partkey",  "part",     "p_partkey",  false),
+    ("lineitem.l_suppkey->supplier",  "lineitem", "l_suppkey",  "supplier", "s_suppkey",  true),
+    ("orders.o_custkey->customer",    "orders",   "o_custkey",  "customer", "c_custkey",  true),
+    ("customer.c_nationkey->nation",  "customer", "c_nationkey", "nation",  "n_nationkey", true),
+    ("supplier.s_nationkey->nation",  "supplier", "s_nationkey", "nation",  "n_nationkey", true),
+    ("nation.n_regionkey->region",    "nation",   "n_regionkey", "region",  "r_regionkey", true))
+
+  /** q141: referential-integrity audit over every FK edge of the star
+    * schema — per edge: child rows, orphan rows (non-null FK with no
+    * parent), null FKs, and orphans in bp of the child. The contract gate
+    * a 100 TB ingest runs before publishing a snapshot (the FK complement
+    * of q55's domain checks and schemaDiff's shape checks).
+    *
+    * Shape: per edge one left join against the DISTINCT parent key set —
+    * broadcast for the dimension-sized parents, shuffle for the
+    * order/part-scale ones (inherent: proving an orphan needs the whole
+    * parent key set; at 100 TB the big edges are exactly the bucketed
+    * co-located joins SkewBucketSpec pins) — each collapsing immediately
+    * to a single audit row; the 7 one-row aggregates union into the
+    * report. A duplicate parent key can never double-count a child row
+    * because the join side is distinct'd.
+    */
+  def q141RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "region"   => Tables.region(s, dir)
+      case "nation"   => Tables.nation(s, dir)
+      case "customer" => Tables.customer(s, dir)
+      case "supplier" => Tables.supplier(s, dir)
+      case "part"     => Tables.part(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "lineitem" => Tables.lineitem(s, dir)
+    }
+    fkEdges.map { case (edge, child, ck, parent, pk, bcast) =>
+      val par0 = table(parent).select(col(pk).as("pk")).distinct()
+      val par = if (bcast) broadcast(par0) else par0
+      table(child).select(col(ck).as("ck"))
+        .join(par, col("ck") === col("pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("ck").isNotNull && col("pk").isNull, 1L).otherwise(0L))
+            .as("orphan_rows"),
+          sum(when(col("ck").isNull, 1L).otherwise(0L)).as("null_fk_rows"))
+        .select(lit(edge).as("edge"), col("child_rows"), col("orphan_rows"),
+          col("null_fk_rows"))
+    }.reduce(_.unionAll(_))
+      .withColumn("orphan_bp", expr("orphan_rows * 10000 DIV child_rows"))
+  }
+
+  /** The q141 oracle, generated from the same [[fkEdges]] list. */
+  private[graft] def q141OracleSql: String =
+    fkEdges.map { case (edge, child, ck, parent, pk, _) =>
+      s"""SELECT '$edge' AS edge,
+            count(*) AS child_rows,
+            CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+            CAST(sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS null_fk_rows,
+            CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+                 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS orphan_bp
+          FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+            ON c.$ck = p.$pk"""
+    }.mkString("", "\nUNION ALL\n", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ref_integrity" -> (q141RefIntegrity _),
     "q126_robust_outliers" -> (q126RobustOutliers _),
     "q125_completeness" -> (q125Completeness _),
     "q111_equidepth_hist" -> (q111EquidepthHist _),
@@ -409,6 +478,7 @@ object Quality {
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q141_ref_integrity" -> q141OracleSql,
     "q126_robust_outliers" ->
       """WITH ev AS (
            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents

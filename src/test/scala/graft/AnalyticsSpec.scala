@@ -555,4 +555,84 @@ class AnalyticsSpec extends AnyFunSuite {
       "wau must equal the brute-force 7-day trailing distinct count")
     ud.unpersist(); df.unpersist()
   }
+
+  test("q138 interval union equals a driver-side sweep-line merge per user") {
+    val df = Events.q138IntervalUnion(spark, sf).cache()
+    assert(df.count() > 0)
+    // structural bounds: covered <= raw, overlap complements exactly,
+    // covered at least the longest single interval
+    assert(df.filter(col("covered_us") > col("raw_us") ||
+      col("overlap_us") =!= col("raw_us") - col("covered_us") ||
+      col("covered_us") <= 0).count() == 0)
+    // brute force: classic sort-merge sweep on the driver
+    val iv = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("s"),
+        (expr("unix_micros(ts)") +
+          expr("CAST(round(value * 100) AS BIGINT) * 10000")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("covered_us")).toMap
+    iv.foreach { case (uid, rows) =>
+      var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      rows.map(t => (t._2, t._3)).sortBy(identity).foreach { case (s0, e0) =>
+        if (curE == Long.MinValue) { curS = s0; curE = e0 }
+        else if (s0 > curE) { covered += curE - curS; curS = s0; curE = e0 }
+        else if (e0 > curE) { curE = e0 }
+      }
+      if (curE != Long.MinValue) covered += curE - curS
+      assert(got(uid) == covered, s"user $uid: union length mismatch")
+    }
+    df.unpersist()
+  }
+
+  test("q139 pareto: minimal prefix really is minimal and sufficient per segment") {
+    val rows = Analytics.q139Pareto(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val (nHalf, total) = (r.getAs[Long]("n_half"), r.getAs[Long]("revenue_cents"))
+      val sorted = cust(seg).map(t => (-t._3, t._2)).sorted.map(-_._1)
+      assert(r.getAs[Long]("n_customers") == sorted.length)
+      assert(total == sorted.sum)
+      val half = (total + 1) / 2
+      val prefix = sorted.take(nHalf.toInt).sum
+      assert(prefix >= half, s"$seg: prefix of $nHalf must reach half")
+      if (nHalf > 1)
+        assert(sorted.take(nHalf.toInt - 1).sum < half,
+          s"$seg: prefix of ${nHalf - 1} must NOT reach half (minimality)")
+      assert(r.getAs[Long]("half_share_bp") == nHalf * 10000 / sorted.length)
+    }
+  }
+
+  test("q140 decay attribution: credit conserves to 10000 bp and tracks the dyadic weights") {
+    val df = Events.q140DecayAttribution(spark, sf).cache()
+    assert(df.count() > 0)
+    // per purchase: exactly 10000 bp distributed
+    assert(df.groupBy("p_event_id").agg(sum("credit_bp").as("s"))
+      .filter(col("s") =!= 10000L).count() == 0)
+    // weights are the four dyadic steps only
+    assert(df.filter(!col("wt").isin(1L, 2L, 4L, 8L)).count() == 0)
+    // largest-remainder: every credit within 1 bp of the exact real share
+    val bad = df.withColumn("w_total",
+        sum(col("wt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_event_id"))))
+      .filter(abs(col("credit_bp") -
+        col("wt") * 10000.0 / col("w_total")) >= 1.0)
+    assert(bad.count() == 0, "credit must be the floor or ceil of the exact share")
+    // same candidate pair set as q85 (same join + window predicate)
+    val p85 = Events.q85AttributionLinear(spark, sf)
+      .select("p_event_id", "c_event_id")
+    assert(df.select("p_event_id", "c_event_id").exceptAll(p85).isEmpty &&
+      p85.exceptAll(df.select("p_event_id", "c_event_id")).isEmpty)
+    df.unpersist()
+  }
 }

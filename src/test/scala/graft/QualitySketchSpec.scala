@@ -176,6 +176,43 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(Quality.schemaDiff(old, old).isEmpty)
   }
 
+  test("q141 ref integrity: clean schema audits clean; synthetic orphans counted exactly") {
+    val sf = TestSpark.sf
+    // the driver's synthetic star schema is referentially clean: the audit
+    // must say so (7 edges, all zeros), with child_rows = table counts
+    val clean = Quality.q141RefIntegrity(spark, sf).collect()
+    assert(clean.length == 7)
+    clean.foreach { r =>
+      assert(r.getAs[Long]("orphan_rows") == 0L &&
+        r.getAs[Long]("null_fk_rows") == 0L && r.getAs[Long]("orphan_bp") == 0L,
+        s"${r.getString(0)} must audit clean")
+    }
+    val liRows = Tables.lineitem(spark, sf).count()
+    assert(clean.filter(_.getString(0).startsWith("lineitem."))
+      .forall(_.getAs[Long]("child_rows") == liRows))
+    // corrupt a COPY: drop nations >= 13 → customer/supplier edges orphaned
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q141").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val df = spark.read.parquet(s"$sf/$t.parquet")
+      (if (t == "nation") df.filter(col("n_nationkey") < 13) else df)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val expCust = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") >= 13).count()
+    val expSupp = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") >= 13).count()
+    val dirty = Quality.q141RefIntegrity(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(dirty("customer.c_nationkey->nation").getAs[Long]("orphan_rows") == expCust)
+    assert(dirty("supplier.s_nationkey->nation").getAs[Long]("orphan_rows") == expSupp)
+    val custRows = dirty("customer.c_nationkey->nation").getAs[Long]("child_rows")
+    assert(dirty("customer.c_nationkey->nation").getAs[Long]("orphan_bp") ==
+      expCust * 10000 / custRows)
+    // untouched edges stay clean in the dirty copy
+    assert(dirty("lineitem.l_orderkey->orders").getAs[Long]("orphan_rows") == 0L)
+  }
+
   test("q123 calendar rollup reconciles across granularities with floor-exact shares") {
     val rows = graft.operators.Analytics.q123CalendarRollup(spark, TestSpark.sf)
       .collect()
