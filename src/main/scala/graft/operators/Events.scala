@@ -70,7 +70,14 @@ object Events {
     * start+1h) membership is exact by construction.
     */
   def q136SlidingWindow(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    slidingWindowAgg(Tables.events(s, dir))
+
+  /** The q136 aggregation, factored over any (ts, event_type, value) frame
+    * so the IDENTICAL expression drives both the batch query and the s13
+    * stream (EventStream.slidingCounts) — the q108/s11 portability
+    * contract applied to the sliding window. */
+  private[graft] def slidingWindowAgg(df: DataFrame): DataFrame =
+    df
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(expr("unix_micros(w.start)").as("w_start_us"), col("event_type"),

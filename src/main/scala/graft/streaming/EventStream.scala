@@ -184,6 +184,19 @@ object EventStream {
     graft.operators.Events.sessionWindowAgg(
       events.toDF().withWatermark("ts", "1 hour"))
 
+  /** s13: SLIDING-window aggregation under a watermark —
+    * [[graft.operators.Events.slidingWindowAgg]] (q136's exact
+    * aggregation) applied to a stream unchanged. Each event updates its 4
+    * overlapping hour windows (the same single Expand as batch, partial-
+    * agg'd in state); a window's row finalizes once the watermark passes
+    * its END, and state is bounded by (windows inside the watermark
+    * horizon × event types) — the overlap factor multiplies state keys by
+    * windowDuration/slide, not by events.
+    */
+  def slidingCounts(events: Dataset[Event]): DataFrame =
+    graft.operators.Events.slidingWindowAgg(
+      events.toDF().withWatermark("ts", "1 hour"))
+
   /** s12: watermarked LEFT OUTER stream-stream join — s06's attribution
     * with null-completion: a purchase with NO qualifying prior click still
     * emits (null click columns) once the click-side watermark passes its

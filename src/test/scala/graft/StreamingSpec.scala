@@ -367,6 +367,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s13 streaming sliding windows converge to the batch q136 aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.slidingCounts(ms.toDS())
+      .writeStream.format("memory").queryName("s13").outputMode("complete").start()
+    try {
+      // two micro-batches: overlapping windows must accumulate across them
+      val all = loadEvents()
+      val (b1, b2) = all.splitAt(all.length / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = s.table("s13")
+      val batch = graft.operators.Events.slidingWindowAgg(
+        Tables.events(s, sf))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream (complete mode) must equal the batch sliding aggregation")
+    } finally q.stop()
+  }
+
   test("s12 outer stream-stream join null-completes unmatched purchases only after the watermark") {
     val s = spark
     import s.implicits._
