@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -12,8 +12,19 @@ import org.apache.spark.sql.types.LongType
   * substituted for raw parquet paths without touching any operator code.
   */
 object Tables {
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The generator has shipped timestamps as µs-with-UTC, ns-as-long and
+    * (currently) tz-less µs across rounds; Spark 4 reads the tz-less form
+    * as TIMESTAMP_NTZ, which half the timestamp functions (`unix_micros`,
+    * watermarks, ...) reject. Normalize every NTZ column to plain
+    * TimestampType here — all sessions this library builds run in UTC, so
+    * the NTZ wall-clock and the LTZ instant coincide and DuckDB (which
+    * reads the same files as naive µs timestamps) stays value-identical.
+    */
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(raw)((df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
