@@ -7,12 +7,14 @@ import graft.Tables
 /** F-block: multimodal column plumbing — image/audio/video payloads as
   * opaque `binary` columns with typed metadata.
   *
-  * The container has no media codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[FakeDecoder]]); everything around
-  * it — binary schema, batched per-partition execution, typed feature
-  * output — is the real pipeline shape a 100 TB media corpus would stream
-  * through. Payloads are synthesized from `documents.text` bytes so the
-  * whole path stays deterministic and oracle-checkable where possible.
+  * Every decode step here is a REAL codec implemented in-repo: baseline
+  * JPEG ([[JpegCodec]], entropy-coded — Huffman + DCT + 4:2:0), binary PGM
+  * ([[PgmCodec]]), RIFF/PCM WAV ([[WavCodec]]) and a multi-frame PGM
+  * container (q101). Payloads are synthesized from `documents.text` bytes
+  * so the whole path stays deterministic and oracle-checkable where
+  * possible. Remaining out of scope (declared): entropy-coded AUDIO/VIDEO
+  * formats (MP3/H.264) — their decode pipelines would follow q92/q101's
+  * exact plumbing shape with a different per-payload codec.
   */
 object Multimodal {
 
@@ -30,50 +32,34 @@ object Multimodal {
         // bytes): keeps parity with the oracle on multibyte text
         lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("head_hex"))
 
-  // ---- q42: batched per-partition feature extraction ----
+  // ---- q42: REAL entropy-coded image decode (baseline JPEG) ----
 
   /** Input record: opaque media payload. */
   case class DocPayload(doc_id: Long, payload: Array[Byte])
 
-  /** Extracted features. `fake_width`/`fake_height` stand in for decoded
-    * media dimensions.
+  /** Features of a decoded JPEG; decode_ok=false rows quarantine with
+    * nulls, never fail the job.
     */
-  case class DocFeatures(
-      doc_id: Long, n_bytes: Int, mean_byte: Double,
-      n_distinct_bytes: Int, fake_width: Int, fake_height: Int)
+  case class JpegFeatures(
+      doc_id: Long, decode_ok: Boolean, jpeg_bytes: Int, width: Option[Int],
+      height: Option[Int], mean_luma: Option[Double], mean_r: Option[Int],
+      mean_g: Option[Int], mean_b: Option[Int], ahash: Option[Long])
 
-  /** STUB decoder: a real implementation would decode image/audio bytes
-    * (e.g. via a JNI codec) — unavailable in this container. This fake is
-    * deterministic in the payload so the pipeline stays testable; the
-    * *shape* (bytes in → typed features out, amortized per partition) is
-    * the real contract.
-    */
-  private[operators] object FakeDecoder {
-    def decode(p: DocPayload): DocFeatures = {
-      val bytes = p.payload
-      var sum = 0L
-      val seen = new java.util.BitSet(256)
-      var i = 0
-      while (i < bytes.length) {
-        sum += bytes(i) & 0xff
-        seen.set(bytes(i) & 0xff)
-        i += 1
-      }
-      val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-      DocFeatures(
-        doc_id = p.doc_id,
-        n_bytes = bytes.length,
-        mean_byte = math.round(mean * 10000).toDouble / 10000,
-        n_distinct_bytes = seen.cardinality(),
-        fake_width = 64 + (bytes.length % 512),
-        fake_height = 64 + ((sum % 512)).toInt)
-    }
-  }
-
-  /** q42: mapPartitions feature extraction — the iterator boundary is where
-    * a real decoder would initialize its codec once per partition (the
-    * Scala analogue of a batched pandas-UDF). No driver involvement; the
-    * corpus streams through executors.
+  /** q42: the entropy-coded image pipeline, REAL end to end — each
+    * document's bytes become a deterministic RGB image (three phase-shifted
+    * byte ramps, side 16 + doc_id % 17), encoded as a genuine 4:2:0 baseline
+    * JPEG by [[JpegCodec.encodeColor420]] (FDCT → quantize → Huffman → byte
+    * stuffing), then decoded back by the production path
+    * [[JpegCodec.decode]] (marker/DHT/DQT parse → Huffman → dequantize →
+    * IDCT → upsample → YCbCr→RGB) for luma/chroma stats and a perceptual
+    * aHash of the decoded luma plane. Every 97th payload is truncated
+    * mid-entropy-data → quarantine. `mapPartitions` so codec state (tables)
+    * amortizes per partition, not per row; the corpus streams through
+    * executors with zero driver involvement. JpegSpec cross-checks the
+    * codec both ways against the JDK's independent javax.imageio. At 100 TB
+    * the decode is embarrassingly parallel — cost scales with payload
+    * bytes/partition, and `spark.sql.files.maxPartitionBytes` is the lever
+    * that keeps a partition's decode time bounded.
     */
   def q42FeatureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -81,8 +67,37 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[DocPayload]
       .mapPartitions { it =>
-        // per-partition init of the (stubbed) decoder happens here
-        it.map(FakeDecoder.decode)
+        it.map { p =>
+          val side = 16 + (p.doc_id % 17).toInt
+          val rgb = Array.tabulate(side * side) { i =>
+            def byteAt(k: Int): Int =
+              if (p.payload.isEmpty) 0 else p.payload(k % p.payload.length) & 0xff
+            (byteAt(i) << 16) | (byteAt(i + 7) << 8) | byteAt(i + 13)
+          }
+          val jpeg = JpegCodec.encodeColor420(side, side, rgb, quality = 85)
+          val payload = if (p.doc_id % 97 == 0) java.util.Arrays.copyOf(jpeg, jpeg.length * 3 / 4)
+                        else jpeg
+          JpegCodec.decode(payload) match {
+            case Some(d) =>
+              val n = d.width * d.height
+              var sumY = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L
+              var i = 0
+              while (i < n) {
+                sumY += d.gray(i) & 0xff
+                val px = d.rgb.get(i)
+                sumR += (px >> 16) & 0xff; sumG += (px >> 8) & 0xff; sumB += px & 0xff
+                i += 1
+              }
+              JpegFeatures(p.doc_id, decode_ok = true, payload.length,
+                Some(d.width), Some(d.height),
+                Some(math.round(sumY.toDouble / n * 10000).toDouble / 10000),
+                Some((sumR / n).toInt), Some((sumG / n).toInt), Some((sumB / n).toInt),
+                Some(PgmCodec.aHash(PgmCodec.Image(d.width, d.height, d.gray))))
+            case None =>
+              JpegFeatures(p.doc_id, decode_ok = false, payload.length,
+                None, None, None, None, None, None, None)
+          }
+        }
       }
       .toDF()
   }
@@ -91,11 +106,9 @@ object Multimodal {
 
   /** Minimal binary-PGM (netpbm P5) codec — a REAL image format parsed with
     * pure byte arithmetic, so the decode step needs no native codec at all.
-    * This replaces the "decode is always a stub" caveat for the image path:
-    * encode, header parse, pixel access, block-average resize and a 64-bit
-    * average-hash (aHash) below are all genuine implementations. Formats
-    * that require entropy coding (JPEG/audio/video) remain represented by
-    * [[FakeDecoder]], stated as such.
+    * Encode, header parse, pixel access, block-average resize and a 64-bit
+    * average-hash (aHash) below are all genuine implementations; the
+    * entropy-coded image path is likewise real via [[JpegCodec]] (q42).
     */
   private[graft] object PgmCodec {
     /** P5 header + raw 8-bit pixels. */
@@ -240,9 +253,9 @@ object Multimodal {
   /** Minimal RIFF/WAVE PCM codec — like [[PgmCodec]] for audio: 16-bit
     * mono PCM WAV is a pure byte-layout format (no entropy coding), so
     * encode, chunk-walking header parse and sample access below are all
-    * genuine implementations. With this, image (PGM) and audio (WAV) both
-    * have REAL decode paths; only entropy-coded formats (JPEG/MP3/video)
-    * remain represented by [[FakeDecoder]].
+    * genuine implementations. With this, image (PGM + baseline JPEG via
+    * [[JpegCodec]]) and audio (WAV) all have REAL decode paths; only
+    * entropy-coded audio/video (MP3/H.264) remains out of scope, declared.
     */
   private[graft] object WavCodec {
     private def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)

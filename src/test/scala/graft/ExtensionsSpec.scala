@@ -131,12 +131,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.getLong(2) == (97L * 31 + 98) % 1000000007L)
   }
 
-  test("q42 feature extraction agrees with q41 metadata on byte length") {
-    val meta = Multimodal.q41BinaryMeta(spark, sf).select(col("doc_id"), col("byte_len"))
-    val feat = Multimodal.q42FeatureExtract(spark, sf)
-      .select(col("doc_id"), col("n_bytes"))
-    val joined = meta.join(feat, "doc_id")
-    assert(joined.count() > 0)
-    assert(joined.filter(col("byte_len") =!= col("n_bytes")).count() == 0)
+  test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
+    val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
+    assert(feat.count() > 0)
+    // decoded dimensions must equal the synthesized side (16 + doc_id % 17)
+    // — the decoder really parsed the SOF0 header, not a passthrough
+    val wrongDims = feat.filter(col("decode_ok"))
+      .filter(col("width") =!= (lit(16) + col("doc_id") % 17) ||
+        col("height") =!= (lit(16) + col("doc_id") % 17))
+    assert(wrongDims.count() == 0)
+    // exactly the truncated payloads (doc_id % 97 == 0) quarantine
+    val misQuarantined = feat.filter(
+      (col("doc_id") % 97 === 0) =!= !col("decode_ok"))
+    assert(misQuarantined.count() == 0)
+    feat.unpersist()
   }
 }
