@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.JaroWinkler
+
+/** Record linkage / entity resolution: approximate-name matching with
+  * blocking — the classic data-integration operator (Fellegi–Sunter shape:
+  * block → compare → score) that complements the document-level dedup
+  * block (C): q28/q29 find duplicate CONTENT, this finds duplicate
+  * ENTITIES whose names differ by typos or variant spellings.
+  */
+object Linkage {
+
+  /** q143: candidate entity pairs among part names — Jaro–Winkler ≥ the
+    * threshold within a (brand, first-name-token) block.
+    *
+    * Blocking is the scale design: the all-pairs comparison is O(n²) and
+    * never runs; pairs form only within blocks, and the blocking key
+    * (brand × first token) grows with the catalog, so block sizes stay
+    * bounded as the table scales — same contract as q29's LSH bands and
+    * the hot-bucket cap in Dedup. The self-join is a shuffle equi-join on
+    * the block key (no broadcast: both sides are the full table);
+    * `id_a < id_b` keeps each unordered pair once. Scores come from the
+    * native codegen'd [[graft.functions.JaroWinkler]] expression — exact
+    * integer basis points, no doubles, so the pair set is engine- and
+    * replay-stable. Rows-only (Jaro–Winkler has no DuckDB-portable SQL
+    * mirror); LinkageSpec brute-forces the block recall and pins the
+    * kernel to the literature's hand-computed values.
+    */
+  def q143LinkagePairs(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir).select(
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("name_head"))
+    val a = parts.select(col("p_brand"), col("name_head"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = parts.select(col("p_brand"), col("name_head"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "name_head"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_bp", JaroWinkler.jaroWinklerBp(col("name_a"), col("name_b")))
+      .filter(col("jw_bp") >= 9000 && col("jw_bp") < 10000) // near, not identical
+      .select(col("p_brand"), col("id_a"), col("id_b"), col("name_a"),
+        col("name_b"), col("jw_bp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_linkage_pairs" -> (q143LinkagePairs _))
+
+  /** Rows-only: the JW kernel is spec-gated (literature values + block
+    * recall brute force), not SQL-mirrored. */
+  val oracles: Map[String, String] = Map.empty
+}

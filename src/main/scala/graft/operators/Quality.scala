@@ -463,7 +463,40 @@ object Quality {
             ON c.$ck = p.$pk"""
     }.mkString("", "\nUNION ALL\n", "")
 
+  /** q145: arbitrary-date-range percentiles served FROM THE ROLLUP — the
+    * query [[dailyRollup]]'s persisted KLL column exists for: p50/p90/p99
+    * of event value per type over a range picked at query time (here the
+    * middle third of observed days), answered by merging only the range's
+    * ~KB daily sketches. The 100 TB contrast: an exact percentile over an
+    * ad-hoc range rescans every event in the range (q67's shape); this
+    * touches |types|×|days| rollup rows whatever the event volume. Error
+    * is KLL's bounded rank error (k=200 → ≤ ~1.65% rank), which
+    * QualitySketchSpec asserts against the exact range percentiles.
+    * Rows-only: DuckDB has no KLL; correctness is the spec's rank-error
+    * bound, the same contract as q67/q96.
+    */
+  def q145RollupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val rollup = dailyRollup(Tables.events(s, dir))
+    // deterministic ad-hoc range: the middle third of the observed days
+    val bounds = rollup.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0) / 3").as("lo"), expr("d1 - (d1 - d0) / 3").as("hi"))
+    rollup
+      .crossJoin(broadcast(bounds)) // 1-row bounds frame
+      .filter(col("day").between(col("lo"), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        min(col("day")).as("day_lo"),
+        max(col("day")).as("day_hi"),
+        expr("kll_merge_agg_bigint(cents_sketch)").as("sk"))
+      .select(col("event_type"), col("n_events"), col("day_lo"), col("day_hi"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("p50_cents"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("p90_cents"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.99)").as("p99_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_rollup_quantiles" -> (q145RollupQuantiles _),
     "q141_ref_integrity" -> (q141RefIntegrity _),
     "q126_robust_outliers" -> (q126RobustOutliers _),
     "q125_completeness" -> (q125Completeness _),

@@ -146,7 +146,35 @@ object RelationalExt {
       .select(col("o_orderkey"), col("cents"), col("day"))
   }
 
+  /** q144: deterministic bounded per-stratum sample — the k=5 order keys
+    * with the smallest md5 rank per (status, order-year), via the native
+    * [[graft.functions.BottomKSample]] TypedImperativeAggregate, plus the
+    * stratum's total count (the sampling denominator).
+    *
+    * This is the 100 TB replacement for `row_number() OVER (PARTITION BY
+    * stratum ORDER BY hash) <= k` (q94's shape, which sorts every row of
+    * every stratum through the exchange): the aggregate keeps an O(k)
+    * buffer per group, partial aggregation bounds it map-side, and the
+    * shuffle carries ≤ k entries per (partition, stratum) — input size
+    * appears nowhere in the memory or shuffle bound. Hash-ranking makes
+    * the sample uniform, reproducible across runs/engines, and stable
+    * under re-partitioning (rank ties are impossible modulo md5
+    * collisions, and the (rank, id) pair order is total regardless).
+    */
+  def q144BottomkSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("status"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").as("yr"),
+        col("o_orderkey"),
+        md5(col("o_orderkey").cast("string")).as("h"))
+      .groupBy(col("status"), col("yr"))
+      .agg(
+        graft.functions.BottomKSample.bottomK(col("h"), col("o_orderkey"), 5)
+          .as("sample_ids"),
+        count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_bottomk_sample" -> (q144BottomkSample _),
     "q129_skyline"        -> (q129Skyline _),
     "q88_unpivot"         -> (q88Unpivot _),
     "q43_range_join"      -> (q43RangeJoin _),
@@ -156,6 +184,26 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q144_bottomk_sample" ->
+      """WITH o AS (
+           SELECT o_orderstatus AS status,
+                  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                  o_orderkey,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS h
+           FROM orders),
+         c AS (
+           SELECT status, yr, CAST(count(*) AS BIGINT) AS n_orders
+           FROM o GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY status, yr
+                                        ORDER BY h, o_orderkey) AS rn
+           FROM o),
+         s AS (
+           SELECT status, yr,
+                  list(o_orderkey ORDER BY h, o_orderkey) AS sample_ids
+           FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT s.status, s.yr, s.sample_ids, c.n_orders
+         FROM s JOIN c USING (status, yr)""",
     "q129_skyline" ->
       """WITH o AS (
            SELECT o_orderkey,

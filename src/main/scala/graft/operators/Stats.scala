@@ -317,7 +317,55 @@ object Stats {
                       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)""").as("gini"))
   }
 
+  /** q142: Population Stability Index — the industry-standard "has this
+    * feature's distribution shifted" score between two populations, here
+    * weekday vs weekend event values per type (in production: this-crawl
+    * vs last-crawl, or serving vs training). Five fixed value bands,
+    * add-one (Laplace) smoothing over the DENSIFIED band grid so empty
+    * cells contribute identically in both engines, and
+    * psi = Σ (p−q)·ln(p/q).
+    *
+    * Cross-engine determinism: ln() is the one non-IEEE-mandated function
+    * in this file, so each band's term is rounded to 1e-4 PSI units and
+    * the TOTAL is an exact BIGINT sum of those integers — engine
+    * summation order cannot move the result, and a last-ulp ln()
+    * divergence would have to land within 5e-9 of a rounding boundary to
+    * flip a term.
+    *
+    * Shape: one scan → (type, band) cell agg (partial-combined) → a
+    * |types|×5-row frame for everything after — the expensive part never
+    * exceeds one exchange at any scale.
+    */
+  def q142PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("least(CAST(round(value * 100) AS BIGINT) DIV 5000, 4)").as("bin"),
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow7"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(expr("dow7 IN (0, 6)"), 0L).otherwise(1L)).as("n_wd"),
+        sum(when(expr("dow7 IN (0, 6)"), 1L).otherwise(0L)).as("n_we"))
+    // densify to the full (type × band 0..4) grid: smoothing must see
+    // empty cells, and both engines must see the SAME cell set
+    val grid = binned.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(4 AS BIGINT))")).as("bin"))
+    grid.join(binned, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_wd", "n_we"))
+      .withColumn("t_wd", sum(col("n_wd")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("t_we", sum(col("n_we")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("p", expr("CAST(n_wd + 1 AS DOUBLE) / CAST(t_wd + 5 AS DOUBLE)"))
+      .withColumn("q", expr("CAST(n_we + 1 AS DOUBLE) / CAST(t_we + 5 AS DOUBLE)"))
+      .withColumn("term_dbp", expr("CAST(round((p - q) * ln(p / q) * 10000) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("t_wd")).as("n_weekday"),
+        max(col("t_we")).as("n_weekend"),
+        sum(col("term_dbp")).as("psi_dbp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_psi_drift"  -> (q142PsiDrift _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
     "q99_cov_matrix"  -> (q99CovMatrix _),
@@ -351,6 +399,39 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q142_psi_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  least(CAST(round(value * 100) AS BIGINT) // 5000, 4) AS bin,
+                  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow7
+           FROM events),
+         g AS (
+           SELECT event_type, bin,
+                  CAST(sum(CASE WHEN dow7 IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT) AS n_wd,
+                  CAST(sum(CASE WHEN dow7 IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_we
+           FROM e GROUP BY 1, 2),
+         cells AS (
+           SELECT t.event_type, b.bin,
+                  coalesce(g.n_wd, 0) AS n_wd, coalesce(g.n_we, 0) AS n_we
+           FROM (SELECT DISTINCT event_type FROM e) t
+           CROSS JOIN (SELECT unnest(range(0, 5)) AS bin) b
+           LEFT JOIN g ON g.event_type = t.event_type AND g.bin = b.bin),
+         w AS (
+           SELECT event_type, n_wd, n_we,
+                  CAST(sum(n_wd) OVER (PARTITION BY event_type) AS BIGINT) AS t_wd,
+                  CAST(sum(n_we) OVER (PARTITION BY event_type) AS BIGINT) AS t_we
+           FROM cells),
+         p AS (
+           SELECT event_type, t_wd, t_we,
+                  CAST(n_wd + 1 AS DOUBLE) / CAST(t_wd + 5 AS DOUBLE) AS p,
+                  CAST(n_we + 1 AS DOUBLE) / CAST(t_we + 5 AS DOUBLE) AS q
+           FROM w)
+         SELECT event_type,
+                CAST(max(t_wd) AS BIGINT) AS n_weekday,
+                CAST(max(t_we) AS BIGINT) AS n_weekend,
+                CAST(sum(CAST(round((p - q) * ln(p / q) * 10000) AS BIGINT))
+                  AS BIGINT) AS psi_dbp
+         FROM p GROUP BY event_type""",
     "q104_ab_test" ->
       s"""WITH f AS (
            SELECT user_id, event_type,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, FrequentItems, MinHashAgg, RollingHash}
+import graft.functions.{BottomKSample, CosineSimilarity, FrequentItems, JaroWinkler, MinHashAgg, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_frequent_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
       GraftExtensions.buildFrequentItems))
@@ -28,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       GraftExtensions.buildMinHash))
+    e.injectFunction((
+      FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottom_k"),
+      GraftExtensions.buildBottomK))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -47,12 +55,20 @@ object GraftExtensions {
       exprs => RollingHash(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinkler(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_frequent_items",
       buildFrequentItems,
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       buildMinHash,
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottom_k",
+      buildBottomK,
       "built-in")
   }
 
@@ -81,4 +97,19 @@ object GraftExtensions {
 
   private[plans] val buildMinHash: Seq[Expression] => Expression =
     validatedColK("graft_minhash", MinHashAgg(_, _))
+
+  /** graft_bottom_k(rank, id, k): same validated-literal-k contract as the
+    * (col, k) aggregates, one position over. */
+  private[plans] val buildBottomK: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_bottom_k(rank, id, k) takes exactly 3 arguments, got ${exprs.length}")
+    val kExpr = exprs(2)
+    require(kExpr.foldable, "graft_bottom_k: k must be a literal integer")
+    val k = kExpr.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_bottom_k: k must be an integer literal, got '$other'")
+    }
+    BottomKSample(exprs.head, exprs(1), k)
+  }
 }

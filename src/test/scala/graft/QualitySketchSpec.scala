@@ -230,4 +230,35 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(rows.filter(r => r.getAs[Int]("gid") != 0)
       .forall(r => r.isNullAt(r.fieldIndex("share_of_year_bp"))))
   }
+
+  test("q145 range percentiles from merged daily KLL sketches stay within rank-error bounds") {
+    val got = Quality.q145RollupQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), Seq(r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.nonEmpty)
+    val targets = Seq(0.5, 0.9, 0.99)
+    got.foreach { case (tpe, (dayLo, dayHi, quantiles)) =>
+      // the exact values of the SAME range, straight off the events
+      val cents = Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .filter(col("event_type") === tpe &&
+          col("day").between(dayLo, dayHi))
+        .select("cents").collect().map(_.getLong(0)).sorted
+      val n = cents.length
+      assert(n > 0)
+      targets.zip(quantiles).foreach { case (q, v) =>
+        // KLL k=200 → normalized rank error ~1.65%; assert the returned
+        // VALUE's rank is within 3% of the target rank (≈ 2σ headroom)
+        val below = cents.count(_ < v)
+        val atOrBelow = cents.count(_ <= v)
+        val lo = below.toDouble / n
+        val hi = atOrBelow.toDouble / n
+        assert(q >= lo - 0.03 && q <= hi + 0.03,
+          s"$tpe p$q=$v has rank [$lo, $hi] over n=$n")
+      }
+    }
+  }
 }

@@ -296,4 +296,26 @@ class StatsSpec extends AnyFunSuite {
       .agg(countDistinct("band").as("nb")).filter(col("nb") > 1).count()
     assert(multiBand == 0)
   }
+
+  test("q142 PSI: nonnegative, zero on identical populations, counts reconcile") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.operators.Stats.q142PsiDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every per-type PSI ≥ 0: each (p−q)·ln(p/q) term is nonnegative, and
+    // per-term rounding keeps sign (|term| ≥ 0 rounds to ≥ 0)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"${r.getString(0)} psi ${r.getLong(3)} < 0")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    // weekday+weekend totals reconcile with the raw event counts
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == Tables.events(spark, dir).count())
+    // identical populations → PSI exactly 0: p == q for every bin makes
+    // every term ln(1)·0 = 0 before rounding (pinned on the term
+    // expression directly — q142 itself always reads the table)
+    val term = spark.sql(
+      "SELECT CAST(round((p - q) * ln(p / q) * 10000) AS BIGINT) AS t " +
+      "FROM (SELECT CAST(0.2 AS DOUBLE) AS p, CAST(0.2 AS DOUBLE) AS q)").head()
+    assert(term.getLong(0) == 0L)
+  }
 }
