@@ -79,7 +79,7 @@ object IvfIndex {
   /** The model is k×dim doubles — driver-held by design (same as a fitted
     * KMeansModel); this collect is the whole model, not data.
     */
-  private def loadCenters(s: SparkSession, indexDir: String): Array[Array[Double]] =
+  private[graft] def loadCenters(s: SparkSession, indexDir: String): Array[Array[Double]] =
     s.read.parquet(s"$indexDir/centers")
       .orderBy(col("cell"))
       .collect()
@@ -91,7 +91,18 @@ object IvfIndex {
     * literal list → static partition pruning at plan time.
     */
   def probe(s: SparkSession, indexDir: String, queries: DataFrame,
-            nprobe: Int = 8, topK: Int = TopK): DataFrame = {
+            nprobe: Int = 8, topK: Int = TopK): DataFrame =
+    probeWith(s, indexDir, queries, None, nprobe, topK)
+
+  /** [[probe]] with an optional extra corpus frame unioned under the same
+    * probe-cell filter — the serving path for
+    * [[graft.streaming.VectorIngest]]'s un-compacted ingest lane (the
+    * extra frame carries the SAME (cell, vec_id, embedding) columns; its
+    * cell predicate pushes down rather than partition-prunes, which is the
+    * documented trade for the lane's bounded size).
+    */
+  private[graft] def probeWith(s: SparkSession, indexDir: String, queries: DataFrame,
+      extraCorpus: Option[DataFrame], nprobe: Int, topK: Int): DataFrame = {
     val centers = loadCenters(s, indexDir)
     val qs = queries
       .withColumn("probes",
@@ -102,7 +113,9 @@ object IvfIndex {
     // (bounded by k) — NOT from the corpus
     val probedCells: Seq[Int] = qs.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val corpus = s.read.parquet(s"$indexDir/corpus")
+    val base = s.read.parquet(s"$indexDir/corpus")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val corpus = extraCorpus.fold(base)(base.unionByName(_))
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
