@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over entity graphs derived from the star schema. The
+  * scale pattern for iterative graph algorithms here is collapse-then-
+  * iterate: one exchange over the fact table builds the WEIGHTED entity
+  * graph (bounded by entity cardinality, not fact rows), and the iterations
+  * run on that small frame — so a 100 TB fact table pays one aggregation
+  * pass, and each PageRank step is a join on a frame that fits wherever
+  * the dimension tables fit. (Contrast q56's connected components, which
+  * iterates on the full pair graph — right when the graph IS the data.)
+  */
+object Graph {
+
+  /** q146: trade-flow PageRank — which supplier nations sit at the center
+    * of the purchase network. Edges: customer-nation → supplier-nation,
+    * weighted by distinct order-line trade pairs; then 3 fixed power
+    * iterations with damping 0.85.
+    *
+    * Engine-exact integer arithmetic throughout: ranks live in micro-units
+    * (node starts at 1_000_000), each step is
+    * `next(j) = 150000 + 85 · Σ_i (rank(i) · w(i,j) DIV wout(i)) DIV 100`
+    * — BIGINT multiply + floor DIV only, so Spark and DuckDB walk
+    * bit-identical iterates (the documented floor-PageRank variant: each
+    * node's outflow loses ≤ wout µ-units to flooring per step; dangling
+    * nodes simply contribute nothing). Fixed iteration count keeps the
+    * oracle expressible as a 3-stage CTE chain instead of a recursion.
+    *
+    * Shape: one lineitem→orders join + (src, dst) aggregate is the only
+    * fact-scale work (two broadcast dim joins for the nation keys); the
+    * iterate frame is |nations|² at most.
+    */
+  def q146PagerankNations(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("src"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("dst"))
+    // fact-scale pass: distinct trade pairs, then weighted nation edges
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val start = nodes.withColumn("rank_micro", lit(1000000L))
+    // 3 power iterations; every arithmetic step is BIGINT with floor DIV
+    val finalRanks = (1 to 3).foldLeft(start) { (ranks, _) =>
+      val contrib = edges
+        .join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro * w DIV wout").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000 + 85 * coalesce(inflow, 0) DIV 100").as("rank_micro"))
+    }
+    finalRanks
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("rank_micro"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_pagerank_nations" -> (q146PagerankNations _))
+
+  val oracles: Map[String, String] = Map(
+    "q146_pagerank_nations" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM pairs
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         outw AS (
+           SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+         nodes AS (
+           SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+         r1 AS (
+           SELECT n.node,
+                  150000 + 85 * coalesce(CAST(sum(r.rank_micro * e.w // o.wout) AS BIGINT), 0) // 100
+                    AS rank_micro
+           FROM nodes n
+           LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN outw o ON o.src = e.src
+           LEFT JOIN r0 r ON r.node = e.src
+           GROUP BY n.node),
+         r2 AS (
+           SELECT n.node,
+                  150000 + 85 * coalesce(CAST(sum(r.rank_micro * e.w // o.wout) AS BIGINT), 0) // 100
+                    AS rank_micro
+           FROM nodes n
+           LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN outw o ON o.src = e.src
+           LEFT JOIN r1 r ON r.node = e.src
+           GROUP BY n.node),
+         r3 AS (
+           SELECT n.node,
+                  150000 + 85 * coalesce(CAST(sum(r.rank_micro * e.w // o.wout) AS BIGINT), 0) // 100
+                    AS rank_micro
+           FROM nodes n
+           LEFT JOIN edges e ON e.dst = n.node
+           LEFT JOIN outw o ON o.src = e.src
+           LEFT JOIN r2 r ON r.node = e.src
+           GROUP BY n.node)
+         SELECT n_name, rank_micro
+         FROM r3 JOIN nation ON node = n_nationkey""")
+}

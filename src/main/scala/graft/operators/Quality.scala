@@ -495,7 +495,54 @@ object Quality {
         expr("kll_sketch_get_quantile_bigint(sk, 0.99)").as("p99_cents"))
   }
 
+  /** q147's expectation table: (rule_id, ANSI predicate). ONE definition
+    * feeds both the Spark plan and the generated oracle SQL (q141's
+    * shared-list idiom), so the two sides cannot drift. Predicates are
+    * engine-portable ANSI — no Spark- or DuckDB-only functions.
+    */
+  private[graft] val expectations: Seq[(String, String)] = Seq(
+    "quantity_range"   -> "l_quantity BETWEEN 1 AND 50",
+    "discount_domain"  -> "l_discount BETWEEN 0.0 AND 0.5",
+    "tax_domain"       -> "l_tax BETWEEN 0.0 AND 0.2",
+    "price_positive"   -> "l_extendedprice > 0",
+    "flag_domain"      -> "l_returnflag IN ('A', 'N', 'R')",
+    "status_domain"    -> "l_linestatus IN ('O', 'F')",
+    "shipdate_present" -> "l_shipdate IS NOT NULL",
+    "keys_present"     -> "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL")
+
+  /** q147: declarative data-expectations audit — the contract gate a
+    * publication pipeline runs before promoting a batch (the
+    * Great-Expectations / dbt-test operator class): a RULE TABLE of named
+    * ANSI predicates, all evaluated in ONE scan as conditional counts,
+    * emitted one row per rule with violation counts and pass/fail.
+    * Complements q55 (fixed audit counters), schemaDiff (shape drift) and
+    * q141 (FK edges): this is the user-extensible value-domain layer.
+    *
+    * Shape: |rules| conditional sums in a single partial-aggregated pass —
+    * adding a rule costs one column, never another scan; at 100 TB the
+    * audit reads the table once regardless of rule count. A predicate that
+    * is NULL (three-valued SQL on null inputs) counts as a violation —
+    * `coalesce(pred, false)` pins that choice identically in both engines.
+    */
+  def q147Expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      expectations.map { case (id, pred) =>
+        sum(when(expr(s"NOT coalesce(($pred), false)"), 1L).otherwise(0L)).as(s"v_$id")
+      }: _*)
+    expectations.map { case (id, pred) =>
+      agg.select(
+        lit(id).as("rule_id"),
+        lit(pred).as("predicate"),
+        col("n_rows"),
+        col(s"v_$id").as("n_violations"),
+        (col(s"v_$id") === 0L).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_expectations"     -> (q147Expectations _),
     "q145_rollup_quantiles" -> (q145RollupQuantiles _),
     "q141_ref_integrity" -> (q141RefIntegrity _),
     "q126_robust_outliers" -> (q126RobustOutliers _),
@@ -510,7 +557,26 @@ object Quality {
     "q73_outliers"  -> (q73Outliers _),
     "q84_heavy_hitters" -> (q84HeavyHitters _))
 
+  /** q147's oracle, generated from the SAME [[expectations]] list as the
+    * Spark plan (only SQL-literal escaping is oracle-local). */
+  private val q147OracleSql: String = {
+    val sums = expectations.map { case (id, pred) =>
+      s"CAST(sum(CASE WHEN NOT coalesce(($pred), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_$id"
+    }
+    val rows = expectations.map { case (id, pred) =>
+      val lit = pred.replace("'", "''")
+      s"""SELECT '$id' AS rule_id, '$lit' AS predicate, n_rows,
+             v_$id AS n_violations, v_$id = 0 AS pass
+          FROM a"""
+    }
+    s"""WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows, ${sums.mkString(", ")}
+          FROM lineitem)
+        ${rows.mkString("\n UNION ALL \n")}"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q147_expectations" -> q147OracleSql,
     "q141_ref_integrity" -> q141OracleSql,
     "q126_robust_outliers" ->
       """WITH ev AS (

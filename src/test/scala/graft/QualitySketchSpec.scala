@@ -213,6 +213,68 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(dirty("lineitem.l_orderkey->orders").getAs[Long]("orphan_rows") == 0L)
   }
 
+  test("q147 expectations: clean data passes; planted violations counted exactly; NULL predicate = violation") {
+    val sf = TestSpark.sf
+    val clean = Quality.q147Expectations(spark, sf).collect()
+    assert(clean.length == Quality.expectations.length)
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("pass") && r.getAs[Long]("n_violations") == 0L,
+        s"rule ${r.getString(0)} must pass on the driver's clean data")
+    }
+    // corrupt a COPY: discount pushed out of domain on 5 rows, shipdate
+    // nulled on 3 — each rule must count ITS planted rows and nothing else
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q147").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hitDiscount = col("l_orderkey") % 7 === 0 && col("l_linenumber") % 2 === 0
+    val hitShip = col("l_orderkey") % 7 === 3
+    li.withColumn("l_discount", when(hitDiscount, lit(0.9)).otherwise(col("l_discount")))
+      .withColumn("l_shipdate", when(hitShip, lit(null)).otherwise(col("l_shipdate")))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val expDiscount = li.filter(hitDiscount).count()
+    val expShip = li.filter(hitShip).count()
+    assert(expDiscount > 0 && expShip > 0)
+    val dirty = Quality.q147Expectations(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(dirty("discount_domain").getAs[Long]("n_violations") == expDiscount)
+    assert(!dirty("discount_domain").getAs[Boolean]("pass"))
+    // a NULL shipdate makes `IS NOT NULL` false — counted as violation —
+    // and the nulls must NOT leak into unrelated rules
+    assert(dirty("shipdate_present").getAs[Long]("n_violations") == expShip)
+    assert(dirty("quantity_range").getAs[Long]("n_violations") == 0L)
+    assert(dirty("price_positive").getAs[Boolean]("pass"))
+  }
+
+  test("q146 pagerank: plan output equals a driver-side replay of the integer iteration") {
+    val sf = TestSpark.sf
+    val got = graft.operators.Graph.q146PagerankNations(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // rebuild the tiny nation graph driver-side and replay the exact
+    // integer recurrence — proves the distributed join chain computes the
+    // declared fixed-point steps (the DuckDB oracle proves cross-engine)
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val supp = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .collect().map(r => (cust(r.getLong(0)), supp(r.getLong(1))))
+    val w = pairs.groupBy(identity).map { case ((s0, d), xs) => (s0, d) -> xs.length.toLong }
+    val wout = w.groupBy(_._1._1).map { case (s0, es) => s0 -> es.values.sum }
+    val nodes = (w.keys.map(_._1) ++ w.keys.map(_._2)).toSet
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = w.toSeq.map { case ((s0, d), wt) => d -> (rank(s0) * wt / wout(s0)) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      rank = nodes.map(n => n -> (150000L + 85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val names = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    val want = rank.map { case (n, v) => names(n) -> v }
+    assert(got == want)
+  }
+
   test("q123 calendar rollup reconciles across granularities with floor-exact shares") {
     val rows = graft.operators.Analytics.q123CalendarRollup(spark, TestSpark.sf)
       .collect()
