@@ -531,14 +531,17 @@ object Quality {
       expectations.map { case (id, pred) =>
         sum(when(expr(s"NOT coalesce(($pred), false)"), 1L).otherwise(0L)).as(s"v_$id")
       }: _*)
-    expectations.map { case (id, pred) =>
-      agg.select(
-        lit(id).as("rule_id"),
-        lit(pred).as("predicate"),
-        col("n_rows"),
-        col(s"v_$id").as("n_violations"),
-        (col(s"v_$id") === 0L).as("pass"))
-    }.reduce(_.unionByName(_))
+    // unpivot the single aggregate row with stack(): a per-rule union of
+    // selects would replicate the whole scan+aggregate subtree per rule
+    // (verified on the plan) — stack keeps it ONE scan at any rule count
+    val cells = expectations.map { case (id, pred) =>
+      s"'$id', '${pred.replace("'", "\\'")}', v_$id"
+    }
+    agg.select(col("n_rows"),
+        expr(s"stack(${expectations.length}, ${cells.mkString(", ")}) " +
+          "AS (rule_id, predicate, n_violations)"))
+      .select(col("rule_id"), col("predicate"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
