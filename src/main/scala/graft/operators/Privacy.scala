@@ -92,12 +92,74 @@ object Privacy {
         regexp_count(col("text"), lit(SsnRe)).as("n_ids"),
         redactText(col("text")).as("redacted_text"))
 
+  /** Engine-portable uniform draw in [0, 2³²): the first 8 hex digits of
+    * md5(key), accumulated digit-by-digit with instr over the hex
+    * alphabet — q68's two-digit coin widened to 32 bits. ONE formula
+    * string feeds both the Spark plan and the DuckDB oracle (the q99
+    * shared-builder rule), so the draw cannot drift between engines.
+    */
+  private def u32Sql(keyExpr: String): String =
+    (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"CAST(instr('0123456789abcdef', substring(md5($keyExpr), $i, 1)) - 1 AS BIGINT) * $p"
+    }.mkString("(", " + ", ")")
+
+  /** Seeded Laplace(scale=1/ε) noise via inverse-CDF over the md5 draw:
+    * u = (u32 + 0.5)/2³² ∈ (0,1), noise = sign·(1/ε)·ln(...). ln() gets
+    * the q142 treatment — the final noise is rounded to an INTEGER count
+    * perturbation, so a last-ulp ln() divergence flips nothing unless it
+    * lands within one ulp of a .5 boundary.
+    */
+  private[graft] def dpNoiseSql(keyExpr: String, epsilon: Double): String = {
+    val u = s"(CAST(${u32Sql(keyExpr)} AS DOUBLE) + 0.5) / 4294967296.0"
+    s"""CAST(round(CASE WHEN $u < 0.5
+                        THEN ln(2.0 * $u) / $epsilon
+                        ELSE -ln(2.0 * (1.0 - $u)) / $epsilon END)
+            AS BIGINT)"""
+  }
+
+  /** q148: ε-differentially-private published counts — the publication
+    * layer's strongest guarantee, beyond q52's k-anonymity: per-cell
+    * Laplace(1/ε) noise on (status, order-year) order counts, clamped at
+    * 0. The noise is SEEDED (md5 of the cell key) so releases are
+    * reproducible and the oracle can mirror them — a production release
+    * would draw real randomness and keep ε-accounting across releases;
+    * the mechanism, sensitivity-1 count shape, clamping and scale are
+    * exactly what it would run. One aggregation; noise is a projection
+    * over the |cells|-row result.
+    */
+  def q148DpCounts(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("status"), col("yr"),
+        expr(s"greatest(CAST(0 AS BIGINT), n + ${dpNoiseSql(dpCellKey, eps)})")
+          .as("n_noisy"),
+        lit(eps).as("epsilon"))
+  }
+
+  /** The DP cell key expression, shared verbatim with the oracle. */
+  private val dpCellKey = "concat(status, '|', CAST(yr AS STRING))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_dp_counts" -> (q148DpCounts _),
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "q148_dp_counts" ->
+      s"""WITH cells AS (
+           SELECT o_orderstatus AS status,
+                  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2)
+         SELECT status, yr,
+                greatest(CAST(0 AS BIGINT), n + ${dpNoiseSql(dpCellKey, 1.0)}) AS n_noisy,
+                1.0 AS epsilon
+         FROM cells""",
     "q51_anonymize" ->
       s"""SELECT event_id,
                  sha256('$Salt' || CAST(user_id AS VARCHAR)) AS user_pseudo,

@@ -524,21 +524,27 @@ object Quality {
     * is NULL (three-valued SQL on null inputs) counts as a violation —
     * `coalesce(pred, false)` pins that choice identically in both engines.
     */
-  def q147Expectations(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val agg = li.agg(
+  def q147Expectations(s: SparkSession, dir: String): DataFrame =
+    expectationsReport(Tables.lineitem(s, dir), expectations)
+
+  /** The rule evaluator behind q147, reusable on ANY frame (the streaming
+    * gate s15 runs it per micro-batch): all rules as conditional counts in
+    * one partial-aggregated pass, unpivoted with stack() — a per-rule
+    * union of selects would replicate the whole scan+aggregate subtree
+    * per rule (verified on the plan); stack keeps it ONE scan at any rule
+    * count.
+    */
+  def expectationsReport(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val agg = df.agg(
       count(lit(1)).as("n_rows"),
-      expectations.map { case (id, pred) =>
+      rules.map { case (id, pred) =>
         sum(when(expr(s"NOT coalesce(($pred), false)"), 1L).otherwise(0L)).as(s"v_$id")
       }: _*)
-    // unpivot the single aggregate row with stack(): a per-rule union of
-    // selects would replicate the whole scan+aggregate subtree per rule
-    // (verified on the plan) — stack keeps it ONE scan at any rule count
-    val cells = expectations.map { case (id, pred) =>
+    val cells = rules.map { case (id, pred) =>
       s"'$id', '${pred.replace("'", "\\'")}', v_$id"
     }
     agg.select(col("n_rows"),
-        expr(s"stack(${expectations.length}, ${cells.mkString(", ")}) " +
+        expr(s"stack(${rules.length}, ${cells.mkString(", ")}) " +
           "AS (rule_id, predicate, n_violations)"))
       .select(col("rule_id"), col("predicate"), col("n_rows"),
         col("n_violations"), (col("n_violations") === 0L).as("pass"))

@@ -44,4 +44,24 @@ class PrivacySpec extends AnyFunSuite {
       .filter(col("redacted_text") =!= col("text")).count()
     assert(changed == 0)
   }
+
+  test("q148 DP counts: deterministic, clamped, Laplace-tail-bounded, non-degenerate") {
+    val a = operators.Privacy.q148DpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = operators.Privacy.q148DpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "seeded release must be reproducible")
+    assert(a.nonEmpty && a.values.forall(_ >= 0L), "counts clamp at zero")
+    val truth = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a.keySet == truth.keySet)
+    // Laplace(1) tail: P(|noise| > 20) = e^-20 ≈ 2e-9 — a violated bound
+    // means the inverse-CDF or the uniform draw is broken, not bad luck
+    val diffs = a.map { case (k, noisy) => math.abs(noisy - truth(k)) }
+    assert(diffs.forall(_ <= 20L), s"noise out of tail bound: ${diffs.max}")
+    // and the mechanism actually perturbs: not every cell can be exact
+    assert(diffs.exists(_ > 0L), "all cells unperturbed — noise is not applied")
+  }
 }
