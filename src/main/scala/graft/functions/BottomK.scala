@@ -47,9 +47,13 @@ object BottomKSample {
 }
 
 /** `graft_bottom_k(rank, id, k)` — deterministic per-group sample as a
-  * native aggregate: the k ids with the smallest rank (rank = a hash of
-  * the id makes it a uniform pseudorandom-but-reproducible sample; rank =
-  * any attribute makes it an exact bounded top-k).
+  * native aggregate: the k ids with the smallest STRING rank (rank = a
+  * hash of the id makes it a uniform pseudorandom-but-reproducible
+  * sample; any totally-ordered string attribute — e.g. a zero-padded sort
+  * key — makes it an exact bounded top-k). Input types are validated at
+  * analysis: rank must be STRING (the buffer orders lexicographically —
+  * a silently stringified numeric would sort '10' before '9') and id must
+  * be BIGINT.
   *
   * The 100 TB shape for stratified sampling: the alternative
   * `row_number() OVER (PARTITION BY stratum ORDER BY hash)` sorts EVERY row
@@ -68,6 +72,14 @@ case class BottomKSample(
   extends TypedImperativeAggregate[BottomKState] with BinaryLike[Expression] {
 
   require(k > 0 && k <= 1000000, "k must be in [1, 1e6]")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bottom_k expects (rank: string, id: bigint), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
 
   override def createAggregationBuffer(): BottomKState = new BottomKState(k)
 

@@ -29,9 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object JaroWinklerKernel {
   final val MaxLen = 10000
 
-  /** Jaro–Winkler similarity in basis points (0..10000), exact. */
+  /** Jaro–Winkler similarity in basis points (0..10000), exact. Only TRUE
+    * equality scores 10000: a truncated comparison (either input over
+    * [[MaxLen]]) whose truncated views coincide caps at 9999, so the
+    * score never claims identity it didn't verify (q143 filters
+    * `jw_bp < 10000` to mean "near, not identical").
+    */
   def jwBp(a: String, b: String): Long = {
     if (a == b) return 10000L
+    val truncated = a.length > MaxLen || b.length > MaxLen
     val l1 = math.min(a.length, MaxLen)
     val l2 = math.min(b.length, MaxLen)
     if (l1 == 0 || l2 == 0) return 0L
@@ -77,7 +83,8 @@ object JaroWinklerKernel {
     val boosted =
       if (p > 0 && num * 10L > den * 7L) (num * (10L - p) + p * den, den * 10L)
       else (num, den)
-    10000L * boosted._1 / boosted._2
+    val bp = 10000L * boosted._1 / boosted._2
+    if (truncated) math.min(bp, 9999L) else bp
   }
 
   /** UTF8String entry used by both eval and generated code. */

@@ -104,19 +104,23 @@ object Privacy {
       s"CAST(instr('0123456789abcdef', substring(md5($keyExpr), $i, 1)) - 1 AS BIGINT) * $p"
     }.mkString("(", " + ", ")")
 
-  /** Seeded Laplace(scale=1/ε) noise via inverse-CDF over the md5 draw:
-    * u = (u32 + 0.5)/2³² ∈ (0,1), noise = sign·(1/ε)·ln(...). ln() gets
-    * the q142 treatment — the final noise is rounded to an INTEGER count
-    * perturbation, so a last-ulp ln() divergence flips nothing unless it
-    * lands within one ulp of a .5 boundary.
+  /** u = (u32 + 0.5)/2³² ∈ (0,1) — computed ONCE per row into a named
+    * column/CTE (the 8-term md5 chain would otherwise be re-evaluated per
+    * reference: three times inside the Laplace CASE).
     */
-  private[graft] def dpNoiseSql(keyExpr: String, epsilon: Double): String = {
-    val u = s"(CAST(${u32Sql(keyExpr)} AS DOUBLE) + 0.5) / 4294967296.0"
+  private[graft] def dpUniformSql(keyExpr: String): String =
+    s"(CAST(${u32Sql(keyExpr)} AS DOUBLE) + 0.5) / 4294967296.0"
+
+  /** Seeded Laplace(scale=1/ε) noise via inverse-CDF over a bound uniform
+    * column `u`. ln() gets the q142 treatment — the final noise is rounded
+    * to an INTEGER count perturbation, so a last-ulp ln() divergence flips
+    * nothing unless it lands within one ulp of a .5 boundary.
+    */
+  private[graft] def dpNoiseFromU(u: String, epsilon: Double): String =
     s"""CAST(round(CASE WHEN $u < 0.5
                         THEN ln(2.0 * $u) / $epsilon
                         ELSE -ln(2.0 * (1.0 - $u)) / $epsilon END)
             AS BIGINT)"""
-  }
 
   /** q148: ε-differentially-private published counts — the publication
     * layer's strongest guarantee, beyond q52's k-anonymity: per-cell
@@ -134,8 +138,9 @@ object Privacy {
       .groupBy(col("o_orderstatus").as("status"),
         expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").as("yr"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(dpUniformSql(dpCellKey)))
       .select(col("status"), col("yr"),
-        expr(s"greatest(CAST(0 AS BIGINT), n + ${dpNoiseSql(dpCellKey, eps)})")
+        expr(s"greatest(CAST(0 AS BIGINT), n + ${dpNoiseFromU("u", eps)})")
           .as("n_noisy"),
         lit(eps).as("epsilon"))
   }
@@ -155,11 +160,13 @@ object Privacy {
            SELECT o_orderstatus AS status,
                   CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
                   CAST(count(*) AS BIGINT) AS n
-           FROM orders GROUP BY 1, 2)
+           FROM orders GROUP BY 1, 2),
+         seeded AS (
+           SELECT status, yr, n, ${dpUniformSql(dpCellKey)} AS u FROM cells)
          SELECT status, yr,
-                greatest(CAST(0 AS BIGINT), n + ${dpNoiseSql(dpCellKey, 1.0)}) AS n_noisy,
+                greatest(CAST(0 AS BIGINT), n + ${dpNoiseFromU("u", 1.0)}) AS n_noisy,
                 1.0 AS epsilon
-         FROM cells""",
+         FROM seeded""",
     "q51_anonymize" ->
       s"""SELECT event_id,
                  sha256('$Salt' || CAST(user_id AS VARCHAR)) AS user_pseudo,

@@ -337,9 +337,12 @@ object Stats {
     * exceeds one exchange at any scale.
     */
   def q142PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    // clamp BOTH ends: without greatest(0, ...) a negative value would bin
+    // to -1 and silently vanish in the 0..4 grid join below — a drift
+    // monitor must never lose the out-of-domain rows it exists to notice
     val binned = Tables.events(s, dir)
       .select(col("event_type"),
-        expr("least(CAST(round(value * 100) AS BIGINT) DIV 5000, 4)").as("bin"),
+        expr("least(greatest(CAST(round(value * 100) AS BIGINT) DIV 5000, 0), 4)").as("bin"),
         expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow7"))
       .groupBy(col("event_type"), col("bin"))
       .agg(
@@ -402,7 +405,7 @@ object Stats {
     "q142_psi_drift" ->
       """WITH e AS (
            SELECT event_type,
-                  least(CAST(round(value * 100) AS BIGINT) // 5000, 4) AS bin,
+                  least(greatest(CAST(round(value * 100) AS BIGINT) // 5000, 0), 4) AS bin,
                   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow7
            FROM events),
          g AS (

@@ -101,7 +101,14 @@ private[sources] class FrameScan(path: String, required: StructType)
       if (fs.isDirectory(p)) fs.listStatus(p).toSeq.filter(_.isFile)
         .filterNot(st => st.getPath.getName.startsWith(".") ||
           st.getPath.getName.startsWith("_"))
-      else fs.globStatus(p).toSeq.filter(_.isFile)
+      else {
+        // globStatus returns NULL (not empty) for a nonexistent non-glob
+        // path — surface a clean error instead of an executor NPE
+        val matched = fs.globStatus(p)
+        if (matched == null)
+          throw new java.io.FileNotFoundException(s"graft-frames: path does not exist: $path")
+        matched.toSeq.filter(_.isFile)
+      }
     files.sortBy(_.getPath.toString)
       .map(st => FramePartition(st.getPath.toString): InputPartition).toArray
   }
@@ -127,19 +134,29 @@ private[sources] class FrameReader(file: String, required: StructType)
   private val needMean = required.fieldNames.contains("mean_pixel")
   private val needHash = required.fieldNames.contains("ahash")
 
+  /** Containers larger than this buffer in full — a media container past
+    * it is out of this reader's contract and quarantines (a production
+    * variant would stream-walk frames instead of slurping).
+    */
+  private val MaxBytes = 256L << 20
+
   // executor-side open with a fresh Hadoop conf: correct for file:// and
   // default-configured HDFS; a deployment with non-default filesystem conf
-  // would thread a serialized conf through the ReaderFactory instead
-  private val bytes: Array[Byte] = {
+  // would thread a serialized conf through the ReaderFactory instead.
+  // None = unreadable/oversized → one quarantine row, never a failed scan
+  private val bytes: Option[Array[Byte]] = {
     val p = new Path(file)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
+    val len = fs.getFileStatus(p).getLen
+    if (len > MaxBytes) None // .toInt would wrap negative past 2 GiB
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    }
   }
 
   private var cursor = 0
@@ -147,7 +164,14 @@ private[sources] class FrameReader(file: String, required: StructType)
   private var current: InternalRow = _
   private var corruptEmitted = false
 
-  override def next(): Boolean = {
+  override def next(): Boolean = bytes match {
+    case None =>
+      if (corruptEmitted) false
+      else { corruptEmitted = true; frameIdx += 1; current = row(ok = false, None); true }
+    case Some(b) => nextFrom(b)
+  }
+
+  private def nextFrom(bytes: Array[Byte]): Boolean = {
     if (cursor >= bytes.length) return false
     PgmCodec.decodeFrom(bytes, cursor) match {
       case Some((img, end)) =>

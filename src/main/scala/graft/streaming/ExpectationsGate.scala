@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -29,18 +28,12 @@ object ExpectationsGate {
     "ts_present"    -> "ts IS NOT NULL",
     "user_present"  -> "user_id IS NOT NULL")
 
-  /** Atomically publish `df` as `<root>/gen=<batchId>`; no-op if that
-    * generation already committed (replay). */
+  /** Atomically publish `df` as `<root>/gen=<batchId>` ([[AtomicGen]]);
+    * no-op if that generation already committed (replay). */
   private def commitGen(s: SparkSession, root: String, batchId: Long, df: DataFrame): Unit = {
-    val target = new Path(s"$root/gen=$batchId")
-    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(target)) return
-    val staged = s"$root/.staging-$batchId-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(staged)
-    if (!fs.exists(new Path(root))) fs.mkdirs(new Path(root))
-    if (fs.exists(target)) fs.delete(new Path(staged), true)
-    else if (!fs.rename(new Path(staged), target))
-      throw new java.io.IOException(s"expectations gate: rename $staged -> $target failed")
+    AtomicGen.publish(s, root, batchId) { staged =>
+      df.write.mode("overwrite").parquet(staged)
+    }: Unit
   }
 
   /** Gate one batch: audit, then publish or quarantine atomically. The

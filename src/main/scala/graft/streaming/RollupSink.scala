@@ -36,27 +36,23 @@ object RollupSink {
 
   private val CellKeys = Seq("event_type", "day")
 
-  /** Write the delta to an invisible staging directory. Returns its path.
+  /** Write the delta to an invisible staging directory ([[AtomicGen]]'s
+    * stage half, exposed for the crash-window spec). Returns its path.
     * A crash after this leaves only ignorable dot-prefixed litter.
     */
   private[graft] def stage(delta: DataFrame, tableDir: String, batchId: Long): String = {
-    val tmp = s"$tableDir/.staging-$batchId-${java.util.UUID.randomUUID()}"
+    val tmp = AtomicGen.stagingPath(tableDir, batchId)
     delta.write.mode("overwrite").parquet(tmp)
     tmp
   }
 
-  /** Publish a staged delta: ONE rename makes rows + batch id visible
-    * together. Replay-safe: if `gen=<batchId>` already exists (a retry
-    * after a successful commit whose success report was lost), the staged
-    * copy is discarded — the committed generation wins.
+  /** Publish a staged delta — [[AtomicGen.commit]]: ONE rename makes rows
+    * + batch id visible together; a retry of a committed id discards the
+    * staged copy.
     */
   private[graft] def commit(s: SparkSession, tableDir: String, staged: String,
       batchId: Long): Unit = {
-    val target = new Path(s"$tableDir/gen=$batchId")
-    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(target)) fs.delete(new Path(staged), true)
-    else if (!fs.rename(new Path(staged), target))
-      throw new java.io.IOException(s"rollup sink: rename $staged -> $target failed")
+    AtomicGen.commit(s, tableDir, staged, batchId): Unit
   }
 
   /** The `publishDelta` to hand to [[EventStream.rollupStream]]. */

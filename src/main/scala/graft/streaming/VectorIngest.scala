@@ -33,28 +33,23 @@ object VectorIngest {
     * pushed `cell IN (...)` predicate prunes within the lane too.
     */
   def publish(s: SparkSession, indexDir: String, batch: DataFrame, batchId: Long): Unit = {
-    val ingestDir = s"$indexDir/ingest"
-    val target = new Path(s"$ingestDir/gen=$batchId")
-    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(target)) return // replay of a committed batch: no-op
-    require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
-      s"vector ingest: batch must carry (vec_id, embedding), got ${batch.columns.mkString(", ")}")
-    val centers = IvfIndex.loadCenters(s, indexDir)
-    val dim = centers.head.length
-    val bad = batch.select(size(col("embedding")).as("d"))
-      .filter(col("d") =!= dim).limit(1).collect()
-    require(bad.isEmpty,
-      s"vector ingest: embedding dim ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
-        s"does not match the stored model's dim $dim")
-    val staged = s"$ingestDir/.staging-$batchId-${java.util.UUID.randomUUID()}"
-    batch
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    if (!fs.exists(new Path(ingestDir))) fs.mkdirs(new Path(ingestDir))
-    if (fs.exists(target)) fs.delete(new Path(staged), true) // lost race with a twin retry
-    else if (!fs.rename(new Path(staged), target))
-      throw new java.io.IOException(s"vector ingest: rename $staged -> $target failed")
+    AtomicGen.publish(s, s"$indexDir/ingest", batchId) { staged =>
+      // validation runs inside the publish thunk: a replay of a committed
+      // batch skips it entirely (AtomicGen's exists-check short-circuits)
+      require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
+        s"vector ingest: batch must carry (vec_id, embedding), got ${batch.columns.mkString(", ")}")
+      val centers = IvfIndex.loadCenters(s, indexDir)
+      val dim = centers.head.length
+      val bad = batch.select(size(col("embedding")).as("d"))
+        .filter(col("d") =!= dim).limit(1).collect()
+      require(bad.isEmpty,
+        s"vector ingest: embedding dim ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
+          s"does not match the stored model's dim $dim")
+      batch
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
+        .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    }: Unit
   }
 
   /** The streaming entry: embeddings stream → per-micro-batch idempotent

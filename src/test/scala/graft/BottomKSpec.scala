@@ -62,4 +62,19 @@ class BottomKSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) == Seq(2L, 3L))  // a→2, b→3
     assert(r.getSeq[Long](1) == Seq(2L, 1L))  // a→2, c→1 once b is filtered
   }
+
+  test("input types are validated at analysis, not a mid-job ClassCastException") {
+    graft.plans.GraftExtensions.register(spark)
+    // numeric rank would silently sort lexicographically; int id would CCE
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bottom_k(CAST(1.5 AS DOUBLE), CAST(1 AS BIGINT), 2) " +
+        "FROM VALUES (1) AS t(x)").collect()
+    }
+    assert(e1.getMessage.contains("rank: string"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bottom_k('a', CAST(1 AS INT), 2) FROM VALUES (1) AS t(x)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("rank: string"))
+  }
 }

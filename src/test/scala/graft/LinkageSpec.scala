@@ -38,6 +38,14 @@ class LinkageSpec extends AnyFunSuite {
     assert(JaroWinklerKernel.jwBp("", "abc") == 0L)
   }
 
+  test("truncated comparisons never report identity (cap at 9999)") {
+    val big = "x" * (JaroWinklerKernel.MaxLen + 5)
+    val alsoBig = "x" * JaroWinklerKernel.MaxLen + "yyyyy" // same first 10k chars
+    assert(big != alsoBig)
+    assert(JaroWinklerKernel.jwBp(big, alsoBig) == 9999L)
+    assert(JaroWinklerKernel.jwBp(big, big) == 10000L) // true equality still 10000
+  }
+
   test("boost threshold: no prefix bonus at or below jaro 0.7") {
     // crafted pair with a common prefix but jaro ≤ 0.7 must NOT be boosted:
     // jw == jaro exactly (the Winkler 1990 boost-threshold form)
