@@ -740,7 +740,49 @@ object Events {
         col("click_rank"), col("wt"), col("credit_bp"))
   }
 
+  /** q149: time-weighted average value per (user, day) — the TWAP-style
+    * metric for state that HOLDS between observations (a sensor reading, a
+    * price, a battery level): each event's value weighs by the µs until
+    * the user's next event that day (the last holds until midnight), i.e.
+    * the exact integral of the step function divided by the covered span.
+    * q71's rolling mean weights OBSERVATIONS equally; this weights TIME —
+    * the right average whenever sampling is irregular.
+    *
+    * Exactness: durations are integer µs (next event's unix_micros − this
+    * one's, day end for the last), the integral Σ(cents·dur_µs) stays in
+    * DECIMAL(38,0) (cents ~1e4 × µs/day ~8.6e10 × events — int64 would
+    * overflow at ~1e4 events/user-day), and the average is ONE final
+    * division rounded to 4dp identically in both engines.
+    *
+    * Shape: one user_id-day exchange for the lead() window, then the
+    * (user, day) rollup reuses the same partitioning (no second
+    * exchange). Spans, not counts, scale-proof the skew: a user's window
+    * partition is their events in one day.
+    */
+  def q149TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us",
+        coalesce(lead(col("us"), 1).over(w), (col("day") + 1) * 86400000000L))
+      .withColumn("dur_us", col("next_us") - col("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("dur_us")).as("covered_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dur_us")).as("integral"))
+      .select(col("user_id"), col("day"), col("n_events"), col("covered_us"),
+        expr("round(CAST(integral AS DOUBLE) / CAST(covered_us AS DOUBLE), 4)")
+          .as("twa_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_time_weighted" -> (q149TimeWeighted _),
     "q138_interval_union" -> (q138IntervalUnion _),
     "q140_decay_attribution" -> (q140DecayAttribution _),
     "q136_sliding_window" -> (q136SlidingWindow _),
@@ -770,6 +812,24 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q149_time_weighted" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         seg AS (
+           SELECT user_id, day, cents,
+                  coalesce(lead(us, 1) OVER (PARTITION BY user_id, day
+                                             ORDER BY us, event_id),
+                           (day + 1) * 86400000000) - us AS dur_us
+           FROM e)
+         SELECT user_id, day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(dur_us) AS BIGINT) AS covered_us,
+                round(CAST(sum(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+                      / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE), 4) AS twa_cents
+         FROM seg GROUP BY 1, 2""",
     "q138_interval_union" ->
       """WITH iv AS (
            SELECT user_id, event_id, epoch_us(ts) AS s_us,
