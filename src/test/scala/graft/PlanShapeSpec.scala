@@ -292,4 +292,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 3, p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q144 bottom-k sample: ObjectHashAggregate with map-side partial, one exchange, no sort") {
+    val p = plan("q144_bottomk_sample")
+    // the TypedImperativeAggregate must plan as ObjectHashAggregate (a
+    // SortAggregate would sort every order row; the whole point is O(k)
+    // hash-buffered partials) and shuffle exactly once on the stratum key
+    assert(count(p, "ObjectHashAggregate") == 2, p) // partial + final
+    assert(count(p, "Exchange") == 1, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q147 expectations audit reads the table exactly once") {
+    val p = plan("q147_expectations")
+    // the stack() unpivot form: ONE parquet scan however many rules run
+    // (the union form planned one scan PER rule — rejected on the plan)
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(count(p, "Exchange") <= 1, p) // the single-row final aggregate
+  }
+
+  test("q149 time-weighted average: rollup reuses the window's (user, day) partitioning") {
+    val p = plan("q149_time_weighted")
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q142 PSI: one event-scale exchange; everything after runs on the types-by-bands grid") {
+    val p = plan("q142_psi_drift")
+    // cell agg (1 exchange) + the tiny grid joins/windows; the distinct
+    // types frame and window add small exchanges but none at event scale —
+    // bound the total so a regression to a second full-data shuffle fails
+    assert(count(p, "Exchange") <= 4, p)
+  }
 }
