@@ -406,6 +406,64 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- q150: entropy-coded LOSSLESS audio (FLAC subset) ----
+
+  /** Decoded-FLAC features; decode_ok=false rows quarantine with nulls. */
+  case class FlacFeatures(
+      doc_id: Long, decode_ok: Boolean, md5_ok: Option[Boolean],
+      sample_rate: Option[Int], n_samples: Option[Int], peak: Option[Int],
+      zero_crossings: Option[Int], compression_bp: Option[Long])
+
+  /** q150: the entropy-coded audio pipeline, REAL end to end — the
+    * document's bytes become a deterministic 16-bit waveform (q92's synth,
+    * smoothed so fixed predictors bite), compressed to a genuine FLAC
+    * stream by [[FlacCodec.encode]] (fixed linear predictors +
+    * Rice-coded residuals, CRC-8/16, STREAMINFO MD5) and decoded back by
+    * the production path [[FlacCodec.decode]] — which, FLAC being
+    * lossless, must reproduce every sample BIT-EXACTLY and re-verify the
+    * stream's own MD5 (`md5_ok`). Every 83rd payload is truncated
+    * mid-frame → quarantine. `compression_bp` records the achieved ratio
+    * in basis points of raw PCM. With q42 (JPEG) this closes entropy-coded
+    * decode for image AND audio; only perceptual-transform codecs
+    * (MP3/H.264) stay declared out of scope. Same mapPartitions shape and
+    * 100 TB scaling argument as q42/q92.
+    */
+  def q150FlacAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.map { p =>
+          val n = 1000 + (p.doc_id % 1000).toInt
+          val samples = new Array[Short](n)
+          var acc = 0
+          var i = 0
+          while (p.payload.nonEmpty && i < n) {
+            // integrate the byte stream: a smooth-ish signal with real
+            // structure, so prediction + rice coding actually compress
+            acc += (p.payload(i % p.payload.length) & 0xff) - 128
+            samples(i) = math.max(Short.MinValue, math.min(Short.MaxValue, acc * 7)).toShort
+            i += 1
+          }
+          val flac = FlacCodec.encode(8000, samples)
+          val payload = if (p.doc_id % 83 == 0) java.util.Arrays.copyOf(flac, flac.length * 2 / 3)
+                        else flac
+          FlacCodec.decode(payload) match {
+            case Some(a) =>
+              FlacFeatures(p.doc_id, decode_ok = true, Some(a.md5Ok),
+                Some(a.sampleRate), Some(a.samples.length),
+                Some(a.samples.foldLeft(0)((m, s0) => math.max(m, math.abs(s0.toInt)))),
+                Some(WavCodec.zeroCrossings(a.samples)),
+                Some(payload.length.toLong * 10000 / math.max(1, a.samples.length * 2)))
+            case None =>
+              FlacFeatures(p.doc_id, decode_ok = false, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ---- q101: video-style frame sampling over a multi-frame container ----
 
   /** Features of a sampled frame sequence; decode_ok=false quarantines. */
@@ -507,7 +565,8 @@ object Multimodal {
     "q42_feature_extract" -> (q42FeatureExtract _),
     "q61_image_features"  -> (q61ImageFeatures _),
     "q92_audio_features"  -> (q92AudioFeatures _),
-    "q101_frame_sample"   -> (q101FrameSample _))
+    "q101_frame_sample"   -> (q101FrameSample _),
+    "q150_flac_audio"     -> (q150FlacAudio _))
 
   /** q42 is rows-only (the decode stub has no SQL mirror); q41's metadata
     * is fully SQL-expressible.

@@ -12,6 +12,24 @@ import graft.operators.Multimodal.{PgmCodec, WavCodec}
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q150 FLAC pipeline: exact quarantine set, md5-verified lossless decode, real compression") {
+    val df = Multimodal.q150FlacAudio(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    // exactly the truncated payloads (doc_id % 83 == 0) quarantine
+    assert(df.filter((col("doc_id") % 83 === 0) =!= !col("decode_ok")).count() == 0)
+    val good = df.filter(col("decode_ok"))
+    // losslessness witnessed in-format: every surviving stream's MD5 of
+    // the DECODED samples matches the STREAMINFO MD5 of the encoded input
+    assert(good.filter(!col("md5_ok")).count() == 0)
+    assert(good.filter(col("sample_rate") =!= 8000).count() == 0)
+    // structured signals must compress below raw PCM (10000 bp)
+    import org.apache.spark.sql.functions.avg
+    val meanBp = good.agg(avg(col("compression_bp"))).head().getDouble(0)
+    assert(meanBp < 9000, s"mean compression $meanBp bp — barely compressing")
+    df.unpersist()
+  }
+
   test("PGM codec round-trips pixels exactly") {
     val px = Array.tabulate(12 * 7)(i => (i * 37 % 256).toByte)
     val img = PgmCodec.decode(PgmCodec.encode(12, 7, px))
