@@ -160,6 +160,13 @@ object RelationalExt {
     * the sample uniform, reproducible across runs/engines, and stable
     * under re-partitioning (rank ties are impossible modulo md5
     * collisions, and the (rank, id) pair order is total regardless).
+    *
+    * The aggregate's array result is posexploded to one scalar row per
+    * sampled key — (status, yr, sample_rank, o_orderkey, n_orders) — so
+    * the result is plain sortable/hashable columns (the r7 oracle harness
+    * cannot sort an array<bigint> cell). The explode is a per-group
+    * fan-out of ≤ k rows AFTER the O(k) aggregate; the shuffle bound is
+    * unchanged.
     */
   def q144BottomkSample(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -172,6 +179,12 @@ object RelationalExt {
         graft.functions.BottomKSample.bottomK(col("h"), col("o_orderkey"), 5)
           .as("sample_ids"),
         count(lit(1)).as("n_orders"))
+      .select(col("status"), col("yr"), col("n_orders"),
+        posexplode(col("sample_ids")))
+      .select(col("status"), col("yr"),
+        (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col").as("o_orderkey"),
+        col("n_orders"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_bottomk_sample" -> (q144BottomkSample _),
@@ -197,13 +210,10 @@ object RelationalExt {
          r AS (
            SELECT *, row_number() OVER (PARTITION BY status, yr
                                         ORDER BY h, o_orderkey) AS rn
-           FROM o),
-         s AS (
-           SELECT status, yr,
-                  list(o_orderkey ORDER BY h, o_orderkey) AS sample_ids
-           FROM r WHERE rn <= 5 GROUP BY 1, 2)
-         SELECT s.status, s.yr, s.sample_ids, c.n_orders
-         FROM s JOIN c USING (status, yr)""",
+           FROM o)
+         SELECT r.status, r.yr, CAST(r.rn AS BIGINT) AS sample_rank,
+                r.o_orderkey, c.n_orders
+         FROM r JOIN c USING (status, yr) WHERE rn <= 5""",
     "q129_skyline" ->
       """WITH o AS (
            SELECT o_orderkey,
