@@ -167,21 +167,32 @@ object Analytics {
     scd2Merge(scd2Build(ev.filter(col("ts") <= cut)), ev.filter(col("ts") > cut))
   }
 
-  /** q78: multi-granularity revenue report via GROUPING SETS — the
-    * (flag, status) detail, per-flag subtotal and grand total in ONE scan
-    * and one shuffle (Spark plans an Expand over the three sets), where
-    * three separate groupBys would scan lineitem three times. gid is
-    * derived from grouping() bits identically in both engines.
+  /** q78: multi-granularity revenue report — (flag, status) detail,
+    * per-flag subtotal and grand total, gid from grouping() bits
+    * identically in both engines.
+    *
+    * Detail-first shape (r8): aggregate ONCE at the finest grain, then
+    * `rollup` the tiny detail frame — rollup(flag, status)'s grouping
+    * sets ((f,s),(f),()) are exactly q78's, and its Expand now triples
+    * ~|flags×statuses| rows instead of every lineitem row. The direct
+    * `groupingSets` form (r1–r7) planned scan → Expand(3×) → partial agg,
+    * pushing 3N rows through the hash aggregate and writing the 3× cell
+    * set per map task; this form pays one extra cell-sized exchange to
+    * cut the aggregate's input back to N (A/B in SURVEY §8 round-8
+    * notes). Counts roll up as sums; flag/status are never NULL in the
+    * data, so detail keys cannot collide with rollup's null subtotal
+    * rows (the caveat of re-deriving grouping() above the detail grain).
     */
   def q78GroupingSets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .groupingSets(
-        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
-        col("l_returnflag"), col("l_linestatus"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("d_items"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("d_cents"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"),
-        count(lit(1)).as("n_items"),
-        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("revenue_cents"))
+        sum(col("d_items")).as("n_items"),
+        sum(col("d_cents")).as("revenue_cents"))
 
   /** q83: pretraining sequence packing (concat-and-chop) — documents are
     * deterministically shuffled by md5, sharded into 256 md5-prefix

@@ -121,10 +121,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "hashpartitioning\\(user_id") == 1, p)
   }
 
-  test("q78 grouping sets expand in one scan and aggregate through one exchange") {
+  test("q78 detail-first rollup: one scan, Expand over the detail frame only") {
     val p = plan("q78_grouping_sets")
+    // detail-first shape: ONE lineitem scan feeds the finest-grain
+    // aggregate (first exchange); the rollup Expand and its second
+    // exchange run on the ~|flags×statuses| detail frame. The direct
+    // groupingSets form had 1 exchange but Expanded every scanned row
+    // (3N rows through the partial aggregate) — see SURVEY §8 r8 A/B.
     assert(p.contains("Expand"), p)
-    assert(count(p, "Exchange") == 1, p)
+    assert(count(p, "Exchange") == 2, p)
     assert(count(p, "Scan parquet") == 1, p)
   }
 
