@@ -37,6 +37,14 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session this
     * library builds). Truncate nanos → micros here so downstream operators
     * see a plain TimestampType, exactly matching DuckDB's ns→µs read.
+    *
+    * POST-EPOCH CONTRACT: every epoch-day/dow bucketing in this library
+    * (`unix_micros(ts) div 86400000000` in q91/q95/q97/q107/q112/q128/q137/
+    * q142/q149/rollups) uses Spark's `div`, which truncates toward zero,
+    * where DuckDB's `//` floors — the two agree ONLY for ts >= 1970-01-01.
+    * The generator's data is all post-epoch (asserted by a spec on this
+    * loader); a deployment with pre-epoch timestamps must swap `div` for a
+    * floor-div before the oracle parity claim holds.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")

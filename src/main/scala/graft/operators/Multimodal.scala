@@ -568,7 +568,8 @@ object Multimodal {
     "q101_frame_sample"   -> (q101FrameSample _),
     "q150_flac_audio"     -> (q150FlacAudio _))
 
-  /** q42 is rows-only (the decode stub has no SQL mirror); q41's metadata
+  /** q42 is rows-only because the real JPEG codec pipeline (JpegCodec
+    * encode → decode → pixel features) has no SQL mirror; q41's metadata
     * is fully SQL-expressible.
     */
   val oracles: Map[String, String] = Map(

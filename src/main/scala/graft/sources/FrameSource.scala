@@ -143,21 +143,25 @@ private[sources] class FrameReader(file: String, required: StructType)
   // executor-side open with a fresh Hadoop conf: correct for file:// and
   // default-configured HDFS; a deployment with non-default filesystem conf
   // would thread a serialized conf through the ReaderFactory instead.
-  // None = unreadable/oversized → one quarantine row, never a failed scan
-  private val bytes: Option[Array[Byte]] = {
-    val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len = fs.getFileStatus(p).getLen
-    if (len > MaxBytes) None // .toInt would wrap negative past 2 GiB
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(0, buf)
-        Some(buf)
-      } finally in.close()
-    }
-  }
+  // None = unreadable/oversized → one quarantine row, never a failed scan.
+  // IO failures (file deleted between planning and read, permission error,
+  // transient FS fault) quarantine the same way as decode corruption — the
+  // connector's corrupt-file contract is uniform across both failure kinds.
+  private val bytes: Option[Array[Byte]] =
+    try {
+      val p = new Path(file)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val len = fs.getFileStatus(p).getLen
+      if (len > MaxBytes) None // .toInt would wrap negative past 2 GiB
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0, buf)
+          Some(buf)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
 
   private var cursor = 0
   private var frameIdx = -1

@@ -43,6 +43,13 @@ object ExpectationsGate {
   private[graft] def gateBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       publishDir: String, quarantineDir: String,
       rules: Seq[(String, String)]): Boolean = {
+    // Idempotence is a PER-DECISION property here, not per-root: a replayed
+    // batch id could reach the OTHER gate decision (rule list edited across
+    // a restart, upstream re-read differing) and commit under both roots.
+    // So the replay guard checks both destinations up front — whichever
+    // decision committed first is THE decision for this batch id.
+    if (AtomicGen.committed(s, publishDir, batchId)) return true
+    if (AtomicGen.committed(s, quarantineDir, batchId)) return false
     // one aggregate pass; the decision frame is |rules| rows
     val report = Quality.expectationsReport(batch, rules)
       .withColumn("batch_id", lit(batchId))

@@ -318,4 +318,17 @@ class StatsSpec extends AnyFunSuite {
       "FROM (SELECT CAST(0.2 AS DOUBLE) AS p, CAST(0.2 AS DOUBLE) AS q)").head()
     assert(term.getLong(0) == 0L)
   }
+
+  test("post-epoch contract: every timestamp column is >= 1970-01-01") {
+    // Epoch-day/dow bucketing across the library uses Spark's `div`
+    // (truncate toward zero) where DuckDB's `//` floors; the two agree only
+    // on nonnegative micros. Pin the data-side assumption the Tables
+    // scaladoc documents: all generator timestamps are post-epoch.
+    val minEvents = Tables.events(spark, sf)
+      .agg(min(expr("unix_micros(ts)"))).head().getLong(0)
+    assert(minEvents >= 0L, s"pre-epoch events.ts would break div-vs-floor oracle parity: $minEvents")
+    val minOrders = Tables.orders(spark, sf)
+      .agg(min(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))).head().getLong(0)
+    assert(minOrders >= 0L, s"pre-epoch o_orderdate: $minOrders")
+  }
 }
