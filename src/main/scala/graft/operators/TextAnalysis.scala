@@ -642,7 +642,68 @@ object TextAnalysis {
       .withColumn("est_jaccard_bp", expr(s"n_matches * 10000 div $k"))
   }
 
+  /** q151: exact cross-document SUBSTRING dedup — the Lee-et-al
+    * "deduplicating training data" modality the doc-level C block does not
+    * cover: find passages of ≥ W consecutive tokens that recur in OTHER
+    * documents, and emit each document's maximal duplicated spans (the
+    * ranges an ExactSubstr pass would cut before training). Doc-level
+    * near-dup (q29/q30) misses a 50-token boilerplate paragraph pasted
+    * into thousands of otherwise-distinct pages; this finds exactly that.
+    *
+    * Algorithm (suffix-array-free, shuffle-native): slide a W-token window
+    * over every document → (doc, pos, md5(window)); a window text seen in
+    * ≥ 2 DISTINCT docs is duplicated; each doc's hit positions then merge
+    * into maximal spans by the equal-width interval rule (windows at p and
+    * c overlap-or-touch iff c ≤ p + W) via one bounded per-doc window
+    * (gaps-and-islands). W = 15 here so the driver corpus (avg 54 tokens)
+    * exercises the span merge; production runs W = 50 unchanged.
+    *
+    * Scale shape: the explode is O(total tokens); the gram aggregate and
+    * the semi-join shuffle 16-byte md5 digests, not window text (the
+    * md5-fingerprint trick q29/q31 adopted this round) — at 100 TB the
+    * digest would be xxhash64(window) for an 8-byte key, same plan. The
+    * dup-gram side is NOT broadcast: duplicated-gram cardinality grows
+    * with the corpus, so the semi-join must stay a shuffle join. The
+    * islands window partitions by doc_id — bounded by per-document token
+    * count, never corpus-global.
+    */
+  def q151SubstrDedup(s: SparkSession, dir: String): DataFrame =
+    substrDedupSpans(Tables.documents(s, dir), W = 15)
+
+  /** q151's core on any (doc_id, text) frame — split out so the spec can
+    * run it on planted duplicates against a brute-force reference. */
+  private[graft] def substrDedupSpans(docs: DataFrame, W: Int): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${W - 1}),
+            i -> struct(CAST(i - 1 AS BIGINT) AS pos,
+                        md5(concat_ws(' ', slice(w, i, $W))) AS g))""")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+      // two consumers (gram counts + hit probe); one corpus scan, pinned
+      .localCheckpoint()
+    val dup = occ.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ.join(dup, Seq("g"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(wDoc) + W, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + W).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + W).as("dup_tokens"),
+        count(lit(1)).as("n_windows"))
+      .drop("island")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),
     "q121_bpe_encode" -> (q121BpeEncode _),
     "q118_bpe_merges" -> (q118BpeMerges _),
@@ -665,6 +726,36 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q151_substr_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 14, 0))) AS i
+           FROM toks),
+         occ AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  md5(array_to_string(w[i : i + 14], ' ')) AS g
+           FROM idx),
+         dup AS (
+           SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT doc_id, pos FROM occ WHERE g IN (SELECT g FROM dup)),
+         brk AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+                       THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         isl AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM brk)
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + 15 AS span_end,
+                max(pos) - min(pos) + 15 AS dup_tokens,
+                count(*) AS n_windows
+         FROM isl GROUP BY doc_id, island""",
     "q132_dup_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i

@@ -473,4 +473,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "containment must dominate jaccard (same numerator, smaller denominator)")
     }
   }
+
+  test("q151 substring-dedup spans equal a brute-force reference on planted duplicates") {
+    val W = 5
+    // Unique filler everywhere; only the planted passages repeat. Cases:
+    // S1 shared by docs 1/2/5(x2)/8; S2 at doc start (3), doc end (4), and
+    // adjacent to S1 in doc 8 (must merge to ONE span); S3 repeated twice
+    // WITHIN doc 6 only (not cross-doc -> no span); doc 7 clean.
+    val s1 = "p1 p2 p3 p4 p5 p6 p7"            // 7 tokens -> span of 7
+    val s2 = "q1 q2 q3 q4 q5"                  // exactly W tokens
+    val s3 = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq(
+      1L -> s"f01 f02 f03 $s1 f04 f05",
+      2L -> s"f06 f07 $s1 f08 f09 f10",
+      3L -> s"$s2 f11 f12 f13 f14",
+      4L -> s"f15 f16 f17 f18 $s2",
+      5L -> s"f19 $s1 f20 f21 f22 $s1 f23",    // two separated spans
+      6L -> s"f24 $s3 f25 f26 $s3 f27",        // intra-doc only
+      7L -> "f28 f29 f30 f31 f32 f33 f34",
+      8L -> s"f35 $s1 $s2 f36")                // adjacent -> one 12-token span
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.substrDedupSpans(df, W).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("n_windows"))).toSet
+    // brute force: dup window = text seen in >= 2 distinct docs; expected
+    // spans = maximal contiguous runs of covered tokens (independent of
+    // the SQL gaps-and-islands formulation)
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+    val winOcc = for ((id, w) <- toks; i <- 0 to w.length - W)
+      yield (w.slice(i, i + W).mkString(" "), id, i)
+    val dupGrams = winOcc.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = toks.flatMap { case (id, w) =>
+      val hitPos = (0 to w.length - W)
+        .filter(i => dupGrams(w.slice(i, i + W).mkString(" ")))
+      val covered = hitPos.flatMap(p => p until p + W).toSet
+      // maximal runs of covered token indices
+      val runs = covered.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, t) if t == e0 + 1 => (s0, t) :: rest
+        case (acc, t) => (t, t) :: acc
+      }
+      runs.map { case (s0, e0) =>
+        (id, s0.toLong, (e0 + 1).toLong, (e0 + 1 - s0).toLong,
+          hitPos.count(p => p >= s0 && p + W <= e0 + 1).toLong)
+      }
+    }.toSet
+    assert(got == expected, s"got ${got.toSeq.sorted} vs expected ${expected.toSeq.sorted}")
+    // the planted shape itself: doc 6 clean, doc 7 clean, doc 8 one 12-token span
+    assert(!expected.exists(_._1 == 6L) && !expected.exists(_._1 == 7L))
+    assert(expected.count(_._1 == 5L) == 2)
+    assert(expected.exists(t => t._1 == 8L && t._4 == 12L))
+  }
 }
