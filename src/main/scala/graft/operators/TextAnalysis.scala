@@ -702,7 +702,68 @@ object TextAnalysis {
       .drop("island")
   }
 
+  /** q152: markup/boilerplate extraction — the corpus FRONT DOOR every
+    * E-block operator silently assumes already ran: raw crawl payloads are
+    * HTML, and tag-stripping + boilerplate triage must happen before
+    * language ID, quality scoring or dedup see the text. Per document:
+    * drop script/style/comment blocks WITH their content, strip remaining
+    * tags, decode the common entities, collapse whitespace — and route
+    * each doc to a lane: `not_markup` (no tags: passthrough), `clean`
+    * (extracted article text), or a quarantine lane (`boilerplate` when
+    * anchor-text dominates the visible text or the page is link-list-
+    * shaped — the nav/footer/link-farm signature; `empty` when nothing
+    * survives extraction). The lane column is the q65-style verdict the
+    * pipeline filters on; a physical quarantine copy is one
+    * `.filter($"lane" != 'clean').write` away (the s15 gate idiom).
+    *
+    * Pure projection — regex/codegen per row, NO shuffle at any corpus
+    * size (the front door must stream at crawl scale). Heuristics, not
+    * semantics, so rows-only + property spec on planted markup; the
+    * thresholds (anchor share > 30%, ≥ 5 list items with links on a short
+    * page) are the readability/jusText-style link-density family.
+    */
+  def q152BoilerplateExtract(s: SparkSession, dir: String): DataFrame =
+    markupExtract(Tables.documents(s, dir))
+
+  private[graft] def markupExtract(docs: DataFrame): DataFrame = docs
+    .withColumn("has_markup", col("text").rlike("(?i)</?[a-z][a-z0-9]*[^>]*>"))
+    // script/style lose their CONTENT (it is code, not prose); comments too
+    .withColumn("s1", regexp_replace(col("text"),
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " "))
+    .withColumn("s2", regexp_replace(col("s1"), "(?s)<!--.*?-->", " "))
+    // visible anchor text + structural counts, measured BEFORE tag removal
+    .withColumn("anchor_chars", expr(
+      """aggregate(
+           transform(regexp_extract_all(s2, '(?is)<a[^>]*>(.*?)</a>', 1),
+                     a -> CAST(length(trim(regexp_replace(a, '<[^>]+>', ' '))) AS BIGINT)),
+           0L, (acc, v) -> acc + v)"""))
+    .withColumn("n_tags",
+      size(expr("regexp_extract_all(s2, '</?[a-zA-Z][^>]*>', 0)")).cast("long"))
+    .withColumn("n_link_items",
+      size(expr("regexp_extract_all(s2, '(?is)<li[^>]*>\\\\s*<a', 0)")).cast("long"))
+    // strip tags, then decode entities (&amp; LAST so &amp;lt; cannot
+    // double-decode), then collapse runs of whitespace
+    .withColumn("c0", regexp_replace(col("s2"), "</?[a-zA-Z][^>]*>", " "))
+    .withColumn("c1", expr(
+      """replace(replace(replace(replace(replace(replace(c0,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', '\''), '&amp;', '&')"""))
+    .withColumn("clean_text", trim(regexp_replace(col("c1"), "\\s+", " ")))
+    .withColumn("clean_chars", length(col("clean_text")).cast("long"))
+    .withColumn("link_bp", expr(
+      "least(anchor_chars * 10000 div greatest(clean_chars, 1), 10000)"))
+    .withColumn("lane",
+      when(not(col("has_markup")), lit("not_markup"))
+        .when(col("clean_chars") < 20, lit("quarantine_empty"))
+        .when(col("link_bp") > 3000 ||
+          (col("n_link_items") >= 5 && col("clean_chars") < 500),
+          lit("quarantine_boilerplate"))
+        .otherwise(lit("clean")))
+    .select(col("doc_id"), col("lane"), col("clean_text"),
+      col("n_tags"), col("link_bp"), col("clean_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),
     "q121_bpe_encode" -> (q121BpeEncode _),
