@@ -762,7 +762,90 @@ object TextAnalysis {
     .select(col("doc_id"), col("lane"), col("clean_text"),
       col("n_tags"), col("link_bp"), col("clean_chars"))
 
+  /** q153: MODEL-scored quality filtering — the learned companion to q65's
+    * rule filter. Production pipelines layer a trained classifier (the
+    * fastText/logreg "quality model") over hand rules; here the model is a
+    * logistic regression DISTILLED from q65's own verdicts: a bounded
+    * hash-ordered sample of (features, rule-label) rows trains 6 weights
+    * on the driver (full-batch GD, fixed iterations — deterministic given
+    * the sorted sample), and scoring is then a PURE PROJECTION with the
+    * weights inlined as literals. The k-means/BPE driver-held-model
+    * pattern exactly: train-once (memoized per dir), serve as codegen.
+    *
+    * Scale shape: training collects ≤ 4096 rows (TakeOrdered — a
+    * distributed top-N on xxhash64(doc_id), not a full sort); scoring
+    * re-reads the corpus once through q65's feature pass (its one
+    * (doc, trigram) agg is the only shuffle). Swapping in a real fastText
+    * scorer changes only the weight vector's provenance, not the plan.
+    * Rows-only: the learned weights exist at runtime, so no static SQL
+    * mirror; spec pins ≥ 90% agreement with the rule labels, determinism,
+    * and that both verdict classes are actually produced.
+    */
+  private val qualityModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double], Array[Double])]()
+
+  /** Drop memoized quality models — required after the data under a
+    * previously scored directory changes (memo keys on path, not content;
+    * same contract as [[Similarity.invalidateQuantizerCache]]). */
+  def invalidateQualityModelCache(): Unit = qualityModelCache.clear()
+
+  /** features (driver + Column side must match): ln(1+words), mean word
+    * len /100, digit share, stopword share, top-trigram share. */
+  private def qualityFeatureCols: Seq[Column] = Seq(
+    log(col("n_words") + 1),
+    col("word_len_x100") / 100.0,
+    col("digit_bp") / 10000.0,
+    col("stop_bp") / 10000.0,
+    col("tri_share_bp") / 10000.0)
+
+  private[graft] def trainQualityModel(
+      s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) =
+    qualityModelCache.computeIfAbsent(dir, { _ =>
+      val rows = q65CorpusFilter(s, dir)
+        .withColumn("r", xxhash64(col("doc_id")))
+        .orderBy(col("r"), col("doc_id")).limit(4096)
+        .select((qualityFeatureCols :+ col("accept").cast("double").as("y")): _*)
+        .collect()
+      val n = rows.length
+      val dims = 5
+      val x = Array.tabulate(n, dims)((i, j) => rows(i).getDouble(j))
+      val y = Array.tabulate(n)(i => rows(i).getDouble(dims))
+      val mu = Array.tabulate(dims)(j => x.map(_(j)).sum / n)
+      val sd = Array.tabulate(dims)(j =>
+        math.sqrt(x.map(r => (r(j) - mu(j)) * (r(j) - mu(j))).sum / n) + 1e-9)
+      val xs = Array.tabulate(n, dims)((i, j) => (x(i)(j) - mu(j)) / sd(j))
+      val w = Array.fill(dims + 1)(0.0)
+      for (_ <- 0 until 300) {
+        val grad = Array.fill(dims + 1)(0.0)
+        var i = 0
+        while (i < n) {
+          var z = w(0); var j = 0
+          while (j < dims) { z += w(j + 1) * xs(i)(j); j += 1 }
+          val err = 1.0 / (1.0 + math.exp(-z)) - y(i)
+          grad(0) += err; j = 0
+          while (j < dims) { grad(j + 1) += err * xs(i)(j); j += 1 }
+          i += 1
+        }
+        for (j <- 0 to dims) w(j) -= 1.0 * grad(j) / n
+      }
+      (w, mu, sd)
+    })
+
+  def q153QualityModel(s: SparkSession, dir: String): DataFrame = {
+    val (w, mu, sd) = trainQualityModel(s, dir)
+    val z = qualityFeatureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, j)) => acc + lit(w(j + 1)) * ((f - lit(mu(j))) / lit(sd(j)))
+    }
+    q65CorpusFilter(s, dir)
+      .withColumn("score_bp",
+        round(lit(10000.0) / (lit(1.0) + exp(-z))).cast("long"))
+      .select(col("doc_id"), col("score_bp"),
+        (col("score_bp") >= 5000).as("accept_model"),
+        col("accept").as("accept_rules"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_quality_model" -> (q153QualityModel _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** q153 — the distilled quality classifier. Rows-only, so the contract
+  * lives here: the learned model must actually mimic the rule filter it
+  * was distilled from, deterministically, and produce both classes.
+  */
+class QualityModelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q153 model agrees with q65 rule labels on >= 90% of the corpus, both classes present") {
+    val rows = TextAnalysis.q153QualityModel(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val agree = rows.count(r =>
+      r.getAs[Boolean]("accept_model") == r.getAs[Boolean]("accept_rules"))
+    assert(agree.toDouble / rows.length >= 0.90,
+      s"distillation agreement ${agree.toDouble / rows.length}")
+    // a constant-accept model would score high agreement on a mostly-good
+    // corpus — demand real rejections that coincide with rule rejections
+    val bothReject = rows.count(r =>
+      !r.getAs[Boolean]("accept_model") && !r.getAs[Boolean]("accept_rules"))
+    assert(bothReject >= 1, "model must reject at least one rule-rejected doc")
+    rows.foreach { r =>
+      val s0 = r.getAs[Long]("score_bp")
+      assert(s0 >= 0 && s0 <= 10000, s"score_bp out of range: $s0")
+    }
+  }
+
+  test("q153 training is deterministic: identical scores across independent fits") {
+    val a = TextAnalysis.q153QualityModel(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
+    TextAnalysis.invalidateQualityModelCache()
+    val b = TextAnalysis.q153QualityModel(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
+    assert(a == b, "refit on the same data must reproduce every score exactly")
+  }
+}
