@@ -11,14 +11,39 @@ import graft.functions.VectorOps
   * hamming bands / label blocking) — the shuffle is O(n·bands) and pair
   * expansion is bounded per bucket, never a global O(n²) cross join.
   *
-  * Oracle parity trick: MinHash permutations are md5 hex *strings*
-  * (lexicographic min ≡ numeric min on fixed-width hex), which both Spark
-  * and DuckDB compute identically — no engine-specific hash needed.
+  * Oracle parity trick: the MinHash permutation family is Carter–Wegman
+  * over ONE md5-derived 60-bit fingerprint per distinct shingle
+  * ((a_i·fp + b_i) mod 2⁶¹−1 — see `cwParams`), which both Spark (exact
+  * DECIMAL multiply) and DuckDB (HUGEINT) compute identically — no
+  * engine-native hash needed, and the per-doc aggregation runs over
+  * BIGINTs, not hex strings.
   */
 object Dedup {
 
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
+
+  /** Carter–Wegman permutation constants for the oracle minhash path:
+    * h_i(x) = (a_i·x + b_i) mod P over a 28-bit md5-derived shingle
+    * fingerprint, P = 2³¹−1 (Mersenne). ONE md5 per shingle occurrence
+    * replaces the previous 16 (`md5('i:' || sh)` per permutation), and the
+    * per-document min-aggregation runs over 16 BIGINTs instead of 16
+    * 32-char hex strings — the "md5-oracle tax" cut of round 8 (SURVEY
+    * §8). Sizing: a_i, fp < 2³¹ keeps a_i·fp + b_i < 2⁶² inside plain
+    * int64 on BOTH engines (an earlier 61-bit variant needed
+    * DECIMAL/HUGEINT multiplies and benched SLOWER than the md5s it
+    * removed); 28-bit fp collisions are harmless to a min-of-hashes and
+    * identical on both engines anyway. The constants are embedded into
+    * the oracle SQL from THIS array, so parity is by construction. Seeded
+    * deterministically (java.util.Random's LCG is spec-stable).
+    */
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private val cwParams: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(8191)
+    IndexedSeq.fill(NumHashes)((
+      math.floorMod(rnd.nextLong(), MersenneP - 1) + 1,
+      math.floorMod(rnd.nextLong(), MersenneP)))
+  }
 
   /** word-3-gram shingle occurrences per document. `dedup=true` gives set
     * semantics (needed for Jaccard); the minhash path skips it — min over
@@ -37,54 +62,31 @@ object Dedup {
     if (dedup) occ.distinct() else occ
   }
 
-  /** Upper bound on the distinct-shingle dictionary size for `docs`,
-    * WITHOUT scanning text: shingle occurrences ≈ word count ≤
-    * sum(n_chars)/5 (words average >5 chars incl. separator), and distinct
-    * shingles ≤ occurrences. One pushed single-column scan, negligible next
-    * to the dedup job itself.
-    */
-  private def estDictRows(docs: DataFrame): Long = {
-    // sum() over zero rows is SQL NULL — an empty corpus must estimate 0,
-    // not NPE during plan construction
-    val s = docs.agg(sum(col("n_chars"))).head().getAs[java.lang.Long](0)
-    if (s == null) 0L else s / 5
-  }
-
-  /** Whether the shingle dictionary may be broadcast-joined: true only
-    * below `graft.dedup.dictBroadcastMaxRows` (default 2M rows ≈ ~1 GB of
-    * hex strings). Above it — the 100 TB regime — the dict join runs as a
-    * shuffle join: same plan shape, one hint removed, no driver OOM. The
-    * fallback is CODE, exercised in DedupSimilaritySpec by forcing the
-    * threshold to 0 and asserting the plan flips with identical results.
-    */
-  private def dictBroadcastable(s: SparkSession, docs: DataFrame): Boolean = {
-    val maxRows = s.conf.getOption("graft.dedup.dictBroadcastMaxRows")
-      .map(_.toLong).getOrElse(2000000L)
-    estDictRows(docs) <= maxRows
-  }
-
-  /** (doc_id, band_id, sig) LSH band signatures from md5-string minhashes.
+  /** (doc_id, band_id, sig) LSH band signatures from the Carter–Wegman
+    * oracle minhash.
     *
-    * The 16 md5s are computed once per *distinct* shingle (a small
-    * dictionary — shingle vocabulary grows far slower than the corpus) and
-    * joined back to occurrences, instead of 16 md5s per occurrence. The
-    * dict side is broadcast only while it fits ([[dictBroadcastable]]);
-    * beyond that the same plan runs the join as a shuffle.
+    * JOIN-FREE: one md5-derived 60-bit fingerprint per shingle OCCURRENCE
+    * (a pure projection), 16 CW permutations of that integer, and a
+    * map-side-combined per-document min aggregation. Earlier rounds kept a
+    * distinct-shingle dictionary (16 md5s were too expensive per
+    * occurrence) and joined it back under a gated broadcast; with ONE md5
+    * per occurrence the dict, its distinct shuffle, its broadcast ceiling
+    * and its join all disappear — the path now has NO join anywhere before
+    * pair expansion (plan-pinned in DedupSimilaritySpec), which is the
+    * stronger 100 TB shape: no dictionary state to size, just
+    * scan → project → partial agg.
     */
   private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = shinglesOf(docs, dedup = false)
-    val hashCols = (0 until NumHashes).map(i =>
-      md5(concat(lit(s"$i:"), col("sh"))).as(s"h$i"))
-    val dict0 = sh.select(col("sh")).distinct()
-      .select(col("sh") +: hashCols: _*)
-    val dict = if (dictBroadcastable(s, docs)) broadcast(dict0) else dict0
-    val minCols = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i"))
-    val mh = sh.join(dict, "sh").groupBy(col("doc_id"))
+      .withColumn("fp", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+    val minCols = cwParams.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * fp + $b) % $MersenneP")).as(s"m$i") }
+    val mh = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
-             concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
+             concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
   }
@@ -547,13 +549,15 @@ object Dedup {
        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix)"""
 
   private val minhashCtes: String = {
-    val mins = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || sh)) m$i").mkString(", ")
+    val mins = cwParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * fp + $b) % $MersenneP) m$i" }.mkString(", ")
     val bands = (0 until NumBands)
-      .map(b => s"SELECT doc_id, $b AS band_id, m${2 * b} || m${2 * b + 1} AS sig FROM mh")
+      .map(b => s"SELECT doc_id, $b AS band_id, " +
+        s"m${2 * b}::VARCHAR || ':' || m${2 * b + 1}::VARCHAR AS sig FROM mh")
       .mkString(" UNION ALL ")
     s"""$shingleCte,
-        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        shfp AS (SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS fp FROM sh),
+        mh AS (SELECT doc_id, $mins FROM shfp GROUP BY doc_id),
         bands AS ($bands)"""
   }
 

@@ -87,25 +87,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nFast < nSlow * 10 + 50, s"fast=$nFast slow=$nSlow")
   }
 
-  test("shingle-dict broadcast is conditional: forced-shuffle plan gives identical pairs") {
-    val bcast = Dedup.q29DedupMinhash(spark, sf01).collect().toSet
-    assert(bcast.nonEmpty)
-    // threshold 0 removes the graft broadcast hint (the 100 TB fallback);
-    // autoBroadcastJoinThreshold=-1 emulates stats calling the dict huge so
-    // the planner can't re-add the broadcast on its own. Output must be
-    // byte-identical through the shuffle-join plan.
-    spark.conf.set("graft.dedup.dictBroadcastMaxRows", "0")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val shuffled = Dedup.q29DedupMinhash(spark, sf01)
-      // static (pre-AQE) physical plan: the dict side must not be broadcast
-      val statics = shuffled.queryExecution.sparkPlan.toString
-      assert(!statics.contains("BroadcastHashJoin"), statics)
-      assert(shuffled.collect().toSet == bcast)
-    } finally {
-      spark.conf.unset("graft.dedup.dictBroadcastMaxRows")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    }
+  test("q29 oracle-minhash plan is JOIN-FREE: scan -> project -> agg -> pair expansion") {
+    // Round 8 removed the distinct-shingle dictionary (and its gated
+    // broadcast): with ONE md5 per occurrence the whole candidate pipeline
+    // is projections + aggregates. Pin that — a join reappearing here
+    // means the dictionary crept back in.
+    val df = Dedup.q29DedupMinhash(spark, sf01)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(df.collect().nonEmpty)
   }
 
   test("incremental dedup drops near-dups of the published corpus only") {
