@@ -37,19 +37,32 @@ object ZoneMap {
   }
 
   /** Files whose [min, max] interval on `c` intersects [lo, hi] — the
-    * candidate set a range query must read. Driver-side and
-    * manifest-sized, never a data read. Files with a NULL min/max (all
-    * rows null in that file) cannot satisfy a range predicate and are
-    * skipped.
+    * candidate set a range query must read. The FILTER over the manifest
+    * is a distributed Spark job (the `_zonemap` parquet is scanned and
+    * pruned executor-side, so a manifest of millions of rows never
+    * transits the driver whole); only the SURVIVING paths are collected,
+    * because the scan planner needs concrete paths on the driver — the
+    * same shape as Delta/Iceberg, whose log/manifest filtering is also
+    * distributed but whose final file list is always driver-resident.
+    * `None` = the surviving set itself is too large to collect (bound by
+    * `graft.zonemap.maxCandidateFiles`, default 100k ≈ tens of MB of
+    * paths) — the caller must fall back to the plain directory scan,
+    * which is the right plan anyway for a predicate that unselective.
+    * Files with a NULL min/max (all rows null in that file) cannot
+    * satisfy a range predicate and are skipped.
     */
   private def candidateFiles(s: SparkSession, dir: String, c: String,
-      lo: Long, hi: Long): (Seq[String], Long) = {
+      lo: Long, hi: Long): (Option[Seq[String]], Long, Long) = {
+    val maxFiles = s.conf.getOption("graft.zonemap.maxCandidateFiles")
+      .map(_.toLong).getOrElse(100000L)
     val zm = s.read.parquet(s"$dir/_zonemap")
     val total = zm.count()
-    val kept = zm
+    val keptDf = zm
       .filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    (kept, total)
+      .select(col("file"))
+    val nKept = keptDf.count()
+    if (nKept > maxFiles) (None, nKept, total)
+    else (Some(keptDf.collect().map(_.getString(0)).toSeq), nKept, total)
   }
 
   /** Range scan through the zone map: a DataFrame over ONLY the surviving
@@ -57,14 +70,19 @@ object ZoneMap {
     * superset guarantee, exactly like partition pruning), plus
     * (files read, files total) so callers and specs can see the skip.
     * An empty candidate set yields an empty frame with the data's schema.
+    * A surviving set larger than `graft.zonemap.maxCandidateFiles` falls
+    * back to the plain directory scan with the row predicate — skipping
+    * buys nothing on an unselective predicate, and the fallback bounds
+    * driver memory at any manifest size.
     */
   def scanRange(s: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): (DataFrame, Int, Long) = {
-    val (files, total) = candidateFiles(s, dir, c, lo, hi)
+    val (files, nKept, total) = candidateFiles(s, dir, c, lo, hi)
     val pred = col(c) >= lo && col(c) <= hi
-    val df =
-      if (files.isEmpty) s.read.parquet(dir).filter(lit(false))
-      else s.read.parquet(files: _*).filter(pred)
-    (df, files.size, total)
+    files match {
+      case Some(fs) if fs.isEmpty => (s.read.parquet(dir).filter(lit(false)), 0, total)
+      case Some(fs) => (s.read.parquet(fs: _*).filter(pred), fs.size, total)
+      case None => (s.read.parquet(dir).filter(pred), nKept.toInt, total)
+    }
   }
 }

@@ -59,4 +59,18 @@ class ZoneMapSpec extends AnyFunSuite {
     val (pruned, _, _) = ZoneMap.scanRange(spark, laidOut, "cents", lo, hi)
     assert(pruned.filter(col("cents") < lo || col("cents") > hi).count() == 0)
   }
+
+  test("oversized candidate set falls back to a directory scan, results identical") {
+    // maxCandidateFiles below the surviving count: the driver must not
+    // collect the list; the scan reverts to the plain directory read with
+    // the row predicate (identical rows, skipping disabled)
+    spark.conf.set("graft.zonemap.maxCandidateFiles", "1")
+    try {
+      val (lo, hi) = (0L, Long.MaxValue)
+      val (df, kept, total) = ZoneMap.scanRange(spark, laidOut, "cents", lo, hi)
+      assert(kept.toLong == total, "every file survives a covering range")
+      val expect = spark.read.parquet(laidOut).filter(col("cents").between(lo, hi))
+      assert(df.exceptAll(expect).count() == 0 && expect.exceptAll(df).count() == 0)
+    } finally spark.conf.unset("graft.zonemap.maxCandidateFiles")
+  }
 }
