@@ -717,19 +717,29 @@ object TextAnalysis {
     * `.filter($"lane" != 'clean').write` away (the s15 gate idiom).
     *
     * Pure projection — regex/codegen per row, NO shuffle at any corpus
-    * size (the front door must stream at crawl scale). Heuristics, not
-    * semantics, so rows-only + property spec on planted markup; the
-    * thresholds (anchor share > 30%, ≥ 5 list items with links on a short
-    * page) are the readability/jusText-style link-density family.
+    * size (the front door must stream at crawl scale). The thresholds
+    * (anchor share > 30%, ≥ 5 list items with links on a short page) are
+    * the readability/jusText-style link-density family. Every regex stays
+    * inside the Java∩RE2 subset (no backrefs, no lookaround; \s is the
+    * same 6-char class in both), so the ENTIRE transform has a verbatim
+    * DuckDB mirror and the query is fully SQL-oracled; the planted-markup
+    * property spec still owns the semantic edge cases the clean driver
+    * corpus never exercises.
     */
   def q152BoilerplateExtract(s: SparkSession, dir: String): DataFrame =
     markupExtract(Tables.documents(s, dir))
 
   private[graft] def markupExtract(docs: DataFrame): DataFrame = docs
     .withColumn("has_markup", col("text").rlike("(?i)</?[a-z][a-z0-9]*[^>]*>"))
-    // script/style lose their CONTENT (it is code, not prose); comments too
+    // script/style lose their CONTENT (it is code, not prose); comments
+    // too. Deliberately an ALTERNATION, not a backreferenced <(script|
+    // style)>...</\1> — backrefs are Java-regex-only, and the alternation
+    // keeps every q152 regex inside RE2's subset so the DuckDB oracle can
+    // mirror the transform verbatim (the only behavioral difference is
+    // crossed mismatched pairs like <script>…</style>, which neither form
+    // handles meaningfully)
     .withColumn("s1", regexp_replace(col("text"),
-      "(?is)<(script|style)[^>]*>.*?</\\1>", " "))
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "))
     .withColumn("s2", regexp_replace(col("s1"), "(?s)<!--.*?-->", " "))
     // visible anchor text + structural counts, measured BEFORE tag removal
     .withColumn("anchor_chars", expr(
@@ -870,6 +880,45 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q152_boilerplate_extract" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             regexp_matches(text, '</?[a-z][a-z0-9]*[^>]*>', 'i') AS has_markup,
+             regexp_replace(regexp_replace(text,
+               '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gis'),
+               '<!--.*?-->', ' ', 'gs') AS s2
+           FROM documents),
+         f AS (
+           SELECT doc_id, has_markup,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(s2, '<a[^>]*>(.*?)</a>', 1, 'is'),
+               a -> CAST(length(trim(regexp_replace(a, '<[^>]+>', ' ', 'g'))) AS BIGINT))),
+               0) AS BIGINT) AS anchor_chars,
+             CAST(len(regexp_extract_all(s2, '</?[a-zA-Z][^>]*>', 0)) AS BIGINT) AS n_tags,
+             CAST(len(regexp_extract_all(s2, '<li[^>]*>\s*<a', 0, 'is')) AS BIGINT)
+               AS n_link_items,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(s2, '</?[a-zA-Z][^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean_text
+           FROM m),
+         g AS (
+           SELECT doc_id, has_markup, anchor_chars, n_tags, n_link_items, clean_text,
+                  CAST(length(clean_text) AS BIGINT) AS clean_chars,
+                  CAST(least(anchor_chars * 10000
+                    // greatest(CAST(length(clean_text) AS BIGINT), 1), 10000) AS BIGINT)
+                    AS link_bp
+           FROM f)
+         SELECT doc_id,
+                CASE WHEN NOT has_markup THEN 'not_markup'
+                     WHEN clean_chars < 20 THEN 'quarantine_empty'
+                     WHEN link_bp > 3000 OR (n_link_items >= 5 AND clean_chars < 500)
+                          THEN 'quarantine_boilerplate'
+                     ELSE 'clean' END AS lane,
+                clean_text, n_tags, link_bp, clean_chars
+         FROM g""",
     "q151_substr_dedup" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
