@@ -203,6 +203,26 @@ object Dedup {
     fastBandSignaturesOf(docs)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** The EXCHANGE-FREE form of [[writeSignatureTable]] for the 100 TB
+    * refresh loop: the signature table becomes a catalog table BUCKETED
+    * (and sorted) by the (band_id, sig) join key, so every future batch's
+    * [[dedupeIncremental]] semi-join reads the published side in place —
+    * only the (small) incoming batch shuffles to match the bucketing.
+    * Path-based parquet cannot carry bucketing metadata, hence
+    * `saveAsTable`; the published side is the corpus-scale one, so
+    * removing ITS exchange is the whole point (the r7 note on
+    * [[writeSignatureTable]] made real). Pass `spark.table(name)` as
+    * `publishedSigs` — dedupeIncremental itself is unchanged.
+    * DedupSimilaritySpec proves result equality with the path-based form
+    * AND the strictly-smaller exchange count in the semi-join plan.
+    */
+  def writeSignatureTableBucketed(docs: DataFrame, table: String, buckets: Int = 32): Unit =
+    fastBandSignaturesOf(docs).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "band_id", "sig")
+      .sortBy("band_id", "sig")
+      .saveAsTable(table)
+
   /** Incremental dedup: drop from `newDocs` every document that is a
     * near-dup of the ALREADY-PUBLISHED corpus, by anti-joining the new
     * batch's band signatures against the persisted signature table — the

@@ -8,8 +8,8 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +26,15 @@ import graft.operators.Multimodal.PgmCodec
   * format inside `PartitionReader`, with REAL column pruning — pixel
   * decode and aHash are skipped entirely when the query doesn't select
   * those columns (`SupportsPushDownRequiredColumns`), the media analogue
-  * of parquet's ReadSchema pruning, asserted by FrameSourceSpec.
+  * of parquet's ReadSchema pruning — and REAL filter pushdown
+  * (`SupportsPushDownFilters`, parquet discipline: pushed AND re-applied,
+  * so pruning can only skip work, never change results): `path`
+  * equality/IN/prefix filters drop whole container files at planning
+  * time, and `frame_idx` upper bounds stop the sequential frame walk
+  * before later frames are ever decoded. Both asserted by
+  * FrameSourceSpec (partition count for file pruning; a
+  * corrupt-later-frame container that quarantines unfiltered but decodes
+  * clean under the bound, proving the decode was skipped).
   *
   * Scale shape: one InputPartition per container file (media files are
   * the natural work unit; frames inside a file must be walked
@@ -73,23 +81,72 @@ private[sources] class FrameTable(path: String) extends Table with SupportsRead 
 }
 
 private[sources] class FrameScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = FrameSource.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   /** Column pruning lands HERE: the reader receives the pruned schema and
     * skips pixel work it doesn't need. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FrameScan(path, required)
+  /** Filter pushdown, the parquet discipline (pushed AND re-applied):
+    * every filter is returned as residual so Spark re-evaluates it —
+    * the source exploits the usable subset purely to SKIP WORK, so a
+    * pruning bug can never change results, only speed. Usable here:
+    * `path` equality/IN/prefix filters drop whole container files at
+    * PLANNING time (the partition-pruning analogue for media files),
+    * and `frame_idx` upper bounds stop the sequential container walk
+    * early — frames past the bound are never even decoded.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FrameScan.usable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FrameScan(path, required, pushed)
 }
 
-private[sources] class FrameScan(path: String, required: StructType)
+private[sources] object FrameScan {
+  private[sources] def usable(f: Filter): Boolean = f match {
+    case EqualTo("path", _: String) => true
+    case In("path", _) => true
+    case StringStartsWith("path", _) => true
+    case LessThan("frame_idx", _: Int) => true
+    case LessThanOrEqual("frame_idx", _: Int) => true
+    case EqualTo("frame_idx", _: Int) => true
+    case _ => false
+  }
+
+  /** AND of the pushed path predicates over one candidate file. */
+  private[sources] def keepFile(pushed: Array[Filter], file: String): Boolean =
+    pushed.forall {
+      case EqualTo("path", v: String) => file == v
+      case In("path", vs) => vs.exists(v => v != null && file == v.toString)
+      case StringStartsWith("path", p) => file.startsWith(p)
+      case _ => true
+    }
+
+  /** Tightest frame_idx upper bound among the pushed filters. */
+  private[sources] def maxFrameIdx(pushed: Array[Filter]): Int =
+    pushed.foldLeft(Int.MaxValue) {
+      case (acc, LessThan("frame_idx", n: Int)) => math.min(acc, n - 1)
+      case (acc, LessThanOrEqual("frame_idx", n: Int)) => math.min(acc, n)
+      case (acc, EqualTo("frame_idx", n: Int)) => math.min(acc, n)
+      case (acc, _) => acc
+    }
+}
+
+private[sources] class FrameScan(path: String, required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-frames scan of $path, ReadSchema: ${required.catalogString}"
+    s"graft-frames scan of $path, ReadSchema: ${required.catalogString}" +
+      (if (pushed.nonEmpty) s", PushedFilters: ${pushed.mkString("[", ", ", "]")}" else "")
 
   /** One partition per container file: the decode unit is the file. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -110,25 +167,27 @@ private[sources] class FrameScan(path: String, required: StructType)
         matched.toSeq.filter(_.isFile)
       }
     files.sortBy(_.getPath.toString)
+      .filter(st => FrameScan.keepFile(pushed, st.getPath.toString))
       .map(st => FramePartition(st.getPath.toString): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameReaderFactory(required)
+    new FrameReaderFactory(required, FrameScan.maxFrameIdx(pushed))
 }
 
 private[sources] case class FramePartition(file: String) extends InputPartition
 
-private[sources] class FrameReaderFactory(required: StructType)
+private[sources] class FrameReaderFactory(required: StructType, maxIdx: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FrameReader(partition.asInstanceOf[FramePartition].file, required)
+    new FrameReader(partition.asInstanceOf[FramePartition].file, required, maxIdx)
 }
 
 /** Walks one container file frame-by-frame with the genuine PGM codec.
   * Feature columns are computed ONLY if the pruned schema asks for them.
   */
-private[sources] class FrameReader(file: String, required: StructType)
+private[sources] class FrameReader(file: String, required: StructType,
+    maxIdx: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val needMean = required.fieldNames.contains("mean_pixel")
@@ -177,6 +236,9 @@ private[sources] class FrameReader(file: String, required: StructType)
 
   private def nextFrom(bytes: Array[Byte]): Boolean = {
     if (cursor >= bytes.length) return false
+    // pushed frame_idx upper bound: frames past it are never decoded —
+    // the sequential container can't seek, but it CAN stop early
+    if (frameIdx + 1 > maxIdx) return false
     PgmCodec.decodeFrom(bytes, cursor) match {
       case Some((img, end)) =>
         cursor = end

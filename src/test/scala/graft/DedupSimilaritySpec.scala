@@ -98,6 +98,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("bucketed signature table: same survivors, published side joins without its exchange") {
+    val published = spark.read.parquet(s"$sf01/documents.parquet")
+    val newBatch = published.limit(40)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-sigs-b").toString
+    Dedup.writeSignatureTable(published, sigDir)
+    spark.sql("DROP TABLE IF EXISTS sigs_b")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft-warehouse/sigs_b"))
+    Dedup.writeSignatureTableBucketed(published, "sigs_b", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = Dedup.dedupeIncremental(newBatch, spark.read.parquet(sigDir))
+      val bucketed = Dedup.dedupeIncremental(newBatch, spark.table("sigs_b"))
+      // identical survivor sets (same signatures, different storage layout)
+      assert(bucketed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      // the bucketed plan drops the published-side exchange: strictly
+      // fewer Exchange nodes than the path-based plan of the same join
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(exchanges(bucketed) < exchanges(plain),
+        s"bucketed=${exchanges(bucketed)} plain=${exchanges(plain)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental dedup drops near-dups of the published corpus only") {
     import spark.implicits._
     val sigDir = java.nio.file.Files.createTempDirectory("graft-sigs").toString

@@ -86,6 +86,39 @@ class FrameSourceSpec extends AnyFunSuite {
     assert(bad.isNullAt(bad.fieldIndex("width")) && bad.isNullAt(bad.fieldIndex("ahash")))
   }
 
+  test("path filter pushdown plans only the matching container files") {
+    val (dir, counts) = writeContainers(3)
+    val one = spark.read.format("graft-frames").load(dir)
+      .filter(col("path") === s"file:$dir/c1.pgmc")
+    // file pruning at PLANNING time: exactly one input partition survives
+    assert(one.rdd.getNumPartitions == 1, s"got ${one.rdd.getNumPartitions} partitions")
+    assert(one.count() == counts(1))
+    // prefix filter (the directory-subset shape)
+    val pre = spark.read.format("graft-frames").load(dir)
+      .filter(col("path").startsWith(s"file:$dir/c2"))
+    assert(pre.rdd.getNumPartitions == 1 && pre.count() == counts(2))
+    // pushdown never changes results: unfiltered equals filter-union
+    val all = spark.read.format("graft-frames").load(dir).count()
+    assert(all == counts.sum)
+  }
+
+  test("frame_idx bound stops the container walk before later frames decode") {
+    val (dir, _) = writeContainers(1) // c0 has 2 frames
+    // corrupt the SECOND frame: an unfiltered scan must quarantine, but a
+    // frame_idx < 1 scan stops before ever decoding it — proof the bound
+    // skips decode work rather than filtering rows afterwards
+    val p = Paths.get(s"$dir/c0.pgmc")
+    val full = Files.readAllBytes(p)
+    Files.write(p, java.util.Arrays.copyOf(full, full.length - 7))
+    val unfiltered = spark.read.format("graft-frames").load(dir).collect()
+    assert(unfiltered.count(!_.getAs[Boolean]("decode_ok")) == 1)
+    val bounded = spark.read.format("graft-frames").load(dir)
+      .filter(col("frame_idx") < 1).collect()
+    assert(bounded.length == 1 && bounded.head.getAs[Boolean]("decode_ok"),
+      "the torn second frame must never be reached under the pushed bound")
+    assert(bounded.head.getAs[Int]("frame_idx") == 0)
+  }
+
   test("SQL path works through the registered short name") {
     val (dir, counts) = writeContainers(2)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW frames_v USING `graft-frames` OPTIONS (path '$dir')")
