@@ -818,6 +818,13 @@ object TextAnalysis {
         .collect()
       val n = rows.length
       val dims = 5
+      // empty corpus: a zero-weight model (every score = 5000, accepted)
+      // beats a 0/0 NaN cascade through the standardization below.
+      // (if/else, not `return` — a non-local return from this lambda would
+      // skip computeIfAbsent's caching via NonLocalReturnControl)
+      if (n == 0) (Array.fill(dims + 1)(0.0),
+        Array.fill(dims)(0.0), Array.fill(dims)(1.0))
+      else {
       val x = Array.tabulate(n, dims)((i, j) => rows(i).getDouble(j))
       val y = Array.tabulate(n)(i => rows(i).getDouble(dims))
       val mu = Array.tabulate(dims)(j => x.map(_(j)).sum / n)
@@ -839,6 +846,7 @@ object TextAnalysis {
         for (j <- 0 to dims) w(j) -= 1.0 * grad(j) / n
       }
       (w, mu, sd)
+      }
     })
 
   def q153QualityModel(s: SparkSession, dir: String): DataFrame = {
