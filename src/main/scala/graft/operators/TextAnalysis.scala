@@ -672,17 +672,22 @@ object TextAnalysis {
 
   /** q151's core on any (doc_id, text) frame — split out so the spec can
     * run it on planted duplicates against a brute-force reference. */
+  /** (doc_id, pos, g): every W-token window's position + md5 fingerprint —
+    * the occurrence table shared by q151 (span marking) and q154 (span
+    * cutting). localCheckpointed: both queries probe it twice. */
+  private def windowOcc(docs: DataFrame, W: Int): DataFrame = docs
+    .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+    .filter(size(col("w")) >= W)
+    .select(col("doc_id"), explode(expr(
+      s"""transform(sequence(1, size(w) - ${W - 1}),
+          i -> struct(CAST(i - 1 AS BIGINT) AS pos,
+                      md5(concat_ws(' ', slice(w, i, $W))) AS g))""")).as("o"))
+    .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    .localCheckpoint()
+
   private[graft] def substrDedupSpans(docs: DataFrame, W: Int): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
-      .filter(size(col("w")) >= W)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${W - 1}),
-            i -> struct(CAST(i - 1 AS BIGINT) AS pos,
-                        md5(concat_ws(' ', slice(w, i, $W))) AS g))""")).as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
-      // two consumers (gram counts + hit probe); one corpus scan, pinned
-      .localCheckpoint()
+    // two consumers (gram counts + hit probe); one corpus scan, pinned
+    val occ = windowOcc(docs, W)
     val dup = occ.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
@@ -700,6 +705,54 @@ object TextAnalysis {
         (max(col("pos")) - min(col("pos")) + W).as("dup_tokens"),
         count(lit(1)).as("n_windows"))
       .drop("island")
+  }
+
+  /** q154: exact substring dedup, the REMOVAL half — q151 marks
+    * corpus-wide duplicated spans; this CUTS them, producing the cleaned
+    * corpus an ExactSubstr pass actually ships to training. Keep rule:
+    * every duplicated window's gram has one OWNER document (the minimal
+    * doc_id among its holders — deterministic and engine-portable); the
+    * owner keeps all its occurrences of that gram, every other document
+    * has the covered tokens cut. Output per doc: original/cut token
+    * counts and the reassembled `new_text` (kept tokens rejoined with
+    * single spaces) — so the result is directly publishable AND every
+    * byte of it is hash-checked against the DuckDB oracle.
+    *
+    * Shape on top of [[windowOcc]]: gram aggregate (owner + distinct-doc
+    * count, one shuffle of 16-byte digests), a semi-probe join back, a
+    * per-doc covered-position ARRAY (ranges flattened + deduped with
+    * HOFs — never a per-token shuffle), and one final left join to the
+    * corpus where the cut itself is a pure index-lambda filter over the
+    * token array. Documents with nothing to cut pass through whole via
+    * the coalesce.
+    */
+  def q154SubstrCut(s: SparkSession, dir: String): DataFrame =
+    substrCut(Tables.documents(s, dir), W = 15)
+
+  private[graft] def substrCut(docs: DataFrame, W: Int): DataFrame = {
+    val occ = windowOcc(docs, W)
+    val own = occ.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), col("owner"))
+    val cutPos = occ.join(own, Seq("g"))
+      .filter(col("doc_id") =!= col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"), expr(
+        s"array_sort(array_distinct(flatten(transform(starts, p -> sequence(p, p + ${W - 1})))))")
+        .as("covered"))
+    docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .join(cutPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_cut_tokens"),
+        when(col("covered").isNull, expr("array_join(w, ' ')"))
+          .otherwise(expr(
+            "array_join(filter(w, (x, i) -> NOT array_contains(covered, CAST(i AS BIGINT))), ' ')"))
+          .as("new_text"))
   }
 
   /** q152: markup/boilerplate extraction — the corpus FRONT DOOR every
@@ -863,6 +916,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_substr_cut" -> (q154SubstrCut _),
     "q153_quality_model" -> (q153QualityModel _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
@@ -888,6 +942,42 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q154_substr_cut" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 14, 0))) AS i
+           FROM toks),
+         occ AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  md5(array_to_string(w[i : i + 14], ' ')) AS g
+           FROM idx),
+         own AS (
+           SELECT g, min(doc_id) AS owner FROM occ
+           GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cuth AS (
+           SELECT o.doc_id, o.pos FROM occ o JOIN own ON o.g = own.g
+           WHERE o.doc_id <> own.owner),
+         cov0 AS (
+           SELECT doc_id, unnest(generate_series(pos, pos + 14)) AS tok FROM cuth),
+         cov AS (SELECT DISTINCT doc_id, tok FROM cov0),
+         tok AS (
+           SELECT doc_id, w, unnest(generate_series(1, len(w))) AS ti FROM toks),
+         kept AS (
+           SELECT t.doc_id, t.ti, t.w[t.ti] AS token
+           FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tok = t.ti - 1
+           WHERE c.tok IS NULL),
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+         ncut AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+                  FROM cov GROUP BY doc_id),
+         newt AS (SELECT doc_id, string_agg(token, ' ' ORDER BY ti) AS new_text
+                  FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens,
+                coalesce(n.n_cut_tokens, 0) AS n_cut_tokens,
+                coalesce(t.new_text, '') AS new_text
+         FROM base b LEFT JOIN ncut n USING (doc_id)
+                     LEFT JOIN newt t USING (doc_id)""",
     "q152_boilerplate_extract" ->
       """WITH m AS (
            SELECT doc_id, text,

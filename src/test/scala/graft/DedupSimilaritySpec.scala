@@ -541,4 +541,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expected.count(_._1 == 5L) == 2)
     assert(expected.exists(t => t._1 == 8L && t._4 == 12L))
   }
+
+  test("q154 substring CUT equals brute force: owner keeps, others lose the span") {
+    val W = 5
+    val s1 = "p1 p2 p3 p4 p5 p6 p7"
+    val s2 = "q1 q2 q3 q4 q5"
+    val s3 = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq(
+      1L -> s"f01 f02 f03 $s1 f04 f05",     // owner of S1's grams: keeps all
+      2L -> s"f06 f07 $s1 f08 f09 f10",     // loses S1
+      3L -> s"$s2 f11 f12 f13 f14",         // owner of S2: keeps
+      4L -> s"f15 f16 f17 f18 $s2",         // loses S2
+      5L -> s"f19 $s1 f20 f21 f22 $s1 f23", // loses BOTH S1 occurrences
+      6L -> s"f24 $s3 f25 f26 $s3 f27",     // intra-doc only: untouched
+      7L -> "f28 f29 f30 f31 f32 f33 f34",
+      8L -> s"f35 $s1 $s2 f36")             // loses S1 AND S2 (12 tokens)
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.substrCut(df, W).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_tokens"),
+          r.getAs[String]("new_text")))).toMap
+    // brute force: gram -> holder docs; owner = min; cut covered tokens
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+    val holders = toks.flatMap { case (id, w) =>
+      (0 to w.length - W).map(i => (w.slice(i, i + W).mkString(" "), id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    toks.foreach { case (id, w) =>
+      val cut = (0 to w.length - W).flatMap { i =>
+        val hs = holders(w.slice(i, i + W).mkString(" "))
+        if (hs.length >= 2 && hs.min != id) (i until i + W) else Seq.empty
+      }.toSet
+      val expText = w.indices.filterNot(cut).map(w).mkString(" ")
+      val (n, nc, txt) = got(id)
+      assert(n == w.length && nc == cut.size && txt == expText,
+        s"doc $id: got ($n,$nc,'$txt') want (${w.length},${cut.size},'$expText')")
+    }
+    // planted invariants: owners and clean docs untouched, losers cut
+    assert(got(1L)._2 == 0 && got(3L)._2 == 0 && got(6L)._2 == 0 && got(7L)._2 == 0)
+    assert(got(2L)._2 == 7 && got(4L)._2 == 5 && got(5L)._2 == 14 && got(8L)._2 == 12)
+  }
 }
