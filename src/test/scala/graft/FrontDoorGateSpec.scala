@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.FrontDoorGate
+
+/** s16's stream element (top-level: Spark encoders can't see inner-class
+  * scope). */
+case class RawDoc(doc_id: Long, text: String)
+
+/** s16: streaming front-door triage — per-row lane split with dual atomic
+  * generation commits; replays idempotent, half-committed batches heal.
+  */
+class FrontDoorGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val prose =
+    "a perfectly ordinary prose document with no markup whatsoever in it"
+  private val navPage = "<ul>" + (1 to 8).map(i =>
+    s"""<li><a href="/p$i">Navigation item number $i</a></li>""").mkString + "</ul>"
+
+  test("mixed batch splits across both roots; replay and half-commit recovery are safe") {
+    val root = Files.createTempDirectory("graft-frontdoor").toString
+    val (pub, quar) = (s"$root/published", s"$root/quarantine")
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[RawDoc]
+    val q = FrontDoorGate.triagedStream(spark, ms.toDF(), pub, quar)
+    try {
+      ms.addData(RawDoc(1, prose), RawDoc(2, navPage), RawDoc(3, prose + " again"))
+      q.processAllAvailable()
+      // per-row split: the SAME batch commits a generation under BOTH roots
+      assert(new java.io.File(s"$pub/gen=0").exists())
+      assert(new java.io.File(s"$quar/gen=0").exists())
+      val published = spark.read.parquet(pub)
+      assert(published.count() == 2 &&
+        published.filter(col("doc_id") === 2).count() == 0)
+      // clean rows carry EXTRACTED text; quarantine carries the ORIGINAL
+      assert(published.filter(col("doc_id") === 1).head().getAs[String]("clean_text") == prose)
+      val held = spark.read.parquet(quar)
+      assert(held.count() == 1)
+      val h = held.head()
+      assert(h.getAs[Long]("doc_id") == 2 &&
+        h.getAs[String]("lane") == "quarantine_boilerplate" &&
+        h.getAs[String]("text") == navPage)
+    } finally q.stop()
+    // replay of a committed id with DIFFERENT content: full no-op
+    import spark.implicits._
+    val replay = Seq(RawDoc(99, prose)).toDF()
+    FrontDoorGate.triageBatch(spark, replay, 0L, pub, quar)
+    assert(spark.read.parquet(pub).count() == 2)
+    assert(spark.read.parquet(quar).count() == 1)
+    // crash between the two commits: delete the quarantine half, replay
+    // the ORIGINAL batch — only the missing half is written back
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$quar/gen=0"))
+    val original = Seq(RawDoc(1, prose), RawDoc(2, navPage),
+      RawDoc(3, prose + " again")).toDF()
+    FrontDoorGate.triageBatch(spark, original, 0L, pub, quar)
+    assert(spark.read.parquet(pub).count() == 2, "published half must not duplicate")
+    assert(spark.read.parquet(quar).count() == 1, "quarantine half healed")
+  }
+
+  test("all-clean batch still commits an (empty) quarantine generation") {
+    val root = Files.createTempDirectory("graft-frontdoor2").toString
+    val (pub, quar) = (s"$root/published", s"$root/quarantine")
+    import spark.implicits._
+    FrontDoorGate.triageBatch(spark, Seq(RawDoc(1, prose)).toDF(), 0L, pub, quar)
+    assert(new java.io.File(s"$pub/gen=0").exists())
+    // the empty generation is what makes half-commit detection per-root
+    // sound: its existence marks "this root's share of batch 0 is done"
+    assert(new java.io.File(s"$quar/gen=0").exists())
+    assert(spark.read.parquet(s"$quar/gen=0").count() == 0)
+  }
+}
