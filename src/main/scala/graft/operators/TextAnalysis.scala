@@ -724,7 +724,11 @@ object TextAnalysis {
     * HOFs — never a per-token shuffle), and one final left join to the
     * corpus where the cut itself is a pure index-lambda filter over the
     * token array. Documents with nothing to cut pass through whole via
-    * the coalesce.
+    * the coalesce. The index-filter is O(tokens × |covered|) per doc
+    * (array_contains scans): right for this corpus's ≤ ~100-token docs
+    * and for the common mostly-clean case; a corpus of book-length docs
+    * with heavy duplication would swap the final stage for the oracle's
+    * token-explode + anti-join form (per-token shuffle, but linear).
     */
   def q154SubstrCut(s: SparkSession, dir: String): DataFrame =
     substrCut(Tables.documents(s, dir), W = 15)

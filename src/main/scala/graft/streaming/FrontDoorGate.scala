@@ -27,6 +27,9 @@ object FrontDoorGate {
   /** Triage one batch: route rows, then commit each lane atomically under
     * its root. The routed frame is localCheckpointed so both lane writes
     * share one extraction pass over the (micro-batch-sized) frame.
+    * Precondition: `doc_id` is unique within a batch (the documents-table
+    * contract) — the quarantine lane re-joins the original text by id,
+    * and a duplicated id would multiply those rows.
     */
   private[graft] def triageBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       publishDir: String, quarantineDir: String): Unit = {
