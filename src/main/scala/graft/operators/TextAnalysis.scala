@@ -759,6 +759,46 @@ object TextAnalysis {
           .as("new_text"))
   }
 
+  /** q155: dataset-MIXTURE sampling plan — given target mixing weights
+    * per source (the "dataset mixing" knob every LLM pretraining recipe
+    * publishes: web 40%, code 15%, ... of the token budget), compute each
+    * source's actual token mass and the per-source sampling rate that
+    * realizes the target: `sample_rate_bp` (capped at 10000 — you cannot
+    * down-sample your way ABOVE a source's mass) and `repeat_x100` (the
+    * uncapped ratio: > 100 means the recipe needs that source repeated —
+    * epochs — to hit its share). All integer basis-point arithmetic;
+    * applying the plan is q68's md5 coin with these rates.
+    *
+    * The weight table is a code-owned literal shared verbatim with the
+    * oracle (the q131 VALUES pattern), broadcast against the per-source
+    * aggregate; corpus totals ride along as a cross-joined 1-row
+    * aggregate, never a driver value. ONE corpus scan, one
+    * map-side-combined shuffle on source — |sources| rows after.
+    */
+  private val mixtureWeights: Seq[(String, Long)] =
+    (0 until 20).map(k => (s"src$k", (k % 4 + 1).toLong))
+  private val mixtureWeightSum: Long = mixtureWeights.map(_._2).sum
+
+  def q155MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val wdf = broadcast(s.createDataFrame(mixtureWeights).toDF("source", "weight"))
+    val per = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.join(wdf, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"weight * 10000 div $mixtureWeightSum").as("target_bp"),
+        expr(s"least(10000, (total_tokens * weight div $mixtureWeightSum) * 10000 div n_tokens)")
+          .as("sample_rate_bp"),
+        expr(s"(total_tokens * weight div $mixtureWeightSum) * 100 div n_tokens")
+          .as("repeat_x100"),
+        expr(s"n_tokens * least(10000, (total_tokens * weight div $mixtureWeightSum) * 10000 div n_tokens) div 10000")
+          .as("expected_tokens"))
+  }
+
   /** q152: markup/boilerplate extraction — the corpus FRONT DOOR every
     * E-block operator silently assumes already ran: raw crawl payloads are
     * HTML, and tag-stripping + boilerplate triage must happen before
@@ -920,6 +960,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_mixture_plan" -> (q155MixturePlan _),
     "q154_substr_cut" -> (q154SubstrCut _),
     "q153_quality_model" -> (q153QualityModel _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
@@ -946,6 +987,27 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q155_mixture_plan" -> {
+      val values = mixtureWeights.map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+      val sw = mixtureWeightSum
+      s"""WITH w(source, weight) AS (VALUES $values),
+          per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+                     AS n_tokens
+            FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+          SELECT p.source, p.n_docs, p.n_tokens,
+                 CAST(w.weight * 10000 // $sw AS BIGINT) AS target_bp,
+                 CAST(least(10000, (tot.total_tokens * w.weight // $sw) * 10000 // p.n_tokens)
+                   AS BIGINT) AS sample_rate_bp,
+                 CAST((tot.total_tokens * w.weight // $sw) * 100 // p.n_tokens AS BIGINT)
+                   AS repeat_x100,
+                 CAST(p.n_tokens * least(10000,
+                   (tot.total_tokens * w.weight // $sw) * 10000 // p.n_tokens) // 10000
+                   AS BIGINT) AS expected_tokens
+          FROM per p JOIN w ON p.source = w.source, tot"""
+    },
     "q154_substr_cut" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -28,6 +28,25 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 mixture plan: rates capped, repeats honest, token budget conserved") {
+    val rows = TextAnalysis.q155MixturePlan(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val (rate, rep) = (r.getAs[Long]("sample_rate_bp"), r.getAs[Long]("repeat_x100"))
+      assert(rate >= 0 && rate <= 10000)
+      // the cap and the repeat factor must tell the same story: a capped
+      // rate means the target exceeds the source's mass (repeat >= 100)
+      assert((rate == 10000) == (rep >= 100), s"${r.getString(0)}: rate=$rate rep=$rep")
+      assert(r.getAs[Long]("expected_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // down-sampling only: the planned corpus never exceeds the actual one
+    assert(rows.map(_.getAs[Long]("expected_tokens")).sum <= total)
+    // target shares sum to ~100% (integer-div slack below 1bp per source)
+    val bp = rows.map(_.getAs[Long]("target_bp")).sum
+    assert(bp > 10000 - 20 && bp <= 10000, s"target shares sum to $bp bp")
+  }
+
   test("q153 training is deterministic: identical scores across independent fits") {
     val a = TextAnalysis.q153QualityModel(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
