@@ -959,7 +959,84 @@ object TextAnalysis {
         col("accept").as("accept_rules"))
   }
 
+  /** q156: bigram-LM perplexity scoring — the CCNet-style quality signal
+    * a learned language model gives that q65's surface rules cannot: how
+    * PREDICTABLE a document is under a model of the corpus itself. Train
+    * an add-one-smoothed bigram LM on the whole corpus (c12/c1/vocab
+    * counts), then score every document's mean per-bigram negative
+    * log-likelihood. `lm_keep` keeps documents whose mean NLL beats
+    * `ln(V)` — i.e. documents the bigram model predicts better than a
+    * uniform draw over the vocabulary; gibberish with no stable word
+    * order fails that bar with no tuned threshold.
+    *
+    * Determinism: ln() is the one non-IEEE function, so each factor is
+    * rounded to integer MICRO-nats before any arithmetic —
+    * `round(ln(c12+1)·1e6) − round(ln(c1+V)·1e6)` per bigram, integers
+    * summed exactly in both engines. c12 ≤ c1 and V ≥ 1 give
+    * c12+1 ≤ c1+V, and rounding is monotone, so every term is ≤ 0 and
+    * `nll_micro ≥ 0` — the `DIV` for the mean therefore agrees with
+    * DuckDB's floor `//` (the post-epoch-style sign contract). Docs with
+    * < 2 tokens carry (0, 0, keep=true) via the left join's coalesce.
+    *
+    * Shape: no corpus-scale shuffle: the three model aggregates (c12, c1,
+    * V) map-side combine so their exchanges carry ≤ V² partial rows, all
+    * broadcast back onto the stream so scoring is a PROJECTION, and the
+    * per-doc rollup combines to ~1 row/doc/partition before its exchange;
+    * the ln(V) keep bar rides the rollup so vocab plans ONCE. Word-level
+    * vocabularies
+    * keep the observed-bigram table broadcastable in practice; for a
+    * corpus where it is not, `graft.lm.broadcastModel=false` switches the
+    * score join to the shuffled form (spec proves result equality).
+    */
+  def q156LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val big = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // c(w1) counted directly from the stream, NOT derived as Σ_w2 c12 off
+    // `model`: Catalyst does not share the model subtree across the DAG,
+    // so the derived form re-scans the corpus AND pays a V²-row exchange
+    // where this one pays V (measured — the rewrite planned a 6th exchange)
+    val uni = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bcastModel =
+      s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
+    def side(df: DataFrame): DataFrame = if (bcastModel) broadcast(df) else df
+    val scored = big
+      .join(side(model), Seq("w1", "w2"))
+      .join(side(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term_micro", expr(
+        """CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
+           - CAST(round(ln(c1 + v) * 1000000) AS BIGINT)"""))
+      // the ln(V) keep bar rides the rollup (constant per group) so the
+      // final projection needs NO second vocab subtree; bigram-less docs
+      // coalesce to keep=true (0 ≤ ln V always) identically either way
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           (lit(0L) - sum(col("term_micro"))).as("nll_micro"),
+           max(expr("CAST(round(ln(v) * 1000000) AS BIGINT)")).as("bar_micro"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        expr("coalesce(nll_micro, 0) DIV greatest(coalesce(n_bigrams, 0), 1)")
+          .as("avg_nll_micro"),
+        coalesce(
+          expr("nll_micro DIV greatest(n_bigrams, 1)") <= col("bar_micro"),
+          lit(true)).as("lm_keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_lm_perplexity" -> (q156LmPerplexity _),
     "q155_mixture_plan" -> (q155MixturePlan _),
     "q154_substr_cut" -> (q154SubstrCut _),
     "q153_quality_model" -> (q153QualityModel _),
@@ -987,6 +1064,30 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q156_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) tkn FROM t),
+         v AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) v FROM tok),
+         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) i
+                FROM t WHERE len(w) >= 2),
+         b AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM ix),
+         m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1, 2),
+         u AS (SELECT w1, CAST(count(*) AS BIGINT) c1 FROM b GROUP BY 1),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+                       CAST(-sum(CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
+                                 - CAST(round(ln(c1 + v) * 1000000) AS BIGINT))
+                            AS BIGINT) nll_micro
+                FROM b JOIN m USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+                GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(n_bigrams, 0) AS n_bigrams,
+                COALESCE(nll_micro, 0) AS nll_micro,
+                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
+                  AS avg_nll_micro,
+                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
+                  <= CAST(round(ln(v.v) * 1000000) AS BIGINT) AS lm_keep
+         FROM documents d CROSS JOIN v
+         LEFT JOIN sc ON d.doc_id = sc.doc_id""",
     "q155_mixture_plan" -> {
       val values = mixtureWeights.map { case (src, w) => s"('$src', $w)" }.mkString(", ")
       val sw = mixtureWeightSum

@@ -330,4 +330,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // bound the total so a regression to a second full-data shuffle fails
     assert(count(p, "Exchange") <= 4, p)
   }
+
+  test("q156 LM scoring joins all broadcast; every exchange carries an aggregate, not the stream") {
+    val p = plan("q156_lm_perplexity")
+    // model + derived-uni + vocab + doc rollup: vocab/doc-bounded partial
+    // aggregates only — a lost broadcast turns the bigram-stream score
+    // join into a SortMergeJoin and shuffles the corpus
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    // 5 aggregate exchanges (c12, derived c1, vocab distinct+global, doc
+    // rollup); a 6th would mean a corpus-stream shuffle crept in
+    assert(count(p, "Exchange") <= 5, p)
+  }
 }

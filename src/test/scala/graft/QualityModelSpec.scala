@@ -47,6 +47,46 @@ class QualityModelSpec extends AnyFunSuite {
     assert(bp > 10000 - 20 && bp <= 10000, s"target shares sum to $bp bp")
   }
 
+  test("q156 bigram-LM NLL equals a driver-side brute force on every doc") {
+    val got = TextAnalysis.q156LmPerplexity(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_micro"),
+          r.getAs[Long]("avg_nll_micro"), r.getAs[Boolean]("lm_keep"))))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    assert(docs.nonEmpty && got.size == docs.length)
+    // independent reference: plain Scala maps, same micro-nat rounding
+    val bigrams = docs.flatMap { case (_, w) => w.sliding(2).filter(_.size == 2) }
+    val c12 = bigrams.groupBy(b => (b(0), b(1))).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bigrams.groupBy(_.head).map { case (k, v) => k -> v.size.toLong }
+    val v = docs.flatMap(_._2).distinct.size.toLong
+    def micro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    docs.foreach { case (id, w) =>
+      val bs = w.sliding(2).filter(_.size == 2).toVector
+      val nll = bs.map(b => micro(c1(b(0)) + v) - micro(c12((b(0), b(1))) + 1)).sum
+      val n = bs.size.toLong
+      val avg = nll / math.max(n, 1)
+      val want = (n, nll, avg, avg <= micro(v))
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // the keep gate must actually discriminate on this corpus... if every
+    // doc lands on one side the ln(V) bar is vacuous here
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "lm_keep must split the corpus")
+  }
+
+  test("q156 shuffled-join fallback (broadcastModel=false) matches the broadcast plan") {
+    val a = TextAnalysis.q156LmPerplexity(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_micro")).toMap
+    spark.conf.set("graft.lm.broadcastModel", "false")
+    try {
+      val b = TextAnalysis.q156LmPerplexity(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_micro")).toMap
+      assert(a == b)
+    } finally spark.conf.unset("graft.lm.broadcastModel")
+  }
+
   test("q153 training is deterministic: identical scores across independent fits") {
     val a = TextAnalysis.q153QualityModel(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
