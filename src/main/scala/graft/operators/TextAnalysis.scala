@@ -1035,7 +1035,61 @@ object TextAnalysis {
           lit(true)).as("lm_keep"))
   }
 
+  /** q157: DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling") — pick the pool
+    * documents most like a TARGET domain by the log importance ratio
+    * under two smoothed unigram LMs, ln p_target(doc) − ln p_raw(doc).
+    * Target here is the `src0` source (code-owned, like q155's weights);
+    * the pool is everything else; the deterministic top-k variant ranks
+    * by MEAN per-token log-ratio (length-unbiased) with doc_id tiebreak
+    * instead of Gumbel resampling, so the selected set is reproducible
+    * and engine-portable.
+    *
+    * Determinism: q156's micro-nat discipline — all four ln factors per
+    * token are ln of INTEGERS rounded to 1e-6 before any arithmetic.
+    * Unlike q156 the sum is sign-mixed; on BIGINT operands DuckDB's `//`
+    * truncates toward zero exactly like Spark's `DIV` (verified:
+    * -7//2 = -3 — the floor-vs-truncate divergence the r7 advice flagged
+    * applies to DOUBLE `//`, not integer), so the mean is plain `DIV`.
+    *
+    * Shape: q156's — three vocab-bounded broadcast aggregates (target
+    * counts, pool counts, V), scoring a projection over the pool token
+    * stream, per-doc rollup map-side combined, and the top-k is
+    * TakeOrdered (per-partition heads, never a global sort).
+    */
+  def q157DsirSelect(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("t"))
+    // ONE 1-row constants frame (V + both sides' token totals): a token
+    // unseen in target must still smooth against the true N_t, so the
+    // totals cannot ride the left-joined count frame (null there)
+    val totals = tok.agg(
+      countDistinct(col("t")).as("v"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("n_r"))
+    val target = tok.filter(col("source") === "src0")
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val raw = tok.filter(col("source") =!= "src0")
+      .groupBy(col("t")).agg(count(lit(1)).as("c_r"))
+    tok.filter(col("source") =!= "src0")
+      .join(broadcast(raw), Seq("t"))
+      .join(broadcast(target), Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro", expr(
+        """CAST(round(ln(coalesce(c_t, 0) + 1) * 1000000) AS BIGINT)
+           - CAST(round(ln(n_t + v) * 1000000) AS BIGINT)
+           - CAST(round(ln(c_r + 1) * 1000000) AS BIGINT)
+           + CAST(round(ln(n_r + v) * 1000000) AS BIGINT)"""))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("logw_micro"))
+      .withColumn("avg_logw_micro", expr("logw_micro DIV n_tokens"))
+      .orderBy(col("avg_logw_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
     "q156_lm_perplexity" -> (q156LmPerplexity _),
     "q155_mixture_plan" -> (q155MixturePlan _),
     "q154_substr_cut" -> (q154SubstrCut _),
@@ -1064,6 +1118,33 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q157_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) t
+                      FROM documents),
+         tot AS (SELECT CAST(count(DISTINCT t) AS BIGINT) v,
+                        CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                             AS BIGINT) n_t,
+                        CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                             AS BIGINT) n_r
+                 FROM tok),
+         tc AS (SELECT t, CAST(count(*) AS BIGINT) c_t FROM tok
+                WHERE source = 'src0' GROUP BY 1),
+         rc AS (SELECT t, CAST(count(*) AS BIGINT) c_r FROM tok
+                WHERE source <> 'src0' GROUP BY 1),
+         sc AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) n_tokens,
+                       CAST(sum(CAST(round(ln(COALESCE(c_t, 0) + 1) * 1000000) AS BIGINT)
+                                - CAST(round(ln(n_t + v) * 1000000) AS BIGINT)
+                                - CAST(round(ln(c_r + 1) * 1000000) AS BIGINT)
+                                + CAST(round(ln(n_r + v) * 1000000) AS BIGINT))
+                            AS BIGINT) logw_micro
+                FROM tok JOIN rc USING (t) LEFT JOIN tc USING (t) CROSS JOIN tot
+                WHERE source <> 'src0'
+                GROUP BY 1, 2)
+         SELECT doc_id, source, n_tokens, logw_micro,
+                logw_micro // n_tokens AS avg_logw_micro
+         FROM sc
+         ORDER BY avg_logw_micro DESC, doc_id
+         LIMIT 200""",
     "q156_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          tok AS (SELECT doc_id, unnest(w) tkn FROM t),

@@ -87,6 +87,30 @@ class QualityModelSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.lm.broadcastModel")
   }
 
+  test("q157 DSIR selection equals a driver-side brute force (scores, ranking and cut)") {
+    val got = TextAnalysis.q157DsirSelect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("logw_micro"),
+        r.getAs[Long]("avg_logw_micro")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val v = docs.flatMap(_._3).distinct.size.toLong
+    val tgt = docs.filter(_._2 == "src0").flatMap(_._3)
+    val pool = docs.filter(_._2 != "src0")
+    val ct = tgt.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cr = pool.flatMap(_._3).groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val (nt, nr) = (tgt.size.toLong, pool.map(_._3.size).sum.toLong)
+    def micro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val want = pool.map { case (id, src, w) =>
+      val logw = w.map(t =>
+        micro(ct.getOrElse(t, 0L) + 1) - micro(nt + v)
+          - micro(cr(t) + 1) + micro(nr + v)).sum
+      (id, src, w.size.toLong, logw, logw / w.size)  // JVM / truncates like DIV
+    }.sortBy { case (id, _, _, _, avg) => (-avg, id) }.take(200)
+    assert(got.toSeq == want.toSeq)
+    assert(got.forall(_._2 != "src0"), "target-source docs must not be selectable")
+  }
+
   test("q153 training is deterministic: identical scores across independent fits") {
     val a = TextAnalysis.q153QualityModel(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
