@@ -498,7 +498,86 @@ object Similarity {
         round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 
+  /** Per-dir memoized PCA model (mean, unit top eigenvector, eigenvalue) —
+    * the k-means/BPE driver-held-model pattern; see
+    * [[invalidateQuantizerCache]] for the staleness contract. */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Array[Double], Array[Double], Double)]()
+
+  def invalidatePcaCache(): Unit = pcaCache.clear()
+
+  private[graft] def pcaModel(
+      s: SparkSession, dir: String, iters: Int = 100): (Array[Double], Array[Double], Double) =
+    pcaCache.computeIfAbsent((dir, iters), _ => trainPca(s, dir, iters))
+
+  /** ONE distributed pass collects the Gramian sufficient statistics —
+    * n, Σxᵢ (read off the diagonal groups) and the upper-triangle Σxᵢxⱼ —
+    * as a d(d+1)/2-row aggregate (2080 rows at d=64: a driver-held model,
+    * like the k-means centroids, NOT corpus data). The pair explode is
+    * map-side combined, so the exchange carries ≤ pairs×partitions rows
+    * at any corpus size; for much larger d the explode trades for a
+    * Gramian TypedImperativeAggregate (one double[d²] buffer), the
+    * MinHashAgg precedent. Power iteration then runs on the driver's
+    * 64×64 covariance: deterministic all-ones start, fixed `iters`,
+    * entries snapped to 1e-9 like the k-means means.
+    */
+  private def trainPca(s: SparkSession, dir: String, iters: Int): (Array[Double], Array[Double], Double) = {
+    val stats = Tables.embeddings(s, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1),
+             i -> transform(sequence(i, size(embedding) - 1),
+               j -> struct(i AS i, j AS j,
+                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS xx,
+                 CAST(embedding[i] AS DOUBLE) AS xi))))""")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xx"), col("p.xi"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xx")).as("sxx"), sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+      .collect()
+    val d = stats.map(_.getAs[Int]("i")).max + 1
+    val n = stats.head.getAs[Long]("n").toDouble
+    val mean = new Array[Double](d)
+    stats.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+      .foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("sxi") / n)
+    val cov = Array.ofDim[Double](d, d)
+    stats.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val c = r.getAs[Double]("sxx") / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      // a (pathological) zero matrix would divide by zero — keep v
+      if (nrm > 0) v = w.map(x => math.rint(x / nrm * 1e9) / 1e9)
+    }
+    val lambda = (0 until d).map(i => (0 until d).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+    (mean, v, lambda)
+  }
+
+  /** q158: PCA projection — every embedding's coordinate along the
+    * corpus's top principal component (the dimensionality-reduction /
+    * whitening step embedding pipelines run before indexing; ANN cell
+    * splits and dedup thresholds both improve along this axis). The model
+    * is driver-held (see [[trainPca]]); scoring is a PURE PROJECTION:
+    * score = x·v − μ·v, the mean offset folded into one literal, so the
+    * corpus is never shuffled. Scores in integer micro-units (exact
+    * driver-side reproducibility); rows-only — the eigenvector is
+    * data-dependent so no static SQL mirror exists (the q153 situation);
+    * PcaSpec pins the eigenpair property (Cv = λv), Var(score) = λ,
+    * per-row agreement with a driver reference, and refit determinism.
+    */
+  def q158PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (mean, v, _) = pcaModel(s, dir)
+    val off = mean.zip(v).map { case (m, x) => m * x }.sum
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round((VectorOps.dot(col("embedding"), typedlit(v.toSeq)) - lit(off)) * 1e6)
+          .cast("long").as("pc1_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
     "q33_knn_brute"    -> (q33KnnBrute _),
