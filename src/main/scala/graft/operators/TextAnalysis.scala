@@ -978,8 +978,9 @@ object TextAnalysis {
     * DuckDB's floor `//` (the post-epoch-style sign contract). Docs with
     * < 2 tokens carry (0, 0, keep=true) via the left join's coalesce.
     *
-    * Shape: no corpus-scale shuffle: the three model aggregates (c12, c1,
-    * V) map-side combine so their exchanges carry ≤ V² partial rows, all
+    * Shape: no corpus-scale shuffle: one scan trains c12 (map-side
+    * combined, exchange ≤ V² partial rows, localCheckpointed), c1
+    * re-aggregates that materialized frame, one scan counts V, all
     * broadcast back onto the stream so scoring is a PROJECTION, and the
     * per-doc rollup combines to ~1 row/doc/partition before its exchange;
     * the ln(V) keep bar rides the rollup so vocab plans ONCE. Word-level
@@ -990,49 +991,54 @@ object TextAnalysis {
     */
   def q156LmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val big = docs
+    // explode_outer + CASE: a < 2-token doc contributes one null-bigram
+    // row, so the per-doc rollup covers EVERY document and no final
+    // docs-rejoin exists (that join is corpus-scale — one row per doc —
+    // and planned as a SortMergeJoin; this shape deletes it). The CASE
+    // guards sequence(1, 0), which Spark evaluates DESCENDING, not empty.
+    def bigrams(src: DataFrame): DataFrame = src
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(w) >= 2 THEN
+             transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2))
+           END""")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bigrams(docs)
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val model = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // c(w1) counted directly from the stream, NOT derived as Σ_w2 c12 off
-    // `model`: Catalyst does not share the model subtree across the DAG,
-    // so the derived form re-scans the corpus AND pays a V²-row exchange
-    // where this one pays V (measured — the rewrite planned a 6th exchange)
-    val uni = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // localCheckpoint: Catalyst has no CSE across the DAG, so without it
+    // the derived c1 below would re-scan the corpus and re-run the c12
+    // aggregation; checkpointed, c(w1) = Σ_w2 c12 is a re-aggregation of
+    // a materialized V²-bounded frame — one corpus scan trains the model
+    val model = big.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val uni = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val bcastModel =
       s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
     def side(df: DataFrame): DataFrame = if (bcastModel) broadcast(df) else df
-    val scored = big
-      .join(side(model), Seq("w1", "w2"))
-      .join(side(uni), Seq("w1"))
+    big
+      // LEFT joins: a real bigram always matches the model it trained,
+      // but the null-bigram carrier rows of short docs must survive
+      .join(side(model), Seq("w1", "w2"), "left")
+      .join(side(uni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("term_micro", expr(
-        """CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
-           - CAST(round(ln(c1 + v) * 1000000) AS BIGINT)"""))
-      // the ln(V) keep bar rides the rollup (constant per group) so the
-      // final projection needs NO second vocab subtree; bigram-less docs
-      // coalesce to keep=true (0 ≤ ln V always) identically either way
+        """CASE WHEN w1 IS NOT NULL THEN
+             CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln(c1 + v) * 1000000) AS BIGINT)
+           END"""))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-           (lit(0L) - sum(col("term_micro"))).as("nll_micro"),
+      .agg(count(col("term_micro")).as("n_bigrams"),
+           coalesce(lit(0L) - sum(col("term_micro")), lit(0L)).as("nll_micro"),
            max(expr("CAST(round(ln(v) * 1000000) AS BIGINT)")).as("bar_micro"))
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
       .select(
-        col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
-        expr("coalesce(nll_micro, 0) DIV greatest(coalesce(n_bigrams, 0), 1)")
-          .as("avg_nll_micro"),
-        coalesce(
-          expr("nll_micro DIV greatest(n_bigrams, 1)") <= col("bar_micro"),
-          lit(true)).as("lm_keep"))
+        col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        expr("nll_micro DIV greatest(n_bigrams, 1)").as("avg_nll_micro"),
+        // bigram-less docs score 0 ≤ ln V — kept, identically to DuckDB
+        (expr("nll_micro DIV greatest(n_bigrams, 1)") <= col("bar_micro"))
+          .as("lm_keep"))
   }
 
   /** q157: DSIR-style data selection (Xie et al., "Data Selection for
@@ -1052,32 +1058,33 @@ object TextAnalysis {
     * -7//2 = -3 — the floor-vs-truncate divergence the r7 advice flagged
     * applies to DOUBLE `//`, not integer), so the mean is plain `DIV`.
     *
-    * Shape: q156's — three vocab-bounded broadcast aggregates (target
-    * counts, pool counts, V), scoring a projection over the pool token
-    * stream, per-doc rollup map-side combined, and the top-k is
-    * TakeOrdered (per-partition heads, never a global sort).
+    * Shape: TWO corpus scans total — one vocab-bounded count aggregate
+    * (both sides in a single pass, localCheckpointed so V and the token
+    * totals derive from it without rescanning) broadcast back onto the
+    * pool token stream, per-doc rollup map-side combined, and the top-k
+    * is TakeOrdered (per-partition heads, never a global sort).
     */
   def q157DsirSelect(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("t"))
-    // ONE 1-row constants frame (V + both sides' token totals): a token
-    // unseen in target must still smooth against the true N_t, so the
-    // totals cannot ride the left-joined count frame (null there)
-    val totals = tok.agg(
-      countDistinct(col("t")).as("v"),
-      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_t"),
-      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("n_r"))
-    val target = tok.filter(col("source") === "src0")
-      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
-    val raw = tok.filter(col("source") =!= "src0")
-      .groupBy(col("t")).agg(count(lit(1)).as("c_r"))
+    // ONE corpus scan aggregates BOTH sides' token counts; V and the two
+    // totals (a token unseen in target must smooth against the true N_t,
+    // so they cannot ride a left join — null there) then derive from the
+    // checkpointed vocab-bounded frame instead of three more scans
+    val counts = tok.groupBy(col("t")).agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("c_r"))
+      .localCheckpoint()
+    val totals = counts.agg(count(lit(1)).as("v"),
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
     tok.filter(col("source") =!= "src0")
-      .join(broadcast(raw), Seq("t"))
-      .join(broadcast(target), Seq("t"), "left")
+      // target-only tokens (c_r = 0) can never match the pool stream —
+      // dropped before the broadcast
+      .join(broadcast(counts.filter(col("c_r") > 0)), Seq("t"))
       .crossJoin(broadcast(totals))
       .withColumn("term_micro", expr(
-        """CAST(round(ln(coalesce(c_t, 0) + 1) * 1000000) AS BIGINT)
+        """CAST(round(ln(c_t + 1) * 1000000) AS BIGINT)
            - CAST(round(ln(n_t + v) * 1000000) AS BIGINT)
            - CAST(round(ln(c_r + 1) * 1000000) AS BIGINT)
            + CAST(round(ln(n_r + v) * 1000000) AS BIGINT)"""))
