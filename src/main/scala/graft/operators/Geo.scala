@@ -372,7 +372,47 @@ object Geo {
         expr("CAST(duration_s = 0 AND d2_mm2 > 0 AS INT)").as("is_teleport"))
   }
 
+  /** q159: stay-point detection (the Zheng-et-al GPS-mining primitive —
+    * where did each user LINGER, vs q20's when-were-they-active
+    * sessions): maximal runs of consecutive same-zone events per user,
+    * kept when the run has ≥ 3 events and spans ≥ 10 minutes. Spatial
+    * gaps-and-islands — lag-change flag → running island id → island
+    * rollup; re-visits to a zone stay separate islands (grouping carries
+    * the island id, the output distinguishes them by enter_ts).
+    *
+    * Determinism: the zone projection is q53's bit-identical arithmetic;
+    * dwell minutes are integer epoch-µs division (both engines truncate).
+    *
+    * Shape: ONE user_id exchange — the lag window, the running sum and
+    * the island rollup (grouping keys prefixed by user_id) all reuse it;
+    * the filter is post-aggregation. Zone assignment stays a projection.
+    */
+  def q159StayPoints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        zone(col("lon"), Lon0, Cell).as("zone_x"),
+        zone(col("lat"), Lat0, Cell).as("zone_y"))
+      .withColumn("moved", when(
+        lag(col("zone_x"), 1).over(w).isNull ||
+          lag(col("zone_x"), 1).over(w) =!= col("zone_x") ||
+          lag(col("zone_y"), 1).over(w) =!= col("zone_y"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("moved")).over(w))
+      .groupBy(col("user_id"), col("island"), col("zone_x"), col("zone_y"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("enter_ts"), max(col("ts")).as("exit_ts"))
+      .withColumn("dwell_min",
+        expr("(unix_micros(exit_ts) - unix_micros(enter_ts)) DIV 60000000"))
+      .filter(col("n_events") >= 3 && col("dwell_min") >= 10)
+      .select(col("user_id"), col("zone_x"), col("zone_y"),
+        col("enter_ts"), col("exit_ts"), col("n_events"), col("dwell_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_stay_points" -> (q159StayPoints _),
     "q53_geo_zones" -> (q53GeoZones _),
     "q135_trip_speed" -> (q135TripSpeed _),
     "q116_nearest_zone" -> (q116NearestZone _),
@@ -382,6 +422,33 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q159_stay_points" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4
+                               - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4
+                               - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events),
+          m AS (
+            SELECT *, CASE WHEN lag(zone_x) OVER w IS NULL
+                            OR lag(zone_x) OVER w <> zone_x
+                            OR lag(zone_y) OVER w <> zone_y THEN 1 ELSE 0 END AS moved
+            FROM z WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          i AS (
+            SELECT *, CAST(sum(moved) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS island
+            FROM m),
+          g AS (
+            SELECT user_id, island, zone_x, zone_y,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS enter_ts, max(ts) AS exit_ts
+            FROM i GROUP BY 1, 2, 3, 4)
+          SELECT user_id, zone_x, zone_y, enter_ts, exit_ts, n_events,
+                 (epoch_us(exit_ts) - epoch_us(enter_ts)) // 60000000 AS dwell_min
+          FROM g
+          WHERE n_events >= 3
+            AND (epoch_us(exit_ts) - epoch_us(enter_ts)) // 60000000 >= 10""",
     "q135_trip_speed" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,

@@ -56,6 +56,37 @@ object Privacy {
         sum(col("n")).as("n_events"),
         round(sum(col("v")), 2).as("total_value"))
 
+  /** l-diversity thresholds: a publishable cell needs ≥ K rows AND ≥ L
+    * distinct sensitive values (Machanavajjhala et al.). K is its own
+    * knob, not q52's SuppressK — the audit is meant to flag cells the
+    * pure size gate would have passed. */
+  private[graft] val DiversityK = 10
+  private[graft] val DiversityL = 4
+
+  /** q160: l-diversity audit — the attack q52's k-anonymity alone misses:
+    * a cell can hold ≥ k individuals who all share ONE sensitive value,
+    * so membership discloses it. Same quasi-identifier cells as q52
+    * (event_type × day); the sensitive attribute is the 50-unit value
+    * band (q142's banding, integer-exact); `publish` requires BOTH
+    * n ≥ k and ≥ L distinct bands. One aggregation, map-side combined —
+    * the distinct rides the same exchange as the counts (Spark plans the
+    * two-phase distinct-agg expand on the cell keys, still one data
+    * shuffle); pure report, suppression stays q52's job.
+    */
+  def q160LDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(expr("CAST(round(value * 100) AS BIGINT) DIV 5000"))
+          .as("n_sens_bands"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_sens_bands"),
+        (col("n_events") >= DiversityK && col("n_sens_bands") >= DiversityL)
+          .as("publish"))
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
     * syntax both Java regex and RE2 interpret identically (no lookaround,
     * ASCII \d classes, explicit alternation).
@@ -152,6 +183,7 @@ object Privacy {
     "q148_dp_counts" -> (q148DpCounts _),
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
+    "q160_l_diversity"   -> (q160LDiversity _),
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +206,17 @@ object Privacy {
                  event_type,
                  floor(value / 10.0) * 10.0 AS value_band
           FROM events""",
+    "q160_l_diversity" ->
+      s"""WITH g AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT) // 5000)
+                        AS BIGINT) AS n_sens_bands
+            FROM events GROUP BY 1, 2)
+          SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                 n_events, n_sens_bands,
+                 n_events >= $DiversityK AND n_sens_bands >= $DiversityL AS publish
+          FROM g""",
     "q52_kanon_suppress" ->
       s"""WITH g AS (
             SELECT event_type, CAST(ts AS DATE) AS day,

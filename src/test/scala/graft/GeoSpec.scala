@@ -205,4 +205,42 @@ class GeoSpec extends AnyFunSuite {
     // exchange: exactly one event-scale shuffle plus the zone rollup's
     assert("Exchange hashpartitioning\\(event_id".r.findAllIn(p).size == 1, p)
   }
+
+  test("q159 stay points equal a driver-side island scan; one user_id exchange") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
+        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      // sequential island scan: a zone change starts a new run
+      val runs = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        val last = acc.last.last
+        if (e._4 == last._4 && e._5 == last._5) acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+      }
+      runs.flatMap { r =>
+        val dwell = (r.last._2 - r.head._2) / 60000000L
+        if (r.size >= 3 && dwell >= 10)
+          Some((uid, r.head._4, r.head._5, r.head._2, r.last._2, r.size.toLong, dwell))
+        else None
+      }
+    }.toSet
+    val got = Geo.q159StayPoints(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toInstant.toEpochMilli * 1000 +
+          (r.getTimestamp(3).getNanos / 1000) % 1000,
+        r.getTimestamp(4).toInstant.toEpochMilli * 1000 +
+          (r.getTimestamp(4).getNanos / 1000) % 1000,
+        r.getLong(5), r.getLong(6))).toSet
+    assert(got.nonEmpty && got == expected)
+    // re-visits must stay separate islands: some user revisits a zone
+    val pairs = got.toSeq.map(t => (t._1, t._2, t._3))
+    assert(pairs.size > pairs.distinct.size,
+      "no re-visited zone in the data — the island grouping is untested")
+    val p = Geo.q159StayPoints(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -64,4 +64,26 @@ class PrivacySpec extends AnyFunSuite {
     // and the mechanism actually perturbs: not every cell can be exact
     assert(diffs.exists(_ > 0L), "all cells unperturbed — noise is not applied")
   }
+
+  test("q160 l-diversity: publish gate recomputed from raw events; both verdicts occur") {
+    val got = graft.operators.Privacy.q160LDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_sens_bands"),
+          r.getAs[Boolean]("publish")))).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("band"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) =>
+        k -> ((g.size.toLong, g.map(_._3).distinct.size.toLong,
+          g.size >= 10 && g.map(_._3).distinct.size >= 4))
+      }
+    assert(got == want)
+    // the audit must discriminate on this data: a report that publishes
+    // everything (or nothing) would vacuously pass the recomputation
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "publish gate does not split the cells")
+  }
 }
