@@ -107,6 +107,59 @@ object EventStream {
       }
   }
 
+  case class StayState(zoneX: Long, zoneY: Long, enterUs: Long, lastUs: Long, count: Long)
+  case class StayPoint(user_id: Long, zone_x: Long, zone_y: Long,
+                       enter_us: Long, exit_us: Long, n_events: Long, dwell_min: Long)
+
+  /** Scalar twins of [[graft.operators.Geo]]'s synthetic-coordinate and
+    * zone Columns — the SAME double arithmetic in the SAME order, so the
+    * stream's zone assignment is bit-identical to q159's plan. */
+  private def zoneOf(userId: Long, value: Double): (Long, Long) = {
+    val lat = 39.9 + (userId % 37) * 0.01 + value * 1e-4
+    val lon = -75.2 + (userId % 53) * 0.01 - value * 1e-4
+    (math.floor((lon - (-75.3)) / 0.05).toLong,
+     math.floor((lat - 39.8) / 0.05).toLong)
+  }
+
+  /** s17: streaming stay-point detection — the online form of q159's
+    * spatial gaps-and-islands: per-user state carries only the OPEN
+    * same-zone run (zone, enter/last µs, count); a zone change closes it
+    * and emits the stay point iff it clears the ≥ 3-event / ≥ 10-minute
+    * bar (sub-bar runs are discarded on close, exactly like the batch
+    * filter). Append semantics — the open run is unemittable until a
+    * later event leaves its zone, s02's open-session rule. State per
+    * user is O(1); emitted rows equal q159's whatever the micro-batch
+    * boundaries (spec closes the tail runs with a far-future flush event
+    * and proves set equality with the batch plan).
+    */
+  def stayPoints(events: Dataset[Event]): Dataset[StayPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[StayState]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[StayPoint]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val us = micros(e.ts)
+            val (zx, zy) = zoneOf(uid, e.value)
+            if (st == null) st = StayState(zx, zy, us, us, 1L)
+            else if (zx == st.zoneX && zy == st.zoneY)
+              st = st.copy(lastUs = us, count = st.count + 1L)
+            else {
+              val dwell = (st.lastUs - st.enterUs) / 60000000L
+              if (st.count >= 3L && dwell >= 10L)
+                closed += StayPoint(uid, st.zoneX, st.zoneY,
+                  st.enterUs, st.lastUs, st.count, dwell)
+              st = StayState(zx, zy, us, us, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
   /** s03: streaming exact dedup by event_id with a watermark bound on how
     * long duplicate keys are remembered — state is GC'd past the watermark.
     */

@@ -424,4 +424,36 @@ class StreamingSpec extends AnyFunSuite {
         s"unmatched purchase must null-complete after the watermark: $rows")
     } finally q.stop()
   }
+
+  test("s17 streaming stay points equal batch q159 across micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.stayPoints(ms.toDS())
+      .writeStream.format("memory").queryName("s17").outputMode("append").start()
+    try {
+      val evs = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = evs.splitAt(evs.length / 2) // split lands mid-run for many users
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      // flush: one far-future event per user, value shifted ~200 zone
+      // cells away — closes every open run; the flush runs themselves
+      // (count 1) can never clear the bar, so they add no emissions
+      val flushTs = new java.sql.Timestamp(evs.map(_.ts.getTime).max + 86400000L)
+      ms.addData(evs.map(_.user_id).distinct.map(u =>
+        Event(9000000L + u, flushTs, u, "flush", 1e6)))
+      q.processAllAvailable()
+      val got = s.table("s17").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toSet
+      def us(t: java.sql.Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val want = graft.operators.Geo.q159StayPoints(s, sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          us(r.getTimestamp(3)), us(r.getTimestamp(4)),
+          r.getLong(5), r.getLong(6))).toSet
+      assert(got.nonEmpty && got == want,
+        s"stream/batch stay-point divergence: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    } finally q.stop()
+  }
 }
