@@ -31,6 +31,18 @@ object Geo {
   def zone(coord: Column, origin: Double, cell: Double): Column =
     floor((coord - lit(origin)) / lit(cell)).cast("long")
 
+  /** Scalar twin of [[synthLat]]/[[synthLon]]/[[zone]] for per-row state
+    * code (s17): the SAME double operations in the SAME order as the
+    * Column form, kept BESIDE it so a grid or synth change edits both or
+    * neither — the streaming cells must be bit-identical to q159's.
+    */
+  private[graft] def zoneOfScalar(userId: Long, value: Double): (Long, Long) = {
+    val lat = 39.9 + (userId % 37) * 0.01 + value * 1e-4
+    val lon = -75.2 + (userId % 53) * 0.01 - value * 1e-4
+    (math.floor((lon - Lon0) / Cell).toLong,
+     math.floor((lat - Lat0) / Cell).toLong)
+  }
+
   /** q53: zone assignment + rollup — trips per grid zone with value stats.
     * Cell assignment is a projection; the rollup shuffles only (zone_x,
     * zone_y) keys, so the plan is scan → partial agg → one exchange.

@@ -68,10 +68,10 @@ object Privacy {
     * so membership discloses it. Same quasi-identifier cells as q52
     * (event_type × day); the sensitive attribute is the 50-unit value
     * band (q142's banding, integer-exact); `publish` requires BOTH
-    * n ≥ k and ≥ L distinct bands. One aggregation, map-side combined —
-    * the distinct rides the same exchange as the counts (Spark plans the
-    * two-phase distinct-agg expand on the cell keys, still one data
-    * shuffle); pure report, suppression stays q52's job.
+    * n ≥ k and ≥ L distinct bands. The distinct-agg plans TWO exchanges
+    * (partial agg by (cell, band) — ≤ cells×bands rows — then the cell
+    * rollup), both map-side combined and cell-bounded, neither at event
+    * scale (plan-pinned); pure report, suppression stays q52's job.
     */
   def q160LDiversity(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

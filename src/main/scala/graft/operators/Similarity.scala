@@ -522,37 +522,50 @@ object Similarity {
     * entries snapped to 1e-9 like the k-means means.
     */
   private def trainPca(s: SparkSession, dir: String, iters: Int): (Array[Double], Array[Double], Double) = {
+    // xi rides only the d diagonal structs (sum skips the off-diagonal
+    // nulls) — the mean needs d sums, not a discarded copy on all 2080
     val stats = Tables.embeddings(s, dir)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(embedding) - 1),
              i -> transform(sequence(i, size(embedding) - 1),
                j -> struct(i AS i, j AS j,
                  CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS xx,
-                 CAST(embedding[i] AS DOUBLE) AS xi))))""")).as("p"))
+                 CASE WHEN i = j THEN CAST(embedding[i] AS DOUBLE) END AS xi))))""")).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xx"), col("p.xi"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("xx")).as("sxx"), sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
       .collect()
-    val d = stats.map(_.getAs[Int]("i")).max + 1
-    val n = stats.head.getAs[Long]("n").toDouble
-    val mean = new Array[Double](d)
-    stats.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
-      .foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("sxi") / n)
-    val cov = Array.ofDim[Double](d, d)
-    stats.foreach { r =>
-      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      val c = r.getAs[Double]("sxx") / n - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    // empty embeddings table: a neutral model (the q153 empty-corpus rule)
+    // beats an empty.max crash — the projection has no rows to score
+    // anyway. (if/else, not `return`: a non-local return from this lambda
+    // would skip computeIfAbsent's caching via NonLocalReturnControl.)
+    if (stats.isEmpty) (Array.empty[Double], Array.empty[Double], 0.0)
+    else {
+      val d = stats.map(_.getAs[Int]("i")).max + 1
+      val n = stats.head.getAs[Long]("n").toDouble
+      // snap mean/cov to 1e-9 (the k-means 1e-6 rule): distributed double
+      // sums can merge in different shuffle orders across fits, and the
+      // exact-refit spec pins score equality, not just closeness
+      def snap(x: Double): Double = math.rint(x * 1e9) / 1e9
+      val mean = new Array[Double](d)
+      stats.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+        .foreach(r => mean(r.getAs[Int]("i")) = snap(r.getAs[Double]("sxi") / n))
+      val cov = Array.ofDim[Double](d, d)
+      stats.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        val c = snap(r.getAs[Double]("sxx") / n - mean(i) * mean(j))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        // a (pathological) zero matrix would divide by zero — keep v
+        if (nrm > 0) v = w.map(x => math.rint(x / nrm * 1e9) / 1e9)
+      }
+      val lambda = (0 until d).map(i => (0 until d).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+      (mean, v, lambda)
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 0 until iters) {
-      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      // a (pathological) zero matrix would divide by zero — keep v
-      if (nrm > 0) v = w.map(x => math.rint(x / nrm * 1e9) / 1e9)
-    }
-    val lambda = (0 until d).map(i => (0 until d).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
-    (mean, v, lambda)
   }
 
   /** q158: PCA projection — every embedding's coordinate along the

@@ -111,16 +111,6 @@ object EventStream {
   case class StayPoint(user_id: Long, zone_x: Long, zone_y: Long,
                        enter_us: Long, exit_us: Long, n_events: Long, dwell_min: Long)
 
-  /** Scalar twins of [[graft.operators.Geo]]'s synthetic-coordinate and
-    * zone Columns — the SAME double arithmetic in the SAME order, so the
-    * stream's zone assignment is bit-identical to q159's plan. */
-  private def zoneOf(userId: Long, value: Double): (Long, Long) = {
-    val lat = 39.9 + (userId % 37) * 0.01 + value * 1e-4
-    val lon = -75.2 + (userId % 53) * 0.01 - value * 1e-4
-    (math.floor((lon - (-75.3)) / 0.05).toLong,
-     math.floor((lat - 39.8) / 0.05).toLong)
-  }
-
   /** s17: streaming stay-point detection — the online form of q159's
     * spatial gaps-and-islands: per-user state carries only the OPEN
     * same-zone run (zone, enter/last µs, count); a zone change closes it
@@ -130,7 +120,9 @@ object EventStream {
     * later event leaves its zone, s02's open-session rule. State per
     * user is O(1); emitted rows equal q159's whatever the micro-batch
     * boundaries (spec closes the tail runs with a far-future flush event
-    * and proves set equality with the batch plan).
+    * and proves set equality with the batch plan). Zone assignment is
+    * [[graft.operators.Geo.zoneOfScalar]] — the Column form's bit-exact
+    * scalar twin, maintained beside it.
     */
   def stayPoints(events: Dataset[Event]): Dataset[StayPoint] = {
     import events.sparkSession.implicits._
@@ -143,7 +135,7 @@ object EventStream {
           var st = state.getOption.orNull
           for (e <- sorted) {
             val us = micros(e.ts)
-            val (zx, zy) = zoneOf(uid, e.value)
+            val (zx, zy) = graft.operators.Geo.zoneOfScalar(uid, e.value)
             if (st == null) st = StayState(zx, zy, us, us, 1L)
             else if (zx == st.zoneX && zy == st.zoneY)
               st = st.copy(lastUs = us, count = st.count + 1L)

@@ -331,6 +331,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 4, p)
   }
 
+  test("q160 l-diversity: both distinct-agg exchanges are cell-bounded aggregates") {
+    val p = plan("q160_l_diversity")
+    // partial agg by (cell, band) then the cell rollup — a 3rd exchange
+    // would mean the distinct stopped partial-aggregating at event scale
+    assert(count(p, "Exchange") == 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("q156 LM scoring joins all broadcast; every exchange carries an aggregate, not the stream") {
     val p = plan("q156_lm_perplexity")
     // model + uni score joins broadcast (the c12 training exchange hides
