@@ -423,7 +423,52 @@ object Geo {
         col("enter_ts"), col("exit_ts"), col("n_events"), col("dwell_min"))
   }
 
+  /** q161: zone flux — per (zone, hour-of-day) ARRIVALS vs DEPARTURES and
+    * their net, the rebalancing/relocation view q63's OD matrix doesn't
+    * give (a fleet operator moves vehicles FROM chronically-positive
+    * zones TO chronically-negative ones). Each session (q63's trips)
+    * departs its origin zone at its start hour and arrives at its
+    * destination zone at its end hour; single-event sessions arrive and
+    * depart in place, identically in both engines.
+    *
+    * Shape: ONE event-scale user_id exchange (sessionize window + the
+    * endpoint rollup riding its partitioning), the trips frame
+    * localCheckpointed (two tagged consumers — Catalyst has no CSE; the
+    * materialized frame is one row per session, not per event), then a
+    * union of two projections into one (zone, hod) rollup — map-side
+    * combined, grid×24-bounded.
+    */
+  def q161ZoneFlux(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(unix_micros(col("ts")), col("event_id"))
+    val trips = Events.withSessionNo(
+      Tables.events(s, dir)
+        .withColumn("lat", synthLat)
+        .withColumn("lon", synthLon)
+        .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
+        .withColumn("zone_y", zone(col("lat"), Lat0, Cell)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        min_by(col("zone_x"), key).as("origin_x"),
+        min_by(col("zone_y"), key).as("origin_y"),
+        min(col("ts")).as("start_ts"),
+        max_by(col("zone_x"), key).as("dest_x"),
+        max_by(col("zone_y"), key).as("dest_y"),
+        max(col("ts")).as("end_ts"))
+      .localCheckpoint()
+    val dep = trips.select(col("origin_x").as("zone_x"), col("origin_y").as("zone_y"),
+      hour(col("start_ts")).cast("long").as("hod"),
+      lit(1L).as("dep"), lit(0L).as("arr"))
+    val arr = trips.select(col("dest_x").as("zone_x"), col("dest_y").as("zone_y"),
+      hour(col("end_ts")).cast("long").as("hod"),
+      lit(0L).as("dep"), lit(1L).as("arr"))
+    dep.unionAll(arr)
+      .groupBy(col("zone_x"), col("zone_y"), col("hod"))
+      .agg(sum(col("arr")).as("n_arrivals"), sum(col("dep")).as("n_departures"))
+      .withColumn("net_flux", col("n_arrivals") - col("n_departures"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_zone_flux" -> (q161ZoneFlux _),
     "q159_stay_points" -> (q159StayPoints _),
     "q53_geo_zones" -> (q53GeoZones _),
     "q135_trip_speed" -> (q135TripSpeed _),
@@ -434,6 +479,39 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q161_zone_flux" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events),
+          e AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM z),
+          s AS (
+            SELECT user_id, ts, event_id, zone_x, zone_y,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+            FROM e),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM s),
+          tagged AS (
+            SELECT zone_x, zone_y, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(1 AS BIGINT) AS dep, CAST(0 AS BIGINT) AS arr
+            FROM r WHERE rn_a = 1
+            UNION ALL
+            SELECT zone_x, zone_y, CAST(hour(ts) AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+            FROM r WHERE rn_d = 1)
+          SELECT zone_x, zone_y, hod,
+                 CAST(sum(arr) AS BIGINT) AS n_arrivals,
+                 CAST(sum(dep) AS BIGINT) AS n_departures,
+                 CAST(sum(arr) - sum(dep) AS BIGINT) AS net_flux
+          FROM tagged GROUP BY 1, 2, 3""",
     "q159_stay_points" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,

@@ -206,6 +206,21 @@ class GeoSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(event_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("q161 flux conserves trips: arrivals = departures = sessions, net sums to zero") {
+    val rows = Geo.q161ZoneFlux(spark, sf).collect()
+    val arr = rows.map(_.getAs[Long]("n_arrivals")).sum
+    val dep = rows.map(_.getAs[Long]("n_departures")).sum
+    val net = rows.map(_.getAs[Long]("net_flux")).sum
+    val sessions = SparkEntry.queries("q20_sessionize")(spark, sf).count()
+    // every session departs exactly once and arrives exactly once — a
+    // lost or doubled endpoint breaks conservation immediately
+    assert(arr == sessions && dep == sessions, s"arr=$arr dep=$dep sessions=$sessions")
+    assert(net == 0L, s"net flux must conserve to zero, got $net")
+    // and the report must show real imbalance somewhere or it's useless
+    assert(rows.exists(_.getAs[Long]("net_flux") != 0L),
+      "no zone-hour with nonzero net flux in the synthetic data")
+  }
+
   test("q159 stay points equal a driver-side island scan; one user_id exchange") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
