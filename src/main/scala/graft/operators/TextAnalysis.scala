@@ -1095,7 +1095,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q162: CCNet head/middle/tail tiers — the bucketing CCNet applies to
+    * its LM scores (Wenzek et al.): the corpus splits at the ⅓ and ⅔
+    * perplexity quantiles; `head` is the most-predictable third (best
+    * quality under the LM), `tail` the least. Cutoffs come from ONE
+    * `percentile_approx` sketch pass over q156's per-doc scores (a
+    * mergeable KLL-style aggregate — the 100 TB path; rank error ≤ n/acc,
+    * exact at acc=10000 for the driver corpus, spec-bounded in general)
+    * broadcast back onto the scores, so tier assignment is a projection —
+    * no global sort anywhere. The scores frame is localCheckpointed (two
+    * consumers: the sketch and the assignment; q156 would otherwise run
+    * twice). Rows-only: the sketch cutoff has no static SQL mirror; the
+    * spec pins cutoffs against exact driver-side terciles and near-equal
+    * tier occupancy.
+    */
+  def q162CcnetTiers(s: SparkSession, dir: String): DataFrame = {
+    val scores = q156LmPerplexity(s, dir)
+      .select(col("doc_id"), col("avg_nll_micro"))
+      .localCheckpoint()
+    val cuts = scores.agg(
+      expr("percentile_approx(avg_nll_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), 10000)")
+        .as("c"))
+      .select(col("c")(0).as("c1"), col("c")(1).as("c2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll_micro"),
+        when(col("avg_nll_micro") <= col("c1"), "head")
+          .when(col("avg_nll_micro") <= col("c2"), "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
     "q156_lm_perplexity" -> (q156LmPerplexity _),
     "q155_mixture_plan" -> (q155MixturePlan _),

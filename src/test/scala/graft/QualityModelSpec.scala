@@ -111,6 +111,26 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got.forall(_._2 != "src0"), "target-source docs must not be selectable")
   }
 
+  test("q162 tiers: cutoffs are the exact terciles at this size; occupancy near-balanced") {
+    val rows = TextAnalysis.q162CcnetTiers(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.documents(spark, sf).count())
+    // exact terciles from a driver-side sort (the approx sketch at
+    // acc=10000 must be exact for n << 10000)
+    val sorted = rows.map(_.getAs[Long]("avg_nll_micro")).sorted
+    val (c1, c2) = (sorted((n / 3.0).ceil.toInt - 1), sorted((2 * n / 3.0).ceil.toInt - 1))
+    rows.foreach { r =>
+      val (v, t) = (r.getAs[Long]("avg_nll_micro"), r.getAs[String]("tier"))
+      val want = if (v <= c1) "head" else if (v <= c2) "middle" else "tail"
+      assert(t == want, s"doc ${r.getAs[Long]("doc_id")}: $v tiered $t, want $want")
+    }
+    // ties can skew occupancy, but each tier must hold roughly a third
+    val byTier = rows.groupBy(_.getAs[String]("tier")).map { case (k, v) => k -> v.length }
+    assert(byTier.keySet == Set("head", "middle", "tail"), byTier.toString)
+    byTier.values.foreach(c =>
+      assert(math.abs(c - n / 3.0) <= n * 0.05, s"occupancy skew: $byTier"))
+  }
+
   test("q153 training is deterministic: identical scores across independent fits") {
     val a = TextAnalysis.q153QualityModel(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
