@@ -517,7 +517,62 @@ object Analytics {
       .withColumn("half_share_bp", expr("n_half * 10000 DIV n_customers"))
   }
 
+  /** q163: Kaplan–Meier SESSION survival — the continuous-time complement
+    * of q79's calendar-cohort retention, over the subject with real
+    * lifetime spread: how long does a session LAST, with sessions whose
+    * final event sits within one 30-minute gap of the corpus's max
+    * timestamp treated as CENSORED (their closing gap is not yet
+    * observable — we know they lasted ≥ t, not when they ended). Per
+    * duration minute t: n_risk (sessions with duration ≥ t), n_ended,
+    * n_censored, and the cumulative hazard −ln S(t) as `chaz_micro` =
+    * Σ_{i ≤ t} [round(ln nᵢ·1e6) − round(ln(nᵢ−dᵢ)·1e6)] — each KM
+    * factor (1 − dᵢ/nᵢ) split into two ln-of-integer terms under the
+    * q156 micro-nat discipline, summed exactly in both engines
+    * (S(t) = e^(−chaz/1e6) is a client-side projection). A
+    * total-extinction minute (nᵢ = dᵢ, S = 0) clamps its ln argument to
+    * 1 — an infinite hazard is capped, identically in both engines.
+    *
+    * Shape: ONE event-scale user_id exchange (q20's session window +
+    * the session rollup riding its partitioning), then everything — the
+    * corpus max timestamp, per-duration counts, the risk-set running
+    * sum and the hazard cumsum — runs on the duration-bounded frame
+    * (≤ max session minutes rows; the single-partition windows are the
+    * q68 bounded-frame rule). The risk set is total − cumsum(shorter
+    * durations): a running sum over that tiny frame, never per-session.
+    */
+  def q163Survival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Events.withSessionNo(Tables.events(s, dir))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val maxUs = sessions.agg(max(col("end_us")).as("max_us"))
+    val durations = sessions.crossJoin(broadcast(maxUs))
+      .select(expr("(end_us - start_us) DIV 60000000").as("t_min"),
+        when(col("end_us") < col("max_us") - 1800L * 1000000L, 1L)
+          .otherwise(0L).as("ended"))
+      .groupBy(col("t_min"))
+      .agg(sum(col("ended")).as("n_ended"),
+        sum(lit(1L) - col("ended")).as("n_censored"))
+    val wOrd = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durations
+      .withColumn("n_total", sum(col("n_ended") + col("n_censored"))
+        .over(Window.partitionBy()))
+      .withColumn("n_left_before", sum(col("n_ended") + col("n_censored")).over(wOrd)
+        - (col("n_ended") + col("n_censored")))
+      .withColumn("n_risk", col("n_total") - col("n_left_before"))
+      .withColumn("term_micro", when(col("n_ended") > 0,
+        expr("""CAST(round(ln(n_risk) * 1000000) AS BIGINT)
+                - CAST(round(ln(greatest(n_risk - n_ended, 1)) * 1000000) AS BIGINT)"""))
+        .otherwise(0L))
+      .withColumn("chaz_micro", sum(col("term_micro")).over(wOrd))
+      .select(col("t_min"), col("n_risk"), col("n_ended"), col("n_censored"),
+        col("chaz_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_survival"     -> (q163Survival _),
     "q139_pareto"       -> (q139Pareto _),
     "q137_stickiness"   -> (q137Stickiness _),
     "q106_basket_lift"  -> (q106BasketLift _),
@@ -557,6 +612,50 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q163_survival" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         sx AS (
+           SELECT user_id, ts,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+           FROM e),
+         u AS (
+           SELECT user_id, sess_no,
+                  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+           FROM sx GROUP BY 1, 2),
+         mx AS (SELECT max(end_us) AS max_us FROM u),
+         d AS (
+           SELECT (end_us - start_us) // 60000000 AS t_min,
+                  CASE WHEN end_us < max_us - 1800000000 THEN 1 ELSE 0 END AS ended
+           FROM u CROSS JOIN mx),
+         g AS (
+           SELECT t_min,
+                  CAST(sum(ended) AS BIGINT) AS n_ended,
+                  CAST(sum(1 - ended) AS BIGINT) AS n_censored
+           FROM d GROUP BY 1),
+         r AS (
+           SELECT *,
+                  CAST(sum(n_ended + n_censored) OVER () AS BIGINT)
+                    - CAST(sum(n_ended + n_censored) OVER (
+                        ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT)
+                    + (n_ended + n_censored) AS n_risk
+           FROM g),
+         h AS (
+           SELECT *, CASE WHEN n_ended > 0 THEN
+                       CAST(round(ln(n_risk) * 1000000) AS BIGINT)
+                       - CAST(round(ln(greatest(n_risk - n_ended, 1)) * 1000000) AS BIGINT)
+                     ELSE 0 END AS term_micro
+           FROM r)
+         SELECT t_min, n_risk, n_ended, n_censored,
+                CAST(sum(term_micro) OVER (
+                  ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chaz_micro
+         FROM h""",
     "q139_pareto" ->
       """WITH cust AS (
            SELECT c_mktsegment, c_custkey,

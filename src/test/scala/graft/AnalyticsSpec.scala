@@ -635,4 +635,37 @@ class AnalyticsSpec extends AnyFunSuite {
       p85.exceptAll(df.select("p_event_id", "c_event_id")).isEmpty)
     df.unpersist()
   }
+
+  test("q163 KM curve equals a driver-side estimator built from q20's sessions") {
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val sess = SparkEntry.queries("q20_sessionize")(spark, sf).collect()
+      .map(r => (us(r.getAs[java.sql.Timestamp]("sess_start")),
+        us(r.getAs[java.sql.Timestamp]("sess_end"))))
+    val maxUs = sess.map(_._2).max
+    val durs = sess.map { case (a, b) =>
+      ((b - a) / 60000000L, b < maxUs - 1800L * 1000000L) }
+    def micro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    var atRisk = durs.length.toLong
+    var chaz = 0L
+    val want = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val ended = g.count(_._2).toLong
+      val row = {
+        val term = if (ended > 0) micro(atRisk) - micro(math.max(atRisk - ended, 1L)) else 0L
+        chaz += term
+        (t, atRisk, ended, g.size - ended.toInt, chaz)
+      }
+      atRisk -= g.size
+      row
+    }
+    val got = Analytics.q163Survival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3).toInt, r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // the curve must be non-degenerate: real hazard, real censoring, and
+    // a strictly shrinking risk set
+    assert(got.last._5 > 0, "no hazard accumulated")
+    assert(got.map(_._4).sum > 0, "no censored session — boundary rule untested")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "n_risk must be non-increasing")
+  }
 }
