@@ -467,7 +467,38 @@ object Geo {
       .withColumn("net_flux", col("n_arrivals") - col("n_departures"))
   }
 
+  /** q164: kernel-smoothed zone density — the heatmap surface behind every
+    * trip-demand map: raw per-cell counts convolved with a truncated 3×3
+    * kernel (center 4, edge 2, corner 1 — a binomial approximation of a
+    * Gaussian, integer weights so the surface is engine-exact). Halo
+    * cells (zero raw events, nonzero smoothed mass from neighbors) are
+    * part of the surface; border cells simply sum fewer contributors
+    * (standard truncated-kernel behavior), identically in both engines.
+    *
+    * Shape: the convolution runs on the GRID, not the events — one
+    * event-scale map-side-combined cell count, then a 9× explode of the
+    * grid-bounded frame into a second grid-bounded rollup. Zero
+    * event-scale shuffles beyond the first aggregate at any corpus size.
+    */
+  def q164ZoneDensity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .groupBy(zone(col("lon"), Lon0, Cell).as("zx"),
+        zone(col("lat"), Lat0, Cell).as("zy"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("zx"), col("zy"), col("n"), explode(expr(
+        Seq((-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+            (0, -1, 2), (0, 0, 4), (0, 1, 2),
+            (1, -1, 1), (1, 0, 2), (1, 1, 1))
+          .map { case (dx, dy, w) => s"struct($dx AS dx, $dy AS dy, $w AS w)" }
+          .mkString("array(", ", ", ")"))).as("k"))
+      .groupBy((col("zx") + col("k.dx")).as("zone_x"),
+        (col("zy") + col("k.dy")).as("zone_y"))
+      .agg(sum(col("n") * col("k.w")).as("density_w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_zone_density" -> (q164ZoneDensity _),
     "q161_zone_flux" -> (q161ZoneFlux _),
     "q159_stay_points" -> (q159StayPoints _),
     "q53_geo_zones" -> (q53GeoZones _),
@@ -479,6 +510,20 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q164_zone_density" ->
+      s"""WITH cells AS (
+            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zx,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zy,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          k(dx, dy, w) AS (VALUES
+            (-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+            ( 0, -1, 2), ( 0, 0, 4), ( 0, 1, 2),
+            ( 1, -1, 1), ( 1, 0, 2), ( 1, 1, 1))
+          SELECT zx + dx AS zone_x, zy + dy AS zone_y,
+                 CAST(sum(n * w) AS BIGINT) AS density_w
+          FROM cells CROSS JOIN k
+          GROUP BY 1, 2""",
     "q161_zone_flux" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,

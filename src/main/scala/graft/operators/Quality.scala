@@ -550,7 +550,41 @@ object Quality {
         col("n_violations"), (col("n_violations") === 0L).as("pass"))
   }
 
+  /** q165: cadence anomaly (bot) detection — the traffic-hygiene gate a
+    * trip/event pipeline runs before any per-user analytics: HUMAN
+    * inter-event gaps are bursty (CV ≈ 1, Poisson-like), scripted
+    * traffic is metronomic (CV → 0). Per user with ≥ 20 gaps:
+    * `cv2_bp` = 10⁴·Var(gap)/Mean(gap)² from EXACT integer sufficient
+    * statistics — (n·Σx² − (Σx)²)·10⁴ DIV (Σx)², gaps in whole seconds
+    * so Σx² stays far inside BIGINT — and `suspicious` = cv2_bp below
+    * 7000 (CV < ~0.84; the synthetic corpus's most regular users sit at
+    * ~4400–6000 bp, Poisson ones at ~10000, so the bar splits at every
+    * SF). Zero transcendentals, no stddev_samp (its internal doubles
+    * ULP-drift between engines — the q87 sufficient-statistic rule).
+    *
+    * Shape: ONE event-scale user_id exchange — the lag window and the
+    * per-user rollup share it; the report is user-bounded.
+    */
+  def q165BotCadence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sx"),
+        sum(col("gap_s") * col("gap_s")).as("sxx"))
+      .filter(col("n_gaps") >= 20)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sx DIV n_gaps").as("mean_gap_s"),
+        expr("(n_gaps * sxx - sx * sx) * 10000 DIV greatest(sx * sx, 1)").as("cv2_bp"))
+      .withColumn("suspicious", col("cv2_bp") < 7000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_bot_cadence" -> (q165BotCadence _),
     "q147_expectations"     -> (q147Expectations _),
     "q145_rollup_quantiles" -> (q145RollupQuantiles _),
     "q141_ref_integrity" -> (q141RefIntegrity _),
@@ -585,6 +619,24 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "q165_bot_cadence" ->
+      """WITH g AS (
+           SELECT user_id,
+                  (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+           FROM events),
+         s AS (
+           SELECT user_id,
+                  CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                  CAST(sum(gap_s) AS BIGINT) AS sx,
+                  CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+           FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps,
+                sx // n_gaps AS mean_gap_s,
+                (n_gaps * sxx - sx * sx) * 10000 // greatest(sx * sx, 1) AS cv2_bp,
+                (n_gaps * sxx - sx * sx) * 10000 // greatest(sx * sx, 1) < 7000
+                  AS suspicious
+         FROM s WHERE n_gaps >= 20""",
     "q147_expectations" -> q147OracleSql,
     "q141_ref_integrity" -> q141OracleSql,
     "q126_robust_outliers" ->

@@ -206,6 +206,20 @@ class GeoSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(event_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("q164 smoothed density conserves mass (16x events) and emits halo cells") {
+    val rows = Geo.q164ZoneDensity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("density_w")).toMap
+    val nEvents = Tables.events(spark, sf).count()
+    // every event contributes its full kernel mass 4 + 4*2 + 4*1 = 16
+    assert(rows.values.sum == 16L * nEvents,
+      s"mass ${rows.values.sum} != 16 * $nEvents")
+    // halo: the surface must extend past the occupied cells
+    val raw = Geo.q53GeoZones(spark, sf).collect()
+      .map(r => (r.getAs[Long]("zone_x"), r.getAs[Long]("zone_y"))).toSet
+    assert(raw.subsetOf(rows.keySet) && rows.keySet.size > raw.size,
+      s"smoothed ${rows.keySet.size} cells vs raw ${raw.size}")
+  }
+
   test("q161 flux conserves trips: arrivals = departures = sessions, net sums to zero") {
     val rows = Geo.q161ZoneFlux(spark, sf).collect()
     val arr = rows.map(_.getAs[Long]("n_arrivals")).sum

@@ -323,4 +323,29 @@ class QualitySketchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q165 bot cadence equals a driver brute force; the bar splits the users") {
+    val got = graft.operators.Quality.q165BotCadence(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Boolean]("suspicious")))).toMap
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val want = Tables.events(spark, sf).select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .flatMap { case (uid, g) =>
+        val t = g.sortBy(e => (e._2, e._3)).map(_._2)
+        val gaps = t.zip(t.tail).map { case (a, b) => (b - a) / 1000000L }
+        val n = gaps.length.toLong
+        if (n < 20) None
+        else {
+          val sx = gaps.sum; val sxx = gaps.map(x => x * x).sum
+          val cv2 = (n * sxx - sx * sx) * 10000L / math.max(sx * sx, 1L)
+          Some(uid -> ((n, sx / n, cv2, cv2 < 7000L)))
+        }
+      }
+    assert(got == want)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "the 7000bp bar must split regular from bursty users")
+  }
 }
