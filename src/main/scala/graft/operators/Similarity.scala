@@ -511,50 +511,44 @@ object Similarity {
     pcaCache.computeIfAbsent((dir, iters), _ => trainPca(s, dir, iters))
 
   /** ONE distributed pass collects the Gramian sufficient statistics —
-    * n, Σxᵢ (read off the diagonal groups) and the upper-triangle Σxᵢxⱼ —
-    * as a d(d+1)/2-row aggregate (2080 rows at d=64: a driver-held model,
-    * like the k-means centroids, NOT corpus data). The pair explode is
-    * map-side combined, so the exchange carries ≤ pairs×partitions rows
-    * at any corpus size; for much larger d the explode trades for a
-    * Gramian TypedImperativeAggregate (one double[d²] buffer), the
-    * MinHashAgg precedent. Power iteration then runs on the driver's
-    * 64×64 covariance: deterministic all-ones start, fixed `iters`,
-    * entries snapped to 1e-9 like the k-means means.
+    * n, Σx and the upper-triangle Σx·xᵀ — via the native
+    * [[graft.functions.GramianAgg]] TypedImperativeAggregate: one
+    * double[d(d+1)/2 + d] buffer per partition, elementwise-added at
+    * merge, so the shuffle moves ONE buffer per partition regardless of
+    * d or corpus size (the original pair-explode form materialized
+    * d(d+1)/2 rows per input row before its map-side combine — same
+    * statistics, ~2080× the pre-combine traffic at d=64; GramianSpec
+    * pins the two forms equal). Power iteration then runs on the
+    * driver's 64×64 covariance: deterministic all-ones start, fixed
+    * `iters`, entries snapped to 1e-9 like the k-means means.
     */
   private def trainPca(s: SparkSession, dir: String, iters: Int): (Array[Double], Array[Double], Double) = {
-    // xi rides only the d diagonal structs (sum skips the off-diagonal
-    // nulls) — the mean needs d sums, not a discarded copy on all 2080
-    val stats = Tables.embeddings(s, dir)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1),
-             i -> transform(sequence(i, size(embedding) - 1),
-               j -> struct(i AS i, j AS j,
-                 CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS xx,
-                 CASE WHEN i = j THEN CAST(embedding[i] AS DOUBLE) END AS xi))))""")).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.xx"), col("p.xi"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xx")).as("sxx"), sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
-      .collect()
+    val row = Tables.embeddings(s, dir)
+      .agg(graft.functions.Gramian.gramian(col("embedding")).as("g"))
+      .select(col("g.n"), col("g.sx"), col("g.sp"))
+      .collect().head
+    val nRows = row.getLong(0)
     // empty embeddings table: a neutral model (the q153 empty-corpus rule)
-    // beats an empty.max crash — the projection has no rows to score
-    // anyway. (if/else, not `return`: a non-local return from this lambda
-    // would skip computeIfAbsent's caching via NonLocalReturnControl.)
-    if (stats.isEmpty) (Array.empty[Double], Array.empty[Double], 0.0)
+    // — the projection has no rows to score anyway. (if/else, not
+    // `return`: a non-local return from this lambda would skip
+    // computeIfAbsent's caching via NonLocalReturnControl.)
+    if (nRows == 0L) (Array.empty[Double], Array.empty[Double], 0.0)
     else {
-      val d = stats.map(_.getAs[Int]("i")).max + 1
-      val n = stats.head.getAs[Long]("n").toDouble
-      // snap mean/cov to 1e-9 (the k-means 1e-6 rule): distributed double
-      // sums can merge in different shuffle orders across fits, and the
-      // exact-refit spec pins score equality, not just closeness
+      val n = nRows.toDouble
+      val sx = row.getSeq[Double](1).toArray
+      val sp = row.getSeq[Double](2).toArray
+      val d = sx.length
+      // snap mean/cov to 1e-9 (the k-means 1e-6 rule): double sums can
+      // merge in different orders across fits, and the exact-refit spec
+      // pins score equality, not just closeness
       def snap(x: Double): Double = math.rint(x * 1e9) / 1e9
-      val mean = new Array[Double](d)
-      stats.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
-        .foreach(r => mean(r.getAs[Int]("i")) = snap(r.getAs[Double]("sxi") / n))
+      val mean = sx.map(x => snap(x / n))
       val cov = Array.ofDim[Double](d, d)
-      stats.foreach { r =>
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        val c = snap(r.getAs[Double]("sxx") / n - mean(i) * mean(j))
+      var idx = 0
+      for (i <- 0 until d; j <- i until d) {
+        val c = snap(sp(idx) / n - mean(i) * mean(j))
         cov(i)(j) = c; cov(j)(i) = c
+        idx += 1
       }
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
       for (_ <- 0 until iters) {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CosineSimilarity, FrequentItems, JaroWinkler, MinHashAgg, RollingHash}
+import graft.functions.{BottomKSample, CosineSimilarity, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottom_k"),
       GraftExtensions.buildBottomK))
+    e.injectFunction((
+      FunctionIdentifier("graft_gramian"),
+      new ExpressionInfo(classOf[GramianAgg].getName, "graft_gramian"),
+      GraftExtensions.buildGramian))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -65,6 +69,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       buildMinHash,
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gramian",
+      buildGramian,
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k",
@@ -111,5 +119,12 @@ object GraftExtensions {
         s"graft_bottom_k: k must be an integer literal, got '$other'")
     }
     BottomKSample(exprs.head, exprs(1), k)
+  }
+
+  /** graft_gramian(vec): the PCA sufficient-statistics aggregate. */
+  private[plans] val buildGramian: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_gramian(vec) takes exactly 1 argument, got ${exprs.length}")
+    GramianAgg(exprs.head)
   }
 }

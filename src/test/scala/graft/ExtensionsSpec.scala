@@ -48,6 +48,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("graft_gramian is SQL-callable and groups correctly") {
+    graft.plans.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT k, graft_gramian(v) AS g FROM VALUES
+           (1, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+           (1, array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+           (2, array(CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT))) AS t(k, v)
+         GROUP BY k""").collect()
+      .map(r => r.getInt(0) -> r.getStruct(1)).toMap
+    assert(rows(1).getLong(0) == 2L)
+    assert(rows(1).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(rows(1).getSeq[Double](2) == Seq(10.0, 14.0, 20.0))
+    assert(rows(2).getLong(0) == 1L)
+    assert(rows(2).getSeq[Double](2) == Seq(25.0, 30.0, 36.0))
+  }
+
   test("native cosine matches HOF NULL semantics on ragged and null-element arrays") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
