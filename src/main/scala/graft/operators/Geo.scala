@@ -497,7 +497,56 @@ object Geo {
         (col("zy") + col("k.dy")).as("zone_y"))
       .agg(sum(col("n") * col("k.w")).as("density_w"))
 
+  /** q166: travel-time outliers — trips whose duration deviates more
+    * than 3σ from their own ORIGIN→DESTINATION pair's distribution (the
+    * incident/meter-fraud flag of a trip QA pipeline: a route's normal
+    * time is the baseline, not the network's). Only OD pairs with ≥ 30
+    * trips are judged (below that, σ is noise). The z-test is EXACT
+    * integer arithmetic — |x − μ| > 3σ rewritten as
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²), no division, no sqrt, no doubles
+    * (the q87/q165 sufficient-statistic rule; with seconds-granularity
+    * durations the squares stay far inside BIGINT — a deployment with
+    * n·x beyond ~3·10⁹·s would move the two comparison sides to
+    * DECIMAL(38,0), same shapes).
+    *
+    * Shape: ONE event-scale user_id exchange (session window + endpoint
+    * rollup), trips localCheckpointed (stats + probe consumers), the OD
+    * stats frame is grid⁴-bounded and broadcast back — the outlier
+    * filter is a projection over the trips frame.
+    */
+  def q166OdOutliers(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(unix_micros(col("ts")), col("event_id"))
+    val trips = Events.withSessionNo(
+      Tables.events(s, dir)
+        .withColumn("lat", synthLat)
+        .withColumn("lon", synthLon)
+        .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
+        .withColumn("zone_y", zone(col("lat"), Lat0, Cell)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        min_by(col("zone_x"), key).as("origin_x"),
+        min_by(col("zone_y"), key).as("origin_y"),
+        max_by(col("zone_x"), key).as("dest_x"),
+        max_by(col("zone_y"), key).as("dest_y"),
+        expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000").as("dur_s"))
+      .localCheckpoint()
+    val odKeys = Seq("origin_x", "origin_y", "dest_x", "dest_y")
+    val stats = trips.groupBy(odKeys.map(col): _*)
+      .agg(count(lit(1)).as("od_n"), sum(col("dur_s")).as("sx"),
+        sum(col("dur_s") * col("dur_s")).as("sxx"))
+      .filter(col("od_n") >= 30)
+    trips.join(broadcast(stats), odKeys)
+      .withColumn("dev", col("od_n") * col("dur_s") - col("sx"))
+      .filter(expr("dev * dev > 9 * (od_n * sxx - sx * sx)"))
+      .select(col("user_id"), col("sess_no"),
+        col("origin_x"), col("origin_y"), col("dest_x"), col("dest_y"),
+        col("dur_s"), col("od_n"),
+        expr("sx DIV od_n").as("od_mean_s"),
+        when(col("dev") < 0, "fast").otherwise("slow").as("direction"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_od_outliers" -> (q166OdOutliers _),
     "q164_zone_density" -> (q164ZoneDensity _),
     "q161_zone_flux" -> (q161ZoneFlux _),
     "q159_stay_points" -> (q159StayPoints _),
@@ -510,6 +559,46 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q166_od_outliers" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events),
+          e AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM z),
+          sx AS (
+            SELECT user_id, ts, event_id, zone_x, zone_y,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+            FROM e),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM sx),
+          trips AS (
+            SELECT o.user_id, o.sess_no,
+                   o.zone_x AS origin_x, o.zone_y AS origin_y,
+                   d.zone_x AS dest_x, d.zone_y AS dest_y,
+                   (epoch_us(d.ts) - epoch_us(o.ts)) // 1000000 AS dur_s
+            FROM (SELECT * FROM r WHERE rn_a = 1) o
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no)),
+          g AS (
+            SELECT origin_x, origin_y, dest_x, dest_y,
+                   CAST(count(*) AS BIGINT) AS od_n,
+                   CAST(sum(dur_s) AS BIGINT) AS sx,
+                   CAST(sum(dur_s * dur_s) AS BIGINT) AS sxx
+            FROM trips GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= 30)
+          SELECT user_id, sess_no, origin_x, origin_y, dest_x, dest_y,
+                 dur_s, od_n, sx // od_n AS od_mean_s,
+                 CASE WHEN od_n * dur_s - sx < 0 THEN 'fast' ELSE 'slow' END AS direction
+          FROM trips JOIN g USING (origin_x, origin_y, dest_x, dest_y)
+          WHERE (od_n * dur_s - sx) * (od_n * dur_s - sx)
+                  > 9 * (od_n * sxx - sx * sx)""",
     "q164_zone_density" ->
       s"""WITH cells AS (
             SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zx,

@@ -206,6 +206,46 @@ class GeoSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(event_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("q166 flags exactly the >3-sigma trips of their own OD pair (driver brute force)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
+        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val trips = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.last.last._2 > 1800L * 1000000L) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      sessions.zipWithIndex.map { case (es, i) =>
+        val (f, l) = (es.head, es.last)
+        (uid, i + 1L, f._4, f._5, l._4, l._5, (l._2 - f._2) / 1000000L)
+      }
+    }
+    val byOd = trips.groupBy(t => (t._3, t._4, t._5, t._6))
+    val want = byOd.filter(_._2.size >= 30).flatMap { case (od, g) =>
+      val n = g.size.toLong
+      val sx = g.map(_._7).sum
+      val sxx = g.map(t => t._7 * t._7).sum
+      g.filter { t =>
+        val dev = n * t._7 - sx
+        dev * dev > 9L * (n * sxx - sx * sx)
+      }.map(t => (t._1, t._2, od._1, od._2, od._3, od._4, t._7, n, sx / n,
+        if (n * t._7 - sx < 0) "fast" else "slow"))
+    }.toSet
+    val got = Geo.q166OdOutliers(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getString(9))).toSet
+    assert(got.nonEmpty && got == want,
+      s"diff: ${(got diff want).take(2)} / ${(want diff got).take(2)}")
+    // durations are bounded at 0 and right-skewed, so mean < 3σ for every
+    // judged pair here — the fast side is empty by ARITHMETIC on this
+    // data; symmetric real-world distributions produce both directions
+    assert(got.forall(_._10 == "slow"))
+  }
+
   test("q164 smoothed density conserves mass (16x events) and emits halo cells") {
     val rows = Geo.q164ZoneDensity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("density_w")).toMap
