@@ -545,7 +545,56 @@ object Geo {
         when(col("dev") < 0, "fast").otherwise("slow").as("direction"))
   }
 
+  /** q167: hot/cold-spot detection — Getis–Ord Gi* with binary 3×3
+    * weights over the occupied zone grid: a cell is HOT when its
+    * neighborhood sum G = Σ_{j ∈ 3×3 ∩ occupied} nⱼ (self included, k
+    * occupied neighbors) sits more than 2σ above what a random draw of k
+    * cells from the grid would give, COLD symmetric below. The Gi*
+    * z-score's sqrt never materializes: z > 2 is tested as
+    * dev > 0 ∧ dev²·(N−1) > 4·(N·Σn²−(Σn)²)·(N·k−k²) with
+    * dev = N·G − k·Σn — every factor an exact integer in both engines
+    * (the q166 squared-form rule). Magnitude bound: dev²·(N−1) tops out
+    * near 10¹⁸ on the driver grid (~9× inside BIGINT); a deployment
+    * with N·Σn ≳ 10⁹ moves both comparison sides to DECIMAL(38,0).
+    *
+    * Shape: one event-scale map-side-combined cell count; the
+    * neighborhood sums are the q164 trick JOINED BACK to occupied cells
+    * (contributions explode the GRID frame, 9 rows per occupied cell);
+    * global stats are a 1-row broadcast — everything after the first
+    * aggregate is grid-bounded.
+    */
+  def q167Hotspots(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .groupBy(zone(col("lon"), Lon0, Cell).as("zone_x"),
+        zone(col("lat"), Lat0, Cell).as("zone_y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // four consumers: contribs, join, globals
+    val contribs = cells
+      .select(col("zone_x").as("cx"), col("zone_y").as("cy"), col("n").as("cn"),
+        explode(expr(
+          (for (dx <- -1 to 1; dy <- -1 to 1)
+            yield s"struct($dx AS dx, $dy AS dy)").mkString("array(", ", ", ")")))
+          .as("k"))
+      .groupBy((col("cx") + col("k.dx")).as("zone_x"),
+        (col("cy") + col("k.dy")).as("zone_y"))
+      .agg(sum(col("cn")).as("g_sum"), count(lit(1)).as("k_nbrs"))
+    val globals = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("n")).as("tot"), sum(col("n") * col("n")).as("tot_sq"))
+    cells.join(contribs, Seq("zone_x", "zone_y"))
+      .crossJoin(broadcast(globals))
+      .withColumn("dev", expr("n_cells * g_sum - k_nbrs * tot"))
+      .withColumn("var_term", expr(
+        "4 * (n_cells * tot_sq - tot * tot) * (n_cells * k_nbrs - k_nbrs * k_nbrs)"))
+      .withColumn("hot", expr("dev > 0 AND dev * dev * (n_cells - 1) > var_term"))
+      .withColumn("cold", expr("dev < 0 AND dev * dev * (n_cells - 1) > var_term"))
+      .select(col("zone_x"), col("zone_y"), col("n"), col("k_nbrs"),
+        col("g_sum"), col("hot"), col("cold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_hotspots" -> (q167Hotspots _),
     "q166_od_outliers" -> (q166OdOutliers _),
     "q164_zone_density" -> (q164ZoneDensity _),
     "q161_zone_flux" -> (q161ZoneFlux _),
@@ -559,6 +608,34 @@ object Geo {
     "q133_hex_bins" -> (q133HexBins _))
 
   val oracles: Map[String, String] = Map(
+    "q167_hotspots" ->
+      s"""WITH cells AS (
+            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          k(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1), (1,-1), (1,0), (1,1)),
+          nbr AS (
+            SELECT zone_x + dx AS zone_x, zone_y + dy AS zone_y,
+                   CAST(sum(n) AS BIGINT) AS g_sum,
+                   CAST(count(*) AS BIGINT) AS k_nbrs
+            FROM cells CROSS JOIN k
+            GROUP BY 1, 2),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                       CAST(sum(n) AS BIGINT) AS tot,
+                       CAST(sum(n * n) AS BIGINT) AS tot_sq
+                FROM cells),
+          j AS (
+            SELECT c.zone_x, c.zone_y, c.n, nbr.k_nbrs, nbr.g_sum,
+                   n_cells * g_sum - k_nbrs * tot AS dev,
+                   4 * (n_cells * tot_sq - tot * tot)
+                     * (n_cells * k_nbrs - k_nbrs * k_nbrs) AS var_term,
+                   n_cells
+            FROM cells c JOIN nbr USING (zone_x, zone_y) CROSS JOIN g)
+          SELECT zone_x, zone_y, n, k_nbrs, g_sum,
+                 dev > 0 AND dev * dev * (n_cells - 1) > var_term AS hot,
+                 dev < 0 AND dev * dev * (n_cells - 1) > var_term AS cold
+          FROM j""",
     "q166_od_outliers" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,

@@ -246,6 +246,36 @@ class GeoSpec extends AnyFunSuite {
     assert(got.forall(_._10 == "slow"))
   }
 
+  test("q167 Gi* hot spots equal a driver-side recomputation (sf0.01: real hot cells)") {
+    // sf0.01: the 67-cell grid has 3 hot cells; the spec SF's 8 cells
+    // clear no bar (cold cells first appear at sf0.1 — oracle-covered)
+    val dir = "/root/testdata/sf0.01"
+    val cells = Tables.events(spark, dir)
+      .select(
+        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
+        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val n = cells.size.toLong
+    val tot = cells.values.sum
+    val totSq = cells.values.map(x => x * x).sum
+    val want = cells.map { case ((zx, zy), cn) =>
+      val nbrs = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        v <- cells.get((zx + dx, zy + dy))
+      } yield v
+      val (g, k) = (nbrs.sum, nbrs.size.toLong)
+      val dev = n * g - k * tot
+      val sig = dev * dev * (n - 1) > 4 * (n * totSq - tot * tot) * (n * k - k * k)
+      (zx, zy, cn, k, g, dev > 0 && sig, dev < 0 && sig)
+    }.toSet
+    val got = Geo.q167Hotspots(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6))).toSet
+    assert(got == want)
+    assert(got.exists(_._6), "no hot cell at sf0.01 — the bar is vacuous")
+  }
+
   test("q164 smoothed density conserves mass (16x events) and emits halo cells") {
     val rows = Geo.q164ZoneDensity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("density_w")).toMap
