@@ -1124,7 +1124,40 @@ object TextAnalysis {
           .otherwise("tail").as("tier"))
   }
 
+  /** q168: document NOVELTY — the share of a document's distinct 5-grams
+    * that appear in NO other document (df = 1 corpus-wide), the
+    * memorization-risk / freshness axis the dedup family doesn't emit:
+    * q132 measures repetition INSIDE a doc, q151 marks what's SHARED —
+    * this scores what's neither. Docs under 5 words have no 5-grams and
+    * are out of scope (the q132 sub-5-word rule, minus the join-back:
+    * emitting the subset keeps the plan free of a corpus-scale rejoin).
+    *
+    * Shape: one (doc, gram) distinct (checkpointed — two consumers, the
+    * q115 idiom), the gram df aggregate and the join both run gram-
+    * partitioned (the join reuses the aggregate's partitioning), the
+    * per-doc rollup map-side combines. Grams shuffle as 16-byte-ish
+    * strings once; nothing is all-pairs.
+    */
+  def q168Novelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_bp",
+        expr("n_unique * 10000 DIV n_distinct_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
     "q156_lm_perplexity" -> (q156LmPerplexity _),
@@ -1155,6 +1188,21 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q168_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i
+                FROM t WHERE len(w) >= 5),
+         gr AS (SELECT DISTINCT doc_id,
+                       w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS g
+                FROM ix),
+         df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gr GROUP BY 1)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                  // CAST(count(*) AS BIGINT) AS novelty_bp
+         FROM gr JOIN df USING (g)
+         GROUP BY doc_id""",
     "q157_dsir_select" ->
       """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) t
                       FROM documents),

@@ -284,4 +284,25 @@ class PropertySpec extends AnyFunSuite {
     // words without repeating any 5-gram (else the metric is redundant)
     assert(got.values.exists { case (_, dw, d5) => dw > 0 && d5 == 0 })
   }
+
+  test("q168 novelty equals a driver-side brute force on every >=5-word doc") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.size >= 5)
+    val docGrams = docs.map { case (id, w) =>
+      id -> w.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    }
+    val df = docGrams.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+    val want = docGrams.map { case (id, gs) =>
+      val uniq = gs.count(df(_) == 1).toLong
+      id -> ((gs.size.toLong, uniq, uniq * 10000 / gs.size))
+    }.toMap
+    val got = graft.operators.TextAnalysis.q168Novelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_distinct_grams"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("novelty_bp")))).toMap
+    assert(got == want)
+    // the axis must discriminate: not every doc equally novel
+    assert(got.values.map(_._3).toSet.size > 1, "novelty_bp is constant")
+  }
 }
