@@ -33,7 +33,7 @@ final class GramianBuf(var n: Long, var d: Int,
   * map-side combine, while this buffer touches each input once and the
   * shuffle moves one buffer per partition regardless of d or row count.
   *
-  * Null vectors are skipped (they carry no coordinates — unlike
+  * Null and zero-length vectors are skipped (they carry no coordinates — unlike
   * MinHashAgg's hash contract there is no composed-form bit-equality to
   * preserve, and the explode form drops them identically since
   * `explode(flatten(transform(...)))` of NULL emits nothing). A
@@ -51,6 +51,23 @@ case class GramianAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[GramianBuf] with UnaryLike[Expression] {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // analysis-time rejection (the CosineSimilarity rule): without it
+        // the float-width reads below would silently misread an
+        // array<double>'s unsafe layout instead of erroring
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_gramian expects array<float>/array<double>, got ${other.sql}")
+    }
+
+  @transient private lazy val childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def createAggregationBuffer(): GramianBuf =
     new GramianBuf(0L, 0, Array.empty, Array.empty)
 
@@ -65,11 +82,18 @@ case class GramianAgg(
     if (v == null) return b
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    // zero-length vectors carry no coordinates — skipped exactly like
+    // nulls (counting them would make n depend on whether the empty row
+    // shared a partition with a real vector or hit merge()'s d==0 drop)
+    if (d == 0) return b
     if (b.d == 0) init(b, d)
     require(b.d == d, s"graft_gramian: dimension mismatch ($d vs ${b.d})")
     val x = new Array[Double](d)
     var i = 0
-    while (i < d) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+    while (i < d) {
+      x(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
     b.n += 1
     var idx = 0
     i = 0
@@ -83,6 +107,8 @@ case class GramianAgg(
   }
 
   override def merge(b: GramianBuf, o: GramianBuf): GramianBuf = {
+    // d == 0 means the partial saw only null/empty vectors, so n == 0 by
+    // the update() skip rule — dropping it loses nothing
     if (o.d == 0) return b
     if (b.d == 0) { init(b, o.d); }
     require(b.d == o.d, s"graft_gramian: dimension mismatch in merge (${o.d} vs ${b.d})")

@@ -546,6 +546,9 @@ object Analytics {
       .groupBy(col("user_id"), col("sess_no"))
       .agg(min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
+      // two consumers (maxUs + durations) — Catalyst has no CSE; without
+      // this the event-scale sessionize window runs twice
+      .localCheckpoint()
     val maxUs = sessions.agg(max(col("end_us")).as("max_us"))
     val durations = sessions.crossJoin(broadcast(maxUs))
       .select(expr("(end_us - start_us) DIV 60000000").as("t_min"),

@@ -59,15 +59,15 @@ object Geo {
         round(avg(col("value")), 4).as("avg_value"),
         round(sum(col("value")), 2).as("total_value"))
 
-  /** q63: origin→destination matrix — each session's first event supplies
-    * the origin zone, its last the destination zone; the rollup counts
-    * trips per OD pair with the integer Manhattan cell distance (integer
-    * outputs keep the oracle hash free of transcendental-libm ULP risk —
-    * haversine over cell centroids is a client-side projection away).
-    * Shape: zone projection (narrow) → one user_id shuffle for the session
-    * window → per-session arg-min/arg-max agg → one OD-key shuffle.
+  /** THE zone-tagged trips frame — one session per row with endpoint
+    * zones and timestamps, the single definition q63/q161/q166 all
+    * consume (the Events.withSessionNo rule: endpoint tie-break, zone
+    * tagging and the session gap live in exactly one place). Consumers
+    * that don't need the timestamps lose nothing: Catalyst prunes unused
+    * aggregate expressions. ONE event-scale user_id exchange — the
+    * session window and this rollup share its partitioning.
     */
-  def q63OdMatrix(s: SparkSession, dir: String): DataFrame = {
+  private def zoneTrips(s: SparkSession, dir: String): DataFrame = {
     val key = struct(unix_micros(col("ts")), col("event_id"))
     Events.withSessionNo(
       Tables.events(s, dir)
@@ -80,12 +80,24 @@ object Geo {
         min_by(col("zone_x"), key).as("origin_x"),
         min_by(col("zone_y"), key).as("origin_y"),
         max_by(col("zone_x"), key).as("dest_x"),
-        max_by(col("zone_y"), key).as("dest_y"))
+        max_by(col("zone_y"), key).as("dest_y"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+  }
+
+  /** q63: origin→destination matrix — each session's first event supplies
+    * the origin zone, its last the destination zone; the rollup counts
+    * trips per OD pair with the integer Manhattan cell distance (integer
+    * outputs keep the oracle hash free of transcendental-libm ULP risk —
+    * haversine over cell centroids is a client-side projection away).
+    * Shape: [[zoneTrips]] → one OD-key shuffle.
+    */
+  def q63OdMatrix(s: SparkSession, dir: String): DataFrame =
+    zoneTrips(s, dir)
       .groupBy(col("origin_x"), col("origin_y"), col("dest_x"), col("dest_y"))
       .agg(count(lit(1)).as("n_trips"))
       .withColumn("cell_dist",
         abs(col("dest_x") - col("origin_x")) + abs(col("dest_y") - col("origin_y")))
-  }
 
   /** q116: nearest-station assignment — every event snapped to the closest
     * of a small station grid (argmin over squared integer micro-degree
@@ -439,22 +451,7 @@ object Geo {
     * combined, grid×24-bounded.
     */
   def q161ZoneFlux(s: SparkSession, dir: String): DataFrame = {
-    val key = struct(unix_micros(col("ts")), col("event_id"))
-    val trips = Events.withSessionNo(
-      Tables.events(s, dir)
-        .withColumn("lat", synthLat)
-        .withColumn("lon", synthLon)
-        .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
-        .withColumn("zone_y", zone(col("lat"), Lat0, Cell)))
-      .groupBy(col("user_id"), col("sess_no"))
-      .agg(
-        min_by(col("zone_x"), key).as("origin_x"),
-        min_by(col("zone_y"), key).as("origin_y"),
-        min(col("ts")).as("start_ts"),
-        max_by(col("zone_x"), key).as("dest_x"),
-        max_by(col("zone_y"), key).as("dest_y"),
-        max(col("ts")).as("end_ts"))
-      .localCheckpoint()
+    val trips = zoneTrips(s, dir).localCheckpoint()
     val dep = trips.select(col("origin_x").as("zone_x"), col("origin_y").as("zone_y"),
       hour(col("start_ts")).cast("long").as("hod"),
       lit(1L).as("dep"), lit(0L).as("arr"))
@@ -515,20 +512,9 @@ object Geo {
     * filter is a projection over the trips frame.
     */
   def q166OdOutliers(s: SparkSession, dir: String): DataFrame = {
-    val key = struct(unix_micros(col("ts")), col("event_id"))
-    val trips = Events.withSessionNo(
-      Tables.events(s, dir)
-        .withColumn("lat", synthLat)
-        .withColumn("lon", synthLon)
-        .withColumn("zone_x", zone(col("lon"), Lon0, Cell))
-        .withColumn("zone_y", zone(col("lat"), Lat0, Cell)))
-      .groupBy(col("user_id"), col("sess_no"))
-      .agg(
-        min_by(col("zone_x"), key).as("origin_x"),
-        min_by(col("zone_y"), key).as("origin_y"),
-        max_by(col("zone_x"), key).as("dest_x"),
-        max_by(col("zone_y"), key).as("dest_y"),
-        expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000").as("dur_s"))
+    val trips = zoneTrips(s, dir)
+      .withColumn("dur_s",
+        expr("(unix_micros(end_ts) - unix_micros(start_ts)) DIV 1000000"))
       .localCheckpoint()
     val odKeys = Seq("origin_x", "origin_y", "dest_x", "dest_y")
     val stats = trips.groupBy(odKeys.map(col): _*)
@@ -570,7 +556,7 @@ object Geo {
       .groupBy(zone(col("lon"), Lon0, Cell).as("zone_x"),
         zone(col("lat"), Lat0, Cell).as("zone_y"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // four consumers: contribs, join, globals
+      .localCheckpoint() // three consumers: contribs, join, globals
     val contribs = cells
       .select(col("zone_x").as("cx"), col("zone_y").as("cy"), col("n").as("cn"),
         explode(expr(

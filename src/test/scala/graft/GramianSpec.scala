@@ -33,12 +33,14 @@ class GramianSpec extends AnyFunSuite {
     }
   }
 
-  test("null vectors are skipped; an all-null/empty group yields n=0") {
+  test("null AND zero-length vectors are skipped; an all-null/empty group yields n=0") {
     import spark.implicits._
-    val row = Seq(Option(Seq(1f, 2f)), None, Option(Seq(3f, 4f)))
+    val row = Seq(Option(Seq(1f, 2f)), None, Option(Seq.empty[Float]), Option(Seq(3f, 4f)))
       .toDF("embedding")
       .agg(Gramian.gramian(col("embedding")).as("g"))
       .select(col("g.n"), col("g.sx"), col("g.sp")).collect().head
+    // the empty vector must not inflate n (mean = sx/n would deflate) and
+    // must not depend on which partition it lands in
     assert(row.getLong(0) == 2L)
     assert(row.getSeq[Double](1) == Seq(4.0, 6.0))
     assert(row.getSeq[Double](2) == Seq(10.0, 14.0, 20.0))
@@ -46,6 +48,21 @@ class GramianSpec extends AnyFunSuite {
       .agg(Gramian.gramian(col("embedding")).as("g"))
       .select(col("g.n"), col("g.sx")).collect().head
     assert(empty.getLong(0) == 0L && empty.getSeq[Double](1).isEmpty)
+  }
+
+  test("array<double> input reads correctly; non-array input fails at analysis") {
+    import spark.implicits._
+    val row = Seq(Seq(1.5, 2.5), Seq(0.5, 0.5)).toDF("v")
+      .agg(Gramian.gramian(col("v")).as("g"))
+      .select(col("g.n"), col("g.sx"), col("g.sp")).collect().head
+    assert(row.getLong(0) == 2L)
+    assert(row.getSeq[Double](1) == Seq(2.0, 3.0))
+    assert(row.getSeq[Double](2) == Seq(1.5 * 1.5 + 0.25, 1.5 * 2.5 + 0.25, 2.5 * 2.5 + 0.25))
+    val ex = intercept[Exception] {
+      Seq("not a vector").toDF("v").agg(Gramian.gramian(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_gramian") ||
+      ex.toString.contains("DATATYPE_MISMATCH"), ex.toString)
   }
 
   test("a mid-stream dimension mismatch fails loudly, never truncates") {
