@@ -582,6 +582,31 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q169_canonical_docs" -> {
+      val en = TextAnalysis.duckStopCount("en")
+      s"""WITH RECURSIVE $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          qt AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          q AS (SELECT doc_id,
+                       round(0.5 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+                             0.5 * (CAST($en AS DOUBLE) / len(w)), 4) AS quality
+                FROM qt),
+          r AS (SELECT cl.doc_id, cluster_id, quality,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY quality DESC, cl.doc_id) AS rn
+                FROM cl JOIN q ON cl.doc_id = q.doc_id)
+          SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM r"""
+    },
     "q28_dedup_exact" ->
       """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
                 count(*) AS n_copies, min(doc_id) AS keep_id
@@ -650,7 +675,31 @@ object Dedup {
          SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim
          FROM c WHERE cos_sim >= 0.35""")
 
+  /** q169: canonical-document selection — the production answer to "WHICH
+    * copy do we keep": q56 collapses near-dup clusters but crowns the
+    * MIN-doc_id survivor (deterministic, quality-blind); here each
+    * cluster keeps its highest-q37-quality member instead (doc_id
+    * tiebreak — quality is the oracled round-4 value, so the ranking
+    * cannot ulp-flip between engines). Scope is q56's: docs in clusters;
+    * singletons are trivially their own canonical copy.
+    *
+    * Shape: q56's cluster frame joined with q37's quality projection on
+    * doc_id (both corpus-bounded), then one row_number window per
+    * cluster — bounded by cluster size, never global.
+    */
+  def q169CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    q56DedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      .join(TextAnalysis.q37QualityScore(s, dir).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),

@@ -26,7 +26,7 @@ object TextAnalysis {
     */
   private def sparkStopCount(lang: String): String =
     s"size(filter(w, x -> x IN ${inList(stop(lang))}))"
-  private def duckStopCount(lang: String): String =
+  private[operators] def duckStopCount(lang: String): String =
     s"len(list_filter(w, x -> x IN ${inList(stop(lang))}))"
 
   /** q36: stopword-profile language ID with fixed tie-break order. */

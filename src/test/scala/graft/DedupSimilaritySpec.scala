@@ -580,4 +580,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1L)._2 == 0 && got(3L)._2 == 0 && got(6L)._2 == 0 && got(7L)._2 == 0)
     assert(got(2L)._2 == 7 && got(4L)._2 == 5 && got(5L)._2 == 14 && got(8L)._2 == 12)
   }
+
+  test("q169 keeps exactly one top-quality doc per cluster; ranking beats min-id somewhere") {
+    val rows = Dedup.q169CanonicalDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c keeps ${kept.length} docs")
+      // the kept doc is the (quality desc, doc_id asc) maximum
+      val want = members.minBy(m => (-m._3, m._1))
+      assert(kept.head == want, s"cluster $c kept ${kept.head}, want $want")
+    }
+    // scope matches q56 exactly (same clusters, same membership)
+    val q56 = Dedup.q56DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == q56)
+    // the quality ranking must actually matter: some cluster's canonical
+    // doc is NOT the min-id survivor q56 would have crowned
+    assert(byCluster.exists { case (c, members) =>
+      members.find(_._4).get._1 != members.map(_._1).min
+    }, "every canonical doc equals the min-id survivor - ranking is vacuous")
+  }
 }
