@@ -152,6 +152,32 @@ object EventStream {
       }
   }
 
+  /** s18: TIMER-closed sessionization — the capability gap s02 cannot
+    * close: a user who simply STOPS never sends the event that would
+    * open a gap, so their final session sits in state forever. Built on
+    * Spark 4's `transformWithState` arbitrary-state API: per-key
+    * ValueState plus an EVENT-TIME timer re-armed at `last + gap` on
+    * every batch; when the watermark passes it, [[SessionTimerProcessor
+    * .handleExpiredTimer]] emits the session with NO further input for
+    * that key. Gap-closed sessions emit exactly like s02 (same
+    * SessionState fields, same ordering); after a timer close the state
+    * keeps the session NUMBER as a sentinel (lastUs = MinValue) so a
+    * returning user continues q20's numbering instead of restarting at 1.
+    *
+    * Runtime contract: requires the RocksDB state store provider (the
+    * transformWithState operator rejects the HDFS-backed default) and an
+    * event-time watermark on the input — both asserted by the spec,
+    * which proves full q20 parity INCLUDING each user's tail session.
+    */
+  def sessionizeTimerClosed(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** s03: streaming exact dedup by event_id with a watermark bound on how
     * long duplicate keys are remembered — state is GC'd past the watermark.
     */
@@ -424,4 +450,64 @@ object EventStream {
     */
   def enrich(events: Dataset[Event], userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
+}
+
+/** s18's stateful processor — see [[EventStream.sessionizeTimerClosed]].
+  * One ValueState ("open") per user and AT MOST ONE live timer per key
+  * (every batch deletes stale timers before re-arming at the new
+  * `last + gap`), so timer state cannot accumulate. The expired-timer
+  * path emits the open session and leaves a (sessNo, MinValue, 0)
+  * sentinel so session numbering survives the close.
+  */
+class SessionTimerProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventStream.Event, EventStream.SessionOut] {
+  import EventStream.{Event, SessionOut, SessionState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val GapUs = 1800L * 1000000L
+  @transient private var open: ValueState[SessionState] = _
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[SessionState]("open",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Event],
+      tv: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var st = if (open.exists()) open.get() else null
+    for (e <- sorted) {
+      val us = micros(e.ts)
+      if (st == null) st = SessionState(1L, us, 1L)
+      else if (st.lastUs == Long.MinValue) // timer closed the last one
+        st = SessionState(st.sessNo + 1, us, 1L)
+      else if (us - st.lastUs > GapUs) {
+        closed += SessionOut(uid, st.sessNo, st.count)
+        st = SessionState(st.sessNo + 1, us, 1L)
+      } else st = SessionState(st.sessNo, us, st.count + 1L)
+    }
+    if (st != null && st.lastUs != Long.MinValue) {
+      open.update(st)
+      getHandle.listTimers().foreach(getHandle.deleteTimer _)
+      getHandle.registerTimer(st.lastUs / 1000L + GapUs / 1000L + 1L)
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (open.exists()) {
+      val st = open.get()
+      if (st.lastUs != Long.MinValue) {
+        // numbering sentinel: the user may come back
+        open.update(SessionState(st.sessNo, Long.MinValue, 0L))
+        return Iterator.single(SessionOut(uid, st.sessNo, st.count))
+      }
+    }
+    Iterator.empty
+  }
 }

@@ -456,4 +456,48 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch stay-point divergence: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
     } finally q.stop()
   }
+
+  test("s18 timer-closed sessions reach FULL q20 parity - tail sessions emit with no further events") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    // transformWithState rejects the HDFS-backed default store
+    s0.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = try {
+      val ms = MemoryStream[Event]
+      val query = EventStream.sessionizeTimerClosed(ms.toDS())
+        .writeStream.format("memory").queryName("s18").outputMode("append").start()
+      try {
+        val evs = loadEvents()
+        ms.addData(evs)
+        query.processAllAvailable()
+        val afterData = s0.table("s18").count()
+        // the batch surface: EVERY session, including each user's last
+        val batch = SparkEntry.queries("q20_sessionize")(s0, sf).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+            r.getAs[Long]("n_events"))).toSet
+        val nUsers = evs.map(_.user_id).distinct.size
+        // the first batch's own watermark (max ts − 1 h) already fires
+        // timers for users idle > gap + delay before the corpus end, so
+        // MORE than the gap-closed sessions may emit — but users active
+        // near the end must still be open
+        assert(afterData >= batch.size - nUsers && afterData < batch.size,
+          s"pre-tick emitted=$afterData batch=${batch.size} users=$nUsers")
+        // two far-future ticks from a dummy user: the first advances the
+        // watermark (committed at batch end), the second runs a batch
+        // UNDER that watermark so every armed timer fires
+        val far = evs.map(_.ts.getTime).max + 7200000L
+        ms.addData(Seq(Event(9900001L, new java.sql.Timestamp(far), 999999L, "tick", 0.0)))
+        query.processAllAvailable()
+        ms.addData(Seq(Event(9900002L, new java.sql.Timestamp(far + 1000L), 999999L, "tick", 0.0)))
+        query.processAllAvailable()
+        val got = s0.table("s18").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .filter(_._1 != 999999L).toSet
+        assert(got == batch,
+          s"timer-closed surface != q20: missing=${(batch diff got).take(3)} extra=${(got diff batch).take(3)}")
+      } finally query.stop()
+    } finally s0.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
