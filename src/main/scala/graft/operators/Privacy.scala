@@ -87,6 +87,79 @@ object Privacy {
         (col("n_events") >= DiversityK && col("n_sens_bands") >= DiversityL)
           .as("publish"))
 
+
+  /** q170: t-closeness audit — the third rung of the publication-privacy
+    * ladder (q52 k-anonymity → q160 l-diversity → this). l-diversity still
+    * leaks when a cell's sensitive values are *distinct but skewed* (all
+    * high-value bands ⇒ membership reveals "a big spender"); t-closeness
+    * bounds the distance between each cell's sensitive distribution and
+    * the global one. Sensitive attribute = q160's 50-unit value band
+    * (ordered, B = 5), so EMD has the closed ordered form
+    * (1/(B−1))·Σ_{b<B−1} |Σ_{i≤b}(p_i − q_i)|.
+    *
+    * Exactness: with p_i = c_i/n (cell) and q_i = g_i/N (global), every
+    * cumulative term is scaled by n·N into the integer
+    * cum_b = Σ_{i≤b}(c_i·N − g_i·n) — DECIMAL(38,0) products, exact at
+    * any scale — and the publish flag is the cross-multiplied comparison
+    * Σ|cum_b| ≤ t·(B−1)·n·N, which at t = 1/4, B−1 = 4 collapses to the
+    * pure-integer Σ|cum_b| ≤ n·N (t chosen so no double ever decides the
+    * gate). Only the REPORTED emd_bp rounds a double built from identical
+    * integer operands on both engines.
+    *
+    * Shape: one scan → (cell, band) agg (partial-combined, ≤ cells×5
+    * rows); the global distribution re-aggregates THAT frame (no second
+    * scan) and broadcasts 5 rows + 1 total row back; the grid densify,
+    * 5-row-deep cumsum window and final cell rollup all run on the
+    * cells×5 frame — nothing after the first exchange is event-scale.
+    */
+  def q170TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellBand = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        expr("least(greatest(CAST(round(value * 100) AS BIGINT) DIV 5000, 0), 4)").as("band"))
+      .agg(count(lit(1)).as("cnt"))
+    // global band mass + corpus total, derived from the cell frame (no
+    // second scan); 5 + 1 rows, broadcast back
+    val glob = cellBand.groupBy(col("band")).agg(sum(col("cnt")).as("g"))
+    val total = glob.agg(sum(col("g")).as("n_total"))
+    // densify to the full cell × band-0..4 grid: EMD must see empty bands,
+    // and both engines must see the SAME cell set
+    val grid = cellBand.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(4 AS BIGINT))")).as("band"))
+    val wCell = Window.partitionBy(col("event_type"), col("day"))
+    val wCum = wCell.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(cellBand, Seq("event_type", "day", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(broadcast(glob.na.fill(0L, Seq("g"))), Seq("band"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_cell", sum(col("cnt")).over(wCell))
+      .withColumn("cum", sum(
+        expr("CAST(cnt AS DECIMAL(38,0)) * n_total - CAST(g AS DECIMAL(38,0)) * n_cell"))
+        .over(wCum))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(col("n_cell")).as("n_events"),
+        // only the first B−1 cumulative terms enter the EMD (the last is 0
+        // by construction, but band 4's term is EXCLUDED by definition)
+        sum(when(col("band") < 4, abs(col("cum"))).otherwise(lit(0)))
+          .as("sum_abs"),
+        max(col("n_total")).as("n_total"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        expr("""CAST(round(10000.0 * CAST(sum_abs AS DOUBLE) /
+                    (CAST(n_events AS DOUBLE) * CAST(n_total AS DOUBLE) * 4.0))
+                  AS BIGINT)""").as("emd_bp"),
+        // the gate itself: exact integers — Σ|cum| ≤ t·(B−1)·n·N collapses
+        // to the pure Σ|cum| ≤ n·N at t = 1/4, B−1 = 4
+        expr("""sum_abs <= CAST(n_events AS DECIMAL(38,0)) *
+                           CAST(n_total AS DECIMAL(38,0))""").as("t_close"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
     * syntax both Java regex and RE2 interpret identically (no lookaround,
     * ASCII \d classes, explicit alternation).
@@ -184,6 +257,7 @@ object Privacy {
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
     "q160_l_diversity"   -> (q160LDiversity _),
+    "q170_t_closeness"   -> (q170TCloseness _),
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +280,49 @@ object Privacy {
                  event_type,
                  floor(value / 10.0) * 10.0 AS value_band
           FROM events""",
+    "q170_t_closeness" ->
+      // oracle-local HUGEINT where Spark widens to DECIMAL(38,0) — the
+      // usual int128-vs-decimal split; every compared value is an exact
+      // integer on both engines
+      """WITH cb AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  least(greatest(CAST(round(value * 100) AS BIGINT) // 5000, 0), 4) AS band,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         gb AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS g FROM cb GROUP BY 1),
+         tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM gb),
+         grid AS (
+           SELECT c.event_type, c.day, b.band
+           FROM (SELECT DISTINCT event_type, day FROM cb) c
+           CROSS JOIN (SELECT unnest(range(0, 5)) AS band) b),
+         j AS (
+           SELECT grid.event_type, grid.day, grid.band,
+                  coalesce(cb.cnt, 0) AS cnt, coalesce(gl.g, 0) AS g, t.n_total
+           FROM grid
+           LEFT JOIN cb ON cb.event_type = grid.event_type
+                       AND cb.day = grid.day AND cb.band = grid.band
+           LEFT JOIN gb gl ON gl.band = grid.band
+           CROSS JOIN tot t),
+         w1 AS (
+           SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n_cell
+           FROM j),
+         w2 AS (
+           SELECT *, sum(CAST(cnt AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_cell)
+                       OVER (PARTITION BY event_type, day ORDER BY band
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM w1),
+         cells AS (
+           SELECT event_type, day,
+                  max(n_cell) AS n_events,
+                  sum(CASE WHEN band < 4 THEN abs(cum) ELSE 0 END) AS sum_abs,
+                  max(n_total) AS n_total
+           FROM w2 GROUP BY 1, 2)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+                CAST(round(10000.0 * CAST(sum_abs AS DOUBLE) /
+                      (CAST(n_events AS DOUBLE) * CAST(n_total AS DOUBLE) * 4.0))
+                  AS BIGINT) AS emd_bp,
+                sum_abs <= CAST(n_events AS HUGEINT) * CAST(n_total AS HUGEINT) AS t_close
+         FROM cells""",
     "q160_l_diversity" ->
       s"""WITH g AS (
             SELECT event_type, CAST(ts AS DATE) AS day,

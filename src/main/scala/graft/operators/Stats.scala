@@ -367,8 +367,160 @@ object Stats {
         sum(col("term_dbp")).as("psi_dbp"))
   }
 
+  /** The two arms of the rank test — code-owned, like q147's rule table. */
+  private val RankArmA = "click"
+  private val RankArmB = "purchase"
+
+  /** Tie-corrected normal-approximation variance of U, one double formula
+    * over the exact integer sufficient statistics (n1, n2, Σ(t³−t)) —
+    * shared verbatim between the Spark plan and the DuckDB oracle. */
+  private val mwuVarSql =
+    """(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+       ((CAST(n1 + n2 AS DOUBLE) + 1.0) -
+        CAST(tsum AS DOUBLE) /
+        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))"""
+
+  /** z from 2·U1 (kept doubled so it stays integral under tied ranks);
+    * NULL when the tie-corrected variance degenerates (all values equal). */
+  private val mwuZSql =
+    s"""CASE WHEN $mwuVarSql > 0
+          THEN round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+                     (2.0 * sqrt($mwuVarSql)), 4) END"""
+
+  /** Common-language effect size U1/(n1·n2) in basis points (the
+    * probability a random A-value exceeds a random B-value, ties half). */
+  private val mwuAucSql =
+    """CAST(round(10000.0 * CAST(u1x2 AS DOUBLE) /
+         (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS BIGINT)"""
+
+  /** q171: Mann–Whitney U rank test — "do click and purchase event values
+    * come from the same distribution", the non-parametric complement to
+    * q104's parametric z-test (rank-based, so outliers and skew cannot
+    * distort it). Midranks with tie correction; the reported z uses the
+    * normal approximation (exact for these sample sizes to ~1e-3).
+    *
+    * Exactness: ranks never materialize per row. The value domain is
+    * cents-integral, so grouping by cents yields per-value counts
+    * (n1_v, n2_v) on a frame bounded by the VALUE DOMAIN, not the data
+    * size; the midrank of the tie group at v is cum_before(v) +
+    * (n_v+1)/2, kept doubled (2·R1 = Σ n1_v·(2·cum_before + n_v + 1)) so
+    * every sufficient statistic — n1, n2, 2·R1, Σ(t³−t) — is an exact
+    * integer (DECIMAL(38,0) / HUGEINT sums). z and the AUC effect size
+    * are single double formulas over those integers, identical on both
+    * engines.
+    *
+    * Shape: one scan → cents-domain agg (partial-combined) → the prefix
+    * counts decompose over equi-depth bands exactly like q105 (balanced
+    * window partitions + a broadcast band-offset frame — no global
+    * single-partition sort at any scale) → one final 1-row rollup.
+    */
+  def q171RankTest(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.events(s, dir)
+      .filter(col("event_type").isin(RankArmA, RankArmB))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(col("event_type") === RankArmA, 1L).otherwise(0L).as("is_a"))
+      .groupBy(col("cents"))
+      .agg(sum(col("is_a")).as("n1v"), sum(lit(1L) - col("is_a")).as("n2v"))
+      .withColumn("nv", col("n1v") + col("n2v"))
+    val banded = Bands.withEquiDepthBand(byVal, "cents")
+    val offsets = banded.groupBy(col("band")).agg(sum(col("nv")).as("bn"))
+      .withColumn("n_before", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("n_before"))
+    banded
+      .withColumn("cum_in_band", coalesce(
+        sum(col("nv")).over(Window.partitionBy(col("band")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), "band")
+      .withColumn("cum_before", col("n_before") + col("cum_in_band"))
+      .agg(
+        sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+        sum(expr("CAST(n1v AS DECIMAL(38,0)) * (2 * cum_before + nv + 1)")).as("r1x2"),
+        sum(expr("CAST(nv AS DECIMAL(38,0)) * nv * nv - nv")).as("tsum"))
+      .withColumn("u1x2", expr("r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"))
+      .select(col("n1"), col("n2"),
+        expr(mwuZSql).as("z_score"), expr(mwuAucSql).as("auc_bp"))
+  }
+
+  /** q172: CUSUM change-point detection on the daily event volume — "did
+    * the level of this feed shift, and when", the offline twin of s09's
+    * streaming drift monitor. Page's classic cumulative-sum statistic
+    * against the full-window mean; the flagged day(s) maximize |CUSUM|.
+    *
+    * Exactness: the deviation is scaled by the day count — cusum_d =
+    * Σ_{i≤d}(D·n_i − T) — so mean-centering never leaves integers
+    * (bounded by D·T ≲ 4e15 at 100 TB: BIGINT-safe), and the argmax
+    * comparison is integer equality.
+    *
+    * Shape: one scan → daily agg, then everything runs on the day frame
+    * (calendar-bounded: ~4k rows even at a decade of 100 TB feeds). The
+    * day frame is localCheckpointed once for its three consumers
+    * (totals, cusum, max) so the event scan runs exactly once; the
+    * unpartitioned day-order window is bounded by the same calendar
+    * domain.
+    */
+  def q172Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_total"))
+    val wc = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum", sum(expr("n_days * n - n_total"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // consumed twice: per-day rows + the global max
+    val mx = wc.agg(max(abs(col("cusum"))).as("max_abs"))
+    wc.crossJoin(broadcast(mx))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_events"),
+        col("cusum").as("cusum_scaled"),
+        (abs(col("cusum")) === col("max_abs")).as("is_changepoint"))
+  }
+
+  /** q173: Benford first-digit audit on lineitem prices — the classic
+    * "were these amounts fabricated" forensic screen (synthetic uniform
+    * prices deliberately FAIL it, which the audit must report, not hide).
+    *
+    * The leading significant digit comes from the decimal rendering of
+    * the exact cents integer — no log10-of-value binning, so the digit
+    * can never waver across engines. Expected shares are Benford's
+    * log10(1 + 1/d), rounded to basis points per digit (the q142 rule:
+    * a last-ulp log divergence cannot move a rounded term unless it
+    * lands within an ulp of a .5 boundary).
+    *
+    * Shape: one scan → 9-cell digit agg; the digit frame is
+    * localCheckpointed for its two consumers (total + grid join), and
+    * the 1..9 grid densify guarantees both engines report absent digits
+    * as zero rows rather than dropping them.
+    */
+  def q173Benford(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = d.agg(sum(col("n")).as("n_total"))
+    s.range(1, 10).select(col("id").as("digit"))
+      .join(d, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n").as("n_items"),
+        expr("CAST(round(10000.0 * CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) AS BIGINT)")
+          .as("share_bp"),
+        expr("CAST(round(10000.0 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)")
+          .as("benford_bp"))
+      .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_psi_drift"  -> (q142PsiDrift _),
+    "q171_rank_test"  -> (q171RankTest _),
+    "q172_cusum"      -> (q172Cusum _),
+    "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
     "q99_cov_matrix"  -> (q99CovMatrix _),
@@ -402,6 +554,68 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q171_rank_test" ->
+      // oracle-local: HUGEINT sums (Spark widens to DECIMAL(38,0)) and a
+      // single global-order window (Spark decomposes it over Bands —
+      // ranks are boundary-independent, so the results are identical)
+      s"""WITH e AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_type = '$RankArmA' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('$RankArmA', '$RankArmB')),
+          v AS (
+            SELECT cents,
+                   CAST(sum(is_a) AS BIGINT) AS n1v,
+                   CAST(sum(1 - is_a) AS BIGINT) AS n2v
+            FROM e GROUP BY 1),
+          w AS (
+            SELECT *, n1v + n2v AS nv,
+                   coalesce(sum(n1v + n2v) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM v),
+          st AS (
+            SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+                   sum(CAST(n1v AS HUGEINT) * (2 * cum_before + nv + 1)) AS r1x2,
+                   sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum
+            FROM w),
+          u AS (SELECT *, r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2 FROM st)
+          SELECT n1, n2, $mwuZSql AS z_score, $mwuAucSql AS auc_bp FROM u""",
+    "q172_cusum" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS n_total
+           FROM daily),
+         wc AS (
+           SELECT day, n,
+                  CAST(sum(n_days * n - n_total) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+           FROM daily CROSS JOIN tot),
+         mx AS (SELECT max(abs(cusum)) AS max_abs FROM wc)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_events,
+                cusum AS cusum_scaled, abs(cusum) = max_abs AS is_changepoint
+         FROM wc CROSS JOIN mx""",
+    "q173_benford" ->
+      """WITH c AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+         d AS (
+           SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d),
+         g AS (
+           SELECT grid.digit, coalesce(d.n, 0) AS n
+           FROM (SELECT unnest(range(1, 10)) AS digit) grid
+           LEFT JOIN d ON d.digit = grid.digit),
+         r AS (
+           SELECT digit, n AS n_items,
+                  CAST(round(10000.0 * CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) AS BIGINT) AS share_bp,
+                  CAST(round(10000.0 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT) AS benford_bp
+           FROM g CROSS JOIN tot)
+         SELECT digit, n_items, share_bp, benford_bp,
+                share_bp - benford_bp AS dev_bp
+         FROM r""",
     "q142_psi_drift" ->
       """WITH e AS (
            SELECT event_type,

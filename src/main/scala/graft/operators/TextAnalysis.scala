@@ -1156,7 +1156,46 @@ object TextAnalysis {
         expr("n_unique * 10000 DIV n_distinct_grams"))
   }
 
+  /** Chunk geometry: 32-token windows advancing 24 tokens (8-token
+    * overlap) — the RAG convention of overlapping windows so no answer
+    * span is ever split across a boundary without also appearing whole. */
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkS = 24
+
+  /** q174: context chunking — split every document into overlapping
+    * token-window chunks with stable keys, the retrieval/embedding prep
+    * step (each chunk is what an embedding model and a context window
+    * actually consume). House tokenizer (q38's single-space convention,
+    * empties dropped); chunk count is 1 + ⌈(n−W)/S⌉ with a single chunk
+    * for short docs, so EVERY document yields at least one row (an empty
+    * doc yields one empty chunk — the downstream filter's decision, not
+    * the chunker's).
+    *
+    * Shape: pure narrow work — project → explode — with NO exchange at
+    * any scale; output rows ≈ Σ chunks ≈ n_tokens/S. The slice/join
+    * land in whole-stage codegen (array ops over the token array), and
+    * the chunk key (doc_id#chunk_no) is deterministic so re-runs and
+    * incremental ingests produce identical keys.
+    */
+  def q174DocChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("n_chunks", expr(
+        s"""CAST(CASE WHEN nt <= $ChunkW THEN 1
+                      ELSE (nt - $ChunkW + ${ChunkS - 1}) DIV $ChunkS + 1 END AS BIGINT)"""))
+      .select(col("doc_id"), col("toks"), col("nt"), col("n_chunks"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_no"))
+      .select(
+        col("doc_id"), col("chunk_no"), col("n_chunks"),
+        expr(s"least(CAST($ChunkW AS BIGINT), nt - chunk_no * $ChunkS)").as("n_chunk_tokens"),
+        concat(col("doc_id").cast("string"), lit("#"), col("chunk_no").cast("string"))
+          .as("chunk_key"),
+        expr(s"array_join(slice(toks, CAST(chunk_no * $ChunkS + 1 AS INT), $ChunkW), ' ')")
+          .as("chunk_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_doc_chunks" -> (q174DocChunks _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1188,6 +1227,22 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q174_doc_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          n AS (
+            SELECT doc_id, toks, len(toks) AS nt,
+                   CASE WHEN len(toks) <= $ChunkW THEN 1
+                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
+            FROM t)
+          SELECT n.doc_id,
+                 CAST(u.i AS BIGINT) AS chunk_no,
+                 CAST(n_chunks AS BIGINT) AS n_chunks,
+                 CAST(least($ChunkW, nt - u.i * $ChunkS) AS BIGINT) AS n_chunk_tokens,
+                 CAST(n.doc_id AS VARCHAR) || '#' || CAST(u.i AS VARCHAR) AS chunk_key,
+                 array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' ') AS chunk_text
+          FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u""",
     "q168_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i

@@ -86,4 +86,32 @@ class PrivacySpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "publish gate does not split the cells")
   }
+
+  test("q170 t-closeness: EMD recomputed from raw events; gate is the exact cross-multiply") {
+    val rows = Privacy.q170TCloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).select(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        expr("least(greatest(CAST(round(value*100) AS BIGINT) DIV 5000, 0), 4)").as("band"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val byCell = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val globCnt = ev.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTot = ev.length.toLong
+    assert(rows.length == byCell.size, "one row per (type, day) cell")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getAs[String]("day"))
+      val cell = byCell(key)
+      val n = cell.length.toLong
+      assert(r.getAs[Long]("n_events") == n)
+      val cellCnt = cell.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cum = BigInt(0); var sumAbs = BigInt(0)
+      (0L to 3L).foreach { b =>
+        cum += BigInt(cellCnt.getOrElse(b, 0L)) * nTot - BigInt(globCnt.getOrElse(b, 0L)) * n
+        sumAbs += cum.abs
+      }
+      assert(r.getAs[Long]("emd_bp") ==
+        math.round(10000.0 * sumAbs.toDouble / (n.toDouble * nTot * 4.0)), s"$key emd")
+      assert(r.getAs[Boolean]("t_close") == (sumAbs <= BigInt(n) * BigInt(nTot)), s"$key gate")
+    }
+  }
 }

@@ -305,4 +305,32 @@ class PropertySpec extends AnyFunSuite {
     // the axis must discriminate: not every doc equally novel
     assert(got.values.map(_._3).toSet.size > 1, "novelty_bp is constant")
   }
+
+  test("q174 chunks: reconstruction, geometry and key-stability invariants") {
+    val chunks = graft.operators.TextAnalysis.q174DocChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_key"), r.getAs[String]("chunk_text")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc chunks")
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      val toks = docs(id)
+      val w = 32; val s = 24
+      val wantChunks = if (toks.size <= w) 1L else ((toks.size - w + s - 1) / s + 1).toLong
+      assert(cs.length.toLong == wantChunks && cs.forall(_._3 == wantChunks))
+      cs.sortBy(_._2).foreach { case (_, i, _, nt, key, text) =>
+        val want = toks.slice((i * s).toInt, (i * s).toInt + w)
+        assert(text == want.mkString(" "), s"doc $id chunk $i text")
+        assert(nt == want.size.toLong, s"doc $id chunk $i token count")
+        assert(key == s"$id#$i")
+      }
+      // coverage: strides tile the doc — every token lands in some chunk
+      val covered = cs.flatMap(c => (c._2 * s) until (c._2 * s + w)).map(_.toInt).toSet
+      assert(toks.indices.forall(covered.contains), s"doc $id has uncovered tokens")
+    }
+    // overlap really happens for long docs at this SF
+    assert(byDoc.values.exists(_.length > 1), "no multi-chunk doc at spec SF")
+  }
 }

@@ -331,4 +331,70 @@ class StatsSpec extends AnyFunSuite {
       .agg(min(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))).head().getLong(0)
     assert(minOrders >= 0L, s"pre-epoch o_orderdate: $minOrders")
   }
+
+  test("q171 Mann-Whitney: sufficient stats match a brute-force midrank recompute") {
+    val row = Stats.q171RankTest(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val n1 = a.length.toLong
+    val n2 = ev.length.toLong - n1
+    val n = n1 + n2
+    val tieSizes = ev.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // doubled midrank of the tie group at v: 2*cumBefore + t + 1
+    var cum = 0L
+    val mid2 = tieSizes.keys.toSeq.sorted.map { v =>
+      val t = tieSizes(v); val m = 2 * cum + t + 1; cum += t; v -> m
+    }.toMap
+    val u1x2 = a.map(mid2).sum - n1 * (n1 + 1)
+    val tsum = tieSizes.values.map(t => t * t * t - t).sum
+    val varU = (n1.toDouble * n2 / 12.0) *
+      ((n + 1).toDouble - tsum.toDouble / (n.toDouble * (n - 1)))
+    val z = (u1x2.toDouble - n1.toDouble * n2) / (2.0 * math.sqrt(varU))
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-3,
+      s"z ${row.getAs[Double]("z_score")} vs $z")
+    assert(row.getAs[Long]("auc_bp") ==
+      math.round(10000.0 * u1x2 / (2.0 * n1 * n2)))
+  }
+
+  test("q172 CUSUM: running sum recomputed, telescoping to zero, argmax flagged") {
+    val rows = Stats.q172Cusum(spark, sf).collect().sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    val d = rows.length.toLong
+    val tot = rows.map(_.getAs[Long]("n_events")).sum
+    var c = 0L
+    val want = rows.map { r => c += d * r.getAs[Long]("n_events") - tot; c }
+    assert(rows.map(_.getAs[Long]("cusum_scaled")).toSeq == want.toSeq)
+    // telescoping: sum of (D*n_i - T) over all days is D*T - D*T = 0
+    assert(want.last == 0L, "terminal CUSUM must be zero")
+    val mx = want.map(math.abs).max
+    rows.zip(want).foreach { case (r, cu) =>
+      assert(r.getAs[Boolean]("is_changepoint") == (math.abs(cu) == mx)) }
+    assert(rows.count(_.getAs[Boolean]("is_changepoint")) >= 1)
+  }
+
+  test("q173 Benford: exact digit counts, canonical expected shares, dev reconciles") {
+    val rows = Stats.q173Benford(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet == (1L to 9L).toSet)
+    val cnts = Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c")).collect()
+      .map(_.getLong(0)).filter(_ > 0).map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cnts.values.sum
+    // round(10^4 * log10(1 + 1/d)) for d = 1..9 — the published table
+    val benford = Map(1L -> 3010L, 2L -> 1761L, 3L -> 1249L, 4L -> 969L,
+      5L -> 792L, 6L -> 669L, 7L -> 580L, 8L -> 512L, 9L -> 458L)
+    rows.foreach { r =>
+      val dg = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n_items") == cnts.getOrElse(dg, 0L))
+      assert(r.getAs[Long]("benford_bp") == benford(dg))
+      assert(r.getAs[Long]("share_bp") ==
+        math.round(10000.0 * cnts.getOrElse(dg, 0L) / n))
+      assert(r.getAs[Long]("dev_bp") ==
+        r.getAs[Long]("share_bp") - r.getAs[Long]("benford_bp"))
+    }
+  }
 }
