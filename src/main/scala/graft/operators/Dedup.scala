@@ -698,7 +698,54 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
   }
 
+  /** q175: SemDeDup — semantic deduplication in embedding space (Abbas et
+    * al. 2023's cluster-then-prune): k-means-cluster the corpus with the
+    * q48 quantizer, then within each cluster DROP every vector that has a
+    * ≥ τ cosine twin ranked ahead of it under the (centroid-sim, vec_id)
+    * total order — keeping, per the paper, the member FURTHEST from its
+    * centroid (low anchor similarity ⇒ the harder, more diverse example),
+    * with vec_id breaking exact ties deterministically. Unlike q32/q54
+    * (pair REPORTS), this emits the per-vector keep/drop VERDICT a
+    * curation pipeline actually consumes; the minimum-ranked member of
+    * any τ-connected group can never be dominated, so every duplicate
+    * group retains at least one representative.
+    *
+    * Scale shape: the centroids are a driver-held memoized model (q48);
+    * assignment + anchor similarity are ONE pure projection (argmax over
+    * k cells, no shuffle); candidate pairs expand within cells only
+    * (Σ n_c² balanced by the learned quantizer — the paper's own shape at
+    * 440 M docs); the verdict is a distinct on the dominated side plus a
+    * left join back. Rows-only (the learned quantizer has no SQL mirror);
+    * DedupSimilaritySpec recomputes the rule via the independent HOF
+    * cosine and a different aggregation shape.
+    */
+  def q175SemDedup(s: SparkSession, dir: String,
+                   k: Int = 16, iters: Int = 3, tau: Double = 0.35): DataFrame = {
+    val centers = Similarity.kmeansCentroids(s, dir, k = k, iters = iters)
+    val assigned = Tables.embeddings(s, dir)
+      .withColumn("best", array_max(Similarity.scoredCells(col("embedding"), centers)))
+      .select(col("vec_id"),
+        col("embedding"),
+        (-col("best").getField("negcell")).as("cell"),
+        col("best").getField("cs").as("cent_sim"))
+    val ahead = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("cent_sim").as("cent_a"))
+    val behind = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("cent_sim").as("cent_b"))
+    val dropped = ahead.join(behind, Seq("cell"))
+      .filter(col("cent_a") < col("cent_b") ||
+        (col("cent_a") === col("cent_b") && col("id_a") < col("id_b")))
+      .filter(VectorOps.cosine(col("ea"), col("eb")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dominated", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("cent_sim"), 4).as("cent_sim"),
+        col("dominated").isNull.as("is_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_semdedup"       -> ((s, dir) => q175SemDedup(s, dir)),
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),

@@ -583,7 +583,75 @@ object Similarity {
           .cast("long").as("pc1_micro"))
   }
 
+  /** q176: MMR diversified re-ranking — maximal marginal relevance
+    * (Carbonell & Goldstein 1998) over each query's top-C cosine
+    * candidates: rank t picks argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+    * the retrieval-diversification step a RAG serving layer runs so five
+    * near-identical passages don't fill the whole context window. The
+    * returned mmr_score is provably non-increasing in rank (the penalty
+    * only grows and the pool only shrinks — spec-asserted).
+    *
+    * Scale shape: candidate generation is the q33/q48 top-C pipeline
+    * (at corpus scale the IVF path feeds it); the greedy stage is
+    * inherently sequential PER QUERY, so it runs inside flatMapGroups on
+    * a C-bounded group — executor-parallel across queries, O(k·C) sims
+    * within one — never on the driver. Determinism: relevance rounded to
+    * 6 (the house window contract), exact-double MMR compare with
+    * neighbor_id tie-break.
+    */
+  def q176MmrRerank(s: SparkSession, dir: String,
+                    c: Int = 20, k: Int = TopK, lambda: Double = 0.7): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    val cands = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queriesDf(s, dir)))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= c)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 6).as("rel"), col("ne"))
+      .as[(Long, Long, Double, Seq[Float])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+        val pool = scala.collection.mutable.ArrayBuffer.from(
+          it.map { case (_, id, rel, e) => (id, rel, e.toArray) })
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Double)]
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        var rank = 1
+        while (rank <= k && pool.nonEmpty) {
+          var bi = -1; var bScore = Double.NegativeInfinity; var bId = Long.MaxValue
+          var i = 0
+          while (i < pool.length) {
+            val (id, rel, e) = pool(i)
+            val pen = if (picked.isEmpty) 0.0
+              else picked.iterator.map(p => cos(e, p._3)).max
+            val sc = lambda * rel - (1.0 - lambda) * pen
+            if (sc > bScore || (sc == bScore && id < bId)) { bi = i; bScore = sc; bId = id }
+            i += 1
+          }
+          val (id, rel, e) = pool.remove(bi)
+          picked += ((id, rel, e))
+          out += ((qid, rank, id, math.rint(bScore * 1e4) / 1e4, rel))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "mmr_score", "cos_sim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_mmr_rerank"  -> ((s: SparkSession, d: String) => q176MmrRerank(s, d)),
     "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),

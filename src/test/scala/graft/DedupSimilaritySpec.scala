@@ -603,4 +603,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
       members.find(_._4).get._1 != members.map(_._1).min
     }, "every canonical doc equals the min-id survivor - ranking is vacuous")
   }
+
+  test("q175 SemDeDup verdicts equal an independent HOF-cosine recompute of the rule") {
+    val tau = 0.2 // spec-low threshold so drops actually occur on the uncorrelated corpus
+    val got = Dedup.q175SemDedup(spark, sf01, tau = tau).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Double]("cent_sim"), r.getAs[Boolean]("is_kept"))))
+      .toMap
+    val n = Tables.embeddings(spark, sf01).count()
+    assert(got.size.toLong == n, "one verdict per vector")
+    // independent recompute: same model, HOF cosine instead of the native
+    // kernel, exists-aggregation instead of distinct+left-join
+    val centers = Similarity.kmeansCentroids(spark, sf01, k = 16, iters = 3)
+    val assigned = Tables.embeddings(spark, sf01)
+      .withColumn("best", array_max(Similarity.scoredCells(col("embedding"), centers)))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best").getField("negcell")).as("cell"),
+        col("best").getField("cs").as("cent_sim"))
+    val l = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("cent_sim").as("ca"))
+    val r = assigned.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("cent_sim").as("cb"))
+    val dominated = l.join(r, Seq("cell"))
+      .filter((col("ca") < col("cb")) ||
+        (col("ca") === col("cb") && col("ia") < col("ib")))
+      .filter(graft.functions.VectorOps.cosineHof(col("ea"), col("eb")) >= tau)
+      .groupBy(col("ib")).agg(count(lit(1)).as("ndom"))
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, (_, _, kept)) =>
+      assert(kept == !dominated.contains(id), s"vec $id verdict") }
+    assert(dominated.nonEmpty, "no drops at spec tau - threshold vacuous")
+    assert(dominated.size.toLong < n, "everything dropped")
+    // per cell, the minimum-(cent_sim, id) member is structurally undroppable
+    got.groupBy(_._2._1).foreach { case (cell, ms) =>
+      val minKey = ms.minBy { case (id, (_, cs, _)) => (cs, id) }
+      assert(minKey._2._3, s"cell $cell dropped its anchor-min member")
+    }
+  }
+
+  test("q176 MMR: rank-1 is top relevance, scores non-increasing, verdict matches replay") {
+    val rows = Similarity.q176MmrRerank(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr_score"),
+        r.getAs[Double]("cos_sim")))
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf01).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq, s"q$qid ranks")
+      assert(byRank.map(_._3).distinct.length == byRank.length, s"q$qid repeats a doc")
+      // monotone: the pool shrinks and the diversity penalty only grows
+      byRank.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._4 >= lo._4, s"q$qid mmr_score increased with rank") }
+      // greedy replay over the SELECTED set: each pick must beat every
+      // LATER pick's marginal score at its own step (exchange argument)
+      val q = emb(qid)
+      for (t <- byRank.indices; u <- t + 1 until byRank.length) {
+        val sel = byRank.take(t).map(x => emb(x._3))
+        def marginal(id: Long): Double = {
+          val rel = math.rint(cos(q, emb(id)) * 1e6) / 1e6
+          val pen = if (sel.isEmpty) 0.0 else sel.map(e => cos(emb(id), e)).max
+          0.7 * rel - 0.3 * pen
+        }
+        assert(marginal(byRank(t)._3) >= marginal(byRank(u)._3) - 1e-9,
+          s"q$qid rank ${t + 1} not greedy-optimal vs rank ${u + 1}")
+      }
+      // rank-1 = pure top relevance among candidates: its cos_sim must be
+      // the max cos_sim in the emitted set
+      assert(byRank.head._5 >= byRank.map(_._5).max - 1e-12, s"q$qid rank-1 relevance")
+    }
+  }
 }
