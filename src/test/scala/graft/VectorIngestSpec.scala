@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.IvfIndex
-import graft.streaming.VectorIngest
+import graft.streaming.{SemanticGate, VectorIngest}
 
 /** s14: streaming vector ingest — atomic batch-id publish into the serving
   * index, replay no-ops, crash-litter invisibility, live probes, and
@@ -125,5 +125,49 @@ class VectorIngestSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("does not match the stored model"))
     assert(!new java.io.File(s"$dir/ingest/gen=5").exists())
+  }
+
+  test("s19 semantic gate: resident twins rejected, batch twins collapse, replay + crash recovery") {
+    val dir = freshIndex()
+    import spark.implicits._
+    val resident = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 100).head().getSeq[Float](1)
+    val novel = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val batch = Seq(
+      (900001L, resident), // exact clone of a resident vector -> resident_dup
+      (900002L, novel),    // fresh direction -> admitted
+      (900003L, novel)     // twin of 900002 in the SAME batch -> batch_dup
+    ).toDF("vec_id", "embedding")
+    assert(SemanticGate.gateBatch(spark, dir, batch, batchId = 5L))
+    val lane = spark.read.parquet(s"$dir/ingest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lane == Set(900002L), s"ingest lane: $lane")
+    val rej = spark.read.parquet(s"$dir/rejects")
+      .select("vec_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rej == Map(900001L -> "resident_dup", 900003L -> "batch_dup"), s"rejects: $rej")
+    // replay of a decided batch id is a no-op (ingest commit = decision marker)
+    assert(!SemanticGate.gateBatch(spark, dir, batch, batchId = 5L))
+    assert(spark.read.parquet(s"$dir/ingest").count() == 1)
+    // the admitted vector serves immediately
+    val hit = VectorIngest.probeLive(spark, dir,
+        Seq((1L, novel)).toDF("query_id", "qe"))
+      .orderBy(col("rnk")).head()
+    assert(hit.getAs[Long]("neighbor_id") == 900002L &&
+      hit.getAs[Double]("cos_sim") == 1.0)
+    // crash between the two commits: rejects landed, ingest did not —
+    // the replay re-lands only the missing ingest half
+    val batch9 = Seq((900010L, resident), (900011L, novel.map(-_)))
+      .toDF("vec_id", "embedding")
+    assert(SemanticGate.gateBatch(spark, dir, batch9, batchId = 9L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ingest/gen=9"), true)
+    assert(SemanticGate.gateBatch(spark, dir, batch9, batchId = 9L),
+      "replay after crash must re-decide")
+    assert(spark.read.parquet(s"$dir/ingest/gen=9")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(900011L))
+    assert(spark.read.parquet(s"$dir/rejects/gen=9")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(900010L))
   }
 }
