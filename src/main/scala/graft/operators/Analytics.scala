@@ -574,7 +574,46 @@ object Analytics {
         col("chaz_micro"))
   }
 
+  /** q177: demand-forecast feature materialization — the feature-store
+    * table a per-(event_type, day) volume model trains on: calendar
+    * lags (lag-1, lag-7), the trailing-7-day window (sum + days
+    * present), and next-day volume as the supervised target. All frames
+    * are RANGE on the integer epoch day (the q95 rule: data gaps must
+    * yield NULL lags / shorter baselines, not silently stretch the
+    * lookback the way ROWS frames would), so a feature row is honest
+    * about missing history and the model sees the gap. Everything is an
+    * exact integer count; day-of-week is the portable (d+4) mod 7.
+    *
+    * Shape: one scan → (type, day) agg (partial-combined), then every
+    * window runs per type over the calendar-bounded day frame — the
+    * 100 TB cost is the scan; the feature table itself is |types|×days
+    * rows. The target row's NULL on the stream head is the label
+    * horizon, not an error.
+    */
+  def q177DemandFeatures(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("lag_1", max(col("n")).over(w.rangeBetween(-1, -1)))
+      .withColumn("lag_7", max(col("n")).over(w.rangeBetween(-7, -7)))
+      .withColumn("trail7_sum", sum(col("n")).over(w.rangeBetween(-7, -1)))
+      .withColumn("trail7_days", count(col("n")).over(w.rangeBetween(-7, -1)))
+      .withColumn("target_next", max(col("n")).over(w.rangeBetween(1, 1)))
+      .select(col("event_type"), col("day"),
+        expr("((day + 4) % 7)").as("dow7"),
+        col("n").as("n_events"),
+        col("lag_1"), col("lag_7"),
+        col("trail7_sum"),
+        col("trail7_days"),
+        col("target_next"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
     "q139_pareto"       -> (q139Pareto _),
     "q137_stickiness"   -> (q137Stickiness _),
@@ -615,6 +654,23 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q177_demand_features" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, (day + 4) % 7 AS dow7, n AS n_events,
+                max(n) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_1,
+                max(n) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag_7,
+                CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail7_sum,
+                CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail7_days,
+                max(n) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS target_next
+         FROM daily""",
     "q163_survival" ->
       """WITH e AS (
            SELECT user_id, ts, event_id,

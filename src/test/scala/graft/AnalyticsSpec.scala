@@ -668,4 +668,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum > 0, "no censored session — boundary rule untested")
     assert(got.map(_._2) == got.map(_._2).sorted.reverse, "n_risk must be non-increasing")
   }
+
+  test("q177 demand features: lags/windows/target recomputed; RANGE frames are gap-honest") {
+    val rows = Analytics.q177DemandFeatures(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(rows.nonEmpty)
+    val daily = rows.map { case ((t, d), r) => (t, d) -> r.getAs[Long]("n_events") }
+    rows.foreach { case ((t, d), r) =>
+      def at(off: Long): Option[Long] = daily.get((t, d + off))
+      assert(Option(r.getAs[Any]("lag_1")).map(_.asInstanceOf[Long]) == at(-1), s"$t/$d lag_1")
+      assert(Option(r.getAs[Any]("lag_7")).map(_.asInstanceOf[Long]) == at(-7), s"$t/$d lag_7")
+      assert(Option(r.getAs[Any]("target_next")).map(_.asInstanceOf[Long]) == at(1), s"$t/$d target")
+      val window = (-7L to -1L).flatMap(at)
+      assert(r.getAs[Long]("trail7_days") == window.size.toLong, s"$t/$d trail days")
+      if (window.nonEmpty)
+        assert(r.getAs[Long]("trail7_sum") == window.sum, s"$t/$d trail sum")
+      else assert(r.isNullAt(r.fieldIndex("trail7_sum")), s"$t/$d empty trail must be NULL")
+      assert(r.getAs[Long]("dow7") == ((d + 4) % 7 + 7) % 7)
+    }
+    // the label horizon: every series' last day has a NULL target
+    rows.keys.groupBy(_._1).foreach { case (t, ks) =>
+      val last = ks.map(_._2).max
+      assert(rows((t, last)).isNullAt(rows((t, last)).fieldIndex("target_next")),
+        s"$t horizon target must be NULL")
+    }
+  }
 }
