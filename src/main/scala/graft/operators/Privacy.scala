@@ -107,8 +107,9 @@ object Privacy {
     * integer operands on both engines.
     *
     * Shape: one scan → (cell, band) agg (partial-combined, ≤ cells×5
-    * rows); the global distribution re-aggregates THAT frame (no second
-    * scan) and broadcasts 5 rows + 1 total row back; the grid densify,
+    * rows, localCheckpointed for its four consumers so the event scan
+    * runs exactly once); the global distribution re-aggregates THAT
+    * frame and broadcasts 5 rows + 1 total row back; the grid densify,
     * 5-row-deep cumsum window and final cell rollup all run on the
     * cells×5 frame — nothing after the first exchange is event-scale.
     */
@@ -118,6 +119,10 @@ object Privacy {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"),
         expr("least(greatest(CAST(round(value * 100) AS BIGINT) DIV 5000, 0), 4)").as("band"))
       .agg(count(lit(1)).as("cnt"))
+      // cells×5-bounded; localCheckpoint so its FOUR consumers (grid,
+      // global bands, total, main join) share one event scan — without it
+      // each branch re-derives the aggregate from parquet (plan-audited)
+      .localCheckpoint()
     // global band mass + corpus total, derived from the cell frame (no
     // second scan); 5 + 1 rows, broadcast back
     val glob = cellBand.groupBy(col("band")).agg(sum(col("cnt")).as("g"))

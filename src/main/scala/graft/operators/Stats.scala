@@ -422,6 +422,9 @@ object Stats {
       .groupBy(col("cents"))
       .agg(sum(col("is_a")).as("n1v"), sum(lit(1L) - col("is_a")).as("n2v"))
       .withColumn("nv", col("n1v") + col("n2v"))
+      // value-domain-bounded; localCheckpoint so the band-boundary agg,
+      // the offsets rollup and the main pass share ONE event scan
+      .localCheckpoint()
     val banded = Bands.withEquiDepthBand(byVal, "cents")
     val offsets = banded.groupBy(col("band")).agg(sum(col("nv")).as("bn"))
       .withColumn("n_before", coalesce(
