@@ -322,15 +322,28 @@ object Dedup {
     val sh = q30DedupSimhash(s, dir).localCheckpoint() // tiny: one row/doc
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_id"), col(s"band$b").as("sig")))
-    val sigs = sh
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
-    expandPairs(s, sigs, capOverride = Some(Int.MaxValue))
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    // carry the simhash THROUGH the band explode: each expanded pair
+    // already holds both hashes, so the hamming confirm runs inside the
+    // expansion's codegen and only confirmed pairs reach the dedup
+    // exchange — the former shape joined the full candidate expansion
+    // back against sh twice and shuffled EVERY bucket pair before the
+    // filter (same-session isolated A/B at sf0.1: 1.55 → 1.21 s; the
+    // structural win is what matters at 100 TB — the pair exchange
+    // shrinks from O(Σ bucket²) to O(confirmed near-dup pairs))
+    sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+      .groupBy(col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y ->
+             struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    x.simhash AS ha, y.simhash AS hb))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** q31: exact n-gram Jaccard, evaluated only on LSH candidate pairs.

@@ -640,10 +640,16 @@ object Similarity {
             if (sc > bScore || (sc == bScore && id < bId)) { bi = i; bScore = sc; bId = id }
             i += 1
           }
+          // a NaN relevance (zero vector — q76's hygiene audit exists to
+          // catch these upstream) compares false against everything; if the
+          // whole pool is NaN nothing was selected — stop, don't crash
+          if (bi < 0) { rank = k + 1 }
+          else {
           val (id, rel, e) = pool.remove(bi)
           picked += ((id, rel, e))
           out += ((qid, rank, id, math.rint(bScore * 1e4) / 1e4, rel))
           rank += 1
+          }
         }
         out.iterator
       }

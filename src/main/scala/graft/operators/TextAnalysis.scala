@@ -1156,6 +1156,52 @@ object TextAnalysis {
         expr("n_unique * 10000 DIV n_distinct_grams"))
   }
 
+  /** q178: split-leakage audit — q58's contamination check turned INWARD,
+    * on q74's own train/val/test split: an eval document sharing word
+    * 5-grams with ANY train document leaks training signal into the
+    * measurement (the benchmark-contamination failure mode, but
+    * self-inflicted at split time — random splits of a near-dup-ridden
+    * corpus do this silently). Per eval doc: distinct grams, grams also
+    * present in train, the leak share in basis points, and a quarantine
+    * verdict at ≥ 10 %. Eval docs too short to shingle (< 5 words) are
+    * REPORTED with zero grams, not dropped — absence from the audit would
+    * read as cleanliness.
+    *
+    * Shape: the gram frame is built once per side (explode → distinct —
+    * the q58/q115 shape); train grams stay a SHUFFLE semi-join side
+    * (they're ~80 % of the corpus — never broadcast, unlike q58's small
+    * benchmark set); two map-side-combined doc rollups and two left
+    * joins bounded by the eval split. At 100 TB every stage is a
+    * gram-keyed or doc-keyed exchange — no all-pairs, no driver state.
+    */
+  def q178SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("coin", md5Coin(col("doc_id")))
+      .withColumn("split", when(col("coin") < 204, "train")
+        .when(col("coin") < 230, "val").otherwise("test"))
+    val grams = docs
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("split"), explode(expr(
+        """transform(sequence(1, size(w)-4),
+           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .distinct()
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct()
+    val evalGrams = grams.filter(col("split") =!= "train")
+    val leaked = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    val counts = evalGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    docs.filter(col("split") =!= "train").select(col("doc_id"), col("split"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(leaked, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_leaked"))
+      .withColumn("leak_bp",
+        when(col("n_grams") > 0, expr("n_leaked * 10000 DIV n_grams"))
+          .otherwise(lit(0L)))
+      .withColumn("quarantine", col("leak_bp") >= 1000)
+  }
+
   /** Chunk geometry: 32-token windows advancing 24 tokens (8-token
     * overlap) — the RAG convention of overlapping windows so no answer
     * span is ever split across a boundary without also appearing whole. */
@@ -1195,6 +1241,7 @@ object TextAnalysis {
           .as("chunk_text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_split_leakage" -> (q178SplitLeakage _),
     "q174_doc_chunks" -> (q174DocChunks _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
@@ -1227,6 +1274,47 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q178_split_leakage" ->
+      s"""WITH coins AS (
+            SELECT doc_id, ${duckCoin("doc_id")} AS coin FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN coin < 204 THEN 'train'
+                        WHEN coin < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM coins),
+          t AS (
+            SELECT d.doc_id, sp.split, string_split(d.text, ' ') w
+            FROM documents d JOIN sp USING (doc_id)),
+          ix AS (
+            SELECT doc_id, split, w, unnest(generate_series(1, len(w) - 4)) i
+            FROM t WHERE len(w) >= 5),
+          g AS (
+            SELECT DISTINCT doc_id, split,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+            FROM ix),
+          tg AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+          ev AS (SELECT doc_id, g FROM g WHERE split <> 'train'),
+          leaked AS (
+            SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+            FROM ev JOIN tg USING (g) GROUP BY 1),
+          cnt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM ev GROUP BY 1),
+          r AS (
+            SELECT sp.doc_id, sp.split,
+                   coalesce(cnt.n_grams, 0) AS n_grams,
+                   coalesce(l.n_leaked, 0) AS n_leaked
+            FROM sp LEFT JOIN cnt USING (doc_id) LEFT JOIN leaked l USING (doc_id)
+            WHERE sp.split <> 'train'),
+          b AS (
+            SELECT *, CASE WHEN n_grams > 0
+                           THEN n_leaked * 10000 // n_grams
+                           ELSE 0 END AS leak_bp
+            FROM r)
+          SELECT doc_id, split, n_grams, n_leaked, leak_bp,
+                 leak_bp >= 1000 AS quarantine
+          FROM b""",
     "q174_doc_chunks" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

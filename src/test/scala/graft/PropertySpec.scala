@@ -333,4 +333,39 @@ class PropertySpec extends AnyFunSuite {
     // overlap really happens for long docs at this SF
     assert(byDoc.values.exists(_.length > 1), "no multi-chunk doc at spec SF")
   }
+
+  test("q178 split leakage: brute-force gram recompute; short eval docs reported, not dropped") {
+    val got = graft.operators.TextAnalysis.q178SplitLeakage(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_leaked"),
+          r.getAs[Long]("leak_bp"), r.getAs[Boolean]("quarantine")))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def coin(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0) & 0xff).toLong)
+    }
+    def splitOf(id: Long): String =
+      if (coin(id) < 204) "train" else if (coin(id) < 230) "val" else "test"
+    val gramSets = docs.map { case (id, w) =>
+      id -> (if (w.size >= 5) w.sliding(5).map(_.mkString(" ")).toSet else Set.empty[String])
+    }.toMap
+    val trainGrams = gramSets.collect {
+      case (id, gs) if splitOf(id) == "train" => gs }.foldLeft(Set.empty[String])(_ ++ _)
+    val evalIds = docs.map(_._1).filter(splitOf(_) != "train").toSet
+    assert(got.keySet == evalIds, "exactly the eval docs are audited")
+    evalIds.foreach { id =>
+      val gs = gramSets(id)
+      val leaked = gs.count(trainGrams.contains).toLong
+      val bp = if (gs.nonEmpty) leaked * 10000 / gs.size else 0L
+      assert(got(id) == ((splitOf(id), gs.size.toLong, leaked, bp, bp >= 1000)), s"doc $id")
+    }
+    // the audit discriminates on this corpus: some leakage, not total
+    val bps = got.values.map(_._4)
+    assert(bps.exists(_ > 0), "no leakage found - vacuous at spec SF")
+    // the short-doc lane (n_grams = 0 reported, not dropped) has no natural
+    // member at spec SF (min doc length is 10 words) — it is covered by the
+    // keyset equality above: EVERY eval doc appears regardless of length
+  }
 }
