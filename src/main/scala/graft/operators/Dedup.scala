@@ -594,10 +594,12 @@ object Dedup {
         bands AS ($bands)"""
   }
 
-  val oracles: Map[String, String] = Map(
-    "q169_canonical_docs" -> {
-      val en = TextAnalysis.duckStopCount("en")
-      s"""WITH RECURSIVE $minhashCtes,
+  /** The recursive transitive-closure cluster CTEs shared by the
+    * q56/q169/q179 oracles: LSH candidate pairs → bidirectional edges →
+    * reachability fixpoint (per-doc min-reachable label = the connected
+    * component). */
+  private val reachCtes: String =
+    s"""$minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b USING (band_id, sig)
                    WHERE a.doc_id < b.doc_id),
@@ -606,7 +608,12 @@ object Dedup {
           reach(src, dst) AS (
             SELECT src, dst FROM edges
             UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
+
+  val oracles: Map[String, String] = Map(
+    "q169_canonical_docs" -> {
+      val en = TextAnalysis.duckStopCount("en")
+      s"""WITH RECURSIVE $reachCtes,
           cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
                  FROM reach GROUP BY src),
           qt AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -662,17 +669,22 @@ object Dedup {
                  CAST(levenshtein(fa, fb) AS BIGINT) * 10000
                    // greatest(greatest(length(fa), length(fb)), 1) AS norm_bp
           FROM j""",
+    "q179_cluster_split" ->
+      s"""WITH RECURSIVE $reachCtes,
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          g AS (SELECT d.doc_id,
+                       coalesce(cl.cluster_id, d.doc_id) AS group_key,
+                       cl.cluster_id IS NOT NULL AS in_cluster
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+          co AS (SELECT *, ${TextAnalysis.duckCoin("group_key")} AS coin FROM g)
+          SELECT doc_id, group_key, in_cluster,
+                 CASE WHEN coin < 204 THEN 'train'
+                      WHEN coin < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM co""",
     "q56_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b USING (band_id, sig)
-                   WHERE a.doc_id < b.doc_id),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-                    UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
-          reach(src, dst) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      s"""WITH RECURSIVE $reachCtes
           SELECT src AS doc_id,
                  least(src, min(dst)) AS cluster_id,
                  (src = least(src, min(dst))) AS is_survivor
@@ -757,8 +769,36 @@ object Dedup {
         col("dominated").isNull.as("is_kept"))
   }
 
+  /** q179: dedup-aware split assignment — the FIX for what q178 measures:
+    * q74's per-doc coin lets near-duplicate documents straddle
+    * train/val/test, leaking training signal into evaluation. Here the
+    * coin is thrown per near-dup CLUSTER (q56's connected components;
+    * singletons are their own group), so an entire duplicate group lands
+    * in one split — leakage through the q29 candidate graph is
+    * structurally zero while marginal split fractions stay ~80/10/10
+    * (the coin is uniform over group keys).
+    *
+    * Shape: q56's cluster pass (band explode → bucket pairs → bounded CC
+    * iterations) + one left join of the doc spine against the
+    * cluster-membership frame (candidate-bounded, broadcastable in
+    * practice but planned as a plain join — correct either way) + a pure
+    * md5-coin projection. Nothing new at corpus scale beyond q56 itself.
+    */
+  def q179ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q56DedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("coin", TextAnalysis.md5Coin(col("group_key")))
+      .select(col("doc_id"), col("group_key"),
+        col("cluster_id").isNotNull.as("in_cluster"),
+        when(col("coin") < 204, "train").when(col("coin") < 230, "val")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_semdedup"       -> ((s, dir) => q175SemDedup(s, dir)),
+    "q179_cluster_split"  -> (q179ClusterSplit _),
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),

@@ -681,4 +681,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(byRank.head._5 >= byRank.map(_._5).max - 1e-12, s"q$qid rank-1 relevance")
     }
   }
+
+  test("q179 cluster-aware split: clusters never straddle splits; marginals near 80/10/10") {
+    val rows = Dedup.q179ClusterSplit(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_key"), r.getAs[Boolean]("in_cluster"), r.getAs[String]("split"))))
+      .toMap
+    assert(rows.size == Tables.documents(spark, sf01).count())
+    val clusters = Dedup.q56DedupClusters(spark, sf01).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { case (id, (gk, inCl, _)) =>
+      assert(gk == clusters.getOrElse(id, id), s"doc $id group key")
+      assert(inCl == clusters.contains(id), s"doc $id membership flag")
+    }
+    // THE invariant q178 audits for: no candidate pair straddles splits
+    val pairs = Dedup.q29DedupMinhash(spark, sf01)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(rows(a)._3 == rows(b)._3, s"pair ($a,$b) straddles splits")
+    }
+    // marginal split fractions stay near q74's 80/10/10 (coin is uniform
+    // over GROUP keys; loose bounds — 5000-doc corpus, ~binomial noise)
+    val frac = rows.values.groupBy(_._3).view.mapValues(_.size.toDouble / rows.size).toMap
+    assert(frac("train") > 0.74 && frac("train") < 0.85, s"train ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.05 && frac.getOrElse("test", 0.0) > 0.05)
+  }
 }
