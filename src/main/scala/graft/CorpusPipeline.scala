@@ -76,6 +76,16 @@ object CorpusPipeline {
            x -> x <> '' AND x NOT IN ${TextAnalysis.enStopInList})"""), " ")
         .as("clean_text"))
 
+  /** Stage 6 (serving prep, optional) — context chunking: the published
+    * clean corpus re-expressed as overlapping token-window chunks with
+    * stable keys (q174's exact geometry via the SHARED
+    * [[TextAnalysis.chunksOf]] transform — one definition, no drift),
+    * carrying lang/source onto every chunk. What the embedding/retrieval
+    * tier actually ingests; pure narrow transform, zero exchanges.
+    */
+  def chunk(published: DataFrame): DataFrame =
+    TextAnalysis.chunksOf(published, "clean_text", Seq("lang", "source"))
+
   final case class Audit(stage: String, n_docs: Long)
 
   /** Full run: documents → published clean corpus (parquet partitioned by
@@ -83,6 +93,16 @@ object CorpusPipeline {
     * the audit counts and the next stage share one computation instead of
     * re-running the upstream pipeline per count.
     */
+  /** [[run]] with chunk output: also writes the stage-6 chunk frame
+    * beside the corpus so a re-publish regenerates both together.
+    */
+  def runWithChunks(s: SparkSession, dir: String, outDir: String,
+      chunksDir: String): (DataFrame, DataFrame) = {
+    val (published, audit) = run(s, dir, outDir)
+    chunk(published).write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(chunksDir)
+    (published, audit)
+  }
+
   def run(s: SparkSession, dir: String, outDir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val raw = Tables.documents(s, dir)

@@ -1224,21 +1224,33 @@ object TextAnalysis {
     * incremental ingests produce identical keys.
     */
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    chunksOf(Tables.documents(s, dir), "text", Nil)
+
+  /** The chunking transform itself, shared by q174 and
+    * [[graft.CorpusPipeline.chunk]] (one geometry definition — a drifted
+    * copy would silently produce different chunk keys for the same
+    * corpus). `keep` columns are carried through onto every chunk row.
+    */
+  private[graft] def chunksOf(docs: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    docs
+      .select(col("doc_id") +: keepCols :+
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("toks"): _*)
       .withColumn("nt", size(col("toks")))
       .withColumn("n_chunks", expr(
         s"""CAST(CASE WHEN nt <= $ChunkW THEN 1
                       ELSE (nt - $ChunkW + ${ChunkS - 1}) DIV $ChunkS + 1 END AS BIGINT)"""))
-      .select(col("doc_id"), col("toks"), col("nt"), col("n_chunks"),
-        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_no"))
-      .select(
+      .select(col("doc_id") +: keepCols ++: Seq(col("toks"), col("nt"), col("n_chunks"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_no")): _*)
+      .select(Seq(
         col("doc_id"), col("chunk_no"), col("n_chunks"),
         expr(s"least(CAST($ChunkW AS BIGINT), nt - chunk_no * $ChunkS)").as("n_chunk_tokens"),
         concat(col("doc_id").cast("string"), lit("#"), col("chunk_no").cast("string"))
           .as("chunk_key"),
         expr(s"array_join(slice(toks, CAST(chunk_no * $ChunkS + 1 AS INT), $ChunkW), ' ')")
-          .as("chunk_text"))
+          .as("chunk_text")) ++ keepCols: _*)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_split_leakage" -> (q178SplitLeakage _),

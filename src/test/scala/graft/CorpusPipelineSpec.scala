@@ -64,4 +64,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!out.contains(5L), "verbatim benchmark text leaked into the corpus")
     assert(out.contains(6L))
   }
+
+  test("stage 6 chunks: exact q174 geometry over the published corpus, lineage carried") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-chunks")
+    val (published, _) = CorpusPipeline.runWithChunks(spark, sf,
+      s"$dir/corpus", s"$dir/chunks")
+    val chunks = spark.read.parquet(s"$dir/chunks")
+    assert(chunks.count() > 0)
+    // every published doc chunks; every chunk's doc exists; lineage intact
+    val pubIds = published.select("doc_id").collect().map(_.getLong(0)).toSet
+    val chunkIds = chunks.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chunkIds == pubIds)
+    val langs = published.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.select("doc_id", "lang", "chunk_key", "chunk_no").collect().foreach { r =>
+      assert(r.getString(1) == langs(r.getLong(0)), s"chunk lang drift for doc ${r.getLong(0)}")
+      assert(r.getString(2) == s"${r.getLong(0)}#${r.getLong(3)}")
+    }
+    // the geometry IS q174's: reconstruct one multi-chunk doc by hand
+    val multi = chunks.groupBy("doc_id").count().filter(col("count") > 1)
+      .select("doc_id").head().getLong(0)
+    val toks = published.filter(col("doc_id") === multi)
+      .select("clean_text").head().getString(0).split(" ").filter(_.nonEmpty)
+    chunks.filter(col("doc_id") === multi).collect().foreach { r =>
+      val i = r.getAs[Long]("chunk_no").toInt
+      assert(r.getAs[String]("chunk_text") ==
+        toks.slice(i * 24, i * 24 + 32).mkString(" "))
+    }
+  }
 }
