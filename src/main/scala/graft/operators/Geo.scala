@@ -590,10 +590,93 @@ object Geo {
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
+    "q180_od_entropy" -> (q180OdEntropy _),
     "q131_pip_zones" -> (q131PipZones _),
     "q133_hex_bins" -> (q133HexBins _))
 
+  /** q180: destination-entropy per origin zone — "from this zone, how
+    * DIVERSE are the places trips go" (Shannon entropy of the OD row),
+    * the mobility-mixing diagnostic planners read beside q63's raw
+    * matrix: a commuter feeder zone scores near 0, a mixed-use hub near
+    * ln(k). The q163 micro-nat discipline makes it engine-exact: each
+    * destination's p·ln(1/p) term is rounded to 1e-6 nats (integer) and
+    * the per-origin entropy is an exact BIGINT sum of those terms;
+    * norm_bp (entropy / ln(n_dests)) is one double over two integers.
+    *
+    * Shape: [[zoneTrips]] → one OD-key aggregate (the q63 exchange) →
+    * per-origin window + rollup on the zone²-bounded OD frame. Nothing
+    * after the trips aggregate is event-scale.
+    */
+  def q180OdEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val od = zoneTrips(s, dir)
+      .groupBy(col("origin_x"), col("origin_y"), col("dest_x"), col("dest_y"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("origin_x"), col("origin_y"))
+    od
+      .withColumn("no", sum(col("n")).over(w))
+      .withColumn("term_unat", expr(
+        """CAST(round(1000000.0 * (CAST(n AS DOUBLE) / CAST(no AS DOUBLE)) *
+                ln(CAST(no AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)"""))
+      .groupBy(col("origin_x"), col("origin_y"))
+      .agg(max(col("no")).as("n_trips"),
+        count(lit(1)).as("n_dests"),
+        sum(col("term_unat")).as("entropy_unat"))
+      .withColumn("norm_bp", expr(
+        """CASE WHEN n_dests > 1
+                THEN CAST(round(10000.0 * CAST(entropy_unat AS DOUBLE) /
+                     (1000000.0 * ln(CAST(n_dests AS DOUBLE)))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END"""))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q180_od_entropy" ->
+      s"""WITH z AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+            FROM events),
+          e AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM z),
+          s AS (
+            SELECT user_id, ts, event_id, zone_x, zone_y,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+            FROM e),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, sess_no ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM s),
+          trips AS (
+            SELECT o.zone_x AS origin_x, o.zone_y AS origin_y,
+                   d.zone_x AS dest_x, d.zone_y AS dest_y
+            FROM (SELECT * FROM r WHERE rn_a = 1) o
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no)),
+          od AS (
+            SELECT origin_x, origin_y, dest_x, dest_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM trips GROUP BY 1, 2, 3, 4),
+          wno AS (
+            SELECT *, CAST(sum(n) OVER (PARTITION BY origin_x, origin_y) AS BIGINT) AS no
+            FROM od),
+          t AS (
+            SELECT *, CAST(round(1000000.0 * (CAST(n AS DOUBLE) / CAST(no AS DOUBLE)) *
+                          ln(CAST(no AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS term_unat
+            FROM wno),
+          agg AS (
+            SELECT origin_x, origin_y, max(no) AS n_trips,
+                   CAST(count(*) AS BIGINT) AS n_dests,
+                   CAST(sum(term_unat) AS BIGINT) AS entropy_unat
+            FROM t GROUP BY 1, 2)
+          SELECT origin_x, origin_y, n_trips, n_dests, entropy_unat,
+                 CASE WHEN n_dests > 1
+                      THEN CAST(round(10000.0 * CAST(entropy_unat AS DOUBLE) /
+                           (1000000.0 * ln(CAST(n_dests AS DOUBLE)))) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS norm_bp
+          FROM agg""",
     "q167_hotspots" ->
       s"""WITH cells AS (
             SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,

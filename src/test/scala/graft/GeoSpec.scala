@@ -342,4 +342,33 @@ class GeoSpec extends AnyFunSuite {
     val p = Geo.q159StayPoints(spark, sf).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q180 OD entropy: recomputed from q63's matrix; bounds and degenerate rows hold") {
+    val ent = graft.operators.Geo.q180OdEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_trips"), r.getAs[Long]("n_dests"),
+          r.getAs[Long]("entropy_unat"), r.getAs[Long]("norm_bp")))).toMap
+    assert(ent.nonEmpty)
+    val od = graft.operators.Geo.q63OdMatrix(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)), r.getAs[Long]("n_trips")))
+    val byOrigin = od.groupBy(_._1)
+    assert(ent.keySet == byOrigin.keySet)
+    byOrigin.foreach { case (o, rows) =>
+      val counts = rows.map(_._3)
+      val no = counts.sum
+      val terms = counts.map(n => math.round(1e6 * (n.toDouble / no) * math.log(no.toDouble / n)))
+      val (gotTrips, gotDests, gotEnt, gotNorm) = ent(o)
+      assert(gotTrips == no && gotDests == counts.size.toLong, s"origin $o totals")
+      assert(gotEnt == terms.sum, s"origin $o entropy")
+      if (counts.size > 1) {
+        assert(gotNorm == math.round(1e4 * gotEnt.toDouble / (1e6 * math.log(counts.size.toDouble))))
+        // normalized entropy lives in [0, ~10000] (+1 for term rounding slack)
+        assert(gotNorm >= 0 && gotNorm <= 10001, s"origin $o norm $gotNorm")
+      } else {
+        assert(gotEnt == 0 && gotNorm == 0, s"origin $o degenerate")
+      }
+    }
+    // the axis discriminates: different origins mix differently
+    assert(ent.values.map(_._4).toSet.size > 1, "norm_bp constant")
+  }
 }
