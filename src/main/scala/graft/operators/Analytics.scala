@@ -612,7 +612,86 @@ object Analytics {
         col("target_next"))
   }
 
+  /** q181: STL-lite decomposition of the daily volume series — per
+    * (event_type, day): trend (centered 7-day moving average), seasonal
+    * (mean detrended value of the day-of-week), residual (what's left —
+    * the series a monitor should actually alarm on, q95/q172's input
+    * denoised). Everything lives in micro-units: window/group sums are
+    * exact integers, and each mean is ONE round(double/double) over
+    * identical integer operands on both engines — never an integer
+    * division whose truncate-vs-floor could split on negative detrended
+    * values (the q86 lesson).
+    *
+    * Shape: one scan → daily agg; the centered-RANGE trend window, the
+    * (type, dow) seasonal rollup and its join back all run on the
+    * calendar-bounded day frame (localCheckpointed once for the branch
+    * reuse).
+    */
+  def q181StlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("t_sum", sum(col("n")).over(wT))
+      .withColumn("t_cnt", count(col("n")).over(wT))
+      .withColumn("trend_micro", expr(
+        "CAST(round(1000000.0 * CAST(t_sum AS DOUBLE) / CAST(t_cnt AS DOUBLE)) AS BIGINT)"))
+      .withColumn("detrended_micro", expr("n * 1000000 - trend_micro"))
+      .withColumn("dow7", expr("((day + 4) % 7)"))
+    val seasonal = trended.groupBy(col("event_type"), col("dow7"))
+      .agg(expr("""CAST(round(CAST(sum(detrended_micro) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE)) AS BIGINT)""").as("seasonal_micro"))
+    trended.join(seasonal, Seq("event_type", "dow7"))
+      .select(col("event_type"), col("day"), col("dow7"), col("n").as("n_events"),
+        col("trend_micro"), col("seasonal_micro"),
+        expr("n * 1000000 - trend_micro - seasonal_micro").as("residual_micro"))
+  }
+
+  /** q182: seasonal-naive forecast backtest — before anyone trains on
+    * q177's features, the baseline every volume model must beat:
+    * forecast(d) = n(d−7) (seasonal naive) vs n(d−1) (naive), scored
+    * over every day where the lag exists. Per type: scored days, each
+    * model's MAE (rounded micro), the symmetric APE in basis points
+    * (Σ|n−f| / Σ(n+f) — denominators can't vanish on nonempty days),
+    * and the skill of seasonal over naive. Gap honesty: lags are RANGE
+    * frames, so a missing day scores nothing rather than sliding the
+    * comparison (q177's rule).
+    */
+  def q182ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("f7", max(col("n")).over(w.rangeBetween(-7, -7)))
+      .withColumn("f1", max(col("n")).over(w.rangeBetween(-1, -1)))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days_scored"),
+        sum(abs(col("n") - col("f7"))).as("ae7"),
+        sum(abs(col("n") - col("f1"))).as("ae1"),
+        sum(col("n") + col("f7")).as("den7"))
+      .select(col("event_type"), col("n_days_scored"),
+        expr("""CAST(round(1000000.0 * CAST(ae7 AS DOUBLE) /
+                CAST(n_days_scored AS DOUBLE)) AS BIGINT)""").as("mae7_micro"),
+        expr("""CAST(round(1000000.0 * CAST(ae1 AS DOUBLE) /
+                CAST(n_days_scored AS DOUBLE)) AS BIGINT)""").as("mae1_micro"),
+        expr("""CAST(round(10000.0 * CAST(ae7 AS DOUBLE) /
+                CAST(den7 AS DOUBLE)) AS BIGINT)""").as("smape7_bp"),
+        expr("""CASE WHEN ae1 > 0
+                THEN CAST(round(10000.0 * (1.0 - CAST(ae7 AS DOUBLE) /
+                     CAST(ae1 AS DOUBLE))) AS BIGINT) END""").as("skill_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_stl_decompose"   -> (q181StlDecompose _),
+    "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
     "q139_pareto"       -> (q139Pareto _),
@@ -654,6 +733,64 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q181_stl_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tr AS (
+           SELECT *,
+                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_sum,
+                  CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_cnt
+           FROM daily),
+         t2 AS (
+           SELECT *, CAST(round(1000000.0 * CAST(t_sum AS DOUBLE) /
+                       CAST(t_cnt AS DOUBLE)) AS BIGINT) AS trend_micro,
+                  (day + 4) % 7 AS dow7
+           FROM tr),
+         t3 AS (SELECT *, n * 1000000 - trend_micro AS detrended_micro FROM t2),
+         se AS (
+           SELECT event_type, dow7,
+                  CAST(round(CAST(sum(detrended_micro) AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micro
+           FROM t3 GROUP BY 1, 2)
+         SELECT t3.event_type, day, t3.dow7, n AS n_events,
+                trend_micro, seasonal_micro,
+                n * 1000000 - trend_micro - seasonal_micro AS residual_micro
+         FROM t3 JOIN se ON t3.event_type = se.event_type AND t3.dow7 = se.dow7""",
+    "q182_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT *,
+                  max(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS f7,
+                  max(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS f1
+           FROM daily),
+         sc AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_days_scored,
+                  CAST(sum(abs(n - f7)) AS BIGINT) AS ae7,
+                  CAST(sum(abs(n - f1)) AS BIGINT) AS ae1,
+                  CAST(sum(n + f7) AS BIGINT) AS den7
+           FROM f WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+           GROUP BY 1)
+         SELECT event_type, n_days_scored,
+                CAST(round(1000000.0 * CAST(ae7 AS DOUBLE) /
+                  CAST(n_days_scored AS DOUBLE)) AS BIGINT) AS mae7_micro,
+                CAST(round(1000000.0 * CAST(ae1 AS DOUBLE) /
+                  CAST(n_days_scored AS DOUBLE)) AS BIGINT) AS mae1_micro,
+                CAST(round(10000.0 * CAST(ae7 AS DOUBLE) /
+                  CAST(den7 AS DOUBLE)) AS BIGINT) AS smape7_bp,
+                CASE WHEN ae1 > 0
+                     THEN CAST(round(10000.0 * (1.0 - CAST(ae7 AS DOUBLE) /
+                          CAST(ae1 AS DOUBLE))) AS BIGINT) END AS skill_bp
+         FROM sc""",
     "q177_demand_features" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -693,4 +693,60 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$t horizon target must be NULL")
     }
   }
+
+  test("q181 STL-lite: components reconstruct the series; seasonal means sum near zero") {
+    val rows = Analytics.q181StlDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the identity the decomposition promises: n*1e6 = trend + seasonal + residual
+      assert(r.getAs[Long]("n_events") * 1000000L ==
+        r.getAs[Long]("trend_micro") + r.getAs[Long]("seasonal_micro") +
+          r.getAs[Long]("residual_micro"))
+    }
+    // seasonal is a mean of detrended values, so per (type, dow) the
+    // residuals (detrended - seasonal) must average to ~0 (rounding slack)
+    rows.groupBy(r => (r.getString(0), r.getAs[Long]("dow7"))).foreach { case (k, rs) =>
+      val meanResid = rs.map(_.getAs[Long]("residual_micro")).sum.toDouble / rs.size
+      assert(math.abs(meanResid) <= 1.0, s"$k mean residual $meanResid")
+    }
+    // the trend is smoother than the raw series (it is a moving average)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val s2 = rs.sortBy(_.getAs[Long]("day"))
+      def var2(xs: Seq[Double]): Double = {
+        val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum / xs.size }
+      val rawVar = var2(s2.map(_.getAs[Long]("n_events").toDouble * 1e6))
+      val trendVar = var2(s2.map(_.getAs[Long]("trend_micro").toDouble))
+      assert(trendVar <= rawVar, s"$t trend rougher than raw")
+    }
+  }
+
+  test("q182 backtest: scores recomputed from daily counts; lag-missing days excluded") {
+    val rows = Analytics.q182ForecastBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    daily.foreach { case (t, byDay) =>
+      val scored = byDay.keys.toSeq.filter(d =>
+        byDay.contains(d - 7) && byDay.contains(d - 1)).sorted
+      if (scored.isEmpty) assert(!rows.contains(t))
+      else {
+        val r = rows(t)
+        val ae7 = scored.map(d => math.abs(byDay(d) - byDay(d - 7))).sum
+        val ae1 = scored.map(d => math.abs(byDay(d) - byDay(d - 1))).sum
+        val den7 = scored.map(d => byDay(d) + byDay(d - 7)).sum
+        assert(r.getAs[Long]("n_days_scored") == scored.size.toLong, s"$t scored")
+        assert(r.getAs[Long]("mae7_micro") == math.round(1e6 * ae7.toDouble / scored.size))
+        assert(r.getAs[Long]("mae1_micro") == math.round(1e6 * ae1.toDouble / scored.size))
+        assert(r.getAs[Long]("smape7_bp") == math.round(1e4 * ae7.toDouble / den7))
+        if (ae1 > 0)
+          assert(r.getAs[Long]("skill_bp") ==
+            math.round(1e4 * (1.0 - ae7.toDouble / ae1)))
+      }
+    }
+  }
 }
