@@ -689,7 +689,44 @@ object Analytics {
                      CAST(ae1 AS DOUBLE))) AS BIGINT) END""").as("skill_bp"))
   }
 
+  /** q183: cohort LTV curves — cumulative revenue per original cohort
+    * member by months-since-first-order, the lifetime-value companion of
+    * q79's activity retention (q79 answers "do they come back", this
+    * answers "what are they WORTH over time"; the divisor is the FULL
+    * cohort size, not the still-active count, so curves are comparable
+    * across cohorts). Months are integer year·12+month arithmetic (no
+    * engine month-diff semantics in play); revenue is exact cents;
+    * ltv_cents_per_cust floors an always-nonnegative division, where
+    * truncate-vs-floor cannot split.
+    *
+    * Shape: one orders scan feeds both the first-order cohort frame and
+    * the fact side (custkey-keyed join — q79's shape); everything after
+    * the (cohort, age) aggregate runs on a months²-bounded frame with a
+    * broadcast cohort-size join and a cohort-partitioned cumsum window.
+    */
+  def q183CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("""CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+                month(CAST(o_orderdate AS DATE)) AS BIGINT)""").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val sizes = cohort.groupBy(col("m0")).agg(count(lit(1)).as("cohort_n"))
+    val wCum = Window.partitionBy(col("m0")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+      .join(broadcast(sizes), Seq("m0"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("m0").as("cohort_month"), col("age"), col("n_active"),
+        col("rev_cents"), col("cohort_n"),
+        expr("cum_rev_cents DIV cohort_n").as("ltv_cents_per_cust"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_cohort_ltv"      -> (q183CohortLtv _),
     "q181_stl_decompose"   -> (q181StlDecompose _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
@@ -733,6 +770,31 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q183_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+                       month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         cohort AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+         sizes AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_n
+                   FROM cohort GROUP BY 1),
+         cells AS (
+           SELECT c.m0, o.m - c.m0 AS age,
+                  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+                  CAST(sum(o.cents) AS BIGINT) AS rev_cents
+           FROM o JOIN cohort c USING (o_custkey)
+           GROUP BY 1, 2),
+         w AS (
+           SELECT cells.*, sizes.cohort_n,
+                  CAST(sum(rev_cents) OVER (PARTITION BY cells.m0 ORDER BY age
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_rev_cents
+           FROM cells JOIN sizes USING (m0))
+         SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
+                cum_rev_cents // cohort_n AS ltv_cents_per_cust
+         FROM w""",
     "q181_stl_decompose" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -749,4 +749,31 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q183 cohort LTV: monotone curves, age-0 covers the cohort, totals reconcile") {
+    val rows = Analytics.q183CohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_month"))
+    byCohort.foreach { case (c, rs) =>
+      val s2 = rs.sortBy(_.getAs[Long]("age"))
+      // age 0 exists and its active count IS the cohort size (first order month)
+      assert(s2.head.getAs[Long]("age") == 0L, s"cohort $c missing age 0")
+      assert(s2.head.getAs[Long]("n_active") == s2.head.getAs[Long]("cohort_n"),
+        s"cohort $c age-0 actives != cohort size")
+      // LTV is cumulative revenue over a constant divisor: non-decreasing
+      s2.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1).getAs[Long]("ltv_cents_per_cust") >= w(0).getAs[Long]("ltv_cents_per_cust"),
+          s"cohort $c LTV decreased")
+      }
+    }
+    // every order's revenue lands in exactly one cell: totals reconcile
+    val totalRev = rows.map(_.getAs[Long]("rev_cents")).sum
+    val expect = Tables.orders(spark, sf)
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).head().getLong(0)
+    assert(totalRev == expect, s"revenue $totalRev != $expect")
+    // cohort sizes partition the customer base
+    val sizes = rows.map(r => r.getAs[Long]("cohort_month") -> r.getAs[Long]("cohort_n")).toMap
+    assert(sizes.values.sum == Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+  }
 }
