@@ -699,10 +699,12 @@ object Analytics {
     * ltv_cents_per_cust floors an always-nonnegative division, where
     * truncate-vs-floor cannot split.
     *
-    * Shape: one orders scan feeds both the first-order cohort frame and
-    * the fact side (custkey-keyed join — q79's shape); everything after
-    * the (cohort, age) aggregate runs on a months²-bounded frame with a
-    * broadcast cohort-size join and a cohort-partitioned cumsum window.
+    * Shape: the customer-bounded cohort frame is localCheckpointed so
+    * its two consumers (sizes + the fact join) don't re-run the cohort
+    * aggregate's scan — orders is read twice (cohort aggregate + fact
+    * side), both projection-only; everything after the (cohort, age)
+    * aggregate runs on a months²-bounded frame with a broadcast
+    * cohort-size join and a cohort-partitioned cumsum window.
     */
   def q183CohortLtv(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -711,6 +713,7 @@ object Analytics {
                 month(CAST(o_orderdate AS DATE)) AS BIGINT)""").as("m"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+      .localCheckpoint()
     val sizes = cohort.groupBy(col("m0")).agg(count(lit(1)).as("cohort_n"))
     val wCum = Window.partitionBy(col("m0")).orderBy(col("age"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

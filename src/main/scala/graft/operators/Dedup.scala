@@ -300,23 +300,26 @@ object Dedup {
   }
 
   /** q69: SimHash near-dup PAIRS — the step q30 stopped short of: the four
-    * 16-bit hamming bands become (band_id, sig) buckets, pair expansion
-    * runs through the same capped [[expandPairs]] as the minhash paths,
-    * and candidates are confirmed by true hamming distance
+    * 16-bit hamming bands become (band_id, sig) buckets with their OWN
+    * inline pair expansion (not [[expandPairs]] — see below), and
+    * candidates are confirmed by true hamming distance
     * (`bit_count(ha XOR hb)`).
     *
     * For `maxHamming` ≤ 3 the result is EXACT, not approximate: 3
     * differing bits can touch at most 3 of the 4 bands, so every such pair
     * shares a band (pigeonhole) — DedupSimilaritySpec asserts equality
     * with brute-force all-pairs hamming at sf0.001. Because the guarantee
-    * is exactness, this path runs [[expandPairs]] UNCAPPED (the hot-bucket
+    * is exactness, this path deliberately has NO hot-bucket cap (the
     * guard would silently drop true hamming ≤ 3 pairs from an over-cap
-    * band bucket): a band bucket here is a set of documents sharing 16
-    * simhash bits, so an adversarially huge bucket means that many
-    * near-identical docs and the n² expansion is the honest price of the
-    * exact answer — callers that prefer the bounded-work approximation
-    * can pre-collapse exact dupes (q28) first. Rows-only (xxhash64
-    * simhashes have no SQL mirror).
+    * band bucket) — which is also why it no longer routes through
+    * [[expandPairs]]: the inline expansion carries both simhashes so the
+    * hamming confirm runs before the pair-dedup exchange. A band bucket
+    * here is a set of documents sharing 16 simhash bits, so an
+    * adversarially huge bucket means that many near-identical docs and
+    * the n² expansion is the honest price of the exact answer — callers
+    * that prefer the bounded-work approximation can pre-collapse exact
+    * dupes (q28) first. Rows-only (xxhash64 simhashes have no SQL
+    * mirror).
     */
   def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sh = q30DedupSimhash(s, dir).localCheckpoint() // tiny: one row/doc
@@ -753,6 +756,10 @@ object Dedup {
         col("embedding"),
         (-col("best").getField("negcell")).as("cell"),
         col("best").getField("cs").as("cent_sim"))
+      // three consumers (both pair sides + the verdict join) — checkpoint
+      // so the scan + k-cell argmax run once; at 100 TB this materialized
+      // frame IS the persisted cell-partitioned IvfIndex layout, built once
+      .localCheckpoint()
     val ahead = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("cent_sim").as("cent_a"))
     val behind = assigned.select(col("cell"), col("vec_id").as("id_b"),

@@ -137,8 +137,11 @@ object Privacy {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(cellBand, Seq("event_type", "day", "band"), "left")
-      .na.fill(0L, Seq("cnt"))
-      .join(broadcast(glob.na.fill(0L, Seq("g"))), Seq("band"), "left")
+      .join(broadcast(glob), Seq("band"), "left")
+      // fill AFTER both joins — it is the join misses (cell or corpus
+      // band with zero events) that produce the nulls; a pre-join fill on
+      // glob was dead code and left g NULL for a corpus-empty band
+      .na.fill(0L, Seq("cnt", "g"))
       .crossJoin(broadcast(total))
       .withColumn("n_cell", sum(col("cnt")).over(wCell))
       .withColumn("cum", sum(

@@ -609,6 +609,11 @@ object Similarity {
       .crossJoin(broadcast(queriesDf(s, dir)))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      // a zero-norm vector yields NULL cosine (the kernel's contract, not
+      // NaN) — drop it here: as a candidate it cannot rank, and as a query
+      // it empties its own candidate set; without this filter the
+      // non-nullable Double decode below would throw
+      .filter(col("cs").isNotNull)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= c)
       .select(col("query_id"), col("neighbor_id"),
@@ -640,9 +645,9 @@ object Similarity {
             if (sc > bScore || (sc == bScore && id < bId)) { bi = i; bScore = sc; bId = id }
             i += 1
           }
-          // a NaN relevance (zero vector — q76's hygiene audit exists to
-          // catch these upstream) compares false against everything; if the
-          // whole pool is NaN nothing was selected — stop, don't crash
+          // belt-and-braces: zero-norm vectors are filtered upstream (NULL
+          // cosine), so a NaN pairwise penalty should be unreachable — but
+          // if the whole pool ever compares false, stop rather than crash
           if (bi < 0) { rank = k + 1 }
           else {
           val (id, rel, e) = pool.remove(bi)

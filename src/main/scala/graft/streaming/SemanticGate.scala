@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -45,13 +44,7 @@ object SemanticGate {
     val ingestRoot = s"$indexDir/ingest"
     val rejectRoot = s"$indexDir/rejects"
     if (AtomicGen.committed(s, ingestRoot, batchId)) return false
-    val centers = IvfIndex.loadCenters(s, indexDir)
-    val dim = centers.head.length
-    val bad = batch.select(size(col("embedding")).as("d"))
-      .filter(col("d") =!= dim).limit(1).collect()
-    require(bad.isEmpty,
-      s"semantic gate: embedding dim ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
-        s"does not match the stored model's dim $dim")
+    val centers = VectorIngest.validateBatch(s, indexDir, batch)
     val assigned = batch
       .select(col("vec_id"), col("embedding"))
       .withColumn("best", array_max(Similarity.scoredCells(col("embedding"), centers)))
@@ -64,15 +57,8 @@ object SemanticGate {
     val resident = {
       val base = s.read.parquet(s"$indexDir/corpus")
         .select(col("cell"), col("vec_id"), col("embedding"))
-      val root = new Path(ingestRoot)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val hasLane = fs.exists(root) && fs.listStatus(root)
-        .exists(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-      val all = if (hasLane)
-        base.unionByName(s.read.parquet(ingestRoot)
-          .select(col("cell"), col("vec_id"), col("embedding")))
-      else base
-      all.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      VectorIngest.ingestFrame(s, indexDir).fold(base)(base.unionByName(_))
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     }
     val dupResident = assigned.alias("b")
       .join(resident.alias("r"), Seq("cell"))
@@ -98,19 +84,25 @@ object SemanticGate {
         .coalesce(1).write.mode("overwrite").parquet(staged)
     }
     val kept = assigned.join(rejects, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("embedding"))
-    VectorIngest.publish(s, indexDir, kept, batchId)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // cells were assigned above with THIS index's stored model — publish
+    // them as-is instead of re-deriving the k-cosine argmax per vector
+    VectorIngest.publishAssigned(s, indexDir, kept, batchId)
     true
   }
 
   /** The streaming entry: embeddings stream → per-micro-batch gated,
-    * idempotent index admission. foreachBatch because the sink is a
-    * transactional two-root publish decision, not a row append.
+    * idempotent index admission. `checkpointDir` is REQUIRED for the
+    * replay contract to mean anything across restarts: without a durable
+    * checkpoint Spark restarts batch ids at 0 and `gen=0` onward read as
+    * already-decided replays — new data would be silently dropped, not
+    * gated.
     */
   def gatedStream(s: SparkSession, indexDir: String, stream: DataFrame,
-      tau: Double = 0.95): StreamingQuery =
+      checkpointDir: String, tau: Double = 0.95): StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         gateBatch(s, indexDir, b.toDF(), id, tau): Unit
       }

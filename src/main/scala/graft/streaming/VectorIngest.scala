@@ -36,18 +36,42 @@ object VectorIngest {
     AtomicGen.publish(s, s"$indexDir/ingest", batchId) { staged =>
       // validation runs inside the publish thunk: a replay of a committed
       // batch skips it entirely (AtomicGen's exists-check short-circuits)
-      require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
-        s"vector ingest: batch must carry (vec_id, embedding), got ${batch.columns.mkString(", ")}")
-      val centers = IvfIndex.loadCenters(s, indexDir)
-      val dim = centers.head.length
-      val bad = batch.select(size(col("embedding")).as("d"))
-        .filter(col("d") =!= dim).limit(1).collect()
-      require(bad.isEmpty,
-        s"vector ingest: embedding dim ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
-          s"does not match the stored model's dim $dim")
+      val centers = validateBatch(s, indexDir, batch)
       batch
         .select(col("vec_id"), col("embedding"))
         .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
+        .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    }: Unit
+  }
+
+  /** The shared batch validator: shape + dimension against the stored
+    * model; returns the loaded centers so callers assign without a second
+    * load. ONE definition — [[SemanticGate]] validates through this too,
+    * so the two ingest doors cannot drift.
+    */
+  private[streaming] def validateBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame): Array[Array[Double]] = {
+    require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
+      s"vector ingest: batch must carry (vec_id, embedding), got ${batch.columns.mkString(", ")}")
+    val centers = IvfIndex.loadCenters(s, indexDir)
+    val dim = centers.head.length
+    val bad = batch.select(size(col("embedding")).as("d"))
+      .filter(col("d") =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"vector ingest: embedding dim ${bad.headOption.map(_.get(0)).getOrElse("?")} " +
+        s"does not match the stored model's dim $dim")
+    centers
+  }
+
+  /** Publish a batch whose cells are ALREADY assigned (column `cell`) —
+    * the gate path, where assignment happened during the dedup decision
+    * and re-deriving it would double the k-cosine work. The caller owns
+    * having assigned with THIS index's stored model.
+    */
+  private[streaming] def publishAssigned(s: SparkSession, indexDir: String,
+      assigned: DataFrame, batchId: Long): Unit = {
+    AtomicGen.publish(s, s"$indexDir/ingest", batchId) { staged =>
+      assigned.select(col("vec_id"), col("embedding"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(staged)
     }: Unit
   }
@@ -56,18 +80,29 @@ object VectorIngest {
     * index appends. foreachBatch is the right tool (same reasoning as
     * s04/s10): the sink is a transactional directory publish keyed by
     * batch id, not a row-append.
+    *
+    * Pass `checkpointDir` in production: batch-id idempotence only
+    * survives a RESTART with a durable checkpoint — without one, Spark
+    * restarts ids at 0 and `gen=0` onward read as already-committed
+    * replays, silently dropping new data (the [[SemanticGate]] contract,
+    * shared here). The default (None — engine temp checkpoint) is for
+    * single-run tests only.
     */
   def ingestStream(s: SparkSession, indexDir: String,
-      stream: DataFrame): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      stream: DataFrame, checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         publish(s, indexDir, batch.toDF(), batchId)
       }
       .start()
+  }
 
-  /** Committed ingest generations (dot-staging litter is invisible). */
-  private def ingestFrame(s: SparkSession, indexDir: String): Option[DataFrame] = {
+  /** Committed ingest generations (dot-staging litter is invisible).
+    * Shared with [[SemanticGate]] — the lane-discovery rule (gen=
+    * directories only) must not fork.
+    */
+  private[streaming] def ingestFrame(s: SparkSession, indexDir: String): Option[DataFrame] = {
     val root = new Path(s"$indexDir/ingest")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val hasGen = fs.exists(root) && fs.listStatus(root)
