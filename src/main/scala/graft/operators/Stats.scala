@@ -519,7 +519,51 @@ object Stats {
       .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
   }
 
+  /** q184: anomaly attribution — the question that follows every q95
+    * alarm: WHICH segment drove today's excess? Per (day, event_type):
+    * the trailing-7-day baseline (q95's RANGE frame — gap-honest),
+    * excess over baseline in micro-events, and the segment's share of
+    * the day's total POSITIVE excess in basis points (negative-excess
+    * segments attribute zero — a sagging segment doesn't dilute the
+    * spiking one's share; the sign convention the on-call actually
+    * wants). Segments with < 3 baseline days emit NULL baseline/excess
+    * and attribute nothing — an honest "too new to judge", not a zero.
+    *
+    * Exactness: baseline_micro is ONE round(double/double) over integer
+    * window sums; excess and the share's floor division are pure
+    * integers (nonnegative — truncate ≡ floor).
+    *
+    * Shape: one scan → (type, day) agg; the per-type RANGE window and
+    * the per-day share window both run on the calendar×types-bounded
+    * frame.
+    */
+  def q184AnomalyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wBase = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    val wDay = Window.partitionBy(col("day"))
+    daily
+      .withColumn("b_sum", sum(col("n")).over(wBase))
+      .withColumn("b_cnt", count(col("n")).over(wBase))
+      .withColumn("baseline_micro", expr(
+        """CASE WHEN b_cnt >= 3
+                THEN CAST(round(1000000.0 * CAST(b_sum AS DOUBLE) /
+                     CAST(b_cnt AS DOUBLE)) AS BIGINT) END"""))
+      .withColumn("excess_micro", expr("n * 1000000 - baseline_micro"))
+      .withColumn("pos_excess", expr("greatest(coalesce(excess_micro, 0), 0)"))
+      .withColumn("day_pos_total", sum(col("pos_excess")).over(wDay))
+      .select(col("day"), col("event_type"), col("n").as("n_events"),
+        col("baseline_micro"), col("excess_micro"),
+        expr("""CASE WHEN excess_micro IS NOT NULL AND day_pos_total > 0
+                     THEN pos_excess * 10000 DIV day_pos_total END""")
+          .as("share_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_anomaly_attribution" -> (q184AnomalyAttribution _),
     "q142_psi_drift"  -> (q142PsiDrift _),
     "q171_rank_test"  -> (q171RankTest _),
     "q172_cusum"      -> (q172Cusum _),
@@ -557,6 +601,36 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q184_anomaly_attribution" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT *,
+                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS b_sum,
+                  CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS b_cnt
+           FROM daily),
+         e AS (
+           SELECT *,
+                  CASE WHEN b_cnt >= 3
+                       THEN CAST(round(1000000.0 * CAST(b_sum AS DOUBLE) /
+                            CAST(b_cnt AS DOUBLE)) AS BIGINT) END AS baseline_micro
+           FROM b),
+         x AS (
+           SELECT *, n * 1000000 - baseline_micro AS excess_micro,
+                  greatest(coalesce(n * 1000000 - baseline_micro, 0), 0) AS pos_excess
+           FROM e),
+         d AS (
+           SELECT *, CAST(sum(pos_excess) OVER (PARTITION BY day) AS BIGINT)
+                       AS day_pos_total
+           FROM x)
+         SELECT day, event_type, n AS n_events, baseline_micro, excess_micro,
+                CASE WHEN excess_micro IS NOT NULL AND day_pos_total > 0
+                     THEN pos_excess * 10000 // day_pos_total END AS share_bp
+         FROM d""",
     "q171_rank_test" ->
       // oracle-local: HUGEINT sums (Spark widens to DECIMAL(38,0)) and a
       // single global-order window (Spark decomposes it over Bands —

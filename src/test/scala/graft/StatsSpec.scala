@@ -397,4 +397,39 @@ class StatsSpec extends AnyFunSuite {
         r.getAs[Long]("share_bp") - r.getAs[Long]("benford_bp"))
     }
   }
+
+  test("q184 attribution: shares recomputed; positive shares bound to 10000 per day") {
+    val rows = Stats.q184AnomalyAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => (r.getString(1), r.getAs[Long]("day")) -> r.getAs[Long]("n_events")).toMap
+    rows.foreach { r =>
+      val (t, d) = (r.getString(1), r.getAs[Long]("day"))
+      val window = (-7L to -1L).flatMap(off => daily.get((t, d + off)))
+      if (window.size >= 3) {
+        val base = math.round(1e6 * window.sum.toDouble / window.size)
+        assert(r.getAs[Long]("baseline_micro") == base, s"$t/$d baseline")
+        assert(r.getAs[Long]("excess_micro") == r.getAs[Long]("n_events") * 1000000L - base)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("baseline_micro")), s"$t/$d thin baseline must be NULL")
+        assert(r.isNullAt(r.fieldIndex("share_bp")), s"$t/$d thin baseline attributes nothing")
+      }
+    }
+    // per day: floor-divided shares of positive excess sum to <= 10000
+    // and recompute exactly
+    rows.groupBy(_.getAs[Long]("day")).foreach { case (d, rs) =>
+      val posTotal = rs.flatMap(r => Option(r.getAs[Any]("excess_micro")))
+        .map(_.asInstanceOf[Long]).filter(_ > 0).sum
+      val shares = rs.filter(!_.isNullAt(rs.head.fieldIndex("share_bp")))
+        .map(_.getAs[Long]("share_bp"))
+      if (posTotal > 0) {
+        assert(shares.sum <= 10000, s"day $d shares ${shares.sum}")
+        rs.foreach { r =>
+          if (!r.isNullAt(r.fieldIndex("share_bp"))) {
+            val pos = math.max(r.getAs[Long]("excess_micro"), 0L)
+            assert(r.getAs[Long]("share_bp") == pos * 10000 / posTotal, s"day $d share")
+          }
+        }
+      } else assert(shares.isEmpty, s"day $d no positive excess but shares emitted")
+    }
+  }
 }
