@@ -260,12 +260,56 @@ object Privacy {
   /** The DP cell key expression, shared verbatim with the oracle. */
   private val dpCellKey = "concat(status, '|', CAST(yr AS STRING))"
 
+  /** Clamp ceiling for DP released MEANS (cents). The analyst-declared
+    * domain bound IS the sensitivity: one individual moves a clamped sum
+    * by at most this, so the Laplace scale follows from it — and values
+    * above it are truncated BEFORE aggregation (the clamp is part of the
+    * mechanism, not cosmetics; without it a single outlier would need
+    * unbounded noise).
+    */
+  private val DpClampCents = 50000L
+
+  private def dpMeanKey(suffix: String): String =
+    s"concat(event_type, '|', CAST(mo AS STRING), '$suffix')"
+
+  /** q185: ε-DP released MEANS — q148's mechanism extended from counts to
+    * a bounded numeric: per (event_type, month), the mean event value is
+    * released as noisy-sum / noisy-count with the budget split ε/2 + ε/2
+    * (sequential composition over the two queries), sum sensitivity
+    * bounded by the [[DpClampCents]] clamp and count sensitivity 1. Both
+    * draws are SEEDED from the cell key with distinct suffixes (two
+    * independent uniforms per cell — reusing one draw would correlate
+    * numerator and denominator noise), reproducible and oracle-mirrored
+    * exactly like q148; the released mean floors a nonnegative integer
+    * division. One aggregation; the noise is a |cells|-row projection.
+    */
+  def q185DpMeans(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          s"least(greatest(CAST(round(value * 100) AS BIGINT), 0), $DpClampCents)"))
+          .as("s_cents"))
+      .withColumn("us", expr(dpUniformSql(dpMeanKey("|s"))))
+      .withColumn("uc", expr(dpUniformSql(dpMeanKey("|c"))))
+      .select(col("event_type"), col("mo"),
+        expr(s"greatest(CAST(0 AS BIGINT), n + ${dpNoiseFromU("uc", eps / 2.0)})")
+          .as("n_noisy"),
+        expr(s"greatest(CAST(0 AS BIGINT), s_cents + ${dpNoiseFromU("us", eps / (2.0 * DpClampCents))})")
+          .as("sum_noisy_cents"))
+      .withColumn("mean_cents", expr("sum_noisy_cents DIV greatest(n_noisy, 1)"))
+      .withColumn("epsilon", lit(eps))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_dp_counts" -> (q148DpCounts _),
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
     "q160_l_diversity"   -> (q160LDiversity _),
     "q170_t_closeness"   -> (q170TCloseness _),
+    "q185_dp_means"      -> (q185DpMeans _),
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +332,26 @@ object Privacy {
                  event_type,
                  floor(value / 10.0) * 10.0 AS value_band
           FROM events""",
+    "q185_dp_means" ->
+      s"""WITH cells AS (
+            SELECT event_type, CAST(month(CAST(ts AS DATE)) AS BIGINT) AS mo,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(least(greatest(CAST(round(value * 100) AS BIGINT), 0), $DpClampCents))
+                        AS BIGINT) AS s_cents
+            FROM events GROUP BY 1, 2),
+          seeded AS (
+            SELECT *, ${dpUniformSql(dpMeanKey("|s"))} AS us,
+                      ${dpUniformSql(dpMeanKey("|c"))} AS uc
+            FROM cells),
+          noised AS (
+            SELECT event_type, mo,
+                   greatest(CAST(0 AS BIGINT), n + ${dpNoiseFromU("uc", 0.5)}) AS n_noisy,
+                   greatest(CAST(0 AS BIGINT), s_cents + ${dpNoiseFromU("us", 1.0 / (2.0 * DpClampCents))}) AS sum_noisy_cents
+            FROM seeded)
+          SELECT event_type, mo, n_noisy, sum_noisy_cents,
+                 sum_noisy_cents // greatest(n_noisy, 1) AS mean_cents,
+                 1.0 AS epsilon
+          FROM noised""",
     "q170_t_closeness" ->
       // oracle-local HUGEINT where Spark widens to DECIMAL(38,0) — the
       // usual int128-vs-decimal split; every compared value is an exact

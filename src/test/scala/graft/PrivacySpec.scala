@@ -114,4 +114,31 @@ class PrivacySpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("t_close") == (sumAbs <= BigInt(n) * BigInt(nTot)), s"$key gate")
     }
   }
+
+  test("q185 DP means: deterministic, tail-bounded noise, mechanism non-degenerate") {
+    val a = Privacy.q185DpMeans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getAs[Long]("n_noisy"),
+        r.getAs[Long]("sum_noisy_cents"), r.getAs[Long]("mean_cents")))).toMap
+    val b = Privacy.q185DpMeans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getAs[Long]("n_noisy"),
+        r.getAs[Long]("sum_noisy_cents"), r.getAs[Long]("mean_cents")))).toMap
+    assert(a == b, "seeded release must be reproducible")
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("least(greatest(CAST(round(value * 100) AS BIGINT), 0), 50000)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(a.keySet == truth.keySet)
+    a.foreach { case (k, (nN, sN, mean)) =>
+      val (n, sum) = truth(k)
+      // Laplace tail: |noise| > 20*scale has probability e^-20 per draw —
+      // with a seeded release this is a hard determinism check, not flaky
+      assert(math.abs(nN - n) <= 40, s"$k count noise ${nN - n}")
+      assert(math.abs(sN - sum) <= 2000000, s"$k sum noise ${sN - sum}")
+      assert(mean == sN / math.max(nN, 1L), s"$k mean recompute")
+    }
+    // non-degenerate: the sum draws (scale 1e5) actually perturb something
+    assert(a.exists { case (k, (_, sN, _)) => sN != truth(k)._2 },
+      "no cell's sum was perturbed - the mechanism is vacuous")
+  }
 }
