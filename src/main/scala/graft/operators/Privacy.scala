@@ -168,6 +168,56 @@ object Privacy {
                            CAST(n_total AS DECIMAL(38,0))""").as("t_close"))
   }
 
+  /** q186: k-anonymity by GENERALIZATION — the constructive half q52's
+    * suppression leaves out: a sub-k (event_type, day) cell isn't
+    * dropped, it's COARSENED up a fixed hierarchy (day → ISO-agnostic
+    * epoch week → per-type total) until its population reaches k, so the
+    * published table keeps every row's mass at the finest granularity
+    * that is safe to show. Levels nest exactly (days nest in epoch
+    * weeks; weeks nest in the per-type total — deliberately NOT
+    * calendar months, which epoch weeks straddle), so each row of input
+    * lands in exactly ONE published cell and totals reconcile. The
+    * terminal level carries `publishable = n ≥ k` honestly — a type so
+    * thin that even its total is sub-k is flagged, not silently shown.
+    *
+    * Shape: one event-scale aggregate, then the cascade re-aggregates
+    * only the FAILING cells (cell-bounded frames, localCheckpointed
+    * once each for their pass/fail double-read). Exact integer counts
+    * and cents throughout.
+    */
+  def q186KanonGeneralize(s: SparkSession, dir: String): DataFrame = {
+    val k = SuppressK
+    val day = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint() // pass + fail both read it
+    val dayPass = day.filter(col("n") >= k)
+      .select(col("event_type"), lit("day").as("granularity"),
+        expr("date_format(date_add(DATE'1970-01-01', CAST(d AS INT)), 'yyyy-MM-dd')")
+          .as("period"),
+        col("n").as("n_events"), col("cents").as("value_cents"),
+        lit(true).as("publishable"))
+    val week = day.filter(col("n") < k)
+      .groupBy(col("event_type"), expr("d DIV 7").as("w"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .localCheckpoint()
+    val weekPass = week.filter(col("n") >= k)
+      .select(col("event_type"), lit("week").as("granularity"),
+        concat(lit("W"), col("w").cast("string")).as("period"),
+        col("n").as("n_events"), col("cents").as("value_cents"),
+        lit(true).as("publishable"))
+    val rest = week.filter(col("n") < k)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .select(col("event_type"), lit("all").as("granularity"),
+        lit("*").as("period"),
+        col("n").as("n_events"), col("cents").as("value_cents"),
+        (col("n") >= k).as("publishable"))
+    dayPass.unionByName(weekPass).unionByName(rest)
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle — kept to
     * syntax both Java regex and RE2 interpret identically (no lookaround,
     * ASCII \d classes, explicit alternation).
@@ -310,6 +360,7 @@ object Privacy {
     "q160_l_diversity"   -> (q160LDiversity _),
     "q170_t_closeness"   -> (q170TCloseness _),
     "q185_dp_means"      -> (q185DpMeans _),
+    "q186_kanon_generalize" -> (q186KanonGeneralize _),
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +383,35 @@ object Privacy {
                  event_type,
                  floor(value / 10.0) * 10.0 AS value_band
           FROM events""",
+    "q186_kanon_generalize" ->
+      s"""WITH day AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+          day_pass AS (
+            SELECT event_type, 'day' AS granularity,
+                   strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS period,
+                   n AS n_events, cents AS value_cents, true AS publishable
+            FROM day WHERE n >= $SuppressK),
+          wk AS (
+            SELECT event_type, d // 7 AS w,
+                   CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+            FROM day WHERE n < $SuppressK GROUP BY 1, 2),
+          wk_pass AS (
+            SELECT event_type, 'week' AS granularity,
+                   'W' || CAST(w AS VARCHAR) AS period,
+                   n AS n_events, cents AS value_cents, true AS publishable
+            FROM wk WHERE n >= $SuppressK),
+          rest AS (
+            SELECT event_type, 'all' AS granularity, '*' AS period,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents,
+                   sum(n) >= $SuppressK AS publishable
+            FROM wk WHERE n < $SuppressK GROUP BY 1)
+          SELECT * FROM day_pass
+          UNION ALL SELECT * FROM wk_pass
+          UNION ALL SELECT * FROM rest""",
     "q185_dp_means" ->
       s"""WITH cells AS (
             SELECT event_type, CAST(month(CAST(ts AS DATE)) AS BIGINT) AS mo,

@@ -141,4 +141,27 @@ class PrivacySpec extends AnyFunSuite {
     assert(a.exists { case (k, (_, sN, _)) => sN != truth(k)._2 },
       "no cell's sum was perturbed - the mechanism is vacuous")
   }
+
+  test("q186 generalization: every published cell is k-safe or flagged; totals reconcile") {
+    val rows = Privacy.q186KanonGeneralize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = 20L
+    rows.foreach { r =>
+      val (g, n, pub) = (r.getAs[String]("granularity"),
+        r.getAs[Long]("n_events"), r.getAs[Boolean]("publishable"))
+      if (g != "all") assert(n >= k && pub, s"$g cell under k published")
+      else assert(pub == (n >= k), s"terminal flag wrong")
+    }
+    // partition property: every event's count and cents land exactly once
+    val totN = rows.map(_.getAs[Long]("n_events")).sum
+    val totC = rows.map(_.getAs[Long]("value_cents")).sum
+    val ev = Tables.events(spark, sf)
+      .agg(count(lit(1)), sum(expr("CAST(round(value * 100) AS BIGINT)"))).head()
+    assert(totN == ev.getLong(0), s"counts $totN != ${ev.getLong(0)}")
+    assert(totC == ev.getLong(1), s"cents $totC != ${ev.getLong(1)}")
+    // the hierarchy is actually exercised at spec SF: at least one level
+    // beyond day appears (sub-k days exist), else the cascade is vacuous
+    assert(rows.exists(_.getAs[String]("granularity") != "day"),
+      "no generalized cell at spec SF - cascade untested")
+  }
 }
