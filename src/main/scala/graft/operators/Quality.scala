@@ -463,6 +463,82 @@ object Quality {
       .withColumn("orphan_bp", expr("orphan_rows * 10000 DIV child_rows"))
   }
 
+  /** q187: corpus datasheet — the "datasheets for datasets" summary row
+    * set a published training corpus ships with: size, token mass,
+    * language/source coverage, English share, short-doc share, mean doc
+    * length. ONE documents scan computes every metric (a single
+    * aggregate; stack() unpivots the counter row), so the datasheet is
+    * cheap enough to regenerate on every publish rather than drift.
+    * Integer metrics; the two ratios are basis points, the mean is one
+    * round(double/double).
+    */
+  def q187CorpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("toks") < 50, 1L).otherwise(0L)).as("n_short"))
+      .select(expr(
+        """stack(8,
+             'n_docs', n_docs,
+             'n_tokens', CAST(n_tokens AS BIGINT),
+             'n_chars_total', CAST(n_chars_total AS BIGINT),
+             'n_langs', n_langs,
+             'n_sources', n_sources,
+             'en_share_bp', CAST(round(10000.0 * CAST(n_en AS DOUBLE) /
+                                 CAST(n_docs AS DOUBLE)) AS BIGINT),
+             'short_doc_share_bp', CAST(round(10000.0 * CAST(n_short AS DOUBLE) /
+                                 CAST(n_docs AS DOUBLE)) AS BIGINT),
+             'mean_doc_tokens', CAST(round(CAST(n_tokens AS DOUBLE) /
+                                 CAST(n_docs AS DOUBLE)) AS BIGINT))
+           AS (metric, value)"""))
+
+  /** The code-owned FD candidates for q188: (label, table, lhs, rhs).
+    * event_id → user_id genuinely holds (event ids are unique);
+    * user_id → event_type genuinely does NOT (users emit many types) —
+    * the audit must demonstrate both verdicts, not just bless clean
+    * pairs; nation's FK chain holds by construction.
+    */
+  private[graft] val fdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("event_id->user_id",      "events", "event_id",    "user_id"),
+    ("user_id->event_type",    "events", "user_id",     "event_type"),
+    ("n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"))
+
+  /** q188: functional-dependency audit — "does X determine Y in this
+    * data" for a code-owned candidate list, the schema-inference /
+    * data-contract check that catches a denormalization gone stale
+    * (one key, two conflicting attribute values). Per FD: distinct LHS
+    * keys, keys with > 1 distinct RHS (violations), the worst key's RHS
+    * cardinality, and the holds verdict. Each FD is one
+    * map-side-combined (lhs → distinct-rhs) aggregate + a 4-counter
+    * rollup; at 100 TB that's one exchange per audited FD over its key
+    * column only.
+    */
+  def q188FdAudit(s: SparkSession, dir: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "events" => Tables.events(s, dir)
+      case "nation" => Tables.nation(s, dir)
+    }
+    fdCandidates.map { case (label, tbl, lhs, rhs) =>
+      table(tbl)
+        .groupBy(col(lhs).as("k"))
+        .agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max(col("n_rhs")).as("max_rhs_cardinality"))
+        .select(lit(label).as("fd"), col("n_keys"), col("n_violating_keys"),
+          col("max_rhs_cardinality"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** The q141 oracle, generated from the same [[fkEdges]] list. */
   private[graft] def q141OracleSql: String =
     fkEdges.map { case (edge, child, ck, parent, pk, _) =>
@@ -603,6 +679,8 @@ object Quality {
     "q147_expectations"     -> (q147Expectations _),
     "q145_rollup_quantiles" -> (q145RollupQuantiles _),
     "q141_ref_integrity" -> (q141RefIntegrity _),
+    "q187_corpus_datasheet" -> (q187CorpusDatasheet _),
+    "q188_fd_audit" -> (q188FdAudit _),
     "q126_robust_outliers" -> (q126RobustOutliers _),
     "q125_completeness" -> (q125Completeness _),
     "q111_equidepth_hist" -> (q111EquidepthHist _),
@@ -654,6 +732,45 @@ object Quality {
          FROM s WHERE n_gaps >= 20""",
     "q147_expectations" -> q147OracleSql,
     "q141_ref_integrity" -> q141OracleSql,
+    "q187_corpus_datasheet" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                  CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+           FROM documents)
+         SELECT 'n_docs' AS metric, n_docs AS value FROM a
+         UNION ALL SELECT 'n_tokens', n_tokens FROM a
+         UNION ALL SELECT 'n_chars_total', n_chars_total FROM a
+         UNION ALL SELECT 'n_langs', n_langs FROM a
+         UNION ALL SELECT 'n_sources', n_sources FROM a
+         UNION ALL SELECT 'en_share_bp',
+           CAST(round(10000.0 * CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) FROM a
+         UNION ALL SELECT 'short_doc_share_bp',
+           CAST(round(10000.0 * CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) FROM a
+         UNION ALL SELECT 'mean_doc_tokens',
+           CAST(round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) FROM a""",
+    "q188_fd_audit" ->
+      """SELECT 'event_id->user_id' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        CAST(max(n_rhs) AS BIGINT) AS max_rhs_cardinality,
+        sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT event_id AS k, CAST(count(DISTINCT user_id) AS BIGINT) AS n_rhs
+            FROM events GROUP BY 1) UNION ALL SELECT 'user_id->event_type' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        CAST(max(n_rhs) AS BIGINT) AS max_rhs_cardinality,
+        sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT user_id AS k, CAST(count(DISTINCT event_type) AS BIGINT) AS n_rhs
+            FROM events GROUP BY 1) UNION ALL SELECT 'n_nationkey->n_regionkey' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        CAST(max(n_rhs) AS BIGINT) AS max_rhs_cardinality,
+        sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT n_nationkey AS k, CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_rhs
+            FROM nation GROUP BY 1)""",
     "q126_robust_outliers" ->
       """WITH ev AS (
            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents

@@ -348,4 +348,43 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(got.values.exists(_._4) && got.values.exists(!_._4),
       "the 7000bp bar must split regular from bursty users")
   }
+
+  test("q187 datasheet: every metric recomputed from the raw corpus") {
+    val got = graft.operators.Quality.q187CorpusDatasheet(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("value")).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars", "text").collect()
+    val toks = docs.map(_.getString(3).split(" ").count(_.nonEmpty).toLong)
+    val nDocs = docs.length.toLong
+    val nTokens = toks.sum
+    val want = Map(
+      "n_docs" -> nDocs,
+      "n_tokens" -> nTokens,
+      "n_chars_total" -> docs.map(_.getAs[Long]("n_chars")).sum,
+      "n_langs" -> docs.map(_.getString(0)).distinct.length.toLong,
+      "n_sources" -> docs.map(_.getString(1)).distinct.length.toLong,
+      "en_share_bp" -> math.round(1e4 * docs.count(_.getString(0) == "en") / nDocs.toDouble),
+      "short_doc_share_bp" -> math.round(1e4 * toks.count(_ < 50) / nDocs.toDouble),
+      "mean_doc_tokens" -> math.round(nTokens.toDouble / nDocs))
+    assert(got == want)
+  }
+
+  test("q188 FD audit: holding and violated dependencies both detected, counts exact") {
+    val got = graft.operators.Quality.q188FdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_violating_keys"), r.getAs[Long]("max_rhs_cardinality"),
+        r.getAs[Boolean]("holds")))).toMap
+    assert(got.keySet == Set("event_id->user_id", "user_id->event_type",
+      "n_nationkey->n_regionkey"))
+    assert(got("event_id->user_id")._4, "unique event ids must determine user")
+    assert(got("n_nationkey->n_regionkey")._4, "FK chain must hold")
+    assert(!got("user_id->event_type")._4, "users emit many types - must be violated")
+    // brute-force the violated one
+    val byUser = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).distinct.length).toMap
+    val (nk, nv, mx, _) = got("user_id->event_type")
+    assert(nk == byUser.size.toLong)
+    assert(nv == byUser.values.count(_ > 1).toLong)
+    assert(mx == byUser.values.max.toLong)
+  }
 }
