@@ -108,17 +108,13 @@ object Dedup {
     * the quadratic pair explosion the cap prevents. The default sits far
     * above anything a real LSH bucket reaches, so oracle output is
     * unchanged; the cap path is spec-forced in DedupSimilaritySpec.
-    *
-    * `capOverride = Some(n)` replaces the configured cap (use
-    * `Some(Int.MaxValue)` to disable it): paths whose output is claimed
-    * EXACT — q69's pigeonhole guarantee — must not silently lose pairs to
-    * a dropped hot bucket, so they opt out of the guard explicitly and
-    * own the quadratic risk (documented at the call site).
+    * (Paths whose output is claimed EXACT — q69's pigeonhole guarantee —
+    * use their own inline band expansion rather than this guarded one,
+    * so the cap applies to every caller here unconditionally.)
     */
-  private def expandPairs(s: SparkSession, sigs: DataFrame,
-                          capOverride: Option[Int] = None): DataFrame = {
-    val maxBucket = capOverride.getOrElse(
-      s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt).getOrElse(4096))
+  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame = {
+    val maxBucket =
+      s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt).getOrElse(4096)
     sigs
       .groupBy(col("band_id"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))

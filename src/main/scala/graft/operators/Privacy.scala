@@ -93,8 +93,12 @@ object Privacy {
     * leaks when a cell's sensitive values are *distinct but skewed* (all
     * high-value bands ⇒ membership reveals "a big spender"); t-closeness
     * bounds the distance between each cell's sensitive distribution and
-    * the global one. Sensitive attribute = q160's 50-unit value band
-    * (ordered, B = 5), so EMD has the closed ordered form
+    * the global one. Population unit here is the RECORD (event counts),
+    * matching q52/q160's convention — the distribution being audited is
+    * the distribution of published values; individual-level cell gating
+    * is q186's job (which counts distinct users). Sensitive attribute =
+    * q160's 50-unit value band (ordered, B = 5), so EMD has the closed
+    * ordered form
     * (1/(B−1))·Σ_{b<B−1} |Σ_{i≤b}(p_i − q_i)|.
     *
     * Exactness: with p_i = c_i/n (cell) and q_i = g_i/N (global), every
@@ -177,44 +181,74 @@ object Privacy {
     * weeks; weeks nest in the per-type total — deliberately NOT
     * calendar months, which epoch weeks straddle), so each row of input
     * lands in exactly ONE published cell and totals reconcile. The
-    * terminal level carries `publishable = n ≥ k` honestly — a type so
-    * thin that even its total is sub-k is flagged, not silently shown.
+    * terminal level carries `publishable = n_users ≥ k` honestly — a
+    * type so thin that even its total is sub-k is flagged, not silently
+    * shown.
     *
-    * Shape: one event-scale aggregate, then the cascade re-aggregates
-    * only the FAILING cells (cell-bounded frames, localCheckpointed
-    * once each for their pass/fail double-read). Exact integer counts
-    * and cents throughout.
+    * Anonymity unit: the INDIVIDUAL, not the record — the gate counts
+    * DISTINCT users per cell (a cell holding k events all from one user
+    * identifies that user exactly; q52's record-level convention is the
+    * weaker guarantee this deliberately upgrades). The cascade therefore
+    * carries a (cell, user) grain frame: distinct-user counts do NOT sum
+    * across days (one user active twice in a week is one individual), so
+    * each failing level re-collapses users at the coarser key before
+    * counting.
+    *
+    * Shape: one event-scale aggregate to the (type, day, user) grain,
+    * then day totals; the cascade re-aggregates only the FAILING cells'
+    * user rows (cell-bounded frames, localCheckpointed once each for
+    * their pass/fail double-read; the failing-key join sides are
+    * cell-bounded and broadcast). Exact integer counts/cents throughout.
     */
   def q186KanonGeneralize(s: SparkSession, dir: String): DataFrame = {
     val k = SuppressK
-    val day = Tables.events(s, dir)
+    // (type, day, user) grain: one row per individual per cell — the
+    // frame every level's distinct-user count collapses from
+    val ud = Tables.events(s, dir)
       .groupBy(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("d"))
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        col("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint() // day rollup + week cascade both read it
+    val day = ud.groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_users"),
+        sum(col("cents")).as("cents"))
       .localCheckpoint() // pass + fail both read it
-    val dayPass = day.filter(col("n") >= k)
+    val dayPass = day.filter(col("n_users") >= k)
       .select(col("event_type"), lit("day").as("granularity"),
         expr("date_format(date_add(DATE'1970-01-01', CAST(d AS INT)), 'yyyy-MM-dd')")
           .as("period"),
-        col("n").as("n_events"), col("cents").as("value_cents"),
+        col("n").as("n_events"), col("n_users"), col("cents").as("value_cents"),
         lit(true).as("publishable"))
-    val week = day.filter(col("n") < k)
-      .groupBy(col("event_type"), expr("d DIV 7").as("w"))
+    // failing days' user rows, re-collapsed per user at the week key
+    val uw = ud
+      .join(broadcast(day.filter(col("n_users") < k)
+        .select(col("event_type"), col("d"))), Seq("event_type", "d"))
+      .groupBy(col("event_type"), expr("d DIV 7").as("w"), col("user_id"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .localCheckpoint() // week rollup + terminal cascade both read it
+    val week = uw.groupBy(col("event_type"), col("w"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_users"),
+        sum(col("cents")).as("cents"))
       .localCheckpoint()
-    val weekPass = week.filter(col("n") >= k)
+    val weekPass = week.filter(col("n_users") >= k)
       .select(col("event_type"), lit("week").as("granularity"),
         concat(lit("W"), col("w").cast("string")).as("period"),
-        col("n").as("n_events"), col("cents").as("value_cents"),
+        col("n").as("n_events"), col("n_users"), col("cents").as("value_cents"),
         lit(true).as("publishable"))
-    val rest = week.filter(col("n") < k)
-      .groupBy(col("event_type"))
+    val rest = uw
+      .join(broadcast(week.filter(col("n_users") < k)
+        .select(col("event_type"), col("w"))), Seq("event_type", "w"))
+      .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_users"),
+        sum(col("cents")).as("cents"))
       .select(col("event_type"), lit("all").as("granularity"),
         lit("*").as("period"),
-        col("n").as("n_events"), col("cents").as("value_cents"),
-        (col("n") >= k).as("publishable"))
+        col("n").as("n_events"), col("n_users"), col("cents").as("value_cents"),
+        (col("n_users") >= k).as("publishable"))
     dayPass.unionByName(weekPass).unionByName(rest)
   }
 
@@ -310,12 +344,13 @@ object Privacy {
   /** The DP cell key expression, shared verbatim with the oracle. */
   private val dpCellKey = "concat(status, '|', CAST(yr AS STRING))"
 
-  /** Clamp ceiling for DP released MEANS (cents). The analyst-declared
-    * domain bound IS the sensitivity: one individual moves a clamped sum
-    * by at most this, so the Laplace scale follows from it — and values
-    * above it are truncated BEFORE aggregation (the clamp is part of the
-    * mechanism, not cosmetics; without it a single outlier would need
-    * unbounded noise).
+  /** Clamp ceiling for DP released MEANS (cents), applied to each USER's
+    * total per-cell contribution. The analyst-declared bound IS the
+    * sensitivity: one individual — however many events they emit — moves
+    * the clamped sum by at most this, so the Laplace scale follows from
+    * it; contributions are truncated BEFORE the cell aggregation (the
+    * clamp is part of the mechanism, not cosmetics; without it a single
+    * outlier user would need unbounded noise).
     */
   private val DpClampCents = 50000L
 
@@ -323,25 +358,36 @@ object Privacy {
     s"concat(event_type, '|', CAST(mo AS STRING), '$suffix')"
 
   /** q185: ε-DP released MEANS — q148's mechanism extended from counts to
-    * a bounded numeric: per (event_type, month), the mean event value is
-    * released as noisy-sum / noisy-count with the budget split ε/2 + ε/2
-    * (sequential composition over the two queries), sum sensitivity
-    * bounded by the [[DpClampCents]] clamp and count sensitivity 1. Both
-    * draws are SEEDED from the cell key with distinct suffixes (two
-    * independent uniforms per cell — reusing one draw would correlate
-    * numerator and denominator noise), reproducible and oracle-mirrored
-    * exactly like q148; the released mean floors a nonnegative integer
-    * division. One aggregation; the noise is a |cells|-row projection.
+    * a bounded numeric: per (event_type, month), the mean PER-USER
+    * contribution is released as noisy-sum / noisy-count with the budget
+    * split ε/2 + ε/2 (sequential composition over the two queries).
+    *
+    * Adjacency unit: USER-level (add/remove one individual), not
+    * record-level — each user's total contribution to a cell is bounded
+    * BEFORE aggregation: per-event cents floor at 0, the user's cell sum
+    * caps at [[DpClampCents]], and the count counts USERS, not events.
+    * One individual therefore moves the sum by ≤ DpClampCents and the
+    * count by ≤ 1 regardless of how many events they emit — the released
+    * ε genuinely covers multi-event individuals (a record-level variant
+    * would silently degrade to m·ε for a user with m events). Both draws
+    * are SEEDED from the cell key with distinct suffixes (two independent
+    * uniforms per cell — reusing one draw would correlate numerator and
+    * denominator noise), reproducible and oracle-mirrored exactly like
+    * q148; the released mean floors a nonnegative integer division.
+    * Two map-side-combining aggregations (events → user-cell → cell);
+    * the noise is a |cells|-row projection.
     */
   def q185DpMeans(s: SparkSession, dir: String): DataFrame = {
     val eps = 1.0
     Tables.events(s, dir)
       .groupBy(col("event_type"),
-        expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"))
+        expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"),
+        col("user_id"))
+      .agg(sum(expr("greatest(CAST(round(value * 100) AS BIGINT), 0)"))
+        .as("u_cents"))
+      .groupBy(col("event_type"), col("mo"))
       .agg(count(lit(1)).as("n"),
-        sum(expr(
-          s"least(greatest(CAST(round(value * 100) AS BIGINT), 0), $DpClampCents)"))
-          .as("s_cents"))
+        sum(expr(s"least(u_cents, $DpClampCents)")).as("s_cents"))
       .withColumn("us", expr(dpUniformSql(dpMeanKey("|s"))))
       .withColumn("uc", expr(dpUniformSql(dpMeanKey("|c"))))
       .select(col("event_type"), col("mo"),
@@ -384,41 +430,67 @@ object Privacy {
                  floor(value / 10.0) * 10.0 AS value_band
           FROM events""",
     "q186_kanon_generalize" ->
-      s"""WITH day AS (
-            SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      s"""WITH ud AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS d, user_id,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-            FROM events GROUP BY 1, 2),
+            FROM events GROUP BY 1, 2, 3),
+          day AS (
+            SELECT event_type, d,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM ud GROUP BY 1, 2),
           day_pass AS (
             SELECT event_type, 'day' AS granularity,
                    strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS period,
-                   n AS n_events, cents AS value_cents, true AS publishable
-            FROM day WHERE n >= $SuppressK),
+                   n AS n_events, n_users, cents AS value_cents, true AS publishable
+            FROM day WHERE n_users >= $SuppressK),
+          uw AS (
+            SELECT ud.event_type, ud.d // 7 AS w, ud.user_id,
+                   CAST(sum(ud.n) AS BIGINT) AS n,
+                   CAST(sum(ud.cents) AS BIGINT) AS cents
+            FROM ud JOIN day ON day.event_type = ud.event_type AND day.d = ud.d
+            WHERE day.n_users < $SuppressK GROUP BY 1, 2, 3),
           wk AS (
-            SELECT event_type, d // 7 AS w,
-                   CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
-            FROM day WHERE n < $SuppressK GROUP BY 1, 2),
+            SELECT event_type, w,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM uw GROUP BY 1, 2),
           wk_pass AS (
             SELECT event_type, 'week' AS granularity,
                    'W' || CAST(w AS VARCHAR) AS period,
-                   n AS n_events, cents AS value_cents, true AS publishable
-            FROM wk WHERE n >= $SuppressK),
+                   n AS n_events, n_users, cents AS value_cents, true AS publishable
+            FROM wk WHERE n_users >= $SuppressK),
+          ru AS (
+            SELECT uw.event_type, uw.user_id,
+                   CAST(sum(uw.n) AS BIGINT) AS n,
+                   CAST(sum(uw.cents) AS BIGINT) AS cents
+            FROM uw JOIN wk ON wk.event_type = uw.event_type AND wk.w = uw.w
+            WHERE wk.n_users < $SuppressK GROUP BY 1, 2),
           rest AS (
             SELECT event_type, 'all' AS granularity, '*' AS period,
                    CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_users,
                    CAST(sum(cents) AS BIGINT) AS value_cents,
-                   sum(n) >= $SuppressK AS publishable
-            FROM wk WHERE n < $SuppressK GROUP BY 1)
+                   count(*) >= $SuppressK AS publishable
+            FROM ru GROUP BY 1)
           SELECT * FROM day_pass
           UNION ALL SELECT * FROM wk_pass
           UNION ALL SELECT * FROM rest""",
     "q185_dp_means" ->
-      s"""WITH cells AS (
+      s"""WITH uc AS (
             SELECT event_type, CAST(month(CAST(ts AS DATE)) AS BIGINT) AS mo,
+                   user_id,
+                   CAST(sum(greatest(CAST(round(value * 100) AS BIGINT), 0))
+                        AS BIGINT) AS u_cents
+            FROM events GROUP BY 1, 2, 3),
+          cells AS (
+            SELECT event_type, mo,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(least(greatest(CAST(round(value * 100) AS BIGINT), 0), $DpClampCents))
-                        AS BIGINT) AS s_cents
-            FROM events GROUP BY 1, 2),
+                   CAST(sum(least(u_cents, $DpClampCents)) AS BIGINT) AS s_cents
+            FROM uc GROUP BY 1, 2),
           seeded AS (
             SELECT *, ${dpUniformSql(dpMeanKey("|s"))} AS us,
                       ${dpUniformSql(dpMeanKey("|c"))} AS uc

@@ -531,7 +531,11 @@ object Stats {
     *
     * Exactness: baseline_micro is ONE round(double/double) over integer
     * window sums; excess and the share's floor division are pure
-    * integers (nonnegative — truncate ≡ floor).
+    * integers (nonnegative — truncate ≡ floor). The share cross-multiply
+    * runs in DECIMAL(38,0) (HUGEINT in the oracle): pos_excess is
+    * micro-scaled, so at ~1e9+ events per type-day the BIGINT product
+    * pos_excess·10000 would exceed 2⁶³ — q170/q171's widening rule. The
+    * quotient is ≤ 10000, so the BIGINT result cast is always exact.
     *
     * Shape: one scan → (type, day) agg; the per-type RANGE window and
     * the per-day share window both run on the calendar×types-bounded
@@ -558,7 +562,8 @@ object Stats {
       .select(col("day"), col("event_type"), col("n").as("n_events"),
         col("baseline_micro"), col("excess_micro"),
         expr("""CASE WHEN excess_micro IS NOT NULL AND day_pos_total > 0
-                     THEN pos_excess * 10000 DIV day_pos_total END""")
+                     THEN CAST(CAST(pos_excess AS DECIMAL(38,0)) * 10000
+                               DIV day_pos_total AS BIGINT) END""")
           .as("share_bp"))
   }
 
@@ -629,7 +634,8 @@ object Stats {
            FROM x)
          SELECT day, event_type, n AS n_events, baseline_micro, excess_micro,
                 CASE WHEN excess_micro IS NOT NULL AND day_pos_total > 0
-                     THEN pos_excess * 10000 // day_pos_total END AS share_bp
+                     THEN CAST(CAST(pos_excess AS HUGEINT) * 10000
+                               // day_pos_total AS BIGINT) END AS share_bp
          FROM d""",
     "q171_rank_test" ->
       // oracle-local: HUGEINT sums (Spark widens to DECIMAL(38,0)) and a

@@ -123,10 +123,14 @@ class PrivacySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getAs[Long]("n_noisy"),
         r.getAs[Long]("sum_noisy_cents"), r.getAs[Long]("mean_cents")))).toMap
     assert(a == b, "seeded release must be reproducible")
+    // user-level truth: per-user cell contributions clamped BEFORE the
+    // cell aggregation; the count counts users (the adjacency unit)
     val truth = Tables.events(spark, sf)
-      .groupBy(col("event_type"), expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr("least(greatest(CAST(round(value * 100) AS BIGINT), 0), 50000)")).as("s"))
+      .groupBy(col("event_type"), expr("CAST(month(CAST(ts AS DATE)) AS BIGINT)").as("mo"),
+        col("user_id"))
+      .agg(sum(expr("greatest(CAST(round(value * 100) AS BIGINT), 0)")).as("uc"))
+      .groupBy(col("event_type"), col("mo"))
+      .agg(count(lit(1)).as("n"), sum(expr("least(uc, 50000)")).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(a.keySet == truth.keySet)
     a.foreach { case (k, (nN, sN, mean)) =>
@@ -147,10 +151,13 @@ class PrivacySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val k = 20L
     rows.foreach { r =>
-      val (g, n, pub) = (r.getAs[String]("granularity"),
-        r.getAs[Long]("n_events"), r.getAs[Boolean]("publishable"))
-      if (g != "all") assert(n >= k && pub, s"$g cell under k published")
-      else assert(pub == (n >= k), s"terminal flag wrong")
+      val (g, nu, ne, pub) = (r.getAs[String]("granularity"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+        r.getAs[Boolean]("publishable"))
+      // the gate unit is the INDIVIDUAL: distinct users, never events
+      assert(nu <= ne, s"$g cell has more users than events")
+      if (g != "all") assert(nu >= k && pub, s"$g cell under k users published")
+      else assert(pub == (nu >= k), s"terminal flag wrong")
     }
     // partition property: every event's count and cents land exactly once
     val totN = rows.map(_.getAs[Long]("n_events")).sum
