@@ -219,6 +219,60 @@ object Dedup {
       .sortBy("band_id", "sig")
       .saveAsTable(table)
 
+  /** Publish the near-dup CLUSTER map as a catalog table bucketed by
+    * doc_id — the build-once/read-many form of the q56 pipeline, the
+    * [[writeSignatureTableBucketed]] pattern one level up: the expensive
+    * band → bucket → connected-components pass runs once per corpus
+    * release, and every consumer (canonical selection via
+    * [[canonicalFrom]], split assignment via [[clusterSplitFrom]],
+    * leakage audits) joins the published (doc_id, cluster_id) table on
+    * its bucketing key with NO exchange on the published side. Uses the
+    * xxhash64 production signatures (q49's path), not q29's md5 oracle
+    * twin. Refresh with [[mergeClusterBatch]] instead of rebuilding.
+    */
+  def writeClusterTableBucketed(docs: DataFrame, table: String, buckets: Int = 32): Unit =
+    connectedComponents(fastCandidatePairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** Incremental cluster maintenance: fold a new batch's candidate pairs
+    * (within-batch AND batch↔published, e.g. from
+    * [[fastBandSignaturesOf]] joined against the published signature
+    * table) into an existing (doc_id, cluster_id) membership frame
+    * WITHOUT re-clustering the corpus. Work is bounded by the TOUCHED
+    * components: published clusters are already transitively closed, so
+    * each one is represented by its star edges (member → root, the root
+    * being the component's min doc_id — itself a member), and only
+    * clusters containing a doc mentioned in `newPairs` enter the CC
+    * re-run; every untouched membership row passes through verbatim.
+    * Because the published root IS the old component's min label, the
+    * merged fixpoint equals a full rebuild over (old pairs ∪ new pairs)
+    * exactly — DedupSimilaritySpec pins that equality.
+    */
+  def mergeClusterBatch(published: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val touchedDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // clusters with at least one doc named in the batch (semi-joins keep
+    // the published side's bucketed scan exchange-free on doc_id)
+    val touchedClusters = published
+      .join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touched = published
+      .join(touchedClusters, Seq("cluster_id"), "left_semi")
+      .localCheckpoint() // read twice: star edges below + pass-through anti
+    val starEdges = touched.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val merged = connectedComponents(starEdges.unionByName(pairs))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    published.join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(merged)
+  }
+
   /** Incremental dedup: drop from `newDocs` every document that is a
     * near-dup of the ALREADY-PUBLISHED corpus, by anti-joining the new
     * batch's band signatures against the persisted signature table — the
@@ -513,18 +567,49 @@ object Dedup {
     labels
   }
 
+  /** One cluster map per (session, dir) — the build-once seam for the
+    * three cluster consumers (q56 survivors, q169 canonical selection,
+    * q179 cluster-aware splits), each of which previously re-ran the
+    * whole band → bucket → connected-components pipeline from raw text.
+    * The memoized frame is the final localCheckpointed label frame, so
+    * reuse costs a block read, not a recompute — the in-session analogue
+    * of the PUBLISHED cluster table ([[writeClusterTableBucketed]]) a
+    * 100 TB deployment would build once per corpus release and serve to
+    * every downstream job. Keyed like the k-means/quality-model caches
+    * (session identity + path, NOT content): see
+    * [[invalidateClusterCache]] for the staleness contract.
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Drop memoized cluster maps — required after the data under a
+    * previously clustered directory changes (memo keys on path, not
+    * content; same contract as [[Similarity.invalidateQuantizerCache]]). */
+  def invalidateClusterCache(): Unit = clusterCache.clear()
+
+  /** (doc_id, cluster_id) membership over the q29 candidate graph —
+    * cluster_id is the component's min doc_id (the min-label CC fixpoint).
+    * Docs in no candidate pair are not listed (singleton = own cluster).
+    */
+  private[graft] def clusterMap(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      connectedComponents(
+          candidatePairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("label").as("cluster_id"))
+    })
+
   /** q56: near-dup cluster collapse — the step q29/q49 stop short of:
     * candidate pairs → connected components → keep-min-id survivor per
     * cluster. Output is one row per clustered doc with its cluster root and
     * whether it survives dedup (`doc_id == cluster_id`). Docs in no pair
     * are implicitly survivors and not listed. Oracled in DuckDB via a
     * recursive transitive-closure CTE over the same q29 pair graph.
+    * Shares the memoized [[clusterMap]] with q169/q179.
     */
   def q56DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-        candidatePairs(s, dir).select(col("doc_a"), col("doc_b")))
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_survivor"))
+    clusterMap(s, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
 
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
@@ -707,17 +792,25 @@ object Dedup {
     * cannot ulp-flip between engines). Scope is q56's: docs in clusters;
     * singletons are trivially their own canonical copy.
     *
-    * Shape: q56's cluster frame joined with q37's quality projection on
-    * doc_id (both corpus-bounded), then one row_number window per
-    * cluster — bounded by cluster size, never global.
+    * Shape: the shared [[clusterMap]] (built once per session/dir, or a
+    * PUBLISHED cluster table at deployment scale) joined with q37's
+    * quality projection on doc_id (both corpus-bounded), then one
+    * row_number window per cluster — bounded by cluster size, never
+    * global.
     */
-  def q169CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
+  def q169CanonicalDocs(s: SparkSession, dir: String): DataFrame =
+    canonicalFrom(clusterMap(s, dir),
+      TextAnalysis.q37QualityScore(s, dir).select(col("doc_id"), col("quality")))
+
+  /** q169's rule over ANY (doc_id, cluster_id) membership frame — pass
+    * `spark.table(...)` from [[writeClusterTableBucketed]] to crown
+    * canonical docs off the published map without re-clustering. */
+  def canonicalFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    q56DedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
-      .join(TextAnalysis.q37QualityScore(s, dir).select(col("doc_id"), col("quality")),
-        Seq("doc_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality, Seq("doc_id"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
   }
@@ -781,15 +874,22 @@ object Dedup {
     * structurally zero while marginal split fractions stay ~80/10/10
     * (the coin is uniform over group keys).
     *
-    * Shape: q56's cluster pass (band explode → bucket pairs → bounded CC
-    * iterations) + one left join of the doc spine against the
-    * cluster-membership frame (candidate-bounded, broadcastable in
+    * Shape: the shared [[clusterMap]] (one CC pass per session/dir —
+    * q56/q169/q179 no longer each recompute it; a deployment reads the
+    * published table instead) + one left join of the doc spine against
+    * the cluster-membership frame (candidate-bounded, broadcastable in
     * practice but planned as a plain join — correct either way) + a pure
     * md5-coin projection. Nothing new at corpus scale beyond q56 itself.
     */
-  def q179ClusterSplit(s: SparkSession, dir: String): DataFrame = {
-    val clusters = q56DedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
-    Tables.documents(s, dir).select(col("doc_id"))
+  def q179ClusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplitFrom(Tables.documents(s, dir).select(col("doc_id")),
+      clusterMap(s, dir))
+
+  /** q179's rule over ANY doc spine + (doc_id, cluster_id) membership
+    * frame — the published-cluster-table serving path. */
+  def clusterSplitFrom(docs: DataFrame, clusters0: DataFrame): DataFrame = {
+    val clusters = clusters0.select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("coin", TextAnalysis.md5Coin(col("group_key")))

@@ -708,4 +708,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(frac("train") > 0.74 && frac("train") < 0.85, s"train ${frac("train")}")
     assert(frac.getOrElse("val", 0.0) > 0.05 && frac.getOrElse("test", 0.0) > 0.05)
   }
+
+  test("cluster map is built once per (session, dir) and shared by q56/q169/q179") {
+    // same DataFrame INSTANCE back from the memo — the q56 CC pass ran
+    // once for all three consumers; invalidation forces a fresh build
+    val a = Dedup.clusterMap(spark, sf01)
+    val b = Dedup.clusterMap(spark, sf01)
+    assert(a eq b, "clusterMap not memoized")
+    Dedup.invalidateClusterCache()
+    val c = Dedup.clusterMap(spark, sf01)
+    assert(!(a eq c), "invalidation did not drop the memo")
+    // and the rebuilt map is value-identical (deterministic pipeline)
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      c.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("published cluster table serves canonical selection and splits exactly") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS clusters_b")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-warehouse/clusters_b"))
+    Dedup.writeClusterTableBucketed(docs, "clusters_b", buckets = 8)
+    val table = spark.table("clusters_b")
+    // reference: the same production (xxhash64) pipeline, recomputed
+    val recomputed = Dedup.connectedComponents(
+        Dedup.fastCandidatePairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    assert(table.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      recomputed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // both consumers produce identical results off the published table
+    val quality = graft.operators.TextAnalysis.q37QualityScore(spark, sf01)
+      .select(col("doc_id"), col("quality"))
+    val canonTab = Dedup.canonicalFrom(table, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).sorted.toSeq
+    val canonRec = Dedup.canonicalFrom(recomputed, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).sorted.toSeq
+    assert(canonTab == canonRec)
+    val splitTab = Dedup.clusterSplitFrom(docs.select(col("doc_id")), table)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    val splitRec = Dedup.clusterSplitFrom(docs.select(col("doc_id")), recomputed)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    assert(splitTab == splitRec && splitTab.nonEmpty)
+  }
+
+  test("mergeClusterBatch equals a full rebuild over old+new pairs") {
+    import spark.implicits._
+    // old graph: {1,2,3} rooted at 1, {10,11} at 10, {20,21} at 20 (will
+    // stay untouched), plus singleton docs 30/31 in no old pair
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val published = Dedup.connectedComponents(oldPairs)
+      .select(col("doc_id"), col("label").as("cluster_id")).localCheckpoint()
+    // new batch: bridges the 1- and 10-clusters (5), extends 1-cluster
+    // with a new doc (4), and forms a brand-new cluster {30,31}
+    val newPairs = Seq((3L, 5L), (5L, 11L), (4L, 1L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeClusterBatch(published, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Dedup.connectedComponents(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == rebuilt, s"merged=$merged rebuilt=$rebuilt")
+    // the untouched {20,21} component passed through verbatim
+    assert(merged(20L) == 20L && merged(21L) == 20L)
+    // the bridge collapsed both old components + new docs to root 1
+    assert(Seq(2L, 3L, 4L, 5L, 10L, 11L).forall(merged(_) == 1L))
+    assert(merged(30L) == 30L && merged(31L) == 30L)
+  }
 }
