@@ -18,6 +18,27 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object CorpusPipeline {
 
+  /** Stage 0 — raw-crawl ingest: WARC response records (the `graft-warc`
+    * DSv2 source, sources/WarcSource.scala) re-expressed as the
+    * `documents` table contract (doc_id, text, lang, source) the rest of
+    * the pipeline consumes. Keeps only well-framed HTTP 200 responses
+    * with a decoded payload; doc_id is the stable (path, record_idx)
+    * hash so re-running an ingest is idempotent; lang is `und` — the
+    * language-ID stage (q36/q189) owns that column downstream; source
+    * carries the crawl URI for q115's per-source overlap accounting.
+    * One narrow scan, no shuffle; at 100 TB the parallel unit is the
+    * archive file, exactly how the crawl is sharded.
+    */
+  def fromWarc(s: SparkSession, warcPath: String): DataFrame =
+    s.read.format("graft-warc").load(warcPath)
+      .filter(col("parse_ok") && col("warc_type") === "response" &&
+        col("http_status") === 200 && col("body_text").isNotNull)
+      .select(
+        xxhash64(col("path"), col("record_idx")).as("doc_id"),
+        col("body_text").as("text"),
+        lit("und").as("lang"),
+        col("target_uri").as("source"))
+
   /** Stage 1 — quality filter: keep q65-accepted documents. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.WarcCodec
+
+/** The graft-warc DataSource V2 connector: ISO 28500 record framing as a
+  * table, HTTP/charset decode behind column pruning, corruption
+  * quarantine, planning-time file pruning, early record-walk stop.
+  */
+class WarcSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val CRLF = "\r\n"
+
+  /** One WARC record: version line, headers, Content-Length block,
+    * CRLFCRLF separator. */
+  private def record(warcType: String, uri: String, block: Array[Byte],
+      contentType: String = "application/http;msgtype=response",
+      idx: Int = 0): Array[Byte] = {
+    val head = (s"WARC/1.0$CRLF" +
+      s"WARC-Type: $warcType$CRLF" +
+      s"WARC-Target-URI: $uri$CRLF" +
+      s"WARC-Date: 2024-01-0${1 + idx % 9}T00:00:00Z$CRLF" +
+      s"WARC-Record-ID: <urn:uuid:rec-$warcType-$idx>$CRLF" +
+      s"Content-Type: $contentType$CRLF" +
+      s"Content-Length: ${block.length}$CRLF" + CRLF).getBytes(StandardCharsets.US_ASCII)
+    head ++ block ++ (CRLF + CRLF).getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** An application/http response block with an explicit charset. */
+  private def httpBlock(status: Int, body: Array[Byte],
+      contentType: String = "text/html; charset=utf-8"): Array[Byte] =
+    (s"HTTP/1.1 $status OK$CRLF" +
+      s"Content-Type: $contentType$CRLF" +
+      s"Content-Length: ${body.length}$CRLF" + CRLF)
+      .getBytes(StandardCharsets.US_ASCII) ++ body
+
+  /** Two archive files: f0 = warcinfo + request + 2 responses (one
+    * latin-1, one 404), f1 = 1 utf-8 response. Returns (dir, paths). */
+  private def writeArchives(): (String, Seq[String]) = {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val latin1Body = "café résumé".getBytes(StandardCharsets.ISO_8859_1)
+    val f0 = record("warcinfo", "urn:warcinfo", "software: graft-test".getBytes, "application/warc-fields") ++
+      record("request", "http://a.example/", "GET / HTTP/1.1\r\n\r\n".getBytes,
+        "application/http;msgtype=request", idx = 1) ++
+      record("response", "http://a.example/",
+        httpBlock(200, latin1Body, "text/html; charset=iso-8859-1"), idx = 2) ++
+      record("response", "http://a.example/missing",
+        httpBlock(404, "not found".getBytes(StandardCharsets.UTF_8)), idx = 3)
+    val f1 = record("response", "http://b.example/",
+      httpBlock(200, "hello warc ☃ world".getBytes(StandardCharsets.UTF_8)))
+    Files.write(Paths.get(s"$dir/f0.warc"), f0)
+    Files.write(Paths.get(s"$dir/f1.warc"), f1)
+    (dir, Seq(s"$dir/f0.warc", s"$dir/f1.warc"))
+  }
+
+  test("reads one row per record with framed metadata and charset-decoded bodies") {
+    val (dir, _) = writeArchives()
+    val rows = spark.read.format("graft-warc").load(dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("parse_ok")))
+    // record indexes are sequential per file from 0
+    rows.groupBy(_.getAs[String]("path")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("record_idx")).sorted.toSeq == rs.indices.toSeq)
+    }
+    val info = rows.filter(_.getAs[String]("warc_type") == "warcinfo").head
+    assert(info.getAs[String]("content_type") == "application/warc-fields")
+    assert(info.isNullAt(info.fieldIndex("http_status")), "non-HTTP record got a status")
+    // the latin-1 response decodes under its declared charset
+    val latin = rows.filter(r => r.getAs[String]("warc_type") == "response" &&
+      r.getAs[String]("target_uri") == "http://a.example/").head
+    assert(latin.getAs[Int]("http_status") == 200)
+    assert(latin.getAs[String]("charset") == "iso-8859-1")
+    assert(latin.getAs[String]("body_text") == "café résumé")
+    // the utf-8 response round-trips its astral-free unicode exactly
+    val utf = rows.filter(_.getAs[String]("target_uri") == "http://b.example/").head
+    assert(utf.getAs[String]("body_text") == "hello warc ☃ world")
+    // the 404 is a well-framed record with its real status
+    assert(rows.filter(_.getAs[String]("target_uri") == "http://a.example/missing")
+      .head.getAs[Int]("http_status") == 404)
+    // WARC named headers surfaced verbatim
+    assert(utf.getAs[String]("record_id") == "<urn:uuid:rec-response-0>")
+    assert(latin.getAs[String]("warc_date") == "2024-01-03T00:00:00Z")
+  }
+
+  test("whole-file gzip (incl. multi-member) inflates to the identical table") {
+    val (dir, paths) = writeArchives()
+    val gzDir = Files.createTempDirectory("graft-warc-gz").toString
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // f0 as TWO concatenated gzip members (the per-record CommonCrawl
+    // layout), f1 as one member
+    val f0 = Files.readAllBytes(Paths.get(paths.head))
+    val cut = f0.length / 2
+    Files.write(Paths.get(s"$gzDir/f0.warc.gz"),
+      gzip(java.util.Arrays.copyOfRange(f0, 0, cut)) ++
+        gzip(java.util.Arrays.copyOfRange(f0, cut, f0.length)))
+    Files.write(Paths.get(s"$gzDir/f1.warc.gz"),
+      gzip(Files.readAllBytes(Paths.get(paths(1)))))
+    def canon(d: String) = spark.read.format("graft-warc").load(d)
+      .select("record_idx", "warc_type", "target_uri", "http_status", "body_text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(gzDir) == canon(dir))
+  }
+
+  test("malformed framing quarantines the tail and keeps the records before it") {
+    val (dir, paths) = writeArchives()
+    // truncate f0 inside its third record's block
+    val full = Files.readAllBytes(Paths.get(paths.head))
+    Files.write(Paths.get(paths.head), java.util.Arrays.copyOf(full, full.length - 40))
+    val rows = spark.read.format("graft-warc").load(paths.head).collect()
+    val bad = rows.filter(!_.getAs[Boolean]("parse_ok"))
+    assert(bad.length == 1, s"expected one quarantine row, got ${bad.length}")
+    assert(bad.head.isNullAt(bad.head.fieldIndex("warc_type")))
+    // the intact leading records still parsed
+    assert(rows.count(_.getAs[Boolean]("parse_ok")) >= 2)
+    // a non-WARC file quarantines the same way
+    val junk = s"$dir/junk.warc"
+    Files.write(Paths.get(junk), "HTTP/1.1 200 OK\r\n\r\nnot a warc".getBytes)
+    val j = spark.read.format("graft-warc").load(junk).collect()
+    assert(j.length == 1 && !j.head.getAs[Boolean]("parse_ok"))
+  }
+
+  test("column pruning reaches the scan; counting records decodes no payload") {
+    val (dir, _) = writeArchives()
+    val slim = spark.read.format("graft-warc").load(dir)
+      .select("path", "warc_type")
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-warc"), plan)
+    assert(!plan.contains("body_text"), plan)
+    assert(slim.count() == 5)
+    val n = spark.read.format("graft-warc").load(dir)
+      .groupBy("warc_type").agg(count(lit(1))).count()
+    assert(n == 3) // warcinfo, request, response
+  }
+
+  test("path filter prunes files at planning time; type/idx pushdown skips walk work") {
+    val (dir, paths) = writeArchives()
+    val one = spark.read.format("graft-warc").load(dir)
+      .filter(col("path") === s"file:${paths(1)}")
+    assert(one.rdd.getNumPartitions == 1, s"got ${one.rdd.getNumPartitions}")
+    assert(one.count() == 1)
+    // pushdown never changes results: pushed AND re-applied
+    val full = spark.read.format("graft-warc").load(dir)
+    assert(full.filter(col("warc_type") === "response").count() == 3)
+    // record_idx bound stops the walk BEFORE malformed later records: with
+    // f0's tail truncated mid-record-3, an idx<=1 scan sees clean rows
+    // only — proof the bound skipped the walk, not filtered rows after
+    val raw = Files.readAllBytes(Paths.get(paths.head))
+    Files.write(Paths.get(paths.head), java.util.Arrays.copyOf(raw, raw.length - 40))
+    val bounded = spark.read.format("graft-warc").load(paths.head)
+      .filter(col("record_idx") <= 1).collect()
+    assert(bounded.length == 2 && bounded.forall(_.getAs[Boolean]("parse_ok")))
+    val unbounded = spark.read.format("graft-warc").load(paths.head).collect()
+    assert(unbounded.exists(!_.getAs[Boolean]("parse_ok")))
+  }
+
+  test("WarcCodec charset handling: parameter extraction, fallback, replacement") {
+    assert(WarcCodec.charsetOf("text/html; charset=ISO-8859-1").contains("iso-8859-1"))
+    assert(WarcCodec.charsetOf("text/html; charset=\"utf-8\"; foo=bar").contains("utf-8"))
+    assert(WarcCodec.charsetOf("text/html").isEmpty)
+    // unknown charset falls back to UTF-8 rather than failing the scan
+    assert(WarcCodec.decode("abc".getBytes(StandardCharsets.UTF_8), "not-a-charset") == "abc")
+    // malformed bytes REPLACE, never throw (crawl payloads lie)
+    val broken = Array[Byte](0x61, 0xFF.toByte, 0x62)
+    assert(WarcCodec.decode(broken, "utf-8") == "a�b")
+  }
+
+  test("CorpusPipeline.fromWarc yields the documents contract from 200 responses only") {
+    val (dir, _) = writeArchives()
+    val docs = CorpusPipeline.fromWarc(spark, dir)
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    val rows = docs.collect()
+    // 2 HTTP-200 responses across both files; the 404 / request / warcinfo
+    // records never become documents
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("source")).toSet ==
+      Set("http://a.example/", "http://b.example/"))
+    // doc_id is the stable (path, record_idx) hash: re-reading is idempotent
+    val again = CorpusPipeline.fromWarc(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+  }
+}
