@@ -537,11 +537,16 @@ object TextAnalysis {
     * consumes exactly these counts).
     *
     * Scale shape — the q29 dictionary trick: merges apply to the DISTINCT
-    * word vocabulary (8 chained folds over a vocab-bounded frame, one
-    * per merge — never to each occurrence), and the per-word token counts
-    * join back to occurrences by word. The merge list itself is the
-    * driver-held model from [[bpeMerges]] (8 rows). The vocab join is
-    * hinted broadcast here; past `graft.dedup.dictBroadcastMaxRows`-style
+    * word vocabulary (never to each occurrence), and the per-word token
+    * counts join back to occurrences by word. The merge list itself is
+    * the driver-held model from [[bpeMerges]] (8 rows here). Tokenization
+    * is the native [[graft.functions.BpeEncode]] expression — ONE plan
+    * node regardless of merge count (the earlier form chained one
+    * bpeMergeFold withColumn per merge, linear plan depth that a
+    * production 50k-merge table would turn into thousands of analysis/
+    * codegen layers; PropertySpec pins the expression bit-equal to the
+    * chained fold AND flat at 2000 merges). The vocab join is hinted
+    * broadcast here; past `graft.dedup.dictBroadcastMaxRows`-style
     * bounds a caller would drop the hint and let it shuffle — same
     * guard rail as the shingle dict.
     */
@@ -554,11 +559,9 @@ object TextAnalysis {
       words.groupBy(col("word")).agg(count(lit(1)).as("cnt")), nMerges = 8)
       .orderBy(col("merge_rank"))
       .collect().map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
-    val dict = merges.foldLeft(
-      words.select(col("word")).distinct()
-        .withColumn("syms", split(col("word"), ""))) { case (df, (l, r)) =>
-      df.withColumn("syms", bpeMergeFold(l, r))
-    }
+    val dict = words.select(col("word")).distinct()
+      .withColumn("syms",
+        graft.functions.BpeEncode.encode(col("word"), merges.toSeq))
       .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
         length(col("word")).cast("long").as("n_chr"))
     words.join(broadcast(dict), "word")

@@ -208,6 +208,58 @@ class PropertySpec extends AnyFunSuite {
     got.values.foreach { case (nw, nt, nc) => assert(nw <= nt && nt <= nc) }
   }
 
+  test("native BPE encode: token arrays equal the chained HOF fold at the learned merges") {
+    import spark.implicits._
+    val merges = RefBpe.learn(wordCounts(), 8).map(m => (m._2, m._3))
+    val vocab = wordCounts().map(_._1).distinct
+    val folded = merges.foldLeft(
+      vocab.toDF("word").withColumn("syms", split(col("word"), ""))) {
+      case (df, (l, r)) => df.withColumn("syms",
+        when(size(col("syms")) <= 1, col("syms")).otherwise(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms"))),
+            array(col("syms").getItem(0)),
+            (acc, x) =>
+              when(element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x))))))
+    }.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val native = vocab.toDF("word")
+      .withColumn("syms", graft.functions.BpeEncode.encode(col("word"), merges))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(native == folded, "native expression diverged from the chained fold")
+    assert(native.values.exists(_.exists(_.length > 1)), "no merge ever fired")
+  }
+
+  test("native BPE encode: exact at 2000 merges (flat plan depth), incl. multi-level merges") {
+    import spark.implicits._
+    // synthetic production-scale merge table: symbols merge into a growing
+    // pool, so later merges fuse MERGED symbols (the multi-level case the
+    // floor-scan must replay in exact rank order)
+    val rnd = new scala.util.Random(42)
+    val pool = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d", "e", "f")
+    val merges = (1 to 2000).map { _ =>
+      val l = pool(rnd.nextInt(pool.length))
+      val r = pool(rnd.nextInt(pool.length))
+      pool += (l + r)
+      (l, r)
+    }
+    val words = (1 to 200).map(i =>
+      (1 to (4 + rnd.nextInt(14))).map(_ => pool(rnd.nextInt(6))).mkString)
+      .distinct
+    val got = words.toDF("word")
+      .withColumn("syms", graft.functions.BpeEncode.encode(col("word"), merges))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      val expect = RefBpe.tokenize(w, merges).toList
+      assert(got(w) == expect, s"word '$w': got ${got(w)}, expect $expect")
+      assert(got(w).mkString == w, "tokens must reassemble the word exactly")
+    }
+    // some multi-level merge actually fired (a token spanning ≥ 3 chars)
+    assert(got.values.exists(_.exists(_.length >= 3)),
+      "synthetic table never exercised a multi-level merge")
+  }
+
   test("q119 z-order key: exact interleave and aligned 16-blocks are 4x4 tiles") {
     val rows = graft.operators.Geo.q119ZorderKey(spark, sf).collect()
     assert(rows.nonEmpty)
