@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Events, Geo, Graph, Linkage, Multimodal, Privacy, Quality, Relational, RelationalExt, Similarity, Stats, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Events, Geo, Graph, Linkage, Multimodal, Privacy, Quality, Relational, RelationalExt, Safety, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++ Events.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ Privacy.queries ++ Geo.queries ++ Quality.queries ++
-      Analytics.queries ++ Stats.queries ++ Linkage.queries ++ Graph.queries
+      Analytics.queries ++ Stats.queries ++ Linkage.queries ++ Graph.queries ++
+      Safety.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ RelationalExt.oracles ++ Events.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Privacy.oracles ++ Geo.oracles ++ Quality.oracles ++
-      Analytics.oracles ++ Stats.oracles ++ Linkage.oracles ++ Graph.oracles
+      Analytics.oracles ++ Stats.oracles ++ Linkage.oracles ++ Graph.oracles ++
+      Safety.oracles
 }

@@ -49,6 +49,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("lang").as("claimed_lang"),
         (col("pred_lang") === col("lang")).as("agree"))
 
+  /** q189's transform over ANY (doc_id, text) frame: two-stage language
+    * ID — script ranges first, char-trigram profiles second (the public
+    * CLD/fastText shape). Unicode-range counts (codegen'd regexes; CJK
+    * U+4E00–9FFF, Cyrillic U+0400–04FF, Arabic U+0600–06FF) decide
+    * non-Latin scripts outright when the dominant script covers > 20% of
+    * the text — trigram profiles can't separate scripts they were never
+    * trained on, and the range test is exact; otherwise the native
+    * [[graft.functions.LangIdNgram]] expression scores the Latin
+    * profiles (en/de/es/fr), which — unlike q36's stopword heuristic —
+    * accumulates evidence from every 3-char window and therefore handles
+    * tweet-length fragments and compounds containing no whole function
+    * word. A pure projection: two regexp counts + one model scan per
+    * doc, no shuffle at any scale.
+    */
+  def predictLang(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_cjk", regexp_count(col("text"), lit("[\\x{4E00}-\\x{9FFF}]")))
+      .withColumn("n_cyr", regexp_count(col("text"), lit("[\\x{0400}-\\x{04FF}]")))
+      .withColumn("n_ar", regexp_count(col("text"), lit("[\\x{0600}-\\x{06FF}]")))
+      .withColumn("pred_lang",
+        when(col("n_cjk") >= col("n_cyr") && col("n_cjk") >= col("n_ar") &&
+          col("n_cjk") * 5 > length(col("text")), "zh")
+        .when(col("n_cyr") >= col("n_ar") &&
+          col("n_cyr") * 5 > length(col("text")), "ru")
+        .when(col("n_ar") * 5 > length(col("text")), "ar")
+        .otherwise(graft.functions.LangIdNgram.predict(col("text"))))
+
+  /** q189: char-n-gram language ID over the documents table — q36's v2
+    * for non-Latin scripts and short text (see [[predictLang]]). The
+    * synthetic corpus's `lang` labels are random jargon tags, so `agree`
+    * is reported, not asserted; LangIdSpec pins planted CJK / Cyrillic /
+    * Arabic / short-Latin docs instead. Rows-only: the trigram profiles
+    * are a learned model with no SQL mirror.
+    */
+  def q189LangIdNgram(s: SparkSession, dir: String): DataFrame =
+    predictLang(Tables.documents(s, dir))
+      .select(col("doc_id"), col("pred_lang"), col("lang").as("claimed_lang"),
+        col("n_cjk").cast("long").as("n_cjk"),
+        (col("pred_lang") === col("lang")).as("agree"))
+
   /** q37: quality scoring from length / stopword / digit ratios. */
   def q37QualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1270,6 +1310,7 @@ object TextAnalysis {
     "q124_overlap_sketch" -> (q124OverlapSketch _),
     "q121_bpe_encode" -> (q121BpeEncode _),
     "q118_bpe_merges" -> (q118BpeMerges _),
+    "q189_langid_ngram" -> (q189LangIdNgram _),
     "q115_corpus_overlap" -> (q115CorpusOverlap _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q93_tfidf_topterms" -> (q93TfidfTopTerms _),
