@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A minimal transaction-log table format — the storage seam that unifies
+  * the repo's piecewise lakehouse mechanics (AtomicGen's rename commits,
+  * ZoneMap's file manifests, q98's snapshot diff) into one versioned
+  * table: every mutation is ONE atomically-renamed JSON commit file, and
+  * readers resolve a snapshot purely from the log, never from directory
+  * listing. The public Delta/Iceberg design in miniature:
+  *
+  *  - `<root>/_graft_log/<20-digit-version>.json` — the commit log. Each
+  *    entry lists data files ADDED and REMOVED (paths relative to root)
+  *    plus an operation tag and optional idempotence token. A version
+  *    file is staged dot-invisible and published by one rename, so a
+  *    version either exists completely or not at all.
+  *  - `<root>/d-<uuid>/` — immutable data directories (parquet). Data
+  *    lands BEFORE its commit and is invisible until the log references
+  *    it, so a crash between the two leaves unreferenced litter, never a
+  *    torn table.
+  *
+  * Semantics this buys over raw directories:
+  *  - SNAPSHOT ISOLATION: a reader resolves the live file set at a
+  *    version and reads exactly those files — concurrent appends /
+  *    compactions never tear a scan.
+  *  - TIME TRAVEL: `snapshot(root, asOf = v)` replays the log prefix.
+  *  - OPTIMISTIC CONCURRENCY: the version-file rename is the lock; a
+  *    loser re-reads the head and retries against the new version, so
+  *    two appends both land (serialized), never lost or doubled.
+  *  - EXACTLY-ONCE INGEST: `append(..., txnId = Some(id))` is a no-op if
+  *    any committed entry already carries the token — the foreachBatch
+  *    replay contract AtomicGen provides for generation directories,
+  *    here for log-referenced tables.
+  *  - COMPACTION without reader disruption: `compact` commits
+  *    added-compacted + removed-smalls in one version; old versions
+  *    still resolve the old files until `vacuum` reclaims them.
+  *
+  * Scale shape: the log is O(commits) tiny JSON files read by the
+  * DRIVER (a production table periodically checkpoints the folded state;
+  * the fold here is cheap enough not to); data files stream through
+  * executors untouched. Same rename caveat as AtomicGen: atomic on
+  * POSIX/HDFS, object stores need a commit service.
+  *
+  * The commit-record JSON is written AND parsed by this object only;
+  * relative paths are library-generated (`d-<uuid>/part-*.parquet`), so
+  * the hand-rolled codec never meets adversarial strings (paths are
+  * still escaped on write, defensively).
+  */
+object CommitLog {
+
+  private val LogDir = "_graft_log"
+  private val MaxCommitRetries = 20
+
+  final case class Commit(version: Long, op: String,
+      add: Seq[String], remove: Seq[String], txnId: Option[String])
+
+  private def fs(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def versionFile(root: String, v: Long): Path =
+    new Path(f"$root/$LogDir/$v%020d.json")
+
+  // ---------- codec ----------
+
+  private def enc(c: Commit): String = {
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + GraftSession.jsonEscape(x) + "\"").mkString("[", ",", "]")
+    val txn = c.txnId.map(t => s""","txn":"${GraftSession.jsonEscape(t)}"""").getOrElse("")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn}"""
+  }
+
+  /** Minimal parser for the exact shape [[enc]] writes (see object doc
+    * for why that's sufficient): quoted strings inside the named arrays,
+    * unescaped on read. */
+  private def dec(version: Long, json: String): Commit = {
+    def field(name: String): Seq[String] = {
+      val i = json.indexOf(s""""$name":[""")
+      if (i < 0) return Seq.empty
+      val start = json.indexOf('[', i) + 1
+      val end = json.indexOf(']', start)
+      val body = json.substring(start, end).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    val op = {
+      val i = json.indexOf("\"op\":\"")
+      val start = i + 6
+      json.substring(start, json.indexOf('"', start))
+    }
+    val txn = {
+      val i = json.indexOf("\"txn\":\"")
+      if (i < 0) None
+      else {
+        val start = i + 7
+        Some(json.substring(start, json.indexOf('"', start)))
+      }
+    }
+    Commit(version, op, field("add"), field("remove"), txn)
+  }
+
+  // ---------- log access ----------
+
+  /** All committed entries ≤ asOf, in version order. */
+  def log(s: SparkSession, root: String, asOf: Long = Long.MaxValue): Seq[Commit] = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/$LogDir")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
+        .map(v => (v, st.getPath)))
+      .filter(_._1 <= asOf)
+      .sortBy(_._1)
+      .map { case (v, p) =>
+        val in = f.open(p)
+        val bytes = try {
+          val len = f.getFileStatus(p).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0, b)
+          b
+        } finally in.close()
+        dec(v, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  def headVersion(s: SparkSession, root: String): Long =
+    log(s, root).lastOption.map(_.version).getOrElse(0L)
+
+  /** Live relative file paths at a version (the log fold). */
+  def liveFiles(s: SparkSession, root: String, asOf: Long = Long.MaxValue): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    log(s, root, asOf).foreach { c =>
+      c.remove.foreach(live -= _)
+      c.add.foreach(live += _)
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read: exactly the live files of the version, never a
+    * directory listing — concurrent commits cannot tear the scan. */
+  def snapshot(s: SparkSession, root: String, asOf: Long = Long.MaxValue): DataFrame = {
+    val files = liveFiles(s, root, asOf)
+    require(files.nonEmpty, s"commit-log table at $root has no live files (asOf=$asOf)")
+    s.read.parquet(files.map(p => s"$root/$p"): _*)
+  }
+
+  // ---------- commit protocol ----------
+
+  /** Write df into a fresh immutable data dir; returns relative parquet
+    * paths. Data is invisible until a commit references it. */
+  private def writeData(df: DataFrame, root: String): Seq[String] = {
+    val s = df.sparkSession
+    val dirName = s"d-${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dirName")
+    val f = fs(s, root)
+    f.listStatus(new Path(s"$root/$dirName")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$dirName/${st.getPath.getName}")
+      .sorted
+  }
+
+  /** The optimistic-concurrency loop: stage the entry dot-invisible, try
+    * to rename onto the next version; on a lost race re-read the head
+    * (re-deriving `remove` via `removeAtHead` so an overwrite/compact
+    * retried against a moved head removes the RIGHT files) and retry.
+    */
+  private def commitEntry(s: SparkSession, root: String, op: String,
+      add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
+      txnId: Option[String]): Option[Long] = {
+    val f = fs(s, root)
+    f.mkdirs(new Path(s"$root/$LogDir"))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val entries = log(s, root)
+      if (txnId.exists(t => entries.exists(_.txnId.contains(t))))
+        return None // idempotent replay: the token already committed
+      val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
+      val target = versionFile(root, v)
+      if (!f.exists(target)) {
+        val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
+        val out = f.create(staged, false)
+        try out.write(enc(Commit(v, op, add, removeAtHead(entries), txnId))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.rename(staged, target)) return Some(v)
+        f.delete(staged, false) // lost the race: clean our stage, retry
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commit-log: lost $MaxCommitRetries consecutive commit races at $root")
+  }
+
+  /** Append df as a new version. `txnId` makes the commit exactly-once
+    * under replays (foreachBatch: pass the batch id). Returns the
+    * committed version, or None if the token was already committed. */
+  def append(df: DataFrame, root: String, txnId: Option[String] = None): Option[Long] = {
+    val s = df.sparkSession
+    if (txnId.exists(t => log(s, root).exists(_.txnId.contains(t))))
+      return None // cheap pre-check: replay skips the data write too
+    val add = writeData(df, root)
+    commitEntry(s, root, "append", add, _ => Seq.empty, txnId)
+  }
+
+  /** Replace the table contents with df in one version. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val add = writeData(df, root)
+    commitEntry(df.sparkSession, root, "overwrite", add, entries => {
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
+      live.toSeq
+    }, None).get
+  }
+
+  /** Fold the current live files into one coalesced data dir — small-file
+    * compaction as ONE commit (add compacted, remove olds); readers at
+    * older versions still resolve the old files. Concurrency contract:
+    * compact races safely with APPENDs (a racing append's files stay
+    * live beside the compacted copy — the removal set is re-derived at
+    * commit time); compact racing an OVERWRITE is outside the contract
+    * (the compacted copy would resurrect overwritten rows — real table
+    * formats reject that pairing in conflict detection; one writer per
+    * table for destructive ops is this seam's rule, as in AtomicGen). */
+  def compact(s: SparkSession, root: String, partitions: Int = 1): Long = {
+    val before = liveFiles(s, root)
+    require(before.nonEmpty, s"nothing to compact at $root")
+    val add = writeData(snapshot(s, root).coalesce(partitions), root)
+    commitEntry(s, root, "compact", add, entries => {
+      // remove what is live at COMMIT time, not at read time: if an
+      // append raced in, its files are not ours to remove — re-deriving
+      // from `entries` keeps only files that existed when we read…
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
+      // …intersected with the snapshot we actually rewrote: racing
+      // appends stay live alongside the compacted copy
+      live.toSeq.filter(before.contains)
+    }, None).get
+  }
+
+  /** Reclaim data files no version ≤ head still needs — i.e. files
+    * REMOVED by some commit (time travel to versions before their
+    * removal stops working; that is vacuum's documented trade
+    * everywhere). Unreferenced crash litter (data dirs no commit ever
+    * referenced) is NOT touched: a concurrent writer may be about to
+    * commit it. Returns the deleted relative paths. */
+  def vacuum(s: SparkSession, root: String): Seq[String] = {
+    val entries = log(s, root)
+    val live = liveFiles(s, root).toSet
+    val everAdded = entries.flatMap(_.add).distinct
+    val dead = everAdded.filterNot(live)
+    val f = fs(s, root)
+    dead.foreach(p => f.delete(new Path(s"$root/$p"), false))
+    // drop now-empty data dirs (cosmetic; readers never list dirs)
+    dead.map(_.takeWhile(_ != '/')).distinct.foreach { d =>
+      val dir = new Path(s"$root/$d")
+      if (f.exists(dir) && f.listStatus(dir).isEmpty) f.delete(dir, true)
+    }
+    dead
+  }
+}
