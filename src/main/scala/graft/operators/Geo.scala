@@ -105,37 +105,34 @@ object Geo {
     * nearest depot/taxi-stand" operator of a trip pipeline, and the
     * 1-NN/Voronoi building block of any spatial rollup.
     *
-    * The station dim (25 rows) broadcasts; the argmin is a per-event
-    * min(struct(d2, station_id)) — a map-side-combining aggregate over the
-    * broadcast-nested-loop expansion, so the only real exchange is the
-    * event_id one, and at 100 TB the expansion stays a projection-sized
-    * 25× multiplier ahead of partial aggregation. All distances are exact
-    * integers (micro-degrees, squared) — the argmin cannot ulp-flip — and
-    * the station_id tiebreak makes equidistant points deterministic.
+    * The station dim (25 rows) is a DRIVER-HELD model (the k-means/IVF
+    * centroid pattern — a real deployment collects its small stations
+    * table once): the argmin is ONE codegen `least()` over 25 inlined
+    * packed-distance terms, i.e. a pure projection — no 25× row
+    * expansion, no event_id aggregate, no exchange until the 25-row
+    * station rollup (map-side combined). The r9 A/B against the previous
+    * broadcast-nested-loop + packed-min-groupBy form measured 1.88 →
+    * 0.49–0.52 s at sf0.1 with hash-identical output; at 100 TB the old form
+    * shuffled one row per EVENT (partial-agg'd but still event-scale),
+    * this form's only exchange carries ≤ 25 rows per task. Packing:
+    * d2*32+id is lexicographic (d2, id) because id < 32, cannot overflow
+    * while d2 < 2^57 (a city box in squared micro-degrees is ~2^40), and
+    * all distances are exact integers — the argmin cannot ulp-flip; the
+    * station_id tiebreak makes equidistant points deterministic.
     */
   def q116NearestZone(s: SparkSession, dir: String): DataFrame = {
-    val stations = s.range(25).select(
-      col("id").as("station_id"),
-      expr("39850000 + (id % 5) * 50000").as("s_ulat"),
-      expr("-75250000 + (id DIV 5) * 50000").as("s_ulon"))
+    val stations = (0 until 25).map(i =>
+      (i.toLong, 39850000L + (i % 5) * 50000L, -75250000L + (i / 5) * 50000L))
+    val packedMin = stations.map { case (id, la, lo) =>
+      s"((ulat - ($la)) * (ulat - ($la)) + (ulon - ($lo)) * (ulon - ($lo))) * 32 + $id"
+    }.mkString("least(", ", ", ")")
     Tables.events(s, dir)
-      .select(col("event_id"),
+      .select(
         expr("CAST(round((39.9 + (user_id % 37) * 0.01 + value * 1e-4) * 1000000) AS BIGINT)")
           .as("ulat"),
         expr("CAST(round((-75.2 + (user_id % 53) * 0.01 - value * 1e-4) * 1000000) AS BIGINT)")
           .as("ulon"))
-      .crossJoin(broadcast(stations))
-      .withColumn("d2",
-        (col("ulat") - col("s_ulat")) * (col("ulat") - col("s_ulat")) +
-          (col("ulon") - col("s_ulon")) * (col("ulon") - col("s_ulon")))
-      // argmin PACKED into one long: min(struct(d2, id)) is not
-      // hash-aggregable and planned a SortAggregate — a full sort of the
-      // 25x expansion. d2*32+id is lexicographic (d2, id) because id < 32,
-      // and the pack cannot overflow while d2 < 2^57 (a city box in
-      // squared micro-degrees is ~2^40)
-      .withColumn("packed", col("d2") * 32L + col("station_id"))
-      .groupBy(col("event_id"))
-      .agg(min(col("packed")).as("p"))
+      .select(expr(packedMin).as("p"))
       .select(expr("p % 32").as("station_id"), expr("p DIV 32").as("d2"))
       .groupBy(col("station_id"))
       .agg(count(lit(1)).as("n_events"),

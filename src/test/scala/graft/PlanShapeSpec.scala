@@ -262,12 +262,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1, p)
   }
 
-  test("q116 nearest-station argmin stays hash-aggregated over the broadcast expansion") {
+  test("q116 nearest-station argmin is a pure projection — no expansion, one exchange") {
     val p = plan("q116_nearest_zone")
-    assert(!p.contains("SortAggregate"),
-      "packed-long argmin must not degrade to a sort aggregate\n" + p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 25-row dim expansion
-    assert(count(p, "Exchange") <= 2, p) // event_id argmin + station rollup
+    // the 25-station argmin is a codegen least() over inlined terms: no
+    // join (the old BroadcastNestedLoopJoin 25x expansion is gone), no
+    // event-scale aggregate — the only exchange is the 25-row station
+    // rollup, map-side combined
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(count(p, "Exchange") == 1, p)
   }
 
   test("q129 skyline's running max partitions by band — no single-partition data window") {
