@@ -556,19 +556,50 @@ object TextAnalysis {
         col("support"))
   }
 
+  /** The corpus's learned merge table, memoized per (session, dir, n) —
+    * the tokenizer-training build-once seam (the clusterMap/k-means
+    * contract: a corpus release trains ONCE; q118 publishes the table,
+    * q121 serves with it — neither re-runs the n driver-collect learning
+    * rounds when the other already has). Path-keyed, not content-keyed:
+    * see [[invalidateMergeCache]].
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int), Seq[(Int, String, String, Long)]]()
+
+  /** Drop memoized merge tables — required after the data under a
+    * previously learned directory changes (same contract as
+    * [[Similarity.invalidateQuantizerCache]]). */
+  def invalidateMergeCache(): Unit = mergeCache.clear()
+
+  private[graft] def corpusMerges(s: SparkSession, dir: String,
+      nMerges: Int = 8): Seq[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent((System.identityHashCode(s), dir, nMerges), { _ =>
+      bpeMerges(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+        nMerges)
+        .orderBy(col("merge_rank"))
+        .collect().toSeq.map(r => (r.getAs[Int]("merge_rank"),
+          r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[Long]("support")))
+    })
+
   /** q118: the first 8 BPE merges learned from the documents corpus
     * (weighted by word frequency). Rows-only: the merge loop is
     * inherently iterative (each winner depends on the previous fusion) —
     * correctness is pinned by the spec's independent driver-side
     * reference implementation instead of SQL.
     */
-  def q118BpeMerges(s: SparkSession, dir: String): DataFrame =
-    bpeMerges(
-      Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
-      nMerges = 8)
+  def q118BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    corpusMerges(s, dir)
+      .toDF("merge_rank", "left_sym", "right_sym", "support")
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged_sym"),
+        col("support"))
+  }
 
   /** q121: BPE corpus ENCODE — the serving half of q118: the learned
     * merges applied to every document, reported as per-document token
@@ -579,7 +610,8 @@ object TextAnalysis {
     * Scale shape — the q29 dictionary trick: merges apply to the DISTINCT
     * word vocabulary (never to each occurrence), and the per-word token
     * counts join back to occurrences by word. The merge list itself is
-    * the driver-held model from [[bpeMerges]] (8 rows here). Tokenization
+    * the driver-held model from [[corpusMerges]] (8 rows here, memoized
+    * per session/dir — q118 and q121 share one training). Tokenization
     * is the native [[graft.functions.BpeEncode]] expression — ONE plan
     * node regardless of merge count (the earlier form chained one
     * bpeMergeFold withColumn per merge, linear plan depth that a
@@ -595,13 +627,10 @@ object TextAnalysis {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val merges = bpeMerges(
-      words.groupBy(col("word")).agg(count(lit(1)).as("cnt")), nMerges = 8)
-      .orderBy(col("merge_rank"))
-      .collect().map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val merges = corpusMerges(s, dir).map { case (_, l, r, _) => (l, r) }
     val dict = words.select(col("word")).distinct()
       .withColumn("syms",
-        graft.functions.BpeEncode.encode(col("word"), merges.toSeq))
+        graft.functions.BpeEncode.encode(col("word"), merges))
       .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
         length(col("word")).cast("long").as("n_chr"))
     words.join(broadcast(dict), "word")
