@@ -92,12 +92,20 @@ object Safety {
       "CAST(length(text) - length(replace(text, '!', '')) AS BIGINT) * 10000" +
         " DIV greatest(length(text), 1)"))
 
-  /** q190: rule-lane content-safety routing (see object doc). */
-  def q190ContentSafety(s: SparkSession, dir: String): DataFrame =
-    ruleFeatures(Tables.documents(s, dir))
+  /** The rule-lane routing over ANY (doc_id, text) frame — q190's body
+    * and the per-batch projection [[graft.streaming.SafetyGate]] (s20)
+    * runs at ingest. A pure stateless projection: a replayed micro-batch
+    * re-derives the identical lanes, which is what makes the gate's
+    * per-root committed checks safe (the s16 argument). */
+  def route(docs: DataFrame): DataFrame =
+    ruleFeatures(docs)
       .withColumn("score_bp", expr(scoreSqlSpark.head.stripSuffix(" AS score_bp")))
       .withColumn("lane", expr(scoreSqlSpark(1).stripSuffix(" AS lane")))
       .withColumn("reasons", expr(scoreSqlSpark(2).stripSuffix(" AS reasons")))
+
+  /** q190: rule-lane content-safety routing (see object doc). */
+  def q190ContentSafety(s: SparkSession, dir: String): DataFrame =
+    route(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_adult"), col("n_violence"), col("n_selfharm"),
         col("upper_bp"), col("excl_bp"), col("score_bp"), col("lane"), col("reasons"))
 

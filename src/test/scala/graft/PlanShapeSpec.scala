@@ -56,7 +56,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("pure-projection operators plan with zero exchanges") {
     for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint",
-                  "q74_train_split", "q76_vector_stats")) {
+                  "q74_train_split", "q76_vector_stats",
+                  "q189_langid_ngram", "q190_content_safety")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q:\n$p")
     }

@@ -106,6 +106,44 @@ class SafetyLangSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("s20 safety gate: per-row dual-root split, replay no-op, half-commit heals") {
+    import graft.streaming.SafetyGate
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-safetygate").toString
+    val (pub, quar) = (s"$root/published", s"$root/quarantine")
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawDoc]
+    val q = SafetyGate.gatedStream(spark, ms.toDF(), pub, quar)
+    try {
+      ms.addData(RawDoc(1, "a calm document about gardens and bread"),
+        RawDoc(2, "contains selfharmterm so it must hard-block"),
+        RawDoc(3, "mentions nsfwterm once for review"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$pub/gen=0").exists())
+      assert(new java.io.File(s"$quar/gen=0").exists())
+      val published = spark.read.parquet(pub)
+      assert(published.count() == 1 && published.head().getAs[Long]("doc_id") == 1)
+      val held = spark.read.parquet(quar).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("lane"), r.getAs[String]("reasons")))).toMap
+      assert(held(2L)._1 == "blocked" && held(2L)._2.contains("selfharm"))
+      assert(held(3L)._1 == "review" && held(3L)._2 == "adult")
+    } finally q.stop()
+    // replay of a committed id: full no-op
+    SafetyGate.gateBatch(spark, Seq(RawDoc(99, "anything")).toDF(), 0L, pub, quar)
+    assert(spark.read.parquet(pub).count() == 1)
+    assert(spark.read.parquet(quar).count() == 2)
+    // crash between the two commits: delete the quarantine half, replay
+    // the original batch — only the missing half is written back
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$quar/gen=0"))
+    val original = Seq(RawDoc(1, "a calm document about gardens and bread"),
+      RawDoc(2, "contains selfharmterm so it must hard-block"),
+      RawDoc(3, "mentions nsfwterm once for review")).toDF()
+    SafetyGate.gateBatch(spark, original, 0L, pub, quar)
+    assert(spark.read.parquet(pub).count() == 1, "published half must not duplicate")
+    assert(spark.read.parquet(quar).count() == 2, "quarantine half healed")
+  }
+
   test("q191 model lane: distilled scorer agrees >=90% with rules, both classes produced") {
     Safety.invalidateSafetyModelCache()
     val rows = Safety.q191SafetyModel(spark, plantedDir).collect()
