@@ -173,6 +173,33 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(WarcCodec.decode(broken, "utf-8") == "a�b")
   }
 
+  test("end to end: WARC responses flow through the q152 boilerplate front door") {
+    val dir = Files.createTempDirectory("graft-warc-e2e").toString
+    val article = "<html><body><p>" +
+      ("A long informative paragraph about city trips and weather patterns. " * 4) +
+      "</p></body></html>"
+    val navPage = "<ul>" + (1 to 8).map(i =>
+      s"""<li><a href="/p$i">Navigation item number $i</a></li>""").mkString + "</ul>"
+    val bytes =
+      record("response", "http://site.example/article", httpBlock(200,
+        article.getBytes(StandardCharsets.UTF_8), "text/html; charset=utf-8")) ++
+      record("response", "http://site.example/nav", httpBlock(200,
+        navPage.getBytes(StandardCharsets.UTF_8), "text/html; charset=utf-8"), idx = 1)
+    Files.write(Paths.get(s"$dir/crawl.warc"), bytes)
+    val docs = CorpusPipeline.fromWarc(spark, dir)
+    val routed = graft.operators.TextAnalysis.markupExtract(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[String]("lane"), r.getAs[String]("clean_text")))).toMap
+    // the article extracts to a clean lane with its prose text; the
+    // link-farm page quarantines — the crawl front door and the markup
+    // front door compose without any adapter
+    val (artLane, artText) = routed("http://site.example/article")
+    assert(!artLane.startsWith("quarantine"), artLane)
+    assert(artText.contains("informative paragraph about city trips"))
+    assert(routed("http://site.example/nav")._1.startsWith("quarantine"))
+  }
+
   test("CorpusPipeline.fromWarc yields the documents contract from 200 responses only") {
     val (dir, _) = writeArchives()
     val docs = CorpusPipeline.fromWarc(spark, dir)
