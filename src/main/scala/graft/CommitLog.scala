@@ -93,8 +93,22 @@ object CommitLog {
       val i = json.indexOf("\"txn\":\"")
       if (i < 0) None
       else {
+        // the token is CALLER-supplied free text (unlike the
+        // library-generated paths), so the scan must honor enc()'s
+        // escaping: stop at the first UNescaped quote, then unescape
         val start = i + 7
-        Some(json.substring(start, json.indexOf('"', start)))
+        val sb = new java.lang.StringBuilder
+        var j = start
+        var done = false
+        while (!done && j < json.length) {
+          json.charAt(j) match {
+            case '\\' if j + 1 < json.length =>
+              sb.append(json.charAt(j + 1)); j += 2
+            case '"' => done = true
+            case c => sb.append(c); j += 1
+          }
+        }
+        Some(sb.toString)
       }
     }
     Commit(version, op, field("add"), field("remove"), txn)
@@ -162,37 +176,65 @@ object CommitLog {
       .sorted
   }
 
+  /** Per-root in-process locks: POSIX rename(2) REPLACES an existing
+    * destination (Hadoop's RawLocalFileSystem inherits that), so on a
+    * local filesystem the version-file rename alone is NOT a lock — two
+    * same-JVM writers could both "succeed" and one commit would vanish.
+    * All local writers share this JVM (local[n] — the deployment the
+    * local scheme actually has), so a per-root monitor restores the
+    * serialization there; on HDFS, where rename onto an existing path
+    * fails, the rename itself is the cross-JVM lock. The read-back
+    * verification below additionally detects a cross-JVM local-FS
+    * overwrite after the fact. Multi-JVM writers on one LOCAL directory
+    * remain outside the contract (real deployments are HDFS or a commit
+    * service — the AtomicGen caveat).
+    */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The optimistic-concurrency loop: stage the entry dot-invisible, try
-    * to rename onto the next version; on a lost race re-read the head
-    * (re-deriving `remove` via `removeAtHead` so an overwrite/compact
-    * retried against a moved head removes the RIGHT files) and retry.
+    * to rename onto the next version, verify by read-back; on a lost
+    * race re-read the head (re-deriving `remove` via `removeAtHead` so
+    * an overwrite/compact retried against a moved head removes the
+    * RIGHT files) and retry.
     */
   private def commitEntry(s: SparkSession, root: String, op: String,
       add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
-      txnId: Option[String]): Option[Long] = {
-    val f = fs(s, root)
-    f.mkdirs(new Path(s"$root/$LogDir"))
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      val entries = log(s, root)
-      if (txnId.exists(t => entries.exists(_.txnId.contains(t))))
-        return None // idempotent replay: the token already committed
-      val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
-      val target = versionFile(root, v)
-      if (!f.exists(target)) {
-        val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
-        val out = f.create(staged, false)
-        try out.write(enc(Commit(v, op, add, removeAtHead(entries), txnId))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (f.rename(staged, target)) return Some(v)
-        f.delete(staged, false) // lost the race: clean our stage, retry
+      txnId: Option[String]): Option[Long] =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      val f = fs(s, root)
+      f.mkdirs(new Path(s"$root/$LogDir"))
+      var attempt = 0
+      while (attempt < MaxCommitRetries) {
+        val entries = log(s, root)
+        if (txnId.exists(t => entries.exists(_.txnId.contains(t))))
+          return None // idempotent replay: the token already committed
+        val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
+        val target = versionFile(root, v)
+        if (!f.exists(target)) {
+          val body = enc(Commit(v, op, add, removeAtHead(entries), txnId))
+          val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
+          val out = f.create(staged, false)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (f.rename(staged, target)) {
+            // read-back verification: on a filesystem whose rename
+            // replaces, a cross-process racer may have overwritten us
+            // (or we them) — whoever reads back foreign bytes lost
+            val in = f.open(target)
+            val got = try {
+              val len = f.getFileStatus(target).getLen.toInt
+              val b = new Array[Byte](len)
+              in.readFully(0, b)
+              new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+            if (got == body) return Some(v)
+          } else f.delete(staged, false) // lost the race: clean our stage
+        }
+        attempt += 1
       }
-      attempt += 1
+      throw new java.io.IOException(
+        s"commit-log: lost $MaxCommitRetries consecutive commit races at $root")
     }
-    throw new java.io.IOException(
-      s"commit-log: lost $MaxCommitRetries consecutive commit races at $root")
-  }
 
   /** Append df as a new version. `txnId` makes the commit exactly-once
     * under replays (foreachBatch: pass the batch id). Returns the
@@ -202,7 +244,16 @@ object CommitLog {
     if (txnId.exists(t => log(s, root).exists(_.txnId.contains(t))))
       return None // cheap pre-check: replay skips the data write too
     val add = writeData(df, root)
-    commitEntry(s, root, "append", add, _ => Seq.empty, txnId)
+    val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId)
+    if (committed.isEmpty && add.nonEmpty) {
+      // token race lost AFTER the data write (two concurrent replays both
+      // passed the pre-check): this dir is OURS and will never be
+      // referenced — delete it now, because vacuum deliberately spares
+      // unreferenced dirs (they could belong to an in-flight writer) and
+      // retry-heavy streaming would otherwise leak one dir per lost race
+      fs(s, root).delete(new Path(s"$root/${add.head.takeWhile(_ != '/')}"), true)
+    }
+    committed
   }
 
   /** Replace the table contents with df in one version. */

@@ -126,8 +126,11 @@ object Safety {
   private[graft] def trainSafetyModel(
       s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) =
     safetyModelCache.computeIfAbsent(dir, { _ =>
-      val rows = q190ContentSafety(s, dir)
-        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      // route() retains text (q190's final select is what drops it), so
+      // the features + label come from ONE corpus pass — re-joining the
+      // documents table here would add a second scan and a corpus-scale
+      // shuffle join for a column the projection already has
+      val rows = Safety.route(Tables.documents(s, dir))
         .withColumn("r", xxhash64(col("doc_id")))
         .orderBy(col("r"), col("doc_id")).limit(4096)
         .select((safetyFeatureCols :+
@@ -174,8 +177,11 @@ object Safety {
     val z = safetyFeatureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
       case (acc, (f, j)) => acc + lit(w(j + 1)) * ((f - lit(mu(j))) / lit(sd(j)))
     }
-    q190ContentSafety(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+    // serve off route() directly — it retains text, so q191 is a pure
+    // projection over ONE corpus scan exactly like q190 (the earlier
+    // doc_id re-join added a second scan + a corpus-scale shuffle for a
+    // column the projection already had)
+    route(Tables.documents(s, dir))
       .withColumn("model_bp",
         round(lit(10000.0) / (lit(1.0) + exp(-z))).cast("long"))
       .select(col("doc_id"), col("model_bp"),

@@ -172,22 +172,27 @@ private[sources] class FrameScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameReaderFactory(required, FrameScan.maxFrameIdx(pushed))
+    new FrameReaderFactory(required, FrameScan.maxFrameIdx(pushed),
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[sources] case class FramePartition(file: String) extends InputPartition
 
-private[sources] class FrameReaderFactory(required: StructType, maxIdx: Int)
+private[sources] class FrameReaderFactory(required: StructType, maxIdx: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FrameReader(partition.asInstanceOf[FramePartition].file, required, maxIdx)
+    new FrameReader(partition.asInstanceOf[FramePartition].file, required, maxIdx,
+      conf.value)
 }
 
 /** Walks one container file frame-by-frame with the genuine PGM codec.
   * Feature columns are computed ONLY if the pruned schema asks for them.
   */
 private[sources] class FrameReader(file: String, required: StructType,
-    maxIdx: Int = Int.MaxValue)
+    maxIdx: Int = Int.MaxValue,
+    conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration())
     extends PartitionReader[InternalRow] {
 
   private val needMean = required.fieldNames.contains("mean_pixel")
@@ -199,9 +204,10 @@ private[sources] class FrameReader(file: String, required: StructType,
     */
   private val MaxBytes = 256L << 20
 
-  // executor-side open with a fresh Hadoop conf: correct for file:// and
-  // default-configured HDFS; a deployment with non-default filesystem conf
-  // would thread a serialized conf through the ReaderFactory instead.
+  // executor-side open with the SESSION's Hadoop conf, shipped via
+  // SerializableConfiguration from the driver-side scan (a fresh
+  // Configuration() would drop filesystem credentials/endpoints and
+  // quarantine every file on s3a-style deployments).
   // None = unreadable/oversized → one quarantine row, never a failed scan.
   // IO failures (file deleted between planning and read, permission error,
   // transient FS fault) quarantine the same way as decode corruption — the
@@ -209,7 +215,7 @@ private[sources] class FrameReader(file: String, required: StructType,
   private val bytes: Option[Array[Byte]] =
     try {
       val p = new Path(file)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
       if (len > MaxBytes) None // .toInt would wrap negative past 2 GiB
       else {

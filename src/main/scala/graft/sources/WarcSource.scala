@@ -194,17 +194,20 @@ private[sources] class WarcScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, WarcScan.typeFilter(pushed),
-      WarcScan.maxRecordIdx(pushed))
+      WarcScan.maxRecordIdx(pushed),
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[sources] case class WarcPartition(file: String) extends InputPartition
 
 private[sources] class WarcReaderFactory(required: StructType,
-    typeFilter: Option[Set[String]], maxIdx: Int)
+    typeFilter: Option[Set[String]], maxIdx: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcReader(partition.asInstanceOf[WarcPartition].file, required,
-      typeFilter, maxIdx)
+      typeFilter, maxIdx, conf.value)
 }
 
 /** The record-framing walk itself, file-format logic only — unit-testable
@@ -338,7 +341,10 @@ private[graft] object WarcCodec {
           if version.startsWith("WARC/")
           (hs, blockStart) <- headers(b, afterVersion)
           len <- hs.get("content-length").flatMap(_.toLongOption)
-          if len >= 0 && blockStart + len <= b.length
+          // bound as `len <= remaining`, never `blockStart + len <= length`:
+          // an adversarial Content-Length near Long.MaxValue overflows the
+          // sum negative and would pass the guard into a negative cursor
+          if len >= 0 && len <= (b.length - blockStart).toLong
         } yield {
           cursor = (blockStart + len).toInt
           idx += 1
@@ -401,7 +407,8 @@ private[graft] object WarcCodec {
   * unreadable/oversized/corrupt → quarantine rows, never a failed scan).
   */
 private[sources] class WarcReader(file: String, required: StructType,
-    typeFilter: Option[Set[String]], maxIdx: Int)
+    typeFilter: Option[Set[String]], maxIdx: Int,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val needBody = required.fieldNames.contains("body_text")
@@ -414,7 +421,11 @@ private[sources] class WarcReader(file: String, required: StructType,
     val parsed: Seq[WarcCodec.WarcRecord] =
       try {
         val p = new Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // the SESSION's Hadoop conf, shipped via SerializableConfiguration
+        // from the driver-side scan: a fresh Configuration() here would
+        // silently drop filesystem credentials/endpoints (s3a, the
+        // realistic CommonCrawl home) and quarantine every file
+        val fs = p.getFileSystem(conf)
         val len = fs.getFileStatus(p).getLen
         if (len > MaxBytes) Seq(WarcCodec.WarcRecord(0, parseOk = false))
         else {

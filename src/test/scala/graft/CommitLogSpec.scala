@@ -79,6 +79,22 @@ class CommitLogSpec extends AnyFunSuite {
     assert(f.listFiles().count(_.getName.startsWith("d-")) == 2)
   }
 
+  test("txn tokens with quotes/backslashes round-trip: replay still no-ops") {
+    val root = freshRoot()
+    // caller-supplied free text: the codec must unescape on read or the
+    // replayed token never matches and exactly-once silently breaks
+    val nasty = """batch "7" with \backslash\ and, comma"""
+    assert(CommitLog.append(batch(1, 5), root, txnId = Some(nasty)) == Some(1L))
+    assert(CommitLog.log(spark, root).head.txnId.contains(nasty))
+    assert(CommitLog.append(batch(1, 5), root, txnId = Some(nasty)).isEmpty)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 5L))
+    // the lost-token-race data dir is reclaimed, not leaked: force the
+    // post-write race by bypassing the cheap pre-check path — simulate
+    // with a fresh token whose commit loses to a pre-created entry is
+    // covered by the concurrency test; here pin the dir count stays 1
+    assert(new java.io.File(root).listFiles().count(_.getName.startsWith("d-")) == 1)
+  }
+
   test("crash litter is invisible: staged log entries and unreferenced data dirs") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)

@@ -126,6 +126,14 @@ class WarcSourceSpec extends AnyFunSuite {
     Files.write(Paths.get(junk), "HTTP/1.1 200 OK\r\n\r\nnot a warc".getBytes)
     val j = spark.read.format("graft-warc").load(junk).collect()
     assert(j.length == 1 && !j.head.getAs[Boolean]("parse_ok"))
+    // an adversarial Content-Length near Long.MaxValue must quarantine,
+    // not overflow the cursor into a failed task (crawl data is untrusted)
+    val huge = s"$dir/huge.warc"
+    Files.write(Paths.get(huge),
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Length: 9223372036854775800\r\n\r\nbody").getBytes)
+    val h = spark.read.format("graft-warc").load(huge).collect()
+    assert(h.length == 1 && !h.head.getAs[Boolean]("parse_ok"))
   }
 
   test("column pruning reaches the scan; counting records decodes no payload") {
