@@ -39,11 +39,71 @@ object CorpusPipeline {
         lit("und").as("lang"),
         col("target_uri").as("source"))
 
+  /** Canonical URL for crawl-dedup keys (the public normalization set:
+    * lower-case scheme+host, default ports dropped, fragment dropped,
+    * tracking params — utm_* / fbclid / gclid — stripped, trailing '?'
+    * and lone trailing '/' on a bare host removed). Pure codegen regex
+    * chain, zero shuffle; two syntactically different URLs of the same
+    * resource collapse to one key BEFORE content ever downloads twice —
+    * the cheapest dedup rung, ahead of q28's content hash.
+    */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lowered = concat(
+      lower(regexp_extract(u, "^([^/]*//[^/]*)", 1)),
+      regexp_extract(u, "^[^/]*//[^/]*(.*)$", 1))
+    val noFragment = regexp_replace(lowered, "#.*$", "")
+    val noDefaultPort = regexp_replace(noFragment, "^(https?://[^/:]+):(80|443)(/|$)", "$1$3")
+    val noTracking = regexp_replace(noDefaultPort,
+      "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val noDanglingAmp = regexp_replace(regexp_replace(noTracking,
+      "\\?&+", "?"), "&+", "&")
+    val noEmptyQuery = regexp_replace(noDanglingAmp, "[?&]+$", "")
+    val canon = regexp_replace(noEmptyQuery, "^(https?://[^/]+)/$", "$1")
+    // non-URL sources (the synthetic corpus's labels, file paths) pass
+    // through VERBATIM: the scheme extracts would otherwise collapse
+    // every non-URL to the empty key and urlDedup would fold the corpus
+    when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), canon).otherwise(u)
+  }
+
+  /** Stage 0b — crawl URL dedup: one document per canonical URL (min
+    * doc_id keeps the deterministic copy) — runs ahead of the content
+    * hashes because it needs no text at all. */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .groupBy(canonicalUrl(col("source")).as("cu"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** Stage 1 — quality filter: keep q65-accepted documents. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .join(TextAnalysis.q65CorpusFilter(s, dir)
         .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+  /** Stage 1b — content-safety gate (q190's rule lanes, r9): only `clean`
+    * documents continue; blocked/review rows are the s20 quarantine's
+    * batch twin and are dropped from the PUBLISHED corpus here (the
+    * caller keeps the full routed frame if it wants the quarantine —
+    * `Safety.route` is the one shared projection).
+    */
+  def safetyFilter(docs: DataFrame): DataFrame =
+    graft.operators.Safety.route(docs)
+      .filter(col("lane") === "clean")
+      .select(docs.columns.map(col): _*)
+
+  /** Stage 1c — language-ID fill (q189's two-stage predictor, r9): crawl
+    * ingest ships lang='und'; this resolves it so the partitioned publish
+    * and the q68-style rebalance see real languages. Documents arriving
+    * with a concrete lang keep it (the generator's labels stay
+    * oracle-stable).
+    */
+  def langIdFill(docs: DataFrame): DataFrame =
+    TextAnalysis.predictLang(docs)
+      .withColumn("lang",
+        when(col("lang") === "und", col("pred_lang")).otherwise(col("lang")))
+      .select(docs.columns.map(col): _*)
 
   /** Stage 2 — exact dedup: one survivor per identical text (min doc_id). */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -128,7 +188,8 @@ object CorpusPipeline {
     import s.implicits._
     val raw = Tables.documents(s, dir)
     val filtered = qualityFilter(s, dir).localCheckpoint()
-    val exact = exactDedup(filtered).localCheckpoint()
+    val safe = safetyFilter(langIdFill(filtered)).localCheckpoint()
+    val exact = exactDedup(safe).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()
     val decon = decontaminate(nearDup, raw).localCheckpoint()
     val published = normalize(decon)
@@ -136,6 +197,7 @@ object CorpusPipeline {
     val audit = Seq(
       Audit("raw", raw.count()),
       Audit("quality_filtered", filtered.count()),
+      Audit("safety_cleared", safe.count()),
       Audit("exact_deduped", exact.count()),
       Audit("near_dup_collapsed", nearDup.count()),
       Audit("decontaminated", decon.count()),

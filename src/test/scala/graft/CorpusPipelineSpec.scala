@@ -20,12 +20,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // stage counts shrink monotonically raw → published
-    val order = Seq("raw", "quality_filtered", "exact_deduped",
+    val order = Seq("raw", "quality_filtered", "safety_cleared", "exact_deduped",
       "near_dup_collapsed", "decontaminated", "published")
     val seq = order.map(counts)
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"not monotone: $counts")
     assert(counts("published") > 0)
     assert(counts("published") == counts("decontaminated"))
+    // the shipped corpus trips no placeholder blocklist term, so the
+    // safety gate must pass everything the quality filter passed —
+    // a smaller count here would mean the gate fires on clean prose
+    assert(counts("safety_cleared") == counts("quality_filtered"))
 
     // every published doc passed the quality filter...
     val accepted = TextAnalysis.q65CorpusFilter(spark, dir)
@@ -44,6 +48,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // published layout is lang-partitioned and the text is normalized
     assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("lang=")))
     assert(published.filter(col("clean_text").rlike("[^a-z0-9 ]")).count() == 0)
+  }
+
+  test("canonical URLs normalize the public set; url dedup keeps one copy per resource") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("HTTP://Example.COM:80/Path#frag", "http://example.com/Path"),
+      ("https://a.com:443/x?utm_source=tw&b=1&utm_medium=m", "https://a.com/x?b=1"),
+      ("https://a.com/?utm_campaign=c", "https://a.com"),
+      ("http://b.org/", "http://b.org"),
+      ("http://b.org/p/", "http://b.org/p/"), // only the BARE-host slash drops
+      ("src_a", "src_a")) // non-URL sources pass through verbatim
+    val got = pairs.map(_._1).toDF("u")
+      .select(CorpusPipeline.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == pairs.map(_._2), s"got $got")
+    // dedup: case/port/fragment/tracking variants of one resource fold to
+    // the min doc_id; distinct resources and non-URLs never collapse
+    val docs = Seq(
+      (1L, "t1", "en", "HTTP://Example.COM:80/Path#frag"),
+      (2L, "t2", "en", "http://example.com/Path"),
+      (3L, "t3", "en", "http://example.com/Other"),
+      (4L, "t4", "en", "src_a"),
+      (5L, "t5", "en", "src_b")).toDF("doc_id", "text", "lang", "source")
+    val kept = CorpusPipeline.urlDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("langIdFill resolves only und labels; safetyFilter drops only unsafe rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "сегодня хорошая погода и мы идем гулять в парк", "und", "w"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "und", "w"),
+      (3L, "whatever text this is", "fr", "w"), // concrete label kept
+      (4L, "contains selfharmterm so the gate must drop it", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+    val filled = CorpusPipeline.langIdFill(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(filled(1L) == "ru" && filled(2L) == "en" && filled(3L) == "fr")
+    assert(CorpusPipeline.langIdFill(docs).columns.toSeq == docs.columns.toSeq)
+    val safe = CorpusPipeline.safetyFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(safe == Seq(1L, 2L, 3L))
   }
 
   test("decontaminate catches verbatim benchmark text even when the benchmark doc was deduped away") {
