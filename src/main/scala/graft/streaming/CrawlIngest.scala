@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.sources.WarcCodec
+
+/** s21: STREAMING crawl ingest — the continuous form of
+  * `CorpusPipeline.fromWarc`: a watched landing directory of WARC
+  * archives becomes a safety-gated documents stream. New archive files
+  * are discovered by the binaryFile file-stream source (exactly-once
+  * file tracking via the stream checkpoint), each file's records are
+  * decoded EXECUTOR-SIDE with the same [[WarcCodec]] the batch DSv2
+  * source uses (one task per archive file — the crawl's natural
+  * parallel unit), HTTP-200 responses become the documents contract,
+  * and every micro-batch lands through [[SafetyGate]]'s dual-root
+  * atomic commit: clean docs publish, flagged docs quarantine with
+  * reasons. Crash/replay safety is inherited twice over — the file
+  * source replays unprocessed files from its checkpoint, and the gate's
+  * per-batch generation commits make replayed batches no-ops.
+  *
+  * doc_id is the stable (path-murmur3 << 32 | record_idx) pack, so a
+  * re-ingest of the same archive produces identical ids (idempotent
+  * downstream dedup) without any coordination.
+  *
+  * Framing-corrupt or oversized archives contribute their quarantine
+  * record only in the BATCH source (which reports per-file parse_ok);
+  * here a torn file simply yields the records before the tear — corrupt
+  *-file MONITORING belongs to the landing-zone audit, not the ingest
+  * hot path (run `spark.read.format("graft-warc")` over the same dir
+  * and filter `!parse_ok` for that report).
+  */
+object CrawlIngest {
+
+  private val BinaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  private val MaxBytes = 256L << 20
+
+  /** Decode one micro-batch of (path, content) archive files into the
+    * documents contract — the executor-side record walk. */
+  private[graft] def decodeBatch(batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) =>
+        WarcCodec.inflate(raw, MaxBytes).toSeq.flatMap { bytes =>
+          WarcCodec.walk(bytes, wantHttp = true, wantBody = true,
+              keepType = Some(Set("response")))
+            .filter(r => r.parseOk && r.httpStatus.contains(200) && r.bodyText.nonEmpty)
+            .map { r =>
+              val docId = (scala.util.hashing.MurmurHash3.stringHash(path).toLong << 32) |
+                (r.recordIdx.toLong & 0xffffffffL)
+              (docId, r.bodyText.get, "und", r.targetUri.getOrElse(path))
+            }
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** The streaming entry: watch `warcDir` for new archives, decode, and
+    * gate every batch through the s20 dual-root publish. */
+  def ingestStream(s: SparkSession, warcDir: String, publishDir: String,
+      quarantineDir: String, checkpointDir: String): StreamingQuery =
+    s.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(warcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        SafetyGate.gateBatch(s, decodeBatch(batch.toDF()), batchId,
+          publishDir, quarantineDir)
+      }
+      .start()
+}

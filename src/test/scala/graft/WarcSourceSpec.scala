@@ -208,6 +208,42 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(routed("http://site.example/nav")._1.startsWith("quarantine"))
   }
 
+  test("s21 streaming crawl ingest: new archives decode, gate, and publish per batch") {
+    import graft.streaming.CrawlIngest
+    val landing = Files.createTempDirectory("graft-crawl-landing").toString
+    val out = Files.createTempDirectory("graft-crawl-out").toString
+    val (pub, quar, ckpt) = (s"$out/published", s"$out/quarantine", s"$out/ckpt")
+    // first archive lands BEFORE the stream starts (initial listing)
+    Files.write(Paths.get(s"$landing/a0.warc"),
+      record("response", "http://c.example/ok",
+        httpBlock(200, "a perfectly calm crawl document".getBytes(StandardCharsets.UTF_8))) ++
+      record("request", "http://c.example/ok", "GET /".getBytes,
+        "application/http;msgtype=request", idx = 1) ++
+      record("response", "http://c.example/404",
+        httpBlock(404, "gone".getBytes(StandardCharsets.UTF_8)), idx = 2))
+    val q = CrawlIngest.ingestStream(spark, landing, pub, quar, ckpt)
+    try {
+      q.processAllAvailable()
+      val d0 = spark.read.parquet(pub)
+      assert(d0.count() == 1, "only the HTTP-200 response becomes a document")
+      assert(d0.head().getAs[String]("text") == "a perfectly calm crawl document")
+      // a newly LANDED archive with an unsafe doc arrives mid-stream
+      Files.write(Paths.get(s"$landing/a1.warc"),
+        record("response", "http://c.example/bad",
+          httpBlock(200, "contains selfharmterm so it quarantines".getBytes(StandardCharsets.UTF_8))) ++
+        record("response", "http://c.example/fine",
+          httpBlock(200, "another calm crawl document arrives".getBytes(StandardCharsets.UTF_8)), idx = 1))
+      q.processAllAvailable()
+      assert(spark.read.parquet(pub).count() == 2)
+      val held = spark.read.parquet(quar).collect()
+      assert(held.length == 1 && held.head.getAs[String]("lane") == "blocked")
+      // doc ids are the stable (path, record_idx) pack: distinct + replayable
+      val ids = spark.read.parquet(pub).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.fromWarc yields the documents contract from 200 responses only") {
     val (dir, _) = writeArchives()
     val docs = CorpusPipeline.fromWarc(spark, dir)
