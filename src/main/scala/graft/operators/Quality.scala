@@ -674,7 +674,72 @@ object Quality {
       .withColumn("suspicious", col("cv2_bp") < 7000)
   }
 
+  /** Salt trigger for the skew audit, shared with the oracle: the
+    * hottest key holding more than 1/32 of the table means one reducer
+    * (at the session's 32 shuffle partitions) carries more than its fair
+    * share no matter how the others balance — exactly when
+    * [[Skew.saltedAgg]]'s two-phase shape starts paying for itself.
+    */
+  private val SkewFairShare = 32L
+
+  /** q192: join/agg KEY-SKEW audit — the diagnostic that tells an
+    * operator WHEN to reach for [[graft.operators.Skew]]'s salting or
+    * AQE's skew-join split, per candidate key of the fact table: key
+    * cardinality, the hottest key's absolute rows and basis-point share,
+    * the mean rows per key in centi-rows (exact integer division — the
+    * skewness signal is max vs mean), and the cross-multiplied integer
+    * `salt_recommended` gate (hottest key > 1/32 of the table — one
+    * reducer's fair share at the session's partition count). The share
+    * and mean cross-multiplies run in DECIMAL(38,0) (q184's widening
+    * rule): n_rows·10⁴ exceeds 2⁶³ past ~9e14 rows, squarely inside the
+    * 100 TB regime this audit exists for.
+    *
+    * Shape: the q66 per-column discipline — one pass per key column
+    * (each prunes its scan to ONE field and partially aggregates
+    * map-side to the key grain, then a 1-row rollup), unioned. At 100 TB
+    * each pass is a single well-combined exchange at the key's own
+    * cardinality; no Expand, no multi-distinct.
+    */
+  def q192SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def audit(name: String, c: org.apache.spark.sql.Column): DataFrame =
+      li.select(c.as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_key_rows"))
+        .select(lit(name).as("key_column"),
+          col("n_keys"), col("n_rows"), col("max_key_rows"),
+          expr("CAST(CAST(max_key_rows AS DECIMAL(38,0)) * 10000 DIV n_rows AS BIGINT)")
+            .as("max_share_bp"),
+          expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * 100 DIV n_keys AS BIGINT)")
+            .as("mean_rows_per_key_x100"),
+          expr(s"CAST(max_key_rows AS DECIMAL(38,0)) * $SkewFairShare > n_rows")
+            .as("salt_recommended"))
+    skewKeys.map(k => audit(k, col(k))).reduce(_ unionByName _)
+  }
+
+  /** The audited key columns — ONE list feeds the Spark plan and the
+    * oracle (the q99 shared-builder rule). */
+  private val skewKeys = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+
+  /** q192's oracle, generated from the SAME [[skewKeys]] list. */
+  private val q192OracleSql: String =
+    skewKeys.map { k =>
+      s"""SELECT '$k' AS key_column, n_keys, n_rows, max_key_rows,
+            CAST(CAST(max_key_rows AS HUGEINT) * 10000 // n_rows AS BIGINT) AS max_share_bp,
+            CAST(CAST(n_rows AS HUGEINT) * 100 // n_keys AS BIGINT) AS mean_rows_per_key_x100,
+            CAST(max_key_rows AS HUGEINT) * $SkewFairShare > n_rows AS salt_recommended
+          FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_key_rows
+            FROM (SELECT $k, CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY 1))"""
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_skew_audit" -> (q192SkewAudit _),
     "q165_bot_cadence" -> (q165BotCadence _),
     "q147_expectations"     -> (q147Expectations _),
     "q145_rollup_quantiles" -> (q145RollupQuantiles _),
@@ -712,6 +777,7 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "q192_skew_audit" -> q192OracleSql,
     "q165_bot_cadence" ->
       """WITH g AS (
            SELECT user_id,

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.CommitLog
+
+/** s22: streaming append into a [[graft.CommitLog]] table — the
+  * transaction-log sink that closes the loop the per-directory AtomicGen
+  * sinks open: instead of one `gen=<id>` directory per batch (readers
+  * must list and union generations), every micro-batch becomes ONE
+  * table VERSION, so downstream readers get snapshot isolation, time
+  * travel across batch boundaries, and compaction that doesn't disturb
+  * a running reader — while exactly-once comes from the commit log's
+  * txn token (`stream-batch-<id>`), not from directory existence: a
+  * replayed batch's token is already committed and the append no-ops,
+  * including its data write (the pre-check short-circuits before any
+  * parquet lands).
+  */
+object CommitLogSink {
+
+  private[graft] def txnToken(batchId: Long): String = s"stream-batch-$batchId"
+
+  def appendStream(s: SparkSession, stream: DataFrame, root: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        CommitLog.append(batch.toDF(), root, txnId = Some(txnToken(batchId))): Unit
+      }
+      .start()
+}

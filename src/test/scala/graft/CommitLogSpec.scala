@@ -155,6 +155,32 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.headVersion(spark, root) == 2L)
   }
 
+  test("s22 streaming sink: one table version per micro-batch, replay no-ops") {
+    import graft.streaming.CommitLogSink
+    val root = freshRoot()
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CommitLogSink.appendStream(spark, ms.toDF().toDF("id", "v"), root)
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(CommitLog.headVersion(spark, root) == 2L)
+      assert(CommitLog.snapshot(spark, root).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // a pinned reader at version 1 sees only batch 0 — snapshot
+      // isolation across batch boundaries, which gen-directories can't give
+      assert(CommitLog.snapshot(spark, root, asOf = 1).count() == 2)
+    } finally q.stop()
+    // a crash-replay of batch 1 (its token is committed): full no-op
+    import spark.implicits._
+    val replayed = CommitLog.append(Seq((99L, "z")).toDF("id", "v"), root,
+      txnId = Some(CommitLogSink.txnToken(1L)))
+    assert(replayed.isEmpty)
+    assert(CommitLog.snapshot(spark, root).count() == 3)
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))

@@ -387,4 +387,25 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(nv == byUser.values.count(_ > 1).toLong)
     assert(mx == byUser.values.max.toLong)
   }
+
+  test("q192 skew audit: every stat recomputed from raw key counts; gate exact") {
+    val rows = graft.operators.Quality.q192SkewAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("key_column") -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { case (k, r) =>
+      val counts = li.select(k).collect().groupBy(_.get(0)).view.mapValues(_.length.toLong)
+      val (nKeys, nRows, mx) = (counts.size.toLong, counts.values.sum, counts.values.max)
+      assert(r.getAs[Long]("n_keys") == nKeys, s"$k n_keys")
+      assert(r.getAs[Long]("n_rows") == nRows, s"$k n_rows")
+      assert(r.getAs[Long]("max_key_rows") == mx, s"$k max")
+      assert(r.getAs[Long]("max_share_bp") == mx * 10000 / nRows, s"$k share")
+      assert(r.getAs[Long]("mean_rows_per_key_x100") == nRows * 100 / nKeys, s"$k mean")
+      assert(r.getAs[Boolean]("salt_recommended") == (mx * 32 > nRows), s"$k gate")
+    }
+    // the low-cardinality flag column MUST trip the salt gate (3 flags
+    // over thousands of rows); the near-unique orderkey must not
+    assert(rows("l_returnflag").getAs[Boolean]("salt_recommended"))
+    assert(!rows("l_orderkey").getAs[Boolean]("salt_recommended"))
+  }
 }
