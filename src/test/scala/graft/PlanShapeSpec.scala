@@ -274,6 +274,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1, p)
   }
 
+  test("q192 skew audit prunes each key pass to ONE scan column") {
+    val p = plan("q192_skew_audit")
+    // four per-key passes, each a single-field ReadSchema (the q66
+    // discipline) — an audit that read all columns per pass would scan
+    // the fact table wide four times
+    assert(count(p, "ReadSchema: struct<l_orderkey") == 1, p)
+    assert(count(p, "ReadSchema: struct<l_returnflag") == 1, p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q129 skyline's running max partitions by band — no single-partition data window") {
     val p = plan("q129_skyline")
     // the orders-scale window must ride the band partitioning; the only
