@@ -52,7 +52,11 @@ object CorpusPipeline {
       lower(regexp_extract(u, "^([^/]*//[^/]*)", 1)),
       regexp_extract(u, "^[^/]*//[^/]*(.*)$", 1))
     val noFragment = regexp_replace(lowered, "#.*$", "")
-    val noDefaultPort = regexp_replace(noFragment, "^(https?://[^/:]+):(80|443)(/|$)", "$1$3")
+    // scheme-PAIRED default ports: https://host:80 is a real non-default
+    // endpoint and must NOT fold onto https://host (and vice versa)
+    val noDefaultPort = regexp_replace(
+      regexp_replace(noFragment, "^(http://[^/:]+):80(/|$)", "$1$2"),
+      "^(https://[^/:]+):443(/|$)", "$1$2")
     val noTracking = regexp_replace(noDefaultPort,
       "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     val noDanglingAmp = regexp_replace(regexp_replace(noTracking,
@@ -67,10 +71,17 @@ object CorpusPipeline {
 
   /** Stage 0b — crawl URL dedup: one document per canonical URL (min
     * doc_id keeps the deterministic copy) — runs ahead of the content
-    * hashes because it needs no text at all. */
+    * hashes because it needs no text at all. Documents whose source is
+    * NOT a URL never participate: their dedup key is their own doc_id
+    * (many docs legitimately share one non-URL source LABEL — folding
+    * them would delete the corpus; URL identity only means duplicate
+    * when the source actually is a URL).
+    */
   def urlDedup(docs: DataFrame): DataFrame = {
+    val isUrl = col("source").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
     val keep = docs
-      .groupBy(canonicalUrl(col("source")).as("cu"))
+      .groupBy(when(isUrl, canonicalUrl(col("source")))
+        .otherwise(concat(lit("doc:"), col("doc_id").cast("string"))).as("cu"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
@@ -187,7 +198,11 @@ object CorpusPipeline {
   def run(s: SparkSession, dir: String, outDir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val raw = Tables.documents(s, dir)
-    val filtered = qualityFilter(s, dir).localCheckpoint()
+    val urlDeduped = urlDedup(raw).localCheckpoint()
+    val filtered = urlDeduped
+      .join(TextAnalysis.q65CorpusFilter(s, dir)
+        .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val safe = safetyFilter(langIdFill(filtered)).localCheckpoint()
     val exact = exactDedup(safe).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()
@@ -196,6 +211,7 @@ object CorpusPipeline {
     published.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
     val audit = Seq(
       Audit("raw", raw.count()),
+      Audit("url_deduped", urlDeduped.count()),
       Audit("quality_filtered", filtered.count()),
       Audit("safety_cleared", safe.count()),
       Audit("exact_deduped", exact.count()),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.CommitLog
@@ -16,14 +16,24 @@ import graft.CommitLog
   * replayed batch's token is already committed and the append no-ops,
   * including its data write (the pre-check short-circuits before any
   * parquet lands).
+  *
+  * `checkpointDir` is REQUIRED (like every sibling sink): the token
+  * scheme is only exactly-once while batch ids are durable. Without a
+  * checkpoint a restarted query would reset to batchId 0 and the
+  * already-committed token would silently swallow NEW data — the
+  * token design converts id reuse into data loss, so id durability is
+  * part of the sink's contract, not an option. One stream per table
+  * root for the same reason (two queries would collide on tokens).
   */
 object CommitLogSink {
 
   private[graft] def txnToken(batchId: Long): String = s"stream-batch-$batchId"
 
-  def appendStream(s: SparkSession, stream: DataFrame, root: String): StreamingQuery =
+  def appendStream(stream: DataFrame, root: String,
+      checkpointDir: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         CommitLog.append(batch.toDF(), root, txnId = Some(txnToken(batchId))): Unit
       }

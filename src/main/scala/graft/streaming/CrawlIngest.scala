@@ -25,12 +25,14 @@ import graft.sources.WarcCodec
   * re-ingest of the same archive produces identical ids (idempotent
   * downstream dedup) without any coordination.
   *
-  * Framing-corrupt or oversized archives contribute their quarantine
-  * record only in the BATCH source (which reports per-file parse_ok);
-  * here a torn file simply yields the records before the tear — corrupt
-  *-file MONITORING belongs to the landing-zone audit, not the ingest
-  * hot path (run `spark.read.format("graft-warc")` over the same dir
-  * and filter `!parse_ok` for that report).
+  * Framing-corrupt, gzip-torn or oversized archives contribute their
+  * quarantine record only in the BATCH source (which reports per-file
+  * parse_ok); here a framing tear yields the records before it, a gzip
+  * tear yields zero records (caught per file), and an over-cap file is
+  * skipped on its length metadata — corrupt-file MONITORING belongs to
+  * the landing-zone audit, not the ingest hot path (run
+  * `spark.read.format("graft-warc")` over the same dir and filter
+  * `!parse_ok` for that report).
   */
 object CrawlIngest {
 
@@ -43,25 +45,40 @@ object CrawlIngest {
   private val MaxBytes = 256L << 20
 
   /** Decode one micro-batch of (path, content) archive files into the
-    * documents contract — the executor-side record walk. */
+    * documents contract — the executor-side record walk. Gzip-level
+    * corruption (valid magic, torn stream — a file picked up mid-copy)
+    * is caught PER FILE and yields zero records instead of killing the
+    * query: the batch WarcReader applies the same swallow-and-quarantine
+    * contract; here the landing-zone audit (the batch `graft-warc` read
+    * over the same directory) owns corruption reporting.
+    *
+    * doc_id parity with the batch path: the id is computed as a COLUMN
+    * (`xxhash64(path, record_idx)`) after the typed decode — the exact
+    * expression [[graft.CorpusPipeline.fromWarc]] uses — so a backfilled
+    * archive and its streamed re-ingest produce IDENTICAL ids
+    * (spec-pinned), and the id space is the full 64-bit hash, not a
+    * collision-prone 32-bit path pack.
+    */
   private[graft] def decodeBatch(batch: DataFrame): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, raw) =>
-        WarcCodec.inflate(raw, MaxBytes).toSeq.flatMap { bytes =>
-          WarcCodec.walk(bytes, wantHttp = true, wantBody = true,
-              keepType = Some(Set("response")))
-            .filter(r => r.parseOk && r.httpStatus.contains(200) && r.bodyText.nonEmpty)
-            .map { r =>
-              val docId = (scala.util.hashing.MurmurHash3.stringHash(path).toLong << 32) |
-                (r.recordIdx.toLong & 0xffffffffL)
-              (docId, r.bodyText.get, "und", r.targetUri.getOrElse(path))
-            }
+        try {
+          WarcCodec.inflate(raw, MaxBytes).toSeq.flatMap { bytes =>
+            WarcCodec.walk(bytes, wantHttp = true, wantBody = true,
+                keepType = Some(Set("response")))
+              .filter(r => r.parseOk && r.httpStatus.contains(200) && r.bodyText.nonEmpty)
+              .map(r => (path, r.recordIdx, r.bodyText.get, r.targetUri.getOrElse(path)))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty // torn gzip etc.
         }
       }
-      .toDF("doc_id", "text", "lang", "source")
+      .toDF("path", "record_idx", "text", "source")
+      .select(xxhash64(col("path"), col("record_idx")).as("doc_id"),
+        col("text"), lit("und").as("lang"), col("source"))
   }
 
   /** The streaming entry: watch `warcDir` for new archives, decode, and
@@ -72,6 +89,12 @@ object CrawlIngest {
       .schema(BinaryFileSchema)
       .option("pathGlobFilter", "*.warc*")
       .load(warcDir)
+      // RAW-size bound BEFORE the content column materializes downstream:
+      // the batch source quarantines oversized archives without reading a
+      // byte (WarcReader's getLen check); the stream's equivalent is this
+      // metadata filter — an over-cap file is skipped here, and surfaces
+      // in the landing-zone audit, never as an executor OOM
+      .filter(col("length") <= MaxBytes)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

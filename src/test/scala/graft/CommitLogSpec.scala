@@ -160,7 +160,8 @@ class CommitLogSpec extends AnyFunSuite {
     val root = freshRoot()
     implicit val sq = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q = CommitLogSink.appendStream(spark, ms.toDF().toDF("id", "v"), root)
+    val q = CommitLogSink.appendStream(ms.toDF().toDF("id", "v"), root,
+      Files.createTempDirectory("graft-cls-ckpt").toString)
     try {
       ms.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()

@@ -20,8 +20,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // stage counts shrink monotonically raw → published
-    val order = Seq("raw", "quality_filtered", "safety_cleared", "exact_deduped",
-      "near_dup_collapsed", "decontaminated", "published")
+    val order = Seq("raw", "url_deduped", "quality_filtered", "safety_cleared",
+      "exact_deduped", "near_dup_collapsed", "decontaminated", "published")
     val seq = order.map(counts)
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"not monotone: $counts")
     assert(counts("published") > 0)
@@ -56,6 +56,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
       ("HTTP://Example.COM:80/Path#frag", "http://example.com/Path"),
       ("https://a.com:443/x?utm_source=tw&b=1&utm_medium=m", "https://a.com/x?b=1"),
       ("https://a.com/?utm_campaign=c", "https://a.com"),
+      // default ports are SCHEME-paired: https on :80 is a real
+      // non-default endpoint and must not fold onto the bare host
+      ("https://a.com:80/x", "https://a.com:80/x"),
+      ("http://b.org:443/x", "http://b.org:443/x"),
       ("http://b.org/", "http://b.org"),
       ("http://b.org/p/", "http://b.org/p/"), // only the BARE-host slash drops
       ("src_a", "src_a")) // non-URL sources pass through verbatim
@@ -64,16 +68,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got == pairs.map(_._2), s"got $got")
     // dedup: case/port/fragment/tracking variants of one resource fold to
-    // the min doc_id; distinct resources and non-URLs never collapse
+    // the min doc_id; distinct resources never collapse — and non-URL
+    // sources are LABELS shared by many docs, so they never participate
     val docs = Seq(
       (1L, "t1", "en", "HTTP://Example.COM:80/Path#frag"),
       (2L, "t2", "en", "http://example.com/Path"),
       (3L, "t3", "en", "http://example.com/Other"),
       (4L, "t4", "en", "src_a"),
-      (5L, "t5", "en", "src_b")).toDF("doc_id", "text", "lang", "source")
+      (5L, "t5", "en", "src_b"),
+      (6L, "t6", "en", "src_a")).toDF("doc_id", "text", "lang", "source")
     val kept = CorpusPipeline.urlDedup(docs)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(1L, 3L, 4L, 5L))
+    assert(kept == Seq(1L, 3L, 4L, 5L, 6L))
   }
 
   test("langIdFill resolves only und labels; safetyFilter drops only unsafe rows") {

@@ -237,10 +237,17 @@ class WarcSourceSpec extends AnyFunSuite {
       assert(spark.read.parquet(pub).count() == 2)
       val held = spark.read.parquet(quar).collect()
       assert(held.length == 1 && held.head.getAs[String]("lane") == "blocked")
-      // doc ids are the stable (path, record_idx) pack: distinct + replayable
-      val ids = spark.read.parquet(pub).select("doc_id")
-        .collect().map(_.getLong(0))
-      assert(ids.distinct.length == ids.length)
+      // doc ids are stable, distinct, AND batch-parity: a backfill via
+      // CorpusPipeline.fromWarc over the same landing dir assigns the
+      // SAME xxhash64(path, record_idx) ids the stream did — re-ingest
+      // across the two paths is id-level idempotent
+      val streamed = (spark.read.parquet(pub).select("doc_id").collect() ++
+        spark.read.parquet(quar).select("doc_id").collect())
+        .map(_.getLong(0)).sorted.toSeq
+      assert(streamed.distinct.length == streamed.length)
+      val batch = CorpusPipeline.fromWarc(spark, landing)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
 
