@@ -52,8 +52,19 @@ object CommitLog {
   private val LogDir = "_graft_log"
   private val MaxCommitRetries = 20
 
+  /** One per-file column-stat row: the data-skipping metadata a commit
+    * carries for its added files. Encoded as `file|col|min|max` strings
+    * inside the entry's `stats` array (reusing the string-array codec;
+    * file paths are library-generated and stat column names must not
+    * contain '|' — enforced at write). NULL-only files carry no row for
+    * that column and are treated as unskippable (kept), like a file with
+    * no stats at all.
+    */
+  final case class FileStat(file: String, column: String, min: Long, max: Long)
+
   final case class Commit(version: Long, op: String,
-      add: Seq[String], remove: Seq[String], txnId: Option[String])
+      add: Seq[String], remove: Seq[String], txnId: Option[String],
+      stats: Seq[FileStat] = Seq.empty)
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -67,7 +78,9 @@ object CommitLog {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + GraftSession.jsonEscape(x) + "\"").mkString("[", ",", "]")
     val txn = c.txnId.map(t => s""","txn":"${GraftSession.jsonEscape(t)}"""").getOrElse("")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn}"""
+    val st = if (c.stats.isEmpty) ""
+      else s""","stats":${arr(c.stats.map(f => s"${f.file}|${f.column}|${f.min}|${f.max}"))}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st}"""
   }
 
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
@@ -111,7 +124,14 @@ object CommitLog {
         Some(sb.toString)
       }
     }
-    Commit(version, op, field("add"), field("remove"), txn)
+    val stats = field("stats").flatMap { enc =>
+      enc.split('|') match {
+        case Array(f, c, lo, hi) =>
+          for (l <- lo.toLongOption; h <- hi.toLongOption) yield FileStat(f, c, l, h)
+        case _ => None
+      }
+    }
+    Commit(version, op, field("add"), field("remove"), txn, stats)
   }
 
   // ---------- log access ----------
@@ -161,6 +181,39 @@ object CommitLog {
     s.read.parquet(files.map(p => s"$root/$p"): _*)
   }
 
+  /** Range scan with commit-log data skipping — the ZoneMap mechanism
+    * moved INSIDE the table format, where it stays transactionally
+    * consistent with the file set (a side `_zonemap` manifest goes stale
+    * the moment a new version commits; stats embedded in the commit
+    * entries version WITH the data, including under time travel). Files
+    * whose recorded [min, max] on `c` cannot intersect [lo, hi] are
+    * skipped at PLANNING time; files with no stat for `c` (none recorded,
+    * or all-NULL in that file) are kept — skipping is a superset
+    * guarantee, exactly like partition pruning, and the row predicate is
+    * re-applied. Returns (frame, files read, files live) so callers and
+    * specs can see the skip.
+    */
+  def snapshotRange(s: SparkSession, root: String, c: String, lo: Long, hi: Long,
+      asOf: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val entries = log(s, root, asOf)
+    val live = liveFiles(s, root, asOf)
+    val statByFile = entries.flatMap(_.stats).filter(_.column == c)
+      .map(st => st.file -> st).toMap // later duplicate wins (rewrites)
+    val kept = live.filter { f =>
+      statByFile.get(f).forall(st => st.max >= lo && st.min <= hi)
+    }
+    val pred = col(c) >= lo && col(c) <= hi
+    if (live.isEmpty)
+      throw new IllegalArgumentException(s"commit-log table at $root has no live files")
+    else if (kept.isEmpty)
+      (snapshot(s, root, asOf).filter(org.apache.spark.sql.functions.lit(false)),
+        0, live.size)
+    else
+      (s.read.parquet(kept.map(p => s"$root/$p"): _*).filter(pred),
+        kept.size, live.size)
+  }
+
   // ---------- commit protocol ----------
 
   /** Write df into a fresh immutable data dir; returns relative parquet
@@ -199,7 +252,7 @@ object CommitLog {
     */
   private def commitEntry(s: SparkSession, root: String, op: String,
       add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
-      txnId: Option[String]): Option[Long] =
+      txnId: Option[String], stats: Seq[FileStat] = Seq.empty): Option[Long] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val f = fs(s, root)
       f.mkdirs(new Path(s"$root/$LogDir"))
@@ -211,7 +264,7 @@ object CommitLog {
         val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
         val target = versionFile(root, v)
         if (!f.exists(target)) {
-          val body = enc(Commit(v, op, add, removeAtHead(entries), txnId))
+          val body = enc(Commit(v, op, add, removeAtHead(entries), txnId, stats))
           val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
           val out = f.create(staged, false)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -236,15 +289,49 @@ object CommitLog {
         s"commit-log: lost $MaxCommitRetries consecutive commit races at $root")
     }
 
+  /** Per-file min/max stats for `statsFor` over a just-written data dir —
+    * ONE scan of the new batch grouped by physical file (a production
+    * writer collects these from the parquet writer itself; the shape and
+    * the transactional placement in the commit entry are identical).
+    * Columns are cast to long (integer-exact stats only — the repo-wide
+    * determinism rule); '|' is reserved by the codec.
+    */
+  private def collectStats(s: SparkSession, root: String,
+      add: Seq[String], statsFor: Seq[String]): Seq[FileStat] = {
+    if (statsFor.isEmpty || add.isEmpty) return Seq.empty
+    require(statsFor.forall(!_.contains('|')), "stat column names must not contain '|'")
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val byName = add.map(p => p.split('/').last -> p).toMap
+    val aggs = statsFor.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}__min"), max(col(c).cast("long")).as(s"${c}__max")))
+    s.read.parquet(add.map(p => s"$root/$p"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val rel = byName.get(r.getString(0).split('/').last)
+        statsFor.flatMap { c =>
+          val (iMin, iMax) = (r.fieldIndex(s"${c}__min"), r.fieldIndex(s"${c}__max"))
+          // a file whose column is all-NULL carries no stat row → kept
+          // (unskippable) by snapshotRange, never falsely skipped
+          if (r.isNullAt(iMin) || r.isNullAt(iMax) || rel.isEmpty) None
+          else Some(FileStat(rel.get, c, r.getLong(iMin), r.getLong(iMax)))
+        }
+      }
+  }
+
   /** Append df as a new version. `txnId` makes the commit exactly-once
-    * under replays (foreachBatch: pass the batch id). Returns the
+    * under replays (foreachBatch: pass the batch id); `statsFor` embeds
+    * per-file min/max skipping stats for the named long-castable columns
+    * into the commit entry (see [[snapshotRange]]). Returns the
     * committed version, or None if the token was already committed. */
-  def append(df: DataFrame, root: String, txnId: Option[String] = None): Option[Long] = {
+  def append(df: DataFrame, root: String, txnId: Option[String] = None,
+      statsFor: Seq[String] = Seq.empty): Option[Long] = {
     val s = df.sparkSession
     if (txnId.exists(t => log(s, root).exists(_.txnId.contains(t))))
       return None // cheap pre-check: replay skips the data write too
     val add = writeData(df, root)
-    val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId)
+    val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId,
+      collectStats(s, root, add, statsFor))
     if (committed.isEmpty && add.nonEmpty) {
       // token race lost AFTER the data write (two concurrent replays both
       // passed the pre-check): this dir is OURS and will never be

@@ -155,6 +155,33 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.headVersion(spark, root) == 2L)
   }
 
+  test("commit-embedded stats skip files at planning time; superset guarantee holds") {
+    val root = freshRoot()
+    // three appends with disjoint id ranges, stats recorded per file
+    assert(CommitLog.append(batch(1, 100).coalesce(1), root,
+      statsFor = Seq("id")) == Some(1L))
+    assert(CommitLog.append(batch(101, 200).coalesce(1), root,
+      statsFor = Seq("id")) == Some(2L))
+    assert(CommitLog.append(batch(201, 300).coalesce(1), root,
+      statsFor = Seq("id")) == Some(3L))
+    val (df, read, total) = CommitLog.snapshotRange(spark, root, "id", 120, 150)
+    assert(total == 3 && read == 1, s"read $read of $total")
+    assert(ids(df) == (120L to 150L))
+    // empty intersection: zero files read, empty frame, schema intact
+    val (none, r0, _) = CommitLog.snapshotRange(spark, root, "id", 900, 999)
+    assert(r0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // a stats-less append (e.g. an old writer) can never be skipped —
+    // superset guarantee over mixed provenance
+    CommitLog.append(batch(121, 121), root) // no statsFor
+    val (df2, read2, total2) = CommitLog.snapshotRange(spark, root, "id", 120, 150)
+    assert(total2 == 4 && read2 == 2, "stats-less file must be kept")
+    assert(ids(df2) == ((120L to 150L) :+ 121L).sorted)
+    // time travel sees the version's OWN stats and file set
+    val (df3, read3, total3) = CommitLog.snapshotRange(spark, root, "id", 120, 150, asOf = 1)
+    assert(total3 == 1 && read3 == 0 && df3.count() == 0,
+      "v1 has no rows in [120,150] and its single file is skippable")
+  }
+
   test("s22 streaming sink: one table version per micro-batch, replay no-ops") {
     import graft.streaming.CommitLogSink
     val root = freshRoot()

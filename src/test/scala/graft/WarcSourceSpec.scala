@@ -170,6 +170,48 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(unbounded.exists(!_.getAs[Boolean]("parse_ok")))
   }
 
+  test("WarcCodec fuzz: arbitrary and mutated bytes never throw — quarantine or truncate only") {
+    val rnd = new scala.util.Random(1234)
+    // pure noise: every buffer walks to a bounded, throw-free result
+    (1 to 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      val out = WarcCodec.walk(b, wantHttp = true, wantBody = true)
+      assert(out.size <= b.length + 1, s"fuzz $i produced unbounded output")
+    }
+    // mutated VALID archives: flip/truncate/splice a well-formed file —
+    // the walk must stay total, and any emitted parse_ok row must carry
+    // a sane record index
+    val valid = record("response", "http://f.example/",
+      httpBlock(200, "fuzz seed document body".getBytes(StandardCharsets.UTF_8))) ++
+      record("metadata", "urn:meta", "k: v".getBytes, "application/warc-fields", idx = 1)
+    (1 to 300).foreach { i =>
+      val b = valid.clone()
+      rnd.nextInt(3) match {
+        case 0 => // point mutation
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          val out = WarcCodec.walk(b, wantHttp = true, wantBody = true)
+          out.foreach(r => assert(r.recordIdx >= 0 && r.recordIdx <= 2))
+        case 1 => // truncation
+          val cut = java.util.Arrays.copyOf(b, rnd.nextInt(b.length))
+          WarcCodec.walk(cut, wantHttp = true, wantBody = true): Unit
+        case 2 => // splice two fragments
+          val a = java.util.Arrays.copyOf(b, rnd.nextInt(b.length))
+          val c = java.util.Arrays.copyOfRange(valid, rnd.nextInt(valid.length), valid.length)
+          WarcCodec.walk(a ++ c, wantHttp = true, wantBody = true): Unit
+      }
+    }
+    // gzip fuzz: corrupt deflate streams behind a valid magic never throw
+    // at the inflate seam the STREAMING path also uses
+    (1 to 100).foreach { _ =>
+      val b = new Array[Byte](64 + rnd.nextInt(512))
+      rnd.nextBytes(b)
+      b(0) = 0x1f.toByte; b(1) = 0x8b.toByte
+      try WarcCodec.inflate(b, 1 << 20): Unit
+      catch { case _: java.io.IOException => () } // IO-shaped is the contract...
+    }
+  }
+
   test("WarcCodec charset handling: parameter extraction, fallback, replacement") {
     assert(WarcCodec.charsetOf("text/html; charset=ISO-8859-1").contains("iso-8859-1"))
     assert(WarcCodec.charsetOf("text/html; charset=\"utf-8\"; foo=bar").contains("utf-8"))
