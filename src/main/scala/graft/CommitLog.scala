@@ -64,7 +64,11 @@ object CommitLog {
 
   final case class Commit(version: Long, op: String,
       add: Seq[String], remove: Seq[String], txnId: Option[String],
-      stats: Seq[FileStat] = Seq.empty)
+      stats: Seq[FileStat] = Seq.empty,
+      /** checkpoint entries only: every txn token committed ≤ this
+        * version, carried forward so exactly-once survives checkpointing
+        * (a replayed old batch must still find its token). */
+      txns: Seq[String] = Seq.empty)
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -80,22 +84,44 @@ object CommitLog {
     val txn = c.txnId.map(t => s""","txn":"${GraftSession.jsonEscape(t)}"""").getOrElse("")
     val st = if (c.stats.isEmpty) ""
       else s""","stats":${arr(c.stats.map(f => s"${f.file}|${f.column}|${f.min}|${f.max}"))}"""
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st}"""
+    val tx = if (c.txns.isEmpty) "" else s""","txns":${arr(c.txns)}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st$tx}"""
   }
 
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
     * for why that's sufficient): quoted strings inside the named arrays,
     * unescaped on read. */
   private def dec(version: Long, json: String): Commit = {
+    // quote-aware array scan: elements are read as escaped JSON strings,
+    // so a caller-supplied txn token containing a comma (or quote) in a
+    // checkpoint's txns array round-trips — a naive split-on-comma would
+    // shear it and silently break replay detection
     def field(name: String): Seq[String] = {
       val i = json.indexOf(s""""$name":[""")
       if (i < 0) return Seq.empty
-      val start = json.indexOf('[', i) + 1
-      val end = json.indexOf(']', start)
-      val body = json.substring(start, end).trim
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+      var j = json.indexOf('[', i) + 1
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done && j < json.length) {
+        json.charAt(j) match {
+          case ']' => done = true
+          case '"' =>
+            val sb = new java.lang.StringBuilder
+            j += 1
+            var inStr = true
+            while (inStr && j < json.length) {
+              json.charAt(j) match {
+                case '\\' if j + 1 < json.length =>
+                  sb.append(json.charAt(j + 1)); j += 2
+                case '"' => inStr = false; j += 1
+                case ch => sb.append(ch); j += 1
+              }
+            }
+            out += sb.toString
+          case _ => j += 1 // comma / whitespace between elements
+        }
+      }
+      out.result()
     }
     val op = {
       val i = json.indexOf("\"op\":\"")
@@ -131,33 +157,54 @@ object CommitLog {
         case _ => None
       }
     }
-    Commit(version, op, field("add"), field("remove"), txn, stats)
+    Commit(version, op, field("add"), field("remove"), txn, stats, field("txns"))
   }
 
   // ---------- log access ----------
 
-  /** All committed entries ≤ asOf, in version order. */
+  private def readEntry(f: FileSystem, v: Long, p: Path): Commit = {
+    val in = f.open(p)
+    val bytes = try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      in.readFully(0, b)
+      b
+    } finally in.close()
+    dec(v, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The committed entries ≤ asOf, in version order — starting from the
+    * LATEST CHECKPOINT ≤ asOf when one exists (see [[checkpoint]]): the
+    * checkpoint is a synthetic base entry carrying the folded live set,
+    * live stats, the cumulative removed-file list (vacuum still sees
+    * pre-checkpoint corpses) and every txn token seen (exactly-once
+    * survives), so reads cost O(commits since checkpoint), not
+    * O(history) — the bound that matters when s22 commits one version
+    * per micro-batch. Time travel BELOW the newest checkpoint falls back
+    * to an older checkpoint or the raw prefix (commit files are never
+    * deleted), so asOf semantics are unchanged.
+    */
   def log(s: SparkSession, root: String, asOf: Long = Long.MaxValue): Seq[Commit] = {
     val f = fs(s, root)
     val dir = new Path(s"$root/$LogDir")
     if (!f.exists(dir)) return Seq.empty
-    f.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
-        !st.getPath.getName.startsWith("."))
+    val files = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+    val commits = files
       .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
         .map(v => (v, st.getPath)))
       .filter(_._1 <= asOf)
+    val base = files
+      .flatMap(st => st.getPath.getName.stripSuffix(".checkpoint.json").toLongOption
+        .filter(_ => st.getPath.getName.endsWith(".checkpoint.json"))
+        .map(v => (v, st.getPath)))
+      .filter(_._1 <= asOf)
+      .sortBy(_._1).lastOption
+    val tail = commits
+      .filter { case (v, _) => base.forall(_._1 < v) }
       .sortBy(_._1)
-      .map { case (v, p) =>
-        val in = f.open(p)
-        val bytes = try {
-          val len = f.getFileStatus(p).getLen.toInt
-          val b = new Array[Byte](len)
-          in.readFully(0, b)
-          b
-        } finally in.close()
-        dec(v, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-      }
+      .map { case (v, p) => readEntry(f, v, p) }
+    base.map { case (v, p) => readEntry(f, v, p) }.toSeq ++ tail
   }
 
   def headVersion(s: SparkSession, root: String): Long =
@@ -259,7 +306,7 @@ object CommitLog {
       var attempt = 0
       while (attempt < MaxCommitRetries) {
         val entries = log(s, root)
-        if (txnId.exists(t => entries.exists(_.txnId.contains(t))))
+        if (txnId.exists(t => entries.exists(e => e.txnId.contains(t) || e.txns.contains(t))))
           return None // idempotent replay: the token already committed
         val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
         val target = versionFile(root, v)
@@ -327,7 +374,7 @@ object CommitLog {
   def append(df: DataFrame, root: String, txnId: Option[String] = None,
       statsFor: Seq[String] = Seq.empty): Option[Long] = {
     val s = df.sparkSession
-    if (txnId.exists(t => log(s, root).exists(_.txnId.contains(t))))
+    if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
       return None // cheap pre-check: replay skips the data write too
     val add = writeData(df, root)
     val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId,
@@ -362,10 +409,14 @@ object CommitLog {
     * (the compacted copy would resurrect overwritten rows — real table
     * formats reject that pairing in conflict detection; one writer per
     * table for destructive ops is this seam's rule, as in AtomicGen). */
-  def compact(s: SparkSession, root: String, partitions: Int = 1): Long = {
+  def compact(s: SparkSession, root: String, partitions: Int = 1,
+      statsFor: Seq[String] = Seq.empty): Long = {
     val before = liveFiles(s, root)
     require(before.nonEmpty, s"nothing to compact at $root")
     val add = writeData(snapshot(s, root).coalesce(partitions), root)
+    // re-collect skipping stats for the rewritten files: a compaction
+    // that silently DROPPED its inputs' stats would turn every future
+    // snapshotRange over the compacted span into a full read
     commitEntry(s, root, "compact", add, entries => {
       // remove what is live at COMMIT time, not at read time: if an
       // append raced in, its files are not ours to remove — re-deriving
@@ -375,7 +426,7 @@ object CommitLog {
       // …intersected with the snapshot we actually rewrote: racing
       // appends stay live alongside the compacted copy
       live.toSeq.filter(before.contains)
-    }, None).get
+    }, None, collectStats(s, root, add, statsFor)).get
   }
 
   /** Reclaim data files no version ≤ head still needs — i.e. files
@@ -384,10 +435,54 @@ object CommitLog {
     * everywhere). Unreferenced crash litter (data dirs no commit ever
     * referenced) is NOT touched: a concurrent writer may be about to
     * commit it. Returns the deleted relative paths. */
+  /** Fold the log at head into one CHECKPOINT entry
+    * (`<v>.checkpoint.json`), so every future read starts from the fold
+    * instead of replaying the whole history — the bound that matters
+    * once s22 commits one version per micro-batch. The checkpoint
+    * carries: the live file set (as `add`), the cumulative removed-file
+    * list (as `remove` — vacuum still finds pre-checkpoint corpses), the
+    * LATEST stat per live (file, column), and every txn token ever
+    * committed (exactly-once survives — a replayed pre-checkpoint batch
+    * still finds its token). Commit files are never deleted, so time
+    * travel below the checkpoint falls back to the raw prefix
+    * unchanged. Idempotent: a checkpoint already present at the head
+    * version is kept (same fold — entries are immutable). Returns the
+    * checkpointed version.
+    */
+  def checkpoint(s: SparkSession, root: String): Long =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      val entries = log(s, root)
+      require(entries.nonEmpty, s"nothing to checkpoint at $root")
+      val v = entries.last.version
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
+      val everRemoved = (entries.flatMap(_.add) ++ entries.flatMap(_.remove))
+        .distinct.filterNot(live)
+      val stats = entries.flatMap(_.stats)
+        .groupBy(st => (st.file, st.column)).map(_._2.last).toSeq
+        .filter(st => live.contains(st.file))
+        .sortBy(st => (st.file, st.column))
+      val txns = (entries.flatMap(_.txnId) ++ entries.flatMap(_.txns)).distinct
+      val target = new Path(f"$root/$LogDir/$v%020d.checkpoint.json")
+      val f = fs(s, root)
+      if (!f.exists(target)) {
+        val body = enc(Commit(v, "checkpoint", live.toSeq, everRemoved, None, stats, txns))
+        val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
+        val out = f.create(staged, false)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f.rename(staged, target) && !f.exists(target))
+          throw new java.io.IOException(s"checkpoint rename failed at $target")
+      }
+      v
+    }
+
   def vacuum(s: SparkSession, root: String): Seq[String] = {
     val entries = log(s, root)
     val live = liveFiles(s, root).toSet
-    val everAdded = entries.flatMap(_.add).distinct
+    // union of adds and removes: after a checkpoint, pre-checkpoint
+    // corpses survive only in the checkpoint's cumulative remove list
+    val everAdded = (entries.flatMap(_.add) ++ entries.flatMap(_.remove)).distinct
     val dead = everAdded.filterNot(live)
     val f = fs(s, root)
     dead.foreach(p => f.delete(new Path(s"$root/$p"), false))

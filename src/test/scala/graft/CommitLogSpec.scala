@@ -182,6 +182,42 @@ class CommitLogSpec extends AnyFunSuite {
       "v1 has no rows in [120,150] and its single file is skippable")
   }
 
+  test("checkpoint: reads fold from it, tokens/stats/vacuum/time-travel all survive") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 100).coalesce(1), root,
+      txnId = Some("b-1"), statsFor = Seq("id"))
+    CommitLog.append(batch(101, 200).coalesce(1), root,
+      txnId = Some("""b "2", tricky"""), statsFor = Seq("id"))
+    // compaction re-collects stats for its rewritten file (without this
+    // every post-compaction snapshotRange over the span is a full read)
+    CommitLog.compact(spark, root, statsFor = Seq("id")) // pre-checkpoint corpses
+    val cv = CommitLog.checkpoint(spark, root)
+    assert(cv == 3L)
+    // reads start AT the checkpoint: the first entry is the fold
+    val entries = CommitLog.log(spark, root)
+    assert(entries.head.op == "checkpoint" && entries.head.version == 3L)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 200L))
+    // exactly-once survives the fold — incl. the comma/quote token the
+    // quote-aware array codec must round-trip
+    assert(CommitLog.append(batch(1, 100), root, txnId = Some("b-1")).isEmpty)
+    assert(CommitLog.append(batch(1, 100), root,
+      txnId = Some("""b "2", tricky""")).isEmpty)
+    // post-checkpoint commits append normally and fold on top
+    assert(CommitLog.append(batch(201, 300).coalesce(1), root,
+      statsFor = Seq("id")) == Some(4L))
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 300L))
+    // stats skipping works across the checkpoint boundary (carried stat
+    // for the compacted file + fresh stat for the new one)
+    val (df, read, total) = CommitLog.snapshotRange(spark, root, "id", 250, 260)
+    assert(total == 2 && read == 1 && ids(df) == (250L to 260L))
+    // time travel BELOW the checkpoint replays the raw prefix
+    assert(ids(CommitLog.snapshot(spark, root, asOf = 1)) == (1L to 100L))
+    // vacuum still reclaims the pre-checkpoint compaction corpses
+    val deleted = CommitLog.vacuum(spark, root)
+    assert(deleted.nonEmpty)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 300L))
+  }
+
   test("s22 streaming sink: one table version per micro-batch, replay no-ops") {
     import graft.streaming.CommitLogSink
     val root = freshRoot()
