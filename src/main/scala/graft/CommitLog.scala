@@ -52,6 +52,9 @@ object CommitLog {
   private val LogDir = "_graft_log"
   private val MaxCommitRetries = 20
 
+  /** Newest txn tokens a checkpoint carries forward (see [[checkpoint]]). */
+  private val TxnRetention = 1000
+
   /** One per-file column-stat row: the data-skipping metadata a commit
     * carries for its added files. Encoded as `file|col|min|max` strings
     * inside the entry's `stats` array (reusing the string-array codec;
@@ -191,6 +194,8 @@ object CommitLog {
     val files = f.listStatus(dir).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
     val commits = files
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.endsWith(".checkpoint.json"))
       .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
         .map(v => (v, st.getPath)))
       .filter(_._1 <= asOf)
@@ -429,25 +434,24 @@ object CommitLog {
     }, None, collectStats(s, root, add, statsFor)).get
   }
 
-  /** Reclaim data files no version ≤ head still needs — i.e. files
-    * REMOVED by some commit (time travel to versions before their
-    * removal stops working; that is vacuum's documented trade
-    * everywhere). Unreferenced crash litter (data dirs no commit ever
-    * referenced) is NOT touched: a concurrent writer may be about to
-    * commit it. Returns the deleted relative paths. */
   /** Fold the log at head into one CHECKPOINT entry
     * (`<v>.checkpoint.json`), so every future read starts from the fold
     * instead of replaying the whole history — the bound that matters
     * once s22 commits one version per micro-batch. The checkpoint
     * carries: the live file set (as `add`), the cumulative removed-file
     * list (as `remove` — vacuum still finds pre-checkpoint corpses), the
-    * LATEST stat per live (file, column), and every txn token ever
-    * committed (exactly-once survives — a replayed pre-checkpoint batch
-    * still finds its token). Commit files are never deleted, so time
-    * travel below the checkpoint falls back to the raw prefix
-    * unchanged. Idempotent: a checkpoint already present at the head
-    * version is kept (same fold — entries are immutable). Returns the
-    * checkpointed version.
+    * LATEST stat per live (file, column), and the most recent
+    * [[TxnRetention]] txn tokens in commit order — exactly-once replay
+    * detection is therefore guaranteed for any batch within the
+    * retention window, which is the only window a checkpointed stream
+    * can actually replay from (the engine re-runs at most the last
+    * uncommitted batches, never the deep past); retaining EVERY token
+    * would make the checkpoint itself the O(history) object it exists
+    * to eliminate (Delta bounds the same state with per-app txn
+    * retention). Commit files are never deleted, so time travel below
+    * the checkpoint falls back to the raw prefix unchanged. Idempotent:
+    * a checkpoint already present at the head version is kept (same
+    * fold — entries are immutable). Returns the checkpointed version.
     */
   def checkpoint(s: SparkSession, root: String): Long =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
@@ -462,7 +466,10 @@ object CommitLog {
         .groupBy(st => (st.file, st.column)).map(_._2.last).toSeq
         .filter(st => live.contains(st.file))
         .sortBy(st => (st.file, st.column))
-      val txns = (entries.flatMap(_.txnId) ++ entries.flatMap(_.txns)).distinct
+      // commit order: carried (older) tokens first, then this segment's —
+      // takeRight keeps the newest TxnRetention across checkpoint chains
+      val txns = (entries.flatMap(c => c.txns ++ c.txnId)).distinct
+        .takeRight(TxnRetention)
       val target = new Path(f"$root/$LogDir/$v%020d.checkpoint.json")
       val f = fs(s, root)
       if (!f.exists(target)) {
@@ -477,6 +484,12 @@ object CommitLog {
       v
     }
 
+  /** Reclaim data files no version ≤ head still needs — i.e. files
+    * REMOVED by some commit (time travel to versions before their
+    * removal stops working; that is vacuum's documented trade
+    * everywhere). Unreferenced crash litter (data dirs no commit ever
+    * referenced) is NOT touched: a concurrent writer may be about to
+    * commit it. Returns the deleted relative paths. */
   def vacuum(s: SparkSession, root: String): Seq[String] = {
     val entries = log(s, root)
     val live = liveFiles(s, root).toSet

@@ -87,11 +87,15 @@ object CorpusPipeline {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  /** Stage 1 — quality filter: keep q65-accepted documents. */
+  /** Stage 1 — quality filter: keep q65-accepted documents. The `docs`
+    * form lets run() apply the rule AFTER url dedup without duplicating
+    * the accept semi-join (one definition, no drift). */
+  def qualityFilterOf(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    docs.join(TextAnalysis.q65CorpusFilter(s, dir)
+      .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .join(TextAnalysis.q65CorpusFilter(s, dir)
-        .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    qualityFilterOf(s, dir, Tables.documents(s, dir))
 
   /** Stage 1b — content-safety gate (q190's rule lanes, r9): only `clean`
     * documents continue; blocked/review rows are the s20 quarantine's
@@ -199,10 +203,7 @@ object CorpusPipeline {
     import s.implicits._
     val raw = Tables.documents(s, dir)
     val urlDeduped = urlDedup(raw).localCheckpoint()
-    val filtered = urlDeduped
-      .join(TextAnalysis.q65CorpusFilter(s, dir)
-        .filter(col("accept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val filtered = qualityFilterOf(s, dir, urlDeduped).localCheckpoint()
     val safe = safetyFilter(langIdFill(filtered)).localCheckpoint()
     val exact = exactDedup(safe).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()

@@ -29,13 +29,18 @@ object CommitLogSink {
 
   private[graft] def txnToken(batchId: Long): String = s"stream-batch-$batchId"
 
-  def appendStream(stream: DataFrame, root: String,
-      checkpointDir: String): StreamingQuery =
+  /** `statsFor` embeds per-file min/max skipping stats into every
+    * batch's commit (the one table shape the skipping feature targets —
+    * a streamed table without stats would be permanently unskippable,
+    * since the superset rule keeps stats-less files forever). */
+  def appendStream(stream: DataFrame, root: String, checkpointDir: String,
+      statsFor: Seq[String] = Seq.empty): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        CommitLog.append(batch.toDF(), root, txnId = Some(txnToken(batchId))): Unit
+        CommitLog.append(batch.toDF(), root, txnId = Some(txnToken(batchId)),
+          statsFor = statsFor): Unit
       }
       .start()
 }

@@ -21,9 +21,10 @@ import graft.sources.WarcCodec
   * source replays unprocessed files from its checkpoint, and the gate's
   * per-batch generation commits make replayed batches no-ops.
   *
-  * doc_id is the stable (path-murmur3 << 32 | record_idx) pack, so a
-  * re-ingest of the same archive produces identical ids (idempotent
-  * downstream dedup) without any coordination.
+  * doc_id is the stable `xxhash64(path, record_idx)` — the EXACT
+  * expression the batch `CorpusPipeline.fromWarc` uses, so a backfill
+  * and a streamed re-ingest of the same archive produce identical ids
+  * (spec-pinned) without any coordination.
   *
   * Framing-corrupt, gzip-torn or oversized archives contribute their
   * quarantine record only in the BATCH source (which reports per-file

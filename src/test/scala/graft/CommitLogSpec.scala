@@ -95,6 +95,20 @@ class CommitLogSpec extends AnyFunSuite {
     assert(new java.io.File(root).listFiles().count(_.getName.startsWith("d-")) == 1)
   }
 
+  test("stray files in the log dir are ignored: only *.json commit names parse") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 5), root)
+    // a stray numeric-named file (operator note, object-store marker)
+    // must not be parsed as a commit — it would brick every read
+    Files.write(java.nio.file.Paths.get(s"$root/_graft_log/00000000000000000005"),
+      "not a commit".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$root/_graft_log/README.txt"),
+      "notes".getBytes)
+    assert(CommitLog.headVersion(spark, root) == 1L)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 5L))
+    assert(CommitLog.append(batch(6, 7), root) == Some(2L))
+  }
+
   test("crash litter is invisible: staged log entries and unreferenced data dirs") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)
