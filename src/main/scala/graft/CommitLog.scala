@@ -434,6 +434,49 @@ object CommitLog {
     }, None, collectStats(s, root, add, statsFor)).get
   }
 
+  /** Incremental change feed — the CDC-lite consumption loop a commit
+    * log enables for append-shaped tables: the rows added STRICTLY AFTER
+    * `sinceVersion`, read from exactly the files those commits added.
+    * Compaction and checkpoint entries are excluded by op (they re-add
+    * files whose ROWS already flowed — the dataChange=false idea from
+    * the public formats, keyed off the op tag here); `overwrite` adds
+    * ARE included (its rows are new content; a consumer that must also
+    * observe the retraction diffs snapshots — q98's job). Returns
+    * (frame, head version) so the caller persists the new cursor only
+    * after processing succeeds (at-least-once by construction; pair
+    * with a txn-token sink for exactly-once). Retention: a cursor that
+    * lags behind a vacuum may reference reclaimed files and fails
+    * LOUDLY on read (the standard CDC retention trade — vacuum no
+    * earlier than your slowest consumer).
+    */
+  def changesSince(s: SparkSession, root: String,
+      sinceVersion: Long): (Option[DataFrame], Long) = {
+    // RAW commits, never the checkpoint fold: a cursor BELOW the newest
+    // checkpoint must still see the individual append entries the fold
+    // hides (commit files are never deleted, so the raw walk is always
+    // available); cost is O(commits since cursor) — the cursor advances,
+    // so a live consumer never replays deep history
+    val f = fs(s, root)
+    val dir = new Path(s"$root/$LogDir")
+    require(f.exists(dir), s"commit-log table at $root is empty")
+    val commits = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.endsWith(".checkpoint.json"))
+      .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
+        .map(v => (v, st.getPath)))
+      .sortBy(_._1)
+    require(commits.nonEmpty, s"commit-log table at $root is empty")
+    val head = commits.last._1
+    val files = commits
+      .filter(_._1 > sinceVersion)
+      .map { case (v, p) => readEntry(f, v, p) }
+      .filter(c => c.op != "compact" && c.op != "checkpoint")
+      .flatMap(_.add)
+    if (files.isEmpty) (None, head)
+    else (Some(s.read.parquet(files.map(p => s"$root/$p"): _*)), head)
+  }
+
   /** Fold the log at head into one CHECKPOINT entry
     * (`<v>.checkpoint.json`), so every future read starts from the fold
     * instead of replaying the whole history — the bound that matters

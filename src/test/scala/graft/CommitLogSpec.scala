@@ -95,6 +95,27 @@ class CommitLogSpec extends AnyFunSuite {
     assert(new java.io.File(root).listFiles().count(_.getName.startsWith("d-")) == 1)
   }
 
+  test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10), root)
+    CommitLog.append(batch(11, 20), root)
+    val (c1, head1) = CommitLog.changesSince(spark, root, 1L)
+    assert(head1 == 2L && ids(c1.get) == (11L to 20L))
+    // compaction rewrites rows that already flowed: NOT a change
+    CommitLog.compact(spark, root)
+    val (c2, head2) = CommitLog.changesSince(spark, root, 2L)
+    assert(head2 == 3L && c2.isEmpty, "compaction must not re-emit rows")
+    // the feed survives a checkpoint (also not a change) + new appends
+    CommitLog.checkpoint(spark, root)
+    CommitLog.append(batch(21, 30), root)
+    val (c3, head3) = CommitLog.changesSince(spark, root, 2L)
+    assert(head3 == 4L && ids(c3.get) == (21L to 30L))
+    // full-history cursor: everything appended, nothing doubled by the
+    // compacted copy
+    val (all, _) = CommitLog.changesSince(spark, root, 0L)
+    assert(ids(all.get) == (1L to 30L))
+  }
+
   test("stray files in the log dir are ignored: only *.json commit names parse") {
     val root = freshRoot()
     CommitLog.append(batch(1, 5), root)
