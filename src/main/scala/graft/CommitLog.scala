@@ -81,7 +81,7 @@ object CommitLog {
 
   // ---------- codec ----------
 
-  private def enc(c: Commit): String = {
+  private[graft] def enc(c: Commit): String = {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + GraftSession.jsonEscape(x) + "\"").mkString("[", ",", "]")
     val txn = c.txnId.map(t => s""","txn":"${GraftSession.jsonEscape(t)}"""").getOrElse("")
@@ -94,7 +94,7 @@ object CommitLog {
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
     * for why that's sufficient): quoted strings inside the named arrays,
     * unescaped on read. */
-  private def dec(version: Long, json: String): Commit = {
+  private[graft] def dec(version: Long, json: String): Commit = {
     // quote-aware array scan: elements are read as escaped JSON strings,
     // so a caller-supplied txn token containing a comma (or quote) in a
     // checkpoint's txns array round-trips — a naive split-on-comma would

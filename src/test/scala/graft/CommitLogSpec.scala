@@ -95,6 +95,31 @@ class CommitLogSpec extends AnyFunSuite {
     assert(new java.io.File(root).listFiles().count(_.getName.startsWith("d-")) == 1)
   }
 
+  test("codec property: enc/dec round-trips 500 random commits incl. hostile strings") {
+    val rnd = new scala.util.Random(99)
+    val nastyPool = Seq("plain", "with space", "q\"uote", "back\\slash",
+      "comma,inside", "bracket]close", "[open", "{\"add\":[\"fake\"]}",
+      "\"txn\":\"inject\"", "unicode ☃ ü", "tab\tchar", "newline\nchar",
+      "trailing\\")
+    def nasty(): String = nastyPool(rnd.nextInt(nastyPool.length)) + rnd.nextInt(100)
+    def path(): String = s"d-${rnd.nextInt(1000)}/part-${rnd.nextInt(1000)}.parquet"
+    (1 to 500).foreach { i =>
+      val c = CommitLog.Commit(
+        version = rnd.nextInt(1 << 20).toLong + 1,
+        op = Seq("append", "overwrite", "compact", "checkpoint")(rnd.nextInt(4)),
+        add = Seq.fill(rnd.nextInt(4))(path()),
+        remove = Seq.fill(rnd.nextInt(3))(path()),
+        txnId = if (rnd.nextBoolean()) Some(nasty()) else None,
+        stats = Seq.fill(rnd.nextInt(3))(CommitLog.FileStat(
+          path(), s"c${rnd.nextInt(5)}", rnd.nextLong(), rnd.nextLong()))
+          .map(st => st.copy(min = math.min(st.min, st.max),
+            max = math.max(st.min, st.max))),
+        txns = Seq.fill(rnd.nextInt(3))(nasty()))
+      val back = CommitLog.dec(c.version, CommitLog.enc(c))
+      assert(back == c, s"round-trip $i diverged:\n $c\n $back\n ${CommitLog.enc(c)}")
+    }
+  }
+
   test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)

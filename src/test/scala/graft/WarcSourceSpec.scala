@@ -170,6 +170,36 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(unbounded.exists(!_.getAs[Boolean]("parse_ok")))
   }
 
+  test("WarcCodec property: 200 random archives round-trip record-exactly") {
+    val rnd = new scala.util.Random(77)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(6)
+      val specs = (0 until n).map { i =>
+        val isResp = rnd.nextBoolean()
+        // bodies may contain ANYTHING — CRLFs, 'WARC/' look-alikes,
+        // random binary: Content-Length framing must never resync inside
+        val body: Array[Byte] =
+          if (isResp) (s"body $trial-$i " + ("x" * rnd.nextInt(50))).getBytes(StandardCharsets.UTF_8)
+          else { val b = new Array[Byte](rnd.nextInt(80)); rnd.nextBytes(b); b }
+        (isResp, s"http://p.example/$trial/$i", body)
+      }
+      val bytes = specs.zipWithIndex.map { case ((isResp, uri, body), i) =>
+        if (isResp) record("response", uri, httpBlock(200, body), idx = i)
+        else record("metadata", uri, body, "application/warc-fields", idx = i)
+      }.reduce(_ ++ _)
+      val out = graft.sources.WarcCodec.walk(bytes, wantHttp = true, wantBody = true)
+      assert(out.size == n, s"trial $trial: ${out.size} != $n")
+      out.zip(specs).zipWithIndex.foreach { case ((r, (isResp, uri, body)), i) =>
+        assert(r.parseOk && r.recordIdx == i)
+        assert(r.targetUri.contains(uri))
+        if (isResp) {
+          assert(r.warcType.contains("response") && r.httpStatus.contains(200))
+          assert(r.bodyText.contains(new String(body, StandardCharsets.UTF_8)))
+        } else assert(r.warcType.contains("metadata") && r.httpStatus.isEmpty)
+      }
+    }
+  }
+
   test("WarcCodec fuzz: arbitrary and mutated bytes never throw — quarantine or truncate only") {
     val rnd = new scala.util.Random(1234)
     // pure noise: every buffer walks to a bounded, throw-free result
