@@ -695,6 +695,17 @@ object Dedup {
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
 
   val oracles: Map[String, String] = Map(
+    "q193_dup_family_dist" ->
+      s"""WITH RECURSIVE $reachCtes,
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS family_size
+                 FROM cl GROUP BY 1)
+          SELECT family_size,
+                 CAST(count(*) AS BIGINT) AS n_families,
+                 CAST(family_size * count(*) AS BIGINT) AS n_docs,
+                 CAST((family_size - 1) * count(*) AS BIGINT) AS n_excess
+          FROM sz GROUP BY 1""",
     "q169_canonical_docs" -> {
       val en = TextAnalysis.duckStopCount("en")
       s"""WITH RECURSIVE $reachCtes,
@@ -783,6 +794,26 @@ object Dedup {
              ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim
          FROM c WHERE cos_sim >= 0.35""")
+
+  /** q193: duplicate-family size distribution — the dedup IMPACT report a
+    * corpus datasheet carries: per family size, how many near-dup
+    * families exist, how many documents they hold, and how many are
+    * EXCESS (the copies a collapse removes — family_size − 1 per
+    * family). Reads the shared [[clusterMap]] (one cheap reuse of the
+    * build-once pass); two tiny map-side-combined aggregates over the
+    * candidate-bounded membership frame — nothing corpus-scale beyond
+    * the shared build. Oracled through the same recursive
+    * transitive-closure CTE as q56.
+    */
+  def q193DupFamilyDist(s: SparkSession, dir: String): DataFrame =
+    clusterMap(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"),
+        ((col("family_size") - 1) * col("n_families")).as("n_excess"))
 
   /** q169: canonical-document selection — the production answer to "WHICH
     * copy do we keep": q56 collapses near-dup clusters but crowns the
@@ -901,6 +932,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_semdedup"       -> ((s, dir) => q175SemDedup(s, dir)),
+    "q193_dup_family_dist" -> (q193DupFamilyDist _),
     "q179_cluster_split"  -> (q179ClusterSplit _),
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),

@@ -89,6 +89,36 @@ object TextAnalysis {
         col("n_cjk").cast("long").as("n_cjk"),
         (col("pred_lang") === col("lang")).as("agree"))
 
+  /** q194: compression-ratio quality signal — the Gopher rule the q65
+    * surface heuristics and q156's LM don't carry: DEFLATE each
+    * document's UTF-8 bytes (native [[graft.functions.DeflateLen]],
+    * 64 KiB cap) and band on the ratio in basis points. Far-below-prose
+    * ratios are repetition/boilerplate (`repetitive` lane — template
+    * spam q132's trigram share may miss when the repeating unit is
+    * long); barely-compressing text is high-entropy gibberish (`random`
+    * lane — minified blobs, encoded junk); the band between keeps.
+    * A pure projection — one deflate per doc, no shuffle at any scale.
+    * Bands calibrated by measurement (SafetyLangSpec): heavy repetition
+    * lands ~150 bp, natural prose 2900–6600 (shorter docs compress
+    * worse — deflate's dictionary hasn't warmed), printable-random
+    * ~8400. The `random` lane therefore requires ≥ 200 bytes — a
+    * tweet-length doc's high ratio is a LENGTH effect, not entropy, and
+    * must not quarantine. Rows-only: zlib output has no SQL mirror; the
+    * spec pins the ORDERING contract (repetitive < prose < random),
+    * lane routing on planted docs, and determinism.
+    */
+  def q194CompressionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_bytes",
+        length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("deflate_len", graft.functions.DeflateLen.of(col("text")))
+      .withColumn("ratio_bp",
+        expr("deflate_len * 10000 DIV greatest(n_bytes, 1)"))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_len"), col("ratio_bp"),
+        when(col("ratio_bp") < 1500, "repetitive")
+          .when(col("ratio_bp") > 7500 && col("n_bytes") >= 200, "random")
+          .otherwise("keep").as("lane"))
+
   /** q37: quality scoring from length / stopword / digit ratios. */
   def q37QualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1340,6 +1370,7 @@ object TextAnalysis {
     "q121_bpe_encode" -> (q121BpeEncode _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q189_langid_ngram" -> (q189LangIdNgram _),
+    "q194_compression_ratio" -> (q194CompressionRatio _),
     "q115_corpus_overlap" -> (q115CorpusOverlap _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q93_tfidf_topterms" -> (q93TfidfTopTerms _),

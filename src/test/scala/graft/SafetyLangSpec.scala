@@ -59,6 +59,46 @@ class SafetyLangSpec extends AnyFunSuite {
     assert(got == Set("und"))
   }
 
+  // ---------------- q194 compression ratio ----------------
+
+  test("q194 compression ratio: repetitive < prose < random; lanes route; deterministic") {
+    import spark.implicits._
+    import graft.functions.DeflateLen
+    val rnd = new scala.util.Random(5)
+    val repetitive = ("lorem ipsum " * 200).trim
+    val prose = (1 to 120).map(_ =>
+      Seq("the", "garden", "holds", "many", "plants", "and", "birds", "visit",
+        "every", "morning", "while", "people", "walk")(rnd.nextInt(13))).mkString(" ")
+    // full printable-ASCII randomness (~6.6 bits/byte) — hex randomness is
+    // only half-entropy and lands in the prose band, measured 5540 bp
+    val random = (1 to 1500).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+    val ratios = Seq((1L, repetitive), (2L, prose), (3L, random)).toDF("doc_id", "text")
+      .withColumn("r", DeflateLen.of(col("text")) * 10000 /
+        length(encode(col("text"), "UTF-8")))
+      .collect().map(row => row.getLong(0) -> row.getAs[Any]("r").toString.toDouble).toMap
+    assert(ratios(1L) < ratios(2L) && ratios(2L) < ratios(3L),
+      s"ordering violated: $ratios")
+    // the full operator runs over the corpus: one row per doc, bands sane
+    val rows = graft.operators.TextAnalysis.q194CompressionRatio(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, d, bp) = (r.getAs[Long]("n_bytes"), r.getAs[Long]("deflate_len"),
+        r.getAs[Long]("ratio_bp"))
+      assert(n > 0 && d > 0 && bp == d * 10000 / n, s"row $r inconsistent")
+      assert(Set("repetitive", "keep", "random")(r.getAs[String]("lane")))
+    }
+    val again = graft.operators.TextAnalysis.q194CompressionRatio(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // planted lane routing through the operator's own bands
+    val planted = Seq((1L, repetitive, "en", "w"), (3L, random, "en", "w"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q194").toString
+    planted.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q194CompressionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lane")).toMap
+    assert(got(1L) == "repetitive" && got(3L) == "random", got.toString)
+  }
+
   // ---------------- q190/q191 content safety ----------------
 
   /** Planted corpus dir with documents.parquet: clean prose, category
