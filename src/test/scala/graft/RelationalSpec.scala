@@ -28,7 +28,8 @@ class RelationalSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("q02_filter_project", "q03_join_agg", "q11_anti_join", "q16_having",
     "q28_dedup_exact", "q29_dedup_minhash", "q31_ngram_jaccard", "q32_dedup_embedding",
     "q56_dedup_clusters", "q58_decontaminate", "q69_dedup_simhash_pairs",
-    "q143_linkage_pairs") // 200 parts at sf0.001 → (brand, head) blocks of ~1
+    "q143_linkage_pairs", // 200 parts at sf0.001 → (brand, head) blocks of ~1
+    "q193_dup_family_dist") // derives from q56's (possibly empty) clusters
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
