@@ -45,7 +45,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * The commit-record JSON is written AND parsed by this object only;
   * relative paths are library-generated (`d-<uuid>/part-*.parquet`), so
   * the hand-rolled codec never meets adversarial strings (paths are
-  * still escaped on write, defensively).
+  * still escaped on write, defensively). Caller-supplied txn tokens DO
+  * flow through it, so [[GraftSession.jsonEscape]] performs full
+  * RFC 8259 escaping (quotes, backslashes, control characters) and the
+  * entries on disk are valid standard JSON that external tools (jq, a
+  * debugging script) can parse — spec-asserted in the codec property
+  * test.
   */
 object CommitLog {
 
@@ -94,6 +99,21 @@ object CommitLog {
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
     * for why that's sufficient): quoted strings inside the named arrays,
     * unescaped on read. */
+  /** Decode one escape sequence starting at `json(j) == '\\'`, appending
+    * the decoded character; returns the index after the sequence. Inverse
+    * of [[GraftSession.jsonEscape]] (incl. the `\u00XX` control-char
+    * forms), with unknown escapes passed through literally — which also
+    * reads pre-escaping log entries (raw control chars) unchanged. */
+  private def unescapeAt(json: String, j: Int, sb: java.lang.StringBuilder): Int =
+    json.charAt(j + 1) match {
+      case 'n' => sb.append('\n'); j + 2
+      case 't' => sb.append('\t'); j + 2
+      case 'r' => sb.append('\r'); j + 2
+      case 'u' if j + 5 < json.length =>
+        sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar); j + 6
+      case c => sb.append(c); j + 2 // \" and \\ (and lenient passthrough)
+    }
+
   private[graft] def dec(version: Long, json: String): Commit = {
     // quote-aware array scan: elements are read as escaped JSON strings,
     // so a caller-supplied txn token containing a comma (or quote) in a
@@ -115,7 +135,7 @@ object CommitLog {
             while (inStr && j < json.length) {
               json.charAt(j) match {
                 case '\\' if j + 1 < json.length =>
-                  sb.append(json.charAt(j + 1)); j += 2
+                  j = unescapeAt(json, j, sb)
                 case '"' => inStr = false; j += 1
                 case ch => sb.append(ch); j += 1
               }
@@ -145,7 +165,7 @@ object CommitLog {
         while (!done && j < json.length) {
           json.charAt(j) match {
             case '\\' if j + 1 < json.length =>
-              sb.append(json.charAt(j + 1)); j += 2
+              j = unescapeAt(json, j, sb)
             case '"' => done = true
             case c => sb.append(c); j += 1
           }
@@ -521,8 +541,13 @@ object CommitLog {
         val out = f.create(staged, false)
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        if (!f.rename(staged, target) && !f.exists(target))
-          throw new java.io.IOException(s"checkpoint rename failed at $target")
+        if (!f.rename(staged, target)) {
+          if (!f.exists(target))
+            throw new java.io.IOException(s"checkpoint rename failed at $target")
+          // idempotent lost race: another checkpointer landed the same
+          // fold — reclaim our staged body (commitEntry's cleanup, mirrored)
+          f.delete(staged, false): Unit
+        }
       }
       v
     }

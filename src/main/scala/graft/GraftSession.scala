@@ -21,7 +21,26 @@ object GraftSession {
     s
   }
 
-  /** Escape a string for embedding in the hand-built JSON summary lines. */
-  def jsonEscape(v: String): String =
-    v.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** Escape a string for embedding in the hand-built JSON summary lines
+    * and [[CommitLog]] entries. Full RFC 8259 string escaping — backslash,
+    * quote, and every control character — so the emitted lines are valid
+    * standard JSON that external tools (jq, a debugging script) can parse,
+    * not just codec-private text our own parser happens to round-trip. */
+  def jsonEscape(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length + 8)
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\t' => sb.append("\\t")
+        case '\r' => sb.append("\\r")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

@@ -109,9 +109,14 @@ object Safety {
       .select(col("doc_id"), col("n_adult"), col("n_violence"), col("n_selfharm"),
         col("upper_bp"), col("excl_bp"), col("score_bp"), col("lane"), col("reasons"))
 
-  /** q191's model cache — the q153 memoization contract (path-keyed). */
+  /** q191's model cache — the q153 memoization contract: keyed on
+    * (session identityHashCode, path) like every other driver-held model
+    * memo (clusterMap, BPE merges), so a fresh session over changed data
+    * at the same path retrains instead of reusing stale weights;
+    * [[invalidateSafetyModelCache]] stays the same-session
+    * content-staleness escape hatch. */
   private val safetyModelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Double], Array[Double], Array[Double])]()
+    (Int, String), (Array[Double], Array[Double], Array[Double])]()
 
   def invalidateSafetyModelCache(): Unit = safetyModelCache.clear()
 
@@ -125,7 +130,7 @@ object Safety {
 
   private[graft] def trainSafetyModel(
       s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) =
-    safetyModelCache.computeIfAbsent(dir, { _ =>
+    safetyModelCache.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
       // route() retains text (q190's final select is what drops it), so
       // the features + label come from ONE corpus pass — re-joining the
       // documents table here would add a second scan and a corpus-scale

@@ -64,13 +64,18 @@ object ExpectationsGate {
 
   /** The streaming entry: every micro-batch passes the contract or is
     * quarantined whole. foreachBatch because the sink is a transactional
-    * per-batch publish decision, not a row append.
+    * per-batch publish decision, not a row append. `checkpointDir` is
+    * REQUIRED (the CrawlIngest/CommitLogSink contract): without a durable
+    * checkpoint a restarted query resets batch ids to 0 and the
+    * committed-generation replay guard would silently swallow the new
+    * run's data under the reused ids.
     */
   def gatedStream(s: SparkSession, stream: DataFrame, publishDir: String,
-      quarantineDir: String,
+      quarantineDir: String, checkpointDir: String,
       rules: Seq[(String, String)] = eventRules): StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         gateBatch(s, batch.toDF(), batchId, publishDir, quarantineDir, rules): Unit
       }

@@ -50,12 +50,17 @@ object FrontDoorGate {
   /** The streaming entry: every micro-batch of (doc_id, text) documents
     * is routed row-by-row into the published extraction or the quarantine.
     * foreachBatch because the sink is a transactional dual-root publish,
-    * not a row append.
+    * not a row append. `checkpointDir` is REQUIRED (the
+    * CrawlIngest/CommitLogSink contract): without a durable checkpoint a
+    * restarted query resets batch ids to 0 and AtomicGen's
+    * committed-generation replay guard would silently swallow the new
+    * run's data under the reused ids.
     */
   def triagedStream(s: SparkSession, stream: DataFrame, publishDir: String,
-      quarantineDir: String): StreamingQuery =
+      quarantineDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         triageBatch(s, batch.toDF(), batchId, publishDir, quarantineDir)
       }

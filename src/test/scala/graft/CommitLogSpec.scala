@@ -100,7 +100,7 @@ class CommitLogSpec extends AnyFunSuite {
     val nastyPool = Seq("plain", "with space", "q\"uote", "back\\slash",
       "comma,inside", "bracket]close", "[open", "{\"add\":[\"fake\"]}",
       "\"txn\":\"inject\"", "unicode ☃ ü", "tab\tchar", "newline\nchar",
-      "trailing\\")
+      "carriage\rreturn", "bell\u0007null\u0000esc\u001b", "trailing\\")
     def nasty(): String = nastyPool(rnd.nextInt(nastyPool.length)) + rnd.nextInt(100)
     def path(): String = s"d-${rnd.nextInt(1000)}/part-${rnd.nextInt(1000)}.parquet"
     (1 to 500).foreach { i =>
@@ -115,8 +115,12 @@ class CommitLogSpec extends AnyFunSuite {
           .map(st => st.copy(min = math.min(st.min, st.max),
             max = math.max(st.min, st.max))),
         txns = Seq.fill(rnd.nextInt(3))(nasty()))
-      val back = CommitLog.dec(c.version, CommitLog.enc(c))
-      assert(back == c, s"round-trip $i diverged:\n $c\n $back\n ${CommitLog.enc(c)}")
+      val enc = CommitLog.enc(c)
+      val back = CommitLog.dec(c.version, enc)
+      assert(back == c, s"round-trip $i diverged:\n $c\n $back\n $enc")
+      // the standard-JSON contract: control characters must be escaped,
+      // so external tools (jq, debugging scripts) can parse the log
+      assert(!enc.exists(_ < 0x20), s"raw control char in entry $i: $enc")
     }
   }
 

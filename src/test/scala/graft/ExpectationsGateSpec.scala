@@ -27,7 +27,7 @@ class ExpectationsGateSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[GateEv]
-    val q = ExpectationsGate.gatedStream(spark, ms.toDF(), pub, quar)
+    val q = ExpectationsGate.gatedStream(spark, ms.toDF(), pub, quar, s"$root/ckpt")
     try {
       ms.addData(ev(1, "click", 5.0), ev(2, "view", 3.5))
       q.processAllAvailable()

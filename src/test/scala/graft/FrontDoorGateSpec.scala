@@ -28,7 +28,7 @@ class FrontDoorGateSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[RawDoc]
-    val q = FrontDoorGate.triagedStream(spark, ms.toDF(), pub, quar)
+    val q = FrontDoorGate.triagedStream(spark, ms.toDF(), pub, quar, s"$root/ckpt")
     try {
       ms.addData(RawDoc(1, prose), RawDoc(2, navPage), RawDoc(3, prose + " again"))
       q.processAllAvailable()

@@ -153,7 +153,7 @@ class SafetyLangSpec extends AnyFunSuite {
     val (pub, quar) = (s"$root/published", s"$root/quarantine")
     implicit val sq = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawDoc]
-    val q = SafetyGate.gatedStream(spark, ms.toDF(), pub, quar)
+    val q = SafetyGate.gatedStream(spark, ms.toDF(), pub, quar, s"$root/ckpt")
     try {
       ms.addData(RawDoc(1, "a calm document about gardens and bread"),
         RawDoc(2, "contains selfharmterm so it must hard-block"),
