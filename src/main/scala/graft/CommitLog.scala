@@ -102,14 +102,19 @@ object CommitLog {
   /** Decode one escape sequence starting at `json(j) == '\\'`, appending
     * the decoded character; returns the index after the sequence. Inverse
     * of [[GraftSession.jsonEscape]] (incl. the `\u00XX` control-char
-    * forms), with unknown escapes passed through literally — which also
-    * reads pre-escaping log entries (raw control chars) unchanged. */
+    * forms), plus the standard `\b`/`\f` a conforming external rewriter
+    * may emit; unknown or malformed escapes (incl. `\u` not followed by
+    * four hex digits) pass through literally — which also reads
+    * pre-escaping log entries (raw control chars) unchanged. */
   private def unescapeAt(json: String, j: Int, sb: java.lang.StringBuilder): Int =
     json.charAt(j + 1) match {
       case 'n' => sb.append('\n'); j + 2
       case 't' => sb.append('\t'); j + 2
       case 'r' => sb.append('\r'); j + 2
-      case 'u' if j + 5 < json.length =>
+      case 'b' => sb.append('\b'); j + 2
+      case 'f' => sb.append('\f'); j + 2
+      case 'u' if j + 5 < json.length &&
+          json.substring(j + 2, j + 6).forall(c => Character.digit(c, 16) >= 0) =>
         sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar); j + 6
       case c => sb.append(c); j + 2 // \" and \\ (and lenient passthrough)
     }
