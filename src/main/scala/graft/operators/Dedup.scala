@@ -580,7 +580,7 @@ object Dedup {
     * [[invalidateClusterCache]] for the staleness contract.
     */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new graft.DriverMemo[(Int, String), DataFrame]()
 
   /** Drop memoized cluster maps — required after the data under a
     * previously clustered directory changes (memo keys on path, not
@@ -592,11 +592,11 @@ object Dedup {
     * Docs in no candidate pair are not listed (singleton = own cluster).
     */
   private[graft] def clusterMap(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    clusterCache.getOrElseUpdate((System.identityHashCode(s), dir)) {
       connectedComponents(
           candidatePairs(s, dir).select(col("doc_a"), col("doc_b")))
         .select(col("doc_id"), col("label").as("cluster_id"))
-    })
+    }
 
   /** q56: near-dup cluster collapse — the step q29/q49 stop short of:
     * candidate pairs → connected components → keep-min-id survivor per

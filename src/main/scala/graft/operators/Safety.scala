@@ -114,8 +114,10 @@ object Safety {
     * memo (clusterMap, BPE merges), so a fresh session over changed data
     * at the same path retrains instead of reusing stale weights;
     * [[invalidateSafetyModelCache]] stays the same-session
-    * content-staleness escape hatch. */
-  private val safetyModelCache = new java.util.concurrent.ConcurrentHashMap[
+    * content-staleness escape hatch. Entries for GC'd sessions can never
+    * be looked up again — [[graft.DriverMemo]]'s LRU cap bounds that
+    * orphan growth (round-10 advice). */
+  private val safetyModelCache = new graft.DriverMemo[
     (Int, String), (Array[Double], Array[Double], Array[Double])]()
 
   def invalidateSafetyModelCache(): Unit = safetyModelCache.clear()
@@ -130,7 +132,7 @@ object Safety {
 
   private[graft] def trainSafetyModel(
       s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) =
-    safetyModelCache.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    safetyModelCache.getOrElseUpdate((System.identityHashCode(s), dir)) {
       // route() retains text (q190's final select is what drops it), so
       // the features + label come from ONE corpus pass — re-joining the
       // documents table here would add a second scan and a corpus-scale
@@ -168,7 +170,7 @@ object Safety {
         }
         (w, mu, sd)
       }
-    })
+    }
 
   /** q191: MODEL-scored safety — the distilled-classifier lane (q153's
     * pattern over q190's verdicts: on a single-class corpus the logistic

@@ -144,13 +144,12 @@ object Similarity {
     * + cell-partitioned corpus to storage for cross-session reuse.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Array[Array[Double]]]()
+    new graft.DriverMemo[(String, Int, Int, Long), Array[Array[Double]]]()
 
   /** Drop memoized quantizers — REQUIRED after the data under a previously
     * quantized directory changes (the memo keys on the path, not the
-    * contents; a stale model silently mis-assigns cells otherwise). Also
-    * the unbounded-growth escape hatch for long-lived sessions touching
-    * many corpora. Persisted indexes ([[IvfIndex.build]]) are unaffected —
+    * contents; a stale model silently mis-assigns cells otherwise). Growth
+    * is bounded by [[graft.DriverMemo]]'s LRU cap even without it. Persisted indexes ([[IvfIndex.build]]) are unaffected —
     * their model lives with the index files.
     */
   def invalidateQuantizerCache(): Unit = { centroidCache.clear(); pqCache.clear() }
@@ -158,8 +157,8 @@ object Similarity {
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int,
       trainMod: Long = 1L): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((dir, k, iters, trainMod),
-      _ => trainKmeans(s, dir, k, iters, trainMod))
+    centroidCache.getOrElseUpdate((dir, k, iters, trainMod))(
+      trainKmeans(s, dir, k, iters, trainMod))
 
   private def trainKmeans(
       s: SparkSession, dir: String, k: Int, iters: Int,
@@ -370,13 +369,13 @@ object Similarity {
     * this cache too.
     */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+    new graft.DriverMemo[(String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
   private[graft] def pqCodebooks(
       s: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
       iters: Int = 3, trainMod: Long = 1L): Array[Array[Array[Double]]] =
-    pqCache.computeIfAbsent((dir, m, k, iters, trainMod),
-      _ => trainPq(s, dir, m, k, iters, trainMod))
+    pqCache.getOrElseUpdate((dir, m, k, iters, trainMod))(
+      trainPq(s, dir, m, k, iters, trainMod))
 
   /** Lloyd training of all m subspace codebooks in ONE distributed job per
     * iteration: assign codes (projection), explode components, partial-agg
@@ -502,13 +501,13 @@ object Similarity {
     * the k-means/BPE driver-held-model pattern; see
     * [[invalidateQuantizerCache]] for the staleness contract. */
   private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Array[Double], Array[Double], Double)]()
+    new graft.DriverMemo[(String, Int), (Array[Double], Array[Double], Double)]()
 
   def invalidatePcaCache(): Unit = pcaCache.clear()
 
   private[graft] def pcaModel(
       s: SparkSession, dir: String, iters: Int = 100): (Array[Double], Array[Double], Double) =
-    pcaCache.computeIfAbsent((dir, iters), _ => trainPca(s, dir, iters))
+    pcaCache.getOrElseUpdate((dir, iters))(trainPca(s, dir, iters))
 
   /** ONE distributed pass collects the Gramian sufficient statistics —
     * n, Σx and the upper-triangle Σx·xᵀ — via the native

@@ -593,7 +593,7 @@ object TextAnalysis {
     * rounds when the other already has). Path-keyed, not content-keyed:
     * see [[invalidateMergeCache]].
     */
-  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+  private val mergeCache = new graft.DriverMemo[
     (Int, String, Int), Seq[(Int, String, String, Long)]]()
 
   /** Drop memoized merge tables — required after the data under a
@@ -603,7 +603,7 @@ object TextAnalysis {
 
   private[graft] def corpusMerges(s: SparkSession, dir: String,
       nMerges: Int = 8): Seq[(Int, String, String, Long)] =
-    mergeCache.computeIfAbsent((System.identityHashCode(s), dir, nMerges), { _ =>
+    mergeCache.getOrElseUpdate((System.identityHashCode(s), dir, nMerges)) {
       bpeMerges(
         Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("word"))
@@ -614,7 +614,7 @@ object TextAnalysis {
         .collect().toSeq.map(r => (r.getAs[Int]("merge_rank"),
           r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
           r.getAs[Long]("support")))
-    })
+    }
 
   /** q118: the first 8 BPE merges learned from the documents corpus
     * (weighted by word frequency). Rows-only: the merge loop is
@@ -990,7 +990,7 @@ object TextAnalysis {
     * mirror; spec pins ≥ 90% agreement with the rule labels, determinism,
     * and that both verdict classes are actually produced.
     */
-  private val qualityModelCache = new java.util.concurrent.ConcurrentHashMap[
+  private val qualityModelCache = new graft.DriverMemo[
     String, (Array[Double], Array[Double], Array[Double])]()
 
   /** Drop memoized quality models — required after the data under a
@@ -1009,7 +1009,7 @@ object TextAnalysis {
 
   private[graft] def trainQualityModel(
       s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) =
-    qualityModelCache.computeIfAbsent(dir, { _ =>
+    qualityModelCache.getOrElseUpdate(dir) {
       val rows = q65CorpusFilter(s, dir)
         .withColumn("r", xxhash64(col("doc_id")))
         .orderBy(col("r"), col("doc_id")).limit(4096)
@@ -1046,7 +1046,7 @@ object TextAnalysis {
       }
       (w, mu, sd)
       }
-    })
+    }
 
   def q153QualityModel(s: SparkSession, dir: String): DataFrame = {
     val (w, mu, sd) = trainQualityModel(s, dir)

@@ -124,6 +124,21 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("externally rewritten entries decode: \\b/\\f, \\uXXXX, malformed \\u passthrough") {
+    // the object doc advertises standard-JSON interop: a conforming
+    // external tool may rewrite our \u0008/\u000c forms as \b/\f, and a
+    // corrupt/hand-edited entry must degrade to lenient passthrough, not
+    // throw NumberFormatException out of the reader (round-10 advice)
+    // built from escaped literals, not triple quotes: scalac's own
+    // \u source processing must not pre-decode the sequences under test
+    val json = "{\"version\":7,\"op\":\"append\",\"add\":[" +
+      "\"a\\b\",\"b\\f\",\"c\\u0041x\",\"d\\" + "uZZZZ\",\"e\\q\",\"f\\" + "u00\"" +
+      "],\"remove\":[]}"
+    val back = CommitLog.dec(7L, json)
+    assert(back.add == Seq("a\b", "b\f", "cAx", "duZZZZ", "eq", "fu00"))
+    assert(back.remove.isEmpty)
+  }
+
   test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)
