@@ -35,6 +35,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - COMPACTION without reader disruption: `compact` commits
   *    added-compacted + removed-smalls in one version; old versions
   *    still resolve the old files until `vacuum` reclaims them.
+  *  - ROW-LEVEL DELETE / MERGE, delta-sized: `delete` (keyed retraction —
+  *    the GDPR operation) and `merge` (keyed upsert, q109's semantics
+  *    through the format) rewrite ONLY the files the commit-embedded
+  *    per-file stats + an exact file probe show to hold affected keys;
+  *    untouched files keep their identity across the commit.
+  *  - READER-SIDE SCHEMA EVOLUTION: `snapshotEvolved` reads across
+  *    versions after a column ADD (old files null-fill) or a numeric
+  *    WIDENING (int→long, float→double; old files upcast); any other
+  *    cross-version change throws with the column and both types.
+  *    Time travel to a pre-change version reads the old schema as-is.
   *
   * Scale shape: the log is O(commits) tiny JSON files read by the
   * DRIVER (a production table periodically checkpoints the folded state;
@@ -556,6 +566,204 @@ object CommitLog {
       }
       v
     }
+
+  /** The latest stat per (file, column) for `column`, folded over the
+    * entries — snapshotRange's "later duplicate wins" rule, shared with
+    * the row-level mutation paths below. */
+  private def statFold(entries: Seq[Commit], column: String): Map[String, FileStat] =
+    entries.flatMap(_.stats).filter(_.column == column)
+      .map(st => st.file -> st).toMap
+
+  /** Keyed row-level DELETE — the GDPR right-to-be-forgotten operation,
+    * DELTA-SIZED instead of a full-table overwrite: only live files whose
+    * commit-embedded [min, max] stats on `keyCol` ADMIT one of the keys
+    * are rewritten; every other file keeps its identity (no rewrite, no
+    * churn). A file with NO stat on `keyCol` must be rewritten too — the
+    * snapshotRange superset rule inverted: uncertainty forces the
+    * rewrite, never a missed delete. One commit version: add = the
+    * rewritten survivors, remove = every admissible file. Rewritten
+    * files re-embed min/max stats for `statsFor` (default: `keyCol`
+    * itself, so key-range skipping survives the rewrite).
+    *
+    * Time travel below the delete still serves the pre-delete rows until
+    * [[vacuum]] reclaims the removed files — the GDPR proof is
+    * delete + vacuum (spec-asserted: no remaining data file on disk
+    * holds a deleted key). Returns None (and commits nothing) when no
+    * live file can contain any key.
+    *
+    * `keys` is a driver-held set (the operation's real shape: a handful
+    * of subject ids); for corpus-scale retractions use [[merge]]'s
+    * anti-join machinery. Null keys never match and are never deleted.
+    * Same concurrency contract as [[compact]]: races appends safely
+    * (removal set re-derived at commit time), one writer per table for
+    * destructive ops.
+    */
+  def delete(s: SparkSession, root: String, keyCol: String, keys: Seq[Long],
+      statsFor: Option[Seq[String]] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    if (keys.isEmpty) return None
+    val entries = log(s, root)
+    val live = liveFiles(s, root)
+    val stats = statFold(entries, keyCol)
+    val touched = live.filter { f =>
+      stats.get(f).forall(st => keys.exists(k => k >= st.min && k <= st.max))
+    }
+    if (touched.isEmpty) return None
+    val survivors = s.read.parquet(touched.map(p => s"$root/$p"): _*)
+      .filter(col(keyCol).isNull || not(col(keyCol).isin(keys.map(lit): _*)))
+    val add = writeData(survivors, root)
+    val stCols = statsFor.getOrElse(Seq(keyCol))
+    commitEntry(s, root, "delete", add, entries => {
+      val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
+      liveNow.toSeq.filter(touched.contains)
+    }, None, collectStats(s, root, add, stCols))
+  }
+
+  /** Keyed MERGE (upsert) THROUGH the format — q109's latest-wins
+    * semantics as a delta-sized commit: every target row whose `keyCol`
+    * appears in `updates` is replaced by the update row; keys absent
+    * from the target are inserted. File pruning is two-stage, the
+    * Delta-style touched-file scan:
+    *
+    *  1. STATS: live files whose [min, max] on `keyCol` cannot intersect
+    *     the updates' key range are untouched without being read.
+    *  2. EXACT PROBE: the stats-admitted candidates are scanned once
+    *     (keyCol + input_file_name only — column-pruned) and semi-joined
+    *     against the distinct update keys; only files that actually HOLD
+    *     an updated key are rewritten. The probe's driver result is
+    *     O(touched files), never rows.
+    *
+    * One commit: add = rewritten touched files (old rows of updated keys
+    * anti-joined away) + the update rows themselves; remove = the
+    * touched files. Untouched files keep their identity — spec-pinned.
+    * `updates` must carry the table's exact column set (loudly rejected
+    * otherwise; use [[snapshotEvolved]]-style migration first for schema
+    * change) and one row per key (q109's upstream latest-per-key fold is
+    * the caller's job — duplicate update keys land as duplicate rows).
+    * An empty table merges as a plain insert. Same concurrency contract
+    * as [[compact]].
+    */
+  def merge(updates: DataFrame, root: String, keyCol: String,
+      statsFor: Option[Seq[String]] = None): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val s = updates.sparkSession
+    val stCols = statsFor.getOrElse(Seq(keyCol))
+    val live = liveFiles(s, root)
+    if (live.isEmpty) {
+      val add = writeData(updates, root)
+      return commitEntry(s, root, "merge", add, _ => Seq.empty, None,
+        collectStats(s, root, add, stCols)).get
+    }
+    val tableCols = s.read.parquet(s"$root/${live.head}").columns
+    require(updates.columns.sorted.sameElements(tableCols.sorted),
+      s"merge updates schema ${updates.columns.sorted.mkString("[", ",", "]")} does not " +
+        s"match table schema ${tableCols.sorted.mkString("[", ",", "]")} at $root — " +
+        "evolve the table first, then merge")
+    val keyRange = updates.agg(
+      min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
+    if (keyRange.isNullAt(0)) { // no non-null update keys: pure insert
+      val add = writeData(updates, root)
+      return commitEntry(s, root, "merge", add, _ => Seq.empty, None,
+        collectStats(s, root, add, stCols)).get
+    }
+    val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
+    val stats = statFold(log(s, root), keyCol)
+    val candidates = live.filter { f =>
+      stats.get(f).forall(st => st.max >= lo && st.min <= hi)
+    }
+    val updKeys = updates.select(col(keyCol)).distinct()
+    // exact probe: which candidate files actually hold an updated key —
+    // file NAMES to the driver, never rows (part-file names are
+    // job-UUID-unique, the collectStats mapping rule)
+    val byName = candidates.map(p => p.split('/').last -> p).toMap
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else s.read.parquet(candidates.map(p => s"$root/$p"): _*)
+        .select(col(keyCol), input_file_name().as("f"))
+        .join(updKeys, Seq(keyCol), "left_semi")
+        .select(col("f")).distinct()
+        .collect().toSeq.flatMap(r => byName.get(r.getString(0).split('/').last))
+    val add =
+      if (touched.isEmpty) writeData(updates, root)
+      else {
+        val rewritten = s.read.parquet(touched.map(p => s"$root/$p"): _*)
+          .join(updKeys, Seq(keyCol), "left_anti")
+          .select(tableCols.map(col): _*)
+        writeData(rewritten, root) ++ writeData(updates.select(tableCols.map(col): _*), root)
+      }
+    commitEntry(s, root, "merge", add, entries => {
+      val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
+      liveNow.toSeq.filter(touched.contains)
+    }, None, collectStats(s, root, add, stCols)).get
+  }
+
+  // ---------- reader-side schema evolution ----------
+
+  /** Numeric widenings the evolved reader upcasts silently; anything
+    * else across versions is an incompatible change and rejected loudly
+    * — silent coercion (string→long, narrowing, decimal reshape) is how
+    * a 100 TB table corrupts quietly. */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** Snapshot read ACROSS schema versions — the contract a long-lived
+    * table needs in month one: after a column is ADDED, old files
+    * null-fill it; after a numeric type is WIDENED (int→long,
+    * float→double), old files upcast; any other cross-version change
+    * (renames, narrowings, type swaps) throws with the offending column
+    * and both types. asOf semantics are unchanged — a pre-change version
+    * resolves only its own files and therefore reads with its own (old)
+    * schema.
+    *
+    * Mechanics: live files group by data directory (one d-<uuid> dir =
+    * one write = one schema), each group contributes its footer schema,
+    * and the unified schema is the per-column widening fold in
+    * first-seen column order (later additions append). When every group
+    * already agrees — the overwhelmingly common case — this is exactly
+    * [[snapshot]] plus O(dirs) driver-side footer reads; executors never
+    * do per-row work beyond the upcast projection. Plain [[snapshot]]
+    * remains the fast path for tables that never evolved ([[merge]]
+    * rejects mixed schemas, so only append-evolved tables need this
+    * reader).
+    */
+  def snapshotEvolved(s: SparkSession, root: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val files = liveFiles(s, root, asOf)
+    require(files.nonEmpty, s"commit-log table at $root has no live files (asOf=$asOf)")
+    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*) }
+    if (frames.map(_.schema).distinct.size == 1) return snapshot(s, root, asOf)
+    // unified schema: first-seen order, widening fold per column
+    val unified = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    frames.foreach(_.schema.fields.foreach { f =>
+      unified.get(f.name) match {
+        case None => unified(f.name) = f.dataType
+        case Some(t) => unified(f.name) = widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"incompatible schema evolution on column '${f.name}' at $root: " +
+              s"$t vs ${f.dataType} — only additions and int→long / " +
+              "float→double widenings are readable across versions"))
+      }
+    })
+    frames.map { df =>
+      val have = df.columns.toSet
+      df.select(unified.toSeq.map { case (n, t) =>
+        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_ union _)
+  }
 
   /** Reclaim data files no version ≤ head still needs — i.e. files
     * REMOVED by some commit (time travel to versions before their

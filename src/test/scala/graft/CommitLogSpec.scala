@@ -139,6 +139,122 @@ class CommitLogSpec extends AnyFunSuite {
     assert(back.remove.isEmpty)
   }
 
+  /** Every id present in any parquet file still on disk under root —
+    * the physical-bytes view vacuum's GDPR proof needs (the log-resolved
+    * snapshot view would hide removed-but-unreclaimed files). */
+  private def idsOnDisk(root: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    if (files.isEmpty) Seq.empty
+    else spark.read.parquet(files: _*).select("id")
+      .collect().map(_.getLong(0)).distinct.sorted.toSeq
+  }
+
+  test("delete is delta-sized: only stat-admissible files rewritten; vacuum is the GDPR proof") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(batch(11, 20).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(batch(21, 30).coalesce(1), root, statsFor = Seq("id"))
+    val before = CommitLog.liveFiles(spark, root)
+    assert(before.size == 3)
+    // keys outside every file's [min,max]: nothing admissible, nothing committed
+    assert(CommitLog.delete(spark, root, "id", Seq(999L)).isEmpty)
+    assert(CommitLog.headVersion(spark, root) == 3L)
+    val v = CommitLog.delete(spark, root, "id", Seq(15L, 17L))
+    assert(v.contains(4L))
+    assert(ids(CommitLog.snapshot(spark, root)) ==
+      (1L to 30L).filterNot(Seq(15L, 17L).contains))
+    // delta-sized: the two untouched files keep their IDENTITY (no rewrite)
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) == Set(before(0), before(2)))
+    val entry = CommitLog.log(spark, root).last
+    assert(entry.op == "delete" && entry.remove == Seq(before(1)))
+    // rewritten survivors re-embed key stats: future range scans still skip
+    assert(entry.stats.nonEmpty && entry.stats.forall(_.column == "id"))
+    // time travel still serves the pre-delete rows until vacuum
+    assert(ids(CommitLog.snapshot(spark, root, asOf = 3)) == (1L to 30L))
+    assert(idsOnDisk(root).contains(15L)) // corpse still physically present
+    CommitLog.vacuum(spark, root)
+    // the GDPR proof: NO data file on disk holds a deleted key anymore
+    val disk = idsOnDisk(root)
+    assert(!disk.contains(15L) && !disk.contains(17L))
+    assert(ids(CommitLog.snapshot(spark, root)) ==
+      (1L to 30L).filterNot(Seq(15L, 17L).contains))
+  }
+
+  test("delete rewrites stat-less files: no stats means no skipping, never a missed delete") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root) // NO statsFor
+    val before = CommitLog.liveFiles(spark, root)
+    // key far outside the actual data: without stats the file must still
+    // be rewritten (the snapshotRange superset rule, inverted)
+    val v = CommitLog.delete(spark, root, "id", Seq(999L))
+    assert(v.contains(2L))
+    assert(CommitLog.liveFiles(spark, root).toSet.intersect(before.toSet).isEmpty)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 10L))
+  }
+
+  test("merge equals a full latest-wins rebuild; exact probe keeps range-overlapped files") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(batch(11, 20).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(batch(21, 30).coalesce(1), root, statsFor = Seq("id"))
+    val before = CommitLog.liveFiles(spark, root)
+    // key range [12, 35] stats-admits files 2 AND 3, but only file 2
+    // actually HOLDS an updated key — the exact probe must spare file 3
+    val updates = Seq((12L, "upd12"), (35L, "new35")).toDF("id", "v").coalesce(1)
+    val v = CommitLog.merge(updates, root, "id")
+    assert(v == 4L)
+    val got = CommitLog.snapshot(spark, root).as[(Long, String)].collect().sorted.toSeq
+    val expected = ((1L to 30L).filterNot(_ == 12L).map(i => (i, s"row$i")) ++
+      Seq((12L, "upd12"), (35L, "new35"))).sorted
+    assert(got == expected) // == full rebuild: target anti updated-keys, union updates
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) == Set(before(0), before(2)))
+    val entry = CommitLog.log(spark, root).last
+    assert(entry.op == "merge" && entry.remove == Seq(before(1)))
+    // time travel below the merge reads the pre-merge table
+    assert(ids(CommitLog.snapshot(spark, root, asOf = 3)) == (1L to 30L))
+  }
+
+  test("merge: empty table inserts; disjoint keys touch nothing; schema mismatch is loud") {
+    val root = freshRoot()
+    assert(CommitLog.merge(batch(1, 5).coalesce(1), root, "id") == 1L)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 5L))
+    val before = CommitLog.liveFiles(spark, root)
+    // keys hitting no live file: pure insert, every existing file untouched
+    assert(CommitLog.merge(batch(100, 102).coalesce(1), root, "id") == 2L)
+    assert(CommitLog.liveFiles(spark, root).toSet.intersect(before.toSet) == before.toSet)
+    assert(ids(CommitLog.snapshot(spark, root)) == ((1L to 5L) ++ (100L to 102L)))
+    val bad = Seq((1L, "x", 9L)).toDF("id", "v", "extra")
+    val e = intercept[IllegalArgumentException] { CommitLog.merge(bad, root, "id") }
+    assert(e.getMessage.contains("does not match table schema"))
+  }
+
+  test("snapshotEvolved: added columns null-fill, int widens to long, asOf keeps old schema") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 5).coalesce(1), root) // (id LONG, v STRING)
+    CommitLog.append((6 to 8).map(i => (i.toLong, s"row$i", i * 2L))
+      .toDF("id", "v", "w").coalesce(1), root) // + w LONG
+    CommitLog.append(Seq((9, "row9", 18L)).toDF("id", "v", "w")
+      .coalesce(1), root) // id INT: must widen back to LONG
+    val ev = CommitLog.snapshotEvolved(spark, root)
+    assert(ev.columns.toSeq == Seq("id", "v", "w"))
+    assert(ev.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val rows = ev.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1L to 9L))
+    assert(rows.filter(_._1 <= 5).forall(_._3.isEmpty))   // null-filled
+    assert(rows.filter(_._1 >= 6).forall(r => r._3.contains(r._1 * 2)))
+    // a pre-evolution version reads with its own old schema
+    assert(CommitLog.snapshotEvolved(spark, root, asOf = 1).columns.toSeq == Seq("id", "v"))
+    // incompatible change (v STRING -> BIGINT) is rejected loudly
+    CommitLog.append(Seq((100L, 999L, 1L)).toDF("id", "v", "w").coalesce(1), root)
+    val e = intercept[IllegalArgumentException] { CommitLog.snapshotEvolved(spark, root) }
+    assert(e.getMessage.contains("incompatible schema evolution on column 'v'"))
+  }
+
   test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)
