@@ -325,14 +325,65 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
   }
 
-  /** q30: 64-bit SimHash per document + 16-bit hamming band keys.
-    * xxhash64-based (no oracle — engine-native hash), rows-only checked;
-    * properties are asserted in DedupSpec.
+  /** q30/q69 shared oracle-simhash formula fragments. The 64-bit simhash
+    * is assembled from four 16-bit md5 chunks per token via per-bit ±1
+    * sums; every fragment below is embedded VERBATIM in both the Spark
+    * plan and the DuckDB oracle CTE (the q29 Carter–Wegman pattern:
+    * parity by construction). Only the hex→integer idiom differs per
+    * engine (Spark `conv(hex,16,10)`, DuckDB `('0x'||hex)::BIGINT` —
+    * the established q29 fingerprint split). The assembly interprets
+    * chunk 3 as SIGNED 16-bit two's complement so bit 63 lands without
+    * BIGINT overflow on either engine (the §6 sign-bit discipline).
+    */
+  private def simhashBitSumSql(b: Int): String =
+    s"sum(2 * ((c${b / 16} >> ${b % 16}) & 1) - 1) AS s$b"
+  private def simhashChunkValSql(c: Int): String =
+    (0 until 16).map(k =>
+      s"(CASE WHEN s${16 * c + k} > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ") + s" AS v$c"
+  private val simhashAssembleSql: String =
+    "CAST(v0 AS BIGINT) + CAST(v1 AS BIGINT) * 65536 + " +
+      "CAST(v2 AS BIGINT) * 4294967296 + " +
+      "(CAST(v3 AS BIGINT) - (CASE WHEN v3 >= 32768 THEN 65536 ELSE 0 END)) " +
+      "* 281474976710656"
+  private val simhashBandSqls: Seq[(String, String)] = Seq(
+    "band0" -> "simhash & 65535",
+    "band1" -> "(simhash >> 16) & 65535",
+    "band2" -> "(simhash >> 32) & 65535",
+    "band3" -> "(simhash >> 48) & 65535")
+
+  /** q30: 64-bit SimHash per document + 16-bit hamming band keys — the
+    * md5-derived ORACLE twin (fully DuckDB-mirrored; [[fastSimhash]] is
+    * the xxhash64 production path, the q29/q49 pairing for simhash).
+    * One explode (tokens only, not tokens×bits), 64 per-bit counters as
+    * plain agg columns, one map-side-combining shuffle on doc_id.
     */
   def q30DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // 64 per-bit counters as plain agg columns: one explode (tokens only,
-    // not tokens×bits) and one map-side-combining shuffle on doc_id.
     val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        expr(s"CAST(conv(substring(md5(w), ${1 + 4 * c}, 4), 16, 10) AS BIGINT)")
+          .as(s"c$c")): _*)
+    val sums = (0 until 64).map(b => expr(simhashBitSumSql(b)))
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map(c => expr(simhashChunkValSql(c))): _*)
+      .select(col("doc_id"), expr(simhashAssembleSql).as("simhash"))
+      .select(col("doc_id") +: col("simhash") +:
+        simhashBandSqls.map { case (n, f) => expr(f).as(n) }: _*)
+  }
+
+  /** PRODUCTION simhash over ANY documents frame (`doc_id`, `text`):
+    * xxhash64 bit source — engine-native, one hash per token instead of
+    * the oracle twin's md5 + four hex parses, the variant a 100 TB
+    * pipeline runs (q49's relationship to q29, here for simhash). Same
+    * output contract as [[q30DedupSimhash]]: one row per doc,
+    * `band_b == (simhash >> 16b) & 65535`. No SQL mirror (xxhash64);
+    * DedupSimilaritySpec pins band decomposition, determinism, and
+    * md5-twin plan-shape equivalence instead.
+    */
+  def fastSimhash(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map(b =>
@@ -342,11 +393,8 @@ object Dedup {
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))
-      .select(col("doc_id"), col("simhash"),
-        expr("simhash & 65535").as("band0"),
-        expr("(simhash >> 16) & 65535").as("band1"),
-        expr("(simhash >> 32) & 65535").as("band2"),
-        expr("(simhash >> 48) & 65535").as("band3"))
+      .select(col("doc_id") +: col("simhash") +:
+        simhashBandSqls.map { case (n, f) => expr(f).as(n) }: _*)
   }
 
   /** q69: SimHash near-dup PAIRS — the step q30 stopped short of: the four
@@ -368,8 +416,8 @@ object Dedup {
     * adversarially huge bucket means that many near-identical docs and
     * the n² expansion is the honest price of the exact answer — callers
     * that prefer the bounded-work approximation can pre-collapse exact
-    * dupes (q28) first. Rows-only (xxhash64 simhashes have no SQL
-    * mirror).
+    * dupes (q28) first. DuckDB-oracled since the md5 simhash twin: the
+    * oracle CTE replicates the band join + xor/bit_count confirm.
     */
   def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sh = q30DedupSimhash(s, dir).localCheckpoint() // tiny: one row/doc
@@ -394,7 +442,7 @@ object Dedup {
              struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
                     x.simhash AS ha, y.simhash AS hb))))""")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -694,6 +742,25 @@ object Dedup {
             UNION
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
 
+  /** The DuckDB twin of [[q30DedupSimhash]]: same tokenization
+    * (string_split keeps empty tokens, like Spark's split), same four
+    * 16-bit md5 chunks, and the SAME bit-sum / chunk-value / assembly /
+    * band formula strings — embedded verbatim from the builders above.
+    */
+  private val simhashCtes: String = {
+    val bitSums = (0 until 64).map(simhashBitSumSql).mkString(", ")
+    val chunkVals = (0 until 4).map(simhashChunkValSql).mkString(", ")
+    val bands = simhashBandSqls.map { case (n, f) => s"$f AS $n" }.mkString(", ")
+    val chunks = (0 until 4).map(c =>
+      s"('0x' || substring(md5(w), ${1 + 4 * c}, 4))::BIGINT AS c$c").mkString(", ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        chs AS (SELECT doc_id, $chunks FROM tok),
+        bsums AS (SELECT doc_id, $bitSums FROM chs GROUP BY doc_id),
+        cvals AS (SELECT doc_id, $chunkVals FROM bsums),
+        shash AS (SELECT doc_id, $simhashAssembleSql AS simhash FROM cvals),
+        simbands AS (SELECT doc_id, simhash, $bands FROM shash)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q193_dup_family_dist" ->
       s"""WITH RECURSIVE $reachCtes,
@@ -726,6 +793,24 @@ object Dedup {
       """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
                 count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q30_dedup_simhash" ->
+      s"""WITH $simhashCtes
+          SELECT doc_id, simhash, band0, band1, band2, band3 FROM simbands""",
+    "q69_dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+          sb AS (SELECT doc_id, simhash, 0 AS band_id, band0 AS sig FROM simbands
+                 UNION ALL
+                 SELECT doc_id, simhash, 1 AS band_id, band1 AS sig FROM simbands
+                 UNION ALL
+                 SELECT doc_id, simhash, 2 AS band_id, band2 AS sig FROM simbands
+                 UNION ALL
+                 SELECT doc_id, simhash, 3 AS band_id, band3 AS sig FROM simbands),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS ha, b.simhash AS hb
+                   FROM sb a JOIN sb b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
     "q29_dedup_minhash" ->
       s"""WITH $minhashCtes
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands

@@ -41,6 +41,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("fastSimhash (production xxhash64 twin): per-doc rows, band decomposition, determinism") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Dedup.fastSimhash(docs).cache()
+    assert(df.count() == docs.count())
+    val bad = df.filter(
+      col("band0") + shiftleft(col("band1"), 16) + shiftleft(col("band2"), 32) +
+        shiftleft(col("band3"), 48) =!= col("simhash")).count()
+    assert(bad == 0)
+    val again = Dedup.fastSimhash(docs)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    // exact text copies must collide regardless of the bit source
+    val one = docs.limit(1).select(col("doc_id"), col("text"))
+    val twin = one.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val both = Dedup.fastSimhash(one.union(twin)).select("simhash")
+      .collect().map(_.getLong(0))
+    assert(both.distinct.length == 1)
+    df.unpersist()
+  }
+
   test("q69 simhash pairs are EXACTLY the brute-force hamming<=3 pairs (pigeonhole)") {
     // 3 differing bits touch at most 3 of the 4 bands, so banding loses
     // nothing at maxHamming=3 — assert exact equality with all-pairs
@@ -53,7 +72,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb))).toSet
     val got = Dedup.q69DedupSimhashPairs(spark, sf)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     assert(got == expected, s"banded=${got.size} brute=${expected.size}")
   }
 
