@@ -450,10 +450,25 @@ object CommitLog {
     * formats reject that pairing in conflict detection; one writer per
     * table for destructive ops is this seam's rule, as in AtomicGen). */
   def compact(s: SparkSession, root: String, partitions: Int = 1,
-      statsFor: Seq[String] = Seq.empty): Long = {
+      statsFor: Seq[String] = Seq.empty,
+      /** OPTIMIZE-style re-clustering: when set, the compacted copy is
+        * range-repartitioned + sorted on these columns instead of
+        * coalesced, so each output file owns a contiguous key run and
+        * the re-collected `statsFor` stats stay TIGHT — a plain coalesce
+        * packs small files in size order, mixing key ranges and widening
+        * every [min, max] until snapshotRange can no longer skip (the
+        * z-order layout story: cluster on the zkey, keep pruning on both
+        * zone dims through the compaction). */
+      clusterBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
     val before = liveFiles(s, root)
     require(before.nonEmpty, s"nothing to compact at $root")
-    val add = writeData(snapshot(s, root).coalesce(partitions), root)
+    val snap = snapshot(s, root)
+    val folded =
+      if (clusterBy.isEmpty) snap.coalesce(partitions)
+      else snap.repartitionByRange(partitions, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val add = writeData(folded, root)
     // re-collect skipping stats for the rewritten files: a compaction
     // that silently DROPPED its inputs' stats would turn every future
     // snapshotRange over the compacted span into a full read

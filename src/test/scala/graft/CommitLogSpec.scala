@@ -255,6 +255,46 @@ class CommitLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("incompatible schema evolution on column 'v'"))
   }
 
+  test("z-ordered layout through the format: zkey clustering prunes BOTH zone dims, through compaction") {
+    val root = freshRoot()
+    // q119's (event_id, zone_x, zone_y, zkey), written z-CLUSTERED: range
+    // partitioning on the Morton key gives each file a contiguous zkey
+    // run, which bounds BOTH zone dims per file — that locality is what
+    // the commit-embedded stats then expose to snapshotRange
+    val zoned = graft.operators.Geo.q119ZorderKey(spark, sf)
+    CommitLog.append(
+      zoned.repartitionByRange(8, col("zkey")).sortWithinPartitions(col("zkey")),
+      root, statsFor = Seq("zone_x", "zone_y", "zkey"))
+    assert(CommitLog.liveFiles(spark, root).size >= 4)
+    val r = zoned.agg(min("zone_x"), max("zone_x"), min("zone_y"), max("zone_y"))
+      .collect().head
+    val (x0, x1, y0, y1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // a narrow window on each dim must read a STRICT SUBSET of files yet
+    // return full-scan-identical rows (the skipping superset guarantee)
+    def check(c: String, lo: Long, hi: Long): Unit = {
+      val (df, read, total) = CommitLog.snapshotRange(spark, root, c, lo, hi)
+      assert(read < total, s"no files skipped on $c ($read/$total)")
+      assert(read > 0, s"window on $c unexpectedly empty")
+      val got = df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val expect = CommitLog.snapshot(spark, root)
+        .filter(col(c) >= lo && col(c) <= hi)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect)
+    }
+    check("zone_x", x0, x0 + (x1 - x0) / 4)
+    check("zone_y", y0 + 3 * (y1 - y0) / 4, y1)
+    // compact WITH re-clustering: stats are re-collected for the rewritten
+    // files and stay tight because clusterBy re-ranges on zkey — pruning
+    // survives the compaction on BOTH dims (a plain coalesce would pack
+    // mixed key ranges and widen every [min,max] to the full span)
+    val before = CommitLog.liveFiles(spark, root)
+    CommitLog.compact(spark, root, partitions = 8,
+      statsFor = Seq("zone_x", "zone_y", "zkey"), clusterBy = Seq("zkey"))
+    assert(CommitLog.liveFiles(spark, root).toSet.intersect(before.toSet).isEmpty)
+    check("zone_x", x0, x0 + (x1 - x0) / 4)
+    check("zone_y", y0 + 3 * (y1 - y0) / 4, y1)
+  }
+
   test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)
