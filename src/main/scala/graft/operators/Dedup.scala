@@ -558,7 +558,11 @@ object Dedup {
         Seq("doc_a"))
       .join(maybeBroadcast(candDocs.select(col("doc_id").as("doc_b"), col("ftext").as("fb"))),
         Seq("doc_b"))
-      .withColumn("edit_distance", levenshtein(col("fa"), col("fb")).cast("long"))
+      // native banded-exact kernel (EditDistance.scala): bit-identical to
+      // functions.levenshtein, O(min·d) instead of O(m·n) on the
+      // near-duplicate pairs this stage exists to confirm
+      .withColumn("edit_distance",
+        graft.functions.EditDistance.editDistance(col("fa"), col("fb")))
       .select(col("doc_a"), col("doc_b"), col("edit_distance"),
         expr("edit_distance * 10000 DIV greatest(greatest(length(fa), length(fb)), 1)")
           .as("norm_bp"))

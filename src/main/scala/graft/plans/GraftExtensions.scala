@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CosineSimilarity, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
+import graft.functions.{BottomKSample, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_edit_distance"),
+      new ExpressionInfo(classOf[EditDistance].getName, "graft_edit_distance"),
+      (exprs: Seq[Expression]) => EditDistance(exprs.head, exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_frequent_items"),
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_frequent_items"),
@@ -61,6 +65,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       exprs => JaroWinkler(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_edit_distance",
+      exprs => EditDistance(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_frequent_items",
