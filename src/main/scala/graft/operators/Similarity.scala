@@ -224,6 +224,58 @@ object Similarity {
         round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 
+  /** Cell-occupancy audit of an IVF coarse quantizer over ANY
+    * (vec_id, embedding) frame — q192's key-skew discipline pointed at
+    * the vector index. A skewed quantizer makes one probe partition the
+    * straggler at 100 TB (every query probing the hot cell scans it
+    * serially), and k-means on clustered corpora drifts hot over time as
+    * new content concentrates; this is the gate a serving deployment
+    * watches to schedule a re-train. One shuffle-free assignment
+    * projection + one k-row aggregate; the k-row frame then joins a
+    * 1-row total/max aggregate (broadcast — never a corpus-scale
+    * window). Empty cells ARE reported (n_vecs = 0): an empty cell is
+    * wasted probe fan-out and the first symptom of a collapsed centroid.
+    * `rebalance_recommended` fires when the hottest cell holds more than
+    * 2× its fair share (the q192 cross-multiplied-gate idiom, integer
+    * arithmetic only).
+    */
+  private[graft] def ivfBalanceOf(vecs: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
+    val s = vecs.sparkSession
+    val k = centers.length
+    val cells = vecs
+      .withColumn("cell", nearestCell(col("embedding"), centers))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val allCells = s.createDataFrame(
+      s.sparkContext.parallelize((0 until k).map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val counts = allCells.join(cells, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n"), lit(0L)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"), max(col("n_vecs")).as("hot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 DIV greatest(total, 1)").as("share_bp"),
+        lit(10000L / k).as("ideal_bp"),
+        expr("hot * 10000 DIV greatest(total, 1)").as("hottest_bp"),
+        // cross-multiplied: hot/total > 2/k without division
+        expr(s"hot * $k > 2 * total").as("rebalance_recommended"))
+  }
+
+  /** q195: IVF cell-balance audit over the memoized q48 quantizer (same
+    * k/iters, so it audits exactly the model q48 serves with). Rows-only:
+    * the learned centroids have no SQL mirror; IvfIndexSpec pins the
+    * accounting identities and the skew gate on a deliberately skewed
+    * corpus.
+    */
+  def q195IvfBalance(s: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 3): DataFrame =
+    ivfBalanceOf(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      kmeansCentroids(s, dir, k, iters))
+
   /** q76: per-vector hygiene stats — L2 norm, extreme components and
     * dimensionality, the validation pass an embedding store runs on ingest
     * (catching zero/denormal vectors before they hit cosine kernels, and
@@ -669,6 +721,7 @@ object Similarity {
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
+    "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q114_dim_stats"   -> (q114DimStats _),
     "q76_vector_stats" -> (q76VectorStats _))
 

@@ -88,4 +88,45 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(res == Map(3L -> 1000003L, 7L -> 1000007L),
       s"appended clones must be the top-1 neighbors of their originals: $res")
   }
+
+  test("q195 IVF balance: k rows incl. empty cells, accounting identities hold at sf0.001") {
+    val k = 16
+    val df = Similarity.q195IvfBalance(spark, sf, k = k).collect()
+    assert(df.length == k) // every cell reported, empty ones as 0
+    assert(df.map(_.getAs[Long]("cell")).sorted.toSeq == (0L until k.toLong))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(df.map(_.getAs[Long]("n_vecs")).sum == total)
+    val hot = df.map(_.getAs[Long]("share_bp")).max
+    df.foreach { r =>
+      assert(r.getAs[Long]("ideal_bp") == 10000L / k)
+      assert(r.getAs[Long]("hottest_bp") == hot) // hottest = max share, every row
+      assert(r.getAs[Long]("share_bp") <= 10000L)
+    }
+    // integer-floor shares sum to ≤ 10000, within k rounding steps of it
+    val shareSum = df.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - k)
+  }
+
+  test("q195 skew gate: fires on a planted 90/10 corpus, silent on a balanced one") {
+    import spark.implicits._
+    // four well-separated axis centroids; vectors land exactly on them
+    val centers = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    def vecsAt(cellOf: Int => Int, n: Int) =
+      (0 until n).map(i => (i.toLong, centers(cellOf(i)).map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+    // skewed: 90% of vectors in cell 0 — hottest share 9000 bp > 2×2500
+    val skewed = Similarity.ivfBalanceOf(vecsAt(i => if (i < 90) 0 else i % 4, 100), centers)
+      .collect()
+    assert(skewed.forall(_.getAs[Boolean]("rebalance_recommended")))
+    assert(skewed.map(_.getAs[Long]("hottest_bp")).head >= 9000L)
+    // balanced: 25 per cell — every share at the ideal, gate silent
+    val balanced = Similarity.ivfBalanceOf(vecsAt(_ % 4, 100), centers).collect()
+    assert(balanced.forall(!_.getAs[Boolean]("rebalance_recommended")))
+    assert(balanced.forall(_.getAs[Long]("share_bp") == 2500L))
+    // collapsed-centroid symptom: a corpus missing cell 3 reports it empty
+    val gap = Similarity.ivfBalanceOf(vecsAt(_ % 3, 99), centers).collect()
+    assert(gap.count(_.getAs[Long]("n_vecs") == 0L) == 1)
+  }
 }
