@@ -657,19 +657,33 @@ object CommitLog {
     * change) and one row per key (q109's upstream latest-per-key fold is
     * the caller's job — duplicate update keys land as duplicate rows).
     * An empty table merges as a plain insert. Same concurrency contract
-    * as [[compact]].
+    * as [[compact]]. `txnId` makes the merge EXACTLY-ONCE under replays
+    * (the [[append]] token contract: a replayed token no-ops before any
+    * data write via the cheap pre-check, and a token race lost after the
+    * writes reclaims its own data dirs); returns None only on a token
+    * replay.
     */
   def merge(updates: DataFrame, root: String, keyCol: String,
-      statsFor: Option[Seq[String]] = None): Long = {
+      statsFor: Option[Seq[String]] = None,
+      txnId: Option[String] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val s = updates.sparkSession
+    if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
+      return None // replay: skip the probe and every data write
     val stCols = statsFor.getOrElse(Seq(keyCol))
-    val live = liveFiles(s, root)
-    if (live.isEmpty) {
-      val add = writeData(updates, root)
-      return commitEntry(s, root, "merge", add, _ => Seq.empty, None,
-        collectStats(s, root, add, stCols)).get
+    /** Commit helper: reclaims OUR data dirs if the token race is lost
+      * after the writes (append's cleanup, for the multi-dir case). */
+    def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String]): Option[Long] = {
+      val committed = commitEntry(s, root, "merge", add, removeAtHead, txnId,
+        collectStats(s, root, add, stCols))
+      if (committed.isEmpty && add.nonEmpty)
+        add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
+          fs(s, root).delete(new Path(s"$root/$d"), true))
+      committed
     }
+    val live = liveFiles(s, root)
+    if (live.isEmpty)
+      return commit(writeData(updates, root), _ => Seq.empty)
     val tableCols = s.read.parquet(s"$root/${live.head}").columns
     require(updates.columns.sorted.sameElements(tableCols.sorted),
       s"merge updates schema ${updates.columns.sorted.mkString("[", ",", "]")} does not " +
@@ -677,11 +691,8 @@ object CommitLog {
         "evolve the table first, then merge")
     val keyRange = updates.agg(
       min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
-    if (keyRange.isNullAt(0)) { // no non-null update keys: pure insert
-      val add = writeData(updates, root)
-      return commitEntry(s, root, "merge", add, _ => Seq.empty, None,
-        collectStats(s, root, add, stCols)).get
-    }
+    if (keyRange.isNullAt(0)) // no non-null update keys: pure insert
+      return commit(writeData(updates, root), _ => Seq.empty)
     val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
     val stats = statFold(log(s, root), keyCol)
     val candidates = live.filter { f =>
@@ -707,11 +718,11 @@ object CommitLog {
           .select(tableCols.map(col): _*)
         writeData(rewritten, root) ++ writeData(updates.select(tableCols.map(col): _*), root)
       }
-    commitEntry(s, root, "merge", add, entries => {
+    commit(add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    }, None, collectStats(s, root, add, stCols)).get
+    })
   }
 
   // ---------- reader-side schema evolution ----------

@@ -206,7 +206,7 @@ class CommitLogSpec extends AnyFunSuite {
     // actually HOLDS an updated key — the exact probe must spare file 3
     val updates = Seq((12L, "upd12"), (35L, "new35")).toDF("id", "v").coalesce(1)
     val v = CommitLog.merge(updates, root, "id")
-    assert(v == 4L)
+    assert(v.contains(4L))
     val got = CommitLog.snapshot(spark, root).as[(Long, String)].collect().sorted.toSeq
     val expected = ((1L to 30L).filterNot(_ == 12L).map(i => (i, s"row$i")) ++
       Seq((12L, "upd12"), (35L, "new35"))).sorted
@@ -221,11 +221,11 @@ class CommitLogSpec extends AnyFunSuite {
 
   test("merge: empty table inserts; disjoint keys touch nothing; schema mismatch is loud") {
     val root = freshRoot()
-    assert(CommitLog.merge(batch(1, 5).coalesce(1), root, "id") == 1L)
+    assert(CommitLog.merge(batch(1, 5).coalesce(1), root, "id").contains(1L))
     assert(ids(CommitLog.snapshot(spark, root)) == (1L to 5L))
     val before = CommitLog.liveFiles(spark, root)
     // keys hitting no live file: pure insert, every existing file untouched
-    assert(CommitLog.merge(batch(100, 102).coalesce(1), root, "id") == 2L)
+    assert(CommitLog.merge(batch(100, 102).coalesce(1), root, "id").contains(2L))
     assert(CommitLog.liveFiles(spark, root).toSet.intersect(before.toSet) == before.toSet)
     assert(ids(CommitLog.snapshot(spark, root)) == ((1L to 5L) ++ (100L to 102L)))
     val bad = Seq((1L, "x", 9L)).toDF("id", "v", "extra")
@@ -478,6 +478,51 @@ class CommitLogSpec extends AnyFunSuite {
       txnId = Some(CommitLogSink.txnToken(1L)))
     assert(replayed.isEmpty)
     assert(CommitLog.snapshot(spark, root).count() == 3)
+  }
+
+  test("s23 upsert sink: per-batch delta-sized merges, latest-wins fold, replay no-ops") {
+    import graft.streaming.UpsertSink
+    val root = freshRoot()
+    // seed the table with two single-file batches so pruning is visible
+    // (the table carries the version column: CDC state includes its clock)
+    def vbatch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"row$i", 0L)).toDF("id", "v", "ver")
+    CommitLog.append(vbatch(1, 10).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(vbatch(11, 20).coalesce(1), root, statsFor = Seq("id"))
+    val seed = CommitLog.liveFiles(spark, root)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = UpsertSink.upsertStream(ms.toDF().toDF("id", "v", "ver"), root, "id",
+      Files.createTempDirectory("graft-ups-ckpt").toString, latestBy = Some("ver"))
+    try {
+      // batch 0: two versions of key 15 in ONE batch (the CDC collision)
+      // + a brand-new key — latest-wins fold must keep ver=2 only
+      ms.addData((15L, "stale", 1L), (15L, "fresh", 2L), (100L, "new", 1L))
+      q.processAllAvailable()
+      // batch 1: update a key in the OTHER seed file
+      ms.addData((3L, "upd3", 1L))
+      q.processAllAvailable()
+      val got = CommitLog.snapshot(spark, root)
+        .filter(col("id").isin(3L, 15L, 100L))
+        .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      assert(got == Seq((3L, "upd3"), (15L, "fresh"), (100L, "new")))
+      assert(CommitLog.snapshot(spark, root).count() == 21) // 20 seed + 1 insert
+      assert(CommitLog.snapshot(spark, root).select("id").distinct().count() == 21)
+      // delta-sized: batch 0 touched only the 11-20 file; batch 1 only the
+      // 1-10 file — each seed file was rewritten by exactly one batch, and
+      // the log's remove lists point at exactly one file each
+      val merges = CommitLog.log(spark, root).filter(_.op == "merge")
+      assert(merges.size == 2)
+      assert(merges.head.remove == Seq(seed(1)) && merges(1).remove.head != seed(1))
+    } finally q.stop()
+    // crash-replay of batch 1: token committed, merge is a full no-op
+    import spark.implicits._
+    val replayed = CommitLog.merge(Seq((3L, "evil", 9L)).toDF("id", "v", "ver"),
+      root, "id", txnId = Some(UpsertSink.txnToken(1L)))
+    assert(replayed.isEmpty)
+    assert(CommitLog.snapshot(spark, root).filter(col("id") === 3L)
+      .select("v").as[String].collect().toSeq == Seq("upd3"))
   }
 
   test("compact races an append safely: the racing rows stay live") {
