@@ -1304,6 +1304,63 @@ object TextAnalysis {
       .withColumn("quarantine", col("leak_bp") >= 1000)
   }
 
+  /** q196: Gopher-style REPETITION filter — the famous quality rule the
+    * surface heuristics (q37/q65), perplexity (q156) and compression
+    * bands (q194) each miss a slice of: template spam whose repeated
+    * units are long enough to keep stopword/length stats and byte
+    * entropy looking normal. Two signals per doc, both integer basis
+    * points: `top_bigram_bp` (share of bigram occurrences taken by the
+    * single most frequent bigram — Gopher's most-common-n-gram family)
+    * and `dup_5gram_bp` (share of 5-gram occurrences that are repeats —
+    * the duplicated-n-gram family; 10000·(total−distinct)/total).
+    * `keep` = top_bigram ≤ 900 bp AND dup_5gram ≤ 1500 bp (calibrated:
+    * the synthetic corpus tops out ≈ 1100 / 0, so both real template
+    * spam and planted repetition trip the gates while ordinary prose
+    * passes — spec plants both lanes).
+    *
+    * Scale shape: ONE corpus scan. The 5-gram signal is a pure
+    * projection (array_distinct over the per-doc gram array — linear
+    * hash-set, no shuffle); the bigram top-count rides the same scan and
+    * needs the one (doc, gram) map-side-combined exchange + per-doc
+    * fold. Docs too short for a gram family score 0 bp (no repetition
+    * evidence) — explode_outer keeps them, and their null gram is
+    * excluded from the occurrence totals.
+    */
+  def q196Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  /** The repetition scorer for ANY (doc_id, text) frame — q196's body,
+    * reusable on planted corpora (spec) and pipeline stages. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr("""CASE WHEN size(w) >= 5 THEN
+                  transform(sequence(1, size(w)-4),
+                    i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))
+                ELSE array() END""").as("g5"),
+        expr("""CASE WHEN size(w) >= 2 THEN
+                  transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))
+                ELSE array() END""").as("g2"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g5")).cast("long").as("total5"),
+        size(array_distinct(col("g5"))).cast("long").as("d5"),
+        explode_outer(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"), min(col("n_tokens")).as("n_tokens"),
+        min(col("total5")).as("total5"), min(col("d5")).as("d5"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        sum(when(col("g").isNull, 0L).otherwise(col("c"))).as("total2"),
+        max(when(col("g").isNull, 0L).otherwise(col("c"))).as("top2"),
+        min(col("total5")).as("total5"), min(col("d5")).as("d5"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("total2") > 0, expr("top2 * 10000 DIV total2"))
+          .otherwise(0L).as("top_bigram_bp"),
+        when(col("total5") > 0, expr("(total5 - d5) * 10000 DIV total5"))
+          .otherwise(0L).as("dup_5gram_bp"))
+      .withColumn("keep", col("top_bigram_bp") <= 900 && col("dup_5gram_bp") <= 1500)
+
   /** Chunk geometry: 32-token windows advancing 24 tokens (8-token
     * overlap) — the RAG convention of overlapping windows so no answer
     * span is ever split across a boundary without also appearing whole. */
@@ -1356,6 +1413,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_split_leakage" -> (q178SplitLeakage _),
+    "q196_repetition" -> (q196Repetition _),
     "q174_doc_chunks" -> (q174DocChunks _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
@@ -1390,6 +1448,36 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q196_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          base AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+          bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) i
+                       FROM t WHERE len(w) >= 2)),
+          bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+          bstat AS (SELECT doc_id, sum(c) AS total2, max(c) AS top2 FROM bc GROUP BY 1),
+          fg AS (SELECT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] AS g
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                       FROM t WHERE len(w) >= 5)),
+          fstat AS (SELECT doc_id, count(*) AS total5, count(DISTINCT g) AS d5
+                    FROM fg GROUP BY 1),
+          j AS (SELECT b.doc_id, b.n_tokens,
+                       coalesce(s2.total2, 0) AS total2, coalesce(s2.top2, 0) AS top2,
+                       coalesce(s5.total5, 0) AS total5, coalesce(s5.d5, 0) AS d5
+                FROM base b
+                LEFT JOIN bstat s2 ON s2.doc_id = b.doc_id
+                LEFT JOIN fstat s5 ON s5.doc_id = b.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN total2 > 0 THEN top2 * 10000 // total2 ELSE 0 END
+                   AS BIGINT) AS top_bigram_bp,
+                 CAST(CASE WHEN total5 > 0 THEN (total5 - d5) * 10000 // total5 ELSE 0 END
+                   AS BIGINT) AS dup_5gram_bp,
+                 (CASE WHEN total2 > 0 THEN top2 * 10000 // total2 ELSE 0 END) <= 900 AND
+                 (CASE WHEN total5 > 0 THEN (total5 - d5) * 10000 // total5 ELSE 0 END) <= 1500
+                   AS keep
+          FROM j""",
     "q178_split_leakage" ->
       s"""WITH coins AS (
             SELECT doc_id, ${duckCoin("doc_id")} AS coin FROM documents),

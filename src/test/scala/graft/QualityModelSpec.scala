@@ -139,4 +139,27 @@ class QualityModelSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_bp")).toMap
     assert(a == b, "refit on the same data must reproduce every score exactly")
   }
+
+  test("q196 repetition: planted template spam and 5-gram loops trip their gates, prose passes") {
+    import TestSpark.spark.implicits._
+    val prose = "the quick brown fox jumps over a lazy dog while rain falls on " +
+      "green hills and children read quiet books near warm fires every evening"
+    val spam = ("click here " * 40).trim            // one bigram dominates
+    val loop = (("alpha beta gamma delta epsilon " * 12).trim + " " + prose)
+    val docs = Seq((1L, prose), (2L, spam), (3L, loop), (4L, "tiny"), (5L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_bigram_bp"), r.getAs[Long]("dup_5gram_bp"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(rows(1L)._3, s"prose must keep: ${rows(1L)}")
+    assert(!rows(2L)._3 && rows(2L)._1 > 900, s"template spam must trip top-bigram: ${rows(2L)}")
+    assert(!rows(3L)._3 && rows(3L)._2 > 1500, s"5-gram loop must trip dup gate: ${rows(3L)}")
+    // short docs carry no repetition evidence: 0 bp, kept
+    assert(rows(4L) == ((0L, 0L, true)) && rows(5L) == ((0L, 0L, true)))
+    // determinism
+    val again = TextAnalysis.repetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("top_bigram_bp")).toMap
+    assert(again == rows.map { case (k, v) => k -> v._1 })
+  }
 }
