@@ -86,7 +86,12 @@ object CommitLog {
       /** checkpoint entries only: every txn token committed ≤ this
         * version, carried forward so exactly-once survives checkpointing
         * (a replayed old batch must still find its token). */
-      txns: Seq[String] = Seq.empty)
+      txns: Seq[String] = Seq.empty,
+      /** The subset of `add` whose files carry NO new rows — delete/merge
+        * survivor rewrites (the public formats' dataChange=false).
+        * [[changesSince]] excludes them so a CDC consumer never replays
+        * rows that merely moved files; snapshot reads are unaffected. */
+      rewrite: Seq[String] = Seq.empty)
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -103,7 +108,8 @@ object CommitLog {
     val st = if (c.stats.isEmpty) ""
       else s""","stats":${arr(c.stats.map(f => s"${f.file}|${f.column}|${f.min}|${f.max}"))}"""
     val tx = if (c.txns.isEmpty) "" else s""","txns":${arr(c.txns)}"""
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st$tx}"""
+    val rw = if (c.rewrite.isEmpty) "" else s""","rewrite":${arr(c.rewrite)}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st$tx$rw}"""
   }
 
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
@@ -195,7 +201,8 @@ object CommitLog {
         case _ => None
       }
     }
-    Commit(version, op, field("add"), field("remove"), txn, stats, field("txns"))
+    Commit(version, op, field("add"), field("remove"), txn, stats, field("txns"),
+      field("rewrite"))
   }
 
   // ---------- log access ----------
@@ -339,7 +346,8 @@ object CommitLog {
     */
   private def commitEntry(s: SparkSession, root: String, op: String,
       add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
-      txnId: Option[String], stats: Seq[FileStat] = Seq.empty): Option[Long] =
+      txnId: Option[String], stats: Seq[FileStat] = Seq.empty,
+      rewrite: Seq[String] = Seq.empty): Option[Long] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val f = fs(s, root)
       f.mkdirs(new Path(s"$root/$LogDir"))
@@ -351,7 +359,8 @@ object CommitLog {
         val v = entries.lastOption.map(_.version).getOrElse(0L) + 1
         val target = versionFile(root, v)
         if (!f.exists(target)) {
-          val body = enc(Commit(v, op, add, removeAtHead(entries), txnId, stats))
+          val body = enc(Commit(v, op, add, removeAtHead(entries), txnId, stats,
+            Seq.empty, rewrite))
           val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
           val out = f.create(staged, false)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -522,7 +531,7 @@ object CommitLog {
       .filter(_._1 > sinceVersion)
       .map { case (v, p) => readEntry(f, v, p) }
       .filter(c => c.op != "compact" && c.op != "checkpoint")
-      .flatMap(_.add)
+      .flatMap(c => c.add.filterNot(c.rewrite.toSet)) // rewrites carry no new rows
     if (files.isEmpty) (None, head)
     else (Some(s.read.parquet(files.map(p => s"$root/$p"): _*)), head)
   }
@@ -632,7 +641,8 @@ object CommitLog {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    }, None, collectStats(s, root, add, stCols))
+    }, None, collectStats(s, root, add, stCols),
+      rewrite = add) // survivors only — no new rows for a CDC consumer
   }
 
   /** Keyed MERGE (upsert) THROUGH the format — q109's latest-wins
@@ -673,9 +683,10 @@ object CommitLog {
     val stCols = statsFor.getOrElse(Seq(keyCol))
     /** Commit helper: reclaims OUR data dirs if the token race is lost
       * after the writes (append's cleanup, for the multi-dir case). */
-    def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String]): Option[Long] = {
+    def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
+        rewrite: Seq[String] = Seq.empty): Option[Long] = {
       val committed = commitEntry(s, root, "merge", add, removeAtHead, txnId,
-        collectStats(s, root, add, stCols))
+        collectStats(s, root, add, stCols), rewrite)
       if (committed.isEmpty && add.nonEmpty)
         add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
           fs(s, root).delete(new Path(s"$root/$d"), true))
@@ -710,19 +721,20 @@ object CommitLog {
         .join(updKeys, Seq(keyCol), "left_semi")
         .select(col("f")).distinct()
         .collect().toSeq.flatMap(r => byName.get(r.getString(0).split('/').last))
-    val add =
-      if (touched.isEmpty) writeData(updates, root)
+    val (add, rewriteFiles) =
+      if (touched.isEmpty) (writeData(updates, root), Seq.empty[String])
       else {
         val rewritten = s.read.parquet(touched.map(p => s"$root/$p"): _*)
           .join(updKeys, Seq(keyCol), "left_anti")
           .select(tableCols.map(col): _*)
-        writeData(rewritten, root) ++ writeData(updates.select(tableCols.map(col): _*), root)
+        val rw = writeData(rewritten, root)
+        (rw ++ writeData(updates.select(tableCols.map(col): _*), root), rw)
       }
     commit(add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    })
+    }, rewriteFiles)
   }
 
   // ---------- reader-side schema evolution ----------

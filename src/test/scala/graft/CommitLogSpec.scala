@@ -115,9 +115,10 @@ class CommitLogSpec extends AnyFunSuite {
           .map(st => st.copy(min = math.min(st.min, st.max),
             max = math.max(st.min, st.max))),
         txns = Seq.fill(rnd.nextInt(3))(nasty()))
-      val enc = CommitLog.enc(c)
-      val back = CommitLog.dec(c.version, enc)
-      assert(back == c, s"round-trip $i diverged:\n $c\n $back\n $enc")
+      val cWithRewrite = c.copy(rewrite = c.add.take(rnd.nextInt(c.add.size + 1)))
+      val enc = CommitLog.enc(cWithRewrite)
+      val back = CommitLog.dec(cWithRewrite.version, enc)
+      assert(back == cWithRewrite, s"round-trip $i diverged:\n $cWithRewrite\n $back\n $enc")
       // the standard-JSON contract: control characters must be escaped,
       // so external tools (jq, debugging scripts) can parse the log
       assert(!enc.exists(_ < 0x20), s"raw control char in entry $i: $enc")
@@ -523,6 +524,27 @@ class CommitLogSpec extends AnyFunSuite {
     assert(replayed.isEmpty)
     assert(CommitLog.snapshot(spark, root).filter(col("id") === 3L)
       .select("v").as[String].collect().toSeq == Seq("upd3"))
+  }
+
+  test("changesSince after merge/delete: only genuinely new rows flow, rewrites are silent") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id"))
+    val (_, cursor0) = CommitLog.changesSince(spark, root, 0L)
+    // merge: updates one existing key + inserts one — the CDC feed must
+    // carry exactly those two rows, NOT the 9 surviving rewrites
+    val updates = Seq((3L, "upd3"), (50L, "new50")).toDF("id", "v").coalesce(1)
+    assert(CommitLog.merge(updates, root, "id").contains(2L))
+    val (changed, cursor1) = CommitLog.changesSince(spark, root, cursor0)
+    assert(changed.get.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 50L))
+    // delete: pure retraction — NOTHING new flows (the survivors moved
+    // files, but a consumer already has those rows)
+    assert(CommitLog.delete(spark, root, "id", Seq(5L)).contains(3L))
+    val (afterDelete, _) = CommitLog.changesSince(spark, root, cursor1)
+    assert(afterDelete.isEmpty)
+    // snapshots still see the post-mutation truth
+    assert(ids(CommitLog.snapshot(spark, root)) ==
+      ((1L to 10L).filterNot(_ == 5L) :+ 50L).sorted)
   }
 
   test("compact races an append safely: the racing rows stay live") {
