@@ -1342,9 +1342,15 @@ object TextAnalysis {
         expr("""CASE WHEN size(w) >= 2 THEN
                   transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))
                 ELSE array() END""").as("g2"))
+      // 5-gram stats BEFORE the explode: a single select would hoist this
+      // projection ABOVE the Generate and recompute array_distinct per
+      // exploded bigram row (plan-verified) — split, the Generate carries
+      // two ints instead of the gram array
       .select(col("doc_id"), col("n_tokens"),
         size(col("g5")).cast("long").as("total5"),
         size(array_distinct(col("g5"))).cast("long").as("d5"),
+        col("g2"))
+      .select(col("doc_id"), col("n_tokens"), col("total5"), col("d5"),
         explode_outer(col("g2")).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"), min(col("n_tokens")).as("n_tokens"),
