@@ -419,8 +419,21 @@ object Dedup {
     * dupes (q28) first. DuckDB-oracled since the md5 simhash twin: the
     * oracle CTE replicates the band join + xor/bit_count confirm.
     */
-  def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = q30DedupSimhash(s, dir).localCheckpoint() // tiny: one row/doc
+  def q69DedupSimhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    hammingPairs(q30DedupSimhash(s, dir).select(col("doc_id"), col("simhash")), maxHamming)
+
+  /** The EXACT hamming-band pair pipeline over ANY (doc_id, <64-bit
+    * hash>) frame — q69's machinery, reusable for every 64-bit
+    * perceptual/similarity hash (text simhash there, image pHash in
+    * [[Multimodal]]'s q197). Pigeonhole: maxHamming ≤ 3 differing bits
+    * touch at most 3 of the 4 16-bit bands, so every such pair shares a
+    * band — the result is exact, hence NO hot-bucket cap (see q69 doc).
+    */
+  private[operators] def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = hashes.toDF("doc_id", "simhash")
+      .select(col("doc_id") +: col("simhash") +:
+        simhashBandSqls.map { case (n, f) => expr(f).as(n) }: _*)
+      .localCheckpoint() // tiny: one row/doc
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_id"), col(s"band$b").as("sig")))
     // carry the simhash THROUGH the band explode: each expanded pair

@@ -200,6 +200,65 @@ object Multimodal {
         if (c.toLong * 64 > total) h | (1L << b) else h
       }
     }
+
+    /** 64-bit DCT perceptual hash (the classic pHash): 32×32
+      * block-average resize, separable 2-D DCT-II (only the 8×8
+      * low-frequency block is computed — 2·32·32·8 multiplies, not the
+      * full transform), bit b (row-major AC cell b = 1..63) set iff its
+      * coefficient exceeds the UPPER MEDIAN of the 63 AC coefficients;
+      * the DC cell (overall brightness) is excluded and bit 0 stays 0.
+      * Brightness shifts (DC-only) and exact positive contrast scaling
+      * (all coefficients scale together, order statistics unchanged)
+      * leave it bit-identical — both spec-pinned. Low-frequency-only
+      * additionally damps small local edits on spectrally rich content;
+      * on spectrally DEGENERATE images (most AC coefficients tied at the
+      * median — synthetic ramps, flat fields) individual bits are
+      * tie-sensitive, which is why q197's near-dup claim rests on the
+      * banding being EXACT at hamming ≤ 3, not on per-bit stability.
+      * Double arithmetic in fixed order — deterministic per engine;
+      * engine-native (no SQL mirror), like every perceptual hash here.
+      */
+    def pHash(img: Image): Long = {
+      val n = 32
+      val cells = resize(img, n)
+      val cosT = Array.tabulate(n, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2 * n)))
+      // rows pass: tmp(y)(u) for u < 8
+      val tmp = Array.ofDim[Double](n, 8)
+      var y = 0
+      while (y < n) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0; var x = 0
+          while (x < n) { acc += cells(y * n + x) * cosT(u)(x); x += 1 }
+          tmp(y)(u) = acc; u += 1
+        }
+        y += 1
+      }
+      // cols pass: coeff(v)(u) for v, u < 8
+      val coeff = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0; var yy = 0
+          while (yy < n) { acc += tmp(yy)(u) * cosT(v)(yy); yy += 1 }
+          coeff(v * 8 + u) = acc; u += 1
+        }
+        v += 1
+      }
+      // snap to 1e-6 (the repo-wide discipline): float jitter from
+      // analytically-zero cosine sums (a brightness shift perturbs AC
+      // coefficients by ~1e-12, never truly) must not flip a bit whose
+      // coefficient ties the median — exact-invariance is spec-pinned
+      var b = 0
+      while (b < 64) { coeff(b) = math.rint(coeff(b) * 1e6) / 1e6; b += 1 }
+      val ac = coeff.drop(1).sorted
+      val median = ac(31) // upper median of 63 — no averaging, no ties logic
+      (1 until 64).foldLeft(0L) { (h, bit) =>
+        if (coeff(bit) > median) h | (1L << bit) else h
+      }
+    }
   }
 
   /** Features of a decoded image; `decode_ok=false` rows carry nulls and
@@ -247,6 +306,53 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Per-doc 64-bit pHash over the same deterministic PGM synth as q61
+    * (side = 8 + doc_id % 25, text bytes tiled, every 97th payload
+    * truncated); corrupt payloads decode to None and are DROPPED here —
+    * a near-dup pair search has nothing to say about undecodable media
+    * (q61's quarantine is where they are counted). */
+  private[graft] def phashOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val side = 8 + (p.doc_id % 25).toInt
+          val px = new Array[Byte](side * side)
+          var i = 0
+          while (p.payload.nonEmpty && i < px.length) {
+            px(i) = p.payload(i % p.payload.length); i += 1
+          }
+          val img = PgmCodec.encode(side, side, px)
+          val payload = if (p.doc_id % 97 == 0) java.util.Arrays.copyOf(img, img.length / 2)
+                        else img
+          PgmCodec.decode(payload).map(d => (p.doc_id, PgmCodec.pHash(d)))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** q197: IMAGE near-dup pairs — the multimodal half of the dedup
+    * brief's "embedding-cosine near-dup" family, on pixels instead of
+    * embeddings: DCT pHash per image ([[PgmCodec.pHash]]), then the
+    * EXACT hamming-band pair pipeline shared verbatim with text simhash
+    * ([[Dedup.hammingPairs]] — pigeonhole-exact at hamming ≤ 3, no
+    * hot-bucket cap, exchange = confirmed pairs only). At 100 TB the
+    * expensive half is the decode+DCT projection, which is
+    * embarrassingly parallel and shuffle-free; the pair exchange carries
+    * one (long, long) row per CONFIRMED near-dup image pair. Rows-only
+    * (perceptual hash, no SQL mirror); MultimodalSpec pins the kernel's
+    * invariances and a planted near-dup pair.
+    */
+  def q197ImagePhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    imagePhashPairsOf(s, Tables.documents(s, dir), maxHamming)
+
+  /** q197's body for ANY (doc_id, text) frame — the spec's planted-pair seam. */
+  private[graft] def imagePhashPairsOf(s: SparkSession, docs: DataFrame,
+      maxHamming: Int): DataFrame =
+    Dedup.hammingPairs(phashOf(s, docs), maxHamming)
 
   // ---- q92: REAL audio decode over a codec-free format (RIFF/PCM WAV) ----
 
@@ -561,6 +667,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_image_phash_pairs" -> ((s: SparkSession, d: String) => q197ImagePhashPairs(s, d)),
     "q41_binary_meta"     -> (q41BinaryMeta _),
     "q42_feature_extract" -> (q42FeatureExtract _),
     "q61_image_features"  -> (q61ImageFeatures _),

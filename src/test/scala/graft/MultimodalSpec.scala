@@ -201,4 +201,57 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(!col("decode_ok")).count() == 0)
     out.unpersist()
   }
+
+  test("pHash: deterministic, DC bit clear, brightness/contrast invariant, structure-sensitive") {
+    // side == 32 makes the 32×32 resize the identity, so the pixel
+    // transforms below are EXACT coefficient transforms (with resize
+    // averaging in play, integer division would quantize the shift/scale
+    // and the invariance claim would only hold approximately)
+    val side = 32
+    // spectrally RICH low-frequency base (several distinct DCT modes with
+    // both signs): pixels in [11, 109], so +40 (≤ 149) and ×2 (≤ 218)
+    // both stay clip-free and integer-exact
+    def cosm(k: Int, t: Int) = math.cos((2 * t + 1) * k * math.Pi / 64)
+    val px = Array.tabulate(side * side) { i =>
+      val x = i % side; val y = i / side
+      val v = 60 + 20 * cosm(1, x) - 14 * cosm(1, y) +
+        9 * cosm(2, x) * cosm(1, y) - 6 * cosm(3, y)
+      math.rint(v).toInt.toByte
+    }
+    val img = PgmCodec.Image(side, side, px)
+    val h = PgmCodec.pHash(img)
+    assert(h == PgmCodec.pHash(img))
+    assert((h & 1L) == 0L) // DC cell excluded, bit 0 always clear
+    // brightness SHIFT (no clipping: max 120+40) moves only the DC
+    // coefficient — the 63 AC bits are unchanged
+    val brighter = PgmCodec.Image(side, side, px.map(b => ((b & 0xff) + 40).toByte))
+    assert(PgmCodec.pHash(brighter) == h)
+    // exact positive contrast SCALING (×2, max 240 — no clip, no integer
+    // loss) scales every coefficient together: order statistics unchanged
+    val scaled = PgmCodec.Image(side, side, px.map(b => ((b & 0xff) * 2).toByte))
+    assert(PgmCodec.pHash(scaled) == h)
+    // a structurally different image must not collide
+    val other = PgmCodec.Image(side, side,
+      Array.tabulate(side * side)(i => (if ((i / side) % 2 == 0) 30 else 220).toByte))
+    assert(java.lang.Long.bitCount(PgmCodec.pHash(other) ^ h) > 3)
+  }
+
+  test("q197 image pHash pairs: planted identical-synth docs pair at hamming 0") {
+    import TestSpark.spark.implicits._
+    // same text AND doc_id ≡ (mod 25): identical side + identical tiled
+    // payload → identical pHash → an exact hamming-0 pair; the third doc
+    // is unrelated. ids avoid % 97 == 0 (the corruption lane).
+    val docs = Seq((1L, "shared body of text for the planted image pair"),
+                   (26L, "shared body of text for the planted image pair"),
+                   (3L, "completely different content for the other image"))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.imagePhashPairsOf(TestSpark.spark, docs, 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 26L && r.getAs[Long]("hamming") == 0L), pairs.toSeq)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L || r.getAs[Long]("doc_a") == 3L))
+    // the full corpus query runs and keeps its column contract
+    val live = Multimodal.q197ImagePhashPairs(TestSpark.spark, TestSpark.sf)
+    assert(live.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    live.collect().foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
 }

@@ -29,6 +29,7 @@ class RelationalSpec extends AnyFunSuite {
     "q28_dedup_exact", "q29_dedup_minhash", "q31_ngram_jaccard", "q32_dedup_embedding",
     "q56_dedup_clusters", "q58_decontaminate", "q69_dedup_simhash_pairs",
     "q143_linkage_pairs", // 200 parts at sf0.001 → (brand, head) blocks of ~1
+    "q197_image_phash_pairs", // distinct synth sides/content → pairs only when planted
     "q193_dup_family_dist") // derives from q56's (possibly empty) clusters
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
