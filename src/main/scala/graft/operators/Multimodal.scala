@@ -462,6 +462,78 @@ object Multimodal {
     * chunks like real-world WAV tooling emits. Same mapPartitions shape as
     * q42/q61. Rows-only + MultimodalSpec codec properties.
     */
+  /** 64-bit audio fingerprint — the Haitsma–Kalker energy-difference
+    * family: the sample stream is cut into 65 equal windows, per-window
+    * energy e(w) = Σ s² (exact int64), and bit b (0..63) is set iff
+    * e(b) > e(b+1). The SIGN of consecutive energy differences is what
+    * survives volume changes: an exact positive amplitude scale
+    * multiplies every energy by the same factor, so every comparison —
+    * and therefore the whole fingerprint — is bit-identical
+    * (spec-pinned), while reordered/replaced content flips the
+    * difference pattern. Integer-only, no FFT needed: the window-energy
+    * envelope is the coarse spectral feature. Streams shorter than 65
+    * samples fingerprint to 0 (no evidence), like q196's short docs.
+    */
+  private[graft] def audioFingerprint(samples: Array[Short]): Long = {
+    val w = 65
+    if (samples.length < w) return 0L
+    val e = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      val lo = i * samples.length / w
+      val hi = (i + 1) * samples.length / w
+      var acc = 0L; var j = lo
+      while (j < hi) { acc += samples(j).toLong * samples(j).toLong; j += 1 }
+      e(i) = acc; i += 1
+    }
+    (0 until 64).foldLeft(0L) { (h, b) => if (e(b) > e(b + 1)) h | (1L << b) else h }
+  }
+
+  /** Per-doc audio fingerprints over q92's deterministic WAV synth
+    * (800 + doc_id % 800 samples from tiled text bytes; the q92 corrupt
+    * lanes truncate/splice). Undecodable payloads DROP (q92's quarantine
+    * counts them — a pair search has nothing to say about them). */
+  private[graft] def audioFingerprintsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val n = 800 + (p.doc_id % 800).toInt
+          val samples = new Array[Short](n)
+          var i = 0
+          while (p.payload.nonEmpty && i < n) {
+            samples(i) = (((p.payload(i % p.payload.length) & 0xff) - 128) * 256).toShort
+            i += 1
+          }
+          val wav = WavCodec.encode(8000, samples)
+          val payload =
+            if (p.doc_id % 89 == 0) java.util.Arrays.copyOf(wav, wav.length / 2)
+            else wav
+          WavCodec.decode(payload).map(a => (p.doc_id, audioFingerprint(a.samples)))
+        }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** q198: AUDIO near-dup pairs — the third leg of the multimodal dedup
+    * trio (text simhash q69, image pHash q197, audio here), through the
+    * SAME exact hamming-band pair pipeline ([[Dedup.hammingPairs]],
+    * pigeonhole-exact at hamming ≤ 3). Decode + fingerprint is a
+    * shuffle-free projection; the exchange carries confirmed pairs only.
+    * Rows-only (perceptual fingerprint; MultimodalSpec pins the kernel
+    * invariances and a planted identical-synth pair).
+    */
+  def q198AudioFingerprintPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    audioPairsOf(s, Tables.documents(s, dir), maxHamming)
+
+  /** q198's body for ANY (doc_id, text) frame — the spec's planted-pair seam. */
+  private[graft] def audioPairsOf(s: SparkSession, docs: DataFrame,
+      maxHamming: Int): DataFrame =
+    Dedup.hammingPairs(audioFingerprintsOf(s, docs), maxHamming)
+
   def q92AudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -668,6 +740,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_image_phash_pairs" -> ((s: SparkSession, d: String) => q197ImagePhashPairs(s, d)),
+    "q198_audio_fp_pairs" -> ((s: SparkSession, d: String) => q198AudioFingerprintPairs(s, d)),
     "q41_binary_meta"     -> (q41BinaryMeta _),
     "q42_feature_extract" -> (q42FeatureExtract _),
     "q61_image_features"  -> (q61ImageFeatures _),

@@ -254,4 +254,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(live.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
     live.collect().foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
+
+  test("audio fingerprint: deterministic, volume-scale invariant, content-sensitive, short=0") {
+    val rnd = new scala.util.Random(13)
+    val samples = Array.fill(2000)((rnd.nextInt(16000) - 8000).toShort)
+    val f = Multimodal.audioFingerprint(samples)
+    assert(f == Multimodal.audioFingerprint(samples))
+    // exact positive amplitude scaling multiplies every window energy by
+    // the same factor: every e(b) > e(b+1) comparison is unchanged
+    val louder = samples.map(s0 => (s0 * 3).toShort)
+    assert(louder.forall(s0 => math.abs(s0.toInt) < 32768)) // no overflow in the premise
+    assert(Multimodal.audioFingerprint(louder) == f)
+    // different content must not collide
+    val other = Array.tabulate(2000)(i => (if (i % 50 < 25) 8000 else -3000).toShort)
+    assert(java.lang.Long.bitCount(Multimodal.audioFingerprint(other) ^ f) > 3)
+    assert(Multimodal.audioFingerprint(Array.fill(64)(100.toShort)) == 0L)
+  }
+
+  test("q198 audio pairs: planted identical-synth docs pair at hamming 0; corrupt lane drops") {
+    import TestSpark.spark.implicits._
+    // same text AND doc_id ≡ (mod 800): identical sample count + content;
+    // ids avoid the % 89 truncation lane. 4889 % 89 == ? ensure not 0.
+    val docs = Seq((2L, "the same audio body text"),
+                   (802L, "the same audio body text"),
+                   (5L, "entirely different sound content here"),
+                   (89L, "the same audio body text")) // corrupt lane: truncated → dropped
+      .toDF("doc_id", "text")
+    val fps = Multimodal.audioFingerprintsOf(TestSpark.spark, docs).collect()
+    assert(!fps.map(_.getLong(0)).contains(89L), "truncated payload must drop")
+    val pairs = Multimodal.audioPairsOf(TestSpark.spark, docs, 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 2L &&
+      r.getAs[Long]("doc_b") == 802L && r.getAs[Long]("hamming") == 0L), pairs.toSeq)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 5L || r.getAs[Long]("doc_b") == 5L))
+    val live = Multimodal.q198AudioFingerprintPairs(TestSpark.spark, TestSpark.sf)
+    assert(live.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+  }
 }

@@ -30,6 +30,7 @@ class RelationalSpec extends AnyFunSuite {
     "q56_dedup_clusters", "q58_decontaminate", "q69_dedup_simhash_pairs",
     "q143_linkage_pairs", // 200 parts at sf0.001 → (brand, head) blocks of ~1
     "q197_image_phash_pairs", // distinct synth sides/content → pairs only when planted
+    "q198_audio_fp_pairs", // distinct synth lengths/content → pairs only when planted
     "q193_dup_family_dist") // derives from q56's (possibly empty) clusters
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
