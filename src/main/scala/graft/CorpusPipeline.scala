@@ -97,6 +97,16 @@ object CorpusPipeline {
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilterOf(s, dir, Tables.documents(s, dir))
 
+  /** Stage 1d — repetition filter (q196's Gopher-style rule, r11): drop
+    * documents whose top-bigram or duplicated-5-gram share trips the
+    * gates — the template-spam lane the q65 surface stats pass. Runs
+    * AFTER the q65 gate so its (doc, gram) exchange only carries
+    * already-accepted docs.
+    */
+  def repetitionFilter(docs: DataFrame): DataFrame =
+    docs.join(TextAnalysis.repetitionOf(docs)
+      .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
   /** Stage 1b — content-safety gate (q190's rule lanes, r9): only `clean`
     * documents continue; blocked/review rows are the s20 quarantine's
     * batch twin and are dropped from the PUBLISHED corpus here (the
@@ -203,7 +213,8 @@ object CorpusPipeline {
     import s.implicits._
     val raw = Tables.documents(s, dir)
     val urlDeduped = urlDedup(raw).localCheckpoint()
-    val filtered = qualityFilterOf(s, dir, urlDeduped).localCheckpoint()
+    val quality = qualityFilterOf(s, dir, urlDeduped).localCheckpoint()
+    val filtered = repetitionFilter(quality).localCheckpoint()
     val safe = safetyFilter(langIdFill(filtered)).localCheckpoint()
     val exact = exactDedup(safe).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()
@@ -213,7 +224,8 @@ object CorpusPipeline {
     val audit = Seq(
       Audit("raw", raw.count()),
       Audit("url_deduped", urlDeduped.count()),
-      Audit("quality_filtered", filtered.count()),
+      Audit("quality_filtered", quality.count()),
+      Audit("repetition_filtered", filtered.count()),
       Audit("safety_cleared", safe.count()),
       Audit("exact_deduped", exact.count()),
       Audit("near_dup_collapsed", nearDup.count()),

@@ -20,8 +20,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // stage counts shrink monotonically raw → published
-    val order = Seq("raw", "url_deduped", "quality_filtered", "safety_cleared",
-      "exact_deduped", "near_dup_collapsed", "decontaminated", "published")
+    val order = Seq("raw", "url_deduped", "quality_filtered", "repetition_filtered",
+      "safety_cleared", "exact_deduped", "near_dup_collapsed", "decontaminated",
+      "published")
     val seq = order.map(counts)
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"not monotone: $counts")
     assert(counts("published") > 0)
@@ -29,7 +30,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // the shipped corpus trips no placeholder blocklist term, so the
     // safety gate must pass everything the quality filter passed —
     // a smaller count here would mean the gate fires on clean prose
-    assert(counts("safety_cleared") == counts("quality_filtered"))
+    assert(counts("safety_cleared") == counts("repetition_filtered"))
+    // the repetition stage drops exactly the q196-rejected docs (the
+    // calibration intentionally puts the corpus p99 above the top-bigram
+    // gate, so a small real drop here proves the stage is live)
+    val rejected = TextAnalysis.repetitionOf(Tables.documents(spark, dir))
+      .filter(!col("keep")).select(col("doc_id"))
+    assert(published.join(rejected, Seq("doc_id"), "left_semi").count() == 0)
 
     // every published doc passed the quality filter...
     val accepted = TextAnalysis.q65CorpusFilter(spark, dir)
