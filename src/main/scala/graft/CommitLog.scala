@@ -620,12 +620,17 @@ object CommitLog {
     * anti-join machinery. Null keys never match and are never deleted.
     * Same concurrency contract as [[compact]]: races appends safely
     * (removal set re-derived at commit time), one writer per table for
-    * destructive ops.
+    * destructive ops. `txnId` makes the delete EXACTLY-ONCE under
+    * replays (the [[append]]/[[merge]] token contract) — None then also
+    * means "this token already committed".
     */
   def delete(s: SparkSession, root: String, keyCol: String, keys: Seq[Long],
-      statsFor: Option[Seq[String]] = None): Option[Long] = {
+      statsFor: Option[Seq[String]] = None,
+      txnId: Option[String] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit, not}
     if (keys.isEmpty) return None
+    if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
+      return None // replay: skip the probe and the rewrite
     val entries = log(s, root)
     val live = liveFiles(s, root)
     val stats = statFold(entries, keyCol)
@@ -637,12 +642,16 @@ object CommitLog {
       .filter(col(keyCol).isNull || not(col(keyCol).isin(keys.map(lit): _*)))
     val add = writeData(survivors, root)
     val stCols = statsFor.getOrElse(Seq(keyCol))
-    commitEntry(s, root, "delete", add, entries => {
+    val committed = commitEntry(s, root, "delete", add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    }, None, collectStats(s, root, add, stCols),
+    }, txnId, collectStats(s, root, add, stCols),
       rewrite = add) // survivors only — no new rows for a CDC consumer
+    if (committed.isEmpty && add.nonEmpty)
+      add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
+        fs(s, root).delete(new Path(s"$root/$d"), true))
+    committed
   }
 
   /** Keyed MERGE (upsert) THROUGH the format — q109's latest-wins

@@ -547,6 +547,43 @@ class CommitLogSpec extends AnyFunSuite {
       ((1L to 10L).filterNot(_ == 5L) :+ 50L).sorted)
   }
 
+  test("s24 retraction sink: streamed keys vanish delta-sized; replay no-ops; CDC stays silent") {
+    import graft.streaming.RetractionSink
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id"))
+    CommitLog.append(batch(11, 20).coalesce(1), root, statsFor = Seq("id"))
+    val seed = CommitLog.liveFiles(spark, root)
+    val (_, cursor) = CommitLog.changesSince(spark, root, 0L)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = RetractionSink.retractStream(ms.toDF().toDF("id"), root, "id",
+      Files.createTempDirectory("graft-ret-ckpt").toString)
+    try {
+      ms.addData(15L, 17L) // both in the second file only
+      q.processAllAvailable()
+      assert(ids(CommitLog.snapshot(spark, root)) ==
+        (1L to 20L).filterNot(Seq(15L, 17L).contains))
+      // delta-sized: the first seed file is untouched
+      assert(CommitLog.liveFiles(spark, root).contains(seed.head))
+      val entry = CommitLog.log(spark, root).last
+      assert(entry.op == "delete" && entry.remove == Seq(seed(1)))
+      // a retraction feeds the CDC consumer NOTHING
+      val (changes, _) = CommitLog.changesSince(spark, root, cursor)
+      assert(changes.isEmpty)
+      // keys absent from every file's range: no version committed at all
+      val head = CommitLog.headVersion(spark, root)
+      ms.addData(999L)
+      q.processAllAvailable()
+      assert(CommitLog.headVersion(spark, root) == head)
+    } finally q.stop()
+    // crash-replay of batch 0: token committed → full no-op
+    import spark.implicits._
+    val replayed = CommitLog.delete(spark, root, "id", Seq(1L),
+      txnId = Some(RetractionSink.txnToken(0L)))
+    assert(replayed.isEmpty)
+    assert(ids(CommitLog.snapshot(spark, root)).contains(1L))
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
