@@ -308,6 +308,39 @@ object CommitLog {
         kept.size, live.size)
   }
 
+  /** BOX range scan — [[snapshotRange]] over several columns at once,
+    * the z-order payoff shape (a zone query constrains BOTH dims): a
+    * file is read only if EVERY predicate's recorded [min, max] can
+    * intersect its range (missing stat on a column ⇒ unskippable on that
+    * column — the same superset rule, intersected), and the full
+    * conjunction is re-applied to rows. On a zkey-clustered table the
+    * intersection skips strictly more than either dim alone — spec-pinned
+    * in the z-order layout test. Returns (frame, files read, files live).
+    */
+  def snapshotBox(s: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)],
+      asOf: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "snapshotBox needs at least one (column, lo, hi) predicate")
+    val entries = log(s, root, asOf)
+    val live = liveFiles(s, root, asOf)
+    if (live.isEmpty)
+      throw new IllegalArgumentException(s"commit-log table at $root has no live files")
+    val folds = preds.map { case (c, _, _) => c -> statFold(entries, c) }.toMap
+    val kept = live.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        folds(c).get(f).forall(st => st.max >= lo && st.min <= hi)
+      }
+    }
+    val rowPred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    if (kept.isEmpty)
+      (snapshot(s, root, asOf).filter(lit(false)), 0, live.size)
+    else
+      (s.read.parquet(kept.map(p => s"$root/$p"): _*).filter(rowPred),
+        kept.size, live.size)
+  }
+
   // ---------- commit protocol ----------
 
   /** Write df into a fresh immutable data dir; returns relative parquet

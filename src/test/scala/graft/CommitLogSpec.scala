@@ -284,6 +284,24 @@ class CommitLogSpec extends AnyFunSuite {
     }
     check("zone_x", x0, x0 + (x1 - x0) / 4)
     check("zone_y", y0 + 3 * (y1 - y0) / 4, y1)
+    // BOX query: constraining BOTH dims must skip at least as much as the
+    // better single dim (the z-order payoff), rows still full-scan-exact
+    def checkBox(): Unit = {
+      val bx = (x0, x0 + (x1 - x0) / 4)
+      val by = (y0, y0 + (y1 - y0) / 4)
+      val (_, rx, _) = CommitLog.snapshotRange(spark, root, "zone_x", bx._1, bx._2)
+      val (_, ry, _) = CommitLog.snapshotRange(spark, root, "zone_y", by._1, by._2)
+      val (df, rb, total) = CommitLog.snapshotBox(spark, root,
+        Seq(("zone_x", bx._1, bx._2), ("zone_y", by._1, by._2)))
+      assert(rb <= math.min(rx, ry) && rb < total)
+      val got = df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val expect = CommitLog.snapshot(spark, root)
+        .filter(col("zone_x").between(bx._1, bx._2) &&
+          col("zone_y").between(by._1, by._2))
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect)
+    }
+    checkBox()
     // compact WITH re-clustering: stats are re-collected for the rewritten
     // files and stay tight because clusterBy re-ranges on zkey — pruning
     // survives the compaction on BOTH dims (a plain coalesce would pack
@@ -294,6 +312,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.liveFiles(spark, root).toSet.intersect(before.toSet).isEmpty)
     check("zone_x", x0, x0 + (x1 - x0) / 4)
     check("zone_y", y0 + 3 * (y1 - y0) / 4, y1)
+    checkBox()
   }
 
   test("changesSince: exactly the post-cursor appended rows; compaction emits nothing") {
