@@ -631,6 +631,25 @@ object CommitLog {
     entries.flatMap(_.stats).filter(_.column == column)
       .map(st => st.file -> st).toMap
 
+  /** Loud guard for the row-level mutation paths: a rewrite reads its
+    * touched files in ONE parquet scan, and a schema-EVOLVED table
+    * (mixed per-dir schemas) would silently take one file's schema and
+    * drop columns from the others — data loss inside a rewrite. Evolved
+    * tables must be unified first (snapshotEvolved + overwrite), then
+    * mutated. O(dirs) driver-side footer reads, only on mutation ops.
+    */
+  private def requireUniformSchema(s: SparkSession, root: String,
+      files: Seq[String], op: String): Unit = {
+    val schemas = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*).schema }
+    if (schemas.distinct.size > 1)
+      throw new IllegalArgumentException(
+        s"$op at $root would rewrite files with MIXED schemas " +
+          s"(${schemas.distinct.map(_.simpleString).mkString(" vs ")}) — a single-scan " +
+          "rewrite would silently drop columns; unify first " +
+          "(snapshotEvolved + overwrite), then mutate")
+  }
+
   /** Keyed row-level DELETE — the GDPR right-to-be-forgotten operation,
     * DELTA-SIZED instead of a full-table overwrite: only live files whose
     * commit-embedded [min, max] stats on `keyCol` ADMIT one of the keys
@@ -671,6 +690,7 @@ object CommitLog {
       stats.get(f).forall(st => keys.exists(k => k >= st.min && k <= st.max))
     }
     if (touched.isEmpty) return None
+    requireUniformSchema(s, root, touched, "delete")
     val survivors = s.read.parquet(touched.map(p => s"$root/$p"): _*)
       .filter(col(keyCol).isNull || not(col(keyCol).isin(keys.map(lit): _*)))
     val add = writeData(survivors, root)
@@ -751,6 +771,7 @@ object CommitLog {
     val candidates = live.filter { f =>
       stats.get(f).forall(st => st.max >= lo && st.min <= hi)
     }
+    if (candidates.nonEmpty) requireUniformSchema(s, root, candidates, "merge")
     val updKeys = updates.select(col(keyCol)).distinct()
     // exact probe: which candidate files actually hold an updated key —
     // file NAMES to the driver, never rows (part-file names are

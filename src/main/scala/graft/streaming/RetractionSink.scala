@@ -54,7 +54,7 @@ object RetractionSink {
             "that is a corpus-scale rewrite, not a deletion feed; use CommitLog.merge " +
             "or raise maxKeysPerBatch deliberately")
         if (keys.nonEmpty)
-          CommitLog.delete(stream.sparkSession, root, keyCol, keys,
+          CommitLog.delete(batch.sparkSession, root, keyCol, keys,
             statsFor, txnId = Some(txnToken(batchId))): Unit
       }
       .start()

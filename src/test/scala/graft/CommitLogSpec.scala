@@ -603,6 +603,25 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ids(CommitLog.snapshot(spark, root)).contains(1L))
   }
 
+  test("delete/merge refuse a mixed-schema rewrite loudly (evolve first, then mutate)") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root)
+    CommitLog.append((11 to 20).map(i => (i.toLong, s"row$i", i * 2L))
+      .toDF("id", "v", "w").coalesce(1), root) // evolved: + w
+    // both files are stat-less → every key admits both → mixed rewrite
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.delete(spark, root, "id", Seq(5L))
+    }
+    assert(e1.getMessage.contains("MIXED schemas"))
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.merge(Seq((5L, "x")).toDF("id", "v"), root, "id")
+    }
+    assert(e2.getMessage.contains("MIXED schemas") ||
+      e2.getMessage.contains("does not match table schema"))
+    // the evolved reader still serves the table (the documented path out)
+    assert(CommitLog.snapshotEvolved(spark, root).count() == 20)
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
