@@ -494,6 +494,40 @@ object Dedup {
               (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
   }
 
+  /** q199: shingle CONTAINMENT per candidate pair — the ASYMMETRIC
+    * near-dup signal Jaccard (q31) blurs: containment_a_bp =
+    * 10000·|A∩B|/|A| says how much of doc A lives inside doc B, so a
+    * short document quoted whole inside a long one scores ~10000 on its
+    * side while the pair's Jaccard stays small (short/long ratio). The
+    * `relation` verdict tags each pair: `a_in_b` / `b_in_a` (one side's
+    * containment ≥ 9000 bp), `mutual` (both — the classic near-dup), or
+    * `overlap`. A dedup policy KEEPS the superset doc and drops the
+    * quoted copy — information q31 alone cannot give it. Same scale
+    * scaffold as q31: LSH-candidate-pruned shingle sets, one shuffle
+    * family, integer bp (DIV — engine-portable).
+    */
+  def q199Containment(s: SparkSession, dir: String): DataFrame = {
+    val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
+    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = maybeBroadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_inter * 10000 DIV ca.c").as("containment_a_bp"),
+        expr("n_inter * 10000 DIV cb.c").as("containment_b_bp"))
+      .withColumn("relation",
+        when(col("containment_a_bp") >= 9000 && col("containment_b_bp") >= 9000, "mutual")
+          .when(col("containment_a_bp") >= 9000, "a_in_b")
+          .when(col("containment_b_bp") >= 9000, "b_in_a")
+          .otherwise("overlap"))
+  }
+
   /** LSH candidate pairs + the candidate-PRUNED document texts they
     * reference — the scale shape shared by q31 and q70: candidate ids
     * semi-join-prune the corpus before any expensive per-pair work, so
@@ -833,6 +867,29 @@ object Dedup {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
           FROM bands a JOIN bands b USING (band_id, sig)
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2""",
+    "q199_containment" ->
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+          sc AS (SELECT i.doc_a, i.doc_b,
+                        i.n_inter * 10000 // ca.c AS containment_a_bp,
+                        i.n_inter * 10000 // cb.c AS containment_b_bp
+                 FROM inter i
+                 JOIN sizes ca ON ca.doc_id = i.doc_a
+                 JOIN sizes cb ON cb.doc_id = i.doc_b)
+          SELECT doc_a, doc_b, containment_a_bp, containment_b_bp,
+                 CASE WHEN containment_a_bp >= 9000 AND containment_b_bp >= 9000 THEN 'mutual'
+                      WHEN containment_a_bp >= 9000 THEN 'a_in_b'
+                      WHEN containment_b_bp >= 9000 THEN 'b_in_a'
+                      ELSE 'overlap' END AS relation
+          FROM sc""",
     "q31_ngram_jaccard" ->
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1039,6 +1096,7 @@ object Dedup {
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
+    "q199_containment"    -> (q199Containment _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q69_dedup_simhash_pairs" -> ((s, dir) => q69DedupSimhashPairs(s, dir)),

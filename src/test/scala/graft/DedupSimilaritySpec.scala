@@ -90,6 +90,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.maxBucketSize")
   }
 
+  test("q199 containment: bounds, verdict rule, and dominance over jaccard on shared pairs") {
+    val cont = Dedup.q199Containment(spark, sf).cache()
+    val rows = cont.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("containment_a_bp"), r.getAs[Long]("containment_b_bp"))
+      assert(a >= 0 && a <= 10000 && b >= 0 && b <= 10000)
+      val expected =
+        if (a >= 9000 && b >= 9000) "mutual"
+        else if (a >= 9000) "a_in_b"
+        else if (b >= 9000) "b_in_a"
+        else "overlap"
+      assert(r.getAs[String]("relation") == expected)
+    }
+    // |A∩B|/|A| ≥ |A∩B|/|A∪B|: containment dominates the pair's jaccard
+    val joined = cont.join(Dedup.q31NgramJaccard(spark, sf), Seq("doc_a", "doc_b"))
+      .select(col("containment_a_bp"), col("containment_b_bp"), col("jaccard"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val jacBp = math.round(r.getAs[Double]("jaccard") * 10000)
+      assert(math.max(r.getLong(0), r.getLong(1)) >= jacBp - 1,
+        s"containment ${r.getLong(0)}/${r.getLong(1)} below jaccard $jacBp")
+    }
+    cont.unpersist()
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)

@@ -27,7 +27,7 @@ class RelationalSpec extends AnyFunSuite {
   // queries that may legitimately return zero rows at sf0.001
   private val mayBeEmpty = Set("q02_filter_project", "q03_join_agg", "q11_anti_join", "q16_having",
     "q28_dedup_exact", "q29_dedup_minhash", "q31_ngram_jaccard", "q32_dedup_embedding",
-    "q56_dedup_clusters", "q58_decontaminate", "q69_dedup_simhash_pairs",
+    "q199_containment", "q56_dedup_clusters", "q58_decontaminate", "q69_dedup_simhash_pairs",
     "q143_linkage_pairs", // 200 parts at sf0.001 → (brand, head) blocks of ~1
     "q197_image_phash_pairs", // distinct synth sides/content → pairs only when planted
     "q198_audio_fp_pairs", // distinct synth lengths/content → pairs only when planted
