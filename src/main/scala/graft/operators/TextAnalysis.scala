@@ -1367,6 +1367,30 @@ object TextAnalysis {
           .otherwise(0L).as("dup_5gram_bp"))
       .withColumn("keep", col("top_bigram_bp") <= 900 && col("dup_5gram_bp") <= 1500)
 
+  /** q200: per-language TOKEN ECONOMICS — the budget-planning rollup a
+    * training run and a serving deployment both read: how many docs,
+    * whitespace tokens, characters and UTF-8 bytes each language
+    * contributes, plus the ratios that price it (chars/token ×100 —
+    * the tokenizer-fertility proxy; bytes/char ×100 — the multibyte
+    * share that separates ASCII languages from CJK in storage cost;
+    * tokens/doc). All integer DIV (engine-portable); one scan, one
+    * |langs|-row exchange.
+    */
+  def q200TokenEconomics(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"), sum(col("bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        expr("n_chars * 100 DIV greatest(n_tokens, 1)").as("chars_per_token_x100"),
+        expr("n_bytes * 100 DIV greatest(n_chars, 1)").as("bytes_per_char_x100"),
+        expr("n_tokens DIV greatest(n_docs, 1)").as("tokens_per_doc"))
+
   /** Chunk geometry: 32-token windows advancing 24 tokens (8-token
     * overlap) — the RAG convention of overlapping windows so no answer
     * span is ever split across a boundary without also appearing whole. */
@@ -1420,6 +1444,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_split_leakage" -> (q178SplitLeakage _),
     "q196_repetition" -> (q196Repetition _),
+    "q200_token_economics" -> (q200TokenEconomics _),
     "q174_doc_chunks" -> (q174DocChunks _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
@@ -1454,6 +1479,23 @@ object TextAnalysis {
     "q132_dup_coverage" -> (q132DupCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q200_token_economics" ->
+      """WITH t AS (SELECT lang,
+                           len(string_split(text, ' ')) AS toks,
+                           length(text) AS chars,
+                           strlen(text) AS bytes
+                    FROM documents),
+          a AS (SELECT lang, count(*) AS n_docs, sum(toks) AS n_toks,
+                       sum(chars) AS n_chars2, sum(bytes) AS n_bytes2
+                FROM t GROUP BY lang)
+          SELECT lang, n_docs,
+                 CAST(n_toks AS BIGINT) AS n_tokens,
+                 CAST(n_chars2 AS BIGINT) AS n_chars,
+                 CAST(n_bytes2 AS BIGINT) AS n_bytes,
+                 CAST(n_chars2 * 100 // greatest(n_toks, 1) AS BIGINT) AS chars_per_token_x100,
+                 CAST(n_bytes2 * 100 // greatest(n_chars2, 1) AS BIGINT) AS bytes_per_char_x100,
+                 CAST(n_toks // greatest(n_docs, 1) AS BIGINT) AS tokens_per_doc
+          FROM a""",
     "q196_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           base AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
