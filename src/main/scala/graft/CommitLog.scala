@@ -866,20 +866,41 @@ object CommitLog {
     }.reduce(_ union _)
   }
 
-  /** Reclaim data files no version ≤ head still needs — i.e. files
-    * REMOVED by some commit (time travel to versions before their
-    * removal stops working; that is vacuum's documented trade
-    * everywhere). Unreferenced crash litter (data dirs no commit ever
-    * referenced) is NOT touched: a concurrent writer may be about to
-    * commit it. Returns the deleted relative paths. */
-  def vacuum(s: SparkSession, root: String): Seq[String] = {
+  /** Reclaim data files no RETAINED version still needs. With the
+    * default `retainLast = 0` that is every file REMOVED by some commit
+    * (time travel below head stops working for them — vacuum's
+    * documented trade everywhere); `retainLast = n` additionally
+    * protects every file live at any of the last n versions before
+    * head, so `snapshot(asOf ≥ head − n)` keeps working after the
+    * reclaim — the retention window that lets slow readers and lagging
+    * [[changesSince]] cursors drain before their files disappear (the
+    * standard CDC-retention pairing). The horizon clamps at the OLDEST
+    * entry the folded log resolves (the newest checkpoint's version,
+    * when one exists): protection below the fold's base would need the
+    * per-version states the checkpoint deliberately collapsed.
+    * Unreferenced crash litter (data dirs no commit ever referenced) is
+    * NOT touched: a concurrent writer may be about to commit it.
+    * Returns the deleted relative paths. */
+  def vacuum(s: SparkSession, root: String, retainLast: Int = 0): Seq[String] = {
     val entries = log(s, root)
-    val live = liveFiles(s, root).toSet
+    if (entries.isEmpty) return Seq.empty
+    val horizon = math.max(entries.last.version - math.max(retainLast, 0),
+      entries.head.version)
+    val protectedFiles = scala.collection.mutable.HashSet.empty[String]
+    val fold = scala.collection.mutable.LinkedHashSet.empty[String]
+    entries.foreach { c =>
+      c.remove.foreach(fold -= _)
+      c.add.foreach(fold += _)
+      if (c.version >= horizon) protectedFiles ++= fold
+    }
     // union of adds and removes: after a checkpoint, pre-checkpoint
     // corpses survive only in the checkpoint's cumulative remove list
     val everAdded = (entries.flatMap(_.add) ++ entries.flatMap(_.remove)).distinct
-    val dead = everAdded.filterNot(live)
     val f = fs(s, root)
+    // existence filter: a re-run must not re-report corpses an earlier
+    // vacuum already reclaimed — the return is "deleted paths", honestly
+    val dead = everAdded.filterNot(protectedFiles)
+      .filter(p => f.exists(new Path(s"$root/$p")))
     dead.foreach(p => f.delete(new Path(s"$root/$p"), false))
     // drop now-empty data dirs (cosmetic; readers never list dirs)
     dead.map(_.takeWhile(_ != '/')).distinct.foreach { d =>

@@ -622,6 +622,26 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.snapshotEvolved(spark, root).count() == 20)
   }
 
+  test("vacuum retention: retainLast keeps recent versions readable while older reclaim") {
+    val root = freshRoot()
+    (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
+    CommitLog.compact(spark, root) // v4: originals removed, compacted live
+    CommitLog.append(batch(41, 50), root) // v5
+    val originals = CommitLog.liveFiles(spark, root, asOf = 3)
+    // retain the last 1 version before head: asOf=4 must survive the
+    // reclaim, the pre-compaction originals (live only ≤ v3) must not
+    val dead = CommitLog.vacuum(spark, root, retainLast = 1)
+    assert(dead.toSet == originals.toSet)
+    assert(ids(CommitLog.snapshot(spark, root)) == ((1L to 30L) ++ (41L to 50L)))
+    assert(ids(CommitLog.snapshot(spark, root, asOf = 4)) == (1L to 30L))
+    // below the horizon the files are gone — time travel fails on read
+    intercept[Exception] {
+      CommitLog.snapshot(spark, root, asOf = 3).collect()
+    }
+    // nothing else is reclaimable: every remaining file is live at head-1+
+    assert(CommitLog.vacuum(spark, root, retainLast = 1).isEmpty)
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
