@@ -757,6 +757,11 @@ object CommitLog {
     val live = liveFiles(s, root)
     if (live.isEmpty)
       return commit(writeData(updates, root), _ => Seq.empty)
+    // guard the WHOLE live set, not just the probe candidates: tableCols
+    // below anchors both the rewrite and the insert projection, so a
+    // mixed table with uniform candidates would still silently drop the
+    // other group's columns from the rewritten rows
+    requireUniformSchema(s, root, live, "merge")
     val tableCols = s.read.parquet(s"$root/${live.head}").columns
     require(updates.columns.sorted.sameElements(tableCols.sorted),
       s"merge updates schema ${updates.columns.sorted.mkString("[", ",", "]")} does not " +
@@ -771,7 +776,6 @@ object CommitLog {
     val candidates = live.filter { f =>
       stats.get(f).forall(st => st.max >= lo && st.min <= hi)
     }
-    if (candidates.nonEmpty) requireUniformSchema(s, root, candidates, "merge")
     val updKeys = updates.select(col(keyCol)).distinct()
     // exact probe: which candidate files actually hold an updated key —
     // file NAMES to the driver, never rows (part-file names are
