@@ -804,6 +804,48 @@ object CommitLog {
     }, rewriteFiles)
   }
 
+  /** RESTORE the table to an earlier version AS A NEW COMMIT — the
+    * write-side half of time travel (asOf is the read-side half): the
+    * commit's add/remove lists are exactly the file-set diff between the
+    * target version and head, so the operation is metadata-only (no data
+    * is copied or rewritten) and every intermediate version stays
+    * readable. Fails LOUDLY if any file of the target version was
+    * already vacuumed (a metadata restore cannot resurrect reclaimed
+    * bytes — re-ingest or restore a retained version instead). Restoring
+    * the current state is a no-op (returns the head version, commits
+    * nothing). Re-added files count as data change for [[changesSince]]
+    * consumers (their rows left the table and are coming back — a
+    * consumer that processed them before the removal replays them, the
+    * standard at-least-once restore trade in the public formats).
+    */
+  def restore(s: SparkSession, root: String, toVersion: Long): Long = {
+    val target = liveFiles(s, root, asOf = toVersion)
+    require(target.nonEmpty,
+      s"nothing to restore at $root: version $toVersion has no live files")
+    val head = liveFiles(s, root).toSet
+    val add = target.filterNot(head)
+    val remove = head.filterNot(target.toSet).toSeq
+    if (add.isEmpty && remove.isEmpty)
+      return headVersion(s, root) // already in the target state
+    val f = fs(s, root)
+    val missing = add.filterNot(p => f.exists(new Path(s"$root/$p")))
+    require(missing.isEmpty,
+      s"restore to version $toVersion at $root needs vacuumed files " +
+        s"${missing.take(3).mkString(", ")}${if (missing.size > 3) ", …" else ""} — " +
+        "a metadata restore cannot resurrect reclaimed bytes")
+    // stats for re-added files: the latest recorded stat per (file, col)
+    // as of the TARGET version still describes those immutable files
+    val stats = log(s, root, asOf = toVersion).flatMap(_.stats)
+      .groupBy(st => (st.file, st.column)).map(_._2.last).toSeq
+      .filter(st => add.contains(st.file))
+      .sortBy(st => (st.file, st.column))
+    commitEntry(s, root, "restore", add, entries => {
+      val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
+      entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
+      liveNow.toSeq.filterNot(target.toSet) // re-derived at commit time
+    }, None, stats).get
+  }
+
   // ---------- reader-side schema evolution ----------
 
   /** Numeric widenings the evolved reader upcasts silently; anything

@@ -642,6 +642,35 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.vacuum(spark, root, retainLast = 1).isEmpty)
   }
 
+  test("restore: metadata-only rollback to an earlier version; vacuumed targets fail loudly") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id")) // v1
+    CommitLog.append(batch(11, 20).coalesce(1), root, statsFor = Seq("id")) // v2
+    CommitLog.delete(spark, root, "id", Seq(15L)) // v3: second file rewritten
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 20L).filterNot(_ == 15L))
+    val v = CommitLog.restore(spark, root, toVersion = 2L) // v4
+    assert(v == 4L)
+    assert(ids(CommitLog.snapshot(spark, root)) == (1L to 20L)) // 15 is back
+    // metadata-only: the restored file IS v2's file (identity, no copy)
+    assert(CommitLog.liveFiles(spark, root).toSet ==
+      CommitLog.liveFiles(spark, root, asOf = 2).toSet)
+    // every intermediate version still reads
+    assert(ids(CommitLog.snapshot(spark, root, asOf = 3)) ==
+      (1L to 20L).filterNot(_ == 15L))
+    // restored stats still skip: a range probe outside [11,20] skips it
+    val (_, read, total) = CommitLog.snapshotRange(spark, root, "id", 1, 5)
+    assert(read < total)
+    // restoring the current state is a no-op
+    assert(CommitLog.restore(spark, root, toVersion = 4L) == 4L)
+    assert(CommitLog.headVersion(spark, root) == 4L)
+    // after vacuum reclaims the delete-era rewrite, restoring to v3 is loud
+    CommitLog.vacuum(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.restore(spark, root, toVersion = 3L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
