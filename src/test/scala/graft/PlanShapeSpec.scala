@@ -366,4 +366,40 @@ class PlanShapeSpec extends AnyFunSuite {
     // rollup); a 5th would mean a corpus-stream shuffle crept in
     assert(count(p, "Exchange") <= 4, p)
   }
+
+  test("q196 repetition: two exchanges; array_distinct sits BELOW the Generate") {
+    val p = plan("q196_repetition")
+    assert(count(p, "Exchange") == 2, p)
+    // the r11 projection-order fix: the 5-gram stats must be computed
+    // once per DOC (below the bigram explode), not once per exploded
+    // bigram row — pinned by the plan's operator order
+    val gen = p.indexOf("Generate")
+    val dis = p.indexOf("array_distinct")
+    assert(gen >= 0 && dis >= 0 && dis > gen,
+      s"array_distinct must appear below (after) the Generate in the plan\n$p")
+  }
+
+  test("q195 IVF balance: assignment is projection-only, aggregates are k-row, no corpus window") {
+    val p = plan("q195_ivf_balance")
+    assert(!p.contains("Window"), p)
+    assert(count(p, "Exchange") <= 3, p) // cell agg + 1-row total + k-row join sides
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"), p)
+  }
+
+  test("q199 containment: candidate scaffold broadcasts the pair frames at this SF") {
+    val p = plan("q199_containment")
+    // the q31 shape: shingle-side shuffles only, the candidate/pair side
+    // rides broadcasts below the gate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197/q198 perceptual pairs: pair exchanges only, no corpus-scale window or cartesian") {
+    for (q <- Seq("q197_image_phash_pairs", "q198_audio_fp_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert(count(p, "Exchange") == 2, s"$q:\n$p") // band buckets + pair dedup
+    }
+  }
 }
