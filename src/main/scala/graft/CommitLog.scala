@@ -543,11 +543,24 @@ object CommitLog {
     */
   def changesSince(s: SparkSession, root: String,
       sinceVersion: Long): (Option[DataFrame], Long) = {
-    // RAW commits, never the checkpoint fold: a cursor BELOW the newest
-    // checkpoint must still see the individual append entries the fold
-    // hides (commit files are never deleted, so the raw walk is always
-    // available); cost is O(commits since cursor) — the cursor advances,
-    // so a live consumer never replays deep history
+    val (files, head) = changedFiles(s, root, sinceVersion, Long.MaxValue)
+    if (files.isEmpty) (None, head)
+    else (Some(s.read.parquet(files.map(p => s"$root/$p"): _*)), head)
+  }
+
+  /** The raw-commit change walk shared by [[changesSince]] and the
+    * `graft-changefeed` streaming source: relative paths of the files
+    * whose ROWS are new content in versions (`sinceVersion`, `toVersion`]
+    * (compaction/checkpoint re-adds and dataChange=false survivor
+    * rewrites excluded), plus the head version. RAW commits, never the
+    * checkpoint fold: a cursor BELOW the newest checkpoint must still see
+    * the individual append entries the fold hides (commit files are
+    * never deleted, so the raw walk is always available); cost is
+    * O(commits since cursor) — the cursor advances, so a live consumer
+    * never replays deep history.
+    */
+  private[graft] def changedFiles(s: SparkSession, root: String,
+      sinceVersion: Long, toVersion: Long): (Seq[String], Long) = {
     val f = fs(s, root)
     val dir = new Path(s"$root/$LogDir")
     require(f.exists(dir), s"commit-log table at $root is empty")
@@ -561,12 +574,11 @@ object CommitLog {
     require(commits.nonEmpty, s"commit-log table at $root is empty")
     val head = commits.last._1
     val files = commits
-      .filter(_._1 > sinceVersion)
+      .filter { case (v, _) => v > sinceVersion && v <= toVersion }
       .map { case (v, p) => readEntry(f, v, p) }
       .filter(c => c.op != "compact" && c.op != "checkpoint")
       .flatMap(c => c.add.filterNot(c.rewrite.toSet)) // rewrites carry no new rows
-    if (files.isEmpty) (None, head)
-    else (Some(s.read.parquet(files.map(p => s"$root/$p"): _*)), head)
+    (files, head)
   }
 
   /** Fold the log at head into one CHECKPOINT entry

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-changefeed streaming source: a CommitLog table read AS a
+  * stream, offsets = commit versions, batch contents = changesSince's
+  * rows per version window.
+  */
+class ChangeFeedSourceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-cfeed").toString + "/tbl"
+
+  private def batchDf(lo: Int, hi: Int) =
+    (lo to hi).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+
+  test("change feed streams appends and merge updates; rewrites and deletes stay silent") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 10).coalesce(1), root, statsFor = Seq("id")) // v1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.synchronized {
+          seen += id -> b.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 0 drains everything from startingVersion 0: the v1 rows
+      assert(seen.synchronized(seen.flatMap(_._2).toSet) ==
+        (1 to 10).map(i => (i.toLong, s"row$i")).toSet)
+      // append (new rows flow) …
+      CommitLog.append(batchDf(11, 15).coalesce(1), root, statsFor = Seq("id")) // v2
+      // … compact (re-adds NOTHING to the feed) …
+      CommitLog.compact(spark, root, statsFor = Seq("id")) // v3
+      // … merge (update rows only — survivor rewrites silent) …
+      CommitLog.merge(Seq((3L, "upd3"), (99L, "new99")).toDF("id", "v").coalesce(1),
+        root, "id") // v4
+      // … delete (NOTHING flows)
+      CommitLog.delete(spark, root, "id", Seq(7L)) // v5
+      q.processAllAvailable()
+      val later = seen.synchronized(seen.filter(_._1 > 0).flatMap(_._2))
+      assert(later.toSet ==
+        ((11 to 15).map(i => (i.toLong, s"row$i")).toSet ++ Set((3L, "upd3"), (99L, "new99"))),
+        s"unexpected feed content: $later")
+    } finally q.stop()
+    // the table itself reflects every mutation the feed stayed silent on:
+    // 10 seed + 5 appended + 1 inserted (99) − 1 deleted (7) = 15
+    assert(CommitLog.snapshot(spark, root).count() == 15)
+  }
+
+  test("startingVersion skips history; a fresh stream drains only newer versions") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 10).coalesce(1), root) // v1 — history
+    val deployAt = CommitLog.headVersion(spark, root)
+    CommitLog.append(batchDf(11, 12).coalesce(1), root) // v2 — new
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .option("startingVersion", deployAt.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) == Seq(11L, 12L))
+    } finally q.stop()
+  }
+}
