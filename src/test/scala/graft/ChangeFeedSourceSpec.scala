@@ -80,4 +80,31 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
       assert(got.synchronized(got.sorted.toSeq) == Seq(11L, 12L))
     } finally q.stop()
   }
+
+  test("CDC relay chain: changefeed source into the s22 sink replicates new rows table-to-table") {
+    import graft.streaming.CommitLogSink
+    val src = freshRoot()
+    val dst = freshRoot()
+    CommitLog.append(batchDf(1, 5).coalesce(1), src, statsFor = Seq("id"))
+    // the relay: src's change feed streamed exactly-once into dst — one
+    // table version per micro-batch on the far side (s22's contract)
+    val q = CommitLogSink.appendStream(
+      spark.readStream.format("graft-changefeed").option("path", src).load(),
+      dst, Files.createTempDirectory("graft-relay-ckpt").toString,
+      statsFor = Seq("id"))
+    try {
+      q.processAllAvailable()
+      CommitLog.merge(Seq((3L, "upd3"), (9L, "new9")).toDF("id", "v").coalesce(1),
+        src, "id")
+      CommitLog.delete(spark, src, "id", Seq(1L))
+      q.processAllAvailable()
+      // dst accumulated: the seed + the merge's update rows; the delete
+      // relayed nothing (retraction is not feed content)
+      val got = CommitLog.snapshot(spark, dst).as[(Long, String)]
+        .collect().sorted.toSeq
+      val expect = ((1 to 5).map(i => (i.toLong, s"row$i")) ++
+        Seq((3L, "upd3"), (9L, "new9"))).sorted
+      assert(got == expect)
+    } finally q.stop()
+  }
 }
