@@ -325,6 +325,66 @@ object Similarity {
                                AS DOUBLE)) / CAST(n_vecs AS DOUBLE), 4)""")
           .as("std_micro"))
 
+  /** q201: EMBEDDING distribution drift between two corpus releases —
+    * the vector-side complement of the scalar drift family (q91 KS, q142
+    * PSI) and the index-health view beside q195's cell occupancy: a new
+    * embedding model, a changed preprocessing step or a shifted corpus
+    * mix moves the per-dimension distributions, and a serving deployment
+    * gates re-indexing/re-calibration on exactly this report. Releases
+    * are the deterministic vec_id-parity halves here (a deployment
+    * passes its two real release frames through [[embeddingDriftOf]]).
+    * Per dimension: both releases' n/mean/std over integer micro-units
+    * (q114's discipline: one posexplode, one (release, dim) exchange),
+    * then Cohen's-d-style effect size |Δmean|/pooled-std ×1000 as the
+    * integer verdict basis — `drifted` at effect ≥ 0.1 (the standard
+    * small-effect bar; the parity halves of one release sit far under
+    * it, a real shift trips it — spec plants one).
+    */
+  def q201EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    embeddingDriftOf(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** The drift report for ANY two (vec_id, embedding) frames. */
+  private[graft] def embeddingDriftOf(ref: DataFrame, cand: DataFrame): DataFrame = {
+    def stats(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("u").cast("decimal(20,0)")).as("s1"),
+          sum(expr("CAST(u * u AS DECIMAL(20,0))")).as("s2"))
+        .select(col("dim"), col(s"n_$tag"),
+          expr(s"round(CAST(s1 AS DOUBLE) / n_$tag, 4)").as(s"mean_${tag}_micro"),
+          expr(s"""round(sqrt(CAST(CAST(n_$tag AS DECIMAL(20,0)) * s2 - s1 * s1
+                                  AS DOUBLE)) / CAST(n_$tag AS DOUBLE), 4)""")
+            .as(s"std_${tag}_micro"))
+    stats(ref, "ref").join(stats(cand, "cand"), Seq("dim"))
+      .withColumn("effect_x1000",
+        expr("""CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt((std_ref_micro * std_ref_micro +
+                                          std_cand_micro * std_cand_micro) / 2),
+                                    0.0001) * 1000) AS BIGINT)"""))
+      // two-sample z: Δmean / sqrt(var_r/n_r + var_c/n_c) — the
+      // significance leg the effect size alone lacks (at small n the
+      // parity halves reach effect ≈ 0.2 by pure sampling noise; at
+      // 100 TB n the same gate would instead trip on trivia, which is
+      // why BOTH a practical-effect bar AND |z| ≥ 4 must hold)
+      .withColumn("z_x1000",
+        expr("""CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt(std_ref_micro * std_ref_micro / n_ref +
+                                         std_cand_micro * std_cand_micro / n_cand),
+                                    0.0001) * 1000) AS BIGINT)"""))
+      .withColumn("drifted", col("effect_x1000") >= 100 && col("z_x1000") >= 4000)
+      .select(col("dim"), col("n_ref"), col("n_cand"),
+        col("mean_ref_micro"), col("mean_cand_micro"),
+        col("std_ref_micro"), col("std_cand_micro"),
+        col("effect_x1000"), col("z_x1000"), col("drifted"))
+  }
+
   /** q122: per-dimension ROBUST scaling statistics — median/quartiles/IQR
     * for each embedding component: q114's outlier-immune complement (the
     * RobustScaler model; also the per-dimension drift detector that a few
@@ -723,6 +783,7 @@ object Similarity {
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q114_dim_stats"   -> (q114DimStats _),
+    "q201_embedding_drift" -> (q201EmbeddingDrift _),
     "q76_vector_stats" -> (q76VectorStats _))
 
   val oracles: Map[String, String] = Map(
@@ -741,6 +802,46 @@ object Similarity {
          SELECT CAST(dim AS BIGINT) AS dim, n_vecs, p25_micro, median_micro,
                 p75_micro, round(p75_micro - p25_micro, 4) AS iqr_micro
          FROM a""",
+    "q201_embedding_drift" ->
+      """WITH u AS (
+           SELECT vec_id % 2 AS half,
+                  generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS u
+           FROM embeddings),
+         a AS (
+           SELECT half, dim, count(*) AS n, sum(u) AS s1, sum(u * u) AS s2
+           FROM u GROUP BY half, dim),
+         st AS (
+           SELECT half, dim, n,
+                  round(CAST(s1 AS DOUBLE) / n, 4) AS mean_micro,
+                  round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+                    AS std_micro
+           FROM a),
+         j AS (
+           SELECT r.dim, r.n AS n_ref, c.n AS n_cand,
+                  r.mean_micro AS mean_ref_micro, c.mean_micro AS mean_cand_micro,
+                  r.std_micro AS std_ref_micro, c.std_micro AS std_cand_micro
+           FROM st r JOIN st c ON r.dim = c.dim AND r.half = 0 AND c.half = 1)
+         SELECT CAST(dim AS BIGINT) AS dim, n_ref, n_cand,
+                mean_ref_micro, mean_cand_micro, std_ref_micro, std_cand_micro,
+                CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt((std_ref_micro * std_ref_micro +
+                                          std_cand_micro * std_cand_micro) / 2),
+                                    0.0001) * 1000) AS BIGINT) AS effect_x1000,
+                CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt(std_ref_micro * std_ref_micro / n_ref +
+                                         std_cand_micro * std_cand_micro / n_cand),
+                                    0.0001) * 1000) AS BIGINT) AS z_x1000,
+                (CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt((std_ref_micro * std_ref_micro +
+                                          std_cand_micro * std_cand_micro) / 2),
+                                    0.0001) * 1000) AS BIGINT) >= 100) AND
+                (CAST(round(abs(mean_ref_micro - mean_cand_micro) /
+                           greatest(sqrt(std_ref_micro * std_ref_micro / n_ref +
+                                         std_cand_micro * std_cand_micro / n_cand),
+                                    0.0001) * 1000) AS BIGINT) >= 4000) AS drifted
+         FROM j""",
     "q114_dim_stats" ->
       """WITH u AS (
            SELECT generate_subscripts(embedding, 1) - 1 AS dim,

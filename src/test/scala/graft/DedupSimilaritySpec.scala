@@ -117,6 +117,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     cont.unpersist()
   }
 
+  test("q201 embedding drift: parity halves sit under the bar; a planted shift trips every dim") {
+    val rows = Similarity.q201EmbeddingDrift(spark, sf).collect()
+    assert(rows.length == 64)
+    // two random halves of ONE release: no dimension may read as drifted
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("drifted"),
+        s"dim ${r.getAs[Long]("dim")} drifted at effect ${r.getAs[Long]("effect_x1000")}")
+      assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cand") > 0)
+    }
+    // a planted global shift (+0.5 per component ≈ many stds) must trip
+    // the gate on every dimension
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val shifted = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x + 0.5 AS FLOAT))").as("embedding"))
+    val drifted = Similarity.embeddingDriftOf(e, shifted).collect()
+    assert(drifted.forall(_.getAs[Boolean]("drifted")),
+      drifted.filterNot(_.getAs[Boolean]("drifted")).mkString(","))
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)
