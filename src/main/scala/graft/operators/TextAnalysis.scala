@@ -1412,6 +1412,26 @@ object TextAnalysis {
     * the chunk key (doc_id#chunk_no) is deterministic so re-runs and
     * incremental ingests produce identical keys.
     */
+  /** q202: CHUNK-level exact dedup — the RAG-store operation q28 is one
+    * level up from: retrieval indexes store q174's chunks, and repeated
+    * boilerplate or quoted spans produce byte-identical chunks ACROSS
+    * documents that waste index space and crowd retrieval diversity
+    * (the same passage surfacing k times). One md5 per chunk, one
+    * hash-groupBy; families keyed by content hash with the
+    * deterministic lexicographic-min chunk_key survivor. At 100 TB this
+    * is a pure projection + one map-side-combined exchange over the
+    * chunk table — the same scale shape as exact doc dedup.
+    */
+  def q202ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    q174DocChunks(s, dir)
+      .select(md5(col("chunk_text")).as("content_hash"),
+        col("chunk_key"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_key")).as("keep_key"))
+      .filter(col("n_copies") > 1)
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1446,6 +1466,7 @@ object TextAnalysis {
     "q196_repetition" -> (q196Repetition _),
     "q200_token_economics" -> (q200TokenEconomics _),
     "q174_doc_chunks" -> (q174DocChunks _),
+    "q202_chunk_dedup" -> (q202ChunkDedup _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1567,6 +1588,25 @@ object TextAnalysis {
           SELECT doc_id, split, n_grams, n_leaked, leak_bp,
                  leak_bp >= 1000 AS quarantine
           FROM b""",
+    "q202_chunk_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          n AS (
+            SELECT doc_id, toks, len(toks) AS nt,
+                   CASE WHEN len(toks) <= $ChunkW THEN 1
+                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
+            FROM t),
+          ch AS (
+            SELECT n.doc_id,
+                   CAST(n.doc_id AS VARCHAR) || '#' || CAST(u.i AS VARCHAR) AS chunk_key,
+                   array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' ') AS chunk_text
+            FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u)
+          SELECT md5(chunk_text) AS content_hash,
+                 count(*) AS n_copies,
+                 count(DISTINCT doc_id) AS n_docs,
+                 min(chunk_key) AS keep_key
+          FROM ch GROUP BY 1 HAVING count(*) > 1""",
     "q174_doc_chunks" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
