@@ -1432,6 +1432,35 @@ object TextAnalysis {
         min(col("chunk_key")).as("keep_key"))
       .filter(col("n_copies") > 1)
 
+  /** q203: per-document DUPLICATE-CHUNK share — the doc-level verdict
+    * q202's family table implies: a document most of whose chunks also
+    * appear verbatim elsewhere is boilerplate/mirror content even when
+    * its full text is unique (header+footer+syndicated body around one
+    * original paragraph beats q28's whole-doc hash and q196's
+    * within-doc repetition). A chunk is `dup` when its content hash
+    * occurs under MORE THAN ONE doc_id (within-doc window overlap must
+    * not count — overlapping windows of ordinary prose repeat tokens by
+    * construction). Integer bp; `mostly_boilerplate` at ≥ 5000 bp (half
+    * the doc lives elsewhere). Scale shape: the chunk table's one
+    * (hash) exchange + one (doc) fold — no joins back to the corpus.
+    */
+  def q203DupChunkShare(s: SparkSession, dir: String): DataFrame = {
+    val chunks = q174DocChunks(s, dir)
+      .select(col("doc_id"), md5(col("chunk_text")).as("content_hash"))
+    val crossDoc = chunks.groupBy(col("content_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("content_hash"))
+    chunks
+      .join(crossDoc.withColumn("is_dup", lit(1L)), Seq("content_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 10000 DIV n_chunks").as("dup_share_bp"))
+      .withColumn("mostly_boilerplate", col("dup_share_bp") >= 5000)
+  }
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1467,6 +1496,7 @@ object TextAnalysis {
     "q200_token_economics" -> (q200TokenEconomics _),
     "q174_doc_chunks" -> (q174DocChunks _),
     "q202_chunk_dedup" -> (q202ChunkDedup _),
+    "q203_dup_chunk_share" -> (q203DupChunkShare _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1588,6 +1618,31 @@ object TextAnalysis {
           SELECT doc_id, split, n_grams, n_leaked, leak_bp,
                  leak_bp >= 1000 AS quarantine
           FROM b""",
+    "q203_dup_chunk_share" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          n AS (
+            SELECT doc_id, toks, len(toks) AS nt,
+                   CASE WHEN len(toks) <= $ChunkW THEN 1
+                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
+            FROM t),
+          ch AS (
+            SELECT n.doc_id,
+                   md5(array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' '))
+                     AS content_hash
+            FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u),
+          xd AS (SELECT content_hash FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1)
+          SELECT doc_id,
+                 count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN xd.content_hash IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_chunks,
+                 CAST(sum(CASE WHEN xd.content_hash IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) * 10000 // count(*) AS dup_share_bp,
+                 (CAST(sum(CASE WHEN xd.content_hash IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) * 10000 // count(*)) >= 5000 AS mostly_boilerplate
+          FROM ch LEFT JOIN xd USING (content_hash)
+          GROUP BY doc_id""",
     "q202_chunk_dedup" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
