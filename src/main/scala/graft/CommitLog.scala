@@ -304,8 +304,7 @@ object CommitLog {
       (snapshot(s, root, asOf).filter(org.apache.spark.sql.functions.lit(false)),
         0, live.size)
     else
-      (s.read.parquet(kept.map(p => s"$root/$p"): _*).filter(pred),
-        kept.size, live.size)
+      (readFilesEvolved(s, root, kept).filter(pred), kept.size, live.size)
   }
 
   /** BOX range scan — [[snapshotRange]] over several columns at once,
@@ -337,8 +336,7 @@ object CommitLog {
     if (kept.isEmpty)
       (snapshot(s, root, asOf).filter(lit(false)), 0, live.size)
     else
-      (s.read.parquet(kept.map(p => s"$root/$p"): _*).filter(rowPred),
-        kept.size, live.size)
+      (readFilesEvolved(s, root, kept).filter(rowPred), kept.size, live.size)
   }
 
   // ---------- commit protocol ----------
@@ -875,6 +873,41 @@ object CommitLog {
     }
   }
 
+  /** Read a set of live files with the evolved-schema fold applied when
+    * their per-dir schemas diverge (null-fill adds, numeric widening,
+    * loud incompatible reject) — the shared reader behind
+    * [[snapshotEvolved]] and the stats-skipping scans, so a range/box
+    * scan over an evolved table never silently takes one group's schema
+    * and drops the other's columns. Single-schema sets (the common
+    * case) read in one plain parquet scan.
+    */
+  private def readFilesEvolved(s: SparkSession, root: String,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*) }
+    if (frames.map(_.schema).distinct.size == 1)
+      return s.read.parquet(files.map(p => s"$root/$p"): _*)
+    val unified = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    frames.foreach(_.schema.fields.foreach { f =>
+      unified.get(f.name) match {
+        case None => unified(f.name) = f.dataType
+        case Some(t) => unified(f.name) = widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"incompatible schema evolution on column '${f.name}' at $root: " +
+              s"$t vs ${f.dataType} — only additions and int→long / " +
+              "float→double widenings are readable across versions"))
+      }
+    })
+    frames.map { df =>
+      val have = df.columns.toSet
+      df.select(unified.toSeq.map { case (n, t) =>
+        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_ union _)
+  }
+
   /** Snapshot read ACROSS schema versions — the contract a long-lived
     * table needs in month one: after a column is ADDED, old files
     * null-fill it; after a numeric type is WIDENED (int→long,
@@ -900,28 +933,7 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val files = liveFiles(s, root, asOf)
     require(files.nonEmpty, s"commit-log table at $root has no live files (asOf=$asOf)")
-    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*) }
-    if (frames.map(_.schema).distinct.size == 1) return snapshot(s, root, asOf)
-    // unified schema: first-seen order, widening fold per column
-    val unified = scala.collection.mutable.LinkedHashMap
-      .empty[String, org.apache.spark.sql.types.DataType]
-    frames.foreach(_.schema.fields.foreach { f =>
-      unified.get(f.name) match {
-        case None => unified(f.name) = f.dataType
-        case Some(t) => unified(f.name) = widen(t, f.dataType).getOrElse(
-          throw new IllegalArgumentException(
-            s"incompatible schema evolution on column '${f.name}' at $root: " +
-              s"$t vs ${f.dataType} — only additions and int→long / " +
-              "float→double widenings are readable across versions"))
-      }
-    })
-    frames.map { df =>
-      val have = df.columns.toSet
-      df.select(unified.toSeq.map { case (n, t) =>
-        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
-      }: _*)
-    }.reduce(_ union _)
+    readFilesEvolved(s, root, files)
   }
 
   /** Reclaim data files no RETAINED version still needs. With the

@@ -671,6 +671,25 @@ class CommitLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("snapshotRange on an evolved table null-fills across groups instead of mis-schema") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10).coalesce(1), root, statsFor = Seq("id")) // (id, v)
+    CommitLog.append((11 to 20).map(i => (i.toLong, s"row$i", i * 2L))
+      .toDF("id", "v", "w").coalesce(1), root, statsFor = Seq("id")) // + w
+    // the window spans BOTH schema groups: rows must union with the old
+    // group null-filled, not silently drop w (or worse, drop rows)
+    val (df, read, total) = CommitLog.snapshotRange(spark, root, "id", 8, 13)
+    assert(read == 2 && total == 2)
+    assert(df.columns.toSeq == Seq("id", "v", "w"))
+    val rows = df.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (8L to 13L))
+    assert(rows.filter(_._1 <= 10).forall(_._3.isEmpty))
+    assert(rows.filter(_._1 >= 11).forall(r => r._3.contains(r._1 * 2)))
+    // a window inside ONE group still skips the other
+    val (_, read2, _) = CommitLog.snapshotRange(spark, root, "id", 1, 5)
+    assert(read2 == 1)
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
