@@ -543,7 +543,9 @@ object CommitLog {
       sinceVersion: Long): (Option[DataFrame], Long) = {
     val (files, head) = changedFiles(s, root, sinceVersion, Long.MaxValue)
     if (files.isEmpty) (None, head)
-    else (Some(s.read.parquet(files.map(p => s"$root/$p"): _*)), head)
+    // evolved fold, not a plain multi-file read: a cursor window spanning
+    // a schema evolution must null-fill, never take one group's schema
+    else (Some(readFilesEvolved(s, root, files)), head)
   }
 
   /** The raw-commit change walk shared by [[changesSince]] and the
