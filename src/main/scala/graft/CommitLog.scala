@@ -829,6 +829,9 @@ object CommitLog {
     * consumers (their rows left the table and are coming back — a
     * consumer that processed them before the removal replays them, the
     * standard at-least-once restore trade in the public formats).
+    * Destructive-op concurrency contract (the overwrite/compact rule):
+    * one writer per table — a racing append's files are summarily
+    * removed by the restore, which is the operation's meaning.
     */
   def restore(s: SparkSession, root: String, toVersion: Long): Long = {
     val target = liveFiles(s, root, asOf = toVersion)

@@ -90,8 +90,13 @@ object EditDistanceKernel {
     prev(delta - loOff) // cell (m, n) sits at offset Δ
   }
 
-  /** UTF8String entry used by both eval and generated code. */
-  def distance(a: UTF8String, b: UTF8String): Long = distance(a.toString, b.toString)
+  /** UTF8String entry used by both eval and generated code. Byte-equal
+    * inputs short-circuit BEFORE any String materialization — identical
+    * texts are the single most common pair in the dedup-confirm workload
+    * this kernel serves, and the binary compare avoids two allocations
+    * plus a full decode for them. */
+  def distance(a: UTF8String, b: UTF8String): Long =
+    if (a.equals(b)) 0L else distance(a.toString, b.toString)
 }
 
 object EditDistance {
