@@ -643,23 +643,52 @@ object CommitLog {
     entries.flatMap(_.stats).filter(_.column == column)
       .map(st => st.file -> st).toMap
 
+  /** Per-(root, data dir) footer schemas — data dirs are IMMUTABLE once
+    * committed, so their schema never changes and can be memoized: a
+    * standing s23/s24 stream that mutates a table every micro-batch pays
+    * one footer read per NEW dir instead of re-reading every dir's
+    * footer on every merge (O(N²) over a stream's lifetime otherwise —
+    * review finding). Bounded (the DriverMemo contract) well above any
+    * realistic live-dir count; evictions merely cost a re-read. */
+  private val dirSchemaCache = new DriverMemo[(String, String),
+    org.apache.spark.sql.types.StructType](cap = 65536)
+
   /** Loud guard for the row-level mutation paths: a rewrite reads its
     * touched files in ONE parquet scan, and a schema-EVOLVED table
     * (mixed per-dir schemas) would silently take one file's schema and
     * drop columns from the others — data loss inside a rewrite. Evolved
     * tables must be unified first (snapshotEvolved + overwrite), then
-    * mutated. O(dirs) driver-side footer reads, only on mutation ops.
+    * mutated. Footer reads are memoized per immutable data dir
+    * ([[dirSchemaCache]]). Returns the (single) schema.
     */
   private def requireUniformSchema(s: SparkSession, root: String,
-      files: Seq[String], op: String): Unit = {
+      files: Seq[String], op: String): org.apache.spark.sql.types.StructType = {
     val schemas = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-      .map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*).schema }
+      .map { case (d, fs) =>
+        dirSchemaCache.getOrElseUpdate((root, d))(
+          s.read.parquet(fs.map(p => s"$root/$p"): _*).schema)
+      }
     if (schemas.distinct.size > 1)
       throw new IllegalArgumentException(
         s"$op at $root would rewrite files with MIXED schemas " +
           s"(${schemas.distinct.map(_.simpleString).mkString(" vs ")}) — a single-scan " +
           "rewrite would silently drop columns; unify first " +
           "(snapshotEvolved + overwrite), then mutate")
+    schemas.head
+  }
+
+  /** Long-castable key columns only: every pruning structure here (the
+    * commit-embedded long stats, delete's Seq[Long] keys, merge's long
+    * key range) is integer-keyed, and a string key would NOT fail — it
+    * would cast to null and silently misroute a merge into a pure insert
+    * (duplicated keys, review finding). Loud instead. */
+  private def requireIntegralKey(schema: org.apache.spark.sql.types.StructType,
+      keyCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op key column '$keyCol' must be an integral type (stats/pruning are " +
+        s"long-keyed), got ${dt.sql} — hash or dictionary-encode string keys first")
   }
 
   /** Keyed row-level DELETE — the GDPR right-to-be-forgotten operation,
@@ -702,7 +731,7 @@ object CommitLog {
       stats.get(f).forall(st => keys.exists(k => k >= st.min && k <= st.max))
     }
     if (touched.isEmpty) return None
-    requireUniformSchema(s, root, touched, "delete")
+    requireIntegralKey(requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
     val survivors = s.read.parquet(touched.map(p => s"$root/$p"): _*)
       .filter(col(keyCol).isNull || not(col(keyCol).isin(keys.map(lit): _*)))
     val add = writeData(survivors, root)
@@ -767,18 +796,26 @@ object CommitLog {
       committed
     }
     val live = liveFiles(s, root)
-    if (live.isEmpty)
+    if (live.isEmpty) {
+      requireIntegralKey(updates.schema, keyCol, "merge")
       return commit(writeData(updates, root), _ => Seq.empty)
+    }
     // guard the WHOLE live set, not just the probe candidates: tableCols
     // below anchors both the rewrite and the insert projection, so a
     // mixed table with uniform candidates would still silently drop the
     // other group's columns from the rewritten rows
-    requireUniformSchema(s, root, live, "merge")
-    val tableCols = s.read.parquet(s"$root/${live.head}").columns
-    require(updates.columns.sorted.sameElements(tableCols.sorted),
-      s"merge updates schema ${updates.columns.sorted.mkString("[", ",", "]")} does not " +
-        s"match table schema ${tableCols.sorted.mkString("[", ",", "]")} at $root — " +
+    val tableSchema = requireUniformSchema(s, root, live, "merge")
+    val tableCols = tableSchema.fieldNames
+    // NAME AND TYPE: a name-only check would let an int-typed update
+    // frame land next to long files and wedge the table into the very
+    // mixed-schema state the guard exists to prevent (review finding)
+    val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    val updateTypes = updates.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(updateTypes == tableTypes,
+      s"merge updates schema ${updateTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} does not " +
+        s"match table schema ${tableTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} at $root — " +
         "evolve the table first, then merge")
+    requireIntegralKey(tableSchema, keyCol, "merge")
     val keyRange = updates.agg(
       min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
     if (keyRange.isNullAt(0)) // no non-null update keys: pure insert

@@ -35,7 +35,13 @@ object EditDistanceKernel {
 
   def distance(a: String, b: String): Long = {
     if (a == b) return 0L
-    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    // CODE POINTS, not UTF-16 chars: functions.levenshtein (UTF8String)
+    // counts code points, so a surrogate pair (emoji) is ONE edit unit —
+    // the bit-identity contract would silently break on supplementary
+    // characters under a charAt DP (review finding, spec-pinned)
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val (s, t) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
     val m = s.length
     val n = t.length
     if (m == 0) return n.toLong
@@ -51,7 +57,7 @@ object EditDistanceKernel {
   /** Banded DP, band half-widths derived from k (requires k ≥ n−m, which
     * the caller's seed guarantees). Returns the exact distance when the
     * result is ≤ k; any returned value > k only means "more than k". */
-  private def banded(s: String, t: String, k: Int): Int = {
+  private def banded(s: Array[Int], t: Array[Int], k: Int): Int = {
     val m = s.length
     val n = t.length
     val delta = n - m
@@ -77,7 +83,7 @@ object EditDistanceKernel {
           else if (j == 0) i
           else {
             // prev(idx) = (i−1, j−1); prev(idx+1) = (i−1, j); cur(idx−1) = (i, j−1)
-            val sub = prev(idx) + (if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1)
+            val sub = prev(idx) + (if (s(i - 1) == t(j - 1)) 0 else 1)
             val del = if (idx + 1 < width) prev(idx + 1) + 1 else Inf
             val ins = if (idx > 0) cur(idx - 1) + 1 else Inf
             math.min(sub, math.min(del, ins))

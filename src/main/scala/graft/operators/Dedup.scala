@@ -430,6 +430,12 @@ object Dedup {
     * band — the result is exact, hence NO hot-bucket cap (see q69 doc).
     */
   private[operators] def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    // the pigeonhole guarantee is the whole contract: 4 bands are exact
+    // ONLY up to hamming 3 — a larger cap would silently miss pairs that
+    // share no band (review finding: loud, never approximate-by-accident)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingPairs is exact only for maxHamming in [0, 3] (4 x 16-bit bands), " +
+        s"got $maxHamming — re-band before raising the cap")
     val sh = hashes.toDF("doc_id", "simhash")
       .select(col("doc_id") +: col("simhash") +:
         simhashBandSqls.map { case (n, f) => expr(f).as(n) }: _*)

@@ -218,11 +218,16 @@ object Multimodal {
       * Double arithmetic in fixed order — deterministic per engine;
       * engine-native (no SQL mirror), like every perceptual hash here.
       */
+    /** The 32×32 DCT cosine table — constant, hoisted out of [[pHash]]
+      * (1024 transcendental calls per IMAGE on the corpus-scale decode
+      * projection otherwise; review finding). Computed once per JVM. */
+    private val PhCosT: Array[Array[Double]] = Array.tabulate(32, 32)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / 64))
+
     def pHash(img: Image): Long = {
       val n = 32
       val cells = resize(img, n)
-      val cosT = Array.tabulate(n, n)((u, x) =>
-        math.cos((2 * x + 1) * u * math.Pi / (2 * n)))
+      val cosT = PhCosT
       // rows pass: tmp(y)(u) for u < 8
       val tmp = Array.ofDim[Double](n, 8)
       var y = 0

@@ -31,8 +31,11 @@ import graft.CommitLog
   *
   * Options: `path` (table root, required); `startingVersion` (default 0
   * = everything ever committed; set to `headVersion` at deploy time for
-  * new-changes-only). Schema: the current snapshot's (a stream cannot
-  * schema-evolve mid-flight; restart the query after an evolution).
+  * new-changes-only). Schema: pinned to the current snapshot's at query
+  * start (a stream cannot widen its schema mid-flight); batches spanning
+  * a table evolution ALIGN to the pin — widened columns upcast, columns
+  * added after the pin are dropped until a restart re-pins, pre-evolution
+  * files null-fill (the evolved fold's contract, applied per batch).
   *
   * V1 `Source` deliberately: `getBatch` can hand the engine a plain
   * parquet scan over the window's files — the whole source is ~60 lines
@@ -72,30 +75,58 @@ private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
   private val spark = sqlContext.sparkSession
 
   /** Newest committed version, as the stream's available offset; None
-    * until the table has a commit past the starting point. */
+    * until the table has a commit past the starting point. A missing
+    * log directory reads as head 0 (headVersion's own contract) — but
+    * IO failures and corrupt log entries PROPAGATE and fail the query
+    * loudly; a catch-all here would turn log corruption into a silently
+    * idle "healthy" stream (review finding). */
   override def getOffset: Option[Offset] = {
-    val head = try CommitLog.headVersion(spark, root) catch {
-      case _: Exception => 0L // table not created yet: no data available
-    }
+    val head = CommitLog.headVersion(spark, root)
     if (head > startingVersion) Some(LongOffset(head)) else None
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(o => LongOffset(o.json().toLong).offset).getOrElse(startingVersion)
-    val to = LongOffset(end.json().toLong).offset
-    val (files, _) = CommitLog.changedFiles(spark, root, from, to)
-    // the FileStreamSource idiom: a batch parquet relation wrapped in a
-    // LogicalRelation MARKED streaming — the engine asserts
-    // isStreaming=true on every v1 getBatch result, and executors still
-    // read through the ordinary vectorized parquet path
+  /** One schema group = one immutable d-<uuid> dir; inferred footer
+    * schema so the alignment below can CAST (a pinned userSpecified
+    * schema would make the vectorized reader throw on a widened column
+    * instead of upcasting — review finding). */
+  private def groupFrame(files: Seq[String],
+      pinned: Option[StructType]): DataFrame = {
     val relation = org.apache.spark.sql.execution.datasources.DataSource(
       spark,
       className = "parquet",
       paths = files.map(p => s"$root/$p"),
-      userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
+      userSpecifiedSchema = pinned).resolveRelation(checkFilesExist = false)
+    // the FileStreamSource idiom: the relation wrapped in a
+    // LogicalRelation MARKED streaming — the engine asserts
+    // isStreaming=true on every v1 getBatch result (the flag propagates
+    // through the projections/unions below), and executors still read
+    // through the ordinary vectorized parquet path
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(
         relation, isStreaming = true))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = start.map(o => LongOffset(o.json().toLong).offset).getOrElse(startingVersion)
+    val to = LongOffset(end.json().toLong).offset
+    val (files, _) = CommitLog.changedFiles(spark, root, from, to)
+    if (files.isEmpty) return groupFrame(Seq.empty, Some(schema))
+    // per-dir groups aligned to the PINNED schema (cast widened columns,
+    // null-fill later additions, drop columns beyond the pin): a window
+    // or restart spanning a schema evolution streams on instead of
+    // throwing in the vectorized reader (the evolved fold's contract,
+    // applied to the stream's fixed schema)
+    files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (_, fs) => groupFrame(fs, None) }
+      .map { df =>
+        val have = df.columns.toSet
+        df.select(schema.fields.toSeq.map { f =>
+          (if (have(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+      }
+      .reduce(_ union _)
   }
 
   override def stop(): Unit = ()

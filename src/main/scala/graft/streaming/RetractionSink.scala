@@ -43,12 +43,20 @@ object RetractionSink {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val keys = batch.toDF()
-          .select(col(keyCol).cast("long"))
+        // null-filter BEFORE the cast, then verify the cast lost nothing:
+        // a string key that casts to null would otherwise be silently
+        // dropped — a MISSED deletion, the worst failure mode this sink
+        // can have (review finding: loud, never silent)
+        val rows = batch.toDF()
           .filter(col(keyCol).isNotNull) // null "keys" name nothing to forget
+          .select(col(keyCol).cast("long").as("k"))
           .distinct()
           .limit(maxKeysPerBatch + 1)
-          .collect().map(_.getLong(0)).toSeq
+          .collect()
+        require(rows.forall(!_.isNullAt(0)),
+          s"retraction batch $batchId has keys in '$keyCol' that do not cast to " +
+            "long — refusing to silently skip a deletion request")
+        val keys = rows.map(_.getLong(0)).toSeq
         require(keys.size <= maxKeysPerBatch,
           s"retraction batch $batchId carries more than $maxKeysPerBatch keys — " +
             "that is a corpus-scale rewrite, not a deletion feed; use CommitLog.merge " +

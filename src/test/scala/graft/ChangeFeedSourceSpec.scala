@@ -107,4 +107,27 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
       assert(got == expect)
     } finally q.stop()
   }
+
+  test("the stream survives a table evolution mid-flight: aligned to its pinned schema") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 3).coalesce(1), root) // (id LONG, v STRING)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-changefeed").option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-ckpt3").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= b.collect().map(r => (r.getLong(0), r.getString(1))) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // evolution AFTER the pin: a batch with an ADDED column (w) and an
+      // INT-typed id (widened at read) — the stream must keep flowing,
+      // aligned to its pinned (id LONG, v STRING) schema
+      CommitLog.append(Seq((4, "row4", 8L)).toDF("id", "v", "w").coalesce(1), root)
+      q.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) ==
+        (1 to 4).map(i => (i.toLong, s"row$i")).sorted)
+    } finally q.stop()
+  }
 }

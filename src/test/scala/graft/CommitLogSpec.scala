@@ -232,6 +232,17 @@ class CommitLogSpec extends AnyFunSuite {
     val bad = Seq((1L, "x", 9L)).toDF("id", "v", "extra")
     val e = intercept[IllegalArgumentException] { CommitLog.merge(bad, root, "id") }
     assert(e.getMessage.contains("does not match table schema"))
+    // NAME AND TYPE: an int-typed id next to the table's long id must be
+    // loud, not a silent write into the mixed-schema state
+    val badType = Seq((1, "x")).toDF("id", "v") // id INT vs table's LONG
+    val e2 = intercept[IllegalArgumentException] { CommitLog.merge(badType, root, "id") }
+    assert(e2.getMessage.contains("does not match table schema"))
+    // a STRING key would cast to null and misroute the merge into a pure
+    // insert (duplicated keys) — rejected loudly instead
+    val sroot = freshRoot()
+    val skeyed = Seq(("user-1", "a")).toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException] { CommitLog.merge(skeyed, sroot, "id") }
+    assert(e3.getMessage.contains("must be an integral type"))
   }
 
   test("snapshotEvolved: added columns null-fill, int widens to long, asOf keeps old schema") {

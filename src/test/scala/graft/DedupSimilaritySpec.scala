@@ -136,6 +136,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       drifted.filterNot(_.getAs[Boolean]("drifted")).mkString(","))
   }
 
+  test("hammingPairs refuses maxHamming > 3: the pigeonhole bound is the contract") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.q69DedupSimhashPairs(spark, sf, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("exact only for maxHamming in [0, 3]"))
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)

@@ -11,6 +11,7 @@ import graft.functions.EditDistanceKernel
   */
 class EditDistanceSpec extends AnyFunSuite {
   import TestSpark._
+  import spark.implicits._
 
   /** Reference: the textbook O(m·n) DP, independent of both Spark's and
     * the kernel's code paths. */
@@ -72,6 +73,19 @@ class EditDistanceSpec extends AnyFunSuite {
           regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("fb")), Seq("doc_b"))
       .filter(levenshtein(col("fa"), col("fb")).cast("long") =!= col("edit_distance"))
     assert(diff.count() == 0)
+  }
+
+  test("code-point semantics match functions.levenshtein on supplementary characters") {
+    // an emoji is ONE code point (a UTF-16 surrogate pair): a charAt DP
+    // would count 2 edits here and break the bit-identity contract
+    val pairs = Seq(
+      ("\uD83D\uDE00", "a"), ("x\uD83D\uDE00y", "xy"),
+      ("\uD83D\uDE00\uD83D\uDE01", "\uD83D\uDE00"),
+      ("caf\u00e9", "cafe"), ("\uD835\uDC9C\uD835\uDC9D", "AB"))
+    val df = pairs.toDF("a", "b")
+      .select(graft.functions.EditDistance.editDistance(col("a"), col("b")).as("k"),
+        levenshtein(col("a"), col("b")).cast("long").as("ref"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
   test("graft_edit_distance is SQL-registered and codegen-compatible") {
