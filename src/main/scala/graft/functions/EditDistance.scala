@@ -37,10 +37,12 @@ object EditDistanceKernel {
     if (a == b) return 0L
     // CODE POINTS, not UTF-16 chars: functions.levenshtein (UTF8String)
     // counts code points, so a surrogate pair (emoji) is ONE edit unit —
-    // the bit-identity contract would silently break on supplementary
-    // characters under a charAt DP (review finding, spec-pinned)
-    val ca = a.codePoints().toArray
-    val cb = b.codePoints().toArray
+    // the bit-identity contract would silently break on a charAt DP
+    // (review finding, spec-pinned). Single-pass direct conversion, not
+    // codePoints().toArray — the stream machinery measurably taxed the
+    // confirm hot path.
+    val ca = toCodePoints(a)
+    val cb = toCodePoints(b)
     val (s, t) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
     val m = s.length
     val n = t.length
@@ -52,6 +54,20 @@ object EditDistanceKernel {
       d = banded(s, t, k)
     }
     d.toLong
+  }
+
+  private def toCodePoints(x: String): Array[Int] = {
+    val n = x.length
+    val out = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val cp = x.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
   }
 
   /** Banded DP, band half-widths derived from k (requires k ≥ n−m, which
