@@ -1441,21 +1441,26 @@ object TextAnalysis {
     * occurs under MORE THAN ONE doc_id (within-doc window overlap must
     * not count — overlapping windows of ordinary prose repeat tokens by
     * construction). Integer bp; `mostly_boilerplate` at ≥ 5000 bp (half
-    * the doc lives elsewhere). Scale shape: the chunk table's one
-    * (hash) exchange + one (doc) fold — no joins back to the corpus.
+    * the doc lives elsewhere). Scale shape: the chunk table is derived
+    * ONCE — "more than one distinct doc_id" is decided by a
+    * min≠max window over content_hash (Spark has no COUNT(DISTINCT)
+    * window, but for that predicate min(doc_id)≠max(doc_id) is exact),
+    * so the plan is one (hash) exchange + one (doc) fold with no join
+    * back to a second chunking pass (the q31/q174 common-subtree
+    * lesson: Spark shares nothing across join inputs).
     */
   def q203DupChunkShare(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = q174DocChunks(s, dir)
       .select(col("doc_id"), md5(col("chunk_text")).as("content_hash"))
-    val crossDoc = chunks.groupBy(col("content_hash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("content_hash"))
+    val byHash = Window.partitionBy(col("content_hash"))
     chunks
-      .join(crossDoc.withColumn("is_dup", lit(1L)), Seq("content_hash"), "left")
+      .withColumn("is_dup",
+        (min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+          .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+        sum(col("is_dup")).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         expr("n_dup_chunks * 10000 DIV n_chunks").as("dup_share_bp"))
       .withColumn("mostly_boilerplate", col("dup_share_bp") >= 5000)
