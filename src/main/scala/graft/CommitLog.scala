@@ -67,6 +67,13 @@ object CommitLog {
   private val LogDir = "_graft_log"
   private val MaxCommitRetries = 20
 
+  /** [[delete]] key-count ceiling for the literal `isin` survivor filter;
+    * above it the rewrite anti-joins a broadcast key frame instead — a
+    * 100k-literal In expression is an analyzer/codegen blow-up (64 KB
+    * method limit, quadratic analysis), while the broadcast hash
+    * anti-join costs one tiny exchange and scales to millions of keys. */
+  private val DeleteIsinMaxKeys = 1000
+
   /** Newest txn tokens a checkpoint carries forward (see [[checkpoint]]). */
   private val TxnRetention = 1000
 
@@ -561,6 +568,19 @@ object CommitLog {
     */
   private[graft] def changedFiles(s: SparkSession, root: String,
       sinceVersion: Long, toVersion: Long): (Seq[String], Long) = {
+    val (byVersion, head) = changedFilesByVersion(s, root, sinceVersion, toVersion)
+    (byVersion.flatMap(_._2), head)
+  }
+
+  /** [[changedFiles]] with per-version attribution — the change walk the
+    * streaming source's admission control needs (it decides how many
+    * versions fit a micro-batch from each version's file count, in ONE
+    * log-dir listing instead of one per candidate version). Versions
+    * whose commits carry no new-row files (compaction, checkpoints,
+    * pure rewrites, pure removes) still appear, with an empty file list
+    * — the cursor must be able to advance past them. */
+  private[graft] def changedFilesByVersion(s: SparkSession, root: String,
+      sinceVersion: Long, toVersion: Long): (Seq[(Long, Seq[String])], Long) = {
     val f = fs(s, root)
     val dir = new Path(s"$root/$LogDir")
     require(f.exists(dir), s"commit-log table at $root is empty")
@@ -573,12 +593,16 @@ object CommitLog {
       .sortBy(_._1)
     require(commits.nonEmpty, s"commit-log table at $root is empty")
     val head = commits.last._1
-    val files = commits
+    val byVersion = commits
       .filter { case (v, _) => v > sinceVersion && v <= toVersion }
-      .map { case (v, p) => readEntry(f, v, p) }
-      .filter(c => c.op != "compact" && c.op != "checkpoint")
-      .flatMap(c => c.add.filterNot(c.rewrite.toSet)) // rewrites carry no new rows
-    (files, head)
+      .map { case (v, p) =>
+        val c = readEntry(f, v, p)
+        val files =
+          if (c.op == "compact" || c.op == "checkpoint") Seq.empty[String]
+          else c.add.filterNot(c.rewrite.toSet) // rewrites carry no new rows
+        (v, files)
+      }
+    (byVersion, head)
   }
 
   /** Fold the log at head into one CHECKPOINT entry
@@ -709,8 +733,11 @@ object CommitLog {
     * live file can contain any key.
     *
     * `keys` is a driver-held set (the operation's real shape: a handful
-    * of subject ids); for corpus-scale retractions use [[merge]]'s
-    * anti-join machinery. Null keys never match and are never deleted.
+    * of subject ids). Small sets filter with a literal `isin`; above
+    * [[DeleteIsinMaxKeys]] the rewrite switches to a broadcast anti-join
+    * (a 100k-literal In is an analyzer/codegen blow-up), so bulk
+    * retractions are safe too. Null keys never match and are never
+    * deleted.
     * Same concurrency contract as [[compact]]: races appends safely
     * (removal set re-derived at commit time), one writer per table for
     * destructive ops. `txnId` makes the delete EXACTLY-ONCE under
@@ -720,20 +747,44 @@ object CommitLog {
   def delete(s: SparkSession, root: String, keyCol: String, keys: Seq[Long],
       statsFor: Option[Seq[String]] = None,
       txnId: Option[String] = None): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, not}
     if (keys.isEmpty) return None
     if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
       return None // replay: skip the probe and the rewrite
     val entries = log(s, root)
     val live = liveFiles(s, root)
     val stats = statFold(entries, keyCol)
+    // sorted distinct keys: the per-file admission probe is then one
+    // binary search per file ("any key in [min, max]" = first key ≥ min
+    // is ≤ max) instead of an O(files × keys) driver scan
+    val sortedKeys = keys.distinct.sorted.toArray
+    def admits(min: Long, max: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sortedKeys, min)
+      val at = if (i >= 0) i else -i - 1
+      at < sortedKeys.length && sortedKeys(at) <= max
+    }
     val touched = live.filter { f =>
-      stats.get(f).forall(st => keys.exists(k => k >= st.min && k <= st.max))
+      stats.get(f).forall(st => admits(st.min, st.max))
     }
     if (touched.isEmpty) return None
     requireIntegralKey(requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
-    val survivors = s.read.parquet(touched.map(p => s"$root/$p"): _*)
-      .filter(col(keyCol).isNull || not(col(keyCol).isin(keys.map(lit): _*)))
+    val scan = s.read.parquet(touched.map(p => s"$root/$p"): _*)
+    val survivors =
+      if (sortedKeys.length <= DeleteIsinMaxKeys)
+        scan.filter(col(keyCol).isNull ||
+          not(col(keyCol).isin(sortedKeys.map(lit).toSeq: _*)))
+      else {
+        // broadcast anti-join for bulk retractions: null target keys
+        // never equal a key row, so they survive, matching the isin path
+        val keyDf = s.createDataFrame(
+          s.sparkContext.parallelize(sortedKeys.toSeq.map(Tuple1(_)), 1)
+            .map(t => org.apache.spark.sql.Row(t._1)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_del_key",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        scan.join(broadcast(keyDf),
+          col(keyCol).cast("long") === col("__graft_del_key"), "left_anti")
+      }
     val add = writeData(survivors, root)
     val stCols = statsFor.getOrElse(Seq(keyCol))
     val committed = commitEntry(s, root, "delete", add, entries => {
@@ -904,7 +955,7 @@ object CommitLog {
     * else across versions is an incompatible change and rejected loudly
     * — silent coercion (string→long, narrowing, decimal reshape) is how
     * a 100 TB table corrupts quietly. */
-  private def widen(a: org.apache.spark.sql.types.DataType,
+  private[graft] def widen(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     (a, b) match {
@@ -930,6 +981,24 @@ object CommitLog {
     val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*) }
     if (frames.map(_.schema).distinct.size == 1)
       return s.read.parquet(files.map(p => s"$root/$p"): _*)
+    // a RENAME is not a readable evolution: it shows up as two groups
+    // with INCOMPARABLE column sets (one misses the old name, the other
+    // the new), and the null-fill fold below would silently produce two
+    // half-null columns. Pure additions always leave the groups' column
+    // sets totally ordered by ⊆, so reject any incomparable pair loudly,
+    // naming both sides' unique columns.
+    val colSets = frames.map(_.schema.fieldNames.toSet)
+    for (i <- colSets.indices; j <- (i + 1) until colSets.size) {
+      val (a, b) = (colSets(i), colSets(j))
+      if (!a.subsetOf(b) && !b.subsetOf(a))
+        throw new IllegalArgumentException(
+          s"incompatible schema evolution at $root: file groups have " +
+            s"incomparable column sets (only in one: ${(a -- b).toSeq.sorted.mkString(", ")}; " +
+            s"only in the other: ${(b -- a).toSeq.sorted.mkString(", ")}) — " +
+            "this is a rename/drop+add, which null-fills both halves; " +
+            "evolve by addition (add the new column, backfill, then stop " +
+            "writing the old) instead")
+    }
     val unified = scala.collection.mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.DataType]
     frames.foreach(_.schema.fields.foreach { f =>

@@ -31,11 +31,25 @@ import graft.CommitLog
   *
   * Options: `path` (table root, required); `startingVersion` (default 0
   * = everything ever committed; set to `headVersion` at deploy time for
-  * new-changes-only). Schema: pinned to the current snapshot's at query
-  * start (a stream cannot widen its schema mid-flight); batches spanning
-  * a table evolution ALIGN to the pin — widened columns upcast, columns
-  * added after the pin are dropped until a restart re-pins, pre-evolution
-  * files null-fill (the evolved fold's contract, applied per batch).
+  * new-changes-only); `maxVersionsPerBatch` / `maxFilesPerBatch`
+  * (backfill admission control — without them a stream started with
+  * months of history puts the ENTIRE `(startingVersion, head]` window in
+  * one giant first micro-batch; with them the offset advances in bounded
+  * steps, each micro-batch ≤ maxVersionsPerBatch commit versions and,
+  * version-greedily, ≤ maxFilesPerBatch files. A single version is the
+  * atomic unit: one version whose commit alone exceeds maxFilesPerBatch
+  * still lands whole — versions are never split, so replay stays
+  * exactly-once). Schema: pinned to the current snapshot's at query
+  * start (a stream cannot widen its schema mid-flight); an
+  * empty-but-existing table pins from the newest committed file's
+  * footer, or from an explicit `.schema(...)` when no data was ever
+  * committed — the stream then starts idle and wakes on the first
+  * commit. Batches spanning a table evolution ALIGN to the pin — widened
+  * columns upcast, columns added after the pin are dropped until a
+  * restart re-pins, pre-evolution files null-fill; any OTHER divergence
+  * from the pin (type swap, a pinned column now wider than the pin)
+  * fails the stream loudly, matching the batch evolved-reader's
+  * contract — a silent cast would null or narrow 100 TB of CDC quietly.
   *
   * V1 `Source` deliberately: `getBatch` can hand the engine a plain
   * parquet scan over the window's files — the whole source is ~60 lines
@@ -52,37 +66,94 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-changefeed requires option 'path'"))
 
+  /** Schema pin at stream start: the live snapshot's when the table has
+    * data; the newest committed (possibly since-removed) file's footer
+    * when it exists but is currently empty — a fully-drained table is a
+    * legitimate stream start; it idles until the next commit. Only a
+    * table with NO data file ever committed needs an explicit schema. */
+  private def pinSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val spark = sqlContext.sparkSession
+    val tableRoot = root(parameters)
+    val live = CommitLog.liveFiles(spark, tableRoot)
+    val from = if (live.nonEmpty) live.takeRight(1)
+               else CommitLog.log(spark, tableRoot).flatMap(_.add).takeRight(1)
+    from match {
+      case Seq(f) => spark.read.parquet(s"$tableRoot/$f").schema
+      case _ => throw new IllegalArgumentException(
+        s"graft-changefeed: table at $tableRoot has no committed data file " +
+          "to pin a schema from — pass an explicit .schema(...) to start " +
+          "the stream against a never-written table")
+    }
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      CommitLog.snapshot(sqlContext.sparkSession, root(parameters)).schema))
+    (shortName(), schema.getOrElse(pinSchema(sqlContext, parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val tableRoot = root(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
-    val resolved = schema.getOrElse(
-      CommitLog.snapshot(sqlContext.sparkSession, tableRoot).schema)
-    new ChangeFeedStreamSource(sqlContext, tableRoot, starting, resolved)
+    def bound(name: String): Long = parameters.get(name).map(_.toLong) match {
+      case Some(n) if n < 1 => throw new IllegalArgumentException(
+        s"graft-changefeed: $name must be >= 1, got $n")
+      case other => other.getOrElse(Long.MaxValue)
+    }
+    val resolved = schema.getOrElse(pinSchema(sqlContext, parameters))
+    new ChangeFeedStreamSource(sqlContext, tableRoot, starting, resolved,
+      bound("maxVersionsPerBatch"), bound("maxFilesPerBatch"))
   }
 }
 
 private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
-    root: String, startingVersion: Long, override val schema: StructType)
+    root: String, startingVersion: Long, override val schema: StructType,
+    maxVersionsPerBatch: Long, maxFilesPerBatch: Long)
     extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  /** Newest committed version, as the stream's available offset; None
-    * until the table has a commit past the starting point. A missing
-    * log directory reads as head 0 (headVersion's own contract) — but
-    * IO failures and corrupt log entries PROPAGATE and fail the query
-    * loudly; a catch-all here would turn log corruption into a silently
-    * idle "healthy" stream (review finding). */
+  /** Newest version already handed to the engine through [[getBatch]]
+    * (admission control's base). Synced from BOTH ends of every batch:
+    * after a restart whose offset log was fully committed, the engine's
+    * first getOffset can arrive before any getBatch — the bounded offset
+    * computed from a stale base may then precede the committed offset,
+    * the engine runs one EMPTY catch-up batch (`(5, 3]` selects
+    * nothing), and the `from` of that batch re-syncs the cursor; no
+    * version is ever replayed or skipped. */
+  @volatile private var cursor: Long = startingVersion
+
+  /** Available offset = head, admission-bounded: walk versions past the
+    * cursor, version-greedy, until either bound trips; always admit at
+    * least one version (the atomic unit — a version never splits across
+    * batches, so checkpointed replay windows stay deterministic). A
+    * missing log directory reads as head 0 (headVersion's own contract)
+    * — but IO failures and corrupt log entries PROPAGATE and fail the
+    * query loudly; a catch-all here would turn log corruption into a
+    * silently idle "healthy" stream (review finding). */
   override def getOffset: Option[Offset] = {
+    val base = math.max(cursor, startingVersion)
     val head = CommitLog.headVersion(spark, root)
-    if (head > startingVersion) Some(LongOffset(head)) else None
+    if (head <= base) return None
+    if (maxVersionsPerBatch == Long.MaxValue && maxFilesPerBatch == Long.MaxValue)
+      return Some(LongOffset(head))
+    val hi = if (head - base > maxVersionsPerBatch) base + maxVersionsPerBatch else head
+    val (byVersion, _) = CommitLog.changedFilesByVersion(spark, root, base, hi)
+    var end = base
+    var files = 0L
+    var full = false // stop at the FIRST version that doesn't fit —
+    // admitting a later, smaller one would silently drag the skipped
+    // version's files into the window (offsets are contiguous ranges)
+    byVersion.foreach { case (v, fs) =>
+      if (!full) {
+        if (end == base || files + fs.size <= maxFilesPerBatch) {
+          end = v
+          files += fs.size
+        } else full = true
+      }
+    }
+    if (end > base) Some(LongOffset(end)) else None
   }
 
   /** One schema group = one immutable d-<uuid> dir; inferred footer
@@ -110,20 +181,35 @@ private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
     import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(o => LongOffset(o.json().toLong).offset).getOrElse(startingVersion)
     val to = LongOffset(end.json().toLong).offset
+    cursor = math.max(cursor, math.max(from, to))
     val (files, _) = CommitLog.changedFiles(spark, root, from, to)
     if (files.isEmpty) return groupFrame(Seq.empty, Some(schema))
     // per-dir groups aligned to the PINNED schema (cast widened columns,
     // null-fill later additions, drop columns beyond the pin): a window
     // or restart spanning a schema evolution streams on instead of
     // throwing in the vectorized reader (the evolved fold's contract,
-    // applied to the stream's fixed schema)
+    // applied to the stream's fixed schema). The alignment is
+    // widen-CHECKED per column, not a blind cast: a type the batch
+    // evolved reader would reject (string→long swap, decimal reshape) or
+    // a file column WIDER than the pin (long files under an int pin —
+    // the cast would narrow) fails the stream loudly with both types.
     files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       .map { case (_, fs) => groupFrame(fs, None) }
       .map { df =>
-        val have = df.columns.toSet
+        val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
         df.select(schema.fields.toSeq.map { f =>
-          (if (have(f.name)) col(f.name).cast(f.dataType)
-           else lit(null).cast(f.dataType)).as(f.name)
+          have.get(f.name) match {
+            case None => lit(null).cast(f.dataType).as(f.name)
+            case Some(t) =>
+              if (!CommitLog.widen(t, f.dataType).contains(f.dataType))
+                throw new IllegalArgumentException(
+                  s"graft-changefeed: column '${f.name}' at $root evolved " +
+                    s"incompatibly mid-stream: files carry ${t.sql}, the " +
+                    s"stream's pinned schema says ${f.dataType.sql} — only " +
+                    "additions and int→long / float→double widenings into " +
+                    "the pin are streamable; restart the stream to re-pin")
+              col(f.name).cast(f.dataType).as(f.name)
+          }
         }: _*)
       }
       .reduce(_ union _)

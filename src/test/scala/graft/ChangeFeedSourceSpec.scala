@@ -108,6 +108,141 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("backfill admission control: maxVersionsPerBatch splits history into bounded batches, rows exactly-once") {
+    val root = freshRoot()
+    (1 to 6).foreach(i => // six 1-file versions of deep history
+      CommitLog.append(batchDf(i * 10 + 1, i * 10 + 5).coalesce(1), root))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .option("maxVersionsPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-adm").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.synchronized { seen += id -> b.collect().map(_.getLong(0)).sorted.toSeq }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batches = seen.synchronized(seen.filter(_._2.nonEmpty).toVector)
+      // 6 versions / 2 per batch = 3 bounded micro-batches, not one giant one
+      assert(batches.size == 3, s"expected 3 bounded batches, got: $batches")
+      // each batch = exactly 2 whole versions (10 rows); nothing split
+      assert(batches.forall(_._2.size == 10), s"a version was split: $batches")
+      // exactly-once across the whole backfill: every row once
+      val all = batches.flatMap(_._2)
+      assert(all.size == all.distinct.size)
+      assert(all.sorted == (1 to 6).flatMap(i => (i * 10 + 1) to (i * 10 + 5)).map(_.toLong))
+    } finally q.stop()
+  }
+
+  test("admission control by files: maxFilesPerBatch packs versions greedily, one version minimum") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 8).repartition(2), root)   // v1: 2 files
+    CommitLog.append(batchDf(11, 18).repartition(2), root) // v2: 2 files
+    CommitLog.append(batchDf(21, 28).repartition(4), root) // v3: 4 files > cap — atomic anyway
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .option("maxFilesPerBatch", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-admf").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen += b.collect().map(_.getLong(0)).sorted.toSeq }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batches = seen.synchronized(seen.filter(_.nonEmpty).toVector)
+      // v1 alone (v1+v2 = 4 files > 3), then v2 alone, then v3 whole
+      // (4 files exceed the cap but a version is the atomic unit)
+      assert(batches.map(_.toSet) == Vector(
+        (1L to 8L).toSet, (11L to 18L).toSet, (21L to 28L).toSet),
+        s"unexpected batch packing: $batches")
+    } finally q.stop()
+  }
+
+  test("a drained-empty table still starts a stream: schema pins from the newest committed file") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 3).coalesce(1), root)
+    CommitLog.delete(spark, root, "id", Seq(1L, 2L, 3L)) // survivors: none
+    assert(CommitLog.liveFiles(spark, root).isEmpty ||
+      CommitLog.snapshot(spark, root).count() == 0)
+    val deployAt = CommitLog.headVersion(spark, root)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .option("startingVersion", deployAt.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-empty").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable() // idles: nothing live, nothing new
+      assert(got.synchronized(got.isEmpty))
+      CommitLog.append(batchDf(11, 12).coalesce(1), root) // wake on first commit
+      q.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) == Seq(11L, 12L))
+    } finally q.stop()
+  }
+
+  test("a never-written table needs an explicit schema, then streams from the first commit") {
+    val root = freshRoot()
+    // no schema to pin from: loud, actionable reject
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changefeed").option("path", root).load()
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // with an explicit schema the stream starts idle and wakes on commit
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", root)
+      .schema(batchDf(1, 1).schema)
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-never").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      CommitLog.append(batchDf(5, 6).coalesce(1), root)
+      q.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) == Seq(5L, 6L))
+    } finally q.stop()
+  }
+
+  test("an incompatible mid-stream type swap fails the stream loudly, matching batch semantics") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 3).coalesce(1), root) // pins (id LONG, v STRING)
+    val q = spark.readStream.format("graft-changefeed").option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cfeed-swap").toString)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => (): Unit }
+      .start()
+    try {
+      q.processAllAvailable()
+      // v becomes LONG mid-stream: the blind cast would quietly corrupt
+      // the feed (long→string here; string→long nulls) — must THROW
+      CommitLog.append(Seq((4L, 42L)).toDF("id", "v").coalesce(1), root)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => t.getMessage != null &&
+          t.getMessage.contains("evolved incompatibly mid-stream")),
+        s"wrong failure: ${chain(e).map(_.getMessage)}")
+    } finally q.stop()
+  }
+
   test("the stream survives a table evolution mid-flight: aligned to its pinned schema") {
     val root = freshRoot()
     CommitLog.append(batchDf(1, 3).coalesce(1), root) // (id LONG, v STRING)

@@ -701,6 +701,108 @@ class CommitLogSpec extends AnyFunSuite {
     assert(read2 == 1)
   }
 
+  test("snapshotEvolved rejects a rename loudly instead of two half-null columns") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 5).coalesce(1), root) // (id, v)
+    // "rename" v -> w: the second group misses v and carries w — the
+    // null-fill fold would silently make BOTH columns half-null
+    CommitLog.append(Seq((6L, "row6")).toDF("id", "w").coalesce(1), root)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.snapshotEvolved(spark, root)
+    }
+    assert(e.getMessage.contains("incomparable column sets") &&
+      e.getMessage.contains("v") && e.getMessage.contains("w"), e.getMessage)
+  }
+
+  test("bulk delete switches to the broadcast anti-join path; nulls survive; result exact") {
+    val root = freshRoot()
+    val withNull = ((1 to 3000).map(i => (Some(i.toLong), s"row$i")) :+
+      ((None: Option[Long]), "rowNull")).toDF("id", "v")
+    CommitLog.append(withNull.coalesce(2), root, statsFor = Seq("id"))
+    // 2000 distinct keys > the literal-isin ceiling (1000): the rewrite
+    // must anti-join, and null target keys never match a key row
+    val v = CommitLog.delete(spark, root, "id", (1L to 2000L), statsFor = Some(Seq("id")))
+    assert(v.nonEmpty)
+    val left = CommitLog.snapshot(spark, root)
+    assert(left.count() == 1001)
+    assert(left.filter(col("id").isNull).count() == 1)
+    assert(ids(left.filter(col("id").isNotNull)) == (2001L to 3000L))
+  }
+
+  test("delete races an append: removal set re-derived at the moved head, no lost appends, no resurrected keys") {
+    val root = freshRoot()
+    (0 until 3).foreach(i => CommitLog.append(
+      batch(i * 10 + 1, i * 10 + 10).coalesce(1), root, statsFor = Seq("id")))
+    // the race: delete derives its touched set, writes survivors, and an
+    // append lands BEFORE the delete commits. Fire the append from a
+    // watcher thread the moment the survivor data dir hits the disk —
+    // i.e. inside delete's derive→commit window. commitEntry re-derives
+    // `remove` against the moved head, so the appended file (not in
+    // `touched`) must survive untouched whichever side commits first.
+    val dirsBefore = new java.io.File(root).listFiles().count(_.getName.startsWith("d-"))
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!appended.get() && System.nanoTime() < deadline) {
+        val dirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+        if (dirs.size > dirsBefore) {
+          CommitLog.append(batch(41, 50).coalesce(1), root, statsFor = Seq("id"))
+          appended.set(true)
+        } else Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    val v = CommitLog.delete(spark, root, "id", Seq(3L, 17L), statsFor = Some(Seq("id")))
+    watcher.join(30000)
+    // whichever interleaving the scheduler produced, the append must
+    // have fired (the survivor dir always appears) …
+    assert(appended.get(), "racing append never fired")
+    assert(v.nonEmpty)
+    // … no lost appends, no resurrected keys, deletes applied:
+    val got = ids(CommitLog.snapshot(spark, root))
+    assert(got == ((1L to 30L).filterNot(Set(3L, 17L)) ++ (41L to 50L)).sorted, got)
+    // and the delete's removal set named only files it derived against —
+    // never the racer's
+    val deleteEntry = CommitLog.log(spark, root).find(_.op == "delete").get
+    val appendEntry = CommitLog.log(spark, root)
+      .filter(_.op == "append").maxBy(_.version)
+    assert(deleteEntry.remove.toSet.intersect(appendEntry.add.toSet).isEmpty)
+  }
+
+  test("merge races an append on disjoint keys: both land, latest-wins per key, nothing duplicated") {
+    val root = freshRoot()
+    (0 until 2).foreach(i => CommitLog.append(
+      batch(i * 10 + 1, i * 10 + 10).coalesce(1), root, statsFor = Seq("id")))
+    val dirsBefore = new java.io.File(root).listFiles().count(_.getName.startsWith("d-"))
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!appended.get() && System.nanoTime() < deadline) {
+        val dirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+        if (dirs.size > dirsBefore) {
+          CommitLog.append(batch(31, 40).coalesce(1), root, statsFor = Seq("id"))
+          appended.set(true)
+        } else Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    val v = CommitLog.merge(
+      Seq((5L, "upd5"), (99L, "new99")).toDF("id", "v").coalesce(1), root, "id")
+    watcher.join(30000)
+    assert(appended.get(), "racing append never fired")
+    assert(v.nonEmpty)
+    val rows = CommitLog.snapshot(spark, root).as[(Long, String)].collect().toSeq
+    // no duplicates anywhere …
+    assert(rows.map(_._1).sorted == rows.map(_._1).distinct.sorted)
+    // … the update applied, the insert landed, the racer's rows all live
+    val byId = rows.toMap
+    assert(byId(5L) == "upd5" && byId(99L) == "new99")
+    assert((31L to 40L).forall(i => byId.get(i).contains(s"row$i")))
+    assert(rows.size == 20 + 10 + 1)
+  }
+
   test("compact races an append safely: the racing rows stay live") {
     val root = freshRoot()
     (0 until 3).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 10), root))
