@@ -427,9 +427,17 @@ object Dedup {
     * perceptual/similarity hash (text simhash there, image pHash in
     * [[Multimodal]]'s q197). Pigeonhole: maxHamming ≤ 3 differing bits
     * touch at most 3 of the 4 16-bit bands, so every such pair shares a
-    * band — the result is exact, hence NO hot-bucket cap (see q69 doc).
+    * band — the result is exact, hence NO hot-bucket cap by default (see
+    * q69 doc). The degenerate edge is a (near-)constant-hash corpus
+    * (e.g. millions of empty documents): one band bucket then collects
+    * into a single `collect_list` row and the n² expansion is an
+    * executor OOM. Setting `graft.dedup.maxExactBucketSize` turns that
+    * into a LOUD failure — any band bucket over the cap throws with the
+    * pre-collapse advice instead of silently dropping pairs (dropping
+    * would break the exactness contract) or dying mid-task. Default:
+    * unset = unchanged unbounded-exact behavior.
     */
-  private[operators] def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     // the pigeonhole guarantee is the whole contract: 4 bands are exact
     // ONLY up to hamming 3 — a larger cap would silently miss pairs that
     // share no band (review finding: loud, never approximate-by-accident)
@@ -450,11 +458,27 @@ object Dedup {
     // filter (same-session isolated A/B at sf0.1: 1.55 → 1.21 s; the
     // structural win is what matters at 100 TB — the pair exchange
     // shrinks from O(Σ bucket²) to O(confirmed near-dup pairs))
-    sh
+    val bucketed = sh
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
       .groupBy(col("band.band_id").as("band_id"), col("band.sig").as("sig"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // loud mega-bucket ceiling (opt-in): a filter, not a dropped column,
+    // so the optimizer can never prune the check away
+    val cap = hashes.sparkSession.conf.getOption("graft.dedup.maxExactBucketSize")
+      .map(_.toInt)
+    val guarded = cap.fold(bucketed) { c =>
+      require(c >= 2, s"graft.dedup.maxExactBucketSize must be >= 2, got $c")
+      bucketed.filter(
+        when(size(col("ids")) <= c, lit(true)).otherwise(raise_error(concat(
+          lit("hammingPairs: a hamming band bucket holds "),
+          size(col("ids")).cast("string"),
+          lit(s" docs, over graft.dedup.maxExactBucketSize=$c — a " +
+            "(near-)constant-hash corpus makes the exact n² expansion an " +
+            "executor OOM; pre-collapse exact duplicates (q28) before " +
+            "near-dup pairing, or unset the cap to accept the cost")))))
+    }
+    guarded
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)), y ->

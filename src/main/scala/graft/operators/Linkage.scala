@@ -25,8 +25,16 @@ object Linkage {
     * `id_a < id_b` keeps each unordered pair once. Scores come from the
     * native codegen'd [[graft.functions.JaroWinkler]] expression — exact
     * integer basis points, no doubles, so the pair set is engine- and
-    * replay-stable. Rows-only (Jaro–Winkler has no DuckDB-portable SQL
-    * mirror); LinkageSpec brute-forces the block recall and pins the
+    * replay-stable. DuckDB-oracled via its built-in
+    * `jaro_winkler_similarity` (same Winkler form: prefix ≤ 4, p = 0.1,
+    * 0.7 boost threshold): `floor(sim * 10000)` matched this exact
+    * integer kernel on EVERY in-block pair at sf0.001/0.01/0.1
+    * (0 / 9 900 / 999 806 pairs, full-result equality, not just the
+    * emitted rows), including the ~31% of pairs whose 10000·jw is an
+    * exact integer — the floor-boundary ulp risk is real in theory but
+    * empirically absent here because both engines hit those rationals
+    * exactly; the non-integer pairs sit ≥ 0.0129 from a boundary.
+    * LinkageSpec additionally brute-forces block recall and pins the
     * kernel to the literature's hand-computed values.
     */
   def q143LinkagePairs(s: SparkSession, dir: String): DataFrame = {
@@ -48,7 +56,18 @@ object Linkage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_linkage_pairs" -> (q143LinkagePairs _))
 
-  /** Rows-only: the JW kernel is spec-gated (literature values + block
-    * recall brute force), not SQL-mirrored. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q143_linkage_pairs" ->
+      """WITH parts AS (
+           SELECT p_partkey, p_brand, p_name,
+                  string_split(p_name, ' ')[1] AS name_head
+           FROM part)
+         SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+                a.p_name AS name_a, b.p_name AS name_b,
+                CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000)
+                  AS BIGINT) AS jw_bp
+         FROM parts a JOIN parts b
+           ON a.p_brand = b.p_brand AND a.name_head = b.name_head
+          AND a.p_partkey < b.p_partkey
+         WHERE jw_bp >= 9000 AND jw_bp < 10000""")
 }

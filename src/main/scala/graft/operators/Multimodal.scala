@@ -316,7 +316,12 @@ object Multimodal {
     * (side = 8 + doc_id % 25, text bytes tiled, every 97th payload
     * truncated); corrupt payloads decode to None and are DROPPED here —
     * a near-dup pair search has nothing to say about undecodable media
-    * (q61's quarantine is where they are counted). */
+    * (q61's quarantine is where they are counted). Every 101st doc is
+    * the CLONE lane ([[cloneLaneGroup]]): its pixels synthesize from a
+    * group-canonical byte string shared by exactly TWO doc_ids, so the
+    * pair pipeline has deterministic true positives at every SF — the
+    * protocol's rows>0 proof, with clique size capped at 2 (never a
+    * corpus-scale n² bucket). */
   private[graft] def phashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs
@@ -324,11 +329,13 @@ object Multimodal {
       .as[DocPayload]
       .mapPartitions { it =>
         it.flatMap { p =>
-          val side = 8 + (p.doc_id % 25).toInt
+          val clone = cloneLaneGroup(p.doc_id)
+          val side = clone.fold(8 + (p.doc_id % 25).toInt)(g => 8 + (g % 25).toInt)
+          val bytes = clone.fold(p.payload)(g => s"graft-clone-image-$g".getBytes("UTF-8"))
           val px = new Array[Byte](side * side)
           var i = 0
-          while (p.payload.nonEmpty && i < px.length) {
-            px(i) = p.payload(i % p.payload.length); i += 1
+          while (bytes.nonEmpty && i < px.length) {
+            px(i) = bytes(i % bytes.length); i += 1
           }
           val img = PgmCodec.encode(side, side, px)
           val payload = if (p.doc_id % 97 == 0) java.util.Arrays.copyOf(img, img.length / 2)
@@ -338,6 +345,19 @@ object Multimodal {
       }
       .toDF("doc_id", "phash")
   }
+
+  /** The multimodal synths' deterministic CLONE lane: every 101st doc
+    * renders from a canonical payload keyed by `doc_id / 101 / 2`, so
+    * consecutive lane members (202 and 303, 404 and 505, …) are
+    * byte-identical media — planted true positives that make the
+    * q197/q198 pair pipelines protocol-visible (>0 rows) at every SF.
+    * The group key pairs docs in cliques of AT MOST 2: at 100 TB the
+    * lane adds O(corpus/101) trivially-confirmed pairs, never a
+    * quadratic same-hash bucket. 101 is coprime to the corrupt lanes
+    * (89, 97), so only the rare intersection multiples lose their pair
+    * to quarantine (doc 0 does — its partner 101 simply goes unpaired). */
+  private def cloneLaneGroup(docId: Long): Option[Long] =
+    if (docId % 101 == 0) Some(docId / 101 / 2) else None
 
   /** q197: IMAGE near-dup pairs — the multimodal half of the dedup
     * brief's "embedding-cosine near-dup" family, on pixels instead of
@@ -485,8 +505,11 @@ object Multimodal {
     val e = new Array[Long](w)
     var i = 0
     while (i < w) {
-      val lo = i * samples.length / w
-      val hi = (i + 1) * samples.length / w
+      // long multiply: i * length overflows Int32 past ~33M samples
+      // (a one-hour 48 kHz mono stream is 172M) and the negative bound
+      // would silently zero whole windows
+      val lo = (i.toLong * samples.length / w).toInt
+      val hi = ((i + 1).toLong * samples.length / w).toInt
       var acc = 0L; var j = lo
       while (j < hi) { acc += samples(j).toLong * samples(j).toLong; j += 1 }
       e(i) = acc; i += 1
@@ -497,7 +520,10 @@ object Multimodal {
   /** Per-doc audio fingerprints over q92's deterministic WAV synth
     * (800 + doc_id % 800 samples from tiled text bytes; the q92 corrupt
     * lanes truncate/splice). Undecodable payloads DROP (q92's quarantine
-    * counts them — a pair search has nothing to say about them). */
+    * counts them — a pair search has nothing to say about them). Every
+    * 101st doc is the CLONE lane ([[cloneLaneGroup]]): waveform
+    * synthesized from a group-canonical byte string shared by exactly
+    * two doc_ids — deterministic protocol-visible pairs at every SF. */
   private[graft] def audioFingerprintsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs
@@ -505,11 +531,13 @@ object Multimodal {
       .as[DocPayload]
       .mapPartitions { it =>
         it.flatMap { p =>
-          val n = 800 + (p.doc_id % 800).toInt
+          val clone = cloneLaneGroup(p.doc_id)
+          val n = clone.fold(800 + (p.doc_id % 800).toInt)(g => 800 + (g % 800).toInt)
+          val bytes = clone.fold(p.payload)(g => s"graft-clone-audio-$g".getBytes("UTF-8"))
           val samples = new Array[Short](n)
           var i = 0
-          while (p.payload.nonEmpty && i < n) {
-            samples(i) = (((p.payload(i % p.payload.length) & 0xff) - 128) * 256).toShort
+          while (bytes.nonEmpty && i < n) {
+            samples(i) = (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort
             i += 1
           }
           val wav = WavCodec.encode(8000, samples)

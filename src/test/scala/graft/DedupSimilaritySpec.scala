@@ -143,6 +143,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("exact only for maxHamming in [0, 3]"))
   }
 
+  test("hammingPairs mega-bucket ceiling: a constant-hash corpus fails loudly with the q28 advice") {
+    import spark.implicits._
+    // 50 docs with the SAME simhash: every band bucket holds all 50 —
+    // the degenerate shape (e.g. empty documents) whose n² expansion
+    // would OOM an executor at corpus scale
+    val constant = (1 to 50).map(i => (i.toLong, 0x5a5a5a5a5a5a5a5aL))
+      .toDF("doc_id", "simhash")
+    spark.conf.set("graft.dedup.maxExactBucketSize", "10")
+    try {
+      val e = intercept[Exception] { // SparkException wrapping the task's
+        Dedup.hammingPairs(constant, 3).count() // raise_error, any Spark version
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("maxExactBucketSize") &&
+        t.getMessage.contains("pre-collapse exact duplicates (q28)")),
+        chain(e).map(_.getMessage))
+      // default behavior unchanged: unset cap still expands exactly
+      spark.conf.unset("graft.dedup.maxExactBucketSize")
+      assert(Dedup.hammingPairs(constant, 3).count() == 50L * 49 / 2)
+    } finally spark.conf.unset("graft.dedup.maxExactBucketSize")
+  }
+
   test("q29 minhash candidates all have positive true jaccard") {
     val jac = Dedup.q31NgramJaccard(spark, sf).cache()
     assert(jac.count() > 0)

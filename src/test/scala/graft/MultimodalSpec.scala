@@ -249,10 +249,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
       r.getAs[Long]("doc_b") == 26L && r.getAs[Long]("hamming") == 0L), pairs.toSeq)
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L || r.getAs[Long]("doc_a") == 3L))
-    // the full corpus query runs and keeps its column contract
+    // the full corpus query is protocol-visible: the clone lane plants a
+    // deterministic identical pair (202, 303 share clone group 1)
     val live = Multimodal.q197ImagePhashPairs(TestSpark.spark, TestSpark.sf)
     assert(live.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
-    live.collect().foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    val liveRows = live.collect()
+    liveRows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    assert(liveRows.exists(r => r.getAs[Long]("doc_a") == 202L &&
+      r.getAs[Long]("doc_b") == 303L && r.getAs[Long]("hamming") == 0L),
+      s"clone-lane pair missing from corpus run: ${liveRows.toSeq}")
   }
 
   test("audio fingerprint: deterministic, volume-scale invariant, content-sensitive, short=0") {
@@ -269,6 +274,20 @@ class MultimodalSpec extends AnyFunSuite {
     val other = Array.tabulate(2000)(i => (if (i % 50 < 25) 8000 else -3000).toShort)
     assert(java.lang.Long.bitCount(Multimodal.audioFingerprint(other) ^ f) > 3)
     assert(Multimodal.audioFingerprint(Array.fill(64)(100.toShort)) == 0L)
+  }
+
+  test("audio fingerprint window bounds survive >33M samples (Int32 i*length overflow)") {
+    // 34M samples: i * length overflows Int32 from window 63 up — the
+    // overflowed (negative) bounds would silently zero the tail windows.
+    // Monotone DECREASING energy envelope → every e(b) > e(b+1) → all 64
+    // bits set; the overflow bug instead zeroes late windows and clears
+    // high bits.
+    val n = 34_000_000
+    val down = Array.tabulate(n)(j => ((n - 1 - j) / 524288 + 1).toShort)
+    assert(Multimodal.audioFingerprint(down) == -1L)
+    // monotone INCREASING envelope → no bit set
+    val up = Array.tabulate(n)(j => (j / 524288 + 1).toShort)
+    assert(Multimodal.audioFingerprint(up) == 0L)
   }
 
   test("q198 audio pairs: planted identical-synth docs pair at hamming 0; corrupt lane drops") {
@@ -288,5 +307,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 5L || r.getAs[Long]("doc_b") == 5L))
     val live = Multimodal.q198AudioFingerprintPairs(TestSpark.spark, TestSpark.sf)
     assert(live.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    // protocol-visible: the clone lane's (202, 303) identical pair
+    assert(live.collect().exists(r => r.getAs[Long]("doc_a") == 202L &&
+      r.getAs[Long]("doc_b") == 303L && r.getAs[Long]("hamming") == 0L))
   }
 }
