@@ -8,6 +8,33 @@ import org.apache.spark.sql.SparkSession
   * Prints exactly one JSON line for the driver.
   */
 object Bench {
+
+  /** Dead-code sink for the spin controls (keeps the JIT honest). */
+  @volatile private var spinSink: Long = 0L
+
+  /** Fixed-work xorshift spin: `threads` × 2×10⁸ iterations of pure
+    * register arithmetic — no allocation, no IO, no Spark. Its wall time
+    * depends ONLY on how much CPU the box actually gives this process,
+    * so a loaded box shows directly as a slower spin. One single-thread
+    * spin measures per-core contention; an all-cores spin measures
+    * machine-wide load (it saturates the same parallelism the suite
+    * uses). */
+  private def spinMs(threads: Int): Long = {
+    val work = 200000000L
+    def spin(seed: Long): Long = {
+      var x = seed; var i = 0L
+      while (i < work) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val t0 = System.nanoTime()
+    if (threads <= 1) spinSink ^= spin(42L)
+    else {
+      val ts = (1 to threads).map(i => new Thread(() => { spinSink ^= spin(42L + i) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    (System.nanoTime() - t0) / 1000000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +43,27 @@ object Bench {
     // engine, not JIT/classloading of the first query to run.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ---- load-control sandwich (before) ----
+    // The official artifact has repeatedly carried box-load contamination
+    // that could only be attributed rounds later (r12: 10 queries >2x AND
+    // 10 up to 10x faster on byte-identical code). These controls make
+    // every bench record self-documenting: fixed-work CPU spins (1 thread
+    // and all threads) plus one tiny fixed Spark query (q01), measured
+    // immediately before AND after the suite. An idle box reproduces the
+    // same control numbers every run; a loaded box inflates them in the
+    // same proportion it inflates the suite.
+    val nThreads = cpus.toInt
+    def sparkControlSec: Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val spin1Before = spinMs(1)
+    val spinNBefore = spinMs(nThreads)
+    val q01Before = sparkControlSec
     // two iterations per query, keep the min: a single cold run conflates
     // per-query codegen/JIT with steady-state throughput on a noisy box
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
@@ -63,9 +111,15 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flak = flaky.map { case (k, n) => "\"" + k + s"""":$n""" }
       .mkString("{", ",", "}")
+    // ---- load-control sandwich (after) ----
+    val spin1After = spinMs(1)
+    val spinNAfter = spinMs(nThreads)
+    val q01After = sparkControlSec
+    val loadControl =
+      f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f}"""
     val total = ok.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"load_control":$loadControl,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout, but long runs have had their tails
     // truncated (BENCH_r05 arrived with "parsed": null, losing the official
