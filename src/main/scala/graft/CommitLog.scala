@@ -569,18 +569,22 @@ object CommitLog {
   private[graft] def changedFiles(s: SparkSession, root: String,
       sinceVersion: Long, toVersion: Long): (Seq[String], Long) = {
     val (byVersion, head) = changedFilesByVersion(s, root, sinceVersion, toVersion)
-    (byVersion.flatMap(_._2), head)
+    (byVersion.flatMap(_._2).toSeq, head)
   }
 
   /** [[changedFiles]] with per-version attribution — the change walk the
     * streaming source's admission control needs (it decides how many
     * versions fit a micro-batch from each version's file count, in ONE
-    * log-dir listing instead of one per candidate version). Versions
-    * whose commits carry no new-row files (compaction, checkpoints,
-    * pure rewrites, pure removes) still appear, with an empty file list
-    * — the cursor must be able to advance past them. */
+    * log-dir listing instead of one per candidate version). The
+    * per-version entries are a LAZY iterator: the listing is one
+    * listStatus, but each element reads one commit file, and admission
+    * control stops at its bound — a files-only bound over a deep
+    * backfill must not parse the whole (since, head] window per trigger.
+    * Versions whose commits carry no new-row files (compaction,
+    * checkpoints, pure rewrites, pure removes) still appear, with an
+    * empty file list — the cursor must be able to advance past them. */
   private[graft] def changedFilesByVersion(s: SparkSession, root: String,
-      sinceVersion: Long, toVersion: Long): (Seq[(Long, Seq[String])], Long) = {
+      sinceVersion: Long, toVersion: Long): (Iterator[(Long, Seq[String])], Long) = {
     val f = fs(s, root)
     val dir = new Path(s"$root/$LogDir")
     require(f.exists(dir), s"commit-log table at $root is empty")
@@ -593,7 +597,7 @@ object CommitLog {
       .sortBy(_._1)
     require(commits.nonEmpty, s"commit-log table at $root is empty")
     val head = commits.last._1
-    val byVersion = commits
+    val byVersion = commits.iterator
       .filter { case (v, _) => v > sinceVersion && v <= toVersion }
       .map { case (v, p) =>
         val c = readEntry(f, v, p)
@@ -984,20 +988,33 @@ object CommitLog {
     // a RENAME is not a readable evolution: it shows up as two groups
     // with INCOMPARABLE column sets (one misses the old name, the other
     // the new), and the null-fill fold below would silently produce two
-    // half-null columns. Pure additions always leave the groups' column
-    // sets totally ordered by ⊆, so reject any incomparable pair loudly,
-    // naming both sides' unique columns.
-    val colSets = frames.map(_.schema.fieldNames.toSet)
-    for (i <- colSets.indices; j <- (i + 1) until colSets.size) {
-      val (a, b) = (colSets(i), colSets(j))
-      if (!a.subsetOf(b) && !b.subsetOf(a))
-        throw new IllegalArgumentException(
-          s"incompatible schema evolution at $root: file groups have " +
-            s"incomparable column sets (only in one: ${(a -- b).toSeq.sorted.mkString(", ")}; " +
-            s"only in the other: ${(b -- a).toSeq.sorted.mkString(", ")}) — " +
-            "this is a rename/drop+add, which null-fills both halves; " +
-            "evolve by addition (add the new column, backfill, then stop " +
-            "writing the old) instead")
+    // half-null columns. SEQUENTIAL additions always leave the groups'
+    // column sets totally ordered by ⊆, so reject any incomparable pair
+    // loudly, naming both sides' unique columns. A rename is structurally
+    // indistinguishable from DIVERGENT independent additions (two writers
+    // each adding a different column — also incomparable sets), so a
+    // caller who intends the latter opts back into the union-null-fill
+    // read with `graft.commitlog.allowDivergentColumns=true`; the default
+    // stays loud because a silent half-null rename corrupts 100 TB
+    // quietly while the divergent-writer pattern is rare and deliberate.
+    val allowDivergent = s.conf
+      .getOption("graft.commitlog.allowDivergentColumns").contains("true")
+    if (!allowDivergent) {
+      val colSets = frames.map(_.schema.fieldNames.toSet)
+      for (i <- colSets.indices; j <- (i + 1) until colSets.size) {
+        val (a, b) = (colSets(i), colSets(j))
+        if (!a.subsetOf(b) && !b.subsetOf(a))
+          throw new IllegalArgumentException(
+            s"incompatible schema evolution at $root: file groups have " +
+              s"incomparable column sets (only in one: ${(a -- b).toSeq.sorted.mkString(", ")}; " +
+              s"only in the other: ${(b -- a).toSeq.sorted.mkString(", ")}) — " +
+              "a rename/drop+add null-fills both halves and is rejected; " +
+              "evolve by addition (add the new column, backfill, then stop " +
+              "writing the old). If these really are independent ADDED " +
+              "columns from divergent writers, set " +
+              "graft.commitlog.allowDivergentColumns=true to read the " +
+              "null-filled union")
+      }
     }
     val unified = scala.collection.mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.DataType]

@@ -434,8 +434,10 @@ object Dedup {
     * executor OOM. Setting `graft.dedup.maxExactBucketSize` turns that
     * into a LOUD failure — any band bucket over the cap throws with the
     * pre-collapse advice instead of silently dropping pairs (dropping
-    * would break the exactness contract) or dying mid-task. Default:
-    * unset = unchanged unbounded-exact behavior.
+    * would break the exactness contract) or dying mid-task; the check
+    * runs on a count-only pre-aggregation BEFORE any bucket array
+    * materializes, so it stays loud at exactly the scale that motivates
+    * it. Default: unset = unchanged unbounded-exact behavior.
     */
   private[graft] def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     // the pigeonhole guarantee is the whole contract: 4 bands are exact
@@ -458,27 +460,48 @@ object Dedup {
     // filter (same-session isolated A/B at sf0.1: 1.55 → 1.21 s; the
     // structural win is what matters at 100 TB — the pair exchange
     // shrinks from O(Σ bucket²) to O(confirmed near-dup pairs))
-    val bucketed = sh
+    val banded = sh
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
-      .groupBy(col("band.band_id").as("band_id"), col("band.sig").as("sig"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // loud mega-bucket ceiling (opt-in): a filter, not a dropped column,
-    // so the optimizer can never prune the check away
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+    // loud mega-bucket ceiling (opt-in): the guard must fire BEFORE any
+    // bucket array materializes — collect_list on a corpus-scale
+    // constant-hash bucket is itself the OOM (review finding) — so with
+    // the cap set the plan grows a count-only pre-aggregation (longs,
+    // map-side combined, un-OOM-able) whose filter raises on an over-cap
+    // bucket, and the collect_list consumes only the semi-joined
+    // under-cap buckets. A filter, not a dropped column, so the
+    // optimizer can never prune the check away. Cap unset (default):
+    // the original single-aggregation shape, byte-identical behavior.
     val cap = hashes.sparkSession.conf.getOption("graft.dedup.maxExactBucketSize")
       .map(_.toInt)
-    val guarded = cap.fold(bucketed) { c =>
-      require(c >= 2, s"graft.dedup.maxExactBucketSize must be >= 2, got $c")
-      bucketed.filter(
-        when(size(col("ids")) <= c, lit(true)).otherwise(raise_error(concat(
-          lit("hammingPairs: a hamming band bucket holds "),
-          size(col("ids")).cast("string"),
-          lit(s" docs, over graft.dedup.maxExactBucketSize=$c — a " +
-            "(near-)constant-hash corpus makes the exact n² expansion an " +
-            "executor OOM; pre-collapse exact duplicates (q28) before " +
-            "near-dup pairing, or unset the cap to accept the cost")))))
+    val bucketed = cap match {
+      case None =>
+        banded
+          .groupBy(col("band_id"), col("sig"))
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+      case Some(c) =>
+        require(c >= 2, s"graft.dedup.maxExactBucketSize must be >= 2, got $c")
+        val admissible = banded
+          .groupBy(col("band_id"), col("sig"))
+          .agg(count(lit(1)).as("n")) // one doc appears once per bucket
+          .filter(
+            when(col("n") <= c, lit(true)).otherwise(raise_error(concat(
+              lit("hammingPairs: a hamming band bucket holds "),
+              col("n").cast("string"),
+              lit(s" docs, over graft.dedup.maxExactBucketSize=$c — a " +
+                "(near-)constant-hash corpus makes the exact n² expansion an " +
+                "executor OOM; pre-collapse exact duplicates (q28) before " +
+                "near-dup pairing, or unset the cap to accept the cost")))))
+          .filter(col("n") > 1)
+          .select(col("band_id"), col("sig"))
+        banded
+          .join(admissible, Seq("band_id", "sig"), "left_semi")
+          .groupBy(col("band_id"), col("sig"))
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
     }
-    guarded
+    bucketed
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)), y ->

@@ -67,23 +67,29 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-changefeed requires option 'path'"))
 
   /** Schema pin at stream start: the live snapshot's when the table has
-    * data; the newest committed (possibly since-removed) file's footer
-    * when it exists but is currently empty — a fully-drained table is a
-    * legitimate stream start; it idles until the next commit. Only a
-    * table with NO data file ever committed needs an explicit schema. */
+    * data; otherwise the newest committed file's footer among files that
+    * STILL EXIST on disk — a fully-drained table is a legitimate stream
+    * start (it idles until the next commit), and a drained-then-vacuumed
+    * one must fall through to the actionable error below, not a raw
+    * FileNotFoundException from a reclaimed path (review finding). Only
+    * a table with no readable committed file needs an explicit schema. */
   private def pinSchema(sqlContext: SQLContext,
       parameters: Map[String, String]): StructType = {
     val spark = sqlContext.sparkSession
     val tableRoot = root(parameters)
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val live = CommitLog.liveFiles(spark, tableRoot)
-    val from = if (live.nonEmpty) live.takeRight(1)
-               else CommitLog.log(spark, tableRoot).flatMap(_.add).takeRight(1)
-    from match {
-      case Seq(f) => spark.read.parquet(s"$tableRoot/$f").schema
-      case _ => throw new IllegalArgumentException(
-        s"graft-changefeed: table at $tableRoot has no committed data file " +
-          "to pin a schema from — pass an explicit .schema(...) to start " +
-          "the stream against a never-written table")
+    val candidates =
+      if (live.nonEmpty) live.reverse
+      else CommitLog.log(spark, tableRoot).flatMap(_.add).reverse
+    candidates.find(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tableRoot/$p"))) match {
+      case Some(f) => spark.read.parquet(s"$tableRoot/$f").schema
+      case None => throw new IllegalArgumentException(
+        s"graft-changefeed: table at $tableRoot has no readable committed " +
+          "data file to pin a schema from (never written, or drained and " +
+          "vacuumed) — pass an explicit .schema(...) to start the stream")
     }
   }
 
@@ -103,26 +109,55 @@ class ChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
     }
     val resolved = schema.getOrElse(pinSchema(sqlContext, parameters))
     new ChangeFeedStreamSource(sqlContext, tableRoot, starting, resolved,
-      bound("maxVersionsPerBatch"), bound("maxFilesPerBatch"))
+      bound("maxVersionsPerBatch"), bound("maxFilesPerBatch"), metadataPath)
   }
 }
 
 private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
     root: String, startingVersion: Long, override val schema: StructType,
-    maxVersionsPerBatch: Long, maxFilesPerBatch: Long)
+    maxVersionsPerBatch: Long, maxFilesPerBatch: Long, metadataPath: String)
     extends Source {
 
   private val spark = sqlContext.sparkSession
 
+  private val metaFs = new org.apache.hadoop.fs.Path(metadataPath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+  private val cursorPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-cursor")
+
   /** Newest version already handed to the engine through [[getBatch]]
-    * (admission control's base). Synced from BOTH ends of every batch:
-    * after a restart whose offset log was fully committed, the engine's
-    * first getOffset can arrive before any getBatch — the bounded offset
-    * computed from a stale base may then precede the committed offset,
-    * the engine runs one EMPTY catch-up batch (`(5, 3]` selects
-    * nothing), and the `from` of that batch re-syncs the cursor; no
-    * version is ever replayed or skipped. */
-  @volatile private var cursor: Long = startingVersion
+    * (admission control's base), PERSISTED into the source's metadata
+    * directory inside the stream checkpoint. Without persistence a
+    * restart whose offset log was fully committed would reset the base
+    * to startingVersion, and the engine's first post-restart call is
+    * getOffset (never getBatch) — the stale bounded offset would then
+    * REGRESS the engine's committed offset and replay already-delivered
+    * versions (review finding: `committedOffsets ++= availableOffsets`
+    * is an unconditional merge, so the engine happily commits backward).
+    * The cursor file travels and dies with the checkpoint, exactly like
+    * the offsets it protects. Staged-write + rename; a crash between
+    * delete and rename falls back to the in-log offsets on restart (one
+    * conservative re-bound, never data loss). */
+  @volatile private var cursor: Long = {
+    val persisted =
+      if (metaFs.exists(cursorPath)) {
+        val len = metaFs.getFileStatus(cursorPath).getLen.toInt
+        val b = new Array[Byte](len)
+        val in = metaFs.open(cursorPath)
+        try in.readFully(0, b) finally in.close()
+        new String(b, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } else startingVersion
+    math.max(startingVersion, persisted)
+  }
+
+  private def persistCursor(v: Long): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(metadataPath,
+      s".graft-cursor-${java.util.UUID.randomUUID()}")
+    val out = metaFs.create(staged, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    metaFs.delete(cursorPath, false) // HDFS rename won't replace
+    if (!metaFs.rename(staged, cursorPath)) metaFs.delete(staged, false)
+  }
 
   /** Available offset = head, admission-bounded: walk versions past the
     * cursor, version-greedy, until either bound trips; always admit at
@@ -139,19 +174,24 @@ private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
     if (maxVersionsPerBatch == Long.MaxValue && maxFilesPerBatch == Long.MaxValue)
       return Some(LongOffset(head))
     val hi = if (head - base > maxVersionsPerBatch) base + maxVersionsPerBatch else head
+    // the walk is an ITERATOR over lazily-read commit entries: stopping
+    // at the first non-fitting version also stops READING entries — a
+    // files-only bound over a deep backfill would otherwise read every
+    // commit file in (base, head] per trigger, O(history²) driver JSON
+    // parses across the backfill (review finding). Stopping at the first
+    // non-fitting version (never skipping past it) also keeps offsets
+    // contiguous — admitting a later, smaller version would silently
+    // drag the skipped version's files into the window.
     val (byVersion, _) = CommitLog.changedFilesByVersion(spark, root, base, hi)
     var end = base
     var files = 0L
-    var full = false // stop at the FIRST version that doesn't fit —
-    // admitting a later, smaller one would silently drag the skipped
-    // version's files into the window (offsets are contiguous ranges)
-    byVersion.foreach { case (v, fs) =>
-      if (!full) {
-        if (end == base || files + fs.size <= maxFilesPerBatch) {
-          end = v
-          files += fs.size
-        } else full = true
-      }
+    var full = false
+    while (!full && byVersion.hasNext) {
+      val (v, fs) = byVersion.next()
+      if (end == base || files + fs.size <= maxFilesPerBatch) {
+        end = v
+        files += fs.size
+      } else full = true
     }
     if (end > base) Some(LongOffset(end)) else None
   }
@@ -181,7 +221,8 @@ private[sources] class ChangeFeedStreamSource(sqlContext: SQLContext,
     import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(o => LongOffset(o.json().toLong).offset).getOrElse(startingVersion)
     val to = LongOffset(end.json().toLong).offset
-    cursor = math.max(cursor, math.max(from, to))
+    val advanced = math.max(cursor, math.max(from, to))
+    if (advanced > cursor) { cursor = advanced; persistCursor(advanced) }
     val (files, _) = CommitLog.changedFiles(spark, root, from, to)
     if (files.isEmpty) return groupFrame(Seq.empty, Some(schema))
     // per-dir groups aligned to the PINNED schema (cast widened columns,

@@ -164,6 +164,41 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission control survives a restart: persisted cursor, no replayed or skipped version") {
+    val root = freshRoot()
+    (1 to 6).foreach(i =>
+      CommitLog.append(batchDf(i * 10 + 1, i * 10 + 5).coalesce(1), root))
+    val ckpt = Files.createTempDirectory("graft-cfeed-restart").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("path", root)
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // drains the 6-version backfill in bounded batches, then stops
+    // restart against the SAME checkpoint with a fully-committed offset
+    // log: the engine's first call is getOffset — an unpersisted cursor
+    // would hand back a stale bounded offset, regress the committed
+    // offset, and replay versions 3..6 (review finding)
+    CommitLog.append(batchDf(71, 75).coalesce(1), root) // v7 — new data
+    CommitLog.append(batchDf(81, 85).coalesce(1), root) // v8
+    run()
+    val all = got.synchronized(got.sorted.toVector)
+    val expect = ((1 to 6).flatMap(i => (i * 10 + 1) to (i * 10 + 5)) ++
+      (71 to 75) ++ (81 to 85)).map(_.toLong).sorted.toVector
+    assert(all == expect, s"replayed or lost rows across restart: " +
+      s"got ${all.size}, expected ${expect.size} — dupes: " +
+      all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted.take(10).toString)
+  }
+
   test("a drained-empty table still starts a stream: schema pins from the newest committed file") {
     val root = freshRoot()
     CommitLog.append(batchDf(1, 3).coalesce(1), root)
@@ -189,6 +224,23 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(got.synchronized(got.sorted.toSeq) == Seq(11L, 12L))
     } finally q.stop()
+  }
+
+  test("a table whose committed files are gone from disk pins with the actionable error, not FileNotFoundException") {
+    val root = freshRoot()
+    CommitLog.append(batchDf(1, 3).coalesce(1), root)
+    // every committed data file physically reclaimed (a fully-vacuumed /
+    // externally-cleaned table): the schema pin must fall through to the
+    // actionable error instead of a raw FileNotFoundException from the
+    // first stale path it tries
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    new java.io.File(root).listFiles().filter(_.getName.startsWith("d-")).foreach(rm)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changefeed").option("path", root).load()
+    }
+    assert(e.getMessage.contains(".schema("), e.getMessage)
   }
 
   test("a never-written table needs an explicit schema, then streams from the first commit") {

@@ -714,6 +714,23 @@ class CommitLogSpec extends AnyFunSuite {
       e.getMessage.contains("v") && e.getMessage.contains("w"), e.getMessage)
   }
 
+  test("divergent independent ADDs read as the null-filled union under the opt-in conf") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 5).coalesce(1), root)                       // (id, v)
+    CommitLog.append(Seq((6L, "row6", 1L)).toDF("id", "v", "a").coalesce(1), root) // +a
+    CommitLog.append(Seq((7L, "row7", 2L)).toDF("id", "v", "b").coalesce(1), root) // +b (no a)
+    // {id,v,a} vs {id,v,b} is structurally a rename signature: loud by default
+    intercept[IllegalArgumentException] { CommitLog.snapshotEvolved(spark, root) }
+    spark.conf.set("graft.commitlog.allowDivergentColumns", "true")
+    try {
+      val ev = CommitLog.snapshotEvolved(spark, root)
+      assert(ev.columns.toSet == Set("id", "v", "a", "b"))
+      assert(ev.count() == 7)
+      val r7 = ev.filter(col("id") === 7L).collect().head
+      assert(r7.isNullAt(r7.fieldIndex("a")) && r7.getLong(r7.fieldIndex("b")) == 2L)
+    } finally spark.conf.unset("graft.commitlog.allowDivergentColumns")
+  }
+
   test("bulk delete switches to the broadcast anti-join path; nulls survive; result exact") {
     val root = freshRoot()
     val withNull = ((1 to 3000).map(i => (Some(i.toLong), s"row$i")) :+
