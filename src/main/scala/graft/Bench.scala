@@ -106,7 +106,13 @@ object Bench {
     // a query that fails in SOME iterations still reports min of the
     // surviving runs — surface the flakiness instead of hiding it
     val flaky = results.collect { case (k, Some(_), n, _) if n > 0 => k -> n }
-    val qs = ok.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // stdout queries CHEAPEST-FIRST: past driver captures truncated long
+    // stdout lines from the FRONT (BENCH_r05/r12 kept only the tail), so
+    // the suffix that survives truncation should carry the expensive
+    // rows, the error fields, the load controls and the total — the
+    // parts a swing audit actually needs. target/bench.json below stays
+    // the complete per-iteration record either way.
+    val qs = ok.sortBy(_._2).map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flak = flaky.map { case (k, n) => "\"" + k + s"""":$n""" }
@@ -119,7 +125,7 @@ object Bench {
       f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f}"""
     val total = ok.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"load_control":$loadControl,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"load_control":$loadControl,"sf":"$sfDir","total_sec":$total%.3f}"""
     println(json)
     // The driver captures stdout, but long runs have had their tails
     // truncated (BENCH_r05 arrived with "parsed": null, losing the official
