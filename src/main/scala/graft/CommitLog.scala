@@ -539,20 +539,33 @@ object CommitLog {
     * the public formats, keyed off the op tag here); `overwrite` adds
     * ARE included (its rows are new content; a consumer that must also
     * observe the retraction diffs snapshots — q98's job). Returns
-    * (frame, head version) so the caller persists the new cursor only
+    * (frame, new cursor) so the caller persists the new cursor only
     * after processing succeeds (at-least-once by construction; pair
     * with a txn-token sink for exactly-once). Retention: a cursor that
     * lags behind a vacuum may reference reclaimed files and fails
     * LOUDLY on read (the standard CDC retention trade — vacuum no
     * earlier than your slowest consumer).
+    *
+    * `maxVersions` is the batch-consumer twin of the streaming source's
+    * admission control: a poller whose cursor fell months behind
+    * otherwise gets the ENTIRE backlog in one frame. Bounded, the
+    * returned cursor advances at most `maxVersions` past `sinceVersion`
+    * — loop until the cursor stops moving to drain; the default is the
+    * old everything-at-once behavior, unchanged.
     */
-  def changesSince(s: SparkSession, root: String,
-      sinceVersion: Long): (Option[DataFrame], Long) = {
-    val (files, head) = changedFiles(s, root, sinceVersion, Long.MaxValue)
-    if (files.isEmpty) (None, head)
+  def changesSince(s: SparkSession, root: String, sinceVersion: Long,
+      maxVersions: Long = Long.MaxValue): (Option[DataFrame], Long) = {
+    require(maxVersions >= 1, s"changesSince maxVersions must be >= 1, got $maxVersions")
+    val cap = if (Long.MaxValue - maxVersions < sinceVersion) Long.MaxValue
+              else sinceVersion + maxVersions
+    val (files, head) = changedFiles(s, root, sinceVersion, cap)
+    // the cursor never jumps past the cap: versions (cap, head] were NOT
+    // read, so handing back `head` would silently skip them
+    val cursor = math.min(head, cap)
+    if (files.isEmpty) (None, cursor)
     // evolved fold, not a plain multi-file read: a cursor window spanning
     // a schema evolution must null-fill, never take one group's schema
-    else (Some(readFilesEvolved(s, root, files)), head)
+    else (Some(readFilesEvolved(s, root, files)), cursor)
   }
 
   /** The raw-commit change walk shared by [[changesSince]] and the

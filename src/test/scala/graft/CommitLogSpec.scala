@@ -714,6 +714,27 @@ class CommitLogSpec extends AnyFunSuite {
       e.getMessage.contains("v") && e.getMessage.contains("w"), e.getMessage)
   }
 
+  test("changesSince maxVersions drains a deep backlog in bounded steps, exactly once") {
+    val root = freshRoot()
+    (1 to 5).foreach(i => CommitLog.append(batch(i * 10 + 1, i * 10 + 5).coalesce(1), root))
+    var cursor = 0L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    var moved = true
+    while (moved) {
+      val (df, next) = CommitLog.changesSince(spark, root, cursor, maxVersions = 2)
+      df.foreach(d => seen += ids(d))
+      moved = next != cursor
+      cursor = next
+    }
+    // 5 versions / 2 per step = 3 bounded reads; every row exactly once
+    assert(seen.size == 3 && seen.map(_.size) == Seq(10, 10, 5), seen)
+    assert(seen.flatten.sorted == (1 to 5).flatMap(i => (i * 10 + 1) to (i * 10 + 5)).map(_.toLong))
+    assert(cursor == 5L)
+    // default = old everything-at-once behavior
+    val (all, head) = CommitLog.changesSince(spark, root, 0L)
+    assert(head == 5L && ids(all.get).size == 25)
+  }
+
   test("divergent independent ADDs read as the null-filled union under the opt-in conf") {
     val root = freshRoot()
     CommitLog.append(batch(1, 5).coalesce(1), root)                       // (id, v)
