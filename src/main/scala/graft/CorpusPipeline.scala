@@ -150,6 +150,30 @@ object CorpusPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Stage 3b — cross-document SUBSTRING cut (the Lee-et-al ExactSubstr
+    * pass; q154's machinery through [[TextAnalysis.substrCut]]): spans of
+    * ≥ W consecutive tokens that also occur verbatim in ANOTHER surviving
+    * document are cut from every non-owner copy (the min-doc_id owner
+    * keeps one copy, so no content is lost from the corpus), and a
+    * document cut to nothing drops. Runs AFTER the document-level dedups
+    * — they remove whole-document copies cheaply; this pass pays one more
+    * windowed corpus scan for the partial overlaps (pasted boilerplate
+    * paragraphs, syndicated bodies) they cannot see — and BEFORE
+    * decontamination/normalize, which must judge the text that actually
+    * ships. `n_chars` is recomputed for the cut text when present.
+    * Production W = 50 (the published ExactSubstr choice); the synthetic
+    * test corpus exercises the cut at W = 15.
+    */
+  def substrCut(docs: DataFrame, W: Int = 50): DataFrame = {
+    val cut = docs.drop("text")
+      .join(TextAnalysis.substrCut(docs, W)
+        .filter(length(col("new_text")) > 0)
+        .select(col("doc_id"), col("new_text").as("text")), Seq("doc_id"))
+    if (cut.columns.contains("n_chars"))
+      cut.withColumn("n_chars", length(col("text")).cast("long"))
+    else cut
+  }
+
   /** Stage 4 — decontamination: drop documents sharing any word-5-gram
     * with the held-out benchmark subset (doc_id % 97 == 0 stands in; the
     * benchmark docs themselves are also excluded from the corpus).
@@ -209,7 +233,8 @@ object CorpusPipeline {
     (published, audit)
   }
 
-  def run(s: SparkSession, dir: String, outDir: String): (DataFrame, DataFrame) = {
+  def run(s: SparkSession, dir: String, outDir: String,
+      substrW: Int = 50): (DataFrame, DataFrame) = {
     import s.implicits._
     val raw = Tables.documents(s, dir)
     val urlDeduped = urlDedup(raw).localCheckpoint()
@@ -218,7 +243,8 @@ object CorpusPipeline {
     val safe = safetyFilter(langIdFill(filtered)).localCheckpoint()
     val exact = exactDedup(safe).localCheckpoint()
     val nearDup = nearDupCollapse(exact).localCheckpoint()
-    val decon = decontaminate(nearDup, raw).localCheckpoint()
+    val cut = substrCut(nearDup, substrW).localCheckpoint()
+    val decon = decontaminate(cut, raw).localCheckpoint()
     val published = normalize(decon)
     published.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
     val audit = Seq(
@@ -229,6 +255,7 @@ object CorpusPipeline {
       Audit("safety_cleared", safe.count()),
       Audit("exact_deduped", exact.count()),
       Audit("near_dup_collapsed", nearDup.count()),
+      Audit("substr_cut", cut.count()),
       Audit("decontaminated", decon.count()),
       Audit("published", s.read.parquet(outDir).count())).toDF()
     (s.read.parquet(outDir), audit)

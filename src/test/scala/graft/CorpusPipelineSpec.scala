@@ -21,8 +21,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // stage counts shrink monotonically raw → published
     val order = Seq("raw", "url_deduped", "quality_filtered", "repetition_filtered",
-      "safety_cleared", "exact_deduped", "near_dup_collapsed", "decontaminated",
-      "published")
+      "safety_cleared", "exact_deduped", "near_dup_collapsed", "substr_cut",
+      "decontaminated", "published")
     val seq = order.map(counts)
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"not monotone: $counts")
     assert(counts("published") > 0)
@@ -55,6 +55,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // published layout is lang-partitioned and the text is normalized
     assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("lang=")))
     assert(published.filter(col("clean_text").rlike("[^a-z0-9 ]")).count() == 0)
+  }
+
+  test("substr-cut stage: non-owners lose the shared span, owner keeps it, fully-cut docs drop") {
+    import TestSpark.spark.implicits._
+    val span = (1 to 20).map(i => s"tok$i").mkString(" ") // 20 tokens ≥ W=15
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma", "en", "s0"),  // owner: keeps the span
+      (2L, s"$span delta epsilon", "en", "s0"),     // loses the span, keeps its tail
+      (3L, "totally unique text here", "en", "s1"), // untouched
+      (4L, span, "en", "s1"))                        // nothing but the span: drops
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cut = CorpusPipeline.substrCut(docs, W = 15)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
+    assert(cut.keySet == Set(1L, 2L, 3L), cut)
+    assert(cut(1L)._1 == s"alpha beta $span gamma") // min-id owner unchanged
+    assert(cut(2L)._1 == "delta epsilon", cut(2L))  // span excised, remainder kept
+    assert(cut(3L)._1 == "totally unique text here")
+    // n_chars follows the cut text, never the stale ingest value
+    assert(cut(2L)._2 == "delta epsilon".length.toLong)
   }
 
   test("canonical URLs normalize the public set; url dedup keeps one copy per resource") {

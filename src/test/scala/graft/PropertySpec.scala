@@ -229,6 +229,10 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(native == folded, "native expression diverged from the chained fold")
     assert(native.values.exists(_.exists(_.length > 1)), "no merge ever fired")
+    // losslessness: BPE only ever CONCATENATES adjacent symbols, so the
+    // token sequence must reassemble the word exactly (decode = concat)
+    assert(native.forall { case (w, syms) => syms.mkString == w },
+      "a token sequence no longer reassembles its word")
   }
 
   test("native BPE encode: exact at 2000 merges (flat plan depth), incl. multi-level merges") {
