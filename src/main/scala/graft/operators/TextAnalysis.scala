@@ -1466,6 +1466,71 @@ object TextAnalysis {
       .withColumn("mostly_boilerplate", col("dup_share_bp") >= 5000)
   }
 
+  /** q204: per-SOURCE duplication profile — the mirror-source detector
+    * that q203's per-document verdict rolls up to the level where the
+    * curation decision is actually made (drop/de-weight a SOURCE):
+    * for each source, the share of its chunks duplicated WITHIN the
+    * source (same hash under ≥ 2 of its own doc_ids — template/CMS
+    * boilerplate) and ACROSS sources (same hash in ≥ 2 distinct
+    * sources — a mirror or syndication feed). Complements q115: that
+    * measures gram-level overlap between source PAIRS; this prices each
+    * source's own duplication burden in one table. Integer bp.
+    *
+    * Scale shape: ONE chunk derivation; "≥ 2 distinct" is the q203
+    * min≠max window trick on (hash) and (hash, source) — the finer
+    * partition reuses the coarser's exchange (hash(g) already clusters
+    * (g, source)), so the plan is one Generate, one content-hash
+    * exchange carrying 16-byte digests, two windows, one |sources|-row
+    * fold. No join, no second corpus pass.
+    */
+  def q204SourceDupProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunksOf(Tables.documents(s, dir), "text", Seq("source"))
+      .select(col("source"), col("doc_id"), md5(col("chunk_text")).as("g"))
+    val byHash = Window.partitionBy(col("g"))
+    val byHashSource = Window.partitionBy(col("g"), col("source"))
+    chunks
+      .withColumn("dup_cross",
+        (min(col("source")).over(byHash) =!= max(col("source")).over(byHash))
+          .cast("long"))
+      .withColumn("dup_within",
+        (min(col("doc_id")).over(byHashSource) =!= max(col("doc_id")).over(byHashSource))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dup_within")).as("n_dup_within"),
+        sum(col("dup_cross")).as("n_dup_cross"))
+      .select(col("source"), col("n_chunks"), col("n_dup_within"), col("n_dup_cross"),
+        expr("n_dup_within * 10000 DIV n_chunks").as("within_bp"),
+        expr("n_dup_cross * 10000 DIV n_chunks").as("cross_bp"))
+  }
+
+  /** q205: tokenizer FERTILITY by language — the standard tokenizer-eval
+    * table (sub-tokens per word, tokens per 10k chars) per lang: the
+    * number every mixture plan needs to convert a lang's character mass
+    * into its TOKEN budget share, and the first diagnostic when a
+    * tokenizer under-serves a language (fertility ≫ English's means the
+    * vocab fragments that lang's words). Complements q200 (per-source
+    * token economics) on the LANG axis with the fertility ratio proper.
+    * Tokenizer = q38's shared sub-token regex (letters / digits /
+    * single other-glyph), identical in both engines; all integer bp.
+    * One partial-aggregated corpus scan, one |langs|-row exchange.
+    */
+  def q205LangFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n_w"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+          .cast("long").as("n_t"),
+        length(col("text")).cast("long").as("n_c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_w")).as("n_words"),
+        sum(col("n_t")).as("n_tokens"), sum(col("n_c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_tokens * 100 DIV greatest(n_words, 1)").as("fertility_x100"),
+        expr("n_tokens * 10000 DIV greatest(n_chars, 1)").as("tokens_per_10k_chars"))
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1502,6 +1567,8 @@ object TextAnalysis {
     "q174_doc_chunks" -> (q174DocChunks _),
     "q202_chunk_dedup" -> (q202ChunkDedup _),
     "q203_dup_chunk_share" -> (q203DupChunkShare _),
+    "q204_source_dup_profile" -> (q204SourceDupProfile _),
+    "q205_lang_fertility" -> (q205LangFertility _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1648,6 +1715,46 @@ object TextAnalysis {
                    AS BIGINT) * 10000 // count(*)) >= 5000 AS mostly_boilerplate
           FROM ch LEFT JOIN xd USING (content_hash)
           GROUP BY doc_id""",
+    "q204_source_dup_profile" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          n AS (
+            SELECT doc_id, source, toks, len(toks) AS nt,
+                   CASE WHEN len(toks) <= $ChunkW THEN 1
+                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
+            FROM t),
+          ch AS (
+            SELECT n.doc_id, n.source,
+                   md5(array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' '))
+                     AS g
+            FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u),
+          xs AS (SELECT g, count(DISTINCT source) AS ns FROM ch GROUP BY 1),
+          xw AS (SELECT g, source, count(DISTINCT doc_id) AS ndw FROM ch GROUP BY 1, 2)
+          SELECT ch.source, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
+                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS within_bp,
+                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS cross_bp
+          FROM ch JOIN xs USING (g) JOIN xw ON ch.g = xw.g AND ch.source = xw.source
+          GROUP BY ch.source""",
+    "q205_lang_fertility" ->
+      """WITH d AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_w,
+                  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_t,
+                  CAST(length(text) AS BIGINT) AS n_c
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_w) AS BIGINT) AS n_words,
+                CAST(sum(n_t) AS BIGINT) AS n_tokens,
+                CAST(sum(n_c) AS BIGINT) AS n_chars,
+                CAST(sum(n_t) AS BIGINT) * 100 // greatest(CAST(sum(n_w) AS BIGINT), 1) AS fertility_x100,
+                CAST(sum(n_t) AS BIGINT) * 10000 // greatest(CAST(sum(n_c) AS BIGINT), 1) AS tokens_per_10k_chars
+         FROM d
+         GROUP BY lang""",
     "q202_chunk_dedup" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -319,6 +319,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q204 source dup profile equals an independent countDistinct-join recompute") {
+    val got = graft.operators.TextAnalysis.q204SourceDupProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_dup_within"), r.getAs[Long]("n_dup_cross"),
+        r.getAs[Long]("within_bp"), r.getAs[Long]("cross_bp")))).toMap
+    // independent shape: explicit countDistinct aggregates joined back —
+    // the pre-r13 q203 pattern — instead of the min≠max windows
+    val ch = graft.operators.TextAnalysis
+      .chunksOf(Tables.documents(spark, sf), "text", Seq("source"))
+      .select(col("source"), col("doc_id"), md5(col("chunk_text")).as("g"))
+      .cache()
+    val cross = ch.groupBy("g").agg(countDistinct("source").as("ns"))
+    val within = ch.groupBy("g", "source").agg(countDistinct("doc_id").as("ndw"))
+    val ref = ch.join(cross, "g").join(within, Seq("g", "source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ndw") >= 2, 1L).otherwise(0L)).as("w"),
+        sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("x"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w"), r.getAs[Long]("x")))).toMap
+    ch.unpersist()
+    assert(got.nonEmpty && got.keySet == ref.keySet)
+    ref.foreach { case (s0, (n, w, x)) =>
+      assert(got(s0) == ((n, w, x, w * 10000 / n, x * 10000 / n)), s0)
+    }
+    // both duplication axes are live in the synthetic corpus
+    assert(got.values.exists(_._2 > 0), "no within-source dup found")
+    assert(got.values.exists(_._3 > 0), "no cross-source dup found")
+  }
+
+  test("q205 lang fertility equals a driver-side regex recompute") {
+    val got = graft.operators.TextAnalysis.q205LangFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("fertility_x100"), r.getAs[Long]("tokens_per_10k_chars")))).toMap
+    val re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]".r
+    val ref = Tables.documents(spark, sf).select("lang", "text").collect()
+      .groupBy(_.getString(0)).map { case (l, rows) =>
+        val w = rows.map(_.getString(1).split(" ").count(_.nonEmpty).toLong).sum
+        val t = rows.map(r => re.findAllIn(r.getString(1)).size.toLong).sum
+        val c = rows.map(_.getString(1).length.toLong).sum
+        l -> ((rows.length.toLong, w, t, c,
+          t * 100 / math.max(w, 1), t * 10000 / math.max(c, 1)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.nonEmpty && got.values.forall(_._6 > 0))
+  }
+
   test("q132 duplicate-coverage equals a driver-side brute force on every doc") {
     val got = graft.operators.TextAnalysis.q132DupCoverage(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
