@@ -738,7 +738,46 @@ object Quality {
                   FROM lineitem GROUP BY 1))"""
     }.mkString("\nUNION ALL\n")
 
+  /** q208: character-class audit per source — the per-10k-chars rates
+    * of uppercase / lowercase / digit / space / other that catch the
+    * corpus pathologies q37's per-doc score only prices indirectly:
+    * SHOUTING sources (upper_bp far above the corpus norm), numeric
+    * table dumps (digit_bp spikes), markup/symbol residue after a bad
+    * strip (other_bp spikes), and missing whitespace from PDF
+    * extraction (space_bp collapse). ASCII-only classes keep the
+    * regex semantics identical across engines; all integer bp of
+    * n_chars. One projection scan with partial aggregation and a
+    * |sources|-row fold — scoring is a projection, never a shuffle.
+    */
+  def q208CharClassProfile(s: SparkSession, dir: String): DataFrame =
+    charClassProfile(Tables.documents(s, dir))
+
+  /** The q208 transform on any (source, text) frame — split out so the
+    * spec can plant SHOUTING/digit/punct docs: the synthetic corpus is
+    * pure lowercase+space, so upper/digit/other are structurally 0 bp
+    * there (the q57/q190 hit-free-corpus discipline). */
+  private[graft] def charClassProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        regexp_count(col("text"), lit("[A-Z]")).cast("long").as("nu"),
+        regexp_count(col("text"), lit("[a-z]")).cast("long").as("nl"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("nd"),
+        regexp_count(col("text"), lit(" ")).cast("long").as("nsp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nu")).as("nu"), sum(col("nl")).as("nl"),
+        sum(col("nd")).as("nd"), sum(col("nsp")).as("nsp"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("nu * 10000 DIV greatest(n_chars, 1)").as("upper_bp"),
+        expr("nl * 10000 DIV greatest(n_chars, 1)").as("lower_bp"),
+        expr("nd * 10000 DIV greatest(n_chars, 1)").as("digit_bp"),
+        expr("nsp * 10000 DIV greatest(n_chars, 1)").as("space_bp"),
+        expr("(n_chars - nu - nl - nd - nsp) * 10000 DIV greatest(n_chars, 1)")
+          .as("other_bp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_charclass_profile" -> (q208CharClassProfile _),
     "q192_skew_audit" -> (q192SkewAudit _),
     "q165_bot_cadence" -> (q165BotCadence _),
     "q147_expectations"     -> (q147Expectations _),
@@ -777,6 +816,28 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "q208_charclass_profile" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(length(text) AS BIGINT) AS nc,
+                  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS nu,
+                  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS nl,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS nd,
+                  CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS nsp
+           FROM documents),
+         a AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(nc) AS BIGINT) AS n_chars,
+                  CAST(sum(nu) AS BIGINT) AS nu, CAST(sum(nl) AS BIGINT) AS nl,
+                  CAST(sum(nd) AS BIGINT) AS nd, CAST(sum(nsp) AS BIGINT) AS nsp
+           FROM d GROUP BY 1)
+         SELECT source, n_docs, n_chars,
+                nu * 10000 // greatest(n_chars, 1) AS upper_bp,
+                nl * 10000 // greatest(n_chars, 1) AS lower_bp,
+                nd * 10000 // greatest(n_chars, 1) AS digit_bp,
+                nsp * 10000 // greatest(n_chars, 1) AS space_bp,
+                (n_chars - nu - nl - nd - nsp) * 10000 // greatest(n_chars, 1) AS other_bp
+         FROM a""",
     "q192_skew_audit" -> q192OracleSql,
     "q165_bot_cadence" ->
       """WITH g AS (

@@ -1531,6 +1531,79 @@ object TextAnalysis {
         expr("n_tokens * 100 DIV greatest(n_words, 1)").as("fertility_x100"),
         expr("n_tokens * 10000 DIV greatest(n_chars, 1)").as("tokens_per_10k_chars"))
 
+  /** q206: vocabulary-growth / lexical-diversity profile per source —
+    * the type-token ratio and hapax share that flag DEGENERATE sources
+    * before any model sees them: machine-generated or template corpora
+    * show a collapsed vocabulary (low TTR), while OCR noise or
+    * boilerplate-stripped fragments show an inflated hapax share
+    * (most "words" occur once). Complements q204 (chunk-level dup
+    * burden) with the word-level diversity axis of the same per-source
+    * curation table. Words = the corpus-standard non-empty space split
+    * (same definition as chunking and q205); all integer bp.
+    *
+    * Scale shape: explode → partial-aggregated (source, word) count
+    * (map-side combine collapses the corpus to distinct pairs before
+    * the shuffle), then a |sources|-row fold — the vocabulary-scale
+    * exchange is the only big one, and it is the smallest exact
+    * representation of the answer.
+    */
+  def q206VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 10000 DIV n_tokens").as("ttr_bp"),
+        expr("n_hapax * 10000 DIV n_types").as("hapax_bp"))
+
+  /** q207: Zipf-law slope per language — the log-log regression slope
+    * over each lang's top-100 alphabetic terms. Natural text sits near
+    * −1; a slope far shallower flags synthetic/templated text whose
+    * head is artificially flat, far steeper flags a few-phrase corpus —
+    * a one-number-per-lang distributional health check next to q205's
+    * fertility. Terms = pure-ASCII-alphabetic tokens of the standard
+    * split, lowercased AFTER the [A-Za-z]+ filter (ASCII lower() is
+    * parity-exact across engines; Unicode lower() is not). Ranks are
+    * deterministic (freq DESC, word ASC). The regression runs on
+    * micro-quantized logs (`round(ln(x)*1e6)` BIGINT) so every moment
+    * sum is exact integer arithmetic in both engines and only the final
+    * slope division is floating — the q87/q99 integer-moments
+    * discipline applied to a log-log fit.
+    *
+    * Scale shape: one corpus explode → partial-aggregated (lang, word)
+    * count; the rank window sorts the VOCAB table per lang (never the
+    * corpus); everything after the top-100 filter is |langs|-row.
+    * Overflow audit: lr ≤ ln(100)·1e6 < 5e6, lf ≤ ln(2^63)·1e6 < 5e7 →
+    * n·Σ(lr·lf) < 100·100·2.5e14 = 2.5e18 < 2^63.
+    */
+  def q207ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x rlike '^[A-Za-z]+$')")).as("w"))
+      .groupBy(col("lang"), lower(col("w")).as("word")).agg(count(lit(1)).as("freq"))
+    freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("word"))))
+      .filter(col("rank") <= 100)
+      .select(col("lang"),
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").as("lr"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)").as("lf"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("lr")).as("slr"),
+        sum(col("lf")).as("slf"), sum(expr("lr * lf")).as("slrlf"),
+        sum(expr("lr * lr")).as("slrlr"))
+      .filter(col("n_terms") >= 10)
+      .select(col("lang"), col("n_terms"),
+        expr("""CAST(round(CAST(n_terms * slrlf - slr * slf AS DOUBLE)
+                / CAST(n_terms * slrlr - slr * slr AS DOUBLE) * 1000) AS BIGINT)""")
+          .as("zipf_slope_x1000"))
+  }
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1569,6 +1642,8 @@ object TextAnalysis {
     "q203_dup_chunk_share" -> (q203DupChunkShare _),
     "q204_source_dup_profile" -> (q204SourceDupProfile _),
     "q205_lang_fertility" -> (q205LangFertility _),
+    "q206_vocab_growth" -> (q206VocabGrowth _),
+    "q207_zipf_slope" -> (q207ZipfSlope _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1755,6 +1830,44 @@ object TextAnalysis {
                 CAST(sum(n_t) AS BIGINT) * 10000 // greatest(CAST(sum(n_c) AS BIGINT), 1) AS tokens_per_10k_chars
          FROM d
          GROUP BY lang""",
+    "q206_vocab_growth" ->
+      """WITH t AS (
+           SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           FROM documents),
+         f AS (SELECT source, word, count(*) AS cnt FROM t GROUP BY 1, 2)
+         SELECT source,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                count(*) AS n_types,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                count(*) * 10000 // CAST(sum(cnt) AS BIGINT) AS ttr_bp,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 10000 // count(*) AS hapax_bp
+         FROM f GROUP BY source""",
+    "q207_zipf_slope" ->
+      """WITH t AS (
+           SELECT lang, unnest(list_filter(string_split(text, ' '),
+                  x -> regexp_full_match(x, '[A-Za-z]+'))) AS w
+           FROM documents),
+         f AS (SELECT lang, lower(w) AS word, count(*) AS freq FROM t GROUP BY 1, 2),
+         r AS (SELECT lang, word, freq,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY freq DESC, word ASC) AS rank
+               FROM f),
+         q AS (SELECT lang,
+                      CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS lr,
+                      CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS lf
+               FROM r WHERE rank <= 100),
+         a AS (SELECT lang, count(*) AS n_terms,
+                      CAST(sum(lr) AS BIGINT) AS slr,
+                      CAST(sum(lf) AS BIGINT) AS slf,
+                      CAST(sum(lr * lf) AS BIGINT) AS slrlf,
+                      CAST(sum(lr * lr) AS BIGINT) AS slrlr
+               FROM q GROUP BY 1)
+         SELECT lang, n_terms,
+                CAST(round(CAST(n_terms * slrlf - slr * slf AS DOUBLE)
+                  / CAST(n_terms * slrlr - slr * slr AS DOUBLE) * 1000) AS BIGINT)
+                  AS zipf_slope_x1000
+         FROM a WHERE n_terms >= 10""",
     "q202_chunk_dedup" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -367,6 +367,109 @@ class PropertySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.forall(_._6 > 0))
   }
 
+  test("q206 vocab growth equals a driver-side word-count recompute") {
+    val got = graft.operators.TextAnalysis.q206VocabGrowth(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("ttr_bp"), r.getAs[Long]("hapax_bp")))).toMap
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        rows.foreach(_.getString(1).split(" ").filter(_.nonEmpty)
+          .foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L))
+        val nTok = counts.values.sum
+        val nTyp = counts.size.toLong
+        val nHap = counts.values.count(_ == 1L).toLong
+        src -> ((nTok, nTyp, nHap, nTyp * 10000 / nTok, nHap * 10000 / nTyp))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // diversity signal is live: sources differ in TTR
+    assert(got.values.map(_._4).toSet.size > 1)
+  }
+
+  test("q207 zipf slope equals a driver-side quantized-log regression") {
+    val got = graft.operators.TextAnalysis.q207ZipfSlope(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("zipf_slope_x1000")))).toMap
+    val wordRe = "^[A-Za-z]+$".r
+    val ref = Tables.documents(spark, sf).select("lang", "text").collect()
+      .groupBy(_.getString(0)).flatMap { case (lang, rows) =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        rows.foreach(_.getString(1).split(" ")
+          .filter(w => wordRe.findFirstIn(w).isDefined)
+          .foreach { w0 => val w = w0.toLowerCase
+            counts(w) = counts.getOrElse(w, 0L) + 1L })
+        val top = counts.toSeq.sortBy { case (w, f) => (-f, w) }.take(100)
+        if (top.size < 10) None else {
+          val q = top.zipWithIndex.map { case ((_, f), i) =>
+            (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+          }
+          val n = q.size.toLong
+          val (slr, slf) = (q.map(_._1).sum, q.map(_._2).sum)
+          val slrlf = q.map(p => p._1 * p._2).sum
+          val slrlr = q.map(p => p._1 * p._1).sum
+          val slope = math.round((n * slrlf - slr * slf).toDouble /
+            (n * slrlr - slr * slr).toDouble * 1000)
+          Some(lang -> ((n, slope)))
+        }
+      }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // natural-text sanity: every fitted slope is negative (freq falls with rank)
+    assert(got.nonEmpty && got.values.forall(_._2 < 0L))
+  }
+
+  test("q208 char-class profile equals a driver-side code-point census") {
+    val got = graft.operators.Quality.q208CharClassProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("upper_bp"), r.getAs[Long]("lower_bp"),
+        r.getAs[Long]("digit_bp"), r.getAs[Long]("space_bp"),
+        r.getAs[Long]("other_bp")))).toMap
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        var (nc, nu, nl, nd, nsp) = (0L, 0L, 0L, 0L, 0L)
+        rows.foreach { r =>
+          val t = r.getString(1)
+          var i = 0
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            nc += 1
+            if (cp >= 'A' && cp <= 'Z') nu += 1
+            else if (cp >= 'a' && cp <= 'z') nl += 1
+            else if (cp >= '0' && cp <= '9') nd += 1
+            else if (cp == ' ') nsp += 1
+            i += Character.charCount(cp)
+          }
+        }
+        val d = math.max(nc, 1L)
+        src -> ((rows.length.toLong, nc, nu * 10000 / d, nl * 10000 / d,
+          nd * 10000 / d, nsp * 10000 / d, (nc - nu - nl - nd - nsp) * 10000 / d))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // letters and spaces are live everywhere; the five floored shares
+    // reassemble to 10000 bp within floor slack. The synthetic corpus is
+    // pure lowercase+space (upper/digit/other structurally 0 bp), so the
+    // interesting classes are exercised on a PLANTED frame below — the
+    // q57/q190 hit-free-corpus discipline.
+    assert(got.values.forall(v => v._4 > 0) && got.values.forall(v => v._6 > 0))
+    got.values.foreach { v =>
+      val s = v._3 + v._4 + v._5 + v._6 + v._7
+      assert(s <= 10000L && s >= 10000L - 5L, s"bp sum $s")
+    }
+    import spark.implicits._
+    val planted = Seq(
+      ("shout", "AAAA BBB!"),          // 7 upper, 1 space, 1 other of 9
+      ("table", "12 345 6789"),        // 9 digit, 2 space of 11
+      ("clean", "plain words here"))   // lower+space only
+      .toDF("source", "text")
+    val p = graft.operators.Quality.charClassProfile(planted).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("upper_bp"),
+        r.getAs[Long]("lower_bp"), r.getAs[Long]("digit_bp"),
+        r.getAs[Long]("space_bp"), r.getAs[Long]("other_bp")))).toMap
+    assert(p("shout") == ((7777L, 0L, 0L, 1111L, 1111L)), p("shout"))
+    assert(p("table") == ((0L, 0L, 8181L, 1818L, 0L)), p("table"))
+    assert(p("clean") == ((0L, 8750L, 0L, 1250L, 0L)), p("clean"))
+  }
+
   test("q132 duplicate-coverage equals a driver-side brute force on every doc") {
     val got = graft.operators.TextAnalysis.q132DupCoverage(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
