@@ -581,6 +581,45 @@ object Dedup {
           .otherwise("overlap"))
   }
 
+  /** q210: dedup THRESHOLD-SENSITIVITY curve — for each candidate
+    * Jaccard threshold (50%..90% in 10-point steps), how many near-dup
+    * pairs fire and how many documents they touch. This is the knob
+    * table a curation run reads BEFORE committing a threshold: the
+    * "knee" where n_docs stops moving separates boilerplate twins
+    * (high-J plateau) from topical overlap (low-J slope), and the
+    * pair/doc ratio at each step says whether lowering the threshold
+    * recruits new documents or just densifies existing clusters.
+    * Jaccard is integer bp (n_inter·10000 DIV union — engine-portable),
+    * so threshold membership can never flip on a float ulp.
+    *
+    * Scale shape: the q31/q199 candidate scaffold unchanged (LSH
+    * candidates, semi-join-pruned shingles, one shuffle family); the
+    * scored pair table is checkpointed at its tiny size, the 5-way
+    * threshold sweep explodes PAIRS (candidate-scale × 5, never corpus),
+    * and the answer folds to ≤ 5 rows in one exchange.
+    */
+  def q210ThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
+    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = maybeBroadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
+      .select(col("doc_a"), col("doc_b"), col("j_bp"),
+        explode(lit(Array(5000L, 6000L, 7000L, 8000L, 9000L))).as("threshold_bp"))
+      .filter(col("j_bp") >= col("threshold_bp"))
+      .select(col("threshold_bp"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold_bp"))
+      .agg(expr("count(1) DIV 2").as("n_pairs"), countDistinct(col("d")).as("n_docs"))
+  }
+
   /** LSH candidate pairs + the candidate-PRUNED document texts they
     * reference — the scale shape shared by q31 and q70: candidate ids
     * semi-join-prune the corpus before any expensive per-pair work, so
@@ -959,6 +998,30 @@ object Dedup {
           FROM inter i
           JOIN sizes ca ON ca.doc_id = i.doc_a
           JOIN sizes cb ON cb.doc_id = i.doc_b""",
+    "q210_dedup_threshold_curve" ->
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+          jac AS (SELECT i.doc_a, i.doc_b,
+                         i.n_inter * 10000 // (ca.c + cb.c - i.n_inter) AS j_bp
+                  FROM inter i
+                  JOIN sizes ca ON ca.doc_id = i.doc_a
+                  JOIN sizes cb ON cb.doc_id = i.doc_b),
+          th AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]::BIGINT[]) AS threshold_bp),
+          sel AS (SELECT t.threshold_bp, j.doc_a, j.doc_b
+                  FROM th t JOIN jac j ON j.j_bp >= t.threshold_bp),
+          ex AS (SELECT threshold_bp, doc_a AS d FROM sel
+                 UNION ALL SELECT threshold_bp, doc_b FROM sel)
+          SELECT threshold_bp, count(*) // 2 AS n_pairs,
+                 count(DISTINCT d) AS n_docs
+          FROM ex GROUP BY 1""",
     "q70_edit_distance" ->
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1154,6 +1217,7 @@ object Dedup {
     "q30_dedup_simhash"   -> (q30DedupSimhash _),
     "q69_dedup_simhash_pairs" -> ((s, dir) => q69DedupSimhashPairs(s, dir)),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
+    "q210_dedup_threshold_curve" -> (q210ThresholdCurve _),
     "q70_edit_distance"   -> (q70EditDistance _),
     "q102_edit_distance_fast" -> (q102EditDistanceFast _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),

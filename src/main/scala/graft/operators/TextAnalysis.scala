@@ -1604,6 +1604,125 @@ object TextAnalysis {
           .as("zipf_slope_x1000"))
   }
 
+  /** q209: PMI collocations per language — the top-20 bigrams whose
+    * pointwise mutual information says the pair co-occurs far above
+    * chance. The collocation table is the standard lexical probe for a
+    * corpus: natural text surfaces idioms and names; templated or
+    * machine-generated text surfaces its generation seams (the same few
+    * "phrases" dominating every document). PMI =
+    * ln p(xy) − ln p(x) − ln p(y) with p(xy) over the bigram mass and
+    * p(x) over the unigram mass, all from exact integer counts on
+    * micro-quantized logs (the q207 discipline): pmi_micro =
+    * lq(f_xy) + 2·lq(N_uni) − lq(N_bi) − lq(f_x) − lq(f_y), every term a
+    * rounded-ln BIGINT, no floating composition anywhere. A count ≥ 5
+    * support floor keeps hapax pairs (PMI's classic failure mode) out.
+    *
+    * Scale shape: ONE corpus scan — each document emits its unigrams
+    * and bigrams in one tagged explode, so the two frequency tables come
+    * out of one (lang, kind, a, b) map-side-combined exchange (the q31
+    * lesson: two projections of the same scan = two corpus scans in
+    * Spark; the tagged union is the one-pass form). The counted frame is
+    * vocab-scale and localCheckpointed — its four consumers (unigram
+    * leg ×2, bigram leg, lang totals) cost one computation. Joins are
+    * vocab-sized on (lang, word); the rank window sorts candidate
+    * collocations per lang and compiles to a partial WindowGroupLimit.
+    * Overflow: |pmi_micro| ≤ 5·lq(2^63) < 2.5e8 — nowhere near 2^63.
+    */
+  def q209PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = Tables.documents(s, dir)
+      .select(col("lang"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(w) >= 2 THEN concat(
+               transform(w, x -> struct('u' AS kind, x AS a, '' AS b)),
+               transform(sequence(1, size(w) - 1),
+                 i -> struct('b' AS kind, w[i - 1] AS a, w[i] AS b)))
+           ELSE transform(w, x -> struct('u' AS kind, x AS a, '' AS b)) END""")).as("e"))
+      .select(col("lang"), col("e.kind").as("kind"), col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("lang"), col("kind"), col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val uni = counted.filter(col("kind") === "u")
+      .select(col("lang"), col("a"), col("cnt").as("ucnt"))
+    val bi = counted.filter(col("kind") === "b" && col("cnt") >= 5)
+      .select(col("lang"), col("a").as("w1"), col("b").as("w2"), col("cnt"))
+    val totals = counted.groupBy(col("lang"))
+      .agg(sum(when(col("kind") === "u", col("cnt"))).as("n_uni"),
+        sum(when(col("kind") === "b", col("cnt"))).as("n_bi"))
+    def lq(e: String): String = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    bi
+      .join(uni.as("ua"), bi("lang") === col("ua.lang") && col("w1") === col("ua.a"))
+      .join(uni.as("ub"), bi("lang") === col("ub.lang") && col("w2") === col("ub.a"))
+      .join(broadcast(totals.as("t")), bi("lang") === col("t.lang"))
+      .select(bi("lang"), col("w1"), col("w2"), bi("cnt"),
+        (expr(lq("cnt")) + lit(2L) * expr(lq("n_uni")) - expr(lq("n_bi"))
+          - expr(lq("ua.ucnt")) - expr(lq("ub.ucnt"))).as("pmi_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= 20)
+  }
+
+  /** q211: per-source LANGUAGE-MIX profile — how many languages a source
+    * carries, which dominates, and the mix entropy. The curation read:
+    * a crawl source whose entropy jumps between snapshots changed its
+    * composition; a "English" feed with a fat second language is
+    * mislabeled or boilerplate-contaminated; per-lang mixture math
+    * (q155/q205) allocates budget by SOURCE only when each source's lang
+    * split is known. Entropy is exact-integer until the final division:
+    * H_nats = ln N − (Σ c·ln c)/N, computed as
+    * (lq(N)·N − Σ c·lq(c)) / N with lq = round(ln·1e6) BIGINT — the
+    * numerator is an exact integer in both engines, one floating
+    * division + round at the end (reported in millinats). Dominant lang
+    * rank is deterministic (cnt DESC, lang ASC). One |sources×langs|
+    * aggregate, window passes over that tiny frame only.
+    */
+  def q211SourceLangMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(bySrc.orderBy(col("cnt").desc, col("lang"))))
+      .withColumn("n_docs", sum(col("cnt")).over(bySrc))
+      .withColumn("n_langs", count(lit(1)).over(bySrc))
+      .withColumn("sclnc", sum(expr(
+        "cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)")).over(bySrc))
+      .filter(col("rnk") === 1)
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("lang").as("top_lang"),
+        expr("cnt * 10000 DIV n_docs").as("top_share_bp"),
+        expr("""CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)""")
+          .as("entropy_x1000"))
+  }
+
+  /** q212: sequence-PACKING economics per source — documents bucketed to
+    * the power-of-two context length that would hold them (32..4096),
+    * with the padding waste each bucket pays. This is the planning table
+    * behind q83's actual packer: it prices "pad every doc to its bucket"
+    * against packed sequences, shows which sources are short-fragment
+    * heavy (packing wins) vs long-doc heavy (truncation policy needed),
+    * and sizes length-bucketed batch shapes. `padded_tokens` uses
+    * greatest(bucket, n_tok) so over-long docs (> 4096) price at their own
+    * length — waste is never negative. Scoring is a projection; the only
+    * exchange is the |sources × buckets| fold.
+    */
+  def q212PackingEconomics(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n_tok"))
+      .select(col("source"), col("n_tok"),
+        expr("""CAST(CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                WHEN n_tok <= 512 THEN 512 WHEN n_tok <= 1024 THEN 1024
+                WHEN n_tok <= 2048 THEN 2048 ELSE 4096 END AS BIGINT)""").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(greatest(col("bucket"), col("n_tok"))).as("padded_tokens"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        col("padded_tokens"),
+        expr("(padded_tokens - n_tokens) * 10000 DIV padded_tokens").as("pad_waste_bp"))
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1644,6 +1763,9 @@ object TextAnalysis {
     "q205_lang_fertility" -> (q205LangFertility _),
     "q206_vocab_growth" -> (q206VocabGrowth _),
     "q207_zipf_slope" -> (q207ZipfSlope _),
+    "q209_pmi_collocations" -> (q209PmiCollocations _),
+    "q211_source_lang_mix" -> (q211SourceLangMix _),
+    "q212_packing_economics" -> (q212PackingEconomics _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1868,6 +1990,73 @@ object TextAnalysis {
                   / CAST(n_terms * slrlr - slr * slr AS DOUBLE) * 1000) AS BIGINT)
                   AS zipf_slope_x1000
          FROM a WHERE n_terms >= 10""",
+    "q209_pmi_collocations" ->
+      """WITH t AS (
+           SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         uc AS (SELECT lang, a, count(*) AS cnt
+                FROM (SELECT lang, unnest(w) AS a FROM t) GROUP BY 1, 2),
+         bg AS (SELECT lang, w[u.i] AS a, w[u.i + 1] AS b
+                FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) u),
+         bc AS (SELECT lang, a, b, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+         tot AS (SELECT uc.lang, nu AS n_uni, nb AS n_bi
+                 FROM (SELECT lang, CAST(sum(cnt) AS BIGINT) AS nu FROM uc GROUP BY 1) uc
+                 JOIN (SELECT lang, CAST(sum(cnt) AS BIGINT) AS nb FROM bc GROUP BY 1) bc
+                 USING (lang)),
+         p AS (SELECT bc.lang, bc.a AS w1, bc.b AS w2, bc.cnt,
+                      CAST(round(ln(CAST(bc.cnt AS DOUBLE)) * 1000000) AS BIGINT)
+                      + 2 * CAST(round(ln(CAST(t.n_uni AS DOUBLE)) * 1000000) AS BIGINT)
+                      - CAST(round(ln(CAST(t.n_bi AS DOUBLE)) * 1000000) AS BIGINT)
+                      - CAST(round(ln(CAST(ua.cnt AS DOUBLE)) * 1000000) AS BIGINT)
+                      - CAST(round(ln(CAST(ub.cnt AS DOUBLE)) * 1000000) AS BIGINT)
+                        AS pmi_micro
+               FROM bc
+               JOIN uc ua ON ua.lang = bc.lang AND ua.a = bc.a
+               JOIN uc ub ON ub.lang = bc.lang AND ub.a = bc.b
+               JOIN tot t ON t.lang = bc.lang
+               WHERE bc.cnt >= 5),
+         r AS (SELECT lang, w1, w2, cnt, pmi_micro,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY pmi_micro DESC, w1, w2) AS rank
+               FROM p)
+         SELECT lang, w1, w2, cnt, pmi_micro, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 20""",
+    "q211_source_lang_mix" ->
+      """WITH cl AS (
+           SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+         w AS (SELECT source, lang, cnt,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY cnt DESC, lang) AS rnk,
+                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+                      count(*) OVER (PARTITION BY source) AS n_langs,
+                      CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                               AS BIGINT)) OVER (PARTITION BY source) AS BIGINT) AS sclnc
+               FROM cl)
+         SELECT source, n_docs, n_langs, lang AS top_lang,
+                cnt * 10000 // n_docs AS top_share_bp,
+                CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                  * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)
+                  AS entropy_x1000
+         FROM w WHERE rnk = 1""",
+    "q212_packing_economics" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (SELECT source, n_tok,
+                      CAST(CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                           WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                           WHEN n_tok <= 512 THEN 512 WHEN n_tok <= 1024 THEN 1024
+                           WHEN n_tok <= 2048 THEN 2048 ELSE 4096 END AS BIGINT) AS bucket
+               FROM d)
+         SELECT source, bucket, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(greatest(bucket, n_tok)) AS BIGINT) AS padded_tokens,
+                (CAST(sum(greatest(bucket, n_tok)) AS BIGINT)
+                 - CAST(sum(n_tok) AS BIGINT)) * 10000
+                  // CAST(sum(greatest(bucket, n_tok)) AS BIGINT) AS pad_waste_bp
+         FROM b GROUP BY 1, 2""",
     "q202_chunk_dedup" ->
       s"""WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

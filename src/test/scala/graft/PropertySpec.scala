@@ -575,4 +575,113 @@ class PropertySpec extends AnyFunSuite {
     // member at spec SF (min doc length is 10 words) — it is covered by the
     // keyset equality above: EVERY eval doc appears regardless of length
   }
+
+  test("q209 PMI collocations equal a driver-side quantized-log recompute") {
+    val got = graft.operators.TextAnalysis.q209PmiCollocations(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("pmi_micro"), r.getAs[Int]("rank")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.documents(spark, sf).select("lang", "text").collect()
+      .groupBy(_.getString(0)).flatMap { case (lang, rows) =>
+        val uni = scala.collection.mutable.Map.empty[String, Long]
+        val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+        rows.foreach { r =>
+          val w = r.getString(1).split(" ").filter(_.nonEmpty)
+          w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1L)
+          w.sliding(2).filter(_.length == 2).foreach { p =>
+            bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1L }
+        }
+        val (nUni, nBi) = (uni.values.sum, bi.values.sum)
+        bi.toSeq.filter(_._2 >= 5L)
+          .map { case ((a, b), c) =>
+            (a, b, c, lq(c) + 2 * lq(nUni) - lq(nBi) - lq(uni(a)) - lq(uni(b))) }
+          .sortBy { case (a, b, _, p) => (-p, a, b) }.take(20).zipWithIndex
+          .map { case ((a, b, c, p), i) => (lang, a, b) -> ((c, p, i + 1)) }
+      }.toMap
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+    // signal is live: PMI separates pairs (non-constant) and ranks are full
+    assert(got.values.map(_._2).toSet.size > 1)
+    got.keys.map(_._1).foreach { lang =>
+      val ranks = got.collect { case ((l, _, _), (_, _, rk)) if l == lang => rk }.toSeq.sorted
+      assert(ranks == (1 to ranks.size).toSeq, s"$lang ranks $ranks")
+    }
+  }
+
+  test("q210 threshold curve equals an exact-shingle recompute over q31's pairs") {
+    val got = Dedup.q210ThresholdCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("threshold_bp") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))).toMap
+    val pairs = Dedup.q31NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shset(id: Long): Set[String] = {
+      val w = texts(id).split(" ")
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bp = pairs.map { case (a, b) =>
+      val (sa, sb) = (shset(a), shset(b))
+      val ni = (sa & sb).size.toLong
+      (a, b, ni * 10000L / (sa.size + sb.size - ni))
+    }
+    val ref = Seq(5000L, 6000L, 7000L, 8000L, 9000L).map { t =>
+      val sel = bp.filter(_._3 >= t)
+      t -> ((sel.length.toLong,
+        sel.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.filter(_._2._1 > 0L).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the curve is live and monotone non-increasing in the threshold
+    assert(got.nonEmpty)
+    got.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(got(a)._1 >= got(b)._1 && got(a)._2 >= got(b)._2, s"$a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("q211 source lang mix equals a driver-side entropy recompute") {
+    val got = graft.operators.TextAnalysis.q211SourceLangMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_langs"), r.getAs[String]("top_lang"),
+        r.getAs[Long]("top_share_bp"), r.getAs[Long]("entropy_x1000")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.documents(spark, sf).select("source", "lang").collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        val cnts = rows.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length.toLong }
+        val n = cnts.values.sum
+        val (topLang, topCnt) = cnts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        val num = lq(n) * n - cnts.values.map(c => c * lq(c)).sum
+        src -> ((n, cnts.size.toLong, topLang, topCnt * 10000L / n,
+          math.round(num / n.toDouble / 1000.0)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // mixes are live: multi-lang sources exist and entropy is positive there
+    assert(got.values.exists(v => v._2 > 1L && v._5 > 0L))
+    // a single-lang source (if any) must price at exactly 0 entropy
+    got.values.filter(_._2 == 1L).foreach(v => assert(v._5 == 0L && v._4 == 10000L))
+  }
+
+  test("q212 packing economics equals a driver-side bucket recompute") {
+    val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("pad_waste_bp")))).toMap
+    def bucketOf(n: Long): Long =
+      Seq(32L, 64L, 128L, 256L, 512L, 1024L, 2048L).find(n <= _).getOrElse(4096L)
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy { case (src, n) => (src, bucketOf(n)) }
+      .map { case ((src, b), rows) =>
+        val nTok = rows.map(_._2).sum
+        val padded = rows.map(r => math.max(b, r._2)).sum
+        (src, b) -> ((rows.length.toLong, nTok, padded,
+          (padded - nTok) * 10000L / padded))
+      }
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+    // buckets are powers of two in range; waste is a sane bp; lengths vary
+    assert(got.keys.map(_._2).forall(b => (b & (b - 1)) == 0L && b >= 32L && b <= 4096L))
+    assert(got.values.forall(v => v._4 >= 0L && v._4 < 10000L))
+    assert(got.keys.map(_._2).toSet.size > 1)
+  }
 }
