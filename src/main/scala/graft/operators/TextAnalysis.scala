@@ -1723,6 +1723,96 @@ object TextAnalysis {
         col("padded_tokens"),
         expr("(padded_tokens - n_tokens) * 10000 DIV padded_tokens").as("pad_waste_bp"))
 
+  /** q213: term BURSTINESS — for the top-100 collection-frequency terms,
+    * the occurrences-per-containing-document ratio (cf·100 DIV df). A
+    * natural function word lands near its per-document rate; a term with
+    * burstiness far above the field is CONCENTRATED repetition — a
+    * template string, SEO keyword stuffing, or a generation loop — and
+    * is exactly the term-level view of what q196's per-doc repetition
+    * gate prices. Deterministic top-k (cf DESC, word ASC).
+    *
+    * Scale shape: one corpus explode → map-side-combined (word, doc)
+    * pre-collapse inside the distinct-count aggregate → vocab-scale
+    * exchange; the global rank window plants a partial WindowGroupLimit,
+    * so every partition pre-prunes to its own top-100 and the final
+    * single-partition sort sees ≤ 100·partitions rows, never the vocab.
+    */
+  def q213TermBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cf").desc, col("word"))))
+      .filter(col("rnk") <= 100)
+      .select(col("word"), col("cf"), col("df"),
+        expr("cf * 100 DIV df").as("burstiness_x100"))
+  }
+
+  /** q214: document-length DECILES per source — exact discrete p25/p50/
+    * p75/p90 token-length cut points (plus max), the table that sets a
+    * per-source truncation policy and feeds q212's bucket planning with
+    * actual quantiles instead of bucket masses. Percentile definition:
+    * the smallest length whose cumulative doc count reaches ceil(n·p/100)
+    * — pure integer logic (`cum·100 ≥ n·p`), identical in both engines,
+    * no interpolation to drift.
+    *
+    * Scale shape: lengths collapse to a (source, n_tok) count table
+    * FIRST — the length domain is value-bounded, so the window cumsum
+    * runs over |sources × distinct lengths| rows, never a corpus sort
+    * (the q91/q111 value-domain discipline applied to quantiles).
+    */
+  def q214LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n_tok"))
+      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_tok"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 100L >= col("n") * 25L, col("n_tok"))).as("p25_tokens"),
+        min(when(col("cum") * 100L >= col("n") * 50L, col("n_tok"))).as("p50_tokens"),
+        min(when(col("cum") * 100L >= col("n") * 75L, col("n_tok"))).as("p75_tokens"),
+        min(when(col("cum") * 100L >= col("n") * 90L, col("n_tok"))).as("p90_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+  }
+
+  /** q215: vocabulary COVERAGE per language — the share of the token
+    * mass covered by the top-10/100/1000 terms. This is the vocab-sizing
+    * curve (how many types cover 95% of tokens?) and a head-dominance
+    * probe: a top-10 share far above the field marks a few-phrase or
+    * templated lang slice (the cumulative-mass complement of q207's
+    * slope). Deterministic ranks, integer bp.
+    *
+    * Scale shape: one corpus explode → map-side-combined (lang, word)
+    * count; the rank window sorts the VOCAB per lang (the q206/q207
+    * exchange), and everything after folds to |langs| rows. The rank is
+    * consumed inside the aggregate (no top-k filter), so the window runs
+    * over the full vocab — which IS the answer's domain here.
+    */
+  def q215VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("top10_tokens"),
+        sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L)).as("top100_tokens"),
+        sum(when(col("rnk") <= 1000, col("cnt")).otherwise(0L)).as("top1000_tokens"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        expr("top10_tokens * 10000 DIV n_tokens").as("top10_bp"),
+        expr("top100_tokens * 10000 DIV n_tokens").as("top100_bp"),
+        expr("top1000_tokens * 10000 DIV n_tokens").as("top1000_bp"))
+  }
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1766,6 +1856,9 @@ object TextAnalysis {
     "q209_pmi_collocations" -> (q209PmiCollocations _),
     "q211_source_lang_mix" -> (q211SourceLangMix _),
     "q212_packing_economics" -> (q212PackingEconomics _),
+    "q213_term_burstiness" -> (q213TermBurstiness _),
+    "q214_length_deciles" -> (q214LengthDeciles _),
+    "q215_vocab_coverage" -> (q215VocabCoverage _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -2038,6 +2131,57 @@ object TextAnalysis {
                   * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)
                   AS entropy_x1000
          FROM w WHERE rnk = 1""",
+    "q213_term_burstiness" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           FROM documents),
+         f AS (SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df
+               FROM t GROUP BY 1),
+         r AS (SELECT word, cf, df,
+                      row_number() OVER (ORDER BY cf DESC, word) AS rnk
+               FROM f)
+         SELECT word, cf, df, cf * 100 // df AS burstiness_x100
+         FROM r WHERE rnk <= 100""",
+    "q214_length_deciles" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (SELECT source, n_tok, count(*) AS cnt FROM d GROUP BY 1, 2),
+         w AS (SELECT source, n_tok, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM g)
+         SELECT source, max(n) AS n_docs,
+                min(CASE WHEN cum * 100 >= n * 25 THEN n_tok END) AS p25_tokens,
+                min(CASE WHEN cum * 100 >= n * 50 THEN n_tok END) AS p50_tokens,
+                min(CASE WHEN cum * 100 >= n * 75 THEN n_tok END) AS p75_tokens,
+                min(CASE WHEN cum * 100 >= n * 90 THEN n_tok END) AS p90_tokens,
+                max(n_tok) AS max_tokens
+         FROM w GROUP BY source""",
+    "q215_vocab_coverage" ->
+      """WITH t AS (
+           SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           FROM documents),
+         f AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY 1, 2),
+         r AS (SELECT lang, cnt,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, word) AS rnk
+               FROM f),
+         a AS (SELECT lang,
+                      CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      count(*) AS n_types,
+                      CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS t10,
+                      CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS BIGINT) AS t100,
+                      CAST(sum(CASE WHEN rnk <= 1000 THEN cnt ELSE 0 END) AS BIGINT) AS t1000
+               FROM r GROUP BY 1)
+         SELECT lang, n_tokens, n_types,
+                t10 * 10000 // n_tokens AS top10_bp,
+                t100 * 10000 // n_tokens AS top100_bp,
+                t1000 * 10000 // n_tokens AS top1000_bp
+         FROM a""",
     "q212_packing_economics" ->
       """WITH d AS (
            SELECT source,

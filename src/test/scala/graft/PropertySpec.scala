@@ -661,6 +661,76 @@ class PropertySpec extends AnyFunSuite {
     got.values.filter(_._2 == 1L).foreach(v => assert(v._5 == 0L && v._4 == 10000L))
   }
 
+  test("q213 term burstiness equals a driver-side cf/df recompute") {
+    val got = graft.operators.TextAnalysis.q213TermBurstiness(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> ((r.getAs[Long]("cf"),
+        r.getAs[Long]("df"), r.getAs[Long]("burstiness_x100")))).toMap
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    val docsOf = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+        cf(w) = cf.getOrElse(w, 0L) + 1L
+        docsOf.getOrElseUpdate(w, scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val ref = cf.toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+      .map { case (w, c) =>
+        w -> ((c, docsOf(w).size.toLong, c * 100L / docsOf(w).size)) }.toMap
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+    // burstiness is live: every doc-spanning term repeats (cf > df here),
+    // and the ratio separates terms
+    assert(got.values.exists(_._3 > 100L) && got.values.map(_._3).toSet.size > 1)
+  }
+
+  test("q214 length deciles equal a driver-side cumulative recompute") {
+    val got = graft.operators.TextAnalysis.q214LengthDeciles(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("p25_tokens"), r.getAs[Long]("p50_tokens"),
+        r.getAs[Long]("p75_tokens"), r.getAs[Long]("p90_tokens"),
+        r.getAs[Long]("max_tokens")))).toMap
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).map { case (src, rows) =>
+        val lens = rows.map(_._2).sorted
+        val n = lens.length.toLong
+        def pct(p: Long): Long = {
+          // smallest length whose cumulative count reaches ceil(n·p/100)
+          val need = (n * p + 99L) / 100L
+          lens((need - 1L).toInt)
+        }
+        src -> ((n, pct(25), pct(50), pct(75), pct(90), lens.last))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // deciles are ordered and live
+    got.values.foreach { v =>
+      assert(v._2 <= v._3 && v._3 <= v._4 && v._4 <= v._5 && v._5 <= v._6) }
+    assert(got.values.exists(v => v._2 < v._5))
+  }
+
+  test("q215 vocab coverage equals a driver-side rank recompute") {
+    val got = graft.operators.TextAnalysis.q215VocabCoverage(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("top10_bp"),
+        r.getAs[Long]("top100_bp"), r.getAs[Long]("top1000_bp")))).toMap
+    val ref = Tables.documents(spark, sf).select("lang", "text").collect()
+      .groupBy(_.getString(0)).map { case (lang, rows) =>
+        val cnt = scala.collection.mutable.Map.empty[String, Long]
+        rows.foreach(_.getString(1).split(" ").filter(_.nonEmpty)
+          .foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1L))
+        val ranked = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._2)
+        val n = ranked.sum
+        def top(k: Int): Long = ranked.take(k).sum * 10000L / n
+        lang -> ((n, ranked.length.toLong, top(10), top(100), top(1000)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // coverage is monotone in k and the head is a strict subset somewhere
+    got.values.foreach(v => assert(v._3 <= v._4 && v._4 <= v._5))
+    assert(got.values.exists(v => v._3 < v._4 || v._4 < v._5) ||
+      got.values.forall(_._2 <= 10L))
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
