@@ -1813,6 +1813,45 @@ object TextAnalysis {
         expr("top1000_tokens * 10000 DIV n_tokens").as("top1000_bp"))
   }
 
+  /** q216: per-source curation VERDICTS — the round-13 per-source axes
+    * composed into the one table a curator actually reads: duplication
+    * burden (q204), hapax/OCR noise (q206), language-mix entropy (q211)
+    * and median length (q214), each flagged against the corpus-wide mean
+    * and folded into a risk score with a deterministic
+    * ok / watch / review verdict. Thresholds are CORPUS-RELATIVE
+    * (axis·n_sources > Σaxis — exact integer, no division), so the table
+    * is live at any scale and any corpus rather than pinned to magic
+    * constants; swap in deployment-specific absolutes as config the way
+    * q190's lexicons are.
+    *
+    * Scale shape: each axis is its own audited aggregate (one corpus
+    * scan each — composition does not multiply scans beyond its
+    * components); the join and the mean windows run over |sources| rows.
+    * The oracle composes the SAME four component SQL definitions
+    * (q204Sql/q206Sql/q211Sql/q214Sql) — one definition per axis on both
+    * engines.
+    */
+  def q216SourceVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy() // |sources|-row frame — bounded domain
+    def flag(c: String): Column =
+      when(col(c) * count(lit(1)).over(all) > sum(col(c)).over(all), 1L)
+        .otherwise(0L)
+    q204SourceDupProfile(s, dir).select(col("source"), col("within_bp"), col("cross_bp"))
+      .join(q206VocabGrowth(s, dir).select(col("source"), col("hapax_bp")), "source")
+      .join(q211SourceLangMix(s, dir).select(col("source"), col("entropy_x1000")), "source")
+      .join(q214LengthDeciles(s, dir).select(col("source"), col("p50_tokens")), "source")
+      .withColumn("flag_mirror", flag("cross_bp"))
+      .withColumn("flag_template", flag("within_bp"))
+      .withColumn("flag_ocr", flag("hapax_bp"))
+      .withColumn("flag_mix", flag("entropy_x1000"))
+      .withColumn("risk",
+        col("flag_mirror") + col("flag_template") + col("flag_ocr") + col("flag_mix"))
+      .withColumn("verdict",
+        when(col("risk") >= 3L, "review").when(col("risk") === 2L, "watch")
+          .otherwise("ok"))
+  }
+
   def q174DocChunks(s: SparkSession, dir: String): DataFrame =
     chunksOf(Tables.documents(s, dir), "text", Nil)
 
@@ -1859,6 +1898,7 @@ object TextAnalysis {
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
     "q215_vocab_coverage" -> (q215VocabCoverage _),
+    "q216_source_verdicts" -> (q216SourceVerdicts _),
     "q168_novelty" -> (q168Novelty _),
     "q162_ccnet_tiers" -> (q162CcnetTiers _),
     "q157_dsir_select" -> ((s: SparkSession, d: String) => q157DsirSelect(s, d)),
@@ -1890,6 +1930,87 @@ object TextAnalysis {
     "q74_train_split"   -> (q74TrainSplit _),
     "q75_bigram_stats"  -> (q75BigramStats _),
     "q132_dup_coverage" -> (q132DupCoverage _))
+
+  // Component oracle SQL shared between a query's own entry and q216's
+  // composed verdict oracle (one definition — a drifted copy would let the
+  // composition silently diverge from the audited per-axis queries).
+  private val q204Sql: String =
+    s"""WITH t AS (
+            SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          n AS (
+            SELECT doc_id, source, toks, len(toks) AS nt,
+                   CASE WHEN len(toks) <= $ChunkW THEN 1
+                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
+            FROM t),
+          ch AS (
+            SELECT n.doc_id, n.source,
+                   md5(array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' '))
+                     AS g
+            FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u),
+          xs AS (SELECT g, count(DISTINCT source) AS ns FROM ch GROUP BY 1),
+          xw AS (SELECT g, source, count(DISTINCT doc_id) AS ndw FROM ch GROUP BY 1, 2)
+          SELECT ch.source, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
+                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS within_bp,
+                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS cross_bp
+          FROM ch JOIN xs USING (g) JOIN xw ON ch.g = xw.g AND ch.source = xw.source
+          GROUP BY ch.source"""
+
+  private val q206Sql: String =
+    """WITH t AS (
+           SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           FROM documents),
+         f AS (SELECT source, word, count(*) AS cnt FROM t GROUP BY 1, 2)
+         SELECT source,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                count(*) AS n_types,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                count(*) * 10000 // CAST(sum(cnt) AS BIGINT) AS ttr_bp,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 10000 // count(*) AS hapax_bp
+         FROM f GROUP BY source"""
+
+  private val q211Sql: String =
+    """WITH cl AS (
+           SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+         w AS (SELECT source, lang, cnt,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY cnt DESC, lang) AS rnk,
+                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+                      count(*) OVER (PARTITION BY source) AS n_langs,
+                      CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                               AS BIGINT)) OVER (PARTITION BY source) AS BIGINT) AS sclnc
+               FROM cl)
+         SELECT source, n_docs, n_langs, lang AS top_lang,
+                cnt * 10000 // n_docs AS top_share_bp,
+                CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                  * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)
+                  AS entropy_x1000
+         FROM w WHERE rnk = 1"""
+
+  private val q214Sql: String =
+    """WITH d AS (
+           SELECT source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (SELECT source, n_tok, count(*) AS cnt FROM d GROUP BY 1, 2),
+         w AS (SELECT source, n_tok, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM g)
+         SELECT source, max(n) AS n_docs,
+                min(CASE WHEN cum * 100 >= n * 25 THEN n_tok END) AS p25_tokens,
+                min(CASE WHEN cum * 100 >= n * 50 THEN n_tok END) AS p50_tokens,
+                min(CASE WHEN cum * 100 >= n * 75 THEN n_tok END) AS p75_tokens,
+                min(CASE WHEN cum * 100 >= n * 90 THEN n_tok END) AS p90_tokens,
+                max(n_tok) AS max_tokens
+         FROM w GROUP BY source"""
 
   val oracles: Map[String, String] = Map(
     "q200_token_economics" ->
@@ -2005,31 +2126,7 @@ object TextAnalysis {
                    AS BIGINT) * 10000 // count(*)) >= 5000 AS mostly_boilerplate
           FROM ch LEFT JOIN xd USING (content_hash)
           GROUP BY doc_id""",
-    "q204_source_dup_profile" ->
-      s"""WITH t AS (
-            SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-            FROM documents),
-          n AS (
-            SELECT doc_id, source, toks, len(toks) AS nt,
-                   CASE WHEN len(toks) <= $ChunkW THEN 1
-                        ELSE (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS n_chunks
-            FROM t),
-          ch AS (
-            SELECT n.doc_id, n.source,
-                   md5(array_to_string(toks[u.i * $ChunkS + 1 : u.i * $ChunkS + $ChunkW], ' '))
-                     AS g
-            FROM n, LATERAL (SELECT unnest(range(0, n.n_chunks)) AS i) u),
-          xs AS (SELECT g, count(DISTINCT source) AS ns FROM ch GROUP BY 1),
-          xw AS (SELECT g, source, count(DISTINCT doc_id) AS ndw FROM ch GROUP BY 1, 2)
-          SELECT ch.source, count(*) AS n_chunks,
-                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
-                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
-                 CAST(sum(CASE WHEN xw.ndw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   * 10000 // count(*) AS within_bp,
-                 CAST(sum(CASE WHEN xs.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   * 10000 // count(*) AS cross_bp
-          FROM ch JOIN xs USING (g) JOIN xw ON ch.g = xw.g AND ch.source = xw.source
-          GROUP BY ch.source""",
+    "q204_source_dup_profile" -> q204Sql,
     "q205_lang_fertility" ->
       """WITH d AS (
            SELECT lang,
@@ -2045,19 +2142,7 @@ object TextAnalysis {
                 CAST(sum(n_t) AS BIGINT) * 10000 // greatest(CAST(sum(n_c) AS BIGINT), 1) AS tokens_per_10k_chars
          FROM d
          GROUP BY lang""",
-    "q206_vocab_growth" ->
-      """WITH t AS (
-           SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-           FROM documents),
-         f AS (SELECT source, word, count(*) AS cnt FROM t GROUP BY 1, 2)
-         SELECT source,
-                CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                count(*) AS n_types,
-                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-                count(*) * 10000 // CAST(sum(cnt) AS BIGINT) AS ttr_bp,
-                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  * 10000 // count(*) AS hapax_bp
-         FROM f GROUP BY source""",
+    "q206_vocab_growth" -> q206Sql,
     "q207_zipf_slope" ->
       """WITH t AS (
            SELECT lang, unnest(list_filter(string_split(text, ' '),
@@ -2114,23 +2199,7 @@ object TextAnalysis {
                FROM p)
          SELECT lang, w1, w2, cnt, pmi_micro, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 20""",
-    "q211_source_lang_mix" ->
-      """WITH cl AS (
-           SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
-         w AS (SELECT source, lang, cnt,
-                      row_number() OVER (PARTITION BY source
-                                         ORDER BY cnt DESC, lang) AS rnk,
-                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
-                      count(*) OVER (PARTITION BY source) AS n_langs,
-                      CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
-                               AS BIGINT)) OVER (PARTITION BY source) AS BIGINT) AS sclnc
-               FROM cl)
-         SELECT source, n_docs, n_langs, lang AS top_lang,
-                cnt * 10000 // n_docs AS top_share_bp,
-                CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-                  * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)
-                  AS entropy_x1000
-         FROM w WHERE rnk = 1""",
+    "q211_source_lang_mix" -> q211Sql,
     "q213_term_burstiness" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
@@ -2142,25 +2211,43 @@ object TextAnalysis {
                FROM f)
          SELECT word, cf, df, cf * 100 // df AS burstiness_x100
          FROM r WHERE rnk <= 100""",
-    "q214_length_deciles" ->
-      """WITH d AS (
-           SELECT source,
-                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-                    AS BIGINT) AS n_tok
-           FROM documents),
-         g AS (SELECT source, n_tok, count(*) AS cnt FROM d GROUP BY 1, 2),
-         w AS (SELECT source, n_tok, cnt,
-                      CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok
-                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-               FROM g)
-         SELECT source, max(n) AS n_docs,
-                min(CASE WHEN cum * 100 >= n * 25 THEN n_tok END) AS p25_tokens,
-                min(CASE WHEN cum * 100 >= n * 50 THEN n_tok END) AS p50_tokens,
-                min(CASE WHEN cum * 100 >= n * 75 THEN n_tok END) AS p75_tokens,
-                min(CASE WHEN cum * 100 >= n * 90 THEN n_tok END) AS p90_tokens,
-                max(n_tok) AS max_tokens
-         FROM w GROUP BY source""",
+    "q214_length_deciles" -> q214Sql,
+    "q216_source_verdicts" ->
+      s"""WITH dup AS ($q204Sql),
+          voc AS ($q206Sql),
+          mix AS ($q211Sql),
+          len AS ($q214Sql),
+          j AS (SELECT dup.source, dup.within_bp, dup.cross_bp, voc.hapax_bp,
+                       mix.entropy_x1000, len.p50_tokens
+                FROM dup JOIN voc USING (source) JOIN mix USING (source)
+                JOIN len USING (source)),
+          f AS (SELECT source, within_bp, cross_bp, hapax_bp, entropy_x1000,
+                       p50_tokens,
+                       CASE WHEN cross_bp * count(*) OVER ()
+                            > CAST(sum(cross_bp) OVER () AS BIGINT)
+                            THEN 1 ELSE 0 END AS flag_mirror,
+                       CASE WHEN within_bp * count(*) OVER ()
+                            > CAST(sum(within_bp) OVER () AS BIGINT)
+                            THEN 1 ELSE 0 END AS flag_template,
+                       CASE WHEN hapax_bp * count(*) OVER ()
+                            > CAST(sum(hapax_bp) OVER () AS BIGINT)
+                            THEN 1 ELSE 0 END AS flag_ocr,
+                       CASE WHEN entropy_x1000 * count(*) OVER ()
+                            > CAST(sum(entropy_x1000) OVER () AS BIGINT)
+                            THEN 1 ELSE 0 END AS flag_mix
+                FROM j)
+          SELECT source, within_bp, cross_bp, hapax_bp, entropy_x1000, p50_tokens,
+                 CAST(flag_mirror AS BIGINT) AS flag_mirror,
+                 CAST(flag_template AS BIGINT) AS flag_template,
+                 CAST(flag_ocr AS BIGINT) AS flag_ocr,
+                 CAST(flag_mix AS BIGINT) AS flag_mix,
+                 CAST(flag_mirror + flag_template + flag_ocr + flag_mix
+                   AS BIGINT) AS risk,
+                 CASE WHEN flag_mirror + flag_template + flag_ocr + flag_mix >= 3
+                      THEN 'review'
+                      WHEN flag_mirror + flag_template + flag_ocr + flag_mix = 2
+                      THEN 'watch' ELSE 'ok' END AS verdict
+          FROM f""",
     "q215_vocab_coverage" ->
       """WITH t AS (
            SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -731,6 +731,40 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0L))
   }
 
+  test("q216 source verdicts equal a recompute from their four component queries") {
+    val got = graft.operators.TextAnalysis.q216SourceVerdicts(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("flag_mirror"),
+        r.getAs[Long]("flag_template"), r.getAs[Long]("flag_ocr"),
+        r.getAs[Long]("flag_mix"), r.getAs[Long]("risk"),
+        r.getAs[String]("verdict")))).toMap
+    // recompute flags from the four already-verified component queries
+    val cross = graft.operators.TextAnalysis.q204SourceDupProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("within_bp"), r.getAs[Long]("cross_bp")))).toMap
+    val hapax = graft.operators.TextAnalysis.q206VocabGrowth(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("hapax_bp")).toMap
+    val ent = graft.operators.TextAnalysis.q211SourceLangMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("entropy_x1000")).toMap
+    val n = cross.size.toLong
+    def flags(m: Map[String, Long]): Map[String, Long] = {
+      val tot = m.values.sum
+      m.map { case (s, v) => s -> (if (v * n > tot) 1L else 0L) }
+    }
+    val fm = flags(cross.map { case (s, v) => s -> v._2 })
+    val ft = flags(cross.map { case (s, v) => s -> v._1 })
+    val fo = flags(hapax)
+    val fx = flags(ent)
+    val ref = cross.keys.map { s =>
+      val risk = fm(s) + ft(s) + fo(s) + fx(s)
+      s -> ((fm(s), ft(s), fo(s), fx(s), risk,
+        if (risk >= 3L) "review" else if (risk == 2L) "watch" else "ok"))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the corpus-relative thresholds split the sources: flags fire
+    // somewhere and stay off somewhere for at least one axis
+    assert(got.values.exists(_._5 > 0L) && got.values.exists(_._5 < 4L))
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
