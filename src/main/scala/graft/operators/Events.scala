@@ -529,6 +529,32 @@ object Events {
         sum(col("cents")).as("total_cents"))
       .withColumn("avg_cents", expr("total_cents DIV n_events"))
 
+  /** q217: DIURNAL-entropy audit per event type — the hour-of-day
+    * distribution of each event type collapsed to its peak hour, peak
+    * share, and entropy (millinats, via the shared
+    * [[Entropy.dominantAndEntropy]] kernel). Human-driven types spread
+    * across the day (entropy near ln 24 ≈ 3178 millinats); a type whose
+    * hour-entropy collapses is machine-scheduled traffic (cron jobs,
+    * batch imports, bot bursts) — the event-type-level complement of
+    * q165's per-user cadence detector, and the q211 mix idiom applied to
+    * the time axis. Hours are integer-exact UTC (unix_micros DIV 3600e6
+    * mod 24 — the q112 idiom, no timezone/DST ambiguity between
+    * engines).
+    *
+    * Scale shape: one map-side-combined (type, hour) aggregate — the
+    * only corpus-scale exchange, bounded at |types|·24 rows — then the
+    * entropy windows run over that tiny frame.
+    */
+  def q217DiurnalEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Entropy.dominantAndEntropy(
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .groupBy(col("event_type"), col("hod")).agg(count(lit(1)).as("cnt")),
+      "event_type", "hod")
+      .select(col("event_type"), col("n_total").as("n_events"),
+        col("n_bins").as("n_hours"), col("top_bin").as("peak_hour"),
+        col("top_share_bp").as("peak_share_bp"), col("entropy_x1000"))
+
   /** q127: nearest-event temporal join — each purchase matched to the
     * temporally CLOSEST click of the same user in EITHER direction
     * (within ±1 h): the bidirectional generalization of the as-of join
@@ -782,6 +808,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_diurnal_entropy" -> (q217DiurnalEntropy _),
     "q149_time_weighted" -> (q149TimeWeighted _),
     "q138_interval_union" -> (q138IntervalUnion _),
     "q140_decay_attribution" -> (q140DecayAttribution _),
@@ -812,6 +839,15 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q217_diurnal_entropy" -> {
+      val base = graft.operators.Entropy.dominantAndEntropySql(
+        "SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
+          "count(*) AS cnt FROM events GROUP BY 1, 2",
+        "event_type", "hod", "n_events", "n_hours", "peak_hour")
+      s"""SELECT event_type, n_events, n_hours, peak_hour,
+                 top_share_bp AS peak_share_bp, entropy_x1000
+          FROM ($base)"""
+    },
     "q149_time_weighted" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -1677,24 +1677,13 @@ object TextAnalysis {
     * rank is deterministic (cnt DESC, lang ASC). One |sources×langs|
     * aggregate, window passes over that tiny frame only.
     */
-  def q211SourceLangMix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bySrc = Window.partitionBy(col("source"))
-    Tables.documents(s, dir)
-      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(bySrc.orderBy(col("cnt").desc, col("lang"))))
-      .withColumn("n_docs", sum(col("cnt")).over(bySrc))
-      .withColumn("n_langs", count(lit(1)).over(bySrc))
-      .withColumn("sclnc", sum(expr(
-        "cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)")).over(bySrc))
-      .filter(col("rnk") === 1)
-      .select(col("source"), col("n_docs"), col("n_langs"),
-        col("lang").as("top_lang"),
-        expr("cnt * 10000 DIV n_docs").as("top_share_bp"),
-        expr("""CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-                * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)""")
-          .as("entropy_x1000"))
-  }
+  def q211SourceLangMix(s: SparkSession, dir: String): DataFrame =
+    Entropy.dominantAndEntropy(
+      Tables.documents(s, dir).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt")),
+      "source", "lang")
+      .select(col("source"), col("n_total").as("n_docs"), col("n_bins").as("n_langs"),
+        col("top_bin").as("top_lang"), col("top_share_bp"), col("entropy_x1000"))
 
   /** q212: sequence-PACKING economics per source — documents bucketed to
     * the power-of-two context length that would hold them (32..4096),
@@ -1974,23 +1963,9 @@ object TextAnalysis {
                   * 10000 // count(*) AS hapax_bp
          FROM f GROUP BY source"""
 
-  private val q211Sql: String =
-    """WITH cl AS (
-           SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
-         w AS (SELECT source, lang, cnt,
-                      row_number() OVER (PARTITION BY source
-                                         ORDER BY cnt DESC, lang) AS rnk,
-                      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
-                      count(*) OVER (PARTITION BY source) AS n_langs,
-                      CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
-                               AS BIGINT)) OVER (PARTITION BY source) AS BIGINT) AS sclnc
-               FROM cl)
-         SELECT source, n_docs, n_langs, lang AS top_lang,
-                cnt * 10000 // n_docs AS top_share_bp,
-                CAST(round((CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
-                  * n_docs - sclnc) / CAST(n_docs AS DOUBLE) / 1000) AS BIGINT)
-                  AS entropy_x1000
-         FROM w WHERE rnk = 1"""
+  private val q211Sql: String = Entropy.dominantAndEntropySql(
+    "SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2",
+    "source", "lang", "n_docs", "n_langs", "top_lang")
 
   private val q214Sql: String =
     """WITH d AS (

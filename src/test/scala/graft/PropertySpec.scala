@@ -765,6 +765,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 0L) && got.values.exists(_._5 < 4L))
   }
 
+  test("q217 diurnal entropy equals a driver-side hour-census recompute") {
+    val got = graft.operators.Events.q217DiurnalEntropy(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_hours"), r.getAs[Long]("peak_hour"),
+        r.getAs[Long]("peak_share_bp"), r.getAs[Long]("entropy_x1000")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L % 24L))
+      .groupBy(_._1).map { case (et, rows) =>
+        val cnts = rows.groupBy(_._2).map { case (h, rs) => h -> rs.length.toLong }
+        val n = cnts.values.sum
+        val (peak, peakCnt) = cnts.toSeq.sortBy { case (h, c) => (-c, h) }.head
+        val num = lq(n) * n - cnts.values.map(c => c * lq(c)).sum
+        et -> ((n, cnts.size.toLong, peak, peakCnt * 10000L / n,
+          math.round(num / n.toDouble / 1000.0)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // synthetic events are near-uniform over the day: every type covers
+    // all 24 hours and sits near ln 24 = 3178 millinats — the liveness
+    // check is that entropy is high AND the peak share is small
+    assert(got.values.forall(v => v._2 == 24L && v._5 > 3000L && v._4 < 1000L))
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
