@@ -284,6 +284,27 @@ object Similarity {
     * as every other vector op ([[VectorOps.dot]] ≡ DuckDB's
     * list_inner_product accumulation order).
     */
+  /** q218: label-BALANCE audit — per class: count, share, and signed
+    * deviation from the uniform share in basis points. The train-set
+    * class-balance table every supervised run reads before sampling
+    * weights are set; the deviation is exact integer end to end
+    * (n·k·10000 DIV N − 10000 — all-positive before the subtraction, so
+    * trunc-DIV and floor-// agree; a direct signed DIV would diverge
+    * between engines on negative numerators). One |labels|-row
+    * aggregate; the windows run over that frame.
+    */
+  def q218LabelBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy() // |labels|-row frame — bounded domain
+    Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_total", sum(col("n_vecs")).over(all))
+      .withColumn("n_labels", count(lit(1)).over(all))
+      .select(col("label"), col("n_vecs"),
+        expr("n_vecs * 10000 DIV n_total").as("share_bp"),
+        expr("n_vecs * n_labels * 10000 DIV n_total - 10000").as("uniform_dev_bp"))
+  }
+
   def q76VectorStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
@@ -784,9 +805,20 @@ object Similarity {
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q114_dim_stats"   -> (q114DimStats _),
     "q201_embedding_drift" -> (q201EmbeddingDrift _),
-    "q76_vector_stats" -> (q76VectorStats _))
+    "q76_vector_stats" -> (q76VectorStats _),
+    "q218_label_balance" -> (q218LabelBalance _))
 
   val oracles: Map[String, String] = Map(
+    "q218_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+         w AS (SELECT label, n_vecs,
+                      CAST(sum(n_vecs) OVER () AS BIGINT) AS n_total,
+                      count(*) OVER () AS n_labels
+               FROM c)
+         SELECT label, n_vecs,
+                n_vecs * 10000 // n_total AS share_bp,
+                n_vecs * n_labels * 10000 // n_total - 10000 AS uniform_dev_bp
+         FROM w""",
     "q122_robust_scaler" ->
       """WITH u AS (
            SELECT generate_subscripts(embedding, 1) - 1 AS dim,

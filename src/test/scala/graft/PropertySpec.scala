@@ -789,6 +789,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 == 24L && v._5 > 3000L && v._4 < 1000L))
   }
 
+  test("q218 label balance equals a driver-side share recompute") {
+    val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("share_bp"), r.getAs[Long]("uniform_dev_bp")))).toMap
+    val labels = Tables.embeddings(spark, sf).select("label").collect()
+      .map(_.getInt(0))
+    val cnts = labels.groupBy(identity).map { case (l, a) => l -> a.length.toLong }
+    val n = labels.length.toLong
+    val k = cnts.size.toLong
+    val ref = cnts.map { case (l, c) =>
+      l -> ((c, c * 10000L / n,
+        // floorDiv: the Spark/DuckDB expression is all-positive before the
+        // subtraction, which is exactly floor(c·k·10000/n) − 10000
+        Math.floorDiv(c * k * 10000L, n) - 10000L))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // both directions of imbalance appear (shares can't all sit above or
+    // all below uniform), and shares sum to ~10000 within floor slack
+    assert(got.values.exists(_._3 >= 0L) && got.values.exists(_._3 < 0L) ||
+      got.values.forall(_._3.abs <= k))
+    val s2 = got.values.map(_._2).sum
+    assert(s2 <= 10000L && s2 >= 10000L - k)
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
