@@ -25,7 +25,7 @@ object Entropy {
   /** Columns out: key, n_total, n_bins, top_bin, top_share_bp,
     * entropy_x1000. Callers rename to their domain vocabulary.
     */
-  private[operators] def dominantAndEntropy(counts: DataFrame, key: String,
+  private[graft] def dominantAndEntropy(counts: DataFrame, key: String,
       bin: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy(col(key))
@@ -47,7 +47,7 @@ object Entropy {
     * ($key, $bin, cnt). Output aliases are caller-supplied so the oracle
     * matches the renamed Spark columns.
     */
-  private[operators] def dominantAndEntropySql(src: String, key: String, bin: String,
+  private[graft] def dominantAndEntropySql(src: String, key: String, bin: String,
       outTotal: String, outBins: String, outTop: String): String =
     s"""WITH cl AS ($src),
          w AS (SELECT $key, $bin, cnt,

@@ -500,4 +500,58 @@ class StreamingSpec extends AnyFunSuite {
       } finally query.stop()
     } finally s0.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("s25 streaming source-mix monitor converges to the batch q211 profile") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val docs = Tables.documents(s0, sf).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // in-memory published table: (source, lang) -> cnt, plus last batch id
+    val cells = scala.collection.mutable.Map.empty[(String, String), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((src, l), c) => (src, l, c) }
+          .toDF("source", "lang", "cnt"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      // delta carries ONLY touched cells - overwrite exactly those
+      delta.collect().foreach { r =>
+        cells((r.getAs[String]("source"), r.getAs[String]("lang"))) =
+          r.getAs[Long]("cnt")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(String, String)]
+    val q = graft.streaming.CurationMonitor.mixMonitorStream(
+      ms.toDS().toDF("source", "lang"), store _)(publishDelta).start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // maintained counts equal the batch rebuild ...
+    val rebuild = Tables.documents(s0, sf).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells.toMap == rebuild, "maintained counts != batch rebuild")
+    // ... and the profile over MAINTAINED counts equals the batch q211
+    val got = graft.streaming.CurationMonitor.profile(store().get._1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = graft.operators.TextAnalysis.q211SourceLangMix(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, "streamed profile != batch q211")
+    // at-least-once replay: an already-applied batch id must be skipped
+    // (additive counters would double-count), a new id must apply
+    val frag = Tables.documents(s0, sf).limit(10)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    val last = lastId.get
+    assert(graft.streaming.CurationMonitor.mixCountsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.CurationMonitor.mixCountsBatch(store(), frag, last + 1L).isDefined)
+  }
 }
