@@ -233,6 +233,21 @@ object CorpusPipeline {
     (published, audit)
   }
 
+  /** Post-publish curation read: the q216 source-verdict table (dup
+    * burden / hapax noise / lang-mix / length axes, corpus-relative
+    * flags, ok/watch/review) regenerated over the PUBLISHED corpus — the
+    * table a curator reads after every pipeline run to decide which
+    * sources to drop or de-weight NEXT run. Pass a materialized frame
+    * (the parquet readback [[run]] returns): the four axis scans would
+    * otherwise re-run the upstream pipeline once per axis.
+    */
+  def sourceReport(published: DataFrame): DataFrame = {
+    val docs = // published corpora carry clean_text; raw frames carry text
+      if (published.columns.contains("text")) published
+      else published.withColumnRenamed("clean_text", "text")
+    graft.operators.TextAnalysis.sourceVerdictsOf(docs)
+  }
+
   def run(s: SparkSession, dir: String, outDir: String,
       substrW: Int = 50): (DataFrame, DataFrame) = {
     import s.implicits._

@@ -1483,9 +1483,12 @@ object TextAnalysis {
     * exchange carrying 16-byte digests, two windows, one |sources|-row
     * fold. No join, no second corpus pass.
     */
-  def q204SourceDupProfile(s: SparkSession, dir: String): DataFrame = {
+  def q204SourceDupProfile(s: SparkSession, dir: String): DataFrame =
+    sourceDupProfileOf(Tables.documents(s, dir))
+
+  private[graft] def sourceDupProfileOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = chunksOf(Tables.documents(s, dir), "text", Seq("source"))
+    val chunks = chunksOf(docs, "text", Seq("source"))
       .select(col("source"), col("doc_id"), md5(col("chunk_text")).as("g"))
     val byHash = Window.partitionBy(col("g"))
     val byHashSource = Window.partitionBy(col("g"), col("source"))
@@ -1548,7 +1551,10 @@ object TextAnalysis {
     * representation of the answer.
     */
   def q206VocabGrowth(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    vocabGrowthOf(Tables.documents(s, dir))
+
+  private[graft] def vocabGrowthOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
@@ -1678,8 +1684,11 @@ object TextAnalysis {
     * aggregate, window passes over that tiny frame only.
     */
   def q211SourceLangMix(s: SparkSession, dir: String): DataFrame =
+    sourceLangMixOf(Tables.documents(s, dir))
+
+  private[graft] def sourceLangMixOf(docs: DataFrame): DataFrame =
     Entropy.dominantAndEntropy(
-      Tables.documents(s, dir).groupBy(col("source"), col("lang"))
+      docs.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("cnt")),
       "source", "lang")
       .select(col("source"), col("n_total").as("n_docs"), col("n_bins").as("n_langs"),
@@ -1752,9 +1761,12 @@ object TextAnalysis {
     * runs over |sources × distinct lengths| rows, never a corpus sort
     * (the q91/q111 value-domain discipline applied to quantiles).
     */
-  def q214LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+  def q214LengthDeciles(s: SparkSession, dir: String): DataFrame =
+    lengthDecilesOf(Tables.documents(s, dir))
+
+  private[graft] def lengthDecilesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, dir)
+    docs
       .select(col("source"),
         expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n_tok"))
       .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("cnt"))
@@ -1820,16 +1832,23 @@ object TextAnalysis {
     * (q204Sql/q206Sql/q211Sql/q214Sql) — one definition per axis on both
     * engines.
     */
-  def q216SourceVerdicts(s: SparkSession, dir: String): DataFrame = {
+  def q216SourceVerdicts(s: SparkSession, dir: String): DataFrame =
+    sourceVerdictsOf(Tables.documents(s, dir))
+
+  /** Frame-parametric form of q216 — also serves
+    * [[graft.CorpusPipeline.sourceReport]], which regenerates the verdict
+    * table over the PUBLISHED corpus on every pipeline run.
+    */
+  private[graft] def sourceVerdictsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy() // |sources|-row frame — bounded domain
     def flag(c: String): Column =
       when(col(c) * count(lit(1)).over(all) > sum(col(c)).over(all), 1L)
         .otherwise(0L)
-    q204SourceDupProfile(s, dir).select(col("source"), col("within_bp"), col("cross_bp"))
-      .join(q206VocabGrowth(s, dir).select(col("source"), col("hapax_bp")), "source")
-      .join(q211SourceLangMix(s, dir).select(col("source"), col("entropy_x1000")), "source")
-      .join(q214LengthDeciles(s, dir).select(col("source"), col("p50_tokens")), "source")
+    sourceDupProfileOf(docs).select(col("source"), col("within_bp"), col("cross_bp"))
+      .join(vocabGrowthOf(docs).select(col("source"), col("hapax_bp")), "source")
+      .join(sourceLangMixOf(docs).select(col("source"), col("entropy_x1000")), "source")
+      .join(lengthDecilesOf(docs).select(col("source"), col("p50_tokens")), "source")
       .withColumn("flag_mirror", flag("cross_bp"))
       .withColumn("flag_template", flag("within_bp"))
       .withColumn("flag_ocr", flag("hapax_bp"))

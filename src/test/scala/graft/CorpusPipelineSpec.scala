@@ -55,6 +55,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // published layout is lang-partitioned and the text is normalized
     assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("lang=")))
     assert(published.filter(col("clean_text").rlike("[^a-z0-9 ]")).count() == 0)
+
+    // the post-publish curation read: one verdict row per surviving
+    // source, flags 0/1, risk = their sum, verdict derived from risk
+    val report = CorpusPipeline.sourceReport(published).collect()
+    val srcs = published.select("source").distinct().count()
+    assert(report.length.toLong == srcs && srcs > 0)
+    report.foreach { r =>
+      val fl = Seq("flag_mirror", "flag_template", "flag_ocr", "flag_mix")
+        .map(r.getAs[Long](_))
+      assert(fl.forall(f => f == 0L || f == 1L))
+      assert(r.getAs[Long]("risk") == fl.sum)
+      val want = if (fl.sum >= 3) "review" else if (fl.sum == 2) "watch" else "ok"
+      assert(r.getAs[String]("verdict") == want)
+    }
+    // corpus-relative flags are live on the published corpus too: some
+    // axis separates the sources
+    assert(report.map(_.getAs[Long]("risk")).distinct.length > 1)
   }
 
   test("substr-cut stage: non-owners lose the shared span, owner keeps it, fully-cut docs drop") {
