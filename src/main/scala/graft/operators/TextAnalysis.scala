@@ -10,7 +10,7 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val stop = Map(
+  private[graft] val stop = Map(
     "en" -> Seq("the", "a", "of", "to", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "mit"),
     "es" -> Seq("el", "la", "los", "que", "y"),
@@ -133,6 +133,53 @@ object TextAnalysis {
         col("n_digits"),
         round(lit(0.5) * least(col("n_words").cast("double") / 50.0, lit(1.0)) +
               lit(0.5) * (col("n_stop").cast("double") / col("n_words")), 4).as("quality"))
+
+  /** q219: exact-dup incidence by QUALITY band — the "do low-quality docs
+    * duplicate more?" cross-check run before ordering a pipeline's
+    * filter/dedup stages: if dup mass concentrates in the low bands,
+    * quality-filter-first shrinks the dedup shuffle (CorpusPipeline's
+    * stage order); a flat profile says the gates are independent and the
+    * cheaper one should lead. Quality is q37's length/stopword score
+    * re-expressed in exact integer basis points (5000·min(n_words,50)
+    * DIV 50 + 5000·n_stop DIV n_words — every operand non-negative
+    * before each DIV, so Spark trunc-DIV and DuckDB floor-// agree; the
+    * multiplications are BIGINT-cast before they happen, the INT32
+    * overflow trap); band = min(bp, 9999) DIV 2000 → five 2000-bp bands.
+    * Dup membership is q28's content_hash under the q203 min≠max window
+    * (the >1-distinct-doc predicate needs no COUNT(DISTINCT) window).
+    * lift_bp = band dup rate − corpus dup rate: both already-divided
+    * non-negative BIGINTs, so the one signed subtraction is
+    * engine-identical.
+    *
+    * Scale shape: one corpus scan projected to (doc_id, 16-byte hash,
+    * band) BEFORE the content_hash exchange — text never shuffles; the
+    * band fold is map-side-combined to ≤ 5 rows and the corpus-rate
+    * window runs over that tiny frame. One corpus-scale exchange total.
+    */
+  def q219QualityDupLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("content_hash"))
+    val all = Window.partitionBy()
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
+        expr(s"""least((CAST(5000 AS BIGINT) * least(size(w), 50)) DIV 50
+                   + (CAST(5000 AS BIGINT) * ${sparkStopCount("en")}) DIV size(w),
+                 CAST(9999 AS BIGINT)) DIV 2000""").as("band"))
+      .withColumn("is_dup",
+        when(min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup_docs"))
+      .withColumn("dup_bp", expr("(n_dup_docs * 10000) DIV n_docs"))
+      .withColumn("tot_dup", sum(col("n_dup_docs")).over(all))
+      .withColumn("tot_docs", sum(col("n_docs")).over(all))
+      .withColumn("lift_bp", expr("dup_bp - (tot_dup * 10000) DIV tot_docs"))
+      .select(col("band"), col("n_docs"), col("n_dup_docs"), col("dup_bp"),
+        col("lift_bp"))
+  }
 
   /** q38: whitespace + BPE-ish regex token counts. */
   def q38TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1927,6 +1974,7 @@ object TextAnalysis {
     "q94_stratified_sample" -> (q94StratifiedSample _),
     "q36_lang_id"       -> (q36LangId _),
     "q37_quality_score" -> (q37QualityScore _),
+    "q219_quality_dup_lift" -> (q219QualityDupLift _),
     "q38_token_count"   -> (q38TokenCount _),
     "q39_fingerprint"   -> (q39Fingerprint _),
     "q40_lang_stats"    -> (q40LangStats _),
@@ -2622,6 +2670,32 @@ object TextAnalysis {
                  round(0.5 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0) +
                        0.5 * (CAST(n_stop AS DOUBLE) / n_words), 4) AS quality
           FROM f"""
+    },
+    "q219_quality_dup_lift" -> {
+      val en = duckStopCount("en")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w,
+                            md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+                              AS content_hash
+                     FROM documents),
+          f AS (SELECT doc_id, content_hash,
+                       least((CAST(5000 AS BIGINT) * least(len(w), 50)) // 50
+                               + (CAST(5000 AS BIGINT) * $en) // len(w),
+                             CAST(9999 AS BIGINT)) // 2000 AS band
+                FROM t),
+          d AS (SELECT band,
+                       CASE WHEN min(doc_id) OVER (PARTITION BY content_hash)
+                                 <> max(doc_id) OVER (PARTITION BY content_hash)
+                            THEN 1 ELSE 0 END AS is_dup
+                FROM f),
+          b AS (SELECT band, count(*) AS n_docs,
+                       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+                FROM d GROUP BY 1)
+          SELECT band, n_docs, n_dup_docs,
+                 (n_dup_docs * 10000) // n_docs AS dup_bp,
+                 (n_dup_docs * 10000) // n_docs
+                   - CAST((sum(n_dup_docs) OVER () * 10000)
+                          // sum(n_docs) OVER () AS BIGINT) AS lift_bp
+          FROM b"""
     },
     "q38_token_count" ->
       """SELECT doc_id,

@@ -813,6 +813,37 @@ class PropertySpec extends AnyFunSuite {
     assert(s2 <= 10000L && s2 >= 10000L - k)
   }
 
+  test("q219 quality-dup lift equals a driver-side band recompute") {
+    val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
+      .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[Long]("dup_bp"),
+        r.getAs[Long]("lift_bp")))).toMap
+    val en = graft.operators.TextAnalysis.stop("en").toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1) // Spark split keeps empties
+        val key = w.take(3).mkString(" ")
+        val bp = 5000L * math.min(w.length, 50) / 50 +
+          5000L * w.count(en.contains) / w.length
+        (r.getLong(0), key, math.min(bp, 9999L) / 2000L)
+      }
+    val dupKeys = docs.groupBy(_._2).filter(_._2.length > 1).keySet
+    val ref0 = docs.groupBy(_._3).map { case (band, rows) =>
+      band -> ((rows.length.toLong, rows.count(d => dupKeys(d._2)).toLong))
+    }
+    val totDocs = docs.length.toLong
+    val totDup = ref0.values.map(_._2).sum
+    val ref = ref0.map { case (band, (n, nd)) =>
+      band -> ((n, nd, nd * 10000L / n,
+        nd * 10000L / n - totDup * 10000L / totDocs))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: the corpus spreads over >1 band and carries real dups,
+    // and lift is not uniformly zero (some band separates from the mean)
+    assert(got.size > 1 && totDup > 0L)
+    assert(got.values.exists(_._4 != 0L))
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
