@@ -1741,6 +1741,39 @@ object TextAnalysis {
       .select(col("source"), col("n_total").as("n_docs"), col("n_bins").as("n_langs"),
         col("top_bin").as("top_lang"), col("top_share_bp"), col("entropy_x1000"))
 
+  /** q220: character-BIGRAM entropy per source — the charset-composition
+    * probe next to q208's class census and q194's compression ratio: a
+    * source whose bigram entropy collapses is templated/looping output
+    * (few transitions dominate), one whose entropy spikes against its
+    * peers is gibberish/OCR noise or a mis-split binary payload (flat
+    * transition structure) — both read off one table before any decode
+    * or model runs. Third consumer of the SHARED
+    * [[Entropy.dominantAndEntropy]] kernel + SQL generator (q211 source
+    * lang mix, q217 diurnal — one exact-integer definition per engine
+    * pair, zero drift). The `length >= 2` guard is load-bearing on the
+    * Spark side: `sequence(1, 0)` DESCENDS (yielding phantom indices for
+    * a 1-char doc) rather than returning empty like DuckDB's
+    * generate_series.
+    *
+    * Scale shape: the bigram explode is corpus-byte-scale but lands in a
+    * map-side-combined (source, bigram) aggregate whose value domain is
+    * charset² — the exchange after partial aggregation carries
+    * |sources × distinct bigrams| rows, not corpus bytes; the kernel's
+    * windows run over that bounded frame.
+    */
+  def q220CharBigramEntropy(s: SparkSession, dir: String): DataFrame =
+    Entropy.dominantAndEntropy(
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+        .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("cnt")),
+      "source", "bg")
+      .select(col("source"), col("n_total").as("n_bigrams"),
+        col("n_bins").as("n_distinct"), col("top_bin").as("top_bigram"),
+        col("top_share_bp"), col("entropy_x1000"))
+
   /** q212: sequence-PACKING economics per source — documents bucketed to
     * the power-of-two context length that would hold them (32..4096),
     * with the padding waste each bucket pays. This is the planning table
@@ -1949,6 +1982,7 @@ object TextAnalysis {
     "q207_zipf_slope" -> (q207ZipfSlope _),
     "q209_pmi_collocations" -> (q209PmiCollocations _),
     "q211_source_lang_mix" -> (q211SourceLangMix _),
+    "q220_char_bigram_entropy" -> (q220CharBigramEntropy _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -2033,6 +2067,14 @@ object TextAnalysis {
   private val q211Sql: String = Entropy.dominantAndEntropySql(
     "SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2",
     "source", "lang", "n_docs", "n_langs", "top_lang")
+
+  private val q220Sql: String = Entropy.dominantAndEntropySql(
+    """SELECT source, substring(text, u.i, 2) AS bg, count(*) AS cnt
+       FROM documents,
+            LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i) u
+       WHERE length(text) >= 2
+       GROUP BY 1, 2""",
+    "source", "bg", "n_bigrams", "n_distinct", "top_bigram")
 
   private val q214Sql: String =
     """WITH d AS (
@@ -2242,6 +2284,7 @@ object TextAnalysis {
          SELECT lang, w1, w2, cnt, pmi_micro, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 20""",
     "q211_source_lang_mix" -> q211Sql,
+    "q220_char_bigram_entropy" -> q220Sql,
     "q213_term_burstiness" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

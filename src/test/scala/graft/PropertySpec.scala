@@ -813,6 +813,34 @@ class PropertySpec extends AnyFunSuite {
     assert(s2 <= 10000L && s2 >= 10000L - k)
   }
 
+  test("q220 char-bigram entropy equals a driver-side census recompute") {
+    val got = graft.operators.TextAnalysis.q220CharBigramEntropy(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_distinct"), r.getAs[String]("top_bigram"),
+        r.getAs[Long]("top_share_bp"), r.getAs[Long]("entropy_x1000")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap { r =>
+        // codepoint-sliding, matching both engines' char-based substring
+        val cps = r.getString(1).codePoints().toArray
+        if (cps.length < 2) Seq.empty
+        else cps.sliding(2).map(p => (r.getString(0), new String(p, 0, 2))).toSeq
+      }
+      .groupBy(_._1).map { case (src, rows) =>
+        val cnts = rows.groupBy(_._2).map { case (bg, rs) => bg -> rs.length.toLong }
+        val n = cnts.values.sum
+        val (top, topCnt) = cnts.toSeq.sortBy { case (bg, c) => (-c, bg) }.head
+        val num = lq(n) * n - cnts.values.map(c => c * lq(c)).sum
+        src -> ((n, cnts.size.toLong, top, topCnt * 10000L / n,
+          math.round(num / n.toDouble / 1000.0)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: a real transition structure on every source — many
+    // distinct bigrams, no degenerate single-bigram source, entropy > 0
+    assert(got.nonEmpty &&
+      got.values.forall(v => v._2 > 10L && v._5 > 0L && v._4 < 10000L))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
