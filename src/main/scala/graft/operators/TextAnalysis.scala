@@ -1774,6 +1774,35 @@ object TextAnalysis {
         col("n_bins").as("n_distinct"), col("top_bin").as("top_bigram"),
         col("top_share_bp"), col("entropy_x1000"))
 
+  /** q221: cross-LANGUAGE duplication leak per lang — docs whose q28
+    * content_hash also appears under ANOTHER language: lang-sharded
+    * corpora are deduped per shard, so a doc leaking across shards (a
+    * mislabeled lang, a copy-paste mirror, an untranslated boilerplate
+    * block in a "translated" feed) survives every per-shard dedup pass
+    * and double-counts at training time — this is the table that says
+    * whether a GLOBAL dedup pass is needed before the per-lang ones are
+    * trusted. Same exact-integer contract as q204's source axis: the
+    * >1-distinct-langs predicate is min(lang) ≠ max(lang) over the hash
+    * window (no COUNT(DISTINCT) window), cross_bp an all-positive DIV.
+    *
+    * Scale shape: one corpus scan projected to (lang, 16-byte hash)
+    * before the single corpus-scale exchange on content_hash; the lang
+    * fold map-side-combines to |langs| rows. Text never shuffles.
+    */
+  def q221CrossLangLeak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("content_hash"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("content_hash"))
+      .withColumn("is_cross",
+        when(min(col("lang")).over(byHash) =!= max(col("lang")).over(byHash),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_cross")).as("n_cross_docs"))
+      .withColumn("cross_bp", expr("(n_cross_docs * 10000) DIV n_docs"))
+  }
+
   /** q212: sequence-PACKING economics per source — documents bucketed to
     * the power-of-two context length that would hold them (32..4096),
     * with the padding waste each bucket pays. This is the planning table
@@ -1983,6 +2012,7 @@ object TextAnalysis {
     "q209_pmi_collocations" -> (q209PmiCollocations _),
     "q211_source_lang_mix" -> (q211SourceLangMix _),
     "q220_char_bigram_entropy" -> (q220CharBigramEntropy _),
+    "q221_cross_lang_leak" -> (q221CrossLangLeak _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -2285,6 +2315,20 @@ object TextAnalysis {
          FROM r WHERE rank <= 20""",
     "q211_source_lang_mix" -> q211Sql,
     "q220_char_bigram_entropy" -> q220Sql,
+    "q221_cross_lang_leak" ->
+      """WITH h AS (SELECT lang,
+                           md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+                             AS content_hash
+                    FROM documents),
+          d AS (SELECT lang,
+                       CASE WHEN min(lang) OVER (PARTITION BY content_hash)
+                                 <> max(lang) OVER (PARTITION BY content_hash)
+                            THEN 1 ELSE 0 END AS is_cross
+                FROM h)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(is_cross) AS BIGINT) AS n_cross_docs,
+                 (CAST(sum(is_cross) AS BIGINT) * 10000) // count(*) AS cross_bp
+          FROM d GROUP BY 1""",
     "q213_term_burstiness" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

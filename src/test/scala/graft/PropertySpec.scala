@@ -841,6 +841,24 @@ class PropertySpec extends AnyFunSuite {
       got.values.forall(v => v._2 > 10L && v._5 > 0L && v._4 < 10000L))
   }
 
+  test("q221 cross-lang leak equals a driver-side hash recompute") {
+    val got = graft.operators.TextAnalysis.q221CrossLangLeak(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_cross_docs"), r.getAs[Long]("cross_bp")))).toMap
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).take(3).mkString(" ")))
+    val crossKeys = docs.groupBy(_._2)
+      .filter { case (_, rs) => rs.map(_._1).distinct.length > 1 }.keySet
+    val ref = docs.groupBy(_._1).map { case (lang, rows) =>
+      val nc = rows.count(d => crossKeys(d._2)).toLong
+      lang -> ((rows.length.toLong, nc, nc * 10000L / rows.length))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: the synthetic corpus carries real cross-lang prefix
+    // collisions (probed before adoption) — some lang must show leakage
+    assert(got.values.exists(_._2 > 0L))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
