@@ -1803,6 +1803,45 @@ object TextAnalysis {
       .withColumn("cross_bp", expr("(n_cross_docs * 10000) DIV n_docs"))
   }
 
+  /** q222: exact-dedup TOKEN savings per source — what q28's dedup pass
+    * is actually worth, in tokens, per source: every non-keeper copy
+    * (doc_id ≠ min(doc_id) of its content_hash group — exactly the rows
+    * q28 drops) contributes its whole token count to the source's
+    * `tokens_removed`. The per-source saved_bp is the budget line that
+    * justifies (or kills) running dedup on a feed — a 40-bp source pays
+    * for no shuffle; a 2000-bp source is a mirror and the pass is the
+    * cheapest token recovery available. Complements q219 (which bands
+    * dup INCIDENCE by quality; this prices dup MASS by source).
+    *
+    * Exact-integer contract: keeper choice is the deterministic
+    * min(doc_id) (q28's rule) via one window — no join back to the
+    * group; token counts are BIGINT from the projection; saved_bp an
+    * all-positive DIV.
+    *
+    * Scale shape: one corpus scan projected to (doc_id, source, hash,
+    * n_tok) before the single content_hash exchange; the source fold
+    * map-side-combines to |sources| rows. Text never shuffles.
+    */
+  def q222DedupTokenSavings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("content_hash"))
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
+        expr("CAST(size(filter(w, x -> x <> '')) AS BIGINT)").as("n_tok"))
+      .withColumn("is_removed",
+        when(col("doc_id") =!= min(col("doc_id")).over(byHash), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_removed")).as("n_removed_docs"),
+        sum(col("is_removed") * col("n_tok")).as("tokens_removed"))
+      .withColumn("saved_bp",
+        expr("(tokens_removed * 10000) DIV greatest(n_tokens, 1)"))
+  }
+
   /** q212: sequence-PACKING economics per source — documents bucketed to
     * the power-of-two context length that would hold them (32..4096),
     * with the padding waste each bucket pays. This is the planning table
@@ -2013,6 +2052,7 @@ object TextAnalysis {
     "q211_source_lang_mix" -> (q211SourceLangMix _),
     "q220_char_bigram_entropy" -> (q220CharBigramEntropy _),
     "q221_cross_lang_leak" -> (q221CrossLangLeak _),
+    "q222_dedup_token_savings" -> (q222DedupTokenSavings _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -2328,6 +2368,24 @@ object TextAnalysis {
           SELECT lang, count(*) AS n_docs,
                  CAST(sum(is_cross) AS BIGINT) AS n_cross_docs,
                  (CAST(sum(is_cross) AS BIGINT) * 10000) // count(*) AS cross_bp
+          FROM d GROUP BY 1""",
+    "q222_dedup_token_savings" ->
+      """WITH t AS (SELECT doc_id, source,
+                           md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+                             AS content_hash,
+                           CAST(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS BIGINT) AS n_tok
+                    FROM documents),
+          d AS (SELECT source, n_tok,
+                       CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+                            THEN 1 ELSE 0 END AS is_removed
+                FROM t)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(sum(is_removed) AS BIGINT) AS n_removed_docs,
+                 CAST(sum(is_removed * n_tok) AS BIGINT) AS tokens_removed,
+                 (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
+                   // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
           FROM d GROUP BY 1""",
     "q213_term_burstiness" ->
       """WITH t AS (

@@ -859,6 +859,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("q222 dedup token savings equals a driver-side keeper recompute") {
+    val got = graft.operators.TextAnalysis.q222DedupTokenSavings(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed_docs"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Long]("saved_bp")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val w = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1), w.take(3).mkString(" "),
+          w.count(_.nonEmpty).toLong)
+      }
+    val keeper = docs.groupBy(_._3).map { case (k, rs) => k -> rs.map(_._1).min }
+    val ref = docs.groupBy(_._2).map { case (src, rows) =>
+      val removed = rows.filter(d => keeper(d._3) != d._1)
+      val nTok = rows.map(_._4).sum
+      val remTok = removed.map(_._4).sum
+      src -> ((rows.length.toLong, nTok, removed.length.toLong, remTok,
+        remTok * 10000L / math.max(nTok, 1L)))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: dedup recovers real tokens somewhere, and no source
+    // loses everything
+    assert(got.values.exists(_._4 > 0L) && got.values.forall(v => v._5 < 10000L))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
