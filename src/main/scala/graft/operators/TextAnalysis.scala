@@ -215,12 +215,13 @@ object TextAnalysis {
     * are excluded from the output (they trivially match).
     */
   /** word-5-gram occurrences — shared by q58 and [[graft.CorpusPipeline]]. */
-  private[graft] def fiveGrams(df: org.apache.spark.sql.DataFrame): DataFrame = df
-    .select(col("doc_id"), split(col("text"), " ").as("w"))
+  private[graft] def fiveGrams(df: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): DataFrame = df
+    .select(col("doc_id") +: extra.map(col) :+ split(col("text"), " ").as("w"): _*)
     .filter(size(col("w")) >= 5)
-    .select(col("doc_id"), explode(expr(
+    .select(col("doc_id") +: extra.map(col) :+ explode(expr(
       """transform(sequence(1, size(w)-4),
-         i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+         i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"): _*)
 
   /** the English stoplist as a SQL IN-list — shared with CorpusPipeline. */
   private[graft] def enStopInList: String = inList(stop("en"))
@@ -233,6 +234,40 @@ object TextAnalysis {
       .join(broadcast(bench), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))
+  }
+
+  /** q223: benchmark-CONTAMINATION burden per source — q58's per-doc
+    * decontamination rolled up to the axis a curator acts on: which
+    * FEEDS carry the eval-set overlap (a source scraping benchmark
+    * hosts, a dataset page mirrored into a crawl), with contaminated-doc
+    * counts, gram mass and contam_bp deciding scrub-the-docs vs
+    * drop-the-feed. Shares q58's exact kernel ([[fiveGrams]], the same
+    * broadcast semi-probe, the same per-doc distinct-gram count) so the
+    * two tables can never disagree on what "contaminated" means.
+    *
+    * Scale shape: the benchmark shingle set is broadcast (q58's shape);
+    * one corpus 5-gram explode lands in a per-(doc, source) map-side
+    * combine, then a |sources|-row fold; the denominator pass is a
+    * count-only scan pruned to (doc_id, source) — no second explode. The
+    * |sources|-row join is broadcast by size.
+    */
+  def q223ContaminationBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val perDoc = fiveGrams(corpus, Seq("source"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("ng"))
+    corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated_docs"),
+            sum(col("ng")).as("n_contaminated_grams")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated_docs", "n_contaminated_grams"))
+      .withColumn("contam_bp", expr("(n_contaminated_docs * 10000) DIV n_docs"))
   }
 
   /** q59: corpus vocabulary statistics — per-word document frequency, total
@@ -2053,6 +2088,7 @@ object TextAnalysis {
     "q220_char_bigram_entropy" -> (q220CharBigramEntropy _),
     "q221_cross_lang_leak" -> (q221CrossLangLeak _),
     "q222_dedup_token_savings" -> (q222DedupTokenSavings _),
+    "q223_contamination_by_source" -> (q223ContaminationBySource _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -2387,6 +2423,28 @@ object TextAnalysis {
                  (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
                    // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
           FROM d GROUP BY 1""",
+    "q223_contamination_by_source" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, source, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          g AS (SELECT doc_id, source,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                            || ' ' || w[i+4] AS g
+                FROM ix),
+          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+          pd AS (SELECT g.doc_id, g.source, count(DISTINCT g.g) AS ng
+                 FROM g JOIN bench USING (g)
+                 WHERE g.doc_id % 97 <> 0 GROUP BY 1, 2),
+          den AS (SELECT source, count(*) AS n_docs FROM documents
+                  WHERE doc_id % 97 <> 0 GROUP BY 1),
+          agg AS (SELECT source, count(*) AS ncd,
+                         CAST(sum(ng) AS BIGINT) AS ncg
+                  FROM pd GROUP BY 1)
+          SELECT den.source, den.n_docs,
+                 COALESCE(agg.ncd, 0) AS n_contaminated_docs,
+                 COALESCE(agg.ncg, 0) AS n_contaminated_grams,
+                 (COALESCE(agg.ncd, 0) * 10000) // den.n_docs AS contam_bp
+          FROM den LEFT JOIN agg USING (source)""",
     "q213_term_burstiness" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -885,6 +885,34 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 0L) && got.values.forall(v => v._5 < 10000L))
   }
 
+  test("q223 contamination by source equals a driver-side shingle recompute") {
+    val got = graft.operators.TextAnalysis
+      .q223ContaminationBySource(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_contaminated_docs"),
+        r.getAs[Long]("n_contaminated_grams"),
+        r.getAs[Long]("contam_bp")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val w = r.getString(2).split(" ", -1)
+        val grams =
+          if (w.length < 5) Set.empty[String]
+          else w.sliding(5).map(_.mkString(" ")).toSet
+        (r.getLong(0), r.getString(1), grams)
+      }
+    val bench = docs.filter(_._1 % 97 == 0).flatMap(_._3).toSet
+    val corpus = docs.filter(_._1 % 97 != 0)
+    val ref = corpus.groupBy(_._2).map { case (src, rows) =>
+      val perDoc = rows.map(d => (d._3 & bench).size.toLong).filter(_ > 0L)
+      src -> ((rows.length.toLong, perDoc.length.toLong, perDoc.sum,
+        perDoc.length * 10000L / rows.length))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: contamination exists and is not universal
+    assert(got.values.exists(_._2 > 0L) && got.values.exists(v => v._2 < v._1))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
