@@ -54,6 +54,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("r13 curation tables shuffle digests/counts, never corpus text") {
+    // q221/q222: ONE corpus-scale exchange (16-byte content_hash window)
+    // + the tiny per-lang/per-source fold — text is projected away before
+    // any shuffle
+    for (q <- Seq("q221_cross_lang_leak", "q222_dedup_token_savings")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 2, s"$q\n$p")
+      assert(p.contains("hashpartitioning(content_hash"), s"$q\n$p")
+    }
+    // q219 adds the ≤5-row corpus-rate window (single-partition exchange
+    // over the band fold) on top of the same two
+    val p219 = plan("q219_quality_dup_lift")
+    assert(count(p219, "Exchange") == 3, p219)
+    assert(p219.contains("hashpartitioning(content_hash"), p219)
+    // q220: the bigram explode lands in a map-side-combined aggregate —
+    // only the charset²-bounded count table and the per-source kernel
+    // window exchange exist
+    val p220 = plan("q220_char_bigram_entropy")
+    assert(count(p220, "Exchange") == 2, p220)
+    // q223: the benchmark shingle set probes as a BROADCAST semi-join
+    // (q58's shape) — the corpus explode never shuffles to meet it
+    val p223 = plan("q223_contamination_by_source")
+    assert(p223.contains("LeftSemi"), p223)
+    assert(count(p223, "BroadcastExchange") >= 1, p223)
+  }
+
   test("pure-projection operators plan with zero exchanges") {
     for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint",
                   "q74_train_split", "q76_vector_stats",
