@@ -802,6 +802,38 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_survivor"))
 
+  /** q224: NEAR-dup token savings per source — the q222 dividend table
+    * for the near-dup pass: every non-canonical cluster member (doc_id ≠
+    * cluster_id in the SHARED q56 cluster map — same memoized CC build,
+    * zero drift) contributes its whole token count to tokens_removed.
+    * Read next to q222, the pair prices the two dedup rungs separately:
+    * a source whose exact savings dwarf its near savings is a mirror
+    * (cheap hash pass suffices); the reverse is boilerplate/templating
+    * (the LSH pass earns its shuffle).
+    *
+    * Scale shape: one corpus scan projected to (doc_id, source, n_tok);
+    * the cluster map joins on doc_id (its size is data-dependent — dup
+    * fraction of the corpus — so no broadcast hint; AQE picks one when
+    * it fits), then a |sources|-row fold. Text never shuffles.
+    */
+  def q224NearDupTokenSavings(s: SparkSession, dir: String): DataFrame = {
+    val cl = clusterMap(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tok"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("is_removed",
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_removed")).as("n_removed_docs"),
+        sum(col("is_removed") * col("n_tok")).as("tokens_removed"))
+      .withColumn("saved_bp",
+        expr("(tokens_removed * 10000) DIV greatest(n_tokens, 1)"))
+  }
+
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
     */
@@ -1059,6 +1091,26 @@ object Dedup {
                  least(src, min(dst)) AS cluster_id,
                  (src = least(src, min(dst))) AS is_survivor
           FROM reach GROUP BY src""",
+    "q224_near_dup_token_savings" ->
+      s"""WITH RECURSIVE $reachCtes,
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          tok AS (SELECT doc_id, source,
+                         CAST(len(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS BIGINT) AS n_tok
+                  FROM documents),
+          j AS (SELECT t.source, t.n_tok,
+                       CASE WHEN cl.cluster_id IS NOT NULL
+                                 AND cl.cluster_id <> t.doc_id
+                            THEN 1 ELSE 0 END AS is_removed
+                FROM tok t LEFT JOIN cl ON t.doc_id = cl.doc_id)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(sum(is_removed) AS BIGINT) AS n_removed_docs,
+                 CAST(sum(is_removed * n_tok) AS BIGINT) AS tokens_removed,
+                 (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
+                   // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
+          FROM j GROUP BY 1""",
     "q32_dedup_embedding" ->
       """WITH c AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1211,6 +1263,7 @@ object Dedup {
     "q179_cluster_split"  -> (q179ClusterSplit _),
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
+    "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q199_containment"    -> (q199Containment _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),

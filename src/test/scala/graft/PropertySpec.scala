@@ -913,6 +913,31 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0L) && got.values.exists(v => v._2 < v._1))
   }
 
+  test("q224 near-dup token savings composes the verified q56 cluster map") {
+    val got = Dedup.q224NearDupTokenSavings(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed_docs"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Long]("saved_bp")))).toMap
+    val cl = Dedup.q56DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val ref = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        (r.getLong(0), r.getString(1),
+          r.getString(2).split(" ", -1).count(_.nonEmpty).toLong)
+      }
+      .groupBy(_._2).map { case (src, rows) =>
+        val removed = rows.filter(d => cl.get(d._1).exists(_ != d._1))
+        val nTok = rows.map(_._3).sum
+        val remTok = removed.map(_._3).sum
+        src -> ((rows.length.toLong, nTok, removed.length.toLong, remTok,
+          remTok * 10000L / math.max(nTok, 1L)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: the near-dup pass recovers real tokens somewhere
+    assert(got.values.exists(_._4 > 0L))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
