@@ -834,6 +834,40 @@ object Dedup {
         expr("(tokens_removed * 10000) DIV greatest(n_tokens, 1)"))
   }
 
+  /** q225: dedup-KEY precision audit — how often q28's cheap 3-word
+    * prefix key merges docs whose FULL text differs: every dedup rung
+    * trades key cost against false merges, and this one-row table prices
+    * that trade before anyone trusts the cheap key (a high
+    * false_merge_bp says the prefix groups are really NEAR-dup families
+    * — route them to q56's cluster collapse, don't min-keep them as
+    * exact copies; on this synthetic corpus the audit fires hard, ~all
+    * multi-doc prefix groups are text-heterogeneous, which is exactly
+    * the story it exists to surface). Both digests ride one projection;
+    * group homogeneity is min(full_hash) = max(full_hash) — the q203
+    * idiom pointed at a second digest.
+    *
+    * Scale shape: one corpus scan projected to two 16-byte digests, one
+    * map-side-combined exchange on the prefix key, then a 1-row fold.
+    * Text never shuffles.
+    */
+  def q225DedupKeyPrecision(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("k"),
+        md5(col("text")).as("ft"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("ft")).as("a"), max(col("ft")).as("b"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_multi_groups"),
+        sum(when(col("a") =!= col("b"), 1L).otherwise(0L))
+          .as("n_false_merge_groups"),
+        sum(col("n")).as("docs_in_multi"),
+        sum(when(col("a") =!= col("b"), col("n")).otherwise(lit(0L)))
+          .as("docs_in_false"))
+      .na.fill(0L,
+        Seq("n_false_merge_groups", "docs_in_multi", "docs_in_false"))
+      .withColumn("false_merge_bp",
+        expr("(n_false_merge_groups * 10000) DIV greatest(n_multi_groups, 1)"))
+
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
     */
@@ -1111,6 +1145,21 @@ object Dedup {
                  (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
                    // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
           FROM j GROUP BY 1""",
+    "q225_dedup_key_precision" ->
+      """WITH h AS (SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS k,
+                           md5(text) AS ft
+                    FROM documents),
+          g AS (SELECT k, count(*) AS n, min(ft) AS a, max(ft) AS b
+                FROM h GROUP BY k HAVING count(*) > 1)
+          SELECT count(*) AS n_multi_groups,
+                 COALESCE(CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT), 0)
+                   AS n_false_merge_groups,
+                 COALESCE(CAST(sum(n) AS BIGINT), 0) AS docs_in_multi,
+                 COALESCE(CAST(sum(CASE WHEN a <> b THEN n ELSE 0 END) AS BIGINT), 0)
+                   AS docs_in_false,
+                 (COALESCE(CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT), 0)
+                   * 10000) // greatest(count(*), 1) AS false_merge_bp
+          FROM g""",
     "q32_dedup_embedding" ->
       """WITH c AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1264,6 +1313,7 @@ object Dedup {
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
+    "q225_dedup_key_precision" -> (q225DedupKeyPrecision _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q199_containment"    -> (q199Containment _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),

@@ -938,6 +938,24 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 0L))
   }
 
+  test("q225 dedup-key precision equals a driver-side digest recompute") {
+    val row = Dedup.q225DedupKeyPrecision(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(r => (r.getString(0).split(" ", -1).take(3).mkString(" "),
+        r.getString(0)))
+    val groups = docs.groupBy(_._1).values.filter(_.length > 1).toSeq
+    val falseG = groups.filter(g => g.map(_._2).distinct.length > 1)
+    assert(row.getAs[Long]("n_multi_groups") == groups.length.toLong)
+    assert(row.getAs[Long]("n_false_merge_groups") == falseG.length.toLong)
+    assert(row.getAs[Long]("docs_in_multi") == groups.map(_.length).sum.toLong)
+    assert(row.getAs[Long]("docs_in_false") == falseG.map(_.length).sum.toLong)
+    assert(row.getAs[Long]("false_merge_bp") ==
+      falseG.length * 10000L / math.max(groups.length, 1L))
+    // liveness: the audit fires on this corpus — the cheap prefix key
+    // really does merge heterogeneous texts
+    assert(groups.nonEmpty && falseG.nonEmpty)
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
