@@ -216,7 +216,25 @@ object CorpusPipeline {
   def chunk(published: DataFrame): DataFrame =
     TextAnalysis.chunksOf(published, "clean_text", Seq("lang", "source"))
 
-  final case class Audit(stage: String, n_docs: Long)
+  final case class Audit(stage: String, n_docs: Long, n_tokens: Long)
+
+  /** One job per stage row: doc count + whitespace-token mass together
+    * (the frames are localCheckpointed, so this re-reads checkpoint
+    * blocks, not the upstream pipeline). Token attrition turns the doc
+    * funnel into the budget table training actually plans against — a
+    * stage that drops 1% of docs but 30% of tokens (a long-doc cut) and
+    * one that drops 30% of docs but 1% of tokens (a short-spam gate)
+    * read identically in docs and OPPOSITELY in tokens.
+    */
+  private def stageAudit(name: String, df: DataFrame,
+      textCol: String = "text"): Audit = {
+    val r = df.agg(
+      count(lit(1)),
+      coalesce(sum(expr(
+        s"CAST(size(filter(split($textCol, ' '), x -> x <> '')) AS BIGINT)")),
+        lit(0L))).head
+    Audit(name, r.getLong(0), r.getLong(1))
+  }
 
   /** Full run: documents → published clean corpus (parquet partitioned by
     * lang) + the per-stage audit. Each stage output is localCheckpointed so
@@ -263,16 +281,16 @@ object CorpusPipeline {
     val published = normalize(decon)
     published.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
     val audit = Seq(
-      Audit("raw", raw.count()),
-      Audit("url_deduped", urlDeduped.count()),
-      Audit("quality_filtered", quality.count()),
-      Audit("repetition_filtered", filtered.count()),
-      Audit("safety_cleared", safe.count()),
-      Audit("exact_deduped", exact.count()),
-      Audit("near_dup_collapsed", nearDup.count()),
-      Audit("substr_cut", cut.count()),
-      Audit("decontaminated", decon.count()),
-      Audit("published", s.read.parquet(outDir).count())).toDF()
+      stageAudit("raw", raw),
+      stageAudit("url_deduped", urlDeduped),
+      stageAudit("quality_filtered", quality),
+      stageAudit("repetition_filtered", filtered),
+      stageAudit("safety_cleared", safe),
+      stageAudit("exact_deduped", exact),
+      stageAudit("near_dup_collapsed", nearDup),
+      stageAudit("substr_cut", cut),
+      stageAudit("decontaminated", decon),
+      stageAudit("published", s.read.parquet(outDir), "clean_text")).toDF()
     (s.read.parquet(outDir), audit)
   }
 }

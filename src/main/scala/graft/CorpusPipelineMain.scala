@@ -15,7 +15,9 @@ object CorpusPipelineMain {
     val spark = GraftSession.local(cpus)
     val (_, audit) = CorpusPipeline.run(spark, sfDir, outDir)
     val stages = audit.collect()
-      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+      .map(r =>
+        s""""${r.getString(0)}":{"docs":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
+      .mkString(",")
     println(s"""{"stages":{$stages},"out":"${GraftSession.jsonEscape(outDir)}"}""")
     spark.stop()
   }

@@ -18,14 +18,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val outDir = Files.createTempDirectory("graft-corpus").toString
     val (published, audit) = CorpusPipeline.run(spark, dir, outDir)
 
-    val counts = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // stage counts shrink monotonically raw → published
+    val rows = audit.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val counts = rows.view.mapValues(_._1).toMap
+    val tokens = rows.view.mapValues(_._2).toMap
+    // stage doc AND token funnels shrink monotonically raw → published
+    // (every stage drops docs or cuts/normalizes text downward — a token
+    // INCREASE anywhere means a stage is synthesizing content)
     val order = Seq("raw", "url_deduped", "quality_filtered", "repetition_filtered",
       "safety_cleared", "exact_deduped", "near_dup_collapsed", "substr_cut",
       "decontaminated", "published")
     val seq = order.map(counts)
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"not monotone: $counts")
-    assert(counts("published") > 0)
+    val tseq = order.map(tokens)
+    assert(tseq.zip(tseq.tail).forall { case (a, b) => b <= a },
+      s"token funnel not monotone: $tokens")
+    assert(counts("published") > 0 && tokens("published") > 0)
+    // the substr-cut stage edits text without dropping docs at this SF's
+    // planted geometry only when spans repeat; either way tokens obey
+    // docs: a stage that kept all docs may still shed tokens, never gain
+    assert(tokens("substr_cut") <= tokens("near_dup_collapsed"))
     assert(counts("published") == counts("decontaminated"))
     // the shipped corpus trips no placeholder blocklist term, so the
     // safety gate must pass everything the quality filter passed —
