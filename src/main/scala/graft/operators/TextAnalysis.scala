@@ -1785,10 +1785,13 @@ object TextAnalysis {
     * or model runs. Third consumer of the SHARED
     * [[Entropy.dominantAndEntropy]] kernel + SQL generator (q211 source
     * lang mix, q217 diurnal — one exact-integer definition per engine
-    * pair, zero drift). The `length >= 2` guard is load-bearing on the
-    * Spark side: `sequence(1, 0)` DESCENDS (yielding phantom indices for
-    * a 1-char doc) rather than returning empty like DuckDB's
-    * generate_series.
+    * pair, zero drift). Bigram extraction is the native codegen
+    * [[graft.functions.CharBigrams]] — the HOF form
+    * (`transform(sequence(1, len-1), i -> substring(text, i, 2))`) runs
+    * an interpreted lambda per CHARACTER and needs a `length >= 2` guard
+    * because `sequence(1, 0)` descends; the native expression is one
+    * fused loop per document, empty-array on short docs, bit-identical
+    * (ExtensionsSpec).
     *
     * Scale shape: the bigram explode is corpus-byte-scale but lands in a
     * map-side-combined (source, bigram) aggregate whose value domain is
@@ -1799,10 +1802,8 @@ object TextAnalysis {
   def q220CharBigramEntropy(s: SparkSession, dir: String): DataFrame =
     Entropy.dominantAndEntropy(
       Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("bg"))
+        .select(col("source"),
+          explode(graft.functions.CharBigrams(col("text"))).as("bg"))
         .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("cnt")),
       "source", "bg")
       .select(col("source"), col("n_total").as("n_bigrams"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
+      (exprs: Seq[Expression]) => CharBigrams(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
@@ -61,6 +65,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash",
       exprs => RollingHash(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_bigrams",
+      exprs => CharBigrams(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",

@@ -147,6 +147,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.getLong(2) == (97L * 31 + 98) % 1000000007L)
   }
 
+  test("native char bigrams are bit-identical to the HOF form, incl. multibyte text") {
+    val d = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 2) // the HOF reference needs the guard
+      .select(
+        graft.functions.CharBigrams(col("text")).as("native"),
+        expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+          .as("hof"),
+        col("lang"))
+    assert(d.count() > 0)
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+    // corpus includes zh docs → multibyte code points are exercised
+    assert(d.filter(col("lang") === "zh").count() > 0)
+    // edge cases: short strings yield empty (the HOF form can't even
+    // express these without the guard — sequence(1, 0) descends)
+    graft.plans.GraftExtensions.register(spark)
+    val edge = spark.sql(
+      "SELECT graft_char_bigrams('') AS e, graft_char_bigrams('a') AS one, " +
+      "       graft_char_bigrams(CAST(NULL AS STRING)) AS n, " +
+      "       graft_char_bigrams('abc') AS abc").head()
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.getSeq[String](1).isEmpty)
+    assert(edge.isNullAt(2))
+    assert(edge.getSeq[String](3) == Seq("ab", "bc"))
+  }
+
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
     val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
     assert(feat.count() > 0)
