@@ -219,9 +219,8 @@ object TextAnalysis {
       extra: Seq[String] = Nil): DataFrame = df
     .select(col("doc_id") +: extra.map(col) :+ split(col("text"), " ").as("w"): _*)
     .filter(size(col("w")) >= 5)
-    .select(col("doc_id") +: extra.map(col) :+ explode(expr(
-      """transform(sequence(1, size(w)-4),
-         i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"): _*)
+    .select(col("doc_id") +: extra.map(col) :+
+      explode(graft.functions.WordNgrams(col("w"), 5)).as("g"): _*)
 
   /** the English stoplist as a SQL IN-list — shared with CorpusPipeline. */
   private[graft] def enStopInList: String = inList(stop("en"))
@@ -328,8 +327,8 @@ object TextAnalysis {
     val tri = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 3)).as("sh"))
       .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(expr("max(c) * 10000 DIV sum(c)").as("tri_share_bp"))
@@ -376,9 +375,8 @@ object TextAnalysis {
     val g5 = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w) - 4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 5)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(expr("(sum(c) - count(*)) * 10000 DIV sum(c)").as("dup5_bp"))
@@ -470,8 +468,8 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))")).as("bigram"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n_occurrences"),
            countDistinct(col("doc_id")).as("doc_freq"))
@@ -774,9 +772,8 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
-      .select(col("source"), explode(expr(
-        """transform(sequence(1, size(w)-4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .select(col("source"),
+        explode(graft.functions.WordNgrams(col("w"), 5)).as("g"))
       .distinct()
 
   def q115CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
@@ -862,11 +859,13 @@ object TextAnalysis {
   private def windowOcc(docs: DataFrame, W: Int): DataFrame = docs
     .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
     .filter(size(col("w")) >= W)
-    .select(col("doc_id"), explode(expr(
-      s"""transform(sequence(1, size(w) - ${W - 1}),
-          i -> struct(CAST(i - 1 AS BIGINT) AS pos,
-                      md5(concat_ws(' ', slice(w, i, $W))) AS g))""")).as("o"))
-    .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    // native window sweep (one fused loop/doc), md5 in the codegen'd
+    // projection AFTER the explode — the HOF form ran an interpreted
+    // lambda + an ArrayData slice copy + an md5 per element
+    .select(col("doc_id"),
+      posexplode(graft.functions.WordNgrams(col("w"), W)).as(Seq("pos", "win")))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      md5(col("win")).as("g"))
     .localCheckpoint()
 
   private[graft] def substrDedupSpans(docs: DataFrame, W: Int): DataFrame = {
@@ -1326,9 +1325,8 @@ object TextAnalysis {
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w) - 4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 5)).as("g"))
       .distinct()
       .localCheckpoint()
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -1366,9 +1364,8 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), col("split"), explode(expr(
-        """transform(sequence(1, size(w)-4),
-           i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")).as("g"))
+      .select(col("doc_id"), col("split"),
+        explode(graft.functions.WordNgrams(col("w"), 5)).as("g"))
       .distinct()
     val trainGrams = grams.filter(col("split") === "train")
       .select(col("g")).distinct()
@@ -1417,13 +1414,8 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        expr("""CASE WHEN size(w) >= 5 THEN
-                  transform(sequence(1, size(w)-4),
-                    i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))
-                ELSE array() END""").as("g5"),
-        expr("""CASE WHEN size(w) >= 2 THEN
-                  transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))
-                ELSE array() END""").as("g2"))
+        graft.functions.WordNgrams(col("w"), 5).as("g5"),
+        graft.functions.WordNgrams(col("w"), 2).as("g2"))
       // 5-gram stats BEFORE the explode: a single select would hoist this
       // projection ABOVE the Generate and recompute array_distinct per
       // exploded bigram row (plan-verified) — split, the Generate carries

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
       (exprs: Seq[Expression]) => CharBigrams(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) =>
+        WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
@@ -69,6 +74,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_bigrams",
       exprs => CharBigrams(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams",
+      exprs => WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",

@@ -172,6 +172,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](3) == Seq("ab", "bc"))
   }
 
+  test("native word ngrams are bit-identical to the HOF shingle idiom") {
+    val d = Tables.documents(spark, sf)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(
+        graft.functions.WordNgrams(col("w"), 5).as("native5"),
+        expr("""transform(sequence(1, size(w)-4),
+                i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""")
+          .as("hof5"),
+        graft.functions.WordNgrams(col("w"), 2).as("native2"),
+        expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))")
+          .as("hof2"),
+        graft.functions.WordNgrams(col("w"), 50).as("native50"),
+        when(size(col("w")) >= 50, expr(
+          "transform(sequence(1, size(w)-49), i -> concat_ws(' ', slice(w, i, 50)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("hof50"))
+    assert(d.count() > 0)
+    for (c <- Seq(("native5", "hof5"), ("native2", "hof2"), ("native50", "hof50")))
+      assert(d.filter(col(c._1) =!= col(c._2)).count() == 0, c)
+    // wide windows really occur (the slice variant is exercised, not vacuous)
+    assert(d.filter(size(col("native50")) > 0).count() > 0)
+    // edge cases: size < n → empty; NULL stays NULL; n = 1 is identity
+    graft.plans.GraftExtensions.register(spark)
+    val edge = spark.sql(
+      "SELECT graft_word_ngrams(array('a'), 2) AS short, " +
+      "       graft_word_ngrams(CAST(NULL AS ARRAY<STRING>), 3) AS n, " +
+      "       graft_word_ngrams(array('x', 'y', 'z'), 1) AS one").head()
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.isNullAt(1))
+    assert(edge.getSeq[String](2) == Seq("x", "y", "z"))
+  }
+
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
     val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
     assert(feat.count() > 0)
