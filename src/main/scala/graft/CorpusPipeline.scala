@@ -230,8 +230,7 @@ object CorpusPipeline {
       textCol: String = "text"): Audit = {
     val r = df.agg(
       count(lit(1)),
-      coalesce(sum(expr(
-        s"CAST(size(filter(split($textCol, ' '), x -> x <> '')) AS BIGINT)")),
+      coalesce(sum(graft.functions.TokenCount(col(textCol))),
         lit(0L))).head
     Audit(name, r.getLong(0), r.getLong(1))
   }

@@ -820,8 +820,7 @@ object Dedup {
     val cl = clusterMap(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
-          .as("n_tok"))
+        graft.functions.TokenCount(col("text")).as("n_tok"))
       .join(cl, Seq("doc_id"), "left")
       .withColumn("is_removed",
         when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),

@@ -475,7 +475,7 @@ object Quality {
   def q187CorpusDatasheet(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        expr("size(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+        graft.functions.TokenCount(col("text")).as("toks"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),

@@ -300,7 +300,7 @@ object TextAnalysis {
   def q64CleanText(s: SparkSession, dir: String): DataFrame = {
     val en = inList(stop("en"))
     Tables.documents(s, dir)
-      .withColumn("raw_tokens", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("raw_tokens", graft.functions.Tokens(col("text")))
       .withColumn("tokens", expr(
         s"""filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '),
             x -> x <> '' AND x NOT IN $en)"""))
@@ -333,7 +333,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(expr("max(c) * 10000 DIV sum(c)").as("tri_share_bp"))
     docs
-      .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("w", graft.functions.Tokens(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("chars_ns", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("n_digits",
@@ -857,7 +857,7 @@ object TextAnalysis {
     * the occurrence table shared by q151 (span marking) and q154 (span
     * cutting). localCheckpointed: both queries probe it twice. */
   private def windowOcc(docs: DataFrame, W: Int): DataFrame = docs
-    .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+    .select(col("doc_id"), graft.functions.Tokens(col("text")).as("w"))
     .filter(size(col("w")) >= W)
     // native window sweep (one fused loop/doc), md5 in the codegen'd
     // projection AFTER the explode — the HOF form ran an interpreted
@@ -931,7 +931,7 @@ object TextAnalysis {
         s"array_sort(array_distinct(flatten(transform(starts, p -> sequence(p, p + ${W - 1})))))")
         .as("covered"))
     docs
-      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .select(col("doc_id"), graft.functions.Tokens(col("text")).as("w"))
       .join(cutPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
@@ -966,7 +966,7 @@ object TextAnalysis {
     val wdf = broadcast(s.createDataFrame(mixtureWeights).toDF("source", "weight"))
     val per = Tables.documents(s, dir)
       .select(col("source"),
-        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("t"))
+        graft.functions.TokenCount(col("text")).as("t"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
@@ -1596,7 +1596,7 @@ object TextAnalysis {
   def q205LangFertility(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"),
-        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n_w"),
+        graft.functions.TokenCount(col("text")).as("n_w"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
           .cast("long").as("n_t"),
         length(col("text")).cast("long").as("n_c"))
@@ -1630,7 +1630,7 @@ object TextAnalysis {
   private[graft] def vocabGrowthOf(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        explode(graft.functions.Tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_tokens"),
@@ -1711,7 +1711,7 @@ object TextAnalysis {
   def q209PmiCollocations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counted = Tables.documents(s, dir)
-      .select(col("lang"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .select(col("lang"), graft.functions.Tokens(col("text")).as("w"))
       .select(col("lang"), explode(expr(
         """CASE WHEN size(w) >= 2 THEN concat(
                transform(w, x -> struct('u' AS kind, x AS a, '' AS b)),
@@ -1857,7 +1857,7 @@ object TextAnalysis {
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
         md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
-        expr("CAST(size(filter(w, x -> x <> '')) AS BIGINT)").as("n_tok"))
+        graft.functions.TokenCount(col("text")).as("n_tok"))
       .withColumn("is_removed",
         when(col("doc_id") =!= min(col("doc_id")).over(byHash), lit(1L))
           .otherwise(lit(0L)))
@@ -1884,7 +1884,7 @@ object TextAnalysis {
   def q212PackingEconomics(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"),
-        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n_tok"))
+        graft.functions.TokenCount(col("text")).as("n_tok"))
       .select(col("source"), col("n_tok"),
         expr("""CAST(CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
                 WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
@@ -1915,7 +1915,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        explode(graft.functions.Tokens(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
       .withColumn("rnk", row_number().over(Window.orderBy(col("cf").desc, col("word"))))
@@ -1944,7 +1944,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     docs
       .select(col("source"),
-        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n_tok"))
+        graft.functions.TokenCount(col("text")).as("n_tok"))
       .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("source")).orderBy(col("n_tok"))))
@@ -1975,7 +1975,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(s, dir)
       .select(col("lang"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        explode(graft.functions.Tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))))
@@ -2049,7 +2049,7 @@ object TextAnalysis {
     val keepCols = keep.map(col)
     docs
       .select(col("doc_id") +: keepCols :+
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("toks"): _*)
+        graft.functions.Tokens(col(textCol)).as("toks"): _*)
       .withColumn("nt", size(col("toks")))
       .withColumn("n_chunks", expr(
         s"""CAST(CASE WHEN nt <= $ChunkW THEN 1

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, WordNgrams}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, TokenCount, Tokens, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) =>
         WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => Tokens(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => TokenCount(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
@@ -78,6 +86,14 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams",
       exprs => WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens",
+      exprs => Tokens(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_count",
+      exprs => TokenCount(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",

@@ -204,6 +204,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](2) == Seq("x", "y", "z"))
   }
 
+  test("native tokens/token_count are bit-identical to the filter(split) idiom") {
+    val d = Tables.documents(spark, sf)
+      .select(
+        graft.functions.Tokens(col("text")).as("native"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("hof"),
+        graft.functions.TokenCount(col("text")).as("ncnt"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("hcnt"),
+        col("lang"))
+    assert(d.count() > 0)
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+    assert(d.filter(col("ncnt") =!= col("hcnt")).count() == 0)
+    assert(d.filter(col("lang") === "zh").count() > 0) // multibyte exercised
+    // edges: empty, all-spaces, multi-space runs, leading/trailing —
+    // split-on-' ' produces empties the filter drops; runs must match
+    graft.plans.GraftExtensions.register(spark)
+    for (t <- Seq("", " ", "   ", "a", " a", "a ", "a  b", "  a b  c ", "a b")) {
+      val r = spark.sql(
+        s"SELECT graft_tokens('$t') AS n, filter(split('$t', ' '), x -> x <> '') AS h, " +
+        s"       graft_token_count('$t') AS nc").head()
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"tokens mismatch on '$t'")
+      assert(r.getLong(2) == r.getSeq[String](1).length.toLong, s"count mismatch on '$t'")
+    }
+    val nr = spark.sql("SELECT graft_tokens(CAST(NULL AS STRING)) AS a, " +
+      "graft_token_count(CAST(NULL AS STRING)) AS b").head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
     val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
     assert(feat.count() > 0)
