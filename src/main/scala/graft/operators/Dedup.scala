@@ -53,12 +53,11 @@ object Dedup {
   private def shinglesOf(docs: DataFrame, dedup: Boolean): DataFrame = {
     val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // guard: sequence(1, n-2) flips to a DESCENDING sequence when n<3,
-      // producing invalid indices; short docs have no 3-gram shingles
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-        .as("sh"))
+      // native window sweep (functions/WordNgrams.scala): short docs
+      // yield an empty array the explode drops — no sequence(1, n-2)
+      // descending-guard needed, no interpreted per-element lambda
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 3)).as("sh"))
     if (dedup) occ.distinct() else occ
   }
 
