@@ -358,6 +358,36 @@ object TextAnalysis {
       .withColumn("accept", col("reject_reason").isNull)
   }
 
+  /** q226: per-LANGUAGE filter-bias audit — q65's verdicts rolled up on
+    * the lang axis: for each (lang, outcome) the doc count and within-lang
+    * share. Surface-heuristic quality filters are built on one language's
+    * statistics (the stopword gate here is English, as in C4/Gopher), and
+    * the published failure mode is silent: non-target languages fail
+    * `low_stopword_share` at wildly higher rates and the corpus skews
+    * English without anyone deciding that. This table makes the skew a
+    * number BEFORE the filter ships — read next to q68's rebalance and
+    * q155's mixture plan, it says whether the accept-rate gap is a
+    * filter artifact or real quality. Shares q65's verdict definition on
+    * BOTH engines (the oracle composes the same q65 SQL — one definition,
+    * zero drift).
+    *
+    * Scale shape: q65's own passes plus one doc_id join against the
+    * (doc_id, lang) projection and a |langs × outcomes|-bounded fold; the
+    * within-lang share window runs over that tiny frame.
+    */
+  def q226LangFilterBias(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(q65CorpusFilter(s, dir).select(col("doc_id"), col("reject_reason")),
+        Seq("doc_id"))
+      .withColumn("outcome", coalesce(col("reject_reason"), lit("accepted")))
+      .groupBy(col("lang"), col("outcome")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(byLang))
+      .withColumn("share_bp", expr("(n_docs * 10000) DIV tot"))
+      .select(col("lang"), col("outcome"), col("n_docs"), col("share_bp"))
+  }
+
   /** q132: duplicate-coverage repetition signals — the Gopher repetition
     * family q65's top-trigram share does NOT capture: a document that
     * repeats many DIFFERENT phrases scores low on top-gram share but high
@@ -2115,6 +2145,7 @@ object TextAnalysis {
     "q59_doc_frequency" -> (q59DocFrequency _),
     "q64_clean_text"    -> (q64CleanText _),
     "q65_corpus_filter" -> (q65CorpusFilter _),
+    "q226_lang_filter_bias" -> (q226LangFilterBias _),
     "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)),
     "q74_train_split"   -> (q74TrainSplit _),
     "q75_bigram_stats"  -> (q75BigramStats _),
@@ -2123,6 +2154,51 @@ object TextAnalysis {
   // Component oracle SQL shared between a query's own entry and q216's
   // composed verdict oracle (one definition — a drifted copy would let the
   // composition silently diverge from the audited per-axis queries).
+  // q65's full oracle SQL, shared with q226's per-lang bias rollup (the
+  // q216 one-definition-per-axis discipline).
+  private val q65Sql: String = {
+    val en = inList(stop("en"))
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') wfull FROM documents),
+          ix AS (SELECT doc_id, wfull w, unnest(generate_series(1, len(wfull)-2)) i
+                 FROM t WHERE len(wfull) >= 3),
+          shc AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh, count(*) AS c
+                  FROM ix GROUP BY 1, 2),
+          tri AS (SELECT doc_id, max(c) * 10000 // CAST(sum(c) AS BIGINT) AS tri_share_bp
+                  FROM shc GROUP BY doc_id),
+          base AS (
+            SELECT d.doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN $en)) AS BIGINT) AS n_stop,
+                   length(text) AS tlen,
+                   COALESCE(tri.tri_share_bp, 0) AS tri_share_bp
+            FROM documents d LEFT JOIN tri ON d.doc_id = tri.doc_id),
+          m AS (
+            SELECT doc_id, n_words,
+                   chars_ns * 100 // greatest(n_words, 1) AS word_len_x100,
+                   n_digits * 10000 // greatest(tlen, 1) AS digit_bp,
+                   n_stop * 10000 // greatest(n_words, 1) AS stop_bp,
+                   tri_share_bp
+            FROM base)
+          SELECT doc_id, n_words, word_len_x100, digit_bp, stop_bp, tri_share_bp,
+                 CASE WHEN n_words < 10 THEN 'too_few_words'
+                      WHEN n_words > 5000 THEN 'too_many_words'
+                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
+                      WHEN digit_bp > 2000 THEN 'too_many_digits'
+                      WHEN stop_bp < 300 THEN 'low_stopword_share'
+                      WHEN tri_share_bp > 1800 THEN 'repetitive'
+                      END AS reject_reason,
+                 (CASE WHEN n_words < 10 THEN 'too_few_words'
+                      WHEN n_words > 5000 THEN 'too_many_words'
+                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
+                      WHEN digit_bp > 2000 THEN 'too_many_digits'
+                      WHEN stop_bp < 300 THEN 'low_stopword_share'
+                      WHEN tri_share_bp > 1800 THEN 'repetitive'
+                      END) IS NULL AS accept
+          FROM m"""
+  }
+
   private val q204Sql: String =
     s"""WITH t AS (
             SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -2938,48 +3014,17 @@ object TextAnalysis {
                                  x -> x <> '' AND x NOT IN $en)) AS n_tokens_after
           FROM documents"""
     },
-    "q65_corpus_filter" -> {
-      val en = inList(stop("en"))
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') wfull FROM documents),
-          ix AS (SELECT doc_id, wfull w, unnest(generate_series(1, len(wfull)-2)) i
-                 FROM t WHERE len(wfull) >= 3),
-          shc AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh, count(*) AS c
-                  FROM ix GROUP BY 1, 2),
-          tri AS (SELECT doc_id, max(c) * 10000 // CAST(sum(c) AS BIGINT) AS tri_share_bp
-                  FROM shc GROUP BY doc_id),
-          base AS (
-            SELECT d.doc_id,
-                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
-                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
-                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-                   CAST(len(list_filter(string_split(text, ' '), x -> x IN $en)) AS BIGINT) AS n_stop,
-                   length(text) AS tlen,
-                   COALESCE(tri.tri_share_bp, 0) AS tri_share_bp
-            FROM documents d LEFT JOIN tri ON d.doc_id = tri.doc_id),
-          m AS (
-            SELECT doc_id, n_words,
-                   chars_ns * 100 // greatest(n_words, 1) AS word_len_x100,
-                   n_digits * 10000 // greatest(tlen, 1) AS digit_bp,
-                   n_stop * 10000 // greatest(n_words, 1) AS stop_bp,
-                   tri_share_bp
-            FROM base)
-          SELECT doc_id, n_words, word_len_x100, digit_bp, stop_bp, tri_share_bp,
-                 CASE WHEN n_words < 10 THEN 'too_few_words'
-                      WHEN n_words > 5000 THEN 'too_many_words'
-                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
-                      WHEN digit_bp > 2000 THEN 'too_many_digits'
-                      WHEN stop_bp < 300 THEN 'low_stopword_share'
-                      WHEN tri_share_bp > 1800 THEN 'repetitive'
-                      END AS reject_reason,
-                 (CASE WHEN n_words < 10 THEN 'too_few_words'
-                      WHEN n_words > 5000 THEN 'too_many_words'
-                      WHEN word_len_x100 < 200 OR word_len_x100 > 1200 THEN 'word_length'
-                      WHEN digit_bp > 2000 THEN 'too_many_digits'
-                      WHEN stop_bp < 300 THEN 'low_stopword_share'
-                      WHEN tri_share_bp > 1800 THEN 'repetitive'
-                      END) IS NULL AS accept
-          FROM m"""
-    },
+    "q65_corpus_filter" -> q65Sql,
+    "q226_lang_filter_bias" ->
+      s"""WITH q65 AS ($q65Sql),
+          j AS (SELECT d.lang, COALESCE(q.reject_reason, 'accepted') AS outcome
+                FROM documents d JOIN q65 q ON d.doc_id = q.doc_id),
+          g AS (SELECT lang, outcome, count(*) AS n_docs FROM j GROUP BY 1, 2)
+          SELECT lang, outcome, n_docs,
+                 (n_docs * 10000)
+                   // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                   AS share_bp
+          FROM g""",
     "q68_lang_rebalance" ->
       s"""WITH lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
           caps AS (SELECT lang,

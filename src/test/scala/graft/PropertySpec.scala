@@ -956,6 +956,36 @@ class PropertySpec extends AnyFunSuite {
     assert(groups.nonEmpty && falseG.nonEmpty)
   }
 
+  test("q226 lang filter bias composes the verified q65 verdicts") {
+    val got = graft.operators.TextAnalysis.q226LangFilterBias(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("outcome")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("share_bp")))).toMap
+    val verdicts = graft.operators.TextAnalysis.q65CorpusFilter(spark, sf)
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("accepted")).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getString(1), verdicts(r.getLong(0))))
+    val totals = langs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ref = langs.groupBy(identity).map { case ((lang, out), rows) =>
+      (lang, out) -> ((rows.length.toLong,
+        rows.length * 10000L / totals(lang)))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: the stopword gate fires at visibly DIFFERENT within-lang
+    // rates — the bias the audit exists to surface (the synthetic
+    // generator's vocabularies don't reproduce real-language stopword
+    // statistics, so the direction is data-dependent; the separation is
+    // what must be non-vacuous)
+    val stopShare = got.collect {
+      case ((l, "low_stopword_share"), (_, bp)) => l -> bp
+    }.toMap
+    assert(stopShare.size > 1 &&
+      stopShare.values.max >= 2L * math.max(stopShare.values.min, 1L),
+      s"stopword-gate shares: $stopShare")
+    // every lang has accepted docs (no lang is silently wiped out here)
+    assert(totals.keySet.forall(l => got.contains((l, "accepted"))))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
