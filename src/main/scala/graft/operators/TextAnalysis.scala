@@ -388,6 +388,31 @@ object TextAnalysis {
       .select(col("lang"), col("outcome"), col("n_docs"), col("share_bp"))
   }
 
+  /** q227: gate-ATTRITION by source — q226's rollup on the source axis:
+    * which q65 gate kills which FEED. The pipeline audit prices each
+    * stage globally; when a source shrinks 40% between two runs, this is
+    * the table that says whether its docs died at word-length (a format
+    * change), digits (a price-list dump), stopwords (a language shift) or
+    * repetition (a template farm) — per (source, outcome): doc count and
+    * within-source share. Same shared q65Sql verdict definition on both
+    * engines as q226 (one definition, three consumers, zero drift).
+    *
+    * Scale shape: identical to q226 with source as the axis — q65's own
+    * passes plus one doc_id join and a |sources × outcomes| fold.
+    */
+  def q227GateAttritionBySource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(q65CorpusFilter(s, dir).select(col("doc_id"), col("reject_reason")),
+        Seq("doc_id"))
+      .withColumn("outcome", coalesce(col("reject_reason"), lit("accepted")))
+      .groupBy(col("source"), col("outcome")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(bySource))
+      .withColumn("share_bp", expr("(n_docs * 10000) DIV tot"))
+      .select(col("source"), col("outcome"), col("n_docs"), col("share_bp"))
+  }
+
   /** q132: duplicate-coverage repetition signals — the Gopher repetition
     * family q65's top-trigram share does NOT capture: a document that
     * repeats many DIFFERENT phrases scores low on top-gram share but high
@@ -2146,6 +2171,7 @@ object TextAnalysis {
     "q64_clean_text"    -> (q64CleanText _),
     "q65_corpus_filter" -> (q65CorpusFilter _),
     "q226_lang_filter_bias" -> (q226LangFilterBias _),
+    "q227_gate_attrition_by_source" -> (q227GateAttritionBySource _),
     "q68_lang_rebalance" -> ((s: SparkSession, d: String) => q68LangRebalance(s, d)),
     "q74_train_split"   -> (q74TrainSplit _),
     "q75_bigram_stats"  -> (q75BigramStats _),
@@ -3015,6 +3041,16 @@ object TextAnalysis {
           FROM documents"""
     },
     "q65_corpus_filter" -> q65Sql,
+    "q227_gate_attrition_by_source" ->
+      s"""WITH q65 AS ($q65Sql),
+          j AS (SELECT d.source, COALESCE(q.reject_reason, 'accepted') AS outcome
+                FROM documents d JOIN q65 q ON d.doc_id = q.doc_id),
+          g AS (SELECT source, outcome, count(*) AS n_docs FROM j GROUP BY 1, 2)
+          SELECT source, outcome, n_docs,
+                 (n_docs * 10000)
+                   // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                   AS share_bp
+          FROM g""",
     "q226_lang_filter_bias" ->
       s"""WITH q65 AS ($q65Sql),
           j AS (SELECT d.lang, COALESCE(q.reject_reason, 'accepted') AS outcome

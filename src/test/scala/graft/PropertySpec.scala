@@ -986,6 +986,27 @@ class PropertySpec extends AnyFunSuite {
     assert(totals.keySet.forall(l => got.contains((l, "accepted"))))
   }
 
+  test("q227 gate attrition by source composes the verified q65 verdicts") {
+    val got = graft.operators.TextAnalysis
+      .q227GateAttritionBySource(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("outcome")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("share_bp")))).toMap
+    val verdicts = graft.operators.TextAnalysis.q65CorpusFilter(spark, sf)
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("accepted")).toMap
+    val srcs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getString(1), verdicts(r.getLong(0))))
+    val totals = srcs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ref = srcs.groupBy(identity).map { case ((src, out), rows) =>
+      (src, out) -> ((rows.length.toLong, rows.length * 10000L / totals(src)))
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: gates actually fire per source (some source has >1
+    // outcome) and every source keeps accepted docs
+    assert(got.keys.groupBy(_._1).exists(_._2.size > 1))
+    assert(totals.keySet.forall(src => got.contains((src, "accepted"))))
+  }
+
   test("q219 quality-dup lift equals a driver-side band recompute") {
     val got = graft.operators.TextAnalysis.q219QualityDupLift(spark, sf).collect()
       .map(r => r.getAs[Long]("band") -> ((r.getAs[Long]("n_docs"),
