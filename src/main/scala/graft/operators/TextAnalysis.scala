@@ -321,9 +321,14 @@ object TextAnalysis {
     * Repetition needs one (doc, trigram) aggregation; everything else is a
     * projection.
     */
-  def q65CorpusFilter(s: SparkSession, dir: String): DataFrame = {
+  def q65CorpusFilter(s: SparkSession, dir: String): DataFrame =
+    corpusFilterOf(Tables.documents(s, dir))
+
+  /** q65's verdicts on ANY (doc_id, text) frame — every stat is per-doc
+    * self-contained, so a micro-batch scores identically to the batch
+    * query (s26's contract). */
+  private[graft] def corpusFilterOf(docs: DataFrame): DataFrame = {
     val en = inList(stop("en"))
-    val docs = Tables.documents(s, dir)
     val tri = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)

@@ -554,4 +554,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.CurationMonitor.mixCountsBatch(store(), frag, last).isEmpty)
     assert(graft.streaming.CurationMonitor.mixCountsBatch(store(), frag, last + 1L).isDefined)
   }
+
+  test("s26 streaming gate-attrition monitor converges to the batch q227 table") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val docs = Tables.documents(s0, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val cells = scala.collection.mutable.Map.empty[(String, String), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((src, o), c) => (src, o, c) }
+          .toDF("source", "outcome", "cnt"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getAs[String]("source"), r.getAs[String]("outcome"))) =
+          r.getAs[Long]("cnt")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.AttritionMonitor.attritionMonitorStream(
+      ms.toDS().toDF("doc_id", "source", "text"), store _)(publishDelta).start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // the profile over MAINTAINED counts equals the batch q227 table
+    // row-for-row (counts AND integer shares)
+    val got = graft.streaming.AttritionMonitor.profile(store().get._1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.TextAnalysis
+      .q227GateAttritionBySource(s0, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"streamed attrition != batch q227\n$got\n$want")
+    // replay guard: applied id skips, fresh id applies
+    val frag = graft.streaming.AttritionMonitor.fragmentOf(
+      Tables.documents(s0, sf).limit(10).select("doc_id", "source", "text"))
+    val last = lastId.get
+    assert(graft.streaming.AttritionMonitor
+      .attritionCountsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.AttritionMonitor
+      .attritionCountsBatch(store(), frag, last + 1L).isDefined)
+  }
 }
