@@ -33,11 +33,11 @@ object TextAnalysis {
   def q36LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
-      .withColumn("s_en", expr(sparkStopCount("en")))
-      .withColumn("s_de", expr(sparkStopCount("de")))
-      .withColumn("s_es", expr(sparkStopCount("es")))
-      .withColumn("s_fr", expr(sparkStopCount("fr")))
-      .withColumn("s_zh", expr(sparkStopCount("zh")))
+      .withColumn("s_en", graft.functions.StopCount(col("w"), stop("en")))
+      .withColumn("s_de", graft.functions.StopCount(col("w"), stop("de")))
+      .withColumn("s_es", graft.functions.StopCount(col("w"), stop("es")))
+      .withColumn("s_fr", graft.functions.StopCount(col("w"), stop("fr")))
+      .withColumn("s_zh", graft.functions.StopCount(col("w"), stop("zh")))
       .withColumn("pred_lang",
         when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
              col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
@@ -124,7 +124,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_words", size(col("w")))
-      .withColumn("n_stop", expr(sparkStopCount("en")))
+      .withColumn("n_stop", graft.functions.StopCount(col("w"), stop("en")))
       .withColumn("n_digits",
         length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
       .select(
@@ -162,11 +162,12 @@ object TextAnalysis {
     val all = Window.partitionBy()
     Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
+      .withColumn("n_stop", graft.functions.StopCount(col("w"), stop("en")))
       .select(
         col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
-        expr(s"""least((CAST(5000 AS BIGINT) * least(size(w), 50)) DIV 50
-                   + (CAST(5000 AS BIGINT) * ${sparkStopCount("en")}) DIV size(w),
+        expr("""least((CAST(5000 AS BIGINT) * least(size(w), 50)) DIV 50
+                   + (CAST(5000 AS BIGINT) * n_stop) DIV size(w),
                  CAST(9999 AS BIGINT)) DIV 2000""").as("band"))
       .withColumn("is_dup",
         when(min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash),
@@ -343,7 +344,8 @@ object TextAnalysis {
       .withColumn("chars_ns", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("n_digits",
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
-      .withColumn("n_stop", expr(s"size(filter(w, x -> x IN $en))").cast("long"))
+      .withColumn("n_stop",
+        graft.functions.StopCount(col("w"), stop("en")).cast("long"))
       .join(tri, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_words"),

@@ -231,6 +231,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native stop count is bit-identical to the IN-list filter idiom") {
+    val en = Seq("the", "a", "of", "to", "and", "is")
+    val inList = en.map(w => s"'$w'").mkString("(", ", ", ")")
+    val d = Tables.documents(spark, sf)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        graft.functions.StopCount(col("w"), en).as("native"),
+        expr(s"size(filter(w, x -> x IN $inList))").as("hof"))
+    assert(d.count() > 0)
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+    // the count is INT (the size() idiom's type) — swapped plans keep
+    // their schemas bit-identical
+    assert(d.schema("native").dataType == d.schema("hof").dataType)
+    // edges: empty array, no hits, all hits, null element never matches
+    val e = spark.sql(
+      "SELECT CAST(array() AS ARRAY<STRING>) AS e0, array('x','y') AS miss, " +
+      "       array('the','a','the') AS hit, array(CAST(NULL AS STRING),'the') AS nl")
+      .select(
+        graft.functions.StopCount(col("e0"), en).as("a"),
+        graft.functions.StopCount(col("miss"), en).as("b"),
+        graft.functions.StopCount(col("hit"), en).as("c"),
+        graft.functions.StopCount(col("nl"), en).as("d")).head()
+    assert(e.getInt(0) == 0 && e.getInt(1) == 0 && e.getInt(2) == 3 && e.getInt(3) == 1)
+  }
+
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
     val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
     assert(feat.count() > 0)
