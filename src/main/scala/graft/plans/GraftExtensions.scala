@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, TokenCount, Tokens, WordNgrams}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
       (exprs: Seq[Expression]) => TokenCount(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_stop_count"),
+      new ExpressionInfo(classOf[StopCount].getName, "graft_stop_count"),
+      (exprs: Seq[Expression]) => StopCount(exprs.head, GraftExtensions.stringList(exprs(1)))))
+    e.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
@@ -67,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Evaluates a foldable array<string> argument (e.g. `array('a','b')`)
+    * into the Scala word list a [[StopCount]] needs at plan time.
+    */
+  private[plans] def stringList(e: Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      .toSeq
   /** Registers graft's SQL functions on an already-running session
     * (extensions only apply at session construction).
     */
@@ -94,6 +106,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count",
       exprs => TokenCount(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stop_count",
+      exprs => StopCount(exprs.head, stringList(exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",

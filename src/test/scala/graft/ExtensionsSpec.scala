@@ -254,6 +254,11 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.functions.StopCount(col("hit"), en).as("c"),
         graft.functions.StopCount(col("nl"), en).as("d")).head()
     assert(e.getInt(0) == 0 && e.getInt(1) == 0 && e.getInt(2) == 3 && e.getInt(3) == 1)
+    // SQL registration with a foldable array literal
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_stop_count(array('the','cat','a'), array('the','a','of')) AS c").head()
+    assert(r.getInt(0) == 2)
   }
 
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
