@@ -145,8 +145,17 @@ object Bench {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (fileJson + "\n").getBytes("UTF-8"))
+      // target/ is gitignored and each run overwrites it, so official
+      // per-round runs have repeatedly lost their complete per-query
+      // record when the driver's stdout capture truncated (BENCH_r05 and
+      // BENCH_r13 both arrived "parsed": null). Write the SAME record to
+      // a tracked repo-root file too: the round-end commit then preserves
+      // the full official record (queries + per-iteration wall/GC +
+      // load_control) as a committed artifact.
+      val tracked = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(tracked, (fileJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write bench record: ${e.getMessage}")
     }
     spark.stop()
   }
