@@ -165,10 +165,21 @@ object CorpusPipeline {
     * test corpus exercises the cut at W = 15.
     */
   def substrCut(docs: DataFrame, W: Int = 50): DataFrame = {
-    val cut = docs.drop("text")
+    // Docs with NOTHING to cut keep their original text byte-for-byte:
+    // new_text is the tokens rejoined with single spaces, which silently
+    // collapses whitespace runs even on untouched docs — and the later
+    // decontamination stage 5-grams on raw-space splits, so a normalized
+    // copy could shift its grams off the bench set and miss a match the
+    // raw text would have made.
+    val cut = docs
       .join(TextAnalysis.substrCut(docs, W)
         .filter(length(col("new_text")) > 0)
-        .select(col("doc_id"), col("new_text").as("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("new_text"), col("n_cut_tokens")),
+        Seq("doc_id"))
+      .withColumn("text",
+        when(col("n_cut_tokens") > 0, col("new_text")).otherwise(col("text")))
+      .drop("new_text", "n_cut_tokens")
+      .select(docs.columns.map(col): _*)
     if (cut.columns.contains("n_chars"))
       cut.withColumn("n_chars", length(col("text")).cast("long"))
     else cut

@@ -539,7 +539,11 @@ object Events {
     * q165's per-user cadence detector, and the q211 mix idiom applied to
     * the time axis. Hours are integer-exact UTC (unix_micros DIV 3600e6
     * mod 24 — the q112 idiom, no timezone/DST ambiguity between
-    * engines).
+    * engines). This rides the POST-EPOCH CONTRACT pinned at Tables.load:
+    * Spark `div` truncates toward zero while the oracle's `//` floors, so
+    * the two agree only for ts ≥ 1970 (pre-epoch rows would produce
+    * negative "hours" on both engines AND diverge between them); the
+    * loader spec asserts the corpus is post-epoch.
     *
     * Scale shape: one map-side-combined (type, hour) aggregate — the
     * only corpus-scale exchange, bounded at |types|·24 rows — then the

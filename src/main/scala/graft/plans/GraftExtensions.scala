@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, WordNgrams}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, TopNgramCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -28,7 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) =>
-        WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+        WordNgrams(exprs.head,
+          GraftExtensions.foldableInt("graft_word_ngrams", exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
+      (exprs: Seq[Expression]) =>
+        TopNgramCount(exprs.head,
+          GraftExtensions.foldableInt("graft_top_ngram_count", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
@@ -73,12 +80,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Evaluates a foldable array<string> argument (e.g. `array('a','b')`)
     * into the Scala word list a [[StopCount]] needs at plan time.
+    * Guarded: a column reference (not foldable), a non-array type, a NULL
+    * array, or a NULL element would otherwise surface as an obscure
+    * NPE/ClassCastException from inside the analyzer instead of an error
+    * naming the function and its contract.
     */
-  private[plans] def stringList(e: Expression): Seq[String] =
-    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  private[plans] def stringList(e: Expression): Seq[String] = {
+    val okType = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(e.foldable && okType,
+      "graft_stop_count: the word list must be a foldable array<string> " +
+        s"literal (e.g. array('the','a')), got ${e.sql}")
+    val arr = e.eval()
+    require(arr != null, "graft_stop_count: the word list must not be NULL")
+    arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toObjectArray(org.apache.spark.sql.types.StringType)
-      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      .map { v =>
+        require(v != null,
+          "graft_stop_count: the word list must not contain NULL elements")
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      }
       .toSeq
+  }
+
+  /** Validated foldable integer argument (the `n` of graft_word_ngrams):
+    * same plan-time contract as the (col, k) aggregates below. */
+  private[plans] def foldableInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: n must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: n must be an integer literal, got '$other'")
+    }
+  }
   /** Registers graft's SQL functions on an already-running session
     * (extensions only apply at session construction).
     */
@@ -97,7 +134,13 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams",
-      exprs => WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => WordNgrams(exprs.head,
+        foldableInt("graft_word_ngrams", exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_ngram_count",
+      exprs => TopNgramCount(exprs.head,
+        foldableInt("graft_top_ngram_count", exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens",

@@ -93,16 +93,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
       (1L, s"alpha beta $span gamma", "en", "s0"),  // owner: keeps the span
       (2L, s"$span delta epsilon", "en", "s0"),     // loses the span, keeps its tail
       (3L, "totally unique text here", "en", "s1"), // untouched
-      (4L, span, "en", "s1"))                        // nothing but the span: drops
+      (4L, span, "en", "s1"),                        // nothing but the span: drops
+      (5L, "unique  doubled   spaces doc", "en", "s1")) // untouched, multi-space
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val cut = CorpusPipeline.substrCut(docs, W = 15)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
-    assert(cut.keySet == Set(1L, 2L, 3L), cut)
+    assert(cut.keySet == Set(1L, 2L, 3L, 5L), cut)
     assert(cut(1L)._1 == s"alpha beta $span gamma") // min-id owner unchanged
     assert(cut(2L)._1 == "delta epsilon", cut(2L))  // span excised, remainder kept
     assert(cut(3L)._1 == "totally unique text here")
+    // docs with NOTHING to cut keep their text byte-for-byte — the stage
+    // must not silently collapse whitespace runs on untouched docs (their
+    // raw-space 5-grams feed decontamination downstream)
+    assert(cut(5L)._1 == "unique  doubled   spaces doc", cut(5L))
+    assert(cut(5L)._2 == "unique  doubled   spaces doc".length.toLong)
     // n_chars follows the cut text, never the stale ingest value
     assert(cut(2L)._2 == "delta epsilon".length.toLong)
   }
