@@ -319,42 +319,54 @@ object TextAnalysis {
     * double ratios land on .xxxx5 half-boundaries where Spark
     * (shortest-decimal HALF_UP) and DuckDB (raw-double) disagree by an
     * ulp; integer division is exact in both engines by construction.
-    * Repetition needs one (doc, trigram) aggregation; everything else is a
-    * projection.
+    * Every gate is a projection — including repetition, whose top-trigram
+    * count is the fused [[graft.functions.TopNgramCount]] kernel (the
+    * groupBy form shuffled every trigram of every doc): the whole filter
+    * is ONE scan, zero exchanges.
     */
   def q65CorpusFilter(s: SparkSession, dir: String): DataFrame =
     corpusFilterOf(Tables.documents(s, dir))
 
   /** q65's verdicts on ANY (doc_id, text) frame — every stat is per-doc
     * self-contained, so a micro-batch scores identically to the batch
-    * query (s26's contract). */
-  private[graft] def corpusFilterOf(docs: DataFrame): DataFrame = {
-    val en = inList(stop("en"))
-    val tri = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(graft.functions.WordNgrams(col("w"), 3)).as("sh"))
-      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(expr("max(c) * 10000 DIV sum(c)").as("tri_share_bp"))
+    * query (s26's contract). ONE scan, ZERO shuffle: every gate —
+    * including the repetition gate, whose groupBy form used to cost a
+    * corpus-scale (doc, trigram) explode + exchange + join back — is a
+    * pure projection; the top-trigram count is the fused
+    * [[graft.functions.TopNgramCount]] kernel and its denominator is
+    * just `size(wr) - 2`. `carry` names extra doc columns (lang, source)
+    * to keep on the verdict rows, so axis rollups (q226/q227, s26) read
+    * their axis off the SAME scan instead of re-joining a second pruned
+    * documents scan by doc_id. q65 itself passes none — its oracled
+    * schema is unchanged.
+    *
+    * The trigram windows deliberately run over the RAW space-split array
+    * (empty tokens included), matching the oracle's `string_split`
+    * composition byte-for-byte; all other stats tokenize empty-filtered.
+    */
+  private[graft] def corpusFilterOf(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     docs
       .withColumn("w", graft.functions.Tokens(col("text")))
+      .withColumn("wr", split(col("text"), " "))
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("chars_ns", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("n_digits",
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
       .withColumn("n_stop",
         graft.functions.StopCount(col("w"), stop("en")).cast("long"))
-      .join(tri, Seq("doc_id"), "left")
-      .select(
+      .withColumn("tri_max", graft.functions.TopNgramCount(col("wr"), 3))
+      .select(Seq(
         col("doc_id"), col("n_words"),
         // greatest(_, 1): an empty doc must land in too_few_words, not in
         // an ANSI division-by-zero error
         expr("chars_ns * 100 DIV greatest(n_words, 1)").as("word_len_x100"),
         expr("n_digits * 10000 DIV greatest(length(text), 1)").as("digit_bp"),
         expr("n_stop * 10000 DIV greatest(n_words, 1)").as("stop_bp"),
-        coalesce(col("tri_share_bp"), lit(0L)).as("tri_share_bp"))
+        expr("""CASE WHEN size(wr) >= 3
+                THEN CAST(tri_max AS BIGINT) * 10000 DIV (CAST(size(wr) AS BIGINT) - 2)
+                ELSE CAST(0 AS BIGINT) END""").as("tri_share_bp")) ++
+        carry.map(col): _*)
       .withColumn("reject_reason",
         when(col("n_words") < 10, "too_few_words")
           .when(col("n_words") > 5000, "too_many_words")
@@ -378,16 +390,16 @@ object TextAnalysis {
     * BOTH engines (the oracle composes the same q65 SQL — one definition,
     * zero drift).
     *
-    * Scale shape: q65's own passes plus one doc_id join against the
-    * (doc_id, lang) projection and a |langs × outcomes|-bounded fold; the
-    * within-lang share window runs over that tiny frame.
+    * Scale shape: ONE documents scan — the lang axis rides through the
+    * verdict projection via [[corpusFilterOf]]'s carry columns (no
+    * doc_id re-join against a second pruned scan) — then one
+    * map-side-combined |langs × outcomes|-bounded fold; the within-lang
+    * share window runs over that tiny frame.
     */
   def q226LangFilterBias(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang"))
-    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-      .join(q65CorpusFilter(s, dir).select(col("doc_id"), col("reject_reason")),
-        Seq("doc_id"))
+    corpusFilterOf(Tables.documents(s, dir), carry = Seq("lang"))
       .withColumn("outcome", coalesce(col("reject_reason"), lit("accepted")))
       .groupBy(col("lang"), col("outcome")).agg(count(lit(1)).as("n_docs"))
       .withColumn("tot", sum(col("n_docs")).over(byLang))
@@ -404,15 +416,13 @@ object TextAnalysis {
     * within-source share. Same shared q65Sql verdict definition on both
     * engines as q226 (one definition, three consumers, zero drift).
     *
-    * Scale shape: identical to q226 with source as the axis — q65's own
-    * passes plus one doc_id join and a |sources × outcomes| fold.
+    * Scale shape: identical to q226 with source as the carried axis —
+    * ONE documents scan, one |sources × outcomes| fold.
     */
   def q227GateAttritionBySource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySource = Window.partitionBy(col("source"))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(q65CorpusFilter(s, dir).select(col("doc_id"), col("reject_reason")),
-        Seq("doc_id"))
+    corpusFilterOf(Tables.documents(s, dir), carry = Seq("source"))
       .withColumn("outcome", coalesce(col("reject_reason"), lit("accepted")))
       .groupBy(col("source"), col("outcome")).agg(count(lit(1)).as("n_docs"))
       .withColumn("tot", sum(col("n_docs")).over(bySource))
@@ -2083,10 +2093,17 @@ object TextAnalysis {
     def flag(c: String): Column =
       when(col(c) * count(lit(1)).over(all) > sum(col(c)).over(all), 1L)
         .otherwise(0L)
+    // LEFT joins onto the dup profile: every doc yields ≥ 1 chunk, so the
+    // dup axis covers every source, but a source whose docs are ALL
+    // empty/whitespace explodes no tokens and vanishes from the vocab
+    // axis — an inner join would silently drop such a (degenerate)
+    // source from the verdict table. Left-joined, it rows with NULL
+    // axis values; the flag `when` is NULL-tolerant (NULL comparison →
+    // otherwise(0L)), identically to the oracle's CASE WHEN.
     sourceDupProfileOf(docs).select(col("source"), col("within_bp"), col("cross_bp"))
-      .join(vocabGrowthOf(docs).select(col("source"), col("hapax_bp")), "source")
-      .join(sourceLangMixOf(docs).select(col("source"), col("entropy_x1000")), "source")
-      .join(lengthDecilesOf(docs).select(col("source"), col("p50_tokens")), "source")
+      .join(vocabGrowthOf(docs).select(col("source"), col("hapax_bp")), Seq("source"), "left")
+      .join(sourceLangMixOf(docs).select(col("source"), col("entropy_x1000")), Seq("source"), "left")
+      .join(lengthDecilesOf(docs).select(col("source"), col("p50_tokens")), Seq("source"), "left")
       .withColumn("flag_mirror", flag("cross_bp"))
       .withColumn("flag_template", flag("within_bp"))
       .withColumn("flag_ocr", flag("hapax_bp"))
@@ -2566,8 +2583,9 @@ object TextAnalysis {
           len AS ($q214Sql),
           j AS (SELECT dup.source, dup.within_bp, dup.cross_bp, voc.hapax_bp,
                        mix.entropy_x1000, len.p50_tokens
-                FROM dup JOIN voc USING (source) JOIN mix USING (source)
-                JOIN len USING (source)),
+                FROM dup LEFT JOIN voc USING (source)
+                LEFT JOIN mix USING (source)
+                LEFT JOIN len USING (source)),
           f AS (SELECT source, within_bp, cross_bp, hapax_bp, entropy_x1000,
                        p50_tokens,
                        CASE WHEN cross_bp * count(*) OVER ()

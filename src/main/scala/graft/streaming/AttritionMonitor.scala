@@ -45,11 +45,12 @@ object AttritionMonitor {
     a.unionByName(b).groupBy(col("source"), col("outcome"))
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** One batch's verdict fragment — q65's shared projection, folded. */
+  /** One batch's verdict fragment — q65's shared projection, folded.
+    * The source axis rides through the verdict via the carry columns
+    * (q227's single-scan shape), no doc_id re-join.
+    */
   private[graft] def fragmentOf(batch: DataFrame): DataFrame =
-    batch
-      .join(graft.operators.TextAnalysis.corpusFilterOf(batch)
-        .select(col("doc_id"), col("reject_reason")), Seq("doc_id"))
+    graft.operators.TextAnalysis.corpusFilterOf(batch, carry = Seq("source"))
       .withColumn("outcome", coalesce(col("reject_reason"), lit("accepted")))
       .groupBy(col("source"), col("outcome")).agg(count(lit(1)).as("cnt"))
 

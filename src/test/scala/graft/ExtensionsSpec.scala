@@ -261,6 +261,62 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2)
   }
 
+  test("native top-ngram count equals max(c) of the groupBy form on the real corpus") {
+    // the kernel replaces q65's (doc, trigram) explode + exchange + join:
+    // max multiplicity of the window multiset must equal the groupBy max
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams(col("w"), 3)).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("int").as("agg_max"))
+    val fused = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TopNgramCount(split(col("text"), " "), 3).as("tnc"),
+        size(split(col("text"), " ")).as("nw"))
+    val joined = fused.join(grams, Seq("doc_id"), "left").cache()
+    assert(joined.count() > 0)
+    // docs with >= 3 raw tokens: kernel == groupBy max; shorter docs: 0
+    assert(joined.filter(col("nw") >= 3)
+      .filter(col("tnc") =!= col("agg_max")).count() == 0)
+    assert(joined.filter(col("nw") < 3).filter(col("tnc") =!= 0).count() == 0)
+    joined.unpersist()
+    // edges: empty, under-n, exact-n, all-same (overlapping windows of a
+    // constant array are all equal), and SQL registration with literal n
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.sql(
+      "SELECT graft_top_ngram_count(CAST(array() AS ARRAY<STRING>), 3) AS a, " +
+      "       graft_top_ngram_count(array('x','y'), 3) AS b, " +
+      "       graft_top_ngram_count(array('x','y','z'), 3) AS c, " +
+      "       graft_top_ngram_count(array('x','x','x','x'), 3) AS d, " +
+      "       graft_top_ngram_count(CAST(NULL AS ARRAY<STRING>), 3) AS e").head()
+    assert(e.getInt(0) == 0 && e.getInt(1) == 0 && e.getInt(2) == 1 && e.getInt(3) == 2)
+    assert(e.isNullAt(4))
+  }
+
+  test("SQL builders reject non-foldable / null-element word lists and n args loudly") {
+    graft.plans.GraftExtensions.register(spark)
+    // a column reference as the word list must name the contract, not NPE
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_stop_count(array('a'), array(c)) AS x " +
+        "FROM VALUES ('a') AS t(c)").collect()
+    }
+    assert(e1.getMessage.contains("foldable array<string>"), e1.getMessage)
+    // a NULL element inside the literal list must be rejected by name
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_stop_count(array('a'), " +
+        "array('a', CAST(NULL AS STRING))) AS x").collect()
+    }
+    assert(e2.getMessage.contains("NULL elements"), e2.getMessage)
+    // a column reference as word-ngrams n must be rejected by name
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_word_ngrams(array('a','b'), c) AS x " +
+        "FROM VALUES (2) AS t(c)").collect()
+    }
+    assert(e3.getMessage.contains("literal integer"), e3.getMessage)
+  }
+
   test("q42 decoded JPEG dims match the synthesis side and quarantine hits every 97th doc") {
     val feat = Multimodal.q42FeatureExtract(spark, sf).cache()
     assert(feat.count() > 0)

@@ -765,6 +765,28 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 0L) && got.values.exists(_._5 < 4L))
   }
 
+  test("q216 verdict table keeps a source whose docs are all empty/whitespace") {
+    // such a source explodes no tokens and vanishes from the vocab axis;
+    // the left-joined composition must still row it (NULL axis values,
+    // the missing axis's flag 0) rather than silently drop it
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en", "s_ok"),
+      (2L, "a wholly different document with its own words here", "en", "s_ok"),
+      (3L, "   ", "en", "s_empty"),
+      (4L, "", "en", "s_empty"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.sourceVerdictsOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == Set("s_ok", "s_empty"), got.keySet)
+    val e = got("s_empty")
+    assert(e.isNullAt(e.fieldIndex("hapax_bp"))) // vocab axis genuinely absent
+    assert(e.getAs[Long]("flag_ocr") == 0L)      // NULL never fires a flag
+    val fl = Seq("flag_mirror", "flag_template", "flag_ocr", "flag_mix")
+      .map(e.getAs[Long](_))
+    assert(e.getAs[Long]("risk") == fl.sum)
+  }
+
   test("q217 diurnal entropy equals a driver-side hour-census recompute") {
     val got = graft.operators.Events.q217DiurnalEntropy(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_events"),
