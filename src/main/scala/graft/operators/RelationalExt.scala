@@ -47,8 +47,14 @@ object RelationalExt {
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
         round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
 
-  /** q46: HLL++ cardinality sketch vs exact — rows-only (sketch internals
-    * are engine-specific); RelationalExtSpec bounds the relative error.
+  /** q46: HLL++ cardinality sketch vs exact. SQL-oracled (r14): the raw
+    * sketch value is engine-specific, so the published columns are the
+    * EXACT count plus `approx_within_5pct` — the sketch's relative error
+    * checked against the spec's 5% bound as an exact integer comparison —
+    * and the oracle emits the exact count with a literal TRUE: the driver
+    * then verifies the exact side byte-for-byte AND that the sketch
+    * honored its error contract on this corpus. RelationalExtSpec keeps
+    * the raw approx-vs-exact bound check.
     *
     * Shape note: HLL is duplicate-insensitive, so both sides run over the
     * pre-distinct (flag, partkey) pairs — one scan, one distinct shuffle,
@@ -66,6 +72,9 @@ object RelationalExt {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) * lit(100L) <
+          col("exact_parts") * lit(5L)).as("approx_within_5pct"))
 
   /** q50: analytic window functions — quartile bucketing, relative rank
     * and cumulative distribution per order-status partition (unique
@@ -275,5 +284,13 @@ object RelationalExt {
                 round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
                 round(quantile_cont(l_quantity, 0.75), 4) AS p75,
                 round(quantile_cont(l_quantity, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag""",
+    // The exact side is verified byte-for-byte; the literal TRUE asserts
+    // the sketch's 5% error contract — a Spark-side sketch outside the
+    // bound hash-mismatches the round's CORRECTNESS artifact.
+    "q46_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS exact_parts,
+                TRUE AS approx_within_5pct
          FROM lineitem GROUP BY l_returnflag""")
 }

@@ -1360,9 +1360,12 @@ object TextAnalysis {
     * broadcast back onto the scores, so tier assignment is a projection —
     * no global sort anywhere. The scores frame is localCheckpointed (two
     * consumers: the sketch and the assignment; q156 would otherwise run
-    * twice). Rows-only: the sketch cutoff has no static SQL mirror; the
-    * spec pins cutoffs against exact driver-side terciles and near-equal
-    * tier occupancy.
+    * twice). SQL-oracled (r14): the sketch is exact while n ≤ accuracy —
+    * value at one-based rank ceil(p·n) of the sorted scores — so the
+    * oracle composes q156Sql with an explicit rank-based tercile cutoff;
+    * the spec additionally pins cutoffs against a driver-side sort and
+    * near-equal tier occupancy (and stays the guard for corpora where
+    * n > accuracy and the oracle equality would no longer be exact).
     */
   def q162CcnetTiers(s: SparkSession, dir: String): DataFrame = {
     val scores = q156LmPerplexity(s, dir)
@@ -2204,6 +2207,33 @@ object TextAnalysis {
   // Component oracle SQL shared between a query's own entry and q216's
   // composed verdict oracle (one definition — a drifted copy would let the
   // composition silently diverge from the audited per-axis queries).
+  // q156's full oracle SQL, shared with q162's tier composition (one
+  // per-doc score definition on both engines).
+  private val q156Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) tkn FROM t),
+         v AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) v FROM tok),
+         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) i
+                FROM t WHERE len(w) >= 2),
+         b AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM ix),
+         m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1, 2),
+         u AS (SELECT w1, CAST(count(*) AS BIGINT) c1 FROM b GROUP BY 1),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+                       CAST(-sum(CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
+                                 - CAST(round(ln(c1 + v) * 1000000) AS BIGINT))
+                            AS BIGINT) nll_micro
+                FROM b JOIN m USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+                GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(n_bigrams, 0) AS n_bigrams,
+                COALESCE(nll_micro, 0) AS nll_micro,
+                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
+                  AS avg_nll_micro,
+                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
+                  <= CAST(round(ln(v.v) * 1000000) AS BIGINT) AS lm_keep
+         FROM documents d CROSS JOIN v
+         LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
   // q65's full oracle SQL, shared with q226's per-lang bias rollup (the
   // q216 one-definition-per-axis discipline).
   private val q65Sql: String = {
@@ -2730,30 +2760,30 @@ object TextAnalysis {
          FROM sc
          ORDER BY avg_logw_micro DESC, doc_id
          LIMIT 200""",
-    "q156_lm_perplexity" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-         tok AS (SELECT doc_id, unnest(w) tkn FROM t),
-         v AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) v FROM tok),
-         ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) i
-                FROM t WHERE len(w) >= 2),
-         b AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM ix),
-         m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1, 2),
-         u AS (SELECT w1, CAST(count(*) AS BIGINT) c1 FROM b GROUP BY 1),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
-                       CAST(-sum(CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
-                                 - CAST(round(ln(c1 + v) * 1000000) AS BIGINT))
-                            AS BIGINT) nll_micro
-                FROM b JOIN m USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
-                GROUP BY doc_id)
-         SELECT d.doc_id,
-                COALESCE(n_bigrams, 0) AS n_bigrams,
-                COALESCE(nll_micro, 0) AS nll_micro,
-                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
-                  AS avg_nll_micro,
-                COALESCE(nll_micro, 0) // greatest(COALESCE(n_bigrams, 0), 1)
-                  <= CAST(round(ln(v.v) * 1000000) AS BIGINT) AS lm_keep
-         FROM documents d CROSS JOIN v
-         LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+    "q156_lm_perplexity" -> q156Sql,
+    "q162_ccnet_tiers" ->
+      // Composes the SAME q156 per-doc score SQL; the cutoffs are the
+      // exact terciles (value at one-based rank ceil(n/3) / ceil(2n/3) of
+      // the sorted scores) — which is what Spark's percentile_approx at
+      // acc=10000 returns while n << acc (the q162 spec proves the
+      // equality; this oracle makes the driver check it per round too).
+      s"""WITH q156 AS ($q156Sql),
+          sc AS (SELECT doc_id, avg_nll_micro FROM q156),
+          ord AS (SELECT avg_nll_micro AS v,
+                         row_number() OVER (ORDER BY avg_nll_micro) AS rn,
+                         count(*) OVER () AS n
+                  FROM sc),
+          cut AS (SELECT
+                    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                        THEN v END) AS c1,
+                    max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                        THEN v END) AS c2
+                  FROM ord)
+          SELECT sc.doc_id, sc.avg_nll_micro,
+                 CASE WHEN sc.avg_nll_micro <= cut.c1 THEN 'head'
+                      WHEN sc.avg_nll_micro <= cut.c2 THEN 'middle'
+                      ELSE 'tail' END AS tier
+          FROM sc, cut""",
     "q155_mixture_plan" -> {
       val values = mixtureWeights.map { case (src, w) => s"('$src', $w)" }.mkString(", ")
       val sw = mixtureWeightSum
