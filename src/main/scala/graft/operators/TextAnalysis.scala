@@ -1201,17 +1201,56 @@ object TextAnalysis {
       }
     }
 
-  def q153QualityModel(s: SparkSession, dir: String): DataFrame = {
+  def q153QualityModel(s: SparkSession, dir: String): DataFrame =
+    qualityModelScored(s, dir, carry = Nil)
+
+  /** q153's scoring pass with extra doc columns carried through (the
+    * corpusFilterOf carry contract) — q228 reads its lang axis off the
+    * SAME scan this way. */
+  private[graft] def qualityModelScored(s: SparkSession, dir: String,
+      carry: Seq[String]): DataFrame = {
     val (w, mu, sd) = trainQualityModel(s, dir)
     val z = qualityFeatureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
       case (acc, (f, j)) => acc + lit(w(j + 1)) * ((f - lit(mu(j))) / lit(sd(j)))
     }
-    q65CorpusFilter(s, dir)
+    corpusFilterOf(Tables.documents(s, dir), carry)
       .withColumn("score_bp",
         round(lit(10000.0) / (lit(1.0) + exp(-z))).cast("long"))
-      .select(col("doc_id"), col("score_bp"),
+      .select(Seq(col("doc_id"), col("score_bp"),
         (col("score_bp") >= 5000).as("accept_model"),
-        col("accept").as("accept_rules"))
+        col("accept").as("accept_rules")) ++ carry.map(col): _*)
+  }
+
+  /** q228: MODEL-vs-RULE bias audit — q153's distilled model and q65's
+    * rules can disagree SYSTEMATICALLY by language: the same silent-skew
+    * failure q226 measures for the rules alone. A smooth classifier
+    * trained on (mostly English-statistics) features redraws the rule
+    * thresholds as one soft boundary, so docs failing exactly one rule
+    * marginally flip to model-accepted while docs passing every rule
+    * marginally flip to model-rejected — and if those flips concentrate
+    * in one language, shipping the model silently re-skews the corpus.
+    * Per (lang, outcome): doc count and within-lang share, outcomes =
+    * both_accept / both_reject / model_only_accept / rules_only_accept.
+    * Rows-only (the model is learned — no static SQL mirror); the spec
+    * plants a corpus where BOTH disagreement directions occur and pins
+    * the composition against q153's own per-doc verdicts.
+    *
+    * Scale shape: q65's one-scan zero-shuffle feature pass + the scoring
+    * projection, then one map-side-combined |langs × 4| fold; the share
+    * window runs over that tiny frame.
+    */
+  def q228ModelRuleBias(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityModelScored(s, dir, carry = Seq("lang"))
+      .withColumn("outcome",
+        when(col("accept_model") && col("accept_rules"), "both_accept")
+          .when(!col("accept_model") && !col("accept_rules"), "both_reject")
+          .when(col("accept_model"), "model_only_accept")
+          .otherwise("rules_only_accept"))
+      .groupBy(col("lang"), col("outcome")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("share_bp", expr("(n_docs * 10000) DIV tot"))
+      .select(col("lang"), col("outcome"), col("n_docs"), col("share_bp"))
   }
 
   /** q156: bigram-LM perplexity scoring — the CCNet-style quality signal
@@ -2176,6 +2215,7 @@ object TextAnalysis {
     "q155_mixture_plan" -> (q155MixturePlan _),
     "q154_substr_cut" -> (q154SubstrCut _),
     "q153_quality_model" -> (q153QualityModel _),
+    "q228_model_rule_bias" -> (q228ModelRuleBias _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),

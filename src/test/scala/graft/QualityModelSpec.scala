@@ -28,6 +28,102 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 model-vs-rule bias: both disagreement directions occur on a planted corpus") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    // 7-char letter-only words (never digits, never stopwords)
+    var wc = 0
+    def w7(): String = {
+      wc += 1; var x = wc
+      val sb = new StringBuilder("w")
+      (0 until 6).foreach { _ => sb.append(('a' + x % 26).toChar); x /= 26 }
+      sb.toString
+    }
+    def triples(parts: Seq[(String, String)]): String =
+      parts.map { case (x, y) => s"the $x $y" }.mkString(" ")
+    // bulk good (en): 12 distinct "the X Y" triples — passes every rule
+    val good = (0 until 100).map(_ =>
+      (triples(Seq.fill(12)((w7(), w7()))), "en"))
+    // B (en): digit-heavy — digit_bp ~2790 > 2000, everything else good
+    val b = (0 until 60).map(_ =>
+      (triples(Seq.fill(12)(("12345", w7()))), "en"))
+    // C (en): one triple repeated 12x — tri_share ~3529 > 1800
+    val c = (0 until 60).map { _ =>
+      val (x, y) = (w7(), w7()); (triples(Seq.fill(12)((x, y))), "en")
+    }
+    // D (de): INSIDE both rule corners — digit ~1555, tri ~1470, both
+    // rule-passing, but no linear boundary can accept this point while
+    // rejecting B and C and accepting the bulk (infeasible system), so
+    // the logistic fit sacrifices the 20-doc group: rules_only_accept
+    val d = (0 until 20).map { _ =>
+      val (x, y) = (w7(), w7())
+      (triples(Seq.fill(5)((x, y)) ++ Seq.fill(7)(("12345", w7()))), "de")
+    }
+    // K/L (fr): word-length tails — K mean ~1.67 chars (< 2.00), L ~12.33
+    // (> 12.00), both rule-rejected; a single monotone weight cannot
+    // reject BOTH tails while accepting the mid bulk, so at least one
+    // tail is model-accepted: model_only_accept
+    val letters = ('b' to 'z').map(_.toString)
+    val k = (0 until 15).map { i =>
+      val ls = (0 until 24).map(j => letters((i + j) % letters.length))
+      (triples(ls.grouped(2).map(p => (p(0), p(1))).toSeq), "fr")
+    }
+    val l = (0 until 15).map { _ =>
+      (triples(Seq.fill(12)((w7() + "zzzzzzzzzz", w7() + "zzzzzzzzzz"))), "fr")
+    }
+    val all = good ++ b ++ c ++ d ++ k ++ l
+    val docs = all.zipWithIndex.map { case ((text, lang), i) =>
+      (i.toLong + 1L, text, lang, s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q228corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextAnalysis.invalidateQualityModelCache()
+    try {
+      // sanity: the planted rule verdicts are exactly as designed
+      val rules = TextAnalysis.q65CorpusFilter(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reject_reason")).toMap
+      val langOf = all.zipWithIndex.map { case ((_, lg), i) => (i.toLong + 1L) -> lg }.toMap
+      (1 to 100).foreach(i => assert(rules(i.toLong) == null, s"good doc $i: ${rules(i.toLong)}"))
+      (101 to 160).foreach(i => assert(rules(i.toLong) == "too_many_digits", s"B doc $i"))
+      (161 to 220).foreach(i => assert(rules(i.toLong) == "repetitive", s"C doc $i"))
+      (221 to 240).foreach(i => assert(rules(i.toLong) == null, s"D doc $i: ${rules(i.toLong)}"))
+      (241 to 270).foreach(i => assert(rules(i.toLong) == "word_length", s"K/L doc $i"))
+      val rows = TextAnalysis.q228ModelRuleBias(spark, dir).collect()
+      def n(lang: String, outcome: String): Long = rows
+        .filter(r => r.getAs[String]("lang") == lang &&
+          r.getAs[String]("outcome") == outcome)
+        .map(_.getAs[Long]("n_docs")).sum
+      // the D corner (de) is model-rejected, rules-accepted
+      assert(n("de", "rules_only_accept") > 0, rows.mkString("\n"))
+      // at least one word-length tail (fr) is model-accepted, rules-rejected
+      assert(n("fr", "model_only_accept") > 0, rows.mkString("\n"))
+      // composition pin: the table is exactly q153's per-doc verdicts
+      // bucketed by the planted langs
+      val per = TextAnalysis.q153QualityModel(spark, dir).collect()
+        .map(r => (langOf(r.getAs[Long]("doc_id")),
+          (r.getAs[Boolean]("accept_model"), r.getAs[Boolean]("accept_rules"))))
+      val ref = per.groupBy { case (lg, (m, rl)) =>
+        (lg, if (m && rl) "both_accept" else if (!m && !rl) "both_reject"
+             else if (m) "model_only_accept" else "rules_only_accept")
+      }.map { case (key, v) => key -> v.length.toLong }
+      val gotMap = rows.map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("outcome")) -> r.getAs[Long]("n_docs")).toMap
+      assert(gotMap == ref, s"got $gotMap\nref $ref")
+      // shares are within-lang integer basis points
+      rows.foreach { r =>
+        val tot = per.count(_._1 == r.getAs[String]("lang")).toLong
+        assert(r.getAs[Long]("share_bp") == r.getAs[Long]("n_docs") * 10000L / tot)
+      }
+    } finally {
+      TextAnalysis.invalidateQualityModelCache()
+      val root = new java.io.File(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("q155 mixture plan: rates capped, repeats honest, token budget conserved") {
     val rows = TextAnalysis.q155MixturePlan(spark, sf).collect()
     assert(rows.length == 20, "one row per source")
