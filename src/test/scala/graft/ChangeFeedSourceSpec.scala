@@ -199,6 +199,61 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
       all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted.take(10).toString)
   }
 
+  test("CDC apply chain survives a crash between merge commit and checkpoint commit: exactly-once vs the batch merge") {
+    import graft.streaming.UpsertSink
+    val src = freshRoot()
+    val batchDst = freshRoot()  // the reference: merge applied version-at-a-time
+    val streamDst = freshRoot() // the chain under test
+    // 8-version CDC history over 10 keys, half the keys touched per
+    // version with an increasing ver column
+    def cdc(vn: Int) = (1 to 10).filter(i => (i + vn) % 2 == 0)
+      .map(i => (i.toLong, s"k$i-v$vn", vn.toLong)).toDF("id", "v", "ver")
+    (1 to 6).foreach(vn =>
+      CommitLog.append(cdc(vn).coalesce(1), src, statsFor = Seq("id")))
+    val ckpt = Files.createTempDirectory("graft-upsert-crash").toString
+    def run(): Unit = {
+      val q = UpsertSink.upsertStream(
+        spark.readStream.format("graft-changefeed")
+          .option("path", src).option("maxVersionsPerBatch", "2").load(),
+        streamDst, "id", ckpt, latestBy = Some("ver"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // admission control drains the backfill as 3 bounded batches
+    val versionsAfterDrain = CommitLog.log(spark, streamDst).size
+    // crash window: batch 2's merge committed to the TABLE but the
+    // checkpoint lost its commit marker (a kill between the data write
+    // and the checkpoint commit). On restart the engine replays batch 2
+    // from offsets/2 — the merge's txn token must no-op BEFORE any data
+    // write, or the chain is only at-least-once.
+    // delete via the Hadoop fs so the checksum shadow file goes with it
+    // (a raw java.io delete leaves commits/.2.crc behind and the re-write
+    // fails as FileAlreadyExists inside ChecksumFileSystem)
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    val commit2 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/2")
+    assert(hfs.exists(commit2), "test setup: expected 3 committed micro-batches")
+    assert(hfs.delete(commit2, false))
+    CommitLog.append(cdc(7).coalesce(1), src, statsFor = Seq("id")) // v7
+    CommitLog.append(cdc(8).coalesce(1), src, statsFor = Seq("id")) // v8
+    run() // replays batch 2 (must no-op), then drains v7..v8
+    // the replayed merge wrote NO new table version — only v7/v8's batch did
+    assert(CommitLog.log(spark, streamDst).size == versionsAfterDrain + 1,
+      s"replayed batch must no-op: $versionsAfterDrain versions before, " +
+        s"${CommitLog.log(spark, streamDst).size} after")
+    // exactly-once row parity with the batch merge
+    (1 to 8).foreach(vn => CommitLog.merge(cdc(vn).coalesce(1), batchDst, "id"))
+    val got = CommitLog.snapshot(spark, streamDst)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val want = CommitLog.snapshot(spark, batchDst)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == want, s"streamed upsert != batch merge\n$got\n$want")
+    // and both equal the driver-side latest-version-per-key fold
+    val expect = (1 to 8).flatMap(vn => (1 to 10).filter(i => (i + vn) % 2 == 0)
+      .map(i => (i.toLong, s"k$i-v$vn", vn.toLong)))
+      .groupBy(_._1).map(kv => kv._2.maxBy(_._3)).toSeq.sorted
+    assert(got == expect, s"latest-version fold mismatch\n$got\n$expect")
+  }
+
   test("a drained-empty table still starts a stream: schema pins from the newest committed file") {
     val root = freshRoot()
     CommitLog.append(batchDf(1, 3).coalesce(1), root)
