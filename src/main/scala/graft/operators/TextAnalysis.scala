@@ -977,13 +977,12 @@ object TextAnalysis {
     * count, one shuffle of 16-byte digests), a semi-probe join back, a
     * per-doc covered-position ARRAY (ranges flattened + deduped with
     * HOFs — never a per-token shuffle), and one final left join to the
-    * corpus where the cut itself is a pure index-lambda filter over the
-    * token array. Documents with nothing to cut pass through whole via
-    * the coalesce. The index-filter is O(tokens × |covered|) per doc
-    * (array_contains scans): right for this corpus's ≤ ~100-token docs
-    * and for the common mostly-clean case; a corpus of book-length docs
-    * with heavy duplication would swap the final stage for the oracle's
-    * token-explode + anti-join form (per-token shuffle, but linear).
+    * corpus where the cut itself is the fused
+    * [[graft.functions.CutTokens]] kernel — a two-pointer merge walk,
+    * O(tokens + |covered|) per doc (r14; the index-lambda +
+    * array_contains form it replaces was O(tokens × |covered|) and
+    * carried a book-length-corpus caveat here — closed). Documents with
+    * nothing to cut pass through whole via the coalesce.
     */
   def q154SubstrCut(s: SparkSession, dir: String): DataFrame =
     substrCut(Tables.documents(s, dir), W = 15)
@@ -1009,8 +1008,7 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("covered")), lit(0)).cast("long").as("n_cut_tokens"),
         when(col("covered").isNull, expr("array_join(w, ' ')"))
-          .otherwise(expr(
-            "array_join(filter(w, (x, i) -> NOT array_contains(covered, CAST(i AS BIGINT))), ' ')"))
+          .otherwise(graft.functions.CutTokens(col("w"), col("covered")))
           .as("new_text"))
   }
 

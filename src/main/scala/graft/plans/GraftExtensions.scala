@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, TopNgramCount, WordNgrams}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, CutTokens, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, TopNgramCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         TopNgramCount(exprs.head,
           GraftExtensions.foldableInt("graft_top_ngram_count", exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cut_tokens"),
+      new ExpressionInfo(classOf[CutTokens].getName, "graft_cut_tokens"),
+      (exprs: Seq[Expression]) => CutTokens(exprs.head, exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
@@ -141,6 +145,10 @@ object GraftExtensions {
       "graft_top_ngram_count",
       exprs => TopNgramCount(exprs.head,
         foldableInt("graft_top_ngram_count", exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cut_tokens",
+      exprs => CutTokens(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens",

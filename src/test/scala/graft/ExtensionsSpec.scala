@@ -295,6 +295,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.isNullAt(4))
   }
 
+  test("native cut-tokens join is bit-identical to the index-lambda filter form on the real cut") {
+    // drive the REAL q154 covered arrays (not synthetic ones) through
+    // both forms: the kernel and the HOF it replaced must agree byte-
+    // for-byte on every document that actually has something cut
+    val docs = Tables.documents(spark, sf)
+    val occ = docs
+      .select(col("doc_id"), graft.functions.Tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 15)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNgrams(col("w"), 15)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5(col("win")).as("g"))
+    val own = occ.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("owner"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"), col("owner"))
+    val cutPos = occ.join(own, Seq("g")).filter(col("doc_id") =!= col("owner"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(flatten(transform(starts, p -> sequence(p, p + 14)))))")
+        .as("covered"))
+    val both = docs
+      .select(col("doc_id"), graft.functions.Tokens(col("text")).as("w"))
+      .join(cutPos, Seq("doc_id"))
+      .select(
+        graft.functions.CutTokens(col("w"), col("covered")).as("native"),
+        expr("array_join(filter(w, (x, i) -> NOT array_contains(covered, CAST(i AS BIGINT))), ' ')")
+          .as("hof"))
+    assert(both.count() > 0, "the corpus must exercise the cut")
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // edges: empty cover, full cover, out-of-range positions ignored,
+    // null token omitted like array_join, null inputs null
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.sql(
+      "SELECT graft_cut_tokens(array('a','b','c'), CAST(array() AS ARRAY<BIGINT>)) AS a, " +
+      "       graft_cut_tokens(array('a','b','c'), array(0L, 1L, 2L)) AS b, " +
+      "       graft_cut_tokens(array('a','b','c'), array(1L, 99L)) AS c, " +
+      "       graft_cut_tokens(array('a', CAST(NULL AS STRING), 'c'), array(2L)) AS d, " +
+      "       graft_cut_tokens(CAST(NULL AS ARRAY<STRING>), array(1L)) AS e").head()
+    assert(e.getString(0) == "a b c")
+    assert(e.getString(1) == "")
+    assert(e.getString(2) == "a c")
+    assert(e.getString(3) == "a")
+    assert(e.isNullAt(4))
+  }
+
   test("SQL builders reject non-foldable / null-element word lists and n args loudly") {
     graft.plans.GraftExtensions.register(spark)
     // a column reference as the word list must name the contract, not NPE
