@@ -151,9 +151,15 @@ object Bench {
       // BENCH_r13 both arrived "parsed": null). Write the SAME record to
       // a tracked repo-root file too: the round-end commit then preserves
       // the full official record (queries + per-iteration wall/GC +
-      // load_control) as a committed artifact.
-      val tracked = java.nio.file.Paths.get("bench_full.json")
-      java.nio.file.Files.write(tracked, (fileJson + "\n").getBytes("UTF-8"))
+      // load_control) as a committed artifact. Guards against silent
+      // substitution of that record: partial runs (SPARK_GRAFT_ONLY set)
+      // never write it, and the name carries the SF so a smoke run at
+      // another scale cannot clobber the official sf0.1 file.
+      if (only.isEmpty) {
+        val sfName = new java.io.File(sfDir).getName
+        val tracked = java.nio.file.Paths.get(s"bench_full_$sfName.json")
+        java.nio.file.Files.write(tracked, (fileJson + "\n").getBytes("UTF-8"))
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench record: ${e.getMessage}")
     }

@@ -170,10 +170,14 @@ object CorpusPipeline {
     // collapses whitespace runs even on untouched docs — and the later
     // decontamination stage 5-grams on raw-space splits, so a normalized
     // copy could shift its grams off the bench set and miss a match the
-    // raw text would have made.
+    // raw text would have made. The drop rule applies only to docs that
+    // were ACTUALLY cut (to nothing): an untouched empty/whitespace-only
+    // doc has new_text = "" too, and "pass through byte-for-byte" must
+    // include it — dropping is a consequence of cutting, not of being
+    // short.
     val cut = docs
       .join(TextAnalysis.substrCut(docs, W)
-        .filter(length(col("new_text")) > 0)
+        .filter(col("n_cut_tokens") === 0 || length(col("new_text")) > 0)
         .select(col("doc_id"), col("new_text"), col("n_cut_tokens")),
         Seq("doc_id"))
       .withColumn("text",

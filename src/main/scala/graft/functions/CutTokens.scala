@@ -22,10 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * closed structurally rather than documented.
   *
   * Semantics parity (spec'd bit-identical in ExtensionsSpec): positions
-  * are 0-based (the HOF filter's index), the cover is SORTED ascending
-  * (the call site builds it with `array_sort`; out-of-range entries are
-  * ignored exactly as `array_contains` never matching them), and null
+  * are 0-based (the HOF filter's index), out-of-range entries are
+  * ignored exactly as `array_contains` never matching them, and null
   * tokens are omitted from the join exactly as `array_join` omits them.
+  * The fast path assumes the cover is sorted ascending (the internal
+  * call site builds it with `array_sort`), but the function is also
+  * SQL-registered for users: an unsorted cover is detected in the same
+  * walk and defensively sorted (the HOF form was order-insensitive — a
+  * silent wrong cut is not an acceptable public contract), and a NULL
+  * cover element is rejected LOUDLY (the HOF's own null behavior —
+  * `NOT array_contains(...)` turning NULL and silently dropping every
+  * uncovered token — is a footgun, not a contract worth mirroring).
   */
 case class CutTokens(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -57,18 +64,37 @@ case class CutTokens(left: Expression, right: Expression)
 object CutTokens {
   private val SPACE = UTF8String.fromString(" ")
 
-  /** One two-pointer walk shared by eval and codegen. `covered` must be
-    * sorted ascending (the call-site contract). */
+  /** One two-pointer walk shared by eval and codegen. Sorted covers
+    * (the internal call-site shape) walk directly; an unsorted cover is
+    * copied and sorted first; a NULL cover element throws by name. */
   def cutJoin(w: ArrayData, covered: ArrayData): UTF8String = {
     val n = w.numElements()
     val m = covered.numElements()
+    // one validation pass: nulls rejected, sortedness detected
+    var sorted = true
+    var p = 0
+    var prev = Long.MinValue
+    while (p < m) {
+      if (covered.isNullAt(p))
+        throw new IllegalArgumentException(
+          "graft_cut_tokens: the cover array must not contain NULL elements")
+      val v = covered.getLong(p)
+      if (v < prev) sorted = false
+      prev = v
+      p += 1
+    }
+    val cov: Array[Long] =
+      if (sorted) null
+      else { val a = covered.toLongArray(); java.util.Arrays.sort(a); a }
+    @inline def covAt(j: Int): Long =
+      if (cov == null) covered.getLong(j) else cov(j)
     val kept = new Array[UTF8String](n)
     var k = 0
     var i = 0
     var j = 0
     while (i < n) {
-      while (j < m && covered.getLong(j) < i) j += 1
-      if (!(j < m && covered.getLong(j) == i)) {
+      while (j < m && covAt(j) < i) j += 1
+      if (!(j < m && covAt(j) == i)) {
         val t = w.getUTF8String(i)
         if (t != null) { kept(k) = t; k += 1 }
       }

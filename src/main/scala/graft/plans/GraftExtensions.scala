@@ -29,13 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) =>
         WordNgrams(exprs.head,
-          GraftExtensions.foldableInt("graft_word_ngrams", exprs(1)))))
+          GraftExtensions.foldableInt("graft_word_ngrams", "n", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
       (exprs: Seq[Expression]) =>
         TopNgramCount(exprs.head,
-          GraftExtensions.foldableInt("graft_top_ngram_count", exprs(1)))))
+          GraftExtensions.foldableInt("graft_top_ngram_count", "n", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_cut_tokens"),
       new ExpressionInfo(classOf[CutTokens].getName, "graft_cut_tokens"),
@@ -110,14 +110,17 @@ object GraftExtensions {
       .toSeq
   }
 
-  /** Validated foldable integer argument (the `n` of graft_word_ngrams):
-    * same plan-time contract as the (col, k) aggregates below. */
-  private[plans] def foldableInt(name: String, e: Expression): Int = {
-    require(e.foldable, s"$name: n must be a literal integer, got ${e.sql}")
+  /** Validated foldable integer argument — the ONE plan-time contract
+    * behind graft_word_ngrams' n, graft_top_ngram_count's n, and every
+    * (col, k) aggregate's k (a drifted copy already misworded its error
+    * once). */
+  private[plans] def foldableInt(name: String, arg: String,
+      e: Expression): Int = {
+    require(e.foldable, s"$name: $arg must be a literal integer, got ${e.sql}")
     e.eval() match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"$name: n must be an integer literal, got '$other'")
+        s"$name: $arg must be an integer literal, got '$other'")
     }
   }
   /** Registers graft's SQL functions on an already-running session
@@ -139,12 +142,12 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams",
       exprs => WordNgrams(exprs.head,
-        foldableInt("graft_word_ngrams", exprs(1))),
+        foldableInt("graft_word_ngrams", "n", exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_ngram_count",
       exprs => TopNgramCount(exprs.head,
-        foldableInt("graft_top_ngram_count", exprs(1))),
+        foldableInt("graft_top_ngram_count", "n", exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cut_tokens",
@@ -198,14 +201,7 @@ object GraftExtensions {
       exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"$name(col, k) takes exactly 2 arguments, got ${exprs.length}")
-    val kExpr = exprs(1)
-    require(kExpr.foldable, s"$name: k must be a literal integer")
-    val k = kExpr.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: k must be an integer literal, got '$other'")
-    }
-    ctor(exprs.head, k)
+    ctor(exprs.head, foldableInt(name, "k", exprs(1)))
   }
 
   private[plans] val buildFrequentItems: Seq[Expression] => Expression =
@@ -219,14 +215,8 @@ object GraftExtensions {
   private[plans] val buildBottomK: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 3,
       s"graft_bottom_k(rank, id, k) takes exactly 3 arguments, got ${exprs.length}")
-    val kExpr = exprs(2)
-    require(kExpr.foldable, "graft_bottom_k: k must be a literal integer")
-    val k = kExpr.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"graft_bottom_k: k must be an integer literal, got '$other'")
-    }
-    BottomKSample(exprs.head, exprs(1), k)
+    BottomKSample(exprs.head, exprs(1),
+      foldableInt("graft_bottom_k", "k", exprs(2)))
   }
 
   /** graft_gramian(vec): the PCA sufficient-statistics aggregate. */

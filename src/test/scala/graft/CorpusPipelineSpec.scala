@@ -94,13 +94,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
       (2L, s"$span delta epsilon", "en", "s0"),     // loses the span, keeps its tail
       (3L, "totally unique text here", "en", "s1"), // untouched
       (4L, span, "en", "s1"),                        // nothing but the span: drops
-      (5L, "unique  doubled   spaces doc", "en", "s1")) // untouched, multi-space
+      (5L, "unique  doubled   spaces doc", "en", "s1"), // untouched, multi-space
+      (6L, "   ", "en", "s1"))   // untouched whitespace-only: passes through
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val cut = CorpusPipeline.substrCut(docs, W = 15)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
-    assert(cut.keySet == Set(1L, 2L, 3L, 5L), cut)
+    // the drop rule is a consequence of CUTTING to nothing (doc 4), not
+    // of being token-less: doc 6 had nothing cut and must pass through
+    assert(cut.keySet == Set(1L, 2L, 3L, 5L, 6L), cut)
+    assert(cut(6L)._1 == "   ", cut(6L))
     assert(cut(1L)._1 == s"alpha beta $span gamma") // min-id owner unchanged
     assert(cut(2L)._1 == "delta epsilon", cut(2L))  // span excised, remainder kept
     assert(cut(3L)._1 == "totally unique text here")

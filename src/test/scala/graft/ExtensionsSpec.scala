@@ -337,6 +337,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getString(2) == "a c")
     assert(e.getString(3) == "a")
     assert(e.isNullAt(4))
+    // public-contract guards: an UNSORTED cover cuts correctly (detected
+    // and defensively sorted — the HOF form was order-insensitive and a
+    // silent wrong cut is unacceptable from SQL), and a NULL cover
+    // element is rejected by name
+    val u = spark.sql(
+      "SELECT graft_cut_tokens(array('a','b','c'), array(2L, 0L)) AS x").head()
+    assert(u.getString(0) == "b")
+    val nerr = intercept[Exception] {
+      spark.sql("SELECT graft_cut_tokens(array('a','b'), " +
+        "array(CAST(NULL AS BIGINT))) AS x").collect()
+    }
+    assert(nerr.getMessage.contains("NULL elements"), nerr.getMessage)
   }
 
   test("SQL builders reject non-foldable / null-element word lists and n args loudly") {
