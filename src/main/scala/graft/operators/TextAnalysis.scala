@@ -1281,20 +1281,30 @@ object TextAnalysis {
     * corpus where it is not, `graft.lm.broadcastModel=false` switches the
     * score join to the shuffled form (spec proves result equality).
     */
-  def q156LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def q156LmPerplexity(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityOf(s, dir, carry = Nil)
+
+  /** q156 with extra doc columns carried through the per-doc rollup (the
+    * corpusFilterOf carry contract) — q229 reads its source axis off the
+    * SAME rollup exchange this way, instead of reintroducing the
+    * corpus-scale docs-rejoin the q156 rewrite deleted. */
+  private[graft] def lmPerplexityOf(s: SparkSession, dir: String,
+      carry: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val carryCols = carry.map(col)
     // explode_outer + CASE: a < 2-token doc contributes one null-bigram
     // row, so the per-doc rollup covers EVERY document and no final
     // docs-rejoin exists (that join is corpus-scale — one row per doc —
     // and planned as a SortMergeJoin; this shape deletes it). The CASE
     // guards sequence(1, 0), which Spark evaluates DESCENDING, not empty.
     def bigrams(src: DataFrame): DataFrame = src
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode_outer(expr(
+      .select(col("doc_id") +: carryCols :+ split(col("text"), " ").as("w"): _*)
+      .select(col("doc_id") +: carryCols :+ explode_outer(expr(
         """CASE WHEN size(w) >= 2 THEN
              transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS w1, w[i] AS w2))
-           END""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+           END""")).as("b"): _*)
+      .select(col("doc_id") +: carryCols ++:
+        Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
     val big = bigrams(docs)
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("t"))
@@ -1304,6 +1314,7 @@ object TextAnalysis {
     // aggregation; checkpointed, c(w1) = Σ_w2 c12 is a re-aggregation of
     // a materialized V²-bounded frame — one corpus scan trains the model
     val model = big.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val uni = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -1321,16 +1332,16 @@ object TextAnalysis {
              CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
              - CAST(round(ln(c1 + v) * 1000000) AS BIGINT)
            END"""))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: carryCols: _*)
       .agg(count(col("term_micro")).as("n_bigrams"),
            coalesce(lit(0L) - sum(col("term_micro")), lit(0L)).as("nll_micro"),
            max(expr("CAST(round(ln(v) * 1000000) AS BIGINT)")).as("bar_micro"))
-      .select(
+      .select(Seq(
         col("doc_id"), col("n_bigrams"), col("nll_micro"),
         expr("nll_micro DIV greatest(n_bigrams, 1)").as("avg_nll_micro"),
         // bigram-less docs score 0 ≤ ln V — kept, identically to DuckDB
         (expr("nll_micro DIV greatest(n_bigrams, 1)") <= col("bar_micro"))
-          .as("lm_keep"))
+          .as("lm_keep")) ++ carryCols: _*)
   }
 
   /** q157: DSIR-style data selection (Xie et al., "Data Selection for
@@ -1404,19 +1415,58 @@ object TextAnalysis {
     * near-equal tier occupancy (and stays the guard for corpora where
     * n > accuracy and the oracle equality would no longer be exact).
     */
-  def q162CcnetTiers(s: SparkSession, dir: String): DataFrame = {
-    val scores = q156LmPerplexity(s, dir)
-      .select(col("doc_id"), col("avg_nll_micro"))
+  def q162CcnetTiers(s: SparkSession, dir: String): DataFrame =
+    ccnetTiersOf(s, dir, carry = Nil)
+
+  /** q162's tier assignment with extra doc columns carried through (the
+    * carry contract a third time) — q229 reads its source axis off the
+    * same scored rollup. */
+  private[graft] def ccnetTiersOf(s: SparkSession, dir: String,
+      carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
+    val scores = lmPerplexityOf(s, dir, carry)
+      .select(col("doc_id") +: carryCols :+ col("avg_nll_micro"): _*)
       .localCheckpoint()
     val cuts = scores.agg(
       expr("percentile_approx(avg_nll_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), 10000)")
         .as("c"))
       .select(col("c")(0).as("c1"), col("c")(1).as("c2"))
     scores.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("avg_nll_micro"),
+      .select(col("doc_id") +: carryCols ++: Seq(col("avg_nll_micro"),
         when(col("avg_nll_micro") <= col("c1"), "head")
           .when(col("avg_nll_micro") <= col("c2"), "middle")
-          .otherwise("tail").as("tier"))
+          .otherwise("tail").as("tier")): _*)
+  }
+
+  /** q229: LM-quality TIER MIX per source — q162's CCNet head/middle/tail
+    * buckets rolled up on the source axis: per (source, tier) the doc
+    * count, within-source share, and mean score. The curation read CCNet
+    * itself publishes per dump: which FEED supplies the tail. A source
+    * whose mass sits in `tail` is low-quality relative to the corpus's
+    * own LM (boilerplate farms, OCR, gibberish); one whose mix shifts
+    * between snapshots changed its content pipeline. Read next to q227
+    * (which rule kills which feed) and q216's composite verdicts, this is
+    * the model-side column of the same per-source audit — and because
+    * the tiers are CORPUS-RELATIVE terciles, the table is live at any
+    * scale with no tuned threshold. Integer end-to-end (micro-nat
+    * scores, DIV mean, bp shares).
+    *
+    * Scale shape: q156's passes with source carried through the per-doc
+    * rollup (no docs-rejoin — the carry contract), the same broadcast
+    * tercile cutoffs, then one map-side-combined |sources × 3| fold; the
+    * share window runs over that tiny frame. The oracle composes the
+    * SAME q156Sql + rank-based exact-tercile SQL q162's oracle uses (one
+    * definition per engine pair).
+    */
+  def q229TierBySource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ccnetTiersOf(s, dir, carry = Seq("source"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("avg_nll_micro")).as("sum_nll"))
+      .withColumn("tot", sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("tier"), col("n_docs"),
+        expr("(n_docs * 10000) DIV tot").as("share_bp"),
+        expr("sum_nll DIV n_docs").as("mean_nll_micro"))
   }
 
   /** q168: document NOVELTY — the share of a document's distinct 5-grams
@@ -2214,6 +2264,7 @@ object TextAnalysis {
     "q154_substr_cut" -> (q154SubstrCut _),
     "q153_quality_model" -> (q153QualityModel _),
     "q228_model_rule_bias" -> (q228ModelRuleBias _),
+    "q229_tier_by_source" -> (q229TierBySource _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),
@@ -2271,6 +2322,31 @@ object TextAnalysis {
                   <= CAST(round(ln(v.v) * 1000000) AS BIGINT) AS lm_keep
          FROM documents d CROSS JOIN v
          LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
+  // q162's full per-doc tier oracle SQL, shared with q229's per-source
+  // rollup. Composes q156Sql; the cutoffs are the exact terciles (value
+  // at one-based rank ceil(n/3) / ceil(2n/3) of the sorted scores) —
+  // which is what Spark's percentile_approx at acc=10000 returns while
+  // n << acc (the q162 spec proves the equality; this oracle makes the
+  // driver check it per round too).
+  private val q162TierSql: String =
+    s"""WITH q156 AS ($q156Sql),
+        sc AS (SELECT doc_id, avg_nll_micro FROM q156),
+        ord AS (SELECT avg_nll_micro AS v,
+                       row_number() OVER (ORDER BY avg_nll_micro) AS rn,
+                       count(*) OVER () AS n
+                FROM sc),
+        cut AS (SELECT
+                  max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                      THEN v END) AS c1,
+                  max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                      THEN v END) AS c2
+                FROM ord)
+        SELECT sc.doc_id, sc.avg_nll_micro,
+               CASE WHEN sc.avg_nll_micro <= cut.c1 THEN 'head'
+                    WHEN sc.avg_nll_micro <= cut.c2 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM sc, cut"""
 
   // q65's full oracle SQL, shared with q226's per-lang bias rollup (the
   // q216 one-definition-per-axis discipline).
@@ -2799,29 +2875,21 @@ object TextAnalysis {
          ORDER BY avg_logw_micro DESC, doc_id
          LIMIT 200""",
     "q156_lm_perplexity" -> q156Sql,
-    "q162_ccnet_tiers" ->
-      // Composes the SAME q156 per-doc score SQL; the cutoffs are the
-      // exact terciles (value at one-based rank ceil(n/3) / ceil(2n/3) of
-      // the sorted scores) — which is what Spark's percentile_approx at
-      // acc=10000 returns while n << acc (the q162 spec proves the
-      // equality; this oracle makes the driver check it per round too).
-      s"""WITH q156 AS ($q156Sql),
-          sc AS (SELECT doc_id, avg_nll_micro FROM q156),
-          ord AS (SELECT avg_nll_micro AS v,
-                         row_number() OVER (ORDER BY avg_nll_micro) AS rn,
-                         count(*) OVER () AS n
-                  FROM sc),
-          cut AS (SELECT
-                    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
-                        THEN v END) AS c1,
-                    max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
-                        THEN v END) AS c2
-                  FROM ord)
-          SELECT sc.doc_id, sc.avg_nll_micro,
-                 CASE WHEN sc.avg_nll_micro <= cut.c1 THEN 'head'
-                      WHEN sc.avg_nll_micro <= cut.c2 THEN 'middle'
-                      ELSE 'tail' END AS tier
-          FROM sc, cut""",
+    "q162_ccnet_tiers" -> q162TierSql,
+    "q229_tier_by_source" ->
+      // the SAME per-doc tier SQL q162's oracle is, rolled up on source
+      s"""WITH t AS ($q162TierSql),
+          j AS (SELECT d.source, t.tier, t.avg_nll_micro
+                FROM t JOIN documents d USING (doc_id)),
+          g AS (SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(avg_nll_micro) AS BIGINT) AS sum_nll
+                FROM j GROUP BY 1, 2)
+          SELECT source, tier, n_docs,
+                 n_docs * 10000
+                   // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                   AS share_bp,
+                 sum_nll // n_docs AS mean_nll_micro
+          FROM g""",
     "q155_mixture_plan" -> {
       val values = mixtureWeights.map { case (src, w) => s"('$src', $w)" }.mkString(", ")
       val sw = mixtureWeightSum

@@ -787,6 +787,34 @@ class PropertySpec extends AnyFunSuite {
     assert(e.getAs[Long]("risk") == fl.sum)
   }
 
+  test("q229 tier-by-source equals a recompute from q162's verified tiers") {
+    val tiers = graft.operators.TextAnalysis.q162CcnetTiers(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("tier"), r.getAs[Long]("avg_nll_micro")))).toMap
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = tiers.toSeq
+      .groupBy { case (id, (t, _)) => (srcOf(id), t) }
+      .map { case ((src, t), rows) =>
+        val n = rows.length.toLong
+        val sum = rows.map(_._2._2).sum
+        (src, t) -> ((n, sum / n))
+      }
+    val perSource = ref.toSeq.groupBy(_._1._1)
+      .map { case (s0, rows) => s0 -> rows.map(_._2._1).sum }
+    val got = graft.operators.TextAnalysis.q229TierBySource(spark, sf).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("tier"))
+      val (n, mean) = ref(key)
+      assert(r.getAs[Long]("n_docs") == n, s"$key n_docs")
+      assert(r.getAs[Long]("mean_nll_micro") == mean, s"$key mean")
+      assert(r.getAs[Long]("share_bp") == n * 10000L / perSource(key._1), s"$key share")
+    }
+    // liveness: the tier mix separates sources somewhere
+    assert(got.map(_.getAs[Long]("share_bp")).distinct.length > 1)
+  }
+
   test("q217 diurnal entropy equals a driver-side hour-census recompute") {
     val got = graft.operators.Events.q217DiurnalEntropy(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_events"),
