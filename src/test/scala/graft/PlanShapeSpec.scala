@@ -81,11 +81,26 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pure-projection operators plan with zero exchanges") {
+    // q65 joined this family in r14: its repetition gate is the fused
+    // TopNgramCount kernel, so the whole Gopher filter is one scan
     for (q <- Seq("q51_anonymize", "q57_pii_redact", "q64_clean_text", "q39_fingerprint",
                   "q74_train_split", "q76_vector_stats",
-                  "q189_langid_ngram", "q190_content_safety")) {
+                  "q189_langid_ngram", "q190_content_safety",
+                  "q65_corpus_filter")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q:\n$p")
+    }
+  }
+
+  test("r14 verdict-axis rollups read their axis off ONE documents scan") {
+    // q226/q227 carry lang/source through the (zero-exchange) q65 verdict
+    // projection — no second pruned scan, no doc_id re-join; the only
+    // exchanges are the |axis × outcomes| fold and its tiny share window
+    for (q <- Seq("q226_lang_filter_bias", "q227_gate_attrition_by_source")) {
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1, s"$q:\n$p")
+      assert(count(p, "Exchange") == 2, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
     }
   }
 
