@@ -1291,13 +1291,22 @@ object TextAnalysis {
   private[graft] def lmPerplexityOf(s: SparkSession, dir: String,
       carry: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val (model, uni, vocab) = lmTrain(docs)
+    val bcastModel =
+      s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
+    lmScoreAgainst(docs, model, uni, vocab, carry, bcastModel)
+  }
+
+  /** The tagged per-doc bigram stream both training and scoring consume.
+    * explode_outer + CASE: a < 2-token doc contributes one null-bigram
+    * row, so the per-doc rollup covers EVERY document and no final
+    * docs-rejoin exists (that join is corpus-scale — one row per doc —
+    * and planned as a SortMergeJoin; this shape deletes it). The CASE
+    * guards sequence(1, 0), which Spark evaluates DESCENDING, not empty.
+    */
+  private def lmBigrams(src: DataFrame, carry: Seq[String]): DataFrame = {
     val carryCols = carry.map(col)
-    // explode_outer + CASE: a < 2-token doc contributes one null-bigram
-    // row, so the per-doc rollup covers EVERY document and no final
-    // docs-rejoin exists (that join is corpus-scale — one row per doc —
-    // and planned as a SortMergeJoin; this shape deletes it). The CASE
-    // guards sequence(1, 0), which Spark evaluates DESCENDING, not empty.
-    def bigrams(src: DataFrame): DataFrame = src
+    src
       .select(col("doc_id") +: carryCols :+ split(col("text"), " ").as("w"): _*)
       .select(col("doc_id") +: carryCols :+ explode_outer(expr(
         """CASE WHEN size(w) >= 2 THEN
@@ -1305,32 +1314,53 @@ object TextAnalysis {
            END""")).as("b"): _*)
       .select(col("doc_id") +: carryCols ++:
         Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
-    val big = bigrams(docs)
+  }
+
+  /** ONE bigram-LM training pass over a corpus: the (w1, w2, c12) model
+    * (checkpointed, V²-bounded), its derived (w1, c1) unigram margins,
+    * and the 1-row vocab count — shared by q156's self-scored form and
+    * s27's frozen-model serving (one training definition, zero drift).
+    *
+    * localCheckpoint: Catalyst has no CSE across the DAG, so without it
+    * the derived c1 would re-scan the corpus and re-run the c12
+    * aggregation; checkpointed, c(w1) = Σ_w2 c12 is a re-aggregation of
+    * a materialized V²-bounded frame — one corpus scan trains the model.
+    */
+  private[graft] def lmTrain(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    // localCheckpoint: Catalyst has no CSE across the DAG, so without it
-    // the derived c1 below would re-scan the corpus and re-run the c12
-    // aggregation; checkpointed, c(w1) = Σ_w2 c12 is a re-aggregation of
-    // a materialized V²-bounded frame — one corpus scan trains the model
-    val model = big.filter(col("w1").isNotNull)
+    val model = lmBigrams(docs, Nil).filter(col("w1").isNotNull)
       .select(col("w1"), col("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val uni = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val bcastModel =
-      s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
+    (model, uni, vocab)
+  }
+
+  /** Score ANY (doc_id, text) frame against a trained (model, uni, vocab)
+    * triple — q156's micro-nat formula, one definition. Text the model
+    * never saw smooths through the same add-one form via the coalesces:
+    * an unseen bigram of a seen word scores ln(1) − ln(c1+V); a wholly
+    * unseen word scores ln(1) − ln(V), the most-surprising value (for the
+    * self-trained q156 case every real bigram matches and the coalesces
+    * never fire — results bit-identical to the pre-split form).
+    */
+  private[graft] def lmScoreAgainst(docs: DataFrame, model: DataFrame,
+      uni: DataFrame, vocab: DataFrame, carry: Seq[String],
+      bcastModel: Boolean): DataFrame = {
+    val carryCols = carry.map(col)
     def side(df: DataFrame): DataFrame = if (bcastModel) broadcast(df) else df
-    big
-      // LEFT joins: a real bigram always matches the model it trained,
-      // but the null-bigram carrier rows of short docs must survive
+    lmBigrams(docs, carry)
+      // LEFT joins: unseen bigrams smooth (see above), and the
+      // null-bigram carrier rows of short docs must survive
       .join(side(model), Seq("w1", "w2"), "left")
       .join(side(uni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("term_micro", expr(
         """CASE WHEN w1 IS NOT NULL THEN
-             CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
-             - CAST(round(ln(c1 + v) * 1000000) AS BIGINT)
+             CAST(round(ln(coalesce(c12, 0) + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln(coalesce(c1, 0) + v) * 1000000) AS BIGINT)
            END"""))
       .groupBy(col("doc_id") +: carryCols: _*)
       .agg(count(col("term_micro")).as("n_bigrams"),
@@ -1433,10 +1463,13 @@ object TextAnalysis {
       .select(col("c")(0).as("c1"), col("c")(1).as("c2"))
     scores.crossJoin(broadcast(cuts))
       .select(col("doc_id") +: carryCols ++: Seq(col("avg_nll_micro"),
-        when(col("avg_nll_micro") <= col("c1"), "head")
-          .when(col("avg_nll_micro") <= col("c2"), "middle")
-          .otherwise("tail").as("tier")): _*)
+        tierColumn(col("avg_nll_micro"), col("c1"), col("c2")).as("tier")): _*)
   }
+
+  /** head/middle/tail from a score and the two cutoffs — the ONE tier
+    * rule (q162/q229 batch and s27's frozen-cutoff serving). */
+  private[graft] def tierColumn(score: Column, c1: Column, c2: Column): Column =
+    when(score <= c1, "head").when(score <= c2, "middle").otherwise("tail")
 
   /** q229: LM-quality TIER MIX per source — q162's CCNet head/middle/tail
     * buckets rolled up on the source axis: per (source, tier) the doc

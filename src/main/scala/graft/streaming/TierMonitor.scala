@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** s27: streaming LM-quality TIER monitor — the online form of q162/q229
+  * the way CCNet actually deploys its LM: the bigram model AND the
+  * tercile cutoffs are FROZEN from a reference corpus (an online model
+  * that retrained per batch would silently move every historical tier
+  * count — frozen artifacts are the only form whose maintained table has
+  * a meaning), each document micro-batch is scored by q156's micro-nat
+  * formula against the frozen model ([[TextAnalysis.lmScoreAgainst]] —
+  * the SAME scoring definition the batch query uses), bucketed by the
+  * frozen cutoffs (the same [[TextAnalysis.tierColumn]] rule), folded to
+  * a (source, tier, cnt, sum_nll) fragment and additively merged.
+  *
+  * Novel text the frozen model never saw smooths through the same
+  * add-one form (an unseen bigram of a seen word scores ln 1 − ln(c1+V);
+  * a wholly unseen word ln 1 − ln V, the most-surprising value) — so a
+  * feed drifting into gibberish lands in `tail` one micro-batch later,
+  * which is exactly where a curator looks for it.
+  *
+  * State architecture is s25/s26's verbatim: NO in-flight streaming
+  * state — the published table plus its last-applied batch id ARE the
+  * state; `publishDelta` receives only the TOUCHED (source, tier) cells,
+  * so per-batch cost is O(fragment), never O(corpus age); the
+  * at-least-once replay guard skips already-applied batch ids (both
+  * maintained columns are additive counters — an unguarded replay would
+  * double-count), and the sink atomicity contract is inherited from
+  * s10/[[RollupSink]].
+  */
+object TierMonitor {
+
+  /** Frozen serving artifacts: the reference corpus's checkpointed
+    * V²-bounded bigram model + unigram margins + 1-row vocab frame, and
+    * the two tercile cutoff literals. Frames, not driver values — the
+    * model is vocab-scale, and the scoring join broadcasts it the same
+    * way q156 does.
+    */
+  final case class FrozenLm(model: DataFrame, uni: DataFrame,
+      vocab: DataFrame, c1Cut: Long, c2Cut: Long)
+
+  /** One training + cutoff pass over the reference corpus. */
+  def freeze(s: SparkSession, dir: String): FrozenLm = {
+    val docs = Tables.documents(s, dir)
+    val (model, uni, vocab) = TextAnalysis.lmTrain(docs)
+    val cuts = TextAnalysis
+      .lmScoreAgainst(docs, model, uni, vocab, Nil, bcastModel = true)
+      .agg(expr(
+        "percentile_approx(avg_nll_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), 10000)")
+        .as("c"))
+      .select(col("c")(0), col("c")(1)).head()
+    FrozenLm(model, uni, vocab, cuts.getLong(0), cuts.getLong(1))
+  }
+
+  /** One micro-batch's (source, tier, cnt, sum_nll) fragment — frozen
+    * scoring + frozen cutoffs, folded. */
+  private[graft] def fragmentOf(batch: DataFrame, f: FrozenLm): DataFrame =
+    TextAnalysis
+      .lmScoreAgainst(batch, f.model, f.uni, f.vocab, Seq("source"),
+        bcastModel = true)
+      .withColumn("tier", TextAnalysis.tierColumn(
+        col("avg_nll_micro"), lit(f.c1Cut), lit(f.c2Cut)))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("cnt"), sum(col("avg_nll_micro")).as("sum_nll"))
+
+  /** One fragment merged into the maintained table: replay-guarded,
+    * delta-shaped (only touched cells are read, merged, returned). */
+  private[graft] def tierCountsBatch(
+      current: Option[(DataFrame, Long)],
+      frag: DataFrame,
+      batchId: Long): Option[DataFrame] = current match {
+    case Some((_, lastApplied)) if batchId <= lastApplied => None
+    case Some((table, _)) =>
+      val touched = frag.select(col("source"), col("tier")).distinct()
+      val affected = table.join(touched, Seq("source", "tier"), "left_semi")
+      Some(mergeCounts(affected, frag))
+    case None => Some(frag)
+  }
+
+  /** Additive monoid merge of (source, tier, cnt, sum_nll) fragments. */
+  private[graft] def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"), col("tier"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_nll")).as("sum_nll"))
+
+  /** q229's table derived from maintained counts — same integer share and
+    * mean formulas (one definition, zero drift). When the streamed corpus
+    * IS the frozen reference corpus, this equals the batch q229 table
+    * row for row (frozen scores ≡ q156 self-scores, frozen cutoffs ≡
+    * q162's — spec-pinned).
+    */
+  def profile(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("tier"), col("cnt").as("n_docs"),
+        expr("(cnt * 10000) DIV tot").as("share_bp"),
+        expr("sum_nll DIV cnt").as("mean_nll_micro"))
+  }
+
+  /** The stream: documents in, touched tier cells out via
+    * `publishDelta(delta, batchId)`. */
+  def tierMonitorStream(
+      docs: DataFrame,
+      frozen: FrozenLm,
+      store: () => Option[(DataFrame, Long)])(
+      publishDelta: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tierCountsBatch(store(), fragmentOf(batch, frozen), batchId)
+          .foreach(delta => publishDelta(delta, batchId))
+      }
+}

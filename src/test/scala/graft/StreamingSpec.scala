@@ -602,4 +602,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.AttritionMonitor
       .attritionCountsBatch(store(), frag, last + 1L).isDefined)
   }
+
+  test("s27 streaming frozen-LM tier monitor converges to the batch q229 table; novel text lands in tail") {
+    import graft.streaming.TierMonitor
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val frozen = TierMonitor.freeze(s0, sf)
+    val docs = Tables.documents(s0, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val cells = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((src, t), (c, sn)) => (src, t, c, sn) }
+          .toDF("source", "tier", "cnt", "sum_nll"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getAs[String]("source"), r.getAs[String]("tier"))) =
+          (r.getAs[Long]("cnt"), r.getAs[Long]("sum_nll"))
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    val q = TierMonitor.tierMonitorStream(
+      ms.toDS().toDF("doc_id", "source", "text"), frozen, store _)(publishDelta)
+      .start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // streamed the reference corpus against its OWN frozen artifacts:
+    // frozen scores ≡ q156 self-scores and frozen cutoffs ≡ q162's, so
+    // the maintained profile equals the batch q229 table row-for-row
+    // (counts, integer shares AND integer means)
+    val got = TierMonitor.profile(store().get._1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = graft.operators.TextAnalysis.q229TierBySource(s0, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"streamed tiers != batch q229\n$got\n$want")
+    // drift: a batch of wholly-unseen words exercises the smoothing path
+    // (ln 1 − ln V per bigram — the most-surprising score) and must land
+    // every such doc in `tail`
+    val gibberish = (1 to 8).map(i =>
+      (900000L + i, "src_drift",
+        (1 to 20).map(j => s"zzqx${i}gib${j}word").mkString(" ")))
+    val frag = TierMonitor.fragmentOf(
+      gibberish.toDF("doc_id", "source", "text"), frozen).collect()
+    assert(frag.map(_.getAs[String]("tier")).toSet == Set("tail"),
+      frag.mkString("\n"))
+    assert(frag.map(_.getAs[Long]("cnt")).sum == 8L)
+    // replay guard: applied id skips, fresh id applies
+    val f10 = TierMonitor.fragmentOf(
+      Tables.documents(s0, sf).limit(10).select("doc_id", "source", "text"),
+      frozen)
+    val last = lastId.get
+    assert(TierMonitor.tierCountsBatch(store(), f10, last).isEmpty)
+    assert(TierMonitor.tierCountsBatch(store(), f10, last + 1L).isDefined)
+  }
 }
