@@ -351,6 +351,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nerr.getMessage.contains("NULL elements"), nerr.getMessage)
   }
 
+  test("kernel fuzz: TopNgramCount and CutTokens match driver recomputes on 300 seeded random cases") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(14L)
+    // small alphabets force heavy window collisions; sizes cross every
+    // under-n / exact-n / long boundary
+    val cases = (1 to 300).map { i =>
+      val alpha = 2 + rnd.nextInt(9)
+      val sz = rnd.nextInt(61)
+      val toks = (0 until sz).map(_ => s"t${rnd.nextInt(alpha)}")
+      val nCut = rnd.nextInt(sz + 3)
+      val cover = (0 until nCut).map(_ => rnd.nextInt(sz + 4).toLong)
+        .distinct.sorted
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, toks, cover, n)
+    }
+    val df = cases.toDF("id", "toks", "cover", "n").cache()
+    val got = df.select(col("id"),
+        graft.functions.TopNgramCount(col("toks"), 1).as("m1"),
+        graft.functions.TopNgramCount(col("toks"), 2).as("m2"),
+        graft.functions.TopNgramCount(col("toks"), 3).as("m3"),
+        graft.functions.TopNgramCount(col("toks"), 5).as("m5"),
+        graft.functions.CutTokens(col("toks"), col("cover")).as("cut"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    def maxMult(toks: Seq[String], n: Int): Int =
+      if (toks.size < n) 0
+      else toks.sliding(n).toSeq.groupBy(identity).values.map(_.size).max
+    cases.foreach { case (id, toks, cover, _) =>
+      val (m1, m2, m3, m5, cut) = got(id)
+      assert(m1 == maxMult(toks, 1), s"case $id n=1")
+      assert(m2 == maxMult(toks, 2), s"case $id n=2")
+      assert(m3 == maxMult(toks, 3), s"case $id n=3")
+      assert(m5 == maxMult(toks, 5), s"case $id n=5")
+      val expect = toks.zipWithIndex
+        .filterNot { case (_, i) => cover.contains(i.toLong) }
+        .map(_._1).mkString(" ")
+      assert(cut == expect, s"case $id cut")
+    }
+    df.unpersist(): Unit
+  }
+
   test("SQL builders reject non-foldable / null-element word lists and n args loudly") {
     graft.plans.GraftExtensions.register(spark)
     // a column reference as the word list must name the contract, not NPE
