@@ -430,6 +430,49 @@ object TextAnalysis {
       .select(col("source"), col("outcome"), col("n_docs"), col("share_bp"))
   }
 
+  /** q230: REJECTION-BY-LENGTH audit — q65's verdicts bucketed into
+    * corpus-relative LENGTH deciles: per (decile, outcome) the doc count
+    * and within-decile share. The question it answers is the classic
+    * filter-bias one: is the quality filter secretly a LENGTH filter?
+    * The word-count gates reject short/long docs explicitly, but the
+    * other gates correlate with length too (short docs have noisier
+    * stopword shares and word-length means; long docs accumulate
+    * repetition) — if `word_length` or `low_stopword_share` rejections
+    * concentrate in the bottom deciles, the corpus is being length-
+    * selected without anyone deciding that, and downstream token-economics
+    * tables (q200/q212) inherit the skew. Read next to q226 (lang axis)
+    * and q227 (source axis): same verdict definition, third axis.
+    *
+    * Deciles are assigned from the VALUE DOMAIN, not a per-doc rank: the
+    * verdict frame folds to (n_words, outcome) cells (one map-side-
+    * combined exchange — q65 itself is zero-shuffle), the per-value
+    * cumulative count derives each value's decile = cum_before·10 DIV n
+    * (all docs of equal length share a decile — deterministic, no
+    * corpus-scale sort anywhere), and the windows run over the
+    * |distinct n_words| frame only. Oracle composes the SAME q65Sql with
+    * the same integer formulas.
+    */
+  def q230RejectionByLength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = q65CorpusFilter(s, dir)
+      .select(col("n_words"),
+        coalesce(col("reject_reason"), lit("accepted")).as("outcome"))
+      .groupBy(col("n_words"), col("outcome")).agg(count(lit(1)).as("cnt"))
+    // value-domain frame: one row per distinct length — tiny by domain
+    val perV = cells.groupBy(col("n_words")).agg(sum(col("cnt")).as("vc"))
+      .withColumn("cum_before", coalesce(
+        sum(col("vc")).over(Window.orderBy(col("n_words"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("vc")).over(Window.partitionBy()))
+      .select(col("n_words"), expr("cum_before * 10 DIV tot").as("decile"))
+    cells.join(perV, Seq("n_words"))
+      .groupBy(col("decile"), col("outcome")).agg(sum(col("cnt")).as("n_docs"))
+      .withColumn("tot_d",
+        sum(col("n_docs")).over(Window.partitionBy(col("decile"))))
+      .select(col("decile"), col("outcome"), col("n_docs"),
+        expr("(n_docs * 10000) DIV tot_d").as("share_bp"))
+  }
+
   /** q132: duplicate-coverage repetition signals — the Gopher repetition
     * family q65's top-trigram share does NOT capture: a document that
     * repeats many DIFFERENT phrases scores low on top-gram share but high
@@ -2298,6 +2341,7 @@ object TextAnalysis {
     "q153_quality_model" -> (q153QualityModel _),
     "q228_model_rule_bias" -> (q228ModelRuleBias _),
     "q229_tier_by_source" -> (q229TierBySource _),
+    "q230_rejection_by_length" -> (q230RejectionByLength _),
     "q152_boilerplate_extract" -> (q152BoilerplateExtract _),
     "q151_substr_dedup" -> (q151SubstrDedup _),
     "q124_overlap_sketch" -> (q124OverlapSketch _),
@@ -3235,6 +3279,30 @@ object TextAnalysis {
           FROM documents"""
     },
     "q65_corpus_filter" -> q65Sql,
+    "q230_rejection_by_length" ->
+      // the SAME q65Sql verdicts, bucketed by value-domain length deciles
+      // (decile of a length value = cum-count-before * 10 // n — all docs
+      // of equal length share a decile, no per-doc rank anywhere)
+      s"""WITH q65 AS ($q65Sql),
+          o AS (SELECT n_words, COALESCE(reject_reason, 'accepted') AS outcome
+                FROM q65),
+          cells AS (SELECT n_words, outcome, CAST(count(*) AS BIGINT) AS cnt
+                    FROM o GROUP BY 1, 2),
+          pv AS (SELECT n_words, CAST(sum(cnt) AS BIGINT) AS vc
+                 FROM cells GROUP BY 1),
+          d AS (SELECT n_words,
+                       CAST(COALESCE(sum(vc) OVER (ORDER BY n_words
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) * 10
+                         // CAST(sum(vc) OVER () AS BIGINT) AS decile
+                FROM pv),
+          g AS (SELECT decile, outcome, CAST(sum(cnt) AS BIGINT) AS n_docs
+                FROM cells JOIN d USING (n_words) GROUP BY 1, 2)
+          SELECT decile, outcome, n_docs,
+                 (n_docs * 10000)
+                   // CAST(sum(n_docs) OVER (PARTITION BY decile) AS BIGINT)
+                   AS share_bp
+          FROM g""",
     "q227_gate_attrition_by_source" ->
       s"""WITH q65 AS ($q65Sql),
           j AS (SELECT d.source, COALESCE(q.reject_reason, 'accepted') AS outcome

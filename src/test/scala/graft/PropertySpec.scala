@@ -787,6 +787,35 @@ class PropertySpec extends AnyFunSuite {
     assert(e.getAs[Long]("risk") == fl.sum)
   }
 
+  test("q230 rejection-by-length equals a driver recompute; deciles cover the corpus near-evenly") {
+    val verdicts = graft.operators.TextAnalysis.q65CorpusFilter(spark, sf)
+      .collect().map(r => (r.getAs[Long]("n_words"),
+        Option(r.getAs[String]("reject_reason")).getOrElse("accepted")))
+    val n = verdicts.length.toLong
+    // value-domain decile: cum count of strictly-shorter docs * 10 / n
+    val byLen = verdicts.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val lens = byLen.keys.toSeq.sorted
+    val cumBefore = lens.zip(lens.scanLeft(0L)((acc, v) => acc + byLen(v))).toMap
+    def decileOf(v: Long): Long = cumBefore(v) * 10L / n
+    val ref = verdicts.groupBy { case (w, o) => (decileOf(w), o) }
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val perDec = ref.toSeq.groupBy(_._1._1)
+      .map { case (d, rows) => d -> rows.map(_._2).sum }
+    val got = graft.operators.TextAnalysis.q230RejectionByLength(spark, sf)
+      .collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("decile"), r.getAs[String]("outcome"))
+      assert(r.getAs[Long]("n_docs") == ref(key), s"$key n_docs")
+      assert(r.getAs[Long]("share_bp") ==
+        ref(key) * 10000L / perDec(key._1), s"$key share")
+    }
+    // ties share a decile, so occupancy is only NEAR-even — but every
+    // decile must exist and hold a sane share of the corpus
+    assert(perDec.keySet == (0L to 9L).toSet, perDec.toString)
+    perDec.values.foreach(c => assert(c >= n / 20 && c <= n / 4, perDec.toString))
+  }
+
   test("q229 tier-by-source equals a recompute from q162's verified tiers") {
     val tiers = graft.operators.TextAnalysis.q162CcnetTiers(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
