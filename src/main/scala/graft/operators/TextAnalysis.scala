@@ -454,10 +454,10 @@ object TextAnalysis {
     */
   def q230RejectionByLength(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = q65CorpusFilter(s, dir)
-      .select(col("n_words"),
-        coalesce(col("reject_reason"), lit("accepted")).as("outcome"))
-      .groupBy(col("n_words"), col("outcome")).agg(count(lit(1)).as("cnt"))
+    // two consumers below (decile derivation + final join) and Catalyst
+    // has no CSE — checkpointed, the q65 corpus pass runs ONCE and the
+    // rest of the query works on the |lengths × outcomes| frame
+    val cells = q230Cells(s, dir).localCheckpoint()
     // value-domain frame: one row per distinct length — tiny by domain
     val perV = cells.groupBy(col("n_words")).agg(sum(col("cnt")).as("vc"))
       .withColumn("cum_before", coalesce(
@@ -472,6 +472,15 @@ object TextAnalysis {
       .select(col("decile"), col("outcome"), col("n_docs"),
         expr("(n_docs * 10000) DIV tot_d").as("share_bp"))
   }
+
+  /** q230's pre-checkpoint seam — the one corpus pass (q65's zero-shuffle
+    * verdicts folded to (n_words, outcome) cells), exposed so the plan
+    * pin can assert its shape (checkpoints truncate the visible plan). */
+  private[graft] def q230Cells(s: SparkSession, dir: String): DataFrame =
+    q65CorpusFilter(s, dir)
+      .select(col("n_words"),
+        coalesce(col("reject_reason"), lit("accepted")).as("outcome"))
+      .groupBy(col("n_words"), col("outcome")).agg(count(lit(1)).as("cnt"))
 
   /** q132: duplicate-coverage repetition signals — the Gopher repetition
     * family q65's top-trigram share does NOT capture: a document that

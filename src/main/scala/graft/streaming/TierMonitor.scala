@@ -35,26 +35,70 @@ import graft.operators.TextAnalysis
   */
 object TierMonitor {
 
-  /** Frozen serving artifacts: the reference corpus's checkpointed
-    * V²-bounded bigram model + unigram margins + 1-row vocab frame, and
-    * the two tercile cutoff literals. Frames, not driver values — the
-    * model is vocab-scale, and the scoring join broadcasts it the same
-    * way q156 does.
+  /** Frozen serving artifacts: the reference corpus's MATERIALIZED
+    * (localCheckpointed) V²-bounded bigram model + unigram margins +
+    * 1-row vocab frame, the two tercile cutoff literals, and the
+    * broadcast switch from the freezing session's `graft.lm.broadcastModel`
+    * (q156's escape hatch for models too large to broadcast — the stream
+    * honors it too). Every frame is materialized at freeze time: a lazy
+    * plan here would rescan the REFERENCE corpus on every micro-batch,
+    * and — worse — pick up files added to the reference dir mid-stream,
+    * silently moving the "frozen" model (the exact failure the freeze
+    * exists to prevent).
+    *
+    * Lifetime note: localCheckpoint blocks live on executors WITHOUT
+    * lineage — right for a single-JVM monitor, but on a cluster an
+    * executor loss after freeze() breaks every later batch. For durable
+    * serving, [[persist]] the artifacts to a parquet root and [[load]]
+    * them (a plain reliable-storage read) on the serving side.
     */
   final case class FrozenLm(model: DataFrame, uni: DataFrame,
-      vocab: DataFrame, c1Cut: Long, c2Cut: Long)
+      vocab: DataFrame, c1Cut: Long, c2Cut: Long, bcastModel: Boolean)
 
-  /** One training + cutoff pass over the reference corpus. */
+  /** One training + cutoff pass over the reference corpus. Fails loudly
+    * on an empty corpus (tier cutoffs are undefined there — a bare NPE
+    * from a null percentile row names nothing). */
   def freeze(s: SparkSession, dir: String): FrozenLm = {
     val docs = Tables.documents(s, dir)
-    val (model, uni, vocab) = TextAnalysis.lmTrain(docs)
+    val (model, uni0, vocab0) = TextAnalysis.lmTrain(docs)
+    val uni = uni0.localCheckpoint()
+    val vocab = vocab0.localCheckpoint()
+    val bcast = s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
     val cuts = TextAnalysis
-      .lmScoreAgainst(docs, model, uni, vocab, Nil, bcastModel = true)
+      .lmScoreAgainst(docs, model, uni, vocab, Nil, bcastModel = bcast)
       .agg(expr(
         "percentile_approx(avg_nll_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), 10000)")
         .as("c"))
       .select(col("c")(0), col("c")(1)).head()
-    FrozenLm(model, uni, vocab, cuts.getLong(0), cuts.getLong(1))
+    if (cuts.isNullAt(0) || cuts.isNullAt(1))
+      throw new IllegalStateException(
+        s"TierMonitor.freeze: reference corpus at $dir has no documents — " +
+          "tier cutoffs are undefined")
+    FrozenLm(model, uni, vocab, cuts.getLong(0), cuts.getLong(1), bcast)
+  }
+
+  /** Durable form of the frozen artifacts: model/uni/vocab as parquet
+    * plus a 1-row cuts table — reliable storage, so a serving cluster
+    * survives executor loss and restarts (the localCheckpoint form is
+    * single-JVM). */
+  def persist(f: FrozenLm, root: String): Unit = {
+    f.model.write.mode("overwrite").parquet(s"$root/model.parquet")
+    f.uni.write.mode("overwrite").parquet(s"$root/uni.parquet")
+    f.vocab.write.mode("overwrite").parquet(s"$root/vocab.parquet")
+    val s = f.model.sparkSession
+    import s.implicits._
+    Seq((f.c1Cut, f.c2Cut, f.bcastModel)).toDF("c1", "c2", "bcast")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/cuts.parquet")
+  }
+
+  def load(s: SparkSession, root: String): FrozenLm = {
+    val cuts = s.read.parquet(s"$root/cuts.parquet").head()
+    FrozenLm(
+      s.read.parquet(s"$root/model.parquet"),
+      s.read.parquet(s"$root/uni.parquet"),
+      s.read.parquet(s"$root/vocab.parquet"),
+      cuts.getAs[Long]("c1"), cuts.getAs[Long]("c2"),
+      cuts.getAs[Boolean]("bcast"))
   }
 
   /** One micro-batch's (source, tier, cnt, sum_nll) fragment — frozen
@@ -62,23 +106,28 @@ object TierMonitor {
   private[graft] def fragmentOf(batch: DataFrame, f: FrozenLm): DataFrame =
     TextAnalysis
       .lmScoreAgainst(batch, f.model, f.uni, f.vocab, Seq("source"),
-        bcastModel = true)
+        bcastModel = f.bcastModel)
       .withColumn("tier", TextAnalysis.tierColumn(
         col("avg_nll_micro"), lit(f.c1Cut), lit(f.c2Cut)))
       .groupBy(col("source"), col("tier"))
       .agg(count(lit(1)).as("cnt"), sum(col("avg_nll_micro")).as("sum_nll"))
 
   /** One fragment merged into the maintained table: replay-guarded,
-    * delta-shaped (only touched cells are read, merged, returned). */
+    * delta-shaped (only touched cells are read, merged, returned). The
+    * fragment is checkpointed before its two consumers — it is the
+    * OUTPUT of the join-heavy scoring pass, and evaluating it twice
+    * (touched-cells probe + merge union) would score the batch twice.
+    */
   private[graft] def tierCountsBatch(
       current: Option[(DataFrame, Long)],
       frag: DataFrame,
       batchId: Long): Option[DataFrame] = current match {
     case Some((_, lastApplied)) if batchId <= lastApplied => None
     case Some((table, _)) =>
-      val touched = frag.select(col("source"), col("tier")).distinct()
+      val f = frag.localCheckpoint()
+      val touched = f.select(col("source"), col("tier")).distinct()
       val affected = table.join(touched, Seq("source", "tier"), "left_semi")
-      Some(mergeCounts(affected, frag))
+      Some(mergeCounts(affected, f))
     case None => Some(frag)
   }
 

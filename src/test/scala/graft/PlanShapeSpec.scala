@@ -92,6 +92,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 LM/length rollups never rescan the corpus past their checkpoint seams") {
+    // q229: source rides the scored rollup (checkpointed at ccnetTiersOf's
+    // scores seam) — a reintroduced docs-rejoin would plant a parquet scan
+    // after the seam
+    val p229 = plan("q229_tier_by_source")
+    assert(count(p229, "Scan parquet") == 0, p229)
+    // q230: everything past the (n_words, outcome) cell checkpoint is
+    // value-domain — no parquet scan, no corpus-scale sort
+    val p230 = plan("q230_rejection_by_length")
+    assert(count(p230, "Scan parquet") == 0, p230)
+    // and the pre-checkpoint seam itself: ONE corpus scan, ONE exchange
+    // (the map-side-combined cell fold over the zero-exchange q65 pass),
+    // no join
+    val pc = graft.operators.TextAnalysis.q230Cells(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(count(pc, "Scan parquet") == 1, pc)
+    assert(count(pc, "Exchange") == 1, pc)
+    assert(!pc.contains("Join"), pc)
+  }
+
   test("r14 verdict-axis rollups read their axis off ONE documents scan") {
     // q226/q227 carry lang/source through the (zero-exchange) q65 verdict
     // projection — no second pruned scan, no doc_id re-join; the only
