@@ -483,6 +483,57 @@ object Stats {
         (abs(col("cusum")) === col("max_abs")).as("is_changepoint"))
   }
 
+  /** q231: Mann–Kendall TREND test on daily event volumes per event
+    * type — "is this feed monotonically drifting", the non-parametric
+    * complement of q172's CUSUM (which detects a LEVEL SHIFT and its
+    * day; a slow steady drift never produces a sharp CUSUM corner but
+    * accumulates sign agreements here). S = Σ_{i<j} sign(n_j − n_i) over
+    * day-ordered daily counts; the tie-corrected variance is kept as the
+    * exact INTEGER var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) (= 18·Var(S)),
+    * so S and var18 are engine-exact and only the final z =
+    * (S − sign S)/√(var18/18) pays one double + round (the q142/q173
+    * rounded-term rule). Verdict at the classic two-sided 5% bar
+    * (|z| ≥ 1.96).
+    *
+    * Shape: ONE event scan folds to the (type, day) frame
+    * (calendar-bounded — ~4k rows/type at a decade, the q172 argument);
+    * the pair "join" runs per type on that tiny frame (days² pairs of
+    * integers, never event-scale), ties fold by VALUE. The daily frame
+    * is localCheckpointed for its two consumers.
+    */
+  def q231TrendTest(s: SparkSession, dir: String): DataFrame =
+    trendTestOf(Tables.events(s, dir))
+
+  /** q231 on ANY (event_type, ts) frame — spec'd on planted monotone /
+    * flat series beside the oracled corpus run. */
+  private[graft] def trendTestOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers: both pair sides + tie groups
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(expr("CAST(sign(b.n - a.n) AS BIGINT)")).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    pairs.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+      .withColumn("z_x1000", expr(
+        """CASE WHEN s = 0 OR var18 <= 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(round((s - CAST(sign(s) AS BIGINT))
+                / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000) AS BIGINT) END"""))
+      .select(col("event_type"), col("n_days"), col("s"), col("var18"),
+        col("z_x1000"),
+        when(col("z_x1000") >= 1960L, "increasing")
+          .when(col("z_x1000") <= -1960L, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
   /** q173: Benford first-digit audit on lineitem prices — the classic
     * "were these amounts fabricated" forensic screen (synthetic uniform
     * prices deliberately FAIL it, which the audit must report, not hide).
@@ -572,6 +623,7 @@ object Stats {
     "q142_psi_drift"  -> (q142PsiDrift _),
     "q171_rank_test"  -> (q171RankTest _),
     "q172_cusum"      -> (q172Cusum _),
+    "q231_trend_test" -> (q231TrendTest _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -662,6 +714,39 @@ object Stats {
             FROM w),
           u AS (SELECT *, r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2 FROM st)
           SELECT n1, n2, $mwuZSql AS z_score, $mwuAucSql AS auc_bp FROM u""",
+    "q231_trend_test" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type,
+                  CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         tg AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2),
+         ties AS (
+           SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+           FROM tg GROUP BY 1),
+         j AS (
+           SELECT p.event_type, t.n_days, p.s,
+                  t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
+                    AS var18
+           FROM pairs p JOIN ties t USING (event_type)),
+         z AS (
+           SELECT event_type, n_days, s, var18,
+                  CASE WHEN s = 0 OR var18 <= 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round((s - CAST(sign(s) AS BIGINT))
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000)
+                          AS BIGINT) END AS z_x1000
+           FROM j)
+         SELECT event_type, n_days, s, var18, z_x1000,
+                CASE WHEN z_x1000 >= 1960 THEN 'increasing'
+                     WHEN z_x1000 <= -1960 THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM z""",
     "q172_cusum" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

@@ -432,4 +432,51 @@ class StatsSpec extends AnyFunSuite {
       } else assert(shares.isEmpty, s"day $d no positive excess but shares emitted")
     }
   }
+
+  test("q231 Mann-Kendall: driver recompute on the corpus; planted monotone/flat/noisy series verdict correctly") {
+    // corpus: S, tie-corrected var18 and z recomputed driver-side
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val ref = daily.groupBy(_._1).map { case (et, rows) =>
+      val ns = rows.sortBy(_._2).map(_._3)
+      val nD = ns.length.toLong
+      val sStat = (for (i <- ns.indices; j <- i + 1 until ns.length)
+        yield java.lang.Long.signum(ns(j) - ns(i)).toLong).sum
+      val tie18 = ns.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = nD * (nD - 1) * (2 * nD + 5) - tie18
+      val z = if (sStat == 0 || var18 <= 0) 0L
+        else math.round((sStat - sStat.sign) / math.sqrt(var18 / 18.0) * 1000)
+      et -> ((nD, sStat, var18, z))
+    }
+    val got = Stats.q231TrendTest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("s"), r.getAs[Long]("var18"), r.getAs[Long]("z_x1000")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // planted series: strictly increasing, strictly decreasing, constant
+    // (all-ties: var18 = 0 -> z 0 -> none), and an alternating zig-zag
+    // whose S telescopes near 0
+    import TestSpark.spark.implicits._
+    def series(et: String, vals: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      vals.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(_ => (et, java.sql.Timestamp.valueOf(
+          f"2024-01-${d + 1}%02d 12:00:00")))
+      }
+    val planted =
+      series("up", (1 to 30).map(i => i * 2)) ++
+      series("down", (1 to 30).map(i => 62 - i * 2)) ++
+      series("flat", Seq.fill(30)(7)) ++
+      series("zig", (1 to 30).map(i => if (i % 2 == 0) 10 else 12))
+    val verdicts = Stats.trendTestOf(planted.toDF("event_type", "ts"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[String]("trend"), r.getAs[Long]("s"), r.getAs[Long]("var18")))).toMap
+    assert(verdicts("up")._1 == "increasing", verdicts("up").toString)
+    assert(verdicts("up")._2 == 30L * 29 / 2) // all pairs agree upward
+    assert(verdicts("down")._1 == "decreasing", verdicts("down").toString)
+    assert(verdicts("flat")._1 == "none" && verdicts("flat")._3 == 0L,
+      verdicts("flat").toString)
+    assert(verdicts("zig")._1 == "none", verdicts("zig").toString)
+  }
 }
