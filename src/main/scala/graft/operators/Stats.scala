@@ -520,7 +520,12 @@ object Stats {
       .groupBy(col("event_type"))
       .agg(sum(col("t")).as("n_days"),
         sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
-    pairs.join(ties, Seq("event_type"))
+    // ties covers EVERY type (one row per type regardless of day count);
+    // pairs has no row for a type with a single observed day — left-join
+    // with S coalesced to 0, or a newly-onboarded one-day feed would
+    // silently vanish from the trend report instead of verdicting "none"
+    ties.join(pairs, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("var18",
         expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
       .withColumn("z_x1000", expr(
@@ -731,10 +736,10 @@ object Stats {
                   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
            FROM tg GROUP BY 1),
          j AS (
-           SELECT p.event_type, t.n_days, p.s,
+           SELECT t.event_type, t.n_days, COALESCE(p.s, 0) AS s,
                   t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
                     AS var18
-           FROM pairs p JOIN ties t USING (event_type)),
+           FROM ties t LEFT JOIN pairs p USING (event_type)),
          z AS (
            SELECT event_type, n_days, s, var18,
                   CASE WHEN s = 0 OR var18 <= 0 THEN CAST(0 AS BIGINT)

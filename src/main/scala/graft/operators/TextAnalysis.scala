@@ -1344,10 +1344,14 @@ object TextAnalysis {
       carry: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (model, uni, vocab) = lmTrain(docs)
-    val bcastModel =
-      s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
-    lmScoreAgainst(docs, model, uni, vocab, carry, bcastModel)
+    lmScoreAgainst(docs, model, uni, vocab, carry, lmBroadcastModel(s))
   }
+
+  /** The ONE parse site for q156's big-model escape hatch (s27's freeze
+    * reads the same switch — a drifted copy could change the default or
+    * the key in one place only). */
+  private[graft] def lmBroadcastModel(s: SparkSession): Boolean =
+    s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
 
   /** The tagged per-doc bigram stream both training and scoring consume.
     * explode_outer + CASE: a < 2-token doc contributes one null-bigram

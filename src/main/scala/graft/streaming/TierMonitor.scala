@@ -63,7 +63,7 @@ object TierMonitor {
     val (model, uni0, vocab0) = TextAnalysis.lmTrain(docs)
     val uni = uni0.localCheckpoint()
     val vocab = vocab0.localCheckpoint()
-    val bcast = s.conf.getOption("graft.lm.broadcastModel").forall(_.toBoolean)
+    val bcast = TextAnalysis.lmBroadcastModel(s)
     val cuts = TextAnalysis
       .lmScoreAgainst(docs, model, uni, vocab, Nil, bcastModel = bcast)
       .agg(expr(
@@ -93,10 +93,14 @@ object TierMonitor {
 
   def load(s: SparkSession, root: String): FrozenLm = {
     val cuts = s.read.parquet(s"$root/cuts.parquet").head()
+    // pin the loaded frames too (the FrozenLm materialization invariant):
+    // a lazy parquet read would re-list the artifact root every
+    // micro-batch and score against a silently-swapped model if anyone
+    // re-persisted over it mid-stream
     FrozenLm(
-      s.read.parquet(s"$root/model.parquet"),
-      s.read.parquet(s"$root/uni.parquet"),
-      s.read.parquet(s"$root/vocab.parquet"),
+      s.read.parquet(s"$root/model.parquet").localCheckpoint(),
+      s.read.parquet(s"$root/uni.parquet").localCheckpoint(),
+      s.read.parquet(s"$root/vocab.parquet").localCheckpoint(),
       cuts.getAs[Long]("c1"), cuts.getAs[Long]("c2"),
       cuts.getAs[Boolean]("bcast"))
   }
@@ -128,7 +132,11 @@ object TierMonitor {
       val touched = f.select(col("source"), col("tier")).distinct()
       val affected = table.join(touched, Seq("source", "tier"), "left_semi")
       Some(mergeCounts(affected, f))
-    case None => Some(frag)
+    // the first batch checkpoints too: the lazy scoring plan references
+    // the foreachBatch micro-batch frame (only valid inside the
+    // callback), and a publishDelta taking two actions on it would
+    // score batch 0 twice
+    case None => Some(frag.localCheckpoint())
   }
 
   /** Additive monoid merge of (source, tier, cnt, sum_nll) fragments. */

@@ -447,8 +447,11 @@ class StatsSpec extends AnyFunSuite {
       val tie18 = ns.groupBy(identity).values
         .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
       val var18 = nD * (nD - 1) * (2 * nD + 5) - tie18
+      // HALF_UP like Spark's round (math.round is half-toward-+inf and
+      // diverges on exact negative halves)
       val z = if (sStat == 0 || var18 <= 0) 0L
-        else math.round((sStat - sStat.sign) / math.sqrt(var18 / 18.0) * 1000)
+        else BigDecimal((sStat - sStat.sign) / math.sqrt(var18 / 18.0) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       et -> ((nD, sStat, var18, z))
     }
     val got = Stats.q231TrendTest(spark, sf).collect()
@@ -468,7 +471,8 @@ class StatsSpec extends AnyFunSuite {
       series("up", (1 to 30).map(i => i * 2)) ++
       series("down", (1 to 30).map(i => 62 - i * 2)) ++
       series("flat", Seq.fill(30)(7)) ++
-      series("zig", (1 to 30).map(i => if (i % 2 == 0) 10 else 12))
+      series("zig", (1 to 30).map(i => if (i % 2 == 0) 10 else 12)) ++
+      series("oneday", Seq(5)) // a single observed day: no pairs exist
     val verdicts = Stats.trendTestOf(planted.toDF("event_type", "ts"))
       .collect().map(r => r.getAs[String]("event_type") ->
         ((r.getAs[String]("trend"), r.getAs[Long]("s"), r.getAs[Long]("var18")))).toMap
@@ -478,5 +482,9 @@ class StatsSpec extends AnyFunSuite {
     assert(verdicts("flat")._1 == "none" && verdicts("flat")._3 == 0L,
       verdicts("flat").toString)
     assert(verdicts("zig")._1 == "none", verdicts("zig").toString)
+    // a newly-onboarded one-day feed must ROW with "none", not vanish
+    // (the pairs frame has no row for it — the ties-side left join keeps it)
+    assert(verdicts.contains("oneday"), verdicts.keySet.toString)
+    assert(verdicts("oneday") == (("none", 0L, 0L)), verdicts("oneday").toString)
   }
 }

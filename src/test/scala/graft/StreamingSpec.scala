@@ -669,17 +669,24 @@ class StreamingSpec extends AnyFunSuite {
     // reliable storage and scores identically (the localCheckpoint form
     // is single-JVM; a serving cluster loads from here)
     val froot = java.nio.file.Files.createTempDirectory("graft-frozenlm").toString
-    TierMonitor.persist(frozen, froot)
-    val reloaded = TierMonitor.load(s0, froot)
-    assert(reloaded.c1Cut == frozen.c1Cut && reloaded.c2Cut == frozen.c2Cut)
-    val viaLoaded = TierMonitor.fragmentOf(
-      Tables.documents(s0, sf).limit(50).select("doc_id", "source", "text"),
-      reloaded).collect().map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(3))).toSet
-    val viaFrozen = TierMonitor.fragmentOf(
-      Tables.documents(s0, sf).limit(50).select("doc_id", "source", "text"),
-      frozen).collect().map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(3))).toSet
-    assert(viaLoaded == viaFrozen)
+    try {
+      TierMonitor.persist(frozen, froot)
+      val reloaded = TierMonitor.load(s0, froot)
+      assert(reloaded.c1Cut == frozen.c1Cut && reloaded.c2Cut == frozen.c2Cut)
+      val viaLoaded = TierMonitor.fragmentOf(
+        Tables.documents(s0, sf).limit(50).select("doc_id", "source", "text"),
+        reloaded).collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val viaFrozen = TierMonitor.fragmentOf(
+        Tables.documents(s0, sf).limit(50).select("doc_id", "source", "text"),
+        frozen).collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(viaLoaded == viaFrozen)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(froot))
+    }
   }
 }
