@@ -627,8 +627,18 @@ object Analytics {
     * calendar-bounded day frame (localCheckpointed once for the branch
     * reuse).
     */
-  def q181StlDecompose(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def q181StlDecompose(s: SparkSession, dir: String): DataFrame =
+    stlFrame(Tables.events(s, dir))
+      .select(col("event_type"), col("day"), col("dow7"), col("n").as("n_events"),
+        col("trend_micro"), col("seasonal_micro"), col("residual_micro"))
+
+  /** The decomposed (event_type, day, dow7, n, trend_micro,
+    * detrended_micro, seasonal_micro, residual_micro) frame — ONE
+    * definition feeding q181's per-day table and q238's strength rollup
+    * (the SQL twin is [[stlSql]]'s `dec` CTE).
+    */
+  private[graft] def stlFrame(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("n"))
@@ -646,10 +656,45 @@ object Analytics {
       .agg(expr("""CAST(round(CAST(sum(detrended_micro) AS DOUBLE) /
                    CAST(count(*) AS DOUBLE)) AS BIGINT)""").as("seasonal_micro"))
     trended.join(seasonal, Seq("event_type", "dow7"))
-      .select(col("event_type"), col("day"), col("dow7"), col("n").as("n_events"),
-        col("trend_micro"), col("seasonal_micro"),
-        expr("n * 1000000 - trend_micro - seasonal_micro").as("residual_micro"))
+      .withColumn("residual_micro",
+        expr("n * 1000000 - trend_micro - seasonal_micro"))
   }
+
+  /** q238: seasonal STRENGTH per event type — the one-number verdict on
+    * q181's decomposition (STL's F_s): 1 − Var(residual)/Var(detrended),
+    * floored at 0, in basis points. ~0 says the dow-7 seasonal explains
+    * nothing (q177 should drop lag-7; q234's lag-7 echo will be weak
+    * too); near 10000 says the series is almost pure weekly cadence and
+    * q95-style alarms must compare same-weekday baselines or they alarm
+    * every Saturday. The strength table is what decides WHETHER the
+    * seasonal column of q181 is signal or noise before anyone models on
+    * it.
+    *
+    * Exactness: both variances enter as the integer numerators
+    * n·Σx² − (Σx)² over the micro-unit columns (DECIMAL(38,0)/HUGEINT —
+    * micro values square to ~1e30 at 100 TB daily volumes, the q170/q171
+    * widening rule; the common 1/n² scale cancels in the ratio), and
+    * strength_bp is ONE round over one double division. Degenerate
+    * series (zero detrended variance — a constant feed) emit NULL, not a
+    * fabricated 0.
+    *
+    * Shape: everything after q181's calendar-bounded machinery is a
+    * |types|-row fold.
+    */
+  def q238SeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    stlFrame(Tables.events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(detrended_micro AS DECIMAL(38,0))")).as("sd"),
+        sum(expr("CAST(detrended_micro AS DECIMAL(38,0)) * detrended_micro")).as("sd2"),
+        sum(expr("CAST(residual_micro AS DECIMAL(38,0))")).as("sr"),
+        sum(expr("CAST(residual_micro AS DECIMAL(38,0)) * residual_micro")).as("sr2"))
+      .select(col("event_type"), col("n_days"),
+        expr("""CASE WHEN n_days * sd2 - sd * sd > 0
+                     THEN CAST(greatest(round(10000.0 *
+                          (1.0 - CAST(n_days * sr2 - sr * sr AS DOUBLE) /
+                                 CAST(n_days * sd2 - sd * sd AS DOUBLE))),
+                          0.0) AS BIGINT) END""").as("strength_bp"))
 
   /** q182: seasonal-naive forecast backtest — before anyone trains on
     * q177's features, the baseline every volume model must beat:
@@ -731,6 +776,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_cohort_ltv"      -> (q183CohortLtv _),
     "q181_stl_decompose"   -> (q181StlDecompose _),
+    "q238_seasonal_strength" -> (q238SeasonalStrength _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
@@ -772,6 +818,39 @@ object Analytics {
        FROM changes
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
+  /** [[stlFrame]]'s DuckDB rendering, ending in the `dec` CTE — shared
+    * by the q181 and q238 oracles (one decomposition definition per
+    * engine pair).
+    */
+  private val stlSql: String =
+    """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tr AS (
+           SELECT *,
+                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_sum,
+                  CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_cnt
+           FROM daily),
+         t2 AS (
+           SELECT *, CAST(round(1000000.0 * CAST(t_sum AS DOUBLE) /
+                       CAST(t_cnt AS DOUBLE)) AS BIGINT) AS trend_micro,
+                  (day + 4) % 7 AS dow7
+           FROM tr),
+         t3 AS (SELECT *, n * 1000000 - trend_micro AS detrended_micro FROM t2),
+         se AS (
+           SELECT event_type, dow7,
+                  CAST(round(CAST(sum(detrended_micro) AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micro
+           FROM t3 GROUP BY 1, 2),
+         dec AS (
+           SELECT t3.event_type, day, t3.dow7, n, trend_micro,
+                  detrended_micro, seasonal_micro,
+                  n * 1000000 - trend_micro - seasonal_micro AS residual_micro
+           FROM t3 JOIN se ON t3.event_type = se.event_type AND t3.dow7 = se.dow7)"""
+
   val oracles: Map[String, String] = Map(
     "q183_cohort_ltv" ->
       """WITH o AS (
@@ -798,33 +877,25 @@ object Analytics {
          SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
                 cum_rev_cents // cohort_n AS ltv_cents_per_cust
          FROM w""",
-    "q181_stl_decompose" ->
-      """WITH daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1, 2),
-         tr AS (
-           SELECT *,
-                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
-                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_sum,
-                  CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
-                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t_cnt
-           FROM daily),
-         t2 AS (
-           SELECT *, CAST(round(1000000.0 * CAST(t_sum AS DOUBLE) /
-                       CAST(t_cnt AS DOUBLE)) AS BIGINT) AS trend_micro,
-                  (day + 4) % 7 AS dow7
-           FROM tr),
-         t3 AS (SELECT *, n * 1000000 - trend_micro AS detrended_micro FROM t2),
-         se AS (
-           SELECT event_type, dow7,
-                  CAST(round(CAST(sum(detrended_micro) AS DOUBLE) /
-                    CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micro
-           FROM t3 GROUP BY 1, 2)
-         SELECT t3.event_type, day, t3.dow7, n AS n_events,
-                trend_micro, seasonal_micro,
-                n * 1000000 - trend_micro - seasonal_micro AS residual_micro
-         FROM t3 JOIN se ON t3.event_type = se.event_type AND t3.dow7 = se.dow7""",
+    "q181_stl_decompose" -> s"""$stlSql
+         SELECT event_type, day, dow7, n AS n_events,
+                trend_micro, seasonal_micro, residual_micro
+         FROM dec""",
+    "q238_seasonal_strength" -> s"""$stlSql,
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  sum(CAST(detrended_micro AS HUGEINT)) AS sd,
+                  sum(CAST(detrended_micro AS HUGEINT) * detrended_micro) AS sd2,
+                  sum(CAST(residual_micro AS HUGEINT)) AS sr,
+                  sum(CAST(residual_micro AS HUGEINT) * residual_micro) AS sr2
+           FROM dec GROUP BY 1)
+         SELECT event_type, n_days,
+                CASE WHEN n_days * sd2 - sd * sd > 0
+                     THEN CAST(greatest(round(10000.0 *
+                          (1.0 - CAST(n_days * sr2 - sr * sr AS DOUBLE) /
+                                 CAST(n_days * sd2 - sd * sd AS DOUBLE))),
+                          0.0) AS BIGINT) END AS strength_bp
+         FROM a""",
     "q182_forecast_backtest" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -425,7 +425,20 @@ object Stats {
       // value-domain-bounded; localCheckpoint so the band-boundary agg,
       // the offsets rollup and the main pass share ONE event scan
       .localCheckpoint()
-    val banded = Bands.withEquiDepthBand(byVal, "cents")
+    mwuSummary(byVal, "cents")
+  }
+
+  /** The banded-midrank Mann–Whitney machinery, factored so every rank
+    * test in the library (q171's two-arm distribution test, q233's
+    * score-predicts-dup AUC audit) runs ONE definition. `byVal` must be
+    * the per-value frame (key, n1v, n2v, nv) — value-domain-bounded and
+    * already checkpointed by the caller (the band-boundary sketch, the
+    * offsets rollup and the main pass each consume it). Returns the
+    * single-row (n1, n2, z_score, auc_bp) summary; the exactness and
+    * scale arguments are q171's Scaladoc.
+    */
+  private[operators] def mwuSummary(byVal: DataFrame, key: String): DataFrame = {
+    val banded = Bands.withEquiDepthBand(byVal, key)
     val offsets = banded.groupBy(col("band")).agg(sum(col("nv")).as("bn"))
       .withColumn("n_before", coalesce(
         sum(col("bn")).over(Window.orderBy(col("band"))
@@ -433,7 +446,7 @@ object Stats {
       .select(col("band"), col("n_before"))
     banded
       .withColumn("cum_in_band", coalesce(
-        sum(col("nv")).over(Window.partitionBy(col("band")).orderBy(col("cents"))
+        sum(col("nv")).over(Window.partitionBy(col("band")).orderBy(col(key))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(broadcast(offsets), "band")
       .withColumn("cum_before", col("n_before") + col("cum_in_band"))
@@ -445,6 +458,33 @@ object Stats {
       .select(col("n1"), col("n2"),
         expr(mwuZSql).as("z_score"), expr(mwuAucSql).as("auc_bp"))
   }
+
+  /** The oracle-side twin of [[mwuSummary]]: given a CTE body `e(cents,
+    * is_a)` (one row per observation), emit the full DuckDB statement
+    * computing (n1, n2, z_score, auc_bp) with the SAME shared formula
+    * fragments the Spark plan uses. Oracle-local: HUGEINT sums and one
+    * global-order window (Spark decomposes it over Bands — midranks are
+    * band-boundary-independent, so the results are identical).
+    */
+  private[operators] def mwuOracleFrom(eCte: String): String =
+    s"""WITH e AS ($eCte),
+          v AS (
+            SELECT cents,
+                   CAST(sum(is_a) AS BIGINT) AS n1v,
+                   CAST(sum(1 - is_a) AS BIGINT) AS n2v
+            FROM e GROUP BY 1),
+          w AS (
+            SELECT *, n1v + n2v AS nv,
+                   coalesce(sum(n1v + n2v) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM v),
+          st AS (
+            SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+                   sum(CAST(n1v AS HUGEINT) * (2 * cum_before + nv + 1)) AS r1x2,
+                   sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum
+            FROM w),
+          u AS (SELECT *, r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2 FROM st)
+          SELECT n1, n2, $mwuZSql AS z_score, $mwuAucSql AS auc_bp FROM u"""
 
   /** q172: CUSUM change-point detection on the daily event volume — "did
     * the level of this feed shift, and when", the offline twin of s09's
@@ -506,10 +546,18 @@ object Stats {
 
   /** q231 on ANY (event_type, ts) frame — spec'd on planted monotone /
     * flat series beside the oracled corpus run. */
-  private[graft] def trendTestOf(ev: DataFrame): DataFrame = {
-    val daily = ev
+  private[graft] def trendTestOf(ev: DataFrame): DataFrame =
+    trendFromDaily(ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Mann–Kendall estimator itself, off an already-built
+    * (event_type, day, n) daily frame — `day` may be DATE (the batch
+    * path) or epoch-day BIGINT (s28's maintained table): only its ORDER
+    * enters S. One definition serves q231 and the streaming monitor.
+    */
+  private[graft] def trendFromDaily(daily0: DataFrame): DataFrame = {
+    val daily = daily0
       .localCheckpoint() // three consumers: both pair sides + tie groups
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
@@ -537,6 +585,158 @@ object Stats {
         when(col("z_x1000") >= 1960L, "increasing")
           .when(col("z_x1000") <= -1960L, "decreasing")
           .otherwise("none").as("trend"))
+  }
+
+  /** q234: autocorrelation function (ACF) of the global daily event
+    * volume at lags 1..14 — "does today's volume echo last week's", the
+    * periodicity probe that tells q177/q182 WHICH seasonal lag to model
+    * (a strong lag-7 with a weak lag-1 says weekly cadence; all-lags-high
+    * says trend, and q231 should fire too). Pairing is gap-honest: day t
+    * pairs with t+k only if BOTH days exist (a missing day contributes
+    * no fabricated zero), while the mean/denominator use the full
+    * observed series — the standard ACF estimator restricted to observed
+    * pairs.
+    *
+    * Exactness: deviations are mean-centered WITHOUT leaving integers by
+    * scaling through the day count — dev_d = D·n_d − T (q172's trick) —
+    * so num_k = Σ dev_t·dev_{t+k} and den = Σ dev² are exact
+    * DECIMAL(38,0)/HUGEINT integers (dev² ~ (D·n)² overflows BIGINT at
+    * ~1e5 events/day; the q170/q171 widening rule), and acf_bp is ONE
+    * round(double/double) over identical operands. The common D² factor
+    * cancels in the ratio, so the scaling is exact-in-the-reals too.
+    *
+    * Shape: one scan → daily agg (calendar-bounded); the 14× lag explode,
+    * the self-join on day+k and the denominator rollup all run on that
+    * tiny frame (dev is localCheckpointed for its three consumers); the
+    * 1..14 grid left-join guarantees every lag rows even when no pair
+    * exists (n_pairs = 0, acf NULL — honest, not absent).
+    */
+  def q234Acf(s: SparkSession, dir: String): DataFrame =
+    acfOf(s, Tables.events(s, dir))
+
+  /** q234 on ANY (ts) frame — spec'd on a planted pure-period-7 series
+    * (lag-7 echo, sign-alternating short lags) beside the oracled
+    * corpus run. */
+  private[graft] def acfOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // two consumers: the total rollup + dev
+    val tot = daily.agg(count(lit(1)).as("d"), sum(col("n")).as("t"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        expr("CAST(d AS DECIMAL(38,0)) * n - t").as("dev"))
+      .localCheckpoint() // three consumers: den + both pair sides
+    val den = dev.agg(sum(expr("dev * dev")).as("den"))
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    val pairs = dev.as("a")
+      .crossJoin(lags)
+      .join(dev.as("b"), col("b.day") === col("a.day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("a.dev * b.dev")).as("num"))
+    lags.join(pairs, Seq("lag"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("""CASE WHEN n_pairs > 0 AND den > 0
+                     THEN CAST(round(10000.0 * CAST(num AS DOUBLE) /
+                          CAST(den AS DOUBLE)) AS BIGINT) END""").as("acf_bp"))
+  }
+
+  /** q235: Theil–Sen trend SLOPE per event type — the magnitude next to
+    * q231's direction verdict (Mann–Kendall says "this feed is
+    * drifting"; this says "by N events/day"): the median of all pairwise
+    * slopes (n_j − n_i)/(d_j − d_i) over day-ordered daily counts, the
+    * classic robust estimator (breakdown point ~29% — a month of outage
+    * days cannot swing it, where OLS would).
+    *
+    * Exactness: every slope is ONE double division of two exact BIGINTs
+    * — identical multisets on both engines — and the median is the exact
+    * interpolated `percentile(0.5)` ≡ `quantile_cont(0.5)` (the
+    * q73/q117 parity rule), reported ×1000 rounded. Single-day types
+    * left-join in with n_pairs = 0 and a NULL slope (q231's lesson: a
+    * newly-onboarded feed must row, not vanish).
+    *
+    * Shape: one scan folds to the (type, day) frame (calendar-bounded);
+    * the pair join and the per-type percentile run per type on days²
+    * pairs of integers — never event-scale (q231's argument). The daily
+    * frame is localCheckpointed for its two consumers.
+    */
+  def q235TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(s, dir))
+
+  /** q235 on ANY (event_type, ts) frame — spec'd on planted exact-linear
+    * / outlier-contaminated / one-day series beside the oracled corpus
+    * run. */
+  private[graft] def theilSenOf(ev: DataFrame): DataFrame =
+    slopeFromDaily(ev
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The Theil–Sen estimator off an already-built (event_type, day, n)
+    * daily frame — `day` must be NUMERIC (epoch day): the slope divides
+    * by the day delta. One definition serves q235 and s28.
+    */
+  private[graft] def slopeFromDaily(daily0: DataFrame): DataFrame = {
+    val daily = daily0
+      .localCheckpoint() // three consumers: both pair sides + type sizes
+    val med = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)").as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(round(percentile(slope, 0.5D) * 1000) AS BIGINT)").as("slope_x1000"))
+    daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      .join(med, Seq("event_type"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("slope_x1000"))
+  }
+
+  /** q237: calendar-GAP audit per event type — the feed-outage table the
+    * gap-honest estimators (q95/q177/q182/q234's RANGE frames) assume
+    * someone is actually reading: per type, observed days vs calendar
+    * span, missing-day count, the LONGEST outage and coverage in bp. A
+    * feed at 9xxx-bp coverage with a 1-day longest gap hiccuped; one at
+    * the same coverage with a 30-day gap was DOWN — q231/q235 read
+    * differently across that distinction, and backfill tickets are cut
+    * from this table, not from the estimators that silently skip gaps.
+    *
+    * Exactness: pure integer day arithmetic off the epoch-day frame;
+    * coverage an all-positive DIV (span ≥ n_days ≥ 1); a single-day type
+    * has no lag row — max ignores the NULL gap and coalesces to 0, span
+    * 1, coverage 10000 (q231's one-day-feed lesson: it rows, honestly).
+    *
+    * Shape: one scan → (type, day) agg; the lag window and the fold run
+    * on the calendar-bounded frame.
+    */
+  def q237CalendarGaps(s: SparkSession, dir: String): DataFrame =
+    calendarGapsOf(Tables.events(s, dir))
+
+  /** q237 on ANY (event_type, ts) frame — spec'd on planted outage /
+    * hiccup / single-day series beside the oracled corpus run. */
+  private[graft] def calendarGapsOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w) - lit(1L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap"),
+        sum(col("n")).as("n_events"))
+      .withColumn("span_days", col("last_day") - col("first_day") + lit(1L))
+      .withColumn("n_missing", col("span_days") - col("n_days"))
+      .select(col("event_type"), col("n_days"), col("first_day"),
+        col("last_day"), col("span_days"), col("n_missing"),
+        col("longest_gap"),
+        expr("(n_days * 10000) DIV span_days").as("coverage_bp"),
+        col("n_events"))
   }
 
   /** q173: Benford first-digit audit on lineitem prices — the classic
@@ -629,6 +829,9 @@ object Stats {
     "q171_rank_test"  -> (q171RankTest _),
     "q172_cusum"      -> (q172Cusum _),
     "q231_trend_test" -> (q231TrendTest _),
+    "q234_acf"        -> (q234Acf _),
+    "q235_theil_sen"  -> (q235TheilSen _),
+    "q237_calendar_gaps" -> (q237CalendarGaps _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -694,31 +897,10 @@ object Stats {
                      THEN CAST(CAST(pos_excess AS HUGEINT) * 10000
                                // day_pos_total AS BIGINT) END AS share_bp
          FROM d""",
-    "q171_rank_test" ->
-      // oracle-local: HUGEINT sums (Spark widens to DECIMAL(38,0)) and a
-      // single global-order window (Spark decomposes it over Bands —
-      // ranks are boundary-independent, so the results are identical)
-      s"""WITH e AS (
-            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-                   CASE WHEN event_type = '$RankArmA' THEN 1 ELSE 0 END AS is_a
-            FROM events WHERE event_type IN ('$RankArmA', '$RankArmB')),
-          v AS (
-            SELECT cents,
-                   CAST(sum(is_a) AS BIGINT) AS n1v,
-                   CAST(sum(1 - is_a) AS BIGINT) AS n2v
-            FROM e GROUP BY 1),
-          w AS (
-            SELECT *, n1v + n2v AS nv,
-                   coalesce(sum(n1v + n2v) OVER (ORDER BY cents
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-            FROM v),
-          st AS (
-            SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
-                   sum(CAST(n1v AS HUGEINT) * (2 * cum_before + nv + 1)) AS r1x2,
-                   sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum
-            FROM w),
-          u AS (SELECT *, r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2 FROM st)
-          SELECT n1, n2, $mwuZSql AS z_score, $mwuAucSql AS auc_bp FROM u""",
+    "q171_rank_test" -> mwuOracleFrom(
+      s"""SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = '$RankArmA' THEN 1 ELSE 0 END AS is_a
+          FROM events WHERE event_type IN ('$RankArmA', '$RankArmB')"""),
     "q231_trend_test" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
@@ -752,6 +934,68 @@ object Stats {
                      WHEN z_x1000 <= -1960 THEN 'decreasing'
                      ELSE 'none' END AS trend
          FROM z""",
+    "q234_acf" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(n) AS BIGINT) AS t
+           FROM daily),
+         dev AS (
+           SELECT day, CAST(d AS HUGEINT) * n - t AS dev
+           FROM daily CROSS JOIN tot),
+         den AS (SELECT sum(dev * dev) AS den FROM dev),
+         lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+         pairs AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  sum(a.dev * b.dev) AS num
+           FROM dev a CROSS JOIN lags JOIN dev b ON b.day = a.day + lag
+           GROUP BY 1)
+         SELECT l.lag, coalesce(p.n_pairs, 0) AS n_pairs,
+                CASE WHEN coalesce(p.n_pairs, 0) > 0 AND den > 0
+                     THEN CAST(round(10000.0 * CAST(num AS DOUBLE) /
+                          CAST(den AS DOUBLE)) AS BIGINT) END AS acf_bp
+         FROM lags l LEFT JOIN pairs p USING (lag) CROSS JOIN den""",
+    "q237_calendar_gaps" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT *, day - lag(day) OVER (PARTITION BY event_type
+                       ORDER BY day) - 1 AS gap
+           FROM daily),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  min(day) AS first_day, max(day) AS last_day,
+                  CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap,
+                  CAST(sum(n) AS BIGINT) AS n_events
+           FROM g GROUP BY 1)
+         SELECT event_type, n_days, first_day, last_day,
+                last_day - first_day + 1 AS span_days,
+                last_day - first_day + 1 - n_days AS n_missing,
+                longest_gap,
+                (n_days * 10000) // (last_day - first_day + 1) AS coverage_bp,
+                n_events
+         FROM a""",
+    "q235_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(round(quantile_cont(
+                    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE),
+                    0.5) * 1000) AS BIGINT) AS slope_x1000
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1)
+         SELECT s.event_type, s.n_days, coalesce(m.n_pairs, 0) AS n_pairs,
+                m.slope_x1000
+         FROM sz s LEFT JOIN med m USING (event_type)""",
     "q172_cusum" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n

@@ -134,6 +134,27 @@ object TextAnalysis {
         round(lit(0.5) * least(col("n_words").cast("double") / 50.0, lit(1.0)) +
               lit(0.5) * (col("n_stop").cast("double") / col("n_words")), 4).as("quality"))
 
+  /** The 0..9999 exact-integer doc-quality score (q37's length/stopword
+    * heuristic in basis points) over columns `w` (the split-on-space
+    * array) and `n_stop` — ONE definition feeding q219's banding and
+    * q233's threshold-free rank test, on both engines (the SQL twin is
+    * [[qualityScoreDuck]]). Every operand is non-negative before each
+    * DIV, so Spark trunc-DIV and DuckDB floor-// agree; the
+    * multiplications are BIGINT-cast before they happen (the INT32
+    * overflow trap).
+    */
+  private val qualityScoreExpr: String =
+    """least((CAST(5000 AS BIGINT) * least(size(w), 50)) DIV 50
+          + (CAST(5000 AS BIGINT) * n_stop) DIV size(w),
+        CAST(9999 AS BIGINT))"""
+
+  /** [[qualityScoreExpr]]'s DuckDB rendering; `en` is the stop-count
+    * fragment (duckStopCount) so the stoplist too has one definition. */
+  private def qualityScoreDuck(en: String): String =
+    s"""least((CAST(5000 AS BIGINT) * least(len(w), 50)) // 50
+          + (CAST(5000 AS BIGINT) * $en) // len(w),
+        CAST(9999 AS BIGINT))"""
+
   /** q219: exact-dup incidence by QUALITY band — the "do low-quality docs
     * duplicate more?" cross-check run before ordering a pipeline's
     * filter/dedup stages: if dup mass concentrates in the low bands,
@@ -166,9 +187,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
-        expr("""least((CAST(5000 AS BIGINT) * least(size(w), 50)) DIV 50
-                   + (CAST(5000 AS BIGINT) * n_stop) DIV size(w),
-                 CAST(9999 AS BIGINT)) DIV 2000""").as("band"))
+        expr(s"($qualityScoreExpr) DIV 2000").as("band"))
       .withColumn("is_dup",
         when(min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash),
           lit(1L)).otherwise(lit(0L)))
@@ -2323,8 +2342,223 @@ object TextAnalysis {
           .as("chunk_text")) ++ keepCols: _*)
   }
 
+  /** q232: per-source unigram KL divergence from the corpus — the
+    * mixture-distance table behind every re-weighting decision (q155
+    * plans token budgets by count; this says how far each source's
+    * LANGUAGE sits from the blend, the quantity DSIR/DoReMi-style
+    * mixture tuning actually consumes): KL(source ‖ corpus) over the
+    * shared vocabulary, in micro-nats per token. Near-zero = redundant
+    * with the blend; large = distinct voice (up-weight for diversity, or
+    * quarantine if q216 also flags it).
+    *
+    * Vocabulary = tokens with corpus frequency ≥ 5 (q93's floor: below
+    * it the tail is noise and at web scale the raw type table is
+    * unbounded); both distributions renormalize within that vocabulary,
+    * so KL is finite by construction (every vocab term has corpus mass,
+    * and a p=0 term contributes 0). Sources whose every token falls
+    * below the floor emit n_terms = 0 with a NULL kl_micro (the q216
+    * lesson: degenerate sources row, not vanish); token-less sources
+    * (all-empty text) are excluded like q206.
+    *
+    * Exactness: each ln-of-integer rounds to BIGINT micro-nats FIRST
+    * (q156's discipline — the ONE non-IEEE function is applied only to
+    * exact integers, identically on both engines), then term = c·(µln c
+    * − µln N_s − µln cf + µln N) runs in DECIMAL(38,0)/HUGEINT (c ~ 1e9
+    * at 100 TB times 2e7-µ ln range overflows BIGINT — the q170/q171
+    * widening rule). True KL ≥ 0 but the per-term rounding can leave a
+    * tiny negative total on a source ≡ the corpus; the greatest(·, 0)
+    * clamp keeps the final all-positive DIV floor-exact on both engines.
+    *
+    * Shape: one corpus scan → the (source, token) count frame (the ONLY
+    * corpus-scale exchange; map-side-combined, text never shuffles) —
+    * checkpointed for its two consumers; everything after runs on
+    * vocab×sources-bounded frames (the corpus-total fold, the broadcast
+    * per-source totals, the term sum).
+    */
+  def q232SourceKl(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.functions.Tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // two consumers: the vocab fold + the term pass
+    val vocab = st.groupBy(col("word")).agg(sum(col("c")).as("cf"))
+      .filter(col("cf") >= 5L)
+    val restricted = st.join(vocab, "word")
+      .localCheckpoint() // two consumers: per-source totals + term sum
+    val perSrc = restricted.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_terms"))
+    val nTot = vocab.agg(sum(col("cf")).as("n_tot"))
+    val kl = restricted
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("term", expr(
+        """CAST(c AS DECIMAL(38,0)) *
+           (CAST(round(ln(c) * 1000000) AS BIGINT)
+            - CAST(round(ln(n_s) * 1000000) AS BIGINT)
+            - CAST(round(ln(cf) * 1000000) AS BIGINT)
+            + CAST(round(ln(n_tot) * 1000000) AS BIGINT))"""))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens_vocab"), max(col("n_terms")).as("n_terms"),
+        sum(col("term")).as("tsum"))
+      .withColumn("kl_micro", expr(
+        """CAST(greatest(tsum, CAST(0 AS DECIMAL(38,0)))
+           DIV n_tokens_vocab AS BIGINT)"""))
+    st.groupBy(col("source")).agg(sum(col("c")).as("n_tokens_all"))
+      .join(kl, Seq("source"), "left")
+      .select(col("source"), col("n_tokens_all"),
+        coalesce(col("n_tokens_vocab"), lit(0L)).as("n_tokens_vocab"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        col("kl_micro"))
+  }
+
+  /** q233: does the quality score actually PREDICT duplication? The
+    * threshold-free companion to q219's five-band lift table: a
+    * Mann–Whitney rank test (= ROC AUC) of the exact-integer q219 score
+    * separating exact-dup docs (arm A, q28's content_hash min≠max) from
+    * unique ones. auc_bp ≈ 5000 says the score carries no dup signal
+    * (order the gates by cost alone); far from 5000 says filter-first
+    * shrinks (or starves) the dedup shuffle, with z sizing the evidence.
+    * Score and dup-membership definitions are SHARED with q219/q28 —
+    * one definition each on both engines ([[qualityScoreExpr]]) — and
+    * the rank machinery is q171's, factored ([[Stats.mwuSummary]]).
+    *
+    * Shape: one corpus scan projected to (doc_id, 16-byte hash, score)
+    * — text never shuffles — then the content_hash exchange for the dup
+    * window and a map-side-combined fold onto the ≤ 10⁴-row score
+    * domain; the banded midrank decomposition never materializes
+    * per-row ranks (q171's argument).
+    */
+  def q233QualityAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("content_hash"))
+    val byVal = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_stop", graft.functions.StopCount(col("w"), stop("en")))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), 1, 3))).as("content_hash"),
+        expr(qualityScoreExpr).as("score"))
+      .withColumn("is_dup",
+        when(min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("score"))
+      .agg(sum(col("is_dup")).as("n1v"), sum(lit(1L) - col("is_dup")).as("n2v"))
+      .withColumn("nv", col("n1v") + col("n2v"))
+      .localCheckpoint() // the mwu machinery's three consumers
+    Stats.mwuSummary(byVal, "score")
+      .select(col("n1").as("n_dup"), col("n2").as("n_uniq"),
+        col("z_score"), col("auc_bp"))
+  }
+
+  /** q236: pairwise source VOCABULARY overlap — the lexical mirror map
+    * next to q221's hash-level leak table: two feeds can share almost no
+    * exact documents yet be the same template mill (rewrapped mirrors,
+    * boilerplate farms), which surfaces as near-identical vocabularies.
+    * Per unordered source pair: type counts, shared types, Jaccard in bp
+    * and containment in bp (shared over the SMALLER vocabulary — the
+    * asymmetric-size-honest overlap; a tiny feed wholly inside a big
+    * one is containment 10000 at a low Jaccard).
+    *
+    * Exactness: pure distinct-count integers; both DIVs all-positive
+    * (n_union ≥ max(n_types) ≥ 1 for every gridded pair). The complete
+    * |sources|² grid left-joins the shared counts, so disjoint pairs row
+    * with 0 — the q216 lesson. Token-less sources are excluded (q206).
+    *
+    * Shape: one corpus scan → DISTINCT (source, token) — the ONLY
+    * corpus-scale exchange, 16-byte-bounded rows, text never shuffles —
+    * checkpointed for its three consumers; the word-keyed self-join fans
+    * out ≤ |sources|² per token on the vocab-bounded frame (q63's
+    * OD-matrix argument: the pair domain is a dimension², not data²).
+    * Unlike q232 the vocabulary is deliberately UNfloored — overlap is a
+    * SET question and the rare tail is where mirrors differ least
+    * ambiguously; the distinct frame is the corpus type table (q59/q206's
+    * frame — ~1e9 narrow rows at web scale, a routine shuffle), and a
+    * deployment that must shrink it applies q232's cf floor to BOTH sides
+    * of the join without changing the shape.
+    */
+  def q236SourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(s, dir)
+      .select(col("source"), explode(graft.functions.Tokens(col("text"))).as("word"))
+      .distinct()
+      .localCheckpoint() // three consumers: sizes + both pair sides
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val grid = sizes.as("x").join(sizes.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n_types").as("n_types_a"), col("y.n_types").as("n_types_b"))
+    val shared = sv.as("a").join(sv.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    grid.join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_types_a"),
+        col("n_types_b"), col("n_shared"),
+        expr("(n_shared * 10000) DIV (n_types_a + n_types_b - n_shared)")
+          .as("jaccard_bp"),
+        expr("(n_shared * 10000) DIV least(n_types_a, n_types_b)")
+          .as("contain_bp"))
+  }
+
+  /** q239's shard count — code-owned like q147's rule table; the oracle
+    * inlines the same literal. */
+  private val ShardK = 8
+
+  /** q239: balanced SHARD plan — the writer-side layout table for
+    * publishing the corpus across K output shards when sources must stay
+    * whole (per-source provenance files, per-feed retention, resumable
+    * re-crawls): sources ordered by token mass and dealt
+    * BOUSTROPHEDON (serpentine) onto K shards — the classic one-pass
+    * approximation of LPT makespan balancing that a deterministic SQL
+    * plan can express (true LPT's "append to the currently-lightest bin"
+    * is inherently sequential state) — then per shard: source count,
+    * token mass, share and skew vs the ideal 10000/K bp. The skew column
+    * is what decides whether source-whole publishing is acceptable or a
+    * source must split before the 100 TB write (one hot source > 1/K of
+    * the corpus shows up as an irreducible positive skew).
+    *
+    * Exactness: pure integer counts; share an all-positive DIV; skew one
+    * signed subtraction of already-divided BIGINTs (the q219 rule). The
+    * 0..K−1 grid left-join keeps empty shards visible (fewer sources
+    * than shards must read as imbalance, not as a shorter table).
+    *
+    * Shape: ONE corpus scan projected to (source, native TokenCount) —
+    * text never shuffles — folding map-side to the |sources| frame
+    * (checkpointed for its two consumers); the rank window, the
+    * serpentine assignment and the shard fold all run on that tiny
+    * frame (the single-partition window is |sources| rows — bounded
+    * domain, q216's argument).
+    */
+  def q239ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, dir)
+      .select(col("source"), graft.functions.TokenCount(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+      .localCheckpoint() // two consumers: the assignment + the total
+    val w = Window.orderBy(col("tokens").desc, col("source").asc)
+    val assigned = src
+      .withColumn("rn", row_number().over(w).cast("long") - lit(1L))
+      .withColumn("shard", expr(
+        s"""CASE WHEN (rn DIV $ShardK) % 2 = 0 THEN rn % $ShardK
+                 ELSE $ShardK - 1 - rn % $ShardK END"""))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("tokens")).as("shard_tokens"))
+    val tot = src.agg(sum(col("tokens")).as("total_tokens"))
+    s.range(ShardK).select(col("id").as("shard"))
+      .join(assigned, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_sources", "shard_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_sources"), col("shard_tokens"),
+        expr("(shard_tokens * 10000) DIV total_tokens").as("share_bp"),
+        expr(s"(shard_tokens * 10000) DIV total_tokens - ${10000 / ShardK}")
+          .as("skew_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_shard_plan" -> (q239ShardPlan _),
     "q178_split_leakage" -> (q178SplitLeakage _),
+    "q232_source_kl" -> (q232SourceKl _),
+    "q233_quality_auc" -> (q233QualityAuc _),
+    "q236_source_vocab_overlap" -> (q236SourceVocabOverlap _),
     "q196_repetition" -> (q196Repetition _),
     "q200_token_economics" -> (q200TokenEconomics _),
     "q174_doc_chunks" -> (q174DocChunks _),
@@ -3227,9 +3461,7 @@ object TextAnalysis {
                               AS content_hash
                      FROM documents),
           f AS (SELECT doc_id, content_hash,
-                       least((CAST(5000 AS BIGINT) * least(len(w), 50)) // 50
-                               + (CAST(5000 AS BIGINT) * $en) // len(w),
-                             CAST(9999 AS BIGINT)) // 2000 AS band
+                       (${qualityScoreDuck(en)}) // 2000 AS band
                 FROM t),
           d AS (SELECT band,
                        CASE WHEN min(doc_id) OVER (PARTITION BY content_hash)
@@ -3246,6 +3478,102 @@ object TextAnalysis {
                           // sum(n_docs) OVER () AS BIGINT) AS lift_bp
           FROM b"""
     },
+    "q232_source_kl" ->
+      """WITH tk AS (
+           SELECT source, unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS word
+           FROM documents),
+         st AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+                FROM tk GROUP BY 1, 2),
+         vocab AS (SELECT word, CAST(sum(c) AS BIGINT) AS cf
+                   FROM st GROUP BY 1 HAVING sum(c) >= 5),
+         r AS (SELECT st.source, st.c, v.cf FROM st JOIN vocab v USING (word)),
+         ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM r GROUP BY 1),
+         nt AS (SELECT CAST(sum(cf) AS BIGINT) AS n_tot FROM vocab),
+         terms AS (
+           SELECT r.source,
+                  CAST(c AS HUGEINT) *
+                  (CAST(round(ln(c) * 1000000) AS BIGINT)
+                   - CAST(round(ln(n_s) * 1000000) AS BIGINT)
+                   - CAST(round(ln(cf) * 1000000) AS BIGINT)
+                   + CAST(round(ln(n_tot) * 1000000) AS BIGINT)) AS term
+           FROM r JOIN ps USING (source) CROSS JOIN nt),
+         kl AS (
+           SELECT t.source, max(p.n_s) AS n_tokens_vocab,
+                  max(p.n_terms) AS n_terms,
+                  CAST(greatest(sum(t.term), 0) // max(p.n_s) AS BIGINT) AS kl_micro
+           FROM terms t JOIN ps p USING (source) GROUP BY 1),
+         alltok AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens_all
+                    FROM st GROUP BY 1)
+         SELECT a.source, a.n_tokens_all,
+                coalesce(k.n_tokens_vocab, 0) AS n_tokens_vocab,
+                coalesce(k.n_terms, 0) AS n_terms, k.kl_micro
+         FROM alltok a LEFT JOIN kl k USING (source)""",
+    "q233_quality_auc" -> {
+      val en = duckStopCount("en")
+      s"""SELECT n1 AS n_dup, n2 AS n_uniq, z_score, auc_bp FROM (
+          ${Stats.mwuOracleFrom(
+            s"""SELECT cents,
+                       CASE WHEN mn <> mx THEN 1 ELSE 0 END AS is_a
+                FROM (SELECT ${qualityScoreDuck(en)} AS cents,
+                             min(doc_id) OVER (PARTITION BY content_hash) AS mn,
+                             max(doc_id) OVER (PARTITION BY content_hash) AS mx
+                      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                                   md5(array_to_string(
+                                     string_split(text, ' ')[1:3], ' '))
+                                     AS content_hash
+                            FROM documents))""")})"""
+    },
+    "q239_shard_plan" ->
+      s"""WITH src AS (
+           SELECT source,
+                  CAST(sum(len(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY tokens DESC, source ASC)
+                           - 1 AS rn
+               FROM src),
+         a AS (
+           SELECT CASE WHEN (rn // $ShardK) % 2 = 0 THEN rn % $ShardK
+                       ELSE $ShardK - 1 - rn % $ShardK END AS shard,
+                  CAST(count(*) AS BIGINT) AS n_sources,
+                  CAST(sum(tokens) AS BIGINT) AS shard_tokens
+           FROM r GROUP BY 1),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM src),
+         grid AS (SELECT unnest(generate_series(0, ${ShardK - 1})) AS shard)
+         SELECT g.shard, coalesce(a.n_sources, 0) AS n_sources,
+                coalesce(a.shard_tokens, 0) AS shard_tokens,
+                (coalesce(a.shard_tokens, 0) * 10000) // total_tokens
+                  AS share_bp,
+                (coalesce(a.shard_tokens, 0) * 10000) // total_tokens
+                  - ${10000 / ShardK} AS skew_bp
+         FROM grid g LEFT JOIN a USING (shard) CROSS JOIN tot""",
+    "q236_source_vocab_overlap" ->
+      """WITH tk AS (
+           SELECT source, unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS word
+           FROM documents),
+         sv AS (SELECT DISTINCT source, word FROM tk),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+                   FROM sv GROUP BY 1),
+         grid AS (SELECT x.source AS source_a, y.source AS source_b,
+                         x.n_types AS n_types_a, y.n_types AS n_types_b
+                  FROM sizes x JOIN sizes y ON x.source < y.source),
+         sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM sv a JOIN sv b
+                  ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT g.source_a, g.source_b, g.n_types_a, g.n_types_b,
+                coalesce(s.n_shared, 0) AS n_shared,
+                (coalesce(s.n_shared, 0) * 10000)
+                  // (g.n_types_a + g.n_types_b - coalesce(s.n_shared, 0))
+                  AS jaccard_bp,
+                (coalesce(s.n_shared, 0) * 10000)
+                  // least(g.n_types_a, g.n_types_b) AS contain_bp
+         FROM grid g LEFT JOIN sh s USING (source_a, source_b)""",
     "q38_token_count" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_ws_tokens,

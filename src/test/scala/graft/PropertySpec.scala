@@ -1117,6 +1117,140 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists(_._4 != 0L))
   }
 
+  test("q232 source KL equals a driver-side micro-nat recompute") {
+    val got = graft.operators.TextAnalysis.q232SourceKl(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_tokens_all"),
+        r.getAs[Long]("n_tokens_vocab"), r.getAs[Long]("n_terms"),
+        Option(r.getAs[Any]("kl_micro")).map(_.asInstanceOf[Long])))).toMap
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val srcTok = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cf = toks.groupBy(_._2).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 5L).toMap
+    def uln(v: Long): Long = BigDecimal(math.log(v.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val nTot = cf.values.sum
+    val ref = toks.map(_._1).distinct.map { src =>
+      val mine = srcTok.collect {
+        case ((s0, w), c) if s0 == src && cf.contains(w) => (w, c) }.toSeq
+      val nS = mine.map(_._2).sum
+      val terms = mine.length.toLong
+      val kl =
+        if (nS == 0) None
+        else {
+          val t = mine.map { case (w, c) =>
+            BigInt(c) * (uln(c) - uln(nS) - uln(cf(w)) + uln(nTot)) }.sum
+          Some((t.max(BigInt(0)) / nS).toLong)
+        }
+      src -> ((srcTok.collect { case ((s0, _), c) if s0 == src => c }.sum,
+        nS, terms, kl))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: KL is nonnegative and some source sits measurably off
+    // the blend (the synthetic sources have different vocab mixes)
+    assert(got.values.forall(_._4.forall(_ >= 0L)))
+    assert(got.values.exists(_._4.exists(_ > 0L)))
+  }
+
+  test("q233 quality AUC equals a brute-force midrank recompute on (score, dup)") {
+    val row = graft.operators.TextAnalysis.q233QualityAuc(spark, sf).head()
+    val en = graft.operators.TextAnalysis.stop("en").toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1) // Spark split keeps empties
+        val key = w.take(3).mkString(" ")
+        val bp = 5000L * math.min(w.length, 50) / 50 +
+          5000L * w.count(en.contains) / w.length
+        (r.getLong(0), key, math.min(bp, 9999L))
+      }
+    val dupKeys = docs.groupBy(_._2).filter(_._2.length > 1).keySet
+    val scored = docs.map(d => (d._3, dupKeys(d._2)))
+    val a = scored.filter(_._2).map(_._1)
+    val n1 = a.length.toLong
+    val n2 = scored.length.toLong - n1
+    val n = n1 + n2
+    val tieSizes = scored.map(_._1).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    var cum = 0L
+    val mid2 = tieSizes.keys.toSeq.sorted.map { v =>
+      val t = tieSizes(v); val m = 2 * cum + t + 1; cum += t; v -> m
+    }.toMap
+    val u1x2 = a.map(mid2).sum - n1 * (n1 + 1)
+    val tsum = tieSizes.values.map(t => t * t * t - t).sum
+    val varU = (n1.toDouble * n2 / 12.0) *
+      ((n + 1).toDouble - tsum.toDouble / (n.toDouble * (n - 1)))
+    assert(row.getAs[Long]("n_dup") == n1 && row.getAs[Long]("n_uniq") == n2)
+    assert(n1 > 0L, "corpus must carry real dups for the test to bite")
+    assert(row.getAs[Long]("auc_bp") ==
+      math.round(10000.0 * u1x2 / (2.0 * n1 * n2)))
+    if (varU > 0) {
+      val z = (u1x2.toDouble - n1.toDouble * n2) / (2.0 * math.sqrt(varU))
+      assert(math.abs(row.getAs[Double]("z_score") - z) < 1e-3)
+    }
+  }
+
+  test("q236 source vocab overlap equals a driver-side set recompute over the full pair grid") {
+    val got = graft.operators.TextAnalysis.q236SourceVocabOverlap(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_types_a"), r.getAs[Long]("n_types_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_bp"),
+          r.getAs[Long]("contain_bp")))).toMap
+    val vocabs = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcs = vocabs.keys.toSeq.sorted
+    val ref = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+    } yield {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val (va, vb) = (vocabs(sa), vocabs(sb))
+      val sh = (va intersect vb).size.toLong
+      (sa, sb) -> ((va.size.toLong, vb.size.toLong, sh,
+        sh * 10000L / (va.size + vb.size - sh),
+        sh * 10000L / math.min(va.size, vb.size)))
+    }).toMap
+    assert(got == ref, s"sizes got ${got.size} ref ${ref.size}")
+    // the grid is complete (every unordered pair rows) and containment
+    // dominates Jaccard (|A∩B|/min >= |A∩B|/|A∪B|); real overlap exists
+    assert(got.size == srcs.length * (srcs.length - 1) / 2)
+    assert(got.values.forall(v => v._5 >= v._4 && v._5 <= 10000L))
+    assert(got.values.exists(_._3 > 0L))
+  }
+
+  test("q239 shard plan equals a driver-side serpentine recompute and beats naive round-robin") {
+    val got = graft.operators.TextAnalysis.q239ShardPlan(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> ((r.getAs[Long]("n_sources"),
+        r.getAs[Long]("shard_tokens"), r.getAs[Long]("share_bp"),
+        r.getAs[Long]("skew_bp")))).toMap
+    val srcTokens = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ", -1).count(_.nonEmpty).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val ordered = srcTokens.sortBy { case (s0, t) => (-t, s0) }
+    val k = 8
+    def serp(rn: Int): Long =
+      (if ((rn / k) % 2 == 0) rn % k else k - 1 - rn % k).toLong
+    val total = ordered.map(_._2).sum
+    val byShard = ordered.zipWithIndex.groupBy { case (_, rn) => serp(rn) }
+    val ref = (0L until k.toLong).map { sh =>
+      val rows = byShard.getOrElse(sh, Seq.empty)
+      val tok = rows.map(_._1._2).sum
+      sh -> ((rows.length.toLong, tok, tok * 10000L / total,
+        tok * 10000L / total - 10000L / k))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.size == k) // the 0..K-1 grid is complete
+    // the serpentine deal must not be WORSE than naive round-robin on
+    // the same descending order (makespan = heaviest shard)
+    val rr = ordered.zipWithIndex.groupBy(_._2 % k)
+      .map { case (_, rows) => rows.map(_._1._2).sum }.max
+    assert(got.values.map(_._2).max <= rr,
+      s"serpentine makespan ${got.values.map(_._2).max} > round-robin $rr")
+  }
+
   test("q212 packing economics equals a driver-side bucket recompute") {
     val got = graft.operators.TextAnalysis.q212PackingEconomics(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->

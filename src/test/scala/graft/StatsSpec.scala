@@ -487,4 +487,179 @@ class StatsSpec extends AnyFunSuite {
     assert(verdicts.contains("oneday"), verdicts.keySet.toString)
     assert(verdicts("oneday") == (("none", 0L, 0L)), verdicts("oneday").toString)
   }
+
+  test("q234 ACF: driver recompute on the corpus; planted period-7 series echoes exactly; gaps pair honestly") {
+    // corpus: num/den recomputed driver-side in BigInt off the daily counts
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dCount = daily.length.toLong
+    val tTot = daily.map(_._2).sum
+    val dev = daily.map { case (d, n) => d -> (BigInt(dCount) * n - tTot) }.toMap
+    val den = dev.values.map(v => v * v).sum
+    val got = Stats.q234Acf(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") -> ((r.getAs[Long]("n_pairs"),
+        Option(r.getAs[Any]("acf_bp")).map(_.asInstanceOf[Long])))).toMap
+    assert(got.keySet == (1L to 14L).toSet)
+    for (k <- 1L to 14L) {
+      val pairs = dev.keys.filter(d => dev.contains(d + k)).toSeq
+      val num = pairs.map(d => dev(d) * dev(d + k)).sum
+      val ref =
+        if (pairs.isEmpty || den <= 0) None
+        else Some(BigDecimal(10000.0 * num.toDouble / den.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(got(k) == ((pairs.length.toLong, ref)), s"lag $k: ${got(k)}")
+    }
+    // planted: counts (3,1,4,1,5,9,2) repeating for exactly 10 cycles —
+    // dev is 7-periodic, so num_7 sums 9 of the 10 per-cycle dev² blocks
+    // and num_14 sums 8: acf must be EXACTLY 9000 / 8000 bp
+    import TestSpark.spark.implicits._
+    // CONSECUTIVE epoch days (lag arithmetic joins on day + k, so the
+    // calendar must not gap): base instant + d whole days
+    def tsAt(d: Int): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T12:00:00Z").plusSeconds(86400L * d))
+    val pat = Seq(3, 1, 4, 1, 5, 9, 2)
+    val periodic = (0 until 70).flatMap(d =>
+      (0 until pat(d % 7)).map(_ => tsAt(d)))
+    val p = Stats.acfOf(spark, periodic.toDF("ts")).collect()
+      .map(r => r.getAs[Long]("lag") -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("acf_bp")))).toMap
+    assert(p(7L) == ((63L, 9000L)), p(7L).toString)
+    assert(p(14L) == ((56L, 8000L)), p(14L).toString)
+    assert((1L to 14L).forall(k => p(k)._1 == 70L - k))
+    // gap-honesty: day 5 of 0..9 missing — lag-1 pairs only where BOTH
+    // days exist (7 of 9), never a fabricated zero-count day
+    val gappy = (0 to 9).filter(_ != 5).flatMap(d =>
+      (0 to d).map(_ => tsAt(d)))
+    val g = Stats.acfOf(spark, gappy.toDF("ts")).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n_pairs")).toMap
+    assert(g(1L) == 7L, g.toString)
+  }
+
+  test("q235 Theil-Sen: driver recompute on the corpus; planted linear/outlier/one-day series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = daily.groupBy(_._1).map { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- i + 1 until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)).sorted
+      val m = slopes.length
+      val med =
+        if (m == 0) None
+        else if (m % 2 == 1) Some(slopes(m / 2))
+        else Some(slopes(m / 2 - 1) / 2 + slopes(m / 2) / 2)
+      et -> ((pts.length.toLong, m.toLong,
+        med.map(v => BigDecimal(v * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    }
+    val got = Stats.q235TheilSen(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_pairs"),
+        Option(r.getAs[Any]("slope_x1000")).map(_.asInstanceOf[Long])))).toMap
+    // the engine's percentile interpolation vs the driver's may differ in
+    // the last ulp before the x1000 round — allow ±1 on the rounded value
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (et, (nd, np, sl)) =>
+      val (rd, rp, rs) = ref(et)
+      assert(nd == rd && np == rp, s"$et sizes")
+      (sl, rs) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1L, s"$et slope $a vs $b")
+        case (a, b)             => assert(a == b, s"$et slope $a vs $b")
+      }
+    }
+    // planted: exact line n=5+3d → every pairwise slope is exactly 3.0;
+    // 3 spike days among 30 leave >50% of pairs at exactly 2.0 (the
+    // robustness OLS lacks); a one-day feed rows with 0 pairs, NULL slope
+    import TestSpark.spark.implicits._
+    // consecutive epoch days — pairwise slopes divide by the DAY delta
+    def series(et: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(_ => (et, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T12:00:00Z")
+            .plusSeconds(86400L * d))))
+      }
+    val planted =
+      series("lin", (0 until 30).map(d => 5 + 3 * d)) ++
+      series("outlier", (0 until 30).map(d =>
+        if (Set(7, 15, 23)(d)) 500 else 10 + 2 * d)) ++
+      series("oneday", Seq(4))
+    val p = Stats.theilSenOf(planted.toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_pairs"),
+        Option(r.getAs[Any]("slope_x1000")).map(_.asInstanceOf[Long])))).toMap
+    assert(p("lin") == ((30L, 435L, Some(3000L))), p("lin").toString)
+    assert(p("outlier") == ((30L, 435L, Some(2000L))), p("outlier").toString)
+    assert(p("oneday") == ((1L, 0L, None)), p("oneday").toString)
+  }
+
+  test("q237 calendar gaps: driver recompute on the corpus; planted outage/hiccup/one-day feeds") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = daily.groupBy(_._1).map { case (et, rows) =>
+      val days = rows.map(_._2).sorted
+      val span = days.last - days.head + 1
+      val longest = if (days.length < 2) 0L
+        else days.sliding(2).map(p => p(1) - p(0) - 1).max
+      et -> ((days.length.toLong, days.head, days.last, span,
+        span - days.length, longest, days.length * 10000L / span,
+        rows.map(_._3).sum))
+    }
+    val got = Stats.q237CalendarGaps(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("first_day"), r.getAs[Long]("last_day"),
+        r.getAs[Long]("span_days"), r.getAs[Long]("n_missing"),
+        r.getAs[Long]("longest_gap"), r.getAs[Long]("coverage_bp"),
+        r.getAs[Long]("n_events")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // planted: a 10-day feed missing days 3..7 (one 5-day outage), one
+    // missing only day 4 (hiccup), and a single-day feed
+    import TestSpark.spark.implicits._
+    def tsAt(d: Int): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T12:00:00Z").plusSeconds(86400L * d))
+    val planted =
+      (0 to 9).filterNot(d => d >= 3 && d <= 7).map(d => ("down", tsAt(d))) ++
+      (0 to 9).filterNot(_ == 4).map(d => ("hiccup", tsAt(d))) ++
+      Seq(("oneday", tsAt(3)))
+    val p = Stats.calendarGapsOf(planted.toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("span_days"), r.getAs[Long]("n_missing"),
+        r.getAs[Long]("longest_gap"), r.getAs[Long]("coverage_bp")))).toMap
+    assert(p("down") == ((5L, 10L, 5L, 5L, 5000L)), p("down").toString)
+    assert(p("hiccup") == ((9L, 10L, 1L, 1L, 9000L)), p("hiccup").toString)
+    assert(p("oneday") == ((1L, 1L, 0L, 0L, 10000L)), p("oneday").toString)
+  }
+
+  test("q238 seasonal strength: reconciles exactly with q181's decomposition; bounds hold") {
+    import graft.operators.Analytics
+    val dec = Analytics.q181StlDecompose(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("trend_micro"), r.getAs[Long]("residual_micro")))
+    val ref = dec.groupBy(_._1).map { case (et, rows) =>
+      val d = rows.map(r => BigInt(r._2 * 1000000L - r._3)) // detrended
+      val rr = rows.map(r => BigInt(r._4))
+      val n = BigInt(rows.length)
+      val varD = n * d.map(x => x * x).sum - d.sum * d.sum
+      val varR = n * rr.map(x => x * x).sum - rr.sum * rr.sum
+      val strength =
+        if (varD <= 0) None
+        else Some(math.max(BigDecimal(10000.0 *
+          (1.0 - varR.toDouble / varD.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, 0L))
+      et -> ((rows.length.toLong, strength))
+    }
+    val got = Analytics.q238SeasonalStrength(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        Option(r.getAs[Any]("strength_bp")).map(_.asInstanceOf[Long])))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // strength is a bounded bp; the weekday-patterned synthetic volumes
+    // must show real (nonzero) seasonality for at least one type
+    assert(got.values.forall(_._2.forall(v => v >= 0L && v <= 10000L)))
+    assert(got.values.exists(_._2.exists(_ > 0L)))
+  }
 }

@@ -689,4 +689,68 @@ class StreamingSpec extends AnyFunSuite {
       rm(new java.io.File(froot))
     }
   }
+
+  test("s28 streaming trend monitor converges to the batch q231/q235 tables; late days merge; replay skipped") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val evs = Tables.events(s0, sf).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSeq
+    // in-memory published table: (event_type, day) -> n, plus last batch id
+    val cells = scala.collection.mutable.Map.empty[(String, Long), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((et, d), n) => (et, d, n) }
+          .toDF("event_type", "day", "n"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getAs[String]("event_type"), r.getAs[Long]("day"))) =
+          r.getAs[Long]("n")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.TrendMonitor.trendMonitorStream(
+      ms.toDS().toDF("event_type", "ts"), store _)(publishDelta).start()
+    try {
+      // batches split mid-day, so "late" cells for already-published days
+      // arrive in later batches and must MERGE (not overwrite-to-less)
+      val (b1, rest) = evs.splitAt(evs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // maintained daily counts equal the batch rebuild
+    val rebuild = Tables.events(s0, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.toMap == rebuild, "maintained counts != batch rebuild")
+    // both estimators over MAINTAINED counts equal the batch queries
+    val gotTrend = graft.streaming.TrendMonitor.trend(store().get._1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val wantTrend = graft.operators.Stats.q231TrendTest(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(gotTrend == wantTrend, "streamed trend != batch q231")
+    val gotSlope = graft.streaming.TrendMonitor.slope(store().get._1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Any]("slope_x1000")).map(_.asInstanceOf[Long]))).toSet
+    val wantSlope = graft.operators.Stats.q235TheilSen(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Any]("slope_x1000")).map(_.asInstanceOf[Long]))).toSet
+    assert(gotSlope == wantSlope, "streamed slope != batch q235")
+    // at-least-once replay: an already-applied batch id must be skipped
+    // (additive counters would double-count), a new id must apply
+    val frag = Tables.events(s0, sf).limit(10)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val last = lastId.get
+    assert(graft.streaming.TrendMonitor.dailyCountsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.TrendMonitor.dailyCountsBatch(store(), frag, last + 1L).isDefined)
+  }
 }
