@@ -273,12 +273,23 @@ object CorpusPipeline {
     * (the parquet readback [[run]] returns): the four axis scans would
     * otherwise re-run the upstream pipeline once per axis.
     */
-  def sourceReport(published: DataFrame): DataFrame = {
-    val docs = // published corpora carry clean_text; raw frames carry text
-      if (published.columns.contains("text")) published
-      else published.withColumnRenamed("clean_text", "text")
-    graft.operators.TextAnalysis.sourceVerdictsOf(docs)
-  }
+  def sourceReport(published: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.sourceVerdictsOf(textColumn(published))
+
+  /** Post-publish MIXTURE read: q232's per-source KL-from-the-blend over
+    * the PUBLISHED corpus — the distance table a re-weighting (q155) or
+    * DSIR-style selection consumes, regenerated after every run so the
+    * mixture math always prices what actually shipped (the pipeline's
+    * gates shift each source's language, so pre-pipeline KL is stale by
+    * construction). Same materialized-frame contract as [[sourceReport]].
+    */
+  def klReport(published: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.sourceKlOf(textColumn(published))
+
+  private def textColumn(published: DataFrame): DataFrame =
+    // published corpora carry clean_text; raw frames carry text
+    if (published.columns.contains("text")) published
+    else published.withColumnRenamed("clean_text", "text")
 
   def run(s: SparkSession, dir: String, outDir: String,
       substrW: Int = 50): (DataFrame, DataFrame) = {

@@ -75,14 +75,23 @@ object Dedup {
     * stronger 100 TB shape: no dictionary state to size, just
     * scan → project → partial agg.
     */
-  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = shinglesOf(docs, dedup = false)
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame =
+    bandsOf(mhSignatures(s, dir))
+
+  /** The per-document FULL signature (doc_id, m0..m{H−1}) — factored from
+    * the band projection so q240's calibration can read signature-level
+    * agreement off the same single minhash pass that feeds the banding.
+    */
+  private def mhSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(Tables.documents(s, dir), dedup = false)
       .withColumn("fp", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
     val minCols = cwParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * fp + $b) % $MersenneP")).as(s"m$i") }
-    val mh = sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Signature frame → (doc_id, band_id, sig) band rows. */
+  private def bandsOf(mh: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_id"),
              concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("sig")))
@@ -580,6 +589,65 @@ object Dedup {
           .otherwise("overlap"))
   }
 
+  /** q240: MinHash CALIBRATION curve — the estimator-vs-truth table read
+    * before trusting any signature-level similarity threshold: per
+    * signature agreement level (est_matches of the H=16 minhash positions
+    * equal, est_bp = the estimator's Jaccard claim), the candidate-pair
+    * count and the mean/min/max EXACT shingle Jaccard. q210 prices exact
+    * thresholds; this says how honestly the 16-position estimator TRACKS
+    * exact Jaccard at this corpus's shingle geometry — if mean_jaccard_bp
+    * hugs est_bp the signature can gate cheap pre-filters; a wide min–max
+    * spread at mid est levels says 16 hashes are too few to threshold on
+    * and the exact confirm (q31's pass) stays mandatory.
+    *
+    * Exactness: signature equality and the shared-shingle counts are
+    * exact integers (the SAME Carter–Wegman construction on both engines
+    * — q29's oracle machinery); jac_bp an all-positive DIV; the mean ONE
+    * round(double/double). Coverage note: calibration runs over LSH
+    * candidate pairs with ≥ 1 shared shingle (a colliding-fp pair with
+    * zero shared shingles drops from the inner intersection identically
+    * on both engines).
+    *
+    * Scale shape: ONE corpus minhash pass (the signature frame is
+    * checkpointed and feeds BOTH the banding and the per-pair agreement —
+    * bandSignatures/mhSignatures were factored for exactly this), q31's
+    * candidate-pruned shingle scaffold for the exact side, and the
+    * signature frame semi-pruned to candidate docs before its pair joins;
+    * the fold lands on the ≤ H+1-row agreement domain.
+    */
+  def q240MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val mh = mhSignatures(s, dir).localCheckpoint()
+    val (cand, maybeBroadcast, candDocs) =
+      candidateTextsOf(s, dir, expandPairs(s, bandsOf(mh)))
+    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = maybeBroadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val mhc = mh.join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // two consumers: both pair sides
+    val est = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jac_bp", expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)"))
+      .join(mhc.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mhc.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("est_matches", expr(s"CAST($est AS BIGINT)"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("""CAST(round(CAST(sum(jac_bp) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE)) AS BIGINT)""").as("mean_jaccard_bp"),
+        min(col("jac_bp")).as("min_jaccard_bp"),
+        max(col("jac_bp")).as("max_jaccard_bp"))
+      .withColumn("est_bp", expr(s"est_matches * 10000 DIV $NumHashes"))
+  }
+
   /** q210: dedup THRESHOLD-SENSITIVITY curve — for each candidate
     * Jaccard threshold (50%..90% in 10-point steps), how many near-dup
     * pairs fire and how many documents they touch. This is the knob
@@ -1062,6 +1130,35 @@ object Dedup {
           FROM inter i
           JOIN sizes ca ON ca.doc_id = i.doc_a
           JOIN sizes cb ON cb.doc_id = i.doc_b""",
+    "q240_minhash_calibration" -> {
+      val est = (0 until NumHashes)
+        .map(i => s"(CASE WHEN ma.m$i = mb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+          sc AS (SELECT i.doc_a, i.doc_b,
+                        i.n_inter * 10000 // (ca.c + cb.c - i.n_inter) AS jac_bp,
+                        CAST($est AS BIGINT) AS est_matches
+                 FROM inter i
+                 JOIN sizes ca ON ca.doc_id = i.doc_a
+                 JOIN sizes cb ON cb.doc_id = i.doc_b
+                 JOIN mh ma ON ma.doc_id = i.doc_a
+                 JOIN mh mb ON mb.doc_id = i.doc_b)
+          SELECT est_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(round(CAST(sum(jac_bp) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_jaccard_bp,
+                 CAST(min(jac_bp) AS BIGINT) AS min_jaccard_bp,
+                 CAST(max(jac_bp) AS BIGINT) AS max_jaccard_bp,
+                 est_matches * 10000 // $NumHashes AS est_bp
+          FROM sc GROUP BY 1""" },
     "q210_dedup_threshold_curve" ->
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1319,6 +1416,7 @@ object Dedup {
     "q69_dedup_simhash_pairs" -> ((s, dir) => q69DedupSimhashPairs(s, dir)),
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
     "q210_dedup_threshold_curve" -> (q210ThresholdCurve _),
+    "q240_minhash_calibration" -> (q240MinhashCalibration _),
     "q70_edit_distance"   -> (q70EditDistance _),
     "q102_edit_distance_fast" -> (q102EditDistanceFast _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),

@@ -399,7 +399,46 @@ object Privacy {
       .withColumn("epsilon", lit(eps))
   }
 
+  /** q241: RE-IDENTIFICATION risk profile — the exposure census run
+    * BEFORE choosing q52's k / q186's generalization ladder: customers
+    * grouped into equivalence classes by the quasi-identifier tuple
+    * (nation, market segment, 100-unit balance band) and the class-size
+    * distribution reported as the k-bucket table {1, 2, 3, 4, 5, 6+}:
+    * n_classes, n_rows and row-share bp per bucket. Bucket 1 IS the
+    * directly re-identifiable population (a unique QI tuple — the
+    * Sweeney linkage attack needs nothing else); the share mass below
+    * the intended k is exactly what suppression/generalization will have
+    * to move, priced before any rewrite.
+    *
+    * Exactness: the balance band is floor(double/100) — one IEEE op,
+    * identical on both engines (q51's banding rule); everything after is
+    * pure integer counts, shares all-positive DIVs, the 1..6 grid
+    * left-joined so empty buckets row with zeros (the q216 lesson).
+    *
+    * Shape: one scan → QI-cell agg (map-side combined, bounded by the QI
+    * domain |nations|×|segments|×|bands|) → ≤ 6-row bucket fold; the
+    * total rides as a broadcast 1-row agg.
+    */
+  def q241ReidRisk(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("k_bucket", expr("least(k, CAST(6 AS BIGINT))"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+      .localCheckpoint() // two consumers: the grid join + the total
+    val tot = cells.agg(sum(col("n_rows")).as("n_total"))
+    s.range(1, 7).select(col("id").as("k_bucket"))
+      .join(cells, Seq("k_bucket"), "left")
+      .na.fill(0L, Seq("n_classes", "n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("k_bucket"), col("n_classes"), col("n_rows"),
+        expr("(n_rows * 10000) DIV n_total").as("share_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_reid_risk" -> (q241ReidRisk _),
     "q148_dp_counts" -> (q148DpCounts _),
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
@@ -410,6 +449,23 @@ object Privacy {
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "q241_reid_risk" ->
+      """WITH cells AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_band,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM customer GROUP BY 1, 2, 3),
+         b AS (
+           SELECT least(k, 6) AS k_bucket,
+                  CAST(count(*) AS BIGINT) AS n_classes,
+                  CAST(sum(k) AS BIGINT) AS n_rows
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM b),
+         grid AS (SELECT unnest(generate_series(1, 6)) AS k_bucket)
+         SELECT g.k_bucket, coalesce(b.n_classes, 0) AS n_classes,
+                coalesce(b.n_rows, 0) AS n_rows,
+                (coalesce(b.n_rows, 0) * 10000) // n_total AS share_bp
+         FROM grid g LEFT JOIN b USING (k_bucket) CROSS JOIN tot""",
     "q148_dp_counts" ->
       s"""WITH cells AS (
            SELECT o_orderstatus AS status,

@@ -717,11 +717,17 @@ object Stats {
 
   /** q237 on ANY (event_type, ts) frame — spec'd on planted outage /
     * hiccup / single-day series beside the oracled corpus run. */
-  private[graft] def calendarGapsOf(ev: DataFrame): DataFrame = {
-    val daily = ev
+  private[graft] def calendarGapsOf(ev: DataFrame): DataFrame =
+    gapsFromDaily(ev
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The gap audit off an already-built (event_type, day, n) daily frame
+    * (epoch day) — one definition serves q237 and s28's maintained
+    * table.
+    */
+  private[graft] def gapsFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     daily
       .withColumn("gap", col("day") - lag(col("day"), 1).over(w) - lit(1L))

@@ -2375,8 +2375,15 @@ object TextAnalysis {
     * vocab×sources-bounded frames (the corpus-total fold, the broadcast
     * per-source totals, the term sum).
     */
-  def q232SourceKl(s: SparkSession, dir: String): DataFrame = {
-    val st = Tables.documents(s, dir)
+  def q232SourceKl(s: SparkSession, dir: String): DataFrame =
+    sourceKlOf(Tables.documents(s, dir))
+
+  /** q232 on ANY (source, text) frame — also serves
+    * [[graft.CorpusPipeline.klReport]], which regenerates the mixture
+    * distance over the PUBLISHED corpus on every pipeline run.
+    */
+  private[graft] def sourceKlOf(docs: DataFrame): DataFrame = {
+    val st = docs
       .select(col("source"), explode(graft.functions.Tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // two consumers: the vocab fold + the term pass

@@ -61,6 +61,12 @@ object TrendMonitor {
   def slope(daily: DataFrame): DataFrame =
     graft.operators.Stats.slopeFromDaily(daily)
 
+  /** q237's calendar-gap audit from the same maintained counts — the
+    * online outage table: a feed that stops arriving grows its trailing
+    * gap one micro-batch after the next feed's day lands. */
+  def gaps(daily: DataFrame): DataFrame =
+    graft.operators.Stats.gapsFromDaily(daily)
+
   /** The stream: events in, touched daily-count cells out via
     * `publishDelta(delta, batchId)`.
     */

@@ -84,6 +84,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // corpus-relative flags are live on the published corpus too: some
     // axis separates the sources
     assert(report.map(_.getAs[Long]("risk")).distinct.length > 1)
+
+    // the post-publish mixture read: q232's KL over the SAME published
+    // frame, row-for-row (one sourceKlOf definition)
+    val gotKl = CorpusPipeline.klReport(published).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("kl_micro")).map(_.asInstanceOf[Long]))).toSet
+    val wantKl = TextAnalysis.sourceKlOf(
+        published.withColumnRenamed("clean_text", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("kl_micro")).map(_.asInstanceOf[Long]))).toSet
+    assert(gotKl == wantKl && gotKl.nonEmpty, "klReport != q232 over published")
   }
 
   test("substr-cut stage: non-owners lose the shared span, owner keeps it, fully-cut docs drop") {

@@ -868,4 +868,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L, 5L, 10L, 11L).forall(merged(_) == 1L))
     assert(merged(30L) == 30L && merged(31L) == 30L)
   }
+
+  test("q240 calibration buckets reconcile with the oracled q29+q31 pair tables") {
+    val buckets = Dedup.q240MinhashCalibration(spark, sf).collect()
+      .map(r => r.getAs[Long]("est_matches") -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("mean_jaccard_bp"), r.getAs[Long]("min_jaccard_bp"),
+        r.getAs[Long]("max_jaccard_bp"), r.getAs[Long]("est_bp")))).toMap
+    // q31 emits exactly the pairs q240 calibrates (LSH candidates with
+    // >= 1 shared shingle); its rounded-4 jaccard doubles ARE integer bp
+    val jacBp = graft.operators.Dedup.q31NgramJaccard(spark, sf).collect()
+      .map(r => math.round(r.getAs[Double]("jaccard") * 10000))
+    assert(buckets.values.map(_._1).sum == jacBp.length.toLong,
+      s"bucket mass ${buckets.values.map(_._1).sum} != q31 pairs ${jacBp.length}")
+    // q240 floors (integer DIV), q31 rounds to nearest 1e-4 — the two
+    // renderings of the same exact ratio differ by at most 1 bp
+    assert(math.abs(buckets.values.map(_._3).min - jacBp.min) <= 1)
+    assert(math.abs(buckets.values.map(_._4).max - jacBp.max) <= 1)
+    // structural: agreement in 2..16 (a shared band forces 2 equal
+    // positions), est_bp = est/16, mean inside [min, max]
+    assert(buckets.keys.forall(k => k >= 2L && k <= 16L))
+    buckets.foreach { case (k, (_, mean, mn, mx, est)) =>
+      assert(est == k * 10000 / 16)
+      assert(mean >= mn && mean <= mx, s"bucket $k mean $mean outside [$mn,$mx]")
+    }
+    // calibration liveness: near-dup mass agrees at all 16 positions and
+    // that bucket's TRUE jaccard is high (the estimator is honest where
+    // it claims 10000), and the estimator separates: the full-agreement
+    // bucket's mean dominates the weakest bucket's
+    assert(buckets.contains(16L), buckets.keySet.toString)
+    assert(buckets(16L)._2 >= 9000L, buckets(16L).toString)
+    assert(buckets.size > 1 && buckets(16L)._2 >= buckets(buckets.keys.min)._2)
+  }
 }

@@ -171,4 +171,27 @@ class PrivacySpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[String]("granularity") != "day"),
       "no generalized cell at spec SF - cascade untested")
   }
+
+  test("q241 reid risk equals a driver-side equivalence-class recompute; grid complete") {
+    val got = Privacy.q241ReidRisk(spark, sf).collect()
+      .map(r => r.getAs[Long]("k_bucket") -> ((r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("share_bp")))).toMap
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 100.0).toLong))
+      .groupBy(identity).values.map(_.length.toLong).toSeq
+    val total = classes.sum
+    val ref = (1L to 6L).map { b =>
+      val ks = classes.filter(k => math.min(k, 6L) == b)
+      b -> ((ks.length.toLong, ks.sum, ks.sum * 10000L / total))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the grid is complete, shares cover the table, and the synthetic
+    // customers carry REAL singleton (directly re-identifiable) cells —
+    // the row the whole audit exists to surface
+    assert(got.keySet == (1L to 6L).toSet)
+    assert(got.values.map(_._2).sum == total)
+    assert(got(1L)._1 > 0L, "no unique QI tuples at spec SF - audit untested")
+  }
 }

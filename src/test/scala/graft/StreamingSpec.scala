@@ -744,6 +744,13 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         Option(r.getAs[Any]("slope_x1000")).map(_.asInstanceOf[Long]))).toSet
     assert(gotSlope == wantSlope, "streamed slope != batch q235")
+    val gotGaps = graft.streaming.TrendMonitor.gaps(store().get._1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(6),
+        r.getLong(7))).toSet
+    val wantGaps = graft.operators.Stats.q237CalendarGaps(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(6),
+        r.getLong(7))).toSet
+    assert(gotGaps == wantGaps, "streamed gaps != batch q237")
     // at-least-once replay: an already-applied batch id must be skipped
     // (additive counters would double-count), a new id must apply
     val frag = Tables.events(s0, sf).limit(10)
