@@ -811,7 +811,56 @@ object Events {
           .as("twa_cents"))
   }
 
+  /** q243: user RETURN curve at day lags 1..14 — "of the users active on
+    * day t, what share is active again on day t+k": the user-level twin
+    * of q234's volume ACF (volume can echo weekly while the PEOPLE churn
+    * — this is the column that tells them apart) and the day-granular
+    * complement of q79's weekly cohorts / q137's trailing-window
+    * stickiness. Gap-honest like q234: day t enters lag k's denominator
+    * only if day t+k is an OBSERVED day (a feed outage neither fabricates
+    * zero-return days nor dilutes the curve).
+    *
+    * Exactness: pure distinct-count integers; return_bp one all-positive
+    * DIV of two exact sums; the 1..14 grid left-joins so empty lags row
+    * honestly (n_day_pairs 0, NULL return_bp).
+    *
+    * Shape: ONE event-scale exchange — the (user, day) DISTINCT (q137's
+    * argument: everything after scales with the persisted activity
+    * table, |users|×|days|, not events). The user self-join on (user,
+    * day+k) and the day-pair denominators run on that frame and the
+    * calendar-bounded day list; the fold lands on 14 rows.
+    */
+  def q243ReturnCurve(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // three consumers: both join sides + day sizes
+    val daySizes = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      .localCheckpoint() // two consumers: both day-pair sides
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    val den = daySizes.as("x")
+      .crossJoin(lags)
+      .join(daySizes.as("y"), col("y.day") === col("x.day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_day_pairs"), sum(col("x.n_active")).as("n_at_risk"))
+    val num = ud.as("a")
+      .crossJoin(lags)
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.day") === col("a.day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_returned"))
+    lags.join(den, Seq("lag"), "left").join(num, Seq("lag"), "left")
+      .select(col("lag"),
+        coalesce(col("n_day_pairs"), lit(0L)).as("n_day_pairs"),
+        coalesce(col("n_at_risk"), lit(0L)).as("n_at_risk"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        expr("""CASE WHEN coalesce(n_at_risk, 0) > 0
+                     THEN (coalesce(n_returned, 0) * 10000) DIV n_at_risk
+                END""").as("return_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_return_curve" -> (q243ReturnCurve _),
     "q217_diurnal_entropy" -> (q217DiurnalEntropy _),
     "q149_time_weighted" -> (q149TimeWeighted _),
     "q138_interval_union" -> (q138IntervalUnion _),
@@ -843,6 +892,30 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q243_return_curve" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         ds AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+                FROM ud GROUP BY 1),
+         lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+         den AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n_day_pairs,
+                  CAST(sum(x.n_active) AS BIGINT) AS n_at_risk
+           FROM ds x CROSS JOIN lags JOIN ds y ON y.day = x.day + lag
+           GROUP BY 1),
+         num AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n_returned
+           FROM ud a CROSS JOIN lags
+           JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + lag
+           GROUP BY 1)
+         SELECT l.lag, coalesce(d.n_day_pairs, 0) AS n_day_pairs,
+                coalesce(d.n_at_risk, 0) AS n_at_risk,
+                coalesce(n.n_returned, 0) AS n_returned,
+                CASE WHEN coalesce(d.n_at_risk, 0) > 0
+                     THEN (coalesce(n.n_returned, 0) * 10000) // d.n_at_risk
+                END AS return_bp
+         FROM lags l LEFT JOIN den d USING (lag) LEFT JOIN num n USING (lag)""",
     "q217_diurnal_entropy" -> {
       val base = graft.operators.Entropy.dominantAndEntropySql(
         "SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, " +

@@ -2560,7 +2560,67 @@ object TextAnalysis {
           .as("skew_bp"))
   }
 
+  /** The z formula for q242 — one textual definition on both engines
+    * (q104's shared-formula discipline): a source's test-split doc count
+    * against the corpus-wide test rate, pooled binomial normal
+    * approximation. Expects columns n_test, n_docs, gt, gn. */
+  private val splitZSql: String =
+    """CASE WHEN gt > 0 AND gt < gn THEN
+         round((CAST(n_test AS DOUBLE)
+                - CAST(n_docs AS DOUBLE) * (CAST(gt AS DOUBLE) / CAST(gn AS DOUBLE))) /
+               sqrt(CAST(n_docs AS DOUBLE)
+                    * (CAST(gt AS DOUBLE) / CAST(gn AS DOUBLE))
+                    * (1.0 - CAST(gt AS DOUBLE) / CAST(gn AS DOUBLE))), 4)
+       END"""
+
+  /** q242: SPLIT-BALANCE audit — is q74's deterministic md5 split FAIR
+    * per source? The hash coin is uniform over doc_ids, but a source's
+    * docs are a finite sample: per source, test-split doc and token
+    * shares plus a pooled-binomial z against the corpus-wide test rate
+    * (q104's machinery on the split axis). |z| ≥ ~2 on a big source
+    * says its eval slice over/under-represents it — every benchmark
+    * number computed on that slice inherits the skew; the token-share
+    * column catches the subtler failure where doc counts balance but a
+    * few giant docs drag the test token mass. q178 audits split
+    * CONTAMINATION (shared content across splits); this audits split
+    * COMPOSITION. One split definition: q74's exact coin ([[md5Coin]] /
+    * [[duckCoin]] + the 204/230 thresholds).
+    *
+    * Exactness: counts and token sums are exact integers off the
+    * projection; the shares are all-positive DIVs; z is ONE shared
+    * double formula ([[splitZSql]]) over four exact integers, NULL when
+    * the corpus has a degenerate (empty/full) test split.
+    *
+    * Shape: one corpus scan projected to (source, split, TokenCount) —
+    * text never shuffles — map-side-combined to the |sources|×3 cell
+    * frame (checkpointed for its two consumers); everything after is
+    * tiny, totals broadcast.
+    */
+  def q242SplitBalance(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .withColumn("coin", md5Coin(col("doc_id")))
+      .select(col("source"),
+        when(col("coin") < 204, "train").when(col("coin") < 230, "val")
+          .otherwise("test").as("split"),
+        graft.functions.TokenCount(col("text")).as("nt"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("tok"))
+      .localCheckpoint() // two consumers: the per-source fold + totals
+    val bySrc = cells.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(when(col("split") === "test", col("n")).otherwise(0L)).as("n_test"),
+        sum(when(col("split") === "test", col("tok")).otherwise(0L)).as("tok_test"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("gn"), sum(col("n_test")).as("gt"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_test"),
+        expr("(n_test * 10000) DIV n_docs").as("test_bp"),
+        expr("(tok_test * 10000) DIV n_tokens").as("test_tokens_bp"),
+        expr("(gt * 10000) DIV gn").as("corpus_test_bp"),
+        expr(splitZSql).as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_split_balance" -> (q242SplitBalance _),
     "q239_shard_plan" -> (q239ShardPlan _),
     "q178_split_leakage" -> (q178SplitLeakage _),
     "q232_source_kl" -> (q232SourceKl _),
@@ -3533,6 +3593,36 @@ object TextAnalysis {
                                      AS content_hash
                             FROM documents))""")})"""
     },
+    "q242_split_balance" ->
+      s"""WITH c AS (
+           SELECT source,
+                  CASE WHEN ${duckCoin("doc_id")} < 204 THEN 'train'
+                       WHEN ${duckCoin("doc_id")} < 230 THEN 'val'
+                       ELSE 'test' END AS split,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         cells AS (
+           SELECT source, split, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(nt) AS BIGINT) AS tok
+           FROM c GROUP BY 1, 2),
+         bysrc AS (
+           SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                  CAST(sum(tok) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN split = 'test' THEN n ELSE 0 END)
+                    AS BIGINT) AS n_test,
+                  CAST(sum(CASE WHEN split = 'test' THEN tok ELSE 0 END)
+                    AS BIGINT) AS tok_test
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+                        CAST(sum(n_test) AS BIGINT) AS gt
+                 FROM bysrc)
+         SELECT source, n_docs, n_test,
+                (n_test * 10000) // n_docs AS test_bp,
+                (tok_test * 10000) // n_tokens AS test_tokens_bp,
+                (gt * 10000) // gn AS corpus_test_bp,
+                $splitZSql AS z_score
+         FROM bysrc CROSS JOIN tot""",
     "q239_shard_plan" ->
       s"""WITH src AS (
            SELECT source,

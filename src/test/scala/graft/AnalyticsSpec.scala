@@ -776,4 +776,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sizes.values.sum == Tables.orders(spark, sf)
       .select("o_custkey").distinct().count())
   }
+
+  test("q243 return curve equals a driver-side activity-set recompute; gap-honest denominators") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = Events.q243ReturnCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") -> ((r.getAs[Long]("n_day_pairs"),
+        r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_returned"),
+        Option(r.getAs[Any]("return_bp")).map(_.asInstanceOf[Long])))).toMap
+    assert(got.keySet == (1L to 14L).toSet)
+    for (k <- 1L to 14L) {
+      val ts = byDay.keys.filter(d => byDay.contains(d + k)).toSeq
+      val atRisk = ts.map(t => byDay(t).size.toLong).sum
+      val returned = ts.map(t => (byDay(t) intersect byDay(t + k)).size.toLong).sum
+      val bp = if (atRisk > 0) Some(returned * 10000L / atRisk) else None
+      assert(got(k) == ((ts.length.toLong, atRisk, returned, bp)), s"lag $k: ${got(k)}")
+    }
+    // the synthetic stream has real repeat users: some lag shows returns
+    assert(got.values.exists(_._3 > 0L))
+  }
+
+  test("q242 split balance equals a driver-side coin recompute; shares cover each source") {
+    import java.security.MessageDigest
+    def coin(id: Long): Int = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0) & 0xf0) >> 4) * 16 + (h(0) & 0x0f)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), coin(r.getLong(0)) >= 230,
+        r.getString(2).split(" ", -1).count(_.nonEmpty).toLong))
+    val gn = docs.length.toLong
+    val gt = docs.count(_._2).toLong
+    val p = gt.toDouble / gn.toDouble
+    val ref = docs.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val nTest = rows.count(_._2).toLong
+      val tok = rows.map(_._3).sum
+      val tokTest = rows.filter(_._2).map(_._3).sum
+      val z =
+        if (gt > 0 && gt < gn)
+          Some(BigDecimal((nTest.toDouble - n.toDouble * p) /
+            math.sqrt(n.toDouble * p * (1.0 - p)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      src -> ((n, nTest, nTest * 10000L / n, tokTest * 10000L / tok,
+        gt * 10000L / gn, z))
+    }
+    val rows = graft.operators.TextAnalysis.q242SplitBalance(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_test"), r.getAs[Long]("test_bp"),
+        r.getAs[Long]("test_tokens_bp"), r.getAs[Long]("corpus_test_bp"),
+        Option(r.getAs[Any]("z_score")).map(_.asInstanceOf[Double])))).toMap
+    assert(rows == ref, s"got $rows\nref $ref")
+    // the audit is live: every source rows, and the test split is real
+    // (nonempty and not the whole corpus)
+    assert(rows.keySet == docs.map(_._1).toSet && gt > 0 && gt < gn)
+  }
 }
