@@ -626,9 +626,7 @@ object Dedup {
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val mhc = mh.join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
+    val mhc = mh.join(maybeBroadcast(candidateIdsOf(cand)), Seq("doc_id"), "left_semi")
       .localCheckpoint() // two consumers: both pair sides
     val est = (0 until NumHashes)
       .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -709,11 +707,16 @@ object Dedup {
     val candSmall = cand.count() <=
       s.conf.getOption("graft.dedup.candBroadcastMaxRows").map(_.toLong).getOrElse(1000000L)
     val maybeBroadcast = (df: DataFrame) => if (candSmall) broadcast(df) else df
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candDocs = Tables.documents(s, dir)
-      .join(maybeBroadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(maybeBroadcast(candidateIdsOf(cand)), Seq("doc_id"), "left_semi")
     (cand, maybeBroadcast, candDocs)
   }
+
+  /** The distinct doc ids touched by a (doc_a, doc_b) pair frame — ONE
+    * definition for every candidate semi-prune (the corpus prune above,
+    * q240's signature prune). */
+  private def candidateIdsOf(cand: DataFrame): DataFrame =
+    cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
 
   /** q70: edit-distance confirmation of the LSH candidate pairs — the
     * character-level verifier a fuzzy-dedup pipeline runs after banding

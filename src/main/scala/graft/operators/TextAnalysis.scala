@@ -2596,8 +2596,14 @@ object TextAnalysis {
     * frame (checkpointed for its two consumers); everything after is
     * tiny, totals broadcast.
     */
-  def q242SplitBalance(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
+  def q242SplitBalance(s: SparkSession, dir: String): DataFrame =
+    splitBalanceOf(Tables.documents(s, dir))
+
+  /** q242 on ANY (doc_id, source, text) frame — spec'd on a planted
+    * all-empty-text source (token share must NULL, not crash or drop the
+    * row) beside the oracled corpus run. */
+  private[graft] def splitBalanceOf(docs: DataFrame): DataFrame = {
+    val cells = docs
       .withColumn("coin", md5Coin(col("doc_id")))
       .select(col("source"),
         when(col("coin") < 204, "train").when(col("coin") < 230, "val")
@@ -2614,7 +2620,13 @@ object TextAnalysis {
     bySrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_test"),
         expr("(n_test * 10000) DIV n_docs").as("test_bp"),
-        expr("(tok_test * 10000) DIV n_tokens").as("test_tokens_bp"),
+        // an all-empty-text source has n_tokens = 0: NULL its token share
+        // identically on both engines (DuckDB // raises on /0, Spark DIV
+        // NULLs — the CASE removes the divergence) instead of dropping
+        // the source
+        expr("""CASE WHEN n_tokens > 0
+                     THEN (tok_test * 10000) DIV n_tokens END""")
+          .as("test_tokens_bp"),
         expr("(gt * 10000) DIV gn").as("corpus_test_bp"),
         expr(splitZSql).as("z_score"))
   }
@@ -3619,7 +3631,8 @@ object TextAnalysis {
                  FROM bysrc)
          SELECT source, n_docs, n_test,
                 (n_test * 10000) // n_docs AS test_bp,
-                (tok_test * 10000) // n_tokens AS test_tokens_bp,
+                CASE WHEN n_tokens > 0
+                     THEN (tok_test * 10000) // n_tokens END AS test_tokens_bp,
                 (gt * 10000) // gn AS corpus_test_bp,
                 $splitZSql AS z_score
          FROM bysrc CROSS JOIN tot""",

@@ -822,17 +822,31 @@ class AnalyticsSpec extends AnyFunSuite {
             math.sqrt(n.toDouble * p * (1.0 - p)))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         else None
-      src -> ((n, nTest, nTest * 10000L / n, tokTest * 10000L / tok,
+      src -> ((n, nTest, nTest * 10000L / n,
+        if (tok > 0) Some(tokTest * 10000L / tok) else None,
         gt * 10000L / gn, z))
     }
     val rows = graft.operators.TextAnalysis.q242SplitBalance(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_test"), r.getAs[Long]("test_bp"),
-        r.getAs[Long]("test_tokens_bp"), r.getAs[Long]("corpus_test_bp"),
+        Option(r.getAs[Any]("test_tokens_bp")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("corpus_test_bp"),
         Option(r.getAs[Any]("z_score")).map(_.asInstanceOf[Double])))).toMap
     assert(rows == ref, s"got $rows\nref $ref")
     // the audit is live: every source rows, and the test split is real
     // (nonempty and not the whole corpus)
     assert(rows.keySet == docs.map(_._1).toSet && gt > 0 && gt < gn)
+    // planted all-empty-text source: its token share must NULL (not
+    // crash, not drop the row) while its doc-side columns stay live
+    import TestSpark.spark.implicits._
+    val planted = ((1L to 40L).map(i => (i, "empty", "")) ++
+        (41L to 80L).map(i => (i, "full", "alpha beta gamma")))
+      .toDF("doc_id", "source", "text")
+    val pl = graft.operators.TextAnalysis.splitBalanceOf(planted).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"),
+          Option(r.getAs[Any]("test_tokens_bp")).map(_.asInstanceOf[Long])))).toMap
+    assert(pl("empty")._1 == 40L && pl("empty")._2.isEmpty, pl("empty").toString)
+    assert(pl("full")._1 == 40L && pl("full")._2.isDefined, pl("full").toString)
   }
 }
