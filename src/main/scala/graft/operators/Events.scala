@@ -830,11 +830,18 @@ object Events {
     * day+k) and the day-pair denominators run on that frame and the
     * calendar-bounded day list; the fold lands on 14 rows.
     */
-  def q243ReturnCurve(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
+  def q243ReturnCurve(s: SparkSession, dir: String): DataFrame =
+    returnCurveFromActivity(Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .distinct()
+      .distinct())
+
+  /** The return-curve estimator off an already-built DISTINCT
+    * (user_id, day) activity frame — one definition serves q243 and
+    * s29's maintained activity set. */
+  private[graft] def returnCurveFromActivity(activity: DataFrame): DataFrame = {
+    val ud = activity
       .localCheckpoint() // three consumers: both join sides + day sizes
+    val s = ud.sparkSession
     val daySizes = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
       .localCheckpoint() // two consumers: both day-pair sides
     val lags = s.range(1, 15).select(col("id").as("lag"))

@@ -760,4 +760,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.TrendMonitor.dailyCountsBatch(store(), frag, last).isEmpty)
     assert(graft.streaming.TrendMonitor.dailyCountsBatch(store(), frag, last + 1L).isDefined)
   }
+
+  test("s29 streaming activity monitor converges to the batch q243 curve; deltas are new cells only") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val evs = Tables.events(s0, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    val cells = scala.collection.mutable.Set.empty[(Long, Long)]
+    var lastId = Option.empty[Long]
+    var published = 0L // every delta row must be NEW (set-union delta)
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map(id => (cells.toSeq.toDF("user_id", "day"), id))
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        val cell = (r.getAs[Long]("user_id"), r.getAs[Long]("day"))
+        assert(!cells(cell), s"delta re-published existing cell $cell")
+        cells += cell; published += 1
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.ActivityMonitor.activityStream(
+      ms.toDS().toDF("user_id", "ts"), store _)(publishDelta).start()
+    try {
+      // mid-day/mid-user splits: later batches re-send already-published
+      // (user, day) cells, which must dedupe to nothing
+      val (b1, rest) = evs.splitAt(evs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val rebuild = Tables.events(s0, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells.toSet == rebuild, "maintained activity != batch rebuild")
+    assert(published == rebuild.size.toLong, "deltas re-shipped known cells")
+    val got = graft.streaming.ActivityMonitor.returnCurve(store().get._1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("return_bp")).map(_.asInstanceOf[Long]))).toSet
+    val want = graft.operators.Events.q243ReturnCurve(s0, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("return_bp")).map(_.asInstanceOf[Long]))).toSet
+    assert(got == want, "streamed return curve != batch q243")
+    // replay guard: an applied id skips; a new id with known cells
+    // yields an EMPTY delta (idempotent union), not a duplicate
+    val frag = Tables.events(s0, sf).limit(10)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val last = lastId.get
+    assert(graft.streaming.ActivityMonitor.activityBatch(store(), frag, last).isEmpty)
+    val redelta = graft.streaming.ActivityMonitor.activityBatch(store(), frag, last + 1L)
+    assert(redelta.isDefined && redelta.get.count() == 0L)
+  }
 }
