@@ -696,6 +696,47 @@ object Analytics {
                                  CAST(n_days * sd2 - sd * sd AS DOUBLE))),
                           0.0) AS BIGINT) END""").as("strength_bp"))
 
+  /** q244: revenue-concentration HHI per market segment — the antitrust
+    * verdict next to q105's Gini (Gini measures inequality of the whole
+    * distribution; Herfindahl measures how few heads CARRY it —
+    * a segment can be Gini-equal yet HHI-concentrated): per segment,
+    * customer count, revenue cents, HHI ×10⁴ (Σ share², the classic
+    * 0–10000 scale where > 2500 reads "highly concentrated") and the
+    * effective head count 1/HHI ×100 — "this segment behaves like N
+    * equal customers", the number a capacity/risk planner actually uses.
+    *
+    * Exactness: per-customer revenue is exact integer cents; Σs² and S²
+    * run in DECIMAL(38,0)/HUGEINT (cents² ~ 1e18 × 1e7 customers
+    * overflows BIGINT — the widening rule); HHI and effective-n are each
+    * ONE round(double/double) over those exact integers.
+    *
+    * Shape: one orders scan → per-customer fold (map-side combined) ⋈
+    * broadcast customer dim → per-segment Σs/Σs² fold; nothing after the
+    * first agg exceeds |customers| rows.
+    */
+  def q244Hhi(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    perCust
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("s2"))
+      .select(col("c_mktsegment").as("mktsegment"), col("n_customers"),
+        // BIGINT rendering for the oracle hash (HUGEINT renders float in
+        // pandas) — the exact DECIMAL stays internal to the ratio math
+        expr("CAST(s1 AS BIGINT)").as("revenue_cents"),
+        expr("""CAST(round(10000.0 * CAST(s2 AS DOUBLE) /
+                (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)""")
+          .as("hhi_x10000"),
+        expr("""CAST(round(100.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                CAST(s2 AS DOUBLE)) AS BIGINT)""").as("effective_n_x100"))
+  }
+
   /** q182: seasonal-naive forecast backtest — before anyone trains on
     * q177's features, the baseline every volume model must beat:
     * forecast(d) = n(d−7) (seasonal naive) vs n(d−1) (naive), scored
@@ -777,6 +818,7 @@ object Analytics {
     "q183_cohort_ltv"      -> (q183CohortLtv _),
     "q181_stl_decompose"   -> (q181StlDecompose _),
     "q238_seasonal_strength" -> (q238SeasonalStrength _),
+    "q244_hhi"             -> (q244Hhi _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
@@ -877,6 +919,26 @@ object Analytics {
          SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
                 cum_rev_cents // cohort_n AS ltv_cents_per_cust
          FROM w""",
+    "q244_hhi" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         seg AS (
+           SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                  sum(CAST(cents AS HUGEINT)) AS s1,
+                  sum(CAST(cents AS HUGEINT) * cents) AS s2
+           FROM pc JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1)
+         SELECT c_mktsegment AS mktsegment, n_customers,
+                CAST(s1 AS BIGINT) AS revenue_cents,
+                CAST(round(10000.0 * CAST(s2 AS DOUBLE) /
+                     (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS BIGINT)
+                  AS hhi_x10000,
+                CAST(round(100.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                     CAST(s2 AS DOUBLE)) AS BIGINT) AS effective_n_x100
+         FROM seg""",
     "q181_stl_decompose" -> s"""$stlSql
          SELECT event_type, day, dow7, n AS n_events,
                 trend_micro, seasonal_micro, residual_micro

@@ -849,4 +849,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pl("empty")._1 == 40L && pl("empty")._2.isEmpty, pl("empty").toString)
     assert(pl("full")._1 == 40L && pl("full")._2.isDefined, pl("full").toString)
   }
+
+  test("q244 HHI equals a driver-side BigInt recompute; Herfindahl bounds hold") {
+    val perCust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "cents").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val ref = perCust.groupBy(_._1).map { case (seg, rows) =>
+      val s1 = rows.map(_._2).sum
+      val s2 = rows.map(r => r._2 * r._2).sum
+      seg -> ((rows.length.toLong, s1.toLong,
+        BigDecimal(10000.0 * s2.toDouble / (s1.toDouble * s1.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        BigDecimal(100.0 * s1.toDouble * s1.toDouble / s2.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val got = Analytics.q244Hhi(spark, sf).collect()
+      .map(r => r.getAs[String]("mktsegment") -> ((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("revenue_cents"), r.getAs[Long]("hhi_x10000"),
+        r.getAs[Long]("effective_n_x100")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // Herfindahl bounds: 10000/n <= HHI <= 10000 and effective n <= n;
+    // on the near-uniform synthetic revenues the segments sit far from
+    // monopoly (liveness: the verdict separates from the degenerate ends)
+    got.foreach { case (seg, (n, _, hhi, effN)) =>
+      assert(hhi >= 10000L / n && hhi <= 10000L, s"$seg hhi $hhi n $n")
+      assert(effN <= n * 100L && effN >= 100L, s"$seg effN $effN")
+    }
+    assert(got.values.exists(v => v._3 < 2500L))
+  }
 }
