@@ -695,6 +695,90 @@ object Stats {
       .select(col("event_type"), col("n_days"), col("n_pairs"), col("slope_x1000"))
   }
 
+  /** q245: Kruskal–Wallis day-of-week test per event type — does the
+    * weekday MATTER for this feed's daily volume? The significance test
+    * completing the seasonal family: q238 measures HOW MUCH of the
+    * variance the dow-7 seasonal explains, this says whether the effect
+    * clears chance at all (rank-based, so a single spike day cannot
+    * fake a weekly pattern the way it can inflate q238's variance
+    * ratio). Daily counts are the samples, the 7 weekdays the groups;
+    * tie-corrected H ×1000 with the classic χ²(6) 5% bar (12.592).
+    *
+    * Exactness: q171's value-domain midrank discipline per type — per
+    * (type, count-value): tie size and per-dow occupancy fold on the
+    * calendar-bounded frame, doubled rank sums 2·R_g = Σ n_gv·(2·cum +
+    * t + 1) stay exact integers, and H/tie-correction is ONE double
+    * formula over six exact integer statistics. Degenerate types (all
+    * days equal → zero tie-corrected variance, or a single day) emit
+    * NULL h and verdict 'none'.
+    *
+    * Shape: one scan → (type, day) agg; every later frame is bounded by
+    * |types| × the count-value domain. The (d+4) mod 7 weekday is the
+    * engine-portable q112/q181 form.
+    */
+  def q245KruskalDow(s: SparkSession, dir: String): DataFrame =
+    kruskalDowOf(Tables.events(s, dir))
+
+  /** q245 on ANY (event_type, ts) frame — spec'd on planted
+    * strong-weekly / flat / constant series beside the oracled corpus
+    * run. */
+  private[graft] def kruskalDowOf(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), expr("((day + 4) % 7)").as("dow"))
+      .groupBy(col("event_type"), col("n"), col("dow"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // two consumers: the tie fold + the group fold
+    val ties = cells.groupBy(col("event_type"), col("n"))
+      .agg(sum(col("cnt")).as("t"))
+      .withColumn("cum_before", coalesce(
+        sum(col("t")).over(Window.partitionBy(col("event_type")).orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the 7 groups pivot to FIXED columns so the Σ R_g²/n_g double sum is
+    // one literal 7-term expression in one textual order on both engines
+    // (the q120 fixed-order rule — a per-group divide inside a SUM() would
+    // accumulate in engine-dependent order); rank sums fit BIGINT to
+    // ~2e6 observed days per type (2·N²)
+    val groups = cells.join(ties.select(col("event_type"), col("n"),
+        col("t"), col("cum_before")), Seq("event_type", "n"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(expr("cnt * (2 * cum_before + t + 1)")).as("r2"))
+    val pivotCols = (0 until 7).flatMap(d => Seq(
+      coalesce(sum(when(col("dow") === d, col("n_g"))), lit(0L)).as(s"n_$d"),
+      coalesce(sum(when(col("dow") === d, col("r2"))), lit(0L)).as(s"r2_$d")))
+    val perTypeAggs =
+      sum(col("n_g")).as("n_days") +: count(lit(1)).as("n_groups") +: pivotCols
+    val perType = groups.groupBy(col("event_type"))
+      .agg(perTypeAggs.head, perTypeAggs.tail: _*)
+    val tieSum = ties.groupBy(col("event_type"))
+      .agg(sum(expr("t * (t * t - 1)")).as("tsum"))
+    perType.join(tieSum, Seq("event_type"))
+      .withColumn("h_x1000", expr(
+        s"""CASE WHEN n_days > 1
+                  AND CAST(tsum AS DOUBLE) <
+                      CAST(n_days AS DOUBLE) * n_days * n_days - n_days
+                 THEN CAST(round(1000.0 *
+                   ((12.0 / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 1.0))
+                     * ($kwRankTermsSql)
+                     - 3.0 * (CAST(n_days AS DOUBLE) + 1.0))
+                    / (1.0 - CAST(tsum AS DOUBLE) /
+                       (CAST(n_days AS DOUBLE) * n_days * n_days - n_days))))
+                   AS BIGINT) END"""))
+      .select(col("event_type"), col("n_days"), col("n_groups"),
+        col("h_x1000"),
+        when(col("h_x1000").isNotNull && col("h_x1000") >= 12592L, "weekly")
+          .otherwise("none").as("dow_effect"))
+  }
+
+  /** The Σ R_g²/n_g term as one literal 7-summand expression over the
+    * pivoted (n_d, r2_d) columns — one text on both engines. */
+  private val kwRankTermsSql: String = (0 until 7).map(d =>
+    s"""CASE WHEN n_$d > 0 THEN CAST(r2_$d AS DOUBLE) * CAST(r2_$d AS DOUBLE)
+          / (4.0 * CAST(n_$d AS DOUBLE)) ELSE 0.0 END""").mkString(" + ")
+
   /** q237: calendar-GAP audit per event type — the feed-outage table the
     * gap-honest estimators (q95/q177/q182/q234's RANGE frames) assume
     * someone is actually reading: per type, observed days vs calendar
@@ -838,6 +922,7 @@ object Stats {
     "q234_acf"        -> (q234Acf _),
     "q235_theil_sen"  -> (q235TheilSen _),
     "q237_calendar_gaps" -> (q237CalendarGaps _),
+    "q245_kruskal_dow"   -> (q245KruskalDow _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -962,6 +1047,55 @@ object Stats {
                      THEN CAST(round(10000.0 * CAST(num AS DOUBLE) /
                           CAST(den AS DOUBLE)) AS BIGINT) END AS acf_bp
          FROM lags l LEFT JOIN pairs p USING (lag) CROSS JOIN den""",
+    "q245_kruskal_dow" -> {
+      val pivots = (0 until 7).map(d =>
+        s"""coalesce(CAST(sum(CASE WHEN dow = $d THEN n_g END) AS BIGINT), 0) AS n_$d,
+            coalesce(CAST(sum(CASE WHEN dow = $d THEN r2 END) AS BIGINT), 0) AS r2_$d""")
+        .mkString(",\n                  ")
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         cells AS (
+           SELECT event_type, n, (day + 4) % 7 AS dow,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM daily GROUP BY 1, 2, 3),
+         ties AS (
+           SELECT event_type, n, t,
+                  coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY n
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+           FROM (SELECT event_type, n, CAST(sum(cnt) AS BIGINT) AS t
+                 FROM cells GROUP BY 1, 2)),
+         g AS (
+           SELECT c.event_type, c.dow, CAST(sum(cnt) AS BIGINT) AS n_g,
+                  CAST(sum(cnt * (2 * cum_before + t + 1)) AS BIGINT) AS r2
+           FROM cells c JOIN ties ti USING (event_type, n)
+           GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, CAST(sum(n_g) AS BIGINT) AS n_days,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  $pivots
+           FROM g GROUP BY 1),
+         ts2 AS (SELECT event_type, CAST(sum(t * (t * t - 1)) AS BIGINT) AS tsum
+                 FROM ties GROUP BY 1),
+         h AS (
+           SELECT p.event_type, n_days, n_groups,
+                  CASE WHEN n_days > 1
+                        AND CAST(tsum AS DOUBLE) <
+                            CAST(n_days AS DOUBLE) * n_days * n_days - n_days
+                       THEN CAST(round(1000.0 *
+                         ((12.0 / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 1.0))
+                           * ($kwRankTermsSql)
+                           - 3.0 * (CAST(n_days AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tsum AS DOUBLE) /
+                             (CAST(n_days AS DOUBLE) * n_days * n_days - n_days))))
+                         AS BIGINT) END AS h_x1000
+           FROM p JOIN ts2 ON p.event_type = ts2.event_type)
+         SELECT event_type, n_days, n_groups, h_x1000,
+                CASE WHEN h_x1000 IS NOT NULL AND h_x1000 >= 12592
+                     THEN 'weekly' ELSE 'none' END AS dow_effect
+         FROM h""" },
     "q237_calendar_gaps" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -596,6 +596,79 @@ class StatsSpec extends AnyFunSuite {
     assert(p("oneday") == ((1L, 0L, None)), p("oneday").toString)
   }
 
+  test("q245 Kruskal-Wallis dow: driver midrank recompute; planted weekly/flat/alternating series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = daily.groupBy(_._1).map { case (et, rows) =>
+      val obs = rows.map(r => ((r._2 + 4) % 7, r._3)) // (dow, value)
+      val nD = obs.length.toLong
+      val tieSizes = obs.map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      var cum = 0L
+      val mid2 = tieSizes.keys.toSeq.sorted.map { v =>
+        val t = tieSizes(v); val m = 2 * cum + t + 1; cum += t; v -> m
+      }.toMap
+      val tsum = tieSizes.values.map(t => t * (t * t - 1)).sum
+      val h =
+        if (nD <= 1 || tsum.toDouble >= nD.toDouble * nD * nD - nD) None
+        else {
+          val terms = (0 until 7).map { d =>
+            val g = obs.filter(_._1 == d)
+            if (g.isEmpty) 0.0
+            else {
+              val r2 = g.map(o => mid2(o._2)).sum
+              r2.toDouble * r2.toDouble / (4.0 * g.length)
+            }
+          }.sum
+          Some((12.0 / (nD.toDouble * (nD.toDouble + 1.0)) * terms
+            - 3.0 * (nD.toDouble + 1.0)) /
+            (1.0 - tsum.toDouble / (nD.toDouble * nD * nD - nD)))
+        }
+      et -> ((nD, h.map(v => BigDecimal(v * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    }
+    val got = Stats.q245KruskalDow(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        Option(r.getAs[Any]("h_x1000")).map(_.asInstanceOf[Long]),
+        r.getAs[String]("dow_effect")))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (et, (nd, h, verdict)) =>
+      val (rd, rh) = ref(et)
+      assert(nd == rd, s"$et n_days")
+      // the engines' fixed 7-term sum vs the driver's may differ in the
+      // last ulp before the x1000 round
+      (h, rh) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1L, s"$et H $a vs $b")
+        case (a, b)             => assert(a == b, s"$et H $a vs $b")
+      }
+      assert(verdict == (if (h.exists(_ >= 12592L)) "weekly" else "none"), et)
+    }
+    // planted: a hard 7-day pattern (two 50-count days per cycle, rest
+    // 10) must verdict weekly; a constant feed has zero tie-corrected
+    // variance (NULL H, none); a period-2 alternation spreads evenly
+    // over the 7 dows (7 is odd) and must NOT fake a weekly effect
+    import TestSpark.spark.implicits._
+    def series(et: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(_ => (et, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T12:00:00Z")
+            .plusSeconds(86400L * d))))
+      }
+    val planted =
+      series("weekly", (0 until 70).map(d => if (d % 7 <= 1) 50 else 10)) ++
+      series("flat", Seq.fill(70)(7)) ++
+      series("alt", (0 until 70).map(d => if (d % 2 == 0) 10 else 11))
+    val p = Stats.kruskalDowOf(planted.toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((Option(r.getAs[Any]("h_x1000")).map(_.asInstanceOf[Long]),
+          r.getAs[String]("dow_effect")))).toMap
+    assert(p("weekly")._2 == "weekly", p("weekly").toString)
+    assert(p("flat") == ((None, "none")), p("flat").toString)
+    assert(p("alt")._2 == "none", p("alt").toString)
+  }
+
   test("q237 calendar gaps: driver recompute on the corpus; planted outage/hiccup/one-day feeds") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
