@@ -737,6 +737,44 @@ object Analytics {
                 CAST(s2 AS DOUBLE)) AS BIGINT)""").as("effective_n_x100"))
   }
 
+  /** q246: fulfillment-lag SLA table by order priority — days from order
+    * date to FIRST shipment per order, summarized per priority as exact
+    * median / p90 / max: the operations report that says whether the
+    * priority ladder is honored in practice (urgent orders should
+    * dominate the low-lag mass; a p90 inversion between adjacent
+    * priorities is an SLA breach the mean would smooth away).
+    *
+    * Exactness: the lag is a SUBTRACTION of two epoch-day integers (each
+    * a positive-operand div under the post-epoch contract) — never a div
+    * of a possibly-negative µs difference, whose truncate-vs-floor would
+    * split the engines on early-ship rows (the q86 trap); percentiles
+    * are the exact interpolated percentile ≡ quantile_cont (q117's
+    * parity rule) over integer days, ×100 rounded.
+    *
+    * Shape: one lineitem scan folds per order (map-side combined) and
+    * joins orders on the order key — the q03 shuffle-join family; the
+    * per-priority percentile runs on |orders| integer lags, grouped to
+    * the 5-row priority domain.
+    */
+  def q246ShipLag(s: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(expr("unix_micros(l_shipdate) div 86400000000")).as("ship_day"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_day"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("ship_day") - col("order_day")).as("lag_days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(round(percentile(lag_days, 0.5D) * 100) AS BIGINT)")
+          .as("p50_x100"),
+        expr("CAST(round(percentile(lag_days, 0.9D) * 100) AS BIGINT)")
+          .as("p90_x100"),
+        max(col("lag_days")).as("max_lag_days"))
+  }
+
   /** q182: seasonal-naive forecast backtest — before anyone trains on
     * q177's features, the baseline every volume model must beat:
     * forecast(d) = n(d−7) (seasonal naive) vs n(d−1) (naive), scored
@@ -819,6 +857,7 @@ object Analytics {
     "q181_stl_decompose"   -> (q181StlDecompose _),
     "q238_seasonal_strength" -> (q238SeasonalStrength _),
     "q244_hhi"             -> (q244Hhi _),
+    "q246_ship_lag"        -> (q246ShipLag _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
@@ -919,6 +958,22 @@ object Analytics {
          SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
                 cum_rev_cents // cohort_n AS ltv_cents_per_cust
          FROM w""",
+    "q246_ship_lag" ->
+      """WITH fs AS (
+           SELECT l_orderkey,
+                  min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+           FROM lineitem GROUP BY 1),
+         lag AS (
+           SELECT o_orderpriority AS priority,
+                  ship_day - (epoch_us(o_orderdate) // 86400000000) AS lag_days
+           FROM orders JOIN fs ON o_orderkey = l_orderkey)
+         SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(round(quantile_cont(lag_days, 0.5) * 100) AS BIGINT)
+                  AS p50_x100,
+                CAST(round(quantile_cont(lag_days, 0.9) * 100) AS BIGINT)
+                  AS p90_x100,
+                CAST(max(lag_days) AS BIGINT) AS max_lag_days
+         FROM lag GROUP BY 1""",
     "q244_hhi" ->
       """WITH pc AS (
            SELECT o_custkey,

@@ -881,4 +881,48 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.values.exists(v => v._3 < 2500L))
   }
+
+  test("q246 ship lag equals a driver-side percentile recompute per priority") {
+    val lags = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(min(expr("unix_micros(l_shipdate) div 86400000000")).as("ship_day"))
+      .join(Tables.orders(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - expr("unix_micros(o_orderdate) div 86400000000"))
+          .as("lag")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def pct(vs: Seq[Long], q: Double): Double = {
+      val s0 = vs.sorted
+      val idx = (s0.length - 1) * q
+      val lo = idx.toInt
+      if (lo + 1 >= s0.length) s0(lo).toDouble
+      else s0(lo) + (idx - lo) * (s0(lo + 1) - s0(lo))
+    }
+    val ref = lags.groupBy(_._1).map { case (pr, rows) =>
+      val vs = rows.map(_._2).toSeq
+      pr -> ((vs.length.toLong,
+        BigDecimal(pct(vs, 0.5) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        BigDecimal(pct(vs, 0.9) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        vs.max))
+    }
+    val got = Analytics.q246ShipLag(spark, sf).collect()
+      .map(r => r.getAs[String]("priority") -> ((r.getAs[Long]("n_orders"),
+        r.getAs[Long]("p50_x100"), r.getAs[Long]("p90_x100"),
+        r.getAs[Long]("max_lag_days")))).toMap
+    // the engine's interpolation vs the driver's may differ in the last
+    // ulp before the x100 round
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (pr, (n, p50, p90, mx)) =>
+      val (rn, r50, r90, rmx) = ref(pr)
+      assert(n == rn && mx == rmx, s"$pr sizes")
+      assert(math.abs(p50 - r50) <= 1L, s"$pr p50 $p50 vs $r50")
+      assert(math.abs(p90 - r90) <= 1L, s"$pr p90 $p90 vs $r90")
+    }
+    // every order with lineitems is represented exactly once
+    assert(got.values.map(_._1).sum ==
+      Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
+  }
 }
