@@ -72,9 +72,23 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // Dev-only filter (comma-separated names); driver sets nothing → all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // ---- interleaved load timeline ----
+    // The run-level sandwich only brackets the WHOLE run; three rounds of
+    // official artifacts have carried contention that arrived in run-order
+    // WINDOWS (r14: positions 70–92 and 223–245), which the sandwich cannot
+    // localize. A fixed-work spin pair every ~25 queries (~1 s each, ~10 s
+    // on a 246-query suite) gives the artifact its own contention timeline:
+    // a slow row inside a hot window self-attributes as load, no post-hoc
+    // census needed. Work per probe is IDENTICAL to the sandwich spins so
+    // the idle band (~430–470 ms) is directly comparable.
+    val timelineEvery = 25
+    val timeline = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
+      if (qIdx > 0 && qIdx % timelineEvery == 0)
+        timeline += ((name, spinMs(1), spinMs(nThreads)))
       // a failed iteration contributes NO time (its near-zero elapsed would
       // otherwise win the min and mask the breakage); failures surface in
       // an "errors" field instead. Per-iteration wall times and the GC time
@@ -121,8 +135,12 @@ object Bench {
     val spin1After = spinMs(1)
     val spinNAfter = spinMs(nThreads)
     val q01After = sparkControlSec
+    val timelineJson = timeline
+      .map { case (before, s1, sn) =>
+        s"""{"before_query":"$before","spin1_ms":$s1,"spinN_ms":$sn}""" }
+      .mkString("[", ",", "]")
     val loadControl =
-      f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f}"""
+      f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f,"load_timeline":$timelineJson}"""
     val total = ok.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"load_control":$loadControl,"sf":"$sfDir","total_sec":$total%.3f}"""

@@ -998,10 +998,21 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band_id, " +
         s"m${2 * b}::VARCHAR || ':' || m${2 * b + 1}::VARCHAR AS sig FROM mh")
       .mkString(" UNION ALL ")
+    // every Spark-side candidate path funnels through [[expandPairs]]'s
+    // hot-bucket guard (buckets > graft.dedup.maxBucketSize=4096 dropped,
+    // not expanded); the oracle must drop the SAME buckets or a corpus
+    // with a hot bucket would make the engines disagree — so the cap is
+    // inlined HERE, once, and every oracle that joins `bands` against
+    // itself (q29/q31/q199/q240/q210 and the q56/q169/q179 reach CTEs)
+    // inherits it. No bucket reaches the cap at tested SFs (output
+    // byte-identical); the symmetry is for the corpus that does.
     s"""$shingleCte,
         shfp AS (SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS fp FROM sh),
         mh AS (SELECT doc_id, $mins FROM shfp GROUP BY doc_id),
-        bands AS ($bands)"""
+        bands0 AS ($bands),
+        bands AS (SELECT b.* FROM bands0 b
+                  JOIN (SELECT band_id, sig FROM bands0 GROUP BY 1, 2
+                        HAVING count(*) <= 4096) ok USING (band_id, sig))"""
   }
 
   /** The recursive transitive-closure cluster CTEs shared by the

@@ -769,8 +769,8 @@ object Stats {
                    AS BIGINT) END"""))
       .select(col("event_type"), col("n_days"), col("n_groups"),
         col("h_x1000"),
-        when(col("h_x1000").isNotNull && col("h_x1000") >= 12592L, "weekly")
-          .otherwise("none").as("dow_effect"))
+        when(col("h_x1000").isNotNull && col("h_x1000") >= expr(kwCritSql),
+          "weekly").otherwise("none").as("dow_effect"))
   }
 
   /** The Σ R_g²/n_g term as one literal 7-summand expression over the
@@ -778,6 +778,15 @@ object Stats {
   private val kwRankTermsSql: String = (0 until 7).map(d =>
     s"""CASE WHEN n_$d > 0 THEN CAST(r2_$d AS DOUBLE) * CAST(r2_$d AS DOUBLE)
           / (4.0 * CAST(n_$d AS DOUBLE)) ELSE 0.0 END""").mkString(" + ")
+
+  /** χ² 5% critical value ×1000 selected by dof = n_groups − 1 — one
+    * literal CASE text on both engines. A type observed on fewer than 7
+    * distinct weekdays has fewer degrees of freedom; the fixed χ²(6) bar
+    * would be over-conservative for sparse feeds (n_groups = 1 makes H
+    * identically 0, so the ELSE arm is unreachable in anger). */
+  private val kwCritSql: String =
+    """CASE n_groups WHEN 2 THEN 3841 WHEN 3 THEN 5991 WHEN 4 THEN 7815
+         WHEN 5 THEN 9488 WHEN 6 THEN 11070 ELSE 12592 END"""
 
   /** q237: calendar-GAP audit per event type — the feed-outage table the
     * gap-honest estimators (q95/q177/q182/q234's RANGE frames) assume
@@ -1093,7 +1102,7 @@ object Stats {
                          AS BIGINT) END AS h_x1000
            FROM p JOIN ts2 ON p.event_type = ts2.event_type)
          SELECT event_type, n_days, n_groups, h_x1000,
-                CASE WHEN h_x1000 IS NOT NULL AND h_x1000 >= 12592
+                CASE WHEN h_x1000 IS NOT NULL AND h_x1000 >= ($kwCritSql)
                      THEN 'weekly' ELSE 'none' END AS dow_effect
          FROM h""" },
     "q237_calendar_gaps" ->

@@ -2507,8 +2507,16 @@ object TextAnalysis {
   }
 
   /** q239's shard count — code-owned like q147's rule table; the oracle
-    * inlines the same literal. */
+    * inlines the same literal. The skew baseline `10000 / ShardK` below
+    * integer-truncates, so it is exact ONLY while ShardK divides 10000
+    * (a K like 3 would silently misstate the ideal share by the truncated
+    * remainder and skew_bp would stop summing to ~0) — assert it here so
+    * changing the literal to a non-divisor fails loudly at class init,
+    * identically on both sides of the shared text. */
   private val ShardK = 8
+  require(10000 % ShardK == 0,
+    s"q239 ShardK=$ShardK must divide 10000: the skew_bp baseline " +
+      "10000/ShardK integer-truncates otherwise")
 
   /** q239: balanced SHARD plan — the writer-side layout table for
     * publishing the corpus across K output shards when sources must stay
