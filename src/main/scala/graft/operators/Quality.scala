@@ -69,17 +69,40 @@ object Quality {
     * distinct counts and t-digest-style approximate quantiles for ALL
     * profiled columns in ONE pass (sketches merge map-side; no Expand, no
     * per-column rescans — the shape to prefer once exact distincts stop
-    * being DuckDB-checkable anyway). Rows-only (sketches are
-    * engine-specific); QualitySketchSpec bounds the HLL error vs q66's
-    * exact distincts at 5% and the median's relative error at 2%.
+    * being DuckDB-checkable anyway).
+    *
+    * SQL-oracled (r15, the q46 exact-beside-sketch pattern): raw sketch
+    * values are engine-specific, so the published columns are the EXACT
+    * per-column profile (distinct count, interpolated p50/p95) plus three
+    * error-contract booleans the oracle pins as literal TRUE — the HLL
+    * estimate within 5% of the exact distinct, and each approx quantile
+    * inside the exact RANK band ([p45,p55] for the median, [p90,p99] for
+    * p95; percentile_approx guarantees rank error ≤ 1/accuracy = 0.05%,
+    * so the 5%-rank band is a 100× margin, and rank bands are the
+    * contract the sketch actually makes — a VALUE-relative bound would
+    * ulp-flip on discrete domains like l_discount's 11 values). The
+    * exact side rides q66's narrow per-column passes (each prunes the
+    * scan to ONE column); at 100 TB a profiler publishes the one-pass
+    * sketch row alone and drops the exact gate — the sketch pass here is
+    * byte-identical to that production shape. QualitySketchSpec keeps the
+    * raw approx-vs-exact bound checks.
     */
-  def q67SketchProfile(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val cols = Seq("l_quantity", "l_discount", "l_extendedprice")
+  /** q67's profiled columns — one list feeding the sketch pass, the exact
+    * gate and the generated oracle SQL. */
+  private[graft] val sketchProfileCols =
+    Seq("l_quantity", "l_discount", "l_extendedprice")
+
+  /** The ONE-PASS sketch side of q67 on any lineitem frame — the
+    * production shape at 100 TB (sketches merge map-side; no Expand, no
+    * per-column rescans). Plan-pinned by QualitySketchSpec: a single
+    * aggregate, zero Expand, at most the partial→final exchange.
+    */
+  private[graft] def sketchProfileOf(li: DataFrame): DataFrame = {
+    val cols = sketchProfileCols
     // accuracy 2000 (rank error ≤ 0.05%): precision 10000 made the sketch
     // pass SLOWER than the exact q66 it exists to out-scale — the sketch
-    // cost is linear in the accuracy parameter, and the spec's 2% median
-    // bound only needs ~50. Keep a healthy margin, not a 10000× one.
+    // cost is linear in the accuracy parameter, and the rank bands only
+    // need ~20. Keep a healthy margin, not a 10000× one.
     val aggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
           percentile_approx(col(c), lit(0.5), lit(2000)).cast("double").as(s"${c}_p50"),
@@ -88,7 +111,33 @@ object Quality {
     val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
       .select(expr(
-        s"stack(${cols.size}, $stack) AS (column, approx_distinct, p50, p95)"))
+        s"stack(${cols.size}, $stack) AS (column, approx_distinct, ap50, ap95)"))
+  }
+
+  def q67SketchProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sketch = sketchProfileOf(li)
+    // exact side: one narrow pass per column (single-field ReadSchema,
+    // q66's shape), unioned to the same |cols| frame
+    val exact = sketchProfileCols.map { c =>
+      li.select(col(c).as("v")).agg(
+        countDistinct(col("v")).as("n_distinct"),
+        expr("percentile(v, array(0.45D, 0.5D, 0.55D, 0.9D, 0.95D, 0.99D))")
+          .as("pcts"))
+        .select(lit(c).as("column"), col("n_distinct"),
+          col("pcts").getItem(0).as("e45"),
+          round(col("pcts").getItem(1), 4).as("p50"),
+          col("pcts").getItem(2).as("e55"),
+          col("pcts").getItem(3).as("e90"),
+          round(col("pcts").getItem(4), 4).as("p95"),
+          col("pcts").getItem(5).as("e99"))
+    }.reduce(_ unionByName _)
+    exact.join(sketch, Seq("column"))
+      .select(col("column"), col("n_distinct"), col("p50"), col("p95"),
+        (abs(col("approx_distinct") - col("n_distinct")) * lit(100L) <
+          col("n_distinct") * lit(5L)).as("ad_within_5pct"),
+        col("ap50").between(col("e45"), col("e55")).as("p50_in_rank_band"),
+        col("ap95").between(col("e90"), col("e99")).as("p95_in_rank_band"))
   }
 
   /** q72: fixed-width value histogram over events — the distribution
@@ -162,12 +211,21 @@ object Quality {
     * sketches are tiny (~KB), persist next to the data, and any date-range
     * distinct count (week, month, arbitrary span) is a sketch union over
     * them — where exact countDistinct would re-shuffle the raw corpus per
-    * question asked. Rows-only (sketch binaries are engine-specific);
-    * QualitySketchSpec bounds the estimates against exact distincts and
-    * proves union-vs-rescan equivalence.
+    * question asked.
+    *
+    * SQL-oracled (r15, the q46 exact-beside-sketch pattern): the sketch
+    * estimate is engine-specific, so the published columns are the EXACT
+    * weekly unique-user count plus `est_within_5pct` — the union-served
+    * estimate checked against a 5% bound (lgK=12 → rsd ≈ 1.6%, a 3σ
+    * margin) — which the oracle pins as literal TRUE. The exact side is
+    * one distinct+agg pass over events; at 100 TB the rollup answers from
+    * the ~KB daily sketches alone (the union path here is byte-identical
+    * to that production shape) and the exact gate is dropped.
+    * QualitySketchSpec keeps the raw estimate bounds and the
+    * union-vs-rescan equivalence proof.
     */
-  def q96HllRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  def q96HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val sketched = Tables.events(s, dir)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         col("user_id"))
@@ -180,6 +238,19 @@ object Quality {
           .as("est_unique_users"),
         count(lit(1)).as("n_days"),
         sum(col("n_events")).as("n_events"))
+    val exact = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("exact_unique_users"))
+    sketched.join(exact, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("n_days"), col("n_events"),
+        col("exact_unique_users"),
+        (abs(col("est_unique_users") - col("exact_unique_users")) * lit(100.0) <
+          col("exact_unique_users") * lit(5.0)).as("est_within_5pct"))
+  }
 
   /** q98: snapshot diff — the refresh-QA report between two versions of a
     * published table: which rows were added, removed or changed. Snapshots
@@ -563,15 +634,24 @@ object Quality {
     * touches |types|×|days| rollup rows whatever the event volume. Error
     * is KLL's bounded rank error (k=200 → ≤ ~1.65% rank), which
     * QualitySketchSpec asserts against the exact range percentiles.
-    * Rows-only: DuckDB has no KLL; correctness is the spec's rank-error
-    * bound, the same contract as q67/q96.
+    *
+    * SQL-oracled (r15, the q46 exact-beside-sketch pattern): DuckDB has
+    * no KLL, so the published columns are the EXACT range percentiles
+    * (interpolated, over integer cents — engine-exact quarters, the q73
+    * rule) plus three rank-band booleans the oracle pins as literal TRUE:
+    * each KLL-served quantile must lie inside the exact rank band
+    * ([p45,p55] / [p85,p95] / [p94,max]) — a ~3× margin over the sketch's
+    * 1.65% rank contract, and rank bands are the contract KLL actually
+    * makes (the q67 argument). The exact side is one range-filtered pass
+    * over events; at 100 TB the rollup serves alone and the exact gate is
+    * dropped — the sketch path here is byte-identical to that shape.
     */
   def q145RollupQuantiles(s: SparkSession, dir: String): DataFrame = {
     val rollup = dailyRollup(Tables.events(s, dir))
     // deterministic ad-hoc range: the middle third of the observed days
     val bounds = rollup.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(expr("d0 + (d1 - d0) / 3").as("lo"), expr("d1 - (d1 - d0) / 3").as("hi"))
-    rollup
+    val served = rollup
       .crossJoin(broadcast(bounds)) // 1-row bounds frame
       .filter(col("day").between(col("lo"), col("hi")))
       .groupBy(col("event_type"))
@@ -581,9 +661,31 @@ object Quality {
         max(col("day")).as("day_hi"),
         expr("kll_merge_agg_bigint(cents_sketch)").as("sk"))
       .select(col("event_type"), col("n_events"), col("day_lo"), col("day_hi"),
-        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("p50_cents"),
-        expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("p90_cents"),
-        expr("kll_sketch_get_quantile_bigint(sk, 0.99)").as("p99_cents"))
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("k50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("k90"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.99)").as("k99"))
+    val exact = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("lo"), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "percentile(cents, array(0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D, 0.94D, 0.99D))")
+        .as("p"),
+        max(col("cents")).as("cmax"))
+    served.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("day_lo"), col("day_hi"),
+        round(col("p").getItem(1), 4).as("p50_cents"),
+        round(col("p").getItem(4), 4).as("p90_cents"),
+        round(col("p").getItem(7), 4).as("p99_cents"),
+        col("k50").between(col("p").getItem(0), col("p").getItem(2))
+          .as("p50_in_rank_band"),
+        col("k90").between(col("p").getItem(3), col("p").getItem(5))
+          .as("p90_in_rank_band"),
+        col("k99").between(col("p").getItem(6), col("cmax"))
+          .as("p99_in_rank_band"))
   }
 
   /** q147's expectation table: (rule_id, ANSI predicate). ONE definition
@@ -816,6 +918,48 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    // q67/q96/q145 (r15): the q46 exact-beside-sketch pattern — the
+    // oracle verifies the exact columns byte-for-byte and pins each
+    // sketch error-contract boolean as literal TRUE, so a sketch outside
+    // its bound hash-mismatches the round's CORRECTNESS artifact.
+    "q67_sketch_profile" ->
+      (sketchProfileCols.map { c =>
+        s"""SELECT '$c' AS "column",
+                   count(DISTINCT $c) AS n_distinct,
+                   round(quantile_cont($c, 0.5), 4) AS p50,
+                   round(quantile_cont($c, 0.95), 4) AS p95,
+                   TRUE AS ad_within_5pct,
+                   TRUE AS p50_in_rank_band,
+                   TRUE AS p95_in_rank_band
+            FROM lineitem"""
+      }.mkString("", "\nUNION ALL\n", "")),
+    "q96_hll_rollup" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events)
+         SELECT event_type, day // 7 AS week,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_unique_users,
+                TRUE AS est_within_5pct
+         FROM daily GROUP BY 1, 2""",
+    "q145_rollup_quantiles" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         r AS (SELECT event_type, day, cents FROM daily CROSS JOIN b
+               WHERE day BETWEEN d0 + (d1 - d0) / 3 AND d1 - (d1 - d0) / 3)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                min(day) AS day_lo, max(day) AS day_hi,
+                round(quantile_cont(cents, 0.5), 4) AS p50_cents,
+                round(quantile_cont(cents, 0.9), 4) AS p90_cents,
+                round(quantile_cont(cents, 0.99), 4) AS p99_cents,
+                TRUE AS p50_in_rank_band,
+                TRUE AS p90_in_rank_band,
+                TRUE AS p99_in_rank_band
+         FROM r GROUP BY 1""",
     "q208_charclass_profile" ->
       """WITH d AS (
            SELECT source,

@@ -11,7 +11,9 @@ class QualitySketchSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("sketch profile bounds: HLL within 5% of exact, median within 2%") {
-    val sk = Quality.q67SketchProfile(spark, dir)
+    // raw sketch values off the one-pass sketch side (no longer published
+    // by q67, which emits the exact profile + error-contract booleans)
+    val sk = Quality.sketchProfileOf(Tables.lineitem(spark, dir))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = Quality.q66Profile(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
@@ -25,12 +27,24 @@ class QualitySketchSpec extends AnyFunSuite {
       assert(math.abs(p50 - exactP50) <= 0.02 * math.max(math.abs(exactP50), 1.0),
         s"$c p50 sketch=$p50 exact=$exactP50")
     }
+    // the published q67: exact columns equal q66's exact profile and every
+    // error-contract boolean holds (the columns the oracle pins TRUE)
+    val pub = Quality.q67SketchProfile(spark, dir).collect()
+    assert(pub.length == 3)
+    pub.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: published n_distinct must be exact")
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"${r.getString(0)}: a sketch violated its error contract")
+    }
   }
 
   test("q96 weekly HLL union estimates track exact distincts within 5%") {
+    // published shape: (type, week, n_days, n_events, exact_unique_users,
+    // est_within_5pct) — exact columns vs a driver recompute, boolean true
     val got = Quality.q96HllRollup(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
     assert(got.nonEmpty)
     val exact = Tables.events(spark, dir)
       .select(col("event_type"),
@@ -40,16 +54,24 @@ class QualitySketchSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got.keySet == exact.keySet, "every (type, week) cell present")
-    got.foreach { case (k, (est, _, nEvents)) =>
+    got.foreach { case (k, (nEvents, exUnique, within)) =>
       val (ex, n) = exact(k)
       assert(nEvents == n, s"$k: event counts must be exact")
-      val relErr = math.abs(est - ex).toDouble / math.max(ex, 1L)
-      // lgK=12 → rsd ≈ 1.6%; 5% is > 3σ
-      assert(relErr <= 0.05, s"$k: est=$est exact=$ex err=$relErr")
+      assert(exUnique == ex, s"$k: published uniques must be exact")
+      assert(within, s"$k: union estimate violated its 5% contract")
     }
-    // the union path must agree with sketching the week directly — the
-    // mergeability property that lets persisted daily sketches answer
-    // arbitrary ranges without rescanning
+    // the raw union estimates (no longer published): within 5% of exact
+    // AND agreeing with sketching the week directly — the mergeability
+    // property that lets persisted daily sketches answer arbitrary ranges
+    val union = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val direct = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000 div 7").as("week"), col("user_id"))
@@ -57,7 +79,11 @@ class QualitySketchSpec extends AnyFunSuite {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    got.foreach { case (k, (est, _, _)) =>
+    union.foreach { case (k, est) =>
+      val (ex, _) = exact(k)
+      // lgK=12 → rsd ≈ 1.6%; 5% is > 3σ
+      assert(math.abs(est - ex).toDouble / math.max(ex, 1L) <= 0.05,
+        s"$k: est=$est exact=$ex")
       val d = direct(k)
       assert(math.abs(est - d).toDouble / math.max(d, 1L) <= 0.05,
         s"$k: union=$est direct=$d")
@@ -65,10 +91,17 @@ class QualitySketchSpec extends AnyFunSuite {
   }
 
   test("sketch profile is one pass: a single aggregate, no Expand") {
-    val plan = Quality.q67SketchProfile(spark, dir).queryExecution.executedPlan.toString
+    // the 100 TB shape is the SKETCH side: one aggregate, one exchange
+    val plan = Quality.sketchProfileOf(Tables.lineitem(spark, dir))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
     // exactly one shuffle: the partial->final aggregate exchange
     assert("Exchange".r.findAllIn(plan).length <= 2, plan)
+    // the published q67 adds the exact oracle gate (per-column narrow
+    // passes) — still no Expand anywhere (the distinct-rewrite trap)
+    val full = Quality.q67SketchProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("Expand"), full)
   }
 
   test("q111 equi-depth deciles: sizes within 1, bounds monotone, counts reconcile") {
@@ -294,13 +327,36 @@ class QualitySketchSpec extends AnyFunSuite {
   }
 
   test("q145 range percentiles from merged daily KLL sketches stay within rank-error bounds") {
+    // published shape (r15): exact interpolated percentiles + rank-band
+    // booleans. Exact columns vs a driver brute force; booleans all true;
+    // the raw KLL-served values (no longer published) re-derived off the
+    // same rollup and rank-checked at the old 3% bound.
     val got = Quality.q145RollupQuantiles(spark, dir).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(2), r.getLong(3), Seq(r.getLong(4), r.getLong(5), r.getLong(6))))
+        ((r.getLong(2), r.getLong(3),
+          Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6)),
+          Seq(r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))))
       .toMap
     assert(got.nonEmpty)
     val targets = Seq(0.5, 0.9, 0.99)
-    got.foreach { case (tpe, (dayLo, dayHi, quantiles)) =>
+    // raw KLL values off the same rollup + range (the serving path)
+    val rollup = Quality.dailyRollup(Tables.events(spark, dir))
+    val b = rollup.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + (d1 - d0) / 3").as("lo"), expr("d1 - (d1 - d0) / 3").as("hi"))
+      .head()
+    val served = rollup
+      .filter(col("day").between(b.getDouble(0), b.getDouble(1)))
+      .groupBy(col("event_type"))
+      .agg(expr("kll_merge_agg_bigint(cents_sketch)").as("sk"))
+      .select(col("event_type"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.9)"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.99)"))
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got.foreach { case (tpe, (dayLo, dayHi, exactPcts, bands)) =>
+      assert(bands.forall(identity), s"$tpe: a KLL quantile left its rank band")
       // the exact values of the SAME range, straight off the events
       val cents = Tables.events(spark, dir)
         .select(col("event_type"),
@@ -311,7 +367,17 @@ class QualitySketchSpec extends AnyFunSuite {
         .select("cents").collect().map(_.getLong(0)).sorted
       val n = cents.length
       assert(n > 0)
-      targets.zip(quantiles).foreach { case (q, v) =>
+      // published percentiles are the exact interpolated ones
+      targets.zip(exactPcts).foreach { case (q, v) =>
+        val r = q * (n - 1)
+        val (i, f) = (r.toInt, r - r.toInt)
+        val want = cents(i) + (cents(math.min(i + 1, n - 1)) - cents(i)) * f
+        // published value is round(want, 4); allow the half-ulp of that
+        // rounding rather than re-deriving Spark's HALF_UP mode
+        assert(math.abs(v - want) <= 5e-5 + 1e-9,
+          s"$tpe p$q published=$v exact=$want")
+      }
+      targets.zip(served(tpe)).foreach { case (q, v) =>
         // KLL k=200 → normalized rank error ~1.65%; assert the returned
         // VALUE's rank is within 3% of the target rank (≈ 2σ headroom)
         val below = cents.count(_ < v)
