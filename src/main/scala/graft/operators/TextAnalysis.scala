@@ -234,13 +234,21 @@ object TextAnalysis {
     * doc_id re-aggregation (map-side combining). Benchmark docs themselves
     * are excluded from the output (they trivially match).
     */
-  /** word-5-gram occurrences — shared by q58 and [[graft.CorpusPipeline]]. */
-  private[graft] def fiveGrams(df: org.apache.spark.sql.DataFrame,
+  /** word-n-gram occurrences at ANY window length — the q58 shingle
+    * kernel, generalized for the q247 length sweep and the q248
+    * per-benchmark probe; one definition (WordNgrams over the raw
+    * split-on-space token array) so every decontamination table agrees
+    * on what "a shared n-gram" means. */
+  private[graft] def nGrams(df: org.apache.spark.sql.DataFrame, n: Int,
       extra: Seq[String] = Nil): DataFrame = df
     .select(col("doc_id") +: extra.map(col) :+ split(col("text"), " ").as("w"): _*)
-    .filter(size(col("w")) >= 5)
+    .filter(size(col("w")) >= n)
     .select(col("doc_id") +: extra.map(col) :+
-      explode(graft.functions.WordNgrams(col("w"), 5)).as("g"): _*)
+      explode(graft.functions.WordNgrams(col("w"), n)).as("g"): _*)
+
+  /** word-5-gram occurrences — shared by q58 and [[graft.CorpusPipeline]]. */
+  private[graft] def fiveGrams(df: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): DataFrame = nGrams(df, 5, extra)
 
   /** the English stoplist as a SQL IN-list — shared with CorpusPipeline. */
   private[graft] def enStopInList: String = inList(stop("en"))
@@ -287,6 +295,109 @@ object TextAnalysis {
         Seq("source"), "left")
       .na.fill(0L, Seq("n_contaminated_docs", "n_contaminated_grams"))
       .withColumn("contam_bp", expr("(n_contaminated_docs * 10000) DIV n_docs"))
+  }
+
+  /** q247's swept shingle lengths — code-owned like q147's rule table; the
+    * oracle inlines the same literals. Published practice brackets the
+    * q58/q223 default (5) with the 8- and 13-gram windows the
+    * decontamination literature sweeps (e.g. 8-gram eval-overlap checks,
+    * 13-gram training-set filters). */
+  private[graft] val DecontamNs = Seq(5, 8, 13)
+
+  /** q247: decontamination n-gram-LENGTH sweep — the knob table a curator
+    * reads BEFORE committing a scrub threshold (q210's role on the
+    * shingle-length axis): per window length n ∈ {5, 8, 13}, the benchmark
+    * gram-set size, how many corpus docs share ≥1 gram with the benchmark,
+    * their share in bp, and the total shared-gram mass. Short windows
+    * over-flag (common phrases collide); long windows under-flag (only
+    * verbatim passages survive 13 tokens) — this table shows exactly where
+    * THIS corpus sits on that curve, per n, sharing q58's kernel
+    * ([[nGrams]] → broadcast semi-probe → per-doc distinct count) so the
+    * sweep can never disagree with the production q58 verdict at n=5.
+    *
+    * Exactness: pure integer counts and one all-positive DIV.
+    *
+    * Scale shape: one corpus explode + broadcast bench-set probe PER n
+    * (the three passes are independent and each is q58's exact shape: no
+    * corpus shuffle until the per-doc map-side combine); everything after
+    * folds to a 3-row frame. At 100 TB the sweep costs 3 q58s — run once
+    * per corpus revision, then the chosen n runs nightly.
+    */
+  def q247DecontamNgramSweep(s: SparkSession, dir: String): DataFrame =
+    decontamSweepOf(Tables.documents(s, dir))
+
+  /** q247 on ANY (doc_id, text) frame — spec'd on planted
+    * known-overlap corpora beside the oracled corpus run. */
+  private[graft] def decontamSweepOf(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus_docs"))
+    DecontamNs.map { n =>
+      val bench = nGrams(docs.filter(col("doc_id") % 97 === 0), n)
+        .select(col("g")).distinct()
+      val perDoc = nGrams(corpus, n)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("ng"))
+      perDoc
+        .agg(count(lit(1)).as("n_contaminated_docs"),
+          coalesce(sum(col("ng")), lit(0L)).as("n_contaminated_grams"))
+        .crossJoin(broadcast(bench.agg(count(lit(1)).as("n_bench_grams"))))
+        .crossJoin(broadcast(nCorpus))
+        .select(lit(n).as("n"), col("n_bench_grams"), col("n_corpus_docs"),
+          col("n_contaminated_docs"), col("n_contaminated_grams"),
+          expr("(n_contaminated_docs * 10000) DIV n_corpus_docs")
+            .as("contam_doc_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q248: contamination split PER BENCHMARK — q58's verdict broken out by
+    * eval suite, the production shape of a decontamination report (scrub
+    * decisions are per-eval: a corpus doc overlapping suite A is scrubbed
+    * from A's training split, not from everything). The doc_id % 97
+    * benchmark stand-in generalizes to suites via (doc_id DIV 97) % 4 —
+    * four deterministic pseudo-benchmarks; a real deployment feeds
+    * (bench_id, gram) rows from its eval registry into the same probe.
+    * A corpus doc overlapping two suites rows in BOTH (that is the point).
+    *
+    * Exactness: integer counts; bench_ids with no ≥5-token doc keep a row
+    * with zero grams (left join + fill — q231's one-day-feed lesson).
+    *
+    * Scale shape: ONE corpus explode probed against the broadcast
+    * (bench_id, gram) set (|suites| × grams stays broadcast-sized — eval
+    * sets are tiny by construction); the inner join fans a corpus gram
+    * only into the suites that contain it, then map-side-combines to
+    * (bench_id, doc). Everything after is |suites|-bounded.
+    */
+  def q248ContaminationByBenchmark(s: SparkSession, dir: String): DataFrame =
+    contaminationByBenchmarkOf(Tables.documents(s, dir))
+
+  /** q248 on ANY (doc_id, text) frame — spec'd on planted multi-suite
+    * overlap corpora beside the oracled corpus run. */
+  private[graft] def contaminationByBenchmarkOf(docs: DataFrame): DataFrame = {
+    val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("bench_id", expr("(doc_id DIV 97) % 4"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val benchGrams = nGrams(benchDocs, 5, Seq("bench_id"))
+      .select(col("bench_id"), col("g")).distinct()
+    val perDoc = nGrams(corpus, 5)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(countDistinct(col("g")).as("ng"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus_docs"))
+    benchDocs.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench_docs"))
+      .join(benchGrams.groupBy(col("bench_id"))
+          .agg(count(lit(1)).as("n_bench_grams")),
+        Seq("bench_id"), "left")
+      .join(perDoc.groupBy(col("bench_id"))
+          .agg(count(lit(1)).as("n_contaminated_docs"),
+            sum(col("ng")).as("n_contaminated_grams")),
+        Seq("bench_id"), "left")
+      .na.fill(0L,
+        Seq("n_bench_grams", "n_contaminated_docs", "n_contaminated_grams"))
+      .crossJoin(broadcast(nCorpus))
+      .select(col("bench_id"), col("n_bench_docs"), col("n_bench_grams"),
+        col("n_contaminated_docs"), col("n_contaminated_grams"),
+        expr("(n_contaminated_docs * 10000) DIV n_corpus_docs").as("contam_bp"))
   }
 
   /** q59: corpus vocabulary statistics — per-word document frequency, total
@@ -2661,6 +2772,8 @@ object TextAnalysis {
     "q221_cross_lang_leak" -> (q221CrossLangLeak _),
     "q222_dedup_token_savings" -> (q222DedupTokenSavings _),
     "q223_contamination_by_source" -> (q223ContaminationBySource _),
+    "q247_decontam_ngram_sweep" -> (q247DecontamNgramSweep _),
+    "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -3705,6 +3818,60 @@ object TextAnalysis {
                                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          FROM documents""",
+    "q247_decontam_ngram_sweep" -> {
+      // one CTE family per swept n, generated from the same DecontamNs
+      // list the Spark side reads (the q141 shared-list idiom)
+      val per = DecontamNs.map { n =>
+        val chain = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        (s"""ix$n AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-${n - 1})) i
+                 FROM t WHERE len(w) >= $n),
+          g$n AS (SELECT doc_id, $chain AS g FROM ix$n),
+          bench$n AS (SELECT DISTINCT g FROM g$n WHERE doc_id % 97 = 0),
+          nb$n AS (SELECT count(*) AS n_bench_grams FROM bench$n),
+          pd$n AS (SELECT doc_id, count(DISTINCT g$n.g) AS ng
+                 FROM g$n JOIN bench$n USING (g)
+                 WHERE doc_id % 97 <> 0 GROUP BY 1),
+          agg$n AS (SELECT count(*) AS ncd,
+                         CAST(coalesce(sum(ng), 0) AS BIGINT) AS ncg FROM pd$n)""",
+          s"""SELECT $n AS n, n_bench_grams, n_corpus_docs,
+                 ncd AS n_contaminated_docs, ncg AS n_contaminated_grams,
+                 (ncd * 10000) // n_corpus_docs AS contam_doc_bp
+          FROM agg$n CROSS JOIN nb$n CROSS JOIN den""")
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          den AS (SELECT count(*) AS n_corpus_docs FROM documents
+                  WHERE doc_id % 97 <> 0),
+          ${per.map(_._1).mkString(",\n          ")}
+          ${per.map(_._2).mkString("\nUNION ALL\n")}"""
+    },
+    "q248_contamination_by_benchmark" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          g AS (SELECT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                            || ' ' || w[i+4] AS g
+                FROM ix),
+          bd AS (SELECT doc_id, (doc_id // 97) % 4 AS bench_id FROM documents
+                 WHERE doc_id % 97 = 0),
+          bg AS (SELECT DISTINCT bd.bench_id, g.g
+                 FROM g JOIN bd USING (doc_id)),
+          nb AS (SELECT bench_id, count(*) AS n_bench_grams FROM bg GROUP BY 1),
+          nd AS (SELECT bench_id, count(*) AS n_bench_docs FROM bd GROUP BY 1),
+          pd AS (SELECT bg.bench_id, g.doc_id, count(DISTINCT g.g) AS ng
+                 FROM g JOIN bg USING (g)
+                 WHERE g.doc_id % 97 <> 0 GROUP BY 1, 2),
+          agg AS (SELECT bench_id, count(*) AS ncd,
+                         CAST(sum(ng) AS BIGINT) AS ncg FROM pd GROUP BY 1),
+          den AS (SELECT count(*) AS n_corpus_docs FROM documents
+                  WHERE doc_id % 97 <> 0)
+          SELECT nd.bench_id, nd.n_bench_docs,
+                 COALESCE(nb.n_bench_grams, 0) AS n_bench_grams,
+                 COALESCE(agg.ncd, 0) AS n_contaminated_docs,
+                 COALESCE(agg.ncg, 0) AS n_contaminated_grams,
+                 (COALESCE(agg.ncd, 0) * 10000) // n_corpus_docs AS contam_bp
+          FROM nd LEFT JOIN nb USING (bench_id) LEFT JOIN agg USING (bench_id)
+          CROSS JOIN den""",
     "q58_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i

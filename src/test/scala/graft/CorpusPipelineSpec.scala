@@ -223,4 +223,46 @@ class CorpusPipelineSpec extends AnyFunSuite {
         toks.slice(i * 24, i * 24 + 32).mkString(" "))
     }
   }
+
+  // planted corpus with hand-countable overlaps for the q247/q248 kernels:
+  // bench doc 0 (suite 0) is 13 words b0..b12; bench doc 97 (suite 1) is
+  // 8 words c0..c7; corpus doc 1 embeds ALL of bench0 (+1 word), doc 2
+  // exactly one 5-window of bench0, doc 3 one 5-window of bench1, doc 4
+  // nothing.
+  private def plantedDecontam = {
+    import spark.implicits._
+    Seq(
+    (0L, (0 to 12).map(i => s"b$i").mkString(" ")),
+    (97L, (0 to 7).map(i => s"c$i").mkString(" ")),
+    (1L, (0 to 12).map(i => s"b$i").mkString(" ") + " x"),
+    (2L, "z1 z2 b4 b5 b6 b7 b8 z3"),
+    (3L, "y1 c0 c1 c2 c3 c4 y2"),
+    (4L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+  }
+
+  test("q247 sweep on a planted corpus: per-n counts equal hand arithmetic") {
+    val got = TextAnalysis.decontamSweepOf(plantedDecontam).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // n=5: bench grams 9 (13-word doc) + 4 (8-word doc); docs 1,2,3 hit
+    // with 9+1+1 grams; 3 of 4 corpus docs → 7500 bp
+    assert(got(5) == ((13L, 4L, 3L, 11L, 7500L)))
+    // n=8: bench grams 6+1; only doc 1 hits, with all 6 of bench0's
+    assert(got(8) == ((7L, 4L, 1L, 6L, 2500L)))
+    // n=13: the single 13-gram of bench0; doc 1 carries it verbatim
+    assert(got(13) == ((1L, 4L, 1L, 1L, 2500L)))
+  }
+
+  test("q248 per-benchmark split on a planted corpus equals hand arithmetic") {
+    val got = TextAnalysis.contaminationByBenchmarkOf(plantedDecontam).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L), "one row per observed suite")
+    // suite 0 (doc 0): 9 bench 5-grams; docs 1 (9 grams) + 2 (1) hit
+    assert(got(0L) == ((1L, 9L, 2L, 10L, 5000L)))
+    // suite 1 (doc 97): 4 bench 5-grams; doc 3 hits with 1
+    assert(got(1L) == ((1L, 4L, 1L, 1L, 2500L)))
+  }
 }
