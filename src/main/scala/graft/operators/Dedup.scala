@@ -589,6 +589,91 @@ object Dedup {
           .otherwise("overlap"))
   }
 
+  /** q249: cross-source MIRROR matrix — near-dup pairs confirmed at
+    * Jaccard ≥ 0.8 (q210's top rung, integer bp) folded to the
+    * (source_a, source_b) axis a curator acts on: which feeds MIRROR
+    * each other. A heavy off-diagonal cell is two crawls of the same
+    * host (drop one feed, not per-doc dedup); a heavy diagonal cell is
+    * intra-feed templating (q204's territory). Sources are normalized
+    * least/greatest so each unordered pair rows once; share_bp says how
+    * much of the corpus's confirmed near-dup mass sits in this cell.
+    *
+    * Exactness: the confirm is q31's exact shingle intersection folded
+    * to integer bp with DIV (threshold compares are integer, so no
+    * rounding can flip a pair across engines); counts and shares are
+    * pure integers.
+    *
+    * Scale shape: q31's candidate-pruned scaffold (ONE corpus shingle
+    * pass inside the LSH pipeline, exact legs over only candidate docs);
+    * the source lookup joins confirmed pairs (tiny) against the
+    * (doc_id, source) projection — column-pruned scan, AQE broadcasts
+    * the pair side; the fold lands on the ≤ |sources|² frame.
+    */
+  def q249CrossSourceMirror(s: SparkSession, dir: String): DataFrame = {
+    val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
+    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val confirmed = maybeBroadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)") >= 8000)
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val cells = confirmed
+      .join(src.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(src.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(least(col("da.source"), col("db.source")).as("source_a"),
+        greatest(col("da.source"), col("db.source")).as("source_b"))
+      .localCheckpoint() // two consumers: the cell fold + the total
+    cells.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") === col("source_b")).as("within_source"),
+        expr("(n_pairs * 10000) DIV n_total").as("share_bp"))
+  }
+
+  /** q250: canonical-selection SOURCE BIAS — does q169's keep-min-doc_id
+    * canonicalization systematically favor a feed? doc_id correlates
+    * with ingest order, so min-id keeps the EARLIEST crawl of every
+    * near-dup family — this table makes that visible per source: cluster
+    * members, canonicals kept, keep rate, and the member-share vs
+    * canonical-share comparison (a source whose canonical_share_bp
+    * exceeds its member_share_bp is favored; at parity the selection is
+    * source-neutral). The table a curator reads before deciding whether
+    * canonical choice needs a quality key (q216's verdicts) instead of
+    * recency.
+    *
+    * Exactness: pure integer counts off the SHARED memoized
+    * [[clusterMap]] (q56/q169/q179's CC build — zero drift possible);
+    * all-positive DIVs (every listed doc belongs to a ≥2-doc component
+    * by construction, so n_members ≥ 1 and the totals are positive
+    * whenever rows exist).
+    *
+    * Scale shape: the cluster map joins the (doc_id, source) projection
+    * (column-pruned scan); everything after folds on the |sources| frame
+    * plus one broadcast 1-row total.
+    */
+  def q250CanonicalSourceBias(s: SparkSession, dir: String): DataFrame = {
+    val m = clusterMap(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("is_canon"))
+      .localCheckpoint() // two consumers: the per-source fold + the totals
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_members"), sum(col("is_canon")).as("n_canonical"))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("mt"), sum(col("is_canon")).as("ct"))))
+      .select(col("source"), col("n_members"), col("n_canonical"),
+        expr("(n_canonical * 10000) DIV n_members").as("keep_bp"),
+        expr("(n_members * 10000) DIV mt").as("member_share_bp"),
+        expr("(n_canonical * 10000) DIV greatest(ct, 1)").as("canonical_share_bp"))
+  }
+
   /** q240: MinHash CALIBRATION curve — the estimator-vs-truth table read
     * before trusting any signature-level similarity threshold: per
     * signature agreement level (est_matches of the H=16 minhash positions
@@ -1173,6 +1258,49 @@ object Dedup {
                  CAST(max(jac_bp) AS BIGINT) AS max_jaccard_bp,
                  est_matches * 10000 // $NumHashes AS est_bp
           FROM sc GROUP BY 1""" },
+    "q249_cross_source_mirror" ->
+      s"""WITH $minhashCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band_id, sig)
+                   WHERE a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+          conf AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i
+                   JOIN sizes ca ON ca.doc_id = i.doc_a
+                   JOIN sizes cb ON cb.doc_id = i.doc_b
+                   WHERE i.n_inter * 10000 // (ca.c + cb.c - i.n_inter) >= 8000),
+          cells AS (SELECT least(da.source, db.source) AS source_a,
+                           greatest(da.source, db.source) AS source_b
+                    FROM conf
+                    JOIN documents da ON conf.doc_a = da.doc_id
+                    JOIN documents db ON conf.doc_b = db.doc_id),
+          tot AS (SELECT count(*) AS n_total FROM cells)
+          SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                 source_a = source_b AS within_source,
+                 (count(*) * 10000) // n_total AS share_bp
+          FROM cells CROSS JOIN tot GROUP BY 1, 2, n_total""",
+    "q250_canonical_source_bias" ->
+      s"""WITH RECURSIVE $reachCtes,
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          m AS (SELECT d.source,
+                       CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END
+                         AS is_canon
+                FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+          tot AS (SELECT count(*) AS mt, CAST(sum(is_canon) AS BIGINT) AS ct
+                  FROM m)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(sum(is_canon) AS BIGINT) AS n_canonical,
+                 (CAST(sum(is_canon) AS BIGINT) * 10000) // count(*) AS keep_bp,
+                 (count(*) * 10000) // mt AS member_share_bp,
+                 (CAST(sum(is_canon) AS BIGINT) * 10000) // greatest(ct, 1)
+                   AS canonical_share_bp
+          FROM m CROSS JOIN tot GROUP BY 1, mt, ct""",
     "q210_dedup_threshold_curve" ->
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1431,6 +1559,8 @@ object Dedup {
     "q31_ngram_jaccard"   -> (q31NgramJaccard _),
     "q210_dedup_threshold_curve" -> (q210ThresholdCurve _),
     "q240_minhash_calibration" -> (q240MinhashCalibration _),
+    "q249_cross_source_mirror" -> (q249CrossSourceMirror _),
+    "q250_canonical_source_bias" -> (q250CanonicalSourceBias _),
     "q70_edit_distance"   -> (q70EditDistance _),
     "q102_edit_distance_fast" -> (q102EditDistanceFast _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),

@@ -282,6 +282,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.q49DedupMinhashFast(spark, dir).count() == 0)
   }
 
+  test("q249 mirror matrix and q250 canonical bias equal hand arithmetic on a planted corpus") {
+    import spark.implicits._
+    // docs 1/2: identical text, feedA x feedB (cross-source mirror pair);
+    // docs 3/4: identical text, both feedA (within-source pair); doc 5:
+    // disjoint vocabulary, no pair. Identical docs share every minhash
+    // band -> always LSH candidates, and their exact jaccard is 10000.
+    val tA = (0 to 19).map(i => s"alpha$i").mkString(" ")
+    val tB = (0 to 19).map(i => s"beta$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mirror").toString
+    Seq(
+      (1L, tA, "en", "feedA", tA.length.toLong),
+      (2L, tA, "en", "feedB", tA.length.toLong),
+      (3L, tB, "en", "feedA", tB.length.toLong),
+      (4L, tB, "en", "feedA", tB.length.toLong),
+      (5L, (0 to 19).map(i => s"gamma$i").mkString(" "), "en", "feedC", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val mirror = Dedup.q249CrossSourceMirror(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(mirror == Map(
+      ("feedA", "feedB") -> ((1L, false, 5000L)),
+      ("feedA", "feedA") -> ((1L, true, 5000L))))
+    val bias = Dedup.q250CanonicalSourceBias(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // clusters {1,2} and {3,4}; canonicals 1 and 3, both feedA:
+    // feedA keeps 2 of its 3 members (6666 bp), holds 7500 bp of members
+    // but 10000 bp of canonicals — the min-id favoritism made visible;
+    // feedB's copy always loses (doc 2 > doc 1)
+    assert(bias == Map(
+      "feedA" -> ((3L, 2L, 6666L, 7500L, 10000L)),
+      "feedB" -> ((1L, 0L, 0L, 2500L, 0L))))
+  }
+
   test("hot-bucket cap drops mega-buckets from pair expansion") {
     val default = Dedup.q49DedupMinhashFast(spark, sf01)
     val nDefault = default.count()
