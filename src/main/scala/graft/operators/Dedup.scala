@@ -1104,7 +1104,7 @@ object Dedup {
     * q56/q169/q179 oracles: LSH candidate pairs → bidirectional edges →
     * reachability fixpoint (per-doc min-reachable label = the connected
     * component). */
-  private val reachCtes: String =
+  private[graft] val reachCtes: String =
     s"""$minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM bands a JOIN bands b USING (band_id, sig)

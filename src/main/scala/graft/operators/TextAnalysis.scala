@@ -400,6 +400,91 @@ object TextAnalysis {
         expr("(n_contaminated_docs * 10000) DIV n_corpus_docs").as("contam_bp"))
   }
 
+  /** q251: source MARGINAL-GRAM contribution — the data-acquisition
+    * priority table: sources in the deterministic q239 order (token mass
+    * desc, source asc), each scored by how many word-5-gram TYPES it adds
+    * beyond everything ranked before it (a gram's owner is the
+    * minimum-rank source containing it). A big feed with near-zero
+    * novelty_bp duplicates content the corpus already has (deprioritize
+    * the re-crawl); a small feed with high novelty is cheap new signal.
+    * cum_new_types is the corpus's gram-coverage growth curve along the
+    * acquisition order.
+    *
+    * Exactness: integer counts; rank a deterministic row_number on the
+    * (mass desc, source asc) total order; DIV guarded for a source with
+    * no ≥5-token doc (it rows with 0 types — q231's lesson).
+    *
+    * Scale shape: one corpus gram explode → (source, gram) distinct (the
+    * value-domain exchange q115/q168 already price); ownership is a
+    * per-gram min over the broadcast |sources| rank map, folded straight
+    * to |sources| rows — the gram domain is never joined back to itself.
+    */
+  def q251SourceMarginalGrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val order = docs
+      .select(col("source"), graft.functions.TokenCount(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tokens").desc, col("source").asc))
+          .cast("long"))
+      .localCheckpoint() // |sources| rows; consumers: rank map + spine
+    val grams = nGrams(docs, 5, Seq("source"))
+      .select(col("source"), col("g")).distinct()
+      .localCheckpoint() // two consumers: type counts + ownership
+    val types = grams.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val novel = grams
+      .join(broadcast(order.select(col("source"), col("rank"))), Seq("source"))
+      .groupBy(col("g")).agg(min(col("rank")).as("rank"))
+      .groupBy(col("rank")).agg(count(lit(1)).as("n_novel"))
+    order
+      .join(types, Seq("source"), "left")
+      .join(novel, Seq("rank"), "left")
+      .na.fill(0L, Seq("n_types", "n_novel"))
+      .select(col("rank"), col("source"), col("tokens"), col("n_types"),
+        col("n_novel"),
+        expr("(n_novel * 10000) DIV greatest(n_types, 1)").as("novelty_bp"),
+        sum(col("n_novel")).over(Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum_new_types"))
+  }
+
+  /** q252: LM-perplexity DUPLICATION lift — the memorization-bias audit a
+    * perplexity-filtered selection pipeline runs before trusting q156's
+    * scores: per q162 CCNet tier, how over-represented are NEAR-DUP
+    * family members (the shared q56 cluster map)? A corpus-trained LM
+    * assigns its best (head) scores to text it has effectively seen many
+    * times, so template/mirror families concentrate in `head` — positive
+    * lift_bp there quantifies the documented pitfall that perplexity
+    * filtering FAVORS duplicated text (q219 is the rule-quality twin on
+    * exact dups; this is the learned-model × near-dup cross).
+    *
+    * Exactness: tier and cluster membership each come from an
+    * independently-oracled kernel (q162TierSql / the q56 reach CTEs) and
+    * the fold is integer counts + the q219 lift convention (difference
+    * of bps, both all-positive DIVs).
+    *
+    * Scale shape: the scored-tier frame (q156's no-corpus-shuffle
+    * pipeline) left-joins the cluster map on doc_id, then folds to 3
+    * rows; the global rate is one broadcast 1-row aggregate.
+    */
+  def q252LmDupLift(s: SparkSession, dir: String): DataFrame = {
+    val tiers = ccnetTiersOf(s, dir, carry = Nil)
+      .select(col("doc_id"), col("tier"))
+    val cl = Dedup.clusterMap(s, dir)
+      .select(col("doc_id"), lit(1L).as("clustered"))
+    val j = tiers.join(cl, Seq("doc_id"), "left")
+      .select(col("tier"), coalesce(col("clustered"), lit(0L)).as("is_dup"))
+      .localCheckpoint() // two consumers: the tier fold + the global rate
+    j.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup_docs"))
+      .crossJoin(broadcast(
+        j.agg(sum(col("is_dup")).as("gd"), count(lit(1)).as("gn"))))
+      .select(col("tier"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 10000) DIV n_docs").as("dup_bp"),
+        expr("(n_dup_docs * 10000) DIV n_docs - (gd * 10000) DIV gn")
+          .as("lift_bp"))
+  }
+
   /** q59: corpus vocabulary statistics — per-word document frequency, total
     * occurrences and smoothed IDF (the inputs to TF-IDF quality scoring and
     * stopword discovery over a training corpus). One explode + one
@@ -2774,6 +2859,8 @@ object TextAnalysis {
     "q223_contamination_by_source" -> (q223ContaminationBySource _),
     "q247_decontam_ngram_sweep" -> (q247DecontamNgramSweep _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
+    "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
+    "q252_lm_dup_lift" -> (q252LmDupLift _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -3818,6 +3905,55 @@ object TextAnalysis {
                                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          FROM documents""",
+    "q251_source_marginal_grams" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w
+                    FROM documents),
+          ix AS (SELECT source, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          gr AS (SELECT DISTINCT source,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                             || ' ' || w[i+4] AS g
+                 FROM ix),
+          tok AS (SELECT source,
+                         CAST(sum(len(list_filter(string_split(text, ' '),
+                           x -> x <> ''))) AS BIGINT) AS tokens
+                  FROM documents GROUP BY 1),
+          ord AS (SELECT source, tokens,
+                         CAST(row_number() OVER (ORDER BY tokens DESC, source ASC)
+                           AS BIGINT) AS rank
+                  FROM tok),
+          ty AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+                 FROM gr GROUP BY 1),
+          ow AS (SELECT g, min(rank) AS rank
+                 FROM gr JOIN ord USING (source) GROUP BY 1),
+          nv AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_novel
+                 FROM ow GROUP BY 1)
+          SELECT o.rank, o.source, o.tokens,
+                 COALESCE(ty.n_types, 0) AS n_types,
+                 COALESCE(nv.n_novel, 0) AS n_novel,
+                 (COALESCE(nv.n_novel, 0) * 10000)
+                   // greatest(COALESCE(ty.n_types, 0), 1) AS novelty_bp,
+                 CAST(sum(COALESCE(nv.n_novel, 0)) OVER (ORDER BY o.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_new_types
+          FROM ord o LEFT JOIN ty USING (source) LEFT JOIN nv USING (rank)""",
+    "q252_lm_dup_lift" ->
+      s"""WITH RECURSIVE ${Dedup.reachCtes},
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          tiers AS ($q162TierSql),
+          j AS (SELECT ti.tier,
+                       CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS is_dup
+                FROM tiers ti LEFT JOIN cl ON ti.doc_id = cl.doc_id),
+          tot AS (SELECT CAST(sum(is_dup) AS BIGINT) AS gd,
+                         CAST(count(*) AS BIGINT) AS gn FROM j)
+          SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+                 (CAST(sum(is_dup) AS BIGINT) * 10000) // count(*) AS dup_bp,
+                 (CAST(sum(is_dup) AS BIGINT) * 10000) // count(*)
+                   - (gd * 10000) // gn AS lift_bp
+          FROM j CROSS JOIN tot GROUP BY tier, gd, gn""",
     "q247_decontam_ngram_sweep" -> {
       // one CTE family per swept n, generated from the same DecontamNs
       // list the Spark side reads (the q141 shared-list idiom)

@@ -254,6 +254,48 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(got(13) == ((1L, 4L, 1L, 1L, 2500L)))
   }
 
+  test("q251 marginal grams on a planted corpus equal hand arithmetic") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-marginal").toString
+    // s1 (11 tokens, rank 1): types {a1..a5, a2..a6}, both novel at rank 1;
+    // s2 (6 tokens, rank 2): types {a2..a6 (owned by s1), a3..b1 (novel)}
+    Seq(
+      (1L, "a1 a2 a3 a4 a5 a6", "en", "s1", 17L),
+      (2L, "a1 a2 a3 a4 a5", "en", "s1", 14L),
+      (3L, "a2 a3 a4 a5 a6 b1", "en", "s2", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$outDir/documents.parquet")
+    val got = TextAnalysis.q251SourceMarginalGrams(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      1L -> (("s1", 11L, 2L, 2L, 10000L, 2L)),
+      2L -> (("s2", 6L, 2L, 1L, 5000L, 3L))))
+  }
+
+  test("q252 lm-dup lift reconciles against the independently-oracled tier and cluster kernels") {
+    val got = TextAnalysis.q252LmDupLift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val clustered = graft.operators.Dedup.clusterMap(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tiers = TextAnalysis.ccnetTiersOf(spark, dir, carry = Nil)
+      .select("doc_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gn = tiers.length.toLong
+    val gd = tiers.count { case (id, _) => clustered(id) }.toLong
+    val want = tiers.groupBy(_._2).map { case (tier, docs) =>
+      val n = docs.length.toLong
+      val d = docs.count { case (id, _) => clustered(id) }.toLong
+      tier -> ((n, d, d * 10000 / n, d * 10000 / n - gd * 10000 / gn))
+    }
+    assert(got == want)
+    // liveness: the corpus carries near-dup families, so lift is a real
+    // measurement, not a table of zeros
+    assert(gd > 0, "no clustered docs at sf0.01 — the lift audit is vacuous")
+  }
+
   test("q248 per-benchmark split on a planted corpus equals hand arithmetic") {
     val got = TextAnalysis.contaminationByBenchmarkOf(plantedDecontam).collect()
       .map(r => r.getLong(0) ->
