@@ -866,7 +866,76 @@ object Events {
                 END""").as("return_bp"))
   }
 
+  /** q253: AUDIENCE-OVERLAP matrix — user-set Jaccard and overlap
+    * coefficient for every event-type pair: do two features share an
+    * audience or split it? The product read behind funnel design and
+    * cross-sell targeting; the overlap coefficient catches the nested
+    * case (every 'purchase' user also clicks) that Jaccard blurs —
+    * q199's asymmetric-containment argument on the audience axis. Pairs
+    * with ZERO shared users row with honest zeros (the grid left-join,
+    * q231's lesson).
+    *
+    * Exactness: integer counts; all-positive DIVs (a type rows only if
+    * it has ≥ 1 user, and least(a,b) ≥ 1).
+    *
+    * Shape: ONE distinct (type, user) exchange; the pair expansion
+    * self-joins on user_id with per-user fan-out bounded by |types|²
+    * (a handful), folding straight to the |types|² matrix; the grid and
+    * size lookups are broadcast-tiny.
+    */
+  def q253AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // three consumers: sizes + both pair-join sides
+    val sizes = ud.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val inter = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("ns"))
+    sizes.as("sa").crossJoin(sizes.as("sb"))
+      .filter(col("sa.event_type") < col("sb.event_type"))
+      .select(col("sa.event_type").as("type_a"), col("sb.event_type").as("type_b"),
+        col("sa.nu").as("n_users_a"), col("sb.nu").as("n_users_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("n_shared", coalesce(col("ns"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_users_a"), col("n_users_b"),
+        col("n_shared"),
+        expr("n_shared * 10000 DIV (n_users_a + n_users_b - n_shared)")
+          .as("jaccard_bp"),
+        expr("n_shared * 10000 DIV least(n_users_a, n_users_b)")
+          .as("overlap_bp"))
+  }
+
+  /** q254: per-user event-type ENTROPY — the behavioral-diversity bot
+    * signal beside q165's cadence regularity: a human mixes types, a bot
+    * hammers one endpoint. Per user (≥ 20 events — q165's floor): event
+    * count, distinct types, dominant type + share, exact-integer entropy
+    * (the shared [[Entropy]] kernel, q211/q217's machinery on the user
+    * axis) and a `suspicious` flag for high-volume near-single-type
+    * users (≥ 50 events with ≥ 9000 bp on one type). Read NEXT TO q165:
+    * cadence says metronome, this says monomania — a user flagged by
+    * both is a machine.
+    *
+    * Shape: one (user, type) map-side-combined agg; the kernel's windows
+    * run on that |users × types|-bounded frame; the ≥ 20 filter keeps
+    * the published table at analyst size.
+    */
+  def q254UserTypeEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Entropy.dominantAndEntropy(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt")),
+      "user_id", "event_type")
+      .filter(col("n_total") >= 20)
+      .select(col("user_id"), col("n_total").as("n_events"),
+        col("n_bins").as("n_types"), col("top_bin").as("top_type"),
+        col("top_share_bp"), col("entropy_x1000"),
+        (col("n_total") >= 50 && col("top_share_bp") >= 9000).as("suspicious"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_audience_overlap" -> (q253AudienceOverlap _),
+    "q254_user_type_entropy" -> (q254UserTypeEntropy _),
     "q243_return_curve" -> (q243ReturnCurve _),
     "q217_diurnal_entropy" -> (q217DiurnalEntropy _),
     "q149_time_weighted" -> (q149TimeWeighted _),
@@ -899,6 +968,35 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q253_audience_overlap" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+                FROM ud GROUP BY 1),
+         iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS ns
+                FROM ud a JOIN ud b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                sa.nu AS n_users_a, sb.nu AS n_users_b,
+                COALESCE(iv.ns, 0) AS n_shared,
+                (COALESCE(iv.ns, 0) * 10000)
+                  // (sa.nu + sb.nu - COALESCE(iv.ns, 0)) AS jaccard_bp,
+                (COALESCE(iv.ns, 0) * 10000) // least(sa.nu, sb.nu)
+                  AS overlap_bp
+         FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type
+         LEFT JOIN iv ON iv.type_a = sa.event_type
+                     AND iv.type_b = sb.event_type""",
+    "q254_user_type_entropy" -> {
+      val base = graft.operators.Entropy.dominantAndEntropySql(
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM events GROUP BY 1, 2",
+        "user_id", "event_type", "n_events", "n_types", "top_type")
+      s"""SELECT user_id, n_events, n_types, top_type, top_share_bp,
+                 entropy_x1000,
+                 n_events >= 50 AND top_share_bp >= 9000 AS suspicious
+          FROM ($base) WHERE n_events >= 20"""
+    },
     "q243_return_curve" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

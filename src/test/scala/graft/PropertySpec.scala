@@ -868,6 +868,53 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 == 24L && v._5 > 3000L && v._4 < 1000L))
   }
 
+  test("q253 audience overlap equals a driver-side user-set recompute") {
+    val got = graft.operators.Events.q253AudienceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_users_a"), r.getAs[Long]("n_users_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_bp"),
+          r.getAs[Long]("overlap_bp")))).toMap
+    val sets = Tables.events(spark, sf).select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    val types = sets.keys.toSeq.sorted
+    val ref = (for {
+      a <- types; b <- types if a < b
+      (sa, sb) = (sets(a), sets(b))
+      sh = (sa & sb).size.toLong
+    } yield (a, b) -> ((sa.size.toLong, sb.size.toLong, sh,
+      sh * 10000L / (sa.size + sb.size - sh),
+      sh * 10000L / math.min(sa.size, sb.size)))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // full matrix: every unordered type pair rows exactly once
+    assert(got.size == types.size * (types.size - 1) / 2)
+  }
+
+  test("q254 user-type entropy equals the shared-kernel driver recompute; flags are the rule") {
+    val got = graft.operators.Events.q254UserTypeEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_types"), r.getAs[String]("top_type"),
+        r.getAs[Long]("top_share_bp"), r.getAs[Long]("entropy_x1000"),
+        r.getAs[Boolean]("suspicious")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).flatMap { case (u, rows) =>
+        val cnts = rows.groupBy(_._2).map { case (t, rs) => t -> rs.length.toLong }
+        val n = cnts.values.sum
+        if (n < 20) None else {
+          val (top, topCnt) = cnts.toSeq.sortBy { case (t, c) => (-c, t) }.head
+          val num = lq(n) * n - cnts.values.map(c => c * lq(c)).sum
+          val shareBp = topCnt * 10000L / n
+          Some(u -> ((n, cnts.size.toLong, top, shareBp,
+            math.round(num / n.toDouble / 1000.0),
+            n >= 50 && shareBp >= 9000)))
+        }
+      }
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
