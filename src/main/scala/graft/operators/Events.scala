@@ -883,9 +883,15 @@ object Events {
     * (a handful), folding straight to the |types|² matrix; the grid and
     * size lookups are broadcast-tiny.
     */
-  def q253AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
-      .select(col("event_type"), col("user_id")).distinct()
+  def q253AudienceOverlap(s: SparkSession, dir: String): DataFrame =
+    overlapFromUserSets(Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct())
+
+  /** The overlap matrix off an already-distinct (event_type, user_id)
+    * membership frame — one definition serves q253 and s30's maintained
+    * set. */
+  private[graft] def overlapFromUserSets(ud0: DataFrame): DataFrame = {
+    val ud = ud0
       .localCheckpoint() // three consumers: sizes + both pair-join sides
     val sizes = ud.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
     val inter = ud.as("a")

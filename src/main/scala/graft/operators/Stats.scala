@@ -722,11 +722,17 @@ object Stats {
   /** q245 on ANY (event_type, ts) frame — spec'd on planted
     * strong-weekly / flat / constant series beside the oracled corpus
     * run. */
-  private[graft] def kruskalDowOf(ev: DataFrame): DataFrame = {
-    val cells = ev
+  private[graft] def kruskalDowOf(ev: DataFrame): DataFrame =
+    kruskalFromDaily(ev
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** q245 off an already-built (event_type, day, n) daily frame (epoch
+    * day) — one definition serves the batch query and s30's maintained
+    * table (the slopeFromDaily/gapsFromDaily pattern). */
+  private[graft] def kruskalFromDaily(daily: DataFrame): DataFrame = {
+    val cells = daily
       .select(col("event_type"), col("n"), expr("((day + 4) % 7)").as("dow"))
       .groupBy(col("event_type"), col("n"), col("dow"))
       .agg(count(lit(1)).as("cnt"))

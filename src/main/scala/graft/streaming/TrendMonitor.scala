@@ -67,6 +67,13 @@ object TrendMonitor {
   def gaps(daily: DataFrame): DataFrame =
     graft.operators.Stats.gapsFromDaily(daily)
 
+  /** q245's Kruskal–Wallis weekday verdict from the same maintained
+    * counts (r15) — the fourth estimator served by ONE maintained table:
+    * whether the weekday matters re-tests itself as corrected history
+    * lands, off the shared batch kernel. */
+  def dow(daily: DataFrame): DataFrame =
+    graft.operators.Stats.kruskalFromDaily(daily)
+
   /** The stream: events in, touched daily-count cells out via
     * `publishDelta(delta, batchId)`.
     */

@@ -814,4 +814,73 @@ class StreamingSpec extends AnyFunSuite {
     val redelta = graft.streaming.ActivityMonitor.activityBatch(store(), frag, last + 1L)
     assert(redelta.isDefined && redelta.get.count() == 0L)
   }
+
+  test("s30 streaming overlap monitor converges to the batch q253 matrix; deltas are new cells only") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val evs = Tables.events(s0, sf).select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cells = scala.collection.mutable.Set.empty[(String, Long)]
+    var lastId = Option.empty[Long]
+    var published = 0L // every delta row must be NEW (set-union delta)
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map(id => (cells.toSeq.toDF("event_type", "user_id"), id))
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        val cell = (r.getAs[String]("event_type"), r.getAs[Long]("user_id"))
+        assert(!cells(cell), s"delta re-published existing cell $cell")
+        cells += cell; published += 1
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(String, Long)]
+    val q = graft.streaming.OverlapMonitor.overlapStream(
+      ms.toDS().toDF("event_type", "user_id"), store _)(publishDelta).start()
+    try {
+      // splits re-send already-seen (type, user) cells, which must
+      // dedupe to nothing (idempotent set union)
+      val (b1, rest) = evs.splitAt(evs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val rebuild = evs.distinct.toSet
+    assert(cells.toSet == rebuild, "maintained membership != batch rebuild")
+    assert(published == rebuild.size.toLong, "deltas re-shipped known cells")
+    val got = graft.streaming.OverlapMonitor.overlap(store().get._1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = graft.operators.Events.q253AudienceOverlap(s0, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want, "streamed overlap matrix != batch q253")
+    // replay guard: an applied id skips; a new id with known cells
+    // yields an EMPTY delta (idempotent union), not a duplicate
+    val frag = evs.take(10).distinct.toDF("event_type", "user_id")
+    val last = lastId.get
+    assert(graft.streaming.OverlapMonitor.membershipBatch(store(), frag, last).isEmpty)
+    val redelta = graft.streaming.OverlapMonitor.membershipBatch(store(), frag, last + 1L)
+    assert(redelta.isDefined && redelta.get.count() == 0L)
+  }
+
+  test("s28 dow derivation (r15): the maintained daily table serves the batch q245 verdict") {
+    // the maintained-table ≡ rebuild property is s28's existing spec; this
+    // pins the NEW fourth derivation: kruskalFromDaily off the maintained
+    // counts equals the batch q245 table byte-for-byte
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val got = graft.streaming.TrendMonitor.dow(daily).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Any]("h_x1000")).map(_.asInstanceOf[Long]),
+        r.getString(4))).toSet
+    val want = graft.operators.Stats.q245KruskalDow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Any]("h_x1000")).map(_.asInstanceOf[Long]),
+        r.getString(4))).toSet
+    assert(got == want, "maintained-table dow verdict != batch q245")
+  }
 }
