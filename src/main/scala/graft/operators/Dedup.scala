@@ -674,6 +674,39 @@ object Dedup {
         expr("(n_canonical * 10000) DIV greatest(ct, 1)").as("canonical_share_bp"))
   }
 
+  /** q255: LSH BUCKET-OCCUPANCY audit — the operational table read before
+    * sizing `graft.dedup.maxBucketSize` (and the census that explains a
+    * slow banding pass): per band, bucket count, multi-doc buckets, the
+    * largest and p95 bucket, the PAIR-EXPANSION cost Σ b·(b−1)/2 the band
+    * would generate (the quantity the hot-bucket guard bounds), and how
+    * many docs sit in over-cap buckets (what the guard would DROP at the
+    * default 4096 — nonzero here means q29-family recall is being traded
+    * for the n² bound, the loud version of the cap's contract).
+    *
+    * Exactness: integer counts and one interpolated percentile over
+    * integer bucket sizes (the q73 parity rule); audits the UNCAPPED
+    * bucket table (bands0 on the oracle side) — the guard's input, not
+    * its output.
+    *
+    * Scale shape: the banding pass's own (band, sig) partial-agg fold —
+    * counts only, no collect_list, un-OOM-able — then a |bands|-row
+    * fold; the corpus is scanned once (the same minhash pass every LSH
+    * query rides).
+    */
+  def q255LshBucketOccupancy(s: SparkSession, dir: String): DataFrame =
+    bandSignatures(s, dir)
+      .groupBy(col("band_id"), col("sig"))
+      .agg(count(lit(1)).as("bs"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("bs") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+        max(col("bs")).as("max_bucket"),
+        round(expr("percentile(bs, 0.95D)"), 4).as("p95_bucket"),
+        sum(when(col("bs") > 1, expr("bs * (bs - 1) DIV 2")).otherwise(lit(0L)))
+          .as("n_pairs_expanded"),
+        sum(when(col("bs") > 4096, col("bs")).otherwise(lit(0L)))
+          .as("docs_in_overcap"))
+
   /** q240: MinHash CALIBRATION curve — the estimator-vs-truth table read
     * before trusting any signature-level similarity threshold: per
     * signature agreement level (est_matches of the H=16 minhash positions
@@ -1258,6 +1291,20 @@ object Dedup {
                  CAST(max(jac_bp) AS BIGINT) AS max_jaccard_bp,
                  est_matches * 10000 // $NumHashes AS est_bp
           FROM sc GROUP BY 1""" },
+    "q255_lsh_bucket_occupancy" ->
+      s"""WITH $minhashCtes,
+          bu AS (SELECT band_id, sig, CAST(count(*) AS BIGINT) AS bs
+                 FROM bands0 GROUP BY 1, 2)
+          SELECT band_id, CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(CASE WHEN bs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_buckets,
+                 max(bs) AS max_bucket,
+                 round(quantile_cont(bs, 0.95), 4) AS p95_bucket,
+                 CAST(sum(CASE WHEN bs > 1 THEN bs * (bs - 1) // 2 ELSE 0 END)
+                   AS BIGINT) AS n_pairs_expanded,
+                 CAST(sum(CASE WHEN bs > 4096 THEN bs ELSE 0 END) AS BIGINT)
+                   AS docs_in_overcap
+          FROM bu GROUP BY 1""",
     "q249_cross_source_mirror" ->
       s"""WITH $minhashCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1561,6 +1608,7 @@ object Dedup {
     "q240_minhash_calibration" -> (q240MinhashCalibration _),
     "q249_cross_source_mirror" -> (q249CrossSourceMirror _),
     "q250_canonical_source_bias" -> (q250CanonicalSourceBias _),
+    "q255_lsh_bucket_occupancy" -> (q255LshBucketOccupancy _),
     "q70_edit_distance"   -> (q70EditDistance _),
     "q102_edit_distance_fast" -> (q102EditDistanceFast _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),

@@ -485,6 +485,41 @@ object TextAnalysis {
           .as("lift_bp"))
   }
 
+  /** q256: 5-gram DOCUMENT-FREQUENCY profile — the corpus-shape table
+    * behind choosing a dedup strategy: gram types and gram MASS (Σ df)
+    * banded by how many docs carry each 5-gram (1 / 2 / 3–10 / 11+).
+    * Mass concentrated in the 11+ band is boilerplate/templating — the
+    * substring cut (q151/q154) and chunk dedup (q202) earn their cost;
+    * mass in df=1 says the corpus is gram-unique and the near-dup passes
+    * (q29/q31) suffice. Read next to q210 (pair thresholds) and q255
+    * (bucket occupancy): shape, price, and blast radius of the same
+    * decision.
+    *
+    * Exactness: integer counts; band edges are integer compares; shares
+    * all-positive DIVs over a nonempty total whenever rows exist.
+    *
+    * Scale shape: one corpus gram explode → (doc, gram) distinct →
+    * per-gram df (both map-side combining, the q115/q168 value-domain
+    * exchanges); the band fold lands on 4 rows + one broadcast total.
+    */
+  def q256GramDfProfile(s: SparkSession, dir: String): DataFrame = {
+    val banded = nGrams(Tables.documents(s, dir), 5)
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .select(expr(
+        """CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                WHEN df <= 10 THEN '3-10' ELSE '11+' END""").as("df_band"),
+        col("df"))
+      .localCheckpoint() // two consumers: the band fold + the totals
+    banded.groupBy(col("df_band"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("gram_mass"))
+      .crossJoin(broadcast(
+        banded.agg(count(lit(1)).as("tg"), sum(col("df")).as("tm"))))
+      .select(col("df_band"), col("n_grams"), col("gram_mass"),
+        expr("(n_grams * 10000) DIV tg").as("type_share_bp"),
+        expr("(gram_mass * 10000) DIV tm").as("mass_share_bp"))
+  }
+
   /** q59: corpus vocabulary statistics — per-word document frequency, total
     * occurrences and smoothed IDF (the inputs to TF-IDF quality scoring and
     * stopword discovery over a training corpus). One explode + one
@@ -2861,6 +2896,7 @@ object TextAnalysis {
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
+    "q256_gram_df_profile" -> (q256GramDfProfile _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -3905,6 +3941,26 @@ object TextAnalysis {
                                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          FROM documents""",
+    "q256_gram_df_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          gr AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                             || ' ' || w[i+4] AS g
+                 FROM ix),
+          dfr AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gr GROUP BY 1),
+          b AS (SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                            WHEN df <= 10 THEN '3-10' ELSE '11+' END AS df_band,
+                       df
+                FROM dfr),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS tg,
+                         CAST(sum(df) AS BIGINT) AS tm FROM b)
+          SELECT df_band, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(df) AS BIGINT) AS gram_mass,
+                 (count(*) * 10000) // tg AS type_share_bp,
+                 (CAST(sum(df) AS BIGINT) * 10000) // tm AS mass_share_bp
+          FROM b CROSS JOIN tot GROUP BY 1, tg, tm""",
     "q251_source_marginal_grams" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w
                     FROM documents),

@@ -296,6 +296,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(gd > 0, "no clustered docs at sf0.01 — the lift audit is vacuous")
   }
 
+  test("q256 gram df profile on a planted corpus equals hand arithmetic") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-dfprof").toString
+    // grams: "a1..a5" in docs 1,2 (df=2); "a2..a6" in doc 1 only (df=1);
+    // doc 3 has no 5-gram (4 words)
+    Seq(
+      (1L, "a1 a2 a3 a4 a5 a6", "en", "s1", 17L),
+      (2L, "a1 a2 a3 a4 a5", "en", "s1", 14L),
+      (3L, "x1 x2 x3 x4", "en", "s2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$outDir/documents.parquet")
+    val got = TextAnalysis.q256GramDfProfile(spark, outDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // totals: 2 gram types, mass 3
+    assert(got == Map(
+      "1" -> ((1L, 1L, 5000L, 3333L)),
+      "2" -> ((1L, 2L, 5000L, 6666L))))
+  }
+
   test("q248 per-benchmark split on a planted corpus equals hand arithmetic") {
     val got = TextAnalysis.contaminationByBenchmarkOf(plantedDecontam).collect()
       .map(r => r.getLong(0) ->

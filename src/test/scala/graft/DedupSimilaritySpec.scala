@@ -318,6 +318,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "feedB" -> ((1L, 0L, 0L, 2500L, 0L))))
   }
 
+  test("q255 bucket occupancy reconciles with q29: expansion mass equals total shared bands") {
+    val occ = Dedup.q255LshBucketOccupancy(spark, sf01).collect()
+    assert(occ.length == 8, "one row per band")
+    // no over-cap bucket at this SF, so every bucket expands and
+    // Σ_bands Σ_buckets C(b,2)  ==  Σ_{q29 pairs} n_shared_bands
+    assert(occ.forall(_.getAs[Long]("docs_in_overcap") == 0L))
+    val expanded = occ.map(_.getAs[Long]("n_pairs_expanded")).sum
+    val sharedBands = Dedup.q29DedupMinhash(spark, sf01).collect()
+      .map(_.getAs[Long]("n_shared_bands")).sum
+    assert(expanded == sharedBands,
+      s"expansion mass $expanded != q29 shared-band mass $sharedBands")
+    occ.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= 1L)
+      assert(r.getAs[Long]("n_multi_buckets") <= r.getAs[Long]("n_buckets"))
+      assert(r.getAs[Double]("p95_bucket") <= r.getAs[Long]("max_bucket").toDouble)
+    }
+  }
+
   test("hot-bucket cap drops mega-buckets from pair expansion") {
     val default = Dedup.q49DedupMinhashFast(spark, sf01)
     val nDefault = default.count()
