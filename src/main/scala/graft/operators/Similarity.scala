@@ -224,6 +224,68 @@ object Similarity {
         round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 
+  /** q257: IVF RECALL-vs-PROBES curve — the accuracy/cost knob table read
+    * before fixing q48's nprobe: per nprobe ∈ {1, 2, 4, 8, 16}, recall@k
+    * against q33's brute-force truth and the average corpus fraction
+    * scanned (probed-cell occupancy mass / (queries × corpus)). The two
+    * columns ARE the trade: recall_bp buys quality, scanned_bp is the
+    * price — the knee is where a deployment sets nprobe. nprobe = 16
+    * (= every cell) must recall 10000 exactly (full coverage ≡ brute
+    * force — the spec's anchor, not just a bound).
+    *
+    * Spec-only (k-means has no SQL mirror — q48's contract): recall
+    * monotone in nprobe, exact 10000 at full coverage, scanned_bp
+    * monotone, and the ≥ 0.8 floor q48's nprobe=8 already pins.
+    *
+    * Scale shape: centroids/cell assignments computed ONCE
+    * (checkpointed) and re-sliced per nprobe — the sweep re-prices only
+    * the candidate joins; at 100 TB this runs on a query SAMPLE (the
+    * deterministic vec_id % 100 set) against the same persisted index
+    * the production probe uses.
+    */
+  def q257IvfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val probesSweep = Seq(1, 2, 4, 8, 16)
+    val k = 16
+    val centers = kmeansCentroids(s, dir, k, 3)
+    val corpusCells = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell", nearestCell(col("ne"), centers))
+      .localCheckpoint() // one assignment pass feeds every sweep point
+    val occupancy = corpusCells.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .localCheckpoint() // |cells| rows
+    val corpusN = occupancy.agg(sum(col("cn")).as("corpus_n"))
+    val truth = q33KnnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // the ground truth scored once
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val qsBase = queriesDf(s, dir)
+      .withColumn("scored", reverse(array_sort(scoredCells(col("qe"), centers))))
+      .localCheckpoint() // cell ranking per query computed once
+    probesSweep.map { np =>
+      val qs = qsBase
+        .withColumn("cell",
+          explode(expr(s"transform(slice(scored, 1, $np), s -> -s.negcell)")))
+        .drop("scored")
+      val got = corpusCells.join(broadcast(qs), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = qs.join(occupancy, Seq("cell"))
+        .agg(coalesce(sum(col("cn")), lit(0L)).as("scanned_rows"),
+          countDistinct(col("query_id")).as("n_queries"))
+      hits.crossJoin(nTruth).crossJoin(scanned).crossJoin(corpusN)
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
+          col("n_hits"),
+          expr("(n_hits * 10000) DIV greatest(n_truth, 1)").as("recall_bp"),
+          expr("(scanned_rows * 10000) DIV greatest(n_queries * corpus_n, 1)")
+            .as("scanned_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cell-occupancy audit of an IVF coarse quantizer over ANY
     * (vec_id, embedding) frame — q192's key-skew discipline pointed at
     * the vector index. A skewed quantizer makes one probe partition the
@@ -803,6 +865,7 @@ object Similarity {
     "q35_centroid_sim" -> (q35CentroidSim _),
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
+    "q257_ivf_recall_curve" -> (q257IvfRecallCurve _),
     "q114_dim_stats"   -> (q114DimStats _),
     "q201_embedding_drift" -> (q201EmbeddingDrift _),
     "q76_vector_stats" -> (q76VectorStats _),

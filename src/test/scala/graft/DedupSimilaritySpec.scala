@@ -473,6 +473,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   private val sf01 = "/root/testdata/sf0.01"
 
+  test("q257 IVF recall curve: monotone, exact 10000 at full coverage, price rises with probes") {
+    val rows = Similarity.q257IvfRecallCurve(spark, sf01).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_.getAs[Long]("recall_bp"))
+    val scanned = rows.map(_.getAs[Long]("scanned_bp"))
+    // more probes can only help, and the price can only grow
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    assert(scanned.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // nprobe = k probes EVERY cell: candidates = the whole corpus, so the
+    // curve's last point must equal brute force EXACTLY, and the scanned
+    // share is the full corpus
+    assert(recalls.last == 10000L, s"full-coverage recall ${recalls.last} != 10000")
+    assert(scanned.last == 10000L, s"full-coverage scan share ${scanned.last} != 10000")
+    // the q48 production point (nprobe=8) keeps its pinned floor
+    assert(recalls(3) >= 8000L, s"nprobe=8 recall ${recalls(3)} < 8000")
+    // all sweep points share one truth set
+    assert(rows.map(_.getAs[Long]("n_truth")).distinct.length == 1)
+  }
+
   test("q48 IVF with learned k-means centroids reaches recall@5 >= 0.8 at sf0.01") {
     val recall = meanRecallVsExact(Similarity.q48KnnIvf(spark, sf01), sf01)
     assert(recall >= 0.8, s"IVF recall@5 = $recall < 0.8")
