@@ -437,7 +437,42 @@ object Privacy {
         expr("(n_rows * 10000) DIV n_total").as("share_bp"))
   }
 
+  /** q260's swept k values — code-owned like q147's rule table; the
+    * oracle inlines the same literals. */
+  private[graft] val KanonKs = Seq(2L, 5L, 10L, 20L, 50L)
+
+  /** q260: k-anonymity SUPPRESSION curve — the knob table read before
+    * fixing q52's k (q210's role on the privacy axis): per k ∈
+    * {2, 5, 10, 20, 50}, how many (event_type, day) cells fall under the
+    * bar, how many events their suppression hides, and the hidden share
+    * in bp. Privacy k is a trade against publication completeness; this
+    * is the table where the trade is priced BEFORE a k is committed
+    * (read with q241's k-census: q241 says how exposed the corpus is,
+    * this says what each k costs to publish).
+    *
+    * Exactness: pure integer counts off ONE cells aggregate; the sweep
+    * explodes the 5-literal k array per cell (bounded fan-out), never
+    * re-scanning events; all-positive DIV.
+    */
+  def q260KanonKCurve(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(array(KanonKs.map(lit(_)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L))
+          .as("n_suppressed_cells"),
+        sum(col("n")).as("n_events"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(lit(0L)))
+          .as("events_suppressed"))
+      .select(col("k"), col("n_cells"), col("n_suppressed_cells"),
+        (col("n_cells") - col("n_suppressed_cells")).as("n_published_cells"),
+        col("events_suppressed"),
+        expr("(events_suppressed * 10000) DIV n_events").as("suppressed_bp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_kanon_k_curve" -> (q260KanonKCurve _),
     "q241_reid_risk" -> (q241ReidRisk _),
     "q148_dp_counts" -> (q148DpCounts _),
     "q51_anonymize"      -> (q51Anonymize _),
@@ -449,6 +484,24 @@ object Privacy {
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "q260_kanon_k_curve" -> {
+      val ks = KanonKs.mkString(", ")
+      s"""WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          ks AS (SELECT CAST(unnest([$ks]) AS BIGINT) AS k),
+          j AS (SELECT k, n FROM cells CROSS JOIN ks)
+          SELECT k, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed_cells,
+                 CAST(count(*) - sum(CASE WHEN n < k THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_published_cells,
+                 CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+                   AS events_suppressed,
+                 (CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+                   * 10000) // CAST(sum(n) AS BIGINT) AS suppressed_bp
+          FROM j GROUP BY 1""" },
     "q241_reid_risk" ->
       """WITH cells AS (
            SELECT c_nationkey, c_mktsegment,

@@ -785,6 +785,47 @@ object Stats {
     s"""CASE WHEN n_$d > 0 THEN CAST(r2_$d AS DOUBLE) * CAST(r2_$d AS DOUBLE)
           / (4.0 * CAST(n_$d AS DOUBLE)) ELSE 0.0 END""").mkString(" + ")
 
+  /** q258: WEEKDAY-PROFILE table per event type — the detail behind
+    * q245's verdict: q245 says whether the weekday matters at all, this
+    * says WHICH weekday drives it. Per (type, dow 0=Sunday): days
+    * observed, event mass, mean daily count, share of the type's mass,
+    * and the deviation from a flat 1/7 week in bp (q218's exact
+    * floor-div rendering — `n·7·10000 DIV total − 10000`, exact for any
+    * divisor, the q239 truncation trap avoided). Unobserved weekdays row
+    * with zeros and a NULL mean (the 7-cell grid left-join; q231's
+    * lesson).
+    *
+    * Shape: everything after ONE calendar-bounded daily agg (the
+    * q231/q235/q237/q245 argument); the grid and the per-type totals run
+    * on the |types|×7 frame.
+    */
+  def q258DowProfile(s: SparkSession, dir: String): DataFrame =
+    dowProfileFromDaily(Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** q258 off an already-built (event_type, day, n) daily frame — one
+    * definition serves the batch query and s28's maintained table. */
+  private[graft] def dowProfileFromDaily(daily: DataFrame): DataFrame = {
+    val cells = daily
+      .select(col("event_type"), col("n"), expr("((day + 4) % 7)").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val types = cells.select(col("event_type")).distinct()
+    val grid = types.crossJoin(
+      cells.sparkSession.range(7).select(col("id").as("dow")))
+    grid.join(cells, Seq("event_type", "dow"), "left")
+      .na.fill(0L, Seq("n_days", "n_events"))
+      .withColumn("tt", sum(col("n_events")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+        expr("CASE WHEN n_days > 0 THEN n_events DIV n_days END")
+          .as("mean_daily"),
+        expr("(n_events * 10000) DIV tt").as("share_bp"),
+        expr("(n_events * 7 * 10000) DIV tt - 10000").as("dev_bp"))
+  }
+
   /** χ² 5% critical value ×1000 selected by dof = n_groups − 1 — one
     * literal CASE text on both engines. A type observed on fewer than 7
     * distinct weekdays has fewer degrees of freedom; the fixed χ²(6) bar
@@ -938,6 +979,7 @@ object Stats {
     "q235_theil_sen"  -> (q235TheilSen _),
     "q237_calendar_gaps" -> (q237CalendarGaps _),
     "q245_kruskal_dow"   -> (q245KruskalDow _),
+    "q258_dow_profile"   -> (q258DowProfile _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -1062,6 +1104,32 @@ object Stats {
                      THEN CAST(round(10000.0 * CAST(num AS DOUBLE) /
                           CAST(den AS DOUBLE)) AS BIGINT) END AS acf_bp
          FROM lags l LEFT JOIN pairs p USING (lag) CROSS JOIN den""",
+    "q258_dow_profile" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         cells AS (
+           SELECT event_type, (day + 4) % 7 AS dow,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(n) AS BIGINT) AS n_events
+           FROM daily GROUP BY 1, 2),
+         grid AS (SELECT t.event_type, d.dow
+                  FROM (SELECT DISTINCT event_type FROM cells) t
+                  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) d),
+         g AS (SELECT grid.event_type, grid.dow,
+                      COALESCE(c.n_days, 0) AS n_days,
+                      COALESCE(c.n_events, 0) AS n_events
+               FROM grid LEFT JOIN cells c
+                 ON grid.event_type = c.event_type AND grid.dow = c.dow),
+         w AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS tt
+               FROM g)
+         SELECT event_type, dow, n_days, n_events,
+                CASE WHEN n_days > 0 THEN n_events // n_days END AS mean_daily,
+                (n_events * 10000) // tt AS share_bp,
+                (n_events * 7 * 10000) // tt - 10000 AS dev_bp
+         FROM w""",
     "q245_kruskal_dow" -> {
       val pivots = (0 until 7).map(d =>
         s"""coalesce(CAST(sum(CASE WHEN dow = $d THEN n_g END) AS BIGINT), 0) AS n_$d,

@@ -485,6 +485,58 @@ object TextAnalysis {
           .as("lift_bp"))
   }
 
+  /** The ExactSubstr coverage CTE prefix (tokens → W=15 window hashes →
+    * multi-doc owners → covered positions) shared by the q154 oracle and
+    * the q259 per-source rollup oracle — one definition of "cut". */
+  private val substrCutCtes: String =
+    """toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 14, 0))) AS i
+           FROM toks),
+         occ AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  md5(array_to_string(w[i : i + 14], ' ')) AS g
+           FROM idx),
+         own AS (
+           SELECT g, min(doc_id) AS owner FROM occ
+           GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cuth AS (
+           SELECT o.doc_id, o.pos FROM occ o JOIN own ON o.g = own.g
+           WHERE o.doc_id <> own.owner),
+         cov0 AS (
+           SELECT doc_id, unnest(generate_series(pos, pos + 14)) AS tok FROM cuth),
+         cov AS (SELECT DISTINCT doc_id, tok FROM cov0)"""
+
+  /** q259: ExactSubstr SAVINGS per source — the third rung of the
+    * per-source dedup-dividend family: q222 prices the exact-hash pass,
+    * q224 the near-dup collapse, this the substring CUT (q151/q154's
+    * W=15 coverage): per source, docs touched, tokens cut, cut_bp. A
+    * source where the substring rung dominates is template-wrapped
+    * content (same boilerplate around unique bodies) — the case the doc-
+    * level rungs cannot price. Shares q154's EXACT kernel ([[substrCut]])
+    * so the rollup can never disagree with the per-doc table.
+    *
+    * Scale shape: q154's digest-shuffle-only pipeline (text never
+    * shuffles; Catalyst prunes the unused new_text projection and the
+    * CutTokens call with it), one doc-scale join to the column-pruned
+    * (doc_id, source) projection, then a |sources| fold.
+    */
+  def q259SubstrSavingsBySource(s: SparkSession, dir: String): DataFrame =
+    substrCut(Tables.documents(s, dir), W = 15)
+      .select(col("doc_id"), col("n_tokens"), col("n_cut_tokens"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_cut_tokens")).as("tokens_cut"),
+        sum(when(col("n_cut_tokens") > 0, 1L).otherwise(0L))
+          .as("n_docs_touched"))
+      .withColumn("cut_bp",
+        expr("(tokens_cut * 10000) DIV greatest(n_tokens, 1)"))
+
   /** q256: 5-gram DOCUMENT-FREQUENCY profile — the corpus-shape table
     * behind choosing a dedup strategy: gram types and gram MASS (Σ df)
     * banded by how many docs carry each 5-gram (1 / 2 / 3–10 / 11+).
@@ -2897,6 +2949,7 @@ object TextAnalysis {
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
     "q256_gram_df_profile" -> (q256GramDfProfile _),
+    "q259_substr_savings_by_source" -> (q259SubstrSavingsBySource _),
     "q212_packing_economics" -> (q212PackingEconomics _),
     "q213_term_burstiness" -> (q213TermBurstiness _),
     "q214_length_deciles" -> (q214LengthDeciles _),
@@ -3558,26 +3611,24 @@ object TextAnalysis {
                    AS BIGINT) AS expected_tokens
           FROM per p JOIN w ON p.source = w.source, tot"""
     },
+    "q259_substr_savings_by_source" ->
+      s"""WITH $substrCutCtes,
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+         ncut AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut
+                  FROM cov GROUP BY doc_id),
+         j AS (SELECT d.source, b.n_tokens, COALESCE(n.n_cut, 0) AS n_cut
+               FROM base b JOIN documents d USING (doc_id)
+               LEFT JOIN ncut n USING (doc_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(n_cut) AS BIGINT) AS tokens_cut,
+                CAST(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_docs_touched,
+                (CAST(sum(n_cut) AS BIGINT) * 10000)
+                  // greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS cut_bp
+         FROM j GROUP BY 1""",
     "q154_substr_cut" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
-         idx AS (
-           SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 14, 0))) AS i
-           FROM toks),
-         occ AS (
-           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                  md5(array_to_string(w[i : i + 14], ' ')) AS g
-           FROM idx),
-         own AS (
-           SELECT g, min(doc_id) AS owner FROM occ
-           GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-         cuth AS (
-           SELECT o.doc_id, o.pos FROM occ o JOIN own ON o.g = own.g
-           WHERE o.doc_id <> own.owner),
-         cov0 AS (
-           SELECT doc_id, unnest(generate_series(pos, pos + 14)) AS tok FROM cuth),
-         cov AS (SELECT DISTINCT doc_id, tok FROM cov0),
+      s"""WITH $substrCutCtes,
          tok AS (
            SELECT doc_id, w, unnest(generate_series(1, len(w))) AS ti FROM toks),
          kept AS (

@@ -915,6 +915,68 @@ class PropertySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q258 dow profile equals a driver recompute; the 7-cell grid is complete") {
+    val got = graft.operators.Stats.q258DowProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("mean_daily")).map(_.asInstanceOf[Long]),
+        r.getLong(5), r.getLong(6)))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), rs) => (t, d) -> rs.length.toLong }
+    val types = daily.keys.map(_._1).toSet
+    assert(got.keySet == types.flatMap(t => (0L to 6L).map(t -> _)),
+      "every (type, dow) grid cell rows")
+    types.foreach { t =>
+      val cells = daily.toSeq.collect { case ((`t`, d), n) => ((d + 4) % 7, n) }
+      val tt = cells.map(_._2).sum
+      (0L to 6L).foreach { dw =>
+        val mine = cells.filter(_._1 == dw).map(_._2)
+        val (nd, ne) = (mine.size.toLong, mine.sum)
+        val want = (nd, ne, if (nd > 0) Some(ne / nd) else None,
+          ne * 10000L / tt, Math.floorDiv(ne * 7L * 10000L, tt) - 10000L)
+        assert(got((t, dw)) == want, s"($t, $dw): ${got((t, dw))} != $want")
+      }
+    }
+  }
+
+  test("q259 substring savings reconcile against the oracled q154 per-doc table") {
+    val docsSrc = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = graft.operators.TextAnalysis.q154SubstrCut(spark, sf).collect()
+      .map(r => (docsSrc(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val nt = rows.map(_._2).sum; val cut = rows.map(_._3).sum
+      src -> ((rows.size.toLong, nt, cut, rows.count(_._3 > 0).toLong,
+        cut * 10000L / math.max(nt, 1L)))
+    }
+    val got = graft.operators.TextAnalysis.q259SubstrSavingsBySource(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // liveness: the corpus carries cross-doc W=15 windows somewhere
+    assert(got.values.exists(_._3 > 0L), "no substring savings anywhere — vacuous")
+  }
+
+  test("q260 k-anonymity curve equals a driver recompute and is monotone in k") {
+    val got = graft.operators.Privacy.q260KanonKCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val cells = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    val te = cells.sum
+    val want = Seq(2L, 5L, 10L, 20L, 50L).map { k =>
+      val sup = cells.filter(_ < k)
+      k -> ((cells.length.toLong, sup.length.toLong,
+        (cells.length - sup.length).toLong, sup.sum, sup.sum * 10000L / te))
+    }.toMap
+    assert(got == want)
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._5)
+    assert(ordered.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true },
+      "suppression cost must be monotone in k")
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
