@@ -32,14 +32,99 @@ import org.apache.spark.sql.functions._
   */
 object Bands {
 
-  /** Add a `band` column (BIGINT, 0..nBands−1, monotone in `key`). */
-  def withEquiDepthBand(df: DataFrame, key: String, nBands: Int = 32): DataFrame = {
+  /** Add a `band` column (BIGINT, 0..nBands−1, monotone in `key`).
+    * `accuracy` prices the boundary sketch only — correctness never
+    * depends on it (see the object doc); callers that only need the
+    * monotone decomposition (not tight balance) pass a small one. */
+  def withEquiDepthBand(df: DataFrame, key: String, nBands: Int = 32,
+      accuracy: Int = 10000): DataFrame = {
     val fracs = (1 until nBands).map(i => i.toDouble / nBands)
     val bnd = df.agg(
-      percentile_approx(col(key), typedLit(fracs), lit(10000)).as("__bnd"))
+      percentile_approx(col(key), typedLit(fracs), lit(accuracy)).as("__bnd"))
     df.crossJoin(broadcast(bnd))
       .withColumn("band",
         expr(s"CAST(size(filter(__bnd, b -> b <= $key)) AS BIGINT)"))
       .drop("__bnd")
+  }
+
+  /** EXACT interpolated percentiles at scale, via band decomposition —
+    * the distributed form of `percentile(key, fracs)` (r15): Spark's
+    * exact percentile ships every value into one ObjectHashAggregate
+    * buffer and merges it on a single reducer — at 100 TB that buffer IS
+    * the OOM. Here the global order is decomposed the q111 way: band by
+    * sketch boundaries (monotone in the key, so band-then-key order is
+    * global order), fold to the 32-row band-count frame, locate each
+    * needed GLOBAL rank's (band, local rank) arithmetically, and read the
+    * order statistics with one per-band window over ONLY the ≤ |fracs|·2
+    * touched bands (each ~n/32 rows). Every value-scale stage is a
+    * partial-agg or a band-partitioned sort; nothing corpus-scale lands
+    * on one reducer.
+    *
+    * Semantics: identical to `percentile(key, q)` / DuckDB
+    * `quantile_cont` — rank r = q·(n−1), v = v_⌊r⌋ + (v_⌊r⌋₊₁ − v_⌊r⌋)·
+    * (r − ⌊r⌋), the same formula text both engines evaluate (ties are
+    * safe: equal keys share a band and equal order-stat values interpolate
+    * to themselves). Spec'd bit-equal to `percentile()` on the corpus
+    * columns AND on planted tie/short/skew frames.
+    *
+    * Returns one row: `pcts ARRAY<DOUBLE>` in `fracs` order.
+    */
+  def exactPercentiles(df: DataFrame, key: String,
+      fracs: Seq[Double], nBands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Boundaries are a DRIVER-HELD model (the kmeansCentroids precedent:
+    // ≤ 31 doubles, bounded by construction — never data-scale), because
+    // the in-plan `filter(__bnd, ...)` HOF runs an INTERPRETED lambda per
+    // row per consumer (censused at ~2.5 s/scan × many consumers at
+    // sf0.1); a chain of 31 codegen'd comparisons prices the same
+    // banding at scan speed. Boundary accuracy 100: rank exactness never
+    // depends on the sketch (only the touched-band sort sizes do).
+    val src = df.select(col(key).as("__v")).filter(col("__v").isNotNull)
+    val bnds = src.agg(percentile_approx(col("__v"),
+        typedLit((1 until nBands).map(i => i.toDouble / nBands)), lit(100))
+        .as("b"))
+      .head().getSeq[Double](0)
+    val bandCol = bnds
+      .map(b => when(col("__v") > lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val banded = src.withColumn("band", bandCol)
+    val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // needed (global rank, kind) pairs per fraction: ⌊r⌋ and ⌊r⌋+1
+    val ranks = counts.agg(sum(col("cnt")).as("n"))
+      .select(posexplode(array(fracs.map(lit(_)): _*)).as(Seq("ord", "q")),
+        col("n"))
+      .withColumn("r", expr("q * CAST(n - 1 AS DOUBLE)"))
+      .withColumn("i", expr("CAST(floor(r) AS BIGINT)"))
+      .withColumn("fpart", expr("r - floor(r)"))
+      .select(col("ord"), col("fpart"), explode(array(
+        struct(lit(0).as("kind"), col("i").as("rank")),
+        struct(lit(1).as("kind"), expr("least(i + 1, n - 1)").as("rank"))))
+        .as("rk"))
+      .select(col("ord"), col("fpart"),
+        col("rk.kind").as("kind"), col("rk.rank").as("rank"))
+    // locate each rank's band + local rank (32 × |fracs|·2 broadcast join)
+    val needed = ranks.join(broadcast(counts),
+        col("rank") >= col("cum_before") &&
+          col("rank") < col("cum_before") + col("cnt"))
+      .select(col("ord"), col("fpart"), col("kind"), col("band"),
+        (col("rank") - col("cum_before")).as("lr"))
+    // order statistics from ONLY the touched bands, sorted per band
+    val stats = banded
+      .join(broadcast(needed.select(col("band")).distinct()), Seq("band"),
+        "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("__v"))).cast("long") - 1L)
+      .join(broadcast(needed), Seq("band"))
+      .filter(col("rn") === col("lr"))
+      .select(col("ord"), col("fpart"), col("kind"), col("__v"))
+    stats.groupBy(col("ord"), col("fpart"))
+      .agg(min(when(col("kind") === 0, col("__v"))).as("v1"),
+        min(when(col("kind") === 1, col("__v"))).as("v2"))
+      .agg(expr("array_sort(collect_list(struct(ord, v1 + (v2 - v1) * fpart AS p)))")
+        .as("ps"))
+      .select(expr("transform(ps, x -> x.p)").as("pcts"))
   }
 }

@@ -99,14 +99,15 @@ object Quality {
     */
   private[graft] def sketchProfileOf(li: DataFrame): DataFrame = {
     val cols = sketchProfileCols
-    // accuracy 2000 (rank error ≤ 0.05%): precision 10000 made the sketch
-    // pass SLOWER than the exact q66 it exists to out-scale — the sketch
-    // cost is linear in the accuracy parameter, and the rank bands only
-    // need ~20. Keep a healthy margin, not a 10000× one.
+    // accuracy 500 (rank error ≤ 0.2%): sketch cost is linear in the
+    // accuracy parameter and the r15 oracle's ±5% rank bands only need
+    // ~20 — 500 keeps a 25× margin while pricing the pass at a quarter
+    // of the former acc=2000 (which itself replaced a 10000 that made
+    // the sketch SLOWER than the exact q66 it exists to out-scale).
     val aggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
-          percentile_approx(col(c), lit(0.5), lit(2000)).cast("double").as(s"${c}_p50"),
-          percentile_approx(col(c), lit(0.95), lit(2000)).cast("double").as(s"${c}_p95"))
+          percentile_approx(col(c), lit(0.5), lit(500)).cast("double").as(s"${c}_p50"),
+          percentile_approx(col(c), lit(0.95), lit(500)).cast("double").as(s"${c}_p95"))
     }
     val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
@@ -117,21 +118,38 @@ object Quality {
   def q67SketchProfile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val sketch = sketchProfileOf(li)
-    // exact side: one narrow pass per column (single-field ReadSchema,
-    // q66's shape), unioned to the same |cols| frame
-    val exact = sketchProfileCols.map { c =>
-      li.select(col(c).as("v")).agg(
-        countDistinct(col("v")).as("n_distinct"),
-        expr("percentile(v, array(0.45D, 0.5D, 0.55D, 0.9D, 0.95D, 0.99D))")
+    // exact side: ONE scan for all three columns (posexplode fans each
+    // row to (cid, v); map-side combine compresses on the way into one
+    // (cid, v) exchange), folded to the VALUE DOMAIN so the distinct
+    // count rides the fold and the percentiles are Spark's WEIGHTED
+    // percentile over distinct values (identical by definition to the
+    // row-level form, oracle-checked). The per-column row-level
+    // percentile shipped every row into one ObjectHashAggregate buffer
+    // (5.1 s at sf0.1); three serial narrow passes still cost ~4 s in
+    // job latency — this shape is one job and its final percentile
+    // buffers parallelize across the 3 cid groups. At 100 TB — where
+    // even the VALUE DOMAIN of a continuous column stops fitting one
+    // reducer — the drop-in is [[Bands.exactPercentiles]]
+    // (band-decomposed order statistics, spec'd bit-equal to
+    // `percentile` incl. tie/short/constant frames).
+    val exact = li
+      .select(posexplode(array(sketchProfileCols.map(col): _*))
+        .as(Seq("cid", "v")))
+      .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("f"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        expr("percentile(v, array(0.45D, 0.5D, 0.55D, 0.9D, 0.95D, 0.99D), f)")
           .as("pcts"))
-        .select(lit(c).as("column"), col("n_distinct"),
-          col("pcts").getItem(0).as("e45"),
-          round(col("pcts").getItem(1), 4).as("p50"),
-          col("pcts").getItem(2).as("e55"),
-          col("pcts").getItem(3).as("e90"),
-          round(col("pcts").getItem(4), 4).as("p95"),
-          col("pcts").getItem(5).as("e99"))
-    }.reduce(_ unionByName _)
+      .select(
+        element_at(typedLit(sketchProfileCols), col("cid") + 1).as("column"),
+        col("n_distinct"),
+        col("pcts").getItem(0).as("e45"),
+        round(col("pcts").getItem(1), 4).as("p50"),
+        col("pcts").getItem(2).as("e55"),
+        col("pcts").getItem(3).as("e90"),
+        round(col("pcts").getItem(4), 4).as("p95"),
+        col("pcts").getItem(5).as("e99"))
     exact.join(sketch, Seq("column"))
       .select(col("column"), col("n_distinct"), col("p50"), col("p95"),
         (abs(col("approx_distinct") - col("n_distinct")) * lit(100L) <

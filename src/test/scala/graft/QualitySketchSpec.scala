@@ -104,6 +104,29 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(!full.contains("Expand"), full)
   }
 
+  test("Bands.exactPercentiles is bit-equal to Spark percentile on corpus and planted frames") {
+    import spark.implicits._
+    val fracs = Seq(0.45, 0.5, 0.55, 0.9, 0.95, 0.99)
+    def check(df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val got = graft.operators.Bands.exactPercentiles(df, key, fracs)
+        .head().getSeq[Double](0)
+      val want = df.agg(expr(
+        s"percentile($key, array(${fracs.mkString("D,")}D))")).head().getSeq[Double](0)
+      assert(got == want, s"$key: $got != $want")
+    }
+    // corpus columns: integer-ish domain, wide double domain
+    val li = Tables.lineitem(spark, dir)
+    check(li.select("l_quantity"), "l_quantity")
+    check(li.select("l_extendedprice"), "l_extendedprice")
+    // planted: heavy ties straddling would-be boundaries, short frames
+    // (n smaller than the band count), constant frames
+    check(Seq.fill(500)(7.0).toDF("v"), "v")
+    check((Seq.fill(300)(1.0) ++ Seq.fill(300)(2.0)).toDF("v"), "v")
+    check(Seq(3.0).toDF("v"), "v")
+    check(Seq(1.0, 2.0, 4.0).toDF("v"), "v")
+    check((1 to 100).map(_.toDouble).toDF("v"), "v")
+  }
+
   test("q111 equi-depth deciles: sizes within 1, bounds monotone, counts reconcile") {
     val rows = Quality.q111EquidepthHist(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
