@@ -674,6 +674,88 @@ object Dedup {
         expr("(n_canonical * 10000) DIV greatest(ct, 1)").as("canonical_share_bp"))
   }
 
+  /** q261's swept banding schemes (bands × rows-per-band over the H=16
+    * signature) — code-owned; the oracle inlines the same list. The
+    * detection curve P(candidate | jaccard s) = 1 − (1 − s^r)^b moves
+    * its S-knee with r: (16,1) fires on anything (high recall, n²-ish
+    * candidates), (2,8) only on near-identity. */
+  private[graft] val BandSchemes = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** q261: LSH BANDING-SCHEME sweep — the (b × r) design-knob table read
+    * next to q210 (exact thresholds), q240 (estimator honesty) and q255
+    * (bucket occupancy): for each scheme over the SAME H=16 signature,
+    * the candidate-pair count, docs touched, and the mean/min exact
+    * Jaccard of the candidates it admits. Moving from (16,1) to (2,8)
+    * walks the recall/precision curve; the row whose min_jaccard_bp sits
+    * just under the dedup threshold (q210's knee) is the scheme that
+    * admits the fewest false candidates while still catching the
+    * near-dups — the choice every MinHash deployment must make and the
+    * one this table prices on THIS corpus.
+    *
+    * Exactness: candidates from signature-position equality (the exact
+    * q29 oracle machinery re-banded); the exact-Jaccard side is q31's
+    * candidate-pruned shingle intersection folded to integer bp; the
+    * fold lands on ≤ 4 rows.
+    *
+    * Scale shape: ONE corpus minhash pass (the checkpointed mhSignatures
+    * frame feeds all four bandings — the q240 factoring argument); per
+    * scheme one guarded pair expansion; the exact confirm reuses ONE
+    * shingle table built over the UNION of all schemes' candidate docs
+    * (the widest scheme dominates), so text is shingled once.
+    */
+  def q261LshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val mh = mhSignatures(s, dir).localCheckpoint()
+    def bandsFor(b: Int, r: Int): DataFrame = {
+      val cols = (0 until b).map { i =>
+        struct(lit(i).as("band_id"),
+          concat_ws(":", (0 until r).map(j => col(s"m${i * r + j}")): _*)
+            .as("sig"))
+      }
+      mh.select(col("doc_id"), explode(array(cols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id").as("band_id"),
+          col("band.sig").as("sig"))
+    }
+    val perScheme = BandSchemes.map { case (b, r) =>
+      (b, r, expandPairs(s, bandsFor(b, r))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+    }
+    // one shingle table over the union of every scheme's candidate docs
+    val allDocs = perScheme.map(_._3)
+      .map(p => p.select(col("doc_a").as("doc_id"))
+        .unionByName(p.select(col("doc_b").as("doc_id"))))
+      .reduce(_ unionByName _).distinct()
+    val sh = shinglesOf(
+      Tables.documents(s, dir).join(broadcast(allDocs), Seq("doc_id"), "left_semi"),
+      dedup = true).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    perScheme.map { case (b, r, cand) =>
+      val jac = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
+      // a candidate pair with ZERO shared shingles (pure hash collision)
+      // drops from the inner intersection — count it via the left join
+      cand.join(jac, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("""CAST(round(CAST(sum(j_bp) AS DOUBLE) /
+                  CAST(count(j_bp) AS DOUBLE)) AS BIGINT)""")
+            .as("mean_jaccard_bp"),
+          min(col("j_bp")).as("min_jaccard_bp"),
+          coalesce(sum(when(col("j_bp").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_zero_overlap"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_pairs"), col("mean_jaccard_bp"), col("min_jaccard_bp"),
+          col("n_zero_overlap"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q255: LSH BUCKET-OCCUPANCY audit — the operational table read before
     * sizing `graft.dedup.maxBucketSize` (and the census that explains a
     * slow banding pass): per band, bucket count, multi-doc buckets, the
@@ -1291,6 +1373,51 @@ object Dedup {
                  CAST(max(jac_bp) AS BIGINT) AS max_jaccard_bp,
                  est_matches * 10000 // $NumHashes AS est_bp
           FROM sc GROUP BY 1""" },
+    "q261_lsh_band_sweep" -> {
+      // one CTE family per scheme, generated from the same BandSchemes
+      // list the Spark side reads; each scheme inherits the hot-bucket
+      // cap exactly as expandPairs applies it per banding
+      val per = BandSchemes.map { case (b, r) =>
+        val bandSel = (0 until b).map { i =>
+          val sig = (0 until r).map(j => s"m${i * r + j}::VARCHAR")
+            .mkString(" || ':' || ")
+          s"SELECT doc_id, $i AS band_id, $sig AS sig FROM mh"
+        }.mkString(" UNION ALL ")
+        val sfx = s"_${b}_$r"
+        (s"""b$sfx AS ($bandSel),
+          ok$sfx AS (SELECT band_id, sig FROM b$sfx GROUP BY 1, 2
+                     HAVING count(*) <= 4096),
+          c$sfx AS (SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+                    FROM b$sfx a JOIN b$sfx z USING (band_id, sig)
+                    JOIN ok$sfx USING (band_id, sig)
+                    WHERE a.doc_id < z.doc_id),
+          i$sfx AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM c$sfx c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+          jb$sfx AS (SELECT i.doc_a, i.doc_b,
+                            i.n_inter * 10000 // (ca.c + cb.c - i.n_inter)
+                              AS j_bp
+                     FROM i$sfx i
+                     JOIN sizes ca ON ca.doc_id = i.doc_a
+                     JOIN sizes cb ON cb.doc_id = i.doc_b)""",
+          s"""SELECT CAST($b AS BIGINT) AS bands,
+                 CAST($r AS BIGINT) AS rows_per_band,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(round(CAST(sum(j_bp) AS DOUBLE) /
+                      CAST(count(j_bp) AS DOUBLE)) AS BIGINT)
+                   AS mean_jaccard_bp,
+                 min(j_bp) AS min_jaccard_bp,
+                 CAST(COALESCE(sum(CASE WHEN j_bp IS NULL THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_zero_overlap
+          FROM c$sfx LEFT JOIN jb$sfx USING (doc_a, doc_b)""")
+      }
+      s"""WITH $minhashCtes,
+          sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+          ${per.map(_._1).mkString(",\n          ")}
+          ${per.map(_._2).mkString("\nUNION ALL\n")}"""
+    },
     "q255_lsh_bucket_occupancy" ->
       s"""WITH $minhashCtes,
           bu AS (SELECT band_id, sig, CAST(count(*) AS BIGINT) AS bs
@@ -1609,6 +1736,7 @@ object Dedup {
     "q249_cross_source_mirror" -> (q249CrossSourceMirror _),
     "q250_canonical_source_bias" -> (q250CanonicalSourceBias _),
     "q255_lsh_bucket_occupancy" -> (q255LshBucketOccupancy _),
+    "q261_lsh_band_sweep" -> (q261LshBandSweep _),
     "q70_edit_distance"   -> (q70EditDistance _),
     "q102_edit_distance_fast" -> (q102EditDistanceFast _),
     "q56_dedup_clusters"  -> (q56DedupClusters _),

@@ -318,6 +318,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "feedB" -> ((1L, 0L, 0L, 2500L, 0L))))
   }
 
+  test("q261 band sweep: schemes nest, the (8,2) row IS q29, jaccard floors rise with r") {
+    val rows = Dedup.q261LshBandSweep(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2),
+          Option(r.getAs[Any]("min_jaccard_bp")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(rows.keySet == Set((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)))
+    // the production banding's row is exactly q29's candidate set
+    val q29n = Dedup.q29DedupMinhash(spark, sf01).count()
+    assert(rows((8L, 2L))._1 == q29n, s"(8,2) pairs != q29 ($q29n)")
+    // r-doubling schemes NEST (a pair agreeing on an r=4 band agrees on
+    // both its r=2 halves): counts fall, admitted-jaccard floors rise
+    val order = Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)).map(rows)
+    assert(order.map(_._1).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    val mins = order.flatMap(_._2)
+    assert(mins.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true },
+      s"jaccard floor must rise with r: $mins")
+  }
+
   test("q255 bucket occupancy reconciles with q29: expansion mass equals total shared bands") {
     val occ = Dedup.q255LshBucketOccupancy(spark, sf01).collect()
     assert(occ.length == 8, "one row per band")
