@@ -318,6 +318,50 @@ object Privacy {
                         ELSE -ln(2.0 * (1.0 - $u)) / $epsilon END)
             AS BIGINT)"""
 
+  /** q262's swept ε values — code-owned; the oracle inlines the same
+    * literals. */
+  private[graft] val DpEpsSweep = Seq(0.1, 0.5, 1.0, 2.0, 10.0)
+
+  /** q262: DP ε-UTILITY sweep — the privacy-budget knob table beside
+    * q260's k curve: per ε ∈ {0.1 … 10}, what q148's mechanism costs in
+    * accuracy on THIS cell table — noisy-vs-true absolute error (sum,
+    * max, and as bp of the true mass) plus how many cells the 0-clamp
+    * zeroed. ε is a budget someone must pick; this prices each candidate
+    * on the actual release, not on textbook asymptotics. The per-cell
+    * uniform draw is SHARED across the sweep (one seeded u per cell, the
+    * q148 machinery), so the curve isolates the ε scaling rather than
+    * re-rolling noise per point.
+    *
+    * Exactness: the noise is the exact q148 expression per ε (integer
+    * count perturbation); errors are integer; one all-positive DIV.
+    *
+    * Shape: ONE cells aggregate (checkpointed), 5 projections over the
+    * |cells| frame, a 5-row answer.
+    */
+  def q262DpEpsilonSweep(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(dpUniformSql(dpCellKey)))
+      .localCheckpoint() // one seeded cell table feeds every sweep point
+    DpEpsSweep.map { eps =>
+      cells
+        .select(col("n"), expr(
+          s"greatest(CAST(0 AS BIGINT), n + ${dpNoiseFromU("u", eps)})")
+          .as("noisy"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_true"),
+          sum(expr("abs(noisy - n)")).as("abs_err_sum"),
+          max(expr("abs(noisy - n)")).as("max_abs_err"),
+          sum(when(col("noisy") === 0L && col("n") > 0L, 1L).otherwise(0L))
+            .as("n_cells_zeroed"))
+        .select(lit(eps).as("epsilon"), col("n_cells"), col("n_true"),
+          col("abs_err_sum"), col("max_abs_err"), col("n_cells_zeroed"),
+          expr("(abs_err_sum * 10000) DIV n_true").as("err_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q148: ε-differentially-private published counts — the publication
     * layer's strongest guarantee, beyond q52's k-anonymity: per-cell
     * Laplace(1/ε) noise on (status, order-year) order counts, clamped at
@@ -475,6 +519,7 @@ object Privacy {
     "q260_kanon_k_curve" -> (q260KanonKCurve _),
     "q241_reid_risk" -> (q241ReidRisk _),
     "q148_dp_counts" -> (q148DpCounts _),
+    "q262_dp_epsilon_sweep" -> (q262DpEpsilonSweep _),
     "q51_anonymize"      -> (q51Anonymize _),
     "q52_kanon_suppress" -> (q52KanonSuppress _),
     "q160_l_diversity"   -> (q160LDiversity _),
@@ -519,6 +564,31 @@ object Privacy {
                 coalesce(b.n_rows, 0) AS n_rows,
                 (coalesce(b.n_rows, 0) * 10000) // n_total AS share_bp
          FROM grid g LEFT JOIN b USING (k_bucket) CROSS JOIN tot""",
+    "q262_dp_epsilon_sweep" -> {
+      val per = DpEpsSweep.zipWithIndex.map { case (eps, i) =>
+        (s"""e$i AS (SELECT n, greatest(CAST(0 AS BIGINT),
+                       n + ${dpNoiseFromU("u", eps)}) AS noisy
+                   FROM seeded)""",
+          s"""SELECT $eps AS epsilon, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_true,
+                 CAST(sum(abs(noisy - n)) AS BIGINT) AS abs_err_sum,
+                 CAST(max(abs(noisy - n)) AS BIGINT) AS max_abs_err,
+                 CAST(sum(CASE WHEN noisy = 0 AND n > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cells_zeroed,
+                 (CAST(sum(abs(noisy - n)) AS BIGINT) * 10000)
+                   // CAST(sum(n) AS BIGINT) AS err_bp
+          FROM e$i""")
+      }
+      s"""WITH cells AS (
+            SELECT o_orderstatus AS status,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2),
+          seeded AS (SELECT status, yr, n, ${dpUniformSql(dpCellKey)} AS u
+                     FROM cells),
+          ${per.map(_._1).mkString(",\n          ")}
+          ${per.map(_._2).mkString("\nUNION ALL\n")}"""
+    },
     "q148_dp_counts" ->
       s"""WITH cells AS (
            SELECT o_orderstatus AS status,

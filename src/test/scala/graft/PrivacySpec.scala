@@ -172,6 +172,35 @@ class PrivacySpec extends AnyFunSuite {
       "no generalized cell at spec SF - cascade untested")
   }
 
+  test("q262 epsilon sweep: error falls as epsilon grows; rows reconcile with q148's mechanism") {
+    val got = Privacy.q262DpEpsilonSweep(spark, sf).collect()
+      .map(r => r.getAs[Double]("epsilon") -> ((r.getAs[Long]("n_cells"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("abs_err_sum"),
+        r.getAs[Long]("max_abs_err"), r.getAs[Long]("err_bp")))).toMap
+    assert(got.keySet == Set(0.1, 0.5, 1.0, 2.0, 10.0))
+    // one cell table across the sweep
+    assert(got.values.map(v => (v._1, v._2)).toSet.size == 1)
+    // the Laplace scale is 1/eps on a SHARED uniform draw: the error sum
+    // can only shrink (or tie, via the round/clamp) as eps grows
+    val errs = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(errs.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true },
+      s"abs error must fall with eps: $errs")
+    // eps=1 row reconciles against q148's published release exactly
+    val q148err = {
+      val rel = Privacy.q148DpCounts(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val truth = Tables.orders(spark, sf)
+        .groupBy(col("o_orderstatus"),
+          expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      truth.map { case (k, n) => math.abs(rel(k) - n) }.sum
+    }
+    assert(got(1.0)._3 == q148err, "eps=1 error != q148's release error")
+    // noise is real at small eps (the sweep isn't a table of zeros)
+    assert(got(0.1)._3 > 0L)
+  }
+
   test("q241 reid risk equals a driver-side equivalence-class recompute; grid complete") {
     val got = Privacy.q241ReidRisk(spark, sf).collect()
       .map(r => r.getAs[Long]("k_bucket") -> ((r.getAs[Long]("n_classes"),
