@@ -257,11 +257,19 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
-    fiveGrams(docs.filter(col("doc_id") % 97 =!= 0))
-      .join(broadcast(bench), Seq("g"), "left_semi")
+    contaminatedGramsOf(docs.filter(col("doc_id") % 97 =!= 0), bench)
+  }
+
+  /** q58's probe on ANY (doc_id, text) frame against a prepared distinct
+    * benchmark-gram set — ONE definition of "contaminated" serving the
+    * batch query and s31's streaming gate (docs with zero matches do not
+    * row; the gate left-joins them back as clean). */
+  private[graft] def contaminatedGramsOf(docs: DataFrame,
+      benchGrams: DataFrame): DataFrame =
+    fiveGrams(docs)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_contaminated_grams"))
-  }
 
   /** q223: benchmark-CONTAMINATION burden per source — q58's per-doc
     * decontamination rolled up to the axis a curator acts on: which

@@ -74,4 +74,49 @@ class FrontDoorGateSpec extends AnyFunSuite {
     assert(new java.io.File(s"$quar/gen=0").exists())
     assert(spark.read.parquet(s"$quar/gen=0").count() == 0)
   }
+
+  test("s31 decontamination gate: frozen bench grams split the stream; verdict IS q58's kernel; replay no-op") {
+    val root = Files.createTempDirectory("graft-decontam").toString
+    val (pub, quar) = (s"$root/published", s"$root/quarantine")
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // benchmark: one 13-word eval doc; stream: doc 1 embeds one of its
+    // 5-windows (contaminated, 1 distinct matched gram), doc 2 embeds a
+    // 6-window (2 matched grams), doc 3 is clean
+    val benchText = (0 to 12).map(i => s"e$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val d1 = "x1 e3 e4 e5 e6 e7 x2"
+    val d2 = "y1 e0 e1 e2 e3 e4 e5 y2"
+    val d3 = "z1 z2 z3 z4 z5 z6 z7"
+    val ms = MemoryStream[RawDoc]
+    val q = graft.streaming.DecontamGate.gatedStream(
+      spark, ms.toDF(), bench, pub, quar, s"$root/ckpt")
+    try {
+      ms.addData(RawDoc(1, d1), RawDoc(2, d2))
+      q.processAllAvailable()
+      ms.addData(RawDoc(3, d3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val published = spark.read.parquet(pub).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(published == Set(3L), s"published $published")
+    val held = spark.read.parquet(quar).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated_grams"))
+      .toMap
+    assert(held == Map(1L -> 1L, 2L -> 2L), s"quarantined $held")
+    // the gate's verdict is q58's kernel verbatim: recompute via the
+    // shared probe over the same frozen set
+    val benchGrams = graft.operators.TextAnalysis.nGrams(bench, 5)
+      .select(col("g")).distinct()
+    val probe = graft.operators.TextAnalysis.contaminatedGramsOf(
+      Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"), benchGrams)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe == held, "gate verdict drifted from q58's kernel")
+    // replay of a committed id with different content: full no-op
+    graft.streaming.DecontamGate.gateBatch(spark,
+      Seq((9L, d1)).toDF("doc_id", "text"), 0L, benchGrams, pub, quar)
+    assert(spark.read.parquet(pub).collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    assert(spark.read.parquet(quar).count() == 2)
+  }
 }
