@@ -875,7 +875,56 @@ object Analytics {
     "q80_rfm"           -> (q80Rfm _),
     "q81_scd2"          -> (q81Scd2 _),
     "q82_transitions"   -> (q82Transitions _),
-    "q83_pack_sequences" -> (q83PackSequences _))
+    "q83_pack_sequences" -> (q83PackSequences _),
+    "q263_pack_budget_sweep" -> (q263PackBudgetSweep _))
+
+  /** q263's swept bin budgets — code-owned; the oracle inlines the same
+    * literals. Brackets q83's production 2048. */
+  private[graft] val PackBudgets = Seq(512L, 1024L, 2048L, 4096L)
+
+  /** q263: PACKING-BUDGET sweep — the sequence-length knob table read
+    * beside q83 (the packing itself) and q212 (per-doc padding waste):
+    * per budget ∈ {512 … 4096}, the bins the greedy layout opens, the
+    * fill ratio achieved, and how many documents STRADDLE a bin boundary
+    * (the rows a trainer must truncate, split, or attention-mask across
+    * — the real cost of a small budget that fill_bp alone understates;
+    * a large budget fills worse but straddles less). Shares q83's exact
+    * layout frame (same hash order, same cumulative offsets), so the
+    * sweep prices the very layout q83 ships.
+    *
+    * Exactness: pure integer window sums and DIVs off ONE windowed
+    * frame; the per-budget sweep is 4 projections of that frame.
+    *
+    * Shape: q83's 256-bucket hash windows (bounded partitions), one
+    * |buckets|-row fold per budget, 4-row answer.
+    */
+  def q263PackBudgetSweep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .localCheckpoint() // one layout frame feeds every sweep point
+    PackBudgets.map { b =>
+      packed
+        .select(col("bucket"), col("n_tokens"),
+          expr(s"off div $b").as("bin"),
+          when(expr(s"off % $b") + col("n_tokens") > b, 1L).otherwise(0L)
+            .as("straddle"))
+        .groupBy(col("bucket"))
+        .agg(max(col("bin")).as("maxbin"), sum(col("n_tokens")).as("nt"),
+          sum(col("straddle")).as("ns"))
+        .agg(sum(expr("maxbin + 1")).as("n_bins"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("ns")).as("n_straddlers"))
+        .select(lit(b).as("budget"), col("n_bins"), col("total_tokens"),
+          expr(s"(total_tokens * 10000) DIV (n_bins * $b)").as("fill_bp"),
+          col("n_straddlers"))
+    }.reduce(_ unionByName _)
+  }
 
   /** q81's full-rebuild SQL — also q77's oracle: the incremental merge must
     * hash-identically reproduce the batch rebuild. */
@@ -1290,6 +1339,33 @@ object Analytics {
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "q263_pack_budget_sweep" -> {
+      val per = PackBudgets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS budget,
+               CAST(sum(maxbin + 1) AS BIGINT) AS n_bins,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               (CAST(sum(nt) AS BIGINT) * 10000)
+                 // (CAST(sum(maxbin + 1) AS BIGINT) * $b) AS fill_bp,
+               CAST(sum(ns) AS BIGINT) AS n_straddlers
+           FROM (SELECT bucket, max(off // $b) AS maxbin,
+                        CAST(sum(n_tokens) AS BIGINT) AS nt,
+                        CAST(sum(CASE WHEN off % $b + n_tokens > $b
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+                 FROM packed GROUP BY 1)"""
+      }
+      s"""WITH toks AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT doc_id, substring(h, 1, 2) AS bucket, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY substring(h, 1, 2) ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS off
+           FROM toks)
+         ${per.mkString("\nUNION ALL\n")}"""
+    },
     "q83_pack_sequences" ->
       """WITH toks AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -125,6 +125,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q263 budget sweep equals a driver recompute off q83's oracled layout") {
+    val layout = Analytics.q83PackSequences(spark, sf).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("offset_in_bucket")))
+    val got = Analytics.q263PackBudgetSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val want = Seq(512L, 1024L, 2048L, 4096L).map { b =>
+      val perBucket = layout.groupBy(_._1).values.map { docs =>
+        (docs.map(d => d._3 / b).max + 1, docs.map(_._2).sum,
+          docs.count(d => d._3 % b + d._2 > b).toLong)
+      }
+      val bins = perBucket.map(_._1).sum
+      val nt = perBucket.map(_._2).sum
+      b -> ((bins, nt, nt * 10000L / (bins * b), perBucket.map(_._3).sum))
+    }.toMap
+    assert(got == want, s"got $got\nref $want")
+    // bin counts can only fall as the budget grows
+    val bins = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(bins.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
   test("q85 linear attribution credit sums to exactly 10000 bp per purchase") {
     val df = Events.q85AttributionLinear(spark, sf).cache()
     assert(df.count() > 0)
