@@ -110,6 +110,40 @@ object Similarity {
         round(max(col("cs")), 4).as("max_cos"))
   }
 
+  /** q264: LABEL-CENTROID similarity matrix — the class-geometry audit
+    * behind every "are these labels separable" decision (hard-negative
+    * mining, label-merge proposals, ANN recall expectations): per label
+    * pair, the cosine between the per-label mean vectors beside both
+    * class sizes. A pair near 1.0 is a merge candidate (or a labeling
+    * error); q35 says how TIGHT each class is around its centroid, this
+    * says how CLOSE the classes sit to each other — the two numbers a
+    * confusion analysis starts from.
+    *
+    * Exactness: q35's centroid construction verbatim (per-dim avg), the
+    * shared cosine, round(4) (the q35 parity precedent).
+    *
+    * Shape: ONE corpus (label, dim) fold to the |labels|×dim centroid
+    * frame (checkpointed — its two pair-join sides must not re-run the
+    * corpus pass), then everything on the |labels|² matrix; sizes ride a
+    * count-only scan.
+    */
+  def q264LabelCentroidMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cen = centroids(s, dir).localCheckpoint()
+    val sizes = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    cen.as("a").crossJoin(cen.as("b"))
+      .filter(col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(VectorOps.cosine(col("a.centroid"), col("b.centroid")), 4)
+          .as("centroid_cos"))
+      .join(sizes.select(col("label").as("label_a"), col("n_vecs").as("n_vecs_a")),
+        Seq("label_a"))
+      .join(sizes.select(col("label").as("label_b"), col("n_vecs").as("n_vecs_b")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_vecs_a"),
+        col("n_vecs_b"), col("centroid_cos"))
+  }
+
   /** Per-row scored cells against a driver-held centroid array:
     * array of struct(cs = round(cosine, 6), negcell = -i), so struct
     * ordering gives max-cosine with ties broken toward the smaller cell id.
@@ -863,6 +897,7 @@ object Similarity {
     "q33_knn_brute"    -> (q33KnnBrute _),
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
+    "q264_label_centroid_matrix" -> (q264LabelCentroidMatrix _),
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q257_ivf_recall_curve" -> (q257IvfRecallCurve _),
@@ -974,6 +1009,23 @@ object Similarity {
                FROM c)
          SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
          FROM r WHERE rnk <= 5""",
+    "q264_label_centroid_matrix" ->
+      """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                            unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings),
+         cp AS (SELECT label, pos, avg(v) AS cv FROM pe GROUP BY label, pos),
+         cen AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cp GROUP BY label),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+                FROM embeddings GROUP BY 1)
+         SELECT a.label AS label_a, b.label AS label_b,
+                sa.n_vecs AS n_vecs_a, sb.n_vecs AS n_vecs_b,
+                round(list_inner_product(a.centroid, b.centroid) /
+                      (sqrt(list_inner_product(a.centroid, a.centroid)) *
+                       sqrt(list_inner_product(b.centroid, b.centroid))), 4)
+                  AS centroid_cos
+         FROM cen a JOIN cen b ON a.label < b.label
+         JOIN sz sa ON sa.label = a.label
+         JOIN sz sb ON sb.label = b.label""",
     "q35_centroid_sim" ->
       """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                             unnest(generate_series(1, len(embedding))) AS pos

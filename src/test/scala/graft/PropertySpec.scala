@@ -977,6 +977,32 @@ class PropertySpec extends AnyFunSuite {
       "suppression cost must be monotone in k")
   }
 
+  test("q264 centroid matrix equals a driver-side centroid recompute; full matrix") {
+    val got = graft.operators.Similarity.q264LabelCentroidMatrix(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cents = byLabel.view.mapValues { vs =>
+      val dim = vs.head.length
+      (0 until dim).map(d => vs.map(_(d)).sum / vs.size)
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val labels = byLabel.keys.toSeq.sorted
+    assert(got.keySet == (for { a <- labels; b <- labels if a < b } yield (a, b)).toSet)
+    got.foreach { case ((a, b), (na, nb, c)) =>
+      assert(na == byLabel(a).size && nb == byLabel(b).size)
+      // driver sums in a different order than the distributed avg — allow
+      // the ulp the published round(4) absorbs
+      assert(math.abs(c - cos(cents(a), cents(b))) < 1e-3,
+        s"($a,$b): $c vs ${cos(cents(a), cents(b))}")
+    }
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
