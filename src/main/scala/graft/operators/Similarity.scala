@@ -144,6 +144,48 @@ object Similarity {
         col("n_vecs_b"), col("centroid_cos"))
   }
 
+  /** q265: LABEL SEPARABILITY — q35 and q264 composed into the verdict
+    * table: per label, its tightness (mean cosine of members to their own
+    * centroid, q35's avg_cos), its NEAREST other label and that centroid
+    * cosine (the max row of q264's matrix touching it), and the margin
+    * tightness − nearest_cos. A label whose margin goes ≤ 0 sits closer
+    * to another class's center than its own members do on average — the
+    * single number that flags a label set as unready for classifier
+    * training or label-conditioned sampling.
+    *
+    * Exactness: both inputs are the independently-oracled kernels
+    * (q35's per-member cosine fold; q264's centroid matrix) re-expressed
+    * on one shared centroid frame; nearest pick is deterministic
+    * (cos DESC, label ASC); margins are differences of round(4) values.
+    *
+    * Shape: ONE corpus (label, dim) fold + one member-scoring pass (the
+    * q35 join), then everything on |labels|-bounded frames.
+    */
+  def q265LabelSeparability(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = centroids(s, dir).localCheckpoint()
+    val tight = Tables.embeddings(s, dir)
+      .join(broadcast(cen), Seq("label"))
+      .withColumn("cs", VectorOps.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("cs")), 4).as("tightness"))
+    val pairs = cen.as("a").crossJoin(cen.as("b"))
+      .filter(col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"), col("b.label").as("other"),
+        round(VectorOps.cosine(col("a.centroid"), col("b.centroid")), 4)
+          .as("cc"))
+    val nearest = pairs
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("cc").desc, col("other").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("label"), col("other").as("nearest_label"),
+        col("cc").as("nearest_cos"))
+    tight.join(nearest, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("tightness"),
+        col("nearest_label"), col("nearest_cos"),
+        round(col("tightness") - col("nearest_cos"), 4).as("margin"))
+  }
+
   /** Per-row scored cells against a driver-held centroid array:
     * array of struct(cs = round(cosine, 6), negcell = -i), so struct
     * ordering gives max-cosine with ties broken toward the smaller cell id.
@@ -898,6 +940,7 @@ object Similarity {
     "q34_knn_lsh"      -> (q34KnnLsh _),
     "q35_centroid_sim" -> (q35CentroidSim _),
     "q264_label_centroid_matrix" -> (q264LabelCentroidMatrix _),
+    "q265_label_separability" -> (q265LabelSeparability _),
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q257_ivf_recall_curve" -> (q257IvfRecallCurve _),
@@ -1009,6 +1052,33 @@ object Similarity {
                FROM c)
          SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
          FROM r WHERE rnk <= 5""",
+    "q265_label_separability" ->
+      """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                            unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings),
+         cp AS (SELECT label, pos, avg(v) AS cv FROM pe GROUP BY label, pos),
+         cen AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cp GROUP BY label),
+         t AS (SELECT e.label, count(*) AS n_vecs,
+                      round(avg(list_inner_product(e.embedding::DOUBLE[], c.centroid) /
+                        (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                         sqrt(list_inner_product(c.centroid, c.centroid)))), 4)
+                        AS tightness
+               FROM embeddings e JOIN cen c ON e.label = c.label
+               GROUP BY e.label),
+         p AS (SELECT a.label AS label, b.label AS other,
+                      round(list_inner_product(a.centroid, b.centroid) /
+                        (sqrt(list_inner_product(a.centroid, a.centroid)) *
+                         sqrt(list_inner_product(b.centroid, b.centroid))), 4)
+                        AS cc
+               FROM cen a JOIN cen b ON a.label <> b.label),
+         nst AS (SELECT label, other AS nearest_label, cc AS nearest_cos
+                 FROM (SELECT *, row_number() OVER (PARTITION BY label
+                         ORDER BY cc DESC, other ASC) AS rnk FROM p)
+                 WHERE rnk = 1)
+         SELECT t.label, t.n_vecs, t.tightness,
+                nst.nearest_label, nst.nearest_cos,
+                round(t.tightness - nst.nearest_cos, 4) AS margin
+         FROM t JOIN nst ON t.label = nst.label""",
     "q264_label_centroid_matrix" ->
       """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                             unnest(generate_series(1, len(embedding))) AS pos

@@ -1003,6 +1003,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q265 separability reconciles against the oracled q35 and q264 tables") {
+    val got = graft.operators.Similarity.q265LabelSeparability(spark, sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val tight = graft.operators.Similarity.q35CentroidSim(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val matrix = graft.operators.Similarity.q264LabelCentroidMatrix(spark, sf)
+      .collect().flatMap { r =>
+        val (a, b, c) = (r.getInt(0), r.getInt(1), r.getDouble(4))
+        Seq(a -> (b, c), b -> (a, c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == tight.keySet)
+    got.foreach { case (l, (n, t, nl, nc, m)) =>
+      assert((n, t) == tight(l), s"label $l tightness drifted from q35")
+      val want = matrix(l).sortBy { case (o, c) => (-c, o) }.head
+      assert((nl, nc) == want, s"label $l nearest drifted from q264")
+      assert(math.abs(m - math.rint((t - nc) * 10000) / 10000) < 1e-9)
+    }
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
