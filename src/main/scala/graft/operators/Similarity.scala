@@ -931,8 +931,62 @@ object Similarity {
       .toDF("query_id", "rank", "neighbor_id", "mmr_score", "cos_sim")
   }
 
+  /** q266: HUBNESS audit — the k-occurrence distribution of the exact kNN
+    * graph, estimated on q33's deterministic query sample. Hubness is the
+    * classic high-dimensional ANN pathology: a few "hub" vectors appear in
+    * a disproportionate share of OTHER points' top-k lists, which skews
+    * retrieval diversity, poisons MMR-style rerankers (q176) and inflates
+    * IVF cell traffic. Per occurrence count (how many sampled queries list
+    * a vector in their top-5): how many corpus vectors sit at that level
+    * and the share of ALL top-k slots they occupy (integer bp). A heavy
+    * tail (mass at occurrences >> 1 while most retrieved vectors sit at 1)
+    * says the space is hubby — raise k, re-scale (q122), or re-embed.
+    *
+    * Scale shape: everything derives from the q33 frame (|queries| × k
+    * rows — the sample is how hubness is measured at any corpus size; an
+    * all-pairs k-occurrence is O(n²) and never runs); the two folds are
+    * bounded by |queries|·k and the distinct-occurrence domain (≤ k·|queries|,
+    * in practice a handful of rows). At 100 TB the same derivation rides
+    * the IVF candidate path (q48) over the persisted index.
+    */
+  def q266HubnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val knn = q33KnnBrute(s, dir)
+    val occ = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("occurrences"))
+    val total = knn.agg(count(lit(1)).as("total_slots"))
+    occ.groupBy(col("occurrences")).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(total))
+      .select(col("occurrences"), col("n_vectors"),
+        expr("occurrences * n_vectors * 10000 DIV total_slots").as("slot_share_bp"))
+  }
+
+  /** q267: kNN MARGIN table — per sampled query, how decisively the top
+    * neighbor wins: top-1/top-2/top-5 cosines off q33's exact frame,
+    * margin12 = top1 − top2 (an ANN index that misses a low-margin top-1
+    * returns a near-equivalent — harmless for retrieval; a HIGH-margin
+    * miss is a real error), and spread15 = top1 − top5 (a flat spread
+    * says the whole neighborhood is undifferentiated — recall@k is cheap
+    * there and ANN can probe less). Read beside q257's recall curve: that
+    * prices the index, this says where recall errors would matter.
+    *
+    * Scale shape: one conditional-agg fold over the |queries| × k exact
+    * frame; |queries| output rows. At 100 TB the frame comes from the IVF
+    * path on the deterministic query sample, exactly as q257 runs it.
+    */
+  def q267KnnMargin(s: SparkSession, dir: String): DataFrame =
+    q33KnnBrute(s, dir)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rnk") === 1, col("cos_sim"))).as("top1_cos"),
+        max(when(col("rnk") === 2, col("cos_sim"))).as("top2_cos"),
+        max(when(col("rnk") === TopK, col("cos_sim"))).as("top5_cos"))
+      .select(col("query_id"), col("top1_cos"), col("top2_cos"), col("top5_cos"),
+        round(col("top1_cos") - col("top2_cos"), 4).as("margin12"),
+        round(col("top1_cos") - col("top5_cos"), 4).as("spread15"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_mmr_rerank"  -> ((s: SparkSession, d: String) => q176MmrRerank(s, d)),
+    "q266_hubness_audit" -> (q266HubnessAudit _),
+    "q267_knn_margin"  -> (q267KnnMargin _),
     "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
@@ -949,7 +1003,44 @@ object Similarity {
     "q76_vector_stats" -> (q76VectorStats _),
     "q218_label_balance" -> (q218LabelBalance _))
 
+  /** ONE oracle-side definition of the exact-kNN frame (q33's semantics
+    * verbatim); q33/q266/q267 all select from the `k` CTE so "the kNN
+    * graph" has a single SQL text. */
+  private val knnCtes: String =
+    """q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+       c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                    (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                     sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cs
+             FROM q CROSS JOIN embeddings e
+             WHERE e.vec_id <> q.vec_id),
+       r AS (SELECT query_id, neighbor_id, cs,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk
+             FROM c),
+       k AS (SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
+             FROM r WHERE rnk <= 5)"""
+
   val oracles: Map[String, String] = Map(
+    "q266_hubness_audit" ->
+      s"""WITH $knnCtes,
+          occ AS (SELECT neighbor_id, count(*) AS occurrences FROM k GROUP BY 1),
+          t AS (SELECT count(*) AS total_slots FROM k)
+          SELECT occurrences, count(*) AS n_vectors,
+                 occurrences * count(*) * 10000 // (SELECT total_slots FROM t)
+                   AS slot_share_bp
+          FROM occ GROUP BY occurrences""",
+    "q267_knn_margin" ->
+      s"""WITH $knnCtes
+          SELECT query_id,
+                 max(CASE WHEN rnk = 1 THEN cos_sim END) AS top1_cos,
+                 max(CASE WHEN rnk = 2 THEN cos_sim END) AS top2_cos,
+                 max(CASE WHEN rnk = 5 THEN cos_sim END) AS top5_cos,
+                 round(max(CASE WHEN rnk = 1 THEN cos_sim END) -
+                       max(CASE WHEN rnk = 2 THEN cos_sim END), 4) AS margin12,
+                 round(max(CASE WHEN rnk = 1 THEN cos_sim END) -
+                       max(CASE WHEN rnk = 5 THEN cos_sim END), 4) AS spread15
+          FROM k GROUP BY query_id""",
     "q218_label_balance" ->
       """WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
          w AS (SELECT label, n_vecs,
@@ -1039,19 +1130,8 @@ object Similarity {
                 CAST(len(embedding) AS BIGINT) AS n_dims
          FROM embeddings""",
     "q33_knn_brute" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-         c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                      list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-                      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-                       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cs
-               FROM q CROSS JOIN embeddings e
-               WHERE e.vec_id <> q.vec_id),
-         r AS (SELECT query_id, neighbor_id, cs,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk
-               FROM c)
-         SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
-         FROM r WHERE rnk <= 5""",
+      s"""WITH $knnCtes
+          SELECT query_id, neighbor_id, cos_sim, rnk FROM k""",
     "q265_label_separability" ->
       """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                             unnest(generate_series(1, len(embedding))) AS pos

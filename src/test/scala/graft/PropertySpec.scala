@@ -1023,6 +1023,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q266 hubness audit reconciles against the oracled q33 kNN frame") {
+    val knn = graft.operators.Similarity.q33KnnBrute(spark, sf).collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+    val occ = knn.groupBy(identity).map { case (_, a) => a.length.toLong }
+    val total = knn.length.toLong
+    val want = occ.groupBy(identity).map { case (o, vs) =>
+      o -> ((vs.size.toLong, o * vs.size * 10000L / total))
+    }
+    val got = graft.operators.Similarity.q266HubnessAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("occurrences") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Long]("slot_share_bp")))).toMap
+    assert(got == want)
+    // every top-k slot is accounted for: sum(occurrences * n_vectors) = |knn|
+    assert(got.map { case (o, (n, _)) => o * n }.sum == total)
+  }
+
+  test("q267 margin table reconciles against the oracled q33 kNN frame") {
+    val byQ = graft.operators.Similarity.q33KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Double]("cos_sim")))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val got = graft.operators.Similarity.q267KnnMargin(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> ((r.getAs[Double]("top1_cos"),
+        r.getAs[Double]("top2_cos"), r.getAs[Double]("top5_cos"),
+        r.getAs[Double]("margin12"), r.getAs[Double]("spread15")))).toMap
+    assert(got.keySet == byQ.keySet)
+    got.foreach { case (q, (t1, t2, t5, m12, s15)) =>
+      val ks = byQ(q)
+      assert((t1, t2, t5) == ((ks(1), ks(2), ks(5))), s"query $q tops drifted")
+      assert(m12 == math.rint((ks(1) - ks(2)) * 10000) / 10000)
+      assert(s15 == math.rint((ks(1) - ks(5)) * 10000) / 10000)
+      // rank order ⇒ non-negative margins, and spread dominates margin
+      assert(m12 >= 0 && s15 >= m12)
+    }
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
