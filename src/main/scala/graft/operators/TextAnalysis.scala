@@ -408,6 +408,68 @@ object TextAnalysis {
         expr("(n_contaminated_docs * 10000) DIV n_corpus_docs").as("contam_bp"))
   }
 
+  /** q268: pipeline WATERFALL — the one table a corpus owner reads end to
+    * end: per source, how many docs and tokens survive each gate of the
+    * standard curation pipeline IN ORDER — raw → quality filter (q65's
+    * verdicts) → exact dedup (q28's canonical first-3-words key, keep the
+    * minimum doc_id among quality-ACCEPTED copies) → benchmark
+    * decontamination (q58's 5-gram probe) — with integer-bp retention
+    * against the raw stage. q227 prices the quality gate alone and
+    * q222/q224 the dedup dividend alone; this composes them in the order a
+    * production pipeline actually runs, so "which stage costs THIS feed
+    * its tokens" is one read. Every gate shares the audited kernel with
+    * its standalone query ([[corpusFilterOf]], q28's hash expression,
+    * [[contaminatedGramsOf]]) and the oracle composes the same q65Sql /
+    * 5-gram CTE texts — one definition per gate on both engines.
+    *
+    * Exactness: pure integer counts and all-positive DIVs (greatest(_,1)
+    * guards a hypothetical all-empty-token source).
+    *
+    * Scale shape: ONE verdict scan (the hash rides corpusFilterOf's carry
+    * — no doc_id re-join), one content-hash exchange for the dedup window
+    * (exactly q28's shuffle), one 5-gram explode probed against the
+    * broadcast benchmark set (exactly q58's shape) whose per-doc verdict
+    * joins back on doc_id (contaminated set ≪ corpus; AQE broadcasts it
+    * when small), then one |sources|-bounded conditional fold — the four
+    * stages are conditional sums in a SINGLE aggregation, not four passes.
+    */
+  def q268PipelineWaterfall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val contaminated = contaminatedGramsOf(corpus, bench)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val byHash = Window.partitionBy(col("content_hash"))
+    val flagged = corpusFilterOf(corpus, carry = Seq("source", "text"))
+      .withColumn("content_hash",
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))))
+      .drop("text")
+      .withColumn("min_acc_id",
+        min(when(col("accept"), col("doc_id"))).over(byHash))
+      .withColumn("kept", col("accept") && col("doc_id") === col("min_acc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("accept"), col("n_words")).otherwise(0L)).as("t1"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("kept"), col("n_words")).otherwise(0L)).as("t2"),
+        sum(when(col("kept") && !col("contam"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("kept") && !col("contam"), col("n_words")).otherwise(0L)).as("t3"))
+      .selectExpr("source", "n0", "t0",
+        """stack(4,
+           '0_raw',             n0, t0,
+           '1_quality',         n1, t1,
+           '2_exact_dedup',     n2, t2,
+           '3_decontaminated',  n3, t3) AS (stage, n_docs, tokens)""")
+      .select(col("source"), col("stage"), col("n_docs"), col("tokens"),
+        expr("n_docs * 10000 DIV greatest(n0, 1)").as("docs_retained_bp"),
+        expr("tokens * 10000 DIV greatest(t0, 1)").as("tokens_retained_bp"))
+  }
+
   /** q251: source MARGINAL-GRAM contribution — the data-acquisition
     * priority table: sources in the deterministic q239 order (token mass
     * desc, source asc), each scored by how many word-5-gram TYPES it adds
@@ -2953,6 +3015,7 @@ object TextAnalysis {
     "q222_dedup_token_savings" -> (q222DedupTokenSavings _),
     "q223_contamination_by_source" -> (q223ContaminationBySource _),
     "q247_decontam_ngram_sweep" -> (q247DecontamNgramSweep _),
+    "q268_pipeline_waterfall" -> (q268PipelineWaterfall _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4095,6 +4158,48 @@ object TextAnalysis {
           ${per.map(_._1).mkString(",\n          ")}
           ${per.map(_._2).mkString("\nUNION ALL\n")}"""
     },
+    "q268_pipeline_waterfall" ->
+      // composes the SAME q65Sql verdict text and q58's 5-gram CTE shape;
+      // gate definitions cannot drift from the standalone oracles
+      s"""WITH q65 AS ($q65Sql),
+          t5 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix5 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                  FROM t5 WHERE len(w) >= 5),
+          g5 AS (SELECT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                 FROM ix5),
+          bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+          con AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (g)
+                  WHERE doc_id % 97 <> 0),
+          v AS (SELECT q.doc_id, q.n_words, q.accept, d.source,
+                       md5(array_to_string(string_split(d.text, ' ')[1:3], ' ')) AS ch
+                FROM q65 q JOIN documents d USING (doc_id)
+                WHERE q.doc_id % 97 <> 0),
+          k AS (SELECT v.*,
+                       min(CASE WHEN accept THEN doc_id END)
+                         OVER (PARTITION BY ch) AS min_acc_id
+                FROM v),
+          f AS (SELECT k.source, k.n_words, k.accept,
+                       (k.accept AND k.doc_id = k.min_acc_id) AS kept,
+                       (con.doc_id IS NOT NULL) AS contam
+                FROM k LEFT JOIN con ON k.doc_id = con.doc_id),
+          a AS (SELECT source,
+                       count(*) AS n0, CAST(sum(n_words) AS BIGINT) AS t0,
+                       count(*) FILTER (WHERE accept) AS n1,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE accept), 0) AS BIGINT) AS t1,
+                       count(*) FILTER (WHERE kept) AS n2,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE kept), 0) AS BIGINT) AS t2,
+                       count(*) FILTER (WHERE kept AND NOT contam) AS n3,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE kept AND NOT contam), 0) AS BIGINT) AS t3
+                FROM f GROUP BY 1),
+          st AS (SELECT source, '0_raw' AS stage, n0 AS n_docs, t0 AS tokens, n0, t0 FROM a
+                 UNION ALL SELECT source, '1_quality', n1, t1, n0, t0 FROM a
+                 UNION ALL SELECT source, '2_exact_dedup', n2, t2, n0, t0 FROM a
+                 UNION ALL SELECT source, '3_decontaminated', n3, t3, n0, t0 FROM a)
+          SELECT source, stage, n_docs, tokens,
+                 n_docs * 10000 // greatest(n0, 1) AS docs_retained_bp,
+                 tokens * 10000 // greatest(t0, 1) AS tokens_retained_bp
+          FROM st""",
     "q248_contamination_by_benchmark" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i

@@ -254,6 +254,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(got(13) == ((1L, 4L, 1L, 1L, 2500L)))
   }
 
+  test("q268 waterfall reconciles against its component queries, in order") {
+    val got = TextAnalysis.q268PipelineWaterfall(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // component recompute: q65 verdicts (oracled) + q58 contaminated set
+    // (oracled) + q28's canonical key, composed driver-side in the same
+    // stage order
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("ch"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val verdicts = TextAnalysis.q65CorpusFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Boolean]("accept")))).toMap
+    val contam = TextAnalysis.q58Decontaminate(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val corpus = src.keys.filter(_ % 97 != 0).toSeq
+    val minAcc = corpus.filter(id => verdicts(id)._2)
+      .groupBy(id => src(id)._2).view.mapValues(_.min).toMap
+    val rows = corpus.map { id =>
+      val (s, ch) = src(id)
+      val (nw, acc) = verdicts(id)
+      val kept = acc && minAcc(ch) == id
+      (s, nw, acc, kept, kept && !contam(id))
+    }
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      val (n0, t0) = (rs.size.toLong, rs.map(_._2).sum)
+      val stages = Seq(
+        "0_raw" -> ((n0, t0)),
+        "1_quality" -> ((rs.count(_._3).toLong, rs.filter(_._3).map(_._2).sum)),
+        "2_exact_dedup" -> ((rs.count(_._4).toLong, rs.filter(_._4).map(_._2).sum)),
+        "3_decontaminated" -> ((rs.count(_._5).toLong, rs.filter(_._5).map(_._2).sum)))
+      stages.foreach { case (st, (n, t)) =>
+        assert(got((s, st)) == ((n, t, n * 10000 / math.max(n0, 1),
+          t * 10000 / math.max(t0, 1))), s"($s, $st) drifted")
+      }
+      // the funnel is monotone by construction — a violation means a
+      // stage gained docs/tokens
+      val seq = stages.map(_._2)
+      assert(seq.zip(seq.tail).forall { case ((na, ta), (nb, tb)) => nb <= na && tb <= ta })
+    }
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
