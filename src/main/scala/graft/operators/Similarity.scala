@@ -983,10 +983,55 @@ object Similarity {
         round(col("top1_cos") - col("top2_cos"), 4).as("margin12"),
         round(col("top1_cos") - col("top5_cos"), 4).as("spread15"))
 
+  /** q269: PARTICIPATION RATIO — the intrinsic-dimensionality proxy of
+    * each label's embedding cloud: PR = (Σ_d var_d)² / Σ_d var_d², the
+    * physics/rep-learning "effective dimension count" (PR = dims when
+    * variance is isotropic, PR → 1 when one direction carries everything).
+    * A label with PR ≪ dims is nearly collinear — its centroid (q35/q264)
+    * over-summarizes nothing, ANN recall there is easy, and PCA (q158) can
+    * cut dims cheaply; PR ≈ dims says the opposite. Read beside q266's
+    * hubness (both are "is this space degenerate" checks from different
+    * angles).
+    *
+    * Exactness (the q114 discipline, taken further): values quantize to
+    * integer micro-units u = round(v·1e6); per-dim variance numerator
+    * V_d = n·Σu² − (Σu)² is exact integer (DECIMAL(38,0) / DuckDB
+    * HUGEINT), quantized to integer micro²-units varq_d = V_d DIV n²
+    * (both engines' integral division is exact — no double ever enters),
+    * and PR is published as the integer pr_x100 = 100·(Σvarq)² DIV
+    * Σvarq². varq ≤ max(u)² ≈ 3.6e11 INDEPENDENT of n, so every exact
+    * intermediate is bounded by dims·varq² ≈ 8e24 ≪ 1e38 at any corpus
+    * size.
+    *
+    * Scale shape: one posexplode, one map-side-combined (label, dim)
+    * exchange (|labels|×dims rows out), then a |labels|-bounded fold —
+    * q114's shape with a label axis.
+    */
+  def q269ParticipationRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u").cast("decimal(38,0)")).as("s1"),
+        sum(expr("CAST(u * u AS DECIMAL(38,0))")).as("s2"))
+      .withColumn("varq",
+        expr("CAST((n * s2 - s1 * s1) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("n_dims"),
+        sum(col("varq")).as("total_var_micro2"),
+        sum(expr("CAST(varq AS DECIMAL(38,0)) * varq")).as("ssq"))
+      .select(col("label"), col("n_vecs"), col("n_dims"), col("total_var_micro2"),
+        expr("""CAST(CAST(total_var_micro2 AS DECIMAL(38,0)) * total_var_micro2 * 100
+                     DIV greatest(ssq, 1) AS BIGINT)""").as("pr_x100"))
+      .withColumn("pr_share_bp", expr("pr_x100 * 100 DIV n_dims"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_mmr_rerank"  -> ((s: SparkSession, d: String) => q176MmrRerank(s, d)),
     "q266_hubness_audit" -> (q266HubnessAudit _),
     "q267_knn_margin"  -> (q267KnnMargin _),
+    "q269_participation_ratio" -> (q269ParticipationRatio _),
     "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
@@ -1022,6 +1067,26 @@ object Similarity {
              FROM r WHERE rnk <= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "q269_participation_ratio" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                             AS BIGINT) AS u
+                    FROM embeddings),
+          a AS (SELECT label, dim, count(*) AS n, sum(u) AS s1, sum(u * u) AS s2
+                FROM u GROUP BY 1, 2),
+          vq AS (SELECT label, n,
+                        CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS varq
+                 FROM a),
+          g AS (SELECT label, max(n) AS n_vecs, count(*) AS n_dims,
+                       CAST(sum(varq) AS BIGINT) AS total_var_micro2,
+                       sum(CAST(varq AS HUGEINT) * varq) AS ssq
+                FROM vq GROUP BY 1)
+          SELECT label, n_vecs, n_dims, total_var_micro2,
+                 CAST(CAST(total_var_micro2 AS HUGEINT) * total_var_micro2 * 100
+                      // greatest(ssq, 1) AS BIGINT) AS pr_x100,
+                 CAST((CAST(total_var_micro2 AS HUGEINT) * total_var_micro2 * 100
+                      // greatest(ssq, 1)) * 100 // n_dims AS BIGINT) AS pr_share_bp
+          FROM g""",
     "q266_hubness_audit" ->
       s"""WITH $knnCtes,
           occ AS (SELECT neighbor_id, count(*) AS occurrences FROM k GROUP BY 1),

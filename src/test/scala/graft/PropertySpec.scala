@@ -1059,6 +1059,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q269 participation ratio equals an exact driver recompute; bounds hold") {
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Float](1).map(v => BigDecimal(v.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val want = vecs.groupBy(_._1).map { case (l, rows) =>
+      val us = rows.map(_._2)
+      val n = us.size.toLong
+      val dims = us.head.length
+      val varq = (0 until dims).map { d =>
+        val s1 = us.map(u => BigInt(u(d))).sum
+        val s2 = us.map(u => BigInt(u(d)) * u(d)).sum
+        ((s2 * n - s1 * s1) / (n * n)).toLong
+      }
+      val tot = varq.map(BigInt(_)).sum
+      val ssq = varq.map(v => BigInt(v) * v).sum
+      val pr = (tot * tot * 100 / ssq.max(1)).toLong
+      l -> ((n, dims.toLong, tot.toLong, pr, pr * 100 / dims))
+    }
+    val got = graft.operators.Similarity.q269ParticipationRatio(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // PR is bounded by [1·100, dims·100] for any non-degenerate cloud
+    got.values.foreach { case (_, dims, tot, pr, _) =>
+      if (tot > 0) assert(pr >= 100 && pr <= dims * 100, s"PR out of range: $pr")
+    }
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
