@@ -826,6 +826,43 @@ object Stats {
         expr("(n_events * 7 * 10000) DIV tt - 10000").as("dev_bp"))
   }
 
+  /** q270: ARRIVAL-DISPERSION index — the Poisson overdispersion test on
+    * hourly arrivals per event type: D = var/mean of per-hour counts over
+    * the full calendar span (zero hours included — they cost nothing to
+    * include because only the hour COUNT enters, the sums are over active
+    * hours). A memoryless feed has D ≈ 1; campaign bursts, bot cadence
+    * (q165's per-user view, here the feed-level one) and ingest stalls all
+    * push D ≫ 1, and a monitor alerting on q95's z-scores should know
+    * whether the feed is Poisson-calm or structurally bursty BEFORE
+    * trusting a threshold. Published as integer dispersion_x100 =
+    * 100·(H·Σc² − (Σc)²) DIV (H·Σc) — exact on both engines (the variance
+    * numerator is Cauchy–Schwarz-non-negative, so truncation = floor) —
+    * with `overdispersed` at D > 2× Poisson.
+    *
+    * Scale shape: one map-side-combined (type, hour) fold (|types|×|hours|
+    * rows out of the scan), a |types|-bounded second fold, and a broadcast
+    * 1-row span frame — never an event-scale shuffle or window.
+    */
+  def q270ArrivalDispersion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val span = ev.agg(
+      expr("(unix_timestamp(max(h)) - unix_timestamp(min(h))) DIV 3600 + 1")
+        .as("n_hours"))
+    ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_hours"), sum(col("c")).as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_hours"), col("active_hours"),
+        col("n_events"),
+        expr("""CAST((CAST(n_hours AS DECIMAL(38,0)) * s2
+                      - CAST(n_events AS DECIMAL(38,0)) * n_events) * 100
+                     DIV (CAST(n_hours AS DECIMAL(38,0)) * greatest(n_events, 1))
+                     AS BIGINT)""").as("dispersion_x100"))
+      .withColumn("overdispersed", col("dispersion_x100") > 200)
+  }
+
   /** χ² 5% critical value ×1000 selected by dof = n_groups − 1 — one
     * literal CASE text on both engines. A type observed on fewer than 7
     * distinct weekdays has fewer degrees of freedom; the fixed χ²(6) bar
@@ -980,6 +1017,7 @@ object Stats {
     "q237_calendar_gaps" -> (q237CalendarGaps _),
     "q245_kruskal_dow"   -> (q245KruskalDow _),
     "q258_dow_profile"   -> (q258DowProfile _),
+    "q270_arrival_dispersion" -> (q270ArrivalDispersion _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -1014,6 +1052,23 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q270_arrival_dispersion" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+          span AS (SELECT date_diff('hour', min(h), max(h)) + 1 AS n_hours FROM e),
+          hc AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+          a AS (SELECT event_type, count(*) AS active_hours,
+                       CAST(sum(c) AS BIGINT) AS n_events,
+                       sum(CAST(c AS HUGEINT) * c) AS s2
+                FROM hc GROUP BY 1),
+          d AS (SELECT event_type, n_hours, active_hours, n_events,
+                       CAST((CAST(n_hours AS HUGEINT) * s2
+                             - CAST(n_events AS HUGEINT) * n_events) * 100
+                            // (CAST(n_hours AS HUGEINT) * greatest(n_events, 1))
+                            AS BIGINT) AS dispersion_x100
+                FROM a CROSS JOIN span)
+          SELECT event_type, n_hours, active_hours, n_events, dispersion_x100,
+                 dispersion_x100 > 200 AS overdispersed
+          FROM d""",
     "q184_anomaly_attribution" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

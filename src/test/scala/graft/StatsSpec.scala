@@ -7,6 +7,42 @@ import graft.operators.{Events, RelationalExt, Stats, TextAnalysis}
 class StatsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q270 dispersion equals an exact driver recompute; Poisson-ish vs planted bursty") {
+    val got = Stats.q270ArrivalDispersion(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // exact recompute from the raw events at sf
+    val hrs = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val h0 = hrs.map(_._2).min
+    val nHours = (hrs.map(_._2).max - h0) / 3600000L + 1
+    hrs.groupBy(_._1).foreach { case (t, rows) =>
+      val counts = rows.groupBy(_._2).map(_._2.size.toLong)
+      val (s1, s2) = (counts.sum, counts.map(c => BigInt(c) * c).sum)
+      val d = ((BigInt(nHours) * s2 - BigInt(s1) * s1) * 100 /
+        (BigInt(nHours) * s1.max(1L))).toLong
+      assert(got(t) == ((nHours, counts.size.toLong, s1, d, d > 200)), s"type $t drifted")
+    }
+    // planted parity: a metronome feed (one event every hour) must be
+    // UNDER-dispersed (D ≈ 0); the same mass delivered in one burst-hour
+    // per day must trip the gate
+    import TestSpark.spark.implicits._
+    val metronome = (0 until 240).map(i => ("tick", new java.sql.Timestamp(3600000L * i)))
+    val bursty = (0 until 240).map(i => ("burst", new java.sql.Timestamp(86400000L * (i / 24))))
+    val df = (metronome ++ bursty).toDF("event_type", "h")
+      .select(col("event_type"), col("h").as("ts"), lit(0L).as("event_id"),
+        lit(0L).as("user_id"), lit(0.0).as("value"), lit("").as("props"))
+    val out = java.nio.file.Files.createTempDirectory("graft-disp").toString
+    df.write.parquet(s"$out/events.parquet")
+    val planted = Stats.q270ArrivalDispersion(spark, out).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(planted("tick")._1 < 100 && !planted("tick")._2,
+      s"metronome must be under-dispersed: ${planted("tick")}")
+    assert(planted("burst")._1 > 200 && planted("burst")._2,
+      s"hour-burst feed must trip the gate: ${planted("burst")}")
+  }
+
   test("q87 pearson_r within [-1,1] and agrees with Spark's built-in corr to 1e-6") {
     val rows = Stats.q87Correlation(spark, sf).collect()
     assert(rows.nonEmpty)
