@@ -443,23 +443,36 @@ object TextAnalysis {
       .select(col("doc_id"), lit(true).as("contam"))
     val byHash = Window.partitionBy(col("content_hash"))
     val flagged = corpusFilterOf(corpus, carry = Seq("source", "text"))
-      .withColumn("content_hash",
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))))
+      .withColumn("content_hash", contentHashCol)
       .drop("text")
       .withColumn("min_acc_id",
         min(when(col("accept"), col("doc_id"))).over(byHash))
       .withColumn("kept", col("accept") && col("doc_id") === col("min_acc_id"))
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("contam", coalesce(col("contam"), lit(false)))
+    waterfallStages(waterfallCounts(flagged))
+  }
+
+  /** q268's conditional-sum fold on ANY flagged frame carrying the
+    * per-doc contract (source, n_words, accept, kept, contam) — the four
+    * stages as sums in ONE aggregation. The (source → 8 counters) frame
+    * is a pure additive monoid, so s32 maintains it incrementally and the
+    * batch query folds it in one pass: one definition of the funnel
+    * arithmetic. */
+  private[graft] def waterfallCounts(flagged: DataFrame): DataFrame =
     flagged.groupBy(col("source")).agg(
-        count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
-        sum(when(col("accept"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("accept"), col("n_words")).otherwise(0L)).as("t1"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("kept"), col("n_words")).otherwise(0L)).as("t2"),
-        sum(when(col("kept") && !col("contam"), 1L).otherwise(0L)).as("n3"),
-        sum(when(col("kept") && !col("contam"), col("n_words")).otherwise(0L)).as("t3"))
-      .selectExpr("source", "n0", "t0",
+      count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
+      sum(when(col("accept"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("accept"), col("n_words")).otherwise(0L)).as("t1"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("kept"), col("n_words")).otherwise(0L)).as("t2"),
+      sum(when(col("kept") && !col("contam"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("kept") && !col("contam"), col("n_words")).otherwise(0L)).as("t3"))
+
+  /** q268's published stage table from a (source → 8 counters) frame —
+    * maintained (s32) or one-shot (q268), same derivation. */
+  private[graft] def waterfallStages(counts: DataFrame): DataFrame =
+    counts.selectExpr("source", "n0", "t0",
         """stack(4,
            '0_raw',             n0, t0,
            '1_quality',         n1, t1,
@@ -468,7 +481,11 @@ object TextAnalysis {
       .select(col("source"), col("stage"), col("n_docs"), col("tokens"),
         expr("n_docs * 10000 DIV greatest(n0, 1)").as("docs_retained_bp"),
         expr("tokens * 10000 DIV greatest(t0, 1)").as("tokens_retained_bp"))
-  }
+
+  /** q28's canonical-key expression on a text column — ONE definition
+    * shared by q268's batch flagging and s32's streaming dedup state. */
+  private[graft] def contentHashCol: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
 
   /** q251: source MARGINAL-GRAM contribution — the data-acquisition
     * priority table: sources in the deterministic q239 order (token mass

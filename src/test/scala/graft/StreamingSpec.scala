@@ -865,6 +865,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelta.isDefined && redelta.get.count() == 0L)
   }
 
+  test("s32 streaming waterfall monitor converges to the batch q268 table") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val corpus = Tables.documents(s0, sf).filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) // ordered arrival: first-wins ≡ the batch min-id pick
+    val benchDocs = Tables.documents(s0, sf).filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text")
+    val counters = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var lastId = Option.empty[Long]
+    val cols = Seq("n0", "t0", "n1", "t1", "n2", "t2", "n3", "t3")
+    def store(): Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (counters.toSeq.map { case (src, v) =>
+          (src, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+        }.toDF(("source" +: cols): _*),
+          seen.toSeq.toDF("content_hash"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame,
+        hashes: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        counters(r.getAs[String]("source")) = cols.map(r.getAs[Long](_))
+      }
+      hashes.collect().foreach(r => seen += r.getString(0))
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.WaterfallMonitor.waterfallMonitorStream(
+      ms.toDS().toDF("doc_id", "source", "text"), benchDocs, store _)(publishDelta).start()
+    try {
+      val (b1, rest) = corpus.splitAt(corpus.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // the funnel over MAINTAINED counters equals the batch q268 table
+    // row-for-row (counts, tokens AND integer retention shares)
+    val got = graft.streaming.WaterfallMonitor.profile(store().get._1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = graft.operators.TextAnalysis.q268PipelineWaterfall(s0, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"streamed waterfall != batch q268")
+    // replay guard: applied id skips, fresh id applies
+    val probe = Tables.documents(s0, sf).limit(5).select("doc_id", "source", "text")
+    val bg = graft.operators.TextAnalysis.nGrams(benchDocs, 5).select(col("g")).distinct()
+    val last = lastId.get
+    assert(graft.streaming.WaterfallMonitor
+      .waterfallBatch(store(), probe, bg, last).isEmpty)
+    assert(graft.streaming.WaterfallMonitor
+      .waterfallBatch(store(), probe, bg, last + 1L).isDefined)
+  }
+
+  test("s32 planted gates: cross-batch dup and contaminated doc drop at the right stage") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val benchDocs = Seq((970L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val t1 = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val t2 = "too short"
+    val t3 = "the quick brown owl waits under a tall tree while the moon rises slowly"
+    val t4 = "students often study the alpha beta gamma delta epsilon zeta patterns and great interest daily"
+    val counters = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var lastId = Option.empty[Long]
+    val cols = Seq("n0", "t0", "n1", "t1", "n2", "t2", "n3", "t3")
+    def store(): Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (counters.toSeq.map { case (src, v) =>
+          (src, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+        }.toDF(("source" +: cols): _*),
+          seen.toSeq.toDF("content_hash"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame,
+        hashes: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        counters(r.getAs[String]("source")) = cols.map(r.getAs[Long](_))
+      }
+      hashes.collect().foreach(r => seen += r.getString(0))
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.WaterfallMonitor.waterfallMonitorStream(
+      ms.toDS().toDF("doc_id", "source", "text"), benchDocs, store _)(publishDelta).start()
+    try {
+      ms.addData(Seq((1L, "A", t1), (2L, "A", t2))); q.processAllAvailable()
+      // batch 2: t3 repeats t1's first-3-words key (cross-batch dup);
+      // t4 is clean-of-dup but carries a benchmark 5-gram
+      ms.addData(Seq((3L, "A", t3), (4L, "A", t4))); q.processAllAvailable()
+    } finally q.stop()
+    // hand funnel: raw 4 docs/45 tokens; quality drops t2 (2 words);
+    // dedup drops t3 (t1's hash won in batch 1); decontamination drops t4
+    assert(counters("A") == Seq(4L, 45L, 3L, 43L, 2L, 29L, 1L, 14L),
+      s"planted funnel drifted: ${counters("A")}")
+  }
+
   test("s28 dow derivation (r15): the maintained daily table serves the batch q245 verdict") {
     // the maintained-table ≡ rebuild property is s28's existing spec; this
     // pins the NEW fourth derivation: kruskalFromDaily off the maintained
