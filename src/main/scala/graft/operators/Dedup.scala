@@ -145,11 +145,48 @@ object Dedup {
     */
   def q28DedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("content_hash"))
+      .select(col("doc_id"), TextAnalysis.contentHashCol.as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_copies") > 1)
+
+  /** q271: dedup SHARDABILITY audit — the 100 TB architecture question
+    * behind every dedup deployment: can exact dedup run PARTITION-LOCAL
+    * per source (no global shuffle — each feed dedupes inside its own
+    * ingest pipeline), or do duplicate families span sources so a sharded
+    * pass silently under-removes? Per family size over q28's exact
+    * families: global removals (n_copies − 1), what a per-source-sharded
+    * pass removes (n_copies − n_sources), what it MISSES (n_sources − 1,
+    * one survivor per extra source), mono-source family count, and
+    * missed_bp. missed_bp ≈ 0 ⇒ shard dedup by source and skip the
+    * corpus-wide exchange entirely; large ⇒ the global shuffle is earning
+    * its cost. The identity global = sharded + missed holds per family by
+    * construction (spec-pinned).
+    *
+    * Scale shape: exactly q28's — one hash projection, one
+    * map-side-combined content-hash fold, then a |family-sizes|-bounded
+    * second fold. One definition of the key ([[TextAnalysis.contentHashCol]],
+    * shared with q28/q268/s32).
+    */
+  def q271DedupShardability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextAnalysis.contentHashCol.as("content_hash"), col("source"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_copies") > 1)
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("n_copies") - col("n_sources")).as("sharded_removals"),
+        sum(col("n_sources") - 1).as("missed_removals"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("mono_source_families"))
+      .select(col("n_copies").as("family_size"), col("n_families"),
+        (col("n_copies") * col("n_families")).as("n_docs"),
+        ((col("n_copies") - 1) * col("n_families")).as("global_removals"),
+        col("sharded_removals"), col("missed_removals"),
+        col("mono_source_families"),
+        expr("missed_removals * 10000 DIV ((n_copies - 1) * n_families)")
+          .as("missed_bp"))
 
   /** q29: MinHash + LSH banding near-dup candidate pairs. */
   def q29DedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1282,6 +1319,23 @@ object Dedup {
       """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
                 count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q271_dedup_shardability" ->
+      """WITH h AS (SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS ch,
+                           source
+                    FROM documents),
+          fam AS (SELECT ch, count(*) AS n_copies,
+                         count(DISTINCT source) AS n_sources
+                  FROM h GROUP BY 1 HAVING count(*) > 1)
+          SELECT n_copies AS family_size,
+                 CAST(count(*) AS BIGINT) AS n_families,
+                 CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+                 CAST((n_copies - 1) * count(*) AS BIGINT) AS global_removals,
+                 CAST(sum(n_copies - n_sources) AS BIGINT) AS sharded_removals,
+                 CAST(sum(n_sources - 1) AS BIGINT) AS missed_removals,
+                 count(*) FILTER (WHERE n_sources = 1) AS mono_source_families,
+                 CAST(sum(n_sources - 1) * 10000
+                      // ((n_copies - 1) * count(*)) AS BIGINT) AS missed_bp
+          FROM fam GROUP BY 1""",
     "q30_dedup_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash, band0, band1, band2, band3 FROM simbands""",
@@ -1723,6 +1777,7 @@ object Dedup {
     "q179_cluster_split"  -> (q179ClusterSplit _),
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
+    "q271_dedup_shardability" -> (q271DedupShardability _),
     "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
     "q225_dedup_key_precision" -> (q225DedupKeyPrecision _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),

@@ -962,6 +962,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(merged(30L) == 30L && merged(31L) == 30L)
   }
 
+  test("q271 shardability on a planted corpus equals hand arithmetic; identity holds at sf") {
+    import TestSpark.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    // family X (key "x1 x2 x3"): 4 copies over sources A,A,B,C →
+    // global removes 3, per-source-sharded removes 1 (the extra A), misses 2;
+    // family Y (key "y1 y2 y3"): 2 copies both in A → sharded ≡ global;
+    // doc 7 is a singleton and must not row
+    Seq(
+      (1L, "x1 x2 x3 a", "en", "A", 10L),
+      (2L, "x1 x2 x3 b", "en", "A", 10L),
+      (3L, "x1 x2 x3 c", "en", "B", 10L),
+      (4L, "x1 x2 x3 d", "en", "C", 10L),
+      (5L, "y1 y2 y3 a", "en", "A", 10L),
+      (6L, "y1 y2 y3 b", "en", "A", 10L),
+      (7L, "z1 z2 z3 a", "en", "A", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$out/documents.parquet")
+    val got = Dedup.q271DedupShardability(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == Map(
+      4L -> ((1L, 4L, 3L, 1L, 2L, 0L, 6666L)),
+      2L -> ((1L, 2L, 1L, 1L, 0L, 1L, 0L))))
+    // at sf: per-family identity global = sharded + missed, and the doc
+    // accounting reconciles with the oracled q28 family table
+    val rows = Dedup.q271DedupShardability(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4) + r.getLong(5),
+        s"identity broke at family_size ${r.getLong(0)}")
+      assert(r.getLong(6) <= r.getLong(1))
+    }
+    val q28Docs = Dedup.q28DedupExact(spark, sf)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == q28Docs,
+      "doc mass drifted from the oracled q28 families")
+  }
+
   test("q240 calibration buckets reconcile with the oracled q29+q31 pair tables") {
     val buckets = Dedup.q240MinhashCalibration(spark, sf).collect()
       .map(r => r.getAs[Long]("est_matches") -> ((r.getAs[Long]("n_pairs"),
