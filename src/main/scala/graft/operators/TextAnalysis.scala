@@ -487,6 +487,68 @@ object TextAnalysis {
   private[graft] def contentHashCol: org.apache.spark.sql.Column =
     md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
 
+  /** q272's swept (gate, threshold) grid — code-owned like q247's
+    * DecontamNs; the oracle SQL is GENERATED from this same list. Each
+    * production setting (q65's literals) is bracketed by looser and
+    * tighter values the curation literature actually debates. */
+  private[graft] val GateSweep: Seq[(String, Long, Boolean)] = Seq(
+    ("min_words", 5L, false), ("min_words", 10L, true), ("min_words", 20L, false),
+    ("min_words", 50L, false),
+    ("max_words", 2000L, false), ("max_words", 5000L, true), ("max_words", 10000L, false),
+    ("word_len_low", 100L, false), ("word_len_low", 200L, true), ("word_len_low", 300L, false),
+    ("word_len_high", 800L, false), ("word_len_high", 1200L, true), ("word_len_high", 2000L, false),
+    ("max_digit_bp", 1000L, false), ("max_digit_bp", 2000L, true), ("max_digit_bp", 4000L, false),
+    ("min_stop_bp", 100L, false), ("min_stop_bp", 300L, true), ("min_stop_bp", 600L, false),
+    ("min_stop_bp", 1000L, false),
+    ("max_tri_share_bp", 1000L, false), ("max_tri_share_bp", 1800L, true),
+    ("max_tri_share_bp", 3000L, false))
+
+  /** One gate's fail predicate over q65's per-doc stats — ONE text used
+    * verbatim in the Spark conditional sums AND the generated oracle. */
+  private[graft] def gateFailSql(gate: String, t: Long): String = gate match {
+    case "min_words"        => s"n_words < $t"
+    case "max_words"        => s"n_words > $t"
+    case "word_len_low"     => s"word_len_x100 < $t"
+    case "word_len_high"    => s"word_len_x100 > $t"
+    case "max_digit_bp"     => s"digit_bp > $t"
+    case "min_stop_bp"      => s"stop_bp < $t"
+    case "max_tri_share_bp" => s"tri_share_bp > $t"
+  }
+
+  /** q272: quality-gate THRESHOLD-SENSITIVITY sweep — q210/q247's knob
+    * discipline pointed at the most load-bearing filter in the pipeline:
+    * for every q65 gate and a bracket of thresholds around the production
+    * value, how many docs that gate ALONE would reject (marginal
+    * semantics — independent of the other gates and of q65's first-match
+    * reject order, so each curve reads as "tighten THIS knob, lose THIS
+    * much"), with the production setting flagged in-row. A curator reads
+    * where each accept curve bends BEFORE moving a literal that silently
+    * reprices the whole corpus (q227/q230 then say WHO pays).
+    *
+    * Scale shape: ONE corpusFilterOf scan (the same zero-exchange verdict
+    * projection q65 runs) folded by |grid| conditional sums in a single
+    * aggregation — no per-threshold rescan, no explode; the stack to rows
+    * happens on the 1-row aggregate.
+    */
+  def q272GateSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val stats = corpusFilterOf(Tables.documents(s, dir))
+    val sums = GateSweep.zipWithIndex.map { case ((g, t, _), i) =>
+      sum(when(expr(gateFailSql(g, t)), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val stackArgs = GateSweep.zipWithIndex.map { case ((g, t, _), i) =>
+      s"'$g', ${t}L, c$i"
+    }.mkString(", ")
+    val prodExpr = GateSweep.filter(_._3).map { case (g, t, _) =>
+      s"(gate = '$g' AND threshold = ${t}L)"
+    }.mkString(" OR ")
+    stats.agg(count(lit(1)).as("n_total"), sums: _*)
+      .selectExpr("n_total",
+        s"stack(${GateSweep.size}, $stackArgs) AS (gate, threshold, n_failing)")
+      .select(col("gate"), col("threshold"), col("n_failing"),
+        expr("n_failing * 10000 DIV greatest(n_total, 1)").as("fail_bp"),
+        expr(prodExpr).as("is_production"))
+  }
+
   /** q251: source MARGINAL-GRAM contribution — the data-acquisition
     * priority table: sources in the deterministic q239 order (token mass
     * desc, source asc), each scored by how many word-5-gram TYPES it adds
@@ -3033,6 +3095,7 @@ object TextAnalysis {
     "q223_contamination_by_source" -> (q223ContaminationBySource _),
     "q247_decontam_ngram_sweep" -> (q247DecontamNgramSweep _),
     "q268_pipeline_waterfall" -> (q268PipelineWaterfall _),
+    "q272_gate_sensitivity" -> (q272GateSensitivity _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4174,6 +4237,21 @@ object TextAnalysis {
                   WHERE doc_id % 97 <> 0),
           ${per.map(_._1).mkString(",\n          ")}
           ${per.map(_._2).mkString("\nUNION ALL\n")}"""
+    },
+    "q272_gate_sensitivity" -> {
+      // one SELECT per swept (gate, threshold), generated from the SAME
+      // GateSweep list and the SAME gateFailSql predicates the Spark
+      // conditional sums use (q247's generated-oracle idiom)
+      val rows = GateSweep.map { case (g, t, p) =>
+        s"""SELECT '$g' AS gate, CAST($t AS BIGINT) AS threshold,
+              count(*) FILTER (WHERE ${gateFailSql(g, t)}) AS n_failing,
+              CAST(count(*) FILTER (WHERE ${gateFailSql(g, t)}) * 10000
+                   // greatest((SELECT n FROM tot), 1) AS BIGINT) AS fail_bp,
+              $p AS is_production
+           FROM q65"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q65 AS ($q65Sql), tot AS (SELECT count(*) AS n FROM q65)
+          $rows"""
     },
     "q268_pipeline_waterfall" ->
       // composes the SAME q65Sql verdict text and q58's 5-gram CTE shape;

@@ -297,6 +297,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q272 gate sensitivity equals a recompute off the oracled q65 stats; curves monotone") {
+    val stats = TextAnalysis.q65CorpusFilter(spark, dir).collect()
+      .map(r => Map(
+        "n_words" -> r.getAs[Long]("n_words"),
+        "word_len_x100" -> r.getAs[Long]("word_len_x100"),
+        "digit_bp" -> r.getAs[Long]("digit_bp"),
+        "stop_bp" -> r.getAs[Long]("stop_bp"),
+        "tri_share_bp" -> r.getAs[Long]("tri_share_bp")))
+    val n = stats.length.toLong
+    def fails(gate: String, t: Long)(d: Map[String, Long]): Boolean = gate match {
+      case "min_words"        => d("n_words") < t
+      case "max_words"        => d("n_words") > t
+      case "word_len_low"     => d("word_len_x100") < t
+      case "word_len_high"    => d("word_len_x100") > t
+      case "max_digit_bp"     => d("digit_bp") > t
+      case "min_stop_bp"      => d("stop_bp") < t
+      case "max_tri_share_bp" => d("tri_share_bp") > t
+    }
+    val got = TextAnalysis.q272GateSensitivity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == TextAnalysis.GateSweep.map { case (g, t, _) => (g, t) }.toSet)
+    TextAnalysis.GateSweep.foreach { case (g, t, p) =>
+      val f = stats.count(fails(g, t)).toLong
+      assert(got((g, t)) == ((f, f * 10000 / n, p)), s"($g, $t) drifted")
+    }
+    // each min_* curve is nondecreasing in t, each max_*/word_len_high
+    // curve nonincreasing — a violation means a predicate flipped
+    got.keySet.map(_._1).foreach { g =>
+      val curve = got.filter(_._1._1 == g).toSeq.sortBy(_._1._2).map(_._2._1)
+      val pairs = curve.zip(curve.tail)
+      if (g.startsWith("min_") || g == "word_len_low")
+        assert(pairs.forall { case (a, b) => a <= b }, s"$g not nondecreasing")
+      else assert(pairs.forall { case (a, b) => a >= b }, s"$g not nonincreasing")
+    }
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
