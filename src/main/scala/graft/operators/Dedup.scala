@@ -169,13 +169,18 @@ object Dedup {
     * shared with q28/q268/s32).
     */
   def q271DedupShardability(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shardabilityOf(Tables.documents(s, dir)
       .select(TextAnalysis.contentHashCol.as("content_hash"), col("source"))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("source")).as("n_sources"))
-      .filter(col("n_copies") > 1)
-      .groupBy(col("n_copies"))
+      .filter(col("n_copies") > 1))
+
+  /** The shardability accounting on ANY (n_copies, n_sources) family
+    * frame — ONE definition serving q271 (exact families) and q273
+    * (near-dup clusters). */
+  private[graft] def shardabilityOf(fam: DataFrame): DataFrame =
+    fam.groupBy(col("n_copies"))
       .agg(count(lit(1)).as("n_families"),
         sum(col("n_copies") - col("n_sources")).as("sharded_removals"),
         sum(col("n_sources") - 1).as("missed_removals"),
@@ -187,6 +192,28 @@ object Dedup {
         col("mono_source_families"),
         expr("missed_removals * 10000 DIV ((n_copies - 1) * n_families)")
           .as("missed_bp"))
+
+  /** q273: NEAR-DUP cluster shardability — q271's architecture question
+    * at the layer where dedup actually acts: the confirmed near-dup
+    * CLUSTERS (the shared memoized [[clusterMap]] — q56/q169/q179/q193's
+    * connected components, zero drift possible). Exact-key families shard
+    * well almost by construction (mirrors keep bytes); near-dup families
+    * are where cross-feed mirroring lives, so THIS table is the one that
+    * decides whether LSH banding + confirm can run per-source (each feed
+    * its own signature table, no global band exchange) or must stay
+    * global. Same accounting, same identity, same missed_bp verdict.
+    *
+    * Scale shape: the cluster map is corpus-bounded and memoized (or a
+    * published table at deployment scale); one doc_id join to the pruned
+    * (doc_id, source) projection, one cluster fold, one |sizes| fold.
+    */
+  def q273NearDupShardability(s: SparkSession, dir: String): DataFrame =
+    shardabilityOf(clusterMap(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources")))
 
   /** q29: MinHash + LSH banding near-dup candidate pairs. */
   def q29DedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1319,6 +1346,25 @@ object Dedup {
       """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_hash,
                 count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q273_near_dup_shardability" ->
+      s"""WITH RECURSIVE $reachCtes,
+          cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+          m AS (SELECT cl.cluster_id, d.source
+                FROM cl JOIN documents d USING (doc_id)),
+          fam AS (SELECT cluster_id, count(*) AS n_copies,
+                         count(DISTINCT source) AS n_sources
+                  FROM m GROUP BY 1)
+          SELECT n_copies AS family_size,
+                 CAST(count(*) AS BIGINT) AS n_families,
+                 CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+                 CAST((n_copies - 1) * count(*) AS BIGINT) AS global_removals,
+                 CAST(sum(n_copies - n_sources) AS BIGINT) AS sharded_removals,
+                 CAST(sum(n_sources - 1) AS BIGINT) AS missed_removals,
+                 count(*) FILTER (WHERE n_sources = 1) AS mono_source_families,
+                 CAST(sum(n_sources - 1) * 10000
+                      // ((n_copies - 1) * count(*)) AS BIGINT) AS missed_bp
+          FROM fam GROUP BY 1""",
     "q271_dedup_shardability" ->
       """WITH h AS (SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS ch,
                            source
@@ -1778,6 +1824,7 @@ object Dedup {
     "q169_canonical_docs" -> (q169CanonicalDocs _),
     "q28_dedup_exact"     -> (q28DedupExact _),
     "q271_dedup_shardability" -> (q271DedupShardability _),
+    "q273_near_dup_shardability" -> (q273NearDupShardability _),
     "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
     "q225_dedup_key_precision" -> (q225DedupKeyPrecision _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),

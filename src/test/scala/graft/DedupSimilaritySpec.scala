@@ -999,6 +999,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "doc mass drifted from the oracled q28 families")
   }
 
+  test("q273 near-dup shardability reconciles with the oracled q193 family table") {
+    val rows = Dedup.q273NearDupShardability(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4) + r.getLong(5),
+        s"identity broke at family_size ${r.getLong(0)}")
+      assert(r.getLong(6) <= r.getLong(1))
+    }
+    // same clusters as q193: family counts, doc mass and excess agree
+    val q193 = Dedup.q193DupFamilyDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == q193, "family accounting drifted from the oracled q193")
+    // a cluster's sources recomputed driver-side pin the per-size sums
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySize = Dedup.clusterMap(spark, sf).collect()
+      .map(r => (r.getLong(1), src(r.getLong(0))))
+      .groupBy(_._1).values.toSeq
+      .map(ms => (ms.size.toLong, ms.map(_._2).distinct.size.toLong))
+      .groupBy(_._1).view.mapValues(fs =>
+        (fs.size.toLong, fs.map { case (n, k) => n - k }.sum,
+          fs.map(_._2 - 1).sum, fs.count(_._2 == 1).toLong)).toMap
+    rows.foreach { r =>
+      val (nf, sharded, missed, mono) = bySize(r.getLong(0))
+      assert((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((nf, sharded, missed, mono)), s"size ${r.getLong(0)} source split drifted")
+    }
+  }
+
   test("q240 calibration buckets reconcile with the oracled q29+q31 pair tables") {
     val buckets = Dedup.q240MinhashCalibration(spark, sf).collect()
       .map(r => r.getAs[Long]("est_matches") -> ((r.getAs[Long]("n_pairs"),

@@ -31,7 +31,8 @@ class RelationalSpec extends AnyFunSuite {
     "q143_linkage_pairs", // 200 parts at sf0.001 → (brand, head) blocks of ~1
     "q197_image_phash_pairs", // distinct synth sides/content → pairs only when planted
     "q198_audio_fp_pairs", // distinct synth lengths/content → pairs only when planted
-    "q193_dup_family_dist") // derives from q56's (possibly empty) clusters
+    "q193_dup_family_dist", // derives from q56's (possibly empty) clusters
+    "q273_near_dup_shardability") // same cluster derivation as q193
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
