@@ -863,6 +863,58 @@ object Stats {
       .withColumn("overdispersed", col("dispersion_x100") > 200)
   }
 
+  /** q274: per-source doc-LENGTH KS drift — q91's two-sample
+    * Kolmogorov–Smirnov discipline pointed at feed health: each source's
+    * word-count distribution against the REST of the corpus, D in integer
+    * bp via the same cross-multiplied ECDF trick (c_src·(T−t_src) −
+    * (c_rest)·t_src over t_src·(T−t_src) — no double enters the
+    * statistic), with the 5% critical value 1.358·√((n+m)/nm) published
+    * beside it (ONE scalar double from exact integers, q95's rule) and a
+    * `drifted` verdict. A feed whose length distribution walks away from
+    * the corpus — truncated scrapes, concatenated pages, a changed
+    * extractor — trips this before any content-level audit notices.
+    *
+    * Scale shape: one scan folds to the (source, len) value-domain frame
+    * (|sources|×|distinct lengths| — corpus-size-independent), the ECDF
+    * grid is sources × lengths (bounded), the corpus cumulative is one
+    * |lengths|-row window, and the final fold is |sources| rows. The
+    * single-partition window over the length domain is a bounded-frame
+    * window, not an event-scale one.
+    */
+  def q274SourceLengthKs(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("source"),
+        size(graft.functions.Tokens(col("text"))).cast("long").as("len"))
+    val byCell = lens.groupBy(col("source"), col("len")).agg(count(lit(1)).as("n"))
+    val grid = byCell.select(col("source")).distinct()
+      .crossJoin(byCell.select(col("len")).distinct())
+    val wCum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val allCum = byCell.groupBy(col("len")).agg(sum(col("n")).as("na"))
+      .withColumn("c_all", sum(col("na")).over(
+        Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("len"), col("c_all"))
+    val tot = lens.agg(count(lit(1)).as("t"))
+    grid.join(byCell, Seq("source", "len"), "left").na.fill(0L, Seq("n"))
+      .withColumn("c_src", sum(col("n")).over(wCum))
+      .withColumn("t_src", sum(col("n")).over(wAll))
+      .join(broadcast(allCum), Seq("len"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("t_src")).as("n_docs"),
+        max(col("t") - col("t_src")).as("n_rest"),
+        max(expr("""CASE WHEN t_src = 0 OR t_src = t THEN NULL
+                    ELSE abs(c_src * (t - t_src) - (c_all - c_src) * t_src)
+                         * 10000 DIV (t_src * (t - t_src)) END""")).as("ks_bp"))
+      .withColumn("crit_bp",
+        expr("""CASE WHEN n_rest = 0 THEN NULL
+                ELSE CAST(floor(13580 * sqrt((n_docs + n_rest)
+                     / (CAST(n_docs AS DOUBLE) * n_rest))) AS BIGINT) END"""))
+      .withColumn("drifted", col("ks_bp") > col("crit_bp"))
+  }
+
   /** χ² 5% critical value ×1000 selected by dof = n_groups − 1 — one
     * literal CASE text on both engines. A type observed on fewer than 7
     * distinct weekdays has fewer degrees of freedom; the fixed χ²(6) bar
@@ -1018,6 +1070,7 @@ object Stats {
     "q245_kruskal_dow"   -> (q245KruskalDow _),
     "q258_dow_profile"   -> (q258DowProfile _),
     "q270_arrival_dispersion" -> (q270ArrivalDispersion _),
+    "q274_source_length_ks" -> (q274SourceLengthKs _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -1052,6 +1105,48 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q274_source_length_ks" ->
+      """WITH l AS (SELECT source,
+                           CAST(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS BIGINT) AS len
+                    FROM documents),
+          bc AS (SELECT source, len, count(*) AS n FROM l GROUP BY 1, 2),
+          grid AS (SELECT source, len
+                   FROM (SELECT DISTINCT source FROM bc)
+                   CROSS JOIN (SELECT DISTINCT len FROM bc)),
+          cells AS (SELECT g.source, g.len, COALESCE(bc.n, 0) AS n
+                    FROM grid g LEFT JOIN bc
+                      ON g.source = bc.source AND g.len = bc.len),
+          cum AS (SELECT source, len, n,
+                         sum(n) OVER (PARTITION BY source ORDER BY len
+                                      ROWS UNBOUNDED PRECEDING) AS c_src,
+                         sum(n) OVER (PARTITION BY source) AS t_src
+                  FROM cells),
+          acc AS (SELECT len,
+                         sum(sum(n)) OVER (ORDER BY len
+                                           ROWS UNBOUNDED PRECEDING) AS c_all
+                  FROM bc GROUP BY len),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM l),
+          agg AS (SELECT source,
+                         CAST(max(t_src) AS BIGINT) AS n_docs,
+                         CAST(max(t - t_src) AS BIGINT) AS n_rest,
+                         CAST(max(CASE WHEN t_src = 0 OR t_src = t THEN NULL
+                                  ELSE abs(c_src * (t - t_src)
+                                           - (c_all - c_src) * t_src)
+                                       * 10000 // (t_src * (t - t_src)) END)
+                           AS BIGINT) AS ks_bp
+                  FROM cum JOIN acc USING (len) CROSS JOIN tot
+                  GROUP BY source)
+          SELECT source, n_docs, n_rest, ks_bp,
+                 CASE WHEN n_rest = 0 THEN NULL
+                      ELSE CAST(floor(13580 * sqrt((n_docs + n_rest)
+                           / (CAST(n_docs AS DOUBLE) * n_rest))) AS BIGINT)
+                 END AS crit_bp,
+                 ks_bp > (CASE WHEN n_rest = 0 THEN NULL
+                          ELSE CAST(floor(13580 * sqrt((n_docs + n_rest)
+                               / (CAST(n_docs AS DOUBLE) * n_rest))) AS BIGINT)
+                          END) AS drifted
+          FROM agg""",
     "q270_arrival_dispersion" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
           span AS (SELECT date_diff('hour', min(h), max(h)) + 1 AS n_hours FROM e),

@@ -43,6 +43,44 @@ class StatsSpec extends AnyFunSuite {
       s"hour-burst feed must trip the gate: ${planted("burst")}")
   }
 
+  test("q274 length KS equals a driver ECDF recompute; planted shifted feed trips, twin feed doesn't") {
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), size(graft.functions.Tokens(col("text"))).cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t = lens.length.toLong
+    val domain = lens.map(_._2).distinct.sorted
+    val got = Stats.q274SourceLengthKs(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    lens.groupBy(_._1).foreach { case (src, rows) =>
+      val mine = rows.map(_._2)
+      val n = mine.size.toLong
+      val d = domain.map { v =>
+        val cs = mine.count(_ <= v).toLong
+        val ca = lens.count(_._2 <= v).toLong
+        math.abs(cs * (t - n) - (ca - cs) * n) * 10000 / (n * (t - n))
+      }.max
+      val crit = math.floor(13580 * math.sqrt((n + (t - n)).toDouble /
+        (n.toDouble * (t - n)))).toLong
+      assert(got(src) == ((n, t - n, d, crit, d > crit)), s"source $src drifted")
+    }
+    // planted: twin feeds A/B share a length distribution, C is shifted
+    // far away and small enough that A-vs-rest stays under critical
+    import TestSpark.spark.implicits._
+    def doc(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    val planted =
+      (0 until 30).map(i => (100L + i, doc(10 + i % 10), "en", "A", 1L)) ++
+      (0 until 30).map(i => (200L + i, doc(10 + i % 10), "en", "B", 1L)) ++
+      (0 until 3).map(i => (300L + i, doc(100 + i), "en", "C", 1L))
+    val out = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$out/documents.parquet")
+    val p = Stats.q274SourceLengthKs(spark, out).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(!p("A") && !p("B"), s"twin feeds must not drift: $p")
+    assert(p("C"), "the shifted feed must trip the KS gate")
+  }
+
   test("q87 pearson_r within [-1,1] and agrees with Spark's built-in corr to 1e-6") {
     val rows = Stats.q87Correlation(spark, sf).collect()
     assert(rows.nonEmpty)
