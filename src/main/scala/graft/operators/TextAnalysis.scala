@@ -433,7 +433,14 @@ object TextAnalysis {
     * when small), then one |sources|-bounded conditional fold — the four
     * stages are conditional sums in a SINGLE aggregation, not four passes.
     */
-  def q268PipelineWaterfall(s: SparkSession, dir: String): DataFrame = {
+  def q268PipelineWaterfall(s: SparkSession, dir: String): DataFrame =
+    waterfallStages(waterfallCounts(waterfallFlags(s, dir)))
+
+  /** The corpus through all three gates — q268's per-doc flag frame
+    * (doc_id, source, n_words, accept, kept, contam), factored so the
+    * funnel (q268) and the gate-overlap cube (q275) read ONE flag
+    * definition. */
+  private[graft] def waterfallFlags(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
@@ -442,7 +449,7 @@ object TextAnalysis {
     val contaminated = contaminatedGramsOf(corpus, bench)
       .select(col("doc_id"), lit(true).as("contam"))
     val byHash = Window.partitionBy(col("content_hash"))
-    val flagged = corpusFilterOf(corpus, carry = Seq("source", "text"))
+    corpusFilterOf(corpus, carry = Seq("source", "text"))
       .withColumn("content_hash", contentHashCol)
       .drop("text")
       .withColumn("min_acc_id",
@@ -450,7 +457,31 @@ object TextAnalysis {
       .withColumn("kept", col("accept") && col("doc_id") === col("min_acc_id"))
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("contam", coalesce(col("contam"), lit(false)))
-    waterfallStages(waterfallCounts(flagged))
+  }
+
+  /** q275: gate-OVERLAP cube — the redundancy economics q268's funnel
+    * hides: per (accept, kept, contam) cell, doc and token mass with
+    * corpus-share bp. The funnel charges each doc to the FIRST gate that
+    * kills it; this cube shows the joint distribution, so a curator can
+    * read e.g. how much of the decontamination burden dedup already
+    * removes (accept ∧ ¬kept ∧ contam — scrub work that vanishes if
+    * dedup runs first) or whether contamination concentrates in rejected
+    * docs (quality gate as an accidental decontaminator). Six reachable
+    * cells (kept ⇒ accept); unreachable combinations simply don't row.
+    *
+    * Scale shape: exactly q268's — the cube is ONE more |cells|-bounded
+    * fold on the same factored flag frame, nothing rescans.
+    */
+  def q275GateOverlap(s: SparkSession, dir: String): DataFrame = {
+    val flags = waterfallFlags(s, dir)
+    flags.groupBy(col("accept"), col("kept"), col("contam"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"))
+      .crossJoin(broadcast(flags.agg(
+        count(lit(1)).as("nt"), sum(col("n_words")).as("tt"))))
+      .select(col("accept"), col("kept"), col("contam"),
+        col("n_docs"), col("tokens"),
+        expr("n_docs * 10000 DIV greatest(nt, 1)").as("docs_share_bp"),
+        expr("tokens * 10000 DIV greatest(tt, 1)").as("tokens_share_bp"))
   }
 
   /** q268's conditional-sum fold on ANY flagged frame carrying the
@@ -3096,6 +3127,7 @@ object TextAnalysis {
     "q247_decontam_ngram_sweep" -> (q247DecontamNgramSweep _),
     "q268_pipeline_waterfall" -> (q268PipelineWaterfall _),
     "q272_gate_sensitivity" -> (q272GateSensitivity _),
+    "q275_gate_overlap" -> (q275GateOverlap _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -3243,6 +3275,34 @@ object TextAnalysis {
                       END) IS NULL AS accept
           FROM m"""
   }
+
+  /** The waterfall flag CTEs (q65 verdicts + q58's 5-gram probe + q28's
+    * canonical key, composed per-doc) shared by the q268 and q275 oracles
+    * — the SQL mirror of [[waterfallFlags]]. Ends at CTE `f`:
+    * (source, n_words, accept, kept, contam). */
+  private val waterfallFlagsSql: String =
+    s"""q65 AS ($q65Sql),
+          t5 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix5 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                  FROM t5 WHERE len(w) >= 5),
+          g5 AS (SELECT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                 FROM ix5),
+          bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+          con AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (g)
+                  WHERE doc_id % 97 <> 0),
+          v AS (SELECT q.doc_id, q.n_words, q.accept, d.source,
+                       md5(array_to_string(string_split(d.text, ' ')[1:3], ' ')) AS ch
+                FROM q65 q JOIN documents d USING (doc_id)
+                WHERE q.doc_id % 97 <> 0),
+          k AS (SELECT v.*,
+                       min(CASE WHEN accept THEN doc_id END)
+                         OVER (PARTITION BY ch) AS min_acc_id
+                FROM v),
+          f AS (SELECT k.source, k.n_words, k.accept,
+                       (k.accept AND k.doc_id = k.min_acc_id) AS kept,
+                       (con.doc_id IS NOT NULL) AS contam
+                FROM k LEFT JOIN con ON k.doc_id = con.doc_id)"""
 
   private val q204Sql: String =
     s"""WITH t AS (
@@ -4238,6 +4298,18 @@ object TextAnalysis {
           ${per.map(_._1).mkString(",\n          ")}
           ${per.map(_._2).mkString("\nUNION ALL\n")}"""
     },
+    "q275_gate_overlap" ->
+      // the SAME factored flag CTEs as q268 — one oracle-side definition
+      // of the three gates' per-doc flags
+      s"""WITH $waterfallFlagsSql,
+          tot AS (SELECT count(*) AS nt, CAST(sum(n_words) AS BIGINT) AS tt FROM f)
+          SELECT accept, kept, contam,
+                 count(*) AS n_docs,
+                 CAST(sum(n_words) AS BIGINT) AS tokens,
+                 CAST(count(*) * 10000 // greatest(nt, 1) AS BIGINT) AS docs_share_bp,
+                 CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
+          FROM f CROSS JOIN tot
+          GROUP BY accept, kept, contam, nt, tt""",
     "q272_gate_sensitivity" -> {
       // one SELECT per swept (gate, threshold), generated from the SAME
       // GateSweep list and the SAME gateFailSql predicates the Spark
@@ -4256,28 +4328,7 @@ object TextAnalysis {
     "q268_pipeline_waterfall" ->
       // composes the SAME q65Sql verdict text and q58's 5-gram CTE shape;
       // gate definitions cannot drift from the standalone oracles
-      s"""WITH q65 AS ($q65Sql),
-          t5 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-          ix5 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
-                  FROM t5 WHERE len(w) >= 5),
-          g5 AS (SELECT doc_id,
-                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
-                 FROM ix5),
-          bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
-          con AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (g)
-                  WHERE doc_id % 97 <> 0),
-          v AS (SELECT q.doc_id, q.n_words, q.accept, d.source,
-                       md5(array_to_string(string_split(d.text, ' ')[1:3], ' ')) AS ch
-                FROM q65 q JOIN documents d USING (doc_id)
-                WHERE q.doc_id % 97 <> 0),
-          k AS (SELECT v.*,
-                       min(CASE WHEN accept THEN doc_id END)
-                         OVER (PARTITION BY ch) AS min_acc_id
-                FROM v),
-          f AS (SELECT k.source, k.n_words, k.accept,
-                       (k.accept AND k.doc_id = k.min_acc_id) AS kept,
-                       (con.doc_id IS NOT NULL) AS contam
-                FROM k LEFT JOIN con ON k.doc_id = con.doc_id),
+      s"""WITH $waterfallFlagsSql,
           a AS (SELECT source,
                        count(*) AS n0, CAST(sum(n_words) AS BIGINT) AS t0,
                        count(*) FILTER (WHERE accept) AS n1,

@@ -334,6 +334,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q275 cube marginals reproduce the oracled q268 funnel; kept implies accept") {
+    val cube = TextAnalysis.q275GateOverlap(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(cube.keySet.forall { case (a, k, _) => a || !k },
+      "a kept doc must be quality-accepted")
+    val funnel = TextAnalysis.q268PipelineWaterfall(spark, dir).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(v =>
+        (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    def mass(p: ((Boolean, Boolean, Boolean)) => Boolean): (Long, Long) = {
+      val cells = cube.filter { case (kk, _) => p(kk) }.values
+      (cells.map(_._1).sum, cells.map(_._2).sum)
+    }
+    assert(mass(_ => true) == funnel("0_raw"))
+    assert(mass(_._1) == funnel("1_quality"))
+    assert(mass(_._2) == funnel("2_exact_dedup"))
+    assert(mass(k => k._2 && !k._3) == funnel("3_decontaminated"))
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
