@@ -300,6 +300,39 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(dirty("price_positive").getAs[Boolean]("pass"))
   }
 
+  test("q276 triangles equal a driver-side census; handshake and range invariants hold") {
+    val und = graft.operators.Graph.nationEdges(spark, TestSpark.sf)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val nbrs = (und.map(_._1) ++ und.map(_._2)).map { n =>
+      n -> und.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    }.toMap
+    val triOf = nbrs.map { case (n, ns) =>
+      n -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        und((x min y, x max y)) }.toLong
+    }
+    val names = Tables.nation(spark, TestSpark.sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val got = graft.operators.Graph.q276TradeTriangles(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Any]("clustering_x10000")).map(_.asInstanceOf[Long])))
+    assert(got.map(_._1).toSet == nbrs.keySet.map(names))
+    got.foreach { case (name, deg, tri, cc) =>
+      val key = names.collectFirst { case (k, v) if v == name => k }.get
+      assert(deg == nbrs(key).size.toLong, s"$name degree")
+      assert(tri == triOf(key), s"$name triangles")
+      if (deg >= 2) {
+        assert(cc.contains(tri * 2 * 10000 / (deg * (deg - 1))), s"$name cc")
+        assert(cc.get >= 0 && cc.get <= 10000)
+      } else assert(cc.isEmpty)
+    }
+    // handshake: every triangle is counted at exactly its 3 corners
+    assert(got.map(_._3).sum % 3 == 0)
+  }
+
   test("q146 pagerank: plan output equals a driver-side replay of the integer iteration") {
     val sf = TestSpark.sf
     val got = graft.operators.Graph.q146PagerankNations(spark, sf).collect()
