@@ -843,14 +843,21 @@ object Stats {
     * rows out of the scan), a |types|-bounded second fold, and a broadcast
     * 1-row span frame — never an event-scale shuffle or window.
     */
-  def q270ArrivalDispersion(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def q270ArrivalDispersion(s: SparkSession, dir: String): DataFrame =
+    dispersionFromHourly(Tables.events(s, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-    val span = ev.agg(
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** q270 off an already-built (event_type, h, c) hourly frame — one
+    * definition serves the batch query and s33's maintained table. The
+    * calendar span derives from the hour domain itself (min/max present
+    * hour ≡ the truncated raw-event extremes), so the maintained table is
+    * self-contained state. */
+  private[graft] def dispersionFromHourly(hourly: DataFrame): DataFrame = {
+    val span = hourly.agg(
       expr("(unix_timestamp(max(h)) - unix_timestamp(min(h))) DIV 3600 + 1")
         .as("n_hours"))
-    ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
-      .groupBy(col("event_type"))
+    hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("active_hours"), sum(col("c")).as("n_events"),
         sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
       .crossJoin(broadcast(span))

@@ -967,6 +967,52 @@ class StreamingSpec extends AnyFunSuite {
       s"planted funnel drifted: ${counters("A")}")
   }
 
+  test("s33 streaming rate monitor converges to the batch q270 dispersion table") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val evs = Tables.events(s0, sf).select("event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1))).toSeq
+    val cells = scala.collection.mutable.Map.empty[(String, java.sql.Timestamp), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((t, h), c) => (t, h, c) }
+          .toDF("event_type", "h", "c"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getString(0), r.getTimestamp(1))) = r.getAs[Long]("c")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.RateMonitor.rateMonitorStream(
+      ms.toDS().toDF("event_type", "ts"), store _)(publishDelta).start()
+    try {
+      val (b1, rest) = evs.splitAt(evs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // the dispersion table over MAINTAINED counts equals the batch q270
+    // row-for-row (span, active hours, counts, verdict)
+    val got = graft.streaming.RateMonitor.dispersion(store().get._1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val want = graft.operators.Stats.q270ArrivalDispersion(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == want, "streamed dispersion != batch q270")
+    // replay guard: applied id skips, fresh id applies
+    val frag = graft.streaming.RateMonitor.fragmentOf(
+      Tables.events(s0, sf).limit(10).select("event_type", "ts"))
+    val last = lastId.get
+    assert(graft.streaming.RateMonitor.hourlyCountsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.RateMonitor.hourlyCountsBatch(store(), frag, last + 1L).isDefined)
+  }
+
   test("s28 dow derivation (r15): the maintained daily table serves the batch q245 verdict") {
     // the maintained-table ≡ rebuild property is s28's existing spec; this
     // pins the NEW fourth derivation: kruskalFromDaily off the maintained
