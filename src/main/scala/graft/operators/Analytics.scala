@@ -852,7 +852,50 @@ object Analytics {
         expr("cum_rev_cents DIV cohort_n").as("ltv_cents_per_cust"))
   }
 
+  /** q277: inter-ORDER gap profile — the purchase-cadence table behind
+    * replenishment/churn decisions: gaps between a customer's consecutive
+    * orders (deterministic (date, orderkey) order), banded same-day /
+    * ≤1w / ≤1mo / ≤3mo / longer, rolled up per market segment with
+    * within-segment share and the exact integer mean gap. q79 says WHO
+    * comes back by month, q243 the return curve by day offset; this says
+    * how far apart the purchases themselves sit — the number an
+    * inventory/CRM cadence is actually tuned to.
+    *
+    * Exactness: day gaps are integer date arithmetic; share and mean are
+    * all-positive integer DIVs.
+    *
+    * Scale shape: ONE orders exchange on o_custkey feeds the lag window
+    * (per-customer partitions, inherently the join key); the segment join
+    * is dim-scale (broadcast), the fold is |segments|×|bands|.
+    */
+  def q277OrderGapProfile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySeg = Window.partitionBy(col("c_mktsegment"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev")).cast("long"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("gap_band",
+        when(col("gap_days") === 0, "a_same_day")
+          .when(col("gap_days") <= 7, "b_within_week")
+          .when(col("gap_days") <= 30, "c_within_month")
+          .when(col("gap_days") <= 90, "d_within_quarter")
+          .otherwise("e_longer"))
+      .groupBy(col("c_mktsegment"), col("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days")).as("sum_days"))
+      .withColumn("tot", sum(col("n_gaps")).over(bySeg))
+      .select(col("c_mktsegment"), col("gap_band"), col("n_gaps"),
+        expr("n_gaps * 10000 DIV tot").as("share_bp"),
+        expr("sum_days DIV n_gaps").as("avg_gap_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_order_gap_profile" -> (q277OrderGapProfile _),
     "q183_cohort_ltv"      -> (q183CohortLtv _),
     "q181_stl_decompose"   -> (q181StlDecompose _),
     "q238_seasonal_strength" -> (q238SeasonalStrength _),
@@ -982,6 +1025,33 @@ object Analytics {
            FROM t3 JOIN se ON t3.event_type = se.event_type AND t3.dow7 = se.dow7)"""
 
   val oracles: Map[String, String] = Map(
+    "q277_order_gap_profile" ->
+      """WITH g AS (
+           SELECT o_custkey, o_orderdate,
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+          d AS (SELECT o_custkey,
+                       CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap_days
+                FROM g WHERE prev IS NOT NULL),
+          b AS (SELECT c.c_mktsegment,
+                       CASE WHEN gap_days = 0 THEN 'a_same_day'
+                            WHEN gap_days <= 7 THEN 'b_within_week'
+                            WHEN gap_days <= 30 THEN 'c_within_month'
+                            WHEN gap_days <= 90 THEN 'd_within_quarter'
+                            ELSE 'e_longer' END AS gap_band,
+                       gap_days
+                FROM d JOIN customer c ON o_custkey = c_custkey),
+          a AS (SELECT c_mktsegment, gap_band,
+                       CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(sum(gap_days) AS BIGINT) AS sum_days
+                FROM b GROUP BY 1, 2),
+          t AS (SELECT *, CAST(sum(n_gaps) OVER (PARTITION BY c_mktsegment)
+                            AS BIGINT) AS tot FROM a)
+          SELECT c_mktsegment, gap_band, n_gaps,
+                 n_gaps * 10000 // tot AS share_bp,
+                 sum_days // n_gaps AS avg_gap_days
+          FROM t""",
     "q183_cohort_ltv" ->
       """WITH o AS (
            SELECT o_custkey,

@@ -7,6 +7,37 @@ import graft.operators.{Analytics, Events, Quality}
 class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q277 gap profile equals a driver-side cadence recompute") {
+    val seg = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getLong(2)))
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2.toEpochDay, o._3))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (seg(ck), b._2.toEpochDay - a._2.toEpochDay)
+      }
+    }
+    def band(g: Long): String =
+      if (g == 0) "a_same_day" else if (g <= 7) "b_within_week"
+      else if (g <= 30) "c_within_month" else if (g <= 90) "d_within_quarter"
+      else "e_longer"
+    val bySeg = gaps.groupBy(_._1)
+    val want = bySeg.flatMap { case (sg, gs) =>
+      val tot = gs.size.toLong
+      gs.groupBy(g => band(g._2)).map { case (b, cell) =>
+        (sg, b) -> ((cell.size.toLong, cell.size * 10000L / tot,
+          cell.map(_._2).sum / cell.size))
+      }
+    }
+    val got = Analytics.q277OrderGapProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
   test("q79 offset-0 cells are the full cohort (10000 bp) and offsets never exceed it") {
     val rows = Analytics.q79Retention(spark, sf).collect()
     assert(rows.nonEmpty)
