@@ -186,6 +186,49 @@ object Similarity {
         round(col("tightness") - col("nearest_cos"), 4).as("margin"))
   }
 
+  /** q278: LABEL-NOISE audit — the per-vector confusion read behind q265's
+    * label-level verdict: every vector scored against ALL label centroids
+    * (round-6 cosine, tie → smaller label, q33's rank discipline); a
+    * vector whose nearest centroid is NOT its own label is a mislabeling
+    * candidate (or sits in a genuinely overlapping class). Per label:
+    * members, misassigned count, misassign_bp, and the top confusion
+    * target (most frequent wrong nearest; NULL for a clean label). q264
+    * says which CLASSES sit close; this names the label pairs whose
+    * MEMBERS actually cross the boundary — the relabel/merge worklist.
+    *
+    * Scale shape: the centroid frame is |labels|×dim and driver-held
+    * (q48's quantizer discipline), so the nearest-centroid assignment is
+    * a PURE PROJECTION — no corpus shuffle, no per-vector window; the
+    * only exchanges are the (label, dim) centroid fold and the
+    * |labels|²-bounded confusion fold.
+    */
+  def q278LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = centroids(s, dir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val scored = array(centers.toIndexedSeq.map { case (l, c) =>
+      struct(round(VectorOps.cosine(col("embedding"), typedlit(c)), 6).as("cs"),
+        lit(-l).as("neglabel"))
+    }: _*)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("label"), (-array_max(scored).getField("neglabel")).as("nearest"))
+    val conf = assigned.filter(col("nearest") =!= col("label"))
+      .groupBy(col("label"), col("nearest")).agg(count(lit(1)).as("nc"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("nc").desc, col("nearest").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("label"), col("nearest").as("top_confusion"))
+    assigned.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nearest") =!= col("label"), 1L).otherwise(0L))
+          .as("n_misassigned"))
+      .join(broadcast(conf), Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("n_misassigned"),
+        expr("n_misassigned * 10000 DIV n_vecs").as("misassign_bp"),
+        col("top_confusion"))
+  }
+
   /** Per-row scored cells against a driver-held centroid array:
     * array of struct(cs = round(cosine, 6), negcell = -i), so struct
     * ordering gives max-cosine with ties broken toward the smaller cell id.
@@ -1032,6 +1075,7 @@ object Similarity {
     "q266_hubness_audit" -> (q266HubnessAudit _),
     "q267_knn_margin"  -> (q267KnnMargin _),
     "q269_participation_ratio" -> (q269ParticipationRatio _),
+    "q278_label_noise" -> (q278LabelNoise _),
     "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
@@ -1067,6 +1111,36 @@ object Similarity {
              FROM r WHERE rnk <= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "q278_label_noise" ->
+      """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                            unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings),
+          cp AS (SELECT label, pos, avg(v) AS cv FROM pe GROUP BY label, pos),
+          cen AS (SELECT label AS clabel, list(cv ORDER BY pos) AS centroid
+                  FROM cp GROUP BY label),
+          sc AS (SELECT e.vec_id, e.label, c.clabel,
+                        round(list_inner_product(e.embedding::DOUBLE[], c.centroid) /
+                              (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                               sqrt(list_inner_product(c.centroid, c.centroid))), 6) AS cs
+                 FROM embeddings e CROSS JOIN cen c),
+          nr AS (SELECT vec_id, label, clabel AS nearest,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, clabel ASC) AS rnk
+                 FROM sc),
+          a AS (SELECT label, nearest FROM nr WHERE rnk = 1),
+          conf AS (SELECT label, nearest AS top_confusion
+                   FROM (SELECT label, nearest, count(*) AS nc,
+                                row_number() OVER (PARTITION BY label
+                                                   ORDER BY count(*) DESC, nearest ASC) AS r
+                         FROM a WHERE nearest <> label GROUP BY label, nearest)
+                   WHERE r = 1),
+          g AS (SELECT label, count(*) AS n_vecs,
+                       count(*) FILTER (WHERE nearest <> label) AS n_misassigned
+                FROM a GROUP BY label)
+          SELECT g.label, g.n_vecs, g.n_misassigned,
+                 g.n_misassigned * 10000 // g.n_vecs AS misassign_bp,
+                 conf.top_confusion
+          FROM g LEFT JOIN conf ON g.label = conf.label""",
     "q269_participation_ratio" ->
       """WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
                            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)

@@ -1088,6 +1088,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q278 label noise equals a driver nearest-centroid recompute") {
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cents = byLabel.view.mapValues { vs =>
+      (0 until vs.head.length).map(d => vs.map(_(d)).sum / vs.size)
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = vecs.map { case (l, v) =>
+      val nearest = cents.toSeq
+        .map { case (cl, c) => (math.rint(cos(v, c) * 1e6) / 1e6, cl) }
+        .sortBy { case (s, cl) => (-s, cl) }.head._2
+      (l, nearest)
+    }
+    val want = assigned.groupBy(_._1).map { case (l, as) =>
+      val mis = as.filter(_._2 != l)
+      val top = if (mis.isEmpty) None else Some(
+        mis.groupBy(_._2).toSeq.map { case (t, g) => (g.size, t) }
+          .sortBy { case (n, t) => (-n, t) }.head._2)
+      l -> ((as.size.toLong, mis.size.toLong, mis.size * 10000L / as.size, top))
+    }
+    val got = graft.operators.Similarity.q278LabelNoise(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[Any]("top_confusion")).map(_.asInstanceOf[Int])))).toMap
+    assert(got == want)
+    got.values.foreach { case (_, mis, _, top) =>
+      assert((mis == 0) == top.isEmpty, "clean labels must carry no confusion target")
+    }
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
