@@ -580,6 +580,57 @@ object TextAnalysis {
         expr(prodExpr).as("is_production"))
   }
 
+  /** q279's swept (window, stride) grid — code-owned like q272's
+    * GateSweep; the production q174 geometry (32, 24) is flagged in-row
+    * and its formulas are the SAME texts q174 uses. */
+  private[graft] val ChunkSweep: Seq[(Int, Int, Boolean)] = Seq(
+    (16, 16, false), (16, 12, false), (32, 32, false), (32, 24, true),
+    (32, 16, false), (64, 64, false), (64, 48, false), (128, 96, false))
+
+  /** Closed-form chunk count for geometry (w, s) over a BIGINT `nt`
+    * column — q174's formula text, parameterized. */
+  private[graft] def chunkCountSql(w: Int, s: Int): String =
+    s"(CASE WHEN nt <= $w THEN CAST(1 AS BIGINT) ELSE (nt - $w + ${s - 1}) DIV $s + 1 END)"
+
+  /** Closed-form total chunk-token mass for (w, s): k−1 full windows plus
+    * the (always-positive for s ≤ w) tail — no per-chunk explode. */
+  private[graft] def chunkMassSql(w: Int, s: Int): String = {
+    val k = chunkCountSql(w, s)
+    s"(CASE WHEN nt <= $w THEN nt ELSE ($k - 1) * $w + (nt - ($k - 1) * $s) END)"
+  }
+
+  /** q279: chunk-geometry ECONOMICS sweep — the RAG-ingest knob table:
+    * per (window, stride) bracket around q174's production geometry, the
+    * total chunk count, chunked token mass, token INFLATION vs the raw
+    * corpus (overlapping strides re-embed the overlap — this is the
+    * embedding bill) and mean window fill. Closed forms per document (a
+    * doc's chunk count and mass are arithmetic in its token count), so
+    * the whole sweep is ONE Tokens scan + |grid| conditional sums — no
+    * geometry is ever exploded. Read beside q174 (the chunks themselves)
+    * and q212 (packing): this prices the geometry BEFORE an embedding run
+    * commits to it.
+    */
+  def q279ChunkStrideSweep(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.documents(s, dir)
+      .select(size(graft.functions.Tokens(col("text"))).cast("long").as("nt"))
+    val sums = ChunkSweep.zipWithIndex.flatMap { case ((w, st, _), i) =>
+      Seq(sum(expr(chunkCountSql(w, st))).as(s"c$i"),
+        sum(expr(chunkMassSql(w, st))).as(s"m$i"))
+    }
+    val stackArgs = ChunkSweep.zipWithIndex.map { case ((w, st, p), i) =>
+      s"$w, $st, $p, c$i, m$i"
+    }.mkString(", ")
+    stats.agg(sum(col("nt")).as("tt"), sums: _*)
+      .selectExpr("tt",
+        s"""stack(${ChunkSweep.size}, $stackArgs)
+           AS (chunk_w, stride, is_production, n_chunks, chunk_tokens)""")
+      .select(col("chunk_w"), col("stride"), col("is_production"),
+        col("n_chunks"), col("chunk_tokens"),
+        expr("chunk_tokens * 10000 DIV greatest(tt, 1)").as("inflation_bp"),
+        expr("chunk_tokens * 10000 DIV greatest(n_chunks * chunk_w, 1)")
+          .as("fill_bp"))
+  }
+
   /** q251: source MARGINAL-GRAM contribution — the data-acquisition
     * priority table: sources in the deterministic q239 order (token mass
     * desc, source asc), each scored by how many word-5-gram TYPES it adds
@@ -3128,6 +3179,7 @@ object TextAnalysis {
     "q268_pipeline_waterfall" -> (q268PipelineWaterfall _),
     "q272_gate_sensitivity" -> (q272GateSensitivity _),
     "q275_gate_overlap" -> (q275GateOverlap _),
+    "q279_chunk_stride_sweep" -> (q279ChunkStrideSweep _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4310,6 +4362,26 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q279_chunk_stride_sweep" -> {
+      // one aggregate per swept geometry, generated from the SAME
+      // ChunkSweep list and chunkCountSql/chunkMassSql closed forms
+      val rows = ChunkSweep.map { case (w, st, p) =>
+        val k = chunkCountSql(w, st).replace("DIV", "//")
+        val m = chunkMassSql(w, st).replace("DIV", "//")
+        s"""SELECT $w AS chunk_w, $st AS stride, $p AS is_production,
+              n_chunks, chunk_tokens,
+              chunk_tokens * 10000 // greatest(tt, 1) AS inflation_bp,
+              chunk_tokens * 10000 // greatest(n_chunks * $w, 1) AS fill_bp
+           FROM (SELECT CAST(sum($k) AS BIGINT) AS n_chunks,
+                        CAST(sum($m) AS BIGINT) AS chunk_tokens FROM t)
+           CROSS JOIN tot"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                                 x -> x <> '')) AS BIGINT) AS nt
+                     FROM documents),
+          tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM t)
+          $rows"""
+    },
     "q272_gate_sensitivity" -> {
       // one SELECT per swept (gate, threshold), generated from the SAME
       // GateSweep list and the SAME gateFailSql predicates the Spark

@@ -354,6 +354,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(mass(k => k._2 && !k._3) == funnel("3_decontaminated"))
   }
 
+  test("q279 production row reconciles with the oracled q174 chunks; geometry laws hold") {
+    val got = TextAnalysis.q279ChunkStrideSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getBoolean(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // the (32, 24) row IS q174's geometry: chunk count and token mass must
+    // equal the exploded chunk table exactly
+    val chunks = TextAnalysis.q174DocChunks(spark, dir)
+      .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()(0)
+    val prod = got((32, 24))
+    assert(prod._1 && prod._2 == chunks.getLong(0) && prod._3 == chunks.getLong(1),
+      s"production row drifted from q174: $prod vs $chunks")
+    assert(got.count(_._2._1) == 1, "exactly one production row")
+    got.foreach { case ((w, s), (_, n, m, infl, fill)) =>
+      assert(fill <= 10000, s"($w,$s) fill over 100%")
+      assert(m >= n, "every chunk has at least one token")
+      // non-overlapping stride (s == w) never inflates the corpus
+      if (s == w) assert(infl <= 10000, s"($w,$s) inflated without overlap")
+    }
+    // at fixed w, shrinking the stride can only add chunks and mass
+    Seq(16, 32).foreach { w =>
+      val byS = got.collect { case ((`w`, s), v) => s -> v }.toSeq.sortBy(-_._1)
+      byS.zip(byS.tail).foreach { case ((_, a), (_, b)) =>
+        assert(b._2 >= a._2 && b._3 >= a._3, s"w=$w stride curve not monotone")
+      }
+    }
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
