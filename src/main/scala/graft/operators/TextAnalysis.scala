@@ -580,6 +580,53 @@ object TextAnalysis {
         expr(prodExpr).as("is_production"))
   }
 
+  /** q280: decontamination SCRUB-vs-DROP savings — the decision table
+    * behind every contamination policy: dropping a contaminated doc costs
+    * ALL its tokens; cutting just the matched 5-gram SPANS costs only the
+    * union of [start, start+5) windows (fixed-length intervals sorted by
+    * start merge in one lead() pass: covered = Σ min(5, next−cur) + 5 —
+    * exact integers, q58's raw-split token space as the one currency for
+    * both costs). Per source: contaminated docs, drop cost, scrub cost,
+    * and savings_bp — the number that decides whether the corpus keeps
+    * the 97% of a page that is NOT the quoted eval question. Shares
+    * q58's gram domain verbatim ([[nGrams]] with positions, same
+    * broadcast bench probe), so "a matched span" can never disagree with
+    * the q58 verdict.
+    *
+    * Scale shape: one corpus gram explode probed against the broadcast
+    * bench set (q58's shape); the merge window runs only over MATCHED
+    * rows of CONTAMINATED docs (≪ corpus); folds are |sources|-bounded.
+    */
+  def q280DecontamScrubSavings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val starts = corpus
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("source"), col("w"),
+        posexplode(graft.functions.WordNgrams(col("w"), 5)).as(Seq("i", "g")))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val perDoc = starts
+      .withColumn("nxt", lead(col("i"), 1).over(byDoc))
+      .withColumn("cov",
+        when(col("nxt").isNull, 5L).otherwise(least(lit(5L), col("nxt") - col("i"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cov")).as("scrub_tokens"),
+        max(size(col("w")).cast("long")).as("doc_tokens"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        sum(col("doc_tokens")).as("drop_cost_tokens"),
+        sum(col("scrub_tokens")).as("scrub_cost_tokens"))
+      .select(col("source"), col("n_contaminated_docs"),
+        col("drop_cost_tokens"), col("scrub_cost_tokens"),
+        expr("""(drop_cost_tokens - scrub_cost_tokens) * 10000
+                DIV greatest(drop_cost_tokens, 1)""").as("savings_bp"))
+  }
+
   /** q279's swept (window, stride) grid — code-owned like q272's
     * GateSweep; the production q174 geometry (32, 24) is flagged in-row
     * and its formulas are the SAME texts q174 uses. */
@@ -3180,6 +3227,7 @@ object TextAnalysis {
     "q272_gate_sensitivity" -> (q272GateSensitivity _),
     "q275_gate_overlap" -> (q275GateOverlap _),
     "q279_chunk_stride_sweep" -> (q279ChunkStrideSweep _),
+    "q280_decontam_scrub_savings" -> (q280DecontamScrubSavings _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4362,6 +4410,36 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q280_decontam_scrub_savings" ->
+      // q58's gram CTE shape with positions; fixed-length interval merge
+      // via one lead() per doc — the SQL mirror of the Spark window
+      """WITH t5 AS (SELECT doc_id, source, string_split(text, ' ') w
+                     FROM documents),
+          ix5 AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS nt, w,
+                         unnest(generate_series(1, len(w)-4)) i
+                  FROM t5 WHERE len(w) >= 5),
+          g5 AS (SELECT doc_id, source, nt, i,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                 FROM ix5),
+          bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+          m AS (SELECT doc_id, source, nt, i FROM g5 JOIN bench USING (g)
+                WHERE doc_id % 97 <> 0),
+          c AS (SELECT doc_id, source, nt, i,
+                       lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+                FROM m),
+          pd AS (SELECT doc_id, source, max(nt) AS doc_tokens,
+                        CAST(sum(CASE WHEN nxt IS NULL THEN 5
+                                      ELSE least(5, nxt - i) END) AS BIGINT)
+                          AS scrub_tokens
+                 FROM c GROUP BY 1, 2)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+                 CAST(sum(doc_tokens) AS BIGINT) AS drop_cost_tokens,
+                 CAST(sum(scrub_tokens) AS BIGINT) AS scrub_cost_tokens,
+                 (CAST(sum(doc_tokens) AS BIGINT) - CAST(sum(scrub_tokens) AS BIGINT))
+                   * 10000 // greatest(CAST(sum(doc_tokens) AS BIGINT), 1)
+                   AS savings_bp
+          FROM pd GROUP BY source""",
     "q279_chunk_stride_sweep" -> {
       // one aggregate per swept geometry, generated from the SAME
       // ChunkSweep list and chunkCountSql/chunkMassSql closed forms

@@ -381,6 +381,34 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q280 scrub savings: planted span union equals hand arithmetic; scrub never exceeds drop") {
+    import TestSpark.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    // bench doc (id 0 ≡ 0 mod 97) carries grams b1..b5 / b2..b6 / b3..b7;
+    // corpus doc 1 matches at 0-based starts {1, 2, 9}:
+    // union [1,7)∪[9,14) = 11 of 15 tokens → savings 4/15 = 2666 bp
+    Seq(
+      (0L, "b1 b2 b3 b4 b5 b6 b7", "en", "B", 1L),
+      (1L, "x1 b1 b2 b3 b4 b5 b6 x2 x3 b1 b2 b3 b4 b5 x4", "en", "A", 1L),
+      (2L, "clean words only here nothing matches at all today", "en", "A", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$out/documents.parquet")
+    val p = TextAnalysis.q280DecontamScrubSavings(spark, out).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(p == Map("A" -> ((1L, 15L, 11L, 2666L))), s"planted drifted: $p")
+    // at sf: doc accounting matches the oracled q58 verdict, and the scrub
+    // cost can never exceed the drop cost
+    val rows = TextAnalysis.q280DecontamScrubSavings(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)} scrub > drop")
+      assert(r.getLong(4) >= 0)
+    }
+    val q58Docs = TextAnalysis.q58Decontaminate(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == q58Docs,
+      "contaminated-doc mass drifted from the oracled q58")
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
