@@ -120,19 +120,27 @@ object Dedup {
     * use their own inline band expansion rather than this guarded one,
     * so the cap applies to every caller here unconditionally.)
     */
-  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame = {
+  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame =
+    expandPairsBy(s, sigs, Nil)
+
+  /** The guarded band expansion with optional EXTRA key columns (q261
+    * tags a `scheme` so all four bandings ride ONE exchange) — same
+    * bucket semantics per (extra…, band_id, sig). */
+  private def expandPairsBy(s: SparkSession, sigs: DataFrame,
+      extra: Seq[String]): DataFrame = {
     val maxBucket =
       s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt).getOrElse(4096)
+    val keys = extra ++ Seq("band_id", "sig")
     sigs
-      .groupBy(col("band_id"), col("sig"))
+      .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
+      .select(extra.map(col) :+ explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+        .as("p"): _*)
+      .select(extra.map(col) :+ col("p.doc_a") :+ col("p.doc_b"): _*)
+      .groupBy((extra ++ Seq("doc_a", "doc_b")).map(col): _*)
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -769,44 +777,54 @@ object Dedup {
     */
   def q261LshBandSweep(s: SparkSession, dir: String): DataFrame = {
     val mh = mhSignatures(s, dir).localCheckpoint()
-    def bandsFor(b: Int, r: Int): DataFrame = {
+    // all four bandings tagged with a scheme id and expanded through ONE
+    // guarded exchange (expandPairsBy) — the per-scheme form paid four
+    // full groupBy-expand chains plus four checkpoint barriers
+    val tagged = BandSchemes.zipWithIndex.map { case ((b, r), si) =>
       val cols = (0 until b).map { i =>
         struct(lit(i).as("band_id"),
           concat_ws(":", (0 until r).map(j => col(s"m${i * r + j}")): _*)
             .as("sig"))
       }
-      mh.select(col("doc_id"), explode(array(cols: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id").as("band_id"),
-          col("band.sig").as("sig"))
+      mh.select(col("doc_id"), lit(si).as("scheme"),
+          explode(array(cols: _*)).as("band"))
+        .select(col("doc_id"), col("scheme"),
+          col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+    }.reduce(_ unionByName _)
+    val pairs = expandPairsBy(s, tagged, Seq("scheme"))
+      .select(col("scheme"), col("doc_a"), col("doc_b")).localCheckpoint()
+    val perScheme = BandSchemes.zipWithIndex.map { case ((b, r), si) =>
+      (b, r, pairs.filter(col("scheme") === si).select(col("doc_a"), col("doc_b")))
     }
-    val perScheme = BandSchemes.map { case (b, r) =>
-      (b, r, expandPairs(s, bandsFor(b, r))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint())
-    }
-    // one shingle table over the union of every scheme's candidate docs
-    val allDocs = perScheme.map(_._3)
-      .map(p => p.select(col("doc_a").as("doc_id"))
-        .unionByName(p.select(col("doc_b").as("doc_id"))))
-      .reduce(_ unionByName _).distinct()
+    // Jaccard is PAIR-intrinsic — scheme-independent — so the expensive
+    // shingle-intersection confirm runs ONCE over the UNION of every
+    // scheme's candidate pairs (schemes overlap heavily: an aggressive
+    // banding's pairs largely contain a conservative one's), and each
+    // scheme's row then reads its pairs' j_bp from the shared table. The
+    // per-scheme form re-ran the 3-join confirm 4× (measured 7.1–9.0 s at
+    // sf0.1; this shape prices the confirm at |union| once).
+    val allPairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
+    val allDocs = allPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(allPairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shinglesOf(
       Tables.documents(s, dir).join(broadcast(allDocs), Seq("doc_id"), "left_semi"),
       dedup = true).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val jacAll = allPairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
       .localCheckpoint()
     perScheme.map { case (b, r, cand) =>
-      val jac = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
       // a candidate pair with ZERO shared shingles (pure hash collision)
       // drops from the inner intersection — count it via the left join
-      cand.join(jac, Seq("doc_a", "doc_b"), "left")
+      cand.join(jacAll, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_pairs"),
           expr("""CAST(round(CAST(sum(j_bp) AS DOUBLE) /
                   CAST(count(j_bp) AS DOUBLE)) AS BIGINT)""")
