@@ -580,6 +580,41 @@ object TextAnalysis {
         expr(prodExpr).as("is_production"))
   }
 
+  /** q281: gate lang×source INTERACTION — the 2-axis residual table on
+    * top of q226 (per-lang bias) and q227 (per-source attrition): per
+    * (lang, source) cell, docs, accepts, the cell's accept rate, both
+    * marginal accept rates, and the cell's LIFT against each marginal
+    * (acc_bp − lang_acc_bp, acc_bp − src_acc_bp, integer bp). The
+    * marginals can both look fine while one cell burns — a single feed's
+    * non-English slice failing the stopword gate at 10x its language's
+    * rate is invisible to q226 AND q227 but is exactly the cell a curator
+    * scrubs or re-gates. Shares corpusFilterOf (one definition of the
+    * verdict on both engines via the composed q65Sql oracle).
+    *
+    * Scale shape: ONE verdict scan with both axes riding the carry
+    * columns, one |langs×sources| fold; the marginal joins are over that
+    * tiny frame.
+    */
+  def q281GateInteraction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val bySrc = Window.partitionBy(col("source"))
+    corpusFilterOf(Tables.documents(s, dir), carry = Seq("lang", "source"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"))
+      .withColumn("ln", sum(col("n_docs")).over(byLang))
+      .withColumn("la", sum(col("n_accept")).over(byLang))
+      .withColumn("sn", sum(col("n_docs")).over(bySrc))
+      .withColumn("sa", sum(col("n_accept")).over(bySrc))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_accept"),
+        expr("n_accept * 10000 DIV n_docs").as("acc_bp"),
+        expr("la * 10000 DIV ln").as("lang_acc_bp"),
+        expr("sa * 10000 DIV sn").as("src_acc_bp"))
+      .withColumn("lift_vs_lang_bp", col("acc_bp") - col("lang_acc_bp"))
+      .withColumn("lift_vs_src_bp", col("acc_bp") - col("src_acc_bp"))
+  }
+
   /** q280: decontamination SCRUB-vs-DROP savings — the decision table
     * behind every contamination policy: dropping a contaminated doc costs
     * ALL its tokens; cutting just the matched 5-gram SPANS costs only the
@@ -3228,6 +3263,7 @@ object TextAnalysis {
     "q275_gate_overlap" -> (q275GateOverlap _),
     "q279_chunk_stride_sweep" -> (q279ChunkStrideSweep _),
     "q280_decontam_scrub_savings" -> (q280DecontamScrubSavings _),
+    "q281_gate_interaction" -> (q281GateInteraction _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4410,6 +4446,28 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q281_gate_interaction" ->
+      // the SAME q65Sql verdict text; axes joined back by doc_id key
+      s"""WITH q65 AS ($q65Sql),
+          v AS (SELECT d.lang, d.source, q.accept
+                FROM q65 q JOIN documents d USING (doc_id)),
+          cell AS (SELECT lang, source,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          count(*) FILTER (WHERE accept) AS n_accept
+                   FROM v GROUP BY 1, 2),
+          w AS (SELECT *,
+                       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS ln,
+                       CAST(sum(n_accept) OVER (PARTITION BY lang) AS BIGINT) AS la,
+                       CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS sn,
+                       CAST(sum(n_accept) OVER (PARTITION BY source) AS BIGINT) AS sa
+                FROM cell)
+          SELECT lang, source, n_docs, n_accept,
+                 n_accept * 10000 // n_docs AS acc_bp,
+                 la * 10000 // ln AS lang_acc_bp,
+                 sa * 10000 // sn AS src_acc_bp,
+                 n_accept * 10000 // n_docs - la * 10000 // ln AS lift_vs_lang_bp,
+                 n_accept * 10000 // n_docs - sa * 10000 // sn AS lift_vs_src_bp
+          FROM w""",
     "q280_decontam_scrub_savings" ->
       // q58's gram CTE shape with positions; fixed-length interval merge
       // via one lead() per doc — the SQL mirror of the Spark window

@@ -409,6 +409,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "contaminated-doc mass drifted from the oracled q58")
   }
 
+  test("q281 interaction marginals reconcile with the oracled q226/q227 tables") {
+    val rows = TextAnalysis.q281GateInteraction(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+    // lift columns are exact differences of the published bp columns
+    rows.foreach { case (k, (_, _, acc, lacc, sacc, ll, ls)) =>
+      assert(ll == acc - lacc && ls == acc - sacc, s"$k lift drifted")
+    }
+    // per-lang accepted mass equals q226's 'accepted' cells
+    val q226 = TextAnalysis.q226LangFilterBias(spark, dir).collect()
+      .filter(_.getString(1) == "accepted")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val langAcc = rows.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(langAcc.filter(_._2 > 0) == q226,
+      "lang marginals drifted from the oracled q226")
+    // per-source accepted mass equals q227's 'accepted' cells
+    val q227 = TextAnalysis.q227GateAttritionBySource(spark, dir).collect()
+      .filter(_.getString(1) == "accepted")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val srcAcc = rows.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(srcAcc.filter(_._2 > 0) == q227,
+      "source marginals drifted from the oracled q227")
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
