@@ -124,6 +124,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r15 sweep tables fold their whole grid over ONE documents scan") {
+    // q272 (23 gate thresholds) and q279 (8 chunk geometries) are
+    // conditional sums in a single aggregation: one corpus scan, one
+    // 1-row-aggregate exchange, no join, no per-knob rescan
+    for (q <- Seq("q272_gate_sensitivity", "q279_chunk_stride_sweep")) {
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("r15 q281 interaction reads both axes off ONE documents scan") {
+    val p = plan("q281_gate_interaction")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("r15 q278 nearest-centroid assignment is a pure projection (no corpus shuffle)") {
+    // the centroid model is driver-held; the only exchanges are the
+    // |labels|-bounded folds and the broadcast of the tiny confusion side
+    val p = plan("q278_label_noise")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q71 moving averages compute both frames over ONE user_id exchange") {
     val p = plan("q71_moving_avg")
     assert(count(p, "Exchange") == 1, p)
