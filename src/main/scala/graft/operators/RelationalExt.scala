@@ -195,7 +195,39 @@ object RelationalExt {
         col("col").as("o_orderkey"),
         col("n_orders"))
 
+  /** q282: BRAND revenue league — the fact→dim rollup every merchandising
+    * review starts from: per part brand, line/unit counts, gross and
+    * net-of-discount revenue, net revenue share and mean discount — all
+    * in EXACT integer cents (prices carry 2 decimals, so cents are
+    * integers; net works in cents×100 via the integer (100 − disc_x100)
+    * factor and publishes DIV 100 — no double ever sums). The realized
+    * complement of the part table's retail view.
+    *
+    * Scale shape: lineitem is scanned once and joined to the broadcast
+    * part dim on l_partkey; one |brands|-bounded fold + a broadcast 1-row
+    * total for the share.
+    */
+  def q282BrandLeague(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val agg = li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("units"),
+        sum(col("cents")).as("gross_cents"),
+        sum(expr("CAST(cents * (100 - disc) AS DECIMAL(38,0))")).as("net_x100"),
+        sum(col("disc")).as("disc_sum"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("net_x100")).as("tot_x100"))))
+      .select(col("p_brand"), col("n_lines"), col("units"), col("gross_cents"),
+        expr("net_x100 DIV 100").as("net_cents"),
+        expr("net_x100 * 10000 DIV tot_x100").as("net_share_bp"),
+        expr("disc_sum * 100 DIV n_lines").as("avg_disc_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_brand_league"   -> (q282BrandLeague _),
     "q144_bottomk_sample" -> (q144BottomkSample _),
     "q129_skyline"        -> (q129Skyline _),
     "q88_unpivot"         -> (q88Unpivot _),
@@ -206,6 +238,25 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q282_brand_league" ->
+      """WITH li AS (SELECT p.p_brand,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                            CAST(round(l_discount * 100) AS BIGINT) AS disc
+                     FROM lineitem JOIN part p ON l_partkey = p_partkey),
+          a AS (SELECT p_brand,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(qty) AS BIGINT) AS units,
+                       CAST(sum(cents) AS BIGINT) AS gross_cents,
+                       CAST(sum(cents * (100 - disc)) AS HUGEINT) AS net_x100,
+                       CAST(sum(disc) AS BIGINT) AS disc_sum
+                FROM li GROUP BY 1),
+          t AS (SELECT sum(net_x100) AS tot_x100 FROM a)
+          SELECT p_brand, n_lines, units, gross_cents,
+                 CAST(net_x100 // 100 AS BIGINT) AS net_cents,
+                 CAST(net_x100 * 10000 // tot_x100 AS BIGINT) AS net_share_bp,
+                 disc_sum * 100 // n_lines AS avg_disc_bp
+          FROM a CROSS JOIN t""",
     "q144_bottomk_sample" ->
       """WITH o AS (
            SELECT o_orderstatus AS status,

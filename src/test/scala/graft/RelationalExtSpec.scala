@@ -7,6 +7,27 @@ import graft.operators.RelationalExt
 class RelationalExtSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q282 brand league: exact cents agree with the engine's double sums; shares account") {
+    val rows = graft.operators.RelationalExt.q282BrandLeague(spark, sf).collect()
+    assert(rows.length > 0)
+    // integer-cents revenue must agree with Spark's own double aggregation
+    // to well under a cent per line
+    val dbl = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(expr("l_extendedprice * (1 - l_discount)")).as("net"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (b, gross, net) = (r.getString(0), r.getLong(3), r.getLong(4))
+      assert(net <= gross, s"$b net over gross")
+      assert(math.abs(net - dbl(b) * 100) <= r.getLong(1).toDouble,
+        s"$b cents drifted: $net vs ${dbl(b) * 100}")
+    }
+    val shares = rows.map(_.getLong(5)).sum
+    assert(shares > 10000 - rows.length && shares <= 10000,
+      s"net shares must floor-account to 10000: $shares")
+  }
+
   test("q46 HLL sketch is within 5% of exact cardinality") {
     // raw sketch vs exact (the published query folds this into a boolean)
     val raw = Tables.lineitem(spark, sf)
