@@ -870,6 +870,45 @@ object Stats {
       .withColumn("overdispersed", col("dispersion_x100") > 200)
   }
 
+  /** q283: value CONCENTRATION — the heavy-tail audit per event type: how
+    * much of the value mass sits in the top 1% and top 10% of events by
+    * value. Revenue/value pipelines behave completely differently when
+    * 80% of mass is 1% of events (fraud screens, sampling plans, q105's
+    * Gini is the single-number cousin — this is the actionable two-point
+    * read). Exact integers end to end: cents quantization, k = ceil(n·p)
+    * by integer arithmetic, and the top-k mass via the value-domain
+    * cumulative trick — each distinct value contributes
+    * cents·clamp(k − (cum − cnt), 0, cnt), which is precisely the
+    * partial take at the k boundary (ties split deterministically by
+    * value, never by row order).
+    *
+    * Scale shape: one map-side-combined (type, cents) fold — the frame is
+    * value-domain bounded — then |types|-partition windows and one
+    * |types| fold; never an event-scale window.
+    */
+  def q283ValueConcentration(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    byVal
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("tot", sum(expr("cents * cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), max(col("tot")).as("total_cents"),
+        sum(expr("""cents * greatest(CAST(0 AS BIGINT),
+                    least(cnt, (n + 99) DIV 100 - (cum - cnt)))""")).as("s1"),
+        sum(expr("""cents * greatest(CAST(0 AS BIGINT),
+                    least(cnt, (n * 10 + 99) DIV 100 - (cum - cnt)))""")).as("s10"))
+      .select(col("event_type"), col("n_events"), col("total_cents"),
+        expr("s1 * 10000 DIV greatest(total_cents, 1)").as("top1_share_bp"),
+        expr("s10 * 10000 DIV greatest(total_cents, 1)").as("top10_share_bp"))
+  }
+
   /** q274: per-source doc-LENGTH KS drift — q91's two-sample
     * Kolmogorov–Smirnov discipline pointed at feed health: each source's
     * word-count distribution against the REST of the corpus, D in integer
@@ -1078,6 +1117,7 @@ object Stats {
     "q258_dow_profile"   -> (q258DowProfile _),
     "q270_arrival_dispersion" -> (q270ArrivalDispersion _),
     "q274_source_length_ks" -> (q274SourceLengthKs _),
+    "q283_value_concentration" -> (q283ValueConcentration _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -1112,6 +1152,29 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q283_value_concentration" ->
+      """WITH v AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+          bc AS (SELECT event_type, cents, count(*) AS cnt FROM v GROUP BY 1, 2),
+          c AS (SELECT event_type, cents, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY cents DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n,
+                       sum(cents * cnt) OVER (PARTITION BY event_type) AS tot
+                FROM bc),
+          a AS (SELECT event_type,
+                       CAST(max(n) AS BIGINT) AS n_events,
+                       CAST(max(tot) AS BIGINT) AS total_cents,
+                       CAST(sum(cents * greatest(0, least(cnt,
+                            (n + 99) // 100 - (cum - cnt)))) AS BIGINT) AS s1,
+                       CAST(sum(cents * greatest(0, least(cnt,
+                            (n * 10 + 99) // 100 - (cum - cnt)))) AS BIGINT) AS s10
+                FROM c GROUP BY 1)
+          SELECT event_type, n_events, total_cents,
+                 s1 * 10000 // greatest(total_cents, 1) AS top1_share_bp,
+                 s10 * 10000 // greatest(total_cents, 1) AS top10_share_bp
+          FROM a""",
     "q274_source_length_ks" ->
       """WITH l AS (SELECT source,
                            CAST(len(list_filter(string_split(text, ' '),

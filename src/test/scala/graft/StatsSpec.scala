@@ -81,6 +81,29 @@ class StatsSpec extends AnyFunSuite {
     assert(p("C"), "the shifted feed must trip the KS gate")
   }
 
+  test("q283 concentration equals a driver top-k recompute; invariants hold") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.q283ValueConcentration(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    vals.groupBy(_._1).foreach { case (t, rows) =>
+      val cs = rows.map(_._2).sortBy(-_)
+      val n = cs.size.toLong
+      val tot = cs.sum
+      def share(p: Long) = {
+        val k = ((n * p + 99) / 100).toInt
+        cs.take(k).sum * 10000 / math.max(tot, 1L)
+      }
+      assert(got(t) == ((n, tot, share(1), share(10))), s"type $t drifted")
+    }
+    got.values.foreach { case (_, _, s1, s10) =>
+      // top-10% mass dominates top-1% mass; both at least their uniform floor
+      assert(s10 >= s1 && s1 >= 100 && s10 >= 1000 && s10 <= 10000)
+    }
+  }
+
   test("q87 pearson_r within [-1,1] and agrees with Spark's built-in corr to 1e-6") {
     val rows = Stats.q87Correlation(spark, sf).collect()
     assert(rows.nonEmpty)
