@@ -202,17 +202,29 @@ object Similarity {
     * only exchanges are the (label, dim) centroid fold and the
     * |labels|²-bounded confusion fold.
     */
-  def q278LabelNoise(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centers = centroids(s, dir).collect()
+  /** The per-label centroid model collected to the driver — q48's
+    * "small learned model" discipline; shared by q278 and s34's frozen
+    * gate. */
+  private[graft] def labelCenters(s: SparkSession, dir: String): Array[(Int, Seq[Double])] =
+    centroids(s, dir).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
+
+  /** Nearest label centroid as a PURE projection column (round-6 cosine,
+    * smaller-label tiebreak) — ONE assignment definition for the batch
+    * audit (q278) and the streaming gate (s34). */
+  private[graft] def nearestLabelCol(centers: Array[(Int, Seq[Double])]): Column = {
     val scored = array(centers.toIndexedSeq.map { case (l, c) =>
       struct(round(VectorOps.cosine(col("embedding"), typedlit(c)), 6).as("cs"),
         lit(-l).as("neglabel"))
     }: _*)
+    -array_max(scored).getField("neglabel")
+  }
+
+  def q278LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = Tables.embeddings(s, dir)
-      .select(col("label"), (-array_max(scored).getField("neglabel")).as("nearest"))
+      .select(col("label"), nearestLabelCol(labelCenters(s, dir)).as("nearest"))
     val conf = assigned.filter(col("nearest") =!= col("label"))
       .groupBy(col("label"), col("nearest")).agg(count(lit(1)).as("nc"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("label"))

@@ -11,6 +11,9 @@ import graft.streaming.FrontDoorGate
   * scope). */
 case class RawDoc(doc_id: Long, text: String)
 
+/** s34's stream element. */
+case class Vec(vec_id: Long, label: Int, embedding: Seq[Float])
+
 /** s16: streaming front-door triage — per-row lane split with dual atomic
   * generation commits; replays idempotent, half-committed batches heal.
   */
@@ -73,6 +76,57 @@ class FrontDoorGateSpec extends AnyFunSuite {
     // sound: its existence marks "this root's share of batch 0 is done"
     assert(new java.io.File(s"$quar/gen=0").exists())
     assert(spark.read.parquet(s"$quar/gen=0").count() == 0)
+  }
+
+  test("s34 label gate: frozen centroids split the stream; verdict IS q278's kernel; replay no-op") {
+    val root = Files.createTempDirectory("graft-labelgate").toString
+    val (pub, quar) = (s"$root/published", s"$root/quarantine")
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val refDir = TestSpark.sf
+    val centers = graft.operators.Similarity.labelCenters(spark, refDir)
+    // planted: a vector AT label 0's centroid claiming label 0 publishes;
+    // the same vector claiming another label quarantines tagged nearest=0
+    val c0 = centers.head
+    val other = centers(1)._1
+    val planted = Seq(
+      Vec(900L, c0._1, c0._2.map(_.toFloat)),
+      Vec(901L, other, c0._2.map(_.toFloat)))
+    // plus the real reference vectors: the gate must re-derive q278's
+    // per-vector assignment exactly
+    val real = Tables.embeddings(spark, refDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => Vec(r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    val ms = MemoryStream[Vec]
+    val q = graft.streaming.LabelGate.gatedStream(
+      spark, ms.toDF(), refDir, pub, quar, s"$root/ckpt")
+    try {
+      ms.addData(planted: _*); q.processAllAvailable()
+      ms.addData(real.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val held = spark.read.parquet(quar).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("nearest")).toMap
+    val published = spark.read.parquet(pub).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(published.contains(900L) && held.get(901L).contains(c0._1))
+    // driver recompute of q278's assignment over the reference vectors
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val wantQuar = real.filter { v =>
+      val e = v.embedding.map(_.toDouble)
+      val nearest = centers
+        .map { case (l, c) => (math.rint(cos(e, c) * 1e6) / 1e6, l) }
+        .sortBy { case (s0, l) => (-s0, l) }.head._2
+      nearest != v.label
+    }.map(_.vec_id).toSet
+    assert(held.keySet - 901L == wantQuar, "gate verdict drifted from q278's kernel")
+    assert((published - 900L) == real.map(_.vec_id).toSet -- wantQuar)
+    // replay of a committed id: full no-op
+    graft.streaming.LabelGate.gateBatch(spark,
+      Seq(Vec(999L, other, c0._2.map(_.toFloat))).toDF(), 0L, centers, pub, quar)
+    assert(!spark.read.parquet(quar).collect().map(_.getAs[Long]("vec_id")).contains(999L))
   }
 
   test("s31 decontamination gate: frozen bench grams split the stream; verdict IS q58's kernel; replay no-op") {
