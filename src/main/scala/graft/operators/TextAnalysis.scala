@@ -662,6 +662,51 @@ object TextAnalysis {
                 DIV greatest(drop_cost_tokens, 1)""").as("savings_bp"))
   }
 
+  /** q284: release-DELTA waterfall — q268's funnel split across two
+    * corpus releases (the deterministic doc_id-parity halves, q201's
+    * release stand-in; a deployment passes its real release tag) with the
+    * pipeline still GLOBAL (dedup dedupes across releases — the
+    * production shape: releases feed one corpus). Per stage: both
+    * releases' doc/token retention bp and the deltas — the table that
+    * says "the new crawl changed the gate economics" (a release whose
+    * quality retention drops 800 bp shifted format; one whose dedup
+    * retention drops is re-crawling what release 0 already has). Shares
+    * [[waterfallFlags]]/[[waterfallFlagsSql]] — one flag definition.
+    *
+    * Scale shape: q268's, plus one |stages|-bounded self-join to lay the
+    * two releases side by side.
+    */
+  def q284ReleaseWaterfallDelta(s: SparkSession, dir: String): DataFrame = {
+    val flagged = waterfallFlags(s, dir)
+      .withColumn("release", (col("doc_id") % 2).cast("int"))
+    val byRel = flagged.groupBy(col("release")).agg(
+        count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("accept"), col("n_words")).otherwise(0L)).as("t1"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("kept"), col("n_words")).otherwise(0L)).as("t2"),
+        sum(when(col("kept") && !col("contam"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("kept") && !col("contam"), col("n_words")).otherwise(0L)).as("t3"))
+      .selectExpr("release", "n0", "t0",
+        """stack(4,
+           '0_raw',             n0, t0,
+           '1_quality',         n1, t1,
+           '2_exact_dedup',     n2, t2,
+           '3_decontaminated',  n3, t3) AS (stage, n_docs, tokens)""")
+      .select(col("release"), col("stage"), col("n_docs"),
+        expr("n_docs * 10000 DIV greatest(n0, 1)").as("docs_bp"),
+        expr("tokens * 10000 DIV greatest(t0, 1)").as("tokens_bp"))
+    val r0 = byRel.filter(col("release") === 0)
+      .select(col("stage"), col("n_docs").as("n_docs_r0"),
+        col("docs_bp").as("docs_bp_r0"), col("tokens_bp").as("tokens_bp_r0"))
+    val r1 = byRel.filter(col("release") === 1)
+      .select(col("stage"), col("n_docs").as("n_docs_r1"),
+        col("docs_bp").as("docs_bp_r1"), col("tokens_bp").as("tokens_bp_r1"))
+    r0.join(r1, Seq("stage"))
+      .withColumn("docs_delta_bp", col("docs_bp_r1") - col("docs_bp_r0"))
+      .withColumn("tokens_delta_bp", col("tokens_bp_r1") - col("tokens_bp_r0"))
+  }
+
   /** q279's swept (window, stride) grid — code-owned like q272's
     * GateSweep; the production q174 geometry (32, 24) is flagged in-row
     * and its formulas are the SAME texts q174 uses. */
@@ -3264,6 +3309,7 @@ object TextAnalysis {
     "q279_chunk_stride_sweep" -> (q279ChunkStrideSweep _),
     "q280_decontam_scrub_savings" -> (q280DecontamScrubSavings _),
     "q281_gate_interaction" -> (q281GateInteraction _),
+    "q284_release_waterfall_delta" -> (q284ReleaseWaterfallDelta _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -3435,7 +3481,7 @@ object TextAnalysis {
                        min(CASE WHEN accept THEN doc_id END)
                          OVER (PARTITION BY ch) AS min_acc_id
                 FROM v),
-          f AS (SELECT k.source, k.n_words, k.accept,
+          f AS (SELECT k.doc_id, k.source, k.n_words, k.accept,
                        (k.accept AND k.doc_id = k.min_acc_id) AS kept,
                        (con.doc_id IS NOT NULL) AS contam
                 FROM k LEFT JOIN con ON k.doc_id = con.doc_id)"""
@@ -4446,6 +4492,37 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q284_release_waterfall_delta" ->
+      s"""WITH $waterfallFlagsSql,
+          fr AS (SELECT CAST(doc_id % 2 AS INTEGER) AS release, n_words,
+                        accept, kept, contam FROM f),
+          a AS (SELECT release,
+                       count(*) AS n0, CAST(sum(n_words) AS BIGINT) AS t0,
+                       count(*) FILTER (WHERE accept) AS n1,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE accept), 0) AS BIGINT) AS t1,
+                       count(*) FILTER (WHERE kept) AS n2,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE kept), 0) AS BIGINT) AS t2,
+                       count(*) FILTER (WHERE kept AND NOT contam) AS n3,
+                       CAST(COALESCE(sum(n_words) FILTER (WHERE kept AND NOT contam), 0) AS BIGINT) AS t3
+                FROM fr GROUP BY 1),
+          st AS (SELECT release, '0_raw' AS stage, n0 AS n_docs,
+                        n0 * 10000 // greatest(n0, 1) AS docs_bp,
+                        t0 * 10000 // greatest(t0, 1) AS tokens_bp FROM a
+                 UNION ALL SELECT release, '1_quality', n1,
+                        n1 * 10000 // greatest(n0, 1), t1 * 10000 // greatest(t0, 1) FROM a
+                 UNION ALL SELECT release, '2_exact_dedup', n2,
+                        n2 * 10000 // greatest(n0, 1), t2 * 10000 // greatest(t0, 1) FROM a
+                 UNION ALL SELECT release, '3_decontaminated', n3,
+                        n3 * 10000 // greatest(n0, 1), t3 * 10000 // greatest(t0, 1) FROM a)
+          SELECT r0.stage,
+                 r0.n_docs AS n_docs_r0, r0.docs_bp AS docs_bp_r0,
+                 r0.tokens_bp AS tokens_bp_r0,
+                 r1.n_docs AS n_docs_r1, r1.docs_bp AS docs_bp_r1,
+                 r1.tokens_bp AS tokens_bp_r1,
+                 r1.docs_bp - r0.docs_bp AS docs_delta_bp,
+                 r1.tokens_bp - r0.tokens_bp AS tokens_delta_bp
+          FROM (SELECT * FROM st WHERE release = 0) r0
+          JOIN (SELECT * FROM st WHERE release = 1) r1 USING (stage)""",
     "q281_gate_interaction" ->
       // the SAME q65Sql verdict text; axes joined back by doc_id key
       s"""WITH q65 AS ($q65Sql),

@@ -435,6 +435,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "source marginals drifted from the oracled q227")
   }
 
+  test("q284 release split reconciles with the pooled q268 funnel") {
+    val got = TextAnalysis.q284ReleaseWaterfallDelta(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    // deltas are exact differences of the published bp columns; raw stage
+    // is 10000/10000 by construction on both releases
+    got.foreach { case (st, (_, b0, t0, _, b1, t1, db, tb)) =>
+      assert(db == b1 - b0 && tb == t1 - t0, s"$st deltas")
+      if (st == "0_raw") assert(b0 == 10000 && b1 == 10000 && t0 == 10000 && t1 == 10000)
+    }
+    // the two releases' doc masses sum to the pooled q268 stage totals
+    val pooled = TextAnalysis.q268PipelineWaterfall(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    got.foreach { case (st, (n0, _, _, n1, _, _, _, _)) =>
+      assert(n0 + n1 == pooled(st), s"$st mass drifted from the pooled funnel")
+    }
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
