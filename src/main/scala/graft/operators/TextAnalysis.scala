@@ -662,6 +662,39 @@ object TextAnalysis {
                 DIV greatest(drop_cost_tokens, 1)""").as("savings_bp"))
   }
 
+  /** q285: contamination MULTIPLICITY — the histogram q248's per-suite
+    * split implies but never shows: how many corpus docs overlap exactly
+    * k eval suites (k over the (doc_id DIV 97) % 4 pseudo-registry), with
+    * their share of all contaminated docs and total matched (suite, gram)
+    * mass. A multiplicity-1 population is per-eval scrub work; mass at
+    * k ≥ 2 means eval-adjacent CONTENT HUBS (a benchmark aggregator page,
+    * a dataset README mirrored everywhere) — those docs get dropped, not
+    * scrubbed, and this table is how you see them. Shares q248's exact
+    * probe ([[nGrams]] + broadcast (bench_id, gram) set).
+    *
+    * Scale shape: q248's — one corpus explode into the broadcast probe,
+    * map-side-combined to (doc, suite), then a per-doc fold and a
+    * |multiplicities|-bounded histogram.
+    */
+  def q285ContaminationMultiplicity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("bench_id", expr("(doc_id DIV 97) % 4"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val benchGrams = nGrams(benchDocs, 5, Seq("bench_id"))
+      .select(col("bench_id"), col("g")).distinct()
+    val perDoc = nGrams(corpus, 5)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_suites_hit"),
+        countDistinct(col("bench_id"), col("g")).as("matched"))
+    val hist = perDoc.groupBy(col("n_suites_hit"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("matched")).as("matched_grams"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("tot"))))
+      .select(col("n_suites_hit"), col("n_docs"), col("matched_grams"),
+        expr("n_docs * 10000 DIV tot").as("share_bp"))
+  }
+
   /** q284: release-DELTA waterfall — q268's funnel split across two
     * corpus releases (the deterministic doc_id-parity halves, q201's
     * release stand-in; a deployment passes its real release tag) with the
@@ -3310,6 +3343,7 @@ object TextAnalysis {
     "q280_decontam_scrub_savings" -> (q280DecontamScrubSavings _),
     "q281_gate_interaction" -> (q281GateInteraction _),
     "q284_release_waterfall_delta" -> (q284ReleaseWaterfallDelta _),
+    "q285_contamination_multiplicity" -> (q285ContaminationMultiplicity _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4492,6 +4526,29 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q285_contamination_multiplicity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                 FROM t WHERE len(w) >= 5),
+          g AS (SELECT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                            || ' ' || w[i+4] AS g
+                FROM ix),
+          bd AS (SELECT doc_id, (doc_id // 97) % 4 AS bench_id FROM documents
+                 WHERE doc_id % 97 = 0),
+          bg AS (SELECT DISTINCT bd.bench_id, g.g FROM g JOIN bd USING (doc_id)),
+          pd AS (SELECT g.doc_id,
+                        count(DISTINCT bg.bench_id) AS n_suites_hit,
+                        count(DISTINCT (bg.bench_id, g.g)) AS matched
+                 FROM g JOIN bg USING (g)
+                 WHERE g.doc_id % 97 <> 0 GROUP BY 1),
+          h AS (SELECT n_suites_hit, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(matched) AS BIGINT) AS matched_grams
+                FROM pd GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM h)
+          SELECT n_suites_hit, n_docs, matched_grams,
+                 n_docs * 10000 // tot AS share_bp
+          FROM h CROSS JOIN tot""",
     "q284_release_waterfall_delta" ->
       s"""WITH $waterfallFlagsSql,
           fr AS (SELECT CAST(doc_id % 2 AS INTEGER) AS release, n_words,

@@ -455,6 +455,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q285 multiplicity: planted two-suite doc lands at k=2; mass reconciles with q248") {
+    import TestSpark.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-mult").toString
+    // suite 0 = doc 0, suite 1 = doc 97; corpus doc 1 quotes one 5-gram
+    // from EACH suite (k=2, 2 matched (suite, gram) pairs), doc 2 quotes
+    // only suite 0 (k=1), doc 3 is clean
+    Seq(
+      (0L, "a1 a2 a3 a4 a5 a6", "en", "S", 1L),
+      (97L, "b1 b2 b3 b4 b5 b6", "en", "S", 1L),
+      (1L, "x a1 a2 a3 a4 a5 y b1 b2 b3 b4 b5 z", "en", "A", 1L),
+      (2L, "p a2 a3 a4 a5 a6 q", "en", "A", 1L),
+      (3L, "c1 c2 c3 c4 c5 c6 c7", "en", "A", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$out/documents.parquet")
+    val p = TextAnalysis.q285ContaminationMultiplicity(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p == Map(2L -> ((1L, 2L, 5000L)), 1L -> ((1L, 1L, 5000L))),
+      s"planted drifted: $p")
+    // at sf: doc and gram mass reconcile with the oracled q248 table
+    val hist = TextAnalysis.q285ContaminationMultiplicity(spark, dir).collect()
+    val q248 = TextAnalysis.q248ContaminationByBenchmark(spark, dir).collect()
+    assert(hist.map(_.getLong(2)).sum == q248.map(_.getLong(4)).sum,
+      "matched-gram mass drifted from the oracled q248")
+    assert(hist.map(_.getLong(3)).sum <= 10000 &&
+      hist.map(_.getLong(3)).sum > 10000 - hist.length)
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
