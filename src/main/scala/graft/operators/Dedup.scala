@@ -1219,6 +1219,51 @@ object Dedup {
       .withColumn("false_merge_bp",
         expr("(n_false_merge_groups * 10000) DIV greatest(n_multi_groups, 1)"))
 
+  /** q286's swept canonical-key lengths — code-owned like q272's
+    * GateSweep; the production q28 key (3 words) sits inside the bracket
+    * and its row is byte-comparable to the oracled q225. */
+  private[graft] val KeyWordsSweep: Seq[Int] = Seq(1, 2, 3, 5, 8)
+
+  /** q286: canonical-KEY length sweep — the knob table behind q28's
+    * first-k-words key: per k ∈ {1,2,3,5,8}, how many multi-doc key
+    * groups exist, how many of them FALSE-MERGE distinct full texts
+    * (q225's min≠max full-hash test — never a pairwise comparison), the
+    * doc mass involved, and false_merge_bp. A 1-word key folds half the
+    * corpus into false families; an 8-word key approaches full-text
+    * hashing and stops folding boilerplate-prefixed copies — this curve
+    * shows where THIS corpus's precision knee sits before anyone moves
+    * the production literal. k = 3 is flagged and equals the q225 row by
+    * construction.
+    *
+    * Scale shape: ONE text scan projects all five keys + the full hash
+    * into a checkpointed hash-only frame; each k then costs one
+    * map-side-combined key fold over 16-byte digests — never a second
+    * text scan.
+    */
+  def q286PrefixKeySweep(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      KeyWordsSweep.map(k =>
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, k))).as(s"k$k")) :+
+        md5(col("text")).as("ft"): _*)
+      .localCheckpoint()
+    KeyWordsSweep.map { k =>
+      base.groupBy(col(s"k$k"))
+        .agg(count(lit(1)).as("n"), min(col("ft")).as("a"), max(col("ft")).as("b"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("n_multi_groups"),
+          coalesce(sum(when(col("a") =!= col("b"), 1L)), lit(0L))
+            .as("n_false_merge_groups"),
+          coalesce(sum(col("n")), lit(0L)).as("docs_in_multi"),
+          coalesce(sum(when(col("a") =!= col("b"), col("n"))), lit(0L))
+            .as("docs_in_false"))
+        .select(lit(k.toLong).as("key_words"), lit(k == 3).as("is_production"),
+          col("n_multi_groups"), col("n_false_merge_groups"),
+          col("docs_in_multi"), col("docs_in_false"),
+          expr("(n_false_merge_groups * 10000) DIV greatest(n_multi_groups, 1)")
+            .as("false_merge_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
     */
@@ -1674,6 +1719,29 @@ object Dedup {
                  (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
                    // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
           FROM j GROUP BY 1""",
+    "q286_prefix_key_sweep" -> {
+      // one aggregate per swept k, generated from the SAME KeyWordsSweep
+      // list; the k=3 branch is q225's SQL shape with the sweep columns
+      val rows = KeyWordsSweep.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS key_words, ${k == 3} AS is_production,
+              count(*) AS n_multi_groups,
+              COALESCE(CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT), 0)
+                AS n_false_merge_groups,
+              COALESCE(CAST(sum(n) AS BIGINT), 0) AS docs_in_multi,
+              COALESCE(CAST(sum(CASE WHEN a <> b THEN n ELSE 0 END) AS BIGINT), 0)
+                AS docs_in_false,
+              (COALESCE(CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT), 0)
+                * 10000) // greatest(count(*), 1) AS false_merge_bp
+           FROM (SELECT k$k AS k, count(*) AS n, min(ft) AS a, max(ft) AS b
+                 FROM h GROUP BY 1 HAVING count(*) > 1)"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (SELECT ${KeyWordsSweep.map(k =>
+            s"md5(array_to_string(string_split(text, ' ')[1:$k], ' ')) AS k$k")
+            .mkString(", ")},
+                           md5(text) AS ft
+                    FROM documents)
+          $rows"""
+    },
     "q225_dedup_key_precision" ->
       """WITH h AS (SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS k,
                            md5(text) AS ft
@@ -1845,6 +1913,7 @@ object Dedup {
     "q273_near_dup_shardability" -> (q273NearDupShardability _),
     "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
     "q225_dedup_key_precision" -> (q225DedupKeyPrecision _),
+    "q286_prefix_key_sweep" -> (q286PrefixKeySweep _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q199_containment"    -> (q199Containment _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),

@@ -1029,6 +1029,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q286 key sweep: k=3 row equals the oracled q225; refinement laws hold") {
+    val rows = Dedup.q286PrefixKeySweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val q225 = Dedup.q225DedupKeyPrecision(spark, sf).collect()(0)
+    assert(rows(3L) == ((true, q225.getLong(0), q225.getLong(1), q225.getLong(2),
+      q225.getLong(3), q225.getLong(4))), "production row drifted from q225")
+    assert(rows.count(_._2._1) == 1)
+    // a longer prefix REFINES the grouping: multi-group doc mass and
+    // false-merge mass can only shrink as k grows
+    val byK = rows.toSeq.sortBy(_._1).map(_._2)
+    byK.zip(byK.tail).foreach { case (a, b) =>
+      assert(b._4 <= a._4, "docs_in_multi must be non-increasing in k")
+      assert(b._5 <= a._5, "docs_in_false must be non-increasing in k")
+    }
+  }
+
   test("q240 calibration buckets reconcile with the oracled q29+q31 pair tables") {
     val buckets = Dedup.q240MinhashCalibration(spark, sf).collect()
       .map(r => r.getAs[Long]("est_matches") -> ((r.getAs[Long]("n_pairs"),
