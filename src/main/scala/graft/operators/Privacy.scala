@@ -481,6 +481,47 @@ object Privacy {
         expr("(n_rows * 10000) DIV n_total").as("share_bp"))
   }
 
+  /** q287's swept quasi-identifier sets — code-owned like q260's k list;
+    * the oracle is GENERATED from the same list. The full trio is q241's
+    * QI set and is flagged as the production row. */
+  private[graft] val QiSets: Seq[(String, Seq[String], Boolean)] = Seq(
+    ("segment", Seq("c_mktsegment"), false),
+    ("nation", Seq("c_nationkey"), false),
+    ("nation+segment", Seq("c_nationkey", "c_mktsegment"), false),
+    ("nation+segment+bal", Seq("c_nationkey", "c_mktsegment", "bal_band"), true))
+
+  /** q287: QI-SET risk sweep — the "which columns can we publish"
+    * decision table: per candidate quasi-identifier set (nested coarse →
+    * fine, ending at q241's production trio), the equivalence-class
+    * census a release review actually reads — class count, worst-case
+    * min k, singleton classes (unique individuals), and the share of
+    * rows living in classes under k = 10. q241 censuses ONE set's k
+    * distribution; this prices the publication axis itself — each added
+    * column multiplies the class count and collapses k, and the row
+    * where min_k hits 1 is where the release stops. Shares q241's
+    * bal-band discretization literally.
+    *
+    * Scale shape: one projected dim scan checkpointed, then one
+    * map-side-combined fold per set over it (|sets| tiny); each fold is
+    * bounded by its QI domain.
+    */
+  def q287QiRiskSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("bal_band"))
+      .localCheckpoint()
+    QiSets.map { case (name, qiCols, prod) =>
+      base.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("k") < 10, col("k")).otherwise(0L)).as("under10"),
+          sum(col("k")).as("n_rows"))
+        .select(lit(name).as("qi_set"), lit(prod).as("is_production"),
+          col("n_classes"), col("min_k"), col("n_singletons"),
+          expr("under10 * 10000 DIV n_rows").as("rows_under_10_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q260's swept k values — code-owned like q147's rule table; the
     * oracle inlines the same literals. */
   private[graft] val KanonKs = Seq(2L, 5L, 10L, 20L, 50L)
@@ -516,6 +557,7 @@ object Privacy {
         expr("(events_suppressed * 10000) DIV n_events").as("suppressed_bp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_qi_risk_sweep" -> (q287QiRiskSweep _),
     "q260_kanon_k_curve" -> (q260KanonKCurve _),
     "q241_reid_risk" -> (q241ReidRisk _),
     "q148_dp_counts" -> (q148DpCounts _),
@@ -529,6 +571,22 @@ object Privacy {
     "q57_pii_redact"     -> (q57PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "q287_qi_risk_sweep" -> {
+      // one aggregate per QI set, generated from the SAME QiSets list
+      val rows = QiSets.map { case (name, qiCols, prod) =>
+        s"""SELECT '$name' AS qi_set, $prod AS is_production,
+              count(*) AS n_classes,
+              CAST(min(k) AS BIGINT) AS min_k,
+              CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+              CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT) * 10000
+                // CAST(sum(k) AS BIGINT) AS rows_under_10_bp
+           FROM (SELECT count(*) AS k FROM c GROUP BY ${qiCols.mkString(", ")})"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+                            CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_band
+                     FROM customer)
+          $rows"""
+    },
     "q260_kanon_k_curve" -> {
       val ks = KanonKs.mkString(", ")
       s"""WITH cells AS (

@@ -201,6 +201,33 @@ class PrivacySpec extends AnyFunSuite {
     assert(got(0.1)._3 > 0L)
   }
 
+  test("q287 QI sweep equals a driver class census; refinement collapses k") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    def census(key: ((Int, String, Long)) => Any) = {
+      val ks = rows.groupBy(key).map(_._2.size.toLong)
+      val n = rows.length.toLong
+      (ks.size.toLong, ks.min, ks.count(_ == 1).toLong,
+        ks.filter(_ < 10).sum * 10000 / n)
+    }
+    val want = Map(
+      "segment" -> census(_._2), "nation" -> census(_._1),
+      "nation+segment" -> census(t => (t._1, t._2)),
+      "nation+segment+bal" -> census(t => (t._1, t._2, t._3)))
+    val got = graft.operators.Privacy.q287QiRiskSweep(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))).toMap
+    assert(got.view.mapValues(_._2).toMap == want)
+    assert(got.count(_._2._1) == 1 && got("nation+segment+bal")._1)
+    // a finer QI set refines classes: class count grows, min k shrinks
+    val order = Seq("nation", "nation+segment", "nation+segment+bal").map(got(_)._2)
+    order.zip(order.tail).foreach { case (a, b) =>
+      assert(b._1 >= a._1 && b._2 <= a._2, "refinement law broke")
+    }
+  }
+
   test("q241 reid risk equals a driver-side equivalence-class recompute; grid complete") {
     val got = Privacy.q241ReidRisk(spark, sf).collect()
       .map(r => r.getAs[Long]("k_bucket") -> ((r.getAs[Long]("n_classes"),
