@@ -99,6 +99,44 @@ object Geo {
       .withColumn("cell_dist",
         abs(col("dest_x") - col("origin_x")) + abs(col("dest_y") - col("origin_y")))
 
+  /** q288: OD-pair ASYMMETRY — the directional-imbalance table planners
+    * read beside q63's raw matrix and q161's per-zone flux: per unordered
+    * zone pair (canonical (x, y)-lexicographic orientation), the flow in
+    * each direction, integer imbalance_bp = |ab − ba|·10⁴/(ab + ba) and
+    * the net direction. A balanced pair is commuting that returns; a
+    * one-way pair is fleet DRIFT — vehicles/supply accumulate at one end
+    * and a rebalancing plan starts from exactly this table. Self-loop
+    * trips are excluded (they carry no direction).
+    *
+    * Scale shape: everything derives from q63's zone-pair frame
+    * (|zones|²-bounded — the event-scale work is the shared session-trip
+    * derivation, one user_id exchange); the canonicalization is a pure
+    * projection and the pair fold is grid-bounded.
+    */
+  def q288OdAsymmetry(s: SparkSession, dir: String): DataFrame = {
+    val od = q63OdMatrix(s, dir)
+      .filter(!(col("origin_x") === col("dest_x") && col("origin_y") === col("dest_y")))
+      .withColumn("fwd",
+        col("origin_x") < col("dest_x") ||
+          (col("origin_x") === col("dest_x") && col("origin_y") < col("dest_y")))
+    od.select(
+        when(col("fwd"), col("origin_x")).otherwise(col("dest_x")).as("ax"),
+        when(col("fwd"), col("origin_y")).otherwise(col("dest_y")).as("ay"),
+        when(col("fwd"), col("dest_x")).otherwise(col("origin_x")).as("bx"),
+        when(col("fwd"), col("dest_y")).otherwise(col("origin_y")).as("by"),
+        when(col("fwd"), col("n_trips")).otherwise(lit(0L)).as("f_ab"),
+        when(col("fwd"), lit(0L)).otherwise(col("n_trips")).as("f_ba"))
+      .groupBy(col("ax"), col("ay"), col("bx"), col("by"))
+      .agg(sum(col("f_ab")).as("flow_ab"), sum(col("f_ba")).as("flow_ba"))
+      .select(col("ax"), col("ay"), col("bx"), col("by"),
+        col("flow_ab"), col("flow_ba"),
+        expr("abs(flow_ab - flow_ba) * 10000 DIV (flow_ab + flow_ba)")
+          .as("imbalance_bp"),
+        when(col("flow_ab") > col("flow_ba"), "ab")
+          .when(col("flow_ba") > col("flow_ab"), "ba")
+          .otherwise("balanced").as("net_dir"))
+  }
+
   /** q116: nearest-station assignment — every event snapped to the closest
     * of a small station grid (argmin over squared integer micro-degree
     * distance), then rolled up per station: the "assign trips to the
@@ -587,6 +625,7 @@ object Geo {
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
+    "q288_od_asymmetry" -> (q288OdAsymmetry _),
     "q180_od_entropy" -> (q180OdEntropy _),
     "q131_pip_zones" -> (q131PipZones _),
     "q133_hex_bins" -> (q133HexBins _))
@@ -937,8 +976,46 @@ object Geo {
                  round(avg(value), 4) AS avg_value,
                  round(sum(value), 2) AS total_value
           FROM pts GROUP BY 1, 2""",
+    "q288_od_asymmetry" ->
+      s"""WITH $odTripCtes,
+          od AS (SELECT origin_x, origin_y, dest_x, dest_y,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM trips
+                 WHERE NOT (origin_x = dest_x AND origin_y = dest_y)
+                 GROUP BY 1, 2, 3, 4),
+          d AS (SELECT *, (origin_x < dest_x
+                           OR (origin_x = dest_x AND origin_y < dest_y)) AS fwd
+                FROM od),
+          c AS (SELECT CASE WHEN fwd THEN origin_x ELSE dest_x END AS ax,
+                       CASE WHEN fwd THEN origin_y ELSE dest_y END AS ay,
+                       CASE WHEN fwd THEN dest_x ELSE origin_x END AS bx,
+                       CASE WHEN fwd THEN dest_y ELSE origin_y END AS by,
+                       CASE WHEN fwd THEN n ELSE 0 END AS f_ab,
+                       CASE WHEN fwd THEN 0 ELSE n END AS f_ba
+                FROM d),
+          p AS (SELECT ax, ay, bx, by,
+                       CAST(sum(f_ab) AS BIGINT) AS flow_ab,
+                       CAST(sum(f_ba) AS BIGINT) AS flow_ba
+                FROM c GROUP BY 1, 2, 3, 4)
+          SELECT ax, ay, bx, by, flow_ab, flow_ba,
+                 abs(flow_ab - flow_ba) * 10000 // (flow_ab + flow_ba)
+                   AS imbalance_bp,
+                 CASE WHEN flow_ab > flow_ba THEN 'ab'
+                      WHEN flow_ba > flow_ab THEN 'ba'
+                      ELSE 'balanced' END AS net_dir
+          FROM p""",
     "q63_od_matrix" ->
-      s"""WITH z AS (
+      s"""WITH $odTripCtes
+          SELECT origin_x, origin_y, dest_x, dest_y,
+                 count(*) AS n_trips,
+                 abs(dest_x - origin_x) + abs(dest_y - origin_y) AS cell_dist
+          FROM trips GROUP BY 1, 2, 3, 4""")
+
+  /** The session-trip OD derivation CTEs (z → trips) — ONE SQL text
+    * shared by the q63 matrix and q288's asymmetry fold. Lazy: the
+    * oracles map above initializes first and references it. */
+  private lazy val odTripCtes: String =
+    s"""z AS (
             SELECT user_id, ts, event_id,
                    CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
                    CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
@@ -962,9 +1039,5 @@ object Geo {
                    o.zone_x AS origin_x, o.zone_y AS origin_y,
                    d.zone_x AS dest_x, d.zone_y AS dest_y
             FROM (SELECT * FROM r WHERE rn_a = 1) o
-            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no))
-          SELECT origin_x, origin_y, dest_x, dest_y,
-                 count(*) AS n_trips,
-                 abs(dest_x - origin_x) + abs(dest_y - origin_y) AS cell_dist
-          FROM trips GROUP BY 1, 2, 3, 4""")
+            JOIN (SELECT * FROM r WHERE rn_d = 1) d USING (user_id, sess_no))"""
 }

@@ -343,6 +343,27 @@ class GeoSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q288 asymmetry reconciles with q63's matrix; canonical orientation holds") {
+    val od = graft.operators.Geo.q63OdMatrix(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))) ->
+        r.getLong(4)).toMap
+    val got = graft.operators.Geo.q288OdAsymmetry(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // every pair canonically oriented and reconciling with the matrix flows
+    got.foreach { case ((a, b), (ab, ba, imb, dir)) =>
+      assert(a._1 < b._1 || (a._1 == b._1 && a._2 < b._2), s"($a,$b) not canonical")
+      assert(ab == od.getOrElse((a, b), 0L) && ba == od.getOrElse((b, a), 0L),
+        s"($a,$b) flows drifted from q63")
+      assert(imb == math.abs(ab - ba) * 10000 / (ab + ba))
+      assert(dir == (if (ab > ba) "ab" else if (ba > ab) "ba" else "balanced"))
+    }
+    // the pair table covers exactly the non-self-loop matrix mass
+    val offDiag = od.filter { case ((a, b), _) => a != b }.values.sum
+    assert(got.values.map(v => v._1 + v._2).sum == offDiag,
+      "pair mass drifted from the oracled q63 matrix")
+  }
+
   test("q180 OD entropy: recomputed from q63's matrix; bounds and degenerate rows hold") {
     val ent = graft.operators.Geo.q180OdEntropy(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
