@@ -1264,6 +1264,43 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** q289: DUP rate by LENGTH decile — "are short docs the duplication
+    * problem": exact-dup membership (q28's canonical families via the
+    * shared [[TextAnalysis.contentHashCol]]) crossed with q230's
+    * value-domain length deciles (decile of a length = cum-count-before
+    * ·10 DIV n — all docs of equal length share a decile, no per-doc rank
+    * anywhere). Boilerplate-heavy short docs usually dominate exact-dup
+    * mass; if THIS corpus inverts that, the dedup key (q286) and the
+    * min-words gate (q272) are being tuned on the wrong intuition —
+    * this table is where that shows.
+    *
+    * Scale shape: one text scan to (length, hash), one content-hash
+    * exchange for the family size (q28's shuffle), then everything on
+    * the |distinct lengths|-bounded value-domain frame.
+    */
+  def q289DupByLength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = Tables.documents(s, dir)
+      .select(size(graft.functions.Tokens(col("text"))).cast("long").as("n_words"),
+        TextAnalysis.contentHashCol.as("ch"))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("ch"))))
+      .select(col("n_words"), (col("nc") > 1).as("is_dup"))
+    val cells = flagged.groupBy(col("n_words"))
+      .agg(count(lit(1)).as("vc"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))
+      .localCheckpoint() // decile derivation + final fold share one pass
+    val perV = cells
+      .withColumn("cum_before", coalesce(
+        sum(col("vc")).over(Window.orderBy(col("n_words"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("vc")).over(Window.partitionBy()))
+      .select(col("n_words"), expr("cum_before * 10 DIV tot").as("decile"))
+    cells.join(perV, Seq("n_words"))
+      .groupBy(col("decile"))
+      .agg(sum(col("vc")).as("n_docs"), sum(col("dups")).as("n_dup_docs"))
+      .withColumn("dup_bp", expr("n_dup_docs * 10000 DIV n_docs"))
+  }
+
   /** q32: embedding-cosine near-dup pairs, blocked by label (the cluster
     * prior); at 100 TB the label blocking becomes coarse-quantizer cells.
     */
@@ -1719,6 +1756,31 @@ object Dedup {
                  (CAST(sum(is_removed * n_tok) AS BIGINT) * 10000)
                    // greatest(CAST(sum(n_tok) AS BIGINT), 1) AS saved_bp
           FROM j GROUP BY 1""",
+    "q289_dup_by_length" ->
+      """WITH h AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS BIGINT) AS n_words,
+                           md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS ch
+                    FROM documents),
+          f AS (SELECT n_words,
+                       count(*) OVER (PARTITION BY ch) > 1 AS is_dup
+                FROM h),
+          cells AS (SELECT n_words, count(*) AS vc,
+                           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                             AS dups
+                    FROM f GROUP BY 1),
+          d AS (SELECT n_words,
+                       CAST(COALESCE(sum(vc) OVER (ORDER BY n_words
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) * 10
+                         // (SELECT count(*) FROM h) AS BIGINT) AS decile
+                FROM cells)
+          SELECT decile,
+                 CAST(sum(vc) AS BIGINT) AS n_docs,
+                 CAST(sum(dups) AS BIGINT) AS n_dup_docs,
+                 CAST(sum(dups) AS BIGINT) * 10000 // CAST(sum(vc) AS BIGINT)
+                   AS dup_bp
+          FROM cells JOIN d USING (n_words)
+          GROUP BY decile""",
     "q286_prefix_key_sweep" -> {
       // one aggregate per swept k, generated from the SAME KeyWordsSweep
       // list; the k=3 branch is q225's SQL shape with the sweep columns
@@ -1914,6 +1976,7 @@ object Dedup {
     "q224_near_dup_token_savings" -> (q224NearDupTokenSavings _),
     "q225_dedup_key_precision" -> (q225DedupKeyPrecision _),
     "q286_prefix_key_sweep" -> (q286PrefixKeySweep _),
+    "q289_dup_by_length" -> (q289DupByLength _),
     "q29_dedup_minhash"   -> (q29DedupMinhash _),
     "q199_containment"    -> (q199Containment _),
     "q49_dedup_minhash_fast" -> (q49DedupMinhashFast _),

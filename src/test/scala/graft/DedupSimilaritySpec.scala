@@ -1046,6 +1046,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q289 dup-by-length reconciles with q28's families and the corpus mass") {
+    val rows = Dedup.q289DupByLength(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2._1).sum == total, "decile doc mass must cover the corpus")
+    // dup-doc mass equals the doc mass of q28's multi-copy families
+    val q28Docs = Dedup.q28DedupExact(spark, sf)
+      .agg(coalesce(sum(col("n_copies")), lit(0L))).collect()(0).getLong(0)
+    assert(rows.map(_._2._2).sum == q28Docs, "dup mass drifted from q28")
+    rows.foreach { case (d, (n, dup, bp)) =>
+      assert(d >= 0 && d <= 9 && dup <= n && bp == dup * 10000 / n)
+    }
+  }
+
   test("q240 calibration buckets reconcile with the oracled q29+q31 pair tables") {
     val buckets = Dedup.q240MinhashCalibration(spark, sf).collect()
       .map(r => r.getAs[Long]("est_matches") -> ((r.getAs[Long]("n_pairs"),
