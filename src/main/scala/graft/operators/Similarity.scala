@@ -241,6 +241,36 @@ object Similarity {
         col("top_confusion"))
   }
 
+  /** q290: per-label NORM profile — the embedding normalization-bug
+    * detector: per label, the squared-norm census in exact integer
+    * micro²-units (u = round(v·1e6), norm2 = Σu² per vector — bounded by
+    * dims·max(u)², never overflows). A label whose norm band sits apart
+    * from the others was embedded by a different model version or skipped
+    * normalization — cosine similarity quietly forgives it, dot-product
+    * retrieval and PQ (q134) do NOT. Read beside q76 (corpus-level
+    * moments) and q269 (shape); this is the per-class version that
+    * catches a partial re-embed.
+    *
+    * Scale shape: one posexplode + map-side (vec) fold? No — norm2 is a
+    * pure per-row HOF over the array (zero explode, zero shuffle until
+    * the |labels| fold).
+    */
+  def q290LabelNormProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        expr("""aggregate(embedding, CAST(0 AS BIGINT),
+                (acc, v) -> acc + CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                            * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))""")
+          .as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
+        sum(col("norm2")).as("s"))
+      .select(col("label"), col("n_vecs"), col("min_norm2"), col("max_norm2"),
+        expr("s DIV n_vecs").as("mean_norm2"),
+        expr("(max_norm2 - min_norm2) * 10000 DIV greatest(min_norm2, 1)")
+          .as("spread_bp"))
+
   /** Per-row scored cells against a driver-held centroid array:
     * array of struct(cs = round(cosine, 6), negcell = -i), so struct
     * ordering gives max-cosine with ties broken toward the smaller cell id.
@@ -1088,6 +1118,7 @@ object Similarity {
     "q267_knn_margin"  -> (q267KnnMargin _),
     "q269_participation_ratio" -> (q269ParticipationRatio _),
     "q278_label_noise" -> (q278LabelNoise _),
+    "q290_label_norm_profile" -> (q290LabelNormProfile _),
     "q158_pca_project" -> (q158PcaProject _),
     "q122_robust_scaler" -> (q122RobustScaler _),
     "q134_knn_pq"      -> ((s: SparkSession, d: String) => q134KnnPq(s, d)),
@@ -1123,6 +1154,22 @@ object Similarity {
              FROM r WHERE rnk <= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "q290_label_norm_profile" ->
+      """WITH u AS (SELECT label, vec_id,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                             AS BIGINT) AS u
+                    FROM embeddings),
+          n AS (SELECT label, vec_id, sum(u * u) AS norm2 FROM u GROUP BY 1, 2),
+          a AS (SELECT label, count(*) AS n_vecs,
+                       CAST(min(norm2) AS BIGINT) AS min_norm2,
+                       CAST(max(norm2) AS BIGINT) AS max_norm2,
+                       sum(norm2) AS s
+                FROM n GROUP BY 1)
+          SELECT label, n_vecs, min_norm2, max_norm2,
+                 CAST(s // n_vecs AS BIGINT) AS mean_norm2,
+                 (max_norm2 - min_norm2) * 10000 // greatest(min_norm2, 1)
+                   AS spread_bp
+          FROM a""",
     "q278_label_noise" ->
       """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                             unnest(generate_series(1, len(embedding))) AS pos

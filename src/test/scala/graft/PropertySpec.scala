@@ -1121,6 +1121,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q290 norm profile equals an exact driver recompute; planted scaled label trips spread") {
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(v =>
+        BigDecimal(v.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val want = vecs.groupBy(_._1).map { case (l, vs) =>
+      val norms = vs.map(_._2.map(u => u * u).sum)
+      l -> ((vs.size.toLong, norms.min, norms.max, norms.sum / vs.size,
+        (norms.max - norms.min) * 10000 / math.max(norms.min, 1L)))
+    }
+    val got = graft.operators.Similarity.q290LabelNormProfile(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // planted: one label re-embedded at 2x scale quadruples its norm band
+    import TestSpark.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-norms").toString
+    val base = Seq.fill(64)(0.1f)
+    Seq((1L, 0, base), (2L, 0, base), (3L, 1, base.map(_ * 2f)), (4L, 1, base.map(_ * 2f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$out/embeddings.parquet")
+    val p = graft.operators.Similarity.q290LabelNormProfile(spark, out).collect()
+      .map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(p(1) == 4 * p(0), s"2x-scaled label must quadruple mean norm2: $p")
+  }
+
   test("q218 label balance equals a driver-side share recompute") {
     val got = graft.operators.Similarity.q218LabelBalance(spark, sf).collect()
       .map(r => r.getAs[Int]("label") -> ((r.getAs[Long]("n_vecs"),
