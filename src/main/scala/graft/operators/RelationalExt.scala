@@ -226,8 +226,57 @@ object RelationalExt {
         expr("disc_sum * 100 DIV n_lines").as("avg_disc_bp"))
   }
 
+  /** q291: SINGLE-SOURCE supply risk — per brand, how many parts were
+    * only ever bought from ONE supplier (observed through the lineitem
+    * fact): the supply-chain fragility census a sourcing review starts
+    * from. Per brand: traded parts, single-sourced parts, their share bp,
+    * and the revenue cents exposed through single-sourced parts.
+    *
+    * Scale shape: one fact scan folded map-side to (part, supplier)
+    * partials, then a |parts| fold and a broadcast part-dim join into a
+    * |brands| rollup — the fact table is never shuffled twice.
+    */
+  def q291SingleSourceRisk(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(col("cents")).as("part_cents"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("n_suppliers") === 1, 1L).otherwise(0L)).as("single_sourced"),
+        sum(when(col("n_suppliers") === 1, col("part_cents")).otherwise(0L))
+          .as("exposed_cents"))
+      .withColumn("single_source_bp",
+        expr("single_sourced * 10000 DIV n_parts"))
+
+  /** q292: monthly RETURN rates — the post-sale health series: per ship
+    * month, line counts, returned lines (l_returnflag = 'R'), integer
+    * return_bp and the returned revenue share in bp (value-weighted
+    * returns diverging from count-weighted means expensive items come
+    * back disproportionately). One fact scan, |months| fold.
+    */
+  def q292ReturnRates(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_returnflag") === "R").as("ret"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ret"), 1L).otherwise(0L)).as("n_returned"),
+        sum(col("cents")).as("cents"),
+        sum(when(col("ret"), col("cents")).otherwise(0L)).as("ret_cents"))
+      .select(col("month"), col("n_lines"), col("n_returned"),
+        expr("n_returned * 10000 DIV n_lines").as("return_bp"),
+        expr("ret_cents * 10000 DIV greatest(cents, 1)").as("value_return_bp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_brand_league"   -> (q282BrandLeague _),
+    "q291_single_source_risk" -> (q291SingleSourceRisk _),
+    "q292_return_rates"   -> (q292ReturnRates _),
     "q144_bottomk_sample" -> (q144BottomkSample _),
     "q129_skyline"        -> (q129Skyline _),
     "q88_unpivot"         -> (q88Unpivot _),
@@ -238,6 +287,36 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q291_single_source_risk" ->
+      """WITH p AS (SELECT l_partkey,
+                           count(DISTINCT l_suppkey) AS n_suppliers,
+                           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS BIGINT) AS part_cents
+                    FROM lineitem GROUP BY 1)
+          SELECT pt.p_brand,
+                 CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS single_sourced,
+                 CAST(sum(CASE WHEN n_suppliers = 1 THEN part_cents ELSE 0 END)
+                   AS BIGINT) AS exposed_cents,
+                 CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS single_source_bp
+          FROM p JOIN part pt ON l_partkey = p_partkey
+          GROUP BY 1""",
+    "q292_return_rates" ->
+      """WITH l AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                           l_returnflag = 'R' AS ret,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem)
+          SELECT month,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+                 CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS return_bp,
+                 CAST(sum(CASE WHEN ret THEN cents ELSE 0 END) AS BIGINT)
+                   * 10000 // greatest(CAST(sum(cents) AS BIGINT), 1)
+                   AS value_return_bp
+          FROM l GROUP BY 1""",
     "q282_brand_league" ->
       """WITH li AS (SELECT p.p_brand,
                             CAST(l_quantity AS BIGINT) AS qty,

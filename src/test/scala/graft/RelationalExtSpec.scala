@@ -28,6 +28,44 @@ class RelationalExtSpec extends AnyFunSuite {
       s"net shares must floor-account to 10000: $shares")
   }
 
+  test("q291 single-source risk equals a driver census; exposure bounded by brand revenue") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100).toLong))
+    val brand = Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byPart = li.groupBy(_._1).map { case (p, rs) =>
+      (brand(p), rs.map(_._2).distinct.size, rs.map(_._3).sum)
+    }
+    val want = byPart.groupBy(_._1).map { case (b, ps) =>
+      val single = ps.filter(_._2 == 1)
+      b -> ((ps.size.toLong, single.size.toLong, single.map(_._3).sum,
+        single.size * 10000L / ps.size))
+    }
+    val got = graft.operators.RelationalExt.q291SingleSourceRisk(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
+  test("q292 return rates equal a driver census; value weighting diverges sanely") {
+    val rows = graft.operators.RelationalExt.q292ReturnRates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getString(1) == "R",
+        math.rint(r.getDouble(2) * 100).toLong))
+    val want = li.groupBy(_._1).map { case (m, rs) =>
+      val ret = rs.filter(_._2)
+      (m, rs.size.toLong, ret.size.toLong, ret.size * 10000L / rs.size,
+        ret.map(_._3).sum * 10000 / math.max(rs.map(_._3).sum, 1L))
+    }.toSet
+    assert(rows.toSet == want)
+  }
+
   test("q46 HLL sketch is within 5% of exact cardinality") {
     // raw sketch vs exact (the published query folds this into a boolean)
     val raw = Tables.lineitem(spark, sf)
