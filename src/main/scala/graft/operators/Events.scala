@@ -49,6 +49,39 @@ object Events {
         round(sum(col("value")), 2).as("sess_value"))
   }
 
+  /** q293: session-SIZE profile — the engagement-shape census q20's raw
+    * session table implies: sessions banded by event count (singleton /
+    * 2–4 / 5–9 / 10+), with session share, event-mass share and the exact
+    * integer mean duration seconds per band. A corpus dominated by
+    * singleton "sessions" is drive-by traffic (sessionization adds
+    * nothing and the 30-min gap constant deserves a second look); mass
+    * in 10+ sessions changes every per-session rollup's cost model.
+    * Shares [[withSessionNo]] — the one gap/tie-break definition.
+    *
+    * Scale shape: q20's single user_id exchange builds the session frame;
+    * the band fold is 4 rows.
+    */
+  def q293SessionSizeProfile(s: SparkSession, dir: String): DataFrame = {
+    val sess = withSessionNo(Tables.events(s, dir))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+    val banded = sess.withColumn("band",
+        when(col("n_events") === 1, "a_single")
+          .when(col("n_events") <= 4, "b_2_4")
+          .when(col("n_events") <= 9, "c_5_9")
+          .otherwise("d_10_plus"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+        sum(col("dur_us")).as("dur_us"))
+    banded.crossJoin(broadcast(banded.agg(
+        sum(col("n_sessions")).as("ts_"), sum(col("n_events")).as("te"))))
+      .select(col("band"), col("n_sessions"), col("n_events"),
+        expr("n_sessions * 10000 DIV ts_").as("session_share_bp"),
+        expr("n_events * 10000 DIV te").as("event_share_bp"),
+        expr("dur_us DIV 1000000 DIV n_sessions").as("mean_dur_s"))
+  }
+
   /** q21: tumbling hourly window aggregation per event type. */
   def q21TimeBucket(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -961,6 +994,7 @@ object Events {
     "q85_attribution_linear" -> (q85AttributionLinear _),
     "q86_revenue_growth"   -> (q86RevenueGrowth _),
     "q20_sessionize"       -> (q20Sessionize _),
+    "q293_session_size_profile" -> (q293SessionSizeProfile _),
     "q47_asof_custom"      -> (q47AsofCustom _),
     "q21_time_bucket"      -> (q21TimeBucket _),
     "q22_funnel"           -> (q22Funnel _),
@@ -1383,6 +1417,40 @@ object Events {
                      ELSE CAST(-((prev_cents - revenue_cents) * 10000 // prev_cents) AS BIGINT)
                 END AS growth_bp
          FROM g""",
+    "q293_session_size_profile" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+           FROM e),
+         sess AS (
+           SELECT user_id, sess_no, CAST(count(*) AS BIGINT) AS n_events,
+                  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+           FROM s GROUP BY 1, 2),
+         b AS (
+           SELECT CASE WHEN n_events = 1 THEN 'a_single'
+                       WHEN n_events <= 4 THEN 'b_2_4'
+                       WHEN n_events <= 9 THEN 'c_5_9'
+                       ELSE 'd_10_plus' END AS band,
+                  n_events, dur_us
+           FROM sess),
+         a AS (
+           SELECT band, CAST(count(*) AS BIGINT) AS n_sessions,
+                  CAST(sum(n_events) AS BIGINT) AS n_events,
+                  CAST(sum(dur_us) AS BIGINT) AS dur_us
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS ts_,
+                      CAST(sum(n_events) AS BIGINT) AS te FROM a)
+         SELECT band, n_sessions, n_events,
+                n_sessions * 10000 // ts_ AS session_share_bp,
+                n_events * 10000 // te AS event_share_bp,
+                dur_us // 1000000 // n_sessions AS mean_dur_s
+         FROM a CROSS JOIN t""",
     "q20_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, value, event_id,

@@ -38,6 +38,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q293 session bands reconcile with the oracled q20 session table") {
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val sess = Events.q20Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(2), us(r.getTimestamp(4)) - us(r.getTimestamp(3))))
+    def band(n: Long) = if (n == 1) "a_single" else if (n <= 4) "b_2_4"
+      else if (n <= 9) "c_5_9" else "d_10_plus"
+    val ts = sess.size.toLong
+    val te = sess.map(_._1).sum
+    val want = sess.groupBy(s0 => band(s0._1)).map { case (b, ss) =>
+      b -> ((ss.size.toLong, ss.map(_._1).sum, ss.size * 10000L / ts,
+        ss.map(_._1).sum * 10000 / te, ss.map(_._2).sum / 1000000 / ss.size))
+    }
+    val got = Events.q293SessionSizeProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+  }
+
   test("q79 offset-0 cells are the full cohort (10000 bp) and offsets never exceed it") {
     val rows = Analytics.q79Retention(spark, sf).collect()
     assert(rows.nonEmpty)
