@@ -886,27 +886,62 @@ object Stats {
     * value-domain bounded — then |types|-partition windows and one
     * |types| fold; never an event-scale window.
     */
-  def q283ValueConcentration(s: SparkSession, dir: String): DataFrame = {
-    val byVal = Tables.events(s, dir)
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
+  def q283ValueConcentration(s: SparkSession, dir: String): DataFrame =
+    concentrationOf(Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt")),
+      "event_type")
+      .withColumnRenamed("n_units", "n_events")
+
+  /** The top-1%/top-10% mass-share fold on ANY (grp, cents, cnt)
+    * value-domain frame — ONE definition serving q283 (event values) and
+    * q294 (customer revenue). */
+  private[graft] def concentrationOf(byVal: DataFrame, grp: String): DataFrame = {
+    val wCum = Window.partitionBy(col(grp)).orderBy(col("cents").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("event_type"))
+    val wAll = Window.partitionBy(col(grp))
     byVal
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("tot", sum(expr("cents * cnt")).over(wAll))
-      .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n_events"), max(col("tot")).as("total_cents"),
+      .groupBy(col(grp))
+      .agg(max(col("n")).as("n_units"), max(col("tot")).as("total_cents"),
         sum(expr("""cents * greatest(CAST(0 AS BIGINT),
                     least(cnt, (n + 99) DIV 100 - (cum - cnt)))""")).as("s1"),
         sum(expr("""cents * greatest(CAST(0 AS BIGINT),
                     least(cnt, (n * 10 + 99) DIV 100 - (cum - cnt)))""")).as("s10"))
-      .select(col("event_type"), col("n_events"), col("total_cents"),
+      .select(col(grp), col("n_units"), col("total_cents"),
         expr("s1 * 10000 DIV greatest(total_cents, 1)").as("top1_share_bp"),
         expr("s10 * 10000 DIV greatest(total_cents, 1)").as("top10_share_bp"))
+  }
+
+  /** q294: customer-REVENUE concentration per nation — q283's two-point
+    * heavy-tail read on the customer axis: per nation, customers with
+    * orders, lifetime revenue cents, and the revenue share of the top 1%
+    * and top 10% of customers. The whale-dependence table an account
+    * strategy (and a churn-risk model) is actually built on; exact via
+    * the SAME [[concentrationOf]] partial-take kernel.
+    *
+    * Scale shape: one orders fold to (customer, cents), a broadcast dim
+    * join for the nation, then value-domain windows bounded by
+    * |customers| — dim scale, never fact scale.
+    */
+  def q294CustomerConcentration(s: SparkSession, dir: String): DataFrame = {
+    val custRev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+    concentrationOf(
+        custRev.groupBy(col("c_nationkey"), col("cents")).agg(count(lit(1)).as("cnt")),
+        "c_nationkey")
+      .withColumnRenamed("n_units", "n_customers")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        col("top1_share_bp"), col("top10_share_bp"))
   }
 
   /** q274: per-source doc-LENGTH KS drift — q91's two-sample
@@ -1118,6 +1153,7 @@ object Stats {
     "q270_arrival_dispersion" -> (q270ArrivalDispersion _),
     "q274_source_length_ks" -> (q274SourceLengthKs _),
     "q283_value_concentration" -> (q283ValueConcentration _),
+    "q294_customer_concentration" -> (q294CustomerConcentration _),
     "q173_benford"    -> (q173Benford _),
     "q104_ab_test"    -> (q104AbTest _),
     "q105_gini"       -> (q105Gini _),
@@ -1152,6 +1188,32 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q294_customer_concentration" ->
+      """WITH cr AS (SELECT o_custkey,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS cents
+                     FROM orders GROUP BY 1),
+          j AS (SELECT c.c_nationkey, cr.cents FROM cr
+                JOIN customer c ON o_custkey = c_custkey),
+          bc AS (SELECT c_nationkey, cents, count(*) AS cnt FROM j GROUP BY 1, 2),
+          c AS (SELECT c_nationkey, cents, cnt,
+                       sum(cnt) OVER (PARTITION BY c_nationkey ORDER BY cents DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY c_nationkey) AS n,
+                       sum(cents * cnt) OVER (PARTITION BY c_nationkey) AS tot
+                FROM bc),
+          a AS (SELECT c_nationkey,
+                       CAST(max(n) AS BIGINT) AS n_customers,
+                       CAST(max(tot) AS BIGINT) AS total_cents,
+                       CAST(sum(cents * greatest(0, least(cnt,
+                            (n + 99) // 100 - (cum - cnt)))) AS BIGINT) AS s1,
+                       CAST(sum(cents * greatest(0, least(cnt,
+                            (n * 10 + 99) // 100 - (cum - cnt)))) AS BIGINT) AS s10
+                FROM c GROUP BY 1)
+          SELECT n_name, n_customers, total_cents,
+                 s1 * 10000 // greatest(total_cents, 1) AS top1_share_bp,
+                 s10 * 10000 // greatest(total_cents, 1) AS top10_share_bp
+          FROM a JOIN nation ON c_nationkey = n_nationkey""",
     "q283_value_concentration" ->
       """WITH v AS (SELECT event_type,
                            CAST(round(value * 100) AS BIGINT) AS cents

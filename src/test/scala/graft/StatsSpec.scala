@@ -104,6 +104,28 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q294 customer concentration equals a driver top-k recompute") {
+    val nat = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val names = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val rev = Tables.orders(spark, sf).select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 100).toLong))
+      .groupBy(_._1).toSeq
+      .map { case (ck, os) => (names(nat(ck)), os.map(_._2).sum) }
+    val want = rev.groupBy(_._1).map { case (n, cs0) =>
+      val cs = cs0.map(_._2).toSeq.sortBy(-_)
+      val tot = cs.sum
+      def share(p: Long) =
+        cs.take(((cs.size * p + 99) / 100).toInt).sum * 10000 / math.max(tot, 1L)
+      n -> ((cs.size.toLong, tot, share(1), share(10)))
+    }
+    val got = Stats.q294CustomerConcentration(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
   test("q87 pearson_r within [-1,1] and agrees with Spark's built-in corr to 1e-6") {
     val rows = Stats.q87Correlation(spark, sf).collect()
     assert(rows.nonEmpty)
