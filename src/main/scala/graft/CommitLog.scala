@@ -264,6 +264,55 @@ object CommitLog {
   def headVersion(s: SparkSession, root: String): Long =
     log(s, root).lastOption.map(_.version).getOrElse(0L)
 
+  /** Time travel by TIMESTAMP — the public table formats' semantics
+    * (Delta's AS OF TIMESTAMP): the version of record at `tsMillis` is
+    * the LAST commit whose log-file modification time is ≤ the asked
+    * instant. The log entry's mtime is assigned by the filesystem at the
+    * atomic create that IS the commit, so it needs no log-format change
+    * and is exactly as monotone as the commit sequence itself (a clock
+    * step between commits can tie mtimes — the max-version winner below
+    * matches the public formats' tie rule). Asking for an instant before
+    * the first commit is an error, same as Delta: there is no table to
+    * read there.
+    *
+    * Checkpoint files are ignored here on purpose: a checkpoint REWRITES
+    * history at a later wall-clock time; only original commit entries
+    * carry the when-did-this-version-land fact. Vacuumed-away versions
+    * (entries compacted into a checkpoint) resolve to the checkpoint
+    * base — the same "earliest available version" clamp the public
+    * formats apply.
+    */
+  def versionAsOfTime(s: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/$LogDir")
+    require(f.exists(dir), s"no commit log at $root")
+    val stamped = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.endsWith(".checkpoint.json"))
+      .flatMap(st => st.getPath.getName.stripSuffix(".json").toLongOption
+        .map(v => (v, st.getModificationTime)))
+    val checkpoints = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".checkpoint.json"))
+      .flatMap(_.getPath.getName.stripSuffix(".checkpoint.json").toLongOption)
+    require(stamped.nonEmpty || checkpoints.nonEmpty, s"no commit entries at $root")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    if (eligible.nonEmpty) eligible.map(_._1).max
+    else checkpoints.sorted.lastOption.getOrElse {
+      // no checkpoint and every entry (incl. version 0's) postdates the
+      // instant: the timestamp truly predates the table
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first commit at $root")
+    }
+    // a checkpoint base is the EARLIEST reconstructable version once older
+    // entries were compacted away — the public formats' clamp rule
+  }
+
+  /** Snapshot read at a wall-clock instant — [[versionAsOfTime]] composed
+    * with the ordinary version snapshot. */
+  def snapshotAsOfTime(s: SparkSession, root: String, tsMillis: Long): DataFrame =
+    snapshot(s, root, versionAsOfTime(s, root, tsMillis))
+
   /** Live relative file paths at a version (the log fold). */
   def liveFiles(s: SparkSession, root: String, asOf: Long = Long.MaxValue): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -33,6 +33,34 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ids(CommitLog.snapshot(spark, root, asOf = 2)) == (1L to 20L))
   }
 
+  test("timestamp time travel: mtime semantics, tie rule, pre-table error, checkpoint clamp") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10), root)
+    CommitLog.append(batch(11, 20), root)
+    CommitLog.append(batch(21, 30), root)
+    // pin the entry mtimes so the spec is deterministic at ms granularity
+    def entry(v: Long) = new java.io.File(f"$root/_graft_log/$v%020d.json")
+    assert(entry(1).setLastModified(10000L))
+    assert(entry(2).setLastModified(20000L))
+    assert(entry(3).setLastModified(20000L)) // tie: max version wins
+    assert(CommitLog.versionAsOfTime(spark, root, 10000L) == 1L)
+    assert(CommitLog.versionAsOfTime(spark, root, 19999L) == 1L)
+    assert(CommitLog.versionAsOfTime(spark, root, 20000L) == 3L)
+    assert(CommitLog.versionAsOfTime(spark, root, Long.MaxValue) == 3L)
+    assert(ids(CommitLog.snapshotAsOfTime(spark, root, 15000L)) == (1L to 10L))
+    assert(ids(CommitLog.snapshotAsOfTime(spark, root, 20000L)) == (1L to 30L))
+    // an instant before the first commit is unreadable — same as Delta
+    intercept[IllegalArgumentException] {
+      CommitLog.versionAsOfTime(spark, root, 9999L)
+    }
+    // checkpoint clamp: once older entries are compacted away, an early
+    // instant resolves to the earliest reconstructable version
+    val cp = CommitLog.checkpoint(spark, root)
+    (1L to cp).foreach(v => entry(v).delete())
+    assert(CommitLog.versionAsOfTime(spark, root, 9999L) == cp)
+    assert(ids(CommitLog.snapshotAsOfTime(spark, root, 9999L)) == (1L to 30L))
+  }
+
   test("overwrite replaces contents at head; older versions still read the old files") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10), root)
