@@ -137,6 +137,37 @@ object Geo {
           .otherwise("balanced").as("net_dir"))
   }
 
+  /** q295: hotspot PERSISTENCE — pop-up vs permanent demand per zone: how
+    * many calendar weeks of the corpus span each zone saw activity,
+    * persistence in integer bp against the global week count, and the
+    * all-weeks `persistent` flag. q167 ranks hotspots by mass at a
+    * moment; a planner siting fixed infrastructure needs to know whether
+    * a hot zone is a festival (one hot week) or a habit (every week) —
+    * that is THIS column. Calendar weeks are epoch-day DIV 7, exact on
+    * both engines.
+    *
+    * Scale shape: one event scan folds map-side to (zone, week) partials
+    * inside the countDistinct's first stage; everything after is
+    * |zones|-bounded plus a broadcast 1-row span.
+    */
+  def q295HotspotPersistence(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("lat", synthLat)
+      .withColumn("lon", synthLon)
+      .select(zone(col("lon"), Lon0, Cell).as("zone_x"),
+        zone(col("lat"), Lat0, Cell).as("zone_y"),
+        expr("unix_micros(ts) DIV 86400000000 DIV 7").as("wk"))
+    val span = ev.agg((max(col("wk")) - min(col("wk")) + 1).as("n_weeks"))
+    ev.groupBy(col("zone_x"), col("zone_y"))
+      .agg(countDistinct(col("wk")).as("weeks_active"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(span))
+      .select(col("zone_x"), col("zone_y"), col("n_events"),
+        col("weeks_active"), col("n_weeks"),
+        expr("weeks_active * 10000 DIV n_weeks").as("persistence_bp"),
+        (col("weeks_active") === col("n_weeks")).as("persistent"))
+  }
+
   /** q116: nearest-station assignment — every event snapped to the closest
     * of a small station grid (argmin over squared integer micro-degree
     * distance), then rolled up per station: the "assign trips to the
@@ -626,6 +657,7 @@ object Geo {
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
     "q288_od_asymmetry" -> (q288OdAsymmetry _),
+    "q295_hotspot_persistence" -> (q295HotspotPersistence _),
     "q180_od_entropy" -> (q180OdEntropy _),
     "q131_pip_zones" -> (q131PipZones _),
     "q133_hex_bins" -> (q133HexBins _))
@@ -976,6 +1008,21 @@ object Geo {
                  round(avg(value), 4) AS avg_value,
                  round(sum(value), 2) AS total_value
           FROM pts GROUP BY 1, 2""",
+    "q295_hotspot_persistence" ->
+      s"""WITH z AS (
+            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
+                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y,
+                   epoch_us(ts) // 86400000000 // 7 AS wk
+            FROM events),
+          span AS (SELECT CAST(max(wk) - min(wk) + 1 AS BIGINT) AS n_weeks FROM z),
+          a AS (SELECT zone_x, zone_y,
+                       CAST(count(DISTINCT wk) AS BIGINT) AS weeks_active,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM z GROUP BY 1, 2)
+          SELECT zone_x, zone_y, n_events, weeks_active, n_weeks,
+                 weeks_active * 10000 // n_weeks AS persistence_bp,
+                 weeks_active = n_weeks AS persistent
+          FROM a CROSS JOIN span""",
     "q288_od_asymmetry" ->
       s"""WITH $odTripCtes,
           od AS (SELECT origin_x, origin_y, dest_x, dest_y,

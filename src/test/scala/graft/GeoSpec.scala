@@ -364,6 +364,35 @@ class GeoSpec extends AnyFunSuite {
       "pair mass drifted from the oracled q63 matrix")
   }
 
+  test("q295 persistence reconciles with q164's zone mass; flags and bounds hold") {
+    val rows = graft.operators.Geo.q295HotspotPersistence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows.nonEmpty)
+    val weeks = rows.values.map(_._3).toSet
+    assert(weeks.size == 1, "global week span must be one number")
+    rows.values.foreach { case (n, wa, nw, bp, p) =>
+      assert(wa >= 1 && wa <= nw && wa <= n)
+      assert(bp == wa * 10000 / nw && p == (wa == nw))
+    }
+    // driver recompute of the per-zone week census from raw events
+    val ev = Tables.events(spark, sf).select("user_id", "value", "ts").collect()
+      .map { r =>
+        val (u, v) = (r.getLong(0), r.getDouble(1))
+        val lon = -75.2 + (u % 53) * 0.01 - v * 1e-4
+        val lat = 39.9 + (u % 37) * 0.01 + v * 1e-4
+        val zx = math.floor((lon - (-75.3)) / 0.05).toLong
+        val zy = math.floor((lat - 39.8) / 0.05).toLong
+        val us = r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000
+        ((zx, zy), us / 86400000000L / 7)
+      }
+    val want = ev.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.map(_._2).distinct.size.toLong)
+    }.toMap
+    assert(rows.view.mapValues(v => (v._1, v._2)).toMap == want)
+  }
+
   test("q180 OD entropy: recomputed from q63's matrix; bounds and degenerate rows hold") {
     val ent = graft.operators.Geo.q180OdEntropy(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
