@@ -791,6 +791,43 @@ object TextAnalysis {
           .as("fill_bp"))
   }
 
+  /** q296: decontamination window AGREEMENT — the disagreement census
+    * behind q247's sweep: per (hit@5, hit@13) verdict cell, corpus docs
+    * and share bp. The sweep says how MANY docs each window flags; this
+    * says WHICH kind — the (true, false) cell is the short-window-only
+    * population (common-phrase collisions, the over-flagging a curator
+    * spot-checks before tightening), (true, true) is verbatim-passage
+    * mass where any window agrees, and a non-empty (false, true) cell is
+    * impossible by containment (every 13-gram match contains 5-gram
+    * matches — spec-pinned as the structural invariant). Shares q58's
+    * [[nGrams]] kernel at both lengths.
+    *
+    * Scale shape: two broadcast bench probes (q58's shape twice, the
+    * q247 cost argument), one per-doc fold each, a left join of two
+    * contaminated-doc sets (≪ corpus) onto the corpus id frame, 4-cell
+    * fold.
+    */
+  def q296DecontamAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    def hitSet(n: Int) = {
+      val bench = nGrams(docs.filter(col("doc_id") % 97 === 0), n)
+        .select(col("g")).distinct()
+      nGrams(corpus, n)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+    }
+    val cells = corpus.select(col("doc_id"))
+      .join(hitSet(5).withColumn("hit5", lit(true)), Seq("doc_id"), "left")
+      .join(hitSet(13).withColumn("hit13", lit(true)), Seq("doc_id"), "left")
+      .select(coalesce(col("hit5"), lit(false)).as("hit5"),
+        coalesce(col("hit13"), lit(false)).as("hit13"))
+      .groupBy(col("hit5"), col("hit13")).agg(count(lit(1)).as("n_docs"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n_docs")).as("tot"))))
+      .select(col("hit5"), col("hit13"), col("n_docs"),
+        expr("n_docs * 10000 DIV tot").as("share_bp"))
+  }
+
   /** q251: source MARGINAL-GRAM contribution — the data-acquisition
     * priority table: sources in the deterministic q239 order (token mass
     * desc, source asc), each scored by how many word-5-gram TYPES it adds
@@ -3344,6 +3381,7 @@ object TextAnalysis {
     "q281_gate_interaction" -> (q281GateInteraction _),
     "q284_release_waterfall_delta" -> (q284ReleaseWaterfallDelta _),
     "q285_contamination_multiplicity" -> (q285ContaminationMultiplicity _),
+    "q296_decontam_agreement" -> (q296DecontamAgreement _),
     "q248_contamination_by_benchmark" -> (q248ContaminationByBenchmark _),
     "q251_source_marginal_grams" -> (q251SourceMarginalGrams _),
     "q252_lm_dup_lift" -> (q252LmDupLift _),
@@ -4526,6 +4564,38 @@ object TextAnalysis {
                  CAST(sum(n_words) * 10000 // greatest(tt, 1) AS BIGINT) AS tokens_share_bp
           FROM f CROSS JOIN tot
           GROUP BY accept, kept, contam, nt, tt""",
+    "q296_decontam_agreement" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          ix5 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i
+                  FROM t WHERE len(w) >= 5),
+          g5 AS (SELECT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+                 FROM ix5),
+          b5 AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+          h5 AS (SELECT DISTINCT doc_id FROM g5 JOIN b5 USING (g)
+                 WHERE doc_id % 97 <> 0),
+          ix13 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-12)) i
+                   FROM t WHERE len(w) >= 13),
+          g13 AS (SELECT doc_id,
+                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                              || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]
+                              || ' ' || w[i+9] || ' ' || w[i+10] || ' ' || w[i+11] || ' ' || w[i+12] AS g
+                  FROM ix13),
+          b13 AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 97 = 0),
+          h13 AS (SELECT DISTINCT doc_id FROM g13 JOIN b13 USING (g)
+                  WHERE doc_id % 97 <> 0),
+          f AS (SELECT d.doc_id,
+                       h5.doc_id IS NOT NULL AS hit5,
+                       h13.doc_id IS NOT NULL AS hit13
+                FROM documents d
+                LEFT JOIN h5 ON d.doc_id = h5.doc_id
+                LEFT JOIN h13 ON d.doc_id = h13.doc_id
+                WHERE d.doc_id % 97 <> 0),
+          cells AS (SELECT hit5, hit13, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM f GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM cells)
+          SELECT hit5, hit13, n_docs, n_docs * 10000 // tot AS share_bp
+          FROM cells CROSS JOIN tot""",
     "q285_contamination_multiplicity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) i

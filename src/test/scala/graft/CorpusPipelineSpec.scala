@@ -482,6 +482,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
       hist.map(_.getLong(3)).sum > 10000 - hist.length)
   }
 
+  test("q296 agreement cells reconcile with the oracled q247 sweep; containment holds") {
+    val cells = TextAnalysis.q296DecontamAgreement(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // structural containment: a 13-gram match implies 5-gram matches
+    assert(!cells.contains((false, true)), "impossible (false, true) cell appeared")
+    val sweep = TextAnalysis.q247DecontamNgramSweep(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val hit5 = cells.collect { case ((true, _), n) => n }.sum
+    val hit13 = cells.collect { case ((_, true), n) => n }.sum
+    assert(hit5 == sweep(5), "hit@5 mass drifted from the oracled q247")
+    assert(hit13 == sweep(13), "hit@13 mass drifted from the oracled q247")
+    val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0).count()
+    assert(cells.values.sum == corpus, "cells must cover the corpus")
+  }
+
   test("q251 marginal grams on a planted corpus equal hand arithmetic") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-marginal").toString
