@@ -83,6 +83,34 @@ object Bench {
     // the idle band (~430–470 ms) is directly comparable.
     val timelineEvery = 25
     val timeline = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // ---- adaptive per-row re-probe ----
+    // The every-25 timeline localizes contention WINDOWS but has a blind
+    // spot: a burst that arrives and clears between two idle probes (r15:
+    // q80_rfm at run position 276, both iterations 3.5–3.8 s vs a 0.46 s
+    // committed-clean price, nearest probes idle — needed a post-hoc
+    // census to attribute). Close the loop inside the artifact: when a
+    // query's min-of-N exceeds 3x its committed clean price (and by an
+    // absolute 0.3 s, so sub-idle-band rows can't trip on noise), run one
+    // spin-probe pair AND one extra iteration IMMEDIATELY, and record all
+    // of it next to the row. Hot spins or a fast extra iteration = load,
+    // attributed at query granularity; idle spins and a slow extra
+    // iteration = a real regression. The extra iteration participates in
+    // the reported min — it is a genuine measurement of the same query,
+    // and the re-probe object keeps the pre-re-probe min so the record
+    // shows exactly what the escalation changed.
+    // Clean prices come from bench_clean_ref.json (committed; refreshed
+    // whenever a full idle-box run establishes a new clean record). No
+    // file, or a query absent from it → no escalation for that row.
+    val cleanRef: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_CLEAN_REF", "bench_clean_ref.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"(q[0-9]+[a-z0-9_]*)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val reprobes = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
@@ -113,7 +141,26 @@ object Bench {
         t
       }
       val times = iters.map(_._1)
-      (name, times.minOption, iterations - times.size, iters)
+      val (finalMin, allIters) = (times.minOption, cleanRef.get(name)) match {
+        case (Some(m), Some(clean)) if m >= 3 * clean && m - clean >= 0.3 =>
+          val s1 = spinMs(1)
+          val sN = spinMs(nThreads)
+          val g0 = gcMillis
+          val t0 = System.nanoTime()
+          val extra = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some(((System.nanoTime() - t0) / 1e9, gcMillis - g0))
+          } catch { case _: Throwable => None }
+          spark.catalog.clearCache()
+          val extraJson = extra
+            .map { case (s, g) => f""","extra_sec":$s%.3f,"extra_gc_ms":$g""" }
+            .getOrElse(""","extra_failed":true""")
+          reprobes += ("\"" + name +
+            f"""":{"min_before":$m%.3f,"clean_ref":$clean%.3f,"spin1_ms":$s1,"spinN_ms":$sN$extraJson}""")
+          (Some((m +: extra.map(_._1).toSeq).min), iters ++ extra)
+        case (m, _) => (m, iters)
+      }
+      (name, finalMin, iterations - times.size, allIters)
     }
     val ok = results.collect { case (k, Some(v), _, _) => k -> v }
     val failed = results.collect { case (k, None, _, _) => k }
@@ -139,8 +186,9 @@ object Bench {
       .map { case (before, s1, sn) =>
         s"""{"before_query":"$before","spin1_ms":$s1,"spinN_ms":$sn}""" }
       .mkString("[", ",", "]")
+    val reprobeJson = reprobes.mkString("{", ",", "}")
     val loadControl =
-      f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f,"load_timeline":$timelineJson}"""
+      f"""{"threads":$nThreads,"spin1_before_ms":$spin1Before,"spinN_before_ms":$spinNBefore,"q01_before_s":$q01Before%.3f,"spin1_after_ms":$spin1After,"spinN_after_ms":$spinNAfter,"q01_after_s":$q01After%.3f,"load_timeline":$timelineJson,"reprobes":$reprobeJson}"""
     val total = ok.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"failed_iterations":$flak,"load_control":$loadControl,"sf":"$sfDir","total_sec":$total%.3f}"""
