@@ -297,15 +297,24 @@ object CommitLog {
       .flatMap(_.getPath.getName.stripSuffix(".checkpoint.json").toLongOption)
     require(stamped.nonEmpty || checkpoints.nonEmpty, s"no commit entries at $root")
     val eligible = stamped.filter(_._2 <= tsMillis)
+    // a checkpoint base is the EARLIEST reconstructable version ONLY once
+    // the older entries were actually compacted away (vacuum). While the
+    // original entries still exist alongside a checkpoint, their mtimes
+    // remain the authoritative when-did-this-land record — an instant
+    // that predates them all predates the TABLE, and clamping it to the
+    // checkpoint base would silently resolve a pre-history timestamp to
+    // the head-at-checkpoint version. Clamp only when no entry at or
+    // below the checkpoint version survives.
+    val clampTo = checkpoints.sorted.lastOption
+      .filter(cp => stamped.isEmpty || stamped.map(_._1).min > cp)
     if (eligible.nonEmpty) eligible.map(_._1).max
-    else checkpoints.sorted.lastOption.getOrElse {
-      // no checkpoint and every entry (incl. version 0's) postdates the
-      // instant: the timestamp truly predates the table
+    else clampTo.getOrElse {
+      // history is intact back to its earliest surviving entry and every
+      // entry (incl. version 0's) postdates the instant: the timestamp
+      // truly predates the table
       throw new IllegalArgumentException(
         s"timestamp $tsMillis predates the first commit at $root")
     }
-    // a checkpoint base is the EARLIEST reconstructable version once older
-    // entries were compacted away — the public formats' clamp rule
   }
 
   /** Snapshot read at a wall-clock instant — [[versionAsOfTime]] composed

@@ -212,13 +212,20 @@ object Similarity {
 
   /** Nearest label centroid as a PURE projection column (round-6 cosine,
     * smaller-label tiebreak) — ONE assignment definition for the batch
-    * audit (q278) and the streaming gate (s34). */
+    * audit (q278) and the streaming gate (s34). A NULL or zero-norm
+    * embedding has no cosine to ANY centroid (every score is NaN, and
+    * NaN sorts greatest in both engines — unguarded, the degenerate
+    * vector would be deterministically "assigned" to the smallest label
+    * and sail through as confident): it yields nearest = NULL, which
+    * q278 counts as flagged and s34 routes to quarantine. */
   private[graft] def nearestLabelCol(centers: Array[(Int, Seq[Double])]): Column = {
     val scored = array(centers.toIndexedSeq.map { case (l, c) =>
       struct(round(VectorOps.cosine(col("embedding"), typedlit(c)), 6).as("cs"),
         lit(-l).as("neglabel"))
     }: _*)
-    -array_max(scored).getField("neglabel")
+    val degenerate = col("embedding").isNull.or(
+      expr("aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x) = 0.0D"))
+    when(degenerate, lit(null)).otherwise(-array_max(scored).getField("neglabel"))
   }
 
   def q278LabelNoise(s: SparkSession, dir: String): DataFrame = {
@@ -233,7 +240,9 @@ object Similarity {
       .select(col("label"), col("nearest").as("top_confusion"))
     assigned.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("nearest") =!= col("label"), 1L).otherwise(0L))
+        // null-safe: a degenerate (zero-norm) vector's NULL nearest is NOT
+        // its own label — it counts as flagged, never as a clean member
+        sum(when(not(col("nearest") <=> col("label")), 1L).otherwise(0L))
           .as("n_misassigned"))
       .join(broadcast(conf), Seq("label"), "left")
       .select(col("label"), col("n_vecs"), col("n_misassigned"),
@@ -1178,11 +1187,13 @@ object Similarity {
           cen AS (SELECT label AS clabel, list(cv ORDER BY pos) AS centroid
                   FROM cp GROUP BY label),
           sc AS (SELECT e.vec_id, e.label, c.clabel,
+                        list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS n2,
                         round(list_inner_product(e.embedding::DOUBLE[], c.centroid) /
                               (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                                sqrt(list_inner_product(c.centroid, c.centroid))), 6) AS cs
                  FROM embeddings e CROSS JOIN cen c),
-          nr AS (SELECT vec_id, label, clabel AS nearest,
+          nr AS (SELECT vec_id, label,
+                        CASE WHEN n2 = 0 THEN NULL ELSE clabel END AS nearest,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cs DESC, clabel ASC) AS rnk
                  FROM sc),
@@ -1194,7 +1205,8 @@ object Similarity {
                          FROM a WHERE nearest <> label GROUP BY label, nearest)
                    WHERE r = 1),
           g AS (SELECT label, count(*) AS n_vecs,
-                       count(*) FILTER (WHERE nearest <> label) AS n_misassigned
+                       count(*) FILTER (WHERE nearest IS DISTINCT FROM label)
+                         AS n_misassigned
                 FROM a GROUP BY label)
           SELECT g.label, g.n_vecs, g.n_misassigned,
                  g.n_misassigned * 10000 // g.n_vecs AS misassign_bp,

@@ -949,7 +949,9 @@ object Stats {
     * word-count distribution against the REST of the corpus, D in integer
     * bp via the same cross-multiplied ECDF trick (c_src·(T−t_src) −
     * (c_rest)·t_src over t_src·(T−t_src) — no double enters the
-    * statistic), with the 5% critical value 1.358·√((n+m)/nm) published
+    * statistic; the products are DECIMAL(38,0)/HUGEINT-widened, since at
+    * ~1e9 docs they reach ~1e22, past BIGINT — q244's widening rule),
+    * with the 5% critical value 1.358·√((n+m)/nm) published
     * beside it (ONE scalar double from exact integers, q95's rule) and a
     * `drifted` verdict. A feed whose length distribution walks away from
     * the corpus — truncated scrapes, concatenated pages, a changed
@@ -986,9 +988,15 @@ object Stats {
       .groupBy(col("source"))
       .agg(max(col("t_src")).as("n_docs"),
         max(col("t") - col("t_src")).as("n_rest"),
+        // the cross-multiplied ECDF terms are widened to DECIMAL(38,0)
+        // (DuckDB: HUGEINT) before the ×10000: at ~1e9 docs the product
+        // c_src·(t−t_src)·10000 reaches ~1e22, past BIGINT — the q244
+        // widening rule. DIV brings the ≤10000-bp quotient back to BIGINT.
         max(expr("""CASE WHEN t_src = 0 OR t_src = t THEN NULL
-                    ELSE abs(c_src * (t - t_src) - (c_all - c_src) * t_src)
-                         * 10000 DIV (t_src * (t - t_src)) END""")).as("ks_bp"))
+                    ELSE abs(CAST(c_src AS DECIMAL(19,0)) * (t - t_src)
+                             - (c_all - CAST(c_src AS DECIMAL(19,0))) * t_src)
+                         * 10000 DIV (CAST(t_src AS DECIMAL(19,0)) * (t - t_src)) END"""))
+          .as("ks_bp"))
       .withColumn("crit_bp",
         expr("""CASE WHEN n_rest = 0 THEN NULL
                 ELSE CAST(floor(13580 * sqrt((n_docs + n_rest)
@@ -1263,9 +1271,9 @@ object Stats {
                          CAST(max(t_src) AS BIGINT) AS n_docs,
                          CAST(max(t - t_src) AS BIGINT) AS n_rest,
                          CAST(max(CASE WHEN t_src = 0 OR t_src = t THEN NULL
-                                  ELSE abs(c_src * (t - t_src)
-                                           - (c_all - c_src) * t_src)
-                                       * 10000 // (t_src * (t - t_src)) END)
+                                  ELSE abs(CAST(c_src AS HUGEINT) * (t - t_src)
+                                           - (c_all - CAST(c_src AS HUGEINT)) * t_src)
+                                       * 10000 // (CAST(t_src AS HUGEINT) * (t - t_src)) END)
                            AS BIGINT) AS ks_bp
                   FROM cum JOIN acc USING (len) CROSS JOIN tot
                   GROUP BY source)

@@ -44,7 +44,10 @@ object LabelGate {
         .write.mode("overwrite").parquet(staged)
     }: Unit
     AtomicGen.publish(s, quarantineDir, batchId) { staged =>
-      routed.filter(col("nearest") =!= col("label"))
+      // null-safe: a degenerate (zero-norm/null) embedding gets nearest =
+      // NULL from the shared projection — it must land HERE, not publish,
+      // and must not vanish between two non-matching filters
+      routed.filter(not(col("nearest") <=> col("label")))
         .write.mode("overwrite").parquet(staged)
     }: Unit
   }

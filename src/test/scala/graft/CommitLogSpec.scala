@@ -53,9 +53,19 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CommitLog.versionAsOfTime(spark, root, 9999L)
     }
+    // a checkpoint over INTACT history must not change timestamp
+    // resolution: the original entries still carry the authoritative
+    // mtimes, so a pre-first-commit instant stays an error (clamping it
+    // to the checkpoint would silently serve the head-at-checkpoint
+    // version for a time at which the table did not exist) and
+    // in-history instants resolve exactly as before
+    val cp = CommitLog.checkpoint(spark, root)
+    intercept[IllegalArgumentException] {
+      CommitLog.versionAsOfTime(spark, root, 9999L)
+    }
+    assert(CommitLog.versionAsOfTime(spark, root, 10000L) == 1L)
     // checkpoint clamp: once older entries are compacted away, an early
     // instant resolves to the earliest reconstructable version
-    val cp = CommitLog.checkpoint(spark, root)
     (1L to cp).foreach(v => entry(v).delete())
     assert(CommitLog.versionAsOfTime(spark, root, 9999L) == cp)
     assert(ids(CommitLog.snapshotAsOfTime(spark, root, 9999L)) == (1L to 30L))

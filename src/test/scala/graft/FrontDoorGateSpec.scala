@@ -89,9 +89,14 @@ class FrontDoorGateSpec extends AnyFunSuite {
     // the same vector claiming another label quarantines tagged nearest=0
     val c0 = centers.head
     val other = centers(1)._1
+    // ...and a ZERO-NORM vector: no cosine to any centroid exists, so the
+    // shared projection yields nearest = NULL and the gate must route it
+    // to quarantine — not publish it as "confidently label 0" (the NaN
+    // sort-greatest trap), and not drop it between two non-matching lanes
     val planted = Seq(
       Vec(900L, c0._1, c0._2.map(_.toFloat)),
-      Vec(901L, other, c0._2.map(_.toFloat)))
+      Vec(901L, other, c0._2.map(_.toFloat)),
+      Vec(902L, c0._1, c0._2.map(_ => 0.0f)))
     // plus the real reference vectors: the gate must re-derive q278's
     // per-vector assignment exactly
     val real = Tables.embeddings(spark, refDir)
@@ -105,10 +110,13 @@ class FrontDoorGateSpec extends AnyFunSuite {
       ms.addData(real.toSeq: _*); q.processAllAvailable()
     } finally q.stop()
     val held = spark.read.parquet(quar).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("nearest")).toMap
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[java.lang.Integer]("nearest")).map(_.toInt)).toMap
     val published = spark.read.parquet(pub).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    assert(published.contains(900L) && held.get(901L).contains(c0._1))
+    assert(published.contains(900L) && held.get(901L).flatten.contains(c0._1))
+    assert(!published.contains(902L) && held.get(902L).contains(None),
+      "zero-norm vector must quarantine with nearest = NULL")
     // driver recompute of q278's assignment over the reference vectors
     def cos(a: Seq[Double], b: Seq[Double]) = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
@@ -121,7 +129,8 @@ class FrontDoorGateSpec extends AnyFunSuite {
         .sortBy { case (s0, l) => (-s0, l) }.head._2
       nearest != v.label
     }.map(_.vec_id).toSet
-    assert(held.keySet - 901L == wantQuar, "gate verdict drifted from q278's kernel")
+    assert(held.keySet - 901L - 902L == wantQuar,
+      "gate verdict drifted from q278's kernel")
     assert((published - 900L) == real.map(_.vec_id).toSet -- wantQuar)
     // replay of a committed id: full no-op
     graft.streaming.LabelGate.gateBatch(spark,
