@@ -76,6 +76,126 @@ object IvfIndex {
       .parquet(s"$indexDir/corpus")
   }
 
+  // ===================================================================
+  // IVF×PQ — the composed production serving shape: q48's cell-partitioned
+  // layout STORING q134's PQ codes. A probe is (1) partition-pruned scan
+  // of the ~nprobe/k probed cells' CODE bytes (each ~1/32 the float row),
+  // (2) ADC shortlist per query — m table lookups per candidate, no float
+  // touched, (3) exact re-rank fetching full vectors for only the
+  // shortlist rows, partition-pruned to the SAME probed cells. Encode and
+  // ADC are the one-definition kernels shared with q134
+  // ([[Similarity.pqCodesOf]] / [[Similarity.adcTablesOf]] /
+  // [[Similarity.adcScore]]), so the in-memory query and the persisted
+  // index cannot drift.
+  // ===================================================================
+
+  /** Train coarse quantizer + PQ codebooks and write the composed index:
+    * `indexDir/corpus`  — float vectors partitioned by cell (the exact
+    *                      re-rank side — [[build]]'s layout, unchanged);
+    * `indexDir/pqcodes` — (vec_id, codes) partitioned by cell — the ADC
+    *                      scan side, ~32× smaller than the floats;
+    * `indexDir/centers` — the coarse quantizer model;
+    * `indexDir/books`   — PQ codebooks as (sub, code, codeword) rows.
+    */
+  def buildPq(s: SparkSession, dir: String, indexDir: String,
+              k: Int = 16, iters: Int = 3, trainMod: Long = 1L,
+              m: Int = Similarity.PqM, pqK: Int = Similarity.PqK,
+              pqIters: Int = 3): Unit = {
+    build(s, dir, indexDir, k, iters, trainMod)
+    val books = Similarity.pqCodebooks(s, dir, m, pqK, pqIters, trainMod)
+    // encode FROM the cell-partitioned layout (not the source table): the
+    // stored cell assignment is the one truth, and codes are a pure
+    // projection of it — no second quantizer pass, no drift window
+    writeCodes(s.read.parquet(s"$indexDir/corpus"), indexDir, books,
+      SaveMode.Overwrite)
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/books")
+  }
+
+  private def writeCodes(corpusWithCell: DataFrame, indexDir: String,
+      books: Array[Array[Array[Double]]], mode: SaveMode): Unit =
+    Similarity.pqCodesOf(
+        corpusWithCell.select(col("cell"), col("vec_id"), col("embedding")),
+        "embedding", books)
+      .select(col("cell"), col("vec_id"), col("codes"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/pqcodes")
+
+  /** The PQ model is m×k×(dim/m) doubles (~16 KB) — driver-held by
+    * design, like the coarse quantizer. */
+  private[graft] def loadBooks(
+      s: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$indexDir/books").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** Incremental refresh of the COMPOSED index: [[appendBatch]]'s
+    * dim-validated float append plus the matching code append, both
+    * assigned/encoded with the STORED models — serving continues with no
+    * retrain. Same delivery contract as [[appendBatch]] (at-least-once;
+    * idempotence is the caller's via vec_id dedup or batch-id markers).
+    */
+  def appendBatchPq(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    appendBatch(s, indexDir, batch) // validates (vec_id, embedding) + dim
+    val centers = loadCenters(s, indexDir)
+    val books = loadBooks(s, indexDir)
+    writeCodes(
+      batch.withColumn("cell", Similarity.nearestCell(col("embedding"), centers)),
+      indexDir, books, SaveMode.Append)
+  }
+
+  /** ANN top-k served from the composed persisted layout. Probe cells are
+    * driver-computed from the loaded coarse model (literal `cell IN`
+    * lists → static partition pruning on BOTH scans): the ADC pass reads
+    * only the probed cells' code bytes (~nprobe/k · corpus/32), the
+    * re-rank reads float vectors only for the broadcast shortlist's keys
+    * within those same cells.
+    */
+  def probePq(s: SparkSession, indexDir: String, queries: DataFrame,
+              nprobe: Int = 8, topK: Int = TopK,
+              shortlist: Int = Similarity.PqShortlist): DataFrame = {
+    val centers = loadCenters(s, indexDir)
+    val books = loadBooks(s, indexDir)
+    val qs = queries
+      .withColumn("probes",
+        slice(reverse(array_sort(Similarity.scoredCells(col("qe"), centers))), 1, nprobe))
+      .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
+      .drop("probes")
+    val qsAdc = Similarity.adcTablesOf(qs, "qe", books)
+      .select(col("query_id"), col("cell"), col("qt"))
+    // union of all queries' probe cells — driver-computed from the model
+    // side (bounded by k), never from the corpus
+    val probedCells: Seq[Int] = qs.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val codes = s.read.parquet(s"$indexDir/pqcodes")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = codes.join(broadcast(qsAdc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", Similarity.adcScore)
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val floats = s.read.parquet(s"$indexDir/corpus")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    floats.join(broadcast(short.join(queries, "query_id")), Seq("neighbor_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
   /** The model is k×dim doubles — driver-held by design (same as a fitted
     * KMeansModel); this collect is the whole model, not data.
     */

@@ -669,9 +669,9 @@ object Similarity {
   // becomes m=8 codebook indices (≤1 byte each) — a 32× smaller serving
   // table whose approximate scores need no float vectors at all.
 
-  private val PqM         = 8  // subspaces (64 dims → 8 per subspace)
-  private val PqK         = 32 // codewords per subspace codebook
-  private val PqShortlist = 128 // ADC candidates kept per query for re-rank
+  private[graft] val PqM         = 8  // subspaces (64 dims → 8 per subspace)
+  private[graft] val PqK         = 32 // codewords per subspace codebook
+  private[graft] val PqShortlist = 128 // ADC candidates kept per query for re-rank
 
   /** L2-normalized double copy of a float vector (zero vectors pass
     * through unscaled rather than dividing by zero). Normalizing before
@@ -805,9 +805,38 @@ object Similarity {
 
   private[graft] def pqCodesDf(
       s: SparkSession, dir: String, books: Array[Array[Array[Double]]]): DataFrame =
-    withSubvectors(Tables.embeddings(s, dir), "embedding", books.length)
-      .select(col("vec_id").as("neighbor_id"),
-        pqEncodeCol(col("xn"), books).as("codes"))
+    pqCodesOf(Tables.embeddings(s, dir), "embedding", books)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+
+  /** `codes` column for an arbitrary frame — ONE encode definition shared
+    * by q134's in-memory table and [[IvfIndex.buildPq]]'s persisted
+    * composed index (batch/index drift impossible). */
+  private[graft] def pqCodesOf(df: DataFrame, vec: String,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    withSubvectors(df, vec, books.length)
+      .withColumn("codes", pqEncodeCol(col("xn"), books))
+      .drop("xn", "subs")
+
+  /** Per-query ADC lookup tables `qt[j][c] = subvector_j · codeword_c`
+    * (query side stays exact — only the corpus is quantized) — ONE
+    * definition shared by q134 and [[IvfIndex.probePq]]. */
+  private[graft] def adcTablesOf(qdf: DataFrame, vec: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val booksL = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    withSubvectors(qdf, vec, books.length)
+      .withColumn("qt",
+        zip_with(col("subs"), booksL, (sub, bookJ) =>
+          transform(bookJ, cw =>
+            aggregate(zip_with(sub, cw, (x, w) => x * w),
+              lit(0.0), (a, x) => a + x))))
+      .drop("xn", "subs")
+  }
+
+  /** The ADC score over a row's `codes` against its query's `qt`: m table
+    * lookups summed — no float vector, no per-row dot product. */
+  private[graft] def adcScore: Column = aggregate(
+    zip_with(col("codes"), col("qt"), (c, t) => element_at(t, c + 1)),
+    lit(0.0), (acc, x) => acc + x)
 
   /** q134: PQ + asymmetric-distance (ADC) approximate top-k with exact
     * re-rank — the production ANN serving shape beside q48's IVF:
@@ -830,23 +859,16 @@ object Similarity {
   def q134KnnPq(s: SparkSession, dir: String, m: Int = PqM, k: Int = PqK,
                 iters: Int = 3, shortlist: Int = PqShortlist): DataFrame = {
     val books = pqCodebooks(s, dir, m, k, iters)
-    // qt[j][c] = subvector_j · codeword_c: the same fold-over-typedlit
-    // shape as pqCodeCol (one small HOF tree, not m·k unrolled dots)
-    val booksL = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val qs = withSubvectors(queriesDf(s, dir), "qe", m)
-      .select(col("query_id"),
-        zip_with(col("subs"), booksL, (sub, bookJ) =>
-          transform(bookJ, cw =>
-            aggregate(zip_with(sub, cw, (x, w) => x * w),
-              lit(0.0), (a, x) => a + x))).as("qt"))
+    // qt via the shared adcTablesOf kernel (one small HOF tree over a
+    // typedlit of the books, not m·k unrolled dots)
+    val qs = adcTablesOf(queriesDf(s, dir), "qe", books)
+      .select(col("query_id"), col("qt"))
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val short = pqCodesDf(s, dir, books)
       .crossJoin(broadcast(qs))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("qt"), (c, t) => element_at(t, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcScore)
       .withColumn("arnk", row_number().over(adcW))
       .filter(col("arnk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
