@@ -440,9 +440,14 @@ object TextAnalysis {
     * (doc_id, source, n_words, accept, kept, contam), factored so the
     * funnel (q268) and the gate-overlap cube (q275) read ONE flag
     * definition. */
-  private[graft] def waterfallFlags(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def waterfallFlags(s: SparkSession, dir: String): DataFrame =
+    waterfallFlagsOf(Tables.documents(s, dir))
+
+  /** [[waterfallFlags]] over an ARBITRARY documents frame — the real
+    * deployment passes e.g. a CommitLog release snapshot here
+    * (ReleaseFramesSpec drives two commit versions through it). */
+  private[graft] def waterfallFlagsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
     val bench = fiveGrams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
@@ -709,9 +714,15 @@ object TextAnalysis {
     * Scale shape: q268's, plus one |stages|-bounded self-join to lay the
     * two releases side by side.
     */
-  def q284ReleaseWaterfallDelta(s: SparkSession, dir: String): DataFrame = {
-    val flagged = waterfallFlags(s, dir)
-      .withColumn("release", (col("doc_id") % 2).cast("int"))
+  def q284ReleaseWaterfallDelta(s: SparkSession, dir: String): DataFrame =
+    releaseWaterfallDeltaOf(waterfallFlags(s, dir)
+      .withColumn("release", (col("doc_id") % 2).cast("int")))
+
+  /** The delta table for ANY flag frame carrying a 0/1 `release` column —
+    * the real deployment tags releases from CommitLog version membership
+    * (ReleaseFramesSpec pins that path equal to the parity stand-in on
+    * identical data); q284's parity split stays the oracle row. */
+  private[graft] def releaseWaterfallDeltaOf(flagged: DataFrame): DataFrame = {
     val byRel = flagged.groupBy(col("release")).agg(
         count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
         sum(when(col("accept"), 1L).otherwise(0L)).as("n1"),
