@@ -54,10 +54,14 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
 def main() -> None:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')"
-        )
+        # driver testdata ships single-file tables; ScaleGen replicas are
+        # Spark-written DIRECTORIES of part files — glob those
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_fail = 0
