@@ -99,6 +99,34 @@ object Geo {
       .withColumn("cell_dist",
         abs(col("dest_x") - col("origin_x")) + abs(col("dest_y") - col("origin_y")))
 
+  /** q299: zone GRAVITY / distance-decay profile — trip mass as a
+    * function of OD cell distance: per Manhattan ring distance d, the
+    * distinct OD pairs at that distance, total trips, trips-per-pair
+    * ×100 (the decay curve a gravity model fits) and the trip-share bp.
+    * q63 is the raw matrix and q180 its per-origin mixing; this is the
+    * MARGINAL over distance — the one-line answer to "how local is
+    * demand", and the decay slope a pricing/rebalancing model consumes.
+    * Self-loops (d = 0) row like any other ring, so the short-haul share
+    * reads directly off the table.
+    *
+    * Scale shape: q63's frame folded once more by distance — the
+    * event-scale work is the shared session-trip derivation; the
+    * distance fold is |zones|²-bounded in and |distances|-bounded out,
+    * and the corpus total is an unpartitioned window over THAT bounded
+    * frame (the q295 rule: never a second event scan for a scalar).
+    */
+  def q299ZoneGravity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q63OdMatrix(s, dir)
+      .groupBy(col("cell_dist"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_trips")).as("n_trips"))
+      .withColumn("tot", sum(col("n_trips")).over(wAll))
+      .select(col("cell_dist"), col("n_pairs"), col("n_trips"),
+        expr("n_trips * 100 DIV n_pairs").as("trips_per_pair_x100"),
+        expr("n_trips * 10000 DIV tot").as("share_bp"))
+  }
+
   /** q288: OD-pair ASYMMETRY — the directional-imbalance table planners
     * read beside q63's raw matrix and q161's per-zone flux: per unordered
     * zone pair (canonical (x, y)-lexicographic orientation), the flow in
@@ -663,6 +691,7 @@ object Geo {
     "q116_nearest_zone" -> (q116NearestZone _),
     "q119_zorder" -> (q119ZorderKey _),
     "q63_od_matrix" -> (q63OdMatrix _),
+    "q299_zone_gravity" -> (q299ZoneGravity _),
     "q288_od_asymmetry" -> (q288OdAsymmetry _),
     "q295_hotspot_persistence" -> (q295HotspotPersistence _),
     "q180_od_entropy" -> (q180OdEntropy _),
@@ -1063,7 +1092,20 @@ object Geo {
           SELECT origin_x, origin_y, dest_x, dest_y,
                  count(*) AS n_trips,
                  abs(dest_x - origin_x) + abs(dest_y - origin_y) AS cell_dist
-          FROM trips GROUP BY 1, 2, 3, 4""")
+          FROM trips GROUP BY 1, 2, 3, 4""",
+    "q299_zone_gravity" ->
+      s"""WITH $odTripCtes,
+          od AS (SELECT abs(dest_x - origin_x) + abs(dest_y - origin_y) AS cell_dist,
+                        CAST(count(*) AS BIGINT) AS n_trips
+                 FROM trips GROUP BY origin_x, origin_y, dest_x, dest_y),
+          d AS (SELECT cell_dist, CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(n_trips) AS BIGINT) AS n_trips
+                FROM od GROUP BY 1),
+          t AS (SELECT CAST(sum(n_trips) AS BIGINT) AS tot FROM d)
+          SELECT cell_dist, n_pairs, n_trips,
+                 n_trips * 100 // n_pairs AS trips_per_pair_x100,
+                 n_trips * 10000 // tot AS share_bp
+          FROM d CROSS JOIN t""")
 
   /** The session-trip OD derivation CTEs (z → trips) — ONE SQL text
     * shared by the q63 matrix and q288's asymmetry fold. Lazy: the

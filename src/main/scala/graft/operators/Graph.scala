@@ -119,11 +119,98 @@ object Graph {
                 END""").as("clustering_x10000"))
   }
 
+  /** q300: trade REACHABILITY — per nation, how much of the network its
+    * exports can reach along directed trade edges and how many hops away
+    * it sits: n_reachable (self excluded), eccentricity (max shortest-hop
+    * distance over reached nations) and mean hops ×100. PageRank (q146)
+    * ranks steady-state centrality and triangles (q276) read local
+    * density; this is the PATH view — a nation whose ecc jumps from 1 to
+    * 3 lost its direct lanes and now routes through intermediaries. The
+    * operator class is new to the repo: an ITERATIVE FIXPOINT (BFS
+    * shortest hops via min-merge frontier expansion) whose DuckDB mirror
+    * is a `WITH RECURSIVE` CTE — the recursive-query capability of the
+    * SQL engines, expressed Spark-side as a driver-bounded loop.
+    *
+    * Determinism: hops are exact integers; the loop runs until the
+    * (pair-count, Σhops) signature is STABLE (min-merge is monotone —
+    * pairs only appear, hops only shrink — so stability IS the fixpoint),
+    * with a |nations| iteration guard. The oracle's recursion carries the
+    * same ≤24-hop bound: a shortest path on a ≤25-node graph is shorter.
+    *
+    * Scale shape: the fact-scale work is the shared [[nationEdges]] pass;
+    * every iteration joins ≤|nations|²-row frames (broadcast both sides),
+    * localCheckpointed per step so the plan does not deepen with the
+    * iteration count (the q146 collapse-then-iterate discipline, plus the
+    * lineage cut an open-ended loop additionally needs).
+    */
+  def q300NationReach(s: SparkSession, dir: String): DataFrame = {
+    val edges = nationEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val hop = broadcast(edges
+      .withColumnRenamed("src", "mid").withColumnRenamed("dst", "nxt"))
+    var reach = edges.withColumn("hops", lit(1L)).localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("hops")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(reach)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 24) {
+      iter += 1
+      val expanded = reach.join(hop, col("dst") === col("mid"))
+        .select(col("src"), col("nxt").as("dst"), (col("hops") + 1).as("hops"))
+        .filter(col("src") =!= col("dst"))
+      val merged = reach.unionByName(expanded)
+        .groupBy(col("src"), col("dst")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+      val next = signature(merged)
+      stable = next == sig
+      sig = next
+      reach = merged
+    }
+    reach.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reachable"),
+        max(col("hops")).as("ecc_hops"),
+        sum(col("hops")).as("sum_hops"))
+      .join(broadcast(Tables.nation(s, dir)), col("src") === col("n_nationkey"))
+      .select(col("n_name").as("src_nation"), col("n_reachable"),
+        col("ecc_hops"),
+        expr("sum_hops * 100 DIV n_reachable").as("mean_hops_x100"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_pagerank_nations" -> (q146PagerankNations _),
+    "q300_nation_reach" -> (q300NationReach _),
     "q276_trade_triangles" -> (q276TradeTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q300_nation_reach" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT DISTINCT o_custkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (
+           SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+           FROM pairs
+           JOIN customer c ON o_custkey = c_custkey
+           JOIN supplier s ON l_suppkey = s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+         walk(src, dst, hops) AS (
+           SELECT src, dst, CAST(1 AS BIGINT) FROM e
+           UNION
+           SELECT w.src, e.dst, w.hops + 1
+           FROM walk w JOIN e ON w.dst = e.src
+           WHERE w.src <> e.dst AND w.hops < 24),
+         sp AS (
+           SELECT src, dst, min(hops) AS hops FROM walk GROUP BY 1, 2)
+         SELECT n_name AS src_nation,
+                CAST(count(*) AS BIGINT) AS n_reachable,
+                CAST(max(hops) AS BIGINT) AS ecc_hops,
+                CAST(sum(hops) AS BIGINT) * 100 // count(*) AS mean_hops_x100
+         FROM sp JOIN nation ON src = n_nationkey
+         GROUP BY 1""",
     "q276_trade_triangles" ->
       """WITH pairs AS (
            SELECT DISTINCT o_custkey, l_suppkey

@@ -273,7 +273,46 @@ object RelationalExt {
         expr("n_returned * 10000 DIV n_lines").as("return_bp"),
         expr("ret_cents * 10000 DIV greatest(cents, 1)").as("value_return_bp"))
 
+  /** q297: IDLE-capital census (the TPC-H Q22 shape on this schema) —
+    * customers holding an above-average POSITIVE balance who have never
+    * ordered, per market segment: the "money on the sidelines" table a
+    * sales org works from. Composes the two classic sub-operators the
+    * repo had only separately: a global scalar subquery (the bar) and an
+    * anti join (never ordered) — with the bar applied CROSS-MULTIPLIED
+    * (cents·n_pos > sum_pos, the q216 no-division rule; headroom: cents
+    * ~1e6 × 1e9 customers ~1e15, well inside BIGINT).
+    *
+    * Scale shape: one customer scan folds the 1-row bar (broadcast
+    * back); the anti join exchanges on custkey against the orders
+    * distinct — the one fact-scale shuffle, unavoidable for "never
+    * ordered" and co-locatable by bucketing both tables on custkey; the
+    * segment fold is |segments|-bounded.
+    */
+  def q297IdleCapital(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val bar = cust.filter(col("cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("cents")).as("sum_pos"))
+    val segTotals = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+    val idle = cust.crossJoin(broadcast(bar))
+      .filter(expr("cents * n_pos > sum_pos"))
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_idle"), sum(col("cents")).as("idle_cents"))
+    // a census, not a hit list: every segment rows, zero-idle ones at 0 —
+    // "no idle capital anywhere" is itself the answer a sales org reads
+    segTotals.join(broadcast(idle), Seq("c_mktsegment"), "left")
+      .na.fill(0L, Seq("n_idle", "idle_cents"))
+      .select(col("c_mktsegment").as("segment"), col("n_customers"),
+        col("n_idle"), col("idle_cents"),
+        expr("n_idle * 10000 DIV n_customers").as("idle_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_idle_capital"   -> (q297IdleCapital _),
     "q282_brand_league"   -> (q282BrandLeague _),
     "q291_single_source_risk" -> (q291SingleSourceRisk _),
     "q292_return_rates"   -> (q292ReturnRates _),
@@ -287,6 +326,28 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q297_idle_capital" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                    FROM customer),
+          bar AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                         CAST(sum(cents) AS BIGINT) AS sum_pos
+                  FROM c WHERE cents > 0),
+          seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+                  FROM c GROUP BY 1),
+          idle AS (SELECT c.c_mktsegment,
+                          CAST(count(*) AS BIGINT) AS n_idle,
+                          CAST(sum(c.cents) AS BIGINT) AS idle_cents
+                   FROM c CROSS JOIN bar
+                   WHERE c.cents * bar.n_pos > bar.sum_pos
+                     AND NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey)
+                   GROUP BY 1)
+          SELECT s.c_mktsegment AS segment, s.n_customers,
+                 COALESCE(i.n_idle, 0) AS n_idle,
+                 COALESCE(i.idle_cents, 0) AS idle_cents,
+                 COALESCE(i.n_idle, 0) * 10000 // s.n_customers AS idle_bp
+          FROM seg s LEFT JOIN idle i ON s.c_mktsegment = i.c_mktsegment""",
     "q291_single_source_risk" ->
       """WITH p AS (SELECT l_partkey,
                            count(DISTINCT l_suppkey) AS n_suppliers,

@@ -2794,6 +2794,34 @@ object TextAnalysis {
         col("n_bins").as("n_distinct"), col("top_bin").as("top_bigram"),
         col("top_share_bp"), col("entropy_x1000"))
 
+  /** q298: per-source WORD-distribution entropy — the lexical axis
+    * between q220 (character bigrams: encoding/script health) and q206
+    * (TTR/hapax: vocabulary size): Shannon entropy of the unigram
+    * distribution in milli-nats plus the dominant word and its share.
+    * Templated or machine-generated feeds collapse word entropy long
+    * before their character statistics move (the same few tokens carry
+    * the mass), and a feed whose dominant-word share spikes grew a
+    * boilerplate header — the q232 KL table says how far a source sits
+    * from the blend, this says how degenerate it is on its own. Same
+    * quantized-ln discipline as q207/q220 (every ln rounds to BIGINT
+    * micro-nats before composing — both engines walk identical integers).
+    *
+    * Scale shape: one corpus scan explodes to the map-side-combined
+    * (source, word) count frame — the vocab-scale exchange q206/q232
+    * already pay, the smallest exact representation of the answer; the
+    * entropy fold is windows over that frame, |sources| rows out.
+    */
+  def q298WordEntropy(s: SparkSession, dir: String): DataFrame =
+    Entropy.dominantAndEntropy(
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.Tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt")),
+      "source", "w")
+      .select(col("source"), col("n_total").as("n_words"),
+        col("n_bins").as("n_distinct"), col("top_bin").as("top_word"),
+        col("top_share_bp"), col("entropy_x1000"))
+
   /** q221: cross-LANGUAGE duplication leak per lang — docs whose q28
     * content_hash also appears under ANOTHER language: lang-sharded
     * corpora are deduped per shard, so a doc leaking across shards (a
@@ -3380,6 +3408,7 @@ object TextAnalysis {
     "q209_pmi_collocations" -> (q209PmiCollocations _),
     "q211_source_lang_mix" -> (q211SourceLangMix _),
     "q220_char_bigram_entropy" -> (q220CharBigramEntropy _),
+    "q298_word_entropy" -> (q298WordEntropy _),
     "q221_cross_lang_leak" -> (q221CrossLangLeak _),
     "q222_dedup_token_savings" -> (q222DedupTokenSavings _),
     "q223_contamination_by_source" -> (q223ContaminationBySource _),
@@ -3613,6 +3642,14 @@ object TextAnalysis {
     "SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2",
     "source", "lang", "n_docs", "n_langs", "top_lang")
 
+  private val q298Sql: String = Entropy.dominantAndEntropySql(
+    """SELECT source, w, count(*) AS cnt
+       FROM (SELECT source,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             FROM documents)
+       GROUP BY 1, 2""",
+    "source", "w", "n_words", "n_distinct", "top_word")
+
   private val q220Sql: String = Entropy.dominantAndEntropySql(
     """SELECT source, substring(text, u.i, 2) AS bg, count(*) AS cnt
        FROM documents,
@@ -3830,6 +3867,7 @@ object TextAnalysis {
          FROM r WHERE rank <= 20""",
     "q211_source_lang_mix" -> q211Sql,
     "q220_char_bigram_entropy" -> q220Sql,
+    "q298_word_entropy" -> q298Sql,
     "q221_cross_lang_leak" ->
       """WITH h AS (SELECT lang,
                            md5(array_to_string(string_split(text, ' ')[1:3], ' '))

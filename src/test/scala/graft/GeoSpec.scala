@@ -421,4 +421,26 @@ class GeoSpec extends AnyFunSuite {
     // the axis discriminates: different origins mix differently
     assert(ent.values.map(_._4).toSet.size > 1, "norm_bp constant")
   }
+
+  test("q299 zone gravity equals a fold of q63's matrix; shares account to <= 10000") {
+    val sf = TestSpark.sf
+    val od = Geo.q63OdMatrix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cell_dist"), r.getAs[Long]("n_trips")))
+    val tot = od.map(_._2).sum
+    val ref = od.groupBy(_._1).map { case (d, rows) =>
+      val trips = rows.map(_._2).sum
+      d -> ((rows.length.toLong, trips, trips * 100 / rows.length,
+        trips * 10000 / tot))
+    }
+    val got = Geo.q299ZoneGravity(spark, sf).collect()
+      .map(r => r.getAs[Long]("cell_dist") -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_trips"), r.getAs[Long]("trips_per_pair_x100"),
+        r.getAs[Long]("share_bp")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // floor-share accounting and trip-mass conservation
+    val shareSum = got.values.map(_._4).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - got.size)
+    assert(got.values.map(_._2).sum == tot)
+  }
+
 }

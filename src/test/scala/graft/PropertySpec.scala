@@ -1552,4 +1552,29 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.forall(v => v._4 >= 0L && v._4 < 10000L))
     assert(got.keys.map(_._2).toSet.size > 1)
   }
+
+  test("q298 word entropy equals a driver-side census recompute") {
+    val got = graft.operators.TextAnalysis.q298WordEntropy(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_distinct"), r.getAs[String]("top_word"),
+        r.getAs[Long]("top_share_bp"), r.getAs[Long]("entropy_x1000")))).toMap
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val ref = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (src, rows) =>
+        val cnts = rows.groupBy(_._2).map { case (w, rs) => w -> rs.length.toLong }
+        val n = cnts.values.sum
+        val (top, topCnt) = cnts.toSeq.sortBy { case (w, c) => (-c, w) }.head
+        val num = lq(n) * n - cnts.values.map(c => c * lq(c)).sum
+        src -> ((n, cnts.size.toLong, top, topCnt * 10000L / n,
+          math.round(num / n.toDouble / 1000.0)))
+      }
+    assert(got == ref, s"got $got\nref $ref")
+    // liveness: real lexical structure — entropy > 0, nobody's dominant
+    // word carries the whole source
+    assert(got.nonEmpty &&
+      got.values.forall(v => v._2 > 10L && v._5 > 0L && v._4 < 10000L))
+  }
+
 }

@@ -530,4 +530,43 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(rows("l_returnflag").getAs[Boolean]("salt_recommended"))
     assert(!rows("l_orderkey").getAs[Boolean]("salt_recommended"))
   }
+
+  test("q300 nation reach equals a driver-side BFS; identities hold") {
+    val sf = TestSpark.sf
+    val edges = graft.operators.Graph.nationEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val out = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    // driver BFS per source over the collected (bounded) nation graph
+    def bfs(src: Int): Map[Int, Long] = {
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      var frontier = Set(src)
+      var level = 0L
+      while (frontier.nonEmpty) {
+        level += 1
+        val next = frontier.flatMap(n => out.getOrElse(n, Set.empty[Int]))
+          .filter(!dist.contains(_))
+        next.foreach(n => dist(n) = level)
+        frontier = next
+      }
+      dist.toMap - src
+    }
+    val names = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val ref = edges.map(_._1).map { s0 =>
+      val d = bfs(s0)
+      names(s0) -> ((d.size.toLong, d.values.max, d.values.sum * 100 / d.size))
+    }.toMap
+    val got = graft.operators.Graph.q300NationReach(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_reachable"),
+        r.getAs[Long]("ecc_hops"), r.getAs[Long]("mean_hops_x100")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // identities: ecc >= 1, mean_x100 >= 100 (a hop is at least 1), and
+    // every source with an out-edge rows
+    assert(got.nonEmpty && got.values.forall(v =>
+      v._2 >= 1L && v._3 >= 100L && v._1 >= 1L))
+  }
+
 }

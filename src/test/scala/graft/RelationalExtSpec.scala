@@ -115,4 +115,28 @@ class RelationalExtSpec extends AnyFunSuite {
     }
     assert(rows.sortBy { case (k, c, _) => (-c, k) }.toSeq == expect.toSeq)
   }
+
+  test("q297 idle capital equals a driver recompute; every segment rows") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val ordered = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (nPos, sumPos) = (pos.length.toLong, pos.sum)
+    val idle = cust.filter(c => c._3 * nPos > sumPos && !ordered(c._1))
+    val ref = cust.groupBy(_._2).map { case (seg, cs) =>
+      val mine = idle.filter(_._2 == seg)
+      seg -> ((cs.length.toLong, mine.length.toLong, mine.map(_._3).sum,
+        mine.length.toLong * 10000 / cs.length))
+    }
+    val got = graft.operators.RelationalExt.q297IdleCapital(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") -> ((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("n_idle"), r.getAs[Long]("idle_cents"),
+        r.getAs[Long]("idle_bp")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the census contract: EVERY segment rows, zero-idle ones at 0
+    assert(got.keySet == cust.map(_._2).toSet)
+  }
+
 }
