@@ -182,18 +182,35 @@ object Geo {
     * two scalars the partials already contained); this derives the span
     * from the aggregate itself.
     */
-  def q295HotspotPersistence(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+  def q295HotspotPersistence(s: SparkSession, dir: String): DataFrame =
+    hotspotPersistenceOf(zoneWeekCellsOf(Tables.events(s, dir)))
+
+  /** The (zone_x, zone_y, wk) → n cell fold over ANY events frame — ONE
+    * definition shared by q295's batch scan and the s36 streaming
+    * monitor's per-micro-batch fragment (the additive monoid both merge
+    * on; batch/stream drift impossible). Map-side-combined: the exchange
+    * carries the \|zones × weeks\| value domain, never event rows. */
+  private[graft] def zoneWeekCellsOf(events: DataFrame): DataFrame =
+    events
       .withColumn("lat", synthLat)
       .withColumn("lon", synthLon)
       .select(zone(col("lon"), Lon0, Cell).as("zone_x"),
         zone(col("lat"), Lat0, Cell).as("zone_y"),
         expr("unix_micros(ts) DIV 86400000000 DIV 7").as("wk"))
+      .groupBy(col("zone_x"), col("zone_y"), col("wk"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q295's report from a (zone_x, zone_y, wk, n) cell frame — the SAME
+    * derivation serves the one-shot scan and the s36-maintained table.
+    * distinct weeks = cell rows per zone; the global span is an
+    * unpartitioned window over the \|zones\|-bounded fold (never a second
+    * event scan). */
+  private[graft] def hotspotPersistenceOf(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ev.groupBy(col("zone_x"), col("zone_y"))
-      .agg(countDistinct(col("wk")).as("weeks_active"),
-        count(lit(1)).as("n_events"),
+    cells.groupBy(col("zone_x"), col("zone_y"))
+      .agg(count(lit(1)).as("weeks_active"),
+        sum(col("n")).as("n_events"),
         min(col("wk")).as("zmin_wk"), max(col("wk")).as("zmax_wk"))
       .withColumn("n_weeks",
         max(col("zmax_wk")).over(wAll) - min(col("zmin_wk")).over(wAll) + 1)

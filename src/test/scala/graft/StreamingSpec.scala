@@ -1031,4 +1031,58 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(4))).toSet
     assert(got == want, "maintained-table dow verdict != batch q245")
   }
+
+  test("s36 streaming hotspot monitor converges to the batch q295; late weeks merge; replay skipped") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val evs = Tables.events(s0, sf).select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val cells = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((x, y, w), n) => (x, y, w, n) }
+          .toDF("zone_x", "zone_y", "wk", "n"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getAs[Long]("zone_x"), r.getAs[Long]("zone_y"),
+          r.getAs[Long]("wk"))) = r.getAs[Long]("n")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.HotspotMonitor.hotspotMonitorStream(
+      ms.toDS().toDF("user_id", "ts", "value"), store _)(publishDelta).start()
+    try {
+      // batches split mid-stream so "late" cells for already-published
+      // weeks arrive in later batches and must MERGE
+      val (b1, rest) = evs.splitAt(evs.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // maintained cells equal the batch rebuild (the one shared fold)
+    val rebuild = graft.operators.Geo.zoneWeekCellsOf(
+        Tables.events(s0, sf).select("user_id", "ts", "value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(cells.toMap == rebuild, "maintained cells != batch rebuild")
+    // the report over MAINTAINED cells equals the batch q295 exactly
+    val got = graft.streaming.HotspotMonitor.profile(store().get._1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    val want = graft.operators.Geo.q295HotspotPersistence(s0, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got == want, "streamed persistence != batch q295")
+    // replay guard: an already-applied id is skipped, a fresh id applies
+    val frag = graft.operators.Geo.zoneWeekCellsOf(
+      Tables.events(s0, sf).select("user_id", "ts", "value").limit(10))
+    val last = lastId.get
+    assert(graft.streaming.HotspotMonitor.cellsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.HotspotMonitor.cellsBatch(store(), frag, last + 1L).isDefined)
+  }
+
 }
