@@ -322,6 +322,40 @@ object CommitLog {
   def snapshotAsOfTime(s: SparkSession, root: String, tsMillis: Long): DataFrame =
     snapshot(s, root, versionAsOfTime(s, root, tsMillis))
 
+  /** DESCRIBE HISTORY — the audit table the public formats expose: one
+    * row per log entry still present (vacuum/checkpoint compaction
+    * removes history by construction; checkpoint base files row with
+    * op = checkpoint), carrying the op tag, add/remove/rewrite counts,
+    * the exactly-once txn id if any, and the commit instant. The instant
+    * is the entry file's mtime — the SAME clock [[versionAsOfTime]]
+    * resolves against, so `history` and timestamp time travel can never
+    * disagree about when a version landed. Driver-built: the log is
+    * metadata, bounded by commit count, never data-scale.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/$LogDir")
+    require(f.exists(dir), s"no commit log at $root")
+    val rows = f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val name = st.getPath.getName
+        val cp = name.endsWith(".checkpoint.json")
+        val v = name.stripSuffix(if (cp) ".checkpoint.json" else ".json").toLongOption
+        v.map { ver =>
+          val c = readEntry(f, ver, st.getPath)
+          (ver, if (cp) "checkpoint" else c.op,
+            c.add.size.toLong, c.remove.size.toLong, c.rewrite.size.toLong,
+            c.txnId.orNull, new java.sql.Timestamp(st.getModificationTime))
+        }
+      }
+      .sortBy(r => (r._1, r._2))
+    import s.implicits._
+    rows.toDF("version", "op", "n_added", "n_removed", "n_rewritten",
+      "txn_id", "commit_ts")
+  }
+
   /** Live relative file paths at a version (the log fold). */
   def liveFiles(s: SparkSession, root: String, asOf: Long = Long.MaxValue): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]

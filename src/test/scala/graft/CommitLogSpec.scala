@@ -897,4 +897,35 @@ class CommitLogSpec extends AnyFunSuite {
     assert(removed == CommitLog.liveFiles(spark, root, asOf = 4).toSet)
     assert(before.forall(removed.contains))
   }
+
+  test("history: one audit row per entry, ops/counts/txn faithful, instants agree with time travel") {
+    val root = freshRoot()
+    CommitLog.append(batch(1, 10), root)
+    CommitLog.append(batch(11, 20), root, txnId = Some("ingest-7"))
+    CommitLog.overwrite(batch(100, 102), root)
+    val h = CommitLog.history(spark, root).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+        r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+        Option(r.getAs[String]("txn_id"))))
+    assert(h.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "append"), (2L, "append"), (3L, "overwrite")))
+    // the overwrite removes everything the two appends added
+    assert(h(2)._4 == h(0)._3 + h(1)._3)
+    assert(h.map(_._5).toSeq == Seq(None, Some("ingest-7"), None))
+    // instants are the same clock versionAsOfTime resolves against:
+    // asking for each entry's own recorded instant returns a version
+    // at least that entry's (ties resolve to the max version)
+    val ts = CommitLog.history(spark, root).collect()
+      .map(r => r.getAs[Long]("version") ->
+        r.getAs[java.sql.Timestamp]("commit_ts").getTime).toMap
+    ts.foreach { case (v, t) =>
+      assert(CommitLog.versionAsOfTime(spark, root, t) >= v)
+    }
+    // a checkpoint rows with its own op tag
+    val cp = CommitLog.checkpoint(spark, root)
+    val ops = CommitLog.history(spark, root).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("op"))).toSet
+    assert(ops.contains((cp, "checkpoint")))
+  }
+
 }
