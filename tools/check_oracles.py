@@ -53,7 +53,12 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
 
 def main() -> None:
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names (resume/heavy-query runs)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # bound the spill so a pathological plan errors instead of filling the
+    # disk (the sf1ev q252 lesson: 200+ GB of temp before ENOSPC)
+    con.execute("SET max_temp_directory_size='40GiB'")
     import os
     for t in TABLES:
         # driver testdata ships single-file tables; ScaleGen replicas are
@@ -66,6 +71,8 @@ def main() -> None:
         oracle = json.load(f)
     n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
