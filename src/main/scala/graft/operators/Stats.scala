@@ -695,6 +695,94 @@ object Stats {
       .select(col("event_type"), col("n_days"), col("n_pairs"), col("slope_x1000"))
   }
 
+  /** q301: CHANGEPOINT localization per event type — binary segmentation
+    * over the day-ordered daily counts: the split maximizing the
+    * between-segment sum of squares. The drift family's missing axis:
+    * q231 says "this feed trends", q172's CUSUM says "the level shifted
+    * somewhere", this names the DAY the new regime starts (`split_day` =
+    * first day of the right segment) and prices the break as the share
+    * of total variance it explains (`r2_bp` — the two-segment R², 10000
+    * = the split explains everything). Verdict `shift` at r2_bp ≥ 2500
+    * with ≥ 8 observed days (a fixed bar like q231's 1.96: a quarter of
+    * the variance in one break is an operational regime change, not
+    * noise).
+    *
+    * Exactness: with prefix sums S_L and sizes n_L over OBSERVED days
+    * (gap-honest — q234's rule), the between-SS at a split is
+    * A²/(n_L·n_R·n) with A = n_R·S_L − n_L·S_R, and the total SS is
+    * (n·Q − S²)/n with Q = Σ n_d² — so the argmax needs only
+    * A²/(n_L·n_R), ONE double division of exact DECIMAL(38,0)/HUGEINT
+    * integers per split (A ≤ days·events ~ 4e15 at 1e12 events, A² ~
+    * 1.6e31 — the q170/q171 widening rule; BIGINT would overflow), and
+    * ties break to the EARLIEST split day on both engines. r2_bp =
+    * A²/(n_L·n_R·(nQ − S²)) and the segment means pay one rounded double
+    * each (the q142 rounded-term rule). An all-equal series has total
+    * SS 0 → NULL r2 → `none`; a single-day feed has no split and rows
+    * with NULL split columns (q231's one-day-feed lesson).
+    *
+    * Shape: ONE event scan folds to the (type, day) frame
+    * (calendar-bounded — q231's argument); prefix sums, the split scan
+    * and the argmax are windows over that tiny frame partitioned by
+    * type (never a global single-partition window). One definition
+    * serves the batch query and s28's maintained daily table
+    * ([[changepointFromDaily]] — the FIFTH estimator off one table).
+    */
+  def q301Changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables.events(s, dir))
+
+  /** q301 on ANY (event_type, ts) frame — spec'd on planted step / flat
+    * / one-day series beside the oracled corpus run. */
+  private[graft] def changepointOf(ev: DataFrame): DataFrame =
+    changepointFromDaily(ev
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The binary-segmentation estimator off an already-built
+    * (event_type, day, n) daily frame (epoch day) — one definition
+    * serves q301 and s28's maintained table. */
+  private[graft] def changepointFromDaily(daily: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("s_l", sum(col("n")).over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("n")).over(wAll))
+      .withColumn("q", sum(expr("CAST(n AS DECIMAL(38,0)) * n")).over(wAll))
+      .withColumn("split_day", lead(col("day"), 1).over(wOrd))
+      .localCheckpoint() // two consumers: the split scan + the type spine
+    val best = scored.filter(col("i") < col("n_days"))
+      .withColumn("n_l", col("i"))
+      .withColumn("n_r", col("n_days") - col("i"))
+      .withColumn("s_r", col("s") - col("s_l"))
+      .withColumn("a", expr(
+        "CAST(n_r AS DECIMAL(38,0)) * s_l - CAST(n_l AS DECIMAL(38,0)) * s_r"))
+      .withColumn("a2", expr("a * a"))
+      .withColumn("score", expr(
+        "CAST(a2 AS DOUBLE) / CAST(CAST(n_l AS DECIMAL(38,0)) * n_r AS DOUBLE)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("split_day").asc)))
+      .filter(col("rk") === 1)
+      .withColumn("sst", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"))
+      .select(col("event_type"), col("split_day"), col("n_l").as("left_days"),
+        expr("CAST(round(100.0 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)) AS BIGINT)")
+          .as("left_mean_x100"),
+        expr("CAST(round(100.0 * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)) AS BIGINT)")
+          .as("right_mean_x100"),
+        expr("""CASE WHEN sst > 0 THEN
+                  CAST(round(10000.0 * CAST(a2 AS DOUBLE) /
+                    CAST(CAST(n_l AS DECIMAL(38,0)) * n_r * sst AS DOUBLE)) AS BIGINT)
+                END""").as("r2_bp"))
+    scored.filter(col("i") === 1)
+      .select(col("event_type"), col("n_days"))
+      .join(best, Seq("event_type"), "left")
+      .withColumn("verdict",
+        when(coalesce(col("r2_bp"), lit(0L)) >= 2500L && col("n_days") >= 8L,
+          "shift").otherwise("none"))
+  }
+
   /** q245: Kruskal–Wallis day-of-week test per event type — does the
     * weekday MATTER for this feed's daily volume? The significance test
     * completing the seasonal family: q238 measures HOW MUCH of the
@@ -1155,6 +1243,7 @@ object Stats {
     "q231_trend_test" -> (q231TrendTest _),
     "q234_acf"        -> (q234Acf _),
     "q235_theil_sen"  -> (q235TheilSen _),
+    "q301_changepoint" -> (q301Changepoint _),
     "q237_calendar_gaps" -> (q237CalendarGaps _),
     "q245_kruskal_dow"   -> (q245KruskalDow _),
     "q258_dow_profile"   -> (q258DowProfile _),
@@ -1372,6 +1461,58 @@ object Stats {
                      WHEN z_x1000 <= -1960 THEN 'decreasing'
                      ELSE 'none' END AS trend
          FROM z""",
+    "q301_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS i,
+                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS s_l,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+                  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                  CAST(sum(CAST(n AS HUGEINT) * n) OVER (PARTITION BY event_type)
+                    AS HUGEINT) AS q,
+                  lead(day) OVER (PARTITION BY event_type ORDER BY day) AS split_day
+           FROM daily),
+         splits AS (
+           SELECT event_type, n_days, s, q, split_day,
+                  i AS n_l, n_days - i AS n_r, s_l, s - s_l AS s_r,
+                  CAST(n_days - i AS HUGEINT) * s_l
+                    - CAST(i AS HUGEINT) * (s - s_l) AS a
+           FROM w WHERE i < n_days),
+         sc AS (
+           SELECT *, a * a AS a2,
+                  CAST(a * a AS DOUBLE)
+                    / CAST(CAST(n_l AS HUGEINT) * n_r AS DOUBLE) AS score
+           FROM splits),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY score DESC, split_day ASC) AS rk
+           FROM sc),
+         b AS (
+           SELECT event_type, split_day, n_l AS left_days,
+                  CAST(round(100.0 * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                    AS BIGINT) AS left_mean_x100,
+                  CAST(round(100.0 * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                    AS BIGINT) AS right_mean_x100,
+                  CASE WHEN CAST(n_days AS HUGEINT) * q
+                            - CAST(s AS HUGEINT) * s > 0 THEN
+                    CAST(round(10000.0 * CAST(a2 AS DOUBLE) /
+                      CAST(CAST(n_l AS HUGEINT) * n_r *
+                        (CAST(n_days AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                        AS DOUBLE)) AS BIGINT)
+                  END AS r2_bp
+           FROM best WHERE rk = 1),
+         spine AS (SELECT DISTINCT event_type, n_days FROM w)
+         SELECT t.event_type, t.n_days, b.split_day, b.left_days,
+                b.left_mean_x100, b.right_mean_x100, b.r2_bp,
+                CASE WHEN COALESCE(b.r2_bp, 0) >= 2500 AND t.n_days >= 8
+                     THEN 'shift' ELSE 'none' END AS verdict
+         FROM spine t LEFT JOIN b USING (event_type)""",
     "q234_acf" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n

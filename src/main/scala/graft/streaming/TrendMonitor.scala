@@ -74,6 +74,15 @@ object TrendMonitor {
   def dow(daily: DataFrame): DataFrame =
     graft.operators.Stats.kruskalFromDaily(daily)
 
+  /** q301's changepoint localization from the same maintained counts
+    * (r16) — the FIFTH estimator off one table: the day the regime
+    * changed re-localizes itself as late-day corrections land (a late
+    * fragment moves a cell; the split argmax re-derives from corrected
+    * history — the reason the DAILY table, not the verdict, is the
+    * state). */
+  def changepoint(daily: DataFrame): DataFrame =
+    graft.operators.Stats.changepointFromDaily(daily)
+
   /** The stream: events in, touched daily-count cells out via
     * `publishDelta(delta, batchId)`.
     */

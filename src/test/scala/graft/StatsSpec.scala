@@ -715,6 +715,91 @@ class StatsSpec extends AnyFunSuite {
     assert(p("oneday") == ((1L, 0L, None)), p("oneday").toString)
   }
 
+  test("q301 changepoint: driver brute-force recompute on the corpus; planted step/flat/one-day series") {
+    // corpus: brute-force argmax over all splits, driver-side in BigInt
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ref = daily.groupBy(_._1).map { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val n = pts.length.toLong
+      if (n < 2) et -> ((n, None: Option[(Long, Long, Long, Long, Option[Long])], "none"))
+      else {
+        val s = pts.map(_._2).sum
+        val q = pts.map(p => BigInt(p._2) * p._2).sum
+        val sst = BigInt(n) * q - BigInt(s) * s
+        // argmax of A²/(n_l·n_r), tie → earliest split day (same double
+        // scoring as both engines: exact ints → one IEEE division)
+        val best = (1 until pts.length).map { i =>
+          val (nl, nr) = (i.toLong, n - i)
+          val sl = pts.take(i).map(_._2).sum
+          val a = BigInt(nr) * sl - BigInt(nl) * (s - sl)
+          val score = (a * a).toDouble / (BigInt(nl) * nr).toDouble
+          (score, pts(i)._1, nl, sl, a)
+        }.minBy { case (score, day, _, _, _) => (-score, day) }
+        val (_, splitDay, nl, sl, a) = best
+        val nr = n - nl; val sr = s - sl
+        val r2 = if (sst > 0)
+          Some(rnd(10000.0 * (a * a).toDouble / (BigInt(nl) * nr * sst).toDouble))
+        else None
+        val verdict = if (r2.exists(_ >= 2500L) && n >= 8) "shift" else "none"
+        et -> ((n, Some((splitDay, nl,
+          rnd(100.0 * sl.toDouble / nl.toDouble),
+          rnd(100.0 * sr.toDouble / nr.toDouble), r2)), verdict))
+      }
+    }
+    val got = Stats.q301Changepoint(spark, sf).collect().map { r =>
+      val split = Option(r.getAs[Any]("split_day")).map(_.asInstanceOf[Long])
+        .map(sd => (sd, r.getAs[Long]("left_days"),
+          r.getAs[Long]("left_mean_x100"), r.getAs[Long]("right_mean_x100"),
+          Option(r.getAs[Any]("r2_bp")).map(_.asInstanceOf[Long])))
+      r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), split, r.getAs[String]("verdict")))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // planted: a clean 10→50 step at day 13 localizes exactly with the
+    // documented means; a flat series has zero total SS (NULL r2, none);
+    // a one-day feed rows with NULL split columns (q231's lesson)
+    import TestSpark.spark.implicits._
+    def series(et: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(_ => (et, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T12:00:00Z")
+            .plusSeconds(86400L * d))))
+      }
+    val day0 = java.time.Instant.parse("2024-01-01T12:00:00Z")
+      .getEpochSecond / 86400L
+    val planted =
+      series("step", Seq.fill(12)(10) ++ Seq.fill(8)(50)) ++
+      series("flat", Seq.fill(10)(7)) ++
+      series("oneday", Seq(5))
+    val p = Stats.changepointOf(planted.toDF("event_type", "ts")).collect()
+      .map { r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), Option(r.getAs[Any]("split_day")),
+          Option(r.getAs[Any]("r2_bp")), r.getAs[String]("verdict"),
+          Option(r.getAs[Any]("left_mean_x100")),
+          Option(r.getAs[Any]("right_mean_x100")))) }.toMap
+    assert(p("step") == ((20L, Some(day0 + 12L), Some(10000L), "shift",
+      Some(1000L), Some(5000L))), p("step").toString)
+    assert(p("flat") == ((10L, Some(day0 + 1L), None, "none",
+      Some(700L), Some(700L))), p("flat").toString)
+    assert(p("oneday") == ((1L, None, None, "none", None, None)),
+      p("oneday").toString)
+    // s28's fifth derivation is literally the same kernel off the daily
+    // frame — streamed ≡ batch by construction, pinned here
+    val dailyP = planted.toDF("event_type", "ts")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val viaMonitor = graft.streaming.TrendMonitor.changepoint(dailyP)
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    val viaBatch = Stats.changepointOf(planted.toDF("event_type", "ts"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(viaMonitor == viaBatch)
+  }
+
   test("q245 Kruskal-Wallis dow: driver midrank recompute; planted weekly/flat/alternating series") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
