@@ -27,6 +27,30 @@ object Geo {
   private def synthLon: Column =
     lit(-75.2) + (col("user_id") % 53).cast("double") * 0.01 - col("value") * 1e-4
 
+  /** DuckDB mirrors of [[synthLat]]/[[synthLon]]/[[zone]] with every
+    * literal FORCED to DOUBLE. DuckDB parses bare decimal literals as
+    * DECIMAL and evaluates `39.9 + 5 * 0.01` EXACTLY (then one
+    * decimal→double cast), where the Column form's IEEE chain rounds at
+    * every op — on cell-corner inputs (value = 0, user_id % 37 ≡ 0 mod 5,
+    * where the synthetic grid lands exactly on a 0.05° boundary) the two
+    * sides of floor() disagree by one whole zone. Found by the r16 sf≈1
+    * oracle sweep (q161: replica user ids minted fresh corner combos the
+    * tri-SF data never hit); the forced casts make every arithmetic step
+    * the SAME double operation in the SAME order on both engines. ONE
+    * definition per engine for every floor-zone oracle below — the
+    * µ-unit `round(lat * 1e6)` oracles intentionally keep DECIMAL
+    * semantics because their Spark side is an `expr()` string whose bare
+    * literals Spark ALSO parses as DECIMAL (matched pair, spec-pinned).
+    */
+  private val LatSql =
+    "(CAST(39.9 AS DOUBLE) + (user_id % 37) * CAST(0.01 AS DOUBLE) + value * 1e-4)"
+  private val LonSql =
+    "(CAST(-75.2 AS DOUBLE) + (user_id % 53) * CAST(0.01 AS DOUBLE) - value * 1e-4)"
+  private lazy val ZoneYSql =
+    s"CAST(floor(($LatSql - CAST($Lat0 AS DOUBLE)) / CAST($Cell AS DOUBLE)) AS BIGINT)"
+  private lazy val ZoneXSql =
+    s"CAST(floor(($LonSql - CAST($Lon0 AS DOUBLE)) / CAST($Cell AS DOUBLE)) AS BIGINT)"
+
   /** Grid-cell id for a coordinate: floor offset in cell units. */
   def zone(coord: Column, origin: Double, cell: Double): Column =
     floor((coord - lit(origin)) / lit(cell)).cast("long")
@@ -754,8 +778,8 @@ object Geo {
     "q180_od_entropy" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events),
           e AS (
             SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -800,8 +824,8 @@ object Geo {
           FROM agg""",
     "q167_hotspots" ->
       s"""WITH cells AS (
-            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y,
+            SELECT $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2),
           k(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1), (1,-1), (1,0), (1,1)),
@@ -829,8 +853,8 @@ object Geo {
     "q166_od_outliers" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events),
           e AS (
             SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -868,8 +892,8 @@ object Geo {
                   > 9 * (od_n * sxx - sx * sx)""",
     "q164_zone_density" ->
       s"""WITH cells AS (
-            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zx,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zy,
+            SELECT $ZoneXSql AS zx,
+                   $ZoneYSql AS zy,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2),
           k(dx, dy, w) AS (VALUES
@@ -883,8 +907,8 @@ object Geo {
     "q161_zone_flux" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events),
           e AS (
             SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -916,10 +940,8 @@ object Geo {
     "q159_stay_points" ->
       s"""WITH z AS (
             SELECT user_id, ts, event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4
-                               - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4
-                               - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events),
           m AS (
             SELECT *, CASE WHEN lag(zone_x) OVER w IS NULL
@@ -988,8 +1010,8 @@ object Geo {
         s"s$i AS (SELECT *, $f AS $n FROM ${if (i == 0) "pts" else s"s${i - 1}"})"
       }.mkString(",\n          ")
       s"""WITH pts AS (
-            SELECT 39.9 + (user_id % 37) * 0.01 + value * 1e-4 AS lat,
-                   -75.2 + (user_id % 53) * 0.01 - value * 1e-4 AS lon,
+            SELECT $LatSql AS lat,
+                   $LonSql AS lon,
                    value
             FROM events),
           $ctes
@@ -1022,8 +1044,8 @@ object Geo {
     "q119_zorder" ->
       s"""WITH z AS (
             SELECT event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events)
           SELECT event_id, zone_x, zone_y,
                  ${zTerms("zone_x", "zone_y", 8, "//")} AS zkey
@@ -1051,8 +1073,8 @@ object Geo {
          FROM d WHERE rn = 1 GROUP BY station_id""",
     "q53_geo_zones" ->
       s"""WITH pts AS (
-            SELECT 39.9 + (user_id % 37) * 0.01 + value * 1e-4 AS lat,
-                   -75.2 + (user_id % 53) * 0.01 - value * 1e-4 AS lon,
+            SELECT $LatSql AS lat,
+                   $LonSql AS lon,
                    value
             FROM events)
           SELECT CAST(floor((lon - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
@@ -1063,8 +1085,8 @@ object Geo {
           FROM pts GROUP BY 1, 2""",
     "q295_hotspot_persistence" ->
       s"""WITH z AS (
-            SELECT CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y,
+            SELECT $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y,
                    epoch_us(ts) // 86400000000 // 7 AS wk
             FROM events),
           span AS (SELECT CAST(max(wk) - min(wk) + 1 AS BIGINT) AS n_weeks FROM z),
@@ -1130,8 +1152,8 @@ object Geo {
   private lazy val odTripCtes: String =
     s"""z AS (
             SELECT user_id, ts, event_id,
-                   CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - ($Lon0)) / $Cell) AS BIGINT) AS zone_x,
-                   CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - $Lat0) / $Cell) AS BIGINT) AS zone_y
+                   $ZoneXSql AS zone_x,
+                   $ZoneYSql AS zone_y
             FROM events),
           e AS (
             SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

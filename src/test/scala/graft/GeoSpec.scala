@@ -130,8 +130,8 @@ class GeoSpec extends AnyFunSuite {
     val size = 0.03
     val pts = graft.operators.Geo.hexSteps("lat", "lon").foldLeft(
       Tables.events(spark, sf)
-        .withColumn("lat", expr("39.9 + (user_id % 37) * 0.01 + value * 1e-4"))
-        .withColumn("lon", expr("-75.2 + (user_id % 53) * 0.01 - value * 1e-4"))) {
+        .withColumn("lat", expr("CAST(39.9 AS DOUBLE) + (user_id % 37) * CAST(0.01 AS DOUBLE) + value * 1e-4"))
+        .withColumn("lon", expr("CAST(-75.2 AS DOUBLE) + (user_id % 53) * CAST(0.01 AS DOUBLE) - value * 1e-4"))) {
         case (df, (n, f)) => df.withColumn(n, expr(f))
       }
       .select("lat", "lon", "hex_q", "hex_r").collect()
@@ -209,8 +209,8 @@ class GeoSpec extends AnyFunSuite {
   test("q166 flags exactly the >3-sigma trips of their own OD pair (driver brute force)") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
-        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
-        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+        expr("CAST(floor((CAST(-75.2 AS DOUBLE) + (user_id % 53) * CAST(0.01 AS DOUBLE) - value * 1e-4 - CAST(-75.3 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zx"),
+        expr("CAST(floor((CAST(39.9 AS DOUBLE) + (user_id % 37) * CAST(0.01 AS DOUBLE) + value * 1e-4 - CAST(39.8 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zy"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val trips = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
@@ -252,8 +252,8 @@ class GeoSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val cells = Tables.events(spark, dir)
       .select(
-        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
-        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+        expr("CAST(floor((CAST(-75.2 AS DOUBLE) + (user_id % 53) * CAST(0.01 AS DOUBLE) - value * 1e-4 - CAST(-75.3 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zx"),
+        expr("CAST(floor((CAST(39.9 AS DOUBLE) + (user_id % 37) * CAST(0.01 AS DOUBLE) + value * 1e-4 - CAST(39.8 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zy"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
     val n = cells.size.toLong
@@ -308,8 +308,8 @@ class GeoSpec extends AnyFunSuite {
   test("q159 stay points equal a driver-side island scan; one user_id exchange") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
-        expr("CAST(floor((-75.2 + (user_id % 53) * 0.01 - value * 1e-4 - (-75.3)) / 0.05) AS BIGINT)").as("zx"),
-        expr("CAST(floor((39.9 + (user_id % 37) * 0.01 + value * 1e-4 - 39.8) / 0.05) AS BIGINT)").as("zy"))
+        expr("CAST(floor((CAST(-75.2 AS DOUBLE) + (user_id % 53) * CAST(0.01 AS DOUBLE) - value * 1e-4 - CAST(-75.3 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zx"),
+        expr("CAST(floor((CAST(39.9 AS DOUBLE) + (user_id % 37) * CAST(0.01 AS DOUBLE) + value * 1e-4 - CAST(39.8 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) AS BIGINT)").as("zy"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val expected = evs.groupBy(_._1).flatMap { case (uid, g) =>
@@ -441,6 +441,39 @@ class GeoSpec extends AnyFunSuite {
     val shareSum = got.values.map(_._4).sum
     assert(shareSum <= 10000L && shareSum > 10000L - got.size)
     assert(got.values.map(_._2).sum == tot)
+  }
+
+  test("zone corner pin: cell-boundary combos floor to the IEEE-double side (the sf1ev q161 find)") {
+    // user_id % 37 = 5, value = 0 puts lat exactly on the 39.95 grid
+    // corner in the reals: the double chain 39.9 + 0.05 lands a hair
+    // BELOW (fy = 2.9999999999999996 → zone 2), while decimal-exact
+    // arithmetic (DuckDB bare literals, Spark expr() bare literals)
+    // lands a hair ABOVE (→ zone 3). Every zone consumer — the Column
+    // form, the scalar streaming twin, and (via forced CAST AS DOUBLE)
+    // the DuckDB oracle texts — must take the double side; this pin
+    // fails if anyone reintroduces bare decimal literals on either
+    // engine's path.
+    val s = spark
+    import s.implicits._
+    val corner = Seq((5L, 0.0), (42L, 0.0), (10L, 0.0))
+      .toDF("user_id", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("props", lit("{}"))
+    val out = java.nio.file.Files.createTempDirectory("corner").toString
+    corner.write.mode("overwrite").parquet(s"$out/events.parquet")
+    val zones = graft.operators.Geo.q53GeoZones(spark, out)
+      .select("zone_y").collect().map(_.getLong(0)).sorted
+    // m=5 and m=42 are the same corner (42 % 37 = 5) → zone 2, not 3;
+    // m=10 (lat 40.0) lands a hair ABOVE its corner in doubles → zone 4
+    // on BOTH engines (the double chain is not uniformly below: each
+    // corner falls on its own side, which is exactly why the two
+    // engines' chains must be op-for-op identical)
+    assert(zones.toSeq == Seq(2L, 2L, 4L), zones.mkString(","))
+    // the scalar streaming twin takes the same side
+    assert(graft.operators.Geo.zoneOfScalar(5L, 0.0)._2 == 2L)
+    assert(graft.operators.Geo.zoneOfScalar(10L, 0.0)._2 == 4L)
   }
 
 }
