@@ -775,6 +775,70 @@ object Analytics {
         max(col("lag_days")).as("max_lag_days"))
   }
 
+  /** q302: supplier RELIABILITY league — q246's fulfillment lag pivoted
+    * onto the axis a sourcing decision actually acts on: per supplier,
+    * shipment count, exact p50/p90 lag days, the share of lines beyond a
+    * 30-day SLA bar, and a pooled-binomial z against the corpus late
+    * rate (the q242/q104 device applied to fulfillment): `laggard`/`fast`
+    * at the two-sided 5% bar, `ok` inside it. q246 answers "is the
+    * priority ladder honored"; this answers "WHICH suppliers are breaking
+    * it" — the row a procurement review reads before a contract renewal,
+    * and the complement of q291's fragility view (q291: who depends on
+    * one supplier; this: which suppliers one shouldn't depend on).
+    *
+    * Exactness: the lag is the q246 epoch-day subtraction (never a
+    * possibly-negative µs div — the q86 trap); percentiles are the exact
+    * interpolated percentile ≡ quantile_cont ×100 rounded; the z is
+    * (L·N − n·T)/√(n·T·(N−T)) — the pooled z with its algebra cleared of
+    * divisions, numerator and radicand exact DECIMAL(38,0)/HUGEINT
+    * integers (L·N ~ 1e21 at 1e12 lines — BIGINT would overflow, the
+    * q170/q171 widening rule), ONE double division + round; degenerate
+    * corpora (no late lines anywhere, or all late) verdict z = 0
+    * identically on both engines.
+    *
+    * Shape: one lineitem⋈orders join on the order key (the q03
+    * shuffle-join family — bucketing-co-locatable at scale), folded to
+    * the |suppliers| frame; totals are ONE broadcast 1-row crossJoin off
+    * the checkpointed per-supplier frame (the q295 rule — never a second
+    * fact scan for two scalars).
+    */
+  def q302SupplierReliability(s: SparkSession, dir: String): DataFrame =
+    supplierReliabilityOf(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** q302 on ANY (l_orderkey, l_suppkey, l_shipdate) × (o_orderkey,
+    * o_orderdate) frames — spec'd on a planted laggard/fast/ok trio
+    * beside the oracled corpus run. */
+  private[graft] def supplierReliabilityOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lags = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("ship_day"))
+      .join(orders.select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("suppkey"),
+        (col("ship_day") - col("order_day")).as("lag_days"))
+    val per = lags.groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lag_days") > 30L, 1L).otherwise(0L)).as("n_late"),
+        expr("CAST(round(percentile(lag_days, 0.5D) * 100) AS BIGINT)")
+          .as("p50_x100"),
+        expr("CAST(round(percentile(lag_days, 0.9D) * 100) AS BIGINT)")
+          .as("p90_x100"))
+      .localCheckpoint() // two consumers: the 1-row totals + the league
+    val tot = per.agg(sum(col("n_lines")).as("nn"), sum(col("n_late")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("suppkey"), col("n_lines"), col("p50_x100"), col("p90_x100"),
+        expr("n_late * 10000 DIV n_lines").as("late_bp"),
+        expr("""CASE WHEN tt = 0 OR tt = nn THEN CAST(0 AS BIGINT)
+                ELSE CAST(round((CAST(n_late AS DECIMAL(38,0)) * nn
+                                 - CAST(n_lines AS DECIMAL(38,0)) * tt)
+                     / sqrt(CAST(CAST(n_lines AS DECIMAL(38,0)) * tt * (nn - tt) AS DOUBLE))
+                     * 1000) AS BIGINT) END""").as("z_x1000"))
+      .withColumn("verdict",
+        when(col("z_x1000") >= 1960L, "laggard")
+          .when(col("z_x1000") <= -1960L, "fast").otherwise("ok"))
+  }
+
   /** q182: seasonal-naive forecast backtest — before anyone trains on
     * q177's features, the baseline every volume model must beat:
     * forecast(d) = n(d−7) (seasonal naive) vs n(d−1) (naive), scored
@@ -901,6 +965,7 @@ object Analytics {
     "q238_seasonal_strength" -> (q238SeasonalStrength _),
     "q244_hhi"             -> (q244Hhi _),
     "q246_ship_lag"        -> (q246ShipLag _),
+    "q302_supplier_reliability" -> (q302SupplierReliability _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
@@ -1077,6 +1142,39 @@ object Analytics {
          SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
                 cum_rev_cents // cohort_n AS ltv_cents_per_cust
          FROM w""",
+    "q302_supplier_reliability" ->
+      """WITH lag AS (
+           SELECT l_suppkey AS suppkey,
+                  (epoch_us(l_shipdate) // 86400000000)
+                    - (epoch_us(o_orderdate) // 86400000000) AS lag_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         per AS (
+           SELECT suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+                  CAST(round(quantile_cont(lag_days, 0.5) * 100) AS BIGINT)
+                    AS p50_x100,
+                  CAST(round(quantile_cont(lag_days, 0.9) * 100) AS BIGINT)
+                    AS p90_x100
+           FROM lag GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_lines) AS BIGINT) AS nn,
+                  CAST(sum(n_late) AS BIGINT) AS tt
+           FROM per),
+         z AS (
+           SELECT suppkey, n_lines, p50_x100, p90_x100,
+                  n_late * 10000 // n_lines AS late_bp,
+                  CASE WHEN tt = 0 OR tt = nn THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round((CAST(n_late AS HUGEINT) * nn
+                                        - CAST(n_lines AS HUGEINT) * tt)
+                            / sqrt(CAST(CAST(n_lines AS HUGEINT) * tt * (nn - tt) AS DOUBLE))
+                            * 1000) AS BIGINT) END AS z_x1000
+           FROM per CROSS JOIN tot)
+         SELECT suppkey, n_lines, p50_x100, p90_x100, late_bp, z_x1000,
+                CASE WHEN z_x1000 >= 1960 THEN 'laggard'
+                     WHEN z_x1000 <= -1960 THEN 'fast'
+                     ELSE 'ok' END AS verdict
+         FROM z""",
     "q246_ship_lag" ->
       """WITH fs AS (
            SELECT l_orderkey,

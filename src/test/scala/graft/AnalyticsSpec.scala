@@ -997,4 +997,70 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum ==
       Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
   }
+
+  test("q302 supplier reliability equals a driver recompute; planted laggard/fast/ok verdicts") {
+    // corpus: per-supplier stats + pooled z recomputed driver-side
+    val lags = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey"),
+        (expr("unix_micros(l_shipdate) div 86400000000")
+          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def pct(vs: Seq[Long], q: Double): Double = {
+      val s0 = vs.sorted
+      val idx = (s0.length - 1) * q
+      val lo = idx.toInt
+      if (lo + 1 >= s0.length) s0(lo).toDouble
+      else s0(lo) + (idx - lo) * (s0(lo + 1) - s0(lo))
+    }
+    val nn = lags.length.toLong
+    val tt = lags.count(_._2 > 30L).toLong
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ref = lags.groupBy(_._1).map { case (sk, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val (n, l) = (vs.length.toLong, vs.count(_ > 30L).toLong)
+      val z = if (tt == 0 || tt == nn) 0L
+        else rnd((BigInt(l) * nn - BigInt(n) * tt).toDouble
+          / math.sqrt((BigInt(n) * tt * (nn - tt)).toDouble) * 1000)
+      sk -> ((n, rnd(pct(vs, 0.5) * 100), rnd(pct(vs, 0.9) * 100),
+        l * 10000 / n, z,
+        if (z >= 1960) "laggard" else if (z <= -1960) "fast" else "ok"))
+    }
+    val got = Analytics.q302SupplierReliability(spark, sf).collect()
+      .map(r => r.getAs[Long]("suppkey") -> ((r.getAs[Long]("n_lines"),
+        r.getAs[Long]("p50_x100"), r.getAs[Long]("p90_x100"),
+        r.getAs[Long]("late_bp"), r.getAs[Long]("z_x1000"),
+        r.getAs[String]("verdict")))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (sk, (n, p50, p90, lb, z, v)) =>
+      val (rn, r50, r90, rlb, rz, rv) = ref(sk)
+      assert(n == rn && lb == rlb && v == rv, s"$sk census")
+      // interpolation ulp on the x100 round; z ulp on the x1000 round
+      assert(math.abs(p50 - r50) <= 1L, s"$sk p50 $p50 vs $r50")
+      assert(math.abs(p90 - r90) <= 1L, s"$sk p90 $p90 vs $r90")
+      assert(math.abs(z - rz) <= 1L, s"$sk z $z vs $rz")
+    }
+    // planted: supplier 1 ships everything late (laggard), supplier 2
+    // everything same-day (fast), supplier 3 at the pooled rate (ok) —
+    // sized so the pooled z clears ±1.96 on both tails
+    val s = spark
+    import s.implicits._
+    val day0 = java.sql.Date.valueOf("2024-01-01")
+    def d(off: Int) = new java.sql.Date(day0.getTime + off * 86400000L)
+    val orders = (1 to 300).map(i => (i.toLong, day0)).toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val li = ((1 to 100).map(i => (i.toLong, 1L, d(40))) ++      // all late
+              (101 to 200).map(i => (i.toLong, 2L, d(0))) ++     // all on time
+              (201 to 250).map(i => (i.toLong, 3L, d(40))) ++    // half late
+              (251 to 300).map(i => (i.toLong, 3L, d(0))))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val p = Analytics.supplierReliabilityOf(li, orders).collect()
+      .map(r => r.getAs[Long]("suppkey") ->
+        ((r.getAs[Long]("late_bp"), r.getAs[String]("verdict")))).toMap
+    assert(p(1L) == ((10000L, "laggard")), p(1L).toString)
+    assert(p(2L) == ((0L, "fast")), p(2L).toString)
+    assert(p(3L) == ((5000L, "ok")), p(3L).toString)
+  }
 }
