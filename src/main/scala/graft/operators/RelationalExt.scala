@@ -311,7 +311,59 @@ object RelationalExt {
         expr("n_idle * 10000 DIV n_customers").as("idle_bp"))
   }
 
+  /** q303: DISCOUNT-band economics — the pricing-lever table beside q282
+    * (brand league), q292 (returns) and q244 (concentration): per
+    * discount percent band 0..10, line count, unit mass, gross revenue
+    * cents, units-per-line ×100, the LIFT of units-per-line vs the
+    * zero-discount band ×100 (the elasticity proxy: "does 6% off
+    * actually move more units per line than full price?") and each
+    * band's revenue share bp. A flat lift curve says the discounts buy
+    * nothing; the table is the before-picture of every promo decision.
+    *
+    * Exactness: cents/units are exact integers (the round(×100) house
+    * idiom; quantities are integral by contract — round() makes both
+    * engines agree if a fractional unit ever ships); lift is an INTEGER
+    * cross-multiplied division (qty·n₀·100 DIV n_b·q₀ — never a rounded
+    * double; headroom qty·n₀·100 ~ 3e27 at 1e12 lines → the
+    * DECIMAL(38,0)/HUGEINT widening rule). The 0..10 grid left-join
+    * guarantees absent bands row with zeros (q258's densify rule); a
+    * missing band-0 (no full-price lines anywhere) yields NULL lifts —
+    * honest, the proxy has no baseline.
+    *
+    * Shape: ONE lineitem scan folds map-side to the 11-row band frame;
+    * baseline and corpus total are broadcast 1-row crossJoins off the
+    * checkpointed bounded frame (the q295 rule — never a second fact
+    * scan for scalars).
+    */
+  def q303DiscountBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.lineitem(s, dir)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("qty"),
+        sum(col("cents")).as("gross_cents"))
+    val dense = s.range(0, 11).select(col("id").as("disc_pct"))
+      .join(bands, Seq("disc_pct"), "left")
+      .na.fill(0L, Seq("n_lines", "qty", "gross_cents"))
+      .localCheckpoint() // three consumers: baseline, total, output
+    val base = dense.filter(col("disc_pct") === 0L)
+      .select(col("n_lines").as("n0"), col("qty").as("q0"))
+    val tot = dense.agg(sum(col("gross_cents")).as("tot_cents"))
+    dense.crossJoin(broadcast(base)).crossJoin(broadcast(tot))
+      .select(col("disc_pct"), col("n_lines"), col("qty"), col("gross_cents"),
+        expr("CASE WHEN n_lines > 0 THEN qty * 100 DIV n_lines END")
+          .as("units_per_line_x100"),
+        expr("""CASE WHEN n_lines > 0 AND n0 > 0 AND q0 > 0
+                THEN CAST(CAST(qty AS DECIMAL(38,0)) * n0 * 100
+                          DIV (CAST(n_lines AS DECIMAL(38,0)) * q0) AS BIGINT)
+                END""").as("lift_x100"),
+        expr("CASE WHEN tot_cents > 0 THEN gross_cents * 10000 DIV tot_cents END")
+          .as("rev_share_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_discount_bands" -> (q303DiscountBands _),
     "q297_idle_capital"   -> (q297IdleCapital _),
     "q282_brand_league"   -> (q282BrandLeague _),
     "q291_single_source_risk" -> (q291SingleSourceRisk _),
@@ -326,6 +378,31 @@ object RelationalExt {
     "q46_approx_distinct" -> (q46ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q303_discount_bands" ->
+      """WITH b AS (
+           SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS gross_cents
+           FROM lineitem GROUP BY 1),
+         g AS (SELECT unnest(generate_series(0, 10)) AS disc_pct),
+         d AS (SELECT g.disc_pct, COALESCE(b.n_lines, 0) AS n_lines,
+                      COALESCE(b.qty, 0) AS qty,
+                      COALESCE(b.gross_cents, 0) AS gross_cents
+               FROM g LEFT JOIN b USING (disc_pct)),
+         base AS (SELECT n_lines AS n0, qty AS q0 FROM d WHERE disc_pct = 0),
+         tot AS (SELECT CAST(sum(gross_cents) AS BIGINT) AS tot_cents FROM d)
+         SELECT disc_pct, n_lines, qty, gross_cents,
+                CASE WHEN n_lines > 0 THEN qty * 100 // n_lines END
+                  AS units_per_line_x100,
+                CASE WHEN n_lines > 0 AND n0 > 0 AND q0 > 0
+                     THEN CAST(CAST(qty AS HUGEINT) * n0 * 100
+                               // (CAST(n_lines AS HUGEINT) * q0) AS BIGINT)
+                END AS lift_x100,
+                CASE WHEN tot_cents > 0
+                     THEN gross_cents * 10000 // tot_cents END AS rev_share_bp
+         FROM d CROSS JOIN base CROSS JOIN tot""",
     "q297_idle_capital" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,
                            CAST(round(c_acctbal * 100) AS BIGINT) AS cents

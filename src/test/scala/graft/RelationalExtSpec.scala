@@ -139,4 +139,42 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got.keySet == cust.map(_._2).toSet)
   }
 
+  test("q303 discount bands equal a driver recompute; band-0 lift is exactly 100; masses conserve") {
+    val raw = Tables.lineitem(spark, sf)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBand = raw.groupBy(_._1)
+    val (n0, q0) = byBand.get(0L).map(g => (g.length.toLong, g.map(_._2).sum))
+      .getOrElse((0L, 0L))
+    val totCents = raw.map(_._3).sum
+    val ref = (0L to 10L).map { d =>
+      val g = byBand.getOrElse(d, Array.empty[(Long, Long, Long)])
+      val (n, q, c) = (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+      d -> ((n, q, c,
+        if (n > 0) Some(q * 100 / n) else None,
+        if (n > 0 && n0 > 0 && q0 > 0)
+          Some((BigInt(q) * n0 * 100 / (BigInt(n) * q0)).toLong) else None,
+        if (totCents > 0) Some(c * 10000 / totCents) else None))
+    }.toMap
+    val got = RelationalExt.q303DiscountBands(spark, sf).collect()
+      .map { r =>
+        def opt(n: String) = Option(r.getAs[Any](n)).map(_.asInstanceOf[Long])
+        r.getAs[Long]("disc_pct") -> ((r.getAs[Long]("n_lines"),
+          r.getAs[Long]("qty"), r.getAs[Long]("gross_cents"),
+          opt("units_per_line_x100"), opt("lift_x100"), opt("rev_share_bp")))
+      }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // contract pins: the 11-band grid always rows; the baseline band's
+    // lift is 100 by definition; revenue shares floor-account to 10000;
+    // unit and cents masses conserve vs the raw scan
+    assert(got.keySet == (0L to 10L).toSet)
+    assert(got(0L)._5.contains(100L))
+    val shares = got.values.flatMap(_._6)
+    assert(shares.sum <= 10000L && shares.sum > 10000L - 11)
+    assert(got.values.map(_._2).sum == raw.map(_._2).sum)
+    assert(got.values.map(_._3).sum == totCents)
+  }
+
 }
