@@ -2400,6 +2400,60 @@ object TextAnalysis {
   def q196Repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOf(Tables.documents(s, dir))
 
+  /** q304: TEMPLATE-prefix census — per source, the modal 8-token
+    * document OPENING and its share: the cross-document template
+    * prevalence axis the repetition family lacks (q196 scores
+    * within-doc repetition, q152 strips markup frames, q202/q203 count
+    * duplicated CHUNKS anywhere in the doc — none asks "does this feed
+    * open every document with the same boilerplate header?", the
+    * signature of scraped listings/templated mirrors, and the q298
+    * docstring's predicted failure mode). Reports per source: docs,
+    * distinct openings, the modal opening verbatim (the evidence a
+    * curation review pastes into the ticket), its count and share bp,
+    * `templated` at ≥ 2000 bp — one in five documents opening
+    * identically is a template, not coincidence.
+    *
+    * Determinism: the modal pick is (count DESC, prefix ASC) under
+    * binary collation on both engines (DuckDB default collation and
+    * Spark UTF8String order agree); shares are integer DIV.
+    *
+    * Scale shape: ONE corpus scan projects each doc to its ≤ 8-token
+    * opening (native Tokens + slice — no full-text carry); the one
+    * exchange is (source, prefix) with ~tens-of-bytes keys — the q28
+    * digest-size argument (text never shuffles; an opening IS already
+    * digest-sized), map-side combined, worst case doc-count-bounded and
+    * in the templated case it collapses toward |templates|. The modal
+    * window runs per source on the combined frame.
+    */
+  def q304TemplatePrefix(s: SparkSession, dir: String): DataFrame =
+    templatePrefixOf(Tables.documents(s, dir))
+
+  /** q304 on ANY (source, text) frame — spec'd on a planted
+    * templated/organic/short-doc/tie corpus beside the oracled run. */
+  private[graft] def templatePrefixOf(docs: DataFrame): DataFrame = {
+    val pre = docs
+      .select(col("source"),
+        array_join(slice(graft.functions.Tokens(col("text")), 1, 8), " ")
+          .as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // two consumers: per-source totals + modal pick
+    val totals = pre.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_prefixes"))
+    val modal = pre
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("prefix").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("prefix").as("modal_prefix"),
+        col("n").as("modal_n"))
+    totals.join(modal, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_prefixes"),
+        col("modal_prefix"), col("modal_n"),
+        expr("modal_n * 10000 DIV n_docs").as("modal_bp"))
+      .withColumn("templated", col("modal_bp") >= 2000L)
+  }
+
   /** The repetition scorer for ANY (doc_id, text) frame — q196's body,
     * reusable on planted corpora (spec) and pipeline stages. */
   private[graft] def repetitionOf(docs: DataFrame): DataFrame =
@@ -3397,6 +3451,7 @@ object TextAnalysis {
     "q233_quality_auc" -> (q233QualityAuc _),
     "q236_source_vocab_overlap" -> (q236SourceVocabOverlap _),
     "q196_repetition" -> (q196Repetition _),
+    "q304_template_prefix" -> (q304TemplatePrefix _),
     "q200_token_economics" -> (q200TokenEconomics _),
     "q174_doc_chunks" -> (q174DocChunks _),
     "q202_chunk_dedup" -> (q202ChunkDedup _),
@@ -3696,6 +3751,26 @@ object TextAnalysis {
                  CAST(n_bytes2 * 100 // greatest(n_chars2, 1) AS BIGINT) AS bytes_per_char_x100,
                  CAST(n_toks // greatest(n_docs, 1) AS BIGINT) AS tokens_per_doc
           FROM a""",
+    "q304_template_prefix" ->
+      """WITH p AS (
+           SELECT source,
+                  array_to_string(
+                    list_filter(string_split(text, ' '), x -> x <> '')[1:8],
+                    ' ') AS prefix
+           FROM documents),
+         c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_prefixes
+               FROM c GROUP BY 1),
+         m AS (SELECT source, prefix AS modal_prefix, n AS modal_n,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, prefix ASC) AS rk
+               FROM c)
+         SELECT t.source, t.n_docs, t.n_prefixes, m.modal_prefix, m.modal_n,
+                m.modal_n * 10000 // t.n_docs AS modal_bp,
+                m.modal_n * 10000 // t.n_docs >= 2000 AS templated
+         FROM t JOIN m USING (source) WHERE m.rk = 1""",
     "q196_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           base AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),

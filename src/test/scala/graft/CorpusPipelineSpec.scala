@@ -570,4 +570,48 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // suite 1 (doc 97): 4 bench 5-grams; doc 3 hits with 1
     assert(got(1L) == ((1L, 4L, 1L, 1L, 2500L)))
   }
+
+  test("q304 template prefix: planted templated/organic/tie corpus + corpus driver recompute") {
+    val s = spark
+    import s.implicits._
+    // templated feed: 6 of 20 docs share the same 8-token opening (3000
+    // bp — over the bar); organic feed: all openings distinct; tie feed:
+    // two openings at 2 each — the lexicographically SMALLER must win;
+    // shorty: a 3-token doc is its own whole-text opening
+    val tpl = "the quick brown fox jumps over the lazy"
+    val planted =
+      (1 to 6).map(i => ("tpl", s"$tpl dog tail$i")) ++
+      (1 to 14).map(i => ("tpl", s"organic text number $i pads out to eight tokens plus")) ++
+      (1 to 10).map(i => ("org", s"completely unique opening $i with its own eight tokens here")) ++
+      Seq(("tie", "b b b b b b b b x"), ("tie", "b b b b b b b b y"),
+          ("tie", "a a a a a a a a x"), ("tie", "a a a a a a a a y"),
+          ("shorty", "tiny doc here"))
+    val got = TextAnalysis.templatePrefixOf(planted.toDF("source", "text"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_prefixes"),
+          r.getAs[String]("modal_prefix"), r.getAs[Long]("modal_n"),
+          r.getAs[Long]("modal_bp"), r.getAs[Boolean]("templated")))).toMap
+    assert(got("tpl") == ((20L, 15L, tpl, 6L, 3000L, true)), got("tpl").toString)
+    assert(got("org")._6 == false && got("org")._4 == 1L, got("org").toString)
+    assert(got("tie") == ((4L, 2L, "a a a a a a a a", 2L, 5000L, true)),
+      got("tie").toString)
+    assert(got("shorty") == ((1L, 1L, "tiny doc here", 1L, 10000L, true)),
+      got("shorty").toString)
+    // corpus: the census equals a driver-side recompute at sf
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ref = docs.groupBy(_._1).map { case (src, g) =>
+      val prefixes = g.map(_._2.split(" ").filter(_.nonEmpty).take(8).mkString(" "))
+      val counts = prefixes.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val (mp, mn) = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+      src -> ((g.length.toLong, counts.size.toLong, mp, mn,
+        mn * 10000 / g.length, mn * 10000 / g.length >= 2000))
+    }
+    val gotSf = TextAnalysis.q304TemplatePrefix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_prefixes"),
+          r.getAs[String]("modal_prefix"), r.getAs[Long]("modal_n"),
+          r.getAs[Long]("modal_bp"), r.getAs[Boolean]("templated")))).toMap
+    assert(gotSf == ref, s"got $gotSf\nref $ref")
+  }
 }
