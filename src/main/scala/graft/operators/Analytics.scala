@@ -44,6 +44,70 @@ object Analytics {
       .withColumn("retention_bp", expr("n_users * 10000 div cohort_size"))
   }
 
+  /** q305: weekly GROWTH ACCOUNTING — the new/retained/resurrected/
+    * churned census (and quick ratio) that turns q79's cohort grid into
+    * the one table a growth review actually opens: q79 answers "how do
+    * cohorts decay", q243 "how fast do users come back", q137 "how
+    * habitual are they" — this answers "did we GROW last week, and was
+    * it acquisition or resurrection vs churn". Per observed-calendar
+    * week: active users, new (first-ever week), retained (active the
+    * week before), resurrected (active before, but not last week),
+    * churned INTO the week (active last week, absent now — a later
+    * return does not un-churn the week, it resurrects a later one), and
+    * quick_ratio ×100 = (new + resurrected)·100 DIV churned.
+    *
+    * Honesty rules: the week grid densifies the full observed span
+    * (an all-zero week is a report row, not an absence); churn past the
+    * final observed week is unknowable and NOT emitted (users active in
+    * the last week aren't assessed — the grid bound enforces it);
+    * zero-churn weeks report a NULL ratio (division by wishful zero).
+    * Identities (spec-pinned): active = new + retained + resurrected,
+    * and active(w−1) = retained(w) + churned(w).
+    *
+    * Shape: ONE event-scale DISTINCT (user, week) exchange (the q243
+    * pattern); the lag/lead windows ride the user partitioning of that
+    * bounded frame; classification and churn fold to |weeks| rows; the
+    * grid derives from a broadcast 1-row bounds aggregate via
+    * sequence() (the q295 rule — no second scan, no driver value).
+    */
+  def q305GrowthAccounting(s: SparkSession, dir: String): DataFrame =
+    growthAccountingOf(Tables.events(s, dir))
+
+  /** q305 on ANY (user_id, ts) frame — spec'd on planted hand-built
+    * user histories beside the oracled corpus run. */
+  private[graft] def growthAccountingOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val tagged = ev
+      .select(col("user_id"), expr(s"unix_micros(ts) div $UsPerDay div 7").as("week"))
+      .distinct()
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+      .localCheckpoint() // three consumers: bounds, class fold, churn fold
+    val bounds = tagged.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+    val classes = tagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_week") === col("week") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_week").isNotNull && col("prev_week") < col("week") - 1,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val churn = tagged
+      .filter(col("next_week").isNull || col("next_week") > col("week") + 1)
+      .select((col("week") + 1).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    broadcast(bounds)
+      .select(explode(sequence(col("w0"), col("w1"))).as("week"))
+      .join(classes, Seq("week"), "left")
+      .join(churn, Seq("week"), "left")
+      .na.fill(0L, Seq("n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned"))
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        expr("""CASE WHEN n_churned > 0
+                THEN (n_new + n_resurrected) * 100 DIV n_churned
+                END""").as("quick_ratio_x100"))
+  }
+
   /** q80: RFM segmentation — recency / frequency / monetary quartiles per
     * market segment. Monetary is integer cents (per-row round then integer
     * sum — order-independent); recency is integer days against the corpus
@@ -966,6 +1030,7 @@ object Analytics {
     "q244_hhi"             -> (q244Hhi _),
     "q246_ship_lag"        -> (q246ShipLag _),
     "q302_supplier_reliability" -> (q302SupplierReliability _),
+    "q305_growth_accounting" -> (q305GrowthAccounting _),
     "q182_forecast_backtest" -> (q182ForecastBacktest _),
     "q177_demand_features" -> (q177DemandFeatures _),
     "q163_survival"     -> (q163Survival _),
@@ -1142,6 +1207,43 @@ object Analytics {
          SELECT m0 AS cohort_month, age, n_active, rev_cents, cohort_n,
                 cum_rev_cents // cohort_n AS ltv_cents_per_cust
          FROM w""",
+    "q305_growth_accounting" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 // 7 AS week
+           FROM events),
+         t AS (
+           SELECT user_id, week,
+                  lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                    AS prev_week,
+                  lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                    AS next_week
+           FROM a),
+         b AS (SELECT min(week) AS w0, max(week) AS w1 FROM t),
+         g AS (SELECT unnest(generate_series(w0, w1)) AS week FROM b),
+         c AS (
+           SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+                  CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+                  CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+                  CAST(sum(CASE WHEN prev_week IS NOT NULL
+                                 AND prev_week < week - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+           FROM t GROUP BY 1),
+         ch AS (
+           SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+           FROM t WHERE next_week IS NULL OR next_week > week + 1
+           GROUP BY 1)
+         SELECT g.week, COALESCE(c.n_active, 0) AS n_active,
+                COALESCE(c.n_new, 0) AS n_new,
+                COALESCE(c.n_retained, 0) AS n_retained,
+                COALESCE(c.n_resurrected, 0) AS n_resurrected,
+                COALESCE(ch.n_churned, 0) AS n_churned,
+                CASE WHEN COALESCE(ch.n_churned, 0) > 0
+                     THEN (COALESCE(c.n_new, 0) + COALESCE(c.n_resurrected, 0))
+                          * 100 // ch.n_churned END AS quick_ratio_x100
+         FROM g LEFT JOIN c USING (week) LEFT JOIN ch USING (week)""",
     "q302_supplier_reliability" ->
       """WITH lag AS (
            SELECT l_suppkey AS suppkey,

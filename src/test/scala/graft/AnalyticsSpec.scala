@@ -998,6 +998,53 @@ class AnalyticsSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
   }
 
+  test("q305 growth accounting: planted histories classify exactly; corpus identities hold") {
+    val s = spark
+    import s.implicits._
+    // hand-built week sets per user (week 0 = 1970-01-01..07):
+    //   u1: 0 1 2        — new@0, retained@1,2; churned@3
+    //   u2: 0   2 3      — new@0, churned@1, resurrected@2, retained@3
+    //   u3:     2        — new@2, churned@3
+    //   u4: 0            — new@0, churned@1
+    val weeks = Seq(1L -> 0L, 1L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 2L,
+      2L -> 3L, 3L -> 2L, 4L -> 0L)
+    val ev = weeks.map { case (u, wk) =>
+      (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        wk * 7 * 86400 + 3600)))
+    }.toDF("user_id", "ts")
+    val got = graft.operators.Analytics.growthAccountingOf(ev).collect()
+      .map(r => r.getAs[Long]("week") -> ((r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"),
+        Option(r.getAs[Any]("quick_ratio_x100")).map(_.asInstanceOf[Long]))))
+      .toMap
+    //            active new retained resurrected churned quick
+    assert(got(0L) == ((3L, 3L, 0L, 0L, 0L, None)), got(0L).toString)
+    assert(got(1L) == ((1L, 0L, 1L, 0L, 2L, Some(0L))), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, 1L, 1L, 0L, None)), got(2L).toString)
+    assert(got(3L) == ((1L, 0L, 1L, 0L, 2L, Some(0L))), got(3L).toString)
+    // u1/u3 active in the final week are NOT assessed for churn (week 4
+    // is outside the observed grid) — the grid ends at week 3
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // corpus: the two accounting identities over the real events table
+    val rows = graft.operators.Analytics.q305GrowthAccounting(spark, sf)
+      .collect().map(r => r.getAs[Long]("week") -> ((r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))))
+      .sortBy(_._1)
+    rows.foreach { case (wk, (a, n, rt, rs, _)) =>
+      assert(a == n + rt + rs, s"week $wk: active != new+retained+resurrected")
+    }
+    rows.sliding(2).foreach {
+      case Array((_, (aPrev, _, _, _, _)), (wk, (_, _, rt, _, ch))) =>
+        assert(aPrev == rt + ch, s"week $wk: active(w-1) != retained+churned")
+      case _ =>
+    }
+    // total new across all weeks = distinct users in the corpus
+    assert(rows.map(_._2._2).sum ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
   test("q302 supplier reliability equals a driver recompute; planted laggard/fast/ok verdicts") {
     // corpus: per-supplier stats + pooled z recomputed driver-side
     val lags = Tables.lineitem(spark, sf)
