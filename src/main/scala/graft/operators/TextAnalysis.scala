@@ -2430,13 +2430,23 @@ object TextAnalysis {
 
   /** q304 on ANY (source, text) frame — spec'd on a planted
     * templated/organic/short-doc/tie corpus beside the oracled run. */
-  private[graft] def templatePrefixOf(docs: DataFrame): DataFrame = {
-    val pre = docs
+  private[graft] def templatePrefixOf(docs: DataFrame): DataFrame =
+    templateFromPrefixCounts(prefixCountsOf(docs))
+
+  /** The ≤ 8-token opening count fold — ONE definition for q304's scan
+    * and s37's micro-batch fragments (batch/stream drift impossible). */
+  private[graft] def prefixCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         array_join(slice(graft.functions.Tokens(col("text")), 1, 8), " ")
           .as("prefix"))
       .groupBy(col("source"), col("prefix"))
       .agg(count(lit(1)).as("n"))
+
+  /** q304's census off an already-built (source, prefix, n) count table
+    * — serves the batch query and s37's maintained table unchanged. */
+  private[graft] def templateFromPrefixCounts(pre0: DataFrame): DataFrame = {
+    val pre = pre0
       .localCheckpoint() // two consumers: per-source totals + modal pick
     val totals = pre.groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_prefixes"))

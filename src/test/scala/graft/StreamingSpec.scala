@@ -1085,4 +1085,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.HotspotMonitor.cellsBatch(store(), frag, last + 1L).isDefined)
   }
 
+  test("s37 streaming template monitor converges to batch q304; template onset flips the verdict next batch") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = s0.sqlContext
+    val cells = scala.collection.mutable.Map.empty[(String, String), Long]
+    var lastId = Option.empty[Long]
+    def store(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      lastId.map { id =>
+        (cells.toSeq.map { case ((src, p), n) => (src, p, n) }
+          .toDF("source", "prefix", "n"), id)
+      }
+    def publishDelta(delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      delta.collect().foreach { r =>
+        cells((r.getAs[String]("source"), r.getAs[String]("prefix"))) =
+          r.getAs[Long]("n")
+      }
+      lastId = Some(batchId)
+    }
+    val ms = MemoryStream[(String, String)]
+    val q = graft.streaming.TemplateMonitor.templateMonitorStream(
+      ms.toDS().toDF("source", "text"), store _)(publishDelta).start()
+    def verdict(src: String): (Long, Boolean) = {
+      val r = graft.streaming.TemplateMonitor.census(store().get._1)
+        .filter(col("source") === src).collect().head
+      (r.getAs[Long]("modal_bp"), r.getAs[Boolean]("templated"))
+    }
+    val docs = Tables.documents(s0, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val hdr = "subscribe to our newsletter for the best deals"
+    try {
+      // wave 1: the corpus + an organic planted feed — under the bar
+      val organic = (1 to 20).map(i =>
+        ("pfeed", s"unique doc $i opening with its own eight tokens here"))
+      ms.addData(docs ++ organic); q.processAllAvailable()
+      val (bp1, t1) = verdict("pfeed")
+      assert(bp1 == 500L && !t1, s"organic wave must be under the bar: $bp1")
+      // wave 2: the feed grows a boilerplate header — 10 of now-30 docs
+      // share the opening; the verdict flips ONE micro-batch later
+      ms.addData((1 to 10).map(i => ("pfeed", s"$hdr extra tail $i")))
+      q.processAllAvailable()
+      val (bp2, t2) = verdict("pfeed")
+      assert(bp2 == 3333L && t2, s"template onset must flip the verdict: $bp2")
+    } finally q.stop()
+    // maintained counts equal the batch rebuild on the corpus slice...
+    val rebuild = graft.operators.TextAnalysis.prefixCountsOf(
+      Tables.documents(s0, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val corpusCells = cells.toMap.filter { case ((src, _), _) => src != "pfeed" }
+    assert(corpusCells == rebuild, "maintained counts != batch rebuild")
+    // ...and the census over MAINTAINED corpus cells equals batch q304
+    val got = graft.streaming.TemplateMonitor.census(
+      corpusCells.toSeq.map { case ((src, p), n) => (src, p, n) }
+        .toDF("source", "prefix", "n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    val want = graft.operators.TextAnalysis.q304TemplatePrefix(s0, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got == want, "streamed census != batch q304")
+    // replay guard: an already-applied id is skipped, a fresh id applies
+    val frag = graft.operators.TextAnalysis.prefixCountsOf(
+      Tables.documents(s0, sf).limit(10))
+    val last = lastId.get
+    assert(graft.streaming.TemplateMonitor.prefixCountsBatch(store(), frag, last).isEmpty)
+    assert(graft.streaming.TemplateMonitor.prefixCountsBatch(store(), frag, last + 1L).isDefined)
+  }
+
 }
