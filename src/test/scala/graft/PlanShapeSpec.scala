@@ -488,4 +488,46 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(p, "Exchange") == 2, s"$q:\n$p") // band buckets + pair dedup
     }
   }
+
+  // r16 pins. The event/fact-scale side of the checkpointed queries runs
+  // ONCE at localCheckpoint time (one daily/weekly fold or one key join —
+  // audited in §2); these pins cover everything after the checkpoint,
+  // where a regression would silently re-shuffle the bounded frame.
+
+  test("r16 q301 changepoint: argmax is a group-limit on the bounded daily frame, spine joins broadcast") {
+    val p = plan("q301_changepoint")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") == 1 && p.contains("LeftOuter"), p)
+    // rank<=1 plans as WindowGroupLimit (top-1 per type), not a full rank
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(count(p, "Exchange") == 1, p) // the per-type window exchange
+  }
+
+  test("r16 q302 supplier league: totals are ONE broadcast 1-row cross join, never a re-shuffle") {
+    val p = plan("q302_supplier_reliability")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+    assert(count(p, "Exchange") == 1, p) // the 1-row totals partial
+  }
+
+  test("r16 q303 discount bands: post-fold plan is broadcast-only over the 11-row frame") {
+    val p = plan("q303_discount_bands")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange") == 1, p) // the 1-row corpus-total partial
+    assert(count(p, "BroadcastExchange") == 2, p) // baseline row + total row
+  }
+
+  test("r16 q304 template census: one count exchange + one modal window, totals broadcast") {
+    val p = plan("q304_template_prefix")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p) // modal pick is top-1 per source
+    assert(count(p, "Exchange") == 2, p) // per-source totals + modal window
+  }
+
+  test("r16 q305 growth accounting: week grid and both folds join broadcast on the bounded frame") {
+    val p = plan("q305_growth_accounting")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") == 2 && p.contains("LeftOuter"), p) // classes + churn
+    assert(count(p, "Exchange") == 3, p) // bounds 1-row + two |weeks| folds
+  }
 }
