@@ -223,6 +223,46 @@ object IvfIndex {
     */
   private[graft] def probeWith(s: SparkSession, indexDir: String, queries: DataFrame,
       extraCorpus: Option[DataFrame], nprobe: Int, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    scoredProbeJoin(s, indexDir, queries, extraCorpus, nprobe)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** RANGE search — every neighbor with cosine ≥ `minCos` among the
+    * probed cells: the all-within-radius API every ANN deployment has
+    * beside top-k (semantic-dedup at a similarity bar, policy-match
+    * sweeps, "return EVERYTHING this close" lookups — a top-k cannot
+    * answer "how many are this close" and a brute radius scan reads the
+    * whole corpus). Same partition-pruned cell scan and approximation
+    * contract as [[probe]] (a neighbor outside the probed cells is
+    * missed; recall rises with nprobe — spec-pinned against the exact
+    * brute radius sweep, with full cell coverage ≡ exact). The output is
+    * data-dependent in size by design; `rnk` carries the deterministic
+    * within-query order (cosine desc, id asc) so a downstream take(n)
+    * agrees across engines and runs.
+    */
+  def probeRange(s: SparkSession, indexDir: String, queries: DataFrame,
+                 minCos: Double, nprobe: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    scoredProbeJoin(s, indexDir, queries, None, nprobe)
+      .filter(round(col("cs"), 6) >= minCos)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** The shared probe scaffold: queries scored against the model
+    * driver-side → literal `cell IN (...)` partition-pruned corpus scan →
+    * broadcast join → native cosine. One definition under [[probe]],
+    * [[probeRange]] and the ingest lane's [[probeWith]].
+    */
+  private def scoredProbeJoin(s: SparkSession, indexDir: String, queries: DataFrame,
+      extraCorpus: Option[DataFrame], nprobe: Int): DataFrame = {
     val centers = loadCenters(s, indexDir)
     val qs = queries
       .withColumn("probes",
@@ -238,14 +278,8 @@ object IvfIndex {
     val corpus = extraCorpus.fold(base)(base.unionByName(_))
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
     corpus.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cs"), 4).as("cos_sim"), col("rnk"))
   }
 }

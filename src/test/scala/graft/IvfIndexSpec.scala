@@ -129,4 +129,63 @@ class IvfIndexSpec extends AnyFunSuite {
     val gap = Similarity.ivfBalanceOf(vecsAt(_ % 3, 99), centers).collect()
     assert(gap.count(_.getAs[Long]("n_vecs") == 0L) == 1)
   }
+
+  test("probeRange: full cell coverage equals the exact brute radius sweep; nprobe=8 recall floor holds") {
+    val minCos = 0.35
+    // exact radius sets, driver-side brute force over the whole corpus
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val qids = all.keys.filter(_ % 100 == 0).toSeq.sorted
+    val exact = qids.map { q =>
+      q -> all.filter { case (id, v) =>
+        // same post-round bar as the operator (6-dp round then >=)
+        id != q && BigDecimal(cos(all(q), v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= minCos
+      }.keySet
+    }.toMap
+    // full coverage: nprobe = k probes every cell -> the range result IS
+    // the exact radius set
+    val full = IvfIndex.probeRange(spark, indexDir, queries, minCos, nprobe = 16)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    qids.foreach { q =>
+      assert(full.getOrElse(q, Set.empty) == exact(q), s"query $q full-coverage set")
+    }
+    // pruned: every returned neighbor is genuinely in-radius (no false
+    // positives — pruning can only MISS), and recall clears the q48 floor
+    val pruned = IvfIndex.probeRange(spark, indexDir, queries, minCos, nprobe = 8)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    qids.foreach { q =>
+      assert(pruned.getOrElse(q, Set.empty).subsetOf(exact(q)), s"query $q false positive")
+    }
+    val (hit, want) = qids.map(q =>
+      (pruned.getOrElse(q, Set.empty).intersect(exact(q)).size, exact(q).size))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(want > 0, "radius bar too tight for the spec corpus")
+    assert(hit.toDouble / want >= 0.8, s"range recall $hit/$want under the floor")
+    // rnk is the deterministic (cos desc, id asc) order within each query
+    val rows = IvfIndex.probeRange(spark, indexDir, queries, minCos, nprobe = 8)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("neighbor_id")))
+        .map(_.getAs[Long]("neighbor_id")).toSeq
+      val byRnk = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq
+      // cos_sim is 4-dp rounded for display; rnk was assigned on the 6-dp
+      // key, so equal-4dp neighbors may interleave — check rnk is a
+      // permutation 1..n and the 4-dp scores are non-increasing by rnk
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length),
+        "rnk must be a dense 1..n permutation")
+      val scoresByRnk = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim")).toSeq
+      assert(scoresByRnk.zip(scoresByRnk.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rnk")
+      assert(sorted.toSet == byRnk.toSet)
+    }
+  }
 }
