@@ -106,6 +106,22 @@ object CommitLog {
   private def versionFile(root: String, v: Long): Path =
     new Path(f"$root/$LogDir/$v%020d.json")
 
+  /** Resolve a commit-entry data path against the table root: relative
+    * paths are root-local (every writer here produces them); ABSOLUTE
+    * paths are cloned-in foreign references ([[cloneShallow]]) and
+    * resolve as-is. */
+  private def dataPath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
+  /** Immutable-data-dir grouping key for a commit path (schema memo /
+    * evolved-read groups): the leading dir for root-local paths, the
+    * full parent dir for cloned-in absolute ones (a bare prefix would
+    * collapse every foreign dir into one memo key — a stale-schema
+    * hazard). */
+  private def dirKey(p: String): String =
+    if (p.startsWith("/")) p.substring(0, p.lastIndexOf('/'))
+    else p.takeWhile(_ != '/')
+
   // ---------- codec ----------
 
   private[graft] def enc(c: Commit): String = {
@@ -371,7 +387,7 @@ object CommitLog {
   def snapshot(s: SparkSession, root: String, asOf: Long = Long.MaxValue): DataFrame = {
     val files = liveFiles(s, root, asOf)
     require(files.nonEmpty, s"commit-log table at $root has no live files (asOf=$asOf)")
-    s.read.parquet(files.map(p => s"$root/$p"): _*)
+    s.read.parquet(files.map(p => dataPath(root, p)): _*)
   }
 
   /** Range scan with commit-log data skipping — the ZoneMap mechanism
@@ -796,10 +812,10 @@ object CommitLog {
     */
   private def requireUniformSchema(s: SparkSession, root: String,
       files: Seq[String], op: String): org.apache.spark.sql.types.StructType = {
-    val schemas = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val schemas = files.groupBy(dirKey).toSeq.sortBy(_._1)
       .map { case (d, fs) =>
         dirSchemaCache.getOrElseUpdate((root, d))(
-          s.read.parquet(fs.map(p => s"$root/$p"): _*).schema)
+          s.read.parquet(fs.map(p => dataPath(root, p)): _*).schema)
       }
     if (schemas.distinct.size > 1)
       throw new IllegalArgumentException(
@@ -877,7 +893,7 @@ object CommitLog {
     }
     if (touched.isEmpty) return None
     requireIntegralKey(requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
-    val scan = s.read.parquet(touched.map(p => s"$root/$p"): _*)
+    val scan = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
     val survivors =
       if (sortedKeys.length <= DeleteIsinMaxKeys)
         scan.filter(col(keyCol).isNull ||
@@ -992,7 +1008,7 @@ object CommitLog {
     val byName = candidates.map(p => p.split('/').last -> p).toMap
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
-      else s.read.parquet(candidates.map(p => s"$root/$p"): _*)
+      else s.read.parquet(candidates.map(p => dataPath(root, p)): _*)
         .select(col(keyCol), input_file_name().as("f"))
         .join(updKeys, Seq(keyCol), "left_semi")
         .select(col("f")).distinct()
@@ -1000,7 +1016,7 @@ object CommitLog {
     val (add, rewriteFiles) =
       if (touched.isEmpty) (writeData(updates, root), Seq.empty[String])
       else {
-        val rewritten = s.read.parquet(touched.map(p => s"$root/$p"): _*)
+        val rewritten = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
           .join(updKeys, Seq(keyCol), "left_anti")
           .select(tableCols.map(col): _*)
         val rw = writeData(rewritten, root)
@@ -1040,7 +1056,7 @@ object CommitLog {
     if (add.isEmpty && remove.isEmpty)
       return headVersion(s, root) // already in the target state
     val f = fs(s, root)
-    val missing = add.filterNot(p => f.exists(new Path(s"$root/$p")))
+    val missing = add.filterNot(p => f.exists(new Path(dataPath(root, p))))
     require(missing.isEmpty,
       s"restore to version $toVersion at $root needs vacuumed files " +
         s"${missing.take(3).mkString(", ")}${if (missing.size > 3) ", …" else ""} — " +
@@ -1086,10 +1102,10 @@ object CommitLog {
   private def readFilesEvolved(s: SparkSession, root: String,
       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => s"$root/$p"): _*) }
+    val groups = files.groupBy(dirKey).toSeq.sortBy(_._1)
+    val frames = groups.map { case (_, fs) => s.read.parquet(fs.map(p => dataPath(root, p)): _*) }
     if (frames.map(_.schema).distinct.size == 1)
-      return s.read.parquet(files.map(p => s"$root/$p"): _*)
+      return s.read.parquet(files.map(p => dataPath(root, p)): _*)
     // a RENAME is not a readable evolution: it shows up as two groups
     // with INCOMPARABLE column sets (one misses the old name, the other
     // the new), and the null-fill fold below would silently produce two
@@ -1184,6 +1200,45 @@ object CommitLog {
     * Unreferenced crash litter (data dirs no commit ever referenced) is
     * NOT touched: a concurrent writer may be about to commit it.
     * Returns the deleted relative paths. */
+  /** SHALLOW CLONE — the zero-copy table fork (the public formats'
+    * `CREATE TABLE ... SHALLOW CLONE`): `dstRoot` becomes an independent
+    * commit-log table whose version-1 entry REFERENCES the source
+    * snapshot's live files by ABSOLUTE path — no data bytes move, a
+    * 100 TB table forks in one metadata commit. Writes to either table
+    * never touch the other: every writer here produces root-local
+    * files, so the clone's appends/deletes/merges/compactions land in
+    * its own root and only ever REMOVE the foreign references (a
+    * delete/merge rewrite copies the touched foreign files' survivors
+    * clone-local — copy-on-write at file granularity). Carried
+    * stats keep data skipping and delete/merge file pruning working on
+    * the clone unchanged; `asOf` clones any time-travel version.
+    *
+    * Ownership rule (also the public formats'): cloned-in files belong
+    * to the SOURCE — the clone's [[vacuum]] skips absolute paths, and a
+    * SOURCE-side vacuum that reclaims files past the cloned version is
+    * the one operation that can break a clone. Retention must be
+    * coordinated across clones, exactly as Delta documents.
+    */
+  def cloneShallow(s: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Long = Long.MaxValue): Long = {
+    require(log(s, dstRoot).isEmpty,
+      s"cloneShallow target $dstRoot must be an empty table")
+    val absRoot = fs(s, srcRoot).makeQualified(new Path(srcRoot)).toUri.getPath
+    val live = liveFiles(s, srcRoot, asOf)
+    require(live.nonEmpty,
+      s"commit-log table at $srcRoot has no live files (asOf=$asOf)")
+    // a clone of a clone keeps already-absolute references as-is
+    val relToAbs = live.map(p =>
+      p -> (if (p.startsWith("/")) p else s"$absRoot/$p")).toMap
+    val stats = log(s, srcRoot, asOf).flatMap(_.stats)
+      .groupBy(st => (st.file, st.column)).map(_._2.last).toSeq
+      .filter(st => relToAbs.contains(st.file))
+      .map(st => st.copy(file = relToAbs(st.file)))
+      .sortBy(st => (st.file, st.column))
+    commitEntry(s, dstRoot, "clone", live.map(relToAbs), _ => Seq.empty,
+      None, stats).get
+  }
+
   def vacuum(s: SparkSession, root: String, retainLast: Int = 0): Seq[String] = {
     val entries = log(s, root)
     if (entries.isEmpty) return Seq.empty
@@ -1198,7 +1253,10 @@ object CommitLog {
     }
     // union of adds and removes: after a checkpoint, pre-checkpoint
     // corpses survive only in the checkpoint's cumulative remove list
-    val everAdded = (entries.flatMap(_.add) ++ entries.flatMap(_.remove)).distinct
+    // cloned-in ABSOLUTE paths belong to the SOURCE table (the public
+    // formats' shallow-clone ownership rule) — never ours to reclaim
+    val everAdded = (entries.flatMap(_.add) ++ entries.flatMap(_.remove))
+      .distinct.filterNot(_.startsWith("/"))
     val f = fs(s, root)
     // existence filter: a re-run must not re-report corpses an earlier
     // vacuum already reclaimed — the return is "deleted paths", honestly

@@ -928,4 +928,53 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ops.contains((cp, "checkpoint")))
   }
 
+  test("shallow clone: zero-copy fork, independent writes, clone-side copy-on-write, vacuum ownership") {
+    val src = freshRoot()
+    CommitLog.append(batch(1, 10), src, statsFor = Seq("id"))
+    CommitLog.append(batch(11, 20), src, statsFor = Seq("id"))
+    val dst = freshRoot()
+    assert(CommitLog.cloneShallow(spark, src, dst) == 1L)
+    // zero-copy: the clone root holds ONLY the log — no data bytes moved
+    val dstFiles = new java.io.File(dst).listFiles().map(_.getName).toSet
+    assert(dstFiles == Set("_graft_log"), dstFiles.toString)
+    assert(ids(CommitLog.snapshot(spark, dst)) == (1L to 20L))
+    // carried stats: range pruning works on the clone without a rewrite
+    val (_, read, live) = CommitLog.snapshotRange(spark, dst, "id", 1L, 5L)
+    assert(read < live, s"clone must skip files on carried stats ($read/$live)")
+    // independent appends: neither table sees the other's rows
+    CommitLog.append(batch(21, 30), dst)
+    CommitLog.append(batch(31, 40), src)
+    assert(ids(CommitLog.snapshot(spark, dst)) == ((1L to 20L) ++ (21L to 30L)))
+    assert(ids(CommitLog.snapshot(spark, src)) == ((1L to 20L) ++ (31L to 40L)))
+    // clone-side DELETE rewrites the touched FOREIGN file's survivors
+    // clone-local (copy-on-write at file granularity); the source still
+    // serves every row from the same bytes
+    assert(CommitLog.delete(spark, dst, "id", Seq(3L)).isDefined)
+    assert(ids(CommitLog.snapshot(spark, dst)) ==
+      ((1L to 30L).filterNot(_ == 3L)))
+    assert(ids(CommitLog.snapshot(spark, src)) == ((1L to 20L) ++ (31L to 40L)))
+    // vacuum ownership: the delete dropped a foreign reference, but the
+    // clone's vacuum must neither report nor delete SOURCE bytes
+    val dead = CommitLog.vacuum(spark, dst, retainLast = 0)
+    assert(dead.forall(!_.startsWith("/")), s"vacuum reclaimed foreign paths: $dead")
+    assert(ids(CommitLog.snapshot(spark, src)) == ((1L to 20L) ++ (31L to 40L)),
+      "source table must survive a clone-side vacuum byte-for-byte")
+    // time-travel clone: fork the PRE-append version of the source
+    val dst2 = freshRoot()
+    CommitLog.cloneShallow(spark, src, dst2, asOf = 1L)
+    assert(ids(CommitLog.snapshot(spark, dst2)) == (1L to 10L))
+    // clone of a clone keeps absolute references as-is and still reads
+    val dst3 = freshRoot()
+    CommitLog.cloneShallow(spark, dst2, dst3)
+    assert(ids(CommitLog.snapshot(spark, dst3)) == (1L to 10L))
+    // the one refused shape: cloning ONTO a non-empty table
+    intercept[IllegalArgumentException] {
+      CommitLog.cloneShallow(spark, src, dst)
+    }
+    // history names the fork
+    val ops = CommitLog.history(spark, dst).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("op"))).toSet
+    assert(ops.contains((1L, "clone")), ops.toString)
+  }
+
 }
