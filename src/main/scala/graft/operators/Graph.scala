@@ -181,12 +181,93 @@ object Graph {
         expr("sum_hops * 100 DIV n_reachable").as("mean_hops_x100"))
   }
 
+  /** q306: trade RECIPROCITY / degree census per nation — the SYMMETRY
+    * view completing the graph block's four lenses (q146 steady-state
+    * rank, q276 local density, q300 path reach, this: lane balance):
+    * per nation, outbound lanes, inbound lanes, distinct partners,
+    * reciprocated partners and their share bp, and the `exporter` /
+    * `importer` / `balanced` role by lane counts. A one-way-heavy
+    * nation is a structural trade-imbalance flag; a reciprocity drop is
+    * lost two-way relationships before volume moves.
+    *
+    * Scale shape: the only fact-scale work is the shared [[nationEdges]]
+    * pass (q146's discipline); everything here folds the ≤ |nations|²
+    * lane frame, all joins broadcast. Self-lanes are excluded — a
+    * nation trading with itself is not a lane. All counts exact
+    * BIGINTs, share is integer DIV.
+    */
+  def q306TradeReciprocity(s: SparkSession, dir: String): DataFrame =
+    reciprocityOfEdges(nationEdges(s, dir))
+
+  /** q306 off ANY weighted (src, dst, w) edge frame — spec'd on a
+    * planted A↔B / A→C graph beside the oracled corpus run. */
+  private[graft] def reciprocityOfEdges(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // four consumers: out/in/partner folds + semi
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(broadcast(rev), Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("nation")).agg(count(lit(1)).as("n_recip"))
+    val outD = e.groupBy(col("src").as("nation")).agg(count(lit(1)).as("n_out"))
+    val inD = e.groupBy(col("dst").as("nation")).agg(count(lit(1)).as("n_in"))
+    val partners = e.select(col("src").as("nation"), col("dst").as("p"))
+      .union(e.select(col("dst"), col("src"))).distinct()
+      .groupBy(col("nation")).agg(count(lit(1)).as("n_partners"))
+    partners.join(broadcast(outD), Seq("nation"), "left")
+      .join(broadcast(inD), Seq("nation"), "left")
+      .join(broadcast(recip), Seq("nation"), "left")
+      .na.fill(0L, Seq("n_out", "n_in", "n_recip"))
+      .select(col("nation"), col("n_out"), col("n_in"), col("n_partners"),
+        col("n_recip"),
+        expr("n_recip * 10000 DIV n_partners").as("recip_bp"))
+      .withColumn("role",
+        when(col("n_out") > col("n_in"), "exporter")
+          .when(col("n_in") > col("n_out"), "importer")
+          .otherwise("balanced"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_trade_reciprocity" -> (q306TradeReciprocity _),
     "q146_pagerank_nations" -> (q146PagerankNations _),
     "q300_nation_reach" -> (q300NationReach _),
     "q276_trade_triangles" -> (q276TradeTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q306_trade_reciprocity" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (
+           SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+           FROM pairs
+           JOIN customer c ON o_custkey = c_custkey
+           JOIN supplier s ON l_suppkey = s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+         r AS (
+           SELECT e.src AS nation, CAST(count(*) AS BIGINT) AS n_recip
+           FROM e
+           WHERE EXISTS (SELECT 1 FROM e e2
+                         WHERE e2.src = e.dst AND e2.dst = e.src)
+           GROUP BY 1),
+         o AS (SELECT src AS nation, CAST(count(*) AS BIGINT) AS n_out
+               FROM e GROUP BY 1),
+         i AS (SELECT dst AS nation, CAST(count(*) AS BIGINT) AS n_in
+               FROM e GROUP BY 1),
+         p AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_partners
+               FROM (SELECT DISTINCT src AS nation, dst AS pp FROM e
+                     UNION SELECT DISTINCT dst, src FROM e)
+               GROUP BY 1)
+         SELECT p.nation, COALESCE(o.n_out, 0) AS n_out,
+                COALESCE(i.n_in, 0) AS n_in, p.n_partners,
+                COALESCE(r.n_recip, 0) AS n_recip,
+                COALESCE(r.n_recip, 0) * 10000 // p.n_partners AS recip_bp,
+                CASE WHEN COALESCE(o.n_out, 0) > COALESCE(i.n_in, 0)
+                       THEN 'exporter'
+                     WHEN COALESCE(i.n_in, 0) > COALESCE(o.n_out, 0)
+                       THEN 'importer'
+                     ELSE 'balanced' END AS role
+         FROM p LEFT JOIN o USING (nation) LEFT JOIN i USING (nation)
+                LEFT JOIN r USING (nation)""",
     "q300_nation_reach" ->
       """WITH RECURSIVE pairs AS (
            SELECT DISTINCT o_custkey, l_suppkey

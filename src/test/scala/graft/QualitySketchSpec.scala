@@ -569,4 +569,43 @@ class QualitySketchSpec extends AnyFunSuite {
       v._2 >= 1L && v._3 >= 100L && v._1 >= 1L))
   }
 
+  test("q306 reciprocity equals a driver-side census; planted A<->B / A->C graph") {
+    val sf = TestSpark.sf
+    val edges = graft.operators.Graph.nationEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val nations = edges.flatMap(e => Seq(e._1, e._2))
+    val ref = nations.map { n =>
+      val out = edges.filter(_._1 == n).map(_._2)
+      val in = edges.filter(_._2 == n).map(_._1)
+      val partners = out ++ in
+      val recip = out.filter(in.contains)
+      val role = if (out.size > in.size) "exporter"
+        else if (in.size > out.size) "importer" else "balanced"
+      n -> ((out.size.toLong, in.size.toLong, partners.size.toLong,
+        recip.size.toLong, recip.size.toLong * 10000 / partners.size, role))
+    }.toMap
+    val got = graft.operators.Graph.q306TradeReciprocity(spark, sf).collect()
+      .map(r => r.getAs[Int]("nation") -> ((r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_partners"),
+        r.getAs[Long]("n_recip"), r.getAs[Long]("recip_bp"),
+        r.getAs[String]("role")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // planted: A↔B reciprocated, A→C one-way, D→D self-lane ignored
+    val s0 = spark
+    import s0.implicits._
+    val planted = Seq((1, 2, 5L), (2, 1, 3L), (1, 3, 2L), (4, 4, 9L))
+      .toDF("src", "dst", "w")
+    val p = graft.operators.Graph.reciprocityOfEdges(planted).collect()
+      .map(r => r.getAs[Int]("nation") -> ((r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_partners"),
+        r.getAs[Long]("n_recip"), r.getAs[Long]("recip_bp"),
+        r.getAs[String]("role")))).toMap
+    assert(p(1) == ((2L, 1L, 2L, 1L, 5000L, "exporter")), p(1).toString)
+    assert(p(2) == ((1L, 1L, 1L, 1L, 10000L, "balanced")), p(2).toString)
+    assert(p(3) == ((0L, 1L, 1L, 0L, 0L, "importer")), p(3).toString)
+    assert(!p.contains(4), "a self-lane-only nation must not row")
+  }
+
 }
