@@ -75,11 +75,18 @@ object Analytics {
 
   /** q305 on ANY (user_id, ts) frame — spec'd on planted hand-built
     * user histories beside the oracled corpus run. */
-  private[graft] def growthAccountingOf(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
-    val tagged = ev
+    private[graft] def growthAccountingOf(ev: DataFrame): DataFrame =
+    growthFromWeeks(ev
       .select(col("user_id"), expr(s"unix_micros(ts) div $UsPerDay div 7").as("week"))
-      .distinct()
+      .distinct())
+
+  /** The accounting census off an already-built DISTINCT (user_id,
+    * week) frame — one definition serves q305 and s29's maintained
+    * activity set (whose weekly fold is `day div 7`), so the batch
+    * report and the streaming derivation cannot drift. */
+  private[graft] def growthFromWeeks(weeks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val tagged = weeks
       .withColumn("prev_week", lag(col("week"), 1).over(w))
       .withColumn("next_week", lead(col("week"), 1).over(w))
       .localCheckpoint() // three consumers: bounds, class fold, churn fold

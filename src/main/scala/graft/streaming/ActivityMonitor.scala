@@ -45,6 +45,18 @@ object ActivityMonitor {
   def returnCurve(activity: DataFrame): DataFrame =
     graft.operators.Events.returnCurveFromActivity(activity)
 
+  /** q305's weekly growth accounting from the SAME maintained activity
+    * set (r16) — the second estimator served by one table (s28's
+    * pattern): the weekly fold is `day div 7` over the maintained
+    * (user, day) cells, the census the SAME
+    * [[graft.operators.Analytics.growthFromWeeks]] the batch query
+    * calls. A late day landing in an already-closed week re-derives the
+    * census from corrected history — the reason the ACTIVITY SET, not
+    * the verdict table, is the state. */
+  def growth(activity: DataFrame): DataFrame =
+    graft.operators.Analytics.growthFromWeeks(
+      activity.select(col("user_id"), expr("day div 7").as("week")).distinct())
+
   /** The stream: events in, NEW activity cells out via
     * `publishDelta(delta, batchId)` (append-only — cells are never
     * updated, set union only ever adds).

@@ -804,6 +804,14 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         Option(r.getAs[Any]("return_bp")).map(_.asInstanceOf[Long]))).toSet
     assert(got == want, "streamed return curve != batch q243")
+    // r16: the SECOND estimator off the same maintained set — the weekly
+    // growth accounting derives via the shared growthFromWeeks kernel and
+    // must equal batch q305 row-for-row
+    val gotGrowth = graft.streaming.ActivityMonitor.growth(store().get._1)
+      .collect().map(_.toSeq).toSet
+    val wantGrowth = graft.operators.Analytics.q305GrowthAccounting(s0, sf)
+      .collect().map(_.toSeq).toSet
+    assert(gotGrowth == wantGrowth, "streamed growth accounting != batch q305")
     // replay guard: an applied id skips; a new id with known cells
     // yields an EMPTY delta (idempotent union), not a duplicate
     val frag = Tables.events(s0, sf).limit(10)
