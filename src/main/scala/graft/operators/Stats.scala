@@ -783,6 +783,92 @@ object Stats {
           "shift").otherwise("none"))
   }
 
+  /** q307's fixed segment domain (TPC-H's five market segments) — the
+    * χ² below is ONE literal 5-term fixed-order expression generated
+    * from this list, identically on both engines (the q245 rule: a
+    * per-group divide inside SUM() accumulates engine-dependent). */
+  private val MixSegments = Seq(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** (O·N − T·C) for one segment — the exact cross-multiplied deviation
+    * of the month cell from its pooled expectation, ~2.5e21 at 1e12
+    * orders (the q170/q171 widening rule). `dec` is DECIMAL(38,0) on
+    * Spark, HUGEINT on DuckDB; everything else is one shared text. */
+  private def mixNum(seg: String, dec: String): String =
+    s"(CAST(o_$seg AS $dec) * nn - CAST(t AS $dec) * c_$seg)"
+
+  private def mixTerm(seg: String, dec: String): String =
+    s"""CASE WHEN c_$seg = 0 THEN 0.0 ELSE
+        CAST(${mixNum(seg, dec)} AS DOUBLE) * CAST(${mixNum(seg, dec)} AS DOUBLE)
+        / CAST(CAST(nn AS $dec) * t * c_$seg AS DOUBLE) END"""
+
+  private[graft] def mixChi2Sql(dec: String): String =
+    s"CAST(round(1000 * (${MixSegments.map(mixTerm(_, dec)).mkString(" + ")})) AS BIGINT)"
+
+  /** The segment with the LARGEST positive deviation — exact
+    * DECIMAL/HUGEINT compares, first-wins ties in the fixed literal
+    * order. */
+  private[graft] def mixOverSql(dec: String): String =
+    MixSegments.init.map { s0 =>
+      val cond = MixSegments.filter(_ != s0)
+        .map(o => s"${mixNum(s0, dec)} >= ${mixNum(o, dec)}").mkString(" AND ")
+      s"WHEN $cond THEN '$s0'"
+    }.mkString("CASE ", " ", s" ELSE '${MixSegments.last}' END")
+
+  /** q307: customer-MIX drift — per order month, Pearson's χ² of the
+    * month's segment order mix against the pooled corpus mix, with the
+    * largest-excess segment named: the time-resolved "is our customer
+    * base shifting" monitor beside q130 (which DECOMPOSES revenue
+    * growth into mix vs rate, but never asks if the mix move is
+    * SIGNIFICANT) and q89 (one global contingency, no time axis). A
+    * `shifted` month at the df=4 5% bar (χ² ≥ 9.488) is a real
+    * composition change; `over_segment` says who drove it.
+    *
+    * Exactness: the χ² algebra is cleared of per-cell divides — each
+    * term is (O·N − T·C)²/(N·T·C) with numerator and radicand-free
+    * denominator exact DECIMAL(38,0)/HUGEINT integers, ONE double
+    * division per term, and the five terms sum in ONE literal
+    * fixed-order expression on both engines (the q245 device; a
+    * corpus-absent segment contributes 0 — its month cells are
+    * necessarily 0 too). The excess pick compares the exact integer
+    * deviations, never the rounded terms.
+    *
+    * Shape: one orders⋈customer key join (the q03 family,
+    * bucketing-co-locatable) folds straight to the |months|×5 pivoted
+    * frame; the pooled totals are ONE broadcast 1-row crossJoin off the
+    * checkpointed frame (the q295 rule).
+    */
+  def q307SegmentMixDrift(s: SparkSession, dir: String): DataFrame =
+    segmentMixDriftOf(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** q307 on ANY (o_custkey, o_orderdate) × (c_custkey, c_mktsegment)
+    * frames — spec'd on a planted uniform-then-shifted month beside the
+    * oracled corpus run. */
+  private[graft] def segmentMixDriftOf(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val withSeg = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val wide = withSeg.groupBy(col("month"))
+      .agg(sum(when(col("c_mktsegment") === MixSegments.head, col("n"))
+          .otherwise(0L)).as(s"o_${MixSegments.head}"),
+        MixSegments.tail.map(seg =>
+          sum(when(col("c_mktsegment") === seg, col("n"))
+            .otherwise(0L)).as(s"o_$seg")): _*)
+      .withColumn("t", expr(MixSegments.map(s0 => s"o_$s0").mkString(" + ")))
+      .localCheckpoint() // two consumers: pooled totals + the report
+    val tot = wide.agg(sum(col("t")).as("nn"),
+      MixSegments.map(seg => sum(col(s"o_$seg")).as(s"c_$seg")): _*)
+    val dec = "DECIMAL(38,0)"
+    wide.crossJoin(broadcast(tot))
+      .withColumn("chi2_x1000", expr(mixChi2Sql(dec)))
+      .select(col("month"), col("t").as("n_orders"), col("chi2_x1000"),
+        expr(mixOverSql(dec)).as("over_segment"),
+        when(col("chi2_x1000") >= 9488L, "shifted").otherwise("stable")
+          .as("verdict"))
+  }
+
   /** q245: Kruskal–Wallis day-of-week test per event type — does the
     * weekday MATTER for this feed's daily volume? The significance test
     * completing the seasonal family: q238 measures HOW MUCH of the
@@ -1244,6 +1330,7 @@ object Stats {
     "q234_acf"        -> (q234Acf _),
     "q235_theil_sen"  -> (q235TheilSen _),
     "q301_changepoint" -> (q301Changepoint _),
+    "q307_segment_mix_drift" -> (q307SegmentMixDrift _),
     "q237_calendar_gaps" -> (q237CalendarGaps _),
     "q245_kruskal_dow"   -> (q245KruskalDow _),
     "q258_dow_profile"   -> (q258DowProfile _),
@@ -1461,6 +1548,32 @@ object Stats {
                      WHEN z_x1000 <= -1960 THEN 'decreasing'
                      ELSE 'none' END AS trend
          FROM z""",
+    "q307_segment_mix_drift" -> {
+      val segCols = MixSegments.map(s0 =>
+        s"CAST(sum(CASE WHEN c_mktsegment = '$s0' THEN n ELSE 0 END) AS BIGINT) AS o_$s0")
+        .mkString(",\n                  ")
+      val totCols = MixSegments.map(s0 => s"CAST(sum(o_$s0) AS BIGINT) AS c_$s0")
+        .mkString(", ")
+      s"""WITH cells AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         wide AS (
+           SELECT month,
+                  $segCols
+           FROM cells GROUP BY 1),
+         w2 AS (SELECT *, ${MixSegments.map(s0 => s"o_$s0").mkString(" + ")} AS t
+                FROM wide),
+         tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn, $totCols FROM w2),
+         z AS (SELECT month, t, ${mixChi2Sql("HUGEINT")} AS chi2_x1000,
+                      ${mixOverSql("HUGEINT")} AS over_segment
+               FROM w2 CROSS JOIN tot)
+         SELECT month, t AS n_orders, chi2_x1000, over_segment,
+                CASE WHEN chi2_x1000 >= 9488 THEN 'shifted'
+                     ELSE 'stable' END AS verdict
+         FROM z"""
+    },
     "q301_changepoint" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

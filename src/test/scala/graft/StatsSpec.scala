@@ -800,6 +800,77 @@ class StatsSpec extends AnyFunSuite {
     assert(viaMonitor == viaBatch)
   }
 
+  test("q307 segment mix drift: driver chi2 recompute; planted uniform months stay stable, a planted shift trips") {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    // corpus: recompute chi2/over/verdict with the SAME fixed-order
+    // 5-term double sum the engines run
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val months = cells.keys.map(_._1).toSeq.distinct
+    def o(m: String, s0: String) = cells.getOrElse((m, s0), 0L)
+    val tOf = months.map(m => m -> segs.map(o(m, _)).sum).toMap
+    val cOf = segs.map(s0 => s0 -> months.map(o(_, s0)).sum).toMap
+    val nn = tOf.values.sum
+    def rnd(v: Double) = BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ref = months.map { m =>
+      val t = tOf(m)
+      // fixed literal order, one double division per term
+      val chi2 = segs.map { s0 =>
+        if (cOf(s0) == 0L) 0.0
+        else {
+          val num = BigInt(o(m, s0)) * nn - BigInt(t) * cOf(s0)
+          (num.toDouble * num.toDouble) / (BigInt(nn) * t * cOf(s0)).toDouble
+        }
+      }.foldLeft(0.0)(_ + _)
+      val devs = segs.map(s0 => s0 -> (BigInt(o(m, s0)) * nn - BigInt(t) * cOf(s0)))
+      val over = devs.find { case (s0, d) =>
+        devs.forall { case (o2, d2) => o2 == s0 || d >= d2 } }.get._1
+      m -> ((t, rnd(1000 * chi2), over,
+        if (rnd(1000 * chi2) >= 9488L) "shifted" else "stable"))
+    }.toMap
+    val got = Stats.q307SegmentMixDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("month") -> ((r.getAs[Long]("n_orders"),
+        r.getAs[Long]("chi2_x1000"), r.getAs[String]("over_segment"),
+        r.getAs[String]("verdict")))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (m, (t, chi, over, v)) =>
+      val (rt, rchi, rover, rv) = ref(m)
+      assert(t == rt && over == rover && v == rv, s"$m census")
+      assert(math.abs(chi - rchi) <= 1L, s"$m chi2 $chi vs $rchi") // x1000 round ulp
+    }
+    // planted: ten pooled-mix months (200 orders, 40/segment) keep every
+    // month stable even though the ELEVENTH month — all its BUILDING
+    // mass moved to AUTOMOBILE — perturbs the pooled baseline; the
+    // shifted month itself clears the df=4 bar (chi2 ≈ 66.7) and names
+    // AUTOMOBILE as the excess
+    val s0 = spark
+    import s0.implicits._
+    val customers = (1 to 100).map(i => (i.toLong, segs(i % 5)))
+      .toDF("c_custkey", "c_mktsegment")
+    def month(m: Int, picks: Seq[Int]) = picks.zipWithIndex.map {
+      case (c, i) => ((m * 10000 + i).toLong, c.toLong,
+        java.sql.Timestamp.valueOf(f"2024-$m%02d-10 00:00:00"))
+    }
+    val cyc = (1 to 200).map(i => ((i - 1) % 100) + 1)
+    val uniform = (1 to 10).flatMap(m => month(m, cyc))
+    // custkey % 5 == 1 is BUILDING; +4 lands on an AUTOMOBILE customer
+    val shifted = month(11, cyc.map(c => if (c % 5 == 1) c + 4 else c))
+    val orders = (uniform ++ shifted)
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .select(col("o_custkey"), col("o_orderdate"))
+    val p = Stats.segmentMixDriftOf(orders, customers).collect()
+      .map(r => r.getAs[String]("month") -> ((r.getAs[Long]("chi2_x1000"),
+        r.getAs[String]("over_segment"), r.getAs[String]("verdict")))).toMap
+    (1 to 10).foreach(m => assert(p(f"2024-$m%02d")._3 == "stable",
+      s"month $m: ${p(f"2024-$m%02d")}"))
+    assert(p("2024-11")._3 == "shifted" && p("2024-11")._2 == "AUTOMOBILE",
+      p("2024-11").toString)
+  }
+
   test("q245 Kruskal-Wallis dow: driver midrank recompute; planted weekly/flat/alternating series") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
