@@ -524,6 +524,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 2, p) // per-source totals + modal window
   }
 
+  test("r16 q306 reciprocity folds the checkpointed lane frame broadcast-only") {
+    val p = plan("q306_trade_reciprocity")
+    assert(!p.contains("SortMergeJoin"), p)
+    // 3 left-outer census joins + the reciprocation semi — all broadcast
+    assert(count(p, "BroadcastHashJoin") == 4 && p.contains("LeftSemi"), p)
+    // every shuffle is a |nations|-bounded fold of the lane frame
+    assert(count(p, "Exchange") == 5, p)
+  }
+
+  test("r16 q307 mix drift: one broadcast 1-row pooled-totals cross join past the pivot seam") {
+    val p = plan("q307_segment_mix_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+    assert(count(p, "Exchange") == 1, p) // the 1-row totals partial
+  }
+
   test("r16 q305 growth accounting: week grid and both folds join broadcast on the bounded frame") {
     val p = plan("q305_growth_accounting")
     assert(!p.contains("SortMergeJoin"), p)
