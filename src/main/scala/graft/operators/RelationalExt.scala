@@ -330,6 +330,12 @@ object RelationalExt {
     * missing band-0 (no full-price lines anywhere) yields NULL lifts —
     * honest, the proxy has no baseline.
     *
+    * CLOSED-DOMAIN contract: the 0..10 grid is TPC-H's discount domain;
+    * a band outside it would be silently excluded from the table AND
+    * the revenue total (the conservation spec would catch it at test
+    * SFs) — a schema with deeper discounts must widen the literal grid
+    * (the q44 explicit-pivot-values rule).
+    *
     * Shape: ONE lineitem scan folds map-side to the 11-row band frame;
     * baseline and corpus total are broadcast 1-row crossJoins off the
     * checkpointed bounded frame (the q295 rule — never a second fact

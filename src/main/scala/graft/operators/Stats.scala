@@ -789,6 +789,12 @@ object Stats {
     * per-group divide inside SUM() accumulates engine-dependent). */
   private val MixSegments = Seq(
     "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  // CLOSED-DOMAIN contract: the fixed-order device requires the literal
+  // list to cover the segment domain — a row outside it would be
+  // silently excluded from both the month totals and the pooled mix.
+  // TPC-H's segment domain is closed; a production schema with an open
+  // domain must regenerate the literal list from the dimension first
+  // (the q44 explicit-pivot-values rule).
 
   /** (O·N − T·C) for one segment — the exact cross-multiplied deviation
     * of the month cell from its pooled expectation, ~2.5e21 at 1e12
