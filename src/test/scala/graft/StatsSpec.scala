@@ -871,6 +871,30 @@ class StatsSpec extends AnyFunSuite {
       p("2024-11").toString)
   }
 
+  test("q307 closed-domain guard: a planted unknown segment fails loudly; the known-domain frame is unaffected") {
+    val s0 = spark
+    import s0.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")
+    val known = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((1L, ts), (2L, ts)).toDF("o_custkey", "o_orderdate")
+    assert(Stats.segmentMixDriftOf(orders, known).count() == 1L)
+    // one drifted dimension row: the fixed-order literal χ² would
+    // silently exclude its orders from the month totals AND the pooled
+    // mix — the guard turns that into an actionable failure
+    val drifted = Seq((1L, "AUTOMOBILE"), (2L, "AEROSPACE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val e = intercept[Exception] { // SparkException wrapping the task's
+      Stats.segmentMixDriftOf(orders, drifted).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("outside the closed 5-segment domain") &&
+      t.getMessage.contains("AEROSPACE")),
+      chain(e).map(_.getMessage))
+  }
+
   test("q245 Kruskal-Wallis dow: driver midrank recompute; planted weekly/flat/alternating series") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
