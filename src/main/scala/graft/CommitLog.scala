@@ -64,7 +64,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object CommitLog {
 
-  private val LogDir = "_graft_log"
+  private[graft] val LogDir = "_graft_log"
   private val MaxCommitRetries = 20
 
   /** [[delete]] key-count ceiling for the literal `isin` survivor filter;
@@ -110,7 +110,7 @@ object CommitLog {
     * paths are root-local (every writer here produces them); ABSOLUTE
     * paths are cloned-in foreign references ([[cloneShallow]]) and
     * resolve as-is. */
-  private def dataPath(root: String, p: String): String =
+  private[graft] def dataPath(root: String, p: String): String =
     if (p.startsWith("/")) p else s"$root/$p"
 
   /** Immutable-data-dir grouping key for a commit path (schema memo /
@@ -585,6 +585,27 @@ object CommitLog {
     committed
   }
 
+  /** CREATE TABLE — an empty table whose schema is durable: version 1 is
+    * a zero-row parquet commit (op `create`), so the schema rides in a
+    * parquet footer exactly like every other version's and the format
+    * needs NO separate metadata store (schema-on-read stays the one
+    * schema mechanism; an empty table is simply a table whose one live
+    * file has no rows). The SQL catalog's `CREATE TABLE` lands here;
+    * CTAS follows with an ordinary [[append]]. Refuses a root that
+    * already has commits — create is not idempotent by design (the
+    * catalog maps "already exists" to its own exception). */
+  def create(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(log(s, root).isEmpty,
+      s"create target $root already has a commit log")
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema).coalesce(1)
+    val add = writeData(empty, root)
+    require(add.nonEmpty,
+      s"create at $root wrote no schema-carrying parquet file")
+    commitEntry(s, root, "create", add, _ => Seq.empty, None).get
+  }
+
   /** Replace the table contents with df in one version. */
   def overwrite(df: DataFrame, root: String): Long = {
     val add = writeData(df, root)
@@ -788,7 +809,7 @@ object CommitLog {
   /** The latest stat per (file, column) for `column`, folded over the
     * entries — snapshotRange's "later duplicate wins" rule, shared with
     * the row-level mutation paths below. */
-  private def statFold(entries: Seq[Commit], column: String): Map[String, FileStat] =
+  private[graft] def statFold(entries: Seq[Commit], column: String): Map[String, FileStat] =
     entries.flatMap(_.stats).filter(_.column == column)
       .map(st => st.file -> st).toMap
 
@@ -1120,8 +1141,27 @@ object CommitLog {
     // quietly while the divergent-writer pattern is rare and deliberate.
     val allowDivergent = s.conf
       .getOption("graft.commitlog.allowDivergentColumns").contains("true")
+    val unified = unifiedSchemaOf(frames.map(_.schema), root, allowDivergent)
+    frames.map { df =>
+      val have = df.columns.toSet
+      df.select(unified.fields.toSeq.map { f =>
+        (if (have(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    }.reduce(_ union _)
+  }
+
+  /** The widening fold over per-group footer schemas — the ONE definition
+    * of what "readable schema evolution" means, shared by
+    * [[readFilesEvolved]] (the API read) and [[evolvedSchema]] (the SQL
+    * catalog's analysis-time schema): first-seen column order, later
+    * additions append, int→long / float→double widen, anything else (or
+    * incomparable column sets = a rename/drop+add) throws loudly. */
+  private[graft] def unifiedSchemaOf(
+      schemas: Seq[org.apache.spark.sql.types.StructType], root: String,
+      allowDivergent: Boolean): org.apache.spark.sql.types.StructType = {
     if (!allowDivergent) {
-      val colSets = frames.map(_.schema.fieldNames.toSet)
+      val colSets = schemas.map(_.fieldNames.toSet)
       for (i <- colSets.indices; j <- (i + 1) until colSets.size) {
         val (a, b) = (colSets(i), colSets(j))
         if (!a.subsetOf(b) && !b.subsetOf(a))
@@ -1139,7 +1179,7 @@ object CommitLog {
     }
     val unified = scala.collection.mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.DataType]
-    frames.foreach(_.schema.fields.foreach { f =>
+    schemas.foreach(_.fields.foreach { f =>
       unified.get(f.name) match {
         case None => unified(f.name) = f.dataType
         case Some(t) => unified(f.name) = widen(t, f.dataType).getOrElse(
@@ -1149,12 +1189,25 @@ object CommitLog {
               "float→double widenings are readable across versions"))
       }
     })
-    frames.map { df =>
-      val have = df.columns.toSet
-      df.select(unified.toSeq.map { case (n, t) =>
-        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
-      }: _*)
-    }.reduce(_ union _)
+    org.apache.spark.sql.types.StructType(
+      unified.toSeq.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+  }
+
+  /** The [[snapshotEvolved]] read schema for a file set WITHOUT building
+    * the frame — what a SQL catalog needs at analysis time. Footer reads
+    * are memoized per immutable data dir ([[dirSchemaCache]]), so the
+    * steady-state cost is O(new dirs), not O(dirs) per query. */
+  private[graft] def evolvedSchema(s: SparkSession, root: String,
+      files: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val schemas = files.groupBy(dirKey).toSeq.sortBy(_._1)
+      .map { case (d, fs) =>
+        dirSchemaCache.getOrElseUpdate((root, d))(
+          s.read.parquet(fs.map(p => dataPath(root, p)): _*).schema)
+      }
+    if (schemas.distinct.size == 1) schemas.head
+    else unifiedSchemaOf(schemas, root, s.conf
+      .getOption("graft.commitlog.allowDivergentColumns").contains("true"))
   }
 
   /** Snapshot read ACROSS schema versions — the contract a long-lived
@@ -1223,6 +1276,19 @@ object CommitLog {
       asOf: Long = Long.MaxValue): Long = {
     require(log(s, dstRoot).isEmpty,
       s"cloneShallow target $dstRoot must be an empty table")
+    // Foreign references are recorded scheme-less (`/...`) and resolve
+    // against the DEFAULT FileSystem at read time (dataPath's convention),
+    // so a clone is only sound when the source lives ON the default FS —
+    // a clone of an hdfs://-rooted table into a local table would record
+    // references that silently resolve against the wrong filesystem
+    // (r16 advice). Loud, not silent:
+    val defaultFs = FileSystem.get(s.sparkContext.hadoopConfiguration).getUri
+    val srcFs = fs(s, srcRoot).getUri
+    require(srcFs == defaultFs,
+      s"cloneShallow source $srcRoot lives on $srcFs, not the default " +
+        s"filesystem $defaultFs — foreign references are recorded " +
+        "scheme-less and would resolve against the wrong FS; clone " +
+        "within one filesystem, or copy the data")
     val absRoot = fs(s, srcRoot).makeQualified(new Path(srcRoot)).toUri.getPath
     val live = liveFiles(s, srcRoot, asOf)
     require(live.nonEmpty,

@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsWrite}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front door: CommitLog tables through a DSv2 TableCatalog —
+  * pure-SQL create/insert/select, VERSION/TIMESTAMP AS OF time travel,
+  * commit-stats file pruning visible in the physical plan, reader-side
+  * schema evolution, and the loud vacuumed-version contract. */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-catalog-wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    dir
+  }
+
+  test("pure-SQL lifecycle: CTAS commits, INSERT appends, VERSION AS OF and TIMESTAMP AS OF time-travel, INSERT OVERWRITE truncates") {
+    val root = s"$wh/db/li"
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity").cast("long").as("q"))
+      .createOrReplaceTempView("li_src")
+    val n = spark.table("li_src").count()
+
+    spark.sql("CREATE TABLE gcat.db.li AS SELECT * FROM li_src")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.li").head().getLong(0) == n)
+    // v1 = the zero-row create commit, v2 = the CTAS append
+    assert(CommitLog.headVersion(spark, root) == 2L)
+    assert(spark.sql("SELECT * FROM gcat.db.li VERSION AS OF 1").count() == 0L)
+
+    Thread.sleep(120) // commit-mtime ms must separate v2 from v3
+    spark.sql("INSERT INTO gcat.db.li SELECT k, q FROM li_src LIMIT 10")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.li").head().getLong(0) == n + 10)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.li VERSION AS OF 2")
+      .head().getLong(0) == n)
+    // history carries the ops the SQL statements landed as
+    val ops = CommitLog.history(spark, root).orderBy("version")
+      .collect().map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("create", "append", "append"), ops.toString)
+
+    // timestamp travel: the instant v2 landed (commit-file mtime, the
+    // same clock versionAsOfTime resolves) reads the v2 snapshot
+    val t2 = CommitLog.history(spark, root)
+      .filter(col("version") === 2L && col("op") === "append")
+      .select(date_format(col("commit_ts"), "yyyy-MM-dd HH:mm:ss.SSS"))
+      .head().getString(0)
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.li TIMESTAMP AS OF '$t2'")
+      .head().getLong(0) == n)
+
+    Thread.sleep(120)
+    // static mode explicitly: a concurrently-running suite could leak
+    // dynamic partitionOverwriteMode into the shared session, which
+    // re-plans INSERT OVERWRITE as the dynamic-partition form graft
+    // tables decline (see the GraftCatalog scaladoc note)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.sql("INSERT OVERWRITE gcat.db.li SELECT k, q FROM li_src LIMIT 5")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.li").head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.li VERSION AS OF 2")
+      .head().getLong(0) == n)
+    // the overwrite is one commit with op tag through the same protocol
+    assert(CommitLog.history(spark, root)
+      .filter(col("version") === 4L).head().getAs[String]("op") == "overwrite")
+  }
+
+  test("plan shape: commit-stats prune files at planning time, filters reach the parquet scan, columns prune") {
+    spark.sql("CREATE TABLE gcat.db.pr (k BIGINT, grp BIGINT, v BIGINT)")
+    spark.conf.set("graft.catalog.statsColumns", "k")
+    try {
+      import spark.implicits._
+      // two disjoint-key commits: stats admit exactly one for a point read
+      (0L until 100L).map(i => (i, i % 7, i * 2)).toDF("k", "grp", "v")
+        .createOrReplaceTempView("pr_lo")
+      (100L until 200L).map(i => (i, i % 7, i * 2)).toDF("k", "grp", "v")
+        .createOrReplaceTempView("pr_hi")
+      spark.sql("INSERT INTO gcat.db.pr SELECT * FROM pr_lo")
+      spark.sql("INSERT INTO gcat.db.pr SELECT * FROM pr_hi")
+    } finally spark.conf.unset("graft.catalog.statsColumns")
+
+    val q = spark.sql("SELECT k, v FROM gcat.db.pr WHERE k >= 150")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (150L until 200L).map(i => (i, i * 2)))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan }.get.asInstanceOf[ParquetScan]
+    val live = CommitLog.liveFiles(spark, s"$wh/db/pr")
+    // file-level skip: only the hi commit's files survive planning (the
+    // stat-less zero-row create file is kept — the superset rule)
+    assert(scan.fileIndex.inputFiles.length < live.size,
+      s"${scan.fileIndex.inputFiles.length} of ${live.size} files read")
+    assert(scan.fileIndex.inputFiles.forall(f =>
+      !f.contains(dirHoldingKey(spark, s"$wh/db/pr", 0L))))
+    // the comparison reached the parquet scan for row-group skipping
+    assert(scan.pushedFilters.mkString(",").contains("GreaterThanOrEqual(k,150)"),
+      scan.pushedFilters.mkString(","))
+    // column pruning: grp never read
+    assert(scan.readDataSchema.fieldNames.toSet == Set("k", "v"),
+      scan.readDataSchema.simpleString)
+
+    // out-of-bounds read against gcat.db.pr still touches the STAT-LESS
+    // zero-row create file (the superset rule: no stat ⇒ unskippable),
+    // but nothing else
+    val oob = spark.sql("SELECT k FROM gcat.db.pr WHERE k > 5000")
+    assert(oob.count() == 0L)
+    val oobScan = oob.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan }.get.asInstanceOf[ParquetScan]
+    assert(oobScan.fileIndex.inputFiles.length == 1,
+      oobScan.fileIndex.inputFiles.mkString(","))
+
+    // on a table where EVERY live file carries stats (API-built, no
+    // create file), excluding bounds plan a zero-partition scan
+    import spark.implicits._
+    val allStats = s"$wh/db/prs"
+    CommitLog.append((0L until 50L).toDF("k"), allStats, None, Seq("k"))
+    val none = spark.sql("SELECT k FROM gcat.db.prs WHERE k > 5000")
+    assert(none.count() == 0L)
+    assert(none.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan }.get.isInstanceOf[graft.sources.GraftEmptyScan])
+  }
+
+  /** The data dir (d-<uuid>) holding the given key, via the stats. */
+  private def dirHoldingKey(s: org.apache.spark.sql.SparkSession,
+      root: String, key: Long): String = {
+    val st = CommitLog.statFold(CommitLog.log(s, root), "k").values
+      .find(st => st.min <= key && key <= st.max).get
+    st.file.takeWhile(_ != '/')
+  }
+
+  test("reader-side schema evolution through SQL: added column null-fills, int widens to long; time travel reads the old schema") {
+    val root = s"$wh/db/evo"
+    import spark.implicits._
+    CommitLog.append(Seq((1, 10)).toDF("k", "v"), root)           // int, int
+    CommitLog.append(Seq((2L, 20L, "x")).toDF("k", "v", "tag"), root) // widened + added
+    val head = spark.sql("SELECT * FROM gcat.db.evo ORDER BY k")
+    assert(head.schema.simpleString ==
+      "struct<k:bigint,v:bigint,tag:string>", head.schema.simpleString)
+    assert(head.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(2)))).toSeq ==
+      Seq((1L, 10L, None), (2L, 20L, Some("x"))))
+    // the pre-evolution version reads with its own (old) schema
+    val v1 = spark.sql("SELECT * FROM gcat.db.evo VERSION AS OF 1")
+    assert(v1.schema.simpleString == "struct<k:int,v:int>", v1.schema.simpleString)
+    assert(v1.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10)))
+  }
+
+  test("vacuumed version fails LOUD at load with the retention contract; nonexistent versions and tables error") {
+    val root = s"$wh/db/vac"
+    import spark.implicits._
+    CommitLog.append(Seq((1L, "a")).toDF("k", "s"), root)
+    CommitLog.overwrite(Seq((2L, "b")).toDF("k", "s"), root)
+    CommitLog.vacuum(spark, root) // v1's files are gone; v1 still in the log
+    assert(spark.sql("SELECT k FROM gcat.db.vac").head().getLong(0) == 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.vac VERSION AS OF 1").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("reclaimed by vacuum") &&
+      t.getMessage.contains("retainLast")), chain(e).map(_.getMessage))
+    // version beyond head errors with the head named
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.vac VERSION AS OF 99").collect()
+    }
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("version 99 does not exist")))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.no_such_table").collect()
+    }
+  }
+
+  test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
+    spark.sql("CREATE TABLE gcat.db.ddl1 (k BIGINT)")
+    val names = spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(names.contains("ddl1"))
+    spark.sql("ALTER TABLE gcat.db.ddl1 RENAME TO gcat.db.ddl2")
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getAs[String]("tableName")).toSet.contains("ddl2"))
+    spark.sql("DROP TABLE gcat.db.ddl2")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getAs[String]("tableName")).toSet.contains("ddl2"))
+
+    val pe = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.part (k BIGINT) PARTITIONED BY (k)")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(pe).exists(t => t.getMessage != null &&
+      t.getMessage.contains("no partition transforms")))
+
+    // a time-traveled table is read-only (catalog-level contract)
+    val cat = new graft.sources.GraftCatalog
+    cat.initialize("gcat",
+      new CaseInsensitiveStringMap(Map("warehouse" -> wh).asJava))
+    val t = cat.loadTable(Identifier.of(Array("db"), "evo"), "1")
+    val we = intercept[UnsupportedOperationException] {
+      t.asInstanceOf[SupportsWrite].newWriteBuilder(null)
+    }
+    assert(we.getMessage.contains("time-traveled"))
+  }
+}

@@ -84,15 +84,19 @@ class RollupMaintenanceSpec extends AnyFunSuite {
     val marker = java.nio.file.Paths.get(s"$dir/last_batch")
     // the published cell-partitioned table + last-applied batch id ARE the
     // state; deltas land via dynamic partition overwrite, so untouched
-    // (event_type, day) cells are never rewritten
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // (event_type, day) cells are never rewritten. Per-WRITE option, not
+    // a session conf: suites share the session, and a leaked dynamic
+    // mode re-plans other suites' INSERT OVERWRITEs (it broke the graft
+    // catalog's V1 truncate path under the full parallel run)
     def store(): Option[(DataFrame, Long)] =
       if (java.nio.file.Files.exists(marker))
         Some((s.read.parquet(path),
           java.nio.file.Files.readString(marker).trim.toLong))
       else None
     def publishDelta(delta: DataFrame, batchId: Long): Unit = {
-      delta.write.mode("overwrite").partitionBy("event_type", "day").parquet(path)
+      delta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type", "day").parquet(path)
       java.nio.file.Files.writeString(marker, batchId.toString)
     }
     val events = Tables.events(s, sf)

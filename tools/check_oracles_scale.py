@@ -8,6 +8,17 @@ compare, and writes a CORRECTNESS_sf1ev.json-shaped artifact:
 
 Dev tool only — NOT part of the shipped Scala library.
 Usage: python3 tools/check_oracles_scale.py <sfDir> <verifyOutDir> <outJson> [names]
+
+Env knobs (the r16 capacity findings — the three OOM rows q249/q252/q261
+were DuckDB hash-join memory at default settings, not plan impossibility):
+  DUCKDB_THREADS     worker threads (default 8; hash-join memory scales
+                     with thread count, so FEWER threads = less memory)
+  DUCKDB_SPILL       max_temp_directory_size (default '70GiB')
+Queries whose generated text is `<WITH ...> SELECT ... UNION ALL SELECT`
+(q261's per-scheme sweep) are additionally DECOMPOSED: each top-level
+branch runs as its own statement (unreferenced CTEs are lazy, so each run
+plans only its scheme's pipeline) and the branch frames concatenate —
+UNION ALL is order-insensitive under the sorted compare.
 """
 import glob
 import json
@@ -22,11 +33,28 @@ sys.path.insert(0, os.path.dirname(__file__))
 from check_oracles import TABLES, compare  # noqa: E402
 
 
+def branch_split(sql: str):
+    """Top-level UNION ALL branches of the generated sweep shape, each a
+    standalone query re-carrying the WITH prefix. Returns [sql] when the
+    marker is absent (single-pipeline oracles run unchanged)."""
+    marker = "\nUNION ALL\n"
+    if marker not in sql:
+        return [sql]
+    head, *rest = sql.split(marker)
+    # the first branch ends where the WITH prefix's final SELECT begins;
+    # every later branch is a bare SELECT needing the shared prefix
+    cut = head.rindex("SELECT")
+    prefix, first = head[:cut], head[cut:]
+    return [prefix + first] + [prefix + b for b in rest]
+
+
 def main() -> None:
     sfdir, outdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     con = duckdb.connect()
-    con.execute("SET max_temp_directory_size='40GiB'")
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_SPILL', '70GiB')}'")
+    con.execute(f"SET threads={int(os.environ.get('DUCKDB_THREADS', '8'))}")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         src = f"{sfdir}/{t}.parquet"
         if os.path.isdir(src):
@@ -45,7 +73,9 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            exp = con.execute(oracle[name]).df()
+            parts = branch_split(oracle[name])
+            exp = pd.concat([con.execute(p).df() for p in parts],
+                            ignore_index=True)
         except Exception as exc:  # noqa: BLE001
             results[name] = {"status": "error",
                              "detail": f"oracle SQL error: {exc}"[:400],
