@@ -253,13 +253,151 @@ object Graph {
           .otherwise("balanced"))
   }
 
+  /** q308: cheapest bounded-hop trade ROUTES — the WEIGHTED fixpoint
+    * completing the graph block's lenses (q146 steady-state rank, q276
+    * density, q300 unweighted reach, q306 symmetry; this: min-COST
+    * routing): per (src, dst) nation pair reachable in ≤ 4 lanes, the
+    * direct lane's mean fulfillment lag, the cheapest ≤4-lane route's
+    * total lag, its hop count, and the reroute saving bp — "shipping
+    * through an intermediary nation beats the direct lane by X%" is the
+    * logistics read no unweighted view can give. The operator class is
+    * new: a WEIGHTED walk-DP relaxation (Bellman–Ford over bounded
+    * hops) whose DuckDB mirror is a `WITH RECURSIVE` CTE accumulating
+    * (cost, hops) state — q300's recursion carried reachability only.
+    *
+    * CLOSED-FORM bound contract: routes use at most 4 lanes (3
+    * transshipments — the realistic logistics cap, and the bound that
+    * keeps the oracle's walk enumeration finite); with non-negative
+    * lane costs the optimum over ≤4 lanes is exact whenever the true
+    * optimum uses ≤4 (spec-pinned: a cheaper 5-lane chain is NOT taken).
+    * Min-cost composes over walks (optimal substructure), so the DP
+    * relaxes min-cost-per-(src,dst) frames — it never enumerates walks;
+    * the oracle's recursion enumerates deduped (src,dst,cost,hops)
+    * states, bounded by the ≤|nations|² pair grid × the integer cost
+    * domain × 4. Walks never re-enter their origin (the recursion's
+    * arrival guard, mirrored in the DP filter); ties at the best cost
+    * resolve to the FEWEST hops, exactly on both engines.
+    *
+    * Exactness: per-line lag = epoch-day(ship) − epoch-day(order) (the
+    * q246 idiom); lane cost = Σlag DIV count (exact BIGINT floor);
+    * route costs are BIGINT sums; saving is an integer bp DIV, NULL
+    * when no direct lane exists (nothing to save against) or the
+    * direct lane is 0-cost.
+    *
+    * Shape: ONE fact-scale pass (lineitem⋈orders key join + two
+    * broadcast dim joins folding map-side to the ≤|nations|² lane
+    * frame — the q302 family price, bucketing-co-locatable at 100 TB);
+    * the DP is 3 broadcast-join relaxations over ≤|nations|²-row
+    * checkpointed frames plus one partitioned window on the same grid.
+    */
+  def q308TradeRoutes(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("src"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("dst"))
+    val lanes = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        (expr("unix_micros(l_shipdate) div 86400000000")
+          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag_days"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(sum(lag_days) AS BIGINT) DIV count(1)").as("cost"))
+      .localCheckpoint() // 5 consumers: 3 relaxations + direct join + h=1
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    tradeRoutesOfLanes(lanes)
+      .join(broadcast(n.withColumnRenamed("n_name", "src_nation")),
+        col("src") === col("n_nationkey")).drop("n_nationkey")
+      .join(broadcast(n.withColumnRenamed("n_name", "dst_nation")),
+        col("dst") === col("n_nationkey"))
+      .select(col("src_nation"), col("dst_nation"), col("direct_cost"),
+        col("best_cost"), col("best_hops"), col("saving_bp"))
+  }
+
+  /** q308 off ANY (src, dst, cost) lane frame — spec'd on planted
+    * reroute/bound graphs beside the oracled corpus run. */
+  private[graft] def tradeRoutesOfLanes(lanes: DataFrame): DataFrame = {
+    // min-cost-per-(src,dst) over walks of EXACTLY h lanes, h = 1..4 —
+    // optimal substructure lets each step relax the previous frame
+    // instead of enumerating walks; localCheckpoint keeps the plan flat
+    // every union branch is materialized (the frames are ≤ |nations|²
+    // rows) and RE-WRAPPED with fresh attributes: localCheckpoint alone
+    // keeps the origin plan's attribute ids AND constraints, and the
+    // 4-branch Union's constraint rewrite trips on ids shared with the
+    // lanes frame joined again below (AttributeMap key-not-found)
+    def fresh(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    var frontier = fresh(lanes.withColumn("hops", lit(1L)))
+    var best = frontier
+    for (h <- 2 to 4) {
+      frontier = fresh(frontier.as("r")
+        .join(broadcast(lanes.as("l")), col("r.dst") === col("l.src"))
+        .filter(col("l.dst") =!= col("r.src")) // never re-enter the origin
+        .groupBy(col("r.src").as("src"), col("l.dst").as("dst"))
+        .agg(min(col("r.cost") + col("l.cost")).as("cost"))
+        .withColumn("hops", lit(h.toLong)))
+      best = best.unionByName(frontier)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("dst"))
+      .orderBy(col("cost").asc, col("hops").asc)
+    best.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(lanes.select(col("src"), col("dst"),
+        col("cost").as("direct_cost"))), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("direct_cost"),
+        col("cost").as("best_cost"), col("hops").as("best_hops"),
+        expr("""CASE WHEN direct_cost > 0
+                THEN (direct_cost - cost) * 10000 DIV direct_cost
+                END""").as("saving_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_trade_routes"  -> (q308TradeRoutes _),
     "q306_trade_reciprocity" -> (q306TradeReciprocity _),
     "q146_pagerank_nations" -> (q146PagerankNations _),
     "q300_nation_reach" -> (q300NationReach _),
     "q276_trade_triangles" -> (q276TradeTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q308_trade_routes" ->
+      """WITH RECURSIVE lag AS (
+           SELECT o_custkey, l_suppkey,
+                  (epoch_us(l_shipdate) // 86400000000)
+                    - (epoch_us(o_orderdate) // 86400000000) AS lag_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         lanes AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                  CAST(sum(lag_days) AS BIGINT) // count(*) AS cost
+           FROM lag
+           JOIN customer c ON o_custkey = c_custkey
+           JOIN supplier s ON l_suppkey = s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2),
+         routes(src, dst, cost, hops) AS (
+           SELECT src, dst, cost, CAST(1 AS BIGINT) AS hops FROM lanes
+           UNION
+           SELECT r.src, l.dst, r.cost + l.cost, r.hops + 1
+           FROM routes r JOIN lanes l ON r.dst = l.src
+           WHERE l.dst <> r.src AND r.hops < 4),
+         b AS (SELECT src, dst, min(cost) AS best_cost
+               FROM routes GROUP BY 1, 2),
+         bh AS (SELECT r.src, r.dst, b.best_cost,
+                       CAST(min(r.hops) AS BIGINT) AS best_hops
+                FROM routes r
+                JOIN b ON r.src = b.src AND r.dst = b.dst
+                      AND r.cost = b.best_cost
+                GROUP BY 1, 2, 3)
+         SELECT ns.n_name AS src_nation, nd.n_name AS dst_nation,
+                d.cost AS direct_cost, bh.best_cost, bh.best_hops,
+                CASE WHEN d.cost > 0
+                     THEN (d.cost - bh.best_cost) * 10000 // d.cost
+                END AS saving_bp
+         FROM bh
+         LEFT JOIN lanes d ON bh.src = d.src AND bh.dst = d.dst
+         JOIN nation ns ON bh.src = ns.n_nationkey
+         JOIN nation nd ON bh.dst = nd.n_nationkey""",
     "q306_trade_reciprocity" ->
       """WITH pairs AS (
            SELECT DISTINCT o_custkey, l_suppkey

@@ -533,6 +533,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 5, p)
   }
 
+  test("r17 q308 trade routes: champion fold is one bounded-grid exchange, direct/name joins broadcast") {
+    // the 3 DP relaxations run eagerly at materialized ≤|nations|²-row
+    // frames (broadcast-joined, checkpoint-cut — not visible in this
+    // final plan); what remains is the union → window champion pick +
+    // the direct-lane and two nation joins, all broadcast
+    val p = plan("q308_trade_routes")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(count(p, "Exchange") == 1, p) // the (src,dst) window partition
+  }
+
   test("r16 q307 mix drift: one broadcast 1-row pooled-totals cross join past the pivot seam") {
     val p = plan("q307_segment_mix_drift")
     assert(!p.contains("SortMergeJoin"), p)

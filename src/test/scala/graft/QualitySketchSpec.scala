@@ -333,6 +333,88 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(got.map(_._3).sum % 3 == 0)
   }
 
+  test("q308 trade routes equal a driver-side bounded Bellman-Ford; planted reroute and hop-bound graphs pin the contract") {
+    val sfDir = TestSpark.sf
+    // driver recompute: collect the lane frame (≤ |nations|² rows), run
+    // the same ≤4-lane min-(cost, hops) DP in plain Scala
+    val laneRows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        (expr("unix_micros(l_shipdate) div 86400000000")
+          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(sum(lag) AS BIGINT) DIV count(1)").as("cost"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def dp(lanes: Map[(Int, Int), Long]): Map[(Int, Int), (Long, Long)] = {
+      val best = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+      def upd(k: (Int, Int), c: Long, h: Long): Unit = best.get(k) match {
+        case Some((bc, bh)) if bc < c || (bc == c && bh <= h) => ()
+        case _ => best(k) = (c, h)
+      }
+      var frontier = lanes
+      frontier.foreach { case (k, c) => upd(k, c, 1L) }
+      for (h <- 2 to 4) {
+        val next = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        for (((a, m), c) <- frontier; (((m2, b), lc)) <- lanes
+             if m2 == m && b != a) {
+          val k = (a, b); val nc = c + lc
+          if (!next.contains(k) || next(k) > nc) next(k) = nc
+        }
+        next.foreach { case (k, c) => upd(k, c, h.toLong) }
+        frontier = next.toMap
+      }
+      best.toMap
+    }
+    val names = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = dp(laneRows).map { case ((a, b), (c, h)) =>
+      val direct = laneRows.get((a, b))
+      (names(a), names(b)) -> ((direct, c, h,
+        direct.filter(_ > 0).map(d => (d - c) * 10000 / d)))
+    }
+    val got = graft.operators.Graph.q308TradeRoutes(spark, sfDir).collect()
+      .map { r =>
+        def opt(n: String) = Option(r.getAs[Any](n)).map(_.asInstanceOf[Long])
+        (r.getString(0), r.getString(1)) -> ((opt("direct_cost"),
+          r.getAs[Long]("best_cost"), r.getAs[Long]("best_hops"),
+          opt("saving_bp")))
+      }.toMap
+    assert(got == want, s"${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+    // identities: best never beats nothing — best_cost ≤ direct where a
+    // direct lane exists; hops in 1..4; savings non-negative
+    got.values.foreach { case (direct, bc, bh, saving) =>
+      direct.foreach(d => assert(bc <= d))
+      assert(bh >= 1L && bh <= 4L)
+      saving.foreach(s0 => assert(s0 >= 0L))
+    }
+
+    // planted reroute: A→B direct 10, but A→C(2)→B(3) = 5 → 50% saving
+    val s0 = spark
+    import s0.implicits._
+    val planted = Seq((0, 1, 10L), (0, 2, 2L), (2, 1, 3L)).toDF("src", "dst", "cost")
+    val p = graft.operators.Graph.tradeRoutesOfLanes(planted).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((Option(r.getAs[Any]("direct_cost")),
+        r.getAs[Long]("best_cost"), r.getAs[Long]("best_hops"),
+        Option(r.getAs[Any]("saving_bp"))))).toMap
+    assert(p((0, 1)) == ((Some(10L), 5L, 2L, Some(5000L))), p((0, 1)).toString)
+    assert(p((0, 2)) == ((Some(2L), 2L, 1L, Some(0L))))
+    assert(p((2, 1)) == ((Some(3L), 3L, 1L, Some(0L))))
+    // hop-bound contract: a cheaper 5-lane chain is NOT taken (≤4 lanes);
+    // the 4-lane prefix IS
+    val chain = Seq((10, 11, 1L), (11, 12, 1L), (12, 13, 1L), (13, 14, 1L),
+      (14, 15, 1L), (10, 15, 100L)).toDF("src", "dst", "cost")
+    val c = graft.operators.Graph.tradeRoutesOfLanes(chain).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getAs[Long]("best_cost"),
+        r.getAs[Long]("best_hops")))).toMap
+    assert(c((10, 15)) == ((100L, 1L)), s"5-lane route must be outside the bound: ${c((10, 15))}")
+    assert(c((10, 14)) == ((4L, 4L)))
+  }
+
   test("nationEdges memo: one fact pass per (session, dir) serves all four graph queries; invalidation retrains") {
     val sf = TestSpark.sf
     // same session + dir → the SAME checkpointed frame object (reuse is a
