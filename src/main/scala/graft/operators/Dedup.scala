@@ -120,8 +120,39 @@ object Dedup {
     * use their own inline band expansion rather than this guarded one,
     * so the cap applies to every caller here unconditionally.)
     */
-  private def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame =
+  private[graft] def expandPairs(s: SparkSession, sigs: DataFrame): DataFrame =
     expandPairsBy(s, sigs, Nil)
+
+  /** Candidate pairs BETWEEN a batch's signatures and a published
+    * signature table — the cross half of incremental clustering (s38's
+    * sink; within-batch pairs come from [[expandPairs]] on the same
+    * batch sigs). The published side is touched-bucket-pruned FIRST
+    * (semi-join on the batch's (band_id, sig) set — the
+    * [[dedupeIncremental]] argument: the corpus-scale side is read only
+    * where the batch lands; a bucketed signature table makes that read
+    * exchange-free), and published buckets over
+    * `graft.dedup.maxBucketSize` are dropped WHOLE — [[expandPairsBy]]'s
+    * discrimination rule: a corpus-scale bucket no longer discriminates
+    * and its batch × bucket cross product is exactly the adversarial-skew
+    * blowup. Output is (doc_a < doc_b) normalized and distinct. */
+  private[graft] def crossCandidatePairs(batchSigs: DataFrame,
+      publishedSigs: DataFrame): DataFrame = {
+    val s = batchSigs.sparkSession
+    val maxBucket =
+      s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt).getOrElse(4096)
+    val touched = publishedSigs
+      .join(batchSigs.select(col("band_id"), col("sig")).distinct(),
+        Seq("band_id", "sig"), "left_semi")
+    val admissible = touched.groupBy(col("band_id"), col("sig"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band_id"), col("sig"))
+    touched.join(admissible, Seq("band_id", "sig"), "left_semi").as("p")
+      .join(batchSigs.as("b"), Seq("band_id", "sig"))
+      .filter(col("p.doc_id") =!= col("b.doc_id"))
+      .select(least(col("p.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
 
   /** The guarded band expansion with optional EXTRA key columns (q261
     * tags a `scheme` so all four bandings ride ONE exchange) — same
@@ -334,6 +365,21 @@ object Dedup {
     * exactly — DedupSimilaritySpec pins that equality.
     */
   def mergeClusterBatch(published: DataFrame, newPairs: DataFrame): DataFrame = {
+    val delta = mergeClusterBatchDelta(published, newPairs).localCheckpoint()
+    published.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** The DELTA of [[mergeClusterBatch]] — only the membership rows the
+    * batch's pairs change or create (touched-cluster docs re-labeled +
+    * newly clustered docs), WITHOUT the pass-through of the rest of the
+    * table: what a delta-sized `CommitLog.merge` upserts per micro-batch
+    * (s38's sink), keeping per-batch write cost O(touched components)
+    * while the maintained table stays corpus-scale. Rows whose label is
+    * unchanged by the merge may still appear (they are in a touched
+    * component) — an upsert no-op, never a wrong label. */
+  private[graft] def mergeClusterBatchDelta(published: DataFrame,
+      newPairs: DataFrame): DataFrame = {
     val pairs = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val touchedDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -344,13 +390,10 @@ object Dedup {
       .select(col("cluster_id")).distinct()
     val touched = published
       .join(touchedClusters, Seq("cluster_id"), "left_semi")
-      .localCheckpoint() // read twice: star edges below + pass-through anti
     val starEdges = touched.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val merged = connectedComponents(starEdges.unionByName(pairs))
+    connectedComponents(starEdges.unionByName(pairs))
       .select(col("doc_id"), col("label").as("cluster_id"))
-    published.join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(merged)
   }
 
   /** Incremental dedup: drop from `newDocs` every document that is a
