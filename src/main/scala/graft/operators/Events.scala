@@ -972,7 +972,78 @@ object Events {
         col("top_share_bp"), col("entropy_x1000"),
         (col("n_total") >= 50 && col("top_share_bp") >= 9000).as("suspicious"))
 
+  /** q309: BRANCHING windowed funnel — the q100 family's general form
+    * (the r16 verdict's other named candidate): after the `view` anchor,
+    * stage 2 is EITHER of two alternatives (`click` | `signup`, the
+    * earliest qualifying event wins and names the BRANCH), and the
+    * `purchase` conversion is measured per branch — "which second step
+    * actually converts" is the question a fixed-path funnel (q100)
+    * cannot ask. Output: one row per branch (literal 2-row grid — the
+    * q303 densify rule, absent branches row with zeros), with the
+    * anchored-user total on every row, stage-2 reach, purchases,
+    * conversion bp and the mean stage-2→purchase latency in whole
+    * seconds.
+    *
+    * Exactness: all times are integer µs; the branch pick is
+    * `least(tc, tg)` (both engines skip NULLs) with the exact-tie
+    * resolving to `click` via null-safe equality — deterministic on
+    * both engines; conv/latency are integer DIVs (mean µs floored, then
+    * floored to seconds — one order, both engines).
+    *
+    * Shape: q100's discipline — ONE user_id exchange carries all three
+    * chained windowed conditional-mins (each stage's window references
+    * the previous stage's column on the same partitioning), the
+    * per-user fold is map-side combined, and everything after runs on
+    * the 2-row grid + one broadcast 1-row anchored total (the q295
+    * rule).
+    */
+  def q309BranchingFunnel(s: SparkSession, dir: String): DataFrame =
+    branchingFunnelOf(s, Tables.events(s, dir))
+
+  /** q309 on ANY (user_id, event_type, ts) frame — spec'd on planted
+    * tie/branch/window-expiry users beside the oracled corpus run. */
+  private[graft] def branchingFunnelOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val stepUs = 72L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" &&
+        col("us") > col("t1") && col("us") <= col("t1") + stepUs, col("us"))).over(w))
+      .withColumn("tg", min(when(col("event_type") === "signup" &&
+        col("us") > col("t1") && col("us") <= col("t1") + stepUs, col("us"))).over(w))
+      .withColumn("t2", least(col("tc"), col("tg")))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("us") > col("t2") && col("us") <= col("t2") + stepUs, col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("tc")).as("tc"),
+        min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .withColumn("branch",
+        when(col("t2").isNull, lit(null))
+          .when(col("tc") <=> col("t2"), lit("click")) // exact tie → click
+          .otherwise(lit("signup")))
+      .localCheckpoint() // two consumers: the branch fold + the total
+    val per = perUser.filter(col("branch").isNotNull)
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_stage2"),
+        count(col("t3")).as("n_purchase"),
+        sum(when(col("t3").isNotNull, col("t3") - col("t2"))).as("lat_us"))
+    val anchored = perUser.agg(count(col("t1")).as("n_anchored"))
+    import s.implicits._
+    Seq("click", "signup").toDF("branch")
+      .join(broadcast(per), Seq("branch"), "left")
+      .na.fill(0L, Seq("n_stage2", "n_purchase"))
+      .crossJoin(broadcast(anchored))
+      .select(col("branch"), col("n_anchored"), col("n_stage2"), col("n_purchase"),
+        expr("CASE WHEN n_stage2 > 0 THEN n_purchase * 10000 DIV n_stage2 END")
+          .as("conv_bp"),
+        expr("CASE WHEN n_purchase > 0 THEN lat_us DIV n_purchase DIV 1000000 END")
+          .as("mean_lat_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_branching_funnel" -> (q309BranchingFunnel _),
     "q253_audience_overlap" -> (q253AudienceOverlap _),
     "q254_user_type_entropy" -> (q254UserTypeEntropy _),
     "q243_return_curve" -> (q243ReturnCurve _),
@@ -1008,6 +1079,47 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q309_branching_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         l1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e),
+         l2 AS (SELECT *,
+                  min(CASE WHEN event_type = 'click' AND us > t1
+                           AND us <= t1 + 259200000000 THEN us END)
+                    OVER (PARTITION BY user_id) AS tc,
+                  min(CASE WHEN event_type = 'signup' AND us > t1
+                           AND us <= t1 + 259200000000 THEN us END)
+                    OVER (PARTITION BY user_id) AS tg
+                FROM l1),
+         l3 AS (SELECT *, least(tc, tg) AS t2 FROM l2),
+         l4 AS (SELECT *,
+                  min(CASE WHEN event_type = 'purchase' AND us > t2
+                           AND us <= t2 + 259200000000 THEN us END)
+                    OVER (PARTITION BY user_id) AS t3
+                FROM l3),
+         u AS (SELECT user_id, min(t1) AS t1, min(tc) AS tc,
+                      min(t2) AS t2, min(t3) AS t3
+               FROM l4 GROUP BY 1),
+         ub AS (SELECT *, CASE WHEN t2 IS NULL THEN NULL
+                               WHEN tc IS NOT DISTINCT FROM t2 THEN 'click'
+                               ELSE 'signup' END AS branch FROM u),
+         tot AS (SELECT CAST(count(t1) AS BIGINT) AS n_anchored FROM ub),
+         per AS (SELECT branch, CAST(count(*) AS BIGINT) AS n_stage2,
+                        CAST(count(t3) AS BIGINT) AS n_purchase,
+                        CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t2 END)
+                          AS BIGINT) AS lat_us
+                 FROM ub WHERE branch IS NOT NULL GROUP BY 1),
+         g AS (SELECT unnest(['click', 'signup']) AS branch)
+         SELECT g.branch, tot.n_anchored,
+                COALESCE(per.n_stage2, 0) AS n_stage2,
+                COALESCE(per.n_purchase, 0) AS n_purchase,
+                CASE WHEN COALESCE(per.n_stage2, 0) > 0
+                     THEN COALESCE(per.n_purchase, 0) * 10000 // per.n_stage2
+                END AS conv_bp,
+                CASE WHEN COALESCE(per.n_purchase, 0) > 0
+                     THEN per.lat_us // per.n_purchase // 1000000
+                END AS mean_lat_s
+         FROM g LEFT JOIN per USING (branch) CROSS JOIN tot""",
     "q253_audience_overlap" ->
       """WITH ud AS (SELECT DISTINCT event_type, user_id FROM events),
          sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu

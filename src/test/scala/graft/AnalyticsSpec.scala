@@ -365,6 +365,74 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("s3_bp") == n3 * 10000L / n1)
   }
 
+  test("q309 branching funnel matches a per-user brute-force walk; planted tie/expiry/order cases pin the contract") {
+    val step = 72L * 3600L * 1000000L
+    // corpus: brute-force the same three-stage branching walk
+    val rows = Events.q309BranchingFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("branch") -> r).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var anchored = 0L
+    val agg = scala.collection.mutable.Map(
+      "click" -> (0L, 0L, 0L), "signup" -> (0L, 0L, 0L))
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      if (t1.isDefined) anchored += 1
+      val tc = t1.flatMap(a => evs.filter(e =>
+        e._2 == "click" && e._3 > a && e._3 <= a + step).map(_._3).minOption)
+      val tg = t1.flatMap(a => evs.filter(e =>
+        e._2 == "signup" && e._3 > a && e._3 <= a + step).map(_._3).minOption)
+      val t2 = (tc ++ tg).minOption
+      t2.foreach { b =>
+        val branch = if (tc.contains(b)) "click" else "signup"
+        val t3 = evs.filter(e =>
+          e._2 == "purchase" && e._3 > b && e._3 <= b + step).map(_._3).minOption
+        val (n2, n3, lat) = agg(branch)
+        agg(branch) = (n2 + 1, n3 + t3.size, lat + t3.map(_ - b).getOrElse(0L))
+      }
+    }
+    Seq("click", "signup").foreach { b =>
+      val (n2, n3, lat) = agg(b)
+      val r = rows(b)
+      assert(r.getAs[Long]("n_anchored") == anchored)
+      assert(r.getAs[Long]("n_stage2") == n2, s"$b stage2")
+      assert(r.getAs[Long]("n_purchase") == n3, s"$b purchase")
+      def opt(n: String) = Option(r.getAs[Any](n)).map(_.asInstanceOf[Long])
+      assert(opt("conv_bp") == (if (n2 > 0) Some(n3 * 10000 / n2) else None))
+      assert(opt("mean_lat_s") ==
+        (if (n3 > 0) Some(lat / n3 / 1000000L) else None), s"$b latency")
+    }
+
+    // planted: tie → click wins; out-of-window stage 2 anchors but does
+    // not reach; purchase before stage 2 or past its window doesn't
+    // convert; no anchor → invisible
+    val s0 = spark
+    import s0.implicits._
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val planted = Seq(
+      (1L, "view", 0L), (1L, "click", h), (1L, "signup", 2 * h), (1L, "purchase", 3 * h),
+      (2L, "view", 0L), (2L, "signup", h), (2L, "purchase", 2 * h),
+      (3L, "view", 0L), (3L, "click", h), (3L, "signup", h), // exact tie
+      (4L, "view", 0L), (4L, "click", 80L * h), // stage 2 past the 72h window
+      (5L, "click", 0L), (5L, "purchase", h), // never anchored
+      (6L, "view", 0L), (6L, "click", h), (6L, "purchase", 80L * h), // s3 expired
+      (7L, "view", 0L), (7L, "purchase", h / 2), (7L, "signup", h) // s3 precedes s2
+    ).map { case (u, t, us) => (u, t, ts(us)) }.toDF("user_id", "event_type", "ts")
+    val p = Events.branchingFunnelOf(s0, planted).collect()
+      .map(r => r.getAs[String]("branch") -> r).toMap
+    assert(p("click").getAs[Long]("n_anchored") == 6L)
+    assert(p("click").getAs[Long]("n_stage2") == 3L)   // users 1, 3, 6
+    assert(p("click").getAs[Long]("n_purchase") == 1L) // user 1
+    assert(p("click").getAs[Long]("conv_bp") == 3333L)
+    assert(p("click").getAs[Long]("mean_lat_s") == 7200L) // 2h after the click
+    assert(p("signup").getAs[Long]("n_stage2") == 2L)  // users 2, 7
+    assert(p("signup").getAs[Long]("n_purchase") == 1L) // user 2 only
+    assert(p("signup").getAs[Long]("conv_bp") == 5000L)
+    assert(p("signup").getAs[Long]("mean_lat_s") == 3600L)
+  }
+
   test("q98 snapshot diff labels exactly the synthesized added/removed/changed keys") {
     val df = Quality.q98SnapshotDiff(spark, sf).cache()
     val keys = Tables.orders(spark, sf).select(col("o_orderkey"))

@@ -533,6 +533,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 5, p)
   }
 
+  test("r17 q309 branching funnel: one user exchange carries all three chained stage windows, grid/total joins broadcast") {
+    val p = plan("q309_branching_funnel")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the branch fold is a bounded agg; the grid join and the 1-row
+    // anchored total are broadcast
+    assert(count(p, "BroadcastHashJoin") == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+    // the windows stack on ONE user_id exchange (q100's discipline); the
+    // remaining exchanges fold bounded frames
+    assert(count(p, "Exchange") <= 3, p)
+  }
+
   test("r17 q308 trade routes: champion fold is one bounded-grid exchange, direct/name joins broadcast") {
     // the 3 DP relaxations run eagerly at materialized ≤|nations|²-row
     // frames (broadcast-joined, checkpoint-cut — not visible in this
