@@ -7,13 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -239,14 +239,45 @@ private[sources] object GraftCatalog {
     * are long-valued by the format's rule); everything else is ignored
     * here and re-applied to rows by Spark. Open bounds convert with
     * saturating ±1 so MinValue/MaxValue literals cannot wrap. */
-  private[sources] def longBounds(filters: Array[Filter]): Map[String, (Long, Long)] = {
-    def num(v: Any): Option[Long] = v match {
-      case b: Byte  => Some(b.toLong)
-      case s: Short => Some(s.toLong)
-      case i: Int   => Some(i.toLong)
-      case l: Long  => Some(l)
-      case _        => None
+  private[sources] def num(v: Any): Option[Long] = v match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case _        => None
+  }
+
+  /** `DELETE FROM … WHERE` shapes the format can honor: `None` = not
+    * expressible as a keyed delete (Spark errors with its standard
+    * cannot-delete message); `Some(Left(()))` = delete EVERYTHING (no
+    * WHERE / AlwaysTrue — a truncate); `Some(Right((key, keys)))` = the
+    * keyed retraction, every filter an EqualTo/In on ONE integral
+    * column, conjunction = set intersection (null literals never match,
+    * CommitLog.delete's own rule). */
+  private[sources] def keyedDeleteOf(
+      filters: Array[Filter]): Option[Either[Unit, (String, Set[Long])]] = {
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) return Some(Left(()))
+    // one top-level filter = one conjunct; inside each, OR of same-column
+    // equalities unions key sets (`k IN (5,7) OR k = 9`)
+    def setOf(f: Filter): Option[(String, Set[Long])] = f match {
+      case EqualTo(c, v) => num(v).map(x => c -> Set(x))
+      case In(c, vs)     =>
+        val ks = vs.toSeq.filter(_ != null).map(num)
+        if (ks.forall(_.isDefined)) Some(c -> ks.flatten.toSet) else None
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        for { (cl, sl) <- setOf(l); (cr, sr) <- setOf(r) if cl == cr }
+          yield cl -> (sl union sr)
+      case _             => None
     }
+    val perFilter = real.toSeq.map(setOf)
+    if (perFilter.exists(_.isEmpty)) return None
+    val sets = perFilter.flatten
+    if (sets.map(_._1).distinct.size != 1) return None
+    Some(Right(sets.head._1 -> sets.map(_._2).reduce(_ intersect _)))
+  }
+
+  private[sources] def longBounds(filters: Array[Filter]): Map[String, (Long, Long)] = {
     val b = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = b.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -275,7 +306,7 @@ private[sources] object GraftCatalog {
   * mid-scan FileNotFound. */
 private[sources] class GraftTable(spark: SparkSession, ident: String,
     root: String, asOf: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val asOfV: Long = asOf.getOrElse(Long.MaxValue)
 
@@ -322,6 +353,36 @@ private[sources] class GraftTable(spark: SparkSession, ident: String,
       s"$ident is a time-traveled read (version ${asOf.get}); writes go " +
         "to the head table")
     new GraftWriteBuilder(root)
+  }
+
+  /** `DELETE FROM` — the GDPR retraction from SQL: keyed predicates land
+    * as ONE delta-sized [[CommitLog.delete]] version (stats-pruned file
+    * rewrites; time travel serves pre-delete versions until vacuum — the
+    * API semantics exactly); a WHERE-less delete truncates via one
+    * zero-row overwrite commit. Predicates the keyed form cannot honor
+    * (non-key columns, ranges, null-safe equality) are declined at
+    * analysis — Spark reports them unsupported instead of a silent
+    * partial delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && GraftCatalog.keyedDeleteOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"$ident is a time-traveled read (version ${asOf.get}); deletes go " +
+        "to the head table")
+    GraftCatalog.keyedDeleteOf(filters) match {
+      case Some(Left(())) =>
+        CommitLog.overwrite(spark.createDataFrame(
+          new util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+          .coalesce(1), root): Unit
+      case Some(Right((keyCol, keys))) =>
+        if (keys.nonEmpty)
+          CommitLog.delete(spark, root, keyCol, keys.toSeq.sorted): Unit
+      case None => throw new UnsupportedOperationException(
+        s"DELETE on $ident supports equality/IN predicates on one " +
+          "integral key column (CommitLog.delete's keyed-retraction " +
+          s"shape), got: ${filters.mkString(", ")}")
+    }
   }
 }
 

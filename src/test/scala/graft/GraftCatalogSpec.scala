@@ -178,6 +178,58 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM: keyed predicates land as one delta-sized delete version; WHERE-less truncates; unsupported shapes decline loudly") {
+    import spark.implicits._
+    val root = s"$wh/db/del"
+    CommitLog.append((1L to 100L).map(k => (k, s"row$k")).toDF("k", "s"),
+      root, None, Seq("k"))
+    CommitLog.append((101L to 200L).map(k => (k, s"row$k")).toDF("k", "s"),
+      root, None, Seq("k"))
+    val preVersion = CommitLog.headVersion(spark, root)
+    val preFiles = CommitLog.liveFiles(spark, root).toSet
+
+    spark.sql("DELETE FROM gcat.db.del WHERE k IN (5, 7) OR k = 5")
+    // ^ OR of same-key predicates translates to In(k, [5,7]); verify state
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del").head().getLong(0) == 198L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del WHERE k IN (5, 7)")
+      .head().getLong(0) == 0L)
+    // ONE delete version; the second commit's files (k 101..200, disjoint
+    // from the deleted keys by stats) keep their identity
+    assert(CommitLog.headVersion(spark, root) == preVersion + 1)
+    assert(CommitLog.history(spark, root)
+      .orderBy(col("version").desc).head().getAs[String]("op") == "delete")
+    val post = CommitLog.liveFiles(spark, root).toSet
+    val hiFiles = preFiles.filter { f =>
+      CommitLog.statFold(CommitLog.log(spark, root), "k")
+        .get(f).exists(_.min >= 101L) }
+    assert(hiFiles.nonEmpty && hiFiles.subsetOf(post),
+      "files disjoint from the deleted keys must keep identity")
+    // time travel still serves the pre-delete snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.db.del VERSION AS OF $preVersion")
+      .head().getLong(0) == 200L)
+
+    // unsupported shape: a range predicate is declined, not half-applied
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gcat.db.del WHERE k > 150")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      (t.getMessage.contains("DELETE") || t.getMessage.contains("delete"))),
+      chain(e).map(_.getMessage))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del").head().getLong(0) == 198L)
+
+    // WHERE-less delete = truncate as one zero-row overwrite commit;
+    // schema survives (the create-file mechanism), history shows it
+    spark.sql("DELETE FROM gcat.db.del")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.del").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT * FROM gcat.db.del").schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+    assert(CommitLog.history(spark, root)
+      .orderBy(col("version").desc).head().getAs[String]("op") == "overwrite")
+  }
+
   test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
     spark.sql("CREATE TABLE gcat.db.ddl1 (k BIGINT)")
     val names = spark.sql("SHOW TABLES IN gcat.db").collect()
