@@ -606,14 +606,18 @@ object CommitLog {
     commitEntry(s, root, "create", add, _ => Seq.empty, None).get
   }
 
-  /** Replace the table contents with df in one version. */
-  def overwrite(df: DataFrame, root: String): Long = {
+  /** Replace the table contents with df in one version; `statsFor`
+    * embeds per-file min/max skipping stats exactly as [[append]]'s (a
+    * rebuilt table should not lose the pruning its appends had). */
+  def overwrite(df: DataFrame, root: String,
+      statsFor: Seq[String] = Seq.empty): Long = {
+    val s = df.sparkSession
     val add = writeData(df, root)
-    commitEntry(df.sparkSession, root, "overwrite", add, entries => {
+    commitEntry(s, root, "overwrite", add, entries => {
       val live = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
       live.toSeq
-    }, None).get
+    }, None, collectStats(s, root, add, statsFor)).get
   }
 
   /** Fold the current live files into one coalesced data dir — small-file

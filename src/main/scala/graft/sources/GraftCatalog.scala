@@ -456,7 +456,7 @@ private[graft] final class GraftEmptyScan(schema: StructType)
   * [[CommitLog.append]]/[[CommitLog.overwrite]], so SQL inserts get the
   * staged-rename atomic commit, exactly-once retry behavior and
   * optional stats embedding (session conf `graft.catalog.statsColumns`,
-  * append path) with zero writer-code duplication. */
+  * both insert and overwrite) with zero writer-code duplication. */
 private[sources] class GraftWriteBuilder(root: String)
   extends WriteBuilder with SupportsTruncate {
 
@@ -468,15 +468,14 @@ private[sources] class GraftWriteBuilder(root: String)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          if (overwriteAll || overwrite) { CommitLog.overwrite(data, root); () }
-          else {
-            val statsFor = data.sparkSession.conf
-              .getOption("graft.catalog.statsColumns")
-              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-              .getOrElse(Seq.empty)
-            CommitLog.append(data, root, None, statsFor)
-            ()
-          }
+          val statsFor = data.sparkSession.conf
+            .getOption("graft.catalog.statsColumns")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
+          if (overwriteAll || overwrite)
+            CommitLog.overwrite(data, root, statsFor): Unit
+          else
+            CommitLog.append(data, root, None, statsFor): Unit
         }
       }
   }
