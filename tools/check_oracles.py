@@ -56,10 +56,17 @@ def main() -> None:
     # optional 3rd arg: comma-separated query names (resume/heavy-query runs)
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
-    # bound the spill so a pathological plan errors instead of filling the
-    # disk (the sf1ev q252 lesson: 200+ GB of temp before ENOSPC)
-    con.execute("SET max_temp_directory_size='40GiB'")
     import os
+    # bound the spill so a pathological plan errors instead of filling the
+    # disk (the sf1ev q252 lesson: 200+ GB of temp before ENOSPC).
+    # Optional capacity knobs for heavy-SF sweeps (the r17 sf0.1 full-surface
+    # run used THREADS=8 + no insertion order + 70GiB): DuckDB hash-join
+    # memory scales with thread count, so fewer threads = less memory.
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_SPILL', '40GiB')}'")
+    if 'DUCKDB_THREADS' in os.environ:
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get('DUCKDB_NO_ORDER') == '1':
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata ships single-file tables; ScaleGen replicas are
         # Spark-written DIRECTORIES of part files — glob those
