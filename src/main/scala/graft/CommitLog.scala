@@ -1209,7 +1209,14 @@ object CommitLog {
         dirSchemaCache.getOrElseUpdate((root, d))(
           s.read.parquet(fs.map(p => dataPath(root, p)): _*).schema)
       }
-    if (schemas.distinct.size == 1) schemas.head
+    // the single-schema fast path normalizes to nullable=true exactly like
+    // the multi-schema unification fold — otherwise a table's SQL-visible
+    // nullability would FLIP from the footer's the first time a second
+    // schema group appears (catalog-reported schemas must be stable
+    // across the evolution boundary; review finding r17)
+    if (schemas.distinct.size == 1)
+      org.apache.spark.sql.types.StructType(schemas.head.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
     else unifiedSchemaOf(schemas, root, s.conf
       .getOption("graft.commitlog.allowDivergentColumns").contains("true"))
   }

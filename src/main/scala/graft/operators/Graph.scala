@@ -53,11 +53,12 @@ object Graph {
   def invalidateNationEdgesCache(): Unit = edgesCache.clear()
 
   /** The weighted customer-nation → supplier-nation trade graph — ONE
-    * fact-scale pass (distinct trade pairs + two broadcast dim joins)
-    * shared by q146's PageRank, q276's triangle census, q300's BFS reach
-    * and q306's reciprocity census, memoized per (session, dir).
+    * fact-scale pass shared by ALL FIVE graph consumers (q146 PageRank,
+    * q276 triangles, q300 BFS reach, q306 reciprocity via the
+    * `src, dst, w` projection; q308 routes via [[nationLanes]]'s
+    * lag-cost projection), memoized per (session, dir).
     * localCheckpoint: callers reference the frame several times — without
-    * the cut, Spark re-runs the fact-scale distinct once per reference
+    * the cut, Spark re-runs the fact-scale pass once per reference
     * (measured 3.3 s → 0.9 s at sf0.1); the materialized frame is
     * ≤ |nations|² rows. */
   private[graft] def nationEdges(s: SparkSession, dir: String): DataFrame =
@@ -65,18 +66,46 @@ object Graph {
       nationEdgesUncached(s, dir)
     }
 
+  /** q308's lane-cost view of the SAME memoized pass: per directed
+    * (src, dst) nation pair, the mean fulfillment lag in exact BIGINT
+    * floor days (Σlag DIV count over ALL order lines — the lag fold and
+    * q146's distinct-pair weight ride one fact scan; r17 verdict task #4:
+    * q308 previously paid a second lineitem⋈orders pass). Filtering
+    * src≠dst after the grouped fold is exact — the filter is on group
+    * keys. */
+  private[graft] def nationLanes(s: SparkSession, dir: String): DataFrame =
+    nationEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        expr("lag_sum DIV lag_cnt").as("cost"))
+
   /** The uncached single-pass build — split out so specs can A/B the memo
-    * and assert frame equality against a fresh computation. */
+    * and assert frame equality against a fresh computation. One
+    * lineitem⋈orders key join + two broadcast dim joins, then ONE
+    * grouped fold carrying BOTH aggregate families: `w` = distinct
+    * (customer, supplier) trade pairs (each pair maps to exactly one
+    * (src, dst) — nation keys are functional on the dims — so the
+    * per-group distinct count equals the old distinct-then-count form),
+    * and `lag_sum`/`lag_cnt` = Σ/count of per-line fulfillment lag in
+    * epoch-floor days over ALL lines (q308's lane-cost numerator/
+    * denominator, the q246 lag idiom). The distinct aggregate plans as
+    * Spark's standard two-phase distinct-agg — same exchange key
+    * (src, dst) the separate distinct pass paid, now amortized across
+    * five consumers. */
   private[graft] def nationEdgesUncached(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("src"))
     val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("dst"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .select(col("o_custkey"), col("l_suppkey"),
+        (expr("unix_micros(l_shipdate) div 86400000000")
+          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag_days"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count_distinct(struct(col("o_custkey"), col("l_suppkey"))).as("w"),
+        sum(col("lag_days")).as("lag_sum"),
+        count(lit(1)).as("lag_cnt"))
       .localCheckpoint()
   }
 
@@ -284,26 +313,17 @@ object Graph {
     * when no direct lane exists (nothing to save against) or the
     * direct lane is 0-cost.
     *
-    * Shape: ONE fact-scale pass (lineitem⋈orders key join + two
-    * broadcast dim joins folding map-side to the ≤|nations|² lane
-    * frame — the q302 family price, bucketing-co-locatable at 100 TB);
-    * the DP is 3 broadcast-join relaxations over ≤|nations|²-row
-    * checkpointed frames plus one partitioned window on the same grid.
+    * Shape: the fact-scale work is the SHARED [[nationEdges]] pass (the
+    * lag fold rides the same scan as q146's weights — r17 task #4: one
+    * fact pass for the whole graph block); the DP is 3 broadcast-join
+    * relaxations over ≤|nations|²-row checkpointed frames plus one
+    * partitioned window on the same grid.
     */
   def q308TradeRoutes(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("src"))
-    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("dst"))
-    val lanes = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"),
-        (expr("unix_micros(l_shipdate) div 86400000000")
-          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag_days"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(expr("CAST(sum(lag_days) AS BIGINT) DIV count(1)").as("cost"))
-      .localCheckpoint() // 5 consumers: 3 relaxations + direct join + h=1
+    // ≤|nations|² rows off the memoized checkpointed pass; its own
+    // localCheckpoint so the 5 consumers below (3 relaxations + direct
+    // join + h=1 seed) re-read a materialized frame, not the projection
+    val lanes = nationLanes(s, dir).localCheckpoint()
     val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
     tradeRoutesOfLanes(lanes)
       .join(broadcast(n.withColumnRenamed("n_name", "src_nation")),

@@ -176,9 +176,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     // `RENAME TO cat.ns.t` reaches the catalog with its own name still on
     // the target's namespace (observed Spark 4.1 analyzer behavior) —
-    // strip it, or the table would silently move under warehouse/<cat>/
+    // strip it, or the table would silently move under warehouse/<cat>/.
+    // Collision guard (review finding r17): a warehouse namespace
+    // legitimately NAMED like the catalog must not be mis-resolved one
+    // level up — strip only when the incoming namespace path does not
+    // itself exist as a namespace directory (the analyzer-prefixed form
+    // never does unless the collision is real, in which case the
+    // existing directory wins and the prefixed reading is unreachable —
+    // rename through the API for that corner).
     val toNorm =
-      if (to.namespace.headOption.contains(catalogName))
+      if (to.namespace.headOption.contains(catalogName) &&
+          !fs.exists(pathOf(to.namespace.toSeq)))
         Identifier.of(to.namespace.drop(1), to.name)
       else to
     val src = new Path(rootOf(from))

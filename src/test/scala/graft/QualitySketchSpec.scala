@@ -434,6 +434,28 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(c.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap == fresh)
   }
 
+  test("nationLanes: q308's lane costs off the shared memo equal a standalone lineitem⋈orders lag fold") {
+    val sf = TestSpark.sf
+    // the pre-r18 q308 shape, rebuilt verbatim: its OWN fact pass
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey").as("src"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey").as("dst"))
+    val standalone = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        (expr("unix_micros(l_shipdate) div 86400000000")
+          - expr("unix_micros(o_orderdate) div 86400000000")).as("lag_days"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("CAST(sum(lag_days) AS BIGINT) DIV count(1)").as("cost"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val shared = graft.operators.Graph.nationLanes(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(shared == standalone,
+      "the fused fold's lane costs must equal the dedicated pass exactly")
+  }
+
   test("q146 pagerank: plan output equals a driver-side replay of the integer iteration") {
     val sf = TestSpark.sf
     val got = graft.operators.Graph.q146PagerankNations(spark, sf).collect()

@@ -33,12 +33,20 @@ sys.path.insert(0, os.path.dirname(__file__))
 from check_oracles import TABLES, compare  # noqa: E402
 
 
-def branch_split(sql: str):
+# queries whose generated oracle is a top-level UNION ALL of independent
+# sweep branches (safe to run branch-at-a-time to bound DuckDB memory).
+# Allowlisted by NAME: a future oracle with a UNION ALL inside a CTE body
+# must NOT be decomposed mid-CTE into broken SQL (review finding r17).
+BRANCH_SPLIT_QUERIES = {"q261_lsh_band_sweep"}
+
+
+def branch_split(name: str, sql: str):
     """Top-level UNION ALL branches of the generated sweep shape, each a
-    standalone query re-carrying the WITH prefix. Returns [sql] when the
-    marker is absent (single-pipeline oracles run unchanged)."""
+    standalone query re-carrying the WITH prefix. Returns [sql] unless
+    `name` is allowlisted and the marker is present (single-pipeline
+    oracles run unchanged)."""
     marker = "\nUNION ALL\n"
-    if marker not in sql:
+    if name not in BRANCH_SPLIT_QUERIES or marker not in sql:
         return [sql]
     head, *rest = sql.split(marker)
     # the first branch ends where the WITH prefix's final SELECT begins;
@@ -73,7 +81,7 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            parts = branch_split(oracle[name])
+            parts = branch_split(name, oracle[name])
             exp = pd.concat([con.execute(p).df() for p in parts],
                             ignore_index=True)
         except Exception as exc:  # noqa: BLE001
