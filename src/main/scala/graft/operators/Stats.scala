@@ -205,11 +205,22 @@ object Stats {
                    CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)"""
 
   def q99CovMatrix(s: SparkSession, dir: String): DataFrame = {
+    // Precision is a PERFORMANCE contract here, not cosmetics: the widest
+    // product below is price_cents² at 8+8+1 = 17 digits, so every one of
+    // the ten per-row products stays on Spark's compact-Long decimal path
+    // (precision ≤ 18) instead of per-row BigDecimal multiplies — the r18
+    // StageCensus attribution of q99's cost (the DECIMAL(12,0) form paid
+    // 25-digit products on every row). Domain bounds are loud: ANSI mode
+    // (Spark 4 default) makes an out-of-range cast THROW, so a corpus
+    // violating the declared bounds (quantity ≥ 10⁴, price ≥ $10⁶) fails
+    // the job rather than silently wrapping. Sums stay exact: Σprice²
+    // accumulates in the DECIMAL(27,0) sum buffer (< 10²⁷ even at 10¹²
+    // rows of max-value products).
     val defs = Seq(
-      "CAST(l_quantity AS DECIMAL(12,0))",
-      "CAST(round(l_extendedprice * 100) AS DECIMAL(12,0))",
-      "CAST(round(l_discount * 100) AS DECIMAL(12,0))",
-      "CAST(round(l_tax * 100) AS DECIMAL(12,0))")
+      "CAST(l_quantity AS DECIMAL(4,0))",
+      "CAST(round(l_extendedprice * 100) AS DECIMAL(8,0))",
+      "CAST(round(l_discount * 100) AS DECIMAL(4,0))",
+      "CAST(round(l_tax * 100) AS DECIMAL(4,0))")
     val base = Tables.lineitem(s, dir)
       .select(covNames.zip(defs).map { case (n, e) => expr(e).as(n) }: _*)
     val sums =
