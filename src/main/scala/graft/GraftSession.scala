@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the graft session shape includes the extensions: the graft_* SQL
+      // functions, the cosine fusion rule, the as-of join strategy and
+      // the MERGE INTO front door are part of the library surface
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

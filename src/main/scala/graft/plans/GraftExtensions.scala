@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.buildGramian))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL MERGE INTO on catalog-served CommitLog tables → one delta-sized
+    // CommitLog.merge version (see GraftMergeRule for the shape contract)
+    e.injectPostHocResolutionRule(_ => GraftMergeRule)
   }
 }
 

@@ -312,8 +312,8 @@ private[sources] object GraftCatalog {
   * file set is existence-checked at resolution so a vacuumed-away
   * version fails loudly with the retention contract instead of a
   * mid-scan FileNotFound. */
-private[sources] class GraftTable(spark: SparkSession, ident: String,
-    root: String, asOf: Option[Long])
+private[graft] class GraftTable(spark: SparkSession, val ident: String,
+    val root: String, val asOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val asOfV: Long = asOf.getOrElse(Long.MaxValue)

@@ -230,6 +230,91 @@ class GraftCatalogSpec extends AnyFunSuite {
       .orderBy(col("version").desc).head().getAs[String]("op") == "overwrite")
   }
 
+  test("MERGE INTO: the keyed upsert lands as one delta-sized merge version; token replays no-op; unsupported shapes decline loudly") {
+    import spark.implicits._
+    val root = s"$wh/db/mrg"
+    CommitLog.append((1L to 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, None, Seq("k"))
+    CommitLog.append((101L to 200L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, None, Seq("k"))
+    val preVersion = CommitLog.headVersion(spark, root)
+    val preFiles = CommitLog.liveFiles(spark, root).toSet
+    Seq((5L, "UP5"), (7L, "UP7"), (201L, "NEW201")).toDF("k", "s")
+      .createOrReplaceTempView("mrg_src")
+
+    spark.sql("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // matched rows replaced, unmatched inserted, the rest intact
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 201L)
+    assert(spark.sql("SELECT s FROM gcat.db.mrg WHERE k = 5").head().getString(0) == "UP5")
+    assert(spark.sql("SELECT s FROM gcat.db.mrg WHERE k = 201").head().getString(0) == "NEW201")
+    assert(spark.sql("SELECT s FROM gcat.db.mrg WHERE k = 6").head().getString(0) == "v6")
+    // ONE merge version; the second append's files (k 101..200, disjoint
+    // from every updated key by stats) keep their identity — delta-sized
+    assert(CommitLog.headVersion(spark, root) == preVersion + 1)
+    assert(CommitLog.history(spark, root)
+      .orderBy(col("version").desc).head().getAs[String]("op") == "merge")
+    val post = CommitLog.liveFiles(spark, root).toSet
+    val hiFiles = preFiles.filter { f =>
+      CommitLog.statFold(CommitLog.log(spark, root), "k")
+        .get(f).exists(_.min >= 101L) }
+    assert(hiFiles.nonEmpty && hiFiles.subsetOf(post),
+      "files disjoint from the merged keys must keep identity")
+    // time travel still serves the pre-merge snapshot
+    assert(spark.sql(
+      s"SELECT s FROM gcat.db.mrg VERSION AS OF $preVersion WHERE k = 5")
+      .head().getString(0) == "v5")
+
+    // exactly-once: a replayed token no-ops (same statement, token set)
+    spark.conf.set("graft.catalog.txnId", "mrg-tok-1")
+    try {
+      spark.sql("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+      val vTok = CommitLog.headVersion(spark, root)
+      val replay = spark.sql(
+        """MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      assert(CommitLog.headVersion(spark, root) == vTok,
+        "a replayed txn token must not commit a second version")
+      assert(replay.head.getLong(0) == -1L, "replay reports no version")
+      assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 201L)
+    } finally spark.conf.unset("graft.catalog.txnId")
+
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    def declined(sql: String, marker: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains(marker)), chain(e).map(_.getMessage))
+    }
+    // cardinality rule: duplicate source keys fail loudly at run time
+    Seq((5L, "A"), (5L, "B")).toDF("k", "s").createOrReplaceTempView("mrg_dup")
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_dup s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""", "one row per key")
+    // shape guardrails, declined at analysis with the contract named
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                WHEN MATCHED THEN DELETE""", "keyed upsert")
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET s = s.s
+                WHEN NOT MATCHED THEN INSERT *""", "UPDATE SET must cover every target column")
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.s = s.s
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""", "keyed upsert")
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                WHEN MATCHED AND s.k > 5 THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""", "conditional WHEN MATCHED")
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                WHEN NOT MATCHED BY SOURCE THEN DELETE""", "NOT MATCHED BY SOURCE")
+    // nothing above mutated the table
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 201L)
+  }
+
   test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
     spark.sql("CREATE TABLE gcat.db.ddl1 (k BIGINT)")
     val names = spark.sql("SHOW TABLES IN gcat.db").collect()
