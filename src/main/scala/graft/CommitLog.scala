@@ -1124,6 +1124,11 @@ object CommitLog {
     * and drops the other's columns. Single-schema sets (the common
     * case) read in one plain parquet scan.
     */
+  /** Also the read half of the SQL `changes` metadata table (the batch
+    * CDC feed reads exactly the files its pruned versions added). */
+  private[graft] def readChangedFiles(s: SparkSession, root: String,
+      files: Seq[String]): DataFrame = readFilesEvolved(s, root, files)
+
   private def readFilesEvolved(s: SparkSession, root: String,
       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

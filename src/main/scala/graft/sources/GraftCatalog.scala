@@ -79,7 +79,8 @@ import graft.CommitLog
   * with the retention advice (the spec-pinned contract), not with a
   * mid-scan FileNotFound.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -140,7 +141,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
-    val root = requireRoot(ident)
+    val root = rootOf(ident)
+    if (!isTable(new Path(root))) {
+      // metadata-table suffix (db.t.history / db.t.changes — the public
+      // formats' idiom): serve the ops view when the PARENT is a table.
+      // Head-only: a time-traveled metadata table has no meaning.
+      if (asOf.isEmpty && ident.namespace.nonEmpty &&
+          GraftOps.MetaTableNames.contains(ident.name.toLowerCase)) {
+        val parent = pathOf(ident.namespace.toSeq)
+        if (isTable(parent))
+          return GraftOps.metaTable(spark, displayName(ident),
+            ident.name.toLowerCase, parent.toString)
+      }
+      throw new NoSuchTableException(ident)
+    }
     asOf.foreach { v =>
       val head = CommitLog.headVersion(spark, root)
       if (v < 1 || v > head) throw new IllegalArgumentException(
@@ -149,6 +163,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     new GraftTable(spark, displayName(ident), root, asOf)
   }
+
+  // ---------- procedures (CALL cat.system.<proc>) ----------
+
+  /** Catalog-relative table-name resolution for procedure arguments
+    * ('db.t' → warehouse/db/t), loud on a miss. */
+  private def procRoot(tbl: String): String = {
+    val parts = tbl.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    val root = pathOf(parts)
+    require(isTable(root),
+      s"no graft table '$tbl' under warehouse $warehouse")
+    root.toString
+  }
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(GraftProcedures.Namespace),
+      s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name}(...)")
+    GraftProcedures.load(ident.name.toLowerCase, procRoot)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(n => Identifier.of(ns, n)).toArray
+    else Array.empty
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {

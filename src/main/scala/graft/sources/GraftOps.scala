@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.functions.{broadcast, col, lit, substring_index, input_file_name}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.CommitLog
+
+/** The SQL OPS surface for commit-log tables (r17 verdict task #3): the
+  * audit and maintenance story a SQL-first user needs, with zero parser
+  * hacking — metadata tables resolve as suffixes of the table identifier
+  * (the public formats' `db.t.history` idiom) and maintenance lands
+  * through Spark 4's stored-procedure seam (`ProcedureCatalog` + the
+  * built-in `CALL` statement):
+  *
+  * {{{
+  *   SELECT * FROM graft.db.t.history              -- DESCRIBE HISTORY
+  *   SELECT * FROM graft.db.t.changes
+  *     WHERE _commit_version > 3                   -- table_changes(...)
+  *   CALL graft.system.vacuum(`table` => 'db.t', retain_last => 2)
+  *   CALL graft.system.compact(`table` => 'db.t', cluster_by => 'k')
+  *   CALL graft.system.checkpoint(`table` => 'db.t')
+  *   CALL graft.system.restore(`table` => 'db.t', version => 3)
+  * }}}
+  *
+  * `history` is O(commits) driver-side ([[CommitLog.history]]) and plans
+  * as a [[LocalScan]] — no executor work for a log listing. `changes` is
+  * the batch CDC feed over [[CommitLog.changedFilesByVersion]]: rows
+  * added in each version (compaction/checkpoint re-adds and
+  * dataChange=false survivor rewrites excluded — exactly
+  * [[CommitLog.changesSince]]'s row set) tagged `_commit_version` /
+  * `_commit_op`, presented in the table's CURRENT evolved schema
+  * (old-version files null-fill added columns and upcast widened ones).
+  * Version predicates PRUNE COMMITS before any file is opened — the scan
+  * builder intersects pushed `_commit_version` comparisons with the
+  * version walk, so `WHERE _commit_version > cursor` reads only the
+  * delta files (superset-safe: every predicate is re-applied to rows by
+  * Spark). Reading a window whose files were vacuumed fails loudly —
+  * the changesSince retention contract, from SQL.
+  */
+private[sources] object GraftOps {
+
+  val MetaTableNames: Set[String] = Set("history", "changes")
+
+  def metaTable(spark: SparkSession, display: String, name: String,
+      root: String): Table = name match {
+    case "history" => new GraftHistoryTable(spark, display, root)
+    case "changes" => new GraftChangesTable(spark, display, root)
+    case other => throw new IllegalArgumentException(s"no metadata table '$other'")
+  }
+
+  /** One driver-computed frame as a DSv2 local scan (history and the
+    * procedure results: O(commits)/O(1) rows — never executor work). */
+  def localScanOf(df: DataFrame): Scan = {
+    val out = df.queryExecution.executedPlan.executeCollect()
+    val sch = df.schema
+    new LocalScan {
+      override def readSchema(): StructType = sch
+      override def rows(): Array[InternalRow] = out.toArray
+    }
+  }
+}
+
+/** `SELECT * FROM cat.db.t.history` — the commit audit as a queryable
+  * metadata table. */
+private[sources] class GraftHistoryTable(spark: SparkSession,
+    display: String, root: String) extends Table with SupportsRead {
+  override def name(): String = display
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType), StructField("op", StringType),
+    StructField("n_added", LongType), StructField("n_removed", LongType),
+    StructField("n_rewritten", LongType), StructField("txn_id", StringType),
+    StructField("commit_ts", TimestampType)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => GraftOps.localScanOf(CommitLog.history(spark, root))
+}
+
+/** `SELECT * FROM cat.db.t.changes` — the batch change feed, version
+  * bounds pushed down to the commit walk. */
+private[sources] class GraftChangesTable(spark: SparkSession,
+    display: String, root: String) extends Table with SupportsRead {
+
+  /** The table's current evolved schema — the presentation schema every
+    * version's rows are folded into (add-only evolution means old files
+    * only ever LACK columns, never carry extras). */
+  private lazy val dataSchema: StructType =
+    CommitLog.evolvedSchema(spark, root, CommitLog.liveFiles(spark, root))
+
+  override def name(): String = display
+  override def schema(): StructType = StructType(dataSchema.fields.toSeq ++ Seq(
+    StructField("_commit_version", LongType, nullable = false),
+    StructField("_commit_op", StringType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftChangesScanBuilder(spark, root, schema())
+}
+
+private[sources] class GraftChangesScanBuilder(spark: SparkSession,
+    root: String, fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // residual: commit pruning is a superset-safe optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // version bounds prune the COMMIT WALK — the delta-sized read
+    val (lo, hi) = GraftCatalog.longBounds(pushed).get("_commit_version")
+      .getOrElse((Long.MinValue, Long.MaxValue))
+    val sch = fullSchema
+    new V1Scan {
+      override def readSchema(): StructType = sch
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = sch
+          override def buildScan(): RDD[Row] =
+            changesFrame(spark, root, lo, hi, sch).rdd
+        }.asInstanceOf[T]
+    }
+  }
+
+  /** The (version, op)-tagged union of each pruned version's added
+    * files: ONE evolved multi-file read + a broadcast join on the
+    * part-file name (job-UUID-unique — the collectStats mapping rule)
+    * against the tiny file→version map; old files null-fill/upcast into
+    * the presentation schema. */
+  private def changesFrame(s: SparkSession, root: String, lo: Long,
+      hi: Long, sch: StructType): DataFrame = {
+    import s.implicits._
+    val since = if (lo == Long.MinValue) 0L else math.max(0L, lo - 1)
+    val (byVersion, _) = CommitLog.changedFilesByVersion(s, root, since, hi)
+    val ops = CommitLog.log(s, root).map(c => c.version -> c.op).toMap
+    val rels = byVersion.flatMap { case (v, files) =>
+      files.map(f => (f, v, ops.getOrElse(v, "append")))
+    }.toSeq
+    if (rels.isEmpty)
+      return s.createDataFrame(new util.ArrayList[Row](), sch)
+    val fileMap = rels
+      .map { case (f, v, op) => (f.split('/').last, v, op) }
+      .toDF("_file", "_commit_version", "_commit_op")
+    val dataCols = sch.fields.toSeq.filterNot(f => f.name.startsWith("_commit"))
+    CommitLog.readChangedFiles(s, root, rels.map(_._1))
+      .withColumn("_file", substring_index(input_file_name(), "/", -1))
+      .join(broadcast(fileMap), Seq("_file"))
+      .select(dataCols.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+        Seq(col("_commit_version"), col("_commit_op")): _*)
+  }
+}
+
+/** `CALL cat.system.<proc>(...)` — vacuum / compact / checkpoint /
+  * restore over the CommitLog API, each returning its outcome as rows.
+  * All table arguments are catalog-relative ('db.t'). */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("vacuum", "compact", "checkpoint", "restore")
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  def load(name: String, resolveRoot: String => String): UnboundProcedure =
+    name match {
+      case "vacuum" => proc("vacuum",
+        "reclaim data files no retained version needs (retain_last versions stay time-travelable)",
+        Array(param("table", StringType), paramD("retain_last", IntegerType, "0")),
+        Seq(StructField("n_reclaimed", LongType, nullable = false))) { (s, in) =>
+          val reclaimed = CommitLog.vacuum(s, resolveRoot(in.getUTF8String(0).toString),
+            retainLast = in.getInt(1))
+          Seq(new GenericInternalRow(Array[Any](reclaimed.size.toLong)))
+        }
+      case "compact" => proc("compact",
+        "fold live files into one data dir; cluster_by re-sorts for tight skipping stats (OPTIMIZE/ZORDER)",
+        Array(param("table", StringType), paramD("partitions", IntegerType, "1"),
+          paramD("cluster_by", StringType, "''"), paramD("stats_for", StringType, "''")),
+        Seq(StructField("version", LongType, nullable = false))) { (s, in) =>
+          def list(i: Int): Seq[String] =
+            Option(in.getUTF8String(i)).map(_.toString).getOrElse("")
+              .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          val clusterBy = list(2)
+          // clustering columns keep their stats unless stats_for overrides
+          val statsFor = if (list(3).nonEmpty) list(3) else clusterBy
+          val v = CommitLog.compact(s, resolveRoot(in.getUTF8String(0).toString),
+            partitions = in.getInt(1), statsFor = statsFor, clusterBy = clusterBy)
+          Seq(new GenericInternalRow(Array[Any](v)))
+        }
+      case "checkpoint" => proc("checkpoint",
+        "fold the log into a checkpoint entry so reads cost O(commits since checkpoint)",
+        Array(param("table", StringType)),
+        Seq(StructField("version", LongType, nullable = false))) { (s, in) =>
+          val v = CommitLog.checkpoint(s, resolveRoot(in.getUTF8String(0).toString))
+          Seq(new GenericInternalRow(Array[Any](v)))
+        }
+      case "restore" => proc("restore",
+        "restore the table to an earlier version as a new metadata-only commit",
+        Array(param("table", StringType), param("version", LongType)),
+        Seq(StructField("version", LongType, nullable = false))) { (s, in) =>
+          val v = CommitLog.restore(s, resolveRoot(in.getUTF8String(0).toString),
+            in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](v)))
+        }
+      case other => throw new IllegalArgumentException(
+        s"no procedure graft.system.$other — available: ${names.mkString(", ")}")
+    }
+
+  private def proc(procName: String, desc: String,
+      params: Array[ProcedureParameter], outFields: Seq[StructField])(
+      body: (SparkSession, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val out = body(SparkSession.active, input).toArray
+            val sch = StructType(outFields)
+            val scan: Scan = new LocalScan {
+              override def readSchema(): StructType = sch
+              override def rows(): Array[InternalRow] = out
+            }
+            util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+}

@@ -315,6 +315,79 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 201L)
   }
 
+  test("SQL ops surface: t.history audits, t.changes feeds CDC with version pruning, CALL system.{compact,checkpoint,restore,vacuum}") {
+    import spark.implicits._
+    val root = s"$wh/db/ops"
+    CommitLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, None, Seq("k"))
+    CommitLog.append(Seq((3L, "c")).toDF("k", "s"), root, None, Seq("k"))
+
+    // DESCRIBE HISTORY from SQL: the commit audit as a metadata table
+    val hist = spark.sql(
+      "SELECT version, op, n_added FROM gcat.db.ops.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "append"), (2L, "append")), hist)
+
+    // table_changes from SQL: every version's added rows, tagged
+    val all = spark.sql(
+      "SELECT k, _commit_version, _commit_op FROM gcat.db.ops.changes ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(all == Seq((1L, 1L, "append"), (2L, 1L, "append"), (3L, 2L, "append")), all)
+    // a version predicate prunes the commit walk to the delta
+    val delta = spark.sql(
+      "SELECT k FROM gcat.db.ops.changes WHERE _commit_version > 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(delta == Seq(3L))
+
+    // OPTIMIZE from SQL: compact + cluster, files fold to one, rows intact
+    val v3 = spark.sql(
+      "CALL gcat.system.compact(`table` => 'db.ops', cluster_by => 'k')")
+      .head().getLong(0)
+    assert(v3 == 3L)
+    assert(CommitLog.liveFiles(spark, root).size == 1)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ops").head().getLong(0) == 3L)
+    // a compaction is dataChange=false: the change feed is UNCHANGED
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ops.changes")
+      .head().getLong(0) == 3L)
+
+    // checkpoint from SQL
+    assert(spark.sql("CALL gcat.system.checkpoint(`table` => 'db.ops')")
+      .head().getLong(0) == 3L)
+
+    // restore from SQL: metadata-only rollback to v1 as a new commit
+    val v4 = spark.sql(
+      "CALL gcat.system.restore(`table` => 'db.ops', version => 1)")
+      .head().getLong(0)
+    assert(v4 == 4L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ops").head().getLong(0) == 2L)
+
+    // vacuum from SQL with the retention window; below-window time travel
+    // then fails with the retention contract
+    val n = spark.sql(
+      "CALL gcat.system.vacuum(`table` => 'db.ops', retain_last => 1)")
+      .head().getLong(0)
+    assert(n >= 1L, s"expected reclaimed files, got $n")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ops").head().getLong(0) == 2L)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.ops VERSION AS OF 2").collect()
+    }
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("reclaimed by vacuum")), chain(e).map(_.getMessage))
+
+    // unknown procedure / table decline loudly
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gcat.system.nosuch(`table` => 'db.ops')").collect()
+    }
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      (t.getMessage.contains("no procedure") || t.getMessage.contains("nosuch"))))
+    val e3 = intercept[Exception] {
+      spark.sql("CALL gcat.system.checkpoint(`table` => 'db.nosuch')").collect()
+    }
+    assert(chain(e3).exists(t => t.getMessage != null &&
+      t.getMessage.contains("no graft table")))
+  }
+
   test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
     spark.sql("CREATE TABLE gcat.db.ddl1 (k BIGINT)")
     val names = spark.sql("SHOW TABLES IN gcat.db").collect()
