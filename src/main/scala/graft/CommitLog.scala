@@ -1321,6 +1321,80 @@ object CommitLog {
       None, stats).get
   }
 
+  /** Table PROPERTIES — the small durable config a table carries beside
+    * its log (`_graft_log/properties.json`): cluster keys
+    * (`clusterBy`), default stats columns (`statsColumns`). Properties
+    * are maintenance CONFIG, not versioned state: last write wins, they
+    * ride no commit, and readers never depend on them for correctness
+    * (a lost properties file costs layout quality, never rows). The
+    * file name carries no version number so every log walk
+    * ([[log]]/[[history]]/[[changedFilesByVersion]]) skips it via its
+    * existing numeric-name parse. Encoded as parallel keys/vals arrays
+    * so [[dec]]'s quote-aware array scanner reads it back. */
+  def setProperties(s: SparkSession, root: String,
+      props: Map[String, String]): Unit =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      val f = fs(s, root)
+      f.mkdirs(new Path(s"$root/$LogDir"))
+      val merged = properties(s, root) ++ props
+      def arr(xs: Seq[String]) = xs.map(x =>
+        "\"" + GraftSession.jsonEscape(x) + "\"").mkString("[", ",", "]")
+      val ks = merged.keys.toSeq.sorted
+      val body = s"""{"keys":${arr(ks)},"vals":${arr(ks.map(merged))}}"""
+      val target = new Path(s"$root/$LogDir/properties.json")
+      val staged = new Path(s"$root/$LogDir/.staging-props-${java.util.UUID.randomUUID()}.json")
+      val out = f.create(staged, false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(target)) f.delete(target, false)
+      require(f.rename(staged, target), s"properties write at $root failed")
+    }
+
+  def properties(s: SparkSession, root: String): Map[String, String] = {
+    val f = fs(s, root)
+    val p = new Path(s"$root/$LogDir/properties.json")
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val body = try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      in.readFully(0, b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    dec0(body)
+  }
+
+  /** keys/vals arrays → map, via the same quote-aware scan as [[dec]]. */
+  private def dec0(json: String): Map[String, String] = {
+    def field(name: String): Seq[String] = {
+      val i = json.indexOf(s""""$name":[""")
+      if (i < 0) return Seq.empty
+      var j = json.indexOf('[', i) + 1
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done && j < json.length) {
+        json.charAt(j) match {
+          case ']' => done = true
+          case '"' =>
+            val sb = new java.lang.StringBuilder
+            j += 1
+            var inStr = true
+            while (inStr && j < json.length) {
+              json.charAt(j) match {
+                case '\\' if j + 1 < json.length => j = unescapeAt(json, j, sb)
+                case '"' => inStr = false; j += 1
+                case ch => sb.append(ch); j += 1
+              }
+            }
+            out += sb.toString
+          case _ => j += 1
+        }
+      }
+      out.result()
+    }
+    field("keys").zip(field("vals")).toMap
+  }
+
   def vacuum(s: SparkSession, root: String, retainLast: Int = 0): Seq[String] = {
     val entries = log(s, root)
     if (entries.isEmpty) return Seq.empty

@@ -197,6 +197,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     if (isTable(new Path(root))) throw new TableAlreadyExistsException(ident)
     CommitLog.create(spark, root, schema)
+    // durable maintenance config: cluster keys + default stats columns
+    // (TBLPROPERTIES ('clusterBy'='k'[, 'statsColumns'='k,v'])) — every
+    // INSERT range-shapes + stats its data and CALL compact defaults to
+    // the declared keys (see GraftWriteBuilder / GraftProcedures)
+    val keep = properties.asScala.view
+      .filterKeys(k => k == "clusterBy" || k == "statsColumns").toMap
+    keep.values.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"table property names unknown column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
+      }
+    if (keep.nonEmpty) CommitLog.setProperties(spark, root, keep)
     new GraftTable(spark, displayName(ident), root, None)
   }
 
@@ -389,7 +401,8 @@ private[graft] class GraftTable(spark: SparkSession, val ident: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> root).asJava
+    (Map("provider" -> "graft", "location" -> root) ++
+      CommitLog.properties(spark, root)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, ident, root, asOfV, liveRel, tableSchema, options)
@@ -502,7 +515,15 @@ private[graft] final class GraftEmptyScan(schema: StructType)
   * [[CommitLog.append]]/[[CommitLog.overwrite]], so SQL inserts get the
   * staged-rename atomic commit, exactly-once retry behavior and
   * optional stats embedding (session conf `graft.catalog.statsColumns`,
-  * both insert and overwrite) with zero writer-code duplication. */
+  * both insert and overwrite) with zero writer-code duplication.
+  *
+  * A table whose `clusterBy` property is set gets the q119 LAYOUT on
+  * every SQL write: the incoming frame is range-repartitioned (at its
+  * own parallelism — no partition-count inflation for small inserts) +
+  * sorted within partitions on the cluster keys, so each data file owns
+  * a contiguous key run and the automatically-collected per-key stats
+  * stay TIGHT — snapshotRange/snapshotBox skipping works from the first
+  * insert, without waiting for a compaction. */
 private[sources] class GraftWriteBuilder(root: String)
   extends WriteBuilder with SupportsTruncate {
 
@@ -514,14 +535,25 @@ private[sources] class GraftWriteBuilder(root: String)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          val statsFor = data.sparkSession.conf
-            .getOption("graft.catalog.statsColumns")
-            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-            .getOrElse(Seq.empty)
+          val s = data.sparkSession
+          val props = CommitLog.properties(s, root)
+          def csv(v: Option[String]): Seq[String] =
+            v.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(Seq.empty)
+          val clusterBy = csv(props.get("clusterBy"))
+          val statsFor = (csv(s.conf.getOption("graft.catalog.statsColumns")) ++
+            csv(props.get("statsColumns")) ++ clusterBy).distinct
+          val shaped =
+            if (clusterBy.isEmpty) data
+            else data
+              .repartitionByRange(math.max(1, data.rdd.getNumPartitions),
+                clusterBy.map(org.apache.spark.sql.functions.col): _*)
+              .sortWithinPartitions(
+                clusterBy.map(org.apache.spark.sql.functions.col): _*)
           if (overwriteAll || overwrite)
-            CommitLog.overwrite(data, root, statsFor): Unit
+            CommitLog.overwrite(shaped, root, statsFor): Unit
           else
-            CommitLog.append(data, root, None, statsFor): Unit
+            CommitLog.append(shaped, root, None, statsFor): Unit
         }
       }
   }

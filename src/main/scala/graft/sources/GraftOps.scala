@@ -194,17 +194,23 @@ private[sources] object GraftProcedures {
           Seq(new GenericInternalRow(Array[Any](reclaimed.size.toLong)))
         }
       case "compact" => proc("compact",
-        "fold live files into one data dir; cluster_by re-sorts for tight skipping stats (OPTIMIZE/ZORDER)",
+        "fold live files into one data dir; cluster_by re-sorts for tight skipping stats (OPTIMIZE/ZORDER); defaults to the table's clusterBy property",
         Array(param("table", StringType), paramD("partitions", IntegerType, "1"),
           paramD("cluster_by", StringType, "''"), paramD("stats_for", StringType, "''")),
         Seq(StructField("version", LongType, nullable = false))) { (s, in) =>
           def list(i: Int): Seq[String] =
             Option(in.getUTF8String(i)).map(_.toString).getOrElse("")
               .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          val clusterBy = list(2)
+          val root = resolveRoot(in.getUTF8String(0).toString)
+          def csv(v: Option[String]): Seq[String] =
+            v.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+          // explicit argument wins; the table's declared keys otherwise
+          val clusterBy =
+            if (list(2).nonEmpty) list(2)
+            else csv(CommitLog.properties(s, root).get("clusterBy"))
           // clustering columns keep their stats unless stats_for overrides
           val statsFor = if (list(3).nonEmpty) list(3) else clusterBy
-          val v = CommitLog.compact(s, resolveRoot(in.getUTF8String(0).toString),
+          val v = CommitLog.compact(s, root,
             partitions = in.getInt(1), statsFor = statsFor, clusterBy = clusterBy)
           Seq(new GenericInternalRow(Array[Any](v)))
         }

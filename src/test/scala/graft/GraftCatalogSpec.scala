@@ -388,6 +388,61 @@ class GraftCatalogSpec extends AnyFunSuite {
       t.getMessage.contains("no graft table")))
   }
 
+  test("cluster keys from SQL: TBLPROPERTIES clusterBy shapes every insert, CALL compact defaults to it, skipping matches the API-clustered twin") {
+    import spark.implicits._
+    spark.sql(
+      "CREATE TABLE gcat.db.clus (k BIGINT, v BIGINT) TBLPROPERTIES ('clusterBy'='k')")
+    val rootSql = s"$wh/db/clus"
+    assert(CommitLog.properties(spark, rootSql) == Map("clusterBy" -> "k"))
+    assert(spark.sql("SHOW TBLPROPERTIES gcat.db.clus").collect().exists(r =>
+      r.getString(0) == "clusterBy" && r.getString(1) == "k"))
+
+    // an UNSORTED 4-partition insert still lands range-clustered: each
+    // data file owns a contiguous k-run, so a point probe admits ONE file
+    val df = (1L to 4000L).sortBy(k => (k * 2654435761L) % 4000)
+      .map(k => (k, k * 7)).toDF("k", "v").repartition(4)
+    df.createOrReplaceTempView("clus_src")
+    spark.sql("INSERT INTO gcat.db.clus SELECT * FROM clus_src")
+    val stats1 = CommitLog.statFold(CommitLog.log(spark, rootSql), "k")
+    val statted = CommitLog.liveFiles(spark, rootSql).filter(stats1.contains)
+    assert(statted.size >= 2, s"expected a multi-file clustered insert, got ${statted.size}")
+    for (probe <- Seq(42L, 2000L, 3999L))
+      assert(statted.count(f =>
+        stats1(f).min <= probe && probe <= stats1(f).max) == 1,
+        s"point probe $probe must admit exactly one file of a range-clustered insert")
+
+    // API twin: unshaped append, then the API clustering compact
+    val rootApi = s"$wh/db/clus_api"
+    CommitLog.append(df, rootApi, None, Seq("k"))
+    CommitLog.compact(spark, rootApi, partitions = 4,
+      statsFor = Seq("k"), clusterBy = Seq("k"))
+    // SQL twin: CALL compact with NO cluster_by — falls back to the property
+    spark.sql("CALL gcat.system.compact(`table` => 'db.clus', partitions => 4)")
+
+    // spec-pin: the SQL-declared table's skipping equals the API twin's —
+    // same admitted-file count per probe range, same rows served
+    def admitted(root: String, lo: Long, hi: Long): Int = {
+      val st = CommitLog.statFold(CommitLog.log(spark, root), "k")
+      CommitLog.liveFiles(spark, root).filter(st.contains)
+        .count(f => st(f).max >= lo && st(f).min <= hi)
+    }
+    for ((lo, hi) <- Seq((42L, 42L), (100L, 200L), (3500L, 4000L))) {
+      assert(admitted(rootSql, lo, hi) == admitted(rootApi, lo, hi),
+        s"[$lo,$hi]: SQL-clustered table must skip like the API-clustered twin")
+      assert(admitted(rootSql, lo, hi) == 1)
+      assert(CommitLog.snapshotRange(spark, rootSql, "k", lo, hi)._1.count() ==
+        CommitLog.snapshotRange(spark, rootApi, "k", lo, hi)._1.count())
+    }
+    // declaring an unknown cluster column is declined at CREATE
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.clus_bad (k BIGINT) TBLPROPERTIES ('clusterBy'='nope')")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("unknown column")), chain(e).map(_.getMessage))
+  }
+
   test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
     spark.sql("CREATE TABLE gcat.db.ddl1 (k BIGINT)")
     val names = spark.sql("SHOW TABLES IN gcat.db").collect()
