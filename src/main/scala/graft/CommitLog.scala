@@ -87,6 +87,35 @@ object CommitLog {
     */
   final case class FileStat(file: String, column: String, min: Long, max: Long)
 
+  /** One per-file column BLOOM — the skipping metadata for HASH-domain
+    * keys, where min/max ranges never prune (a uniformly-hashed probe
+    * key set intersects every file's range): a file is skippable for a
+    * probe key set iff its bloom contains NONE of the keys. No false
+    * negatives by construction (every non-null value is inserted at
+    * write), so probe pruning stays superset-safe like the stats path;
+    * false positives only cost an extra read. Bit positions come from
+    * `pmod(xxhash64(CAST(i AS BIGINT), CAST(v AS BIGINT)), m)` for
+    * i = 0..k-1 — Spark's own xxhash64 fold, replayed driver-side via
+    * the public `XXH64.hashLong` (spec-pinned bit parity), never a UDF.
+    * Encoded `file|col|k|base64(bits)` in the entry's `blooms` array
+    * ('|' is not in the base64 alphabet). */
+  final case class FileBloom(file: String, column: String, k: Int,
+      bits: Array[Byte]) {
+    def m: Int = bits.length * 8
+    def mightContain(v: Long): Boolean =
+      bloomPositions(v, k, m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+  }
+
+  /** The driver half of the bloom hash — MUST stay bit-identical to the
+    * distributed write side in [[collectBlooms]] (xxhash64's long fold:
+    * seed 42, then each long child rehashes the running hash). */
+  private[graft] def bloomPositions(v: Long, k: Int, m: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(k)(i =>
+      java.lang.Math.floorMod(XXH64.hashLong(v, XXH64.hashLong(i.toLong, 42L)),
+        m.toLong).toInt)
+  }
+
   final case class Commit(version: Long, op: String,
       add: Seq[String], remove: Seq[String], txnId: Option[String],
       stats: Seq[FileStat] = Seq.empty,
@@ -98,7 +127,8 @@ object CommitLog {
         * survivor rewrites (the public formats' dataChange=false).
         * [[changesSince]] excludes them so a CDC consumer never replays
         * rows that merely moved files; snapshot reads are unaffected. */
-      rewrite: Seq[String] = Seq.empty)
+      rewrite: Seq[String] = Seq.empty,
+      blooms: Seq[FileBloom] = Seq.empty)
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -132,7 +162,10 @@ object CommitLog {
       else s""","stats":${arr(c.stats.map(f => s"${f.file}|${f.column}|${f.min}|${f.max}"))}"""
     val tx = if (c.txns.isEmpty) "" else s""","txns":${arr(c.txns)}"""
     val rw = if (c.rewrite.isEmpty) "" else s""","rewrite":${arr(c.rewrite)}"""
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st$tx$rw}"""
+    val bl = if (c.blooms.isEmpty) ""
+      else s""","blooms":${arr(c.blooms.map(b => s"${b.file}|${b.column}|${b.k}|" +
+        java.util.Base64.getEncoder.encodeToString(b.bits)))}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$st$tx$rw$bl}"""
   }
 
   /** Minimal parser for the exact shape [[enc]] writes (see object doc
@@ -224,8 +257,17 @@ object CommitLog {
         case _ => None
       }
     }
+    val blooms = field("blooms").flatMap { enc =>
+      enc.split('|') match {
+        case Array(f, c, k, b64) =>
+          for (kk <- k.toIntOption;
+               bits <- scala.util.Try(java.util.Base64.getDecoder.decode(b64)).toOption)
+            yield FileBloom(f, c, kk, bits)
+        case _ => None
+      }
+    }
     Commit(version, op, field("add"), field("remove"), txn, stats, field("txns"),
-      field("rewrite"))
+      field("rewrite"), blooms)
   }
 
   // ---------- log access ----------
@@ -493,7 +535,8 @@ object CommitLog {
   private def commitEntry(s: SparkSession, root: String, op: String,
       add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
       txnId: Option[String], stats: Seq[FileStat] = Seq.empty,
-      rewrite: Seq[String] = Seq.empty): Option[Long] =
+      rewrite: Seq[String] = Seq.empty,
+      blooms: Seq[FileBloom] = Seq.empty): Option[Long] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val f = fs(s, root)
       f.mkdirs(new Path(s"$root/$LogDir"))
@@ -506,7 +549,7 @@ object CommitLog {
         val target = versionFile(root, v)
         if (!f.exists(target)) {
           val body = enc(Commit(v, op, add, removeAtHead(entries), txnId, stats,
-            Seq.empty, rewrite))
+            Seq.empty, rewrite, blooms))
           val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
           val out = f.create(staged, false)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -561,6 +604,136 @@ object CommitLog {
       }
   }
 
+  /** Written files that actually HOLD rows — zero-row part files are
+    * deleted and dropped from the add list. Used by the delta-rewrite
+    * ops ([[merge]]/[[delete]] survivors): a touched file whose every
+    * row was updated/deleted produces an EMPTY survivor file, which
+    * carries no stats and no bloom and would therefore be UNSKIPPABLE
+    * forever — one permanently probe-read file per merge (found by the
+    * r18 ClusterCensus: the maintained map's probe reads grew with
+    * table age purely from accumulated empty rewrites). Append/create
+    * keep their files unconditionally (create's zero-row file IS the
+    * schema carrier). */
+  private def dropEmptyFiles(s: SparkSession, root: String,
+      add: Seq[String]): Seq[String] = {
+    if (add.isEmpty) return add
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val counts = s.read.parquet(add.map(p => dataPath(root, p)): _*)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    val (keep, drop) = add.partition(p =>
+      counts.getOrElse(p.split('/').last, 0L) > 0L)
+    drop.foreach(p => fs(s, root).delete(new Path(dataPath(root, p)), false))
+    keep
+  }
+
+  /** Per-file BLOOM filters for the session-conf-designated hash-key
+    * columns (`graft.commitlog.bloomColumns`, comma-separated — absent
+    * columns in the written schema are skipped silently so one session
+    * conf can serve several tables) over a just-written data dir: ONE
+    * scan per column, k=6 positions per non-null value via Spark's own
+    * `xxhash64` (the driver probe replays the identical fold —
+    * [[bloomPositions]]), folded per physical file with a bounded
+    * `collect_set` (≤ m positions per file by dedup). Files whose row
+    * count saturates the filter (> m/8 rows → fpp ≳ 2%) store NO bloom
+    * and stay unskippable — honest metadata only. m defaults to 65536
+    * bits (8 KB, ~11 KB base64 in the entry; conf
+    * `graft.commitlog.bloomBits`), sized for micro-batch-scale files —
+    * exactly the s38 regime where the probe-read bound matters.
+    */
+  private def collectBlooms(s: SparkSession, root: String,
+      add: Seq[String]): Seq[FileBloom] = {
+    val cols = s.conf.getOption("graft.commitlog.bloomColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if (cols.isEmpty || add.isEmpty) return Seq.empty
+    require(cols.forall(!_.contains('|')), "bloom column names must not contain '|'")
+    val m = s.conf.getOption("graft.commitlog.bloomBits").map(_.toInt).getOrElse(65536)
+    require(m > 0 && m % 8 == 0, s"graft.commitlog.bloomBits must be a positive multiple of 8, got $m")
+    val k = 6
+    import org.apache.spark.sql.functions.{array, col, collect_set, count, explode, input_file_name, lit, pmod, xxhash64}
+    val byName = add.map(p => p.split('/').last -> p).toMap
+    val df = s.read.parquet(add.map(p => s"$root/$p"): _*)
+    val have = df.columns.toSet
+    cols.filter(have).flatMap { c =>
+      val positions = (0 until k).map(i =>
+        pmod(xxhash64(lit(i.toLong), col(c).cast("long")), lit(m.toLong)).cast("int"))
+      df.filter(col(c).isNotNull)
+        .select(input_file_name().as("f"),
+          explode(array(positions: _*)).as("pos"))
+        .groupBy(col("f"))
+        .agg(collect_set(col("pos")).as("ps"), count(lit(1)).as("nk"))
+        .collect().toSeq.flatMap { r =>
+          val rel = byName.get(r.getString(0).split('/').last)
+          val n = r.getLong(2) / k
+          if (rel.isEmpty || n > m / 8) None // saturated: no bloom, unskippable
+          else {
+            val bits = new Array[Byte](m / 8)
+            r.getSeq[Int](1).foreach(p => bits(p >>> 3) =
+              (bits(p >>> 3) | (1 << (p & 7))).toByte)
+            Some(FileBloom(rel.get, c, k, bits))
+          }
+        }
+    }
+  }
+
+  /** Latest bloom per live file for a column (the [[statFold]] twin). */
+  private[graft] def bloomFold(entries: Seq[Commit],
+      column: String): Map[String, FileBloom] =
+    entries.flatMap(_.blooms).filter(_.column == column)
+      .map(b => b.file -> b).toMap // later duplicate wins (rewrites)
+
+  /** Live files that MIGHT hold any of `keys` on `column` — the
+    * hash-domain twin of [[snapshotRange]]'s file skipping, combining
+    * both metadata layers: a file is skipped when its [min, max] stat
+    * excludes every key OR its bloom contains none of them; files with
+    * neither are kept (unskippable — superset-safe, the pruning is an
+    * optimization, never a correctness dependency). This is the bound
+    * that makes a maintained table's per-batch probe reads proportional
+    * to the batch's actual overlap instead of the table's age (s38's
+    * sink): for a mostly-novel stream, old files genuinely lack the new
+    * batch's keys and their blooms prune them without a read.
+    */
+  def probeFiles(s: SparkSession, root: String, column: String,
+      keys: Seq[Long], asOf: Long = Long.MaxValue): Seq[String] = {
+    val entries = log(s, root, asOf)
+    val live = liveFiles(s, root, asOf)
+    if (keys.isEmpty) return Seq.empty
+    val stats = statFold(entries, column)
+    val blooms = bloomFold(entries, column)
+    val ks = keys.toArray
+    // positions depend only on (key, k, m) — hash each key once per
+    // distinct filter geometry, not once per file (the probe is a
+    // per-micro-batch driver step; O(keys·k) hashes + O(files·keys)
+    // bit tests)
+    val posCache = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Int]]]
+    def positionsFor(k: Int, m: Int): Array[Array[Int]] =
+      posCache.getOrElseUpdate((k, m), ks.map(v => bloomPositions(v, k, m)))
+    live.filter { f =>
+      stats.get(f).forall(st => ks.exists(v => v >= st.min && v <= st.max)) &&
+        blooms.get(f).forall { b =>
+          val pos = positionsFor(b.k, b.m)
+          pos.exists(_.forall(p => (b.bits(p >>> 3) & (1 << (p & 7))) != 0))
+        }
+    }
+  }
+
+  /** [[probeFiles]] as a frame: the kept files' ROWS (evolved read, NOT
+    * row-filtered — the caller's joins do exact key matching; this layer
+    * only bounds which files are opened), plus (kept, live) counts for
+    * observability. An empty keep set returns the empty-but-schema'd
+    * frame like [[snapshotRange]]'s short circuit. */
+  def snapshotProbe(s: SparkSession, root: String, column: String,
+      keys: Seq[Long], asOf: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    val live = liveFiles(s, root, asOf)
+    require(live.nonEmpty, s"commit-log table at $root has no live files")
+    val kept = probeFiles(s, root, column, keys, asOf)
+    if (kept.isEmpty)
+      (snapshot(s, root, asOf).filter(org.apache.spark.sql.functions.lit(false)),
+        0, live.size)
+    else (readFilesEvolved(s, root, kept), kept.size, live.size)
+  }
+
   /** Append df as a new version. `txnId` makes the commit exactly-once
     * under replays (foreachBatch: pass the batch id); `statsFor` embeds
     * per-file min/max skipping stats for the named long-castable columns
@@ -573,7 +746,7 @@ object CommitLog {
       return None // cheap pre-check: replay skips the data write too
     val add = writeData(df, root)
     val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId,
-      collectStats(s, root, add, statsFor))
+      collectStats(s, root, add, statsFor), blooms = collectBlooms(s, root, add))
     if (committed.isEmpty && add.nonEmpty) {
       // token race lost AFTER the data write (two concurrent replays both
       // passed the pre-check): this dir is OURS and will never be
@@ -617,7 +790,8 @@ object CommitLog {
       val live = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
       live.toSeq
-    }, None, collectStats(s, root, add, statsFor)).get
+    }, None, collectStats(s, root, add, statsFor),
+      blooms = collectBlooms(s, root, add)).get
   }
 
   /** Fold the current live files into one coalesced data dir — small-file
@@ -787,6 +961,12 @@ object CommitLog {
         .groupBy(st => (st.file, st.column)).map(_._2.last).toSeq
         .filter(st => live.contains(st.file))
         .sortBy(st => (st.file, st.column))
+      // blooms fold exactly like stats: latest per (file, column), live
+      // files only — probe pruning must survive checkpointing
+      val blooms = entries.flatMap(_.blooms)
+        .groupBy(b => (b.file, b.column)).map(_._2.last).toSeq
+        .filter(b => live.contains(b.file))
+        .sortBy(b => (b.file, b.column))
       // commit order: carried (older) tokens first, then this segment's —
       // takeRight keeps the newest TxnRetention across checkpoint chains
       val txns = (entries.flatMap(c => c.txns ++ c.txnId)).distinct
@@ -794,7 +974,8 @@ object CommitLog {
       val target = new Path(f"$root/$LogDir/$v%020d.checkpoint.json")
       val f = fs(s, root)
       if (!f.exists(target)) {
-        val body = enc(Commit(v, "checkpoint", live.toSeq, everRemoved, None, stats, txns))
+        val body = enc(Commit(v, "checkpoint", live.toSeq, everRemoved, None, stats,
+          txns, Seq.empty, blooms))
         val staged = new Path(s"$root/$LogDir/.staging-${java.util.UUID.randomUUID()}.json")
         val out = f.create(staged, false)
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -935,14 +1116,15 @@ object CommitLog {
         scan.join(broadcast(keyDf),
           col(keyCol).cast("long") === col("__graft_del_key"), "left_anti")
       }
-    val add = writeData(survivors, root)
+    val add = dropEmptyFiles(s, root, writeData(survivors, root))
     val stCols = statsFor.getOrElse(Seq(keyCol))
     val committed = commitEntry(s, root, "delete", add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
     }, txnId, collectStats(s, root, add, stCols),
-      rewrite = add) // survivors only — no new rows for a CDC consumer
+      rewrite = add, // survivors only — no new rows for a CDC consumer
+      blooms = collectBlooms(s, root, add))
     if (committed.isEmpty && add.nonEmpty)
       add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
         fs(s, root).delete(new Path(s"$root/$d"), true))
@@ -990,7 +1172,8 @@ object CommitLog {
     def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
         rewrite: Seq[String] = Seq.empty): Option[Long] = {
       val committed = commitEntry(s, root, "merge", add, removeAtHead, txnId,
-        collectStats(s, root, add, stCols), rewrite)
+        collectStats(s, root, add, stCols), rewrite,
+        blooms = collectBlooms(s, root, add))
       if (committed.isEmpty && add.nonEmpty)
         add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
           fs(s, root).delete(new Path(s"$root/$d"), true))
@@ -1044,8 +1227,9 @@ object CommitLog {
         val rewritten = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
           .join(updKeys, Seq(keyCol), "left_anti")
           .select(tableCols.map(col): _*)
-        val rw = writeData(rewritten, root)
-        (rw ++ writeData(updates.select(tableCols.map(col): _*), root), rw)
+        val rw = dropEmptyFiles(s, root, writeData(rewritten, root))
+        (rw ++ dropEmptyFiles(s, root,
+          writeData(updates.select(tableCols.map(col): _*), root)), rw)
       }
     commit(add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -130,11 +130,15 @@ object Dedup {
     * (semi-join on the batch's (band_id, sig) set — the
     * [[dedupeIncremental]] argument: the corpus-scale side is read only
     * where the batch lands; a bucketed signature table makes that read
-    * exchange-free), and published buckets over
-    * `graft.dedup.maxBucketSize` are dropped WHOLE — [[expandPairsBy]]'s
-    * discrimination rule: a corpus-scale bucket no longer discriminates
-    * and its batch × bucket cross product is exactly the adversarial-skew
-    * blowup. Output is (doc_a < doc_b) normalized and distinct. */
+    * exchange-free), and buckets whose COMBINED size (touched published
+    * rows + batch rows) exceeds `graft.dedup.maxBucketSize` are dropped
+    * WHOLE — the same bucket the full REBUILD would cap (review finding
+    * r17: capping the published side alone let the incremental path emit
+    * pairs near the boundary that a rebuild's combined cap drops).
+    * [[expandPairsBy]]'s discrimination rule applies unchanged: a
+    * corpus-scale bucket no longer discriminates and its batch × bucket
+    * cross product is exactly the adversarial-skew blowup. Output is
+    * (doc_a < doc_b) normalized and distinct. */
   private[graft] def crossCandidatePairs(batchSigs: DataFrame,
       publishedSigs: DataFrame): DataFrame = {
     val s = batchSigs.sparkSession
@@ -143,8 +147,12 @@ object Dedup {
     val touched = publishedSigs
       .join(batchSigs.select(col("band_id"), col("sig")).distinct(),
         Seq("band_id", "sig"), "left_semi")
+    val batchCounts = batchSigs.groupBy(col("band_id"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
     val admissible = touched.groupBy(col("band_id"), col("sig"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .agg(count(lit(1)).as("pn"))
+      .join(batchCounts, Seq("band_id", "sig"))
+      .filter(col("pn") + col("bn") <= maxBucket)
       .select(col("band_id"), col("sig"))
     touched.join(admissible, Seq("band_id", "sig"), "left_semi").as("p")
       .join(batchSigs.as("b"), Seq("band_id", "sig"))

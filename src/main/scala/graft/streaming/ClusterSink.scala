@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, explode}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -49,12 +49,37 @@ import graft.operators.Dedup
   * (an empty merge would be a no-op version; the signature append still
   * records the batch).
   *
-  * Invariant (spec-pinned): after any batch cadence, the maintained map
-  * equals the batch rebuild `connectedComponents(fastCandidatePairs(all
-  * docs so far))` row-for-row — pair coverage is exact because
-  * within-batch ∪ batch↔history = all-pairs over the union (both sides
-  * inherit the band machinery's hot-bucket cap; a degenerate
-  * constant-text corpus degrades both paths identically).
+  * BOUNDED PROBES (r17 verdict task #2 — the one structural scale
+  * hazard found that round): the published sides are never full-scanned
+  * per batch. Both maintained tables carry per-file BLOOM metadata in
+  * their commits ([[CommitLog.FileBloom]]: `sig` on the signature
+  * table; `doc_id` + `cluster_id` on the map), and each batch reads
+  * them through [[CommitLog.snapshotProbe]]: only files that MIGHT hold
+  * the batch's signature keys (resp. the pairs' touched doc ids, then
+  * the touched clusters' ids) are opened. For a mostly-novel stream,
+  * old files genuinely lack the new batch's hash keys and are bloom-
+  * skipped without a read — per-batch read cost tracks the batch's
+  * ACTUAL overlap with history, not the table's age
+  * ([[graft.ClusterCensus]] measures exactly this at 1× vs 10×).
+  * Superset-safe throughout: the downstream semi-joins re-apply exact
+  * key matching, so a bloom false positive costs one extra file read,
+  * never a wrong pair. Probe key sets above
+  * `graft.cluster.maxProbeKeys` (default 100k) fall back to the full
+  * snapshot — same answers, the old cost.
+  *
+  * Invariant (spec-pinned): after any batch cadence in which no
+  * (band_id, sig) bucket ever exceeds `graft.dedup.maxBucketSize`, the
+  * maintained map equals the batch rebuild
+  * `connectedComponents(fastCandidatePairs(all docs so far))`
+  * row-for-row — pair coverage is exact because within-batch ∪
+  * batch↔history = all-pairs over the union. NEAR THE CAP the
+  * maintained map is a monotone SUPERSET of the rebuild: cross pairs
+  * honor the rebuild's COMBINED bucket cap (crossCandidatePairs), but
+  * memberships merged while a bucket was still under the cap are
+  * retained, whereas a fresh rebuild whose bucket has since crossed
+  * the cap drops the whole bucket — retention is the deliberate side
+  * of that trade (a published cluster never silently dissolves because
+  * the corpus grew).
   */
 object ClusterSink {
 
@@ -74,26 +99,86 @@ object ClusterSink {
       }
       .start()
 
+  /** Per-batch probe-read observability for [[graft.ClusterCensus]]:
+    * (files opened, live files) per published table at the LAST
+    * [[applyBatch]] — the flat-in-table-age claim made measurable. */
+  @volatile private[graft] var lastProbe: Map[String, (Int, Int)] = Map.empty
+
   /** One micro-batch applied to the two maintained tables — factored out
     * so specs can drive crash/replay schedules batch-at-a-time. */
   private[graft] def applyBatch(batch: DataFrame, mapRoot: String,
       sigRoot: String, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val sigs = Dedup.fastBandSignaturesOf(batch).localCheckpoint()
-    val within = Dedup.expandPairs(s, sigs)
-      .select(col("doc_a"), col("doc_b"))
-    val pairs =
-      if (CommitLog.headVersion(s, sigRoot) == 0L) within // bootstrap
-      else within.unionByName(
-        Dedup.crossCandidatePairs(sigs, CommitLog.snapshot(s, sigRoot)))
-    val published =
-      if (CommitLog.headVersion(s, mapRoot) == 0L)
-        s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
-      else CommitLog.snapshot(s, mapRoot)
-    val delta = Dedup.mergeClusterBatchDelta(published, pairs).localCheckpoint()
-    if (!delta.isEmpty)
-      CommitLog.merge(delta, mapRoot, "doc_id",
-        statsFor = Some(Seq("doc_id")), txnId = Some(mapToken(batchId))): Unit
-    CommitLog.append(sigs, sigRoot, txnId = Some(sigToken(batchId))): Unit
+    val maxProbeKeys = s.conf.getOption("graft.cluster.maxProbeKeys")
+      .map(_.toInt).getOrElse(100000)
+    // the sink's writes carry bloom metadata for the probe columns;
+    // save/restore so the session conf is the sink's concern, not the
+    // caller's
+    val prevBloomCols = s.conf.getOption("graft.commitlog.bloomColumns")
+    s.conf.set("graft.commitlog.bloomColumns", "sig,doc_id,cluster_id")
+    try {
+      val sigs = Dedup.fastBandSignaturesOf(batch).localCheckpoint()
+      val within = Dedup.expandPairs(s, sigs)
+        .select(col("doc_a"), col("doc_b"))
+      var probes = Map.empty[String, (Int, Int)]
+      val pairs0 =
+        if (CommitLog.headVersion(s, sigRoot) == 0L) within // bootstrap
+        else {
+          // bloom-probe the signature table with the batch's sig keys
+          val sigKeys = sigs.select(col("sig").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val published =
+            if (sigKeys.size > maxProbeKeys) CommitLog.snapshot(s, sigRoot)
+            else {
+              val (df, kept, live) =
+                CommitLog.snapshotProbe(s, sigRoot, "sig", sigKeys)
+              probes += ("sigs" -> (kept, live))
+              df
+            }
+          within.unionByName(Dedup.crossCandidatePairs(sigs, published))
+        }
+      val pairs = pairs0.localCheckpoint()
+      val published =
+        if (CommitLog.headVersion(s, mapRoot) == 0L)
+          s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
+        else {
+          // two probe rounds: touched doc ids → their cluster ids → every
+          // row of a touched cluster (bloom superset-safety guarantees no
+          // member file is skipped; mergeClusterBatchDelta's semi-joins
+          // then compute the exact touched set as before)
+          val touched = pairs
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          if (touched.isEmpty)
+            s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
+          else if (touched.size > maxProbeKeys) CommitLog.snapshot(s, mapRoot)
+          else {
+            import s.implicits._
+            val (r1, _, _) = CommitLog.snapshotProbe(s, mapRoot, "doc_id", touched)
+            val clusterIds = r1
+              .join(touched.toDF("doc_id"), Seq("doc_id"), "left_semi")
+              .select(col("cluster_id")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (clusterIds.isEmpty)
+              s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
+            else {
+              val (df, kept, live) =
+                CommitLog.snapshotProbe(s, mapRoot, "cluster_id", clusterIds)
+              probes += ("map" -> (kept, live))
+              df
+            }
+          }
+        }
+      lastProbe = probes
+      val delta = Dedup.mergeClusterBatchDelta(published, pairs).localCheckpoint()
+      if (!delta.isEmpty)
+        CommitLog.merge(delta, mapRoot, "doc_id",
+          statsFor = Some(Seq("doc_id", "cluster_id")),
+          txnId = Some(mapToken(batchId))): Unit
+      CommitLog.append(sigs, sigRoot, txnId = Some(sigToken(batchId))): Unit
+    } finally prevBloomCols match {
+      case Some(v) => s.conf.set("graft.commitlog.bloomColumns", v)
+      case None => s.conf.unset("graft.commitlog.bloomColumns")
+    }
   }
 }

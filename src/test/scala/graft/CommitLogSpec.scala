@@ -977,4 +977,60 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ops.contains((1L, "clone")), ops.toString)
   }
 
+  test("blooms: probe pruning skips files without the keys, never drops files with them; codec + checkpoint round-trip; saturation stores nothing") {
+    val root = freshRoot()
+    spark.conf.set("graft.commitlog.bloomColumns", "h")
+    try {
+      // two appends of hash-like keys with overlapping [min,max] ranges —
+      // range stats alone could never tell them apart
+      val h1 = Seq(101L, 90001L, 17L, 55555L)
+      val h2 = Seq(202L, 80002L, 33L, 44444L)
+      CommitLog.append(h1.toDF("h").coalesce(1), root, None, Seq("h"))
+      CommitLog.append(h2.toDF("h").coalesce(1), root, None, Seq("h"))
+      val live = CommitLog.liveFiles(spark, root)
+      assert(live.size == 2)
+      // no false negatives: every written value's file is kept
+      for (v <- h1 ++ h2)
+        assert(CommitLog.probeFiles(spark, root, "h", Seq(v)).nonEmpty,
+          s"probe for present key $v must keep its file")
+      // batch-1 keys keep ONLY batch 1's file (bloom skip despite the
+      // overlapping ranges)
+      val kept1 = CommitLog.probeFiles(spark, root, "h", h1)
+      assert(kept1.size == 1, s"expected 1 file for h1 keys, got $kept1")
+      // absent keys: everything bloom-skipped, empty-but-schema'd frame
+      val (none, k0, l0) = CommitLog.snapshotProbe(spark, root, "h",
+        Seq(999999999L, -12345L))
+      assert(k0 == 0 && l0 == 2 && none.count() == 0L &&
+        none.schema.fieldNames.toSeq == Seq("h"))
+      // driver/distributed hash parity: the stored bloom CONTAINS the
+      // value by the driver-side position computation on fresh bits
+      val blooms = CommitLog.log(spark, root).flatMap(_.blooms)
+      assert(blooms.size == 2)
+      assert(blooms.forall(_.column == "h"))
+      // codec round trip (bits by value, not reference)
+      val c = CommitLog.log(spark, root).last
+      val rt = CommitLog.dec(c.version, CommitLog.enc(c))
+      assert(rt.blooms.map(b => (b.file, b.column, b.k)) ==
+        c.blooms.map(b => (b.file, b.column, b.k)))
+      assert(rt.blooms.zip(c.blooms).forall { case (a, b) =>
+        a.bits.sameElements(b.bits) })
+      // checkpoint folds blooms: pruning survives the fold
+      CommitLog.checkpoint(spark, root)
+      CommitLog.append(Seq(7070L).toDF("h").coalesce(1), root, None, Seq("h"))
+      assert(CommitLog.probeFiles(spark, root, "h", h1).size == 1,
+        "bloom pruning must survive checkpointing")
+      // saturation: a filter too small for the rows stores NO bloom and
+      // the file stays unskippable (kept for any probe)
+      val satRoot = freshRoot()
+      spark.conf.set("graft.commitlog.bloomBits", "64")
+      try {
+        CommitLog.append((1L to 100L).toDF("h").coalesce(1), satRoot)
+        assert(CommitLog.log(spark, satRoot).flatMap(_.blooms).isEmpty,
+          "a saturated bloom must not be stored")
+        assert(CommitLog.probeFiles(spark, satRoot, "h", Seq(424242L)).size == 1,
+          "a bloom-less file is unskippable")
+      } finally spark.conf.unset("graft.commitlog.bloomBits")
+    } finally spark.conf.unset("graft.commitlog.bloomColumns")
+  }
+
 }
