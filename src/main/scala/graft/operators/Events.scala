@@ -1000,6 +1000,121 @@ object Events {
   def q309BranchingFunnel(s: SparkSession, dir: String): DataFrame =
     branchingFunnelOf(s, Tables.events(s, dir))
 
+  /** One step of a [[matchRecognize]] pattern: a label, the event type
+    * the step consumes, and a quantifier (`one`, `star` — greedy ≥ 0,
+    * `plus` — greedy ≥ 1). Steps match CONTIGUOUS rows, the
+    * MATCH_RECOGNIZE row-pattern discipline. */
+  final case class PatternStep(label: String, eventType: String,
+      quant: String) {
+    require(Seq("one", "star", "plus").contains(quant),
+      s"quantifier must be one|star|plus, got '$quant'")
+  }
+
+  /** q310's engine: MATCH_RECOGNIZE-style sequential row-pattern
+    * matching — the general form q22/q113/q309 all specialize (those
+    * pick fixed stage lists; this takes an arbitrary contiguous pattern
+    * with quantifiers). Semantics follow the SQL standard's defaults:
+    * rows per user ordered by (ts, event_id); GREEDY quantifiers with
+    * backtracking; matches emitted left-to-right with AFTER MATCH SKIP
+    * PAST LAST ROW (no overlapping matches). Output: one row per match
+    * — user_id, start/end event ids, per-star/plus-step consumed
+    * counts, span seconds (exact integer measures only, the §6 rule).
+    *
+    * Shape: ONE exchange on user_id, then executor-side matching inside
+    * `flatMapGroups` over each user's collected, sorted row array (the
+    * q176 discipline: per-key state bounded by one user's event count —
+    * session-scale; a pathological single hot key is the same skew every
+    * per-user window here carries, and the documented salting remedy
+    * applies). The matcher is a ~20-line backtracking walk, not a regex
+    * engine: patterns are short and predicates are type-equality, so
+    * the worst case is O(rows · pattern) per user with greedy star
+    * back-off bounded by run lengths.
+    */
+  private[graft] def matchRecognize(ev: DataFrame,
+      steps: Seq[PatternStep]): DataFrame = {
+    require(steps.nonEmpty, "matchRecognize needs at least one step")
+    val s = ev.sparkSession
+    import s.implicits._
+    val starLabels = steps.filter(_.quant != "one").map(_.label)
+    val stepTypes = steps.map(_.eventType).toArray
+    val stepQuants = steps.map(_.quant).toArray
+    val typed = ev.select(
+      col("user_id").cast("long"), col("event_type"),
+      unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+    val matched = typed.groupByKey(_._1).flatMapGroups { (uid, it) =>
+      val rows = it.toArray.sortBy(r => (r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Seq[Long], Long)]
+      /** Greedy match of steps(si..) at rows(pos..): returns (end index,
+        * consumed count per step) for the LONGEST-first quantifier
+        * assignment, None if no assignment completes the pattern. */
+      def go(pos: Int, si: Int): Option[(Int, List[Long])] = {
+        if (si == stepTypes.length) return Some((pos - 1, Nil))
+        val t = stepTypes(si)
+        stepQuants(si) match {
+          case "one" =>
+            if (pos < rows.length && rows(pos)._2 == t)
+              go(pos + 1, si + 1).map { case (e, c) => (e, 1L :: c) }
+            else None
+          case q =>
+            var run = 0
+            while (pos + run < rows.length && rows(pos + run)._2 == t) run += 1
+            val minK = if (q == "plus") 1 else 0
+            var k = run
+            while (k >= minK) {
+              go(pos + k, si + 1) match {
+                case Some((e, c)) => return Some((e, k.toLong :: c))
+                case None => k -= 1
+              }
+            }
+            None
+        }
+      }
+      var i = 0
+      while (i < rows.length) {
+        go(i, 0) match {
+          // `end >= i` rejects the EMPTY match an all-star pattern can
+          // produce (zero rows consumed) — the standard's minimum-one-row
+          // rule, and what keeps skip-past from looping in place
+          case Some((end, counts)) if end >= i =>
+            val starCounts = steps.indices
+              .filter(si => stepQuants(si) != "one").map(si => counts(si))
+            out += ((uid, rows(i)._4, rows(end)._4, starCounts,
+              (rows(end)._3 - rows(i)._3) / 1000000L))
+            i = end + 1 // AFTER MATCH SKIP PAST LAST ROW
+          case _ => i += 1
+        }
+      }
+      out
+    }
+    val base = matched.toDF("user_id", "start_event_id", "end_event_id",
+      "star_counts", "span_s")
+    starLabels.zipWithIndex.foldLeft(base) { case (df, (lbl, i)) =>
+      df.withColumn(s"n_$lbl", element_at(col("star_counts"), i + 1))
+    }.drop("star_counts")
+  }
+
+  /** q310: event-pattern matches — the registered MATCH_RECOGNIZE run:
+    * `view (click)* purchase` over contiguous per-user rows, skip past
+    * last row. For THIS pattern the greedy NFA's matches coincide with
+    * a closed-form SQL mirror (a match is a view row whose FIRST
+    * following non-click row is a purchase; no view can occur inside a
+    * match span, so matches are naturally disjoint and backtracking
+    * never fires) — which is what makes the operator class oracleable:
+    * the engine is general, the pinned query picks a pattern whose
+    * match set has a pure-SQL characterization. The planted-sequence
+    * spec exercises the general engine (plus-quantifiers, backtracking
+    * shapes, skip-past overlap suppression) beyond what the oracle can.
+    */
+  def q310EventPatterns(s: SparkSession, dir: String): DataFrame =
+    matchRecognize(Tables.events(s, dir), Seq(
+      PatternStep("start", "view", "one"),
+      PatternStep("clicks", "click", "star"),
+      PatternStep("buy", "purchase", "one")))
+      .select(col("user_id"), col("start_event_id"), col("end_event_id"),
+        col("n_clicks"), col("span_s"))
+
   /** q309 on ANY (user_id, event_type, ts) frame — spec'd on planted
     * tie/branch/window-expiry users beside the oracled corpus run. */
   private[graft] def branchingFunnelOf(s: SparkSession, ev: DataFrame): DataFrame = {
@@ -1043,6 +1158,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_event_patterns" -> (q310EventPatterns _),
     "q309_branching_funnel" -> (q309BranchingFunnel _),
     "q253_audience_overlap" -> (q253AudienceOverlap _),
     "q254_user_type_entropy" -> (q254UserTypeEntropy _),
@@ -1079,6 +1195,29 @@ object Events {
     "q71_moving_avg"       -> (q71MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q310_event_patterns" ->
+      """WITH seq AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         stops AS (
+           SELECT user_id, rn FROM seq WHERE event_type <> 'click'),
+         m AS (
+           SELECT v.user_id, v.rn AS srn, min(t.rn) AS ern
+           FROM seq v
+           JOIN stops t ON t.user_id = v.user_id AND t.rn > v.rn
+           WHERE v.event_type = 'view'
+           GROUP BY 1, 2)
+         SELECT m.user_id,
+                ss.event_id AS start_event_id,
+                se.event_id AS end_event_id,
+                CAST(m.ern - m.srn - 1 AS BIGINT) AS n_clicks,
+                (se.us - ss.us) // 1000000 AS span_s
+         FROM m
+         JOIN seq ss ON ss.user_id = m.user_id AND ss.rn = m.srn
+         JOIN seq se ON se.user_id = m.user_id AND se.rn = m.ern
+         WHERE se.event_type = 'purchase'""",
     "q309_branching_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          l1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)

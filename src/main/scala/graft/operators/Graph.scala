@@ -109,16 +109,24 @@ object Graph {
       .localCheckpoint()
   }
 
-  def q146PagerankNations(s: SparkSession, dir: String): DataFrame = {
-    val edges = nationEdges(s, dir)
-    // everything below runs on ≤ |nations|²-row frames: broadcast-hint
+  def q146PagerankNations(s: SparkSession, dir: String): DataFrame =
+    pagerankOfEdges(nationEdges(s, dir))
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("rank_micro"))
+
+  /** q146's exact-integer PageRank over ANY weighted (src, dst, w) edge
+    * frame — also the per-batch estimator of the s39 maintained-rank
+    * sink (the maintained edge table IS the collapsed entity graph, so
+    * each re-derivation costs O(entity graph), never a fact pass). */
+  private[graft] def pagerankOfEdges(edges: DataFrame): DataFrame = {
+    // everything below runs on ≤ |nodes|²-row frames: broadcast-hint
     // every join so no iteration plans an exchange for a 25-row side
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     val start = nodes.withColumn("rank_micro", lit(1000000L))
     // 3 power iterations; every arithmetic step is BIGINT with floor DIV
-    val finalRanks = (1 to 3).foldLeft(start) { (ranks, _) =>
+    (1 to 3).foldLeft(start) { (ranks, _) =>
       val contrib = edges
         .join(broadcast(outW), "src")
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -129,9 +137,6 @@ object Graph {
         .select(col("node"),
           expr("150000 + 85 * coalesce(inflow, 0) DIV 100").as("rank_micro"))
     }
-    finalRanks
-      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
-      .select(col("n_name"), col("rank_micro"))
   }
 
   /** q276: trade-graph TRIANGLE census — degree, triangle count and local

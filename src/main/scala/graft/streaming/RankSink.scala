@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.CommitLog
+import graft.operators.Graph
+
+/** s39: streaming INCREMENTAL PAGERANK through the CommitLog — the
+  * maintained-table idiom (s25/s28/s38) pointed at a graph estimator:
+  * the q146 trade-rank table as a standing, versioned corpus asset that
+  * follows a live edge feed instead of a per-release fact recompute.
+  * Each (src, dst) edge-observation micro-batch:
+  *
+  *  1. folds the batch to per-edge counts (O(batch) map-side combine),
+  *  2. MERGES them into the maintained EDGE table as ONE delta-sized
+  *     [[CommitLog.merge]] version keyed on the packed `edge_id`
+  *     (`src·2²⁰ + dst` — one integral key, the merge contract; stats
+  *     on it make the touched-file probe tight since batch edge ids
+  *     cluster), new weight = published + batch (read for the touched
+  *     edges only, via [[CommitLog.snapshotProbe]]),
+  *  3. re-derives ranks from the maintained edge table —
+  *     [[Graph.pagerankOfEdges]], the exact-integer q146 iteration —
+  *     and merges them into the RANK table keyed on `node`.
+  *
+  * WHY this is the honest "incremental PageRank" at 100 TB: the
+  * maintained edge table IS the collapsed entity graph (≤ |entities|²
+  * rows — the collapse-then-iterate discipline of the whole graph
+  * block), so the per-batch cost is O(batch) for the edge delta plus
+  * O(entity graph) for the 3 power iterations — never a fact-table
+  * pass. True delta-propagation PageRank approximates; re-iterating the
+  * collapsed graph is EXACT (spec-pinned: after any batch cadence the
+  * rank table equals q146's iteration over the union of all edges so
+  * far, bit-for-bit — integer arithmetic makes the equality testable),
+  * and versions give what a rank feed needs operationally: `VERSION AS
+  * OF n` is "the ranking as of batch n", history is the audit,
+  * `changesSince` feeds downstream consumers only moved ranks.
+  *
+  * Exactly-once across the two roots, the s38 token protocol: the edge
+  * merge commits FIRST under `rank-edges-batch-<id>`, then the rank
+  * merge under `rank-ranks-batch-<id>`; a crash between the two replays
+  * the batch, the edge merge no-ops on its token, the rank merge heals
+  * (it re-derives from the already-updated edge table — idempotent by
+  * construction). Order matters: ranks-first would publish a ranking no
+  * edge state backs.
+  */
+object RankSink {
+
+  private[graft] def edgeToken(batchId: Long): String = s"rank-edges-batch-$batchId"
+  private[graft] def rankToken(batchId: Long): String = s"rank-ranks-batch-$batchId"
+
+  /** src·2²⁰ + dst: the packed single integral merge key; 2²⁰ node-id
+    * headroom keeps the packing collision-free for any entity domain
+    * the collapsed-graph discipline admits (loud otherwise). */
+  private val Shift = 1L << 20
+
+  def rankStream(edges: DataFrame, edgeRoot: String, rankRoot: String,
+      checkpointDir: String): StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), edgeRoot, rankRoot, batchId)
+      }
+      .start()
+
+  /** One micro-batch applied to the two maintained tables — factored out
+    * so specs can drive crash/replay schedules batch-at-a-time. */
+  private[graft] def applyBatch(batch: DataFrame, edgeRoot: String,
+      rankRoot: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val delta = batch
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val guard = delta.filter(col("src") < 0 || col("src") >= Shift ||
+      col("dst") < 0 || col("dst") >= Shift).limit(1).collect()
+    require(guard.isEmpty,
+      s"RankSink node ids must be in [0, $Shift) for collision-free edge packing, " +
+        s"got (${guard.headOption.map(r => s"${r.getLong(0)}, ${r.getLong(1)}").getOrElse("")})")
+    val keyed = delta.select(
+      (col("src") * Shift + col("dst")).as("edge_id"),
+      col("src"), col("dst"), col("w"))
+    val merged =
+      if (CommitLog.headVersion(s, edgeRoot) == 0L) keyed // bootstrap
+      else {
+        // read ONLY files that might hold the touched edges, fold the
+        // published weight in (absent edge → published weight 0)
+        val ids = keyed.select(col("edge_id")).collect().map(_.getLong(0)).toSeq
+        val (pub, _, _) = CommitLog.snapshotProbe(s, edgeRoot, "edge_id", ids)
+        keyed.as("b")
+          .join(broadcast(pub.select(col("edge_id"), col("w").as("pw"))),
+            Seq("edge_id"), "left")
+          .select(col("edge_id"), col("b.src").as("src"), col("b.dst").as("dst"),
+            (col("w") + coalesce(col("pw"), lit(0L))).as("w"))
+      }
+    CommitLog.merge(merged.localCheckpoint(), edgeRoot, "edge_id",
+      statsFor = Some(Seq("edge_id")), txnId = Some(edgeToken(batchId))): Unit
+    // re-derive ranks from the MAINTAINED edge table (already includes
+    // this batch whether the merge committed or token-no-op'd — replay
+    // safety), then upsert as one keyed version
+    val ranks = Graph.pagerankOfEdges(
+      CommitLog.snapshot(s, edgeRoot).select(col("src"), col("dst"), col("w")))
+    CommitLog.merge(ranks.select(col("node"), col("rank_micro")).localCheckpoint(),
+      rankRoot, "node",
+      statsFor = Some(Seq("node")), txnId = Some(rankToken(batchId))): Unit
+  }
+}

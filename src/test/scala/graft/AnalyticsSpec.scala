@@ -1178,4 +1178,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p(2L) == ((0L, "fast")), p(2L).toString)
     assert(p(3L) == ((5000L, "ok")), p(3L).toString)
   }
+
+  test("q310 matchRecognize: planted sequences pin greedy/backtracking/skip-past semantics") {
+    val s0 = spark
+    import s0.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    def frame(rows: Seq[(Long, String, Long)]) =
+      rows.zipWithIndex.map { case ((u, t, us), i) =>
+        (u, t, ts(us), i.toLong) }
+        .toDF("user_id", "event_type", "ts", "event_id")
+    import graft.operators.Events.PatternStep
+    val pat = Seq(PatternStep("start", "view", "one"),
+      PatternStep("clicks", "click", "star"),
+      PatternStep("buy", "purchase", "one"))
+    val sec = 1000000L
+    val planted = frame(Seq(
+      // u1: view click click purchase → one match, n_clicks=2, span 3s
+      (1L, "view", 0L), (1L, "click", sec), (1L, "click", 2 * sec), (1L, "purchase", 3 * sec),
+      // u2: view purchase → zero-click match
+      (2L, "view", 0L), (2L, "purchase", sec),
+      // u3: view click error → no match (first non-click is not purchase)
+      (3L, "view", 0L), (3L, "click", sec), (3L, "error", 2 * sec),
+      // u4: view view purchase → the SECOND view matches (first view's
+      // next non-click is a view)
+      (4L, "view", 0L), (4L, "view", sec), (4L, "purchase", 2 * sec),
+      // u5: two disjoint matches — skip past last row
+      (5L, "view", 0L), (5L, "purchase", sec), (5L, "view", 2 * sec), (5L, "purchase", 3 * sec)))
+    val got = graft.operators.Events.matchRecognize(planted, pat).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("end_event_id"), r.getAs[Long]("n_clicks"),
+        r.getAs[Long]("span_s"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 2L, 3L),
+      (2L, 4L, 5L, 0L, 1L),
+      (4L, 10L, 11L, 0L, 1L),
+      (5L, 12L, 13L, 0L, 1L), (5L, 14L, 15L, 0L, 1L)), got.toString)
+
+    // backtracking: (view)+ then ONE view over [view view] must back the
+    // greedy plus off from 2 to 1 so the trailing one-step can consume
+    val bt = frame(Seq((9L, "view", 0L), (9L, "view", sec)))
+    val btPat = Seq(PatternStep("run", "view", "plus"),
+      PatternStep("last", "view", "one"))
+    val gotBt = graft.operators.Events.matchRecognize(bt, btPat).collect()
+      .map(r => (r.getAs[Long]("start_event_id"), r.getAs[Long]("end_event_id"),
+        r.getAs[Long]("n_run"))).toSeq
+    assert(gotBt == Seq((0L, 1L, 1L)), gotBt.toString)
+
+    // plus requires at least one: view purchase does NOT match view (click)+ purchase
+    val plusPat = Seq(PatternStep("start", "view", "one"),
+      PatternStep("clicks", "click", "plus"),
+      PatternStep("buy", "purchase", "one"))
+    assert(graft.operators.Events.matchRecognize(
+      frame(Seq((8L, "view", 0L), (8L, "purchase", sec))), plusPat).count() == 0L)
+    // and does match with one click in between
+    assert(graft.operators.Events.matchRecognize(
+      frame(Seq((8L, "view", 0L), (8L, "click", sec), (8L, "purchase", 2 * sec))),
+      plusPat).count() == 1L)
+  }
 }
