@@ -89,7 +89,7 @@ object CosineFusion extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), evalMode) =>
+    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
       (dotOf(dot), dotOf(na), dotOf(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
             if a1.semanticEquals(a) && a2.semanticEquals(a) &&
@@ -100,8 +100,14 @@ object CosineFusion extends Rule[LogicalPlan] {
           // optimization time: a try_divide (TRY) or LEGACY cosine must
           // yield NULL on zero norms, only an ANSI Divide throws — reading
           // the conf here would both break try_divide and mis-fuse plans
-          // whose ansi setting changed between construction and execution
-          CosineSimilarity(a, b, failOnError = evalMode == EvalMode.ANSI)
+          // whose ansi setting changed between construction and execution.
+          // MUST be the `evalMode` ACCESSOR: Divide's third positional
+          // field on Spark 4.1 is a NumericEvalContext wrapper, so the
+          // bound pattern variable never equals EvalMode.ANSI — the latent
+          // always-false compare silently degraded every fused ANSI cosine
+          // to NULL-on-zero-norm (caught by ExtensionsSpec the round the
+          // extensions became the default session shape)
+          CosineSimilarity(a, b, failOnError = d.evalMode == EvalMode.ANSI)
         case _ => d
       }
   }
