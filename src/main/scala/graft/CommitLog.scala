@@ -1520,7 +1520,8 @@ object CommitLog {
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val f = fs(s, root)
       f.mkdirs(new Path(s"$root/$LogDir"))
-      val merged = properties(s, root) ++ props
+      // an empty value REMOVES the key (ALTER TABLE UNSET's route in)
+      val merged = (properties(s, root) ++ props).filter(_._2.nonEmpty)
       def arr(xs: Seq[String]) = xs.map(x =>
         "\"" + GraftSession.jsonEscape(x) + "\"").mkString("[", ",", "]")
       val ks = merged.keys.toSeq.sorted

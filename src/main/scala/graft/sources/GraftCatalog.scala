@@ -212,11 +212,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(spark, displayName(ident), root, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve reader-side: append data carrying the added " +
-        "or widened column and the snapshot unifies (snapshotEvolved " +
-        "semantics); there is no metadata store for ALTER TABLE to edit")
+  /** Only the maintenance-config properties are alterable (the same two
+    * CREATE accepts — clusterBy / statsColumns, stored in the
+    * properties sidecar); SCHEMA changes keep the reader-side-evolution
+    * contract and are rejected with the migration story. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = requireRoot(ident)
+    val alterable = Set("clusterBy", "statsColumns")
+    changes.foreach {
+      case set: TableChange.SetProperty if alterable(set.property) =>
+        val schema = CommitLog.evolvedSchema(spark, root,
+          CommitLog.liveFiles(spark, root))
+        set.value.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"table property names unknown column '$c' " +
+              s"(schema: ${schema.fieldNames.mkString(", ")})")
+        }
+        CommitLog.setProperties(spark, root, Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty if alterable(rm.property) =>
+        CommitLog.setProperties(spark, root, Map(rm.property -> ""))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${displayName(ident)}: unsupported change $other — " +
+          "graft tables evolve reader-side (append data carrying the " +
+          "added or widened column; snapshotEvolved semantics); only the " +
+          "clusterBy / statsColumns maintenance properties are alterable")
+    }
+    new GraftTable(spark, displayName(ident), root, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new Path(rootOf(ident))

@@ -441,6 +441,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       if (t == null) Seq.empty else t +: chain(t.getCause)
     assert(chain(e).exists(t => t.getMessage != null &&
       t.getMessage.contains("unknown column")), chain(e).map(_.getMessage))
+
+    // ALTER TABLE can set/unset the maintenance properties on an
+    // EXISTING table; schema changes keep the reader-side contract
+    spark.sql("ALTER TABLE gcat.db.clus SET TBLPROPERTIES ('clusterBy'='v')")
+    assert(CommitLog.properties(spark, rootSql) == Map("clusterBy" -> "v"))
+    spark.sql("ALTER TABLE gcat.db.clus UNSET TBLPROPERTIES ('clusterBy')")
+    assert(CommitLog.properties(spark, rootSql) == Map.empty)
+    spark.sql("ALTER TABLE gcat.db.clus SET TBLPROPERTIES ('clusterBy'='k')")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.clus SET TBLPROPERTIES ('clusterBy'='nope')")
+    }
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("unknown column")))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.clus ADD COLUMN extra BIGINT")
+    }
+    assert(chain(e3).exists(t => t.getMessage != null &&
+      (t.getMessage.contains("reader-side") || t.getMessage.contains("unsupported change"))),
+      chain(e3).map(_.getMessage))
   }
 
   test("DDL surface: SHOW TABLES lists, RENAME moves, DROP removes; partition transforms and writes to time travel are rejected") {
