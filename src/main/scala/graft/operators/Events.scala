@@ -46,7 +46,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("sess_start"),
         max(col("ts")).as("sess_end"),
-        round(sum(col("value")), 2).as("sess_value"))
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("sess_value"))
   }
 
   /** q293: session-SIZE profile — the engagement-shape census q20's raw
@@ -88,7 +88,8 @@ object Events {
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
 
   /** q136: SLIDING-window aggregation via the built-in `window()` operator
     * — q21's tumbling buckets generalized to overlapping frames (hourly
@@ -112,7 +113,8 @@ object Events {
   private[graft] def slidingWindowAgg(df: DataFrame): DataFrame =
     df
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
       .select(expr("unix_micros(w.start)").as("w_start_us"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -167,7 +169,7 @@ object Events {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")), 2).cast("double").as("revenue"),
         round(avg(col("o_totalprice")), 4).as("avg_order"))
 
   /** q26: inter-event gap statistics per user (lag over one shuffle).
@@ -216,7 +218,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("sess_start"),
         max(col("ts")).as("sess_end"),
-        round(sum(col("value")), 2).as("sess_value"),
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("sess_value"),
         min_by(col("event_type"), col("event_id")).as("entry_type"))
       .select(
         col("user_id"), col("sess_no"), col("n_events"),
@@ -1402,7 +1404,7 @@ object Events {
                   event_type, value
            FROM e CROSS JOIN generate_series(0, 3) t(i))
          SELECT w_start_us, event_type, count(*) AS n,
-                round(sum(value), 2) AS total_value
+                CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2""",
     "q127_nearest_click" -> {
       val prevF = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
@@ -1715,11 +1717,11 @@ object Events {
            FROM e)
          SELECT user_id, sess_no, count(*) AS n_events,
                 min(ts) AS sess_start, max(ts) AS sess_end,
-                round(sum(value), 2) AS sess_value
+                CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS sess_value
          FROM s GROUP BY user_id, sess_no""",
     "q21_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-                event_type, count(*) AS n, round(sum(value), 2) AS total_value
+                event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
     "q22_funnel" ->
       """WITH e AS (
@@ -1757,7 +1759,7 @@ object Events {
     "q25_monthly_revenue" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
                 count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS revenue,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
                 round(avg(o_totalprice), 4) AS avg_order
          FROM orders GROUP BY 1""",
     "q26_event_gaps" ->
@@ -1784,7 +1786,7 @@ object Events {
          t AS (
            SELECT user_id, sess_no, count(*) AS n_events,
                   min(ts) AS sess_start, max(ts) AS sess_end,
-                  round(sum(value), 2) AS sess_value,
+                  CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS sess_value,
                   min_by(event_type, event_id) AS entry_type
            FROM s GROUP BY user_id, sess_no)
          SELECT user_id, sess_no, n_events,

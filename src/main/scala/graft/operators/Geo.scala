@@ -81,7 +81,7 @@ object Geo {
       .agg(
         count(lit(1)).as("n_trips"),
         round(avg(col("value")), 4).as("avg_value"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
 
   /** THE zone-tagged trips frame — one session per row with endpoint
     * zones and timestamps, the single definition q63/q161/q166 all
@@ -423,7 +423,7 @@ object Geo {
       .groupBy(col("zone_id"))
       .agg(count(lit(1)).as("n_trips"),
         round(avg(col("value")), 4).as("avg_value"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
   }
 
   /** Hex cell size in degrees (center-to-edge scale parameter). */
@@ -472,7 +472,7 @@ object Geo {
       .groupBy(col("hex_q"), col("hex_r"))
       .agg(count(lit(1)).as("n_trips"),
         round(avg(col("value")), 4).as("avg_value"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
 
   /** mm per micro-degree at the synthetic city's ~40°N latitude: 1 µdeg
     * of latitude ≈ 111 mm, of longitude ≈ 85 mm (cos 40° scaled). INTEGER
@@ -1017,7 +1017,7 @@ object Geo {
           $ctes
           SELECT hex_q, hex_r, count(*) AS n_trips,
                  round(avg(value), 4) AS avg_value,
-                 round(sum(value), 2) AS total_value
+                 CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
           FROM s${steps.size - 1} GROUP BY 1, 2"""
     },
     "q131_pip_zones" ->
@@ -1038,7 +1038,7 @@ object Geo {
           SELECT CAST(zone_id AS INTEGER) AS zone_id,
                  count(*) AS n_trips,
                  round(avg(value), 4) AS avg_value,
-                 round(sum(value), 2) AS total_value
+                 CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
           FROM crossings WHERE n_cross % 2 = 1
           GROUP BY zone_id""",
     "q119_zorder" ->
@@ -1081,7 +1081,7 @@ object Geo {
                  CAST(floor((lat - $Lat0) / $Cell) AS BIGINT) AS zone_y,
                  count(*) AS n_trips,
                  round(avg(value), 4) AS avg_value,
-                 round(sum(value), 2) AS total_value
+                 CAST(round(sum(CAST(value AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
           FROM pts GROUP BY 1, 2""",
     "q295_hotspot_persistence" ->
       s"""WITH z AS (

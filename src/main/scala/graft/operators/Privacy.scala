@@ -54,7 +54,7 @@ object Privacy {
       .groupBy(col("event_type"), col("day_pub"))
       .agg(
         sum(col("n")).as("n_events"),
-        round(sum(col("v")), 2).as("total_value"))
+        round(sum(col("v").cast("decimal(8,2)")), 2).cast("double").as("total_value"))
 
   /** l-diversity thresholds: a publishable cell needs ≥ K rows AND ≥ L
     * distinct sensitive values (Machanavajjhala et al.). K is its own
@@ -803,7 +803,7 @@ object Privacy {
           SELECT event_type,
                  CASE WHEN n >= $SuppressK THEN strftime(day, '%Y-%m-%d') END AS day_pub,
                  CAST(sum(n) AS BIGINT) AS n_events,
-                 round(sum(v), 2) AS total_value
+                 CAST(round(sum(CAST(v AS DECIMAL(8,2))), 2) AS DOUBLE) AS total_value
           FROM g GROUP BY 1, 2""",
     "q57_pii_redact" ->
       s"""SELECT doc_id,

@@ -17,6 +17,29 @@ object Relational {
 
   private def money(c: Column): Column = round(c, 2)
   private def ratio(c: Column): Column = round(c, 4)
+
+  /** §6 upgraded (r18, found by the full-surface sf≈1 sweep): MONEY SUMS
+    * aggregate EXACT DECIMALS, never doubles — `round(sum(double), 2)`
+    * is summation-ORDER-sensitive (the 2-decimal source values are not
+    * representable, so partition order moves the sum by ULPs), and at
+    * 10× volume the error crosses the cent boundary: a re-run of the
+    * same query on the same data could flip the last digit, and Spark
+    * and DuckDB DID (q01/q04/q09 at sf1ev). The fold: cast each operand
+    * to its domain-tight decimal (cast(double→decimal) recovers the
+    * true 2-dp value on both engines — the stored double is within
+    * half an ULP of it), multiply/sum exactly (precisions kept ≤ 22 so
+    * no engine hits a precision-loss path), round the EXACT total to
+    * cents, and emit ONE deterministic decimal→double conversion so
+    * the output schema is unchanged. Quantity sums stay double —
+    * integer-valued doubles below 2⁵³ add exactly in any order. */
+  private def decMoney(c: Column): Column = c.cast("decimal(12,2)")
+  private def decRate1m(c: Column): Column = // 1 − rate, exact (4,2)
+    (lit(1) - c.cast("decimal(4,2)")).cast("decimal(4,2)")
+  private def decRate1p(c: Column): Column = // 1 + rate, exact (4,2)
+    (lit(1) + c.cast("decimal(4,2)")).cast("decimal(4,2)")
+  private def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
+  private val discPrice: Column =
+    decMoney(col("l_extendedprice")) * decRate1m(col("l_discount"))
   private def ts(s: String): Column    = lit(s).cast("timestamp")
 
   /** q01: pricing-summary aggregation with filter pushed to the scan. */
@@ -26,12 +49,15 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         money(sum(col("l_quantity"))).as("sum_qty"),
-        money(sum(col("l_extendedprice"))).as("sum_base_price"),
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        moneySum(decMoney(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(discPrice).as("sum_disc_price"),
+        moneySum(discPrice * decRate1p(col("l_tax"))).as("sum_charge"),
         ratio(avg(col("l_quantity"))).as("avg_qty"),
-        ratio(avg(col("l_extendedprice"))).as("avg_price"),
-        ratio(avg(col("l_discount"))).as("avg_disc"),
+        // exact-decimal sum, ONE double division: order-independent
+        ratio(sum(decMoney(col("l_extendedprice"))).cast("double") /
+          count(lit(1))).as("avg_price"),
+        ratio(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** q02: selective filter + narrow projection — column pruning must reach
@@ -55,7 +81,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(moneySum(discPrice).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -66,7 +92,7 @@ object Relational {
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        moneySum(discPrice).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** q05: 6-table star join (TPC-H Q5 shape): local-supplier revenue per
@@ -87,7 +113,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(moneySum(discPrice).as("revenue"))
   }
 
   /** q06: single-pass selective aggregate (TPC-H Q6 shape) — the whole
@@ -99,7 +125,8 @@ object Relational {
               col("l_shipdate") <  ts("1998-01-01") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
-      .agg(money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+      .agg(moneySum(decMoney(col("l_extendedprice")) *
+             col("l_discount").cast("decimal(4,2)")).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** q07: global top-k with unique-key tie-break. */
@@ -123,7 +150,7 @@ object Relational {
     val rev = Tables.lineitem(s, dir)
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"), col("s_suppkey"))
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(moneySum(discPrice).as("revenue"))
     val w = Window.partitionBy(col("s_nationkey"))
       .orderBy(col("revenue").desc, col("s_suppkey").asc)
     rev.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
@@ -176,7 +203,8 @@ object Relational {
   def q13Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), money(sum(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(decMoney(col("o_totalprice"))).as("total"))
 
   /** q14: cube over returnflag × linestatus. */
   def q14Cube(s: SparkSession, dir: String): DataFrame =
@@ -190,9 +218,12 @@ object Relational {
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(
-        money(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0))).as("total_f"),
-        money(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0))).as("total_o"),
-        money(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0))).as("total_p"),
+        moneySum(when(col("o_orderstatus") === "F",
+          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_f"),
+        moneySum(when(col("o_orderstatus") === "O",
+          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_o"),
+        moneySum(when(col("o_orderstatus") === "P",
+          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_p"),
         count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"))
 
   /** q16: post-aggregation filter (HAVING). */
@@ -209,7 +240,8 @@ object Relational {
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
     l.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg_qty"))
-      .agg(money(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+      .agg(money(sum(decMoney(col("l_extendedprice"))).cast("double") / 7.0)
+             .as("avg_yearly"),
            count(lit(1)).as("n_small"))
   }
 
@@ -261,12 +293,12 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
@@ -278,7 +310,7 @@ object Relational {
            AND l_quantity < 5""",
     "q03_join_agg" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          WHERE c_mktsegment = 'BUILDING'
@@ -288,13 +320,13 @@ object Relational {
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q04_broadcast_join" ->
       """SELECT p_brand,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "q05_multi_join" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -305,7 +337,7 @@ object Relational {
            AND o_orderdate <  TIMESTAMP '1998-01-01'
          GROUP BY r_name, n_name""",
     "q06_selective_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -327,7 +359,7 @@ object Relational {
                   rank() OVER (PARTITION BY s_nationkey
                                ORDER BY revenue DESC, s_suppkey ASC) AS rnk
            FROM (SELECT s_nationkey, s_suppkey,
-                        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                  GROUP BY s_nationkey, s_suppkey))
          WHERE rnk <= 3""",
@@ -350,7 +382,7 @@ object Relational {
          SELECT key, 'except' AS op FROM (SELECT key FROM a EXCEPT SELECT key FROM b)""",
     "q13_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "q14_cube" ->
       """SELECT l_returnflag, l_linestatus,
@@ -358,9 +390,9 @@ object Relational {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q15_conditional_agg" ->
       """SELECT c_nationkey,
-         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
-         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
-         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_f,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_o,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_p,
          count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey""",
@@ -368,7 +400,7 @@ object Relational {
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_items
          FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 15000""",
     "q17_avg_subquery" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_small
          FROM lineitem JOIN (SELECT l_partkey AS ap_partkey,
                                     0.5 * avg(l_quantity) AS half_avg_qty
                              FROM lineitem GROUP BY l_partkey) t

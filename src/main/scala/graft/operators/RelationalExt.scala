@@ -21,7 +21,7 @@ object RelationalExt {
         col("l_extendedprice") < col("lo") + 10000)
       .groupBy(col("lo"))
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_extendedprice")), 2).as("band_total"))
+           round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2).cast("double").as("band_total"))
   }
 
   /** q44: pivot — order counts per nation × status via the DataFrame pivot
@@ -573,7 +573,7 @@ object RelationalExt {
          WHERE o_orderkey % 10 = 0""",
     "q43_range_join" ->
       """SELECT lo, count(*) AS n_items,
-                round(sum(l_extendedprice), 2) AS band_total
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS band_total
          FROM (SELECT unnest(range(0, 120000, 10000)) AS lo) b
          JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < lo + 10000
          GROUP BY lo""",
