@@ -201,10 +201,20 @@ object Relational {
 
   /** q13: rollup over status → priority hierarchy. */
   def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    // TWO-LEVEL rollup: aggregate to the (status, priority) cells first
+    // (one exchange, each fact row passes the decimal fold ONCE), then
+    // roll the ≤|statuses×priorities| cell frame up — the plain
+    // .rollup() Expand would push every fact row through the 128-bit
+    // decimal accumulator THREE times (sum-of-exact-sums is exact, so
+    // the output is identical; at 100 TB this is 2 spared fact-scale
+    // passes through the grouping-set expansion)
     Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(decMoney(col("o_totalprice"))).as("t"))
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-        moneySum(decMoney(col("o_totalprice"))).as("total"))
+      .agg(sum(col("n")).as("n_orders"),
+        round(sum(col("t")), 2).cast("double").as("total"))
 
   /** q14: cube over returnflag × linestatus. */
   def q14Cube(s: SparkSession, dir: String): DataFrame =
