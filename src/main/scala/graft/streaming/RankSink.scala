@@ -70,6 +70,22 @@ object RankSink {
   private[graft] def applyBatch(batch: DataFrame, edgeRoot: String,
       rankRoot: String, batchId: Long): Unit = {
     val s = batch.sparkSession
+    // bloom metadata on the probe key, the ClusterSink discipline: each
+    // batch's edge deltas span wide id ranges (stats prune weakly), but
+    // a batch's touched edge SET is sparse — bloom probes keep the
+    // per-batch read proportional to the batch's actual edge overlap
+    val prevBloomCols = s.conf.getOption("graft.commitlog.bloomColumns")
+    s.conf.set("graft.commitlog.bloomColumns", "edge_id,node")
+    try applyBatchInner(batch, edgeRoot, rankRoot, batchId)
+    finally prevBloomCols match {
+      case Some(v) => s.conf.set("graft.commitlog.bloomColumns", v)
+      case None => s.conf.unset("graft.commitlog.bloomColumns")
+    }
+  }
+
+  private def applyBatchInner(batch: DataFrame, edgeRoot: String,
+      rankRoot: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
     val delta = batch
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
