@@ -51,7 +51,12 @@ import graft.sources.GraftTable
   *     unmatched rows from ONE updates frame, so divergent branches
   *     cannot be expressed as a keyed merge,
   *   - no `WHEN NOT MATCHED BY SOURCE`, no action conditions, no schema
-  *     evolution, not a time-traveled target.
+  *     evolution, not a time-traveled target;
+  *   - OR the pure-delete shape: `WHEN MATCHED THEN DELETE` as the SOLE
+  *     clause (the CDC retraction as a key batch) — one keyed
+  *     [[CommitLog.delete]] version via [[GraftMergeDeleteCommand]];
+  *     mixing a delete with an upsert clause cannot land as one commit
+  *     and declines.
   * Anything else is DECLINED LOUDLY at analysis with the shape contract
   * — never a silent partial merge.
   *
@@ -99,6 +104,19 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       decline(table, "WITH SCHEMA EVOLUTION is not supported (graft tables evolve reader-side by appending the new column)")
     if (m.notMatchedBySourceActions.nonEmpty)
       decline(table, "WHEN NOT MATCHED BY SOURCE is not supported (a keyed merge never retracts rows the source does not name)")
+    // the PURE-DELETE merge — the CDC retraction shape: `WHEN MATCHED
+    // THEN DELETE` as the only action lands as one keyed CommitLog.delete
+    // version (keys = the source's key values; unmatched keys delete
+    // nothing, exactly the MERGE semantics)
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(None)), Seq()) =>
+        return toDeleteCommand(m, relation, table)
+      case (Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(Some(_))), _) =>
+        decline(table, "a conditional WHEN MATCHED DELETE is not expressible as a keyed retraction")
+      case (Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(_)), _) =>
+        decline(table, "WHEN MATCHED THEN DELETE mixes with no other clause — a keyed retraction and an upsert cannot land as one commit")
+      case _ => ()
+    }
     val upAssigns = m.matchedActions match {
       case Seq(UpdateAction(None, assigns, _)) => assigns
       case Seq(UpdateAction(Some(_), _, _)) =>
@@ -153,6 +171,30 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     GraftMergeCommand(table.root, table.ident, keyCol,
       relation.output.map(a => a.name -> a.dataType), in, m.sourceTable)
   }
+
+  /** `WHEN MATCHED THEN DELETE` (sole clause) → one keyed
+    * [[CommitLog.delete]] version. The ON key is anchored by SIDE here
+    * (no insert assignments to anchor it): one side a bare target
+    * attribute, the other referencing only source columns. */
+  private def toDeleteCommand(m: MergeIntoTable, relation: DataSourceV2Relation,
+      table: GraftTable): LogicalPlan = {
+    val targetAttrIds = relation.output.map(_.exprId).toSet
+    def sourceOnly(e: Expression): Boolean =
+      e.references.forall(a => !targetAttrIds.contains(a.exprId))
+    val (keyCol, srcKey) = m.mergeCondition match {
+      case EqualTo(l: AttributeReference, r)
+          if targetAttrIds.contains(l.exprId) && sourceOnly(r) => (l.name, r)
+      case EqualTo(l, r: AttributeReference)
+          if targetAttrIds.contains(r.exprId) && sourceOnly(l) => (r.name, l)
+      case other => decline(table,
+        s"ON must be an equality between one target column and a source-side expression, got ${other.sql}")
+    }
+    relation.output.find(_.name == keyCol).get.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => decline(table, s"merge key '$keyCol' must be integral, got ${t.sql}")
+    }
+    GraftMergeDeleteCommand(table.root, table.ident, keyCol, srcKey, m.sourceTable)
+  }
 }
 
 /** The runnable half: projects the source through the validated
@@ -190,6 +232,43 @@ case class GraftMergeCommand(root: String, ident: String, keyCol: String,
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val txnId = sparkSession.conf.getOption("graft.catalog.txnId")
     val v = CommitLog.merge(updates, root, keyCol, statsFor, txnId)
+    Seq(Row(v.getOrElse(-1L)))
+  }
+}
+
+/** The pure-delete half: `MERGE ... WHEN MATCHED THEN DELETE` (sole
+  * clause) as ONE keyed [[CommitLog.delete]] version — the CDC
+  * retraction arriving as a key batch. The source's distinct key values
+  * come to the driver (the CommitLog.delete contract — its file probe
+  * and broadcast anti-join take a key list); key sets above
+  * `graft.catalog.maxDeleteKeys` (default 1M) decline loudly rather
+  * than silently ballooning the driver — stream bigger retractions in
+  * batches. Unmatched keys delete nothing, exactly the MERGE rule.
+  * Exactly-once via the same session-conf txn token as the upsert
+  * shape; returns the committed version (−1 when nothing matched or
+  * the token replayed). */
+case class GraftMergeDeleteCommand(root: String, ident: String,
+    keyCol: String, sourceKey: Expression, source: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val maxKeys = sparkSession.conf.getOption("graft.catalog.maxDeleteKeys")
+      .map(_.toInt).getOrElse(1000000)
+    val keysDf = ColumnBridge.ofRows(sparkSession,
+      Project(Seq(Alias(Cast(sourceKey, LongType), "k")()), source))
+      .filter(col("k").isNotNull).distinct()
+    val keys = keysDf.limit(maxKeys + 1).collect().map(_.getLong(0)).toSeq
+    if (keys.size > maxKeys)
+      throw new IllegalStateException(
+        s"MERGE DELETE INTO $ident: more than $maxKeys distinct source keys — " +
+          "the keyed retraction collects keys driver-side; raise " +
+          "graft.catalog.maxDeleteKeys or batch the retraction stream")
+    val txnId = sparkSession.conf.getOption("graft.catalog.txnId")
+    val v = CommitLog.delete(sparkSession, root, keyCol, keys.sorted,
+      txnId = txnId)
     Seq(Row(v.getOrElse(-1L)))
   }
 }

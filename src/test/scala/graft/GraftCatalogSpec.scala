@@ -295,9 +295,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     declined("""MERGE INTO gcat.db.mrg t USING mrg_dup s ON t.k = s.k
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *""", "one row per key")
+    // WHEN MATCHED THEN DELETE (sole clause) = the keyed CDC retraction:
+    // one delta-sized delete version, unmatched keys delete nothing
+    Seq(6L, 7L, 99999L).toDF("k").createOrReplaceTempView("mrg_del")
+    val preDel = CommitLog.headVersion(spark, root)
+    val dv = spark.sql(
+      """MERGE INTO gcat.db.mrg t USING mrg_del s ON t.k = s.k
+         WHEN MATCHED THEN DELETE""").head().getLong(0)
+    assert(dv == preDel + 1)
+    assert(CommitLog.history(spark, root)
+      .orderBy(col("version").desc).head().getAs[String]("op") == "delete")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg WHERE k IN (6, 7)")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 199L)
+    // replayed delete token no-ops
+    spark.conf.set("graft.catalog.txnId", "mrg-del-tok")
+    try {
+      Seq(8L).toDF("k").createOrReplaceTempView("mrg_del2")
+      spark.sql("""MERGE INTO gcat.db.mrg t USING mrg_del2 s ON t.k = s.k
+                   WHEN MATCHED THEN DELETE""")
+      val vTok = CommitLog.headVersion(spark, root)
+      val replay = spark.sql(
+        """MERGE INTO gcat.db.mrg t USING mrg_del2 s ON t.k = s.k
+           WHEN MATCHED THEN DELETE""").head().getLong(0)
+      assert(CommitLog.headVersion(spark, root) == vTok && replay == -1L)
+      assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 198L)
+    } finally spark.conf.unset("graft.catalog.txnId")
+    // a delete MIXED with an upsert clause cannot land as one commit
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
+                WHEN MATCHED THEN DELETE
+                WHEN NOT MATCHED THEN INSERT *""", "cannot land as one commit")
     // shape guardrails, declined at analysis with the contract named
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
-                WHEN MATCHED THEN DELETE""", "keyed upsert")
+                WHEN MATCHED AND s.k > 5 THEN DELETE""", "conditional WHEN MATCHED DELETE")
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
                 WHEN MATCHED THEN UPDATE SET s = s.s
                 WHEN NOT MATCHED THEN INSERT *""", "UPDATE SET must cover every target column")
@@ -311,8 +341,8 @@ class GraftCatalogSpec extends AnyFunSuite {
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *
                 WHEN NOT MATCHED BY SOURCE THEN DELETE""", "NOT MATCHED BY SOURCE")
-    // nothing above mutated the table
-    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 201L)
+    // no declined shape mutated the table (198 = 201 − the 3 MERGE-deleted)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 198L)
   }
 
   test("SQL ops surface: t.history audits, t.changes feeds CDC with version pruning, CALL system.{compact,checkpoint,restore,vacuum}") {
