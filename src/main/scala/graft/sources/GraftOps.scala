@@ -97,9 +97,19 @@ private[sources] class GraftChangesTable(spark: SparkSession,
 
   /** The table's current evolved schema — the presentation schema every
     * version's rows are folded into (add-only evolution means old files
-    * only ever LACK columns, never carry extras). */
-  private lazy val dataSchema: StructType =
-    CommitLog.evolvedSchema(spark, root, CommitLog.liveFiles(spark, root))
+    * only ever LACK columns, never carry extras). A data column named
+    * like one of the feed's meta columns would silently shadow it in
+    * the join below — declined loudly instead. */
+  private lazy val dataSchema: StructType = {
+    val sch = CommitLog.evolvedSchema(spark, root, CommitLog.liveFiles(spark, root))
+    val reserved = sch.fieldNames.filter(n =>
+      n == "_commit_version" || n == "_commit_op" || n == "_file")
+    require(reserved.isEmpty,
+      s"$display: the changes feed reserves column names " +
+        s"_commit_version/_commit_op/_file, but the table carries " +
+        s"${reserved.mkString(", ")} — rename the data column to read changes")
+    sch
+  }
 
   override def name(): String = display
   override def schema(): StructType = StructType(dataSchema.fields.toSeq ++ Seq(

@@ -126,7 +126,7 @@ object ClusterSink {
         else {
           // bloom-probe the signature table with the batch's sig keys
           val sigKeys = sigs.select(col("sig").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSeq
+            .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
           val published =
             if (sigKeys.size > maxProbeKeys) CommitLog.snapshot(s, sigRoot)
             else {
@@ -146,9 +146,13 @@ object ClusterSink {
           // row of a touched cluster (bloom superset-safety guarantees no
           // member file is skipped; mergeClusterBatchDelta's semi-joins
           // then compute the exact touched set as before)
+          // the cap bounds the COLLECT itself (limit before the driver
+          // fetch), not just the decision after it — an adversarial
+          // dup-heavy batch must not balloon the driver first
           val touched = pairs
             .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-            .distinct().collect().map(_.getLong(0)).toSeq
+            .distinct().limit(maxProbeKeys + 1)
+            .collect().map(_.getLong(0)).toSeq
           if (touched.isEmpty)
             s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
           else if (touched.size > maxProbeKeys) CommitLog.snapshot(s, mapRoot)
@@ -158,9 +162,10 @@ object ClusterSink {
             val clusterIds = r1
               .join(touched.toDF("doc_id"), Seq("doc_id"), "left_semi")
               .select(col("cluster_id")).distinct()
-              .collect().map(_.getLong(0)).toSeq
+              .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
             if (clusterIds.isEmpty)
               s.createDataFrame(new java.util.ArrayList[Row](), MapSchema)
+            else if (clusterIds.size > maxProbeKeys) CommitLog.snapshot(s, mapRoot)
             else {
               val (df, kept, live) =
                 CommitLog.snapshotProbe(s, mapRoot, "cluster_id", clusterIds)
