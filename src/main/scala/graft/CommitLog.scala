@@ -654,7 +654,15 @@ object CommitLog {
     import org.apache.spark.sql.functions.{array, col, collect_set, count, explode, input_file_name, lit, pmod, xxhash64}
     val byName = add.map(p => p.split('/').last -> p).toMap
     val df = s.read.parquet(add.map(p => s"$root/$p"): _*)
-    val have = df.columns.toSet
+    // integral columns only (like the stats fold's long-valued rule): a
+    // session-wide bloom conf naming a string column in SOME table must
+    // not make every other table's writes throw on the cast
+    val have = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.ByteType => f.name
+    }.toSet
     cols.filter(have).flatMap { c =>
       val positions = (0 until k).map(i =>
         pmod(xxhash64(lit(i.toLong), col(c).cast("long")), lit(m.toLong)).cast("int"))
