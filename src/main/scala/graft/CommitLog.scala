@@ -642,10 +642,10 @@ object CommitLog {
     * exactly the s38 regime where the probe-read bound matters.
     */
   private def collectBlooms(s: SparkSession, root: String,
-      add: Seq[String]): Seq[FileBloom] = {
-    val cols = s.conf.getOption("graft.commitlog.bloomColumns")
+      add: Seq[String], extraCols: Seq[String] = Seq.empty): Seq[FileBloom] = {
+    val cols = (s.conf.getOption("graft.commitlog.bloomColumns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
+      .getOrElse(Seq.empty) ++ extraCols).distinct
     if (cols.isEmpty || add.isEmpty) return Seq.empty
     require(cols.forall(!_.contains('|')), "bloom column names must not contain '|'")
     val m = s.conf.getOption("graft.commitlog.bloomBits").map(_.toInt).getOrElse(65536)
@@ -843,7 +843,13 @@ object CommitLog {
       // …intersected with the snapshot we actually rewrote: racing
       // appends stay live alongside the compacted copy
       live.toSeq.filter(before.contains)
-    }, None, collectStats(s, root, add, statsFor)).get
+    }, None, collectStats(s, root, add, statsFor),
+      // blooms survive compaction like stats: re-collect for every
+      // column the pre-compaction live set carried a bloom on (plus the
+      // session conf), so a maintained table compacted through CALL
+      // keeps its probe pruning — saturated outputs auto-skip storage
+      blooms = collectBlooms(s, root, add,
+        extraCols = log(s, root).flatMap(_.blooms).map(_.column).distinct)).get
   }
 
   /** Incremental change feed — the CDC-lite consumption loop a commit

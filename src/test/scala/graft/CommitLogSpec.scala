@@ -1019,6 +1019,19 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.append(Seq(7070L).toDF("h").coalesce(1), root, None, Seq("h"))
       assert(CommitLog.probeFiles(spark, root, "h", h1).size == 1,
         "bloom pruning must survive checkpointing")
+      // compaction re-collects blooms for the columns the live set
+      // carried them on (even with no session conf at compact time):
+      // the compacted file still answers probes
+      spark.conf.unset("graft.commitlog.bloomColumns")
+      CommitLog.compact(spark, root, partitions = 1, statsFor = Seq("h"))
+      spark.conf.set("graft.commitlog.bloomColumns", "h")
+      assert(CommitLog.liveFiles(spark, root).size == 1)
+      assert(CommitLog.log(spark, root).flatMap(_.blooms)
+        .exists(b => b.column == "h"), "compact must re-collect blooms")
+      assert(CommitLog.probeFiles(spark, root, "h", Seq(888888888L)).isEmpty,
+        "the compacted bloom must still skip absent keys")
+      assert(CommitLog.probeFiles(spark, root, "h", Seq(h1.head)).size == 1,
+        "the compacted bloom must still admit present keys")
       // saturation: a filter too small for the rows stores NO bloom and
       // the file stays unskippable (kept for any probe)
       val satRoot = freshRoot()
