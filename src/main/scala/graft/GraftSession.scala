@@ -14,6 +14,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Native TypedImperativeAggregates (MoneySumUnits, FrequentItems,
+      // BottomK, MinHashAgg) run under ObjectHashAggregateExec, whose
+      // default 128-key in-memory cap falls back to SORTING the input —
+      // catastrophic for a ≤16-byte money state grouped by a 10³–10⁵-key
+      // dimension (q03 orderkeys, q09 suppliers). 1M keys × ~50 B of
+      // state ≈ 50 MB per task: well inside executor memory, and the
+      // sort fallback still guards a genuinely unbounded key space.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the graft session shape includes the extensions: the graft_* SQL
       // functions, the cosine fusion rule, the as-of join strategy and

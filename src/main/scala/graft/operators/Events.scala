@@ -169,7 +169,11 @@ object Events {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("decimal(12,2)")), 2).cast("double").as("revenue"),
+        // exact long-units sum (graft.functions.MoneySum — same exact total
+        // as the r18 decimal(12,2) fold, minus the 128-bit add per row)
+        round(graft.functions.MoneySum.sum(
+          graft.functions.MoneySum.units(col("o_totalprice"), 2), 2), 2)
+          .cast("double").as("revenue"),
         round(avg(col("o_totalprice")), 4).as("avg_order"))
 
   /** q26: inter-event gap statistics per user (lag over one shuffle).

@@ -19,27 +19,38 @@ object Relational {
   private def ratio(c: Column): Column = round(c, 4)
 
   /** §6 upgraded (r18, found by the full-surface sf≈1 sweep): MONEY SUMS
-    * aggregate EXACT DECIMALS, never doubles — `round(sum(double), 2)`
-    * is summation-ORDER-sensitive (the 2-decimal source values are not
+    * aggregate EXACTLY, never as doubles — `round(sum(double), 2)` is
+    * summation-ORDER-sensitive (the 2-decimal source values are not
     * representable, so partition order moves the sum by ULPs), and at
     * 10× volume the error crosses the cent boundary: a re-run of the
     * same query on the same data could flip the last digit, and Spark
-    * and DuckDB DID (q01/q04/q09 at sf1ev). The fold: cast each operand
-    * to its domain-tight decimal (cast(double→decimal) recovers the
-    * true 2-dp value on both engines — the stored double is within
-    * half an ULP of it), multiply/sum exactly (precisions kept ≤ 22 so
-    * no engine hits a precision-loss path), round the EXACT total to
-    * cents, and emit ONE deterministic decimal→double conversion so
-    * the output schema is unchanged. Quantity sums stay double —
-    * integer-valued doubles below 2⁵³ add exactly in any order. */
-  private def decMoney(c: Column): Column = c.cast("decimal(12,2)")
-  private def decRate1m(c: Column): Column = // 1 − rate, exact (4,2)
-    (lit(1) - c.cast("decimal(4,2)")).cast("decimal(4,2)")
-  private def decRate1p(c: Column): Column = // 1 + rate, exact (4,2)
-    (lit(1) + c.cast("decimal(4,2)")).cast("decimal(4,2)")
-  private def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
-  private val discPrice: Column =
-    decMoney(col("l_extendedprice")) * decRate1m(col("l_discount"))
+    * and DuckDB DID (q01/q04/q09 at sf1ev).
+    *
+    * r19 upgraded the MECHANISM, not the semantics: the r18 fold cast
+    * each operand to its domain-tight decimal and summed decimals, but
+    * any sum whose buffer precision exceeds 18 digits pays a 128-bit
+    * BigDecimal add PER ROW (measured 1.5–2.7× on q01/q04/q09/q43).
+    * The fold now recovers each operand's exact scaled-integer units
+    * with codegen'd long arithmetic ([[graft.functions.MoneySum.units]]
+    * — provably identical to the decimal cast on the 2-dp money
+    * domain), multiplies units in 64-bit (per-row magnitudes ≤ 10¹¹,
+    * nowhere near 2⁶³), and sums through the native
+    * [[graft.functions.MoneySumUnits]] aggregate: one overflow-checked
+    * 64-bit register per partition partial, 128-bit only at actual
+    * overflow. The exact total is identical to the decimal sum — the
+    * oracle SQL below is UNCHANGED — and the output is still ONE
+    * deterministic decimal→double conversion. Quantity sums stay
+    * double: integer-valued doubles below 2⁵³ add exactly in any
+    * order. */
+  import graft.functions.MoneySum
+  /** Exact integer cents (or percent) of a 2-dp money double. */
+  private def centsU(c: Column): Column = MoneySum.units(c, 2)
+  /** extendedprice·(1−discount) in exact 10⁻⁴-dollar units. */
+  private val discU: Column =
+    centsU(col("l_extendedprice")) * (lit(100L) - centsU(col("l_discount")))
+  /** Exact money sum of long units → rounded-to-cents double. */
+  private def moneySumU(units: Column, scale: Int): Column =
+    round(MoneySum.sum(units, scale), 2).cast("double")
   private def ts(s: String): Column    = lit(s).cast("timestamp")
 
   /** q01: pricing-summary aggregation with filter pushed to the scan. */
@@ -49,14 +60,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         money(sum(col("l_quantity"))).as("sum_qty"),
-        moneySum(decMoney(col("l_extendedprice"))).as("sum_base_price"),
-        moneySum(discPrice).as("sum_disc_price"),
-        moneySum(discPrice * decRate1p(col("l_tax"))).as("sum_charge"),
+        moneySumU(centsU(col("l_extendedprice")), 2).as("sum_base_price"),
+        moneySumU(discU, 4).as("sum_disc_price"),
+        moneySumU(discU * (lit(100L) + centsU(col("l_tax"))), 6).as("sum_charge"),
         ratio(avg(col("l_quantity"))).as("avg_qty"),
-        // exact-decimal sum, ONE double division: order-independent
-        ratio(sum(decMoney(col("l_extendedprice"))).cast("double") /
+        // exact integer-units sum, ONE double division: order-independent
+        ratio(MoneySum.sum(centsU(col("l_extendedprice")), 2).cast("double") /
           count(lit(1))).as("avg_price"),
-        ratio(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+        ratio(MoneySum.sum(centsU(col("l_discount")), 2).cast("double") /
           count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -81,7 +92,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(moneySum(discPrice).as("revenue"))
+      .agg(moneySumU(discU, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -92,7 +103,7 @@ object Relational {
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        moneySum(discPrice).as("revenue"),
+        moneySumU(discU, 4).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** q05: 6-table star join (TPC-H Q5 shape): local-supplier revenue per
@@ -113,7 +124,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(moneySum(discPrice).as("revenue"))
+      .agg(moneySumU(discU, 4).as("revenue"))
   }
 
   /** q06: single-pass selective aggregate (TPC-H Q6 shape) — the whole
@@ -125,8 +136,8 @@ object Relational {
               col("l_shipdate") <  ts("1998-01-01") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
-      .agg(moneySum(decMoney(col("l_extendedprice")) *
-             col("l_discount").cast("decimal(4,2)")).as("revenue"),
+      .agg(moneySumU(centsU(col("l_extendedprice")) * centsU(col("l_discount")),
+             4).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** q07: global top-k with unique-key tie-break. */
@@ -150,7 +161,7 @@ object Relational {
     val rev = Tables.lineitem(s, dir)
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"), col("s_suppkey"))
-      .agg(moneySum(discPrice).as("revenue"))
+      .agg(moneySumU(discU, 4).as("revenue"))
     val w = Window.partitionBy(col("s_nationkey"))
       .orderBy(col("revenue").desc, col("s_suppkey").asc)
     rev.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
@@ -211,7 +222,7 @@ object Relational {
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(decMoney(col("o_totalprice"))).as("t"))
+        MoneySum.sum(centsU(col("o_totalprice")), 2).as("t"))
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(sum(col("n")).as("n_orders"),
         round(sum(col("t")), 2).cast("double").as("total"))
@@ -228,12 +239,12 @@ object Relational {
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(
-        moneySum(when(col("o_orderstatus") === "F",
-          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_f"),
-        moneySum(when(col("o_orderstatus") === "O",
-          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_o"),
-        moneySum(when(col("o_orderstatus") === "P",
-          decMoney(col("o_totalprice"))).otherwise(lit(0).cast("decimal(12,2)"))).as("total_p"),
+        moneySumU(when(col("o_orderstatus") === "F",
+          centsU(col("o_totalprice"))).otherwise(lit(0L)), 2).as("total_f"),
+        moneySumU(when(col("o_orderstatus") === "O",
+          centsU(col("o_totalprice"))).otherwise(lit(0L)), 2).as("total_o"),
+        moneySumU(when(col("o_orderstatus") === "P",
+          centsU(col("o_totalprice"))).otherwise(lit(0L)), 2).as("total_p"),
         count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"))
 
   /** q16: post-aggregation filter (HAVING). */
@@ -250,7 +261,7 @@ object Relational {
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
     l.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg_qty"))
-      .agg(money(sum(decMoney(col("l_extendedprice"))).cast("double") / 7.0)
+      .agg(money(MoneySum.sum(centsU(col("l_extendedprice")), 2).cast("double") / 7.0)
              .as("avg_yearly"),
            count(lit(1)).as("n_small"))
   }

@@ -21,7 +21,11 @@ object RelationalExt {
         col("l_extendedprice") < col("lo") + 10000)
       .groupBy(col("lo"))
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2).cast("double").as("band_total"))
+           // exact long-units sum (graft.functions.MoneySum — same exact
+           // total as the r18 decimal(12,2) fold, no 128-bit add per row)
+           round(graft.functions.MoneySum.sum(
+             graft.functions.MoneySum.units(col("l_extendedprice"), 2), 2), 2)
+             .cast("double").as("band_total"))
   }
 
   /** q44: pivot — order counts per nation × status via the DataFrame pivot
