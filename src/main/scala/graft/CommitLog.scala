@@ -107,13 +107,28 @@ object CommitLog {
   }
 
   /** The driver half of the bloom hash — MUST stay bit-identical to the
-    * distributed write side in [[collectBlooms]] (xxhash64's long fold:
+    * distributed write side in [[fileMeta]] (xxhash64's long fold:
     * seed 42, then each long child rehashes the running hash). */
   private[graft] def bloomPositions(v: Long, k: Int, m: Int): Array[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(k)(i =>
       java.lang.Math.floorMod(XXH64.hashLong(v, XXH64.hashLong(i.toLong, 42L)),
         m.toLong).toInt)
+  }
+
+  /** A STRING key's long image in every hash-domain structure here (the
+    * r19 string-key lift): Spark's own `xxhash64(col)` — seed 42 over the
+    * UTF-8 bytes — replayed driver-side bit-identically. String blooms
+    * store positions of `xxhash64(i, image)`, i.e. the long fold applied
+    * to the image, so [[bloomPositions]] serves both key domains
+    * unchanged. An xxhash64 collision between two distinct strings only
+    * ever ADDS a bloom/probe false positive (an extra file read) — the
+    * pruning layers stay superset-safe, and the rewrite paths match on
+    * the actual string values, never the image. */
+  private[graft] def keyImage(key: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
   final case class Commit(version: Long, op: String,
@@ -574,115 +589,116 @@ object CommitLog {
         s"commit-log: lost $MaxCommitRetries consecutive commit races at $root")
     }
 
-  /** Per-file min/max stats for `statsFor` over a just-written data dir —
-    * ONE scan of the new batch grouped by physical file (a production
-    * writer collects these from the parquet writer itself; the shape and
-    * the transactional placement in the commit entry are identical).
-    * Columns are cast to long (integer-exact stats only — the repo-wide
-    * determinism rule); '|' is reserved by the codec.
-    */
-  private def collectStats(s: SparkSession, root: String,
-      add: Seq[String], statsFor: Seq[String]): Seq[FileStat] = {
-    if (statsFor.isEmpty || add.isEmpty) return Seq.empty
-    require(statsFor.forall(!_.contains('|')), "stat column names must not contain '|'")
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val byName = add.map(p => p.split('/').last -> p).toMap
-    val aggs = statsFor.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"${c}__min"), max(col(c).cast("long")).as(s"${c}__max")))
-    s.read.parquet(add.map(p => s"$root/$p"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.flatMap { r =>
-        val rel = byName.get(r.getString(0).split('/').last)
-        statsFor.flatMap { c =>
-          val (iMin, iMax) = (r.fieldIndex(s"${c}__min"), r.fieldIndex(s"${c}__max"))
-          // a file whose column is all-NULL carries no stat row → kept
-          // (unskippable) by snapshotRange, never falsely skipped
-          if (r.isNullAt(iMin) || r.isNullAt(iMax) || rel.isEmpty) None
-          else Some(FileStat(rel.get, c, r.getLong(iMin), r.getLong(iMax)))
-        }
-      }
-  }
-
-  /** Written files that actually HOLD rows — zero-row part files are
-    * deleted and dropped from the add list. Used by the delta-rewrite
-    * ops ([[merge]]/[[delete]] survivors): a touched file whose every
-    * row was updated/deleted produces an EMPTY survivor file, which
-    * carries no stats and no bloom and would therefore be UNSKIPPABLE
-    * forever — one permanently probe-read file per merge (found by the
-    * r18 ClusterCensus: the maintained map's probe reads grew with
-    * table age purely from accumulated empty rewrites). Append/create
-    * keep their files unconditionally (create's zero-row file IS the
-    * schema carrier). */
-  private def dropEmptyFiles(s: SparkSession, root: String,
-      add: Seq[String]): Seq[String] = {
-    if (add.isEmpty) return add
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
-    val counts = s.read.parquet(add.map(p => dataPath(root, p)): _*)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
-    val (keep, drop) = add.partition(p =>
-      counts.getOrElse(p.split('/').last, 0L) > 0L)
-    drop.foreach(p => fs(s, root).delete(new Path(dataPath(root, p)), false))
-    keep
-  }
-
-  /** Per-file BLOOM filters for the session-conf-designated hash-key
-    * columns (`graft.commitlog.bloomColumns`, comma-separated — absent
-    * columns in the written schema are skipped silently so one session
-    * conf can serve several tables) over a just-written data dir: ONE
-    * scan per column, k=6 positions per non-null value via Spark's own
-    * `xxhash64` (the driver probe replays the identical fold —
-    * [[bloomPositions]]), folded per physical file with a bounded
-    * `collect_set` (≤ m positions per file by dedup). Files whose row
-    * count saturates the filter (> m/8 rows → fpp ≳ 2%) store NO bloom
-    * and stay unskippable — honest metadata only. m defaults to 65536
-    * bits (8 KB, ~11 KB base64 in the entry; conf
+  /** ONE scan over a just-written file set computing EVERYTHING the
+    * commit entry embeds per physical file — row count (the
+    * empty-survivor drop), [min, max] long stats, and bloom bit
+    * positions — where the write path formerly paid a count scan, a
+    * stats scan, and one scan PER bloom column (r18 advice: mutation
+    * read amplification). Blooms avoid the explode entirely: k
+    * `collect_set`s of the k position expressions per column keep the
+    * frame one-row-per-input-row, so one aggregate serves all three
+    * metadata layers.
+    *
+    * STATS ([[snapshotRange]]): columns cast to long (integer-exact
+    * stats only — the repo-wide determinism rule); an all-NULL column
+    * carries no stat row → kept (unskippable), never falsely skipped.
+    * '|' is reserved by the entry codec.
+    *
+    * BLOOMS ([[probeFiles]]): for the union of
+    * `graft.commitlog.bloomColumns` (session-wide default) and
+    * `bloomFor` (the caller-threaded explicit form). Integral columns
+    * hash as their long value, STRING columns as their [[keyImage]];
+    * other types are skipped silently (one session conf can serve
+    * several tables). k=6 positions per non-null value via Spark's own
+    * `xxhash64` — the driver probe replays the identical fold
+    * ([[bloomPositions]]). Files whose non-null key count saturates the
+    * filter (> m/8 → fpp ≳ 2%) store NO bloom and stay unskippable —
+    * honest metadata only. m defaults to 65536 bits (8 KB; conf
     * `graft.commitlog.bloomBits`), sized for micro-batch-scale files —
-    * exactly the s38 regime where the probe-read bound matters.
-    */
-  private def collectBlooms(s: SparkSession, root: String,
-      add: Seq[String], extraCols: Seq[String] = Seq.empty): Seq[FileBloom] = {
-    val cols = (s.conf.getOption("graft.commitlog.bloomColumns")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty) ++ extraCols).distinct
-    if (cols.isEmpty || add.isEmpty) return Seq.empty
-    require(cols.forall(!_.contains('|')), "bloom column names must not contain '|'")
+    * exactly the s38 regime where the probe-read bound matters. A file
+    * whose key column is entirely NULL stores an all-zero bloom: NULL
+    * never equals a probe key, so skipping it is exact.
+    *
+    * DROP (`dropEmpty` — the [[merge]]/[[delete]] survivor rule): a
+    * touched file whose every row was updated/deleted writes an EMPTY
+    * part file, which carries no stats and no bloom and would be
+    * UNSKIPPABLE forever (the r18 ClusterCensus finding: probe reads
+    * grew with table age purely from accumulated empty rewrites) — it
+    * is deleted on the spot and excluded from the returned add list.
+    * Append/create keep zero-row files (create's IS the schema
+    * carrier). */
+  private def fileMeta(s: SparkSession, root: String, add: Seq[String],
+      statsFor: Seq[String], bloomFor: Seq[String], dropEmpty: Boolean)
+      : (Seq[String], Seq[FileStat], Seq[FileBloom]) = {
+    if (add.isEmpty) return (add, Seq.empty, Seq.empty)
+    require(statsFor.forall(!_.contains('|')), "stat column names must not contain '|'")
+    import org.apache.spark.sql.functions.{col, collect_set, count, input_file_name, lit, max, min, pmod, when, xxhash64}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val m = s.conf.getOption("graft.commitlog.bloomBits").map(_.toInt).getOrElse(65536)
     require(m > 0 && m % 8 == 0, s"graft.commitlog.bloomBits must be a positive multiple of 8, got $m")
     val k = 6
-    import org.apache.spark.sql.functions.{array, col, collect_set, count, explode, input_file_name, lit, pmod, xxhash64}
+    val df = s.read.parquet(add.map(p => dataPath(root, p)): _*)
+    val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bloomCols = (s.conf.getOption("graft.commitlog.bloomColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty) ++ bloomFor).distinct
+    require(bloomCols.forall(!_.contains('|')), "bloom column names must not contain '|'")
+    val bCols = bloomCols.flatMap { c =>
+      typeOf.get(c).collect {
+        case LongType | IntegerType | ShortType | ByteType => c -> col(c).cast("long")
+        case StringType => c -> xxhash64(col(c))
+      }
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        statsFor.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"${c}__min"),
+          max(col(c).cast("long")).as(s"${c}__max"))) ++
+        bCols.flatMap { case (c, img) =>
+          (0 until k).map(i => collect_set(when(col(c).isNotNull,
+            pmod(xxhash64(lit(i.toLong), img), lit(m.toLong)).cast("int")))
+            .as(s"${c}__b$i")) :+ count(col(c)).as(s"${c}__nk")
+        }
     val byName = add.map(p => p.split('/').last -> p).toMap
-    val df = s.read.parquet(add.map(p => s"$root/$p"): _*)
-    // integral columns only (like the stats fold's long-valued rule): a
-    // session-wide bloom conf naming a string column in SOME table must
-    // not make every other table's writes throw on the cast
-    val have = df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType ||
-        f.dataType == org.apache.spark.sql.types.ByteType => f.name
-    }.toSet
-    cols.filter(have).flatMap { c =>
-      val positions = (0 until k).map(i =>
-        pmod(xxhash64(lit(i.toLong), col(c).cast("long")), lit(m.toLong)).cast("int"))
-      df.filter(col(c).isNotNull)
-        .select(input_file_name().as("f"),
-          explode(array(positions: _*)).as("pos"))
-        .groupBy(col("f"))
-        .agg(collect_set(col("pos")).as("ps"), count(lit(1)).as("nk"))
-        .collect().toSeq.flatMap { r =>
-          val rel = byName.get(r.getString(0).split('/').last)
-          val n = r.getLong(2) / k
-          if (rel.isEmpty || n > m / 8) None // saturated: no bloom, unskippable
+    // a zero-row file produces no group at all — presence IS the n>0 test
+    val metaOf = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+      .flatMap(r => byName.get(r.getString(0).split('/').last).map(_ -> r))
+      .toMap
+    val keep =
+      if (!dropEmpty) add
+      else {
+        val (k0, drop) = add.partition(metaOf.contains)
+        drop.foreach(p => fs(s, root).delete(new Path(dataPath(root, p)), false))
+        k0
+      }
+    val stats = keep.flatMap { p =>
+      metaOf.get(p).toSeq.flatMap { r =>
+        statsFor.flatMap { c =>
+          val (iMin, iMax) = (r.fieldIndex(s"${c}__min"), r.fieldIndex(s"${c}__max"))
+          if (r.isNullAt(iMin) || r.isNullAt(iMax)) None
+          else Some(FileStat(p, c, r.getLong(iMin), r.getLong(iMax)))
+        }
+      }
+    }
+    val blooms = keep.flatMap { p =>
+      metaOf.get(p).toSeq.flatMap { r =>
+        bCols.flatMap { case (c, _) =>
+          val nk = r.getLong(r.fieldIndex(s"${c}__nk"))
+          if (nk > m / 8) None // saturated: no bloom, unskippable
           else {
             val bits = new Array[Byte](m / 8)
-            r.getSeq[Int](1).foreach(p => bits(p >>> 3) =
-              (bits(p >>> 3) | (1 << (p & 7))).toByte)
-            Some(FileBloom(rel.get, c, k, bits))
+            (0 until k).foreach { i =>
+              r.getSeq[Int](r.fieldIndex(s"${c}__b$i")).foreach(pos =>
+                bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte)
+            }
+            Some(FileBloom(p, c, k, bits))
           }
         }
+      }
     }
+    (keep, stats, blooms)
   }
 
   /** Latest bloom per live file for a column (the [[statFold]] twin). */
@@ -704,21 +720,39 @@ object CommitLog {
     */
   def probeFiles(s: SparkSession, root: String, column: String,
       keys: Seq[Long], asOf: Long = Long.MaxValue): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
+    val ks = keys.toArray
+    probeFilesBy(s, root, column, Some(ks), ks, asOf)
+  }
+
+  /** [[probeFiles]] for STRING keys: blooms prune on each key's
+    * [[keyImage]]; the [min, max] stats layer is intentionally ignored
+    * (string columns carry no long stats, and a numeric-LOOKING string
+    * column's accidental long stats would not be the key's order
+    * anyway) — superset-safe either way. */
+  def probeFilesString(s: SparkSession, root: String, column: String,
+      keys: Seq[String], asOf: Long = Long.MaxValue): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
+    probeFilesBy(s, root, column, None, keys.toArray.map(keyImage), asOf)
+  }
+
+  private def probeFilesBy(s: SparkSession, root: String, column: String,
+      rangeKeys: Option[Array[Long]], images: Array[Long],
+      asOf: Long): Seq[String] = {
     val entries = log(s, root, asOf)
     val live = liveFiles(s, root, asOf)
-    if (keys.isEmpty) return Seq.empty
     val stats = statFold(entries, column)
     val blooms = bloomFold(entries, column)
-    val ks = keys.toArray
     // positions depend only on (key, k, m) — hash each key once per
     // distinct filter geometry, not once per file (the probe is a
     // per-micro-batch driver step; O(keys·k) hashes + O(files·keys)
     // bit tests)
     val posCache = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Int]]]
     def positionsFor(k: Int, m: Int): Array[Array[Int]] =
-      posCache.getOrElseUpdate((k, m), ks.map(v => bloomPositions(v, k, m)))
+      posCache.getOrElseUpdate((k, m), images.map(v => bloomPositions(v, k, m)))
     live.filter { f =>
-      stats.get(f).forall(st => ks.exists(v => v >= st.min && v <= st.max)) &&
+      rangeKeys.forall(ks =>
+        stats.get(f).forall(st => ks.exists(v => v >= st.min && v <= st.max))) &&
         blooms.get(f).forall { b =>
           val pos = positionsFor(b.k, b.m)
           pos.exists(_.forall(p => (b.bits(p >>> 3) & (1 << (p & 7))) != 0))
@@ -742,19 +776,38 @@ object CommitLog {
     else (readFilesEvolved(s, root, kept), kept.size, live.size)
   }
 
+  /** [[snapshotProbe]] for STRING keys ([[probeFilesString]]). */
+  def snapshotProbeString(s: SparkSession, root: String, column: String,
+      keys: Seq[String], asOf: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    val live = liveFiles(s, root, asOf)
+    require(live.nonEmpty, s"commit-log table at $root has no live files")
+    val kept = probeFilesString(s, root, column, keys, asOf)
+    if (kept.isEmpty)
+      (snapshot(s, root, asOf).filter(org.apache.spark.sql.functions.lit(false)),
+        0, live.size)
+    else (readFilesEvolved(s, root, kept), kept.size, live.size)
+  }
+
   /** Append df as a new version. `txnId` makes the commit exactly-once
     * under replays (foreachBatch: pass the batch id); `statsFor` embeds
     * per-file min/max skipping stats for the named long-castable columns
-    * into the commit entry (see [[snapshotRange]]). Returns the
-    * committed version, or None if the token was already committed. */
+    * into the commit entry (see [[snapshotRange]]); `bloomFor` embeds
+    * per-file blooms for the named integral/string key columns (see
+    * [[probeFiles]]) — the EXPLICIT form of the session-wide
+    * `graft.commitlog.bloomColumns` conf, safe under concurrent writers
+    * in one session (the two union). Returns the committed version, or
+    * None if the token was already committed. */
   def append(df: DataFrame, root: String, txnId: Option[String] = None,
-      statsFor: Seq[String] = Seq.empty): Option[Long] = {
+      statsFor: Seq[String] = Seq.empty,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] = {
     val s = df.sparkSession
     if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
       return None // cheap pre-check: replay skips the data write too
     val add = writeData(df, root)
+    val (_, stats, blooms) = fileMeta(s, root, add, statsFor, bloomFor,
+      dropEmpty = false)
     val committed = commitEntry(s, root, "append", add, _ => Seq.empty, txnId,
-      collectStats(s, root, add, statsFor), blooms = collectBlooms(s, root, add))
+      stats, blooms = blooms)
     if (committed.isEmpty && add.nonEmpty) {
       // token race lost AFTER the data write (two concurrent replays both
       // passed the pre-check): this dir is OURS and will never be
@@ -794,12 +847,13 @@ object CommitLog {
       statsFor: Seq[String] = Seq.empty): Long = {
     val s = df.sparkSession
     val add = writeData(df, root)
+    val (_, stats, blooms) = fileMeta(s, root, add, statsFor, Seq.empty,
+      dropEmpty = false)
     commitEntry(s, root, "overwrite", add, entries => {
       val live = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(live -= _); c.add.foreach(live += _) }
       live.toSeq
-    }, None, collectStats(s, root, add, statsFor),
-      blooms = collectBlooms(s, root, add)).get
+    }, None, stats, blooms = blooms).get
   }
 
   /** Fold the current live files into one coalesced data dir — small-file
@@ -831,9 +885,15 @@ object CommitLog {
       else snap.repartitionByRange(partitions, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val add = writeData(folded, root)
-    // re-collect skipping stats for the rewritten files: a compaction
+    // re-collect skipping stats for the rewritten files (a compaction
     // that silently DROPPED its inputs' stats would turn every future
-    // snapshotRange over the compacted span into a full read
+    // snapshotRange over the compacted span into a full read), and
+    // blooms survive compaction like stats: re-collect for every column
+    // the pre-compaction live set carried a bloom on (plus the session
+    // conf), so a maintained table compacted through CALL keeps its
+    // probe pruning — saturated outputs auto-skip storage
+    val (_, stats, blooms) = fileMeta(s, root, add, statsFor,
+      log(s, root).flatMap(_.blooms).map(_.column).distinct, dropEmpty = false)
     commitEntry(s, root, "compact", add, entries => {
       // remove what is live at COMMIT time, not at read time: if an
       // append raced in, its files are not ours to remove — re-deriving
@@ -843,13 +903,7 @@ object CommitLog {
       // …intersected with the snapshot we actually rewrote: racing
       // appends stay live alongside the compacted copy
       live.toSeq.filter(before.contains)
-    }, None, collectStats(s, root, add, statsFor),
-      // blooms survive compaction like stats: re-collect for every
-      // column the pre-compaction live set carried a bloom on (plus the
-      // session conf), so a maintained table compacted through CALL
-      // keeps its probe pruning — saturated outputs auto-skip storage
-      blooms = collectBlooms(s, root, add,
-        extraCols = log(s, root).flatMap(_.blooms).map(_.column).distinct)).get
+    }, None, stats, blooms = blooms).get
   }
 
   /** Incremental change feed — the CDC-lite consumption loop a commit
@@ -1046,18 +1100,22 @@ object CommitLog {
     schemas.head
   }
 
-  /** Long-castable key columns only: every pruning structure here (the
-    * commit-embedded long stats, delete's Seq[Long] keys, merge's long
-    * key range) is integer-keyed, and a string key would NOT fail — it
-    * would cast to null and silently misroute a merge into a pure insert
-    * (duplicated keys, review finding). Loud instead. */
-  private def requireIntegralKey(schema: org.apache.spark.sql.types.StructType,
-      keyCol: String, op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = schema(keyCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$op key column '$keyCol' must be an integral type (stats/pruning are " +
-        s"long-keyed), got ${dt.sql} — hash or dictionary-encode string keys first")
+  /** Integral or STRING key columns (r19 lifted the integral-only rule:
+    * string keys prune through [[keyImage]] blooms instead of long
+    * stats). Returns true for a string key. Any other type is loud —
+    * a binary/decimal key would cast to null in the long path and
+    * silently misroute a merge into a pure insert (duplicated keys,
+    * review finding). */
+  private def requireKeyType(schema: org.apache.spark.sql.types.StructType,
+      keyCol: String, op: String): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => false
+      case StringType => true
+      case dt => throw new IllegalArgumentException(
+        s"$op key column '$keyCol' must be an integral or string type " +
+          s"(stats/bloom pruning cover only those domains), got ${dt.sql}")
+    }
   }
 
   /** Keyed row-level DELETE — the GDPR right-to-be-forgotten operation,
@@ -1091,7 +1149,8 @@ object CommitLog {
     */
   def delete(s: SparkSession, root: String, keyCol: String, keys: Seq[Long],
       statsFor: Option[Seq[String]] = None,
-      txnId: Option[String] = None): Option[Long] = {
+      txnId: Option[String] = None,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, not}
     if (keys.isEmpty) return None
     if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
@@ -1112,7 +1171,7 @@ object CommitLog {
       stats.get(f).forall(st => admits(st.min, st.max))
     }
     if (touched.isEmpty) return None
-    requireIntegralKey(requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
+    requireKeyType(requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
     val scan = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
     val survivors =
       if (sortedKeys.length <= DeleteIsinMaxKeys)
@@ -1130,15 +1189,72 @@ object CommitLog {
         scan.join(broadcast(keyDf),
           col(keyCol).cast("long") === col("__graft_del_key"), "left_anti")
       }
-    val add = dropEmptyFiles(s, root, writeData(survivors, root))
-    val stCols = statsFor.getOrElse(Seq(keyCol))
+    commitDelete(s, root, touched, survivors,
+      statsFor.getOrElse(Seq(keyCol)), txnId, bloomFor)
+  }
+
+  /** [[delete]] for STRING keys (the r19 string-key lift): file
+    * admission rides the commit-embedded [[keyImage]] blooms
+    * ([[probeFilesString]]) — a file without a bloom on `keyCol` is
+    * rewritten (uncertainty forces the rewrite, never a missed delete),
+    * and the survivor filter matches the ACTUAL string values, so a
+    * bloom/hash false positive only costs a needless rewrite, never a
+    * wrong row. Rewritten files re-embed a `keyCol` bloom by default so
+    * probe pruning survives the rewrite (the long path's stats rule,
+    * transposed to the hash domain). Everything else — isin/anti-join
+    * switchover, txn token, empty-survivor drop — is the long path's
+    * contract verbatim. */
+  def deleteStrings(s: SparkSession, root: String, keyCol: String,
+      keys: Seq[String], statsFor: Option[Seq[String]] = None,
+      txnId: Option[String] = None,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, not}
+    require(!keys.contains(null), s"deleteStrings at $root: null key (null never matches; drop it)")
+    if (keys.isEmpty) return None
+    if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
+      return None // replay: skip the probe and the rewrite
+    val sortedKeys = keys.distinct.sorted.toArray
+    val touched = probeFilesString(s, root, keyCol, sortedKeys.toSeq)
+    if (touched.isEmpty) return None
+    val isString = requireKeyType(
+      requireUniformSchema(s, root, touched, "delete"), keyCol, "delete")
+    require(isString,
+      s"deleteStrings at $root: key column '$keyCol' is not a string — use delete(keys: Seq[Long])")
+    val scan = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
+    val survivors =
+      if (sortedKeys.length <= DeleteIsinMaxKeys)
+        scan.filter(col(keyCol).isNull ||
+          not(col(keyCol).isin(sortedKeys.map(lit).toSeq: _*)))
+      else {
+        val keyDf = s.createDataFrame(
+          s.sparkContext.parallelize(sortedKeys.toSeq.map(Tuple1(_)), 1)
+            .map(t => org.apache.spark.sql.Row(t._1)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_del_key",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+        scan.join(broadcast(keyDf),
+          col(keyCol) === col("__graft_del_key"), "left_anti")
+      }
+    commitDelete(s, root, touched, survivors,
+      statsFor.getOrElse(Seq.empty), txnId, (bloomFor :+ keyCol).distinct)
+  }
+
+  /** Shared delete tail: write survivors, drop empty part files, commit
+    * one `delete` version removing every touched file (removal set
+    * re-derived at commit time — the compact concurrency rule), reclaim
+    * our data dirs on a lost token race. */
+  private def commitDelete(s: SparkSession, root: String,
+      touched: Seq[String], survivors: DataFrame, stCols: Seq[String],
+      txnId: Option[String], bloomFor: Seq[String]): Option[Long] = {
+    val (add, stats, blooms) = fileMeta(s, root, writeData(survivors, root),
+      stCols, bloomFor, dropEmpty = true)
     val committed = commitEntry(s, root, "delete", add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    }, txnId, collectStats(s, root, add, stCols),
+    }, txnId, stats,
       rewrite = add, // survivors only — no new rows for a CDC consumer
-      blooms = collectBlooms(s, root, add))
+      blooms = blooms)
     if (committed.isEmpty && add.nonEmpty)
       add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
         fs(s, root).delete(new Path(s"$root/$d"), true))
@@ -1175,28 +1291,39 @@ object CommitLog {
     */
   def merge(updates: DataFrame, root: String, keyCol: String,
       statsFor: Option[Seq[String]] = None,
-      txnId: Option[String] = None): Option[Long] = {
+      txnId: Option[String] = None,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val s = updates.sparkSession
     if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
       return None // replay: skip the probe and every data write
-    val stCols = statsFor.getOrElse(Seq(keyCol))
+    // a STRING key (r19) prunes through blooms, never long stats — so a
+    // string-keyed merge always BLOOMS its key column (the long path's
+    // "always stats its key column" rule, transposed), else every later
+    // probe/merge on the table would read every file forever
+    val stringKey = requireKeyType(updates.schema, keyCol, "merge")
+    val stCols = statsFor.getOrElse(if (stringKey) Seq.empty else Seq(keyCol))
+    val blCols = if (stringKey) (bloomFor :+ keyCol).distinct else bloomFor
     /** Commit helper: reclaims OUR data dirs if the token race is lost
       * after the writes (append's cleanup, for the multi-dir case). */
     def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
-        rewrite: Seq[String] = Seq.empty): Option[Long] = {
+        rewrite: Seq[String] = Seq.empty, stats: Seq[FileStat] = Seq.empty,
+        blooms: Seq[FileBloom] = Seq.empty): Option[Long] = {
       val committed = commitEntry(s, root, "merge", add, removeAtHead, txnId,
-        collectStats(s, root, add, stCols), rewrite,
-        blooms = collectBlooms(s, root, add))
+        stats, rewrite, blooms = blooms)
       if (committed.isEmpty && add.nonEmpty)
         add.map(_.takeWhile(_ != '/')).distinct.foreach(d =>
           fs(s, root).delete(new Path(s"$root/$d"), true))
       committed
     }
+    /** Pure-insert commit: meta in the same ONE scan as the mutation path. */
+    def commitInsert(written: Seq[String]): Option[Long] = {
+      val (a, st, bl) = fileMeta(s, root, written, stCols, blCols, dropEmpty = false)
+      commit(a, _ => Seq.empty, stats = st, blooms = bl)
+    }
     val live = liveFiles(s, root)
     if (live.isEmpty) {
-      requireIntegralKey(updates.schema, keyCol, "merge")
-      return commit(writeData(updates, root), _ => Seq.empty)
+      return commitInsert(writeData(updates, root))
     }
     // guard the WHOLE live set, not just the probe candidates: tableCols
     // below anchors both the rewrite and the insert projection, so a
@@ -1213,20 +1340,39 @@ object CommitLog {
       s"merge updates schema ${updateTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} does not " +
         s"match table schema ${tableTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} at $root — " +
         "evolve the table first, then merge")
-    requireIntegralKey(tableSchema, keyCol, "merge")
-    val keyRange = updates.agg(
-      min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
-    if (keyRange.isNullAt(0)) // no non-null update keys: pure insert
-      return commit(writeData(updates, root), _ => Seq.empty)
-    val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
-    val stats = statFold(log(s, root), keyCol)
-    val candidates = live.filter { f =>
-      stats.get(f).forall(st => st.max >= lo && st.min <= hi)
-    }
+    requireKeyType(tableSchema, keyCol, "merge"): Unit
+    // STAGE-1 file pruning. Integral keys: the updates' [lo, hi] key
+    // range against each file's commit-embedded stats — two driver
+    // values collected, never keys. String keys: the distinct update
+    // keys (BOUNDED: `graft.commitlog.maxProbeKeys`, default 100k —
+    // above it stage 1 is skipped and stage 2's exact probe alone
+    // bounds the rewrites, the superset-safe fallback) against each
+    // file's keyImage bloom.
+    val candidates: Seq[String] =
+      if (!stringKey) {
+        val keyRange = updates.agg(
+          min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
+        if (keyRange.isNullAt(0)) // no non-null update keys: pure insert
+          return commitInsert(writeData(updates, root))
+        val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
+        val stats = statFold(log(s, root), keyCol)
+        live.filter { f =>
+          stats.get(f).forall(st => st.max >= lo && st.min <= hi)
+        }
+      } else {
+        val cap = s.conf.getOption("graft.commitlog.maxProbeKeys")
+          .map(_.toInt).getOrElse(100000)
+        val ks = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
+          .distinct().limit(cap + 1).collect().map(_.getString(0))
+        if (ks.isEmpty) // no non-null update keys: pure insert
+          return commitInsert(writeData(updates, root))
+        if (ks.length > cap) live
+        else probeFilesString(s, root, keyCol, ks.toSeq)
+      }
     val updKeys = updates.select(col(keyCol)).distinct()
     // exact probe: which candidate files actually hold an updated key —
     // file NAMES to the driver, never rows (part-file names are
-    // job-UUID-unique, the collectStats mapping rule)
+    // job-UUID-unique, the fileMeta mapping rule)
     val byName = candidates.map(p => p.split('/').last -> p).toMap
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
@@ -1235,21 +1381,22 @@ object CommitLog {
         .join(updKeys, Seq(keyCol), "left_semi")
         .select(col("f")).distinct()
         .collect().toSeq.flatMap(r => byName.get(r.getString(0).split('/').last))
-    val (add, rewriteFiles) =
-      if (touched.isEmpty) (writeData(updates, root), Seq.empty[String])
-      else {
-        val rewritten = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
-          .join(updKeys, Seq(keyCol), "left_anti")
-          .select(tableCols.map(col): _*)
-        val rw = dropEmptyFiles(s, root, writeData(rewritten, root))
-        (rw ++ dropEmptyFiles(s, root,
-          writeData(updates.select(tableCols.map(col): _*), root)), rw)
-      }
-    commit(add, entries => {
+    if (touched.isEmpty) return commitInsert(writeData(updates, root))
+    val rewritten = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
+      .join(updKeys, Seq(keyCol), "left_anti")
+      .select(tableCols.map(col): _*)
+    // one metadata scan per written dir (survivors, inserts) — count,
+    // stats and blooms together, empty survivors dropped
+    val (rw, st1, bl1) = fileMeta(s, root, writeData(rewritten, root),
+      stCols, blCols, dropEmpty = true)
+    val (ins, st2, bl2) = fileMeta(s, root,
+      writeData(updates.select(tableCols.map(col): _*), root),
+      stCols, blCols, dropEmpty = true)
+    commit(rw ++ ins, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
       liveNow.toSeq.filter(touched.contains)
-    }, rewriteFiles)
+    }, rw, st1 ++ st2, bl1 ++ bl2)
   }
 
   /** RESTORE the table to an earlier version AS A NEW COMMIT — the

@@ -334,16 +334,25 @@ private[sources] object GraftCatalog {
     * keyed retraction, every filter an EqualTo/In on ONE integral
     * column, conjunction = set intersection (null literals never match,
     * CommitLog.delete's own rule). */
-  private[sources] def keyedDeleteOf(
-      filters: Array[Filter]): Option[Either[Unit, (String, Set[Long])]] = {
+  /** A keyed delete's key values: integral keys as Left, STRING keys as
+    * Right (the r19 string-key lift — [[graft.CommitLog.deleteStrings]]
+    * prunes them through keyImage blooms). A mixed or other-typed key
+    * set is not expressible. */
+  private[sources] def keyedDeleteOf(filters: Array[Filter])
+      : Option[Either[Unit, (String, Either[Set[Long], Set[String]])]] = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (real.isEmpty) return Some(Left(()))
+    def keyVal(v: Any): Option[Any] =
+      num(v).map(x => x: Any).orElse(v match {
+        case s: String => Some(s: Any)
+        case _ => None
+      })
     // one top-level filter = one conjunct; inside each, OR of same-column
     // equalities unions key sets (`k IN (5,7) OR k = 9`)
-    def setOf(f: Filter): Option[(String, Set[Long])] = f match {
-      case EqualTo(c, v) => num(v).map(x => c -> Set(x))
+    def setOf(f: Filter): Option[(String, Set[Any])] = f match {
+      case EqualTo(c, v) if v != null => keyVal(v).map(x => c -> Set(x))
       case In(c, vs)     =>
-        val ks = vs.toSeq.filter(_ != null).map(num)
+        val ks = vs.toSeq.filter(_ != null).map(keyVal)
         if (ks.forall(_.isDefined)) Some(c -> ks.flatten.toSet) else None
       case org.apache.spark.sql.sources.Or(l, r) =>
         for { (cl, sl) <- setOf(l); (cr, sr) <- setOf(r) if cl == cr }
@@ -354,7 +363,13 @@ private[sources] object GraftCatalog {
     if (perFilter.exists(_.isEmpty)) return None
     val sets = perFilter.flatten
     if (sets.map(_._1).distinct.size != 1) return None
-    Some(Right(sets.head._1 -> sets.map(_._2).reduce(_ intersect _)))
+    val keys = sets.map(_._2).reduce(_ intersect _)
+    val keyCol = sets.head._1
+    if (keys.forall(_.isInstanceOf[Long]))
+      Some(Right(keyCol -> Left(keys.map(_.asInstanceOf[Long]))))
+    else if (keys.forall(_.isInstanceOf[String]))
+      Some(Right(keyCol -> Right(keys.map(_.asInstanceOf[String]))))
+    else None // mixed-typed key set: not a keyed delete
   }
 
   private[sources] def longBounds(filters: Array[Filter]): Map[String, (Long, Long)] = {
@@ -456,13 +471,16 @@ private[graft] class GraftTable(spark: SparkSession, val ident: String,
         CommitLog.overwrite(spark.createDataFrame(
           new util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
           .coalesce(1), root): Unit
-      case Some(Right((keyCol, keys))) =>
+      case Some(Right((keyCol, Left(keys)))) =>
         if (keys.nonEmpty)
           CommitLog.delete(spark, root, keyCol, keys.toSeq.sorted): Unit
+      case Some(Right((keyCol, Right(keys)))) =>
+        if (keys.nonEmpty)
+          CommitLog.deleteStrings(spark, root, keyCol, keys.toSeq.sorted): Unit
       case None => throw new UnsupportedOperationException(
         s"DELETE on $ident supports equality/IN predicates on one " +
-          "integral key column (CommitLog.delete's keyed-retraction " +
-          s"shape), got: ${filters.mkString(", ")}")
+          "integral or string key column (CommitLog.delete's " +
+          s"keyed-retraction shape), got: ${filters.mkString(", ")}")
     }
   }
 }

@@ -153,7 +153,7 @@ private[sources] class GraftChangesScanBuilder(spark: SparkSession,
 
   /** The (version, op)-tagged union of each pruned version's added
     * files: ONE evolved multi-file read + a broadcast join on the
-    * part-file name (job-UUID-unique — the collectStats mapping rule)
+    * part-file name (job-UUID-unique — the fileMeta mapping rule)
     * against the tiny file→version map; old files null-fill/upcast into
     * the presentation schema. */
   private def changesFrame(s: SparkSession, root: String, lo: Long,
@@ -171,11 +171,20 @@ private[sources] class GraftChangesScanBuilder(spark: SparkSession,
       .map { case (f, v, op) => (f.split('/').last, v, op) }
       .toDF("_file", "_commit_version", "_commit_op")
     val dataCols = sch.fields.toSeq.filterNot(f => f.name.startsWith("_commit"))
-    CommitLog.readChangedFiles(s, root, rels.map(_._1))
+    val read = CommitLog.readChangedFiles(s, root, rels.map(_._1))
+    // null-fill against the PRESENTATION schema: a version window that
+    // predates a schema evolution unifies only its own files, so a
+    // later-added column is absent from the read frame — the documented
+    // 'old-version files null-fill added columns' contract must hold for
+    // windowed reads too, not throw an unresolved-column error
+    val have = read.columns.toSet
+    read
       .withColumn("_file", substring_index(input_file_name(), "/", -1))
       .join(broadcast(fileMap), Seq("_file"))
-      .select(dataCols.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-        Seq(col("_commit_version"), col("_commit_op")): _*)
+      .select(dataCols.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col("_commit_version"), col("_commit_op")): _*)
   }
 }
 

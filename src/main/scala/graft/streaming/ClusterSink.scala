@@ -111,12 +111,12 @@ object ClusterSink {
     val s = batch.sparkSession
     val maxProbeKeys = s.conf.getOption("graft.cluster.maxProbeKeys")
       .map(_.toInt).getOrElse(100000)
-    // the sink's writes carry bloom metadata for the probe columns;
-    // save/restore so the session conf is the sink's concern, not the
-    // caller's
-    val prevBloomCols = s.conf.getOption("graft.commitlog.bloomColumns")
-    s.conf.set("graft.commitlog.bloomColumns", "sig,doc_id,cluster_id")
-    try {
+    // the sink's writes carry bloom metadata for the probe columns —
+    // threaded EXPLICITLY through append/merge (r18 advice: the former
+    // save/set/restore of the session-wide graft.commitlog.bloomColumns
+    // conf could clobber, or be clobbered by, a concurrent writer in the
+    // same session, silently dropping bloom metadata)
+    locally {
       val sigs = Dedup.fastBandSignaturesOf(batch).localCheckpoint()
       val within = Dedup.expandPairs(s, sigs)
         .select(col("doc_a"), col("doc_b"))
@@ -179,11 +179,10 @@ object ClusterSink {
       if (!delta.isEmpty)
         CommitLog.merge(delta, mapRoot, "doc_id",
           statsFor = Some(Seq("doc_id", "cluster_id")),
-          txnId = Some(mapToken(batchId))): Unit
-      CommitLog.append(sigs, sigRoot, txnId = Some(sigToken(batchId))): Unit
-    } finally prevBloomCols match {
-      case Some(v) => s.conf.set("graft.commitlog.bloomColumns", v)
-      case None => s.conf.unset("graft.commitlog.bloomColumns")
+          txnId = Some(mapToken(batchId)),
+          bloomFor = Seq("doc_id", "cluster_id")): Unit
+      CommitLog.append(sigs, sigRoot, txnId = Some(sigToken(batchId)),
+        bloomFor = Seq("sig")): Unit
     }
   }
 }

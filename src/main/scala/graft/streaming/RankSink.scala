@@ -66,24 +66,14 @@ object RankSink {
       .start()
 
   /** One micro-batch applied to the two maintained tables — factored out
-    * so specs can drive crash/replay schedules batch-at-a-time. */
+    * so specs can drive crash/replay schedules batch-at-a-time.
+    * Bloom metadata on the probe keys rides the ClusterSink discipline
+    * (each batch's edge deltas span wide id ranges, so stats prune
+    * weakly, but the touched edge SET is sparse — bloom probes keep the
+    * per-batch read proportional to the batch's actual edge overlap),
+    * threaded EXPLICITLY through merge's `bloomFor` (r18 advice: conf
+    * save/set/restore was concurrency-unsafe). */
   private[graft] def applyBatch(batch: DataFrame, edgeRoot: String,
-      rankRoot: String, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    // bloom metadata on the probe key, the ClusterSink discipline: each
-    // batch's edge deltas span wide id ranges (stats prune weakly), but
-    // a batch's touched edge SET is sparse — bloom probes keep the
-    // per-batch read proportional to the batch's actual edge overlap
-    val prevBloomCols = s.conf.getOption("graft.commitlog.bloomColumns")
-    s.conf.set("graft.commitlog.bloomColumns", "edge_id,node")
-    try applyBatchInner(batch, edgeRoot, rankRoot, batchId)
-    finally prevBloomCols match {
-      case Some(v) => s.conf.set("graft.commitlog.bloomColumns", v)
-      case None => s.conf.unset("graft.commitlog.bloomColumns")
-    }
-  }
-
-  private def applyBatchInner(batch: DataFrame, edgeRoot: String,
       rankRoot: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val delta = batch
@@ -102,17 +92,31 @@ object RankSink {
       if (CommitLog.headVersion(s, edgeRoot) == 0L) keyed // bootstrap
       else {
         // read ONLY files that might hold the touched edges, fold the
-        // published weight in (absent edge → published weight 0)
-        val ids = keyed.select(col("edge_id")).collect().map(_.getLong(0)).toSeq
-        val (pub, _, _) = CommitLog.snapshotProbe(s, edgeRoot, "edge_id", ids)
+        // published weight in (absent edge → published weight 0).
+        // The probe-key collect is CAPPED (ClusterSink's
+        // graft.cluster.maxProbeKeys rule — limit BEFORE the driver
+        // fetch, so one fat backfill batch cannot balloon the driver);
+        // over the cap the fold joins the full snapshot un-broadcast,
+        // same answers at the pre-bloom cost
+        val maxProbeKeys = s.conf.getOption("graft.cluster.maxProbeKeys")
+          .map(_.toInt).getOrElse(100000)
+        val ids = keyed.select(col("edge_id")).distinct()
+          .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
+        val pub0 =
+          if (ids.size > maxProbeKeys) CommitLog.snapshot(s, edgeRoot)
+          else {
+            val (df, _, _) = CommitLog.snapshotProbe(s, edgeRoot, "edge_id", ids)
+            broadcast(df)
+          }
         keyed.as("b")
-          .join(broadcast(pub.select(col("edge_id"), col("w").as("pw"))),
+          .join(pub0.select(col("edge_id"), col("w").as("pw")),
             Seq("edge_id"), "left")
           .select(col("edge_id"), col("b.src").as("src"), col("b.dst").as("dst"),
             (col("w") + coalesce(col("pw"), lit(0L))).as("w"))
       }
     CommitLog.merge(merged.localCheckpoint(), edgeRoot, "edge_id",
-      statsFor = Some(Seq("edge_id")), txnId = Some(edgeToken(batchId))): Unit
+      statsFor = Some(Seq("edge_id")), txnId = Some(edgeToken(batchId)),
+      bloomFor = Seq("edge_id")): Unit
     // re-derive ranks from the MAINTAINED edge table (already includes
     // this batch whether the merge committed or token-no-op'd — replay
     // safety), then upsert as one keyed version
@@ -120,6 +124,7 @@ object RankSink {
       CommitLog.snapshot(s, edgeRoot).select(col("src"), col("dst"), col("w")))
     CommitLog.merge(ranks.select(col("node"), col("rank_micro")).localCheckpoint(),
       rankRoot, "node",
-      statsFor = Some(Seq("node")), txnId = Some(rankToken(batchId))): Unit
+      statsFor = Some(Seq("node")), txnId = Some(rankToken(batchId)),
+      bloomFor = Seq("node")): Unit
   }
 }

@@ -275,12 +275,90 @@ class CommitLogSpec extends AnyFunSuite {
     val badType = Seq((1, "x")).toDF("id", "v") // id INT vs table's LONG
     val e2 = intercept[IllegalArgumentException] { CommitLog.merge(badType, root, "id") }
     assert(e2.getMessage.contains("does not match table schema"))
-    // a STRING key would cast to null and misroute the merge into a pure
-    // insert (duplicated keys) — rejected loudly instead
+    // a non-integral, non-string key (binary here) would cast to null in
+    // either pruning domain and misroute the merge into a pure insert
+    // (duplicated keys) — rejected loudly instead. (STRING keys are
+    // supported since r19 — see the string-key merge test below.)
     val sroot = freshRoot()
-    val skeyed = Seq(("user-1", "a")).toDF("id", "v")
-    val e3 = intercept[IllegalArgumentException] { CommitLog.merge(skeyed, sroot, "id") }
-    assert(e3.getMessage.contains("must be an integral type"))
+    val bkeyed = Seq((Array[Byte](1), "a")).toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException] { CommitLog.merge(bkeyed, sroot, "id") }
+    assert(e3.getMessage.contains("must be an integral or string type"))
+  }
+
+  test("string keys (r19): keyImage parity, bloom-pruned merge stays delta-sized, deleteStrings, probe pruning") {
+    // 1. the driver-side key image replays Spark's xxhash64 bit-for-bit
+    val probeStrs = Seq("doc-1", "", "ünïcode-文档", "a" * 300)
+    val sparkHashes = probeStrs.toDF("s")
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(sparkHashes == probeStrs.map(CommitLog.keyImage),
+      "keyImage must equal Spark's xxhash64(string) or every bloom probe misreads")
+
+    // 2. a string-keyed table built from merges (each lands key blooms)
+    val root = freshRoot()
+    def docs(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"doc-$i%04d", s"body$i")).toDF("doc_id", "body")
+    assert(CommitLog.merge(docs(1, 10).coalesce(1), root, "doc_id").contains(1L))
+    assert(CommitLog.merge(docs(11, 20).coalesce(1), root, "doc_id").contains(2L))
+    assert(CommitLog.merge(docs(21, 30).coalesce(1), root, "doc_id").contains(3L))
+    val before = CommitLog.liveFiles(spark, root)
+    assert(before.size == 3)
+
+    // 3. probe pruning: a key only file 2 holds keeps exactly file 2
+    val kept = CommitLog.probeFilesString(spark, root, "doc_id", Seq("doc-0015"))
+    assert(kept == Seq(before(1)), s"bloom probe kept $kept of $before")
+    // an absent key keeps nothing (no false-negative risk: superset-safe)
+    assert(CommitLog.probeFilesString(spark, root, "doc_id", Seq("doc-9999")).isEmpty)
+    val (probedDf, nKept, nLive) =
+      CommitLog.snapshotProbeString(spark, root, "doc_id", Seq("doc-0015"))
+    assert(nKept == 1 && nLive == 3)
+    assert(probedDf.filter(col("doc_id") === "doc-0015").count() == 1L)
+
+    // 4. merge upsert+insert is delta-sized: only the HOLDING file rewrites
+    val updates = Seq(("doc-0012", "UPDATED"), ("doc-0099", "NEW"))
+      .toDF("doc_id", "body").coalesce(1)
+    assert(CommitLog.merge(updates, root, "doc_id").contains(4L))
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) == Set(before(0), before(2)),
+      "files 1 and 3 hold no updated key and must keep their identity")
+    val got = CommitLog.snapshot(spark, root)
+      .as[(String, String)].collect().sorted.toSeq
+    val expected = ((1 to 30).filterNot(_ == 12)
+      .map(i => (f"doc-$i%04d", s"body$i")) ++
+      Seq(("doc-0012", "UPDATED"), ("doc-0099", "NEW"))).sorted
+    assert(got == expected)
+
+    // 5. deleteStrings is delta-sized and exact; missing keys no-op
+    val preDel = CommitLog.liveFiles(spark, root)
+    val dv = CommitLog.deleteStrings(spark, root, "doc_id",
+      Seq("doc-0001", "doc-0002", "doc-not-there"))
+    assert(dv.contains(5L))
+    val snap = CommitLog.snapshot(spark, root)
+    assert(snap.filter(col("doc_id").isin("doc-0001", "doc-0002")).count() == 0L)
+    assert(snap.count() == 29L) // 31 − 2
+    // only the file holding doc-0001/2 was touched
+    val postDel = CommitLog.liveFiles(spark, root)
+    assert(preDel.toSet.intersect(postDel.toSet).size == preDel.size - 1)
+    // a delete probing nothing commits nothing
+    assert(CommitLog.deleteStrings(spark, root, "doc_id", Seq("nope")).isEmpty)
+    // txn token replay no-ops
+    val tv = CommitLog.deleteStrings(spark, root, "doc_id", Seq("doc-0003"),
+      txnId = Some("sdel-1"))
+    assert(tv.contains(6L))
+    assert(CommitLog.deleteStrings(spark, root, "doc_id", Seq("doc-0004"),
+      txnId = Some("sdel-1")).isEmpty)
+    assert(CommitLog.snapshot(spark, root).count() == 28L)
+
+    // 6. merge on a string key equals the latest-wins rebuild even when
+    // the probe collect is over the cap (stage 1 skipped, stage 2 exact)
+    spark.conf.set("graft.commitlog.maxProbeKeys", "1")
+    try {
+      val up2 = Seq(("doc-0013", "UPD13"), ("doc-0014", "UPD14"))
+        .toDF("doc_id", "body").coalesce(1)
+      assert(CommitLog.merge(up2, root, "doc_id").contains(7L))
+      val s2 = CommitLog.snapshot(spark, root)
+      assert(s2.filter(col("body").isin("UPD13", "UPD14")).count() == 2L)
+      assert(s2.count() == 28L)
+    } finally spark.conf.unset("graft.commitlog.maxProbeKeys")
   }
 
   test("snapshotEvolved: added columns null-fill, int widens to long, asOf keeps old schema") {

@@ -331,7 +331,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
                 WHEN MATCHED THEN UPDATE SET s = s.s
                 WHEN NOT MATCHED THEN INSERT *""", "UPDATE SET must cover every target column")
-    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.s = s.s
+    // (ON t.s = s.s is a legal STRING-keyed merge since r19 — covered by
+    // its own test; a composite ON is still not a keyed shape)
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k AND t.s = s.s
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *""", "keyed upsert")
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
@@ -343,6 +345,203 @@ class GraftCatalogSpec extends AnyFunSuite {
                 WHEN NOT MATCHED BY SOURCE THEN DELETE""", "NOT MATCHED BY SOURCE")
     // no declined shape mutated the table (198 = 201 − the 3 MERGE-deleted)
     assert(spark.sql("SELECT count(*) FROM gcat.db.mrg").head().getLong(0) == 198L)
+  }
+
+  test("string-keyed CDC from SQL (r19): MERGE INTO on a doc_id lands delta-sized with bloom probe pruning; DELETE FROM takes string keys") {
+    import spark.implicits._
+    val root = s"$wh/db/sdocs"
+    // three single-file versions, each merge landing doc_id blooms
+    def docs(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"doc-$i%04d", s"body$i")).toDF("doc_id", "body")
+    spark.sql("CREATE TABLE gcat.db.sdocs (doc_id STRING, body STRING)")
+    CommitLog.merge(docs(1, 10).coalesce(1), root, "doc_id")
+    CommitLog.merge(docs(11, 20).coalesce(1), root, "doc_id")
+    val before = CommitLog.liveFiles(spark, root)
+
+    // SQL MERGE keyed on the STRING doc_id: one delta-sized version
+    Seq(("doc-0012", "UPDATED"), ("doc-0099", "NEW"))
+      .toDF("doc_id", "body").createOrReplaceTempView("sdocs_cdc")
+    val v = spark.sql(
+      """MERGE INTO gcat.db.sdocs t USING sdocs_cdc s ON t.doc_id = s.doc_id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+    assert(v == CommitLog.headVersion(spark, root))
+    // only the file HOLDING doc-0012 was rewritten (probe pruning held)
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) ==
+      before.toSet.filterNot(_ == before.last),
+      s"expected only ${before.last} rewritten; before=$before after=$after")
+    assert(spark.sql(
+      "SELECT body FROM gcat.db.sdocs WHERE doc_id = 'doc-0012'")
+      .head().getString(0) == "UPDATED")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 21L)
+
+    // SQL MERGE retraction on string keys
+    Seq("doc-0001", "doc-no-such").toDF("doc_id")
+      .createOrReplaceTempView("sdocs_del")
+    spark.sql("""MERGE INTO gcat.db.sdocs t USING sdocs_del s
+                 ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE""").collect()
+    assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 20L)
+
+    // DELETE FROM with string equality and IN
+    spark.sql("DELETE FROM gcat.db.sdocs WHERE doc_id = 'doc-0002'")
+    spark.sql("DELETE FROM gcat.db.sdocs WHERE doc_id IN ('doc-0003', 'doc-0004')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 17L)
+    assert(CommitLog.history(spark, root).orderBy(col("version").desc)
+      .head().getAs[String]("op") == "delete")
+  }
+
+  test("SQL UPDATE (r19): keyed shape lands one delta-sized merge; self-referential SET; non-keyed shapes decline loudly") {
+    import spark.implicits._
+    val root = s"$wh/db/upd"
+    spark.sql("CREATE TABLE gcat.db.upd (k BIGINT, s STRING, bal BIGINT)")
+    CommitLog.append((1L to 10L).map(i => (i, s"s$i", i * 100L))
+      .toDF("k", "s", "bal").coalesce(1), root, statsFor = Seq("k"))
+    CommitLog.append((11L to 20L).map(i => (i, s"s$i", i * 100L))
+      .toDF("k", "s", "bal").coalesce(1), root, statsFor = Seq("k"))
+    val before = CommitLog.liveFiles(spark, root)
+
+    // keyed UPDATE: one delta-sized merge version, only the holding file rewritten
+    val v = spark.sql("UPDATE gcat.db.upd SET s = 'X' WHERE k = 5").head().getLong(0)
+    assert(v == CommitLog.headVersion(spark, root))
+    assert(CommitLog.history(spark, root).orderBy(col("version").desc)
+      .head().getAs[String]("op") == "merge")
+    // before(0) is the CREATE's zero-row schema file; k=5 lives in before(1)
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) == before.toSet - before(1),
+      s"only ${before(1)} holds k=5; before=$before after=$after")
+    assert(spark.sql("SELECT s FROM gcat.db.upd WHERE k = 5").head().getString(0) == "X")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.upd").head().getLong(0) == 20L)
+
+    // self-referential SET over an IN key set
+    spark.sql("UPDATE gcat.db.upd SET bal = bal + 10 WHERE k IN (1, 2, 999)")
+    assert(spark.sql("SELECT sum(bal) FROM gcat.db.upd WHERE k IN (1, 2)")
+      .head().getLong(0) == 100L + 200L + 20L)
+
+    // absent key: no commit, version −1
+    val preMiss = CommitLog.headVersion(spark, root)
+    assert(spark.sql("UPDATE gcat.db.upd SET s = 'Z' WHERE k = 777").head().getLong(0) == -1L)
+    assert(CommitLog.headVersion(spark, root) == preMiss)
+
+    // txn token replay no-ops
+    spark.conf.set("graft.catalog.txnId", "upd-tok-1")
+    try {
+      spark.sql("UPDATE gcat.db.upd SET s = 'T' WHERE k = 6")
+      val vTok = CommitLog.headVersion(spark, root)
+      assert(spark.sql("UPDATE gcat.db.upd SET s = 'T2' WHERE k = 6").head().getLong(0) == -1L)
+      assert(CommitLog.headVersion(spark, root) == vTok)
+      assert(spark.sql("SELECT s FROM gcat.db.upd WHERE k = 6").head().getString(0) == "T")
+    } finally spark.conf.unset("graft.catalog.txnId")
+
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    def declined(sql: String, marker: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains(marker)), chain(e).map(_.getMessage))
+    }
+    declined("UPDATE gcat.db.upd SET s = 'A'", "full-table rewrite")
+    declined("UPDATE gcat.db.upd SET s = 'A' WHERE k > 5", "equality/IN")
+    declined("UPDATE gcat.db.upd SET s = 'A' WHERE k = 5 AND s = 's5'", "equality/IN")
+    declined("UPDATE gcat.db.upd SET s = 'A' WHERE bal = 100 OR k = 5", "equality/IN")
+    declined("UPDATE gcat.db.upd SET k = 99 WHERE k = 5", "must not assign the key column")
+    // no declined shape mutated the table
+    assert(spark.sql("SELECT count(*) FROM gcat.db.upd").head().getLong(0) == 20L)
+  }
+
+  test("CDC op-code batch (r19): conditional WHEN MATCHED DELETE beside the upsert splits into ordered delete+merge commits under one token pair") {
+    import spark.implicits._
+    val root = s"$wh/db/cdc"
+    spark.sql("CREATE TABLE gcat.db.cdc (k BIGINT, s STRING)")
+    CommitLog.append((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), root,
+      statsFor = Seq("k"))
+
+    def cdcSql(view: String) =
+      s"""MERGE INTO gcat.db.cdc t USING $view s ON t.k = s.k
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s
+          WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT (k, s) VALUES (s.k, s.s)"""
+
+    // mixed batch: delete 2 (matched) and 12 (unmatched → no-op, NOT
+    // resurrected), update 3, insert 11
+    Seq((2L, "", "D"), (12L, "", "D"), (3L, "U3", "U"), (11L, "N11", "U"))
+      .toDF("k", "s", "op").createOrReplaceTempView("cdc_b1")
+    spark.conf.set("graft.catalog.txnId", "cdc-tok-1")
+    try {
+      spark.sql(cdcSql("cdc_b1")).collect()
+      val got = spark.sql("SELECT k, s FROM gcat.db.cdc ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      val want = ((1L to 11L).filterNot(_ == 2L).map(i => (i, s"s$i")).toMap
+        + (3L -> "U3") + (11L -> "N11")).toSeq.sorted
+      assert(got == want)
+      // the statement landed as delete THEN merge
+      val ops = CommitLog.history(spark, root).orderBy(col("version"))
+        .collect().map(_.getAs[String]("op")).toSeq
+      assert(ops.takeRight(2) == Seq("delete", "merge"), ops)
+      // full-statement replay under the same token: both halves no-op
+      val head = CommitLog.headVersion(spark, root)
+      spark.sql(cdcSql("cdc_b1")).collect()
+      assert(CommitLog.headVersion(spark, root) == head, "token pair must replay as no-op")
+    } finally spark.conf.unset("graft.catalog.txnId")
+
+    // all-delete batch: one delete commit, no junk empty merge version
+    Seq((4L, "", "D")).toDF("k", "s", "op").createOrReplaceTempView("cdc_b2")
+    val preDel = CommitLog.headVersion(spark, root)
+    spark.sql(cdcSql("cdc_b2")).collect()
+    assert(CommitLog.headVersion(spark, root) == preDel + 1)
+    assert(CommitLog.history(spark, root).orderBy(col("version").desc)
+      .head().getAs[String]("op") == "delete")
+
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    def declined(sql: String, marker: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains(marker)), chain(e).map(_.getMessage))
+    }
+    // a key in BOTH halves is the SQL multi-match cardinality violation
+    Seq((5L, "x", "D"), (5L, "y", "U")).toDF("k", "s", "op")
+      .createOrReplaceTempView("cdc_dup")
+    declined(cdcSql("cdc_dup"), "one row per key")
+    // the insert must carry the delete condition's negation
+    Seq((6L, "", "D")).toDF("k", "s", "op").createOrReplaceTempView("cdc_g")
+    declined("""MERGE INTO gcat.db.cdc t USING cdc_g s ON t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s
+                WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)""",
+      "guarded by the delete condition's negation")
+    declined("""MERGE INTO gcat.db.cdc t USING cdc_g s ON t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s
+                WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, s) VALUES (s.k, s.s)""",
+      "delete condition's negation")
+    // the delete condition must be source-only (checked before the
+    // insert guard, so the guard below never needs to match it)
+    declined("""MERGE INTO gcat.db.cdc t USING cdc_g s ON t.k = s.k
+                WHEN MATCHED AND t.s = 'gone' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s
+                WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT (k, s) VALUES (s.k, s.s)""",
+      "only source columns")
+    // no declined shape mutated the table (10 − {2,4} + {11} = 9)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.cdc").head().getLong(0) == 9L)
+  }
+
+  test("changes windowed below a schema evolution null-fills the added column instead of throwing") {
+    import spark.implicits._
+    val root = s"$wh/db/evch"
+    CommitLog.append(Seq((1L, "a")).toDF("k", "s"), root)
+    CommitLog.append(Seq((2L, "b", 9L)).toDF("k", "s", "w"), root) // evolves +w
+    // the windowed read unifies only v1's files, which lack w — the
+    // presentation schema still carries it, null-filled
+    val rows = spark.sql(
+      "SELECT k, w FROM gcat.db.evch.changes WHERE _commit_version = 1")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq
+    assert(rows == Seq((1L, true)))
+    // the full feed serves both versions, old rows null-filled
+    val all = spark.sql(
+      "SELECT k, w FROM gcat.db.evch.changes ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(all == Seq((1L, -1L), (2L, 9L)))
   }
 
   test("SQL ops surface: t.history audits, t.changes feeds CDC with version pruning, CALL system.{compact,checkpoint,restore,vacuum}") {
