@@ -1044,12 +1044,28 @@ object Events {
     val starLabels = steps.filter(_.quant != "one").map(_.label)
     val stepTypes = steps.map(_.eventType).toArray
     val stepQuants = steps.map(_.quant).toArray
+    // the loud skew guard (dedup-bucket style, default generous): one
+    // user's full history materializes per task below, so a bot account
+    // with 10⁸ events would otherwise OOM the executor silently — the
+    // cap names the key and the remedies instead
+    val maxUserRows = s.conf.getOption("graft.match.maxUserRows")
+      .map(_.toInt).getOrElse(5000000)
     val typed = ev.select(
       col("user_id").cast("long"), col("event_type"),
       unix_micros(col("ts")), col("event_id").cast("long"))
       .as[(Long, String, Long, Long)]
     val matched = typed.groupByKey(_._1).flatMapGroups { (uid, it) =>
-      val rows = it.toArray.sortBy(r => (r._3, r._4))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      while (it.hasNext) {
+        buf += it.next()
+        if (buf.length > maxUserRows)
+          throw new IllegalStateException(
+            s"matchRecognize: user $uid exceeds graft.match.maxUserRows=" +
+              s"$maxUserRows events — a key this hot dominates one task " +
+              "(bot-account shape); raise the cap, pre-filter the user, or " +
+              "bound the input window before matching")
+      }
+      val rows = buf.toArray.sortBy(r => (r._3, r._4))
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Seq[Long], Long)]
       /** Greedy match of steps(si..) at rows(pos..): returns (end index,
@@ -1121,6 +1137,25 @@ object Events {
       .select(col("user_id"), col("start_event_id"), col("end_event_id"),
         col("n_clicks"), col("span_s"))
 
+  /** q311: the PLUS-quantifier MATCH_RECOGNIZE run — `(click)+ purchase`,
+    * a maximal run of ≥ 1 clicks immediately followed by a purchase (the
+    * "click burst that converted"). Greedy + skip-past give THIS pattern
+    * a closed form too, by a different argument than q310's: greedy
+    * consumes the whole click run; every backtracked shorter assignment
+    * still faces a CLICK (not a purchase) at the next step, so
+    * backtracking can never succeed; and a match consumes run + purchase
+    * whole, so skip-past never splits a run. Match set ≡ one row per
+    * (maximal click run, directly-following purchase) pair — the
+    * gaps-and-islands SQL below, which is what lets the plus quantifier
+    * carry its own DuckDB oracle (q310 exercises star; the planted spec
+    * exercises backtracking shapes no closed form covers). */
+  def q311ClickBursts(s: SparkSession, dir: String): DataFrame =
+    matchRecognize(Tables.events(s, dir), Seq(
+      PatternStep("clicks", "click", "plus"),
+      PatternStep("buy", "purchase", "one")))
+      .select(col("user_id"), col("start_event_id"), col("end_event_id"),
+        col("n_clicks"), col("span_s"))
+
   /** q309 on ANY (user_id, event_type, ts) frame — spec'd on planted
     * tie/branch/window-expiry users beside the oracled corpus run. */
   private[graft] def branchingFunnelOf(s: SparkSession, ev: DataFrame): DataFrame = {
@@ -1165,6 +1200,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_event_patterns" -> (q310EventPatterns _),
+    "q311_click_bursts" -> (q311ClickBursts _),
     "q309_branching_funnel" -> (q309BranchingFunnel _),
     "q253_audience_overlap" -> (q253AudienceOverlap _),
     "q254_user_type_entropy" -> (q254UserTypeEntropy _),
@@ -1224,6 +1260,30 @@ object Events {
          JOIN seq ss ON ss.user_id = m.user_id AND ss.rn = m.srn
          JOIN seq se ON se.user_id = m.user_id AND se.rn = m.ern
          WHERE se.event_type = 'purchase'""",
+    "q311_click_bursts" ->
+      """WITH seq AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         clicks AS (
+           SELECT user_id, rn, event_id, us,
+                  rn - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY rn) AS grp
+           FROM seq WHERE event_type = 'click'),
+         cr AS (
+           SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+                  CAST(count(*) AS BIGINT) AS n_clicks
+           FROM clicks GROUP BY 1, 2)
+         SELECT cr.user_id,
+                ss.event_id AS start_event_id,
+                p.event_id AS end_event_id,
+                cr.n_clicks,
+                (p.us - ss.us) // 1000000 AS span_s
+         FROM cr
+         JOIN seq ss ON ss.user_id = cr.user_id AND ss.rn = cr.srn
+         JOIN seq p  ON p.user_id  = cr.user_id AND p.rn  = cr.ern + 1
+         WHERE p.event_type = 'purchase'""",
     "q309_branching_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          l1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)

@@ -1235,4 +1235,54 @@ class AnalyticsSpec extends AnyFunSuite {
       frame(Seq((8L, "view", 0L), (8L, "click", sec), (8L, "purchase", 2 * sec))),
       plusPat).count() == 1L)
   }
+
+  test("q311 (click)+ purchase: maximal-run matches, run splitting never happens, per-user row cap is loud") {
+    val s0 = spark
+    import s0.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    def frame(rows: Seq[(Long, String, Long)]) =
+      rows.zipWithIndex.map { case ((u, t, us), i) =>
+        (u, t, ts(us), i.toLong) }
+        .toDF("user_id", "event_type", "ts", "event_id")
+    import graft.operators.Events.PatternStep
+    val pat = Seq(PatternStep("clicks", "click", "plus"),
+      PatternStep("buy", "purchase", "one"))
+    val sec = 1000000L
+    val planted = frame(Seq(
+      // u1: click click purchase → one match, whole run (n=2, span 2s)
+      (1L, "click", 0L), (1L, "click", sec), (1L, "purchase", 2 * sec),
+      // u2: click view purchase → no match (run not directly followed)
+      (2L, "click", 0L), (2L, "view", sec), (2L, "purchase", 2 * sec),
+      // u3: purchase purchase after a matched run → second purchase alone
+      // does not match (no preceding click run)
+      (3L, "click", 0L), (3L, "purchase", sec), (3L, "purchase", 2 * sec),
+      // u4: two separated bursts → two disjoint matches
+      (4L, "click", 0L), (4L, "purchase", sec),
+      (4L, "click", 2 * sec), (4L, "click", 3 * sec), (4L, "purchase", 4 * sec)))
+    val got = graft.operators.Events.matchRecognize(planted, pat).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("end_event_id"), r.getAs[Long]("n_clicks"),
+        r.getAs[Long]("span_s"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 2L, 2L),
+      (3L, 6L, 7L, 1L, 1L),
+      (4L, 9L, 10L, 1L, 1L), (4L, 11L, 13L, 2L, 2L)), got.toString)
+
+    // the skew guard: a planted over-cap user throws with the conf named
+    spark.conf.set("graft.match.maxUserRows", "10")
+    try {
+      val fat = frame((0 until 12).map(i => (7L, "click", i * sec)))
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.operators.Events.matchRecognize(fat, pat).collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("graft.match.maxUserRows")), e.getMessage)
+      // under the cap, unaffected
+      assert(graft.operators.Events.matchRecognize(
+        frame((0 until 9).map(i => (7L, "click", i * sec)) :+
+          ((7L, "purchase", 9 * sec))), pat).count() == 1L)
+    } finally spark.conf.unset("graft.match.maxUserRows")
+  }
 }
