@@ -322,7 +322,7 @@ object Similarity {
     * is bounded by [[graft.DriverMemo]]'s LRU cap even without it. Persisted indexes ([[IvfIndex.build]]) are unaffected —
     * their model lives with the index files.
     */
-  def invalidateQuantizerCache(): Unit = { centroidCache.clear(); pqCache.clear() }
+  def invalidateQuantizerCache(): Unit = { centroidCache.clear(); pqCache.clear(); hubGraphCache.clear() }
 
   private[graft] def kmeansCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int,
@@ -449,6 +449,150 @@ object Similarity {
           countDistinct(col("query_id")).as("n_queries"))
       hits.crossJoin(nTruth).crossJoin(scanned).crossJoin(corpusN)
         .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
+          col("n_hits"),
+          expr("(n_hits * 10000) DIV greatest(n_truth, 1)").as("recall_bp"),
+          expr("(scanned_rows * 10000) DIV greatest(n_queries * corpus_n, 1)")
+            .as("scanned_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // Graph-routed ANN (r19 — the HNSW/NSW idea re-expressed Spark-first):
+  // instead of IVF's argmin over EVERY centroid, queries GREEDY-WALK a
+  // small-world graph over hub vectors and probe only the hubs the walk
+  // visits. Same bucketed storage as IVF (hub id = write partition key
+  // at 100 TB); the trade it buys is on the ROUTING side — a walk
+  // scores O(ef · degree · hops) hubs instead of O(H), which is the
+  // difference that matters when the hub set itself is large (the 2²⁰-
+  // hub regime a 100 TB corpus needs for bounded bucket sizes, where a
+  // full centroid scan per query is the bottleneck IVF hits first).
+  // ------------------------------------------------------------------
+
+  /** Hub-graph model: H deterministic sample vectors (min-xxhash64, the
+    * k-means init idiom) + per-hub top-M cosine neighbors AND a ring
+    * link (i+1 mod H) — the classic NSW connectivity guarantee, so the
+    * walk can always escape a cluster-local minimum given hops. Built
+    * driver-side (H ≤ a few thousand: H² rounded-cosine comparisons),
+    * memoized per (dir, H, M) like the IVF quantizer. Determinism:
+    * cosines rounded to 6 dp, ties toward the smaller hub id. */
+  private val hubGraphCache =
+    new graft.DriverMemo[(String, Int, Int), (Array[Array[Double]], Array[Array[Int]])]()
+
+  private[graft] def hubGraph(s: SparkSession, dir: String, h: Int,
+      m: Int): (Array[Array[Double]], Array[Array[Int]]) =
+    hubGraphCache.getOrElseUpdate((dir, h, m)) {
+      val hubs = Tables.embeddings(s, dir)
+        .withColumn("r", xxhash64(col("vec_id")))
+        .orderBy(col("r"), col("vec_id"))
+        .limit(h)
+        .select(col("embedding"))
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(hubs.length >= 2, s"hub graph needs ≥ 2 vectors, got ${hubs.length}")
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else math.rint(dot / math.sqrt(na * nb) * 1e6) / 1e6
+      }
+      val nH = hubs.length
+      val nbrs = Array.tabulate(nH) { i =>
+        val ring = (i + 1) % nH
+        val top = (0 until nH).filter(_ != i)
+          .map(j => (-cos(hubs(i), hubs(j)), j)).sorted.take(m).map(_._2)
+        (top :+ ring).distinct.toArray
+      }
+      (hubs, nbrs)
+    }
+
+  /** The greedy beam walk as PURE column ops — `hops` unrolled frontier
+    * expansions over literal hub/neighbor structures, no UDF: each hop
+    * expands the beam by its hubs' neighbor lists (`element_at` on a map
+    * literal), scores the frontier with the same rounded-cosine/
+    * smaller-id struct ordering as [[scoredCells]], and keeps the top
+    * `ef`. Returns the final beam (probe hub ids) per row. */
+  private[graft] def walkProbes(qe: Column, hubs: Array[Array[Double]],
+      nbrs: Array[Array[Int]], ef: Int, hops: Int): Column = {
+    val nbrMap = typedlit(nbrs.zipWithIndex.map { case (ns, i) => i -> ns.toSeq }.toMap)
+    val hubVecs = typedlit(hubs.map(_.toSeq).toSeq)
+    def scoreOf(hc: Column): Column =
+      round(VectorOps.cosine(qe, element_at(hubVecs, hc + 1)), 6)
+    var beam: Column = array(lit(0)) // deterministic entry: hub 0
+    (1 to hops).foreach { _ =>
+      val cand = array_distinct(concat(beam,
+        flatten(transform(beam, hc => element_at(nbrMap, hc)))))
+      val scored = reverse(array_sort(transform(cand,
+        hc => struct(scoreOf(hc).as("cs"), (-hc).as("neghub")))))
+      beam = transform(slice(scored, 1, ef), sc => -sc.getField("neghub"))
+    }
+    beam
+  }
+
+  /** q312: graph-routed approximate top-k — the q48 probe with the
+    * coarse ROUTER swapped: corpus bucketing is identical (nearest hub,
+    * shuffle-free projection), but each query's probe set comes from a
+    * 3-hop greedy beam walk on the hub graph instead of a full centroid
+    * argmin. Rows-only (the sampled model has no SQL mirror — q48's
+    * contract); recall vs the exact q33 baseline asserted in spec, and
+    * priced against beam width by q313's curve. */
+  def q312KnnGraph(s: SparkSession, dir: String, h: Int = 16, m: Int = 4,
+      ef: Int = 8, hops: Int = 3): DataFrame = {
+    val (hubs, nbrs) = hubGraph(s, dir, h, m)
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell", nearestCell(col("ne"), hubs))
+    val qs = queriesDf(s, dir)
+      .withColumn("cell", explode(walkProbes(col("qe"), hubs, nbrs, ef, hops)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)
+    corpus.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+  }
+
+  /** q313: graph-ANN RECALL-vs-BEAM curve — q257's accuracy/cost table
+    * for the graph router: per ef ∈ {1, 2, 4, 8, 16}, recall@k against
+    * q33's brute truth and the corpus fraction scanned. Read beside
+    * q257, the two curves price the IVF-vs-graph trade directly: same
+    * buckets, same exact-scoring tail — only the routing (and therefore
+    * which/how many buckets a query opens) differs. Spec-only, q257's
+    * contract; anchors pinned in spec include the complete-graph +
+    * full-beam walk ≡ brute force identity. */
+  def q313GraphRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val efSweep = Seq(1, 2, 4, 8, 16)
+    val (hubs, nbrs) = hubGraph(s, dir, 16, 4)
+    val corpusCells = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell", nearestCell(col("ne"), hubs))
+      .localCheckpoint() // one assignment pass feeds every sweep point
+    val occupancy = corpusCells.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .localCheckpoint()
+    val corpusN = occupancy.agg(sum(col("cn")).as("corpus_n"))
+    val truth = q33KnnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val qsBase = queriesDf(s, dir).localCheckpoint()
+    efSweep.map { ef =>
+      val qs = qsBase
+        .withColumn("cell", explode(walkProbes(col("qe"), hubs, nbrs, ef, 3)))
+      val got = corpusCells.join(broadcast(qs), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = qs.join(occupancy, Seq("cell"))
+        .agg(coalesce(sum(col("cn")), lit(0L)).as("scanned_rows"),
+          countDistinct(col("query_id")).as("n_queries"))
+      hits.crossJoin(nTruth).crossJoin(scanned).crossJoin(corpusN)
+        .select(lit(ef.toLong).as("ef"), col("n_queries"), col("n_truth"),
           col("n_hits"),
           expr("(n_hits * 10000) DIV greatest(n_truth, 1)").as("recall_bp"),
           expr("(scanned_rows * 10000) DIV greatest(n_queries * corpus_n, 1)")
@@ -1161,6 +1305,8 @@ object Similarity {
     "q48_knn_ivf"      -> ((s: SparkSession, d: String) => q48KnnIvf(s, d)),
     "q195_ivf_balance" -> ((s: SparkSession, d: String) => q195IvfBalance(s, d)),
     "q257_ivf_recall_curve" -> (q257IvfRecallCurve _),
+    "q312_knn_graph" -> ((s: SparkSession, d: String) => q312KnnGraph(s, d)),
+    "q313_graph_recall_curve" -> (q313GraphRecallCurve _),
     "q114_dim_stats"   -> (q114DimStats _),
     "q201_embedding_drift" -> (q201EmbeddingDrift _),
     "q76_vector_stats" -> (q76VectorStats _),

@@ -512,6 +512,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_truth")).distinct.length == 1)
   }
 
+  test("q312 graph ANN: hub graph connected + deterministic; complete-graph full-beam equals brute force") {
+    val (hubs, nbrs) = Similarity.hubGraph(spark, sf01, 16, 4)
+    assert(hubs.length == 16 && nbrs.length == 16)
+    nbrs.zipWithIndex.foreach { case (ns, i) =>
+      assert(ns.contains((i + 1) % 16), s"hub $i lacks its ring link")
+      assert(!ns.contains(i), s"hub $i is its own neighbor")
+      assert(ns.distinct.length == ns.length && ns.forall(j => j >= 0 && j < 16))
+      assert(ns.length <= 5, s"hub $i degree ${ns.length} > m+ring") // m + ring
+    }
+    // the model is memoized AND deterministic: a rebuild is identical
+    val (hubs2, nbrs2) = Similarity.hubGraph(spark, sf01, 16, 4)
+    assert(hubs2.zip(hubs).forall { case (a, b) => a.sameElements(b) })
+    assert(nbrs2.zip(nbrs).forall { case (a, b) => a.sameElements(b) })
+    // complete graph + full beam: hop 1 reaches every hub, so the probe
+    // set is ALL buckets and the result must equal brute force EXACTLY
+    val full = Similarity.q312KnnGraph(spark, sf01, h = 16, m = 15, ef = 16, hops = 2)
+    assert(neighborSets(full) == neighborSets(Similarity.q33KnnBrute(spark, sf01)))
+  }
+
+  test("q313 graph-ANN recall curve: monotone in beam width, defaults hold the recall floor") {
+    val recall = meanRecallVsExact(Similarity.q312KnnGraph(spark, sf01), sf01)
+    info(s"q312 default (h=16, m=4, ef=8, hops=3) recall@5 = $recall")
+    assert(recall >= 0.7, s"graph-ANN recall@5 = $recall < 0.7")
+    val rows = Similarity.q313GraphRecallCurve(spark, sf01).collect()
+      .sortBy(_.getAs[Long]("ef"))
+    assert(rows.map(_.getAs[Long]("ef")).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_.getAs[Long]("recall_bp"))
+    val scanned = rows.map(_.getAs[Long]("scanned_bp"))
+    info(s"q313 recall_bp = ${recalls.toSeq}, scanned_bp = ${scanned.toSeq}")
+    // a wider beam can only widen the probe set the walk keeps
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      recalls.toSeq.toString)
+    assert(scanned.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      scanned.toSeq.toString)
+    // ef = H keeps every scored hub: with the ring guaranteeing
+    // reachability, 3 hops from hub 0 cover ≥ the ef=8 beam's buckets —
+    // pin the production point's floor instead of a full-coverage
+    // identity (the walk only scores hubs it REACHES, by design)
+    assert(recalls(3) >= 7000L, s"ef=8 recall ${recalls(3)} < 7000")
+    assert(rows.map(_.getAs[Long]("n_truth")).distinct.length == 1)
+  }
+
   test("q48 IVF with learned k-means centroids reaches recall@5 >= 0.8 at sf0.01") {
     val recall = meanRecallVsExact(Similarity.q48KnnIvf(spark, sf01), sf01)
     assert(recall >= 0.8, s"IVF recall@5 = $recall < 0.8")
