@@ -348,7 +348,24 @@ class CommitLogSpec extends AnyFunSuite {
       txnId = Some("sdel-1")).isEmpty)
     assert(CommitLog.snapshot(spark, root).count() == 28L)
 
-    // 6. merge on a string key equals the latest-wins rebuild even when
+    // 6. probe reads stay FLAT in table age (the ClusterCensus claim on
+    // the string domain): after growing the table to 15 merge versions,
+    // a batch's probe opens only the files actually holding its keys
+    // (± bloom fpp ≈ 0 at m=65536), never O(live files)
+    val groot = freshRoot()
+    (0 until 15).foreach { b =>
+      CommitLog.merge(
+        (0 until 50).map(i => (s"g$b-doc-$i", s"b$b")).toDF("doc_id", "body")
+          .coalesce(1), groot, "doc_id")
+    }
+    val liveN = CommitLog.liveFiles(spark, groot).size
+    assert(liveN == 15)
+    val probeKeys = (0 until 50).map(i => s"g7-doc-$i") // one mid-age batch
+    val keptFlat = CommitLog.probeFilesString(spark, groot, "doc_id", probeKeys)
+    assert(keptFlat.size <= 2,
+      s"probe opened ${keptFlat.size}/$liveN files for a 1-file key set — not flat")
+
+    // 7. merge on a string key equals the latest-wins rebuild even when
     // the probe collect is over the cap (stage 1 skipped, stage 2 exact)
     spark.conf.set("graft.commitlog.maxProbeKeys", "1")
     try {
