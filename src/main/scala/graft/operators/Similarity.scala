@@ -1315,6 +1315,22 @@ object Similarity {
   /** ONE oracle-side definition of the exact-kNN frame (q33's semantics
     * verbatim); q33/q266/q267 all select from the `k` CTE so "the kNN
     * graph" has a single SQL text. */
+  /** One-builder-both-engines SQL for the LSH bucket of `vcol` in table
+    * `t` (the q245/q307 device): the SAME ±1 plane literals the Spark
+    * side folds through [[VectorOps.dot]], rendered as DuckDB
+    * `list_inner_product` terms. Sign parity is exact — both engines
+    * accumulate the identical products in the identical left-to-right
+    * order (the established dot ≡ list_inner_product rule), so `> 0`
+    * cannot disagree even on a cancellation-to-zero dot. This is what
+    * turned q34 from rows-only into a fully SQL-oracled row (r19). */
+  private def planeSql(p: Int): String =
+    planes(p).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]") + "::DOUBLE[]"
+  private def bucketSql(t: Int, vcol: String): String =
+    (0 until PlanesPerTable).map { p =>
+      s"(CASE WHEN list_inner_product($vcol::DOUBLE[], ${planeSql(t * PlanesPerTable + p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val knnCtes: String =
     """q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
        c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1510,6 +1526,27 @@ object Similarity {
     "q33_knn_brute" ->
       s"""WITH $knnCtes
           SELECT query_id, neighbor_id, cos_sim, rnk FROM k""",
+    "q34_knn_lsh" -> {
+      val bCols = (0 until NumTables)
+        .map(t => s"${bucketSql(t, "embedding")} AS b$t").mkString(",\n                  ")
+      val anyTable = (0 until NumTables).map(t => s"e.b$t = q.b$t").mkString(" OR ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+                  $bCols
+           FROM embeddings),
+         q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+         c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cs
+               FROM q JOIN b e ON e.vec_id <> q.vec_id AND ($anyTable)),
+         r AS (SELECT query_id, neighbor_id, cs,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk
+               FROM c),
+         k AS (SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
+               FROM r WHERE rnk <= 5)
+         SELECT query_id, neighbor_id, cos_sim, rnk FROM k"""
+    },
     "q265_label_separability" ->
       """WITH pe AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                             unnest(generate_series(1, len(embedding))) AS pos
