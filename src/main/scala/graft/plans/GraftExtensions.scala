@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, CutTokens, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, RollingHash, StopCount, TokenCount, Tokens, TopNgramCount, WordNgrams}
+import graft.functions.{BottomKSample, CharBigrams, CosineSimilarity, CutTokens, EditDistance, FrequentItems, GramianAgg, JaroWinkler, MinHashAgg, MoneySumUnits, RollingHash, StopCount, TokenCount, Tokens, TopNgramCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL use. Attach with
@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_gramian"),
       new ExpressionInfo(classOf[GramianAgg].getName, "graft_gramian"),
       GraftExtensions.buildGramian))
+    e.injectFunction((
+      FunctionIdentifier("graft_money_sum"),
+      new ExpressionInfo(classOf[MoneySumUnits].getName, "graft_money_sum"),
+      GraftExtensions.buildMoneySum))
     e.injectOptimizerRule(_ => CosineFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // SQL MERGE INTO on catalog-served CommitLog tables → one delta-sized
@@ -189,6 +193,10 @@ object GraftExtensions {
       buildGramian,
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_money_sum",
+      buildMoneySum,
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k",
       buildBottomK,
       "built-in")
@@ -227,5 +235,15 @@ object GraftExtensions {
     require(exprs.length == 1,
       s"graft_gramian(vec) takes exactly 1 argument, got ${exprs.length}")
     GramianAgg(exprs.head)
+  }
+
+  /** graft_money_sum(units, scale): the exact-money SUM over scaled
+    * integer units (same validated-literal contract as the k-arg
+    * aggregates; scale positions the decimal point of the exact total —
+    * `graft_money_sum(CAST(x*100+0.5 AS BIGINT), 2)` sums cents). */
+  private[plans] val buildMoneySum: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_money_sum(units, scale) takes exactly 2 arguments, got ${exprs.length}")
+    MoneySumUnits(exprs.head, foldableInt("graft_money_sum", "scale", exprs(1)))
   }
 }

@@ -64,6 +64,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(2).getSeq[Double](2) == Seq(25.0, 30.0, 36.0))
   }
 
+  test("graft_money_sum is SQL-callable: exact cents sum, FILTER support, null group, literal-scale contract") {
+    graft.plans.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT k,
+                CAST(graft_money_sum(c, 2) AS STRING) AS s,
+                CAST(graft_money_sum(c, 2) FILTER (WHERE c > 100) AS STRING) AS big
+         FROM VALUES (1, CAST(1 AS BIGINT)), (1, CAST(250 AS BIGINT)),
+                     (1, CAST(NULL AS BIGINT)), (2, CAST(NULL AS BIGINT))
+              AS t(k, c)
+         GROUP BY k""").collect()
+      .map(r => r.getInt(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(rows(1) == ((Some("2.51"), Some("2.50"))))
+    assert(rows(2) == ((None, None))) // all-NULL group sums to NULL
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_money_sum(CAST(1 AS BIGINT), k) FROM VALUES (2) AS t(k)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("native cosine matches HOF NULL semantics on ragged and null-element arrays") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
