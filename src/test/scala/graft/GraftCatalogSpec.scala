@@ -389,6 +389,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 17L)
     assert(CommitLog.history(spark, root).orderBy(col("version").desc)
       .head().getAs[String]("op") == "delete")
+
+    // keyed UPDATE on the string key (the degenerate merge, string domain)
+    spark.sql("UPDATE gcat.db.sdocs SET body = 'PATCHED' WHERE doc_id = 'doc-0005'")
+    assert(spark.sql("SELECT body FROM gcat.db.sdocs WHERE doc_id = 'doc-0005'")
+      .head().getString(0) == "PATCHED")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 17L)
   }
 
   test("SQL UPDATE (r19): keyed shape lands one delta-sized merge; self-referential SET; non-keyed shapes decline loudly") {
