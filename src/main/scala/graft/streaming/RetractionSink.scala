@@ -38,32 +38,47 @@ object RetractionSink {
 
   def retractStream(stream: DataFrame, root: String, keyCol: String,
       checkpointDir: String, statsFor: Option[Seq[String]] = None,
-      maxKeysPerBatch: Int = 100000): StreamingQuery =
+      maxKeysPerBatch: Int = 100000): StreamingQuery = {
+    // the key DOMAIN is fixed by the feed's schema at stream build, the
+    // r19 string-key lift: a string feed retracts via deleteStrings
+    // (keyImage-bloom-admitted rewrites), everything else via the long
+    // path — same driver-held contract, caps and tokens either way
+    val stringKey = stream.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // null-filter BEFORE the cast, then verify the cast lost nothing:
-        // a string key that casts to null would otherwise be silently
+        // a non-numeric key that casts to null would otherwise be silently
         // dropped — a MISSED deletion, the worst failure mode this sink
         // can have (review finding: loud, never silent)
+        val keyExpr =
+          if (stringKey) col(keyCol).as("k") else col(keyCol).cast("long").as("k")
         val rows = batch.toDF()
           .filter(col(keyCol).isNotNull) // null "keys" name nothing to forget
-          .select(col(keyCol).cast("long").as("k"))
+          .select(keyExpr)
           .distinct()
           .limit(maxKeysPerBatch + 1)
           .collect()
         require(rows.forall(!_.isNullAt(0)),
           s"retraction batch $batchId has keys in '$keyCol' that do not cast to " +
             "long — refusing to silently skip a deletion request")
-        val keys = rows.map(_.getLong(0)).toSeq
-        require(keys.size <= maxKeysPerBatch,
+        require(rows.length <= maxKeysPerBatch,
           s"retraction batch $batchId carries more than $maxKeysPerBatch keys — " +
             "that is a corpus-scale rewrite, not a deletion feed; use CommitLog.merge " +
             "or raise maxKeysPerBatch deliberately")
-        if (keys.nonEmpty)
-          CommitLog.delete(batch.sparkSession, root, keyCol, keys,
-            statsFor, txnId = Some(txnToken(batchId))): Unit
+        if (rows.nonEmpty) {
+          if (stringKey)
+            CommitLog.deleteStrings(batch.sparkSession, root, keyCol,
+              rows.map(_.getString(0)).toSeq, statsFor,
+              txnId = Some(txnToken(batchId))): Unit
+          else
+            CommitLog.delete(batch.sparkSession, root, keyCol,
+              rows.map(_.getLong(0)).toSeq,
+              statsFor, txnId = Some(txnToken(batchId))): Unit
+        }
       }
       .start()
+  }
 }

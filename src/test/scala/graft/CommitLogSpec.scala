@@ -747,6 +747,36 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ids(CommitLog.snapshot(spark, root)).contains(1L))
   }
 
+  test("s24 retraction sink on a STRING-keyed table: doc-id keys vanish via bloom-admitted delta rewrites") {
+    import graft.streaming.RetractionSink
+    val root = freshRoot()
+    def docs(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"doc-$i%04d", s"body$i")).toDF("doc_id", "body")
+    CommitLog.merge(docs(1, 10).coalesce(1), root, "doc_id")
+    CommitLog.merge(docs(11, 20).coalesce(1), root, "doc_id")
+    val seed = CommitLog.liveFiles(spark, root)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = RetractionSink.retractStream(ms.toDF().toDF("doc_id"), root, "doc_id",
+      Files.createTempDirectory("graft-sret-ckpt").toString)
+    try {
+      ms.addData("doc-0015", "doc-0017") // both in the second file only
+      q.processAllAvailable()
+      val snap = CommitLog.snapshot(spark, root)
+      assert(snap.count() == 18L)
+      assert(snap.filter(col("doc_id").isin("doc-0015", "doc-0017")).count() == 0L)
+      // delta-sized through the keyImage blooms: file 1 keeps identity
+      assert(CommitLog.liveFiles(spark, root).contains(seed.head))
+      val entry = CommitLog.log(spark, root).last
+      assert(entry.op == "delete" && entry.remove == Seq(seed(1)))
+      // keys no bloom admits: no version committed at all
+      val head = CommitLog.headVersion(spark, root)
+      ms.addData("doc-nope")
+      q.processAllAvailable()
+      assert(CommitLog.headVersion(spark, root) == head)
+    } finally q.stop()
+  }
+
   test("delete/merge refuse a mixed-schema rewrite loudly (evolve first, then mutate)") {
     val root = freshRoot()
     CommitLog.append(batch(1, 10).coalesce(1), root)
