@@ -747,6 +747,35 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ids(CommitLog.snapshot(spark, root)).contains(1L))
   }
 
+  test("s23 upsert sink on a STRING-keyed table: latest-wins CDC folds land delta-sized by bloom") {
+    import graft.streaming.UpsertSink
+    val root = freshRoot()
+    def docs(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"doc-$i%04d", s"body$i", 0L)).toDF("doc_id", "body", "ver")
+    CommitLog.merge(docs(1, 10).coalesce(1), root, "doc_id")
+    CommitLog.merge(docs(11, 20).coalesce(1), root, "doc_id")
+    val seed = CommitLog.liveFiles(spark, root)
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)]
+    val q = UpsertSink.upsertStream(ms.toDF().toDF("doc_id", "body", "ver"),
+      root, "doc_id",
+      Files.createTempDirectory("graft-sups-ckpt").toString, latestBy = Some("ver"))
+    try {
+      ms.addData(("doc-0015", "stale", 1L), ("doc-0015", "fresh", 2L),
+        ("doc-new", "new", 1L))
+      q.processAllAvailable()
+      val got = CommitLog.snapshot(spark, root)
+        .filter(col("doc_id").isin("doc-0015", "doc-new"))
+        .select("doc_id", "body").as[(String, String)].collect().sorted.toSeq
+      assert(got == Seq(("doc-0015", "fresh"), ("doc-new", "new")))
+      assert(CommitLog.snapshot(spark, root).count() == 21)
+      // delta-sized via the string-key bloom probe: only the holding file moved
+      val merge = CommitLog.log(spark, root).filter(_.op == "merge").last
+      assert(merge.remove == Seq(seed(1)), s"${merge.remove} vs ${seed(1)}")
+    } finally q.stop()
+  }
+
   test("s24 retraction sink on a STRING-keyed table: doc-id keys vanish via bloom-admitted delta rewrites") {
     import graft.streaming.RetractionSink
     val root = freshRoot()
