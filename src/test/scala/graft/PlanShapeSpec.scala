@@ -28,6 +28,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1, p)
   }
 
+  test("money-sum queries plan through ObjectHashAggregate, never a sort-based aggregate") {
+    // MoneySumUnits is a TypedImperativeAggregate → ObjectHashAggregateExec
+    // (the in-operator 128-key sort FALLBACK is runtime-only and
+    // plan-invisible; GraftSession raises that threshold for the bench/
+    // verify sessions). This pin guards the PLAN half: the money sums
+    // must neither regress to a wide-decimal HashAggregate (the r18 tax)
+    // nor plan a SortAggregate (a non-hashable grouping would).
+    Seq("q01_pricing_summary", "q04_broadcast_join", "q09_window_rank").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the object-hash regime:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q planned a sort-based aggregate:\n$p")
+    }
+  }
+
   test("q06 selective aggregate is single-exchange with pushed filters") {
     val p = plan("q06_selective_agg")
     assert(count(p, "Exchange") == 1, p)
