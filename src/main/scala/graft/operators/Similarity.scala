@@ -600,6 +600,42 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Exact integer DCG discount weights for ranks 1..k: round(10⁶ /
+    * log₂(r+1)) — computed ONCE in Scala and embedded as literals in
+    * BOTH engines (the q245/q307 device), so no cross-engine float
+    * log ever evaluates at query time. */
+  private[graft] val DcgWeights: Seq[Long] =
+    (1 to TopK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** q314: ANN RANKING-QUALITY audit — per query, the DCG of the q34
+    * LSH top-k against the q33 brute-force ideal, in basis points: the
+    * retrieval-eval lens recall curves miss (recall treats the 1st and
+    * 5th neighbor alike; DCG pays rank-position attention — exactly
+    * what a RAG/retrieval deployment cares about). EXACT integer
+    * arithmetic end-to-end: gains are the 4-dp cosine's scaled units
+    * (the MoneySum.units recover — floor(x·10⁴+0.5), negatives clamped
+    * to 0, the standard non-negative-relevance convention), weights the
+    * precomputed [[DcgWeights]] literals, the ratio one non-negative
+    * integer DIV. quality_bp ≤ 10000 by rearrangement (the ideal list
+    * maximizes the gain multiset at descending weights). Fully
+    * SQL-oracled — the q34 conversion is what made this row possible. */
+  def q314AnnRankingQuality(s: SparkSession, dir: String): DataFrame = {
+    val wLit = typedlit(DcgWeights)
+    def dcgOf(df: DataFrame, out: String): DataFrame = df
+      .select(col("query_id"),
+        (greatest(graft.functions.MoneySum.units(col("cos_sim"), 4), lit(0L)) *
+          element_at(wLit, col("rnk").cast("int"))).as("term"))
+      .groupBy(col("query_id")).agg(sum(col("term")).as(out))
+    val ideal = dcgOf(q33KnnBrute(s, dir), "dcg_ideal")
+    val lsh = dcgOf(q34KnnLsh(s, dir), "dcg_lsh")
+    ideal.join(lsh, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_lsh"), lit(0L)).as("dcg_lsh"),
+        col("dcg_ideal"),
+        expr("coalesce(dcg_lsh, 0) * 10000 DIV greatest(dcg_ideal, 1)")
+          .as("quality_bp"))
+  }
+
   /** Cell-occupancy audit of an IVF coarse quantizer over ANY
     * (vec_id, embedding) frame — q192's key-skew discipline pointed at
     * the vector index. A skewed quantizer makes one probe partition the
@@ -1307,6 +1343,7 @@ object Similarity {
     "q257_ivf_recall_curve" -> (q257IvfRecallCurve _),
     "q312_knn_graph" -> ((s: SparkSession, d: String) => q312KnnGraph(s, d)),
     "q313_graph_recall_curve" -> (q313GraphRecallCurve _),
+    "q314_ann_ranking_quality" -> (q314AnnRankingQuality _),
     "q114_dim_stats"   -> (q114DimStats _),
     "q201_embedding_drift" -> (q201EmbeddingDrift _),
     "q76_vector_stats" -> (q76VectorStats _),
@@ -1526,6 +1563,42 @@ object Similarity {
     "q33_knn_brute" ->
       s"""WITH $knnCtes
           SELECT query_id, neighbor_id, cos_sim, rnk FROM k""",
+    "q314_ann_ranking_quality" -> {
+      val bCols = (0 until NumTables)
+        .map(t => s"${bucketSql(t, "embedding")} AS b$t").mkString(",\n                  ")
+      val anyTable = (0 until NumTables).map(t => s"e.b$t = q.b$t").mkString(" OR ")
+      val cos = """list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"""
+      val wCase = DcgWeights.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .mkString("CASE rnk ", " ", " END")
+      val dcg = s"sum(greatest(CAST(floor(cos_sim * 10000 + 0.5) AS BIGINT), 0) * ($wCase))"
+      s"""WITH hb AS (SELECT vec_id, embedding,
+                  $bCols
+           FROM embeddings),
+         hq AS (SELECT * FROM hb WHERE vec_id % 100 = 0),
+         xc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, $cos AS cs
+                FROM hq q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+         xk AS (SELECT query_id, round(cs, 4) AS cos_sim, rnk
+                FROM (SELECT query_id, cs, row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk FROM xc)
+                WHERE rnk <= 5),
+         lc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, $cos AS cs
+                FROM hq q JOIN hb e ON e.vec_id <> q.vec_id AND ($anyTable)),
+         lk AS (SELECT query_id, round(cs, 4) AS cos_sim, rnk
+                FROM (SELECT query_id, cs, row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rnk FROM lc)
+                WHERE rnk <= 5),
+         xd AS (SELECT query_id, $dcg AS dcg_ideal FROM xk GROUP BY 1),
+         ld AS (SELECT query_id, $dcg AS dcg_lsh FROM lk GROUP BY 1)
+         SELECT xd.query_id,
+                CAST(coalesce(ld.dcg_lsh, 0) AS BIGINT) AS dcg_lsh,
+                CAST(xd.dcg_ideal AS BIGINT) AS dcg_ideal,
+                CAST(coalesce(ld.dcg_lsh, 0) * 10000 // greatest(xd.dcg_ideal, 1) AS BIGINT)
+                  AS quality_bp
+         FROM xd LEFT JOIN ld ON xd.query_id = ld.query_id"""
+    },
     "q34_knn_lsh" -> {
       val bCols = (0 until NumTables)
         .map(t => s"${bucketSql(t, "embedding")} AS b$t").mkString(",\n                  ")

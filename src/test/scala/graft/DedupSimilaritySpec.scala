@@ -554,6 +554,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_truth")).distinct.length == 1)
   }
 
+  test("q314 ranking quality: 0 <= quality_bp <= 10000, dcg_lsh never beats ideal, weights strictly decrease") {
+    // the rearrangement bound: the ideal list maximizes the gain multiset
+    // at descending weights, so LSH can tie but never beat it
+    val ws = Similarity.DcgWeights
+    assert(ws.head == 1000000L && ws.sliding(2).forall { case Seq(a, b) => a > b })
+    val rows = Similarity.q314AnnRankingQuality(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, i, q) = (r.getAs[Long]("dcg_lsh"), r.getAs[Long]("dcg_ideal"),
+        r.getAs[Long]("quality_bp"))
+      assert(l >= 0L && l <= i, s"dcg_lsh $l beats ideal $i")
+      assert(q >= 0L && q <= 10000L, s"quality_bp $q out of range")
+      assert(q == l * 10000L / math.max(i, 1L), "ratio must reconcile with its parts")
+    }
+    info(s"mean quality_bp = ${rows.map(_.getAs[Long]("quality_bp")).sum / rows.length}")
+  }
+
   test("q48 IVF with learned k-means centroids reaches recall@5 >= 0.8 at sf0.01") {
     val recall = meanRecallVsExact(Similarity.q48KnnIvf(spark, sf01), sf01)
     assert(recall >= 0.8, s"IVF recall@5 = $recall < 0.8")
