@@ -1292,18 +1292,48 @@ object CommitLog {
   def merge(updates: DataFrame, root: String, keyCol: String,
       statsFor: Option[Seq[String]] = None,
       txnId: Option[String] = None,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] =
+    mergeKeys(updates, root, Seq(keyCol), statsFor, txnId, bloomFor)
+
+  /** [[merge]] on a COMPOSITE key (r19 — real CDC keys are often
+    * (tenant, doc_id)-shaped): every target row whose key TUPLE appears
+    * in `updates` is replaced; tuples absent from the target insert.
+    * SQL null semantics: a row with ANY null component never matches
+    * (the join's null-unsafe equality on every column), so any-null
+    * update rows land as pure inserts and any-null target rows always
+    * survive. Stage-1 pruning INTERSECTS the per-component admissions
+    * (integral components by [min, max] stats, string components by
+    * keyImage blooms over a bounded distinct collect) — a file must
+    * admit SOME value of EVERY component to stay a candidate, which is
+    * superset-safe because the true matching tuples' components are
+    * each individually present; the stage-2 exact probe and the
+    * rewrite anti-join match on the full tuple. Mixed integral/string
+    * components are fine — each prunes in its own domain. */
+  def mergeComposite(updates: DataFrame, root: String, keyCols: Seq[String],
+      statsFor: Option[Seq[String]] = None,
+      txnId: Option[String] = None,
       bloomFor: Seq[String] = Seq.empty): Option[Long] = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"mergeComposite needs distinct key columns, got $keyCols")
+    mergeKeys(updates, root, keyCols, statsFor, txnId, bloomFor)
+  }
+
+  private def mergeKeys(updates: DataFrame, root: String, keyCols: Seq[String],
+      statsFor: Option[Seq[String]],
+      txnId: Option[String],
+      bloomFor: Seq[String]): Option[Long] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val s = updates.sparkSession
     if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
       return None // replay: skip the probe and every data write
-    // a STRING key (r19) prunes through blooms, never long stats — so a
-    // string-keyed merge always BLOOMS its key column (the long path's
-    // "always stats its key column" rule, transposed), else every later
+    // a STRING key component (r19) prunes through blooms, never long
+    // stats — so its merges always BLOOM it (the long path's "always
+    // stats its key column" rule, transposed), else every later
     // probe/merge on the table would read every file forever
-    val stringKey = requireKeyType(updates.schema, keyCol, "merge")
-    val stCols = statsFor.getOrElse(if (stringKey) Seq.empty else Seq(keyCol))
-    val blCols = if (stringKey) (bloomFor :+ keyCol).distinct else bloomFor
+    val stringOf: Map[String, Boolean] =
+      keyCols.map(c => c -> requireKeyType(updates.schema, c, "merge")).toMap
+    val stCols = statsFor.getOrElse(keyCols.filterNot(stringOf))
+    val blCols = (bloomFor ++ keyCols.filter(stringOf)).distinct
     /** Commit helper: reclaims OUR data dirs if the token race is lost
       * after the writes (append's cleanup, for the multi-dir case). */
     def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],
@@ -1340,50 +1370,57 @@ object CommitLog {
       s"merge updates schema ${updateTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} does not " +
         s"match table schema ${tableTypes.map(t => s"${t._1}:${t._2.sql}").mkString("[", ",", "]")} at $root — " +
         "evolve the table first, then merge")
-    requireKeyType(tableSchema, keyCol, "merge"): Unit
-    // STAGE-1 file pruning. Integral keys: the updates' [lo, hi] key
-    // range against each file's commit-embedded stats — two driver
-    // values collected, never keys. String keys: the distinct update
-    // keys (BOUNDED: `graft.commitlog.maxProbeKeys`, default 100k —
-    // above it stage 1 is skipped and stage 2's exact probe alone
+    keyCols.foreach(c => requireKeyType(tableSchema, c, "merge"): Unit)
+    // STAGE-1 file pruning, INTERSECTED across key components. Integral
+    // component: the updates' [lo, hi] range against each file's
+    // commit-embedded stats — two driver values collected, never keys.
+    // String component: the distinct update keys (BOUNDED:
+    // `graft.commitlog.maxProbeKeys`, default 100k — above it that
+    // component admits every file and stage 2's exact probe alone
     // bounds the rewrites, the superset-safe fallback) against each
     // file's keyImage bloom.
-    val candidates: Seq[String] =
-      if (!stringKey) {
-        val keyRange = updates.agg(
-          min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).collect().head
-        if (keyRange.isNullAt(0)) // no non-null update keys: pure insert
-          return commitInsert(writeData(updates, root))
-        val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
-        val stats = statFold(log(s, root), keyCol)
-        live.filter { f =>
-          stats.get(f).forall(st => st.max >= lo && st.min <= hi)
+    val cap = s.conf.getOption("graft.commitlog.maxProbeKeys")
+      .map(_.toInt).getOrElse(100000)
+    var candidateSet: Set[String] = live.toSet
+    keyCols.foreach { kc =>
+      val admitted: Option[Set[String]] =
+        if (!stringOf(kc)) {
+          val keyRange = updates.agg(
+            min(col(kc).cast("long")), max(col(kc).cast("long"))).collect().head
+          if (keyRange.isNullAt(0)) // this component is all-null: no
+            return commitInsert(writeData(updates, root)) // tuple can match
+          val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
+          val stats = statFold(log(s, root), kc)
+          Some(live.filter { f =>
+            stats.get(f).forall(st => st.max >= lo && st.min <= hi)
+          }.toSet)
+        } else {
+          val ks = updates.select(col(kc)).filter(col(kc).isNotNull)
+            .distinct().limit(cap + 1).collect().map(_.getString(0))
+          if (ks.isEmpty) // this component is all-null: no tuple can match
+            return commitInsert(writeData(updates, root))
+          if (ks.length > cap) None // over cap: this component prunes nothing
+          else Some(probeFilesString(s, root, kc, ks.toSeq).toSet)
         }
-      } else {
-        val cap = s.conf.getOption("graft.commitlog.maxProbeKeys")
-          .map(_.toInt).getOrElse(100000)
-        val ks = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
-          .distinct().limit(cap + 1).collect().map(_.getString(0))
-        if (ks.isEmpty) // no non-null update keys: pure insert
-          return commitInsert(writeData(updates, root))
-        if (ks.length > cap) live
-        else probeFilesString(s, root, keyCol, ks.toSeq)
-      }
-    val updKeys = updates.select(col(keyCol)).distinct()
-    // exact probe: which candidate files actually hold an updated key —
-    // file NAMES to the driver, never rows (part-file names are
+      admitted.foreach(a => candidateSet = candidateSet.intersect(a))
+    }
+    val candidates: Seq[String] = live.filter(candidateSet)
+    val keyColsC = keyCols.map(col)
+    val updKeys = updates.select(keyColsC: _*).na.drop("any", keyCols).distinct()
+    // exact probe: which candidate files actually hold an updated key
+    // tuple — file NAMES to the driver, never rows (part-file names are
     // job-UUID-unique, the fileMeta mapping rule)
     val byName = candidates.map(p => p.split('/').last -> p).toMap
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
       else s.read.parquet(candidates.map(p => dataPath(root, p)): _*)
-        .select(col(keyCol), input_file_name().as("f"))
-        .join(updKeys, Seq(keyCol), "left_semi")
+        .select(keyColsC :+ input_file_name().as("f"): _*)
+        .join(updKeys, keyCols, "left_semi")
         .select(col("f")).distinct()
         .collect().toSeq.flatMap(r => byName.get(r.getString(0).split('/').last))
     if (touched.isEmpty) return commitInsert(writeData(updates, root))
     val rewritten = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
-      .join(updKeys, Seq(keyCol), "left_anti")
+      .join(updKeys, keyCols, "left_anti")
       .select(tableCols.map(col): _*)
     // one metadata scan per written dir (survivors, inserts) — count,
     // stats and blooms together, empty survivors dropped

@@ -40,11 +40,13 @@ import graft.sources.GraftTable
   *
   * SUPPORTED SHAPE — the keyed upsert the format can honor exactly, the
   * same guardrail discipline as the catalog's `DELETE FROM`:
-  *   - `ON t.<k> = <source expr>` where `<k>` is ONE integral or STRING
-  *     target column (r19: string keys land through keyImage-bloom
-  *     pruning — [[CommitLog.merge]] dispatches on the key type) and the
-  *     source side is exactly what gets inserted as `<k>`
-  *     (so the probe key IS the stored key),
+  *   - `ON` a conjunction of equalities, each `t.<k> = <source expr>`
+  *     where `<k>` is an integral or STRING target column (r19: string
+  *     keys land through keyImage-bloom pruning — [[CommitLog.merge]]
+  *     dispatches on the key type; a COMPOSITE ON lands through
+  *     [[CommitLog.mergeComposite]] with per-component intersected
+  *     pruning) and the source side is exactly what gets inserted as
+  *     `<k>` (so the probe key IS the stored key),
   *   - exactly one unconditioned `WHEN MATCHED THEN UPDATE SET *` (or an
   *     explicit full-column SET) and one unconditioned
   *     `WHEN NOT MATCHED THEN INSERT *` (or explicit full-column
@@ -286,24 +288,40 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       if (!up(c).semanticEquals(in(c)))
         decline(table, s"UPDATE and INSERT assign different expressions to '$c' (${up(c).sql} vs ${in(c).sql})")
     }
-    // ON t.k = <source k expr>: one side the target key attribute, the
-    // other side semantically the expression INSERTed as k
+    // ON: a conjunction of equalities, each between one target key
+    // attribute and the source expression INSERTed as it (r19 lifted
+    // the single-column rule: a composite ON lands through
+    // CommitLog.mergeComposite — per-component intersected pruning,
+    // full-tuple exact probe)
     val targetAttrIds = relation.output.map(_.exprId).toSet
-    val keyCol = m.mergeCondition match {
+    def keyColsOf(e: Expression): Option[Seq[String]] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        for { a <- keyColsOf(l); b <- keyColsOf(r) } yield a ++ b
       case EqualTo(l: AttributeReference, r) if targetAttrIds.contains(l.exprId)
-          && in.get(l.name).exists(_.semanticEquals(r)) => l.name
+          && in.get(l.name).exists(_.semanticEquals(r)) => Some(Seq(l.name))
       case EqualTo(l, r: AttributeReference) if targetAttrIds.contains(r.exprId)
-          && in.get(r.name).exists(_.semanticEquals(l)) => r.name
-      case other => decline(table,
-        s"ON must be an equality between one target column and the source expression inserted as it, got ${other.sql}")
+          && in.get(r.name).exists(_.semanticEquals(l)) => Some(Seq(r.name))
+      case _ => None
     }
-    val keyType = relation.output.find(_.name == keyCol).get.dataType
-    keyType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => ()
-      case t => decline(table,
-        s"merge key '$keyCol' must be integral or string, got ${t.sql}")
+    val keyCols = keyColsOf(m.mergeCondition) match {
+      case Some(ks) if ks.distinct.size == ks.size => ks
+      case Some(ks) => decline(table,
+        s"ON names target column(s) ${ks.diff(ks.distinct).distinct.mkString(", ")} more than once")
+      case None => decline(table,
+        "ON must be a conjunction of equalities, each between one target " +
+          s"column and the source expression inserted as it, got ${m.mergeCondition.sql}")
     }
-    GraftMergeCommand(table.root, table.ident, keyCol,
+    keyCols.foreach { kc =>
+      relation.output.find(_.name == kc).get.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case t => decline(table,
+          s"merge key '$kc' must be integral or string, got ${t.sql}")
+      }
+    }
+    if (delCond.isDefined && keyCols.size > 1)
+      decline(table, "the CDC delete clause is single-keyed (a keyed retraction " +
+        "takes one key column); composite-ON merges support only the plain upsert shape")
+    GraftMergeCommand(table.root, table.ident, keyCols,
       relation.output.map(a => a.name -> a.dataType), in, m.sourceTable, delCond)
   }
 
@@ -343,7 +361,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   * exactly-once under the session-conf txn token. Output is one row
   * (version committed, or -1 on a token replay) so SQL callers can read
   * the outcome. */
-case class GraftMergeCommand(root: String, ident: String, keyCol: String,
+case class GraftMergeCommand(root: String, ident: String, keyCols: Seq[String],
     targetSchema: Seq[(String, org.apache.spark.sql.types.DataType)],
     assignments: Map[String, Expression], source: LogicalPlan,
     delCond: Option[Expression] = None)
@@ -367,29 +385,34 @@ case class GraftMergeCommand(root: String, ident: String, keyCol: String,
           Or(Not(c), IsNull(c)), source))
     }
     val updates = ColumnBridge.ofRows(sparkSession, upPlan)
-    val keyDt = targetSchema.find(_._1 == keyCol).get._2
+    val keyDts = keyCols.map(kc => kc -> targetSchema.find(_._1 == kc).get._2)
     val delKeysDf = delCond.map { c =>
+      // declined for composite keys at analysis: keyCols is a singleton here
       ColumnBridge.ofRows(sparkSession, Project(
-        Seq(Alias(Cast(assignments(keyCol), keyDt), "k")()),
+        Seq(Alias(Cast(assignments(keyCols.head), keyDts.head._2), "k")()),
         org.apache.spark.sql.catalyst.plans.logical.Filter(c, source)))
         .filter(col("k").isNotNull).distinct()
     }
-    // NULL keys are excluded from the cardinality rule: NULL never
-    // matches an ON equality, so standard MERGE inserts every null-key
-    // source row — exactly what CommitLog.merge does — and two of them
-    // are a legal pair of inserts, not a duplicate-key violation.
-    // The rule covers the WHOLE source (both CDC halves): a key named
-    // by a delete-op row AND an upsert row is the ambiguous multi-match
-    // standard MERGE rejects.
-    val allKeys = ColumnBridge.ofRows(sparkSession, Project(
-      Seq(Alias(Cast(assignments(keyCol), keyDt), "k")()), source))
-      .filter(col("k").isNotNull)
-    val dup = allKeys.groupBy(col("k")).count()
+    // NULL keys are excluded from the cardinality rule: a tuple with ANY
+    // null component never matches an ON equality, so standard MERGE
+    // inserts every such source row — exactly what CommitLog.merge does —
+    // and two of them are a legal pair of inserts, not a duplicate-key
+    // violation. The rule covers the WHOLE source (both CDC halves): a
+    // key named by a delete-op row AND an upsert row is the ambiguous
+    // multi-match standard MERGE rejects.
+    val keyProj = keyDts.zipWithIndex.map { case ((kc, dt), i) =>
+      Alias(Cast(assignments(kc), dt), s"k$i")()
+    }
+    val allKeys = ColumnBridge.ofRows(sparkSession, Project(keyProj, source))
+      .na.drop("any")
+    val kCols = keyProj.indices.map(i => col(s"k$i"))
+    val dup = allKeys.groupBy(kCols: _*).count()
       .filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalStateException(
-        s"MERGE INTO $ident: source has ${dup.head.getLong(1)} rows for " +
-          s"$keyCol = ${dup.head.get(0)} — the keyed merge takes one row " +
+        s"MERGE INTO $ident: source has ${dup.head.getLong(keyCols.size)} rows for " +
+          s"(${keyCols.mkString(", ")}) = (${keyCols.indices.map(dup.head.get).mkString(", ")}) — " +
+          "the keyed merge takes one row " +
           "per key (SQL cardinality rule); pre-fold the source with a " +
           "latest-per-key window first")
     val statsFor = sparkSession.conf.getOption("graft.catalog.statsColumns")
@@ -400,7 +423,7 @@ case class GraftMergeCommand(root: String, ident: String, keyCol: String,
     // <txn>:up — a crash between the two replays the statement, the
     // delete no-ops on its token, the upsert heals; key-disjointness
     // (the cardinality rule above) makes the order semantically inert
-    val stringKey = keyDt == org.apache.spark.sql.types.StringType
+    val stringKey = keyDts.head._2 == org.apache.spark.sql.types.StringType
     val delV: Option[Long] = delKeysDf.flatMap { kdf =>
       val maxKeys = sparkSession.conf.getOption("graft.catalog.maxDeleteKeys")
         .map(_.toInt).getOrElse(1000000)
@@ -411,10 +434,10 @@ case class GraftMergeCommand(root: String, ident: String, keyCol: String,
             "raise graft.catalog.maxDeleteKeys or batch the retraction stream")
       if (rows.isEmpty) None
       else if (stringKey)
-        CommitLog.deleteStrings(sparkSession, root, keyCol,
+        CommitLog.deleteStrings(sparkSession, root, keyCols.head,
           rows.map(_.getString(0)).toSeq.sorted, txnId = txnId.map(_ + ":del"))
       else
-        CommitLog.delete(sparkSession, root, keyCol,
+        CommitLog.delete(sparkSession, root, keyCols.head,
           rows.map(r => num(r.get(0))).toSeq.sorted, txnId = txnId.map(_ + ":del"))
     }
     val upTxn = if (delCond.isDefined) txnId.map(_ + ":up") else txnId
@@ -422,7 +445,9 @@ case class GraftMergeCommand(root: String, ident: String, keyCol: String,
     // it would commit a junk empty version, so it is skipped outright
     val v =
       if (delCond.isDefined && updates.isEmpty) None
-      else CommitLog.merge(updates, root, keyCol, statsFor, upTxn)
+      else if (keyCols.size == 1)
+        CommitLog.merge(updates, root, keyCols.head, statsFor, upTxn)
+      else CommitLog.mergeComposite(updates, root, keyCols, statsFor, upTxn)
     Seq(Row(v.orElse(delV).getOrElse(-1L)))
   }
 

@@ -378,6 +378,48 @@ class CommitLogSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.commitlog.maxProbeKeys")
   }
 
+  test("composite-key merge (r19): tuple semantics, per-component intersected pruning, any-null rows insert") {
+    val root = freshRoot()
+    def rows3(t: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => (t, i.toLong, s"v-$t$i")).toDF("tenant", "k", "v")
+    assert(CommitLog.mergeComposite(rows3("a", 1, 10).coalesce(1), root,
+      Seq("tenant", "k")).contains(1L))
+    assert(CommitLog.mergeComposite(rows3("b", 1, 10).coalesce(1), root,
+      Seq("tenant", "k")).contains(2L))
+    val before = CommitLog.liveFiles(spark, root)
+    // update (b,3) + insert (c,1): the k range [1,3] stats-admits BOTH
+    // files, but the tenant bloom ({b,c}) excludes the 'a' file — the
+    // per-component INTERSECTION must spare it without a read
+    val up = Seq(("b", 3L, "UPD"), ("c", 1L, "NEW")).toDF("tenant", "k", "v").coalesce(1)
+    assert(CommitLog.mergeComposite(up, root, Seq("tenant", "k")).contains(3L))
+    val after = CommitLog.liveFiles(spark, root)
+    assert(after.toSet.intersect(before.toSet) == Set(before.head),
+      s"tenant-bloom intersection must keep ${before.head}; before=$before after=$after")
+    val got = CommitLog.snapshot(spark, root)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val want = ((for (t <- Seq("a", "b"); i <- 1 to 10) yield (t, i.toLong, s"v-$t$i"))
+      .filterNot(_ == (("b", 3L, "v-b3"))) ++ Seq(("b", 3L, "UPD"), ("c", 1L, "NEW"))).sorted
+    assert(got == want)
+    // a row with ANY null component never matches: it lands as a pure
+    // insert and the same-k same-v target rows survive
+    val withNull = Seq((null.asInstanceOf[String], 5L, "NULLROW"))
+      .toDF("tenant", "k", "v").coalesce(1)
+    assert(CommitLog.mergeComposite(withNull, root, Seq("tenant", "k")).contains(4L))
+    val s2 = CommitLog.snapshot(spark, root)
+    assert(s2.filter(col("v") === "NULLROW").count() == 1L)
+    assert(s2.filter(col("tenant") === "a" && col("k") === 5L).count() == 1L)
+    assert(s2.count() == want.size + 1L)
+    // same k under different tenants is NOT a duplicate tuple
+    val dupK = Seq(("a", 7L, "A7"), ("b", 7L, "B7")).toDF("tenant", "k", "v").coalesce(1)
+    assert(CommitLog.mergeComposite(dupK, root, Seq("tenant", "k")).contains(5L))
+    assert(CommitLog.snapshot(spark, root).filter(col("k") === 7L)
+      .filter(col("v").isin("A7", "B7")).count() == 2L)
+    // guardrails: duplicate column list and non-key types are loud
+    intercept[IllegalArgumentException] {
+      CommitLog.mergeComposite(dupK, root, Seq("tenant", "tenant"))
+    }
+  }
+
   test("snapshotEvolved: added columns null-fill, int widens to long, asOf keeps old schema") {
     val root = freshRoot()
     CommitLog.append(batch(1, 5).coalesce(1), root) // (id LONG, v STRING)

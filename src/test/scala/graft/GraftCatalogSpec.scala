@@ -397,6 +397,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.db.sdocs").head().getLong(0) == 17L)
   }
 
+  test("composite-key MERGE INTO (r19): tuple upsert from SQL; CDC delete stays single-keyed") {
+    import spark.implicits._
+    val root = s"$wh/db/comp"
+    spark.sql("CREATE TABLE gcat.db.comp (tenant STRING, k BIGINT, v STRING)")
+    CommitLog.mergeComposite(
+      (for (t <- Seq("a", "b"); i <- 1L to 5L) yield (t, i, s"$t$i"))
+        .toDF("tenant", "k", "v"), root, Seq("tenant", "k"))
+    Seq(("b", 3L, "UPD"), ("c", 1L, "NEW")).toDF("tenant", "k", "v")
+      .createOrReplaceTempView("comp_src")
+    val v = spark.sql(
+      """MERGE INTO gcat.db.comp t USING comp_src s
+         ON t.tenant = s.tenant AND t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+    assert(v == CommitLog.headVersion(spark, root))
+    assert(spark.sql("SELECT v FROM gcat.db.comp WHERE tenant = 'b' AND k = 3")
+      .head().getString(0) == "UPD")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.comp").head().getLong(0) == 11L)
+    // same k, different tenants: distinct tuples, no cardinality violation
+    Seq(("a", 9L, "A9"), ("b", 9L, "B9")).toDF("tenant", "k", "v")
+      .createOrReplaceTempView("comp_src2")
+    spark.sql("""MERGE INTO gcat.db.comp t USING comp_src2 s
+                 ON t.tenant = s.tenant AND t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(spark.sql("SELECT count(*) FROM gcat.db.comp WHERE k = 9").head().getLong(0) == 2L)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    def declined(sql: String, marker: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains(marker)), chain(e).map(_.getMessage))
+    }
+    // duplicate tuple in the source is still the cardinality violation
+    Seq(("a", 9L, "X"), ("a", 9L, "Y")).toDF("tenant", "k", "v")
+      .createOrReplaceTempView("comp_dup")
+    declined("""MERGE INTO gcat.db.comp t USING comp_dup s
+                ON t.tenant = s.tenant AND t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""", "one row per key")
+    // the CDC delete clause is single-keyed by contract
+    Seq(("a", 1L, "D", "D")).toDF("tenant", "k", "v", "op")
+      .createOrReplaceTempView("comp_cdc")
+    declined("""MERGE INTO gcat.db.comp t USING comp_cdc s
+                ON t.tenant = s.tenant AND t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET tenant = s.tenant, k = s.k, v = s.v
+                WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT (tenant, k, v) VALUES (s.tenant, s.k, s.v)""",
+      "single-keyed")
+  }
+
   test("SQL UPDATE (r19): keyed shape lands one delta-sized merge; self-referential SET; non-keyed shapes decline loudly") {
     import spark.implicits._
     val root = s"$wh/db/upd"
