@@ -1239,6 +1239,96 @@ object CommitLog {
       statsFor.getOrElse(Seq.empty), txnId, (bloomFor :+ keyCol).distinct)
   }
 
+  /** Keyed DELETE on a COMPOSITE conjunction (r19): removes exactly the
+    * rows satisfying `c1 IN set1 AND c2 IN set2 AND …` — the SQL
+    * `DELETE FROM t WHERE tenant = 'a' AND k IN (1, 2)` shape. File
+    * admission INTERSECTS the per-component layers (integral components
+    * by [min, max] stats with the sorted-key binary search, string
+    * components by keyImage blooms; a component with no metadata admits
+    * everything — superset-safe), and the survivor filter keeps every
+    * row FAILING the conjunction, nulls included (a null component
+    * never satisfies its equality, so null rows always survive — SQL
+    * semantics). Key sets are literal-sized by contract (each ≤
+    * [[DeleteIsinMaxKeys]], loud above — a composite delete is a
+    * pinpoint op; corpus-scale retraction is the single-key bulk path
+    * or a merge). Same txn-token/empty-survivor/commit contract as
+    * [[delete]]. */
+  def deleteComposite(s: SparkSession, root: String,
+      components: Seq[(String, Either[Seq[Long], Seq[String]])],
+      statsFor: Option[Seq[String]] = None,
+      txnId: Option[String] = None,
+      bloomFor: Seq[String] = Seq.empty): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    require(components.nonEmpty &&
+      components.map(_._1).distinct.size == components.size,
+      s"deleteComposite needs distinct key columns, got ${components.map(_._1)}")
+    if (components.exists(_._2.fold(_.isEmpty, _.isEmpty))) return None // empty set: no tuple matches
+    components.foreach { case (c, ks) =>
+      val n = ks.fold(_.size, _.size)
+      require(n <= DeleteIsinMaxKeys,
+        s"deleteComposite component '$c' carries $n keys (> $DeleteIsinMaxKeys) — " +
+          "composite deletes are pinpoint ops; use the single-key bulk delete or a merge")
+      ks.fold(_ => (), ss => require(!ss.contains(null),
+        s"deleteComposite component '$c': null key (null never matches; drop it)"))
+    }
+    if (txnId.exists(t => log(s, root).exists(e => e.txnId.contains(t) || e.txns.contains(t))))
+      return None // replay
+    val entries = log(s, root)
+    val live = liveFiles(s, root)
+    var admitted: Set[String] = live.toSet
+    components.foreach { case (c, ks) =>
+      val a: Set[String] = ks match {
+        case Left(longs) =>
+          val sorted = longs.distinct.sorted.toArray
+          val stats = statFold(entries, c)
+          def admits(min: Long, max: Long): Boolean = {
+            val i = java.util.Arrays.binarySearch(sorted, min)
+            val at = if (i >= 0) i else -i - 1
+            at < sorted.length && sorted(at) <= max
+          }
+          live.filter(f => stats.get(f).forall(st => admits(st.min, st.max))).toSet
+        case Right(strs) => probeFilesString(s, root, c, strs.distinct).toSet
+      }
+      admitted = admitted.intersect(a)
+    }
+    val touched = live.filter(admitted)
+    if (touched.isEmpty) return None
+    components.foreach { case (c, ks) =>
+      val isString = requireKeyType(
+        requireUniformSchema(s, root, touched, "delete"), c, "delete")
+      require(isString == ks.isRight,
+        s"deleteComposite component '$c': key values are ${if (ks.isRight) "strings" else "longs"} " +
+          s"but the column is ${if (isString) "string" else "integral"}")
+    }
+    val scan = s.read.parquet(touched.map(p => dataPath(root, p)): _*)
+    val conj = components.map { case (c, ks) =>
+      ks.fold(ls => col(c).isin(ls.distinct.map(lit): _*),
+        ss => col(c).isin(ss.distinct.map(lit): _*))
+    }.reduce(_ && _)
+    val survivors = scan.filter(not(coalesce0(conj)))
+    commitDelete(s, root, touched, survivors,
+      statsFor.getOrElse(components.collect { case (c, Left(_)) => c }),
+      txnId, (bloomFor ++ components.collect { case (c, Right(_)) => c }).distinct)
+  }
+
+  /** null-is-false for a delete predicate: a null component fails its
+    * equality, so the row survives. */
+  private def coalesce0(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(c,
+      org.apache.spark.sql.functions.lit(false))
+
+  /** Every bloom column any commit has recorded — the compact rule
+    * ("blooms survive compaction") extended to the delete/merge survivor
+    * rewrites: a rewritten file must not silently LOSE the bloom columns
+    * its predecessor carried, or a maintained table's probe pruning
+    * decays one mutation at a time (r19 review finding: a composite
+    * delete re-blooming only its own components stripped the tenant
+    * bloom from survivors, and the next tenant-probe had to read them).
+    * collectBlooms skips absent/wrong-typed columns silently, so the
+    * union is always safe. */
+  private def carriedBloomCols(s: SparkSession, root: String): Seq[String] =
+    log(s, root).flatMap(_.blooms).map(_.column).distinct
+
   /** Shared delete tail: write survivors, drop empty part files, commit
     * one `delete` version removing every touched file (removal set
     * re-derived at commit time — the compact concurrency rule), reclaim
@@ -1247,7 +1337,7 @@ object CommitLog {
       touched: Seq[String], survivors: DataFrame, stCols: Seq[String],
       txnId: Option[String], bloomFor: Seq[String]): Option[Long] = {
     val (add, stats, blooms) = fileMeta(s, root, writeData(survivors, root),
-      stCols, bloomFor, dropEmpty = true)
+      stCols, (bloomFor ++ carriedBloomCols(s, root)).distinct, dropEmpty = true)
     val committed = commitEntry(s, root, "delete", add, entries => {
       val liveNow = scala.collection.mutable.LinkedHashSet.empty[String]
       entries.foreach { c => c.remove.foreach(liveNow -= _); c.add.foreach(liveNow += _) }
@@ -1333,7 +1423,11 @@ object CommitLog {
     val stringOf: Map[String, Boolean] =
       keyCols.map(c => c -> requireKeyType(updates.schema, c, "merge")).toMap
     val stCols = statsFor.getOrElse(keyCols.filterNot(stringOf))
-    val blCols = (bloomFor ++ keyCols.filter(stringOf)).distinct
+    // key-component blooms + every bloom column the table already
+    // carries ([[carriedBloomCols]] — survivor rewrites and the inserts
+    // beside them must not decay a maintained table's probe pruning)
+    val blCols = (bloomFor ++ keyCols.filter(stringOf) ++
+      carriedBloomCols(s, root)).distinct
     /** Commit helper: reclaims OUR data dirs if the token race is lost
       * after the writes (append's cleanup, for the multi-dir case). */
     def commit(add: Seq[String], removeAtHead: Seq[Commit] => Seq[String],

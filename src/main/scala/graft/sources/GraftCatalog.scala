@@ -334,12 +334,15 @@ private[sources] object GraftCatalog {
     * keyed retraction, every filter an EqualTo/In on ONE integral
     * column, conjunction = set intersection (null literals never match,
     * CommitLog.delete's own rule). */
-  /** A keyed delete's key values: integral keys as Left, STRING keys as
-    * Right (the r19 string-key lift — [[graft.CommitLog.deleteStrings]]
-    * prunes them through keyImage blooms). A mixed or other-typed key
-    * set is not expressible. */
+  /** A keyed delete's key values PER COLUMN: integral keys as Left,
+    * STRING keys as Right (the r19 string-key lift —
+    * [[graft.CommitLog.deleteStrings]] prunes them through keyImage
+    * blooms). ONE entry = the single-key shape; SEVERAL entries = the
+    * composite conjunction (`tenant = 'a' AND k IN (1, 2)` →
+    * [[graft.CommitLog.deleteComposite]]). A per-column mixed-typed or
+    * other-typed key set is not expressible. */
   private[sources] def keyedDeleteOf(filters: Array[Filter])
-      : Option[Either[Unit, (String, Either[Set[Long], Set[String]])]] = {
+      : Option[Either[Unit, Seq[(String, Either[Set[Long], Set[String]])]]] = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (real.isEmpty) return Some(Left(()))
     def keyVal(v: Any): Option[Any] =
@@ -361,15 +364,18 @@ private[sources] object GraftCatalog {
     }
     val perFilter = real.toSeq.map(setOf)
     if (perFilter.exists(_.isEmpty)) return None
-    val sets = perFilter.flatten
-    if (sets.map(_._1).distinct.size != 1) return None
-    val keys = sets.map(_._2).reduce(_ intersect _)
-    val keyCol = sets.head._1
-    if (keys.forall(_.isInstanceOf[Long]))
-      Some(Right(keyCol -> Left(keys.map(_.asInstanceOf[Long]))))
-    else if (keys.forall(_.isInstanceOf[String]))
-      Some(Right(keyCol -> Right(keys.map(_.asInstanceOf[String]))))
-    else None // mixed-typed key set: not a keyed delete
+    // conjuncts on the same column intersect; distinct columns compose
+    val byCol = perFilter.flatten.groupBy(_._1).toSeq
+      .map { case (c, ss) => c -> ss.map(_._2).reduce(_ intersect _) }
+      .sortBy(_._1)
+    val typed = byCol.map { case (c, keys) =>
+      if (keys.forall(_.isInstanceOf[Long]))
+        Some(c -> (Left(keys.map(_.asInstanceOf[Long])): Either[Set[Long], Set[String]]))
+      else if (keys.forall(_.isInstanceOf[String]))
+        Some(c -> (Right(keys.map(_.asInstanceOf[String])): Either[Set[Long], Set[String]]))
+      else None // mixed-typed key set: not a keyed delete
+    }
+    if (typed.exists(_.isEmpty)) None else Some(Right(typed.flatten))
   }
 
   private[sources] def longBounds(filters: Array[Filter]): Map[String, (Long, Long)] = {
@@ -471,15 +477,21 @@ private[graft] class GraftTable(spark: SparkSession, val ident: String,
         CommitLog.overwrite(spark.createDataFrame(
           new util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
           .coalesce(1), root): Unit
-      case Some(Right((keyCol, Left(keys)))) =>
+      case Some(Right(Seq((keyCol, Left(keys))))) =>
         if (keys.nonEmpty)
           CommitLog.delete(spark, root, keyCol, keys.toSeq.sorted): Unit
-      case Some(Right((keyCol, Right(keys)))) =>
+      case Some(Right(Seq((keyCol, Right(keys))))) =>
         if (keys.nonEmpty)
           CommitLog.deleteStrings(spark, root, keyCol, keys.toSeq.sorted): Unit
+      case Some(Right(components)) => // composite conjunction (r19)
+        CommitLog.deleteComposite(spark, root,
+          components.map { case (c, ks) =>
+            c -> ks.fold(l => Left(l.toSeq.sorted): Either[Seq[Long], Seq[String]],
+              r => Right(r.toSeq.sorted))
+          }): Unit
       case None => throw new UnsupportedOperationException(
-        s"DELETE on $ident supports equality/IN predicates on one " +
-          "integral or string key column (CommitLog.delete's " +
+        s"DELETE on $ident supports conjunctions of equality/IN predicates " +
+          "over integral or string key columns (CommitLog.delete's " +
           s"keyed-retraction shape), got: ${filters.mkString(", ")}")
     }
   }

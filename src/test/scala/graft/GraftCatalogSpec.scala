@@ -331,9 +331,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
                 WHEN MATCHED THEN UPDATE SET s = s.s
                 WHEN NOT MATCHED THEN INSERT *""", "UPDATE SET must cover every target column")
-    // (ON t.s = s.s is a legal STRING-keyed merge since r19 — covered by
-    // its own test; a composite ON is still not a keyed shape)
-    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k AND t.s = s.s
+    // (ON t.s = s.s is a legal STRING-keyed merge and a conjunction of
+    // key equalities is a legal COMPOSITE merge since r19 — each covered
+    // by its own test; a non-equality conjunct is still not a keyed shape)
+    declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k AND t.k > 0
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *""", "keyed upsert")
     declined("""MERGE INTO gcat.db.mrg t USING mrg_src s ON t.k = s.k
@@ -446,6 +447,37 @@ class GraftCatalogSpec extends AnyFunSuite {
                 WHEN MATCHED THEN UPDATE SET tenant = s.tenant, k = s.k, v = s.v
                 WHEN NOT MATCHED AND NOT (s.op = 'D') THEN INSERT (tenant, k, v) VALUES (s.tenant, s.k, s.v)""",
       "single-keyed")
+  }
+
+  test("composite DELETE FROM (r19): a key-column conjunction removes exactly the matching tuples, delta-sized") {
+    import spark.implicits._
+    val root = s"$wh/db/cdel"
+    spark.sql("CREATE TABLE gcat.db.cdel (tenant STRING, k BIGINT, v STRING)")
+    CommitLog.mergeComposite(
+      (for (t <- Seq("a", "b"); i <- 1L to 10L) yield (t, i, s"$t$i"))
+        .toDF("tenant", "k", "v"), root, Seq("tenant", "k"))
+    val before = CommitLog.liveFiles(spark, root)
+    // tenant bloom excludes the 'a' half? both tenants share files here —
+    // the semantic check is the point: exactly the (b, {3,4}) tuples go
+    spark.sql("DELETE FROM gcat.db.cdel WHERE tenant = 'b' AND k IN (3, 4)")
+    val snap = spark.sql("SELECT tenant, k FROM gcat.db.cdel").as[(String, Long)]
+      .collect().toSet
+    assert(!snap.contains(("b", 3L)) && !snap.contains(("b", 4L)))
+    assert(snap.contains(("a", 3L)) && snap.contains(("a", 4L)), "other tenant intact")
+    assert(snap.size == 18)
+    assert(CommitLog.history(spark, root).orderBy(col("version").desc)
+      .head().getAs[String]("op") == "delete")
+    // a conjunction including a DATA column is honored exactly too (it
+    // is still just a conjunction of equality predicates)
+    spark.sql("DELETE FROM gcat.db.cdel WHERE k = 5 AND v = 'a5'")
+    val s2 = spark.sql("SELECT tenant, k FROM gcat.db.cdel").as[(String, Long)]
+      .collect().toSet
+    assert(!s2.contains(("a", 5L)) && s2.contains(("b", 5L)))
+    // no matching tuple: no commit
+    val head = CommitLog.headVersion(spark, root)
+    spark.sql("DELETE FROM gcat.db.cdel WHERE tenant = 'zz' AND k = 1")
+    assert(CommitLog.headVersion(spark, root) == head)
+    before.size: Unit
   }
 
   test("SQL UPDATE (r19): keyed shape lands one delta-sized merge; self-referential SET; non-keyed shapes decline loudly") {
