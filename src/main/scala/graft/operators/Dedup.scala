@@ -844,9 +844,6 @@ object Dedup {
     }.reduce(_ unionByName _)
     val pairs = expandPairsBy(s, tagged, Seq("scheme"))
       .select(col("scheme"), col("doc_a"), col("doc_b")).localCheckpoint()
-    val perScheme = BandSchemes.zipWithIndex.map { case ((b, r), si) =>
-      (b, r, pairs.filter(col("scheme") === si).select(col("doc_a"), col("doc_b")))
-    }
     // Jaccard is PAIR-intrinsic — scheme-independent — so the expensive
     // shingle-intersection confirm runs ONCE over the UNION of every
     // scheme's candidate pairs (schemes overlap heavily: an aggressive
@@ -872,21 +869,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
       .localCheckpoint()
-    perScheme.map { case (b, r, cand) =>
-      // a candidate pair with ZERO shared shingles (pure hash collision)
-      // drops from the inner intersection — count it via the left join
-      cand.join(jacAll, Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("""CAST(round(CAST(sum(j_bp) AS DOUBLE) /
-                  CAST(count(j_bp) AS DOUBLE)) AS BIGINT)""")
-            .as("mean_jaccard_bp"),
-          min(col("j_bp")).as("min_jaccard_bp"),
-          coalesce(sum(when(col("j_bp").isNull, 1L).otherwise(0L)), lit(0L))
-            .as("n_zero_overlap"))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_pairs"), col("mean_jaccard_bp"), col("min_jaccard_bp"),
-          col("n_zero_overlap"))
-    }.reduce(_ unionByName _)
+    // a candidate pair with ZERO shared shingles (pure hash collision)
+    // drops from the inner intersection — count it via the left join.
+    // ONE grouped fold over the tagged pair table replaces the former four
+    // per-scheme filter+aggregate subplans (4 separate global aggregates +
+    // a 4-way union — each its own exchange and codegen unit). Per-scheme
+    // values are identical: grouping by the scheme tag partitions the pair
+    // table exactly as the four filters did, and a scheme whose banding
+    // admitted ZERO pairs (empty group — grouped aggregates drop it) is
+    // re-attached from the literal scheme frame with the same values the
+    // former empty global aggregate produced (0 / NULL / NULL / 0).
+    import s.implicits._
+    val schemeDf = BandSchemes.zipWithIndex
+      .map { case ((b, r), si) => (si, b.toLong, r.toLong) }
+      .toDF("scheme", "bands", "rows_per_band")
+    val folded = pairs.join(jacAll, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("""CAST(round(CAST(sum(j_bp) AS DOUBLE) /
+                CAST(count(j_bp) AS DOUBLE)) AS BIGINT)""")
+          .as("mean_jaccard_bp"),
+        min(col("j_bp")).as("min_jaccard_bp"),
+        coalesce(sum(when(col("j_bp").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_zero_overlap"))
+    schemeDf.join(broadcast(folded), Seq("scheme"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("mean_jaccard_bp"), col("min_jaccard_bp"),
+        coalesce(col("n_zero_overlap"), lit(0L)).as("n_zero_overlap"))
   }
 
   /** q255: LSH BUCKET-OCCUPANCY audit — the operational table read before

@@ -430,30 +430,49 @@ object Similarity {
     val qsBase = queriesDf(s, dir)
       .withColumn("scored", reverse(array_sort(scoredCells(col("qe"), centers))))
       .localCheckpoint() // cell ranking per query computed once
-    probesSweep.map { np =>
-      val qs = qsBase
-        .withColumn("cell",
-          explode(expr(s"transform(slice(scored, 1, $np), s -> -s.negcell)")))
-        .drop("scored")
-      val got = corpusCells.join(broadcast(qs), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
-        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+    // ONE tagged (nprobe, query, cell) probe frame replaces the former
+    // per-sweep-point chain (5 × [broadcast join + window + 2 aggregates +
+    // 3 crossJoins] unioned — 130 Exchanges, ~50 stages, and ~26 codegen
+    // units PER POINT that the driver planned and Janino-compiled every
+    // run). The per-nprobe results are bit-identical: the window now
+    // partitions by (nprobe, query_id) — the same per-group ranking — and
+    // the folds group by nprobe instead of running once per point. Empty
+    // sweep groups (a point whose probe join matched nothing) are
+    // re-attached from the literal sweep frame, preserving the former
+    // always-one-row-per-point aggregate semantics.
+    import s.implicits._
+    val sweepDf = probesSweep.toDF("nprobe")
+    val qs = qsBase
+      .withColumn("nprobe", explode(typedlit(probesSweep)))
+      .withColumn("cell",
+        explode(expr("transform(slice(scored, 1, nprobe), s -> -s.negcell)")))
+      .drop("scored")
+    val got = corpusCells.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
           .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = qs.join(occupancy, Seq("cell"))
-        .agg(coalesce(sum(col("cn")), lit(0L)).as("scanned_rows"),
-          countDistinct(col("query_id")).as("n_queries"))
-      hits.crossJoin(nTruth).crossJoin(scanned).crossJoin(corpusN)
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 10000) DIV greatest(n_truth, 1)").as("recall_bp"),
-          expr("(scanned_rows * 10000) DIV greatest(n_queries * corpus_n, 1)")
-            .as("scanned_bp"))
-    }.reduce(_ unionByName _)
+      .filter(col("rnk") <= TopK)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val scanned = qs.join(occupancy, Seq("cell"))
+      .groupBy(col("nprobe"))
+      .agg(sum(col("cn")).as("scanned_rows"),
+        countDistinct(col("query_id")).as("n_queries"))
+    sweepDf
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .join(broadcast(scanned), Seq("nprobe"), "left")
+      .crossJoin(broadcast(nTruth)).crossJoin(broadcast(corpusN))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 10000) DIV greatest(n_truth, 1)")
+          .as("recall_bp"),
+        expr("""(coalesce(scanned_rows, 0) * 10000)
+                DIV greatest(coalesce(n_queries, 0) * corpus_n, 1)""")
+          .as("scanned_bp"))
   }
 
   // ------------------------------------------------------------------
@@ -519,8 +538,18 @@ object Similarity {
       round(VectorOps.cosine(qe, element_at(hubVecs, hc + 1)), 6)
     var beam: Column = array(lit(0)) // deterministic entry: hub 0
     (1 to hops).foreach { _ =>
-      val cand = array_distinct(concat(beam,
-        flatten(transform(beam, hc => element_at(nbrMap, hc)))))
+      // `beam` occurs exactly ONCE in the next hop's tree (hub ∪ its
+      // neighbor list emitted inside one transform lambda, not
+      // `concat(beam, flatten(transform(beam, …)))` which referenced the
+      // whole prior-hop subtree twice): the unrolled expression grows
+      // linearly in hops instead of 2^hops, which is what made the
+      // 3-hop walk's analysis/optimize/codegen-source time the dominant
+      // driver-side cost of q312/q313 (guide §7.3 — huge plans stall the
+      // driver). Candidate SET is unchanged (same elements, order differs only
+      // before array_distinct; the struct sort below imposes a total
+      // order, so the kept beam is identical element-for-element).
+      val cand = array_distinct(flatten(transform(beam,
+        hc => concat(array(hc), element_at(nbrMap, hc)))))
       val scored = reverse(array_sort(transform(cand,
         hc => struct(scoreOf(hc).as("cs"), (-hc).as("neghub")))))
       beam = transform(slice(scored, 1, ef), sc => -sc.getField("neghub"))
@@ -576,28 +605,47 @@ object Similarity {
       .localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val qsBase = queriesDf(s, dir).localCheckpoint()
-    efSweep.map { ef =>
-      val qs = qsBase
-        .withColumn("cell", explode(walkProbes(col("qe"), hubs, nbrs, ef, 3)))
-      val got = corpusCells.join(broadcast(qs), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
-        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+    // q257's unification applied to the ef sweep: the five beam walks are
+    // evaluated in ONE projection over the query set (each walk expression
+    // is now linear-sized — see walkProbes) and tagged with their ef, so
+    // the join + window + folds run once over the tagged frame instead of
+    // five times. Per-ef results are bit-identical (the window partitions
+    // by (ef, query_id)); empty sweep groups are re-attached from the
+    // literal sweep frame like q257.
+    import s.implicits._
+    val sweepDf = efSweep.toDF("ef")
+    val qs = qsBase
+      .withColumn("eb", explode(array(efSweep.map(ef =>
+        struct(lit(ef).as("ef"),
+          walkProbes(col("qe"), hubs, nbrs, ef, 3).as("beam"))): _*)))
+      .select(col("query_id"), col("qe"),
+        col("eb.ef").as("ef"), explode(col("eb.beam")).as("cell"))
+    val got = corpusCells.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("ef"), col("query_id"))
           .orderBy(round(col("cs"), 6).desc, col("neighbor_id").asc)))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = qs.join(occupancy, Seq("cell"))
-        .agg(coalesce(sum(col("cn")), lit(0L)).as("scanned_rows"),
-          countDistinct(col("query_id")).as("n_queries"))
-      hits.crossJoin(nTruth).crossJoin(scanned).crossJoin(corpusN)
-        .select(lit(ef.toLong).as("ef"), col("n_queries"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 10000) DIV greatest(n_truth, 1)").as("recall_bp"),
-          expr("(scanned_rows * 10000) DIV greatest(n_queries * corpus_n, 1)")
-            .as("scanned_bp"))
-    }.reduce(_ unionByName _)
+      .filter(col("rnk") <= TopK)
+      .select(col("ef"), col("query_id"), col("neighbor_id"))
+    val hits = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("ef")).agg(count(lit(1)).as("n_hits"))
+    val scanned = qs.join(occupancy, Seq("cell"))
+      .groupBy(col("ef"))
+      .agg(sum(col("cn")).as("scanned_rows"),
+        countDistinct(col("query_id")).as("n_queries"))
+    sweepDf
+      .join(broadcast(hits), Seq("ef"), "left")
+      .join(broadcast(scanned), Seq("ef"), "left")
+      .crossJoin(broadcast(nTruth)).crossJoin(broadcast(corpusN))
+      .select(col("ef").cast("long").as("ef"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 10000) DIV greatest(n_truth, 1)")
+          .as("recall_bp"),
+        expr("""(coalesce(scanned_rows, 0) * 10000)
+                DIV greatest(coalesce(n_queries, 0) * corpus_n, 1)""")
+          .as("scanned_bp"))
   }
 
   /** Exact integer DCG discount weights for ranks 1..k: round(10⁶ /
