@@ -888,12 +888,21 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("suppkey"),
         (col("ship_day") - col("order_day")).as("lag_days"))
-    val per = lags.groupBy(col("suppkey"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("lag_days") > 30L, 1L).otherwise(0L)).as("n_late"),
-        expr("CAST(round(percentile(lag_days, 0.5D) * 100) AS BIGINT)")
+    // VALUE-DOMAIN fold before the exact percentiles (q67's discipline):
+    // lag_days spans ~10² distinct values per supplier, so the codegen'd
+    // (suppkey, lag_days) count fold compresses the join output map-side
+    // and the percentile buffers hold weighted distinct values instead of
+    // every line — identical by definition to the row-level form
+    // (Spark's `percentile(col, p, freq)` is the exact weighted
+    // percentile; counters ride the same fold as Σfreq).
+    val vd = lags.groupBy(col("suppkey"), col("lag_days"))
+      .agg(count(lit(1)).as("f"))
+    val per = vd.groupBy(col("suppkey"))
+      .agg(sum(col("f")).as("n_lines"),
+        sum(when(col("lag_days") > 30L, col("f")).otherwise(0L)).as("n_late"),
+        expr("CAST(round(percentile(lag_days, 0.5D, f) * 100) AS BIGINT)")
           .as("p50_x100"),
-        expr("CAST(round(percentile(lag_days, 0.9D) * 100) AS BIGINT)")
+        expr("CAST(round(percentile(lag_days, 0.9D, f) * 100) AS BIGINT)")
           .as("p90_x100"))
       .localCheckpoint() // two consumers: the 1-row totals + the league
     val tot = per.agg(sum(col("n_lines")).as("nn"), sum(col("n_late")).as("tt"))

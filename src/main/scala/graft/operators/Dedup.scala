@@ -852,6 +852,7 @@ object Dedup {
     // per-scheme form re-ran the 3-join confirm 4× (measured 7.1–9.0 s at
     // sf0.1; this shape prices the confirm at |union| once).
     val allPairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
     val allDocs = allPairs.select(col("doc_a").as("doc_id"))
       .unionByName(allPairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shinglesOf(

@@ -99,15 +99,16 @@ object Quality {
     */
   private[graft] def sketchProfileOf(li: DataFrame): DataFrame = {
     val cols = sketchProfileCols
-    // accuracy 500 (rank error ≤ 0.2%): sketch cost is linear in the
+    // accuracy 100 (rank error ≤ 1%): sketch cost is linear in the
     // accuracy parameter and the r15 oracle's ±5% rank bands only need
-    // ~20 — 500 keeps a 25× margin while pricing the pass at a quarter
-    // of the former acc=2000 (which itself replaced a 10000 that made
-    // the sketch SLOWER than the exact q66 it exists to out-scale).
+    // ~20 — 100 keeps a 5× margin (the GK bound is deterministic, so the
+    // in-band booleans cannot flip) at a fifth of the former acc=500,
+    // which itself replaced 2000/10000 steps that made the sketch SLOWER
+    // than the exact q66 it exists to out-scale.
     val aggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
-          percentile_approx(col(c), lit(0.5), lit(500)).cast("double").as(s"${c}_p50"),
-          percentile_approx(col(c), lit(0.95), lit(500)).cast("double").as(s"${c}_p95"))
+          percentile_approx(col(c), lit(0.5), lit(100)).cast("double").as(s"${c}_p50"),
+          percentile_approx(col(c), lit(0.95), lit(100)).cast("double").as(s"${c}_p95"))
     }
     val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
@@ -136,6 +137,13 @@ object Quality {
       .select(posexplode(array(sketchProfileCols.map(col): _*))
         .as(Seq("cid", "v")))
       .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("f"))
+      // the final 3-key percentile fold is the query's heaviest stage
+      // (weighted percentiles over the full value domain); byte-based AQE
+      // coalescing handed all three cid groups to ONE task (measured
+      // 1.8 s single-task with 0.4 s GC) — the explicit spread satisfies
+      // the fold's required distribution (same exchange count) and keeps
+      // the three buffers on three cores.
+      .repartition(li.sparkSession.sparkContext.defaultParallelism, col("cid"))
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_distinct"),

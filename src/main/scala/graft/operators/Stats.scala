@@ -205,33 +205,47 @@ object Stats {
                    CAST(n * p_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)"""
 
   def q99CovMatrix(s: SparkSession, dir: String): DataFrame = {
-    // Precision is a PERFORMANCE contract here, not cosmetics: the widest
-    // product below is price_cents² at 8+8+1 = 17 digits, so every one of
-    // the ten per-row products stays on Spark's compact-Long decimal path
-    // (precision ≤ 18) instead of per-row BigDecimal multiplies — the r18
-    // StageCensus attribution of q99's cost (the DECIMAL(12,0) form paid
-    // 25-digit products on every row). Domain bounds are loud: ANSI mode
-    // (Spark 4 default) makes an out-of-range cast THROW, so a corpus
-    // violating the declared bounds (quantity ≥ 10⁴, price ≥ $10⁶) fails
-    // the job rather than silently wrapping. Sums stay exact: Σprice²
-    // accumulates in the DECIMAL(27,0) sum buffer (< 10²⁷ even at 10¹²
-    // rows of max-value products).
+    // Exactness strategy (r19 opt): per-row work is pure BIGINT codegen —
+    // the 10 pairwise products stay under 2⁶³ by the declared domain
+    // bounds (quantity < 10⁴, price < $10⁶ ⇒ widest product price_cents²
+    // < 10¹⁶), and the SUMS run on graft_money_sum's overflow-checked
+    // 64-bit partials that widen to 128-bit only at actual overflow.
+    // The former DECIMAL form was exact too, but its > 18-digit sum
+    // buffers (DECIMAL(19..27,0)) left the compact-long path and paid a
+    // BigDecimal add per row per product column — the r18-measured money
+    // class tax, here ×10 columns (StageCensus: the whole query was one
+    // 1.1 s aggregate stage). Outputs re-cast to the former sum types so
+    // the shared cov/corr formula stage (and the DuckDB oracle, which
+    // sums BIGINT into HUGEINT) is bit-identical. ANSI keeps the domain
+    // loud: an out-of-range cast or a 64→128 partial overflow still
+    // computes exactly, and the final down-cast would THROW only if a
+    // corpus broke the declared 10¹²-row/10²⁷-sum envelope.
+    val digits = Map(
+      "quantity" -> 4, "price_cents" -> 8, "discount_pct" -> 4, "tax_pct" -> 4)
     val defs = Seq(
-      "CAST(l_quantity AS DECIMAL(4,0))",
-      "CAST(round(l_extendedprice * 100) AS DECIMAL(8,0))",
-      "CAST(round(l_discount * 100) AS DECIMAL(4,0))",
-      "CAST(round(l_tax * 100) AS DECIMAL(4,0))")
+      "CAST(l_quantity AS BIGINT)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "CAST(round(l_discount * 100) AS BIGINT)",
+      "CAST(round(l_tax * 100) AS BIGINT)")
     val base = Tables.lineitem(s, dir)
       .select(covNames.zip(defs).map { case (n, e) => expr(e).as(n) }: _*)
+    val prodPairs =
+      for { i <- covNames.indices; j <- i until covNames.length }
+        yield (covNames(i), covNames(j))
+    val proj = base.select(covNames.map(col) ++ prodPairs.map { case (a, b) =>
+      (col(a) * col(b)).as(s"x_${a}_$b") }: _*)
     val sums =
       Seq(count(lit(1)).as("n")) ++
-        covNames.map(n => sum(col(n)).as(s"s_$n")) ++
-        (for { i <- covNames.indices; j <- i until covNames.length } yield
-          sum(col(covNames(i)) * col(covNames(j))).as(s"p_${covNames(i)}_${covNames(j)}"))
+        covNames.map(n => sum(col(n))
+          .cast(s"decimal(${digits(n) + 10},0)").as(s"s_$n")) ++
+        prodPairs.map { case (a, b) =>
+          graft.functions.MoneySum.sum(col(s"x_${a}_$b"), 0)
+            .cast(s"decimal(${digits(a) + digits(b) + 11},0)").as(s"p_${a}_$b")
+        }
     val stackArgs = covPairs.map { case (a, b) =>
       s"'$a', '$b', ${covFormula(a, b)}, ${corrFormula(a, b)}"
     }.mkString(", ")
-    base.agg(sums.head, sums.tail: _*)
+    proj.agg(sums.head, sums.tail: _*)
       .select(expr(
         s"stack(${covPairs.length}, $stackArgs) AS (col_a, col_b, cov, pearson_r)"))
   }
