@@ -851,8 +851,15 @@ object Dedup {
     // scheme's row then reads its pairs' j_bp from the shared table. The
     // per-scheme form re-ran the 3-join confirm 4× (measured 7.1–9.0 s at
     // sf0.1; this shape prices the confirm at |union| once).
+    // spread the distinct pair table by the confirm's stream-join key:
+    // the pair frame is byte-tiny but the shingle-intersection explode
+    // below is CPU-heavy per pair, and AQE's byte-based coalescing was
+    // handing the whole confirm to ONE task (measured 2.0 s single-task);
+    // doc_a partitioning feeds the sa-side join without a re-exchange and
+    // still satisfies jacAll's groupBy(doc_a, doc_b) distribution (equal
+    // doc_a ⇒ co-located), so the spread adds no net exchange.
     val allPairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
-      .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
     val allDocs = allPairs.select(col("doc_a").as("doc_id"))
       .unionByName(allPairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shinglesOf(
@@ -1397,7 +1404,7 @@ object Dedup {
     val centers = Similarity.kmeansCentroids(s, dir, k = k, iters = 3)
     val assigned = Tables.embeddings(s, dir)
       .withColumn("probes",
-        slice(reverse(array_sort(Similarity.scoredCells(col("embedding"), centers))), 1, probes))
+        slice(Similarity.sortedScoredCells(col("embedding"), centers), 1, probes))
       .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
       .select(col("cell"), col("vec_id"), col("embedding"))
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
@@ -1968,7 +1975,7 @@ object Dedup {
                    k: Int = 16, iters: Int = 3, tau: Double = 0.35): DataFrame = {
     val centers = Similarity.kmeansCentroids(s, dir, k = k, iters = iters)
     val assigned = Tables.embeddings(s, dir)
-      .withColumn("best", array_max(Similarity.scoredCells(col("embedding"), centers)))
+      .withColumn("best", Similarity.bestScoredCell(col("embedding"), centers))
       .select(col("vec_id"),
         col("embedding"),
         (-col("best").getField("negcell")).as("cell"),

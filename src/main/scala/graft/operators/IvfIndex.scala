@@ -163,7 +163,7 @@ object IvfIndex {
     val books = loadBooks(s, indexDir)
     val qs = queries
       .withColumn("probes",
-        slice(reverse(array_sort(Similarity.scoredCells(col("qe"), centers))), 1, nprobe))
+        slice(Similarity.sortedScoredCells(col("qe"), centers), 1, nprobe))
       .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
       .drop("probes")
     val qsAdc = Similarity.adcTablesOf(qs, "qe", books)
@@ -266,7 +266,7 @@ object IvfIndex {
     val centers = loadCenters(s, indexDir)
     val qs = queries
       .withColumn("probes",
-        slice(reverse(array_sort(Similarity.scoredCells(col("qe"), centers))), 1, nprobe))
+        slice(Similarity.sortedScoredCells(col("qe"), centers), 1, nprobe))
       .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
       .drop("probes")
     // the union of all queries' probe cells, driver-computed from the model

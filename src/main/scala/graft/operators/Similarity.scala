@@ -283,6 +283,14 @@ object Similarity {
   /** Per-row scored cells against a driver-held centroid array:
     * array of struct(cs = round(cosine, 6), negcell = -i), so struct
     * ordering gives max-cosine with ties broken toward the smaller cell id.
+    *
+    * REFERENCE FORM ONLY: every production call site composes this under
+    * `reverse(array_sort(…))` or `array_max(…)`, and those pipelines now
+    * run through the native [[graft.functions.SortedScoredCells]] /
+    * [[graft.functions.NearestCell]] kernels (bit-equal by spec — the
+    * composed tree's higher-order/collection expressions have no codegen,
+    * so the k·dim scoring evaluated interpreted per corpus row: the
+    * dominant single-task stage of every IVF/graph-ANN query).
     */
   private[graft] def scoredCells(v: Column, centers: Array[Array[Double]]): Column =
     array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
@@ -290,9 +298,25 @@ object Similarity {
              lit(-i).as("negcell"))
     }: _*)
 
+  /** `reverse(array_sort(scoredCells(v)))` — the native fused form. */
+  private[graft] def sortedScoredCells(v: Column,
+      centers: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SortedScoredCells(
+      ColumnBridge.expression(v), centers))
+  }
+
+  /** `array_max(scoredCells(v))` — first element of the descending list. */
+  private[graft] def bestScoredCell(v: Column,
+      centers: Array[Array[Double]]): Column =
+    element_at(sortedScoredCells(v, centers), 1)
+
   /** argmax cell — a pure projection (the corpus is never shuffled). */
-  private[graft] def nearestCell(v: Column, centers: Array[Array[Double]]): Column =
-    -array_max(scoredCells(v, centers)).getField("negcell")
+  private[graft] def nearestCell(v: Column, centers: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCell(
+      ColumnBridge.expression(v), centers))
+  }
 
   /** Spherical k-means coarse quantizer learned by Lloyd iterations.
     *
@@ -380,7 +404,7 @@ object Similarity {
       .withColumn("cell", nearestCell(col("ne"), centers))
     val qs = queriesDf(s, dir)
       .withColumn("probes",
-        slice(reverse(array_sort(scoredCells(col("qe"), centers))), 1, nprobe))
+        slice(sortedScoredCells(col("qe"), centers), 1, nprobe))
       .withColumn("cell", explode(expr("transform(probes, s -> -s.negcell)")))
       .drop("probes")
     val w = Window.partitionBy(col("query_id"))
@@ -428,7 +452,7 @@ object Similarity {
       .localCheckpoint() // the ground truth scored once
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val qsBase = queriesDf(s, dir)
-      .withColumn("scored", reverse(array_sort(scoredCells(col("qe"), centers))))
+      .withColumn("scored", sortedScoredCells(col("qe"), centers))
       .localCheckpoint() // cell ranking per query computed once
     // ONE tagged (nprobe, query, cell) probe frame replaces the former
     // per-sweep-point chain (5 × [broadcast join + window + 2 aggregates +

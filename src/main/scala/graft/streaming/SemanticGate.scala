@@ -47,7 +47,7 @@ object SemanticGate {
     val centers = VectorIngest.validateBatch(s, indexDir, batch)
     val assigned = batch
       .select(col("vec_id"), col("embedding"))
-      .withColumn("best", array_max(Similarity.scoredCells(col("embedding"), centers)))
+      .withColumn("best", Similarity.bestScoredCell(col("embedding"), centers))
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("negcell")).as("cell"),
         col("best").getField("cs").as("cent_sim"))
