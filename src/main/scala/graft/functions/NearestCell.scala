@@ -128,6 +128,84 @@ private[graft] object CellScoreKernel {
   }
 }
 
+/** The greedy beam walk over a driver-held hub graph as ONE kernel —
+  * [[graft.operators.Similarity.walkProbes]]'s unrolled column form,
+  * verbatim: per hop, candidates = beam ∪ their neighbor lists, each
+  * candidate scored round(cos(qe, hub), 6), sorted (cs desc NULLS LAST,
+  * hub id asc), beam = first `ef`. Scores are computed once per hub per
+  * row (the composed form re-scored per hop — identical values, it's
+  * deterministic); the zero-norm ANSI throw still fires exactly when a
+  * degenerate hub/query is first scored.
+  */
+case class WalkProbes(child: Expression, hubs: Array[Array[Double]],
+    nbrs: Array[Array[Int]], ef: Int, hops: Int,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  extends UnaryExpression with CodegenFallback {
+
+  require(hubs.nonEmpty && hubs.forall(_.length == hubs(0).length),
+    "hubs must be non-empty and rectangular")
+  require(nbrs.length == hubs.length, "one neighbor list per hub")
+  require(ef >= 1 && hops >= 0, "ef >= 1, hops >= 0")
+
+  @transient private lazy val hnorm = CellScoreKernel.norms(hubs)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"walk_probes expects array<float>/array<double>, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    val x = CellScoreKernel.extract(v, isFloat, hubs(0).length)
+    val xn = CellScoreKernel.xnormOf(x)
+    val k = hubs.length
+    val cached = new Array[java.lang.Double](k)
+    val seen = new Array[Boolean](k)
+    def score(h: Int): java.lang.Double = {
+      if (!seen(h)) {
+        cached(h) = CellScoreKernel.scoreOf(x, xn, hubs, hnorm, h, failOnError)
+        seen(h) = true
+      }
+      cached(h)
+    }
+    var beam = Array(0)
+    var hop = 0
+    while (hop < hops) {
+      val in = new Array[Boolean](k)
+      beam.foreach { h => in(h) = true; nbrs(h).foreach(n => in(n) = true) }
+      val cand = (0 until k).filter(in).toArray
+      cand.foreach(score) // eager: the composed form scores EVERY candidate
+      val kept = cand.sortWith { (a, b) =>
+        (score(a), score(b)) match {
+          case (null, null) => a < b
+          case (null, _)    => false
+          case (_, null)    => true
+          case (sa, sb)     =>
+            if (sa.doubleValue() != sb.doubleValue())
+              sa.doubleValue() > sb.doubleValue()
+            else a < b
+        }
+      }.take(ef)
+      beam = kept
+      hop += 1
+    }
+    new GenericArrayData(beam.map(i => i: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WalkProbes =
+    copy(child = newChild)
+}
+
 /** `nearestCell` as one codegen-friendly expression: INT cell id of the
   * max rounded cosine (ties → smaller id); never NULL (degenerate rows
   * land in cell 0, exactly like the composed struct-max). */

@@ -556,6 +556,18 @@ object Similarity {
     * `ef`. Returns the final beam (probe hub ids) per row. */
   private[graft] def walkProbes(qe: Column, hubs: Array[Array[Double]],
       nbrs: Array[Array[Int]], ef: Int, hops: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.WalkProbes(
+      ColumnBridge.expression(qe), hubs, nbrs, ef, hops))
+  }
+
+  /** The walk as composed column ops — REFERENCE FORM for the spec (the
+    * native [[graft.functions.WalkProbes]] is pinned bit-equal to it);
+    * the HOF lambdas here have no codegen, which made the per-candidate
+    * hub scoring interpreted (and, times five ef points, the planning +
+    * eval cost that dominated q313). */
+  private[graft] def walkProbesComposed(qe: Column, hubs: Array[Array[Double]],
+      nbrs: Array[Array[Int]], ef: Int, hops: Int): Column = {
     val nbrMap = typedlit(nbrs.zipWithIndex.map { case (ns, i) => i -> ns.toSeq }.toMap)
     val hubVecs = typedlit(hubs.map(_.toSeq).toSeq)
     def scoreOf(hc: Column): Column =

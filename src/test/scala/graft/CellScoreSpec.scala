@@ -77,6 +77,20 @@ class CellScoreSpec extends AnyFunSuite {
     assert(r.getInt(0) == 0 && r.getInt(1) == 0)
   }
 
+  test("native beam walk == composed walk for every (ef, hops) sweep point, both SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (hubs, nbrs) = Similarity.hubGraph(spark, dir, 16, 4)
+      val emb = Tables.embeddings(spark, dir)
+      for (ef <- Seq(1, 2, 4, 8, 16); hops <- Seq(1, 3)) {
+        val bad = emb.select(
+          to_json(Similarity.walkProbes(col("embedding"), hubs, nbrs, ef, hops)).as("n"),
+          to_json(Similarity.walkProbesComposed(col("embedding"), hubs, nbrs, ef, hops)).as("c"))
+          .filter(col("n") =!= col("c")).limit(3).collect()
+        assert(bad.isEmpty, s"$dir ef=$ef hops=$hops: ${bad.mkString("; ")}")
+      }
+    }
+  }
+
   test("zero-norm vector throws the same ANSI DIVIDE_BY_ZERO as the composed form") {
     val centers = Array(Array(1.0, 0.0))
     val schema = StructType(Seq(
