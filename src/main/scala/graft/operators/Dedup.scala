@@ -851,15 +851,15 @@ object Dedup {
     // scheme's row then reads its pairs' j_bp from the shared table. The
     // per-scheme form re-ran the 3-join confirm 4× (measured 7.1–9.0 s at
     // sf0.1; this shape prices the confirm at |union| once).
-    // spread the distinct pair table by the confirm's stream-join key:
-    // the pair frame is byte-tiny but the shingle-intersection explode
-    // below is CPU-heavy per pair, and AQE's byte-based coalescing was
-    // handing the whole confirm to ONE task (measured 2.0 s single-task);
-    // doc_a partitioning feeds the sa-side join without a re-exchange and
-    // still satisfies jacAll's groupBy(doc_a, doc_b) distribution (equal
-    // doc_a ⇒ co-located), so the spread adds no net exchange.
+    // NOT spread: an explicit repartition(defaultParallelism, doc_a) here
+    // cut the confirm's 2.0 s single-task stage to 1.4 s of wall — but by
+    // flipping the downstream join layout into a shape that burned 40 s of
+    // CPU across 32 tasks (StageCensus, r19 opt round) and measured NET
+    // SLOWER on the full bench (4.76 s vs 4.23 s). AQE's 1-task coalesce
+    // of this byte-tiny frame is the cheaper plan at bench scale; at
+    // 100 TB the pair table's real bytes give the confirm its parallelism
+    // without any hint.
     val allPairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
-      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
     val allDocs = allPairs.select(col("doc_a").as("doc_id"))
       .unionByName(allPairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shinglesOf(
