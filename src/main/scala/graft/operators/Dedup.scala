@@ -45,12 +45,12 @@ object Dedup {
       math.floorMod(rnd.nextLong(), MersenneP)))
   }
 
-  /** word-3-gram shingle occurrences per document. `dedup=true` gives set
-    * semantics (needed for Jaccard); the minhash path skips it — min over
-    * a multiset equals min over its set, so the distinct shuffle is pure
-    * overhead there.
+  /** word-3-gram shingle OCCURRENCES per document (multiset — min over a
+    * multiset equals min over its set, so the minhash paths need no
+    * distinct; the Jaccard confirm family gets its set semantics from
+    * [[shingleSetsOf]]'s collect_set, never a corpus-wide distinct).
     */
-  private def shinglesOf(docs: DataFrame, dedup: Boolean): DataFrame = {
+  private def shinglesOf(docs: DataFrame): DataFrame = {
     val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // native window sweep (functions/WordNgrams.scala): short docs
@@ -58,7 +58,80 @@ object Dedup {
       // descending-guard needed, no interpreted per-element lambda
       .select(col("doc_id"),
         explode(graft.functions.WordNgrams(col("w"), 3)).as("sh"))
-    if (dedup) occ.distinct() else occ
+    occ
+  }
+
+  /** Per-document SORTED distinct-shingle arrays — the confirm family's
+    * input frame: ONE map-side-combined collect_set fold (set semantics
+    * inside the agg buffer, no separate corpus-wide distinct exchange)
+    * followed by sort_array, whose StringType ordering is the SAME binary
+    * UTF8String comparison [[graft.functions.SortedIntersectCount]]'s
+    * merge uses. A < 3-word doc yields no shingles and therefore NO row —
+    * exactly the population the former explode produced, so inner joins
+    * against this frame drop the same pairs the exploded form dropped. */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+
+  private[graft] def intersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Exact per-pair shingle-intersection scores — the confirm the whole
+    * family (q31/q199/q210/q240/q249/q261) shares. The former shape
+    * exploded every candidate doc's shingle set into rows, self-joined
+    * per pair on shingle equality and re-aggregated to (doc_a, doc_b)
+    * counts — a Σ(|A|+|B|) row blowup through two joins plus a
+    * re-aggregation exchange, the suite's slowest family at sf0.1. This
+    * shape joins the pair table to the per-doc sorted-array frame twice
+    * (doc-level rows, no blowup) and computes |A∩B| with the native merge
+    * kernel; set sizes ride along as array sizes, deleting the separate
+    * `sizes` aggregation and its two joins. Only pairs with ≥ 1 shared
+    * shingle survive — the inner-intersection semantics every caller had
+    * (a zero-overlap hash-collision pair drops here exactly as it dropped
+    * from the former inner join). Returns (doc_a, doc_b, n_inter ≥ 1,
+    * c_a, c_b) with counts as BIGINT, matching the former count(1) legs.
+    */
+  private def pairIntersections(cand: DataFrame, candDocs: DataFrame)
+      : DataFrame = {
+    val s = cand.sparkSession
+    val arr = shingleSetsOf(candDocs).localCheckpoint()
+    // The pair frame is byte-tiny (16 B/row), so AQE coalesces it to ONE
+    // task and the whole per-pair work — the UnsafeRow copy of both
+    // arrays per joined pair plus the merge — runs serial (censused
+    // 4.5 s single-task on q261's 156 k-pair union frame). The cost is
+    // per-PAIR, not per-input-byte, so AQE's byte-based sizing cannot see
+    // it: broadcast the doc-array side (bounded by the doc-count gate
+    // below — the arrays are text-scale bytes, ~3× the candidate docs'
+    // text) and spread the pairs explicitly over deterministic hash keys
+    // (REPARTITION_BY_NUM — AQE keeps the user-specified width). Above
+    // the gate both joins fall back to doc_id shuffle joins: the pair
+    // frame then carries real bytes after the first join and AQE's
+    // byte-based sizing prices it correctly.
+    val arrSmall = arr.count() <= s.conf
+      .getOption("graft.dedup.shingleArrayBroadcastMaxDocs")
+      .map(_.toLong).getOrElse(100000L)
+    // xxhash64 of BOTH keys, not the keys themselves: a plain
+    // (doc_a, doc_b) repartition is pruned when the pair frame arrives
+    // from a distinct() already hash-partitioned on exactly those keys
+    // (q261's union frame — censused: the whole confirm re-coalesced to
+    // ONE task), and the derived key stays deterministic (§2.5).
+    val spread = if (arrSmall)
+      cand.repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("doc_a"), col("doc_b")))
+    else cand
+    val arrSide = (df: DataFrame) => if (arrSmall) broadcast(df) else df
+    spread
+      .join(arrSide(arr).as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(arrSide(arr).as("ib"), col("doc_b") === col("ib.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        intersectCount(col("ia.shs"), col("ib.shs")).as("n_inter"),
+        size(col("ia.shs")).cast("long").as("c_a"),
+        size(col("ib.shs")).cast("long").as("c_b"))
+      .filter(col("n_inter") > 0L)
   }
 
   /** (doc_id, band_id, sig) LSH band signatures from the Carter–Wegman
@@ -83,7 +156,7 @@ object Dedup {
     * agreement off the same single minhash pass that feeds the banding.
     */
   private def mhSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesOf(Tables.documents(s, dir), dedup = false)
+    val sh = shinglesOf(Tables.documents(s, dir))
       .withColumn("fp", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
     val minCols = cwParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * fp + $b) % $MersenneP")).as(s"m$i") }
@@ -281,7 +354,7 @@ object Dedup {
     * multiply).
     */
   private[graft] def fastBandSignaturesOf(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs, dedup = false)
+    val sh = shinglesOf(docs)
       .withColumn("h0", xxhash64(col("sh")))
     // the native long[k]-buffer signature aggregate (bit-equal to the
     // k-separate min(xxhash64(lit(i), h0)) composition it replaced —
@@ -657,25 +730,16 @@ object Dedup {
     * and 4 corpus scans at 100 TB.
     */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (not persist): materializes the tiny candidate/shingle
-    // frames so their three consumers cost one computation, AND the blocks
-    // are context-cleaned when the RDDs are GC'd — no cache leak into
-    // library callers (persist() needed an unpersist nobody could call on a
-    // returned lazy frame)
+    // localCheckpoint (inside pairIntersections): materializes the tiny
+    // candidate/shingle-array frames so their consumers cost one
+    // computation, AND the blocks are context-cleaned when the RDDs are
+    // GC'd — no cache leak into library callers (persist() needed an
+    // unpersist nobody could call on a returned lazy frame)
     val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
-    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = maybeBroadcast(cand)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+    pairIntersections(cand, candDocs)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
-              (col("ca.c") + col("cb.c") - col("n_inter")), 4).as("jaccard"))
+              (col("c_a") + col("c_b") - col("n_inter")), 4).as("jaccard"))
   }
 
   /** q199: shingle CONTAINMENT per candidate pair — the ASYMMETRIC
@@ -692,19 +756,10 @@ object Dedup {
     */
   def q199Containment(s: SparkSession, dir: String): DataFrame = {
     val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
-    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = maybeBroadcast(cand)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+    pairIntersections(cand, candDocs)
       .select(col("doc_a"), col("doc_b"),
-        expr("n_inter * 10000 DIV ca.c").as("containment_a_bp"),
-        expr("n_inter * 10000 DIV cb.c").as("containment_b_bp"))
+        expr("n_inter * 10000 DIV c_a").as("containment_a_bp"),
+        expr("n_inter * 10000 DIV c_b").as("containment_b_bp"))
       .withColumn("relation",
         when(col("containment_a_bp") >= 9000 && col("containment_b_bp") >= 9000, "mutual")
           .when(col("containment_a_bp") >= 9000, "a_in_b")
@@ -734,16 +789,8 @@ object Dedup {
     */
   def q249CrossSourceMirror(s: SparkSession, dir: String): DataFrame = {
     val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
-    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val confirmed = maybeBroadcast(cand)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)") >= 8000)
+    val confirmed = pairIntersections(cand, candDocs)
+      .filter(expr("n_inter * 10000 DIV (c_a + c_b - n_inter)") >= 8000)
       .select(col("doc_a"), col("doc_b"))
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val cells = confirmed
@@ -862,21 +909,15 @@ object Dedup {
     val allPairs = pairs.select(col("doc_a"), col("doc_b")).distinct()
     val allDocs = allPairs.select(col("doc_a").as("doc_id"))
       .unionByName(allPairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shinglesOf(
-      Tables.documents(s, dir).join(broadcast(allDocs), Seq("doc_id"), "left_semi"),
-      dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val jacAll = allPairs
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+    val candDocs = Tables.documents(s, dir)
+      .join(broadcast(allDocs), Seq("doc_id"), "left_semi")
+    // NOT checkpointed: the scored frame has exactly ONE consumer (the
+    // left join below), so a checkpoint here is a pure job barrier —
+    // removing it fuses the confirm into the fold's plan (one job fewer;
+    // the upstream pairs/arr checkpoints still bound every re-execution).
+    val jacAll = pairIntersections(allPairs, candDocs)
       .select(col("doc_a"), col("doc_b"),
-        expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
-      .localCheckpoint()
+        expr("n_inter * 10000 DIV (c_a + c_b - n_inter)").as("j_bp"))
     // a candidate pair with ZERO shared shingles (pure hash collision)
     // drops from the inner intersection — count it via the left join.
     // ONE grouped fold over the tagged pair table replaces the former four
@@ -970,21 +1011,12 @@ object Dedup {
     val mh = mhSignatures(s, dir).localCheckpoint()
     val (cand, maybeBroadcast, candDocs) =
       candidateTextsOf(s, dir, expandPairs(s, bandsOf(mh)))
-    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = maybeBroadcast(cand)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
     val mhc = mh.join(maybeBroadcast(candidateIdsOf(cand)), Seq("doc_id"), "left_semi")
       .localCheckpoint() // two consumers: both pair sides
     val est = (0 until NumHashes)
       .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    inter
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("jac_bp", expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)"))
+    pairIntersections(cand, candDocs)
+      .withColumn("jac_bp", expr("n_inter * 10000 DIV (c_a + c_b - n_inter)"))
       .join(mhc.as("a"), col("doc_a") === col("a.doc_id"))
       .join(mhc.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("est_matches", expr(s"CAST($est AS BIGINT)"))
@@ -1016,18 +1048,9 @@ object Dedup {
     */
   def q210ThresholdCurve(s: SparkSession, dir: String): DataFrame = {
     val (cand, maybeBroadcast, candDocs) = candidateTexts(s, dir)
-    val sh = shinglesOf(candDocs, dedup = true).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = maybeBroadcast(cand)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+    pairIntersections(cand, candDocs)
       .select(col("doc_a"), col("doc_b"),
-        expr("n_inter * 10000 DIV (ca.c + cb.c - n_inter)").as("j_bp"))
+        expr("n_inter * 10000 DIV (c_a + c_b - n_inter)").as("j_bp"))
       .select(col("doc_a"), col("doc_b"), col("j_bp"),
         explode(lit(Array(5000L, 6000L, 7000L, 8000L, 9000L))).as("threshold_bp"))
       .filter(col("j_bp") >= col("threshold_bp"))
