@@ -2124,14 +2124,30 @@ object TextAnalysis {
     * a materialized V²-bounded frame — one corpus scan trains the model.
     */
   private[graft] def lmTrain(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
-    val model = lmBigrams(docs, Nil).filter(col("w1").isNotNull)
-      .select(col("w1"), col("w2"))
+    // ONE corpus scan for the whole (model, uni, vocab) triple: the
+    // grouped frame keeps a (w_last, NULL) carrier row per token that
+    // ends a document, so the vocab count (distinct w1 = distinct TOKENS,
+    // since every token occurrence rows exactly once as w1) and the
+    // unigram margins both derive from the SAME V²-bounded aggregate.
+    // The former shape paid a SECOND full corpus scan for vocab (explode
+    // + countDistinct over raw tokens); that scan is deleted — vocab is
+    // now a re-aggregation of the checkpointed model frame. (Deriving
+    // all three lazily from one un-checkpointed subtree was measured
+    // SLOWER at sf0.1 — AQE's runtime stage dedup across the three
+    // broadcast builds did not recover the checkpoint's materialization
+    // — so the single barrier job stays.)
+    val modelAll = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        """transform(sequence(1, size(w)), i ->
+             struct(w[i-1] AS w1, CASE WHEN i < size(w) THEN w[i] END AS w2))"""))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
+    val model = modelAll.filter(col("w2").isNotNull)
     val uni = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = modelAll.agg(countDistinct(col("w1")).as("v"))
     (model, uni, vocab)
   }
 

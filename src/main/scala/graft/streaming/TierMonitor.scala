@@ -60,7 +60,12 @@ object TierMonitor {
     * from a null percentile row names nothing). */
   def freeze(s: SparkSession, dir: String): FrozenLm = {
     val docs = Tables.documents(s, dir)
-    val (model, uni0, vocab0) = TextAnalysis.lmTrain(docs)
+    val (model0, uni0, vocab0) = TextAnalysis.lmTrain(docs)
+    // lmTrain returns LAZY frames (the q156 query path fuses them into one
+    // execution); the freeze invariant — never rescan the reference corpus
+    // after freeze() — is pinned HERE, where it belongs, by checkpointing
+    // all three artifacts.
+    val model = model0.localCheckpoint()
     val uni = uni0.localCheckpoint()
     val vocab = vocab0.localCheckpoint()
     val bcast = TextAnalysis.lmBroadcastModel(s)
