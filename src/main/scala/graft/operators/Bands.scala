@@ -127,4 +127,107 @@ object Bands {
         .as("ps"))
       .select(expr("transform(ps, x -> x.p)").as("pcts"))
   }
+
+  /** EXACT weighted percentiles per GROUP at scale — the distributed form
+    * of `percentile(v, fracs, f)` over a VALUE-DOMAIN frame
+    * (group, v, f): Spark's exact weighted percentile ships every
+    * (v, f) pair of a group into ONE ObjectHashAggregate buffer and a
+    * single reducer sorts/merges it (q67's l_extendedprice buffer:
+    * ~450 k pairs, censused 1.9 s single-task — and at 100 TB, where even
+    * a continuous column's value domain stops fitting one reducer, that
+    * buffer IS the OOM). Decomposition is [[exactPercentiles]]'s (q111):
+    * band by per-group sketch boundaries (driver-held — the group axis is
+    * a bounded PROFILE axis, e.g. q67's 3 columns, never data-scale),
+    * fold to the |groups|·nBands band-count frame, locate each needed
+    * WEIGHTED global rank's (band, local rank) arithmetically, and read
+    * the order statistics with per-(group, band) windows over only the
+    * touched bands.
+    *
+    * Semantics: bit-equal to `percentile(v, fracs, f)` BY ITS OWN
+    * FORMULA — pos = q·(N−1) on N = Σf, and the interpolation replicates
+    * Percentile.getPercentile verbatim: `v_lo` when ceil(pos) = floor(pos)
+    * else `(hi − pos)·v_lo + (pos − lo)·v_hi` (NOT the algebraically
+    * equal v1 + (v2−v1)·fpart, which can differ in the last ulp).
+    * Boundary wobble moves band sizes, never ranks. Duplicate (group, v)
+    * rows are safe (adjacent equal-value runs interpolate to the same
+    * value); NULL v rows are dropped, as percentile drops them.
+    *
+    * Returns one row per group: (group, n_rows = value-domain row count,
+    * pcts ARRAY<DOUBLE> in `fracs` order). `dom` is scanned three times
+    * (boundaries, band fold, touched-band windows) — checkpoint it first
+    * if it is expensive to recompute.
+    */
+  def exactPercentilesWeightedBy(dom: DataFrame, group: String, v: String,
+      f: String, fracs: Seq[Double], nBands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = dom.select(col(group).as("__g"), col(v).as("__v"),
+      col(f).as("__f")).filter(col("__v").isNotNull)
+    val bfr = (1 until nBands).map(i => i.toDouble / nBands)
+    val bnds: Seq[(Any, Seq[Double])] = src
+      .groupBy(col("__g"))
+      .agg(percentile_approx(col("__v"), typedLit(bfr), lit(100)).as("b"))
+      .collect().toSeq.map(r => r.get(0) -> r.getSeq[Double](1))
+    val bandCol = bnds.foldLeft(lit(0L)) { case (acc, (g, bs)) =>
+      val e = bs.map(b => when(col("__v") > lit(b), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      when(col("__g") === lit(g), e).otherwise(acc)
+    }
+    val banded = src.withColumn("band", bandCol)
+    val wg = Window.partitionBy(col("__g")).orderBy(col("band"))
+    val counts = banded.groupBy(col("__g"), col("band"))
+      .agg(sum(col("__f")).as("cnt"), count(lit(1)).as("band_rows"))
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .localCheckpoint() // |groups|·nBands rows, three consumers
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("cnt")).as("n"), sum(col("band_rows")).as("n_rows"))
+    // needed (weighted global rank, kind) pairs per (group, fraction):
+    // floor(pos) and ceil(pos), pos = q·(N−1) — Percentile's arithmetic
+    val ranks = totals
+      .select(col("__g"), col("n"), col("n_rows"),
+        posexplode(typedLit(fracs)).as(Seq("ord", "q")))
+      .withColumn("pos", expr("q * CAST(n - 1 AS DOUBLE)"))
+      .withColumn("lo", expr("CAST(floor(pos) AS BIGINT)"))
+      .withColumn("hi", expr("CAST(ceil(pos) AS BIGINT)"))
+      .select(col("__g"), col("ord"), col("pos"), col("lo"), col("hi"),
+        explode(expr(
+          """array(named_struct('kind', 0, 'idx', lo),
+                   named_struct('kind', 1, 'idx', hi))""")).as("rk"))
+      .select(col("__g"), col("ord"), col("pos"), col("lo"), col("hi"),
+        col("rk.kind").as("kind"), col("rk.idx").as("idx"))
+    // locate each rank's band + local weighted rank (tiny broadcast join)
+    val needed = ranks.as("r").join(broadcast(counts).as("c"),
+        col("r.__g") === col("c.__g") &&
+          col("idx") >= col("cum_before") &&
+          col("idx") < col("cum_before") + col("cnt"))
+      .select(col("r.__g").as("__g"), col("ord"), col("pos"), col("lo"),
+        col("hi"), col("kind"), col("band"),
+        (col("idx") - col("cum_before")).as("lr"))
+    // order statistics from ONLY the touched bands: per-(group, band)
+    // window cumsum of the weights, one matching row per needed rank
+    val wb = Window.partitionBy(col("__g"), col("band")).orderBy(col("__v"))
+    val stats = banded
+      .join(broadcast(needed.select(col("__g"), col("band")).distinct()),
+        Seq("__g", "band"), "left_semi")
+      .withColumn("cw", coalesce(
+        sum(col("__f")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(needed), Seq("__g", "band"))
+      .filter(col("cw") <= col("lr") && col("lr") < col("cw") + col("__f"))
+      .select(col("__g"), col("ord"), col("pos"), col("lo"), col("hi"),
+        col("kind"), col("__v"))
+    stats.groupBy(col("__g"), col("ord"), col("pos"), col("lo"), col("hi"))
+      .agg(min(when(col("kind") === 0, col("__v"))).as("v1"),
+        min(when(col("kind") === 1, col("__v"))).as("v2"))
+      .withColumn("p", expr(
+        """CASE WHEN hi = lo THEN v1
+           ELSE (CAST(hi AS DOUBLE) - pos) * v1 + (pos - CAST(lo AS DOUBLE)) * v2
+           END"""))
+      .groupBy(col("__g"))
+      .agg(expr("transform(array_sort(collect_list(struct(ord, p))), x -> x.p)")
+        .as("pcts"))
+      .join(broadcast(totals.select(col("__g"), col("n_rows"))), Seq("__g"))
+      .select(col("__g").as(group), col("n_rows"), col("pcts"))
+  }
 }

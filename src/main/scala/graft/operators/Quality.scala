@@ -105,12 +105,18 @@ object Quality {
     // in-band booleans cannot flip) at a fifth of the former acc=500,
     // which itself replaced 2000/10000 steps that made the sketch SLOWER
     // than the exact q66 it exists to out-scale.
+    // ONE GK sketch per column queried at both fractions (bit-identical
+    // to two scalar percentile_approx calls — same summary, same query
+    // algorithm — at half the per-row insert cost; the GK inserts, not
+    // the HLLs, are the sketch pass's measured cost)
     val aggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_ad"),
-          percentile_approx(col(c), lit(0.5), lit(100)).cast("double").as(s"${c}_p50"),
-          percentile_approx(col(c), lit(0.95), lit(100)).cast("double").as(s"${c}_p95"))
+          percentile_approx(col(c), typedLit(Seq(0.5, 0.95)), lit(100))
+            .as(s"${c}_p"))
     }
-    val stack = cols.map(c => s"'$c', ${c}_ad, ${c}_p50, ${c}_p95").mkString(", ")
+    val stack = cols.map(c =>
+      s"'$c', ${c}_ad, CAST(${c}_p[0] AS DOUBLE), CAST(${c}_p[1] AS DOUBLE)")
+      .mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${cols.size}, $stack) AS (column, approx_distinct, ap50, ap95)"))
@@ -122,33 +128,27 @@ object Quality {
     // exact side: ONE scan for all three columns (posexplode fans each
     // row to (cid, v); map-side combine compresses on the way into one
     // (cid, v) exchange), folded to the VALUE DOMAIN so the distinct
-    // count rides the fold and the percentiles are Spark's WEIGHTED
-    // percentile over distinct values (identical by definition to the
-    // row-level form, oracle-checked). The per-column row-level
-    // percentile shipped every row into one ObjectHashAggregate buffer
-    // (5.1 s at sf0.1); three serial narrow passes still cost ~4 s in
-    // job latency — this shape is one job and its final percentile
-    // buffers parallelize across the 3 cid groups. At 100 TB — where
-    // even the VALUE DOMAIN of a continuous column stops fitting one
-    // reducer — the drop-in is [[Bands.exactPercentiles]]
-    // (band-decomposed order statistics, spec'd bit-equal to
-    // `percentile` incl. tie/short/constant frames).
-    val exact = li
+    // count rides the fold and the percentiles are exact WEIGHTED
+    // percentiles over distinct values (identical by definition to the
+    // row-level form, oracle-checked).
+    // The former exact side fed the full value domain of each column into
+    // ONE weighted-percentile ObjectHashAggregate buffer per cid
+    // (l_extendedprice: ~450 k (v, f) pairs, censused 1.9 s single-task —
+    // and the un-distributable buffer at 100 TB); the band-decomposed
+    // form ([[Bands.exactPercentilesWeightedBy]], q111's mechanism made
+    // weighted+grouped) splits every value-scale stage across
+    // (cid, band) cells. The value-domain fold itself is checkpointed
+    // once and feeds the boundary sketch, the band fold and the
+    // touched-band windows.
+    val dom = li
       .select(posexplode(array(sketchProfileCols.map(col): _*))
         .as(Seq("cid", "v")))
       .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("f"))
-      // the final 3-key percentile fold is the query's heaviest stage
-      // (weighted percentiles over the full value domain); byte-based AQE
-      // coalescing handed all three cid groups to ONE task (measured
-      // 1.8 s single-task with 0.4 s GC) — the explicit spread satisfies
-      // the fold's required distribution (same exchange count) and keeps
-      // the three buffers on three cores.
-      .repartition(li.sparkSession.sparkContext.defaultParallelism, col("cid"))
-      .groupBy(col("cid"))
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        expr("percentile(v, array(0.45D, 0.5D, 0.55D, 0.9D, 0.95D, 0.99D), f)")
-          .as("pcts"))
+      .localCheckpoint()
+    val exact = Bands
+      .exactPercentilesWeightedBy(dom, "cid", "v", "f",
+        Seq(0.45, 0.5, 0.55, 0.9, 0.95, 0.99))
+      .withColumnRenamed("n_rows", "n_distinct")
       .select(
         element_at(typedLit(sketchProfileCols), col("cid") + 1).as("column"),
         col("n_distinct"),

@@ -127,6 +127,41 @@ class QualitySketchSpec extends AnyFunSuite {
     check((1 to 100).map(_.toDouble).toDF("v"), "v")
   }
 
+  test("Bands.exactPercentilesWeightedBy is bit-equal to weighted percentile, grouped") {
+    import spark.implicits._
+    val fracs = Seq(0.45, 0.5, 0.55, 0.9, 0.95, 0.99)
+    def check(dom: org.apache.spark.sql.DataFrame): Unit = {
+      val got = graft.operators.Bands
+        .exactPercentilesWeightedBy(dom, "g", "v", "f", fracs)
+        .collect().map(r => r.getAs[Any]("g") ->
+          (r.getAs[Long]("n_rows"), r.getSeq[Double](r.fieldIndex("pcts")))).toMap
+      val want = dom.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          expr(s"percentile(v, array(${fracs.mkString("D,")}D), f)").as("p"))
+        .collect().map(r => r.getAs[Any]("g") ->
+          (r.getAs[Long]("n"), r.getSeq[Double](r.fieldIndex("p")))).toMap
+      assert(got.keySet == want.keySet, s"groups: ${got.keySet} != ${want.keySet}")
+      for (g <- want.keySet)
+        assert(got(g) == want(g), s"group $g: ${got(g)} != ${want(g)}")
+    }
+    // the q67 corpus value domains, all three groups in one frame
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice")
+    check(Tables.lineitem(spark, dir)
+      .select(posexplode(array(cols.map(col): _*)).as(Seq("g", "v")))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("f")))
+    // planted: heavy weights on few values (rank arithmetic must follow
+    // the WEIGHTED count), single-value groups, weight-1 ties of the
+    // unweighted form, exact-integer rank positions (hi = lo short
+    // circuit), and a group smaller than the band count
+    check(Seq(
+      (0, 7.0, 500L),                          // constant via one heavy row
+      (1, 1.0, 300L), (1, 2.0, 300L),          // two heavy runs
+      (2, 3.0, 1L),                            // singleton
+      (3, 1.0, 1L), (3, 2.0, 1L), (3, 4.0, 1L) // tiny unweighted group
+    ).toDF("g", "v", "f"))
+    check((1 to 100).map(i => (0, i.toDouble, (i % 3 + 1).toLong)).toDF("g", "v", "f"))
+  }
+
   test("q111 equi-depth deciles: sizes within 1, bounds monotone, counts reconcile") {
     val rows = Quality.q111EquidepthHist(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
