@@ -145,6 +145,11 @@ case class WalkProbes(child: Expression, hubs: Array[Array[Double]],
   require(hubs.nonEmpty && hubs.forall(_.length == hubs(0).length),
     "hubs must be non-empty and rectangular")
   require(nbrs.length == hubs.length, "one neighbor list per hub")
+  // fail a malformed hub graph at CONSTRUCTION with a named error — an
+  // out-of-range id would otherwise surface as a bare
+  // ArrayIndexOutOfBoundsException inside executor-side eval (r19 advice)
+  require(nbrs.forall(_.forall(n => n >= 0 && n < hubs.length)),
+    s"every neighbor id must be in [0, ${hubs.length})")
   require(ef >= 1 && hops >= 0, "ef >= 1, hops >= 0")
 
   @transient private lazy val hnorm = CellScoreKernel.norms(hubs)

@@ -1133,10 +1133,25 @@ object Dedup {
   private def editDistanceConfirm(
       cand: DataFrame, maybeBroadcast: DataFrame => DataFrame,
       candDocs0: DataFrame): DataFrame = {
+    val s = cand.sparkSession
     val candDocs = candDocs0.select(col("doc_id"),
         regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("ftext"))
       .localCheckpoint() // candidate-sized: one row per doc in any pair
-    cand
+    // The pair frame is byte-tiny, so with both text sides broadcast AQE
+    // coalesces the whole DP stage to ONE task (censused: q70's 0.58 s
+    // confirm serial on one core) — the per-PAIR O(min·d) edit-distance
+    // cost is invisible to byte-based sizing. Same remedy as the shingle
+    // confirm (pairIntersections): spread the pairs over a deterministic
+    // derived key when the doc frame is broadcast-small; above the gate
+    // the doc_id shuffle joins set the width from real bytes.
+    val docsSmall = candDocs.count() <= s.conf
+      .getOption("graft.dedup.shingleArrayBroadcastMaxDocs")
+      .map(_.toLong).getOrElse(100000L)
+    val spread = if (docsSmall)
+      cand.repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("doc_a"), col("doc_b")))
+    else cand
+    spread
       .join(maybeBroadcast(candDocs.select(col("doc_id").as("doc_a"), col("ftext").as("fa"))),
         Seq("doc_a"))
       .join(maybeBroadcast(candDocs.select(col("doc_id").as("doc_b"), col("ftext").as("fb"))),

@@ -86,6 +86,12 @@ object Quality {
     * sketch row alone and drops the exact gate — the sketch pass here is
     * byte-identical to that production shape. QualitySketchSpec keeps the
     * raw approx-vs-exact bound checks.
+    *
+    * CONTRACT NOTE (r19 advice): the sketch side is bound to RANK BANDS,
+    * not to reference-framework values — the GK accuracy knob (now 100)
+    * changes the raw ap50/ap95, which are deliberately NOT published.
+    * Tightening the oracle to sketch VALUES would break on any accuracy
+    * change and on any engine's sketch internals; keep it on the bands.
     */
   /** q67's profiled columns — one list feeding the sketch pass, the exact
     * gate and the generated oracle SQL. */

@@ -437,6 +437,15 @@ object Similarity {
     * deterministic vec_id % 100 set) against the same persisted index
     * the production probe uses.
     */
+  /** Row gate for the recall-sweep broadcasts: above it the swept frame
+    * broadcasts without the duplicated qe vectors (r19 advice — at a
+    * query-sample row count where Σsweep copies of the embeddings
+    * approach the broadcast cap, ship each vector once instead). Default
+    * 500k rows ≈ ~250 MB of dim-64 doubles. */
+  private def sweepBroadcastMaxRows(s: SparkSession): Long = s.conf
+    .getOption("graft.ann.sweepBroadcastMaxRows").map(_.toLong)
+    .getOrElse(500000L)
+
   def q257IvfRecallCurve(s: SparkSession, dir: String): DataFrame = {
     val probesSweep = Seq(1, 2, 4, 8, 16)
     val k = 16
@@ -466,13 +475,25 @@ object Similarity {
     // always-one-row-per-point aggregate semantics.
     import s.implicits._
     val sweepDf = probesSweep.toDF("nprobe")
-    val qs = qsBase
+    // Broadcast-size guard (r19 advice): the swept frame duplicates each
+    // query's qe vector Σnprobe (~31) times, which can blow the
+    // driver/broadcast cap at high SF even though each per-point
+    // broadcast would fit. Below the row gate the fused frame broadcasts
+    // as before (one join — the cheaper local plan); above it qe is
+    // DROPPED from the swept broadcast and re-attached from the
+    // one-row-per-query base, so each vector ships once.
+    val fuseQe = qsBase.count() * probesSweep.sum <= sweepBroadcastMaxRows(s)
+    val qs0 = qsBase
       .withColumn("nprobe", explode(typedlit(probesSweep)))
       .withColumn("cell",
         explode(expr("transform(slice(scored, 1, nprobe), s -> -s.negcell)")))
       .drop("scored")
-    val got = corpusCells.join(broadcast(qs), Seq("cell"))
+    val qs = if (fuseQe) qs0 else qs0.select(col("nprobe"), col("query_id"), col("cell"))
+    val joined0 = corpusCells.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+    val got = (if (fuseQe) joined0
+      else joined0.join(broadcast(qsBase.select(col("query_id"), col("qe"))),
+        Seq("query_id")))
       .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("nprobe"), col("query_id"))
@@ -650,14 +671,20 @@ object Similarity {
     // literal sweep frame like q257.
     import s.implicits._
     val sweepDf = efSweep.toDF("ef")
-    val qs = qsBase
+    // the q257 broadcast-size guard, applied to the ef sweep
+    val fuseQe = qsBase.count() * efSweep.sum <= sweepBroadcastMaxRows(s)
+    val qs0 = qsBase
       .withColumn("eb", explode(array(efSweep.map(ef =>
         struct(lit(ef).as("ef"),
           walkProbes(col("qe"), hubs, nbrs, ef, 3).as("beam"))): _*)))
       .select(col("query_id"), col("qe"),
         col("eb.ef").as("ef"), explode(col("eb.beam")).as("cell"))
-    val got = corpusCells.join(broadcast(qs), Seq("cell"))
+    val qs = if (fuseQe) qs0 else qs0.select(col("query_id"), col("ef"), col("cell"))
+    val joined0 = corpusCells.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+    val got = (if (fuseQe) joined0
+      else joined0.join(broadcast(qsBase.select(col("query_id"), col("qe"))),
+        Seq("query_id")))
       .withColumn("cs", VectorOps.cosine(col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("ef"), col("query_id"))

@@ -220,6 +220,14 @@ object Stats {
     // loud: an out-of-range cast or a 64→128 partial overflow still
     // computes exactly, and the final down-cast would THROW only if a
     // corpus broke the declared 10¹²-row/10²⁷-sum envelope.
+    // DOMAIN-ENFORCEMENT NOTE (r19 advice): the former DECIMAL(4/8,0)
+    // casts ALSO rejected a single out-of-domain row loudly at ingestion
+    // (price ≥ $10⁶ failed its cast); the BIGINT form accepts any int64,
+    // so per-row domain rejection is gone and exactness relies on the
+    // ANSI overflow checks asserted by CosineFusionSpec (Spark 4 default;
+    // a non-ANSI session would wrap a >2⁶³ product silently). Re-adding a
+    // checked per-row cast would re-pay the BigDecimal tax this rewrite
+    // removed — the trade is deliberate and the spec pins ANSI stays on.
     val digits = Map(
       "quantity" -> 4, "price_cents" -> 8, "discount_pct" -> 4, "tax_pct" -> 4)
     val defs = Seq(
